@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters — the σ/π layer.
+  *
+  * Reference parity: D-SPARQ answers a single triple pattern with an indexed
+  * MongoDB `find` on the bound fields (SURVEY.md §2 R4). In Spark the same
+  * role is played by the parquet scan with pushed predicates and pruned
+  * columns; `.explain("formatted")` must show PushedFilters and a ReadSchema
+  * restricted to the selected columns. At 100 TB this is the difference
+  * between reading 3 columns' row groups and reading the table.
+  */
+object Relational extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_filter_pushdown" -> ((s, d) => {
+      // String, numeric and timestamp predicates, all pushdown-eligible.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+          && col("l_quantity") < 5.0 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          unix_millis(col("l_shipdate")).as("ship_ms"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, epoch_ms(l_shipdate) AS ship_ms
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_quantity < 5.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
