@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Aggregates,
     operators.Windows,
     operators.SetSortOps,
-    functions.FunctionOps)
+    functions.FunctionOps,
+    rdf.RdfOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

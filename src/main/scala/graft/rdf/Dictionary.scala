@@ -1,0 +1,70 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** RDF term dictionary: every distinct term (subject/predicate/object
+  * string) ↔ a numeric id, so joins run over longs instead of strings.
+  *
+  * Reference parity: D-SPARQ dictionary-encodes terms with an MD5-style
+  * digest plus assigned numeric ids persisted in MongoDB collections
+  * (SURVEY.md §2 R2/R3). Two Spark-native strategies:
+  *
+  *  - [[build]]: *dense, deterministic* ids = rank of the term in global
+  *    sort order. Implemented as sort + `zipWithIndex` — distributed (no
+  *    single-partition window), one shuffle for the sort. Reproducible
+  *    across runs and engines, which is what the DuckDB oracle checks.
+  *  - [[hashIds]]: *hashed* ids via xxhash64 — zero coordination, O(1) per
+  *    term, the right choice at 100 TB where a global sort of the
+  *    dictionary is pure overhead. Collision probability at 10^10 terms is
+  *    ~3e-7 (birthday bound at 64 bits); [[auditCollisions]] verifies
+  *    emptiness as a cheap post-load invariant, mirroring the reference's
+  *    digest-uniqueness assumption.
+  */
+object Dictionary {
+
+  /** Distinct terms of the triples table, one column `term`. */
+  def terms(triples: DataFrame): DataFrame =
+    triples.select(col("s").as("term"))
+      .unionByName(triples.select(col("p").as("term")))
+      .unionByName(triples.select(col("o").as("term")))
+      .distinct()
+
+  /** Dense deterministic dictionary: id = 1-based rank in term sort order. */
+  def build(spark: SparkSession, triples: DataFrame): DataFrame = {
+    val sorted = terms(triples).orderBy("term")
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) => Row(i + 1L, r.getString(0)) }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("term", StringType, nullable = false))))
+  }
+
+  /** Hash-based dictionary ids (scale path). */
+  def hashIds(triples: DataFrame): DataFrame =
+    terms(triples).withColumn("id", xxhash64(col("term")))
+
+  /** Terms whose hashed ids collide (expected empty; run after bulk load). */
+  def auditCollisions(dict: DataFrame): DataFrame =
+    dict.groupBy("id").agg(count(lit(1)).as("n"), collect_list("term").as("terms"))
+      .filter(col("n") > 1)
+
+  /** (s,p,o) strings → (sid,pid,oid) longs. The dictionary is usually much
+    * smaller than the triples table; Catalyst/AQE picks broadcast vs
+    * shuffle join by size, so no hint is hard-coded.
+    */
+  def encode(triples: DataFrame, dict: DataFrame): DataFrame =
+    triples
+      .join(dict.withColumnRenamed("term", "s").withColumnRenamed("id", "sid"), "s")
+      .join(dict.withColumnRenamed("term", "p").withColumnRenamed("id", "pid"), "p")
+      .join(dict.withColumnRenamed("term", "o").withColumnRenamed("id", "oid"), "o")
+      .select("sid", "pid", "oid")
+
+  /** (sid,pid,oid) → (s,p,o) on result emission (reference's decode step). */
+  def decode(encoded: DataFrame, dict: DataFrame): DataFrame =
+    encoded
+      .join(dict.withColumnRenamed("id", "sid").withColumnRenamed("term", "s"), "sid")
+      .join(dict.withColumnRenamed("id", "pid").withColumnRenamed("term", "p"), "pid")
+      .join(dict.withColumnRenamed("id", "oid").withColumnRenamed("term", "o"), "oid")
+      .select("s", "p", "o")
+}

@@ -1,0 +1,109 @@
+package graft.rdf
+
+import graft.QueryModule
+import org.apache.spark.sql.functions._
+
+/** Reference-parity query surface: triples build, dictionary, BGP star /
+  * chain / OPTIONAL, property table (SURVEY.md §2.2 "RDF / SPARQL layer").
+  */
+object RdfOps extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "q_triples_build" -> ((s, d) => {
+      Triples.build(s, d).orderBy(col("s"), col("p"), col("o"))
+    }),
+
+    "q_dict_encode" -> ((s, d) => {
+      Dictionary.build(s, Triples.build(s, d)).orderBy(col("id"))
+    }),
+
+    // Subject star: all patterns share ?cust — the reference answers this
+    // with ONE subject-grouped Mongo lookup; we answer it with self-joins
+    // on s that Catalyst executes as one shuffle (or zero when bucketed).
+    "q_bgp_star" -> ((s, d) => {
+      Bgp.solve(Triples.build(s, d), Seq(
+        TP(V("cust"), C("name"), V("cname")),
+        TP(V("cust"), C("mktsegment"), C("BUILDING")),
+        TP(V("cust"), C("nation"), V("nat"))))
+        .orderBy(col("cust"))
+    }),
+
+    // Chain/pipeline: order-star feeds customer-star through ?cust.
+    "q_bgp_chain" -> ((s, d) => {
+      Bgp.solve(Triples.build(s, d), Seq(
+        TP(V("ord"), C("custkey"), V("cust")),
+        TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+        TP(V("cust"), C("mktsegment"), V("seg")),
+        TP(V("cust"), C("name"), V("cname"))))
+        .orderBy(col("ord"))
+    }),
+
+    // OPTIONAL → left outer join; customers keep their row with a null
+    // ?ord when they have no 'P' order.
+    "q_bgp_optional" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val req = Bgp.solve(t, Seq(TP(V("cust"), C("mktsegment"), V("seg"))))
+      Bgp.optional(req, t, Seq(
+        TP(V("ord"), C("custkey"), V("cust")),
+        TP(V("ord"), C("orderstatus"), C("P"))))
+        .orderBy(asc_nulls_first("cust"), asc_nulls_first("ord"))
+    }),
+
+    // The subject-grouped layout itself (d-sparq's MongoDB document shape):
+    // one row per subject, one column per predicate. Explicit pivot values
+    // avoid the extra distinct-values job at scale.
+    "q_property_table" -> ((s, d) => {
+      Triples.build(s, d)
+        .filter(col("s").startsWith("c:"))
+        .groupBy(col("s"))
+        .pivot("p", Seq("name", "mktsegment", "nation"))
+        .agg(first(col("o")))
+        .orderBy(col("s"))
+    })
+  )
+
+  private def cte(body: String) = s"WITH triples AS (\n${Triples.duckCte}\n)\n$body"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_triples_build" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
+
+    "q_dict_encode" -> cte(
+      """SELECT CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id, term
+        |FROM (SELECT s AS term FROM triples
+        |      UNION SELECT p FROM triples
+        |      UNION SELECT o FROM triples)
+        |ORDER BY id""".stripMargin),
+
+    "q_bgp_star" -> cte(
+      """SELECT t1.s AS cust, t1.o AS cname, t3.o AS nat
+        |FROM triples t1, triples t2, triples t3
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
+        |  AND t3.p = 'nation' AND t1.s = t2.s AND t1.s = t3.s
+        |ORDER BY cust""".stripMargin),
+
+    "q_bgp_chain" -> cte(
+      """SELECT t1.s AS ord, t1.o AS cust, t3.o AS seg, t4.o AS cname
+        |FROM triples t1, triples t2, triples t3, triples t4
+        |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
+        |  AND t3.p = 'mktsegment' AND t4.p = 'name'
+        |  AND t1.s = t2.s AND t1.o = t3.s AND t1.o = t4.s
+        |ORDER BY ord""".stripMargin),
+
+    "q_bgp_optional" -> cte(
+      """SELECT req.cust, req.seg, opt.ord
+        |FROM (SELECT s AS cust, o AS seg FROM triples WHERE p = 'mktsegment') req
+        |LEFT JOIN (SELECT t1.s AS ord, t1.o AS cust
+        |           FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |           WHERE t1.p = 'custkey' AND t2.p = 'orderstatus' AND t2.o = 'P') opt
+        |  ON req.cust = opt.cust
+        |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
+
+    "q_property_table" -> cte(
+      """SELECT s,
+        |  max(o) FILTER (WHERE p = 'name') AS name,
+        |  max(o) FILTER (WHERE p = 'mktsegment') AS mktsegment,
+        |  max(o) FILTER (WHERE p = 'nation') AS nation
+        |FROM triples WHERE s LIKE 'c:%'
+        |GROUP BY s ORDER BY s""".stripMargin)
+  )
+}

@@ -1,0 +1,74 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val triples = Triples.build(spark, sf0001).cache()
+
+  test("dictionary encode ∘ decode = identity (as a bag of triples)") {
+    val dict = Dictionary.build(spark, triples)
+    val roundtrip = Dictionary.decode(Dictionary.encode(triples, dict), dict)
+    assert(roundtrip.count() === triples.count())
+    assert(roundtrip.exceptAll(triples).count() === 0)
+    assert(triples.exceptAll(roundtrip).count() === 0)
+  }
+
+  test("dense dictionary ids are 1..N with no gaps") {
+    val dict = Dictionary.build(spark, triples)
+    val n = dict.count()
+    val (minId, maxId, distinct) = dict
+      .agg(min("id"), max("id"), countDistinct("id"))
+      .as[(Long, Long, Long)].head()
+    assert(minId === 1L && maxId === n && distinct === n)
+  }
+
+  test("hashed dictionary has no collisions on this corpus") {
+    assert(Dictionary.auditCollisions(Dictionary.hashIds(triples)).count() === 0)
+  }
+
+  test("BGP star ≡ property-table lookup (two plans, same answer)") {
+    val viaJoins = Bgp.solve(triples, Seq(
+      TP(V("cust"), C("name"), V("cname")),
+      TP(V("cust"), C("mktsegment"), C("BUILDING"))))
+    val pt = triples.filter($"s".startsWith("c:"))
+      .groupBy("s").pivot("p", Seq("name", "mktsegment")).agg(first("o"))
+    val viaPt = pt.filter($"mktsegment" === "BUILDING")
+      .select($"s".as("cust"), $"name".as("cname"))
+    assert(viaJoins.exceptAll(viaPt).count() === 0)
+    assert(viaPt.exceptAll(viaJoins).count() === 0)
+    assert(viaJoins.count() > 0)
+  }
+
+  test("BGP repeated variable within a pattern filters to equality") {
+    val t = Seq(("a", "p1", "a"), ("a", "p1", "b")).toDF("s", "p", "o")
+    val got = Bgp.solve(t, Seq(TP(V("x"), C("p1"), V("x"))))
+    assert(got.as[String].collect().toSeq === Seq("a"))
+  }
+
+  test("N-Triples parser handles IRIs, literals, typed/lang literals, comments") {
+    val lines = Seq(
+      "<http://ex/s1> <http://ex/p> <http://ex/o1> .",
+      "<http://ex/s1> <http://ex/name> \"Alice\" .",
+      "<http://ex/s2> <http://ex/age> \"30\"^^<http://www.w3.org/2001/XMLSchema#integer> .",
+      "<http://ex/s2> <http://ex/label> \"hola\"@es .",
+      "# a comment",
+      "",
+      "not a triple").toDF("value")
+    val got = NTriples.parse(lines).as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("http://ex/s1", "http://ex/p", "http://ex/o1"),
+      ("http://ex/s1", "http://ex/name", "Alice"),
+      ("http://ex/s2", "http://ex/age", "30"),
+      ("http://ex/s2", "http://ex/label", "hola")))
+    assert(NTriples.corrupt(lines).count() === 1)
+  }
+
+  test("BGP chain joins star results through the shared variable") {
+    val got = RdfOps.queries("q_bgp_chain")(spark, sf0001)
+    assert(got.columns.sorted.toSeq === Seq("cname", "cust", "ord", "seg"))
+    assert(got.count() > 0)
+  }
+}
