@@ -40,4 +40,24 @@ object Det {
 
   def davgSql(expr: String, scale: Int = 4): String =
     s"(${dsumSql(expr, scale)} / count($expr))"
+
+  /** Tie-safe cross-engine rounding: floor(x·10^s + 0.5)/10^s.
+    *
+    * Spark's `round()` rounds the value's *shortest decimal repr*
+    * (BigDecimal.valueOf) while DuckDB rounds the *binary* value — they
+    * disagree whenever the repr sits exactly on a rounding tie (e.g.
+    * round(0.59625, 4) → 0.5963 in Spark, 0.5962 in DuckDB). This form uses
+    * only IEEE mul/add/floor, which both engines evaluate bit-identically.
+    * (For negatives it rounds half toward +∞ rather than away from zero —
+    * consistently on both sides, which is what matters for the oracle.)
+    */
+  def roundSafe(c: Column, scale: Int): Column = {
+    val k = math.pow(10, scale)
+    floor(c * k + lit(0.5)) / lit(k)
+  }
+
+  def roundSafeSql(expr: String, scale: Int): String = {
+    val k = "1" + "0" * scale
+    s"(floor(($expr) * $k.0 + 0.5) / $k.0)"
+  }
 }

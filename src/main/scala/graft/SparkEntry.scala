@@ -18,7 +18,9 @@ object SparkEntry {
     operators.Windows,
     operators.SetSortOps,
     functions.FunctionOps,
-    rdf.RdfOps)
+    rdf.RdfOps,
+    llm.LlmOps,
+    streaming.StreamOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

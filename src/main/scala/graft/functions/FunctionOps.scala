@@ -49,7 +49,10 @@ object FunctionOps extends QueryModule {
     "q_fn_math" -> ((s, d) => {
       Tables.part(s, d).select(
         col("p_partkey"),
-        round(col("p_retailprice"), 1).as("r1"),
+        // tie-safe: native round() disagrees across engines at repr ties
+        graft.Det.roundSafe(col("p_retailprice"), 1).as("r1"),
+        // native round IS safe on dyadic values (eighths): exact binary tie
+        round((col("p_size") / 8.0), 2).as("r8"),
         abs(col("p_retailprice") - 1000.0).as("ab"),
         round(log(col("p_retailprice")), 6).as("lnv"),
         round(pow(col("p_size").cast("double"), 1.5), 6).as("powv"),
@@ -64,11 +67,11 @@ object FunctionOps extends QueryModule {
       Tables.embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("sz"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        round(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4).as("vsum"),
-        round(expr("aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4).as("head_sum"),
-        round(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * 2.0), 0D, (a, x) -> a + x)"), 4).as("dsum2"),
-        round(array_max(col("embedding")).cast("double"), 4).as("vmax"))
+        graft.Det.roundSafe(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        graft.Det.roundSafe(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4).as("vsum"),
+        graft.Det.roundSafe(expr("aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4).as("head_sum"),
+        graft.Det.roundSafe(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * 2.0), 0D, (a, x) -> a + x)"), 4).as("dsum2"),
+        graft.Det.roundSafe(array_max(col("embedding")).cast("double"), 4).as("vmax"))
         .orderBy(col("vec_id"))
     }),
 
@@ -118,8 +121,9 @@ object FunctionOps extends QueryModule {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_fn_math" ->
-      """SELECT p_partkey,
-        |  round(p_retailprice, 1) AS r1,
+      s"""SELECT p_partkey,
+        |  ${graft.Det.roundSafeSql("p_retailprice", 1)} AS r1,
+        |  round(p_size / 8.0, 2) AS r8,
         |  abs(p_retailprice - 1000.0) AS ab,
         |  round(ln(p_retailprice), 6) AS lnv,
         |  round(pow(CAST(p_size AS DOUBLE), 1.5), 6) AS powv,
@@ -130,13 +134,13 @@ object FunctionOps extends QueryModule {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_fn_array" ->
-      """SELECT vec_id,
+      s"""SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS sz,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vsum,
-        |  round(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 4) AS head_sum,
-        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0), 'sum'), 4) AS dsum2,
-        |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS vmax
+        |  ${graft.Det.roundSafeSql("CAST(embedding[1] AS DOUBLE)", 4)} AS e1,
+        |  ${graft.Det.roundSafeSql("list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')", 4)} AS vsum,
+        |  ${graft.Det.roundSafeSql("list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum')", 4)} AS head_sum,
+        |  ${graft.Det.roundSafeSql("list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0), 'sum')", 4)} AS dsum2,
+        |  ${graft.Det.roundSafeSql("CAST(list_aggregate(embedding, 'max') AS DOUBLE)", 4)} AS vmax
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_fn_json" ->

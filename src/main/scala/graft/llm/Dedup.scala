@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), MinHash+LSH (Jaccard on word shingles),
+  * SimHash (Hamming on a 64-bit sketch), exact n-gram Jaccard (blocked),
+  * and embedding-cosine near-dup (see [[EmbeddingOps]]).
+  *
+  * Everything is pair-free until LSH banding has shrunk the candidate set:
+  * the only self-joins are on (band, bucket) keys, so the quadratic blowup
+  * of naive pairwise comparison never materializes — the property that
+  * makes these runnable over 100 TB corpora. Skewed buckets (a shingle
+  * shared by millions of docs) are bounded by banding width and handled by
+  * AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** Exact dedup: content hash → keep the smallest doc_id per group.
+    * `sha2` collisions are cryptographically negligible; grouping by the
+    * 64-char digest instead of the full text keeps shuffle rows small.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.withColumn("h", sha2(col("text"), 256))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .drop("h")
+
+  // ---------------- MinHash + LSH ----------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val Rows = 4 // NumHashes = Bands * Rows; tuned for jaccard ≥ ~0.6
+
+  /** (doc_id, sh): distinct word 3-shingles per doc. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.wordShingles(k)).as("sh"))
+
+  /** 64-hash MinHash signature per doc. One hash aggregate computes all 64
+    * mins (64 codegen'd agg expressions over `xxhash64(i, sh)`), so the
+    * signature costs a single shuffle of (doc_id → 64 longs).
+    */
+  def signatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: docs agreeing on any band's row-slice become candidates.
+    * Join is equi on (band, bucket-hash) — no cross product.
+    */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"), posexplode(
+      expr(s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(b, slice(sig, b * $Rows + 1, $Rows)))"))
+      .as(Seq("band", "bh")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs via shared-shingle counting (no
+    * array materialization per pair — an equi-join on the shingle). */
+  def withJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  }
+
+  /** End-to-end MinHash near-dup pairs at a Jaccard threshold. */
+  def minHashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    withJaccard(candidatePairs(signatures(sh)), sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over word tokens: bit j of the sketch is the sign of
+    * Σ_tokens (±1 depending on bit j of the token hash). Computed as 64
+    * conditional-sum aggregates then assembled with shifts — all codegen.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextOps.tokens).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val assembled = (0 until 64)
+      .map(j => shiftleft(when(col(s"b$j") > 0, lit(1L)).otherwise(lit(0L)), j))
+      .reduce(_ bitwiseOR _)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming, blocked on 16-bit
+    * chunks (any pair within Hamming 3 of each other must agree exactly on
+    * at least one of the 4 chunks — pigeonhole).
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhash(docs)
+    val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
+      expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+      .as(Seq("chunk", "ch")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------- exact n-gram Jaccard, blocked ----------------
+
+  /** Character n-gram Jaccard near-dups, blocked by language (cheap
+    * blocking key) so the shingle join never crosses blocks. Exact — used
+    * both as an operator and as the ground truth MinHash is tested against.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(TextOps.charNgrams(n))).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.lang") === col("b.lang") && col("a.g") === col("b.g")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

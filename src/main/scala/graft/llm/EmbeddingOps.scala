@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: exact cosine top-k (baseline) and random-
+  * hyperplane LSH (the scale path for both ANN search and cosine near-dup
+  * detection).
+  *
+  * All dot products fold float elements into a double accumulator
+  * left-to-right via `aggregate` (codegen'd higher-order function, no UDF),
+  * which is both fast and bit-deterministic.
+  *
+  * Scale: brute force is a broadcast of the probe + one scan — already the
+  * right plan for "one probe vs 10^9 vectors" (it parallelizes perfectly
+  * and reads each vector once). LSH buckets cut the scanned fraction to
+  * ~bucket_hit_rate for repeated querying; `Tables × PlanesPerTable`
+  * trades recall vs candidate count (more tables → higher recall).
+  */
+object EmbeddingOps {
+
+  val Dim = 64
+  val NumTables = 8
+  val PlanesPerTable = 6
+
+  /** Deterministic ±1 hyperplanes (seeded LCG; java.util.Random's algorithm
+    * is specified, so identical across JVMs). */
+  private def planes(): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(NumTables, PlanesPerTable, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def dot(vec: String, plane: Array[Double]): String = {
+    val arr = plane.mkString("array(", ", ", ")")
+    s"aggregate(zip_with($vec, $arr, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
+  }
+
+  /** One bucket id per table: the sign pattern of `PlanesPerTable` dots. */
+  def withBuckets(df: DataFrame, vecCol: String): DataFrame = {
+    val ps = planes()
+    val bucketExprs = (0 until NumTables).map { t =>
+      (0 until PlanesPerTable).map { p =>
+        s"(CASE WHEN ${dot(vecCol, ps(t)(p))} > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+    df.withColumn("buckets", expr(bucketExprs.mkString("array(", ", ", ")")))
+  }
+
+  /** Cosine similarity between two array<float> columns, exact double. */
+  def cosine(a: String, b: String): Column = {
+    val d = s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val na = s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val nb = s"sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    expr(s"$d / ($na * $nb)")
+  }
+
+  /** Exact top-k by cosine against one probe vector (brute force):
+    * broadcast the probe, scan once, TakeOrderedAndProject for the top-k —
+    * no shuffle of the vector table.
+    */
+  def cosineTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = vectors.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pe"))
+    vectors.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("sim", graft.Det.roundSafe(cosine("embedding", "pe"), 6))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** Approximate top-k: only candidates sharing an LSH bucket with the
+    * probe in at least one table are ranked. */
+  def annTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val b = withBuckets(vectors, "embedding")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+    val probe = b.filter(col("vec_id") === probeId)
+      .select(col("tbl"), col("bkt"), col("embedding").as("pe"))
+    b.filter(col("vec_id") =!= probeId)
+      .join(broadcast(probe), Seq("tbl", "bkt"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("pe"))
+      .distinct()
+      .withColumn("sim", graft.Det.roundSafe(cosine("embedding", "pe"), 6))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** Embedding near-dup pairs: LSH-bucket equi-join → exact cosine filter.
+    * Never forms the full cross product. */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val b = withBuckets(vectors, "embedding")
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+    val cands = b.as("a")
+      .join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .distinct()
+    cands
+      .withColumn("sim", graft.Det.roundSafe(cosine("ea", "eb"), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+}

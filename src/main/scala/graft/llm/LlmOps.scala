@@ -1,0 +1,155 @@
+package graft.llm
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Query surface for the LLM-data-pipeline operators (BASELINE.json north
+  * star): dedup ladder, similarity search, text analysis, multimodal
+  * plumbing. Approximate / sketch-based queries have no SQL oracle (the
+  * driver records rows-only); each is instead verified against exact brute
+  * force in ScalaTest (see DedupSpec / EmbeddingSpec).
+  *
+  * Thresholds are tuned to this synthetic corpus: the driver's documents
+  * table contains planted near-duplicates at word-shingle Jaccard ≳ 0.6
+  * (background pairs sit at ≈ 0.01), while embeddings contain NO planted
+  * near-dups (max cosine ≈ 0.51), so the cosine-pair threshold 0.4 exists
+  * to exercise the path end-to-end.
+  */
+object LlmOps extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashPairs(Tables.documents(s, d), 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), 6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), 4, 0.65)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_dedup_embcos" -> ((s, d) =>
+      EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    "q_sim_cosine_topk" -> ((s, d) =>
+      EmbeddingOps.cosineTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)),
+
+    "q_sim_ann_topk" -> ((s, d) =>
+      EmbeddingOps.annTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)),
+
+    "q_text_tokens" -> ((s, d) =>
+      TextOps.termFrequencies(Tables.documents(s, d))
+        .orderBy(col("n").desc, col("tok")).limit(50)),
+
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("source"))),
+
+    "q_text_quality" -> ((s, d) =>
+      TextOps.qualityScored(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tok"), col("n_stop"),
+          graft.Det.roundSafe(col("avg_wlen"), 4).as("avg_wlen"),
+          graft.Det.roundSafe(col("stop_ratio"), 4).as("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.predictLanguage(docs, TextOps.languageProfiles(docs))
+        .select(col("doc_id"), col("lang"), col("pred"),
+          (col("lang") === col("pred")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(Tables.documents(s, d))
+        .select(col("doc_id"), size(col("fp")).as("fp_count"),
+          array_min(col("fp")).as("fp_min"))
+        .orderBy(col("doc_id"))),
+
+    "q_multimodal_join" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d),
+          col("doc_id") === col("vec_id") && col("label") < 5)
+        .select(col("doc_id"), col("lang"), col("source"), col("label"))
+        .orderBy(col("doc_id"))),
+
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.describe(s, Tables.documents(s, d)).orderBy(col("doc_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    floor((
+        |      list_aggregate(list_transform(list_zip(e.embedding, p.pe),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |         * sqrt(list_aggregate(list_transform(p.pe,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM embeddings e CROSS JOIN probe p
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, sim FROM sims
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (CAST(sum(n_chars) AS DOUBLE) / count(*)) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_text_quality" -> {
+      val nTok = "len(string_split(text, ' '))"
+      val nStop = """len(list_filter(string_split(text, ' '),
+        | x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'))""".stripMargin
+      val avgWlen = s"((CAST(length(text) AS DOUBLE) - $nTok + 1) / $nTok)"
+      val stopRatio = s"(CAST($nStop AS DOUBLE) / $nTok)"
+      val quality = s"""(least(CAST($nTok AS DOUBLE) / 50.0, 1.0) * 0.5
+        | + (1.0 - $stopRatio) * 0.3 + least($avgWlen / 8.0, 1.0) * 0.2)""".stripMargin
+      s"""SELECT doc_id,
+         |  CAST($nTok AS BIGINT) AS n_tok,
+         |  CAST($nStop AS BIGINT) AS n_stop,
+         |  ${graft.Det.roundSafeSql(avgWlen, 4)} AS avg_wlen,
+         |  ${graft.Det.roundSafeSql(stopRatio, 4)} AS stop_ratio,
+         |  ${graft.Det.roundSafeSql(quality, 4)} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, source, label
+        |FROM documents JOIN embeddings ON doc_id = vec_id AND label < 5
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) AS n_frames,
+        |  'txt' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

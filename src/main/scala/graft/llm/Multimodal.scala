@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed in per-partition batches.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning,
+  * mapPartitions batching, frame sampling — while the codec itself is a
+  * STUB: image/audio decode libraries are not available in this
+  * environment, so [[decodeFeatures]] derives deterministic fake features
+  * from the bytes. Swapping in a real decoder changes only the body of the
+  * `it.map { ... }` closure (e.g. javacv / a JNI codec), not the plumbing:
+  * partition-sized batches keep codec init cost amortized, exactly like a
+  * vectorized-batch UDF would.
+  */
+object Multimodal {
+
+  case class Media(doc_id: Long, media: Array[Byte], format: String)
+  case class MediaFeatures(doc_id: Long, byte_len: Int, checksum: Long,
+      head_hash: Long, n_frames: Int)
+
+  val FrameBytes = 32
+
+  /** Attach a binary payload column (here: utf-8 bytes of `text` stand in
+    * for real media bytes) plus format metadata. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("media"),
+      lit("txt").as("format"))
+
+  /** Per-partition "decode": deterministic features from raw bytes.
+    * STUB — see object scaladoc; a real decoder slots into this closure. */
+  def decodeFeatures(ds: Dataset[Media]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // codec init would happen once per partition, here:
+      it.map { m =>
+        val len = m.media.length
+        var sum = 0L
+        var h = 1125899906842597L
+        var i = 0
+        while (i < len) { sum += (m.media(i) & 0xff); h = 31 * h + m.media(i); i += 1 }
+        MediaFeatures(m.doc_id, len, sum, h, (len + FrameBytes - 1) / FrameBytes)
+      }
+    }
+  }
+
+  /** Frame sampling: split the payload into fixed-size frames, keep every
+    * `stride`-th — the video-frame-subsample shape, as a codegen'd explode
+    * (rows multiply, bytes don't move through a driver).
+    */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame =
+    df.select(col("doc_id"), posexplode(
+      expr(s"""transform(
+         |  sequence(0, CAST(ceil(length(media) / $FrameBytes.0) AS INT) - 1),
+         |  f -> substring(media, f * $FrameBytes + 1, $FrameBytes))""".stripMargin))
+      .as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % stride === 0)
+
+  /** The oracled query shape: payload → deterministic metadata columns. */
+  def describe(spark: SparkSession, docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"),
+        length(col("media")).as("byte_len"),
+        expr(s"CAST(ceil(length(media) / $FrameBytes.0) AS INT)").as("n_frames"),
+        col("format"))
+}

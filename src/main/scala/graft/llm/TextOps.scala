@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, corpus
+  * stats, quality scoring, language ID, document fingerprinting.
+  *
+  * All token/n-gram machinery uses codegen'd higher-order functions
+  * (`split` / `transform` / `filter` / `explode`) — no UDFs, so the hot
+  * path stays inside WholeStageCodegen and scales linearly with executors.
+  */
+object TextOps {
+
+  /** Whitespace tokens as an array column (documents are single-space
+    * separated; matches DuckDB `string_split(text, ' ')` for oracles). */
+  val tokens: Column = split(col("text"), " ")
+
+  /** Character n-grams of `text` as an array column (with counts, i.e. not
+    * deduplicated). For text shorter than n, the single truncated gram. */
+  def charNgrams(n: Int): Column =
+    expr(s"transform(sequence(0, greatest(length(text) - $n, 0)), i -> substring(text, i + 1, $n))")
+
+  /** Word k-shingles (distinct) — the unit for MinHash/Jaccard dedup. */
+  def wordShingles(k: Int): Column =
+    expr(s"""array_distinct(transform(
+       |  sequence(0, greatest(size(split(text, ' ')) - $k, 0)),
+       |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k))))""".stripMargin)
+
+  /** Token frequency over a corpus: one explode + one hash aggregate. */
+  def termFrequencies(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Heuristic quality score in [0,1]: length, stopword ratio, average word
+    * length — the usual cheap pre-LLM corpus filters. Pure double
+    * arithmetic on exact inputs → deterministic across engines.
+    */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val inList = stopwords.map(s => s"x = '$s'").mkString(" OR ")
+    docs
+      .withColumn("n_tok", size(tokens).cast("long"))
+      .withColumn("n_stop", expr(s"size(filter(split(text, ' '), x -> $inList))").cast("long"))
+      .withColumn("avg_wlen",
+        (length(col("text")) - col("n_tok") + lit(1)).cast("double") / col("n_tok"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+      .withColumn("quality", graft.Det.roundSafe(
+        least(col("n_tok").cast("double") / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + least(col("avg_wlen") / 8.0, lit(1.0)) * 0.2, 4))
+  }
+
+  /** Language ID via character-trigram profiles, self-trained on a labeled
+    * corpus (n-gram heuristic in the Cavnar–Trenkle style): keep each
+    * language's `topK` most frequent trigrams, score a document by how many
+    * of its distinct trigrams hit each profile, predict the argmax
+    * (ties broken by language name for determinism).
+    *
+    * Scale: profiles are tiny (`langs × topK` rows) → broadcast join
+    * against the exploded documents; one aggregate per (doc, lang).
+    */
+  def languageProfiles(labeled: DataFrame, topK: Int = 40): DataFrame = {
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))
+    labeled.select(col("lang"), explode(charNgrams(3)).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(byLang))
+      .filter(col("rk") <= topK)
+      .select(col("lang").as("plang"), col("tri"))
+  }
+
+  def predictLanguage(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    val docTris = docs.select(col("doc_id"), explode(array_distinct(charNgrams(3))).as("tri"))
+    val hits = docTris.join(broadcast(profiles), "tri")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("plang"))
+    val predicted = hits.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("pred"))
+    docs.join(predicted, Seq("doc_id"), "left")
+      .withColumn("pred", coalesce(col("pred"), lit("und")))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003 style):
+    * hash every k-gram, slide a window of `w` hashes, keep each window's
+    * minimum; the distinct kept hashes are the fingerprint. Near-identical
+    * documents share most fingerprint hashes, enabling shared-hash joins
+    * for plagiarism/near-dup detection at corpus scale.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs
+      .withColumn("grams",
+        expr(s"transform(sequence(0, greatest(length(text) - $k, 0)), i -> xxhash64(substring(text, i + 1, $k)))"))
+      .withColumn("fp", array_distinct(
+        expr(s"transform(sequence(0, greatest(size(grams) - $w, 0)), j -> array_min(slice(grams, j + 1, $w)))")))
+      .drop("grams")
+}

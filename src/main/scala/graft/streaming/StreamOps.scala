@@ -1,0 +1,151 @@
+package graft.streaming
+
+import graft.{Det, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time windowing over the `events` table, written once and used two
+  * ways: batch DataFrames (oracle-checkable against DuckDB) and Structured
+  * Streaming (same transform over `readStream`/MemoryStream, verified in
+  * StreamingSpec with watermarks and late data).
+  *
+  * Timestamp discipline: events carry nanosecond timestamps; Spark windows
+  * operate on the micros-truncated TimestampType column while oracles use
+  * `epoch_ns(ts) // 1000` integer arithmetic, so both engines bucket the
+  * exact same microsecond values. Window starts are emitted as epoch-micro
+  * longs, never rendered strings.
+  *
+  * Scale: tumbling/sliding aggregation is partial-agg + one shuffle on
+  * (window, key); sliding emits one row per overlapping window (ratio
+  * length/slide) at map side. Session windows shuffle on the user key; in
+  * streaming mode state is per (key, open session) and bounded by the
+  * watermark.
+  */
+object StreamOps extends QueryModule {
+
+  /** Shared transform: tumbling 10-minute window per event_type. */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts_us"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Shared transform: 10-minute windows sliding every 5 minutes. */
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts_us"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Shared transform: gap-based session windows (5 min) per user. */
+  def session(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts_us"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+        col("n"), col("sum_value"))
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> ((s, d) =>
+      tumbling(Tables.events(s, d))
+        .orderBy(col("win_start_us"), col("event_type"))),
+    "q_stream_sliding" -> ((s, d) =>
+      sliding(Tables.events(s, d))
+        .orderBy(col("win_start_us"), col("event_type"))),
+    "q_stream_session" -> ((s, d) =>
+      session(Tables.events(s, d))
+        .orderBy(col("user_id"), col("sess_start_us")))
+  )
+
+  private val sumv = Det.dsumSql("value")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""WITH e AS (SELECT (epoch_ns(ts) // 1000) AS us, event_type, value FROM events)
+         |SELECT (us - (us % 600000000)) AS win_start_us, event_type,
+         |  CAST(count(*) AS BIGINT) AS n, $sumv AS sum_value
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Each event belongs to exactly two 10-min windows on a 5-min slide:
+    // the slide-aligned bucket and the one before it.
+    "q_stream_sliding" ->
+      s"""WITH e AS (SELECT (epoch_ns(ts) // 1000) AS us, event_type, value FROM events),
+         |w AS (
+         |  SELECT (us - (us % 300000000)) AS win_start_us, event_type, value FROM e
+         |  UNION ALL
+         |  SELECT (us - (us % 300000000)) - 300000000, event_type, value FROM e)
+         |SELECT win_start_us, event_type,
+         |  CAST(count(*) AS BIGINT) AS n, $sumv AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands: a new session starts when the gap from the
+    // previous event of the same user is >= 5 minutes (session_window
+    // merges only strictly-closer events).
+    "q_stream_session" ->
+      s"""WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) AS us, value FROM events),
+         |x AS (
+         |  SELECT user_id, us, value,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |              OR us - lag(us) OVER w >= 300000000
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         |y AS (
+         |  SELECT user_id, us, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM x)
+         |SELECT user_id, min(us) AS sess_start_us,
+         |  CAST(count(*) AS BIGINT) AS n, $sumv AS sum_value
+         |FROM y GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin
+  )
+
+  // ---------------- true-streaming helpers (tested via MemoryStream) ------
+
+  /** Streaming tumbling aggregate with a watermark: late events beyond
+    * `lateness` are dropped, windows finalize in append mode. */
+  def streamingTumbling(ev: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    ev.withWatermark("ts_us", lateness)
+      .groupBy(window(col("ts_us"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"), col("n"))
+
+  /** Streaming exactly-once-style dedup by event_id within the watermark. */
+  def streamingDedup(ev: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    ev.withWatermark("ts_us", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Ev(user_id: Long, ts_us_long: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, sess_start_us: Long, n: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * arbitrary-state API the built-in session_window can't express (e.g.
+    * emitting closed sessions with custom payloads / timeouts). State per
+    * user is one open session; closed sessions emit on the next event
+    * beyond the gap or at timeout.
+    */
+  def statefulSessionize(ev: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          rows.toSeq.sortBy(e => (e.ts_us_long, e.value)).foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us_long - s.last < gapUs =>
+                cur = Some(SessionState(s.start, e.ts_us_long, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                out += SessionOut(uid, s.start, s.n, s.sum)
+                cur = Some(SessionState(e.ts_us_long, e.ts_us_long, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_us_long, e.ts_us_long, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("xx"))
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private val nearDup = base.replace("green", "blue")
+  private val unrelated = "completely different words about database engines and columnar storage formats for analytics"
+
+  test("exact dedup keeps smallest doc_id per identical text") {
+    val docs = docsDF(Seq(1L -> base, 2L -> base, 3L -> unrelated))
+    val kept = Dedup.exact(docs).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(kept === Seq((1L, 2L), (3L, 1L))) // (doc_id, n_copies)
+  }
+
+  test("minhash LSH finds planted near-dup and skips unrelated docs") {
+    val docs = docsDF(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+    val pairs = Dedup.minHashPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("minhash jaccard estimate tracks exact ngram jaccard") {
+    val docs = docsDF(Seq(1L -> base, 2L -> nearDup))
+    val mh = Dedup.minHashPairs(docs, 0.1).select("jaccard").as[Double].head()
+    // exact word-3-shingle jaccard, brute force
+    val sh = Dedup.shingles(docs)
+    val a = sh.filter($"doc_id" === 1).select("sh").as[String].collect().toSet
+    val b = sh.filter($"doc_id" === 2).select("sh").as[String].collect().toSet
+    val exact = a.intersect(b).size.toDouble / a.union(b).size
+    // pair jaccard is the exact value (LSH only gates candidates), rounded to 4
+    assert(math.abs(mh - exact) < 5e-4)
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    // SimHash stabilizes with length: use ~90-token docs differing in one
+    // rare token (short docs flip many bits on any edit — that's inherent).
+    val long1 = (Seq.fill(4)(base).mkString(" ")) + " " + unrelated.takeWhile(_ != 'f')
+    val long2 = long1.replace("columnar", "rowwise")
+    val other = Seq.fill(5)(unrelated).mkString(" ")
+    val docs = docsDF(Seq(1L -> long1, 2L -> long2, 3L -> other))
+    val pairs = Dedup.simHashPairs(docs, 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard pairs: blocked exact matches brute force") {
+    val docs = docsDF(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+    val got = Dedup.ngramJaccardPairs(docs, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("corpus near-dups found at sf0.001 (planted dups exist)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    assert(Dedup.minHashPairs(docs, 0.6).count() > 0)
+  }
+}

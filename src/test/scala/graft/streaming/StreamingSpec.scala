@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** True Structured-Streaming semantics: watermarks dropping late data,
+  * in-watermark dedup, arbitrary-state sessionization — none of which a
+  * batch oracle can express (SURVEY.md §2.2 "test-only" rows).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1700000000000000L // arbitrary epoch micros
+
+  private def mkEvents(rows: (Long, Long, String, Double)*) =
+    rows.map { case (id, us, typ, v) => (id, us, typ, v) }
+
+  case class Raw(event_id: Long, us: Long, event_type: String, value: Double)
+
+  private def toEventDF(ms: MemoryStream[Raw]) =
+    ms.toDF()
+      .withColumn("ts_us", timestamp_micros(col("us")))
+      .withColumn("user_id", col("event_id") % 3)
+
+  test("watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Raw]
+    val out = StreamOps.streamingTumbling(toEventDF(mem), lateness = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      val min10 = 10L * 60 * 1000000
+      // batch 1: events in window [T0, T0+10m) and one far ahead to advance
+      // the watermark past that window's end
+      mem.addData(Raw(1, T0 + 1, "a", 1.0), Raw(2, T0 + 2, "a", 1.0),
+        Raw(3, T0 + 4 * min10, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a straggler inside the now-expired first window → dropped
+      mem.addData(Raw(4, T0 + 3, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .select($"win_start_us", $"n").as[(Long, Long)].collect().toMap
+      val w0 = T0 - T0 % min10
+      assert(rows(w0) === 2L, s"late event must not be counted: $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Raw]
+    val out = StreamOps.streamingDedup(toEventDF(mem))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dd_out").start()
+    try {
+      mem.addData(Raw(1, T0, "a", 1.0), Raw(1, T0 + 5, "a", 1.0), Raw(2, T0 + 9, "b", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dd_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch session_window on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val min5 = 5L * 60 * 1000000
+    val mem = MemoryStream[Raw]
+    val ev = toEventDF(mem)
+      .select(col("user_id"), col("us").as("ts_us_long"), col("value"))
+      .as[StreamOps.Ev]
+    val out = StreamOps.statefulSessionize(ev, gapUs = min5)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 0 (ids divisible by 3): two sessions separated by > gap
+      mem.addData(
+        Raw(3, T0, "a", 1.0), Raw(6, T0 + 1000, "a", 2.0),
+        Raw(9, T0 + 2 * min5, "a", 5.0))
+      q.processAllAvailable()
+      // first session closed by the third event; second still open in state
+      val closed = spark.table("sess_out")
+        .as[StreamOps.SessionOut].collect().filter(_.user_id == 0)
+      assert(closed.length === 1)
+      assert(closed.head.sess_start_us === T0 && closed.head.n === 2
+        && closed.head.sum_value === 3.0)
+
+      // batch equivalent over the same rows: session assignment agrees
+      val batch = StreamOps.session(
+        Seq((3L, T0, "a", 1.0), (6L, T0 + 1000, "a", 2.0), (9L, T0 + 2 * min5, "a", 5.0))
+          .toDF("event_id", "us", "event_type", "value")
+          .withColumn("ts_us", timestamp_micros(col("us")))
+          .withColumn("user_id", col("event_id") % 3))
+      val batchRows = batch.orderBy("sess_start_us")
+        .select($"sess_start_us", $"n").as[(Long, Long)].collect().toSeq
+      assert(batchRows === Seq((T0, 2L), (T0 + 2 * min5, 1L)))
+    } finally q.stop()
+  }
+}
