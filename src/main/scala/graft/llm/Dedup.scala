@@ -128,21 +128,46 @@ object Dedup {
 
   // ---------------- exact n-gram Jaccard, blocked ----------------
 
-  /** Character n-gram Jaccard near-dups, blocked by language (cheap
-    * blocking key) so the shingle join never crosses blocks. Exact — used
-    * both as an operator and as the ground truth MinHash is tested against.
+  /** Character n-gram Jaccard near-dups — exact, via *prefix filtering*
+    * (AllPairs/PPJoin family): with grams globally ordered rarest-first,
+    * two sets with Jaccard ≥ t must share a gram inside each set's first
+    * `|A| - ⌈t·|A|⌉ + 1` grams. Only those prefix grams are exploded into
+    * the candidate join, so ubiquitous grams (shared by every doc in a
+    * language) never fan out quadratically — the difference between this
+    * finishing and not finishing at corpus scale. A length filter
+    * (`t·|B| ≤ |A|`) prunes further before exact verification.
+    *
+    * `gramsCol` picks the set representation (word shingles, char n-grams).
+    * Prefix filtering presumes a long-tailed gram frequency distribution;
+    * on a corpus whose grams are ALL common (e.g. char-4-grams over a tiny
+    * vocabulary, background Jaccard ≈ 0.3) no exact algorithm avoids the
+    * quadratic candidate set — pick a sparser gram space instead (word
+    * 2-grams here), or fall back to MinHash LSH and accept approximation.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val grams = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(TextOps.charNgrams(n))).as("g"))
+  def ngramJaccardPairs(docs: DataFrame, gramsCol: org.apache.spark.sql.Column,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"), explode(gramsCol).as("g"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = grams.as("a")
-      .join(grams.as("b"),
-        col("a.lang") === col("b.lang") && col("a.g") === col("b.g")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val rarestFirst = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("g"))
+    val prefix = grams.join(freq, "g")
+      .withColumn("rk", row_number().over(rarestFirst))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"), col("g"), col("sz"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
+          && col("a.sz") >= col("b.sz") * threshold
+          && col("b.sz") >= col("a.sz") * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val gramsA = grams.select(col("doc_id").as("doc_a"), col("g"))
+    val gramsB = grams.select(col("doc_id").as("doc_b"), col("g"))
+    cands.join(gramsA, "doc_a").join(gramsB, Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
       .withColumn("jaccard",

@@ -46,8 +46,16 @@ object EmbeddingOps {
     df.withColumn("buckets", expr(bucketExprs.mkString("array(", ", ", ")")))
   }
 
-  /** Cosine similarity between two array<float> columns, exact double. */
-  def cosine(a: String, b: String): Column = {
+  /** Cosine similarity via the native codegen expression
+    * ([[graft.functions.CosineSimilarity]]); requires
+    * `GraftFunctions.register` on the session (all entry points below do
+    * it). Bit-identical to [[cosineHof]]. */
+  def cosine(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
+
+  /** Built-in higher-order-function formulation — same left-to-right fold,
+    * kept as the pure-public-API reference the native kernel is tested
+    * against. */
+  def cosineHof(a: String, b: String): Column = {
     val d = s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
     val na = s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     val nb = s"sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
@@ -59,6 +67,7 @@ object EmbeddingOps {
     * no shuffle of the vector table.
     */
   def cosineTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val probe = vectors.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pe"))
     vectors.filter(col("vec_id") =!= probeId)
@@ -69,38 +78,52 @@ object EmbeddingOps {
       .select(col("vec_id"), col("label"), col("sim"))
   }
 
+  /** (vec_id, tbl, bkt) — the NARROW bucket index. Candidate generation
+    * always self-joins this 3-column frame, never frames carrying the
+    * embedding arrays: shuffling/deduping 64-float arrays is what turns an
+    * LSH join from metadata-sized into data-sized. Embeddings are re-joined
+    * by id only for the final exact-cosine check.
+    */
+  def bucketIndex(vectors: DataFrame): DataFrame =
+    withBuckets(vectors, "embedding")
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+
   /** Approximate top-k: only candidates sharing an LSH bucket with the
     * probe in at least one table are ranked. */
   def annTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame = {
-    val b = withBuckets(vectors, "embedding")
-      .select(col("vec_id"), col("embedding"), col("label"),
-        posexplode(col("buckets")).as(Seq("tbl", "bkt")))
-    val probe = b.filter(col("vec_id") === probeId)
-      .select(col("tbl"), col("bkt"), col("embedding").as("pe"))
-    b.filter(col("vec_id") =!= probeId)
-      .join(broadcast(probe), Seq("tbl", "bkt"))
-      .select(col("vec_id"), col("label"), col("embedding"), col("pe"))
-      .distinct()
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val idx = bucketIndex(vectors)
+    val probeIdx = idx.filter(col("vec_id") === probeId)
+      .select(col("tbl"), col("bkt"))
+    val candIds = idx.filter(col("vec_id") =!= probeId)
+      .join(broadcast(probeIdx), Seq("tbl", "bkt"))
+      .select("vec_id").distinct()
+    val probeEmb = vectors.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pe"))
+    candIds.join(vectors, "vec_id")
+      .crossJoin(broadcast(probeEmb))
       .withColumn("sim", graft.Det.roundSafe(cosine("embedding", "pe"), 6))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), col("sim"))
   }
 
-  /** Embedding near-dup pairs: LSH-bucket equi-join → exact cosine filter.
-    * Never forms the full cross product. */
+  /** Embedding near-dup pairs: narrow LSH-bucket equi-join → distinct id
+    * pairs → embeddings re-joined by id → exact cosine filter. Never forms
+    * the full cross product, never shuffles arrays for candidate dedup. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val b = withBuckets(vectors, "embedding")
-      .select(col("vec_id"), col("embedding"),
-        posexplode(col("buckets")).as(Seq("tbl", "bkt")))
-    val cands = b.as("a")
-      .join(b.as("b"),
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val idx = bucketIndex(vectors)
+    val cands = idx.as("a")
+      .join(idx.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"))
     cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .withColumn("sim", graft.Det.roundSafe(cosine("ea", "eb"), 6))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))

@@ -30,8 +30,12 @@ object LlmOps extends QueryModule {
       Dedup.simHashPairs(Tables.documents(s, d), 6)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Exact Jaccard on the same word-3-shingle sets MinHash approximates:
+    // 3-grams are the sparsest feature space this corpus offers (2-grams /
+    // char-grams all come from a ~40-word vocabulary and have no rare
+    // features, which defeats ANY exact similarity join).
     "q_dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), 4, 0.65)
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), TextOps.wordShingles(3), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q_dedup_embcos" -> ((s, d) =>

@@ -1,0 +1,36 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Persisted triple storage, bucketed by subject.
+  *
+  * Reference parity: D-SPARQ partitions the RDF graph METIS-style, places
+  * each subject's triples on one node, and replicates boundary triples so
+  * subject-star queries run without cross-node communication (ISWC 2013
+  * demo; SURVEY.md §2 R10). The Spark-native equivalent is hash bucketing
+  * on `s`: every self-join of the triples table on the subject — i.e.
+  * every star pattern — becomes *shuffle-free*, because both sides already
+  * share the same partitioning (verified by TripleStoreSpec: the physical
+  * plan of a bucketed star join contains no shuffle exchange). Boundary
+  * replication is unnecessary — chain joins simply shuffle on demand, and
+  * at 100 TB the win is precisely that the dominant star workload reads
+  * co-located buckets while Catalyst plans the rest.
+  *
+  * `sortBy(s)` within buckets additionally lets the star join run as a
+  * sort-merge without re-sorting.
+  */
+object TripleStore {
+
+  /** Write the triples table bucketed+sorted by subject as a catalog table
+    * (bucketing metadata lives in the catalog, so `bucketBy` requires
+    * `saveAsTable` rather than a path write). */
+  def saveBucketed(triples: DataFrame, table: String, buckets: Int = 32): Unit =
+    triples.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "s")
+      .sortBy("s")
+      .format("parquet")
+      .saveAsTable(table)
+
+  def load(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

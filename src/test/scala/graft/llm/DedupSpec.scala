@@ -52,11 +52,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
-  test("ngram jaccard pairs: blocked exact matches brute force") {
+  test("ngram jaccard pairs: prefix-filtered exact matches brute force") {
     val docs = docsDF(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
-    val got = Dedup.ngramJaccardPairs(docs, 4, 0.5)
+    for (grams <- Seq(TextOps.wordShingles(2), array_distinct(TextOps.charNgrams(4)))) {
+      val got = Dedup.ngramJaccardPairs(docs, grams, 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L)))
+    }
+  }
+
+  test("prefix filtering loses no pairs vs unfiltered exact jaccard") {
+    // brute-force exact jaccard on the sf0.001 corpus (500 docs) vs the
+    // prefix-filtered operator — identical pair sets, any threshold.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val grams = docs.select($"doc_id", explode(TextOps.wordShingles(2)).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = grams.as("a").join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("nb")), "doc_b")
+      .filter($"inter" / ($"na" + $"nb" - $"inter") >= 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 2L)))
+    val got = Dedup.ngramJaccardPairs(docs, TextOps.wordShingles(2), 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
   }
 
   test("corpus near-dups found at sf0.001 (planted dups exist)") {

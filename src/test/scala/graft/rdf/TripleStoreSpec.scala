@@ -1,0 +1,36 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TripleStoreSpec extends SparkSpec {
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  test("bucketed-by-subject store makes star self-joins shuffle-free") {
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists — clean both before writing
+    spark.sql("DROP TABLE IF EXISTS t_bucketed")
+    rmTree(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "t_bucketed"))
+    val triples = Triples.build(spark, sf0001)
+    TripleStore.saveBucketed(triples, "t_bucketed", buckets = 4)
+    val t = TripleStore.load(spark, "t_bucketed")
+
+    val star = t.filter(col("p") === "name").select(col("s"), col("o").as("cname"))
+      .join(t.filter(col("p") === "mktsegment").select(col("s"), col("o").as("seg")), "s")
+    val plan = star.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"star join over the bucketed store must not shuffle:\n$plan")
+
+    // same answer as the unbucketed plan
+    val unbucketed = Bgp.solve(triples, Seq(
+      TP(V("s"), C("name"), V("cname")),
+      TP(V("s"), C("mktsegment"), V("seg"))))
+    assert(star.count() === unbucketed.count())
+    assert(star.exceptAll(unbucketed.select("s", "cname", "seg")).count() === 0)
+  }
+}
