@@ -45,6 +45,60 @@ object Bgp {
     patterns.map(one(triples, _)).reduce(join)
   }
 
+  /** Star-collapsed execution — d-sparq's signature technique (a subject
+    * star answered as ONE lookup on the subject-grouped document) expressed
+    * Spark-first: all patterns of a star whose predicates are constants
+    * collapse into a single `groupBy(s)` conditional aggregation = one
+    * shuffle per star regardless of star width, instead of width-1
+    * self-joins. Patterns not eligible (variable predicate, single-pattern
+    * star) fall back to [[solve]]'s join path, and stars still join to each
+    * other on shared variables (chains).
+    *
+    * PRECONDITION: predicates used in collapsed stars are single-valued
+    * per subject (exactly d-sparq's property-table assumption). With a
+    * multi-valued predicate the star must produce the cross product of
+    * bindings, which a one-row-per-subject aggregate cannot — use [[solve]].
+    */
+  def solveStarCollapsed(triples: DataFrame, patterns: Seq[TP]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    val (collapsible, rest) = patterns.partition {
+      case TP(V(_), C(_), _) => true
+      case _ => false
+    }
+    val stars = collapsible.groupBy { case TP(V(s), _, _) => s }
+    // eligible: ≥2 patterns, and object var names distinct and ≠ subject
+    // (duplicate/self vars need the join path's equality semantics)
+    val (wide, narrow) = stars.partition { case (sVar, tps) =>
+      val oVars = tps.collect { case TP(_, _, V(n)) => n }
+      tps.size >= 2 && oVars.distinct.size == oVars.size && !oVars.contains(sVar)
+    }
+    val starDfs = wide.map { case (sVar, tps) =>
+      val preds = tps.map { case TP(_, C(p), _) => p }
+      val aggs = tps.zipWithIndex.map { case (TP(_, C(p), o), i) =>
+        max(when(col("p") === p, col("o"))).as(o match {
+          case V(n) => n
+          case C(_) => s"__c$i"
+        })
+      }
+      val constFilters = tps.zipWithIndex.collect {
+        case (TP(_, C(_), C(v)), i) => col(s"__c$i") === v
+      }
+      val grouped = triples
+        .filter(col("p").isin(preds: _*))
+        .groupBy(col("s").as(sVar))
+        .agg(aggs.head, aggs.tail: _*)
+        // a subject missing one of the star's predicates has a null agg —
+        // it must not match the BGP
+        .filter(tps.zipWithIndex.map { case (TP(_, _, o), i) =>
+          o match { case V(n) => col(n).isNotNull; case C(_) => col(s"__c$i").isNotNull }
+        }.reduce(_ && _))
+      constFilters.foldLeft(grouped)(_.filter(_))
+        .drop(tps.indices.map(i => s"__c$i"): _*)
+    }.toSeq
+    val pieces = starDfs ++ (narrow.flatMap(_._2).toSeq ++ rest).map(one(triples, _))
+    pieces.reduce(join)
+  }
+
   /** requiredResult OPTIONAL { patterns }: left-outer join on shared vars. */
   def optional(required: DataFrame, triples: DataFrame, patterns: Seq[TP]): DataFrame =
     joinWith(required, solve(triples, patterns), "left_outer")

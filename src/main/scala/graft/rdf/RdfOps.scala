@@ -18,19 +18,21 @@ object RdfOps extends QueryModule {
     }),
 
     // Subject star: all patterns share ?cust — the reference answers this
-    // with ONE subject-grouped Mongo lookup; we answer it with self-joins
-    // on s that Catalyst executes as one shuffle (or zero when bucketed).
+    // with ONE subject-grouped Mongo lookup; the star-collapsed solver
+    // answers it with one groupBy(s) aggregation (one shuffle per star,
+    // regardless of star width; proven ≡ the join path in RdfSpec).
     "q_bgp_star" -> ((s, d) => {
-      Bgp.solve(Triples.build(s, d), Seq(
+      Bgp.solveStarCollapsed(Triples.build(s, d), Seq(
         TP(V("cust"), C("name"), V("cname")),
         TP(V("cust"), C("mktsegment"), C("BUILDING")),
         TP(V("cust"), C("nation"), V("nat"))))
         .orderBy(col("cust"))
     }),
 
-    // Chain/pipeline: order-star feeds customer-star through ?cust.
+    // Chain/pipeline: order-star feeds customer-star through ?cust; each
+    // star collapses to an aggregate, the chain is one join between them.
     "q_bgp_chain" -> ((s, d) => {
-      Bgp.solve(Triples.build(s, d), Seq(
+      Bgp.solveStarCollapsed(Triples.build(s, d), Seq(
         TP(V("ord"), C("custkey"), V("cust")),
         TP(V("ord"), C("orderpriority"), C("1-URGENT")),
         TP(V("cust"), C("mktsegment"), V("seg")),

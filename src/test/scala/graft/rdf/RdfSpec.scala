@@ -66,6 +66,45 @@ class RdfSpec extends SparkSpec {
     assert(NTriples.corrupt(lines).count() === 1)
   }
 
+  test("star-collapsed solve ≡ join solve (star, chain, const-object)") {
+    val starPats = Seq(
+      TP(V("cust"), C("name"), V("cname")),
+      TP(V("cust"), C("mktsegment"), C("BUILDING")),
+      TP(V("cust"), C("nation"), V("nat")))
+    val chainPats = Seq(
+      TP(V("ord"), C("custkey"), V("cust")),
+      TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+      TP(V("cust"), C("mktsegment"), V("seg")),
+      TP(V("cust"), C("name"), V("cname")))
+    for (pats <- Seq(starPats, chainPats)) {
+      val viaJoin = Bgp.solve(triples, pats)
+      val viaStar = Bgp.solveStarCollapsed(triples, pats)
+        .select(viaJoin.columns.map(col): _*)
+      assert(viaJoin.count() > 0)
+      assert(viaJoin.exceptAll(viaStar).count() === 0)
+      assert(viaStar.exceptAll(viaJoin).count() === 0)
+    }
+  }
+
+  test("star-collapsed solve shuffles once per star, not once per pattern") {
+    val pats = Seq(
+      TP(V("cust"), C("name"), V("cname")),
+      TP(V("cust"), C("mktsegment"), V("seg")),
+      TP(V("cust"), C("nation"), V("nat")))
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    // at toy scale Catalyst broadcast-joins everything; disable broadcast to
+    // see the plan shape a large triples table would get
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joinPlanShuffles = shuffles(Bgp.solve(triples, pats))
+      val starPlanShuffles = shuffles(Bgp.solveStarCollapsed(triples, pats))
+      assert(starPlanShuffles < joinPlanShuffles,
+        s"star=$starPlanShuffles join=$joinPlanShuffles")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("BGP chain joins star results through the shared variable") {
     val got = RdfOps.queries("q_bgp_chain")(spark, sf0001)
     assert(got.columns.sorted.toSeq === Seq("cname", "cust", "ord", "seg"))
