@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.MinHashAggregator
+import graft.operators.AsOfJoin
+import graft.rdf.{Bgp, C, Dictionary, TP, V}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck algebraic laws (SURVEY.md §5.3). Spark-backed properties use
+  * a reduced case count — each case is a full local job.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, cases: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(cases)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val term: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('☃', 'é', '_', ' ')))
+      .map(_.mkString.take(12))
+
+  test("property: dictionary encode ∘ decode = identity on arbitrary triples") {
+    val genTriples = Gen.nonEmptyListOf(Gen.zip(term, term, term)).map(_.take(30))
+    check(Prop.forAll(genTriples) { rows =>
+      val df = rows.toDF("s", "p", "o")
+      val dict = Dictionary.build(spark, df)
+      val back = Dictionary.decode(Dictionary.encode(df, dict), dict)
+      back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty
+    }, cases = 8)
+  }
+
+  test("property: star-collapsed solve ≡ join solve on single-valued stars") {
+    // subjects with single-valued predicates p0..p2 over a tiny value space
+    val genRows = for {
+      n <- Gen.choose(3, 12)
+      vals <- Gen.listOfN(n * 3, Gen.oneOf("x", "y", "z", "w"))
+    } yield (0 until n).flatMap(i =>
+      (0 until 3).map(j => (s"s$i", s"p$j", vals(i * 3 + j))))
+    check(Prop.forAll(genRows) { rows =>
+      val t = rows.toDF("s", "p", "o")
+      val pats = Seq(
+        TP(V("a"), C("p0"), V("v0")),
+        TP(V("a"), C("p1"), C("x")),
+        TP(V("a"), C("p2"), V("v2")))
+      val viaJoin = Bgp.solve(t, pats)
+      val viaStar = Bgp.solveStarCollapsed(t, pats)
+        .select(viaJoin.columns.map(col): _*)
+      viaJoin.exceptAll(viaStar).isEmpty && viaStar.exceptAll(viaJoin).isEmpty
+    }, cases = 8)
+  }
+
+  test("property: as-of join ≡ naive latest-at-or-before model") {
+    val genData = for {
+      left <- Gen.listOfN(15, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+      right <- Gen.listOfN(15, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    } yield (left, right.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
+    check(Prop.forAll(genData) { case (left, right) =>
+      val l = left.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("uid", "us", "lid")
+      val r = right.toDF("uid", "us", "pick")
+      val got = AsOfJoin.latestAtOrBefore(l, r, "uid", "us", "pick", "res")
+        .select($"lid", $"res").as[(Long, Option[Long])].collect().toMap
+      left.zipWithIndex.forall { case ((k, t), i) =>
+        val cands = right.filter(rr => rr._1 == k && rr._2 <= t)
+        val want =
+          if (cands.isEmpty) None
+          else Some(cands.maxBy(c => (c._2, c._3))._3)
+        got(i.toLong) == want
+      }
+    }, cases = 10)
+  }
+
+  test("property: minhash sketch estimate within ε of true jaccard") {
+    val agg = new MinHashAggregator(256)
+    val genSets = for {
+      shared <- Gen.choose(20, 80)
+      extraA <- Gen.choose(0, 40)
+      extraB <- Gen.choose(0, 40)
+    } yield (shared, extraA, extraB)
+    check(Prop.forAll(genSets) { case (shared, ea, eb) =>
+      val s = (0 until shared).map(i => s"sh$i")
+      val a = s ++ (0 until ea).map(i => s"a$i")
+      val b = s ++ (0 until eb).map(i => s"b$i")
+      val sa = a.foldLeft(agg.zero)(agg.reduce)
+      val sb = b.foldLeft(agg.zero)(agg.reduce)
+      val est = MinHashAggregator.estimateJaccard(sa, sb)
+      val truth = shared.toDouble / (shared + ea + eb)
+      math.abs(est - truth) < 0.15
+    }, cases = 30)
+  }
+
+  test("property: roundSafe stays within half-step of the input") {
+    check(Prop.forAll(Gen.choose(-1e6, 1e6)) { x =>
+      val r = Seq(x).toDF("x").select(Det.roundSafe(col("x"), 4)).as[Double].head()
+      math.abs(r - x) <= 0.500001e-4
+    }, cases = 15)
+  }
+}
