@@ -51,6 +51,19 @@ object RdfOps extends QueryModule {
         .orderBy(asc_nulls_first("cust"), asc_nulls_first("ord"))
     }),
 
+    // The full reference user path: SPARQL *text* → parse → BGP algebra →
+    // star-collapsed execution, with OPTIONAL-free chain + FILTER regex.
+    "q_sparql_text" -> ((s, d) => {
+      Sparql.run(Triples.build(s, d),
+        """SELECT ?ord ?cust ?cname WHERE {
+          |  ?ord <custkey> ?cust .
+          |  ?ord <orderpriority> "1-URGENT" .
+          |  ?cust <name> ?cname .
+          |  FILTER regex(?cname, "1$")
+          |}""".stripMargin)
+        .orderBy(col("ord"), col("cust"))
+    }),
+
     // The subject-grouped layout itself (d-sparq's MongoDB document shape):
     // one row per subject, one column per predicate. Explicit pivot values
     // avoid the extra distinct-values job at scale.
@@ -99,6 +112,14 @@ object RdfOps extends QueryModule {
         |           WHERE t1.p = 'custkey' AND t2.p = 'orderstatus' AND t2.o = 'P') opt
         |  ON req.cust = opt.cust
         |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
+
+    "q_sparql_text" -> cte(
+      """SELECT t1.s AS ord, t1.o AS cust, t3.o AS cname
+        |FROM triples t1, triples t2, triples t3
+        |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
+        |  AND t3.p = 'name' AND t1.s = t2.s AND t1.o = t3.s
+        |  AND regexp_matches(t3.o, '1$')
+        |ORDER BY ord, cust""".stripMargin),
 
     "q_property_table" -> cte(
       """SELECT s,
