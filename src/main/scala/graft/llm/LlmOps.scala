@@ -48,6 +48,11 @@ object LlmOps extends QueryModule {
     "q_sim_ann_topk" -> ((s, d) =>
       EmbeddingOps.annTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)),
 
+    "q_sim_ivf_topk" -> ((s, d) => {
+      val m = IvfIndex.build(Tables.embeddings(s, d), k = 16)
+      IvfIndex.search(m, probeId = 0L, k = 10, nProbe = 4)
+    }),
+
     "q_text_tokens" -> ((s, d) =>
       TextOps.termFrequencies(Tables.documents(s, d))
         .orderBy(col("n").desc, col("tok")).limit(50)),

@@ -115,6 +115,18 @@ object StreamOps extends QueryModule {
     ev.withWatermark("ts_us", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: events match orders of the same user
+    * within the trailing `window`. Both sides carry watermarks, so join
+    * state is bounded — Spark can discard buffered rows once the other
+    * side's watermark passes the interval, which is what keeps a 100 TB/day
+    * stream join's state from growing without bound.
+    */
+  def streamStreamJoin(events: DataFrame, orders: DataFrame,
+      window: String = "1 hour", lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts_us", lateness)
+      .join(orders.withWatermark("o_ts", lateness),
+        expr(s"user_id = o_uid AND o_ts BETWEEN ts_us - INTERVAL $window AND ts_us"))
+
   case class Ev(user_id: Long, ts_us_long: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, sess_start_us: Long, n: Long, sum_value: Double)

@@ -59,6 +59,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Ord(o_id: Long, o_us: Long, o_uid: Long)
+
+  test("stream-stream interval join matches events to in-window orders only") {
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000000
+    val evMem = MemoryStream[Raw]
+    val odMem = MemoryStream[Ord]
+    val ev = toEventDF(evMem)
+    val od = odMem.toDF().withColumn("o_ts", timestamp_micros(col("o_us")))
+      .withColumnRenamed("o_uid", "o_uid_raw")
+      .withColumn("o_uid", col("o_uid_raw")).drop("o_uid_raw")
+    val joined = StreamOps.streamStreamJoin(ev, od)
+      .select(col("event_id"), col("o_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      // user 0 = event_id 3 (3 % 3 = 0): one order in-window, one too old,
+      // one for another user
+      odMem.addData(Ord(100, T0 - hour / 2, 0), Ord(101, T0 - 2 * hour, 0),
+        Ord(102, T0 - hour / 2, 1))
+      evMem.addData(Raw(3, T0, "a", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+      assert(got === Set((3L, 100L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session_window on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val min5 = 5L * 60 * 1000000
