@@ -33,4 +33,22 @@ object TripleStore {
       .saveAsTable(table)
 
   def load(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Vertical partitioning (S2RDF-style, SURVEY.md §1.2): the triples table
+    * written `partitionBy("p")` — one directory per predicate. A triple
+    * pattern with a constant predicate then *partition-prunes* to exactly
+    * its predicate's files (the scan's PartitionFilters; asserted in
+    * TripleStoreSpec), the parquet-native analog of d-sparq's per-predicate
+    * Mongo indexes. Chain joins over VP read two 2-column slices instead
+    * of the whole graph.
+    *
+    * Skew note: predicate frequencies are zipfian, so a hot predicate's
+    * directory is large — combine with bucketing by `s` inside partitions
+    * ([[saveBucketed]]) when star joins dominate.
+    */
+  def saveVerticalPartitioned(triples: DataFrame, path: String): Unit =
+    triples.write.mode(SaveMode.Overwrite).partitionBy("p").parquet(path)
+
+  def loadVertical(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -33,4 +33,26 @@ class TripleStoreSpec extends SparkSpec {
     assert(star.count() === unbucketed.count())
     assert(star.exceptAll(unbucketed.select("s", "cname", "seg")).count() === 0)
   }
+
+  test("vertically-partitioned store partition-prunes constant-predicate patterns") {
+    val dir = new java.io.File("target/vp-triples")
+    rmTree(dir)
+    val triples = Triples.build(spark, sf0001)
+    TripleStore.saveVerticalPartitioned(triples, dir.getPath)
+    val vp = TripleStore.loadVertical(spark, dir.getPath)
+
+    val one = vp.filter(col("p") === "mktsegment")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("mktsegment"),
+      s"expected partition pruning on p:\n$scan")
+    // pruned scan answers the pattern identically
+    assert(one.count() ===
+      triples.filter(col("p") === "mktsegment").count())
+    // full BGP over the VP store matches the in-memory triples
+    val a = Bgp.solveStarCollapsed(vp.select("s", "p", "o"), Seq(
+      TP(V("c"), C("name"), V("n")), TP(V("c"), C("nation"), V("nat"))))
+    val b = Bgp.solveStarCollapsed(triples, Seq(
+      TP(V("c"), C("name"), V("n")), TP(V("c"), C("nation"), V("nat"))))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
 }
