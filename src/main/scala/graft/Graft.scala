@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** RDF triple — the typed row at API boundaries (`Dataset[Triple]`);
+  * internally everything stays `DataFrame` so Catalyst optimizes freely. */
+case class Triple(s: String, p: String, o: String)
+
+/** The library façade: what a d-sparq user imports to switch engines.
+  *
+  * {{{
+  * import graft.Graft
+  * val t  = Graft.triples(spark, "/data/sf0.01")         // or triplesFromNTriples
+  * val rs = Graft.sparql(t,
+  *   """SELECT ?c ?n WHERE { ?c <name> ?n . ?c <mktsegment> "BUILDING" . }""")
+  * Graft.saveBucketed(t, "triples_bucketed")             // shuffle-free stars
+  * val dups = Graft.nearDuplicates(docs, threshold = 0.8)
+  * val hits = Graft.cosineTopK(embeddings, probeId = 42, k = 10)
+  * }}}
+  *
+  * Each method is a thin delegate; the modules stay independently usable.
+  */
+object Graft {
+
+  // ---- data in ----
+  def triples(spark: SparkSession, sfDir: String): DataFrame =
+    rdf.Triples.build(spark, sfDir)
+  def triplesFromNTriples(spark: SparkSession, path: String): DataFrame =
+    rdf.NTriples.read(spark, path)
+  def typedTriples(df: DataFrame): Dataset[Triple] = {
+    import df.sparkSession.implicits._
+    df.select("s", "p", "o").as[Triple]
+  }
+
+  // ---- dictionary ----
+  def dictionary(spark: SparkSession, t: DataFrame): DataFrame =
+    rdf.Dictionary.build(spark, t)
+  def encode(t: DataFrame, dict: DataFrame): DataFrame = rdf.Dictionary.encode(t, dict)
+  def decode(e: DataFrame, dict: DataFrame): DataFrame = rdf.Dictionary.decode(e, dict)
+
+  // ---- query ----
+  def sparql(t: DataFrame, text: String): DataFrame = rdf.Sparql.run(t, text)
+  def bgp(t: DataFrame, patterns: Seq[rdf.TP]): DataFrame =
+    rdf.Bgp.solveStarCollapsed(t, patterns)
+
+  // ---- storage ----
+  def saveBucketed(t: DataFrame, table: String, buckets: Int = 32): Unit =
+    rdf.TripleStore.saveBucketed(t, table, buckets)
+  def saveVerticalPartitioned(t: DataFrame, path: String): Unit =
+    rdf.TripleStore.saveVerticalPartitioned(t, path)
+
+  // ---- LLM-pipeline ----
+  def deduplicateExact(docs: DataFrame): DataFrame = llm.Dedup.exact(docs)
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
+    llm.Dedup.minHashPairs(docs, threshold)
+  def cosineTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame =
+    llm.EmbeddingOps.cosineTopK(vectors, probeId, k)
+  def annTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame =
+    llm.EmbeddingOps.annTopK(vectors, probeId, k)
+  def qualityScores(docs: DataFrame): DataFrame = llm.TextOps.qualityScored(docs)
+}
