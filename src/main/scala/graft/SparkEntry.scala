@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Aggregates,
     operators.Windows,
     operators.SetSortOps,
+    operators.Analytics,
     functions.FunctionOps,
     rdf.RdfOps,
     llm.LlmOps,

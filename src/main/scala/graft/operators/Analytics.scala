@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Det, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Second-wave relational operators: exact percentiles, scalar subqueries,
+  * relational pivot/unpivot.
+  *
+  * Scale notes: exact `percentile` requires a per-group sort of values —
+  * fine for bounded groups; for whole-table quantiles at 100 TB use
+  * `approx_percentile` (t-digest sketch, mergeable) instead, same call
+  * shape. The scalar subquery broadcasts its single-row result rather than
+  * re-reading the fact table per row. Unpivot is `Dataset.unpivot`
+  * (codegen'd Expand — rows multiply map-side, nothing shuffles); pivot
+  * with explicit values avoids the extra distinct-values job.
+  */
+object Analytics extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          Det.roundSafe(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          Det.roundSafe(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+          Det.roundSafe(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_scalar_subquery" -> ((s, d) => {
+      // orders above the global average price: the aggregate is a 1-row
+      // frame broadcast against the scan (no per-row recomputation)
+      val avgPrice = Tables.orders(s, d)
+        .agg(Det.davg(col("o_totalprice")).as("avg_price"))
+      Tables.orders(s, d)
+        .crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          Det.roundSafe(col("avg_price"), 4).as("avg_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_unpivot" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "measure", "value")
+        .orderBy(col("p_partkey"), col("measure"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_percentile" ->
+      s"""SELECT o_orderstatus,
+         |  ${Det.roundSafeSql("quantile_cont(o_totalprice, 0.25)", 4)} AS p25,
+         |  ${Det.roundSafeSql("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+         |  ${Det.roundSafeSql("quantile_cont(o_totalprice, 0.75)", 4)} AS p75,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_scalar_subquery" -> {
+      val avg = s"(SELECT ${Det.davgSql("o_totalprice")} FROM orders)"
+      s"""SELECT o_orderkey, o_totalprice,
+         |  ${Det.roundSafeSql(avg, 4)} AS avg_price
+         |FROM orders WHERE o_totalprice > $avg
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, measure, value FROM (
+        |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+        |ORDER BY p_partkey, measure""".stripMargin
+  )
+}
