@@ -87,6 +87,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ---------------- near-dup clusters → deduplicated corpus ----------------
+
+  /** Connected components over a near-dup pair list by iterative min-label
+    * propagation: every node repeatedly adopts the smallest label in its
+    * neighborhood until fixpoint. Converges in O(component diameter)
+    * rounds — near-dup clusters are small and dense, so a handful — and
+    * each round is two shuffles (join + aggregate). The driver loop only
+    * checks a converged flag per round (the standard shape for iterative
+    * graph algorithms on Spark; no data ever collects to the driver).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "nlabel"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nlabel")).as("minNeighbor"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** The materialization step of near-dup removal: cluster the pair list,
+    * keep each cluster's smallest doc_id, pass through untouched docs. */
+  def removeNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val comps = connectedComponents(minHashPairs(docs, threshold))
+    val dropped = comps.filter(col("doc_id") =!= col("label")).select("doc_id")
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over word tokens: bit j of the sketch is the sign of

@@ -38,6 +38,12 @@ object LlmOps extends QueryModule {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), TextOps.wordShingles(3), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Full near-dup removal: pairs → connected components → keep each
+    // cluster's min doc_id (transitive closure, not just pairwise drops).
+    "q_dedup_cluster" -> ((s, d) =>
+      Dedup.removeNearDuplicates(Tables.documents(s, d), 0.6)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
     "q_dedup_embcos" -> ((s, d) =>
       EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),

@@ -81,6 +81,25 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("connected components merge transitively-linked near-dups") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("removeNearDuplicates keeps one representative per cluster") {
+    // a ~ b and b ~ c (one word each), so {a,b,c} is one transitive
+    // cluster even though a ~ c alone would fall under the threshold
+    val b = nearDup
+    val c = nearDup.replace("quick", "speedy")
+    val docs = docsDF(Seq(1L -> base, 2L -> b, 3L -> c, 9L -> unrelated))
+    val kept = Dedup.removeNearDuplicates(docs, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 9L))
+  }
+
   test("corpus near-dups found at sf0.001 (planted dups exist)") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     assert(Dedup.minHashPairs(docs, 0.6).count() > 0)
