@@ -98,10 +98,13 @@ object Dedup {
     * graph algorithms on Spark; no data ever collects to the driver).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions — persisted: every propagation
+    // round re-reads it, and without the persist each round would recompute
+    // the whole upstream pair-finding pipeline (e.g. MinHash LSH)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var converged = false
@@ -123,6 +126,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels
   }
 
