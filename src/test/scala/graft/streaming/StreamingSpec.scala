@@ -59,6 +59,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch lands streaming aggregates in parquet (file sink path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = new java.io.File("target/stream-sink")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dir)
+    val mem = MemoryStream[Raw]
+    val out = StreamOps.streamingTumbling(toEventDF(mem))
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(dir.getPath)
+      }
+      .start()
+    try {
+      mem.addData(Raw(1, T0, "a", 1.0), Raw(2, T0 + 1, "a", 2.0))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(dir.getPath)
+      assert(landed.count() >= 1)
+      assert(landed.columns.toSet === Set("win_start_us", "event_type", "n"))
+    } finally q.stop()
+  }
+
   case class Ord(o_id: Long, o_us: Long, o_uid: Long)
 
   test("stream-stream interval join matches events to in-window orders only") {
