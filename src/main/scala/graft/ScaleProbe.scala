@@ -1,0 +1,54 @@
+package graft
+
+import graft.rdf.{Bgp, C, TP, TripleStore, Triples, V}
+import org.apache.spark.sql.SparkSession
+
+/** One-off scale experiment (not part of the driver contract): times the
+  * three physical strategies for the same subject-star BGP over the
+  * triples graph — join path, star-collapsed aggregation, and the
+  * subject-bucketed store — with broadcast disabled so the plans have the
+  * shape they'd have when the triples table dwarfs executor memory.
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val pats = Seq(
+      TP(V("cust"), C("name"), V("cname")),
+      TP(V("cust"), C("mktsegment"), V("seg")),
+      TP(V("cust"), C("nation"), V("nat")))
+
+    val triples = Triples.build(spark, sfDir)
+    println(s"triples: ${triples.count()}")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+
+    // warmup
+    triples.count()
+    time("star via self-joins") { Bgp.solve(triples, pats).count() }
+    time("star via collapse") { Bgp.solveStarCollapsed(triples, pats).count() }
+
+    spark.sql("DROP TABLE IF EXISTS probe_bucketed")
+    TripleStore.saveBucketed(triples, "probe_bucketed", buckets = cpus.toInt)
+    val bucketed = TripleStore.load(spark, "probe_bucketed")
+    time("star via self-joins+bucket") { Bgp.solve(bucketed, pats).count() }
+    time("star via collapse+bucket") { Bgp.solveStarCollapsed(bucketed, pats).count() }
+    spark.stop()
+  }
+}
