@@ -30,17 +30,23 @@ object ScaleProbe {
       TP(V("cust"), C("mktsegment"), V("seg")),
       TP(V("cust"), C("nation"), V("nat")))
 
-    val triples = Triples.build(spark, sfDir)
+    // Materialize the EAV unpivot once: every strategy below reads
+    // parquet, so the deltas isolate the execution strategy (join vs
+    // collapse) and the storage layout (plain vs subject-bucketed), not
+    // the cost of rebuilding the triples.
+    val plainPath = "target/probe-triples"
+    Triples.build(spark, sfDir).write.mode("overwrite").parquet(plainPath)
+    val triples = spark.read.parquet(plainPath)
     println(s"triples: ${triples.count()}")
 
+    val counts = scala.collection.mutable.Map.empty[String, Long]
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
+      counts(label) = n
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
 
-    // warmup
-    triples.count()
     time("star via self-joins") { Bgp.solve(triples, pats).count() }
     time("star via collapse") { Bgp.solveStarCollapsed(triples, pats).count() }
 
@@ -49,6 +55,9 @@ object ScaleProbe {
     val bucketed = TripleStore.load(spark, "probe_bucketed")
     time("star via self-joins+bucket") { Bgp.solve(bucketed, pats).count() }
     time("star via collapse+bucket") { Bgp.solveStarCollapsed(bucketed, pats).count() }
+
+    require(counts.values.toSet.size == 1,
+      s"strategies disagree — benchmark invalid: $counts")
     spark.stop()
   }
 }
