@@ -50,7 +50,15 @@ object ScaleProbe {
     time("star via self-joins") { Bgp.solve(triples, pats).count() }
     time("star via collapse") { Bgp.solveStarCollapsed(triples, pats).count() }
 
+    // DROP TABLE is a no-op in a fresh JVM's in-memory catalog, but the
+    // warehouse directory persists across runs — remove both
     spark.sql("DROP TABLE IF EXISTS probe_bucketed")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "probe_bucketed"))
     TripleStore.saveBucketed(triples, "probe_bucketed", buckets = cpus.toInt)
     val bucketed = TripleStore.load(spark, "probe_bucketed")
     time("star via self-joins+bucket") { Bgp.solve(bucketed, pats).count() }

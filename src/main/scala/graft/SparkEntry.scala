@@ -28,8 +28,17 @@ object SparkEntry {
     queries("q_agg_hash")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    val m = all.toMap
+    // toMap would silently shadow a duplicated name across modules,
+    // dropping a query from Verify/Bench coverage with no test failure
+    require(m.size == all.size, {
+      val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+      s"duplicate query names across modules: ${dups.mkString(", ")}"
+    })
+    m
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

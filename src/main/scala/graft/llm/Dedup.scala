@@ -127,7 +127,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    // silent non-convergence would mean under-deduplication downstream
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (a component's diameter exceeds it)")
+    labels // note: returned labels stay cached; callers may unpersist
   }
 
   /** The materialization step of near-dup removal: cluster the pair list,
@@ -158,14 +162,18 @@ object Dedup {
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** Near-dup pairs with Hamming distance ≤ maxHamming, blocked on 16-bit
-    * chunks (any pair within Hamming 3 of each other must agree exactly on
-    * at least one of the 4 chunks — pigeonhole).
+  /** Near-dup pairs with Hamming distance ≤ maxHamming, blocked on 8-bit
+    * chunks: a pair differing in ≤ 7 bits must agree exactly on at least
+    * one of the 8 chunks (pigeonhole), so blocking is complete for
+    * maxHamming ≤ 7 — enforced, because a silent recall hole is worse than
+    * a rejected parameter.
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      s"8-chunk blocking is only complete for hamming <= 7, got $maxHamming")
     val sigs = simhash(docs)
     val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
-      expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+      expr("transform(sequence(0, 7), c -> (simhash >> (c * 8)) & 255)"))
       .as(Seq("chunk", "ch")))
     chunked.as("a")
       .join(chunked.as("b"),
@@ -215,14 +223,8 @@ object Dedup {
           && col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val gramsA = grams.select(col("doc_id").as("doc_a"), col("g"))
-    val gramsB = grams.select(col("doc_id").as("doc_b"), col("g"))
-    cands.join(gramsA, "doc_a").join(gramsB, Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+    // same exact-verification step as the MinHash path — one implementation
+    withJaccard(cands, grams.withColumnRenamed("g", "sh"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -52,9 +52,12 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame =
     df.select(col("doc_id"), posexplode(
-      expr(s"""transform(
+      // CASE guards the empty payload: sequence(0, -1) would yield the
+      // descending [0, -1] and emit two phantom frames
+      expr(s"""CASE WHEN length(media) > 0 THEN transform(
          |  sequence(0, CAST(ceil(length(media) / $FrameBytes.0) AS INT) - 1),
-         |  f -> substring(media, f * $FrameBytes + 1, $FrameBytes))""".stripMargin))
+         |  f -> substring(media, f * $FrameBytes + 1, $FrameBytes))
+         |ELSE CAST(array() AS ARRAY<BINARY>) END""".stripMargin))
       .as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % stride === 0)
 

@@ -43,10 +43,13 @@ object Analytics extends QueryModule {
     }),
 
     "q_pivot" -> ((s, d) => {
+      // na.fill: Spark's pivot leaves NULL for a (priority,status) combo
+      // with no rows, while the oracle's count(*) FILTER yields 0
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
         .orderBy(col("o_orderpriority"))
     }),
 

@@ -9,10 +9,6 @@ import graft.sources.Tables
   */
 class CboSpec extends SparkSpec {
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(): Unit
-  }
 
   test("ANALYZE TABLE feeds row counts and column stats into the optimizer") {
     spark.sql("DROP TABLE IF EXISTS cbo_orders")

@@ -46,7 +46,7 @@ class DedupSpec extends SparkSpec {
     val long2 = long1.replace("columnar", "rowwise")
     val other = Seq.fill(5)(unrelated).mkString(" ")
     val docs = docsDF(Seq(1L -> long1, 2L -> long2, 3L -> other))
-    val pairs = Dedup.simHashPairs(docs, 10)
+    val pairs = Dedup.simHashPairs(docs, 7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))

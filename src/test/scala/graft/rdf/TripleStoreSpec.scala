@@ -5,10 +5,6 @@ import org.apache.spark.sql.functions._
 
 class TripleStoreSpec extends SparkSpec {
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(): Unit
-  }
 
   test("bucketed-by-subject store makes star self-joins shuffle-free") {
     // the in-memory catalog forgets tables across JVMs but the warehouse

@@ -5,10 +5,6 @@ import graft.rdf.Triples
 
 class FormatsSpec extends SparkSpec {
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(): Unit
-  }
 
   test("triples survive a write/read roundtrip in every supported format") {
     val triples = Triples.build(spark, sf0001)

@@ -62,11 +62,7 @@ class StreamingSpec extends SparkSpec {
   test("foreachBatch lands streaming aggregates in parquet (file sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = new java.io.File("target/stream-sink")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(dir)
+    rmTree(dir)
     val mem = MemoryStream[Raw]
     val out = StreamOps.streamingTumbling(toEventDF(mem))
     val q = out.writeStream.outputMode("update")

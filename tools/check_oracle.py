@@ -36,7 +36,8 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}"); n_bad += 1; continue
         ok, msg = compare(sdf, ddf)
         if ok:
-            print(f"OK   {name}: rows={len(sdf)}"); n_ok += 1
+            note = f" [{msg}]" if msg else ""
+            print(f"OK   {name}: rows={len(sdf)}{note}"); n_ok += 1
         else:
             print(f"FAIL {name}: {msg}"); n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} fail, {len(declared)} declared")
@@ -55,21 +56,17 @@ def compare(sdf, ddf):
             if not cell_eq(a, b):
                 return False, (f"col {c} row {i}: spark={a!r} ({type(a).__name__}) "
                                f"duck={b!r} ({type(b).__name__})")
-    # loose dtype note (driver may be stricter)
-    notes = []
-    for c in scols:
-        if str(sdf[c].dtype) != str(ddf[c].dtype):
-            notes.append(f"{c}: {sdf[c].dtype} vs {ddf[c].dtype}")
+    # values equal; surface dtype drift (the driver may compare stricter)
+    notes = [f"{c}: {sdf[c].dtype} vs {ddf[c].dtype}"
+             for c in scols if str(sdf[c].dtype) != str(ddf[c].dtype)]
     if notes:
-        return True, ""  # values equal; print dtype notes
+        return True, "dtype drift: " + "; ".join(notes)
     return True, ""
 
 def cell_eq(a, b):
     an, bn = is_nan_or_none(a), is_nan_or_none(b)
     if an or bn:
         return an and bn
-    if isinstance(a, float) or isinstance(b, float):
-        return a == b or (math.isfinite(a) and math.isfinite(b) and a == b)
     return a == b
 
 def is_nan_or_none(x):
