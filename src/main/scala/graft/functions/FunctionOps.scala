@@ -83,6 +83,16 @@ object FunctionOps extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    "q_fn_hash" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        levenshtein(col("c_name"), lit("Customer#000000000")).as("edit_dist"),
+        base64(col("c_name").cast("binary")).as("b64"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_fn_case_null" -> ((s, d) => {
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -148,6 +158,14 @@ object FunctionOps extends QueryModule {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(length(props) AS INT) AS props_len
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fn_hash" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS h_md5,
+        |  sha256(c_name) AS h_sha256,
+        |  CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS edit_dist,
+        |  to_base64(encode(c_name)) AS b64
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_fn_case_null" ->
       """SELECT c_custkey,

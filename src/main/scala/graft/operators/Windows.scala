@@ -58,6 +58,19 @@ object Windows extends QueryModule {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "q_win_distribution" -> ((s, d) => {
+      // unique total order (custkey tiebreak) keeps ntile boundaries and
+      // percent_rank/cume_dist deterministic across engines
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          graft.Det.roundSafe(percent_rank().over(w), 6).as("pr"),
+          graft.Det.roundSafe(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -97,6 +110,15 @@ object Windows extends QueryModule {
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS moving_avg3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_distribution" -> {
+      val w = "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey"
+      s"""SELECT c_nationkey, c_custkey,
+         |  CAST(ntile(4) OVER ($w) AS INT) AS quartile,
+         |  ${graft.Det.roundSafeSql(s"percent_rank() OVER ($w)", 6)} AS pr,
+         |  ${graft.Det.roundSafeSql(s"cume_dist() OVER ($w)", 6)} AS cd
+         |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin
+    },
 
     "q_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
