@@ -63,6 +63,14 @@ object LlmOps extends QueryModule {
       TextOps.termFrequencies(Tables.documents(s, d))
         .orderBy(col("n").desc, col("tok")).limit(50)),
 
+    // LLM token-cost proxy: whitespace tokens vs BPE-style pre-tokens.
+    "q_text_tokens_bpe" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(TextOps.bpeishTokens).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
     "q_text_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
@@ -130,6 +138,13 @@ object LlmOps extends QueryModule {
       """SELECT tok, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[0-9]+| ?[^\s\p{L}0-9]+', 0)) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

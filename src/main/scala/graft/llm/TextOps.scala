@@ -33,6 +33,18 @@ object TextOps {
     docs.select(explode(tokens).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
 
+  /** BPE-style pre-tokenization (GPT-2-ish regex): contraction suffixes,
+    * letter runs, digit runs, punctuation runs, each with optional leading
+    * space. The COUNT of these pieces is the usual cheap proxy for LLM
+    * token cost before a real tokenizer runs. Kept to the regex subset
+    * with identical semantics in Java regex and RE2 (oracle parity).
+    */
+  val bpeTokenPattern: String =
+    """'(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[0-9]+| ?[^\s\p{L}0-9]+"""
+
+  def bpeishTokens: Column =
+    expr(s"regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[\\\\p{L}]+| ?[0-9]+| ?[^\\\\s\\\\p{L}0-9]+', 0)")
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Heuristic quality score in [0,1]: length, stopword ratio, average word

@@ -79,6 +79,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the events parquet equals the batch aggregate") {
+    // the file source wants a directory: stage the events file into one
+    val dir = new java.io.File("target/stream-file-src")
+    rmTree(dir); dir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "events.parquet"))
+    val schema = spark.read.parquet(dir.getPath).schema // ts read as nanos long
+    val stream = spark.readStream.schema(schema).parquet(dir.getPath)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us_long", expr("ts_ns div 1000"))
+      .withColumn("ts_us", timestamp_micros(col("ts_us_long")))
+    val q = StreamOps.tumbling(stream).writeStream
+      .outputMode("complete").format("memory").queryName("file_src_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_src_out")
+      val batch = StreamOps.tumbling(graft.sources.Tables.events(spark, sf0001))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+    } finally q.stop()
+  }
+
   case class Ord(o_id: Long, o_us: Long, o_uid: Long)
 
   test("stream-stream interval join matches events to in-window orders only") {
