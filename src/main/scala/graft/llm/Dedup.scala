@@ -64,15 +64,19 @@ object Dedup {
   }
 
   /** Exact Jaccard for candidate pairs via shared-shingle counting (no
-    * array materialization per pair — an equi-join on the shingle). */
+    * array materialization per pair — an equi-join on the shingle).
+    *
+    * Pairs sharing NO element are omitted (their Jaccard is 0): keeping
+    * them would need a second pass over `pairs`, recomputing the whole
+    * candidate-generation pipeline, to left-join zeros that every caller
+    * filters away at a positive threshold anyway.
+    */
   def withJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "sh"))
+    pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0, Seq("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
       .withColumn("jaccard",
