@@ -41,6 +41,10 @@ object Graft {
   // ---- query ----
   def sparql(t: DataFrame, text: String): DataFrame = rdf.Sparql.run(t, text)
   def bgp(t: DataFrame, patterns: Seq[rdf.TP]): DataFrame =
+    rdf.Bgp.solve(t, patterns)
+  /** One-shuffle-per-star plan — only sound when (subject, predicate) is
+    * single-valued; see [[rdf.Bgp.solveStarCollapsed]]. */
+  def bgpStarCollapsed(t: DataFrame, patterns: Seq[rdf.TP]): DataFrame =
     rdf.Bgp.solveStarCollapsed(t, patterns)
 
   // ---- storage ----

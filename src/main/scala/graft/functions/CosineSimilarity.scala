@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Determinism contract: the fold order is left-to-right per accumulator,
   * matching the `aggregate(zip_with(...))` formulation in
-  * [[graft.llm.EmbeddingOps.cosine]] bit-for-bit, so swapping between the
-  * two cannot change oracle-checked results.
+  * [[graft.llm.EmbeddingOps.cosineHof]] bit-for-bit on equal-length
+  * inputs, so swapping between the two cannot change oracle-checked
+  * results; mismatched dimensions throw rather than silently truncate.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +43,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // fail loudly on dimension mismatch: silently truncating to the
+    // shorter array would return a plausible-but-wrong similarity for a
+    // corrupt embedding (and diverge from the HOF reference formulation)
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -62,7 +69,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: dimension mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double xi = (double) $a.getFloat($i);

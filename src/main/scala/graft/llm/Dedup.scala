@@ -210,7 +210,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, gramsCol: org.apache.spark.sql.Column,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(col("doc_id"), explode(gramsCol).as("g"))
+    // distinct: jaccard is SET similarity — a non-deduplicated gramsCol
+    // (e.g. raw charNgrams) would inflate sizes and overcount intersections
+    val grams = docs.select(col("doc_id"), explode(gramsCol).as("g")).distinct()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val rarestFirst = Window.partitionBy(col("doc_id"))

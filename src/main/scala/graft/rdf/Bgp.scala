@@ -107,7 +107,10 @@ object Bgp {
 
   private def joinWith(a: DataFrame, b: DataFrame, how: String): DataFrame = {
     val shared = a.columns.intersect(b.columns).toSeq
-    if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared, how)
+    // variable-disjoint sides must still honor the join type: a left-outer
+    // against an EMPTY disjoint optional block keeps every left row (a
+    // crossJoin would drop them all)
+    if (shared.isEmpty) a.join(b, lit(true), how) else a.join(b, shared, how)
   }
 
   /** One triple pattern → σ(constants) + π(variables) over the scan. */

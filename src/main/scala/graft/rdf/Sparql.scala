@@ -36,10 +36,20 @@ object Sparql {
   final case class Query(projection: Seq[String], where: Seq[TP],
       optionals: Seq[Seq[TP]], filters: Seq[FilterExpr])
 
-  /** Parse and execute against a triples DataFrame(s,p,o). */
-  def run(triples: DataFrame, text: String): DataFrame = {
+  /** Parse and execute against a triples DataFrame(s,p,o).
+    *
+    * Executes via the join solver, which is correct for multi-valued
+    * predicates (the RDF norm: one subject, many objects per predicate).
+    * Pass `collapseStars = true` only when the data is known single-valued
+    * per (subject, predicate) — property-table-shaped corpora — to get the
+    * one-shuffle-per-star plan (see [[Bgp.solveStarCollapsed]]).
+    */
+  def run(triples: DataFrame, text: String,
+      collapseStars: Boolean = false): DataFrame = {
     val q = parse(text)
-    var df = Bgp.solveStarCollapsed(triples, q.where)
+    var df =
+      if (collapseStars) Bgp.solveStarCollapsed(triples, q.where)
+      else Bgp.solve(triples, q.where)
     q.optionals.foreach(o => df = Bgp.optional(df, triples, o))
     q.filters.foreach {
       case Cmp(l, op, r) =>

@@ -133,31 +133,50 @@ object StreamOps extends QueryModule {
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * arbitrary-state API the built-in session_window can't express (e.g.
-    * emitting closed sessions with custom payloads / timeouts). State per
-    * user is one open session; closed sessions emit on the next event
-    * beyond the gap or at timeout.
+    * emitting closed sessions with custom payloads). State per user is one
+    * open session; a closed session emits on the next event beyond the
+    * gap, or — when `idleTimeout` is set — at the processing-time timeout.
+    * Production streams SHOULD set it: without a timeout an idle user's
+    * last session never emits and its state entry lives forever (unbounded
+    * state at stream scale). It defaults to off because a timeout-armed
+    * query keeps scheduling timeout batches, which never quiesces under
+    * the synchronous `processAllAvailable` used in tests/backfills.
     */
-  def statefulSessionize(ev: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+  def statefulSessionize(ev: Dataset[Ev], gapUs: Long,
+      idleTimeout: Option[String] = None): Dataset[SessionOut] = {
     import ev.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          rows.toSeq.sortBy(e => (e.ts_us_long, e.value)).foreach { e =>
-            cur match {
-              case Some(s) if e.ts_us_long - s.last < gapUs =>
-                cur = Some(SessionState(s.start, e.ts_us_long, s.n + 1, s.sum + e.value))
-              case Some(s) =>
-                out += SessionOut(uid, s.start, s.n, s.sum)
-                cur = Some(SessionState(e.ts_us_long, e.ts_us_long, 1, e.value))
-              case None =>
-                cur = Some(SessionState(e.ts_us_long, e.ts_us_long, 1, e.value))
+          if (state.hasTimedOut) {
+            val closing = state.getOption
+              .map(s => SessionOut(uid, s.start, s.n, s.sum))
+            state.remove()
+            closing.iterator
+          } else {
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            rows.toSeq.sortBy(e => (e.ts_us_long, e.value)).foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us_long - s.last < gapUs =>
+                  cur = Some(SessionState(s.start, e.ts_us_long, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += SessionOut(uid, s.start, s.n, s.sum)
+                  cur = Some(SessionState(e.ts_us_long, e.ts_us_long, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us_long, e.ts_us_long, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

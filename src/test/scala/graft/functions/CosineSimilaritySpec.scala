@@ -31,6 +31,14 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(got === Seq(1.0, 0.0))
   }
 
+  test("dimension mismatch throws instead of silently truncating") {
+    GraftFunctions.register(spark)
+    val bad = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("x", "y")
+    val e = intercept[Exception](bad.select(expr("cosine_sim(x, y)")).collect())
+    assert(e.getMessage.contains("dimension mismatch")
+      || Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("type check rejects non-float arrays") {
     GraftFunctions.register(spark)
     val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("x", "y")

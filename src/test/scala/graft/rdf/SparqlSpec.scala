@@ -57,6 +57,26 @@ class SparqlSpec extends SparkSpec {
     assert(got.count() === 2)
   }
 
+  test("variable-disjoint empty OPTIONAL block keeps all required rows") {
+    val got = Sparql.run(triples,
+      """SELECT ?r ?n WHERE {
+        |  ?r <name> ?n .
+        |  OPTIONAL { ?x <no_such_predicate> ?y . }
+        |}""".stripMargin)
+    val required = Sparql.run(triples, "SELECT ?r ?n WHERE { ?r <name> ?n . }")
+    assert(got.count() === required.count())
+    assert(got.count() > 0)
+  }
+
+  test("multi-valued predicates return every binding through the default path") {
+    import spark.implicits._
+    val t = Seq(("s1", "p", "a"), ("s1", "p", "b"), ("s1", "q", "z"))
+      .toDF("s", "p", "o")
+    val got = Sparql.run(t, "SELECT ?x WHERE { ?s <p> ?x . ?s <q> ?y . }")
+      .as[String].collect().toSet
+    assert(got === Set("a", "b")) // star-collapse would lose one binding
+  }
+
   test("out-of-fragment constructs are rejected, not mis-run") {
     intercept[IllegalArgumentException](
       Sparql.parse("SELECT ?x WHERE { }"))
