@@ -94,6 +94,32 @@ class PropertySpec extends SparkSpec {
     }, cases = 30)
   }
 
+  test("property: SPARQL render → parse round-trips the BGP structure") {
+    import graft.rdf.{Sparql, Term, TP, V => RV, C => RC}
+    val genTerm: Gen[Term] = Gen.oneOf(
+      Gen.identifier.map(s => RV("v" + s.take(6))),
+      Gen.identifier.map(s => RC("http://ex/" + s.take(8))),
+      Gen.alphaNumStr.map(s => RC(s.take(8))))
+    val genTp = Gen.zip(
+      Gen.identifier.map(s => RV("s" + s.take(4))), genTerm, genTerm)
+      .map { case (s, p, o) => TP(s, p, o) }
+    def render(t: Term): String = t match {
+      case RV(n) => s"?$n"
+      case RC(v) if v.startsWith("http://") => s"<$v>"
+      case RC(v) => "\"" + v + "\""
+    }
+    check(Prop.forAll(Gen.nonEmptyListOf(genTp).map(_.take(5))) { tps =>
+      val vars = tps.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect { case RV(n) => n }.distinct
+      val text = s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE {\n" +
+        tps.map(tp => s"  ${render(tp.s)} ${render(tp.p)} ${render(tp.o)} .")
+          .mkString("\n") + "\n}"
+      val q = Sparql.parse(text)
+      q.where == tps && q.projection == vars &&
+        q.optionals.isEmpty && q.filters.isEmpty
+    }, cases = 40)
+  }
+
   test("property: roundSafe stays within half-step of the input") {
     check(Prop.forAll(Gen.choose(-1e6, 1e6)) { x =>
       val r = Seq(x).toDF("x").select(Det.roundSafe(col("x"), 4)).as[Double].head()
