@@ -29,6 +29,24 @@ object Analytics extends QueryModule {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Variance/stddev from exact decimal moments rather than the built-in
+    // Welford accumulators: both engines' streaming accumulations differ
+    // in late ulps with partition order, while (Σx², Σx) are exact here.
+    "q_agg_stats" -> ((s, d) => {
+      val n = count(lit(1)).cast("double")
+      val sx = Det.dsum(col("o_totalprice"))
+      val sxx = Det.dsum(col("o_totalprice") * col("o_totalprice"), 6)
+      val variance = (sxx - sx * sx / n) / (n - lit(1.0))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          Det.roundSafe(variance, 4).as("var_price"),
+          Det.roundSafe(sqrt(variance), 4).as("sd_price"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("max_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("min_order"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_scalar_subquery" -> ((s, d) => {
       // orders above the global average price: the aggregate is a 1-row
       // frame broadcast against the scan (no per-row recomputation)
@@ -71,6 +89,19 @@ object Analytics extends QueryModule {
          |  ${Det.roundSafeSql("quantile_cont(o_totalprice, 0.75)", 4)} AS p75,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_stats" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val sx = Det.dsumSql("o_totalprice")
+      val sxx = Det.dsumSql("o_totalprice * o_totalprice", 6)
+      val variance = s"(($sxx - $sx * $sx / $n) / ($n - 1.0))"
+      s"""SELECT o_orderstatus,
+         |  ${Det.roundSafeSql(variance, 4)} AS var_price,
+         |  ${Det.roundSafeSql(s"sqrt$variance", 4)} AS sd_price,
+         |  arg_max(o_orderkey, o_totalprice) AS max_order,
+         |  arg_min(o_orderkey, o_totalprice) AS min_order
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
 
     "q_scalar_subquery" -> {
       val avg = s"(SELECT ${Det.davgSql("o_totalprice")} FROM orders)"
