@@ -27,6 +27,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // Nullable even over non-null inputs: a null *element* yields NULL (the
+  // HOF `zip_with` formulation propagates element nulls the same way).
+  override def nullable: Boolean = true
 
   // ExpectsInputTypes.inputTypes is private[sql] in Spark 4 — check by hand.
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -53,6 +56,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      // null element ⇒ NULL result (not 0.0): matches cosineHof, where the
+      // zip_with lambda's null propagates through the aggregate
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -68,6 +74,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  throw new IllegalArgumentException(
@@ -75,12 +82,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |int $n = $a.numElements();
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  double xi = (double) $a.getFloat($i);
          |  double yi = (double) $b.getFloat($i);
          |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 
@@ -90,10 +103,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Register graft's native expressions in a session's function registry
-    * (idempotent). SQL then resolves `cosine_sim(a, b)` to the codegen'd
-    * expression above.
+    * (idempotent). SQL then resolves `cosine_sim(a, b)` /
+    * `nt_unescape(s)` / `nt_escape(s)` to the codegen'd expressions.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nt_unescape", exprs => graft.rdf.NtUnescape(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nt_escape", exprs => graft.rdf.NtEscape(exprs.head), "built-in")
+  }
 }

@@ -83,12 +83,23 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
   }
 
-  /** End-to-end MinHash near-dup pairs at a Jaccard threshold. */
+  /** End-to-end MinHash near-dup pairs at a Jaccard threshold.
+    *
+    * The shingle relation appears four times in this DAG (signature build,
+    * A-side join, B-side join, size counts) and Spark does not share scans
+    * across joins, so it is persisted for the duration of the computation.
+    * The pair list itself — tiny relative to the corpus — is materialized
+    * eagerly via localCheckpoint so the shingle cache can be released here
+    * instead of leaking into the caller's session.
+    */
   def minHashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
-    withJaccard(candidatePairs(signatures(sh)), sh)
+    val sh = shingles(docs).persist()
+    val pairs = withJaccard(candidatePairs(signatures(sh)), sh)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    pairs
   }
 
   // ---------------- near-dup clusters → deduplicated corpus ----------------
@@ -135,14 +146,22 @@ object Dedup {
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (a component's diameter exceeds it)")
-    labels // note: returned labels stay cached; callers may unpersist
+    labels // note: returned labels stay cached; callers must unpersist
   }
 
   /** The materialization step of near-dup removal: cluster the pair list,
-    * keep each cluster's smallest doc_id, pass through untouched docs. */
+    * keep each cluster's smallest doc_id, pass through untouched docs.
+    *
+    * The dropped-id list (bounded by the duplicate count, tiny next to the
+    * corpus) is localCheckpointed so the component labels' cache can be
+    * released here — otherwise every invocation leaks cached partitions
+    * into the session.
+    */
   def removeNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     val comps = connectedComponents(minHashPairs(docs, threshold))
     val dropped = comps.filter(col("doc_id") =!= col("label")).select("doc_id")
+      .localCheckpoint(true)
+    comps.unpersist()
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
@@ -209,19 +228,23 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, gramsCol: org.apache.spark.sql.Column,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // distinct: jaccard is SET similarity — a non-deduplicated gramsCol
     // (e.g. raw charNgrams) would inflate sizes and overcount intersections
     val grams = docs.select(col("doc_id"), explode(gramsCol).as("g")).distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val rarestFirst = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df").asc, col("g"))
+    // Rarest-first prefix per doc via collect_list + sort_array (struct
+    // ordering (df, g) = the rarest-first total order) + slice. One groupBy
+    // shuffle on doc_id, versus the former row_number window (shuffle +
+    // per-partition sort) followed by a separate sizes join. A doc's gram
+    // set is bounded by its length, so the per-group array is small.
     val prefix = grams.join(freq, "g")
-      .withColumn("rk", row_number().over(rarestFirst))
-      .join(sizes, "doc_id")
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("doc_id"), col("g"), col("sz"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("gs"))
+      .withColumn("sz", size(col("gs")).cast("long"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("gs"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("dg"))
+      .select(col("doc_id"), col("dg.g").as("g"), col("sz"))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")

@@ -20,7 +20,11 @@ object Aggregates extends QueryModule {
     // TPC-H Q1 shape — the canonical partial-agg benchmark.
     "q_agg_hash" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-02 00:00:00")))
+        // to_timestamp honors spark.sql.session.timeZone (pinned UTC by
+        // GraftSession); java.sql.Timestamp.valueOf would parse in the host
+        // JVM default zone. Catalyst constant-folds this to a literal, so
+        // parquet pushdown is unaffected.
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           Det.dsum(col("l_quantity")).as("sum_qty"),

@@ -42,8 +42,10 @@ object Analytics extends QueryModule {
         .agg(
           Det.roundSafe(variance, 4).as("var_price"),
           Det.roundSafe(sqrt(variance), 4).as("sd_price"),
-          max_by(col("o_orderkey"), col("o_totalprice")).as("max_order"),
-          min_by(col("o_orderkey"), col("o_totalprice")).as("min_order"))
+          // struct ordering key = deterministic tiebreak: among equal
+          // totalprice rows both engines would otherwise pick arbitrarily.
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("max_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("min_order"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -95,12 +97,22 @@ object Analytics extends QueryModule {
       val sx = Det.dsumSql("o_totalprice")
       val sxx = Det.dsumSql("o_totalprice * o_totalprice", 6)
       val variance = s"(($sxx - $sx * $sx / $n) / ($n - 1.0))"
-      s"""SELECT o_orderstatus,
+      // arg_max with a composite tiebreak: DuckDB's arg_max rejects STRUCT
+      // ordering values, so rank with a window (same (price, key) total
+      // order as the Spark struct key) and pick rank-1 per group.
+      s"""WITH r AS (
+         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderstatus
+         |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         |    row_number() OVER (PARTITION BY o_orderstatus
+         |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+         |  FROM orders)
+         |SELECT o_orderstatus,
          |  ${Det.roundSafeSql(variance, 4)} AS var_price,
          |  ${Det.roundSafeSql(s"sqrt$variance", 4)} AS sd_price,
-         |  arg_max(o_orderkey, o_totalprice) AS max_order,
-         |  arg_min(o_orderkey, o_totalprice) AS min_order
-         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+         |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_order,
+         |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order
+         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
 
     "q_scalar_subquery" -> {

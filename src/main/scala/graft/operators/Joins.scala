@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *    everything, hiding the real shuffle behavior). AQE still handles skew.
   *  - semi/anti: EXISTS / NOT EXISTS without materializing the right side's
   *    payload columns.
-  *  - range: non-equi band join → BroadcastNestedLoopJoin with the small
-  *    side broadcast; documented as O(|big| × |small|) — only sane when one
-  *    side is small or banded (see AsOfJoin for the banded pattern).
+  *  - range: band join bucketized into an equi-join (floor(bal/width) key,
+  *    neighbor-bucket explode, exact filter after) — no nested loop, scales
+  *    as an ordinary shuffle join.
   *  - as-of: implemented without any nested loop — see [[AsOfJoin]].
   */
 object Joins extends QueryModule {
@@ -73,11 +73,25 @@ object Joins extends QueryModule {
 
     "q_join_range" -> ((s, d) => {
       // Band (theta) join: suppliers whose balance is within ±10 of a
-      // customer's. Non-equi → BroadcastNestedLoopJoin, small side broadcast.
-      Tables.customer(s, d)
-        .join(broadcast(Tables.supplier(s, d)),
-          col("s_acctbal") > col("c_acctbal") - 10.0
-            && col("s_acctbal") <= col("c_acctbal") + 10.0)
+      // customer's. Bucketized into an EQUI-join: bucket = floor(bal/width);
+      // a match with |s-c| ≤ width can only sit in the customer's bucket or
+      // an adjacent one, so explode the supplier side to its three candidate
+      // buckets, hash-join on the bucket key, then apply the exact band
+      // filter. Scales as a plain shuffle join (candidates ≈ 3×|supplier|),
+      // where the naive non-equi predicate would plan a
+      // BroadcastNestedLoopJoin — O(|big|×|small|) and a broadcast that
+      // stops fitting at 100× — see PlanShapeSpec's no-NLJ assertion.
+      val width = 10.0
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          floor(col("c_acctbal") / width).as("bkt"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"),
+          floor(col("s_acctbal") / width).as("sbkt"))
+        .withColumn("bkt", explode(array(col("sbkt") - 1, col("sbkt"), col("sbkt") + 1)))
+      cust.join(supp, "bkt")
+        .filter(col("s_acctbal") > col("c_acctbal") - width
+          && col("s_acctbal") <= col("c_acctbal") + width)
         .select(col("c_custkey"), col("s_suppkey"))
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),

@@ -26,7 +26,8 @@ object Relational extends QueryModule {
     "q_filter_pushdown" -> ((s, d) => {
       // String, numeric and timestamp predicates, all pushdown-eligible.
       Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+        // to_timestamp: session-timezone-safe (see Aggregates.q_agg_hash).
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00"))
           && col("l_quantity") < 5.0 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           unix_millis(col("l_shipdate")).as("ship_ms"))

@@ -1,15 +1,17 @@
 package graft.rdf
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** N-Triples source — the reference's native input format (SURVEY.md §2
-  * R1: MapReduce mappers parse N-Triples lines from HDFS).
+/** N-Triples source and sink — the reference's native input format
+  * (SURVEY.md §2 R1: MapReduce mappers parse N-Triples lines from HDFS).
   *
   * Spark-native equivalent: `spark.read.text` + codegen'd regex extraction;
   * line-oriented, so the text source splits files across tasks and the
   * parse runs inside whole-stage codegen — no UDF, no driver work,
-  * arbitrarily parallel at 100 TB.
+  * arbitrarily parallel at 100 TB. The writer is the symmetric
+  * `df.write.text` over a rendered line column, so round-trips are exact
+  * (see RdfSpec's round-trip property).
   *
   * Supported line forms (the fragment the reference's loader handles):
   * {{{
@@ -18,32 +20,74 @@ import org.apache.spark.sql.functions._
   *   <subj> <pred> "literal"^^<datatype> .
   *   <subj> <pred> "literal"@lang .
   * }}}
+  * Literal bodies decode the W3C ECHAR + UCHAR escapes (`\n`, `\"`, `\\`,
+  * `\uXXXX`, `\UXXXXXXXX`, …) via the codegen'd [[NtUnescape]] expression.
   * Comments (`# ...`) and blank lines are dropped. Malformed lines go to
   * [[corrupt]] rather than silently vanishing.
   */
 object NTriples {
 
+  // UCHAR in the escape alternative is stricter than the generic `\\.` so a
+  // truncated `\u12` fails the line match and lands in `corrupt` instead of
+  // throwing mid-decode.
+  private val escapes = """(?:[^"\\]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\[tbnrf"'\\])*"""
   private val line =
-    """^\s*<([^>]*)>\s+<([^>]*)>\s+(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)\s*\.\s*$"""
+    s"""^\\s*<([^>]*)>\\s+<([^>]*)>\\s+(?:<([^>]*)>|"($escapes)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)?)\\s*\\.\\s*$$"""
+
+  // The literal-object alternative alone — decides IRI vs literal for a
+  // line already known to match (regexp_extract can't distinguish "group
+  // matched empty" from "group did not participate").
+  private val litForm =
+    s"""^\\s*<[^>]*>\\s+<[^>]*>\\s+"$escapes"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)?\\s*\\.\\s*$$"""
 
   def read(spark: SparkSession, path: String): DataFrame =
     parse(spark.read.text(path))
 
+  /** (s, p, o) with IRIs and decoded literals coalesced into one string
+    * column — the layout the dictionary/BGP layer consumes. */
   def parse(lines: DataFrame): DataFrame =
+    parseTyped(lines).select(col("s"), col("p"), col("o"))
+
+  /** (s, p, o, o_is_iri): keeps the object's node kind, which the writer
+    * needs to re-render `<iri>` vs `"literal"` faithfully. */
+  def parseTyped(lines: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(lines.sparkSession)
     lines
       .filter(length(trim(col("value"))) > 0 && !trim(col("value")).startsWith("#"))
+      // match detection via rlike on the full pattern, NOT by testing an
+      // extracted group for emptiness — `<> <p> <o> .` (empty IRI subject)
+      // and `"" ` literals are valid lines, not corrupt ones
+      .filter(col("value").rlike(line))
       .select(
         regexp_extract(col("value"), line, 1).as("s"),
         regexp_extract(col("value"), line, 2).as("p"),
         regexp_extract(col("value"), line, 3).as("o_iri"),
-        regexp_extract(col("value"), line, 4).as("o_lit"))
-      .filter(col("s") =!= "")
+        regexp_extract(col("value"), line, 4).as("o_lit"),
+        (!col("value").rlike(litForm)).as("o_is_iri"))
       .select(col("s"), col("p"),
-        when(col("o_iri") =!= "", col("o_iri")).otherwise(col("o_lit")).as("o"))
+        when(col("o_is_iri"), col("o_iri"))
+          .otherwise(expr("nt_unescape(o_lit)")).as("o"),
+        col("o_is_iri"))
+  }
 
   /** Non-empty, non-comment lines that failed to parse. */
   def corrupt(lines: DataFrame): DataFrame =
     lines
       .filter(length(trim(col("value"))) > 0 && !trim(col("value")).startsWith("#"))
-      .filter(regexp_extract(col("value"), line, 1) === "")
+      .filter(!col("value").rlike(line))
+
+  /** Render (s, p, o, o_is_iri) rows to N-Triples lines (one string column
+    * `value`, ready for `write.text`). Literals get ECHAR-escaped. */
+  def render(triples: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(triples.sparkSession)
+    triples.select(concat(
+      lit("<"), col("s"), lit("> <"), col("p"), lit("> "),
+      when(col("o_is_iri"), concat(lit("<"), col("o"), lit(">")))
+        .otherwise(concat(lit("\""), expr("nt_escape(o)"), lit("\""))),
+      lit(" .")).as("value"))
+  }
+
+  /** N-Triples sink: distributed text write, one line per triple. */
+  def write(triples: DataFrame, path: String): Unit =
+    render(triples).write.mode(SaveMode.Overwrite).text(path)
 }

@@ -41,6 +41,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_join_range bucketizes to an equi-join — no nested loop anywhere") {
+    val p = plan("q_join_range")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("as-of join plans without any nested-loop join") {
     val p = plan("q_join_asof")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)

@@ -39,6 +39,17 @@ class CosineSimilaritySpec extends SparkSpec {
       || Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
 
+  test("a null element yields NULL (propagates like the HOF), not 0.0") {
+    GraftFunctions.register(spark)
+    val withNull = Seq((Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f, 3f)))
+      .toDF("x", "y")
+    val native = withNull.select(expr("cosine_sim(x, y)").as("c")).collect()
+    assert(native.head.isNullAt(0), "codegen path must return NULL")
+    // HOF formulation on the same input also nulls out — semantics agree
+    val hof = withNull.select(EmbeddingOps.cosineHof("x", "y").as("c")).collect()
+    assert(hof.head.isNullAt(0), "HOF reference must return NULL")
+  }
+
   test("type check rejects non-float arrays") {
     GraftFunctions.register(spark)
     val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("x", "y")

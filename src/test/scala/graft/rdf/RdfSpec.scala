@@ -66,6 +66,45 @@ class RdfSpec extends SparkSpec {
     assert(NTriples.corrupt(lines).count() === 1)
   }
 
+  test("N-Triples decodes ECHAR and \\uXXXX escapes; empty IRI/literal lines are valid") {
+    val lines = Seq(
+      """<http://ex/s> <http://ex/p> "line\nbreak\tand \"quote\" and back\\slash" .""",
+      """<http://ex/s> <http://ex/p> "café \U0001F600" .""",
+      """<> <http://ex/p> <http://ex/o> .""", // empty IRI subject: valid, not corrupt
+      """<http://ex/s> <http://ex/p> "" .""", // empty literal: valid
+      "<http://ex/s> <http://ex/p> \"trunc\\" + "u12\" ." // truncated UCHAR: corrupt
+    ).toDF("value")
+    val got = NTriples.parse(lines).as[(String, String, String)].collect().toSet
+    assert(got.contains(("http://ex/s", "http://ex/p", "line\nbreak\tand \"quote\" and back\\slash")))
+    assert(got.contains(("http://ex/s", "http://ex/p", "café 😀")))
+    assert(got.contains(("", "http://ex/p", "http://ex/o")))
+    assert(got.contains(("http://ex/s", "http://ex/p", "")))
+    assert(got.size === 4)
+    assert(NTriples.corrupt(lines).count() === 1)
+  }
+
+  test("N-Triples write → read round-trips, including escapes and node kinds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nt").toString
+    val lines = Seq(
+      "<http://ex/s1> <http://ex/p> <http://ex/o1> .",
+      """<http://ex/s1> <http://ex/name> "Ali\tce\n\"x\" café" .""",
+      """<http://ex/s2> <http://ex/note> "plain" .""",
+      "<http://ex/s2> <http://ex/link> <http://ex/o2> .").toDF("value")
+    val typed = NTriples.parseTyped(lines)
+    NTriples.write(typed, dir)
+    val back = NTriples.parseTyped(spark.read.text(dir))
+    assert(back.count() === 4)
+    assert(typed.exceptAll(back).count() === 0)
+    assert(back.exceptAll(typed).count() === 0)
+    // and the relational→triples table round-trips at corpus scale too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-nt2").toString
+    val corpus = triples.withColumn("o_is_iri", lit(false))
+    NTriples.write(corpus, dir2)
+    val corpusBack = NTriples.parseTyped(spark.read.text(dir2))
+    assert(corpusBack.count() === triples.count())
+    assert(corpusBack.exceptAll(corpus).count() === 0)
+  }
+
   test("star-collapsed solve ≡ join solve (star, chain, const-object)") {
     val starPats = Seq(
       TP(V("cust"), C("name"), V("cname")),
