@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   */
 sealed trait Term
 final case class V(name: String) extends Term
-final case class C(value: String) extends Term
+/** A constant: an RDF term string in the string-triples plan, or a Long
+  * dictionary id when the pattern has been translated to id space
+  * ([[EncodedBgp.encodePatterns]]). Kept monomorphic per plan — the solver
+  * never mixes string and id constants against the same triples frame. */
+final case class C(value: Any) extends Term
 final case class TP(s: Term, p: Term, o: Term)
 
 object Bgp {

@@ -40,6 +40,22 @@ object RdfOps extends QueryModule {
         .orderBy(col("ord"))
     }),
 
+    // The reference's ACTUAL execution model (SURVEY.md §3.3): terms are
+    // dictionary-encoded once at load, the whole join tree runs over 8-byte
+    // longs, and terms reappear only at emission. Same chain as q_bgp_chain
+    // so the bench delta (string joins vs id joins) is directly readable.
+    "q_bgp_encoded" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val dict = Dictionary.build(s, t)
+      val enc = Dictionary.encode(t, dict)
+      EncodedBgp.solve(enc, dict, Seq(
+        TP(V("ord"), C("custkey"), V("cust")),
+        TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+        TP(V("cust"), C("mktsegment"), V("seg")),
+        TP(V("cust"), C("name"), V("cname"))), collapseStars = true)
+        .orderBy(col("ord"))
+    }),
+
     // OPTIONAL → left outer join; customers keep their row with a null
     // ?ord when they have no 'P' order.
     "q_bgp_optional" -> ((s, d) => {
@@ -106,6 +122,35 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
         |  AND t3.p = 'mktsegment' AND t4.p = 'name'
         |  AND t1.s = t2.s AND t1.o = t3.s AND t1.o = t4.s
+        |ORDER BY ord""".stripMargin),
+
+    // Mirrors the id-space lifecycle: dict CTE → encode → solve over ids →
+    // decode at emission. Hash-equal to the string-space chain by
+    // construction, which is exactly the invariant worth oracling.
+    "q_bgp_encoded" -> cte(
+      """, dict AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id, term
+        |  FROM (SELECT s AS term FROM triples
+        |        UNION SELECT p FROM triples
+        |        UNION SELECT o FROM triples))
+        |, enc AS (
+        |  SELECT ds.id AS sid, dp.id AS pid, dobj.id AS oid
+        |  FROM triples t
+        |  JOIN dict ds ON t.s = ds.term
+        |  JOIN dict dp ON t.p = dp.term
+        |  JOIN dict dobj ON t.o = dobj.term)
+        |SELECT dord.term AS ord, dcust.term AS cust, dseg.term AS seg, dname.term AS cname
+        |FROM enc t1, enc t2, enc t3, enc t4,
+        |     dict pk, dict pp, dict pu, dict pm, dict pn,
+        |     dict dord, dict dcust, dict dseg, dict dname
+        |WHERE pk.term = 'custkey'       AND t1.pid = pk.id
+        |  AND pp.term = 'orderpriority' AND t2.pid = pp.id
+        |  AND pu.term = '1-URGENT'      AND t2.oid = pu.id
+        |  AND pm.term = 'mktsegment'    AND t3.pid = pm.id
+        |  AND pn.term = 'name'          AND t4.pid = pn.id
+        |  AND t1.sid = t2.sid AND t1.oid = t3.sid AND t1.oid = t4.sid
+        |  AND dord.id = t1.sid AND dcust.id = t1.oid
+        |  AND dseg.id = t3.oid AND dname.id = t4.oid
         |ORDER BY ord""".stripMargin),
 
     "q_bgp_optional" -> cte(

@@ -105,7 +105,7 @@ class PropertySpec extends SparkSpec {
       .map { case (s, p, o) => TP(s, p, o) }
     def render(t: Term): String = t match {
       case RV(n) => s"?$n"
-      case RC(v) if v.startsWith("http://") => s"<$v>"
+      case RC(v: String) if v.startsWith("http://") => s"<$v>"
       case RC(v) => "\"" + v + "\""
     }
     check(Prop.forAll(Gen.nonEmptyListOf(genTp).map(_.take(5))) { tps =>

@@ -144,6 +144,48 @@ class RdfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("encoded BGP (id-space solve + decode) ≡ string-space solve") {
+    val pats = Seq(
+      TP(V("ord"), C("custkey"), V("cust")),
+      TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+      TP(V("cust"), C("mktsegment"), V("seg")),
+      TP(V("cust"), C("name"), V("cname")))
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val viaString = Bgp.solve(triples, pats)
+    for (collapse <- Seq(false, true)) {
+      val viaIds = EncodedBgp.solve(enc, dict, pats, collapseStars = collapse)
+        .select(viaString.columns.map(col): _*)
+      assert(viaString.count() > 0)
+      assert(viaString.exceptAll(viaIds).count() === 0)
+      assert(viaIds.exceptAll(viaString).count() === 0)
+    }
+  }
+
+  test("encoded BGP joins run over longs, not strings") {
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val pats = Seq(
+      TP(V("ord"), C("custkey"), V("cust")),
+      TP(V("cust"), C("mktsegment"), V("seg")))
+    val (encoded, allResolved) = EncodedBgp.encodePatterns(dict, pats)
+    assert(allResolved)
+    assert(encoded.forall { tp =>
+      Seq(tp.s, tp.p, tp.o).forall { case C(v) => v.isInstanceOf[Long]; case _ => true }
+    })
+    // the solved (pre-decode) bindings are long-typed end to end
+    val solved = Bgp.solve(EncodedBgp.asTriples(enc), encoded)
+    assert(solved.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType))
+  }
+
+  test("encoded BGP with a constant absent from the dictionary is empty, not wrong") {
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val got = EncodedBgp.solve(enc, dict, Seq(
+      TP(V("cust"), C("mktsegment"), C("NO-SUCH-SEGMENT"))))
+    assert(got.count() === 0)
+  }
+
   test("BGP chain joins star results through the shared variable") {
     val got = RdfOps.queries("q_bgp_chain")(spark, sf0001)
     assert(got.columns.sorted.toSeq === Seq("cname", "cust", "ord", "seg"))
