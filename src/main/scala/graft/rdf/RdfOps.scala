@@ -82,6 +82,34 @@ object RdfOps extends QueryModule {
         .orderBy(col("ord"), col("cust"))
     }),
 
+    // UNION of two groups binding different variable sets: ?seg is unbound
+    // in the orders branch and null-padded, DISTINCT collapses the bag,
+    // and the total ORDER BY + LIMIT make the cut deterministic.
+    "q_sparql_union" -> ((s, d) => {
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT DISTINCT ?s ?n ?seg WHERE {
+          |  { ?s <mktsegment> ?seg . ?s <name> ?n . }
+          |  UNION
+          |  { ?s <orderpriority> "1-URGENT" . ?s <custkey> ?n . }
+          |}
+          |ORDER BY ?s ?n ?seg
+          |LIMIT 500""".stripMargin)
+    }),
+
+    // Numeric FILTER coercion: lexicographic comparison would also admit
+    // nationkey "2" ("2" >= "10" as strings); only numeric semantics give
+    // exactly 10..19.
+    "q_sparql_filter_range" -> ((s, d) => {
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust ?nk WHERE {
+          |  ?cust <mktsegment> "AUTOMOBILE" .
+          |  ?cust <nationkey> ?nk .
+          |  FILTER (?nk >= 10)
+          |  FILTER (?nk < 20)
+          |}
+          |ORDER BY ?cust ?nk""".stripMargin)
+    }),
+
     // The subject-grouped layout itself (d-sparq's MongoDB document shape):
     // one row per subject, one column per predicate. Explicit pivot values
     // avoid the extra distinct-values job at scale.
@@ -169,6 +197,27 @@ object RdfOps extends QueryModule {
         |  AND t3.p = 'name' AND t1.s = t2.s AND t1.o = t3.s
         |  AND regexp_matches(t3.o, '1$')
         |ORDER BY ord, cust""".stripMargin),
+
+    "q_sparql_union" -> cte(
+      """SELECT s, n, seg FROM (
+        |  SELECT t1.s AS s, t2.o AS n, t1.o AS seg
+        |  FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |  WHERE t1.p = 'mktsegment' AND t2.p = 'name'
+        |  UNION
+        |  SELECT t1.s, t2.o, NULL
+        |  FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |  WHERE t1.p = 'orderpriority' AND t1.o = '1-URGENT' AND t2.p = 'custkey'
+        |)
+        |ORDER BY s, n, seg NULLS FIRST
+        |LIMIT 500""".stripMargin),
+
+    "q_sparql_filter_range" -> cte(
+      """SELECT t1.s AS cust, t2.o AS nk
+        |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |WHERE t1.p = 'mktsegment' AND t1.o = 'AUTOMOBILE'
+        |  AND t2.p = 'nationkey'
+        |  AND TRY_CAST(t2.o AS DOUBLE) >= 10 AND TRY_CAST(t2.o AS DOUBLE) < 20
+        |ORDER BY cust, nk""".stripMargin),
 
     "q_property_table" -> cte(
       """SELECT s,

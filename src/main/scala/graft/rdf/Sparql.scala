@@ -1,31 +1,47 @@
 package graft.rdf
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SPARQL front-end for the engine-supported fragment: SELECT over basic
-  * graph patterns with OPTIONAL blocks and simple FILTERs.
+  * graph patterns with OPTIONAL blocks, FILTERs, UNION, and the solution
+  * modifiers DISTINCT / ORDER BY / LIMIT / OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
   * parser for exactly the fragment the engine executes, lowering to the
-  * [[Bgp]] DSL (star-collapsed execution). Supported:
+  * [[Bgp]] DSL. Supported:
   *
   * {{{
   *   PREFIX ex: <http://example.org/>
-  *   SELECT ?a ?b | SELECT *
+  *   SELECT [DISTINCT] ?a ?b | SELECT *
   *   WHERE {
   *     ?a <pred> ?b .
   *     ?a ex:p "literal" .
   *     OPTIONAL { ?a <p2> ?c . }
   *     FILTER (?b = "x")   FILTER (?b != ?c)   FILTER regex(?b, "^ab")
+  *     FILTER (?n >= 10)   FILTER (?n < 19.5)      # numeric coercion
   *   }
+  *   -- or a union of groups:
+  *   WHERE { { ?a <p> ?b . } UNION { ?a <q> ?b . OPTIONAL {...} } }
+  *   ORDER BY ?a DESC(?b)  LIMIT 100  OFFSET 10
   * }}}
   *
-  * Out of fragment (rejected, not silently mis-run): UNION, GROUP BY,
-  * subqueries, property paths, blank nodes, numeric literals with
-  * datatypes. SPARQL bag semantics on this fragment coincide with the SQL
-  * bag semantics of the lowered plan.
+  * Semantics notes:
+  *  - UNION is SPARQL bag union of solution mappings; variables unbound in
+  *    a branch are null-padded (lowered to `unionByName` with
+  *    `allowMissingColumns = true`, the exact same padding rule).
+  *  - numeric FILTER comparisons coerce via `try_cast(double)`: a binding
+  *    that is not a number compares unknown → row dropped, matching
+  *    SPARQL's type-error-eliminates-row rule (and DuckDB's TRY_CAST).
+  *  - ORDER BY sorts ascending nulls-first / descending nulls-last;
+  *    OFFSET applies before LIMIT (SPARQL 18.2.5 modifier order).
+  *
+  * Out of fragment (rejected, not silently mis-run): GROUP BY, subqueries,
+  * property paths, blank nodes, datatyped literals. Trailing tokens after
+  * the solution modifiers are an error, so an unsupported clause can never
+  * be silently ignored. SPARQL bag semantics on this fragment coincide
+  * with the SQL bag semantics of the lowered plan.
   */
 object Sparql {
 
@@ -33,8 +49,20 @@ object Sparql {
   final case class Cmp(left: Term, op: String, right: Term) extends FilterExpr
   final case class Regex(v: String, pattern: String) extends FilterExpr
 
-  final case class Query(projection: Seq[String], where: Seq[TP],
-      optionals: Seq[Seq[TP]], filters: Seq[FilterExpr])
+  /** One group graph pattern: a BGP plus its OPTIONALs and FILTERs. */
+  final case class Block(where: Seq[TP], optionals: Seq[Seq[TP]],
+      filters: Seq[FilterExpr])
+
+  final case class OrderKey(v: String, asc: Boolean)
+
+  final case class Query(projection: Seq[String], branches: Seq[Block],
+      distinct: Boolean, orderKeys: Seq[OrderKey],
+      limit: Option[Int], offset: Option[Int]) {
+    // single-branch accessors (the pre-UNION shape most callers inspect)
+    def where: Seq[TP] = branches.head.where
+    def optionals: Seq[Seq[TP]] = branches.head.optionals
+    def filters: Seq[FilterExpr] = branches.head.filters
+  }
 
   /** Parse and execute against a triples DataFrame(s,p,o).
     *
@@ -47,30 +75,60 @@ object Sparql {
   def run(triples: DataFrame, text: String,
       collapseStars: Boolean = false): DataFrame = {
     val q = parse(text)
-    var df =
-      if (collapseStars) Bgp.solveStarCollapsed(triples, q.where)
-      else Bgp.solve(triples, q.where)
-    q.optionals.foreach(o => df = Bgp.optional(df, triples, o))
-    q.filters.foreach {
-      case Cmp(l, op, r) =>
-        val (lc, rc) = (termCol(df, l), termCol(df, r))
-        df = df.filter(if (op == "=") lc === rc else lc =!= rc)
-      case Regex(v, p) => df = df.filter(col(v).rlike(p))
+    val solved = q.branches.map { b =>
+      var df =
+        if (collapseStars) Bgp.solveStarCollapsed(triples, b.where)
+        else Bgp.solve(triples, b.where)
+      b.optionals.foreach(o => df = Bgp.optional(df, triples, o))
+      b.filters.foreach(f => df = df.filter(filterCol(f)))
+      df
     }
-    if (q.projection == Seq("*")) df
-    else df.select(q.projection.map(col): _*)
+    var df = solved.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (q.projection != Seq("*")) df = df.select(q.projection.map(col): _*)
+    if (q.distinct) df = df.distinct()
+    if (q.orderKeys.nonEmpty)
+      df = df.orderBy(q.orderKeys.map(k =>
+        if (k.asc) asc_nulls_first(k.v) else desc_nulls_last(k.v)): _*)
+    q.offset.foreach(n => df = df.offset(n))
+    q.limit.foreach(n => df = df.limit(n))
+    df
   }
 
-  private def termCol(df: DataFrame, t: Term) = t match {
-    case V(n) => col(n)
-    case C(v) => lit(v)
+  private def filterCol(f: FilterExpr): Column = f match {
+    case Regex(v, p) => col(v).rlike(p)
+    case Cmp(l, op, r) =>
+      // a numeric constant on either side switches the comparison to
+      // numeric semantics over both sides; try_cast (not cast) so that a
+      // non-numeric binding is a SPARQL type error → row eliminated, even
+      // under ANSI mode
+      val numeric = Seq(l, r).exists {
+        case C(_: BigDecimal) => true
+        case _ => false
+      }
+      def side(t: Term): Column = t match {
+        case V(n) => if (numeric) expr(s"try_cast($n AS double)") else col(n)
+        case C(v: BigDecimal) => lit(v.toDouble)
+        case C(v) => lit(v)
+      }
+      val (lc, rc) = (side(l), side(r))
+      op match {
+        case "=" => lc === rc
+        case "!=" => lc =!= rc
+        case "<" => lc < rc
+        case ">" => lc > rc
+        case "<=" => lc <= rc
+        case ">=" => lc >= rc
+      }
   }
 
   // ----------------------------- parsing -------------------------------
 
+  // IRI bodies exclude whitespace (as in SPARQL) — essential so that a
+  // bare '<' comparison operator can never swallow text up to some later
+  // '>' in the query.
   private val tokenRe =
-    ("""\?[A-Za-z_]\w*|<[^>]*>|"(?:[^"\\]|\\.)*"|[A-Za-z_][\w-]*:[\w-]*|""" +
-      """[A-Za-z]+|!=|=|[{}().,*]""").r
+    ("""\?[A-Za-z_]\w*|<[^>\s]*>|"(?:[^"\\]|\\.)*"|[A-Za-z_][\w-]*:[\w-]*|""" +
+      """[A-Za-z]+|-?\d+(?:\.\d+)?|<=|>=|!=|=|[{}().,*]|<|>""").r
 
   def parse(text: String): Query = {
     val toks = tokenRe.findAllIn(text).toList
@@ -82,12 +140,63 @@ object Sparql {
       name.stripSuffix(":") -> iri
     }.toMap
     p.expectKw("SELECT")
+    val distinct = if (p.peekKw("DISTINCT")) { p.next(); true } else false
     val proj =
       if (p.peek() == "*") { p.next(); Seq("*") }
       else Iterator.continually(()).takeWhile(_ => p.peek().startsWith("?"))
         .map(_ => p.next().drop(1)).toSeq
     require(proj.nonEmpty, "SELECT needs variables or *")
     p.expectKw("WHERE"); p.expect("{")
+    val branches =
+      if (p.peek() == "{") {
+        // { group } UNION { group } [ UNION { group } ]*
+        val bs = scala.collection.mutable.ArrayBuffer(group(p, prefixes))
+        while (p.peekKw("UNION")) { p.expectKw("UNION"); bs += group(p, prefixes) }
+        require(bs.size >= 2, "a braced group must be a UNION branch")
+        p.expect("}")
+        bs.toSeq
+      } else {
+        val b = blockBody(p, prefixes)
+        p.expect("}")
+        Seq(b)
+      }
+    val orderKeys = scala.collection.mutable.ArrayBuffer.empty[OrderKey]
+    if (p.peekKw("ORDER")) {
+      p.expectKw("ORDER"); p.expectKw("BY")
+      while (p.hasNext &&
+          (p.peek().startsWith("?") || p.peekKw("ASC") || p.peekKw("DESC"))) {
+        if (p.peekKw("ASC") || p.peekKw("DESC")) {
+          val asc = p.next().equalsIgnoreCase("ASC")
+          p.expect("(")
+          val v = p.next()
+          require(v.startsWith("?"), s"ORDER BY needs a variable, got $v")
+          p.expect(")")
+          orderKeys += OrderKey(v.drop(1), asc)
+        } else orderKeys += OrderKey(p.next().drop(1), asc = true)
+      }
+      require(orderKeys.nonEmpty, "empty ORDER BY")
+    }
+    // LIMIT and OFFSET may appear in either order (SPARQL LimitOffsetClauses)
+    var limit, offset = Option.empty[Int]
+    while (p.hasNext && (p.peekKw("LIMIT") || p.peekKw("OFFSET"))) {
+      val kw = p.next()
+      val n = p.nextInt()
+      if (kw.equalsIgnoreCase("LIMIT")) limit = Some(n) else offset = Some(n)
+    }
+    require(!p.hasNext, s"unsupported trailing clause: ${p.rest.take(5).mkString(" ")}")
+    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset)
+  }
+
+  /** `{ ... }` union branch. */
+  private def group(p: P, prefixes: Map[String, String]): Block = {
+    p.expect("{")
+    val b = blockBody(p, prefixes)
+    p.expect("}")
+    b
+  }
+
+  /** Triples / OPTIONAL / FILTER members up to (not consuming) `}`. */
+  private def blockBody(p: P, prefixes: Map[String, String]): Block = {
     val where = scala.collection.mutable.ArrayBuffer.empty[TP]
     val optionals = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
     val filters = scala.collection.mutable.ArrayBuffer.empty[FilterExpr]
@@ -106,25 +215,36 @@ object Sparql {
         p.maybe(".")
       }
     }
-    p.expect("}")
     require(where.nonEmpty, "empty WHERE block")
-    Query(proj, where.toSeq, optionals.toSeq, filters.toSeq)
+    Block(where.toSeq, optionals.toSeq, filters.toSeq)
   }
 
   private def triplePattern(p: P, prefixes: Map[String, String]): TP =
     TP(term(p, prefixes), term(p, prefixes), term(p, prefixes))
+
+  private val numRe = """-?\d+(?:\.\d+)?""".r
 
   private def term(p: P, prefixes: Map[String, String]): Term = {
     val t = p.next()
     if (t.startsWith("?")) V(t.drop(1))
     else if (t.startsWith("<")) C(t.stripPrefix("<").stripSuffix(">"))
     else if (t.startsWith("\"")) C(unquote(t))
+    // a bare number in a *pattern* matches the term's lexical form (the
+    // triples table stores strings); numeric semantics live in FILTER
+    else if (numRe.matches(t)) C(t)
     else if (t.contains(":")) {
       val Array(pre, local) = t.split(":", 2)
       val base = prefixes.getOrElse(pre,
         throw new IllegalArgumentException(s"unknown prefix '$pre:' in '$t'"))
       C(base + local)
     } else throw new IllegalArgumentException(s"unsupported term: $t")
+  }
+
+  /** FILTER operand: like [[term]] but numbers become typed constants. */
+  private def filterTerm(p: P, prefixes: Map[String, String]): Term = {
+    val t = p.peek()
+    if (numRe.matches(t)) { p.next(); C(BigDecimal(t)) }
+    else term(p, prefixes)
   }
 
   private def filterExpr(p: P, prefixes: Map[String, String]): FilterExpr =
@@ -138,10 +258,10 @@ object Sparql {
       Regex(v.drop(1), pat)
     } else {
       p.expect("(")
-      val l = term(p, prefixes)
+      val l = filterTerm(p, prefixes)
       val op = p.next()
-      require(op == "=" || op == "!=", s"unsupported operator $op")
-      val r = term(p, prefixes)
+      require(Set("=", "!=", "<", ">", "<=", ">=")(op), s"unsupported operator $op")
+      val r = filterTerm(p, prefixes)
       p.expect(")")
       Cmp(l, op, r)
     }
@@ -154,6 +274,8 @@ object Sparql {
     def peek(): String = toks.headOption.getOrElse(
       throw new IllegalArgumentException("unexpected end of query"))
     def next(): String = { val t = peek(); toks = toks.tail; t }
+    def hasNext: Boolean = toks.nonEmpty
+    def rest: List[String] = toks
     def peekKw(kw: String): Boolean = toks.headOption.exists(_.equalsIgnoreCase(kw))
     def expectKw(kw: String): Unit = {
       val t = next()
@@ -164,6 +286,11 @@ object Sparql {
       require(t == s, s"expected '$s', got '$t'")
     }
     def maybe(s: String): Unit = if (toks.headOption.contains(s)) { toks = toks.tail }
+    def nextInt(): Int = {
+      val t = next()
+      require(t.matches("""\d+"""), s"expected a count, got $t")
+      t.toInt
+    }
     def nextIri(): String = {
       val t = next()
       require(t.startsWith("<"), s"expected IRI, got $t")

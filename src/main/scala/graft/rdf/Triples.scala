@@ -43,7 +43,10 @@ object Triples {
     fromTable(c, concat(lit("c:"), col("c_custkey")), Seq(
       "name" -> col("c_name"),
       "mktsegment" -> col("c_mktsegment"),
-      "nation" -> concat(lit("n:"), col("c_nationkey"))))
+      "nation" -> concat(lit("n:"), col("c_nationkey")),
+      // a numeric-valued predicate (lexical form of an int) so FILTER range
+      // comparisons have something real to coerce
+      "nationkey" -> col("c_nationkey")))
       .unionByName(fromTable(o, concat(lit("o:"), col("o_orderkey")), Seq(
         "custkey" -> concat(lit("c:"), col("o_custkey")),
         "orderstatus" -> col("o_orderstatus"),
@@ -62,6 +65,7 @@ object Triples {
     """SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS s, 'name' AS p, c_name AS o FROM customer
       |UNION ALL SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'mktsegment', c_mktsegment FROM customer
       |UNION ALL SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'nation', 'n:' || CAST(c_nationkey AS VARCHAR) FROM customer
+      |UNION ALL SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
       |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'custkey', 'c:' || CAST(o_custkey AS VARCHAR) FROM orders
       |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'orderstatus', o_orderstatus FROM orders
       |UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'orderpriority', o_orderpriority FROM orders

@@ -120,6 +120,47 @@ class PropertySpec extends SparkSpec {
     }, cases = 40)
   }
 
+  test("property: SPARQL round-trip with UNION / DISTINCT / ORDER / LIMIT") {
+    import graft.rdf.{Sparql, Term, TP, V => RV, C => RC}
+    val genTerm: Gen[Term] = Gen.oneOf(
+      Gen.identifier.map(s => RV("v" + s.take(6))),
+      Gen.identifier.map(s => RC("http://ex/" + s.take(8))),
+      Gen.alphaNumStr.map(s => RC(s.take(8))))
+    val genTp = Gen.zip(
+      Gen.identifier.map(s => RV("s" + s.take(4))), genTerm, genTerm)
+      .map { case (s, p, o) => TP(s, p, o) }
+    def render(t: Term): String = t match {
+      case RV(n) => s"?$n"
+      case RC(v: String) if v.startsWith("http://") => s"<$v>"
+      case RC(v) => "\"" + v + "\""
+    }
+    def renderBlock(tps: Seq[TP]): String =
+      tps.map(tp => s"  ${render(tp.s)} ${render(tp.p)} ${render(tp.o)} .")
+        .mkString("\n")
+    val gen = for {
+      b1 <- Gen.nonEmptyListOf(genTp).map(_.take(4))
+      b2 <- Gen.nonEmptyListOf(genTp).map(_.take(4))
+      distinct <- Gen.oneOf(true, false)
+      limit <- Gen.option(Gen.choose(1, 99))
+      offset <- Gen.option(Gen.choose(1, 99))
+    } yield (b1, b2, distinct, limit, offset)
+    check(Prop.forAll(gen) { case (b1, b2, distinct, limit, offset) =>
+      val vars = (b1 ++ b2).flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect { case RV(n) => n }.distinct
+      val text =
+        s"SELECT ${if (distinct) "DISTINCT " else ""}${vars.map("?" + _).mkString(" ")} WHERE {\n" +
+          s"  {\n${renderBlock(b1)}\n  } UNION {\n${renderBlock(b2)}\n  }\n}\n" +
+          s"ORDER BY ?${vars.head} DESC(?${vars.last})\n" +
+          limit.map(n => s"LIMIT $n\n").getOrElse("") +
+          offset.map(n => s"OFFSET $n\n").getOrElse("")
+      val q = Sparql.parse(text)
+      q.branches.map(_.where) == Seq(b1, b2) &&
+        q.distinct == distinct && q.limit == limit && q.offset == offset &&
+        q.orderKeys == Seq(Sparql.OrderKey(vars.head, asc = true),
+          Sparql.OrderKey(vars.last, asc = false))
+    }, cases = 40)
+  }
+
   test("property: roundSafe stays within half-step of the input") {
     check(Prop.forAll(Gen.choose(-1e6, 1e6)) { x =>
       val r = Seq(x).toDF("x").select(Det.roundSafe(col("x"), 4)).as[Double].head()

@@ -84,5 +84,89 @@ class SparqlSpec extends SparkSpec {
       Sparql.parse("""SELECT ?x WHERE { ?x zz:p ?y . }"""))
     intercept[IllegalArgumentException](
       Sparql.parse("""SELECT WHERE { ?x <p> ?y . }"""))
+    // trailing clauses outside the fragment must error, never be ignored
+    intercept[IllegalArgumentException](
+      Sparql.parse("""SELECT ?x WHERE { ?x <p> ?y . } GROUP BY ?x"""))
+    // a lone braced group is not a union
+    intercept[IllegalArgumentException](
+      Sparql.parse("""SELECT ?x WHERE { { ?x <p> ?y . } }"""))
+  }
+
+  test("UNION null-pads variables unbound in a branch") {
+    val got = Sparql.run(triples,
+      """SELECT ?s ?n ?seg WHERE {
+        |  { ?s <mktsegment> ?seg . ?s <name> ?n . }
+        |  UNION
+        |  { ?s <orderpriority> "1-URGENT" . ?s <custkey> ?n . }
+        |}""".stripMargin)
+    assert(got.columns.toSeq === Seq("s", "n", "seg"))
+    val cust = got.filter($"seg".isNotNull)
+    val ord = got.filter($"seg".isNull)
+    assert(cust.count() > 0 && ord.count() > 0)
+    assert(ord.filter(!$"s".startsWith("o:")).count() === 0)
+    assert(cust.filter(!$"s".startsWith("c:")).count() === 0)
+  }
+
+  test("DISTINCT collapses duplicate solutions across UNION branches") {
+    val bag = Sparql.run(triples,
+      """SELECT ?s WHERE {
+        |  { ?s <mktsegment> "BUILDING" . } UNION { ?s <mktsegment> "BUILDING" . }
+        |}""".stripMargin)
+    val set = Sparql.run(triples,
+      """SELECT DISTINCT ?s WHERE {
+        |  { ?s <mktsegment> "BUILDING" . } UNION { ?s <mktsegment> "BUILDING" . }
+        |}""".stripMargin)
+    assert(bag.count() === 2 * set.count())
+    assert(set.count() === set.distinct().count())
+  }
+
+  test("ORDER BY + LIMIT + OFFSET page deterministically") {
+    def page(offset: Int, limit: Int) = Sparql.run(triples,
+      s"""SELECT ?c ?n WHERE { ?c <name> ?n . FILTER regex(?c, "^c:") }
+         |ORDER BY ?c ?n LIMIT $limit OFFSET $offset""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    val all = Sparql.run(triples,
+      """SELECT ?c ?n WHERE { ?c <name> ?n . FILTER regex(?c, "^c:") }
+        |ORDER BY ?c ?n""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(page(0, 10) === all.take(10))
+    assert(page(10, 5) === all.slice(10, 15))
+    // DESC reverses the single-valued, duplicate-free key ordering
+    val desc = Sparql.run(triples,
+      """SELECT ?c WHERE { ?c <name> ?n . FILTER regex(?c, "^c:") }
+        |ORDER BY DESC(?c) LIMIT 3""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(desc === all.distinct.reverse.take(3))
+  }
+
+  test("numeric FILTER coerces; lexicographic would differ") {
+    val numeric = Sparql.run(triples,
+      """SELECT ?c ?nk WHERE {
+        |  ?c <nationkey> ?nk . FILTER (?nk >= 10) FILTER (?nk < 20)
+        |}""".stripMargin)
+    val nks = numeric.select("nk").distinct().as[String].collect().map(_.toInt)
+    assert(nks.nonEmpty && nks.forall(v => v >= 10 && v < 20))
+    // "2" passes the lexicographic test ("2" >= "10") but not the numeric one
+    assert(numeric.filter($"nk" === "2").count() === 0)
+    // a non-numeric binding is a type error → row eliminated, not a crash
+    val mixed = Sparql.run(triples,
+      "SELECT ?c ?s WHERE { ?c <mktsegment> ?s . FILTER (?s > 5) }")
+    assert(mixed.count() === 0)
+  }
+
+  test("filters and optionals apply per union branch") {
+    val got = Sparql.run(triples,
+      """SELECT ?s ?n ?nat WHERE {
+        |  { ?s <name> ?n . FILTER regex(?n, "^Customer#00000001\\d$")
+        |    OPTIONAL { ?s <nation> ?nat . } }
+        |  UNION
+        |  { ?s <nationkey> ?n . FILTER (?n = "3") }
+        |}""".stripMargin)
+    val branch1 = got.filter($"n".startsWith("Customer#"))
+    val branch2 = got.filter($"n" === "3")
+    assert(branch1.count() === 10 && branch2.count() > 0)
+    assert(branch1.filter($"nat".isNull).count() === 0) // OPTIONAL matched
+    assert(branch2.filter($"nat".isNotNull).count() === 0) // padded
+    assert(got.count() === branch1.count() + branch2.count())
   }
 }
