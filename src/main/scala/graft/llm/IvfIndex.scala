@@ -24,6 +24,52 @@ object IvfIndex {
 
   case class Model(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  /** Persist the index: posting lists as parquet PARTITIONED BY `list_id`
+    * (so a search's `nProbe` lists prune to `nProbe` directories at scan
+    * time) plus the small centroid table. Build once at ingest, search
+    * many times — the lifecycle the reference's load/query split implies.
+    */
+  def save(m: Model, path: String): Unit = {
+    val spark = m.assigned.sparkSession
+    import spark.implicits._
+    m.assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/assigned")
+    m.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    Model(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
+  // one prebuilt index per (embeddings dir, k) per JVM; the on-disk copy
+  // survives the JVM so repeated sessions skip the k-means fit entirely
+  private val prebuilt = scala.collection.concurrent.TrieMap.empty[String, Model]
+
+  /** The prebuilt index over `<sfDir>/embeddings.parquet`: load it from the
+    * deterministic index location, building + saving it first only if it
+    * has never been materialized. Queries must come through here so the
+    * k-means fit stays a setup cost, never a per-query one.
+    */
+  def forEmbeddings(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      k: Int = 16): Model =
+    prebuilt.getOrElseUpdate(s"$sfDir#$k", {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
+        s"${java.lang.Integer.toHexString(sfDir.hashCode)}_$k"
+      if (new java.io.File(s"$path/assigned/_SUCCESS").exists()) load(spark, path)
+      else {
+        save(build(graft.sources.Tables.embeddings(spark, sfDir), k), path)
+        // serve reads from the partitioned on-disk layout, not the
+        // in-memory lineage, so list_id pruning is real
+        load(spark, path)
+      }
+    })
+
   /** Train the quantizer and assign every vector to a list (adds
     * `list_id`). Deterministic for a fixed seed and input. */
   def build(vectors: DataFrame, k: Int, seed: Long = 42L): Model = {

@@ -21,6 +21,29 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"nProbe=4 recall $recall")
   }
 
+  test("saved index round-trips and search prunes to the probed lists") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val m = IvfIndex.build(vecs, k = 8)
+    val path = new java.io.File(sys.props("java.io.tmpdir"), "ivf_rt_test")
+    rmTree(path)
+    IvfIndex.save(m, path.toString)
+    val loaded = IvfIndex.load(spark, path.toString)
+    assert(loaded.centroids.map(_.toSeq).toSeq === m.centroids.map(_.toSeq).toSeq)
+    assert(loaded.assigned.count() === m.assigned.count())
+    // identical search results through the persisted index
+    val before = IvfIndex.search(m, 0L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val after = IvfIndex.search(loaded, 0L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(after === before)
+    // the probe reads only the probed posting lists: list_id is a
+    // partition column, so the isin filter prunes at scan time
+    val scan = IvfIndex.search(loaded, 0L, 10, nProbe = 2).queryExecution
+      .executedPlan.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+      s"expected list_id partition pruning in:\n$scan")
+  }
+
   test("assignment is a complete partitioning of the vectors") {
     val vecs = graft.sources.Tables.embeddings(spark, sf0001)
     val m = IvfIndex.build(vecs, k = 8)
