@@ -54,6 +54,40 @@ class PropertySpec extends SparkSpec {
     }, cases = 8)
   }
 
+  test("property: multi-valued stars — join solve is the exact cross product") {
+    // a corpus where (s,p) is deliberately MULTI-valued: each subject gets
+    // a random bag of objects per predicate (the RDF norm the collapsed
+    // path's precondition excludes)
+    val genRows = for {
+      n <- Gen.choose(2, 5)
+      bags <- Gen.listOfN(n * 2, Gen.listOf(Gen.oneOf("x", "y", "z", "w")).map(_.distinct))
+    } yield (0 until n).flatMap(i => Seq(0, 1).flatMap(j =>
+      bags(i * 2 + j).map(o => (s"s$i", s"p$j", o))))
+    val pats = Seq(TP(V("a"), C("p0"), V("v0")), TP(V("a"), C("p1"), V("v1")))
+    check(Prop.forAll(genRows) { rows =>
+      rows.isEmpty || {
+        val t = rows.toDF("s", "p", "o")
+        // SPARQL semantics: every combination of the subject's p0-bindings
+        // and p1-bindings — the per-subject cross product
+        val expected = rows.groupBy(_._1).toSeq.flatMap { case (s, ts) =>
+          for {
+            x <- ts.filter(_._2 == "p0").map(_._3)
+            y <- ts.filter(_._2 == "p1").map(_._3)
+          } yield (s, x, y)
+        }.toSet
+        val got = Bgp.solve(t, pats)
+          .select("a", "v0", "v1").as[(String, String, String)]
+          .collect().toSet
+        val collapsed = Bgp.solveStarCollapsed(t, pats)
+        // the collapsed path's one-row-per-subject aggregate CANNOT widen
+        // to a cross product — exactly the documented precondition, and why
+        // the join solver is the default everywhere the data isn't known
+        // single-valued (Sparql.run, Bgp scaladoc)
+        got == expected && collapsed.count() == expected.map(_._1).size.toLong
+      }
+    }, cases = 8)
+  }
+
   test("property: as-of join ≡ naive latest-at-or-before model") {
     val genData = for {
       left <- Gen.listOfN(15, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
