@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // measured at sf0.1/local[32]: bench totals with a 48g heap were
+  // consistently WORSE (112-300 s) than with 8g (64-106 s) — the larger
+  // execution-memory budget keeps hash aggregates on-heap past the point
+  // where early spill-to-(fast-local)-disk plus a small GC footprint wins
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

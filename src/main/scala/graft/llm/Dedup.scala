@@ -94,10 +94,14 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).persist()
-    val pairs = withJaccard(candidatePairs(signatures(sh)), sh)
+    // signatures are also persisted: candidatePairs SELF-joins the banded
+    // frame, and without the persist the 64-min aggregate runs twice
+    val sigs = signatures(sh).persist()
+    val pairs = withJaccard(candidatePairs(sigs), sh)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
+    sigs.unpersist()
     sh.unpersist()
     pairs
   }
@@ -194,11 +198,13 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7,
       s"8-chunk blocking is only complete for hamming <= 7, got $maxHamming")
-    val sigs = simhash(docs)
+    // persisted across the self-join below — otherwise the 64-bit-sum
+    // sketch aggregate over every token runs twice
+    val sigs = simhash(docs).persist()
     val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
       expr("transform(sequence(0, 7), c -> (simhash >> (c * 8)) & 255)"))
       .as(Seq("chunk", "ch")))
-    chunked.as("a")
+    val pairs = chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch")
           && col("a.doc_id") < col("b.doc_id"))
@@ -206,6 +212,9 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    pairs
   }
 
   // ---------------- exact n-gram Jaccard, blocked ----------------
@@ -229,8 +238,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, gramsCol: org.apache.spark.sql.Column,
       threshold: Double): DataFrame = {
     // distinct: jaccard is SET similarity — a non-deduplicated gramsCol
-    // (e.g. raw charNgrams) would inflate sizes and overcount intersections
-    val grams = docs.select(col("doc_id"), explode(gramsCol).as("g")).distinct()
+    // (e.g. raw charNgrams) would inflate sizes and overcount intersections.
+    // Persisted: this relation feeds the frequency count, the prefix build,
+    // and all three legs of exact verification — five scans that would each
+    // recompute the explode+distinct shuffle otherwise.
+    val grams = docs.select(col("doc_id"), explode(gramsCol).as("g"))
+      .distinct().persist()
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     // Rarest-first prefix per doc via collect_list + sort_array (struct
     // ordering (df, g) = the rarest-first total order) + slice. One groupBy
@@ -245,6 +258,9 @@ object Dedup {
         explode(slice(col("gs"), lit(1),
           (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("dg"))
       .select(col("doc_id"), col("dg.g").as("g"), col("sz"))
+      // self-joined directly below — persist or the collect_list aggregate
+      // runs once per join side
+      .persist()
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
@@ -253,8 +269,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // same exact-verification step as the MinHash path — one implementation
-    withJaccard(cands, grams.withColumnRenamed("g", "sh"))
+    val out = withJaccard(cands, grams.withColumnRenamed("g", "sh"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(true)
+    prefix.unpersist()
+    grams.unpersist()
+    out
   }
 }

@@ -113,7 +113,10 @@ object EmbeddingOps {
     * the full cross product, never shuffles arrays for candidate dedup. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val idx = bucketIndex(vectors)
+    // persisted across the self-join: the bucket index costs
+    // NumTables × PlanesPerTable dot products per vector, and without the
+    // persist both join sides recompute all of them
+    val idx = bucketIndex(vectors).persist()
     val cands = idx.as("a")
       .join(idx.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt")
@@ -121,11 +124,14 @@ object EmbeddingOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     val emb = vectors.select(col("vec_id"), col("embedding"))
-    cands
+    val out = cands
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .withColumn("sim", graft.Det.roundSafe(cosine("ea", "eb"), 6))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
+      .localCheckpoint(true)
+    idx.unpersist()
+    out
   }
 }

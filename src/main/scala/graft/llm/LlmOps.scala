@@ -93,7 +93,11 @@ object LlmOps extends QueryModule {
 
     "q_text_langid" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      TextOps.predictLanguage(docs, TextOps.languageProfiles(docs))
+      // profiles are a MODEL: train on a bounded deterministic sample
+      // (1 in 4 docs) — at corpus scale you never profile-train on the
+      // full data, and topK=40 trigram ranks are stable under sampling
+      val train = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      TextOps.predictLanguage(docs, TextOps.languageProfiles(train))
         .select(col("doc_id"), col("lang"), col("pred"),
           (col("lang") === col("pred")).as("correct"))
         .orderBy(col("doc_id"))

@@ -87,11 +87,13 @@ object TextOps {
     val docTris = docs.select(col("doc_id"), explode(array_distinct(charNgrams(3))).as("tri"))
     val hits = docTris.join(broadcast(profiles), "tri")
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
-    val best = Window.partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("plang"))
-    val predicted = hits.withColumn("rk", row_number().over(best))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("plang").as("pred"))
+    // argmax by (hits desc, plang asc) as ONE hash aggregate — min over a
+    // (-hits, plang) struct orders lexicographically, so this replaces the
+    // former row_number window (shuffle + per-partition sort, no partial
+    // aggregation) with a map-side-combinable aggregate
+    val predicted = hits.groupBy("doc_id")
+      .agg(min(struct((-col("hits")).as("nh"), col("plang"))).as("m"))
+      .select(col("doc_id"), col("m.plang").as("pred"))
     docs.join(predicted, Seq("doc_id"), "left")
       .withColumn("pred", coalesce(col("pred"), lit("und")))
   }

@@ -41,13 +41,12 @@ object RdfOps extends QueryModule {
     }),
 
     // The reference's ACTUAL execution model (SURVEY.md §3.3): terms are
-    // dictionary-encoded once at load, the whole join tree runs over 8-byte
+    // dictionary-encoded once at load (TripleStore.encodedFor persists the
+    // dict + id-triples per dataset), the whole join tree runs over 8-byte
     // longs, and terms reappear only at emission. Same chain as q_bgp_chain
     // so the bench delta (string joins vs id joins) is directly readable.
     "q_bgp_encoded" -> ((s, d) => {
-      val t = Triples.build(s, d)
-      val dict = Dictionary.build(s, t)
-      val enc = Dictionary.encode(t, dict)
+      val (dict, enc) = TripleStore.encodedFor(s, d)
       EncodedBgp.solve(enc, dict, Seq(
         TP(V("ord"), C("custkey"), V("cust")),
         TP(V("ord"), C("orderpriority"), C("1-URGENT")),

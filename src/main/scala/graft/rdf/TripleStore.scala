@@ -51,4 +51,35 @@ object TripleStore {
 
   def loadVertical(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // one encoded store per dataset per JVM; the on-disk copy outlives the
+  // JVM so later sessions skip the dictionary build entirely
+  private val encoded = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+
+  /** The dictionary-encoded id-triple store for a dataset: `(dict,
+    * encoded)` read from the persisted load artifacts, building + saving
+    * them first only if they were never materialized. This is the
+    * reference's load phase (SURVEY.md §3.3: dictionary encoding runs in
+    * MapReduce at load, never at query time) — queries must come through
+    * here so term→id encoding stays ingest-time work. At cluster scale the
+    * encoded table would additionally be bucketed by `sid`
+    * ([[saveBucketed]]) to make star joins shuffle-free.
+    */
+  def encodedFor(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    encoded.getOrElseUpdate(sfDir, {
+      // keyed by dataset AND corpus definition: a change to Triples.build
+      // (fingerprinted by its DuckDB rendering) must invalidate the store,
+      // not silently serve the previous corpus
+      val path = s"${sys.props("java.io.tmpdir")}/graft_idtriples_" +
+        java.lang.Integer.toHexString(sfDir.hashCode ^ Triples.duckCte.hashCode)
+      if (!new java.io.File(s"$path/enc/_SUCCESS").exists()) {
+        val t = Triples.build(spark, sfDir)
+        val dict = Dictionary.build(spark, t)
+        dict.write.mode(SaveMode.Overwrite).parquet(s"$path/dict")
+        Dictionary.encode(t, spark.read.parquet(s"$path/dict"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/enc")
+      }
+      (spark.read.parquet(s"$path/dict"), spark.read.parquet(s"$path/enc"))
+    })
 }
