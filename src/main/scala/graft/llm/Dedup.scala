@@ -99,7 +99,8 @@ object Dedup {
     val sigs = signatures(sh).persist()
     val pairs = withJaccard(candidatePairs(sigs), sh)
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.Det.roundSafe(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
     sigs.unpersist()
     sh.unpersist()
@@ -268,10 +269,14 @@ object Dedup {
           && col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // same exact-verification step as the MinHash path — one implementation
+    // same exact-verification step as the MinHash path — one implementation.
+    // roundSafe (tie-safe floor formula) rather than round: this operator is
+    // EXACT, so it is oracled against DuckDB computing the same brute-force
+    // jaccard, and the rounding must be bit-identical across engines.
     val out = withJaccard(cands, grams.withColumnRenamed("g", "sh"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.Det.roundSafe(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
     prefix.unpersist()
     grams.unpersist()

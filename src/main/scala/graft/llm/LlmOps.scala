@@ -141,6 +141,27 @@ object LlmOps extends QueryModule {
         |SELECT vec_id, label, sim FROM sims
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // q_dedup_ngram is EXACT (prefix filtering is a complete candidate
+    // generator; the spec proves it loses no pairs) — so unlike the
+    // LSH-gated minhash/simhash/embcos paths it CAN be oracled: DuckDB
+    // recomputes brute-force word-3-shingle jaccard from scratch.
+    "q_dedup_ngram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS g
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        |            FROM w)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, (1.0 * i) / (sa.sz + sb.sz - i) AS jac
+        |      FROM inter
+        |      JOIN sizes sa ON sa.doc_id = doc_a
+        |      JOIN sizes sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, (floor(jac * 10000.0 + 0.5) / 10000.0) AS jaccard
+        |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT tok, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
