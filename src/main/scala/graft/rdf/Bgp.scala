@@ -105,7 +105,12 @@ object Bgp {
 
   /** requiredResult OPTIONAL { patterns }: left-outer join on shared vars. */
   def optional(required: DataFrame, triples: DataFrame, patterns: Seq[TP]): DataFrame =
-    joinWith(required, solve(triples, patterns), "left_outer")
+    optionalSolved(required, solve(triples, patterns))
+
+  /** OPTIONAL against an already-solved block (e.g. one solved over the
+    * encoded store and decoded). */
+  def optionalSolved(required: DataFrame, block: DataFrame): DataFrame =
+    joinWith(required, block, "left_outer")
 
   private def join(a: DataFrame, b: DataFrame): DataFrame = joinWith(a, b, "inner")
 

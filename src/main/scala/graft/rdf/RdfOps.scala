@@ -81,6 +81,23 @@ object RdfOps extends QueryModule {
         .orderBy(col("ord"), col("cust"))
     }),
 
+    // The COMPLETE reference pipeline in one query: SPARQL text → BGP
+    // algebra → constants encoded to dictionary ids → join tree over longs
+    // against the persisted id-store → bindings decoded at emission →
+    // FILTER on the decoded terms. Same query text as q_sparql_text, so
+    // the oracle also proves string-space ≡ id-space execution.
+    "q_sparql_encoded" -> ((s, d) => {
+      val (dict, enc) = TripleStore.encodedFor(s, d)
+      Sparql.runEncoded(enc, dict, collapseStars = true, text =
+        """SELECT ?ord ?cust ?cname WHERE {
+          |  ?ord <custkey> ?cust .
+          |  ?ord <orderpriority> "1-URGENT" .
+          |  ?cust <name> ?cname .
+          |  FILTER regex(?cname, "1$")
+          |}""".stripMargin)
+        .orderBy(col("ord"), col("cust"))
+    }),
+
     // UNION of two groups binding different variable sets: ?seg is unbound
     // in the orders branch and null-padded, DISTINCT collapses the bag,
     // and the total ORDER BY + LIMIT make the cut deterministic.
@@ -125,6 +142,14 @@ object RdfOps extends QueryModule {
   )
 
   private def cte(body: String) = s"WITH triples AS (\n${Triples.duckCte}\n)\n$body"
+
+  private val sparqlTextOracle = cte(
+    """SELECT t1.s AS ord, t1.o AS cust, t3.o AS cname
+      |FROM triples t1, triples t2, triples t3
+      |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
+      |  AND t3.p = 'name' AND t1.s = t2.s AND t1.o = t3.s
+      |  AND regexp_matches(t3.o, '1$')
+      |ORDER BY ord, cust""".stripMargin)
 
   val oracleSql: Map[String, String] = Map(
     "q_triples_build" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
@@ -189,13 +214,10 @@ object RdfOps extends QueryModule {
         |  ON req.cust = opt.cust
         |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
 
-    "q_sparql_text" -> cte(
-      """SELECT t1.s AS ord, t1.o AS cust, t3.o AS cname
-        |FROM triples t1, triples t2, triples t3
-        |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
-        |  AND t3.p = 'name' AND t1.s = t2.s AND t1.o = t3.s
-        |  AND regexp_matches(t3.o, '1$')
-        |ORDER BY ord, cust""".stripMargin),
+    "q_sparql_text" -> sparqlTextOracle,
+    // id-space execution must be indistinguishable from string-space: the
+    // oracle is the very same relational query
+    "q_sparql_encoded" -> sparqlTextOracle,
 
     "q_sparql_union" -> cte(
       """SELECT s, n, seg FROM (

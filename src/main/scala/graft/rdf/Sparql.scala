@@ -73,13 +73,31 @@ object Sparql {
     * one-shuffle-per-star plan (see [[Bgp.solveStarCollapsed]]).
     */
   def run(triples: DataFrame, text: String,
-      collapseStars: Boolean = false): DataFrame = {
-    val q = parse(text)
+      collapseStars: Boolean = false): DataFrame =
+    execute(parse(text), bgp =>
+      if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
+      else Bgp.solve(triples, bgp))
+
+  /** Parse and execute against the dictionary-encoded id-triple store —
+    * the complete reference pipeline: text → BGP algebra → constants
+    * encoded to ids → the whole join tree over longs → bindings decoded at
+    * emission ([[EncodedBgp]]). OPTIONAL blocks are likewise solved in id
+    * space and left-joined after decode; FILTERs (string/regex/numeric
+    * semantics) apply to the decoded bindings, where they mean the same
+    * thing as in [[run]].
+    */
+  def runEncoded(enc: DataFrame, dict: DataFrame, text: String,
+      collapseStars: Boolean = false): DataFrame =
+    execute(parse(text), bgp => EncodedBgp.solve(enc, dict, bgp, collapseStars))
+
+  /** Lower a parsed query given a BGP solver that returns string-space
+    * bindings; everything above the BGP (OPTIONAL, FILTER, UNION, solution
+    * modifiers) is solver-independent.
+    */
+  private def execute(q: Query, solveBgp: Seq[TP] => DataFrame): DataFrame = {
     val solved = q.branches.map { b =>
-      var df =
-        if (collapseStars) Bgp.solveStarCollapsed(triples, b.where)
-        else Bgp.solve(triples, b.where)
-      b.optionals.foreach(o => df = Bgp.optional(df, triples, o))
+      var df = solveBgp(b.where)
+      b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
       b.filters.foreach(f => df = df.filter(filterCol(f)))
       df
     }

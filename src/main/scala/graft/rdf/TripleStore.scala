@@ -23,12 +23,16 @@ object TripleStore {
 
   /** Write the triples table bucketed+sorted by subject as a catalog table
     * (bucketing metadata lives in the catalog, so `bucketBy` requires
-    * `saveAsTable` rather than a path write). */
-  def saveBucketed(triples: DataFrame, table: String, buckets: Int = 32): Unit =
+    * `saveAsTable` rather than a path write). `subjectCol` defaults to the
+    * string store's `s`; pass `sid` to bucket the encoded id-store, which
+    * composes both reference techniques — subject co-location (R10) over
+    * dictionary ids (R2) — into shuffle-free star joins on 8-byte keys. */
+  def saveBucketed(triples: DataFrame, table: String, buckets: Int = 32,
+      subjectCol: String = "s"): Unit =
     triples.write
       .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "s")
-      .sortBy("s")
+      .bucketBy(buckets, subjectCol)
+      .sortBy(subjectCol)
       .format("parquet")
       .saveAsTable(table)
 

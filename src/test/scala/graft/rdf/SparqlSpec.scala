@@ -154,6 +154,26 @@ class SparqlSpec extends SparkSpec {
     assert(mixed.count() === 0)
   }
 
+  test("SPARQL over the encoded id-store ≡ string-space execution") {
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    // the full fragment in one query: UNION + OPTIONAL + regex and numeric
+    // FILTERs + DISTINCT + ORDER BY
+    val text =
+      """SELECT DISTINCT ?s ?n ?extra WHERE {
+        |  { ?s <name> ?n . FILTER regex(?n, "^Customer#0000000[12]\\d$")
+        |    OPTIONAL { ?s <nation> ?extra . } }
+        |  UNION
+        |  { ?s <nationkey> ?n . FILTER (?n < 3) }
+        |}
+        |ORDER BY ?s ?n""".stripMargin
+    val viaString = Sparql.run(triples, text)
+    val viaIds = Sparql.runEncoded(enc, dict, text)
+    assert(viaString.count() > 0)
+    assert(viaString.exceptAll(viaIds).count() === 0)
+    assert(viaIds.exceptAll(viaString).count() === 0)
+  }
+
   test("filters and optionals apply per union branch") {
     val got = Sparql.run(triples,
       """SELECT ?s ?n ?nat WHERE {

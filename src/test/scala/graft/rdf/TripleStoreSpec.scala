@@ -30,6 +30,36 @@ class TripleStoreSpec extends SparkSpec {
     assert(star.exceptAll(unbucketed.select("s", "cname", "seg")).count() === 0)
   }
 
+  test("bucketed encoded store: id-space stars join shuffle-free over longs") {
+    spark.sql("DROP TABLE IF EXISTS t_enc_bucketed")
+    rmTree(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "t_enc_bucketed"))
+    val triples = Triples.build(spark, sf0001)
+    val dict = Dictionary.build(spark, triples)
+    TripleStore.saveBucketed(Dictionary.encode(triples, dict),
+      "t_enc_bucketed", buckets = 4, subjectCol = "sid")
+    val enc = TripleStore.load(spark, "t_enc_bucketed")
+
+    val pats = Seq(
+      TP(V("c"), C("name"), V("n")), TP(V("c"), C("mktsegment"), V("seg")))
+    val (idPats, ok) = EncodedBgp.encodePatterns(dict, pats)
+    assert(ok)
+    val solved = Bgp.solve(EncodedBgp.asTriples(enc), idPats)
+    // both reference techniques composed: subject co-location makes the
+    // star join exchange-free AND every join key is an 8-byte long
+    val plan = solved.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"id-star join over the bucketed encoded store must not shuffle:\n$plan")
+    assert(solved.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType))
+
+    val viaString = Bgp.solve(triples, pats)
+    val decoded = EncodedBgp.decode(solved, dict, solved.columns)
+      .select(viaString.columns.map(col): _*)
+    assert(decoded.count() === viaString.count())
+    assert(decoded.exceptAll(viaString).count() === 0)
+  }
+
   test("vertically-partitioned store partition-prunes constant-predicate patterns") {
     val dir = new java.io.File("target/vp-triples")
     rmTree(dir)
