@@ -40,6 +40,10 @@ object Graft {
 
   // ---- query ----
   def sparql(t: DataFrame, text: String): DataFrame = rdf.Sparql.run(t, text)
+  /** SPARQL text over the dictionary-encoded id-store (the reference's
+    * execution model): joins run over longs, bindings decode at emission. */
+  def sparqlEncoded(enc: DataFrame, dict: DataFrame, text: String): DataFrame =
+    rdf.Sparql.runEncoded(enc, dict, text)
   def bgp(t: DataFrame, patterns: Seq[rdf.TP]): DataFrame =
     rdf.Bgp.solve(t, patterns)
   /** One-shuffle-per-star plan — only sound when (subject, predicate) is

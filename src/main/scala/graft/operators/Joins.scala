@@ -111,6 +111,18 @@ object Joins extends QueryModule {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q_join_skew" -> ((s, d) => {
+      // Salted equi-join ([[SkewJoin]]): the oracle is the PLAIN join —
+      // salting must be invisible in the result. The skew benefit itself
+      // (hot key spread over `salt` partitions) is asserted in SkewSpec
+      // on a corpus with a planted hot key.
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey").as("k"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"), col("c_mktsegment"))
+      SkewJoin.salted(o, c, "k", salt = 8)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -175,6 +187,11 @@ object Joins extends QueryModule {
 
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
-        |ORDER BY r_name, n_name""".stripMargin
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_skew" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

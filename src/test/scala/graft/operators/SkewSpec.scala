@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted hot key: 80% of the skewed side lands on key 7
+  private lazy val skewed = spark.range(0, 5000)
+    .select(when($"id" % 5 =!= 0, 7L).otherwise($"id" % 100).as("k"),
+      $"id".as("payload"))
+  private lazy val dim = spark.range(0, 100)
+    .select($"id".as("k"), concat(lit("v"), $"id").as("attr"))
+
+  test("salted inner join ≡ plain inner join on a hot-key corpus") {
+    val plain = skewed.join(dim, "k")
+    val got = SkewJoin.salted(skewed, dim, "k", salt = 8)
+    assert(got.columns.toSeq === plain.columns.toSeq) // no salt leak
+    assert(got.count() === plain.count())
+    assert(got.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(got).count() === 0)
+  }
+
+  test("salted left-outer join keeps unmatched left rows exactly once") {
+    val dimMissingHot = dim.filter($"k" =!= 7) // the hot key has NO match
+    val plain = skewed.join(dimMissingHot, Seq("k"), "left_outer")
+    val got = SkewJoin.salted(skewed, dimMissingHot, "k", salt = 8, "left_outer")
+    assert(got.count() === plain.count())
+    assert(got.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(got).count() === 0)
+    // every hot-key row survives with a null attr, not dropped, not duplicated
+    assert(got.filter($"k" === 7 && $"attr".isNull).count() ===
+      skewed.filter($"k" === 7).count())
+  }
+
+  test("salting spreads the hot key across the shuffle") {
+    // group the SALTED join keys the way the shuffle would: the hot key's
+    // rows must land in `salt` distinct (k, salt) groups, not one
+    val salt = 8
+    val saltedKeys = skewed
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)))
+      .filter($"k" === 7).select("__salt").distinct().count()
+    assert(saltedKeys === salt.toLong,
+      s"expected the hot key spread over $salt sub-keys, got $saltedKeys")
+  }
+
+  test("unsupported join types are rejected loudly") {
+    intercept[IllegalArgumentException](
+      SkewJoin.salted(skewed, dim, "k", 8, "full_outer"))
+    intercept[IllegalArgumentException](
+      SkewJoin.salted(skewed, dim, "k", 0))
+  }
+}

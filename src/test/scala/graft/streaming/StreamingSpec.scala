@@ -102,6 +102,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("N-Triples files stream through the same parse pipeline as batch") {
+    import graft.rdf.{NTriples, Triples}
+    // streaming RDF ingest: the reference's load path (N-Triples on a
+    // distributed FS) expressed as a file-source stream; parse is pure
+    // column logic, so batch and streaming share one implementation
+    val dir = new java.io.File("target/stream-nt")
+    rmTree(dir)
+    val triples = Triples.build(spark, sf0001)
+    // render every object as a literal (the EAV corpus carries no node
+    // kind); the parse side decodes it back to the same plain string
+    NTriples.write(triples.withColumn("o_is_iri", lit(false)), dir.getPath)
+    val batch = NTriples.read(spark, dir.getPath)
+    val q = NTriples.parse(spark.readStream.text(dir.getPath))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nt_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nt_stream_out")
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // and the round trip itself is lossless vs the source triples
+      assert(streamed.exceptAll(triples).count() === 0)
+    } finally q.stop()
+  }
+
   case class Ord(o_id: Long, o_us: Long, o_uid: Long)
 
   test("stream-stream interval join matches events to in-window orders only") {
