@@ -45,6 +45,34 @@ class SkewSpec extends SparkSpec {
       s"expected the hot key spread over $salt sub-keys, got $saltedKeys")
   }
 
+  test("AQE splits the skewed sort-merge partition at runtime") {
+    // the adaptive half of the skew story: same hot-key shape, no salting —
+    // OptimizeSkewedJoin must mark and split the oversized partition
+    val keys = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fatLeft = spark.range(0, 200000)
+        .select(when($"id" % 10 =!= 0, 7L).otherwise($"id" % 1000).as("k"),
+          lpad($"id".cast("string"), 48, "x").as("pay"))
+      val right = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = fatLeft.hint("merge").join(right.hint("merge"), "k")
+      // run THIS dataset's own QueryExecution (count() would plan a
+      // different query and leave this one's adaptive plan unfinalized)
+      assert(j.collect().length === 200000) // every left row matches once
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the join skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("unsupported join types are rejected loudly") {
     intercept[IllegalArgumentException](
       SkewJoin.salted(skewed, dim, "k", 8, "full_outer"))

@@ -178,6 +178,23 @@ class RdfSpec extends SparkSpec {
     assert(solved.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType))
   }
 
+  test("encoded BGP over the hashed (100TB-path) dictionary ≡ dense dictionary") {
+    val pats = Seq(
+      TP(V("ord"), C("custkey"), V("cust")),
+      TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+      TP(V("cust"), C("name"), V("cname")))
+    val dense = Dictionary.build(spark, triples)
+    val hashed = Dictionary.hashIds(triples)
+    // the scale path's post-load invariant, then the same solver unchanged
+    assert(Dictionary.auditCollisions(hashed).count() === 0)
+    val viaDense = EncodedBgp.solve(Dictionary.encode(triples, dense), dense, pats)
+    val viaHash = EncodedBgp.solve(Dictionary.encode(triples, hashed), hashed, pats)
+      .select(viaDense.columns.map(col): _*)
+    assert(viaDense.count() > 0)
+    assert(viaDense.exceptAll(viaHash).count() === 0)
+    assert(viaHash.exceptAll(viaDense).count() === 0)
+  }
+
   test("encoded BGP with a constant absent from the dictionary is empty, not wrong") {
     val dict = Dictionary.build(spark, triples)
     val enc = Dictionary.encode(triples, dict)
