@@ -59,15 +59,16 @@ object IvfIndex {
   def forEmbeddings(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       k: Int = 16): Model =
     prebuilt.getOrElseUpdate(s"$sfDir#$k", {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
+      // path carries every build input: the dataset dir and k (the seed is
+      // fixed). AtomicStore publishes the two parquet writes with one
+      // rename, so a crash mid-save can never wedge a half-written index.
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
         s"${java.lang.Integer.toHexString(sfDir.hashCode)}_$k"
-      if (new java.io.File(s"$path/assigned/_SUCCESS").exists()) load(spark, path)
-      else {
-        save(build(graft.sources.Tables.embeddings(spark, sfDir), k), path)
-        // serve reads from the partitioned on-disk layout, not the
-        // in-memory lineage, so list_id pruning is real
-        load(spark, path)
-      }
+      val path = graft.sources.AtomicStore.materialize(base)(tmp =>
+        save(build(graft.sources.Tables.embeddings(spark, sfDir), k), tmp))
+      // serve reads from the partitioned on-disk layout, not the in-memory
+      // lineage, so list_id pruning is real
+      load(spark, path)
     })
 
   /** Train the quantizer and assign every vector to a list (adds

@@ -32,6 +32,10 @@ object SkewJoin {
     require(salt > 0, s"salt must be positive, got $salt")
     require(Set("inner", "left_outer")(joinType),
       s"salting supports inner/left_outer, got $joinType")
+    // withColumn would silently overwrite a pre-existing __salt and then
+    // drop would delete the user's column — refuse instead
+    require(!(skewed.columns ++ small.columns).contains("__salt"),
+      "input already has a __salt column")
     val l = skewed.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val r = small.withColumn("__salt",

@@ -34,17 +34,32 @@ object EncodedBgp {
     * dictionaries) collide with a real one.
     */
   def encodePatterns(dict: DataFrame, patterns: Seq[TP]): (Seq[TP], Boolean) = {
+    val idOf = resolveConstants(dict, patterns)
+    encodeResolved(patterns, idOf)
+  }
+
+  /** One dictionary lookup for the constants of any number of pattern
+    * groups — a multi-block query (UNION branches, OPTIONALs) resolves all
+    * its constants in a single job instead of one per block. */
+  def resolveConstants(dict: DataFrame, patterns: Seq[TP]): Map[String, Long] = {
     val consts = patterns.flatMap(tp => Seq(tp.s, tp.p, tp.o))
       .collect { case C(v: String) => v }.distinct
-    val idOf: Map[String, Long] =
-      if (consts.isEmpty) Map.empty
-      else dict.filter(col("term").isin(consts: _*))
-        .select(col("term"), col("id"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (consts.isEmpty) Map.empty
+    else dict.filter(col("term").isin(consts: _*))
+      .select(col("term"), col("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Translate with an already-resolved constant map (see
+    * [[resolveConstants]]); the Boolean is "every constant resolved". */
+  def encodeResolved(patterns: Seq[TP],
+      idOf: Map[String, Long]): (Seq[TP], Boolean) = {
     def tr(t: Term): Term = t match {
       case C(v: String) => C(idOf.getOrElse(v, Long.MinValue))
       case other => other
     }
+    val consts = patterns.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case C(v: String) => v }
     (patterns.map(tp => TP(tr(tp.s), tr(tp.p), tr(tp.o))),
       consts.forall(idOf.contains))
   }
@@ -68,8 +83,15 @@ object EncodedBgp {
     * [[Dictionary.hashIds]]) — build them once, query many times.
     */
   def solve(encoded: DataFrame, dict: DataFrame, patterns: Seq[TP],
-      collapseStars: Boolean = false): DataFrame = {
-    val (pats, allResolved) = encodePatterns(dict, patterns)
+      collapseStars: Boolean = false): DataFrame =
+    solveResolved(encoded, dict, patterns,
+      resolveConstants(dict, patterns), collapseStars)
+
+  /** [[solve]] with the constant map supplied by the caller — multi-block
+    * queries resolve once and solve each block with the shared map. */
+  def solveResolved(encoded: DataFrame, dict: DataFrame, patterns: Seq[TP],
+      idOf: Map[String, Long], collapseStars: Boolean): DataFrame = {
+    val (pats, allResolved) = encodeResolved(patterns, idOf)
     val t = asTriples(encoded)
     val solved =
       if (collapseStars) Bgp.solveStarCollapsed(t, pats) else Bgp.solve(t, pats)

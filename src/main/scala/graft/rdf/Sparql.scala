@@ -58,10 +58,17 @@ object Sparql {
   final case class Query(projection: Seq[String], branches: Seq[Block],
       distinct: Boolean, orderKeys: Seq[OrderKey],
       limit: Option[Int], offset: Option[Int]) {
-    // single-branch accessors (the pre-UNION shape most callers inspect)
-    def where: Seq[TP] = branches.head.where
-    def optionals: Seq[Seq[TP]] = branches.head.optionals
-    def filters: Seq[FilterExpr] = branches.head.filters
+    // single-branch accessors (the pre-UNION shape most callers inspect);
+    // guarded so a union query can never silently expose only its first
+    // branch to plan analysis — inspect `branches` for those
+    private def only: Block = {
+      require(branches.size == 1,
+        s"query has ${branches.size} UNION branches — use `branches`")
+      branches.head
+    }
+    def where: Seq[TP] = only.where
+    def optionals: Seq[Seq[TP]] = only.optionals
+    def filters: Seq[FilterExpr] = only.filters
   }
 
   /** Parse and execute against a triples DataFrame(s,p,o).
@@ -87,8 +94,14 @@ object Sparql {
     * thing as in [[run]].
     */
   def runEncoded(enc: DataFrame, dict: DataFrame, text: String,
-      collapseStars: Boolean = false): DataFrame =
-    execute(parse(text), bgp => EncodedBgp.solve(enc, dict, bgp, collapseStars))
+      collapseStars: Boolean = false): DataFrame = {
+    val q = parse(text)
+    // ONE dictionary-lookup job for the whole query — every UNION branch
+    // and OPTIONAL block shares the resolved constant map
+    val allPats = q.branches.flatMap(b => b.where ++ b.optionals.flatten)
+    val idOf = EncodedBgp.resolveConstants(dict, allPats)
+    execute(q, bgp => EncodedBgp.solveResolved(enc, dict, bgp, idOf, collapseStars))
+  }
 
   /** Lower a parsed query given a BGP solver that returns string-space
     * bindings; everything above the BGP (OPTIONAL, FILTER, UNION, solution
@@ -124,7 +137,9 @@ object Sparql {
         case _ => false
       }
       def side(t: Term): Column = t match {
-        case V(n) => if (numeric) expr(s"try_cast($n AS double)") else col(n)
+        // backticks: a variable named like a SQL keyword/literal (?true,
+        // ?order) must stay a column reference inside the expr text
+        case V(n) => if (numeric) expr(s"try_cast(`$n` AS double)") else col(n)
         case C(v: BigDecimal) => lit(v.toDouble)
         case C(v) => lit(v)
       }

@@ -75,14 +75,14 @@ object TripleStore {
       // keyed by dataset AND corpus definition: a change to Triples.build
       // (fingerprinted by its DuckDB rendering) must invalidate the store,
       // not silently serve the previous corpus
-      val path = s"${sys.props("java.io.tmpdir")}/graft_idtriples_" +
+      val base = s"${sys.props("java.io.tmpdir")}/graft_idtriples_" +
         java.lang.Integer.toHexString(sfDir.hashCode ^ Triples.duckCte.hashCode)
-      if (!new java.io.File(s"$path/enc/_SUCCESS").exists()) {
+      val path = graft.sources.AtomicStore.materialize(base) { tmp =>
         val t = Triples.build(spark, sfDir)
         val dict = Dictionary.build(spark, t)
-        dict.write.mode(SaveMode.Overwrite).parquet(s"$path/dict")
-        Dictionary.encode(t, spark.read.parquet(s"$path/dict"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$path/enc")
+        dict.write.parquet(s"$tmp/dict")
+        Dictionary.encode(t, spark.read.parquet(s"$tmp/dict"))
+          .write.parquet(s"$tmp/enc")
       }
       (spark.read.parquet(s"$path/dict"), spark.read.parquet(s"$path/enc"))
     })

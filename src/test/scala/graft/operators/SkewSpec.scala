@@ -78,5 +78,8 @@ class SkewSpec extends SparkSpec {
       SkewJoin.salted(skewed, dim, "k", 8, "full_outer"))
     intercept[IllegalArgumentException](
       SkewJoin.salted(skewed, dim, "k", 0))
+    // a pre-existing __salt column would be silently clobbered — rejected
+    intercept[IllegalArgumentException](
+      SkewJoin.salted(skewed.withColumn("__salt", lit(1)), dim, "k", 8))
   }
 }

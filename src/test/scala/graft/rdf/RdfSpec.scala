@@ -72,7 +72,11 @@ class RdfSpec extends SparkSpec {
       """<http://ex/s> <http://ex/p> "café \U0001F600" .""",
       """<> <http://ex/p> <http://ex/o> .""", // empty IRI subject: valid, not corrupt
       """<http://ex/s> <http://ex/p> "" .""", // empty literal: valid
-      "<http://ex/s> <http://ex/p> \"trunc\\" + "u12\" ." // truncated UCHAR: corrupt
+      "<http://ex/s> <http://ex/p> \"trunc\\" + "u12\" .", // truncated UCHAR: corrupt
+      // 8 hex digits but NOT a code point (> U+10FFFF): must be a corrupt
+      // line, never a decode crash
+      "<http://ex/s> <http://ex/p> \"bad \\" + "UFFFFFFFF\" .",
+      "<http://ex/s> <http://ex/p> \"bad \\" + "U00110000\" ."
     ).toDF("value")
     val got = NTriples.parse(lines).as[(String, String, String)].collect().toSet
     assert(got.contains(("http://ex/s", "http://ex/p", "line\nbreak\tand \"quote\" and back\\slash")))
@@ -80,7 +84,7 @@ class RdfSpec extends SparkSpec {
     assert(got.contains(("", "http://ex/p", "http://ex/o")))
     assert(got.contains(("http://ex/s", "http://ex/p", "")))
     assert(got.size === 4)
-    assert(NTriples.corrupt(lines).count() === 1)
+    assert(NTriples.corrupt(lines).count() === 3)
   }
 
   test("N-Triples write → read round-trips, including escapes and node kinds") {

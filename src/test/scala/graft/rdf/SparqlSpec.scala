@@ -152,6 +152,12 @@ class SparqlSpec extends SparkSpec {
     val mixed = Sparql.run(triples,
       "SELECT ?c ?s WHERE { ?c <mktsegment> ?s . FILTER (?s > 5) }")
     assert(mixed.count() === 0)
+    // a variable named like a SQL keyword/literal must stay a column
+    // reference inside the numeric cast, not become the literal `true`
+    val kw = Sparql.run(triples,
+      "SELECT ?c ?true WHERE { ?c <nationkey> ?true . FILTER (?true >= 20) }")
+    assert(kw.count() > 0)
+    assert(kw.select("true").distinct().as[String].collect().map(_.toInt).forall(_ >= 20))
   }
 
   test("SPARQL over the encoded id-store ≡ string-space execution") {
