@@ -59,6 +59,32 @@ object ScaleProbe {
 
     require(counts.values.toSet.size == 1,
       s"strategies disagree — benchmark invalid: $counts")
+
+    // The dictionary-encoding lever on a CHAIN (two stars joined through a
+    // variable): identical plans, joins over strings vs over 8-byte ids.
+    // Encode/decode time is excluded — both are load/emission-time in the
+    // reference's lifecycle (SURVEY.md §3.3).
+    val chain = Seq(
+      TP(V("ord"), C("custkey"), V("cust")),
+      TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+      TP(V("cust"), C("mktsegment"), V("seg")),
+      TP(V("cust"), C("name"), V("cname")))
+    val (dict, encAll) = TripleStore.encodedFor(spark, sfDir)
+    val (idPats, ok) = rdf.EncodedBgp.encodePatterns(dict, chain)
+    require(ok, "probe chain constants missing from dictionary")
+    val chainCounts = scala.collection.mutable.Map.empty[String, Long]
+    def timeChain(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      chainCounts(label) = n
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    timeChain("chain over strings") { Bgp.solve(triples, chain).count() }
+    timeChain("chain over ids") {
+      Bgp.solve(rdf.EncodedBgp.asTriples(encAll), idPats).count()
+    }
+    require(chainCounts.values.toSet.size == 1,
+      s"encoded chain disagrees — benchmark invalid: $chainCounts")
     spark.stop()
   }
 }

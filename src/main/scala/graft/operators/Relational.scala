@@ -32,6 +32,18 @@ object Relational extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           unix_millis(col("l_shipdate")).as("ship_ms"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // The generator (UDTF-shaped) surface as a first-class query: one
+    // array row explodes to (position, element) rows inside whole-stage
+    // codegen — no shuffle is introduced by the Generate node itself.
+    "q_lateral_explode" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("val").cast("double").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
     })
   )
 
@@ -45,6 +57,15 @@ object Relational extends QueryModule {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
         |  AND l_quantity < 5.0 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // float→double widening is exact, so element values hash-match
+    "q_lateral_explode" ->
+      """SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |       CAST(embedding[i] AS DOUBLE) AS val
+        |FROM (SELECT vec_id, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM embeddings WHERE vec_id < 50)
+        |ORDER BY vec_id, pos""".stripMargin
   )
 }
