@@ -117,7 +117,18 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))),
 
     "q_multimodal_decode" -> ((s, d) =>
-      Multimodal.describe(s, Tables.documents(s, d)).orderBy(col("doc_id")))
+      Multimodal.describe(s, Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // Video-frame-subsample shape: payload → fixed-size frames → keep every
+    // 3rd. Oracled on the frame geometry (number, stride, byte length) —
+    // the part an engine owns regardless of codec.
+    "q_multimodal_framesample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.withPayload(Tables.documents(s, d).filter(col("doc_id") < 100)),
+          stride = 3)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_no")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -208,6 +219,16 @@ object LlmOps extends QueryModule {
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) AS n_frames,
         |  'txt' AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_framesample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |  CAST(least(32, octet_length(encode(text)) - i * 32) AS INT) AS frame_bytes
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0,
+        |          CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) - 1)) AS i
+        |      FROM documents WHERE doc_id < 100)
+        |WHERE i % 3 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin
   )
 }

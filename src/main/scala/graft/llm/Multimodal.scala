@@ -61,6 +61,22 @@ object Multimodal {
       .as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % stride === 0)
 
+  /** "Resize" a frame by byte decimation: keep every `factor`-th byte.
+    * STUB for a real resampler (see object scaladoc — an image resize is a
+    * codec operation); the deterministic byte-level stand-in exercises the
+    * exact plumbing a real one needs: binary→binary column transform,
+    * length contract ceil(len/factor), codegen'd, no data through the
+    * driver.
+    */
+  def resizeFrames(df: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    df.withColumn("frame", expr(
+      s"""aggregate(
+         |  transform(filter(sequence(0, length(frame) - 1), p -> p % $factor = 0),
+         |            p -> substring(frame, p + 1, 1)),
+         |  X'', (acc, b) -> concat(acc, b))""".stripMargin))
+  }
+
   /** The oracled query shape: payload → deterministic metadata columns. */
   def describe(spark: SparkSession, docs: DataFrame): DataFrame =
     withPayload(docs)

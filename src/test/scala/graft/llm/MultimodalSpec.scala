@@ -29,4 +29,15 @@ class MultimodalSpec extends SparkSpec {
     val lens = all.select(length($"frame")).as[Int].collect().sorted
     assert(lens.toSeq === Seq(4, 32, 32, 32))
   }
+
+  test("resize stub decimates frame bytes with the ceil(len/factor) contract") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
+    val frames = Multimodal.sampleFrames(Multimodal.withPayload(docs), stride = 1)
+    val resized = Multimodal.resizeFrames(frames, factor = 3)
+    val out = resized.select($"frame".cast("string")).as[String].head()
+    assert(out === "adgj") // bytes 0,3,6,9
+    assert(Multimodal.resizeFrames(frames, 1).select($"frame".cast("string"))
+      .as[String].head() === "abcdefghij") // factor 1 = identity
+    intercept[IllegalArgumentException](Multimodal.resizeFrames(frames, 0))
+  }
 }
