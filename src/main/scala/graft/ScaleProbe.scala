@@ -32,13 +32,15 @@ object ScaleProbe {
     val triples = spark.read.parquet(plainPath)
     println(s"triples: ${triples.count()}")
 
-    val counts = scala.collection.mutable.Map.empty[String, Long]
-    def time(label: String)(f: => Long): Unit = {
+    def timeInto(m: scala.collection.mutable.Map[String, Long])(
+        label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      counts(label) = n
+      m(label) = n
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val time = timeInto(counts) _
 
     time("star via self-joins") { Bgp.solve(triples, pats).count() }
     time("star via collapse") { Bgp.solveStarCollapsed(triples, pats).count() }
@@ -46,11 +48,7 @@ object ScaleProbe {
     // DROP TABLE is a no-op in a fresh JVM's in-memory catalog, but the
     // warehouse directory persists across runs — remove both
     spark.sql("DROP TABLE IF EXISTS probe_bucketed")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(): Unit
-    }
-    rmTree(new java.io.File(
+    graft.sources.AtomicStore.deleteRecursively(new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "probe_bucketed"))
     TripleStore.saveBucketed(triples, "probe_bucketed", buckets = cpus.toInt)
     val bucketed = TripleStore.load(spark, "probe_bucketed")
@@ -73,12 +71,7 @@ object ScaleProbe {
     val (idPats, ok) = rdf.EncodedBgp.encodePatterns(dict, chain)
     require(ok, "probe chain constants missing from dictionary")
     val chainCounts = scala.collection.mutable.Map.empty[String, Long]
-    def timeChain(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      chainCounts(label) = n
-      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
-    }
+    val timeChain = timeInto(chainCounts) _
     timeChain("chain over strings") { Bgp.solve(triples, chain).count() }
     timeChain("chain over ids") {
       Bgp.solve(rdf.EncodedBgp.asTriples(encAll), idPats).count()

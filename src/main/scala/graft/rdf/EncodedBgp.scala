@@ -41,9 +41,14 @@ object EncodedBgp {
   /** One dictionary lookup for the constants of any number of pattern
     * groups — a multi-block query (UNION branches, OPTIONALs) resolves all
     * its constants in a single job instead of one per block. */
-  def resolveConstants(dict: DataFrame, patterns: Seq[TP]): Map[String, Long] = {
-    val consts = patterns.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+  /** The one definition of "constant" shared by resolution and the
+    * allResolved check — they must never diverge. */
+  private def constantsOf(patterns: Seq[TP]): Seq[String] =
+    patterns.flatMap(tp => Seq(tp.s, tp.p, tp.o))
       .collect { case C(v: String) => v }.distinct
+
+  def resolveConstants(dict: DataFrame, patterns: Seq[TP]): Map[String, Long] = {
+    val consts = constantsOf(patterns)
     if (consts.isEmpty) Map.empty
     else dict.filter(col("term").isin(consts: _*))
       .select(col("term"), col("id"))
@@ -58,10 +63,8 @@ object EncodedBgp {
       case C(v: String) => C(idOf.getOrElse(v, Long.MinValue))
       case other => other
     }
-    val consts = patterns.flatMap(tp => Seq(tp.s, tp.p, tp.o))
-      .collect { case C(v: String) => v }
     (patterns.map(tp => TP(tr(tp.s), tr(tp.p), tr(tp.o))),
-      consts.forall(idOf.contains))
+      constantsOf(patterns).forall(idOf.contains))
   }
 
   /** Decode the named id-binding columns back to terms — the emission step.

@@ -6,31 +6,41 @@ import java.io.File
   * artifacts (ANN indexes, encoded triple stores).
   *
   * The builder writes into a process-private temp directory next to the
-  * final path, then a single atomic directory rename publishes it. A
-  * reader therefore sees either the complete store or no store — never a
-  * half-written one (a crash between two parquet writes leaves only an
-  * unpublished temp dir). Two JVMs racing to build both succeed: one
+  * final path, a completion marker is stamped inside it, and a single
+  * atomic directory rename publishes the whole store. Completeness is the
+  * MARKER, not bare directory existence: a partial directory left by a
+  * crash (or by /tmp cleaners pruning files inside it) is detected and
+  * rebuilt, never served. Two JVMs racing to build both succeed — one
   * rename wins, the loser discards its build and reads the winner's.
   */
 object AtomicStore {
 
-  /** Ensure `path` exists, building it via `build(tempDir)` if not.
-    * Returns `path`. */
+  private val Marker = "_GRAFT_COMPLETE"
+
+  /** Ensure a complete store exists at `path`, building it via
+    * `build(tempDir)` if absent or partial. Returns `path`. */
   def materialize(path: String)(build: String => Unit): String = {
     val dest = new File(path)
-    if (!dest.exists()) {
+    if (!complete(dest)) {
+      // partial or pre-marker-format leftovers: rebuild from scratch
+      deleteRecursively(dest)
       val tmp = new File(path + ".build." + java.util.UUID.randomUUID().toString.take(8))
-      build(tmp.getPath)
-      if (!tmp.renameTo(dest)) {
-        rm(tmp)
-        require(dest.exists(), s"failed to materialize store at $path")
-      }
+      try {
+        build(tmp.getPath)
+        require(new File(tmp, Marker).createNewFile(),
+          s"cannot stamp completion marker in $tmp")
+        if (!tmp.renameTo(dest))
+          require(complete(dest), s"failed to materialize store at $path")
+      } finally deleteRecursively(tmp) // no-op when the rename won
     }
     path
   }
 
-  private def rm(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+  private def complete(dest: File): Boolean = new File(dest, Marker).exists()
+
+  def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
 }
