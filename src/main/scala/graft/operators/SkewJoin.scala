@@ -16,8 +16,17 @@ import org.apache.spark.sql.functions._
   * This is the deterministic, works-everywhere complement to AQE's
   * OptimizeSkewedJoin (which splits skewed sort-merge partitions at
   * runtime but cannot help joins AQE does not cover, e.g. bucketed-table
-  * joins that skip the exchange). Cost: the non-skewed side is replicated
-  * `salt`× — use against a dimension-sized right side.
+  * joins that skip the exchange, or streaming state joins). Cost: the
+  * non-skewed side is replicated `salt`× — use against a dimension-sized
+  * right side.
+  *
+  * The row→salt mapping must be DETERMINISTIC per row CONTENT, not per
+  * position: a positional salt (monotonically_increasing_id) changes on
+  * stage retry, and a salt that moved between map-task attempts
+  * loses/duplicates rows against reducers that already consumed the first
+  * attempt's output. Hence xxhash64 over the row's columns. Corollary:
+  * byte-identical duplicate rows share a salt — salting spreads a hot KEY
+  * with varied payloads, not a hot row repeated verbatim.
   */
 object SkewJoin {
 
@@ -37,7 +46,7 @@ object SkewJoin {
     require(!(skewed.columns ++ small.columns).contains("__salt"),
       "input already has a __salt column")
     val l = skewed.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salt.toLong)))
     val r = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")

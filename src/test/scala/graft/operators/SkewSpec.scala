@@ -35,11 +35,12 @@ class SkewSpec extends SparkSpec {
   }
 
   test("salting spreads the hot key across the shuffle") {
-    // group the SALTED join keys the way the shuffle would: the hot key's
-    // rows must land in `salt` distinct (k, salt) groups, not one
+    // group the SALTED join keys the way the shuffle would (same
+    // content-hash mapping as the operator): the hot key's rows — payloads
+    // vary — must land in `salt` distinct (k, salt) groups, not one
     val salt = 8
     val saltedKeys = skewed
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)))
+      .withColumn("__salt", pmod(xxhash64(skewed.columns.map(col): _*), lit(salt.toLong)))
       .filter($"k" === 7).select("__salt").distinct().count()
     assert(saltedKeys === salt.toLong,
       s"expected the hot key spread over $salt sub-keys, got $saltedKeys")
