@@ -80,7 +80,16 @@ object Analytics extends QueryModule {
         .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
           "measure", "value")
         .orderBy(col("p_partkey"), col("measure"))
-    })
+    }),
+
+    // Hourly event counts per type WITH empty hours as explicit zeros —
+    // the gap-filled resample every downstream window/join needs
+    // (TimeSeries.resampleCounts; ~6% of hours are empty in this corpus,
+    // so the gap path is genuinely exercised).
+    "q_ts_resample" -> ((s, d) =>
+      TimeSeries.resampleCounts(Tables.events(s, d),
+          "event_type", "ts_us_long", stepUnits = 3600000000L)
+        .orderBy(col("event_type"), col("bucket")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -135,6 +144,20 @@ object Analytics extends QueryModule {
         |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
         |  UNION ALL
         |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
-        |ORDER BY p_partkey, measure""".stripMargin
+        |ORDER BY p_partkey, measure""".stripMargin,
+
+    "q_ts_resample" ->
+      """WITH ev AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS bucket
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+        |  FROM ev GROUP BY event_type)
+        |SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+        |FROM grid g LEFT JOIN counts c USING (event_type, bucket)
+        |ORDER BY event_type, bucket""".stripMargin
   )
 }
