@@ -98,6 +98,16 @@ object RdfOps extends QueryModule {
         .orderBy(col("ord"), col("cust"))
     }),
 
+    // ASK: existence of any solution, as a 1-row boolean — limit(1) stops
+    // the scan at the first match instead of enumerating all bindings.
+    "q_sparql_ask" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """ASK WHERE {
+          |  ?ord <orderpriority> "1-URGENT" .
+          |  ?ord <custkey> ?cust .
+          |  ?cust <mktsegment> "BUILDING" .
+          |}""".stripMargin)),
+
     // UNION of two groups binding different variable sets: ?seg is unbound
     // in the orders branch and null-padded, DISTINCT collapses the bag,
     // and the total ORDER BY + LIMIT make the cut deterministic.
@@ -218,6 +228,14 @@ object RdfOps extends QueryModule {
     // id-space execution must be indistinguishable from string-space: the
     // oracle is the very same relational query
     "q_sparql_encoded" -> sparqlTextOracle,
+
+    "q_sparql_ask" -> cte(
+      """SELECT EXISTS(
+        |  SELECT 1 FROM triples t1, triples t2, triples t3
+        |  WHERE t1.p = 'orderpriority' AND t1.o = '1-URGENT'
+        |    AND t2.p = 'custkey' AND t1.s = t2.s
+        |    AND t3.p = 'mktsegment' AND t3.o = 'BUILDING' AND t2.o = t3.s
+        |) AS ask""".stripMargin),
 
     "q_sparql_union" -> cte(
       """SELECT s, n, seg FROM (

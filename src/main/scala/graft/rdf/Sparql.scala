@@ -3,9 +3,9 @@ package graft.rdf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** SPARQL front-end for the engine-supported fragment: SELECT over basic
-  * graph patterns with OPTIONAL blocks, FILTERs, UNION, and the solution
-  * modifiers DISTINCT / ORDER BY / LIMIT / OFFSET.
+/** SPARQL front-end for the engine-supported fragment: SELECT and ASK
+  * over basic graph patterns with OPTIONAL blocks, FILTERs, UNION, and the
+  * solution modifiers DISTINCT / ORDER BY / LIMIT / OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
@@ -57,7 +57,7 @@ object Sparql {
 
   final case class Query(projection: Seq[String], branches: Seq[Block],
       distinct: Boolean, orderKeys: Seq[OrderKey],
-      limit: Option[Int], offset: Option[Int]) {
+      limit: Option[Int], offset: Option[Int], ask: Boolean = false) {
     // single-branch accessors (the pre-UNION shape most callers inspect);
     // guarded so a union query can never silently expose only its first
     // branch to plan analysis — inspect `branches` for those
@@ -115,6 +115,9 @@ object Sparql {
       df
     }
     var df = solved.reduce(_.unionByName(_, allowMissingColumns = true))
+    // ASK = "does any solution exist": limit(1) stops the scan at the
+    // first match, the aggregate makes it a 1-row boolean frame
+    if (q.ask) return df.limit(1).agg((count(lit(1)) > 0).as("ask"))
     if (q.projection != Seq("*")) df = df.select(q.projection.map(col): _*)
     if (q.distinct) df = df.distinct()
     if (q.orderKeys.nonEmpty)
@@ -172,13 +175,19 @@ object Sparql {
       val iri = p.nextIri()
       name.stripSuffix(":") -> iri
     }.toMap
-    p.expectKw("SELECT")
-    val distinct = if (p.peekKw("DISTINCT")) { p.next(); true } else false
-    val proj =
-      if (p.peek() == "*") { p.next(); Seq("*") }
-      else Iterator.continually(()).takeWhile(_ => p.peek().startsWith("?"))
-        .map(_ => p.next().drop(1)).toSeq
-    require(proj.nonEmpty, "SELECT needs variables or *")
+    val ask = p.peekKw("ASK")
+    val (distinct, proj) =
+      if (ask) { p.expectKw("ASK"); (false, Seq("*")) }
+      else {
+        p.expectKw("SELECT")
+        val d = if (p.peekKw("DISTINCT")) { p.next(); true } else false
+        val pr =
+          if (p.peek() == "*") { p.next(); Seq("*") }
+          else Iterator.continually(()).takeWhile(_ => p.peek().startsWith("?"))
+            .map(_ => p.next().drop(1)).toSeq
+        require(pr.nonEmpty, "SELECT needs variables or *")
+        (d, pr)
+      }
     p.expectKw("WHERE"); p.expect("{")
     val branches =
       if (p.peek() == "{") {
@@ -217,7 +226,9 @@ object Sparql {
       if (kw.equalsIgnoreCase("LIMIT")) limit = Some(n) else offset = Some(n)
     }
     require(!p.hasNext, s"unsupported trailing clause: ${p.rest.take(5).mkString(" ")}")
-    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset)
+    require(!ask || (orderKeys.isEmpty && limit.isEmpty && offset.isEmpty),
+      "ASK takes no solution modifiers")
+    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset, ask)
   }
 
   /** `{ ... }` union branch. */

@@ -160,6 +160,26 @@ class SparqlSpec extends SparkSpec {
     assert(kw.select("true").distinct().as[String].collect().map(_.toInt).forall(_ >= 20))
   }
 
+  test("ASK returns a 1-row boolean for existence, over strings and ids") {
+    val yes = "ASK WHERE { ?c <mktsegment> \"BUILDING\" . }"
+    val no = "ASK WHERE { ?c <mktsegment> \"NO-SUCH-SEGMENT\" . }"
+    def one(df: org.apache.spark.sql.DataFrame): Boolean = {
+      assert(df.columns.toSeq === Seq("ask") && df.count() === 1)
+      df.as[Boolean].head()
+    }
+    assert(one(Sparql.run(triples, yes)))
+    assert(!one(Sparql.run(triples, no)))
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    assert(one(Sparql.runEncoded(enc, dict, yes)))
+    assert(!one(Sparql.runEncoded(enc, dict, no)))
+    // ASK takes no projection or solution modifiers
+    intercept[IllegalArgumentException](
+      Sparql.parse("ASK ?x WHERE { ?x <p> ?y . }"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("ASK WHERE { ?x <p> ?y . } LIMIT 5"))
+  }
+
   test("SPARQL over the encoded id-store ≡ string-space execution") {
     val dict = Dictionary.build(spark, triples)
     val enc = Dictionary.encode(triples, dict)
