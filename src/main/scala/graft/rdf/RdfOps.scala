@@ -108,6 +108,21 @@ object RdfOps extends QueryModule {
           |  ?cust <mktsegment> "BUILDING" .
           |}""".stripMargin)),
 
+    // CONSTRUCT: graph transformation — instantiate a 2-pattern template
+    // per solution, dedup into a new triples graph (reversed edge + a
+    // derived classification triple).
+    "q_sparql_construct" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """CONSTRUCT {
+          |  ?cust <has_urgent_order> ?ord .
+          |  ?ord <status_class> "urgent" .
+          |}
+          |WHERE {
+          |  ?ord <custkey> ?cust .
+          |  ?ord <orderpriority> "1-URGENT" .
+          |}""".stripMargin)
+        .orderBy(col("s"), col("p"), col("o"))),
+
     // UNION of two groups binding different variable sets: ?seg is unbound
     // in the orders branch and null-padded, DISTINCT collapses the bag,
     // and the total ORDER BY + LIMIT make the cut deterministic.
@@ -236,6 +251,17 @@ object RdfOps extends QueryModule {
         |    AND t2.p = 'custkey' AND t1.s = t2.s
         |    AND t3.p = 'mktsegment' AND t3.o = 'BUILDING' AND t2.o = t3.s
         |) AS ask""".stripMargin),
+
+    "q_sparql_construct" -> cte(
+      """SELECT s, p, o FROM (
+        |  SELECT t1.o AS s, 'has_urgent_order' AS p, t1.s AS o
+        |  FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |  WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
+        |  UNION
+        |  SELECT t1.s, 'status_class', 'urgent'
+        |  FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |  WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT')
+        |ORDER BY s, p, o""".stripMargin),
 
     "q_sparql_union" -> cte(
       """SELECT s, n, seg FROM (

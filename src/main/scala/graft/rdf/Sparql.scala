@@ -3,9 +3,9 @@ package graft.rdf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** SPARQL front-end for the engine-supported fragment: SELECT and ASK
-  * over basic graph patterns with OPTIONAL blocks, FILTERs, UNION, and the
-  * solution modifiers DISTINCT / ORDER BY / LIMIT / OFFSET.
+/** SPARQL front-end for the engine-supported fragment: SELECT, ASK and
+  * CONSTRUCT over basic graph patterns with OPTIONAL blocks, FILTERs,
+  * UNION, and the solution modifiers DISTINCT / ORDER BY / LIMIT / OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
@@ -57,7 +57,8 @@ object Sparql {
 
   final case class Query(projection: Seq[String], branches: Seq[Block],
       distinct: Boolean, orderKeys: Seq[OrderKey],
-      limit: Option[Int], offset: Option[Int], ask: Boolean = false) {
+      limit: Option[Int], offset: Option[Int], ask: Boolean = false,
+      construct: Option[Seq[TP]] = None) {
     // single-branch accessors (the pre-UNION shape most callers inspect);
     // guarded so a union query can never silently expose only its first
     // branch to plan analysis — inspect `branches` for those
@@ -118,6 +119,23 @@ object Sparql {
     // ASK = "does any solution exist": limit(1) stops the scan at the
     // first match, the aggregate makes it a 1-row boolean frame
     if (q.ask) return df.limit(1).agg((count(lit(1)) > 0).as("ask"))
+    // CONSTRUCT = instantiate each template pattern once per solution and
+    // union; a graph is a SET of triples, hence the distinct
+    q.construct.foreach { template =>
+      val bound = df.columns.toSet
+      val tVars = template.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect { case V(n) => n }
+      require(tVars.forall(bound), s"CONSTRUCT template uses unbound " +
+        s"variables: ${tVars.filterNot(bound).mkString(", ")}")
+      def t2c(t: Term): Column = t match {
+        case V(n) => col(n)
+        case C(v) => lit(v)
+      }
+      return template.map(tp => df.select(
+          t2c(tp.s).cast("string").as("s"), t2c(tp.p).cast("string").as("p"),
+          t2c(tp.o).cast("string").as("o")))
+        .reduce(_.unionByName(_)).distinct()
+    }
     if (q.projection != Seq("*")) df = df.select(q.projection.map(col): _*)
     if (q.distinct) df = df.distinct()
     if (q.orderKeys.nonEmpty)
@@ -176,8 +194,18 @@ object Sparql {
       name.stripSuffix(":") -> iri
     }.toMap
     val ask = p.peekKw("ASK")
+    val construct =
+      if (p.peekKw("CONSTRUCT")) {
+        p.expectKw("CONSTRUCT"); p.expect("{")
+        val template = scala.collection.mutable.ArrayBuffer.empty[TP]
+        while (p.peek() != "}") { template += triplePattern(p, prefixes); p.maybe(".") }
+        p.expect("}")
+        require(template.nonEmpty, "empty CONSTRUCT template")
+        Some(template.toSeq)
+      } else None
     val (distinct, proj) =
       if (ask) { p.expectKw("ASK"); (false, Seq("*")) }
+      else if (construct.isDefined) (false, Seq("*"))
       else {
         p.expectKw("SELECT")
         val d = if (p.peekKw("DISTINCT")) { p.next(); true } else false
@@ -226,9 +254,10 @@ object Sparql {
       if (kw.equalsIgnoreCase("LIMIT")) limit = Some(n) else offset = Some(n)
     }
     require(!p.hasNext, s"unsupported trailing clause: ${p.rest.take(5).mkString(" ")}")
-    require(!ask || (orderKeys.isEmpty && limit.isEmpty && offset.isEmpty),
-      "ASK takes no solution modifiers")
-    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset, ask)
+    require(!(ask || construct.isDefined) ||
+        (orderKeys.isEmpty && limit.isEmpty && offset.isEmpty),
+      "ASK/CONSTRUCT take no solution modifiers in this fragment")
+    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset, ask, construct)
   }
 
   /** `{ ... }` union branch. */

@@ -180,6 +180,28 @@ class SparqlSpec extends SparkSpec {
       Sparql.parse("ASK WHERE { ?x <p> ?y . } LIMIT 5"))
   }
 
+  test("CONSTRUCT instantiates the template per solution into a deduped graph") {
+    val t = Seq(("o1", "custkey", "c1"), ("o2", "custkey", "c1"),
+      ("o1", "flag", "x"), ("o2", "flag", "x"))
+      .toDF("s", "p", "o")
+    val g = Sparql.run(t,
+      """CONSTRUCT { ?c <ordered> ?o . ?o <cls> "f" . }
+        |WHERE { ?o <custkey> ?c . ?o <flag> "x" . }""".stripMargin)
+    assert(g.columns.toSeq === Seq("s", "p", "o"))
+    val got = g.as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("c1", "ordered", "o1"), ("c1", "ordered", "o2"),
+      ("o1", "cls", "f"), ("o2", "cls", "f")))
+    // the constructed graph is itself queryable — the composition that
+    // makes CONSTRUCT a graph-transformation operator
+    val back = Sparql.run(g, "SELECT ?c WHERE { ?c <ordered> ?o . }")
+    assert(back.distinct().as[String].collect().toSeq === Seq("c1"))
+    // template variables must be bound in WHERE
+    intercept[IllegalArgumentException](
+      Sparql.run(t, "CONSTRUCT { ?z <p> ?c . } WHERE { ?o <custkey> ?c . }")
+        .count())
+  }
+
   test("SPARQL over the encoded id-store ≡ string-space execution") {
     val dict = Dictionary.build(spark, triples)
     val enc = Dictionary.encode(triples, dict)
