@@ -112,6 +112,22 @@ object Bgp {
   def optionalSolved(required: DataFrame, block: DataFrame): DataFrame =
     joinWith(required, block, "left_outer")
 
+  /** SPARQL MINUS against an already-solved block: drop solutions that
+    * agree with some right-side solution on the shared variables — an
+    * anti-join. Per SPARQL semantics, a MINUS block sharing NO variable
+    * removes nothing (every solution is trivially incompatible).
+    *
+    * Fragment note: shared variables are assumed BOUND on the left (SQL's
+    * null≠null keeps an OPTIONAL-padded row that strict SPARQL
+    * compatibility — which ignores unbound vars — would remove; don't
+    * MINUS on an optionally-bound variable).
+    */
+  def minusSolved(required: DataFrame, block: DataFrame): DataFrame = {
+    val shared = required.columns.intersect(block.columns).toSeq
+    if (shared.isEmpty) required
+    else required.join(block.select(shared.map(col): _*), shared, "left_anti")
+  }
+
   private def join(a: DataFrame, b: DataFrame): DataFrame = joinWith(a, b, "inner")
 
   private def joinWith(a: DataFrame, b: DataFrame, how: String): DataFrame = {

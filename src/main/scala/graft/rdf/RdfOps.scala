@@ -108,6 +108,16 @@ object RdfOps extends QueryModule {
           |  ?cust <mktsegment> "BUILDING" .
           |}""".stripMargin)),
 
+    // MINUS → anti-join on the shared variable: BUILDING-segment customers
+    // with NO urgent order.
+    "q_sparql_minus" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust WHERE {
+          |  ?cust <mktsegment> "BUILDING" .
+          |  MINUS { ?ord <custkey> ?cust . ?ord <orderpriority> "1-URGENT" . }
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
     // CONSTRUCT: graph transformation — instantiate a 2-pattern template
     // per solution, dedup into a new triples graph (reversed edge + a
     // derived classification triple).
@@ -251,6 +261,15 @@ object RdfOps extends QueryModule {
         |    AND t2.p = 'custkey' AND t1.s = t2.s
         |    AND t3.p = 'mktsegment' AND t3.o = 'BUILDING' AND t2.o = t3.s
         |) AS ask""".stripMargin),
+
+    "q_sparql_minus" -> cte(
+      """SELECT t1.s AS cust FROM triples t1
+        |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM triples t2 JOIN triples t3 ON t2.s = t3.s
+        |    WHERE t2.p = 'custkey' AND t2.o = t1.s
+        |      AND t3.p = 'orderpriority' AND t3.o = '1-URGENT')
+        |ORDER BY cust""".stripMargin),
 
     "q_sparql_construct" -> cte(
       """SELECT s, p, o FROM (

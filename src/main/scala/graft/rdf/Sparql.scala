@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SPARQL front-end for the engine-supported fragment: SELECT, ASK and
-  * CONSTRUCT over basic graph patterns with OPTIONAL blocks, FILTERs,
-  * UNION, and the solution modifiers DISTINCT / ORDER BY / LIMIT / OFFSET.
+  * CONSTRUCT over basic graph patterns with OPTIONAL / MINUS blocks,
+  * FILTERs, UNION, and the solution modifiers DISTINCT / ORDER BY /
+  * LIMIT / OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
@@ -49,9 +50,10 @@ object Sparql {
   final case class Cmp(left: Term, op: String, right: Term) extends FilterExpr
   final case class Regex(v: String, pattern: String) extends FilterExpr
 
-  /** One group graph pattern: a BGP plus its OPTIONALs and FILTERs. */
+  /** One group graph pattern: a BGP plus its OPTIONALs, MINUSes and
+    * FILTERs (applied in that order within the block). */
   final case class Block(where: Seq[TP], optionals: Seq[Seq[TP]],
-      filters: Seq[FilterExpr])
+      filters: Seq[FilterExpr], minuses: Seq[Seq[TP]] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
 
@@ -112,6 +114,7 @@ object Sparql {
     val solved = q.branches.map { b =>
       var df = solveBgp(b.where)
       b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
+      b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
       b.filters.foreach(f => df = df.filter(filterCol(f)))
       df
     }
@@ -268,18 +271,27 @@ object Sparql {
     b
   }
 
-  /** Triples / OPTIONAL / FILTER members up to (not consuming) `}`. */
+  /** Triples / OPTIONAL / MINUS / FILTER members up to (not consuming)
+    * `}`. */
   private def blockBody(p: P, prefixes: Map[String, String]): Block = {
     val where = scala.collection.mutable.ArrayBuffer.empty[TP]
     val optionals = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
+    val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
     val filters = scala.collection.mutable.ArrayBuffer.empty[FilterExpr]
+    def bracedPatterns(): Seq[TP] = {
+      p.expect("{")
+      val block = scala.collection.mutable.ArrayBuffer.empty[TP]
+      while (p.peek() != "}") { block += triplePattern(p, prefixes); p.maybe(".") }
+      p.expect("}")
+      block.toSeq
+    }
     while (p.peek() != "}") {
       if (p.peekKw("OPTIONAL")) {
-        p.expectKw("OPTIONAL"); p.expect("{")
-        val block = scala.collection.mutable.ArrayBuffer.empty[TP]
-        while (p.peek() != "}") { block += triplePattern(p, prefixes); p.maybe(".") }
-        p.expect("}")
-        optionals += block.toSeq
+        p.expectKw("OPTIONAL")
+        optionals += bracedPatterns()
+      } else if (p.peekKw("MINUS")) {
+        p.expectKw("MINUS")
+        minuses += bracedPatterns()
       } else if (p.peekKw("FILTER")) {
         p.expectKw("FILTER")
         filters += filterExpr(p, prefixes)
@@ -289,7 +301,7 @@ object Sparql {
       }
     }
     require(where.nonEmpty, "empty WHERE block")
-    Block(where.toSeq, optionals.toSeq, filters.toSeq)
+    Block(where.toSeq, optionals.toSeq, filters.toSeq, minuses.toSeq)
   }
 
   private def triplePattern(p: P, prefixes: Map[String, String]): TP =

@@ -180,6 +180,31 @@ class SparqlSpec extends SparkSpec {
       Sparql.parse("ASK WHERE { ?x <p> ?y . } LIMIT 5"))
   }
 
+  test("MINUS removes compatible solutions; disjoint MINUS removes nothing") {
+    val withOrders = Sparql.run(triples,
+      """SELECT ?c WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  ?o <custkey> ?c . ?o <orderpriority> "1-URGENT" .
+        |}""".stripMargin).distinct()
+    val all = Sparql.run(triples,
+      "SELECT ?c WHERE { ?c <mktsegment> \"BUILDING\" . }")
+    val minus = Sparql.run(triples,
+      """SELECT ?c WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  MINUS { ?o <custkey> ?c . ?o <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(minus.count() === all.count() - withOrders.count())
+    assert(minus.intersect(withOrders).count() === 0)
+    // a MINUS block sharing no variable is incompatible with everything —
+    // SPARQL keeps every solution
+    val disjoint = Sparql.run(triples,
+      """SELECT ?c WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  MINUS { ?x <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(disjoint.count() === all.count())
+  }
+
   test("CONSTRUCT instantiates the template per solution into a deduped graph") {
     val t = Seq(("o1", "custkey", "c1"), ("o2", "custkey", "c1"),
       ("o1", "flag", "x"), ("o2", "flag", "x"))
