@@ -108,6 +108,13 @@ object RdfOps extends QueryModule {
           |  ?cust <mktsegment> "BUILDING" .
           |}""".stripMargin)),
 
+    // SPARQL (nation|region)+ property path: customer → nation → region
+    // reachability via semi-naive transitive closure (Paths); the oracle
+    // recomputes it with a recursive CTE.
+    "q_path_transitive" -> ((s, d) =>
+      Paths.predicatePlus(Triples.build(s, d), Seq("nation", "region"))
+        .orderBy(col("src"), col("dst"))),
+
     // MINUS → anti-join on the shared variable: BUILDING-segment customers
     // with NO urgent order.
     "q_sparql_minus" -> ((s, d) =>
@@ -261,6 +268,21 @@ object RdfOps extends QueryModule {
         |    AND t2.p = 'custkey' AND t1.s = t2.s
         |    AND t3.p = 'mktsegment' AND t3.o = 'BUILDING' AND t2.o = t3.s
         |) AS ask""".stripMargin),
+
+    // WITH RECURSIVE must own the whole CTE list, so this one does not go
+    // through the cte() helper
+    "q_path_transitive" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), edges AS (
+         |  SELECT DISTINCT s AS src, o AS dst FROM triples
+         |  WHERE p IN ('nation', 'region')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin,
 
     "q_sparql_minus" -> cte(
       """SELECT t1.s AS cust FROM triples t1

@@ -199,6 +199,28 @@ class RdfSpec extends SparkSpec {
     assert(viaHash.exceptAll(viaDense).count() === 0)
   }
 
+  test("transitive closure: chains, branches, cycles, and convergence guard") {
+    import spark.implicits._
+    // a 5-node chain, a branch, and a 3-cycle
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", // chain
+      "b" -> "x", // branch
+      "p" -> "q", "q" -> "r", "r" -> "p" // cycle
+    ).toDF("src", "dst")
+    val got = Paths.transitiveClosure(edges)
+      .as[(String, String)].collect().toSet
+    def reach(from: String, to: Seq[String]) = to.map(from -> _).toSet
+    assert(got === reach("a", Seq("b", "c", "d", "e", "x"))
+      ++ reach("b", Seq("c", "d", "e", "x"))
+      ++ reach("c", Seq("d", "e")) ++ reach("d", Seq("e"))
+      // a cycle reaches every member including itself
+      ++ reach("p", Seq("p", "q", "r")) ++ reach("q", Seq("p", "q", "r"))
+      ++ reach("r", Seq("p", "q", "r")))
+    // non-convergence is an error, not a silently truncated result
+    intercept[IllegalArgumentException](
+      Paths.transitiveClosure(edges, maxIter = 2).count())
+  }
+
   test("encoded BGP with a constant absent from the dictionary is empty, not wrong") {
     val dict = Dictionary.build(spark, triples)
     val enc = Dictionary.encode(triples, dict)
