@@ -112,6 +112,10 @@ object Bgp {
   def optionalSolved(required: DataFrame, block: DataFrame): DataFrame =
     joinWith(required, block, "left_outer")
 
+  /** Inner join of two solution frames on their shared variables (cross
+    * product when disjoint — SPARQL join semantics). */
+  def joinSolved(a: DataFrame, b: DataFrame): DataFrame = joinWith(a, b, "inner")
+
   /** SPARQL MINUS against an already-solved block: drop solutions that
     * agree with some right-side solution on the shared variables — an
     * anti-join. Per SPARQL semantics, a MINUS block sharing NO variable

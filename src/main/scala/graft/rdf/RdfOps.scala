@@ -115,6 +115,16 @@ object RdfOps extends QueryModule {
       Paths.predicatePlus(Triples.build(s, d), Seq("nation", "region"))
         .orderBy(col("src"), col("dst"))),
 
+    // VALUES → join with the inline solution table (the parameterized-
+    // query idiom): restrict ?seg to two segments without a FILTER.
+    "q_sparql_values" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust ?seg WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  VALUES ?seg { "BUILDING" "MACHINERY" }
+          |}
+          |ORDER BY ?cust ?seg""".stripMargin)),
+
     // MINUS → anti-join on the shared variable: BUILDING-segment customers
     // with NO urgent order.
     "q_sparql_minus" -> ((s, d) =>
@@ -283,6 +293,11 @@ object RdfOps extends QueryModule {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
          |)
          |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin,
+
+    "q_sparql_values" -> cte(
+      """SELECT s AS cust, o AS seg FROM triples
+        |WHERE p = 'mktsegment' AND o IN ('BUILDING', 'MACHINERY')
+        |ORDER BY cust, seg""".stripMargin),
 
     "q_sparql_minus" -> cte(
       """SELECT t1.s AS cust FROM triples t1

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** SPARQL front-end for the engine-supported fragment: SELECT, ASK and
   * CONSTRUCT over basic graph patterns with OPTIONAL / MINUS blocks,
-  * FILTERs, UNION, and the solution modifiers DISTINCT / ORDER BY /
-  * LIMIT / OFFSET.
+  * FILTERs, VALUES inline bindings, UNION, and the solution modifiers
+  * DISTINCT / ORDER BY / LIMIT / OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
@@ -50,10 +50,12 @@ object Sparql {
   final case class Cmp(left: Term, op: String, right: Term) extends FilterExpr
   final case class Regex(v: String, pattern: String) extends FilterExpr
 
-  /** One group graph pattern: a BGP plus its OPTIONALs, MINUSes and
-    * FILTERs (applied in that order within the block). */
+  /** One group graph pattern: a BGP plus its VALUES tables, OPTIONALs,
+    * MINUSes and FILTERs (applied in that order within the block). Each
+    * VALUES entry is (variable names, rows of constants). */
   final case class Block(where: Seq[TP], optionals: Seq[Seq[TP]],
-      filters: Seq[FilterExpr], minuses: Seq[Seq[TP]] = Nil)
+      filters: Seq[FilterExpr], minuses: Seq[Seq[TP]] = Nil,
+      values: Seq[(Seq[String], Seq[Seq[String]])] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
 
@@ -113,6 +115,18 @@ object Sparql {
   private def execute(q: Query, solveBgp: Seq[TP] => DataFrame): DataFrame = {
     val solved = q.branches.map { b =>
       var df = solveBgp(b.where)
+      // VALUES = join with the inline solution table (restricts shared
+      // vars, cross-products disjoint ones — SPARQL join semantics)
+      b.values.foreach { case (vars, rows) =>
+        val spark = df.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+          org.apache.spark.sql.types.StructField(v,
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        val vdf = spark.createDataFrame(
+          java.util.Arrays.asList(rows.map(r =>
+            org.apache.spark.sql.Row(r: _*)): _*), schema)
+        df = Bgp.joinSolved(df, vdf)
+      }
       b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
       b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
       b.filters.foreach(f => df = df.filter(filterCol(f)))
@@ -285,6 +299,13 @@ object Sparql {
       p.expect("}")
       block.toSeq
     }
+    val values =
+      scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[Seq[String]])]
+    def constant(): String = term(p, prefixes) match {
+      case C(v) => v.toString
+      case V(n) => throw new IllegalArgumentException(
+        s"VALUES rows take constants, got ?$n")
+    }
     while (p.peek() != "}") {
       if (p.peekKw("OPTIONAL")) {
         p.expectKw("OPTIONAL")
@@ -295,13 +316,48 @@ object Sparql {
       } else if (p.peekKw("FILTER")) {
         p.expectKw("FILTER")
         filters += filterExpr(p, prefixes)
+      } else if (p.peekKw("VALUES")) {
+        // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }
+        p.expectKw("VALUES")
+        val vars =
+          if (p.peek() == "(") {
+            p.expect("(")
+            val vs = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (p.peek() != ")") {
+              val v = p.next()
+              require(v.startsWith("?"), s"VALUES needs variables, got $v")
+              vs += v.drop(1)
+            }
+            p.expect(")")
+            vs.toSeq
+          } else {
+            val v = p.next()
+            require(v.startsWith("?"), s"VALUES needs a variable, got $v")
+            Seq(v.drop(1))
+          }
+        require(vars.nonEmpty, "VALUES needs at least one variable")
+        p.expect("{")
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+        while (p.peek() != "}") {
+          rows += (if (vars.size == 1) Seq(constant())
+          else {
+            p.expect("(")
+            val r = vars.map(_ => constant())
+            p.expect(")")
+            r
+          })
+        }
+        p.expect("}")
+        require(rows.nonEmpty, "empty VALUES table")
+        values += vars -> rows.toSeq
       } else {
         where += triplePattern(p, prefixes)
         p.maybe(".")
       }
     }
     require(where.nonEmpty, "empty WHERE block")
-    Block(where.toSeq, optionals.toSeq, filters.toSeq, minuses.toSeq)
+    Block(where.toSeq, optionals.toSeq, filters.toSeq, minuses.toSeq,
+      values.toSeq)
   }
 
   private def triplePattern(p: P, prefixes: Map[String, String]): TP =

@@ -180,6 +180,44 @@ class SparqlSpec extends SparkSpec {
       Sparql.parse("ASK WHERE { ?x <p> ?y . } LIMIT 5"))
   }
 
+  test("VALUES joins inline bindings: shared, multi-var, and disjoint forms") {
+    val shared = Sparql.run(triples,
+      """SELECT ?c ?s WHERE {
+        |  ?c <mktsegment> ?s .
+        |  VALUES ?s { "BUILDING" "MACHINERY" }
+        |}""".stripMargin)
+    assert(shared.select("s").distinct().as[String].collect().toSet ===
+      Set("BUILDING", "MACHINERY"))
+    // multi-var rows restrict to exact combinations: pick one that exists
+    // in the data plus one that cannot
+    val all = Sparql.run(triples,
+      "SELECT ?c ?s ?nk WHERE { ?c <mktsegment> ?s . ?c <nationkey> ?nk . }")
+    val (seg0, nk0) = {
+      val r = all.select("s", "nk").head()
+      (r.getString(0), r.getString(1))
+    }
+    val multi = Sparql.run(triples,
+      s"""SELECT ?c ?s ?nk WHERE {
+         |  ?c <mktsegment> ?s . ?c <nationkey> ?nk .
+         |  VALUES (?s ?nk) { ("$seg0" "$nk0") ("$seg0" "no-such-key") }
+         |}""".stripMargin)
+    assert(multi.select("s", "nk").distinct()
+      .as[(String, String)].collect().toSet === Set(seg0 -> nk0))
+    assert(multi.count() ===
+      all.filter($"s" === seg0 && $"nk" === nk0).count())
+    // a VALUES var not bound in the pattern cross-products (SPARQL join)
+    val disjoint = Sparql.run(triples,
+      """SELECT ?c ?tag WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  VALUES ?tag { "t1" "t2" }
+        |}""".stripMargin)
+    val base = Sparql.run(triples,
+      "SELECT ?c WHERE { ?c <mktsegment> \"BUILDING\" . }")
+    assert(disjoint.count() === 2 * base.count())
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?c WHERE { ?c <p> ?s . VALUES ?s { ?notconst } }"))
+  }
+
   test("MINUS removes compatible solutions; disjoint MINUS removes nothing") {
     val withOrders = Sparql.run(triples,
       """SELECT ?c WHERE {
