@@ -60,10 +60,11 @@ object IvfIndex {
       k: Int = 16): Model =
     prebuilt.getOrElseUpdate(s"$sfDir#$k", {
       // path carries every build input: the dataset dir and k (the seed is
-      // fixed). AtomicStore publishes the two parquet writes with one
-      // rename, so a crash mid-save can never wedge a half-written index.
+      // fixed), keyed collision-resistantly (SHA-256, not 32-bit hashCode).
+      // AtomicStore publishes the two parquet writes with one rename, so a
+      // crash mid-save can never wedge a half-written index.
       val base = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
-        s"${java.lang.Integer.toHexString(sfDir.hashCode)}_$k"
+        s"${graft.sources.AtomicStore.key(sfDir)}_$k"
       val path = graft.sources.AtomicStore.materialize(base)(tmp =>
         save(build(graft.sources.Tables.embeddings(spark, sfDir), k), tmp))
       // serve reads from the partitioned on-disk layout, not the in-memory

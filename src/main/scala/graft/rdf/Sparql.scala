@@ -101,9 +101,13 @@ object Sparql {
   def runEncoded(enc: DataFrame, dict: DataFrame, text: String,
       collapseStars: Boolean = false): DataFrame = {
     val q = parse(text)
-    // ONE dictionary-lookup job for the whole query — every UNION branch
-    // and OPTIONAL block shares the resolved constant map
-    val allPats = q.branches.flatMap(b => b.where ++ b.optionals.flatten)
+    // ONE dictionary-lookup job for the whole query — every UNION branch,
+    // OPTIONAL and MINUS block shares the resolved constant map. MINUS must
+    // be in the batch: a MINUS-only constant absent from the map would make
+    // solveResolved see allResolved=false and gate the MINUS block to empty,
+    // silently returning a superset (nothing subtracted).
+    val allPats = q.branches.flatMap(b =>
+      b.where ++ b.optionals.flatten ++ b.minuses.flatten)
     val idOf = EncodedBgp.resolveConstants(dict, allPats)
     execute(q, bgp => EncodedBgp.solveResolved(enc, dict, bgp, idOf, collapseStars))
   }

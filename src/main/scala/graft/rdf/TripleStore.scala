@@ -74,9 +74,10 @@ object TripleStore {
     encoded.getOrElseUpdate(sfDir, {
       // keyed by dataset AND corpus definition: a change to Triples.build
       // (fingerprinted by its DuckDB rendering) must invalidate the store,
-      // not silently serve the previous corpus
+      // not silently serve the previous corpus. SHA-256 key — a 32-bit
+      // hash could collide across datasets and serve the wrong store.
       val base = s"${sys.props("java.io.tmpdir")}/graft_idtriples_" +
-        java.lang.Integer.toHexString(sfDir.hashCode ^ Triples.duckCte.hashCode)
+        graft.sources.AtomicStore.key(sfDir, Triples.duckCte)
       val path = graft.sources.AtomicStore.materialize(base) { tmp =>
         val t = Triples.build(spark, sfDir)
         val dict = Dictionary.build(spark, t)

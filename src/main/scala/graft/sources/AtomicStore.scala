@@ -38,6 +38,23 @@ object AtomicStore {
 
   private def complete(dest: File): Boolean = new File(dest, Marker).exists()
 
+  /** Collision-resistant store key from the build inputs: SHA-256 over the
+    * length-prefixed inputs, truncated to 128 bits of hex. 32-bit
+    * `hashCode`-based keys can collide across datasets (or a corpus change
+    * whose XOR cancels out) and would silently serve the wrong persisted
+    * artifacts; at 128 bits an accidental collision is impossible in
+    * practice. Length-prefixing keeps ("ab","c") ≠ ("a","bc").
+    */
+  def key(inputs: String*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    inputs.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    md.digest().take(16).map(b => f"$b%02x").mkString
+  }
+
   def deleteRecursively(f: File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

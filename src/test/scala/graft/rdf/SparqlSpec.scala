@@ -285,6 +285,28 @@ class SparqlSpec extends SparkSpec {
     assert(viaIds.exceptAll(viaString).count() === 0)
   }
 
+  test("MINUS-only constants resolve on the encoded path (encoded ≡ string)") {
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    // custkey / orderpriority / 1-URGENT appear ONLY inside the MINUS block:
+    // if the encoded path forgot to resolve MINUS constants, the block would
+    // be gated to empty and the result would silently be the full superset
+    val text =
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  MINUS { ?ord <custkey> ?cust . ?ord <orderpriority> "1-URGENT" . }
+        |}""".stripMargin
+    val viaString = Sparql.run(triples, text)
+    val viaIds = Sparql.runEncoded(enc, dict, text)
+    val all = Sparql.run(triples,
+      "SELECT ?cust WHERE { ?cust <mktsegment> \"BUILDING\" . }")
+    assert(viaString.count() > 0)
+    assert(viaString.count() < all.count()) // MINUS removed something
+    assert(viaIds.count() === viaString.count())
+    assert(viaString.exceptAll(viaIds).count() === 0)
+    assert(viaIds.exceptAll(viaString).count() === 0)
+  }
+
   test("filters and optionals apply per union branch") {
     val got = Sparql.run(triples,
       """SELECT ?s ?n ?nat WHERE {
