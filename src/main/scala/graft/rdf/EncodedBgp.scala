@@ -47,8 +47,12 @@ object EncodedBgp {
     patterns.flatMap(tp => Seq(tp.s, tp.p, tp.o))
       .collect { case C(v: String) => v }.distinct
 
-  def resolveConstants(dict: DataFrame, patterns: Seq[TP]): Map[String, Long] = {
-    val consts = constantsOf(patterns)
+  /** `extraTerms` lets the caller batch non-pattern constants (e.g.
+    * property-path predicate IRIs and endpoints) into the same single
+    * lookup job. */
+  def resolveConstants(dict: DataFrame, patterns: Seq[TP],
+      extraTerms: Seq[String] = Nil): Map[String, Long] = {
+    val consts = (constantsOf(patterns) ++ extraTerms).distinct
     if (consts.isEmpty) Map.empty
     else dict.filter(col("term").isin(consts: _*))
       .select(col("term"), col("id"))

@@ -15,31 +15,67 @@ import org.apache.spark.sql.functions._
   * round. Rounds = longest simple path; each is two shuffles (join +
   * dedup). Driver sees only per-round emptiness checks, never data.
   */
+/** SPARQL 1.1 property-path expression algebra (the post-parse AST the
+  * [[Sparql]] parser lowers path syntax into; [[Paths.evalPath]] evaluates
+  * it to a (src, dst) pair set over any (s,p,o) triples frame).
+  *
+  * [[PEdge]]'s value is an RDF term string in the string-triples plan or a
+  * Long dictionary id in id space — same monomorphic-per-plan convention as
+  * [[C]].
+  */
+sealed trait Path
+final case class PEdge(p: Any) extends Path
+/** sequence `a/b` */
+final case class PSeq(l: Path, r: Path) extends Path
+/** alternation `a|b` */
+final case class PAlt(l: Path, r: Path) extends Path
+/** one-or-more `a+` */
+final case class PPlus(p: Path) extends Path
+/** zero-or-more `a*` */
+final case class PStar(p: Path) extends Path
+/** zero-or-one `a?` */
+final case class POpt(p: Path) extends Path
+/** inverse `^a` */
+final case class PInv(p: Path) extends Path
+
 object Paths {
 
   /** All (src, dst) pairs connected by 1+ hops over `edges(src, dst)`. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
-    var all = e.localCheckpoint(true)
-    var delta = all
-    var i = 0
-    while (i < maxIter && !delta.isEmpty) {
-      val next = delta.as("d").join(e.as("e"), col("d.dst") === col("e.src"))
-        .select(col("d.src").as("src"), col("e.dst").as("dst"))
-        .distinct()
-        // only genuinely new pairs survive into the next frontier
-        .join(all, Seq("src", "dst"), "left_anti")
-        .localCheckpoint(true)
-      if (!next.isEmpty) all = all.unionByName(next).localCheckpoint(true)
-      delta = next
-      i += 1
-    }
-    e.unpersist()
-    // silent truncation would return a subset that LOOKS complete
-    require(delta.isEmpty,
-      s"transitive closure did not converge in $maxIter rounds — " +
-        "raise maxIter (a path is longer than it)")
-    all
+    // Spark's Union constraint rewriting (UnionBase.rewriteConstraints)
+    // can throw "key not found: <attr>" when unioning localCheckpoint
+    // frames whose origin constraints reference attributes pruned from the
+    // pre-checkpoint plan (observed with edges derived from the
+    // dictionary-encode join tree). The closure's unions gain nothing from
+    // constraint propagation — every frame is checkpointed — and the
+    // iteration is eager, so the setting can be scoped to this call.
+    val spark = edges.sparkSession
+    val flag = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.get(flag)
+    spark.conf.set(flag, "false")
+    try {
+      val e = edges.select(col("src"), col("dst")).distinct().persist()
+      var all = e.localCheckpoint(true)
+      var delta = all
+      var i = 0
+      while (i < maxIter && !delta.isEmpty) {
+        val next = delta.as("d").join(e.as("e"), col("d.dst") === col("e.src"))
+          .select(col("d.src").as("src"), col("e.dst").as("dst"))
+          .distinct()
+          // only genuinely new pairs survive into the next frontier
+          .join(all, Seq("src", "dst"), "left_anti")
+          .localCheckpoint(true)
+        if (!next.isEmpty) all = all.unionByName(next).localCheckpoint(true)
+        delta = next
+        i += 1
+      }
+      e.unpersist()
+      // silent truncation would return a subset that LOOKS complete
+      require(delta.isEmpty,
+        s"transitive closure did not converge in $maxIter rounds — " +
+          "raise maxIter (a path is longer than it)")
+      all
+    } finally spark.conf.set(flag, prev)
   }
 
   /** SPARQL `pred+` over the triples table: reachability through edges
@@ -50,4 +86,63 @@ object Paths {
       triples.filter(col("p").isin(preds: _*))
         .select(col("s").as("src"), col("o").as("dst")),
       maxIter)
+
+  /** Evaluate a [[Path]] expression to its (src, dst) pair set.
+    *
+    * Cardinality semantics follow SPARQL 1.1 §18.4/9.3: sequence and
+    * alternation are bag-preserving (two derivations of the same pair keep
+    * two rows), while `+` / `*` / `?` are defined as *node-pair existence*
+    * (ZeroOrMorePath/OneOrMorePath) and therefore distinct. The zero-length
+    * path of `*` and `?` matches every term of the graph — all subjects and
+    * objects — paired with itself, per the spec's "all terms in the graph"
+    * rule.
+    *
+    * Every operator is a scan/filter, equi-join, or union — all distributed,
+    * no driver data paths; `+`/`*` reuse [[transitiveClosure]]'s semi-naive
+    * frontier iteration, so work per round is O(new pairs) at any scale.
+    */
+  def evalPath(triples: DataFrame, path: Path, maxIter: Int = 20): DataFrame =
+    path match {
+      case PEdge(p) =>
+        triples.filter(col("p") === lit(p))
+          .select(col("s").as("src"), col("o").as("dst"))
+      case PInv(q) =>
+        evalPath(triples, q, maxIter)
+          .select(col("dst").as("src"), col("src").as("dst"))
+      case alt: PAlt =>
+        // an alternation of plain predicates collapses to ONE scan with an
+        // IN filter instead of N scans unioned — the same bag (each triple
+        // matches exactly one branch, predicates being distinct per row)
+        val leaves = flattenAlt(alt)
+        val preds = leaves.collect { case PEdge(v) => v }
+        if (preds.size == leaves.size)
+          triples.filter(col("p").isin(preds: _*))
+            .select(col("s").as("src"), col("o").as("dst"))
+        else leaves.map(evalPath(triples, _, maxIter)).reduce(_.unionByName(_))
+      case PSeq(l, r) =>
+        val a = evalPath(triples, l, maxIter).as("l")
+        val b = evalPath(triples, r, maxIter).as("r")
+        a.join(b, col("l.dst") === col("r.src"))
+          .select(col("l.src").as("src"), col("r.dst").as("dst"))
+      case PPlus(q) => transitiveClosure(evalPath(triples, q, maxIter), maxIter)
+      case PStar(q) =>
+        zeroHop(triples)
+          .unionByName(transitiveClosure(evalPath(triples, q, maxIter), maxIter))
+          .distinct()
+      case POpt(q) =>
+        zeroHop(triples).unionByName(evalPath(triples, q, maxIter)).distinct()
+    }
+
+  private def flattenAlt(p: Path): Seq[Path] = p match {
+    case PAlt(l, r) => flattenAlt(l) ++ flattenAlt(r)
+    case other => Seq(other)
+  }
+
+  /** The zero-length path relation: every term of the graph paired with
+    * itself (SPARQL's ZeroLengthPath over variable endpoints). */
+  private def zeroHop(triples: DataFrame): DataFrame = {
+    val nodes = triples.select(col("s").as("n"))
+      .unionByName(triples.select(col("o").as("n"))).distinct()
+    nodes.select(col("n").as("src"), col("n").as("dst"))
+  }
 }

@@ -178,6 +178,109 @@ object RdfOps extends QueryModule {
           |ORDER BY ?cust ?nk""".stripMargin)
     }),
 
+    // SPARQL 1.1 aggregation: GROUP BY + COUNT/SUM/AVG/MAX projections and
+    // HAVING, lowered to one hash aggregation over the solved star. SUM/AVG
+    // follow the Det rule (exact decimal accumulation → double) so the
+    // result hash-matches DuckDB bit-for-bit.
+    "q_sparql_agg" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?seg (COUNT(?cust) AS ?n) (SUM(?nk) AS ?tot)
+          |       (AVG(?nk) AS ?avgnk) (MAX(?nm) AS ?last)
+          |WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  ?cust <nationkey> ?nk .
+          |  ?cust <name> ?nm .
+          |}
+          |GROUP BY ?seg
+          |HAVING (COUNT(?cust) > 10)
+          |ORDER BY ?seg""".stripMargin)),
+
+    // Property path from SPARQL text: (p|q)+ parsed and lowered to the
+    // semi-naive closure — the alternation collapses to ONE p-IN scan, the
+    // '+' to Paths.transitiveClosure. Oracle: recursive CTE.
+    "q_sparql_path" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?src ?dst WHERE { ?src (<nation>|<region>)+ ?dst . }
+          |ORDER BY ?src ?dst""".stripMargin)),
+
+    // Path sequence p/q: two edge sets joined dst-to-src (bag semantics),
+    // composed with an ordinary BGP pattern on the same block.
+    "q_sparql_path_seq" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?cust ?reg WHERE {
+          |  ?cust <nation>/<region> ?reg .
+          |  ?cust <mktsegment> "BUILDING" .
+          |}
+          |ORDER BY ?cust ?reg""".stripMargin)),
+
+    // Zero-or-more p*: SPARQL's zero-length path pairs EVERY graph term
+    // with itself (18.4 ZeroOrMorePath), union the edge closure, distinct.
+    "q_sparql_path_star" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?a ?b WHERE { ?a <region>* ?b . }
+          |ORDER BY ?a ?b""".stripMargin)),
+
+    // FILTER boolean connectives: && binds tighter than ||, ! negates,
+    // with SPARQL's type-error-eliminates-row rule intact under try_cast.
+    "q_sparql_filter_bool" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust ?seg ?nk WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  ?cust <nationkey> ?nk .
+          |  FILTER (?seg = "BUILDING" || ?seg = "AUTOMOBILE" && ?nk >= 10)
+          |  FILTER (!(?nk = 13))
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
+    // The OPTIONAL + !BOUND negation idiom (the standard pre-1.1 MINUS):
+    // left-join then keep the null-padded rows. Oracle: NOT EXISTS — the
+    // same SQL that oracles q_sparql_minus, proving idiom ≡ MINUS.
+    "q_sparql_notbound" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust WHERE {
+          |  ?cust <mktsegment> "BUILDING" .
+          |  OPTIONAL { ?ord <custkey> ?cust . ?ord <orderpriority> "1-URGENT" . }
+          |  FILTER (!BOUND(?ord))
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
+    // BIND derives new bindings in-query: numeric arithmetic (try_cast
+    // coercion, double result) and string CONCAT.
+    "q_sparql_bind" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust ?nk2 ?tag WHERE {
+          |  ?cust <nationkey> ?nk .
+          |  ?cust <name> ?nm .
+          |  BIND (?nk * 2 + 100 AS ?nk2)
+          |  BIND (CONCAT("cust-", ?nm) AS ?tag)
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
+    // Datatyped/lang-tagged literals: the @en tag matches by lexical form
+    // against the plain-term store; xsd-numeric typed literals compare
+    // numerically in FILTER ("2" fails >= "10"^^xsd:integer).
+    "q_sparql_typed" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?cust ?nk WHERE {
+          |  ?cust <mktsegment> "AUTOMOBILE"@en .
+          |  ?cust <nationkey> ?nk .
+          |  FILTER (?nk >= "10"^^xsd:integer)
+          |  FILTER (?nk < "20"^^xsd:decimal)
+          |}
+          |ORDER BY ?cust ?nk""".stripMargin)),
+
+    // Blank nodes as non-projectable join variables: _:o joins the two
+    // order patterns exactly like a variable but can never be SELECTed.
+    "q_sparql_bnode" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cname WHERE {
+          |  _:o <custkey> ?cust .
+          |  _:o <orderpriority> "1-URGENT" .
+          |  ?cust <name> ?cname .
+          |}
+          |ORDER BY ?cname""".stripMargin)),
+
     // The subject-grouped layout itself (d-sparq's MongoDB document shape):
     // one row per subject, one column per predicate. Explicit pivot values
     // avoid the extra distinct-values job at scale.
@@ -346,6 +449,97 @@ object RdfOps extends QueryModule {
         |  max(o) FILTER (WHERE p = 'mktsegment') AS mktsegment,
         |  max(o) FILTER (WHERE p = 'nation') AS nation
         |FROM triples WHERE s LIKE 'c:%'
-        |GROUP BY s ORDER BY s""".stripMargin)
+        |GROUP BY s ORDER BY s""".stripMargin),
+
+    "q_sparql_agg" -> cte(
+      """SELECT t1.o AS seg, count(t1.s) AS n,
+        |  CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE) AS tot,
+        |  CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE)
+        |    / count(TRY_CAST(t2.o AS DOUBLE)) AS avgnk,
+        |  max(t3.o) AS last
+        |FROM triples t1
+        |JOIN triples t2 ON t1.s = t2.s
+        |JOIN triples t3 ON t1.s = t3.s
+        |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey' AND t3.p = 'name'
+        |GROUP BY t1.o
+        |HAVING count(t1.s) > 10
+        |ORDER BY seg""".stripMargin),
+
+    // same recursive-CTE shape as q_path_transitive — the SPARQL text
+    // surface must produce the identical closure
+    "q_sparql_path" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), edges AS (
+         |  SELECT DISTINCT s AS src, o AS dst FROM triples
+         |  WHERE p IN ('nation', 'region')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin,
+
+    "q_sparql_path_seq" -> cte(
+      """SELECT t1.s AS cust, t2.o AS reg
+        |FROM triples t1
+        |JOIN triples t2 ON t1.o = t2.s
+        |JOIN triples t3 ON t1.s = t3.s
+        |WHERE t1.p = 'nation' AND t2.p = 'region'
+        |  AND t3.p = 'mktsegment' AND t3.o = 'BUILDING'
+        |ORDER BY cust, reg""".stripMargin),
+
+    "q_sparql_path_star" -> cte(
+      """SELECT a, b FROM (
+        |  SELECT term AS a, term AS b
+        |  FROM (SELECT s AS term FROM triples UNION SELECT o FROM triples)
+        |  UNION
+        |  SELECT s, o FROM triples WHERE p = 'region'
+        |)
+        |ORDER BY a, b""".stripMargin),
+
+    "q_sparql_filter_bool" -> cte(
+      """SELECT t1.s AS cust, t1.o AS seg, t2.o AS nk
+        |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey'
+        |  AND (t1.o = 'BUILDING'
+        |       OR (t1.o = 'AUTOMOBILE' AND TRY_CAST(t2.o AS DOUBLE) >= 10))
+        |  AND NOT (TRY_CAST(t2.o AS DOUBLE) = 13)
+        |ORDER BY cust""".stripMargin),
+
+    // identical SQL to q_sparql_minus: the !BOUND idiom must compute MINUS
+    "q_sparql_notbound" -> cte(
+      """SELECT t1.s AS cust FROM triples t1
+        |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM triples t2 JOIN triples t3 ON t2.s = t3.s
+        |    WHERE t2.p = 'custkey' AND t2.o = t1.s
+        |      AND t3.p = 'orderpriority' AND t3.o = '1-URGENT')
+        |ORDER BY cust""".stripMargin),
+
+    "q_sparql_bind" -> cte(
+      """SELECT t1.s AS cust,
+        |  TRY_CAST(t1.o AS DOUBLE) * 2 + 100 AS nk2,
+        |  'cust-' || t2.o AS tag
+        |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |WHERE t1.p = 'nationkey' AND t2.p = 'name'
+        |ORDER BY cust""".stripMargin),
+
+    "q_sparql_typed" -> cte(
+      """SELECT t1.s AS cust, t2.o AS nk
+        |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |WHERE t1.p = 'mktsegment' AND t1.o = 'AUTOMOBILE'
+        |  AND t2.p = 'nationkey'
+        |  AND TRY_CAST(t2.o AS DOUBLE) >= 10 AND TRY_CAST(t2.o AS DOUBLE) < 20
+        |ORDER BY cust, nk""".stripMargin),
+
+    "q_sparql_bnode" -> cte(
+      """SELECT t3.o AS cname
+        |FROM triples t1
+        |JOIN triples t2 ON t1.s = t2.s
+        |JOIN triples t3 ON t1.o = t3.s
+        |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority'
+        |  AND t2.o = '1-URGENT' AND t3.p = 'name'
+        |ORDER BY cname""".stripMargin)
   )
 }

@@ -5,26 +5,30 @@ import org.apache.spark.sql.functions._
 
 /** SPARQL front-end for the engine-supported fragment: SELECT, ASK and
   * CONSTRUCT over basic graph patterns with OPTIONAL / MINUS blocks,
-  * FILTERs, VALUES inline bindings, UNION, and the solution modifiers
+  * FILTERs (boolean connectives, BOUND, regex, arithmetic comparisons),
+  * BIND, VALUES inline bindings, UNION, property paths, aggregation
+  * (GROUP BY + COUNT/SUM/AVG/MIN/MAX, HAVING) and the solution modifiers
   * DISTINCT / ORDER BY / LIMIT / OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
   * parser for exactly the fragment the engine executes, lowering to the
-  * [[Bgp]] DSL. Supported:
+  * [[Bgp]] DSL, [[Path]] algebra and Spark relational operators. Supported:
   *
   * {{{
   *   PREFIX ex: <http://example.org/>
-  *   SELECT [DISTINCT] ?a ?b | SELECT *
+  *   SELECT [DISTINCT] ?a ?b | SELECT * | SELECT ?g (COUNT(?x) AS ?n)
   *   WHERE {
   *     ?a <pred> ?b .
-  *     ?a ex:p "literal" .
+  *     ?a ex:p "literal" .           # plain, typed ("5"^^xsd:int) or
+  *     _:bn <p> ?a .                 # lang-tagged ("x"@en) literals;
+  *     ?a (<p>|<q>)+/<r> ?c .        # property paths: / | + * ? ^ ( )
   *     OPTIONAL { ?a <p2> ?c . }
-  *     FILTER (?b = "x")   FILTER (?b != ?c)   FILTER regex(?b, "^ab")
-  *     FILTER (?n >= 10)   FILTER (?n < 19.5)      # numeric coercion
+  *     BIND (?n + 1 AS ?m)  BIND (CONCAT("x-", ?b) AS ?tag)
+  *     FILTER (?b = "x" || (?n >= 10 && !BOUND(?c)))
+  *     FILTER regex(?b, "^ab")
   *   }
-  *   -- or a union of groups:
-  *   WHERE { { ?a <p> ?b . } UNION { ?a <q> ?b . OPTIONAL {...} } }
+  *   GROUP BY ?g HAVING (COUNT(?x) > 5)
   *   ORDER BY ?a DESC(?b)  LIMIT 100  OFFSET 10
   * }}}
   *
@@ -32,37 +36,82 @@ import org.apache.spark.sql.functions._
   *  - UNION is SPARQL bag union of solution mappings; variables unbound in
   *    a branch are null-padded (lowered to `unionByName` with
   *    `allowMissingColumns = true`, the exact same padding rule).
-  *  - numeric FILTER comparisons coerce via `try_cast(double)`: a binding
-  *    that is not a number compares unknown → row dropped, matching
-  *    SPARQL's type-error-eliminates-row rule (and DuckDB's TRY_CAST).
+  *  - numeric comparisons (a numeric constant, arithmetic, or numeric
+  *    aggregate on either side) coerce both sides via `try_cast(double)`:
+  *    a binding that is not a number compares unknown → row dropped,
+  *    matching SPARQL's type-error-eliminates-row rule (and DuckDB's
+  *    TRY_CAST). `BOUND(?v)` is `isNotNull` — with OPTIONAL + `!BOUND` this
+  *    is the standard pre-MINUS negation idiom, proven ≡ MINUS in
+  *    SparqlSpec.
+  *  - a typed literal keeps its LEXICAL form for pattern matching (the
+  *    triples store holds plain lexical terms); in a FILTER/BIND
+  *    expression, an xsd numeric datatype makes it a numeric constant.
+  *    Lang tags are parsed and compared by lexical form.
+  *  - blank nodes (`_:b`) are non-projectable variables: they join within
+  *    their pattern group like any variable, can never be SELECTed (no
+  *    `?` token can name them) and are dropped from `SELECT *`; reusing a
+  *    label across pattern groups is rejected (SPARQL grammar note 10).
+  *  - aggregation lowers to `groupBy(...).agg(...)`: SUM/AVG accumulate
+  *    exact decimals of `try_cast`-coerced values and emit double (the
+  *    [[graft.Det]] determinism rule; non-numeric bindings are skipped,
+  *    DuckDB-TRY_CAST-aligned), COUNT(DISTINCT ?v) is `countDistinct`,
+  *    MIN/MAX compare lexical forms. Non-aggregated projected variables
+  *    must appear in GROUP BY (rejected otherwise, as in SQL).
+  *  - property paths: `+`/`*`/`?` have node-pair (distinct) semantics and
+  *    `*`'s zero-length path matches every graph term, per SPARQL 18.4;
+  *    sequence / alternation stay bags. Closures run as distributed
+  *    semi-naive iteration ([[Paths.transitiveClosure]]).
   *  - ORDER BY sorts ascending nulls-first / descending nulls-last;
   *    OFFSET applies before LIMIT (SPARQL 18.2.5 modifier order).
   *
-  * Out of fragment (rejected, not silently mis-run): GROUP BY, subqueries,
-  * property paths, blank nodes, datatyped literals. Trailing tokens after
-  * the solution modifiers are an error, so an unsupported clause can never
-  * be silently ignored. SPARQL bag semantics on this fragment coincide
-  * with the SQL bag semantics of the lowered plan.
+  * Out of fragment (rejected, not silently mis-run): subqueries, GRAPH /
+  * named graphs, SERVICE, EXISTS, predicate-object lists (`;`), IF/COALESCE.
+  * The tokenizer verifies every non-whitespace, non-comment character is
+  * consumed by a token and errors with the offset of the first unsupported
+  * character, so unsupported syntax can never be silently dropped; trailing
+  * tokens after the solution modifiers are likewise an error. SPARQL bag
+  * semantics on this fragment coincide with the SQL bag semantics of the
+  * lowered plan.
   */
 object Sparql {
 
-  sealed trait FilterExpr
-  final case class Cmp(left: Term, op: String, right: Term) extends FilterExpr
-  final case class Regex(v: String, pattern: String) extends FilterExpr
+  // ---- expression AST: FILTER, BIND and HAVING share one grammar -------
+  sealed trait Expr
+  final case class EVar(n: String) extends Expr
+  final case class ENum(v: BigDecimal) extends Expr
+  final case class EStr(v: String) extends Expr
+  final case class ECmp(l: Expr, op: String, r: Expr) extends Expr
+  final case class EAnd(l: Expr, r: Expr) extends Expr
+  final case class EOr(l: Expr, r: Expr) extends Expr
+  final case class ENot(e: Expr) extends Expr
+  final case class EBound(v: String) extends Expr
+  final case class ERegex(v: String, pattern: String) extends Expr
+  final case class EArith(l: Expr, op: String, r: Expr) extends Expr
+  final case class EConcat(args: Seq[Expr]) extends Expr
+  /** Aggregate call; `v=None` is `COUNT(*)`. Valid only in SELECT
+    * `(AGG(?v) AS ?alias)` bindings and HAVING. */
+  final case class EAgg(fn: String, v: Option[String], distinct: Boolean)
+    extends Expr
 
-  /** One group graph pattern: a BGP plus its VALUES tables, OPTIONALs,
-    * MINUSes and FILTERs (applied in that order within the block). Each
-    * VALUES entry is (variable names, rows of constants). */
+  /** One group graph pattern: a BGP plus its property-path patterns,
+    * VALUES tables, BINDs, OPTIONALs, MINUSes and FILTERs (applied in that
+    * order within the block). Each VALUES entry is (variable names, rows
+    * of constants). */
   final case class Block(where: Seq[TP], optionals: Seq[Seq[TP]],
-      filters: Seq[FilterExpr], minuses: Seq[Seq[TP]] = Nil,
-      values: Seq[(Seq[String], Seq[Seq[String]])] = Nil)
+      filters: Seq[Expr], minuses: Seq[Seq[TP]] = Nil,
+      values: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
+      binds: Seq[(String, Expr)] = Nil,
+      paths: Seq[(Term, Path, Term)] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
 
   final case class Query(projection: Seq[String], branches: Seq[Block],
       distinct: Boolean, orderKeys: Seq[OrderKey],
       limit: Option[Int], offset: Option[Int], ask: Boolean = false,
-      construct: Option[Seq[TP]] = None) {
+      construct: Option[Seq[TP]] = None,
+      selectAggs: Seq[(String, EAgg)] = Nil,
+      groupVars: Seq[String] = Nil,
+      having: Option[Expr] = None) {
     // single-branch accessors (the pre-UNION shape most callers inspect);
     // guarded so a union query can never silently expose only its first
     // branch to plan analysis — inspect `branches` for those
@@ -73,7 +122,7 @@ object Sparql {
     }
     def where: Seq[TP] = only.where
     def optionals: Seq[Seq[TP]] = only.optionals
-    def filters: Seq[FilterExpr] = only.filters
+    def filters: Seq[Expr] = only.filters
   }
 
   /** Parse and execute against a triples DataFrame(s,p,o).
@@ -85,40 +134,105 @@ object Sparql {
     * one-shuffle-per-star plan (see [[Bgp.solveStarCollapsed]]).
     */
   def run(triples: DataFrame, text: String,
-      collapseStars: Boolean = false): DataFrame =
-    execute(parse(text), bgp =>
-      if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
-      else Bgp.solve(triples, bgp))
+      collapseStars: Boolean = false): DataFrame = {
+    val q = parse(text)
+    execute(q,
+      bgp =>
+        if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
+        else Bgp.solve(triples, bgp),
+      (path, s, o) => pathSolution(Paths.evalPath(triples, path), s, o))
+  }
 
   /** Parse and execute against the dictionary-encoded id-triple store —
     * the complete reference pipeline: text → BGP algebra → constants
     * encoded to ids → the whole join tree over longs → bindings decoded at
-    * emission ([[EncodedBgp]]). OPTIONAL blocks are likewise solved in id
-    * space and left-joined after decode; FILTERs (string/regex/numeric
-    * semantics) apply to the decoded bindings, where they mean the same
-    * thing as in [[run]].
+    * emission ([[EncodedBgp]]). OPTIONAL / MINUS blocks and property paths
+    * are likewise solved in id space (path closures iterate over 8-byte
+    * longs) and joined after decode; FILTER / BIND / aggregation apply to
+    * the decoded bindings, where they mean the same thing as in [[run]].
     */
   def runEncoded(enc: DataFrame, dict: DataFrame, text: String,
       collapseStars: Boolean = false): DataFrame = {
     val q = parse(text)
     // ONE dictionary-lookup job for the whole query — every UNION branch,
-    // OPTIONAL and MINUS block shares the resolved constant map. MINUS must
-    // be in the batch: a MINUS-only constant absent from the map would make
-    // solveResolved see allResolved=false and gate the MINUS block to empty,
-    // silently returning a superset (nothing subtracted).
+    // OPTIONAL and MINUS block and property path shares the resolved
+    // constant map. MINUS must be in the batch: a MINUS-only constant
+    // absent from the map would make solveResolved see allResolved=false
+    // and gate the MINUS block to empty, silently returning a superset
+    // (nothing subtracted).
     val allPats = q.branches.flatMap(b =>
       b.where ++ b.optionals.flatten ++ b.minuses.flatten)
-    val idOf = EncodedBgp.resolveConstants(dict, allPats)
-    execute(q, bgp => EncodedBgp.solveResolved(enc, dict, bgp, idOf, collapseStars))
+    val pathTerms = q.branches.flatMap(_.paths).flatMap { case (s, path, o) =>
+      pathStrings(path) ++ Seq(s, o).collect { case C(v: String) => v }
+    }
+    val idOf = EncodedBgp.resolveConstants(dict, allPats, pathTerms)
+    val idTriples = EncodedBgp.asTriples(enc)
+    def solvePathEnc(path: Path, s: Term, o: Term): DataFrame = {
+      val consts = pathStrings(path) ++
+        Seq(s, o).collect { case C(v: String) => v }
+      // an unresolved constant occurs in no triple → the path provably has
+      // no matches; gate to empty rather than compare a sentinel id
+      val allResolved = consts.forall(idOf.contains)
+      def tr(t: Term): Term = t match {
+        case C(v: String) => C(idOf.getOrElse(v, Long.MinValue))
+        case other => other
+      }
+      val idPath = mapPath(path, v => idOf.getOrElse(v, Long.MinValue))
+      val solved = pathSolution(Paths.evalPath(idTriples, idPath), tr(s), tr(o))
+      val gated = if (allResolved) solved else solved.filter(lit(false))
+      EncodedBgp.decode(gated, dict, gated.columns)
+    }
+    execute(q,
+      bgp => EncodedBgp.solveResolved(enc, dict, bgp, idOf, collapseStars),
+      solvePathEnc)
+  }
+
+  /** Bind a path's (src, dst) pair set to the pattern's endpoint terms. */
+  private def pathSolution(edges: DataFrame, s: Term, o: Term): DataFrame =
+    (s, o) match {
+      case (V(a), V(b)) if a == b =>
+        edges.filter(col("src") === col("dst")).select(col("src").as(a))
+      case (V(a), V(b)) => edges.select(col("src").as(a), col("dst").as(b))
+      case (C(v), V(b)) =>
+        edges.filter(col("src") === lit(v)).select(col("dst").as(b))
+      case (V(a), C(v)) =>
+        edges.filter(col("dst") === lit(v)).select(col("src").as(a))
+      case (C(_), C(_)) => throw new IllegalArgumentException(
+        "a property-path pattern needs at least one variable endpoint")
+    }
+
+  private def pathStrings(path: Path): Seq[String] = path match {
+    case PEdge(v: String) => Seq(v)
+    case PEdge(_) => Nil
+    case PSeq(l, r) => pathStrings(l) ++ pathStrings(r)
+    case PAlt(l, r) => pathStrings(l) ++ pathStrings(r)
+    case PPlus(q) => pathStrings(q)
+    case PStar(q) => pathStrings(q)
+    case POpt(q) => pathStrings(q)
+    case PInv(q) => pathStrings(q)
+  }
+
+  private def mapPath(path: Path, f: String => Any): Path = path match {
+    case PEdge(v: String) => PEdge(f(v))
+    case e: PEdge => e
+    case PSeq(l, r) => PSeq(mapPath(l, f), mapPath(r, f))
+    case PAlt(l, r) => PAlt(mapPath(l, f), mapPath(r, f))
+    case PPlus(q) => PPlus(mapPath(q, f))
+    case PStar(q) => PStar(mapPath(q, f))
+    case POpt(q) => POpt(mapPath(q, f))
+    case PInv(q) => PInv(mapPath(q, f))
   }
 
   /** Lower a parsed query given a BGP solver that returns string-space
-    * bindings; everything above the BGP (OPTIONAL, FILTER, UNION, solution
-    * modifiers) is solver-independent.
+    * bindings and a path solver; everything above those (BIND, OPTIONAL,
+    * FILTER, UNION, aggregation, solution modifiers) is solver-independent.
     */
-  private def execute(q: Query, solveBgp: Seq[TP] => DataFrame): DataFrame = {
+  private def execute(q: Query, solveBgp: Seq[TP] => DataFrame,
+      solvePath: (Path, Term, Term) => DataFrame): DataFrame = {
     val solved = q.branches.map { b =>
-      var df = solveBgp(b.where)
+      val pieces = (if (b.where.nonEmpty) Seq(solveBgp(b.where)) else Nil) ++
+        b.paths.map { case (s, path, o) => solvePath(path, s, o) }
+      var df = pieces.reduce(Bgp.joinSolved)
       // VALUES = join with the inline solution table (restricts shared
       // vars, cross-products disjoint ones — SPARQL join semantics)
       b.values.foreach { case (vars, rows) =>
@@ -131,9 +245,15 @@ object Sparql {
             org.apache.spark.sql.Row(r: _*)): _*), schema)
         df = Bgp.joinSolved(df, vdf)
       }
+      // BIND derives a new binding column; applied before OPTIONAL/MINUS/
+      // FILTER so all of those see the bound variable
+      b.binds.foreach { case (v, e) =>
+        require(!df.columns.contains(v), s"BIND would rebind ?$v")
+        df = df.withColumn(v, scalarCol(e, numericExpr(e), Map.empty))
+      }
       b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
       b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
-      b.filters.foreach(f => df = df.filter(filterCol(f)))
+      b.filters.foreach(f => df = df.filter(boolCol(f, Map.empty)))
       df
     }
     var df = solved.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -152,12 +272,27 @@ object Sparql {
         case V(n) => col(n)
         case C(v) => lit(v)
       }
-      return template.map(tp => df.select(
+      // materialize the solved bindings ONCE when the template has several
+      // patterns — mapping the template over the unmaterialized frame
+      // would re-run the whole BGP join tree once per pattern.
+      // localCheckpoint is eager and truncates lineage to executor-local
+      // blocks (fine single-JVM; a cluster deployment would swap in a
+      // reliable checkpoint / small parquet round-trip here).
+      val mat = if (template.size > 1) df.localCheckpoint(true) else df
+      return template.map(tp => mat.select(
           t2c(tp.s).cast("string").as("s"), t2c(tp.p).cast("string").as("p"),
           t2c(tp.o).cast("string").as("o")))
         .reduce(_.unionByName(_)).distinct()
     }
+    if (q.groupVars.nonEmpty || q.selectAggs.nonEmpty || q.having.isDefined)
+      df = aggregate(q, df)
     if (q.projection != Seq("*")) df = df.select(q.projection.map(col): _*)
+    else {
+      // SELECT * projects only named variables — blank-node bindings are
+      // internal and must not leak
+      val bnodes = df.columns.filter(_.startsWith("_:"))
+      if (bnodes.nonEmpty) df = df.drop(bnodes: _*)
+    }
     if (q.distinct) df = df.distinct()
     if (q.orderKeys.nonEmpty)
       df = df.orderBy(q.orderKeys.map(k =>
@@ -167,25 +302,78 @@ object Sparql {
     df
   }
 
-  private def filterCol(f: FilterExpr): Column = f match {
-    case Regex(v, p) => col(v).rlike(p)
-    case Cmp(l, op, r) =>
-      // a numeric constant on either side switches the comparison to
-      // numeric semantics over both sides; try_cast (not cast) so that a
-      // non-numeric binding is a SPARQL type error → row eliminated, even
-      // under ANSI mode
-      val numeric = Seq(l, r).exists {
-        case C(_: BigDecimal) => true
-        case _ => false
-      }
-      def side(t: Term): Column = t match {
-        // backticks: a variable named like a SQL keyword/literal (?true,
-        // ?order) must stay a column reference inside the expr text
-        case V(n) => if (numeric) expr(s"try_cast(`$n` AS double)") else col(n)
-        case C(v: BigDecimal) => lit(v.toDouble)
-        case C(v) => lit(v)
-      }
-      val (lc, rc) = (side(l), side(r))
+  /** GROUP BY / aggregate-SELECT / HAVING lowering: one hash aggregation
+    * over the solved bindings (map-side partial combine for free), HAVING
+    * as a filter over the aggregated frame. HAVING aggregates not already
+    * SELECTed compute as hidden columns and drop after the filter. */
+  private def aggregate(q: Query, solved: DataFrame): DataFrame = {
+    val aliasOf: Map[EAgg, String] = q.selectAggs.map(_.swap).toMap
+    val hidden = q.having.toSeq.flatMap(collectAggs).distinct
+      .filterNot(aliasOf.contains).zipWithIndex
+      .map { case (a, i) => (a, s"__h$i") }
+    val env: Map[EAgg, String] = aliasOf ++ hidden
+    val aggCols = q.selectAggs.map { case (alias, a) => aggCol(a).as(alias) } ++
+      hidden.map { case (a, n) => aggCol(a).as(n) }
+    // GROUP BY with no aggregates is legal (one row per group): aggregate
+    // a hidden count to satisfy agg()'s arity, drop it after
+    val all = if (aggCols.nonEmpty) aggCols else Seq(count(lit(1)).as("__g"))
+    val grouped =
+      if (q.groupVars.nonEmpty) solved.groupBy(q.groupVars.map(col): _*)
+      else solved.groupBy()
+    var df = grouped.agg(all.head, all.tail: _*)
+    q.having.foreach(h => df = df.filter(boolCol(h, env)))
+    df.drop(hidden.map(_._2) :+ "__g": _*)
+  }
+
+  private def aggCol(a: EAgg): Column = a match {
+    case EAgg("COUNT", None, false) => count(lit(1))
+    case EAgg("COUNT", Some(v), false) => count(col(v))
+    case EAgg("COUNT", Some(v), true) => countDistinct(col(v))
+    // exact decimal accumulation → double emission: order-independent and
+    // bit-identical to the DuckDB oracle (graft.Det rule); try_cast skips
+    // non-numeric lexical forms on both engines
+    case EAgg("SUM", Some(v), false) =>
+      sum(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double")
+    case EAgg("AVG", Some(v), false) =>
+      sum(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double") /
+        count(expr(s"try_cast(`$v` AS double)"))
+    case EAgg("MIN", Some(v), false) => min(col(v))
+    case EAgg("MAX", Some(v), false) => max(col(v))
+    case other => throw new IllegalArgumentException(
+      s"unsupported aggregate: $other")
+  }
+
+  private def collectAggs(e: Expr): Seq[EAgg] = e match {
+    case a: EAgg => Seq(a)
+    case ECmp(l, _, r) => collectAggs(l) ++ collectAggs(r)
+    case EAnd(l, r) => collectAggs(l) ++ collectAggs(r)
+    case EOr(l, r) => collectAggs(l) ++ collectAggs(r)
+    case ENot(x) => collectAggs(x)
+    case EArith(l, _, r) => collectAggs(l) ++ collectAggs(r)
+    case EConcat(as) => as.flatMap(collectAggs)
+    case _ => Nil
+  }
+
+  /** Does this expression force numeric comparison semantics? */
+  private def numericExpr(e: Expr): Boolean = e match {
+    case ENum(_) => true
+    case EArith(_, _, _) => true
+    case EAgg(fn, _, _) => fn == "COUNT" || fn == "SUM" || fn == "AVG"
+    case _ => false
+  }
+
+  private def boolCol(e: Expr, env: Map[EAgg, String]): Column = e match {
+    case EAnd(l, r) => boolCol(l, env) && boolCol(r, env)
+    case EOr(l, r) => boolCol(l, env) || boolCol(r, env)
+    case ENot(x) => !boolCol(x, env)
+    case EBound(v) => col(v).isNotNull
+    case ERegex(v, p) => col(v).rlike(p)
+    case ECmp(l, op, r) =>
+      // a numeric side switches the comparison to numeric semantics over
+      // both sides; try_cast (not cast) so that a non-numeric binding is a
+      // SPARQL type error → row eliminated, even under ANSI mode
+      val numeric = numericExpr(l) || numericExpr(r)
+      val (lc, rc) = (scalarCol(l, numeric, env), scalarCol(r, numeric, env))
       op match {
         case "=" => lc === rc
         case "!=" => lc =!= rc
@@ -194,20 +382,79 @@ object Sparql {
         case "<=" => lc <= rc
         case ">=" => lc >= rc
       }
+    case other => throw new IllegalArgumentException(
+      s"FILTER/HAVING needs a boolean expression, got: $other")
+  }
+
+  private def scalarCol(e: Expr, numeric: Boolean,
+      env: Map[EAgg, String]): Column = e match {
+    // backticks: a variable named like a SQL keyword/literal (?true,
+    // ?order) must stay a column reference inside the expr text
+    case EVar(n) => if (numeric) expr(s"try_cast(`$n` AS double)") else col(n)
+    case ENum(v) => lit(v.toDouble)
+    case EStr(v) => lit(v)
+    case EArith(l, op, r) =>
+      val (lc, rc) = (scalarCol(l, numeric = true, env),
+        scalarCol(r, numeric = true, env))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+      }
+    case EConcat(args) =>
+      concat(args.map(a => scalarCol(a, numeric = false, env).cast("string")): _*)
+    case a: EAgg =>
+      val n = env.getOrElse(a, throw new IllegalArgumentException(
+        s"aggregate ${a.fn} is only valid in SELECT (… AS ?v) or HAVING"))
+      if (numeric) expr(s"try_cast(`$n` AS double)") else col(n)
+    case other => throw new IllegalArgumentException(
+      s"not a scalar expression: $other")
   }
 
   // ----------------------------- parsing -------------------------------
 
   // IRI bodies exclude whitespace (as in SPARQL) — essential so that a
   // bare '<' comparison operator can never swallow text up to some later
-  // '>' in the query.
-  private val tokenRe =
-    ("""\?[A-Za-z_]\w*|<[^>\s]*>|"(?:[^"\\]|\\.)*"|[A-Za-z_][\w-]*:[\w-]*|""" +
-      """[A-Za-z]+|-?\d+(?:\.\d+)?|<=|>=|!=|=|[{}().,*]|<|>""").r
+  // '>' in the query. Literals may carry a ^^datatype or @lang suffix.
+  // '#' outside a token starts a comment (dropped after tokenizing).
+  private val tokenRe = (
+    """\?[A-Za-z_]\w*""" +
+      """|_:[A-Za-z_]\w*""" +
+      """|<[^>\s]*>""" +
+      """|"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>\s]*>|[A-Za-z_][\w-]*:[\w-]*)""" +
+      """|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?""" +
+      """|#[^\n]*""" +
+      """|[A-Za-z_][\w-]*:[\w-]*""" +
+      """|[A-Za-z]+""" +
+      """|-?\d+(?:\.\d+)?""" +
+      """|&&|\|\||<=|>=|!=|=|[{}().,*+/|^?!<>-]""").r
+
+  /** Tokenize with full-coverage verification: any character not consumed
+    * by a token, whitespace, or a comment is an error AT ITS OFFSET — so
+    * unsupported syntax (';' lists, unknown operators) fails loudly at the
+    * offending character instead of being dropped pre-parse and surfacing
+    * as a confusing error on the wrong token. */
+  private[rdf] def tokenize(text: String): List[String] = {
+    val ms = tokenRe.findAllMatchIn(text).toList
+    def gap(from: Int, to: Int): Unit = {
+      var i = from
+      while (i < to) {
+        require(text.charAt(i).isWhitespace,
+          s"unsupported syntax at offset $i: '" +
+            text.substring(i, math.min(i + 12, text.length))
+              .takeWhile(_ != '\n') + "'")
+        i += 1
+      }
+    }
+    var pos = 0
+    ms.foreach { m => gap(pos, m.start); pos = m.end }
+    gap(pos, text.length)
+    ms.map(_.matched).filterNot(_.startsWith("#"))
+  }
 
   def parse(text: String): Query = {
-    val toks = tokenRe.findAllIn(text).toList
-    val p = new P(toks)
+    val p = new P(tokenize(text))
     val prefixes = Iterator.continually(()).takeWhile(_ => p.peekKw("PREFIX")).map { _ =>
       p.expectKw("PREFIX")
       val name = p.next() // "ex:" parses as prefixed-name token "ex:"
@@ -224,6 +471,7 @@ object Sparql {
         require(template.nonEmpty, "empty CONSTRUCT template")
         Some(template.toSeq)
       } else None
+    val selectAggs = scala.collection.mutable.ArrayBuffer.empty[(String, EAgg)]
     val (distinct, proj) =
       if (ask) { p.expectKw("ASK"); (false, Seq("*")) }
       else if (construct.isDefined) (false, Seq("*"))
@@ -232,8 +480,25 @@ object Sparql {
         val d = if (p.peekKw("DISTINCT")) { p.next(); true } else false
         val pr =
           if (p.peek() == "*") { p.next(); Seq("*") }
-          else Iterator.continually(()).takeWhile(_ => p.peek().startsWith("?"))
-            .map(_ => p.next().drop(1)).toSeq
+          else {
+            val items = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (p.hasNext &&
+                ((p.peek().startsWith("?") && p.peek().length > 1) ||
+                  p.peek() == "(")) {
+              if (p.peek() == "(") {
+                // (AGG(?v) AS ?alias) — an aggregate projection binding
+                p.expect("(")
+                val a = aggCall(p)
+                p.expectKw("AS")
+                val v = p.next()
+                require(v.startsWith("?"), s"AS needs a variable, got $v")
+                p.expect(")")
+                selectAggs += v.drop(1) -> a
+                items += v.drop(1)
+              } else items += p.next().drop(1)
+            }
+            items.toSeq
+          }
         require(pr.nonEmpty, "SELECT needs variables or *")
         (d, pr)
       }
@@ -251,6 +516,18 @@ object Sparql {
         p.expect("}")
         Seq(b)
       }
+    val groupVars = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (p.peekKw("GROUP")) {
+      p.expectKw("GROUP"); p.expectKw("BY")
+      while (p.hasNext && p.peek().startsWith("?") && p.peek().length > 1)
+        groupVars += p.next().drop(1)
+      require(groupVars.nonEmpty, "empty GROUP BY")
+    }
+    var having = Option.empty[Expr]
+    if (p.peekKw("HAVING")) {
+      p.expectKw("HAVING")
+      having = Some(constraint(p, prefixes, allowAgg = true))
+    }
     val orderKeys = scala.collection.mutable.ArrayBuffer.empty[OrderKey]
     if (p.peekKw("ORDER")) {
       p.expectKw("ORDER"); p.expectKw("BY")
@@ -278,7 +555,39 @@ object Sparql {
     require(!(ask || construct.isDefined) ||
         (orderKeys.isEmpty && limit.isEmpty && offset.isEmpty),
       "ASK/CONSTRUCT take no solution modifiers in this fragment")
-    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset, ask, construct)
+    val hasAgg = selectAggs.nonEmpty || groupVars.nonEmpty || having.isDefined
+    if (hasAgg) {
+      require(!ask && construct.isEmpty,
+        "ASK/CONSTRUCT take no aggregation")
+      require(proj != Seq("*"),
+        "SELECT * cannot combine with GROUP BY/aggregates")
+      val aliases = selectAggs.map(_._1).toSet
+      val bad = proj.filterNot(aliases).filterNot(groupVars.contains)
+      require(bad.isEmpty, "non-aggregated SELECT variables must appear " +
+        s"in GROUP BY: ${bad.map("?" + _).mkString(", ")}")
+    }
+    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset, ask,
+      construct, selectAggs.toSeq, groupVars.toSeq, having)
+  }
+
+  private def aggCall(p: P): EAgg = {
+    val fn = p.next().toUpperCase
+    require(Set("COUNT", "SUM", "AVG", "MIN", "MAX")(fn),
+      s"unsupported aggregate: $fn")
+    p.expect("(")
+    val distinct = p.peekKw("DISTINCT")
+    if (distinct) p.next()
+    val arg =
+      if (p.peek() == "*") { p.next(); None }
+      else {
+        val v = p.next()
+        require(v.startsWith("?"), s"aggregate argument must be ?var or *, got $v")
+        Some(v.drop(1))
+      }
+    p.expect(")")
+    require(arg.isDefined || (fn == "COUNT" && !distinct),
+      s"$fn(${if (distinct) "DISTINCT " else ""}*) is not supported")
+    EAgg(fn, arg, distinct)
   }
 
   /** `{ ... }` union branch. */
@@ -289,13 +598,15 @@ object Sparql {
     b
   }
 
-  /** Triples / OPTIONAL / MINUS / FILTER members up to (not consuming)
-    * `}`. */
+  /** Triples / paths / OPTIONAL / MINUS / FILTER / BIND / VALUES members
+    * up to (not consuming) `}`. */
   private def blockBody(p: P, prefixes: Map[String, String]): Block = {
     val where = scala.collection.mutable.ArrayBuffer.empty[TP]
+    val paths = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
     val optionals = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
     val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
-    val filters = scala.collection.mutable.ArrayBuffer.empty[FilterExpr]
+    val filters = scala.collection.mutable.ArrayBuffer.empty[Expr]
+    val binds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -319,7 +630,15 @@ object Sparql {
         minuses += bracedPatterns()
       } else if (p.peekKw("FILTER")) {
         p.expectKw("FILTER")
-        filters += filterExpr(p, prefixes)
+        filters += constraint(p, prefixes, allowAgg = false)
+      } else if (p.peekKw("BIND")) {
+        p.expectKw("BIND"); p.expect("(")
+        val e = orExpr(p, prefixes, allowAgg = false)
+        p.expectKw("AS")
+        val v = p.next()
+        require(v.startsWith("?"), s"BIND needs AS ?var, got $v")
+        p.expect(")")
+        binds += v.drop(1) -> e
       } else if (p.peekKw("VALUES")) {
         // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }
         p.expectKw("VALUES")
@@ -355,13 +674,92 @@ object Sparql {
         require(rows.nonEmpty, "empty VALUES table")
         values += vars -> rows.toSeq
       } else {
-        where += triplePattern(p, prefixes)
+        // triple pattern — or a property-path pattern when the predicate
+        // position holds path syntax (operators after an IRI, '^', or '(').
+        // Variable, literal and numeric predicates are plain patterns (the
+        // DSL permits them; paths are built from IRIs only)
+        val s = term(p, prefixes)
+        val pk = p.peek()
+        if ((pk.startsWith("?") && pk.length > 1) || pk.startsWith("\"") ||
+            numRe.matches(pk)) {
+          val pd = term(p, prefixes)
+          where += TP(s, pd, term(p, prefixes))
+        } else {
+          val path = parsePath(p, prefixes)
+          val o = term(p, prefixes)
+          path match {
+            case PEdge(iri) => where += TP(s, C(iri), o)
+            case composite => paths += ((s, composite, o))
+          }
+        }
         p.maybe(".")
       }
     }
-    require(where.nonEmpty, "empty WHERE block")
-    Block(where.toSeq, optionals.toSeq, filters.toSeq, minuses.toSeq,
-      values.toSeq)
+    require(where.nonEmpty || paths.nonEmpty, "empty WHERE block")
+    val block = Block(where.toSeq, optionals.toSeq, filters.toSeq,
+      minuses.toSeq, values.toSeq, binds.toSeq, paths.toSeq)
+    checkBnodeScopes(block)
+    block
+  }
+
+  /** A blank-node label is scoped to ONE pattern group (SPARQL grammar
+    * note 10): reuse across the WHERE group and any OPTIONAL/MINUS block
+    * is an error, never a silent cross-group join. */
+  private def checkBnodeScopes(b: Block): Unit = {
+    def labels(tps: Seq[TP]): Set[String] =
+      tps.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect { case V(n) if n.startsWith("_:") => n }.toSet
+    val whereLabels = labels(b.where) ++
+      b.paths.flatMap { case (s, _, o) => Seq(s, o) }
+        .collect { case V(n) if n.startsWith("_:") => n }
+    val groups = whereLabels +: (b.optionals ++ b.minuses).map(labels)
+    val dup = groups.combinations(2).flatMap(pair => pair(0) intersect pair(1))
+      .toSeq.distinct
+    require(dup.isEmpty,
+      s"blank node label used across pattern groups: ${dup.mkString(", ")}")
+  }
+
+  /** SPARQL 1.1 path grammar: `alt := seq ('|' seq)*`, `seq := elt ('/'
+    * elt)*`, inverse `^elt`, modifiers `+ * ?` on a primary, primaries are
+    * IRIs / prefixed names / parenthesized paths. */
+  private def parsePath(p: P, prefixes: Map[String, String]): Path = {
+    def primary(): Path =
+      if (p.peek() == "(") { p.expect("("); val q = alt(); p.expect(")"); q }
+      else {
+        val t = p.next()
+        val iri =
+          if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
+          else if (!t.startsWith("\"") && !t.startsWith("?") &&
+              !t.startsWith("_:") && t.contains(":")) {
+            val Array(pre, local) = t.split(":", 2)
+            prefixes.getOrElse(pre, throw new IllegalArgumentException(
+              s"unknown prefix '$pre:' in '$t'")) + local
+          } else throw new IllegalArgumentException(s"unsupported path element: $t")
+        PEdge(iri)
+      }
+    def elt(): Path = {
+      val base = primary()
+      if (p.hasNext && Set("+", "*", "?")(p.peek()))
+        p.next() match {
+          case "+" => PPlus(base)
+          case "*" => PStar(base)
+          case _ => POpt(base)
+        }
+      else base
+    }
+    def eltOrInv(): Path =
+      if (p.peek() == "^") { p.next(); PInv(elt()) } else elt()
+    def seq(): Path = {
+      var q = eltOrInv()
+      while (p.hasNext && p.peek() == "/") { p.next(); q = PSeq(q, eltOrInv()) }
+      q
+    }
+    def alt(): Path = {
+      var q = seq()
+      while (p.hasNext && p.peek() == "|") { p.next(); q = PAlt(q, seq()) }
+      q
+    }
+    alt()
   }
 
   private def triplePattern(p: P, prefixes: Map[String, String]): TP =
@@ -371,11 +769,16 @@ object Sparql {
 
   private def term(p: P, prefixes: Map[String, String]): Term = {
     val t = p.next()
-    if (t.startsWith("?")) V(t.drop(1))
+    if (t.startsWith("?") && t.length > 1) V(t.drop(1))
+    // blank node → internal variable named by its label: joins within its
+    // scope like any variable, can never be projected (no '?' token can
+    // name it) and is dropped from SELECT *
+    else if (t.startsWith("_:")) V(t)
     else if (t.startsWith("<")) C(t.stripPrefix("<").stripSuffix(">"))
-    else if (t.startsWith("\"")) C(unquote(t))
-    // a bare number in a *pattern* matches the term's lexical form (the
-    // triples table stores strings); numeric semantics live in FILTER
+    // typed/lang-tagged literals match by LEXICAL form — the triples store
+    // holds plain lexical terms (numeric semantics live in FILTER)
+    else if (t.startsWith("\"")) C(splitLiteral(t, prefixes)._1)
+    // a bare number in a *pattern* matches the term's lexical form
     else if (numRe.matches(t)) C(t)
     else if (t.contains(":")) {
       val Array(pre, local) = t.split(":", 2)
@@ -385,14 +788,60 @@ object Sparql {
     } else throw new IllegalArgumentException(s"unsupported term: $t")
   }
 
-  /** FILTER operand: like [[term]] but numbers become typed constants. */
-  private def filterTerm(p: P, prefixes: Map[String, String]): Term = {
-    val t = p.peek()
-    if (numRe.matches(t)) { p.next(); C(BigDecimal(t)) }
-    else term(p, prefixes)
+  private val litRe = """(?s)^("(?:[^"\\]|\\.)*")(.*)$""".r
+  private val numericXsd = Set("integer", "int", "long", "short", "byte",
+    "decimal", "double", "float", "nonNegativeInteger", "negativeInteger",
+    "positiveInteger", "nonPositiveInteger", "unsignedLong", "unsignedInt",
+    "unsignedShort", "unsignedByte")
+
+  /** Split a literal token into (lexical form, datatype IRI if any).
+    * Lang tags compare by lexical form → datatype None. */
+  private def splitLiteral(t: String,
+      prefixes: Map[String, String]): (String, Option[String]) = t match {
+    case litRe(quoted, suffix) =>
+      val lex = unquote(quoted)
+      if (suffix.isEmpty || suffix.startsWith("@")) (lex, None)
+      else {
+        val dt = suffix.stripPrefix("^^")
+        val iri =
+          if (dt.startsWith("<")) dt.stripPrefix("<").stripSuffix(">")
+          else {
+            val Array(pre, local) = dt.split(":", 2)
+            prefixes.getOrElse(pre, throw new IllegalArgumentException(
+              s"unknown prefix '$pre:' in datatype '$dt'")) + local
+          }
+        (lex, Some(iri))
+      }
+    case _ => throw new IllegalArgumentException(s"malformed literal: $t")
   }
 
-  private def filterExpr(p: P, prefixes: Map[String, String]): FilterExpr =
+  private def isNumericDatatype(iri: String): Boolean =
+    numericXsd(iri.substring(
+      math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/')) + 1))
+
+  // ------------------- expression grammar (FILTER/BIND/HAVING) ----------
+  // orExpr := andExpr ('||' andExpr)*        precedence: ! > && > ||,
+  // andExpr := notExpr ('&&' notExpr)*       comparisons above arithmetic,
+  // notExpr := '!' notExpr | relExpr         '*'/'/' above '+'/'-'
+  // relExpr := addExpr (cmpOp addExpr)?
+  // addExpr := mulExpr (('+'|'-') mulExpr)*
+  // mulExpr := prim (('*'|'/') prim)*
+  // prim := '(' orExpr ')' | regex(..) | BOUND(?v) | CONCAT(..) | AGG(..)
+  //       | ?var | number | literal | IRI
+
+  /** FILTER/HAVING constraint: a bracketted expression or built-in call
+    * (the two shapes SPARQL's `Constraint` production allows). */
+  private def constraint(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr =
+    if (p.peekKw("regex") || p.peekKw("BOUND")) builtin(p)
+    else {
+      p.expect("(")
+      val e = orExpr(p, prefixes, allowAgg)
+      p.expect(")")
+      e
+    }
+
+  private def builtin(p: P): Expr =
     if (p.peekKw("regex")) {
       p.expectKw("regex"); p.expect("(")
       val v = p.next()
@@ -400,15 +849,102 @@ object Sparql {
       p.maybe(",")
       val pat = unquote(p.next())
       p.expect(")")
-      Regex(v.drop(1), pat)
+      ERegex(v.drop(1), pat)
     } else {
-      p.expect("(")
-      val l = filterTerm(p, prefixes)
-      val op = p.next()
-      require(Set("=", "!=", "<", ">", "<=", ">=")(op), s"unsupported operator $op")
-      val r = filterTerm(p, prefixes)
+      p.expectKw("BOUND"); p.expect("(")
+      val v = p.next()
+      require(v.startsWith("?"), s"BOUND needs a variable, got $v")
       p.expect(")")
-      Cmp(l, op, r)
+      EBound(v.drop(1))
+    }
+
+  private def orExpr(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr = {
+    var e = andExpr(p, prefixes, allowAgg)
+    while (p.hasNext && p.peek() == "||") {
+      p.next(); e = EOr(e, andExpr(p, prefixes, allowAgg))
+    }
+    e
+  }
+
+  private def andExpr(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr = {
+    var e = notExpr(p, prefixes, allowAgg)
+    while (p.hasNext && p.peek() == "&&") {
+      p.next(); e = EAnd(e, notExpr(p, prefixes, allowAgg))
+    }
+    e
+  }
+
+  private def notExpr(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr =
+    if (p.peek() == "!") { p.next(); ENot(notExpr(p, prefixes, allowAgg)) }
+    else relExpr(p, prefixes, allowAgg)
+
+  private val cmpOps = Set("=", "!=", "<", ">", "<=", ">=")
+
+  private def relExpr(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr = {
+    val l = addExpr(p, prefixes, allowAgg)
+    if (p.hasNext && cmpOps(p.peek())) {
+      val op = p.next()
+      ECmp(l, op, addExpr(p, prefixes, allowAgg))
+    } else l
+  }
+
+  private def addExpr(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr = {
+    var e = mulExpr(p, prefixes, allowAgg)
+    while (p.hasNext && (p.peek() == "+" || p.peek() == "-")) {
+      val op = p.next()
+      e = EArith(e, op, mulExpr(p, prefixes, allowAgg))
+    }
+    e
+  }
+
+  private def mulExpr(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr = {
+    var e = prim(p, prefixes, allowAgg)
+    while (p.hasNext && (p.peek() == "*" || p.peek() == "/")) {
+      val op = p.next()
+      e = EArith(e, op, prim(p, prefixes, allowAgg))
+    }
+    e
+  }
+
+  private def prim(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr =
+    if (p.peek() == "(") {
+      p.expect("("); val e = orExpr(p, prefixes, allowAgg); p.expect(")"); e
+    } else if (p.peekKw("regex") || p.peekKw("BOUND")) builtin(p)
+    else if (p.peekKw("CONCAT")) {
+      p.expectKw("CONCAT"); p.expect("(")
+      val args = scala.collection.mutable.ArrayBuffer(
+        orExpr(p, prefixes, allowAgg))
+      while (p.peek() == ",") { p.next(); args += orExpr(p, prefixes, allowAgg) }
+      p.expect(")")
+      EConcat(args.toSeq)
+    } else if (allowAgg && Seq("COUNT", "SUM", "AVG", "MIN", "MAX")
+        .exists(p.peekKw)) aggCall(p)
+    else {
+      val t = p.next()
+      if (t.startsWith("?") && t.length > 1) EVar(t.drop(1))
+      else if (numRe.matches(t)) ENum(BigDecimal(t))
+      else if (t.startsWith("\"")) splitLiteral(t, prefixes) match {
+        // an xsd-numeric typed literal is a numeric constant in
+        // expressions — "10"^^xsd:integer compares numerically
+        case (lex, Some(dt)) if isNumericDatatype(dt) =>
+          require(numRe.matches(lex),
+            s"non-numeric lexical form for numeric datatype: $t")
+          ENum(BigDecimal(lex))
+        case (lex, _) => EStr(lex)
+      }
+      else if (t.startsWith("<")) EStr(t.stripPrefix("<").stripSuffix(">"))
+      else if (t.contains(":") && !t.startsWith("_:")) {
+        val Array(pre, local) = t.split(":", 2)
+        EStr(prefixes.getOrElse(pre, throw new IllegalArgumentException(
+          s"unknown prefix '$pre:' in '$t'")) + local)
+      } else throw new IllegalArgumentException(s"unsupported expression term: $t")
     }
 
   private def unquote(t: String): String =

@@ -66,25 +66,52 @@ object TripleStore {
     * them first only if they were never materialized. This is the
     * reference's load phase (SURVEY.md §3.3: dictionary encoding runs in
     * MapReduce at load, never at query time) — queries must come through
-    * here so term→id encoding stays ingest-time work. At cluster scale the
-    * encoded table would additionally be bucketed by `sid`
-    * ([[saveBucketed]]) to make star joins shuffle-free.
+    * here so term→id encoding stays ingest-time work.
+    *
+    * The encoded table is persisted BUCKETED BY `sid` — composing both
+    * reference techniques end-to-end: subject co-location (R10) over
+    * dictionary ids (R2), so every star over the on-disk id-store is
+    * exchange-free on 8-byte keys (asserted in TripleStoreSpec). Bucket
+    * metadata lives in the session catalog (in-memory), so each JVM
+    * re-registers the published files as an external bucketed table;
+    * Spark recovers each file's bucket id from the bucketed file names.
     */
   def encodedFor(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     encoded.getOrElseUpdate(sfDir, {
-      // keyed by dataset AND corpus definition: a change to Triples.build
-      // (fingerprinted by its DuckDB rendering) must invalidate the store,
-      // not silently serve the previous corpus. SHA-256 key — a 32-bit
-      // hash could collide across datasets and serve the wrong store.
-      val base = s"${sys.props("java.io.tmpdir")}/graft_idtriples_" +
-        graft.sources.AtomicStore.key(sfDir, Triples.duckCte)
+      // keyed by dataset, corpus definition AND on-disk layout: a change
+      // to Triples.build (fingerprinted by its DuckDB rendering) or to the
+      // bucketing scheme must invalidate the store, not silently serve the
+      // previous corpus/layout (bucketed reads over un-bucketed files fail
+      // at scan time). SHA-256 key — a 32-bit hash could collide across
+      // datasets and serve the wrong store.
+      val key = graft.sources.AtomicStore.key(sfDir, Triples.duckCte,
+        s"bucketed-sid-$buckets")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_idtriples_$key"
       val path = graft.sources.AtomicStore.materialize(base) { tmp =>
         val t = Triples.build(spark, sfDir)
         val dict = Dictionary.build(spark, t)
         dict.write.parquet(s"$tmp/dict")
+        // bucketBy requires a catalog table; the explicit path makes it
+        // external, so dropping the staging entry keeps the files for the
+        // atomic rename that publishes the store
+        val stage = s"graft_enc_stage_$key"
+        spark.sql(s"DROP TABLE IF EXISTS $stage")
         Dictionary.encode(t, spark.read.parquet(s"$tmp/dict"))
-          .write.parquet(s"$tmp/enc")
+          .write.bucketBy(buckets, "sid").sortBy("sid")
+          .option("path", s"$tmp/enc").format("parquet")
+          .saveAsTable(stage)
+        spark.sql(s"DROP TABLE $stage")
       }
-      (spark.read.parquet(s"$path/dict"), spark.read.parquet(s"$path/enc"))
+      val table = s"graft_enc_$key"
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $table (sid BIGINT, pid BIGINT, oid BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (sid) SORTED BY (sid) INTO $buckets BUCKETS
+           |LOCATION '$path/enc'""".stripMargin)
+      (spark.read.parquet(s"$path/dict"), spark.table(table))
     })
+
+  /** Matches `spark.sql.shuffle.partitions` (32) so bucketed scans line up
+    * with shuffle partitioning and aggregations need no exchange. */
+  private val buckets = 32
 }

@@ -86,10 +86,27 @@ class SparqlSpec extends SparkSpec {
       Sparql.parse("""SELECT WHERE { ?x <p> ?y . }"""))
     // trailing clauses outside the fragment must error, never be ignored
     intercept[IllegalArgumentException](
-      Sparql.parse("""SELECT ?x WHERE { ?x <p> ?y . } GROUP BY ?x"""))
+      Sparql.parse("""SELECT ?x WHERE { ?x <p> ?y . } GRAPH <g>"""))
     // a lone braced group is not a union
     intercept[IllegalArgumentException](
       Sparql.parse("""SELECT ?x WHERE { { ?x <p> ?y . } }"""))
+  }
+
+  test("tokenizer rejects unsupported syntax at its offset; comments pass") {
+    // ';' predicate-object lists are out of fragment: the coverage check
+    // names the offending character and offset instead of dropping it
+    val e = intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?x WHERE { ?x <p> ?y ; <q> ?z . }"))
+    assert(e.getMessage.contains("offset 28") && e.getMessage.contains(";"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("SELECT ?x WHERE { ?x <p> ?y . FILTER (?y ~ 3) }"))
+    // comments are whitespace; '#' inside IRIs/literals is data
+    val got = Sparql.run(triples,
+      """SELECT ?c ?n WHERE {   # projection comment
+        |  ?c <name> ?n .       # pattern comment
+        |  FILTER regex(?n, "^Customer#000000011$")
+        |}""".stripMargin)
+    assert(got.count() === 1)
   }
 
   test("UNION null-pads variables unbound in a branch") {
@@ -321,5 +338,271 @@ class SparqlSpec extends SparkSpec {
     assert(branch1.filter($"nat".isNull).count() === 0) // OPTIONAL matched
     assert(branch2.filter($"nat".isNotNull).count() === 0) // padded
     assert(got.count() === branch1.count() + branch2.count())
+  }
+
+  test("FILTER boolean connectives: &&, ||, ! with precedence and parens") {
+    val base = Sparql.run(triples,
+      "SELECT ?c ?s ?nk WHERE { ?c <mktsegment> ?s . ?c <nationkey> ?nk . }")
+    val got = Sparql.run(triples,
+      """SELECT ?c ?s ?nk WHERE {
+        |  ?c <mktsegment> ?s . ?c <nationkey> ?nk .
+        |  FILTER (?s = "BUILDING" || ?s = "AUTOMOBILE" && ?nk >= 10)
+        |}""".stripMargin)
+    // && binds tighter than ||: BUILDING rows keep ALL nationkeys
+    val expect = base.filter($"s" === "BUILDING" ||
+      ($"s" === "AUTOMOBILE" && $"nk".cast("double") >= 10))
+    assert(got.count() === expect.count() && got.count() > 0)
+    assert(got.filter($"s" === "BUILDING" && $"nk".cast("double") < 10).count() > 0)
+    // parens override precedence
+    val parens = Sparql.run(triples,
+      """SELECT ?c ?s ?nk WHERE {
+        |  ?c <mktsegment> ?s . ?c <nationkey> ?nk .
+        |  FILTER ((?s = "BUILDING" || ?s = "AUTOMOBILE") && ?nk >= 10)
+        |}""".stripMargin)
+    assert(parens.filter($"nk".cast("double") < 10).count() === 0)
+    assert(parens.count() > 0 && parens.count() < got.count())
+    // ! negates; !(a || b) === !a && !b
+    val not = Sparql.run(triples,
+      """SELECT ?c ?s WHERE {
+        |  ?c <mktsegment> ?s .
+        |  FILTER (!(?s = "BUILDING" || ?s = "AUTOMOBILE"))
+        |}""".stripMargin)
+    assert(not.count() > 0)
+    assert(not.filter($"s".isin("BUILDING", "AUTOMOBILE")).count() === 0)
+  }
+
+  test("OPTIONAL + !BOUND is the negation idiom: ≡ MINUS on the shared var") {
+    val viaBound = Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?ord <custkey> ?cust . ?ord <orderpriority> "1-URGENT" . }
+        |  FILTER (!BOUND(?ord))
+        |}""".stripMargin).select("cust")
+    val viaMinus = Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  MINUS { ?ord <custkey> ?cust . ?ord <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(viaBound.count() > 0)
+    assert(viaBound.exceptAll(viaMinus).count() === 0)
+    assert(viaMinus.exceptAll(viaBound).count() === 0)
+    // positive BOUND keeps exactly the matched rows
+    val pos = Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?ord <custkey> ?cust . ?ord <orderpriority> "1-URGENT" . }
+        |  FILTER (BOUND(?ord))
+        |}""".stripMargin)
+    val all = Sparql.run(triples,
+      "SELECT ?cust WHERE { ?cust <mktsegment> \"BUILDING\" . }")
+    assert(pos.select("cust").distinct().count() + viaBound.count() === all.count())
+  }
+
+  test("BIND derives arithmetic and CONCAT bindings usable downstream") {
+    val got = Sparql.run(triples,
+      """SELECT ?c ?nk2 ?tag WHERE {
+        |  ?c <nationkey> ?nk .
+        |  BIND (?nk * 2 + 1 AS ?nk2)
+        |  BIND (CONCAT("n-", ?nk) AS ?tag)
+        |  FILTER (?nk2 >= 21)
+        |}""".stripMargin)
+    assert(got.count() > 0)
+    val rows = got.collect()
+    rows.foreach { r =>
+      val nk2 = r.getDouble(1)
+      assert(nk2 >= 21 && (nk2 - 1) % 2 == 0)
+      assert(r.getString(2) === "n-" + ((nk2 - 1) / 2).toInt)
+    }
+    // rebinding an existing variable is an error
+    intercept[IllegalArgumentException](
+      Sparql.run(triples,
+        "SELECT ?c WHERE { ?c <nationkey> ?nk . BIND (?nk + 1 AS ?nk) }")
+        .count())
+  }
+
+  test("GROUP BY + aggregates + HAVING lower to one hash aggregation") {
+    val got = Sparql.run(triples,
+      """SELECT ?seg (COUNT(?c) AS ?n) (SUM(?nk) AS ?tot) (MIN(?nm) AS ?first)
+        |WHERE {
+        |  ?c <mktsegment> ?seg . ?c <nationkey> ?nk . ?c <name> ?nm .
+        |}
+        |GROUP BY ?seg
+        |HAVING (COUNT(?c) > 20)
+        |ORDER BY ?seg""".stripMargin)
+    val oracle = Triples.build(spark, sf0001)
+      .filter($"p" === "mktsegment").select($"s", $"o".as("seg"))
+      .join(triples.filter($"p" === "nationkey").select($"s", $"o".as("nk")), "s")
+      .join(triples.filter($"p" === "name").select($"s", $"o".as("nm")), "s")
+      .groupBy("seg")
+      .agg(count("s").as("n"),
+        sum($"nk".cast("decimal(27,6)")).cast("double").as("tot"),
+        min("nm").as("first"))
+      .filter($"n" > 20)
+      .orderBy("seg")
+    assert(got.columns.toSeq === Seq("seg", "n", "tot", "first"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(oracle).count() === 0)
+    assert(oracle.exceptAll(got).count() === 0)
+  }
+
+  test("aggregation edge shapes: global group, COUNT(*), DISTINCT, bare GROUP BY") {
+    val global = Sparql.run(triples,
+      "SELECT (COUNT(*) AS ?n) WHERE { ?c <mktsegment> ?s . }")
+    assert(global.columns.toSeq === Seq("n"))
+    assert(global.head().getLong(0) ===
+      triples.filter($"p" === "mktsegment").count())
+    val cd = Sparql.run(triples,
+      "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?c <mktsegment> ?s . }")
+    assert(cd.head().getLong(0) === 5)
+    // GROUP BY with no aggregates = one row per group
+    val bare = Sparql.run(triples,
+      "SELECT ?s WHERE { ?c <mktsegment> ?s . } GROUP BY ?s")
+    assert(bare.count() === 5 && bare.columns.toSeq === Seq("s"))
+    // AVG skips non-numeric bindings, matching TRY_CAST oracles
+    val avg = Sparql.run(triples,
+      "SELECT (AVG(?nk) AS ?a) WHERE { ?c <nationkey> ?nk . }")
+    val nks = triples.filter($"p" === "nationkey")
+      .select($"o".cast("double")).as[Double].collect()
+    assert(math.abs(avg.head().getDouble(0) - nks.sum / nks.length) < 1e-9)
+    // projecting a non-grouped, non-aggregated variable is an error
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?c ?s (COUNT(?x) AS ?n) WHERE { ?c <p> ?s . ?c <q> ?x . } GROUP BY ?s"))
+    // SELECT * cannot combine with aggregation
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT * WHERE { ?c <p> ?s . } GROUP BY ?s"))
+    // HAVING over an aggregate not in SELECT computes hidden and drops
+    val hidden = Sparql.run(triples,
+      """SELECT ?s (COUNT(?c) AS ?n) WHERE { ?c <mktsegment> ?s . }
+        |GROUP BY ?s HAVING (SUM(?c) >= 0 || COUNT(?c) > 0)""".stripMargin)
+    assert(hidden.columns.toSeq === Seq("s", "n") && hidden.count() === 5)
+  }
+
+  test("property paths: + and | from text ≡ the Paths closure") {
+    val viaText = Sparql.run(triples,
+      "SELECT ?src ?dst WHERE { ?src (<nation>|<region>)+ ?dst . }")
+    val viaDsl = Paths.predicatePlus(triples, Seq("nation", "region"))
+    assert(viaText.count() === viaDsl.count() && viaText.count() > 0)
+    assert(viaText.exceptAll(viaDsl).count() === 0)
+    // constant endpoint filters the pair set
+    val c1 = Sparql.run(triples,
+      "SELECT ?dst WHERE { <c:1> (<nation>|<region>)+ ?dst . }")
+    assert(c1.count() === 2) // its nation and that nation's region
+  }
+
+  test("property paths: sequence, star, optional and inverse semantics") {
+    val t = Seq(("a", "p", "b"), ("b", "q", "c"), ("c", "q", "d"),
+      ("x", "r", "y")).toDF("s", "p", "o")
+    def pairs(text: String): Set[(String, String)] =
+      Sparql.run(t, text).as[(String, String)].collect().toSet
+    // sequence: p then q
+    assert(pairs("SELECT ?a ?b WHERE { ?a <p>/<q> ?b . }") === Set("a" -> "c"))
+    // zero-or-more: zero-hop pairs every graph term with itself
+    val star = pairs("SELECT ?a ?b WHERE { ?a <q>* ?b . }")
+    val nodes = Set("a", "b", "c", "d", "x", "y")
+    assert(star === nodes.map(n => n -> n) ++ Set("b" -> "c", "c" -> "d", "b" -> "d"))
+    // zero-or-one: zero-hop plus single q edges only
+    assert(pairs("SELECT ?a ?b WHERE { ?a <q>? ?b . }") ===
+      nodes.map(n => n -> n) ++ Set("b" -> "c", "c" -> "d"))
+    // inverse flips direction; sequence with inverse composes
+    assert(pairs("SELECT ?a ?b WHERE { ?a ^<p> ?b . }") === Set("b" -> "a"))
+    assert(pairs("SELECT ?a ?b WHERE { ?a <q>/^<q> ?b . }") ===
+      Set("b" -> "b", "c" -> "c"))
+    // same-variable endpoints keep only cycles (none here beyond zero-hop)
+    val self = Sparql.run(t, "SELECT ?a WHERE { ?a <q>* ?a . }")
+    assert(self.as[String].collect().toSet === nodes)
+  }
+
+  test("property paths run in id space on the encoded store (≡ string)") {
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val text =
+      """SELECT ?src ?dst WHERE {
+        |  ?src (<nation>|<region>)+ ?dst .
+        |  ?src <mktsegment> "BUILDING" .
+        |}""".stripMargin
+    val viaString = Sparql.run(triples, text)
+    val viaIds = Sparql.runEncoded(enc, dict, text)
+    assert(viaString.count() > 0)
+    assert(viaString.exceptAll(viaIds).count() === 0)
+    assert(viaIds.exceptAll(viaString).count() === 0)
+    // a path predicate absent from the dictionary → provably empty
+    assert(Sparql.runEncoded(enc, dict,
+      "SELECT ?a ?b WHERE { ?a <no_such_pred>+ ?b . }").count() === 0)
+  }
+
+  test("typed and lang-tagged literals: lexical patterns, numeric filters") {
+    // pattern position matches the lexical form
+    val typed = Sparql.run(triples,
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?c WHERE { ?c <nationkey> "3"^^xsd:integer . }""".stripMargin)
+    val plain = Sparql.run(triples,
+      "SELECT ?c WHERE { ?c <nationkey> \"3\" . }")
+    assert(typed.count() === plain.count() && typed.count() > 0)
+    // numeric typed literal in FILTER compares numerically ("2" < "10")
+    val range = Sparql.run(triples,
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?c ?nk WHERE {
+        |  ?c <nationkey> ?nk .
+        |  FILTER (?nk >= "10"^^xsd:integer)
+        |}""".stripMargin)
+    assert(range.count() > 0)
+    assert(range.filter($"nk" === "2").count() === 0)
+    assert(range.select("nk").as[String].collect().forall(_.toInt >= 10))
+    // lang-tagged literals compare by lexical form
+    val lang = Sparql.run(triples,
+      """SELECT ?c WHERE { ?c <mktsegment> "BUILDING"@en . }""")
+    assert(lang.count() === plainSeg("BUILDING"))
+    // a non-numeric lexical form under a numeric datatype is rejected
+    intercept[IllegalArgumentException](Sparql.parse(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?c WHERE { ?c <p> ?v . FILTER (?v > "abc"^^xsd:int) }""".stripMargin))
+  }
+
+  private def plainSeg(seg: String): Long =
+    Sparql.run(triples, s"""SELECT ?c WHERE { ?c <mktsegment> "$seg" . }""").count()
+
+  test("blank nodes join within their group and never reach the projection") {
+    // _:o joins the two order patterns exactly like a variable would
+    val viaBnode = Sparql.run(triples,
+      """SELECT ?cname WHERE {
+        |  _:o <custkey> ?cust .
+        |  _:o <orderpriority> "1-URGENT" .
+        |  ?cust <name> ?cname .
+        |}""".stripMargin)
+    val viaVar = Sparql.run(triples,
+      """SELECT ?cname WHERE {
+        |  ?o <custkey> ?cust .
+        |  ?o <orderpriority> "1-URGENT" .
+        |  ?cust <name> ?cname .
+        |}""".stripMargin)
+    assert(viaBnode.count() === viaVar.count() && viaBnode.count() > 0)
+    // SELECT * excludes the internal blank-node binding
+    val star = Sparql.run(triples,
+      """SELECT * WHERE { _:o <custkey> ?cust . _:o <orderpriority> "1-URGENT" . }""")
+    assert(star.columns.toSeq === Seq("cust"))
+    // a label reused across pattern groups is rejected (SPARQL note 10)
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  _:o <custkey> ?c .
+        |  OPTIONAL { _:o <orderstatus> "P" . }
+        |}""".stripMargin))
+  }
+
+  test("multi-pattern CONSTRUCT materializes the solved bindings once") {
+    val g = Sparql.run(triples,
+      """CONSTRUCT {
+        |  ?cust <has_urgent_order> ?ord .
+        |  ?ord <status_class> "urgent" .
+        |}
+        |WHERE {
+        |  ?ord <custkey> ?cust .
+        |  ?ord <orderpriority> "1-URGENT" .
+        |}""".stripMargin)
+    // the union's two template instantiations must read the checkpointed
+    // bindings, not re-run the BGP join over the parquet scans
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"))
+    assert(!plan.contains("Scan parquet"))
+    assert(g.count() > 0)
   }
 }

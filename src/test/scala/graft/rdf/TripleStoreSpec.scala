@@ -60,6 +60,31 @@ class TripleStoreSpec extends SparkSpec {
     assert(decoded.exceptAll(viaString).count() === 0)
   }
 
+  test("the PERSISTED encoded store is bucketed: its stars run exchange-free") {
+    // encodedFor is the path q_bgp_encoded/q_sparql_encoded actually take —
+    // the on-disk layout itself must make subject stars shuffle-free, not
+    // just an ad-hoc saveBucketed call
+    val (dict, enc) = TripleStore.encodedFor(spark, sf0001)
+    val pats = Seq(
+      TP(V("c"), C("mktsegment"), V("seg")), TP(V("c"), C("name"), V("cname")))
+    val (idPats, ok) = EncodedBgp.encodePatterns(dict, pats)
+    assert(ok)
+    val joined = Bgp.solve(EncodedBgp.asTriples(enc), idPats)
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("Exchange hashpartitioning"),
+      s"id-star self-join over the persisted store must not shuffle:\n$joinPlan")
+    val collapsed = Bgp.solveStarCollapsed(EncodedBgp.asTriples(enc), idPats)
+    val aggPlan = collapsed.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning"),
+      s"collapsed star over the persisted store must not shuffle:\n$aggPlan")
+    // and the layout change is invisible to results
+    val viaString = Bgp.solve(Triples.build(spark, sf0001), pats)
+    val decoded = EncodedBgp.decode(joined, dict, joined.columns)
+      .select(viaString.columns.map(col): _*)
+    assert(decoded.count() === viaString.count() && decoded.count() > 0)
+    assert(decoded.exceptAll(viaString).count() === 0)
+  }
+
   test("vertically-partitioned store partition-prunes constant-predicate patterns") {
     val dir = new java.io.File("target/vp-triples")
     rmTree(dir)
