@@ -91,6 +91,15 @@ object Dedup {
     * The pair list itself — tiny relative to the corpus — is materialized
     * eagerly via localCheckpoint so the shingle cache can be released here
     * instead of leaking into the caller's session.
+    *
+    * NOTE: this makes the pair-builder APIs (here, [[simHashPairs]],
+    * [[ngramJaccardPairs]], [[removeNearDuplicates]]) EAGER, and
+    * localCheckpoint truncates lineage to executor-local blocks — on a
+    * multi-executor cluster, losing an executor after the checkpoint makes
+    * downstream reads unrecoverable (no recompute path). Single-JVM this is
+    * strictly a win; a cluster deployment should swap the localCheckpoints
+    * for `spark.sparkContext.setCheckpointDir` + `checkpoint(true)` (HDFS-
+    * reliable) or a small parquet write-then-read of the pair list.
     */
   def minHashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).persist()

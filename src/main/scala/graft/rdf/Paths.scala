@@ -41,7 +41,20 @@ final case class PInv(p: Path) extends Path
 object Paths {
 
   /** All (src, dst) pairs connected by 1+ hops over `edges(src, dst)`. */
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    closure(edges, maxIter, identity)
+
+  /** [[transitiveClosure]] restricted to the given source nodes: the
+    * frontier STARTS at the seeds, so work per round is O(reachable from
+    * seeds) instead of O(all pairs) — the scale path for a constant-subject
+    * `p+` pattern (a full closure filtered afterward computes every other
+    * node's reachability just to discard it). */
+  def closureFrom(edges: DataFrame, seeds: Seq[Any],
+      maxIter: Int = 20): DataFrame =
+    closure(edges, maxIter, _.filter(col("src").isin(seeds: _*)))
+
+  private def closure(edges: DataFrame, maxIter: Int,
+      init: DataFrame => DataFrame): DataFrame = {
     // Spark's Union constraint rewriting (UnionBase.rewriteConstraints)
     // can throw "key not found: <attr>" when unioning localCheckpoint
     // frames whose origin constraints reference attributes pruned from the
@@ -55,7 +68,7 @@ object Paths {
     spark.conf.set(flag, "false")
     try {
       val e = edges.select(col("src"), col("dst")).distinct().persist()
-      var all = e.localCheckpoint(true)
+      var all = init(e).localCheckpoint(true)
       var delta = all
       var i = 0
       while (i < maxIter && !delta.isEmpty) {

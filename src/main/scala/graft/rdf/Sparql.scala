@@ -140,7 +140,7 @@ object Sparql {
       bgp =>
         if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
         else Bgp.solve(triples, bgp),
-      (path, s, o) => pathSolution(Paths.evalPath(triples, path), s, o))
+      (path, s, o) => solvePathOver(triples, path, s, o))
   }
 
   /** Parse and execute against the dictionary-encoded id-triple store —
@@ -178,13 +178,38 @@ object Sparql {
         case other => other
       }
       val idPath = mapPath(path, v => idOf.getOrElse(v, Long.MinValue))
-      val solved = pathSolution(Paths.evalPath(idTriples, idPath), tr(s), tr(o))
-      val gated = if (allResolved) solved else solved.filter(lit(false))
-      EncodedBgp.decode(gated, dict, gated.columns)
+      val solved =
+        if (allResolved) solvePathOver(idTriples, idPath, tr(s), tr(o))
+        // produce the right-shaped empty frame without running the (eager)
+        // closure against sentinel ids
+        else pathSolution(idTriples
+          .select(col("s").as("src"), col("o").as("dst"))
+          .filter(lit(false)), tr(s), tr(o))
+      EncodedBgp.decode(solved, dict, solved.columns)
     }
     execute(q,
       bgp => EncodedBgp.solveResolved(enc, dict, bgp, idOf, collapseStars),
       solvePathEnc)
+  }
+
+  /** Evaluate a path pattern over a triples frame, seeding the closure at
+    * a constant endpoint when the whole path is a `+` — reachability FROM
+    * a seed is O(reachable) frontier work, where filtering the full
+    * closure would compute every node's reachability just to discard it.
+    * (`*`/`?` keep the unseeded evaluation: their zero-length row depends
+    * on the graph's term set, which the seeded form can't observe.) */
+  private def solvePathOver(triples: DataFrame, path: Path, s: Term,
+      o: Term): DataFrame = (path, s, o) match {
+    case (PPlus(q), C(v), V(_)) =>
+      pathSolution(
+        Paths.closureFrom(Paths.evalPath(triples, q), Seq(v)), s, o)
+    case (PPlus(q), V(_), C(v)) =>
+      // seed the REVERSED edges at the constant object, then swap back
+      pathSolution(
+        Paths.closureFrom(Paths.evalPath(triples, q)
+            .select(col("dst").as("src"), col("src").as("dst")), Seq(v))
+          .select(col("dst").as("src"), col("src").as("dst")), s, o)
+    case _ => pathSolution(Paths.evalPath(triples, path), s, o)
   }
 
   /** Bind a path's (src, dst) pair set to the pattern's endpoint terms. */

@@ -483,10 +483,17 @@ class SparqlSpec extends SparkSpec {
     val viaDsl = Paths.predicatePlus(triples, Seq("nation", "region"))
     assert(viaText.count() === viaDsl.count() && viaText.count() > 0)
     assert(viaText.exceptAll(viaDsl).count() === 0)
-    // constant endpoint filters the pair set
+    // constant subject seeds the closure (frontier starts at c:1)
     val c1 = Sparql.run(triples,
       "SELECT ?dst WHERE { <c:1> (<nation>|<region>)+ ?dst . }")
     assert(c1.count() === 2) // its nation and that nation's region
+    // constant object seeds the REVERSED closure; must equal the filtered
+    // full closure exactly
+    val toR = Sparql.run(triples,
+      "SELECT ?src WHERE { ?src (<nation>|<region>)+ <r:1> . }")
+    val full = viaDsl.filter(col("dst") === "r:1").select(col("src"))
+    assert(toR.count() === full.count() && toR.count() > 0)
+    assert(toR.exceptAll(full.withColumnRenamed("src", "src")).count() === 0)
   }
 
   test("property paths: sequence, star, optional and inverse semantics") {
