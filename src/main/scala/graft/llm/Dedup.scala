@@ -144,12 +144,15 @@ object Dedup {
           .withColumnRenamed("label", "nlabel"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nlabel")).as("minNeighbor"))
+      // the label-update join also computes the per-node changed flag, so
+      // the convergence probe below is a scan of the just-persisted round
+      // frame — not a second shuffle join against the previous labels
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"),
+          (coalesce(col("minNeighbor"), col("label")) < col("label")).as("__changed"))
         .persist()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val changed = updated.filter(col("__changed")).limit(1).count()
       labels.unpersist()
       labels = updated
       converged = changed == 0
@@ -160,7 +163,12 @@ object Dedup {
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (a component's diameter exceeds it)")
-    labels // note: returned labels stay cached; callers must unpersist
+    // re-cache the flag-free projection so the handle returned to callers
+    // is itself the persisted frame (their unpersist() must release it)
+    val out = labels.drop("__changed").persist()
+    out.count(): Unit
+    labels.unpersist()
+    out // note: returned labels stay cached; callers must unpersist
   }
 
   /** The materialization step of near-dup removal: cluster the pair list,

@@ -132,6 +132,30 @@ object Bgp {
     else required.join(block.select(shared.map(col): _*), shared, "left_anti")
   }
 
+  /** FILTER EXISTS: keep solutions compatible with some block solution — a
+    * semi-join on the shared variables. Unlike MINUS, a variable-disjoint
+    * block is NOT a no-op: any block solution is compatible with every row
+    * (SPARQL's substitution semantics), so existence of one block row keeps
+    * everything and emptiness drops everything — exactly a semi-join on a
+    * true condition. */
+  def existsSolved(required: DataFrame, block: DataFrame): DataFrame =
+    semiAnti(required, block, "left_semi")
+
+  /** FILTER NOT EXISTS: drop solutions compatible with some block solution
+    * — the anti-join dual of [[existsSolved]]. Coincides with MINUS when
+    * variables are shared and bound; differs on disjoint blocks (NOT
+    * EXISTS empties the result if the block has any solution, MINUS keeps
+    * it). */
+  def notExistsSolved(required: DataFrame, block: DataFrame): DataFrame =
+    semiAnti(required, block, "left_anti")
+
+  private def semiAnti(required: DataFrame, block: DataFrame,
+      how: String): DataFrame = {
+    val shared = required.columns.intersect(block.columns).toSeq
+    if (shared.isEmpty) required.join(block, lit(true), how)
+    else required.join(block.select(shared.map(col): _*), shared, how)
+  }
+
   private def join(a: DataFrame, b: DataFrame): DataFrame = joinWith(a, b, "inner")
 
   private def joinWith(a: DataFrame, b: DataFrame, how: String): DataFrame = {

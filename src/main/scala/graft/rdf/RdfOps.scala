@@ -281,6 +281,52 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cname""".stripMargin)),
 
+    // FILTER EXISTS / NOT EXISTS → semi-join / anti-join against the
+    // block's solutions: BUILDING customers with a finished order but no
+    // urgent one.
+    "q_sparql_exists" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust WHERE {
+          |  ?cust <mktsegment> "BUILDING" .
+          |  FILTER EXISTS { ?ord <custkey> ?cust . ?ord <orderstatus> "F" . }
+          |  FILTER NOT EXISTS { ?o2 <custkey> ?cust . ?o2 <orderpriority> "1-URGENT" . }
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
+    // String/conditional built-ins: STRLEN/UCASE/SUBSTR/CONTAINS/IF/
+    // STRSTARTS — all codegen column functions, no UDFs.
+    "q_sparql_strfuncs" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust ?len ?pre ?cls WHERE {
+          |  ?cust <name> ?nm .
+          |  ?cust <mktsegment> ?seg .
+          |  BIND (STRLEN(?nm) AS ?len)
+          |  BIND (LCASE(SUBSTR(?seg, 1, 3)) AS ?pre)
+          |  BIND (IF(CONTAINS(?seg, "BUILD"), "b", "x") AS ?cls)
+          |  FILTER (STRSTARTS(?nm, "Customer#"))
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
+    // The aggregation surface composed with the encoded execution model:
+    // the same GROUP BY query solved over the persisted sid-bucketed
+    // id-store (star collapse + decode), aggregated post-decode. Oracle is
+    // identical to q_sparql_agg — id-space execution must be
+    // indistinguishable.
+    "q_sparql_agg_encoded" -> ((s, d) => {
+      val (dict, enc) = TripleStore.encodedFor(s, d)
+      Sparql.runEncoded(enc, dict, collapseStars = true, text =
+        """SELECT ?seg (COUNT(?cust) AS ?n) (SUM(?nk) AS ?tot)
+          |       (AVG(?nk) AS ?avgnk) (MAX(?nm) AS ?last)
+          |WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  ?cust <nationkey> ?nk .
+          |  ?cust <name> ?nm .
+          |}
+          |GROUP BY ?seg
+          |HAVING (COUNT(?cust) > 10)
+          |ORDER BY ?seg""".stripMargin)
+    }),
+
     // The subject-grouped layout itself (d-sparq's MongoDB document shape):
     // one row per subject, one column per predicate. Explicit pivot values
     // avoid the extra distinct-values job at scale.
@@ -297,6 +343,20 @@ object RdfOps extends QueryModule {
   )
 
   private def cte(body: String) = s"WITH triples AS (\n${Triples.duckCte}\n)\n$body"
+
+  private val sparqlAggOracle = cte(
+    """SELECT t1.o AS seg, count(t1.s) AS n,
+      |  CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE) AS tot,
+      |  CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE)
+      |    / count(TRY_CAST(t2.o AS DOUBLE)) AS avgnk,
+      |  max(t3.o) AS last
+      |FROM triples t1
+      |JOIN triples t2 ON t1.s = t2.s
+      |JOIN triples t3 ON t1.s = t3.s
+      |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey' AND t3.p = 'name'
+      |GROUP BY t1.o
+      |HAVING count(t1.s) > 10
+      |ORDER BY seg""".stripMargin)
 
   private val sparqlTextOracle = cte(
     """SELECT t1.s AS ord, t1.o AS cust, t3.o AS cname
@@ -451,19 +511,33 @@ object RdfOps extends QueryModule {
         |FROM triples WHERE s LIKE 'c:%'
         |GROUP BY s ORDER BY s""".stripMargin),
 
-    "q_sparql_agg" -> cte(
-      """SELECT t1.o AS seg, count(t1.s) AS n,
-        |  CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE) AS tot,
-        |  CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE)
-        |    / count(TRY_CAST(t2.o AS DOUBLE)) AS avgnk,
-        |  max(t3.o) AS last
-        |FROM triples t1
-        |JOIN triples t2 ON t1.s = t2.s
-        |JOIN triples t3 ON t1.s = t3.s
-        |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey' AND t3.p = 'name'
-        |GROUP BY t1.o
-        |HAVING count(t1.s) > 10
-        |ORDER BY seg""".stripMargin),
+    "q_sparql_agg" -> sparqlAggOracle,
+    // id-space aggregation must be indistinguishable from string-space:
+    // the oracle is the very same relational query
+    "q_sparql_agg_encoded" -> sparqlAggOracle,
+
+    "q_sparql_exists" -> cte(
+      """SELECT t1.s AS cust FROM triples t1
+        |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
+        |  AND EXISTS (
+        |    SELECT 1 FROM triples t2 JOIN triples t3 ON t2.s = t3.s
+        |    WHERE t2.p = 'custkey' AND t2.o = t1.s
+        |      AND t3.p = 'orderstatus' AND t3.o = 'F')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM triples t4 JOIN triples t5 ON t4.s = t5.s
+        |    WHERE t4.p = 'custkey' AND t4.o = t1.s
+        |      AND t5.p = 'orderpriority' AND t5.o = '1-URGENT')
+        |ORDER BY cust""".stripMargin),
+
+    "q_sparql_strfuncs" -> cte(
+      """SELECT t1.s AS cust,
+        |  CAST(length(t1.o) AS DOUBLE) AS len,
+        |  lower(substr(t2.o, 1, 3)) AS pre,
+        |  CASE WHEN contains(t2.o, 'BUILD') THEN 'b' ELSE 'x' END AS cls
+        |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
+        |  AND starts_with(t1.o, 'Customer#')
+        |ORDER BY cust""".stripMargin),
 
     // same recursive-CTE shape as q_path_transitive — the SPARQL text
     // surface must produce the identical closure

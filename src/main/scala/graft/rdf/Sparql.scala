@@ -64,8 +64,12 @@ import org.apache.spark.sql.functions._
   *  - ORDER BY sorts ascending nulls-first / descending nulls-last;
   *    OFFSET applies before LIMIT (SPARQL 18.2.5 modifier order).
   *
+  * Also supported: FILTER [NOT] EXISTS blocks (semi/anti-join lowering)
+  * and the built-ins STR / STRLEN / UCASE / LCASE / CONTAINS / STRSTARTS /
+  * STRENDS / SUBSTR / ABS / IF / COALESCE alongside CONCAT and regex.
+  *
   * Out of fragment (rejected, not silently mis-run): subqueries, GRAPH /
-  * named graphs, SERVICE, EXISTS, predicate-object lists (`;`), IF/COALESCE.
+  * named graphs, SERVICE, predicate-object lists (`;`).
   * The tokenizer verifies every non-whitespace, non-comment character is
   * consumed by a token and errors with the offset of the first unsupported
   * character, so unsupported syntax can never be silently dropped; trailing
@@ -88,6 +92,9 @@ object Sparql {
   final case class ERegex(v: String, pattern: String) extends Expr
   final case class EArith(l: Expr, op: String, r: Expr) extends Expr
   final case class EConcat(args: Seq[Expr]) extends Expr
+  /** Built-in call: STR, STRLEN, UCASE, LCASE, CONTAINS, STRSTARTS,
+    * STRENDS, SUBSTR, ABS, IF, COALESCE. */
+  final case class EFun(fn: String, args: Seq[Expr]) extends Expr
   /** Aggregate call; `v=None` is `COUNT(*)`. Valid only in SELECT
     * `(AGG(?v) AS ?alias)` bindings and HAVING. */
   final case class EAgg(fn: String, v: Option[String], distinct: Boolean)
@@ -101,7 +108,9 @@ object Sparql {
       filters: Seq[Expr], minuses: Seq[Seq[TP]] = Nil,
       values: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
       binds: Seq[(String, Expr)] = Nil,
-      paths: Seq[(Term, Path, Term)] = Nil)
+      paths: Seq[(Term, Path, Term)] = Nil,
+      /** FILTER [NOT] EXISTS blocks; the Boolean is "positive". */
+      exists: Seq[(Boolean, Seq[TP])] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
 
@@ -161,7 +170,8 @@ object Sparql {
     // and gate the MINUS block to empty, silently returning a superset
     // (nothing subtracted).
     val allPats = q.branches.flatMap(b =>
-      b.where ++ b.optionals.flatten ++ b.minuses.flatten)
+      b.where ++ b.optionals.flatten ++ b.minuses.flatten ++
+        b.exists.flatMap(_._2))
     val pathTerms = q.branches.flatMap(_.paths).flatMap { case (s, path, o) =>
       pathStrings(path) ++ Seq(s, o).collect { case C(v: String) => v }
     }
@@ -278,6 +288,11 @@ object Sparql {
       }
       b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
       b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
+      b.exists.foreach { case (positive, pats) =>
+        val blk = solveBgp(pats)
+        df = if (positive) Bgp.existsSolved(df, blk)
+        else Bgp.notExistsSolved(df, blk)
+      }
       b.filters.foreach(f => df = df.filter(boolCol(f, Map.empty)))
       df
     }
@@ -384,6 +399,9 @@ object Sparql {
     case ENum(_) => true
     case EArith(_, _, _) => true
     case EAgg(fn, _, _) => fn == "COUNT" || fn == "SUM" || fn == "AVG"
+    case EFun("STRLEN" | "ABS", _) => true
+    case EFun("IF", args) => args.drop(1).exists(numericExpr)
+    case EFun("COALESCE", args) => args.exists(numericExpr)
     case _ => false
   }
 
@@ -393,6 +411,12 @@ object Sparql {
     case ENot(x) => !boolCol(x, env)
     case EBound(v) => col(v).isNotNull
     case ERegex(v, p) => col(v).rlike(p)
+    case EFun("CONTAINS", Seq(a, b)) =>
+      scalarCol(a, numeric = false, env).contains(scalarCol(b, numeric = false, env))
+    case EFun("STRSTARTS", Seq(a, b)) =>
+      scalarCol(a, numeric = false, env).startsWith(scalarCol(b, numeric = false, env))
+    case EFun("STRENDS", Seq(a, b)) =>
+      scalarCol(a, numeric = false, env).endsWith(scalarCol(b, numeric = false, env))
     case ECmp(l, op, r) =>
       // a numeric side switches the comparison to numeric semantics over
       // both sides; try_cast (not cast) so that a non-numeric binding is a
@@ -429,6 +453,28 @@ object Sparql {
       }
     case EConcat(args) =>
       concat(args.map(a => scalarCol(a, numeric = false, env).cast("string")): _*)
+    // built-ins: numeric-valued ones emit double (the arithmetic
+    // convention, DuckDB-CAST-alignable); SUBSTR is SPARQL/SQL 1-based
+    case EFun("STR", Seq(a)) => scalarCol(a, numeric = false, env).cast("string")
+    case EFun("STRLEN", Seq(a)) =>
+      length(scalarCol(a, numeric = false, env)).cast("double")
+    case EFun("UCASE", Seq(a)) => upper(scalarCol(a, numeric = false, env))
+    case EFun("LCASE", Seq(a)) => lower(scalarCol(a, numeric = false, env))
+    case EFun("ABS", Seq(a)) => abs(scalarCol(a, numeric = true, env))
+    case EFun("SUBSTR", Seq(a, ENum(pos))) =>
+      scalarCol(a, numeric = false, env).substr(lit(pos.toInt), lit(Int.MaxValue))
+    case EFun("SUBSTR", Seq(a, ENum(pos), ENum(len))) =>
+      scalarCol(a, numeric = false, env).substr(lit(pos.toInt), lit(len.toInt))
+    case EFun("IF", Seq(c, t, f)) =>
+      val n = numeric || numericExpr(t) || numericExpr(f)
+      when(boolCol(c, env), scalarCol(t, n, env))
+        .otherwise(scalarCol(f, n, env))
+    case EFun("COALESCE", args) if args.nonEmpty =>
+      val n = numeric || args.exists(numericExpr)
+      coalesce(args.map(scalarCol(_, n, env)): _*)
+    case f: EFun => throw new IllegalArgumentException(
+      s"unsupported function or arity: ${f.fn}/${f.args.size} " +
+        "(SUBSTR positions must be numeric literals)")
     case a: EAgg =>
       val n = env.getOrElse(a, throw new IllegalArgumentException(
         s"aggregate ${a.fn} is only valid in SELECT (… AS ?v) or HAVING"))
@@ -632,6 +678,7 @@ object Sparql {
     val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
     val filters = scala.collection.mutable.ArrayBuffer.empty[Expr]
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
+    val exists = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[TP])]
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -655,7 +702,13 @@ object Sparql {
         minuses += bracedPatterns()
       } else if (p.peekKw("FILTER")) {
         p.expectKw("FILTER")
-        filters += constraint(p, prefixes, allowAgg = false)
+        if (p.peekKw("EXISTS")) {
+          p.expectKw("EXISTS")
+          exists += true -> bracedPatterns()
+        } else if (p.peekKw("NOT")) {
+          p.expectKw("NOT"); p.expectKw("EXISTS")
+          exists += false -> bracedPatterns()
+        } else filters += constraint(p, prefixes, allowAgg = false)
       } else if (p.peekKw("BIND")) {
         p.expectKw("BIND"); p.expect("(")
         val e = orExpr(p, prefixes, allowAgg = false)
@@ -722,7 +775,7 @@ object Sparql {
     }
     require(where.nonEmpty || paths.nonEmpty, "empty WHERE block")
     val block = Block(where.toSeq, optionals.toSeq, filters.toSeq,
-      minuses.toSeq, values.toSeq, binds.toSeq, paths.toSeq)
+      minuses.toSeq, values.toSeq, binds.toSeq, paths.toSeq, exists.toSeq)
     checkBnodeScopes(block)
     block
   }
@@ -737,7 +790,8 @@ object Sparql {
     val whereLabels = labels(b.where) ++
       b.paths.flatMap { case (s, _, o) => Seq(s, o) }
         .collect { case V(n) if n.startsWith("_:") => n }
-    val groups = whereLabels +: (b.optionals ++ b.minuses).map(labels)
+    val groups = whereLabels +:
+      (b.optionals ++ b.minuses ++ b.exists.map(_._2)).map(labels)
     val dup = groups.combinations(2).flatMap(pair => pair(0) intersect pair(1))
       .toSeq.distinct
     require(dup.isEmpty,
@@ -943,12 +997,11 @@ object Sparql {
       p.expect("("); val e = orExpr(p, prefixes, allowAgg); p.expect(")"); e
     } else if (p.peekKw("regex") || p.peekKw("BOUND")) builtin(p)
     else if (p.peekKw("CONCAT")) {
-      p.expectKw("CONCAT"); p.expect("(")
-      val args = scala.collection.mutable.ArrayBuffer(
-        orExpr(p, prefixes, allowAgg))
-      while (p.peek() == ",") { p.next(); args += orExpr(p, prefixes, allowAgg) }
-      p.expect(")")
-      EConcat(args.toSeq)
+      p.expectKw("CONCAT")
+      EConcat(argList(p, prefixes, allowAgg))
+    } else if (builtinFns.exists(p.peekKw)) {
+      val fn = p.next().toUpperCase
+      EFun(fn, argList(p, prefixes, allowAgg))
     } else if (allowAgg && Seq("COUNT", "SUM", "AVG", "MIN", "MAX")
         .exists(p.peekKw)) aggCall(p)
     else {
@@ -971,6 +1024,19 @@ object Sparql {
           s"unknown prefix '$pre:' in '$t'")) + local)
       } else throw new IllegalArgumentException(s"unsupported expression term: $t")
     }
+
+  private val builtinFns = Set("STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
+    "STRSTARTS", "STRENDS", "SUBSTR", "ABS", "IF", "COALESCE")
+
+  private def argList(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Seq[Expr] = {
+    p.expect("(")
+    val args = scala.collection.mutable.ArrayBuffer(
+      orExpr(p, prefixes, allowAgg))
+    while (p.peek() == ",") { p.next(); args += orExpr(p, prefixes, allowAgg) }
+    p.expect(")")
+    args.toSeq
+  }
 
   private def unquote(t: String): String =
     t.stripPrefix("\"").stripSuffix("\"")

@@ -595,6 +595,90 @@ class SparqlSpec extends SparkSpec {
         |}""".stripMargin))
   }
 
+  test("FILTER EXISTS / NOT EXISTS semi/anti-join; disjoint ≠ MINUS") {
+    val has = Sparql.run(triples,
+      """SELECT ?c WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  FILTER EXISTS { ?o <custkey> ?c . ?o <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    val hasNot = Sparql.run(triples,
+      """SELECT ?c WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  FILTER NOT EXISTS { ?o <custkey> ?c . ?o <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    val all = Sparql.run(triples,
+      "SELECT ?c WHERE { ?c <mktsegment> \"BUILDING\" . }")
+    assert(has.count() > 0 && hasNot.count() > 0)
+    assert(has.count() + hasNot.count() === all.count())
+    assert(has.intersect(hasNot).count() === 0)
+    // EXISTS never duplicates left rows (semi-join, not inner)
+    assert(has.count() === has.distinct().count())
+    // a variable-DISJOINT NOT EXISTS with any block solution empties the
+    // result — where MINUS would keep everything (the spec-mandated
+    // difference between the two negations)
+    val disjointNE = Sparql.run(triples,
+      """SELECT ?c WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  FILTER NOT EXISTS { ?x <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(disjointNE.count() === 0)
+    val disjointMinus = Sparql.run(triples,
+      """SELECT ?c WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  MINUS { ?x <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(disjointMinus.count() === all.count())
+    // encoded path: EXISTS-only constants resolve ≡ string
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val encd = Sparql.runEncoded(enc, dict,
+      """SELECT ?c WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  FILTER NOT EXISTS { ?o <custkey> ?c . ?o <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(encd.count() === hasNot.count())
+    assert(encd.exceptAll(hasNot).count() === 0)
+  }
+
+  test("string/conditional built-ins lower to codegen column functions") {
+    val got = Sparql.run(triples,
+      """SELECT ?c ?len ?pre ?cls ?co WHERE {
+        |  ?c <name> ?nm . ?c <mktsegment> ?seg .
+        |  BIND (STRLEN(?nm) AS ?len)
+        |  BIND (UCASE(SUBSTR(?seg, 1, 3)) AS ?pre)
+        |  BIND (IF(CONTAINS(?seg, "BUILD"), "b", "x") AS ?cls)
+        |  BIND (COALESCE(?seg, "none") AS ?co)
+        |  FILTER (STRSTARTS(?nm, "Customer#"))
+        |  FILTER (STRLEN(?nm) >= 18)
+        |}""".stripMargin)
+    assert(got.count() > 0)
+    got.collect().foreach { r =>
+      assert(r.getDouble(1) === 18.0) // Customer#NNNNNNNNN
+      assert(r.getString(2).length === 3 &&
+        r.getString(2) === r.getString(2).toUpperCase)
+      assert(Set("b", "x")(r.getString(3)))
+      assert(r.getString(4) === r.getString(4)) // coalesce passthrough
+    }
+    // LCASE / STRENDS / ABS / STR
+    val more = Sparql.run(triples,
+      """SELECT ?c ?lc ?a WHERE {
+        |  ?c <mktsegment> ?seg . ?c <nationkey> ?nk .
+        |  BIND (LCASE(?seg) AS ?lc)
+        |  BIND (ABS(?nk - 10) AS ?a)
+        |  FILTER (STRENDS(?seg, "ING"))
+        |}""".stripMargin)
+    assert(more.count() > 0)
+    more.collect().foreach { r =>
+      assert(r.getString(1) === r.getString(1).toLowerCase)
+      assert(r.getDouble(2) >= 0)
+    }
+    // unknown arity fails loudly
+    intercept[IllegalArgumentException](
+      Sparql.run(triples,
+        "SELECT ?c WHERE { ?c <name> ?n . BIND (STRLEN(?n, ?n) AS ?x) }")
+        .count())
+  }
+
   test("multi-pattern CONSTRUCT materializes the solved bindings once") {
     val g = Sparql.run(triples,
       """CONSTRUCT {
