@@ -327,6 +327,19 @@ object RdfOps extends QueryModule {
           |ORDER BY ?seg""".stripMargin)
     }),
 
+    // Subquery: an aggregating { SELECT } evaluated independently and
+    // joined back on its projected variable — every customer annotated
+    // with its segment's population (the aggregate-then-join idiom).
+    "q_sparql_subquery" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust ?cname ?n WHERE {
+          |  ?cust <name> ?cname .
+          |  ?cust <mktsegment> ?seg .
+          |  { SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c <mktsegment> ?seg . }
+          |    GROUP BY ?seg }
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
     // The subject-grouped layout itself (d-sparq's MongoDB document shape):
     // one row per subject, one column per predicate. Explicit pivot values
     // avoid the extra distinct-values job at scale.
@@ -606,6 +619,16 @@ object RdfOps extends QueryModule {
         |  AND t2.p = 'nationkey'
         |  AND TRY_CAST(t2.o AS DOUBLE) >= 10 AND TRY_CAST(t2.o AS DOUBLE) < 20
         |ORDER BY cust, nk""".stripMargin),
+
+    "q_sparql_subquery" -> cte(
+      """SELECT t1.s AS cust, t1.o AS cname, segs.n AS n
+        |FROM triples t1
+        |JOIN triples t2 ON t1.s = t2.s
+        |JOIN (SELECT o AS seg, count(s) AS n FROM triples
+        |      WHERE p = 'mktsegment' GROUP BY o) segs
+        |  ON t2.o = segs.seg
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
+        |ORDER BY cust""".stripMargin),
 
     "q_sparql_bnode" -> cte(
       """SELECT t3.o AS cname

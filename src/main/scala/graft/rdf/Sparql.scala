@@ -110,7 +110,10 @@ object Sparql {
       binds: Seq[(String, Expr)] = Nil,
       paths: Seq[(Term, Path, Term)] = Nil,
       /** FILTER [NOT] EXISTS blocks; the Boolean is "positive". */
-      exists: Seq[(Boolean, Seq[TP])] = Nil)
+      exists: Seq[(Boolean, Seq[TP])] = Nil,
+      /** `{ SELECT ... }` subqueries: evaluated independently, joined with
+        * the block on their projected variables (SPARQL 18.2.2.12). */
+      subqueries: Seq[Query] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
 
@@ -169,10 +172,11 @@ object Sparql {
     // absent from the map would make solveResolved see allResolved=false
     // and gate the MINUS block to empty, silently returning a superset
     // (nothing subtracted).
-    val allPats = q.branches.flatMap(b =>
+    val blocks = allBlocks(q)
+    val allPats = blocks.flatMap(b =>
       b.where ++ b.optionals.flatten ++ b.minuses.flatten ++
         b.exists.flatMap(_._2))
-    val pathTerms = q.branches.flatMap(_.paths).flatMap { case (s, path, o) =>
+    val pathTerms = blocks.flatMap(_.paths).flatMap { case (s, path, o) =>
       pathStrings(path) ++ Seq(s, o).collect { case C(v: String) => v }
     }
     val idOf = EncodedBgp.resolveConstants(dict, allPats, pathTerms)
@@ -236,6 +240,11 @@ object Sparql {
         "a property-path pattern needs at least one variable endpoint")
     }
 
+  /** Every block of the query, including subquery blocks recursively —
+    * the encoded path resolves ALL constants in one dictionary lookup. */
+  private def allBlocks(q: Query): Seq[Block] =
+    q.branches ++ q.branches.flatMap(_.subqueries).flatMap(allBlocks)
+
   private def pathStrings(path: Path): Seq[String] = path match {
     case PEdge(v: String) => Seq(v)
     case PEdge(_) => Nil
@@ -266,7 +275,10 @@ object Sparql {
       solvePath: (Path, Term, Term) => DataFrame): DataFrame = {
     val solved = q.branches.map { b =>
       val pieces = (if (b.where.nonEmpty) Seq(solveBgp(b.where)) else Nil) ++
-        b.paths.map { case (s, path, o) => solvePath(path, s, o) }
+        b.paths.map { case (s, path, o) => solvePath(path, s, o) } ++
+        // subqueries evaluate independently (own projection, aggregation,
+        // modifiers) and join on their projected variables
+        b.subqueries.map(sq => execute(sq, solveBgp, solvePath))
       var df = pieces.reduce(Bgp.joinSolved)
       // VALUES = join with the inline solution table (restricts shared
       // vars, cross-products disjoint ones — SPARQL join semantics)
@@ -542,51 +554,51 @@ object Sparql {
         require(template.nonEmpty, "empty CONSTRUCT template")
         Some(template.toSeq)
       } else None
+    if (ask || construct.isDefined) {
+      if (ask) p.expectKw("ASK")
+      val branches = whereBranches(p, prefixes)
+      require(!p.hasNext, "ASK/CONSTRUCT take no solution modifiers in " +
+        s"this fragment; got: ${p.rest.take(5).mkString(" ")}")
+      Query(Seq("*"), branches, distinct = false, Nil, None, None, ask,
+        construct)
+    } else {
+      val q = selectQuery(p, prefixes)
+      require(!p.hasNext,
+        s"unsupported trailing clause: ${p.rest.take(5).mkString(" ")}")
+      q
+    }
+  }
+
+  /** SELECT clause through solution modifiers — the shape shared by the
+    * top-level query and `{ SELECT ... }` subqueries (which stop at their
+    * closing brace). */
+  private def selectQuery(p: P, prefixes: Map[String, String]): Query = {
     val selectAggs = scala.collection.mutable.ArrayBuffer.empty[(String, EAgg)]
-    val (distinct, proj) =
-      if (ask) { p.expectKw("ASK"); (false, Seq("*")) }
-      else if (construct.isDefined) (false, Seq("*"))
+    p.expectKw("SELECT")
+    val distinct = if (p.peekKw("DISTINCT")) { p.next(); true } else false
+    val proj =
+      if (p.peek() == "*") { p.next(); Seq("*") }
       else {
-        p.expectKw("SELECT")
-        val d = if (p.peekKw("DISTINCT")) { p.next(); true } else false
-        val pr =
-          if (p.peek() == "*") { p.next(); Seq("*") }
-          else {
-            val items = scala.collection.mutable.ArrayBuffer.empty[String]
-            while (p.hasNext &&
-                ((p.peek().startsWith("?") && p.peek().length > 1) ||
-                  p.peek() == "(")) {
-              if (p.peek() == "(") {
-                // (AGG(?v) AS ?alias) — an aggregate projection binding
-                p.expect("(")
-                val a = aggCall(p)
-                p.expectKw("AS")
-                val v = p.next()
-                require(v.startsWith("?"), s"AS needs a variable, got $v")
-                p.expect(")")
-                selectAggs += v.drop(1) -> a
-                items += v.drop(1)
-              } else items += p.next().drop(1)
-            }
-            items.toSeq
-          }
-        require(pr.nonEmpty, "SELECT needs variables or *")
-        (d, pr)
+        val items = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (p.hasNext &&
+            ((p.peek().startsWith("?") && p.peek().length > 1) ||
+              p.peek() == "(")) {
+          if (p.peek() == "(") {
+            // (AGG(?v) AS ?alias) — an aggregate projection binding
+            p.expect("(")
+            val a = aggCall(p)
+            p.expectKw("AS")
+            val v = p.next()
+            require(v.startsWith("?"), s"AS needs a variable, got $v")
+            p.expect(")")
+            selectAggs += v.drop(1) -> a
+            items += v.drop(1)
+          } else items += p.next().drop(1)
+        }
+        items.toSeq
       }
-    p.expectKw("WHERE"); p.expect("{")
-    val branches =
-      if (p.peek() == "{") {
-        // { group } UNION { group } [ UNION { group } ]*
-        val bs = scala.collection.mutable.ArrayBuffer(group(p, prefixes))
-        while (p.peekKw("UNION")) { p.expectKw("UNION"); bs += group(p, prefixes) }
-        require(bs.size >= 2, "a braced group must be a UNION branch")
-        p.expect("}")
-        bs.toSeq
-      } else {
-        val b = blockBody(p, prefixes)
-        p.expect("}")
-        Seq(b)
-      }
+    require(proj.nonEmpty, "SELECT needs variables or *")
+    val branches = whereBranches(p, prefixes)
     val groupVars = scala.collection.mutable.ArrayBuffer.empty[String]
     if (p.peekKw("GROUP")) {
       p.expectKw("GROUP"); p.expectKw("BY")
@@ -622,14 +634,8 @@ object Sparql {
       val n = p.nextInt()
       if (kw.equalsIgnoreCase("LIMIT")) limit = Some(n) else offset = Some(n)
     }
-    require(!p.hasNext, s"unsupported trailing clause: ${p.rest.take(5).mkString(" ")}")
-    require(!(ask || construct.isDefined) ||
-        (orderKeys.isEmpty && limit.isEmpty && offset.isEmpty),
-      "ASK/CONSTRUCT take no solution modifiers in this fragment")
     val hasAgg = selectAggs.nonEmpty || groupVars.nonEmpty || having.isDefined
     if (hasAgg) {
-      require(!ask && construct.isEmpty,
-        "ASK/CONSTRUCT take no aggregation")
       require(proj != Seq("*"),
         "SELECT * cannot combine with GROUP BY/aggregates")
       val aliases = selectAggs.map(_._1).toSet
@@ -637,8 +643,28 @@ object Sparql {
       require(bad.isEmpty, "non-aggregated SELECT variables must appear " +
         s"in GROUP BY: ${bad.map("?" + _).mkString(", ")}")
     }
-    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset, ask,
-      construct, selectAggs.toSeq, groupVars.toSeq, having)
+    Query(proj, branches, distinct, orderKeys.toSeq, limit, offset,
+      ask = false, None, selectAggs.toSeq, groupVars.toSeq, having)
+  }
+
+  /** `WHERE { ... }`: a plain block, or `{ group } UNION { group }...`.
+    * A leading `{` followed by SELECT is a subquery member of a plain
+    * block, not a union branch. */
+  private def whereBranches(p: P, prefixes: Map[String, String]): Seq[Block] = {
+    p.expectKw("WHERE"); p.expect("{")
+    if (p.peek() == "{" &&
+        !p.rest.drop(1).headOption.exists(_.equalsIgnoreCase("SELECT"))) {
+      // { group } UNION { group } [ UNION { group } ]*
+      val bs = scala.collection.mutable.ArrayBuffer(group(p, prefixes))
+      while (p.peekKw("UNION")) { p.expectKw("UNION"); bs += group(p, prefixes) }
+      require(bs.size >= 2, "a braced group must be a UNION branch")
+      p.expect("}")
+      bs.toSeq
+    } else {
+      val b = blockBody(p, prefixes)
+      p.expect("}")
+      Seq(b)
+    }
   }
 
   private def aggCall(p: P): EAgg = {
@@ -679,6 +705,7 @@ object Sparql {
     val filters = scala.collection.mutable.ArrayBuffer.empty[Expr]
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
     val exists = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[TP])]
+    val subqueries = scala.collection.mutable.ArrayBuffer.empty[Query]
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -717,6 +744,13 @@ object Sparql {
         require(v.startsWith("?"), s"BIND needs AS ?var, got $v")
         p.expect(")")
         binds += v.drop(1) -> e
+      } else if (p.peek() == "{") {
+        // { SELECT ... } subquery member
+        p.expect("{")
+        require(p.peekKw("SELECT"),
+          "a braced group inside a block must be a { SELECT ... } subquery")
+        subqueries += selectQuery(p, prefixes)
+        p.expect("}")
       } else if (p.peekKw("VALUES")) {
         // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }
         p.expectKw("VALUES")
@@ -773,9 +807,11 @@ object Sparql {
         p.maybe(".")
       }
     }
-    require(where.nonEmpty || paths.nonEmpty, "empty WHERE block")
+    require(where.nonEmpty || paths.nonEmpty || subqueries.nonEmpty,
+      "empty WHERE block")
     val block = Block(where.toSeq, optionals.toSeq, filters.toSeq,
-      minuses.toSeq, values.toSeq, binds.toSeq, paths.toSeq, exists.toSeq)
+      minuses.toSeq, values.toSeq, binds.toSeq, paths.toSeq, exists.toSeq,
+      subqueries.toSeq)
     checkBnodeScopes(block)
     block
   }

@@ -679,6 +679,50 @@ class SparqlSpec extends SparkSpec {
         .count())
   }
 
+  test("subqueries evaluate independently and join on projected variables") {
+    // aggregate-then-join: each customer with its segment's population
+    val got = Sparql.run(triples,
+      """SELECT ?c ?n WHERE {
+        |  ?c <mktsegment> ?seg .
+        |  { SELECT ?seg (COUNT(?x) AS ?n) WHERE { ?x <mktsegment> ?seg . }
+        |    GROUP BY ?seg }
+        |}""".stripMargin)
+    val segCounts = triples.filter($"p" === "mktsegment")
+      .groupBy($"o").count()
+      .as[(String, Long)].collect().toMap
+    val rows = Sparql.run(triples,
+      "SELECT ?c ?seg WHERE { ?c <mktsegment> ?seg . }")
+      .as[(String, String)].collect()
+    assert(got.count() === rows.length)
+    val gotMap = got.as[(String, Long)].collect().toMap
+    rows.foreach { case (c, seg) => assert(gotMap(c) === segCounts(seg)) }
+    // subquery LIMIT applies inside the subquery, before the join
+    val limited = Sparql.run(triples,
+      """SELECT ?c ?seg WHERE {
+        |  ?c <mktsegment> ?seg .
+        |  { SELECT ?seg WHERE { ?x <mktsegment> ?seg . } ORDER BY ?seg LIMIT 1 }
+        |}""".stripMargin)
+    assert(limited.select("seg").distinct().count() === 1)
+    assert(limited.select("seg").as[String].head() === segCounts.keys.min)
+    // a subquery-only group works on the encoded path too (constants
+    // inside the subquery resolve in the shared batch)
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val sq =
+      """SELECT ?c ?n WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  { SELECT (COUNT(?o) AS ?n) WHERE { ?o <orderpriority> "1-URGENT" . } }
+        |}""".stripMargin
+    val viaString = Sparql.run(triples, sq)
+    val viaIds = Sparql.runEncoded(enc, dict, sq)
+    assert(viaString.count() > 0)
+    assert(viaString.exceptAll(viaIds).count() === 0)
+    assert(viaIds.exceptAll(viaString).count() === 0)
+    // non-SELECT braced groups inside a block stay rejected
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?c WHERE { ?c <p> ?s . { ?c <q> ?t . } }"))
+  }
+
   test("multi-pattern CONSTRUCT materializes the solved bindings once") {
     val g = Sparql.run(triples,
       """CONSTRUCT {
