@@ -167,8 +167,13 @@ object Bgp {
   }
 
   /** One triple pattern → σ(constants) + π(variables) over the scan. */
-  private def one(triples: DataFrame, tp: TP): DataFrame = {
-    val bound: Seq[(String, Term)] = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+  private def one(triples: DataFrame, tp: TP): DataFrame =
+    onePattern(triples, Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o))
+
+  /** Generalized pattern solver over any (column, term) bindings — the
+    * quad solver reuses it with a fourth `g` component. */
+  private[rdf] def onePattern(triples: DataFrame,
+      bound: Seq[(String, Term)]): DataFrame = {
     val filters: Seq[Column] = bound.collect { case (c, C(v)) => col(c) === lit(v) }
     val filtered = filters.foldLeft(triples)(_.filter(_))
     // repeated variable within one pattern (e.g. ?x p ?x) → equality filter

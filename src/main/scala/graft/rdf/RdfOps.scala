@@ -340,6 +340,21 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust""".stripMargin)),
 
+    // Named graphs over the quad dataset: a constant GRAPH prunes to one
+    // graph's slice; GRAPH ?g joins all patterns of its block on the same
+    // named graph and binds it. Non-GRAPH patterns see only the default
+    // graph (here: nation/region triples).
+    "q_sparql_graph" -> ((s, d) =>
+      Sparql.runQuads(Quads.build(s, d), text =
+        """SELECT ?g ?cust ?ord ?nname WHERE {
+          |  GRAPH <g:customer> { ?cust <mktsegment> "BUILDING" .
+          |                       ?cust <nation> ?nat . }
+          |  GRAPH ?g { ?ord <custkey> ?cust .
+          |             ?ord <orderpriority> "1-URGENT" . }
+          |  ?nat <name> ?nname .
+          |}
+          |ORDER BY ?cust ?ord""".stripMargin)),
+
     // The subject-grouped layout itself (d-sparq's MongoDB document shape):
     // one row per subject, one column per predicate. Explicit pivot values
     // avoid the extra distinct-values job at scale.
@@ -629,6 +644,20 @@ object RdfOps extends QueryModule {
         |  ON t2.o = segs.seg
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
         |ORDER BY cust""".stripMargin),
+
+    "q_sparql_graph" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT q2.g AS g, q1.s AS cust, q2.s AS ord, q4.o AS nname
+         |FROM quads q1, quads q1b, quads q2, quads q3, quads q4
+         |WHERE q1.g = 'g:customer' AND q1.p = 'mktsegment' AND q1.o = 'BUILDING'
+         |  AND q1b.g = 'g:customer' AND q1b.p = 'nation' AND q1b.s = q1.s
+         |  AND q2.g <> '' AND q2.p = 'custkey' AND q2.o = q1.s
+         |  AND q3.g = q2.g AND q3.p = 'orderpriority' AND q3.o = '1-URGENT'
+         |  AND q3.s = q2.s
+         |  AND q4.g = '' AND q4.p = 'name' AND q4.s = q1b.o
+         |ORDER BY cust, ord""".stripMargin),
 
     "q_sparql_bnode" -> cte(
       """SELECT t3.o AS cname

@@ -113,7 +113,9 @@ object Sparql {
       exists: Seq[(Boolean, Seq[TP])] = Nil,
       /** `{ SELECT ... }` subqueries: evaluated independently, joined with
         * the block on their projected variables (SPARQL 18.2.2.12). */
-      subqueries: Seq[Query] = Nil)
+      subqueries: Seq[Query] = Nil,
+      /** `GRAPH term { patterns }` blocks (quad datasets only). */
+      graphs: Seq[(Term, Seq[TP])] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
 
@@ -152,7 +154,24 @@ object Sparql {
       bgp =>
         if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
         else Bgp.solve(triples, bgp),
-      (path, s, o) => solvePathOver(triples, path, s, o))
+      (path, s, o) => solvePathOver(triples, path, s, o),
+      (_, _) => throw new IllegalArgumentException(
+        "GRAPH requires a quad dataset — use Sparql.runQuads"))
+  }
+
+  /** Parse and execute against a quads DataFrame(s,p,o,g) — an RDF
+    * dataset. Patterns outside GRAPH match the default graph
+    * ([[Quads.DefaultGraph]]); `GRAPH ?g`/`GRAPH <iri>` blocks match named
+    * graphs ([[Quads.solveGraphBlock]]). */
+  def runQuads(quads: DataFrame, text: String,
+      collapseStars: Boolean = false): DataFrame = {
+    val dg = Quads.defaultGraph(quads)
+    execute(parse(text),
+      bgp =>
+        if (collapseStars) Bgp.solveStarCollapsed(dg, bgp)
+        else Bgp.solve(dg, bgp),
+      (path, s, o) => solvePathOver(dg, path, s, o),
+      (g, pats) => Quads.solveGraphBlock(quads, pats, g))
   }
 
   /** Parse and execute against the dictionary-encoded id-triple store —
@@ -203,7 +222,9 @@ object Sparql {
     }
     execute(q,
       bgp => EncodedBgp.solveResolved(enc, dict, bgp, idOf, collapseStars),
-      solvePathEnc)
+      solvePathEnc,
+      (_, _) => throw new IllegalArgumentException(
+        "GRAPH is not supported over the encoded store — use Sparql.runQuads"))
   }
 
   /** Evaluate a path pattern over a triples frame, seeding the closure at
@@ -272,13 +293,15 @@ object Sparql {
     * FILTER, UNION, aggregation, solution modifiers) is solver-independent.
     */
   private def execute(q: Query, solveBgp: Seq[TP] => DataFrame,
-      solvePath: (Path, Term, Term) => DataFrame): DataFrame = {
+      solvePath: (Path, Term, Term) => DataFrame,
+      solveGraph: (Term, Seq[TP]) => DataFrame): DataFrame = {
     val solved = q.branches.map { b =>
       val pieces = (if (b.where.nonEmpty) Seq(solveBgp(b.where)) else Nil) ++
         b.paths.map { case (s, path, o) => solvePath(path, s, o) } ++
+        b.graphs.map { case (g, pats) => solveGraph(g, pats) } ++
         // subqueries evaluate independently (own projection, aggregation,
         // modifiers) and join on their projected variables
-        b.subqueries.map(sq => execute(sq, solveBgp, solvePath))
+        b.subqueries.map(sq => execute(sq, solveBgp, solvePath, solveGraph))
       var df = pieces.reduce(Bgp.joinSolved)
       // VALUES = join with the inline solution table (restricts shared
       // vars, cross-products disjoint ones — SPARQL join semantics)
@@ -706,6 +729,7 @@ object Sparql {
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
     val exists = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[TP])]
     val subqueries = scala.collection.mutable.ArrayBuffer.empty[Query]
+    val graphs = scala.collection.mutable.ArrayBuffer.empty[(Term, Seq[TP])]
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -751,6 +775,10 @@ object Sparql {
           "a braced group inside a block must be a { SELECT ... } subquery")
         subqueries += selectQuery(p, prefixes)
         p.expect("}")
+      } else if (p.peekKw("GRAPH")) {
+        p.expectKw("GRAPH")
+        val gt = term(p, prefixes)
+        graphs += gt -> bracedPatterns()
       } else if (p.peekKw("VALUES")) {
         // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }
         p.expectKw("VALUES")
@@ -807,11 +835,11 @@ object Sparql {
         p.maybe(".")
       }
     }
-    require(where.nonEmpty || paths.nonEmpty || subqueries.nonEmpty,
-      "empty WHERE block")
+    require(where.nonEmpty || paths.nonEmpty || subqueries.nonEmpty ||
+      graphs.nonEmpty, "empty WHERE block")
     val block = Block(where.toSeq, optionals.toSeq, filters.toSeq,
       minuses.toSeq, values.toSeq, binds.toSeq, paths.toSeq, exists.toSeq,
-      subqueries.toSeq)
+      subqueries.toSeq, graphs.toSeq)
     checkBnodeScopes(block)
     block
   }
@@ -827,7 +855,8 @@ object Sparql {
       b.paths.flatMap { case (s, _, o) => Seq(s, o) }
         .collect { case V(n) if n.startsWith("_:") => n }
     val groups = whereLabels +:
-      (b.optionals ++ b.minuses ++ b.exists.map(_._2)).map(labels)
+      (b.optionals ++ b.minuses ++ b.exists.map(_._2) ++
+        b.graphs.map(_._2)).map(labels)
     val dup = groups.combinations(2).flatMap(pair => pair(0) intersect pair(1))
       .toSeq.distinct
     require(dup.isEmpty,

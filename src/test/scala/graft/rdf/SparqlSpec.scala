@@ -723,6 +723,33 @@ class SparqlSpec extends SparkSpec {
       "SELECT ?c WHERE { ?c <p> ?s . { ?c <q> ?t . } }"))
   }
 
+  test("GRAPH blocks scope patterns to named graphs; default stays outside") {
+    val quads = Quads.build(spark, sf0001)
+    // constant graph = that graph's slice only
+    val cust = Sparql.runQuads(quads,
+      """SELECT ?c WHERE { GRAPH <g:customer> { ?c <mktsegment> "BUILDING" . } }""")
+    val viaTriples = Sparql.run(triples,
+      "SELECT ?c WHERE { ?c <mktsegment> \"BUILDING\" . }")
+    assert(cust.count() === viaTriples.count() && cust.count() > 0)
+    // the same pattern outside GRAPH sees only the default graph → empty
+    // (customer triples live in g:customer)
+    assert(Sparql.runQuads(quads,
+      "SELECT ?c WHERE { ?c <mktsegment> \"BUILDING\" . }").count() === 0)
+    // a default-graph pattern works outside GRAPH
+    assert(Sparql.runQuads(quads,
+      "SELECT ?n ?r WHERE { ?n <region> ?r . }").count() ===
+      triples.filter($"p" === "region").count())
+    // GRAPH ?g binds the graph and joins the block's patterns on it
+    val bound = Sparql.runQuads(quads,
+      """SELECT DISTINCT ?g WHERE {
+        |  GRAPH ?g { ?o <custkey> ?c . ?o <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(bound.as[String].collect().toSeq === Seq("g:orders"))
+    // GRAPH over a plain triples run is a loud error, not a silent miss
+    intercept[IllegalArgumentException](Sparql.run(triples,
+      "SELECT ?c WHERE { GRAPH ?g { ?c <mktsegment> ?s . } }").count())
+  }
+
   test("multi-pattern CONSTRUCT materializes the solved bindings once") {
     val g = Sparql.run(triples,
       """CONSTRUCT {
