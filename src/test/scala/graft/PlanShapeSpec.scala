@@ -55,4 +55,37 @@ class PlanShapeSpec extends SparkSpec {
   test("native cosine kernel appears in the similarity plan") {
     assert(plan("q_sim_cosine_topk").contains("cosine_sim"))
   }
+
+  test("FILTER EXISTS / NOT EXISTS lower to semi / anti joins") {
+    val p = plan("q_sparql_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("SPARQL aggregation aggregates over the collapsed star, join-free") {
+    val p = plan("q_sparql_agg")
+    // scan → star-collapse agg → GROUP-BY agg: NO joins despite the
+    // 3-pattern star, and exactly 3 exchanges (one per agg layer + the
+    // presentation ORDER BY). String MIN/MAX has no mutable hash buffer,
+    // so the aggregates legitimately plan sort-based.
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Aggregate"), p)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("+- Exchange") || l.contains(":- Exchange"))
+    assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$p")
+  }
+
+  test("a constant GRAPH prunes to an equality filter on g at the source") {
+    val p = plan("q_sparql_graph")
+    // the g:customer block must filter g before joining, not after
+    assert(p.contains("g:customer"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("the subquery aggregate joins back without recomputing the corpus per row") {
+    val p = plan("q_sparql_subquery")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }
