@@ -32,7 +32,7 @@ object NTriples {
   // throwing mid-decode. \U is range-restricted to code points ≤ U+10FFFF
   // (000XXXXX | 0010XXXX) for the same reason: `\UFFFFFFFF` is 8 hex digits
   // but not a code point, and must be a corrupt line, not a decode crash.
-  private val escapes =
+  private[rdf] val escapes =
     """(?:[^"\\]|\\u[0-9A-Fa-f]{4}|\\U(?:000[0-9A-Fa-f]{5}|0010[0-9A-Fa-f]{4})|\\[tbnrf"'\\])*"""
   private val line =
     s"""^\\s*<([^>]*)>\\s+<([^>]*)>\\s+(?:<([^>]*)>|"($escapes)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)?)\\s*\\.\\s*$$"""

@@ -109,6 +109,38 @@ class RdfSpec extends SparkSpec {
     assert(corpusBack.exceptAll(corpus).count() === 0)
   }
 
+  test("N-Quads parse, graph defaulting, round-trip, and runQuads composition") {
+    val lines = Seq(
+      "<http://ex/s1> <http://ex/p> <http://ex/o1> <http://ex/g1> .",
+      """<http://ex/s1> <http://ex/name> "Ali\tce \"q\"" <http://ex/g1> .""",
+      "<http://ex/s2> <http://ex/p> <http://ex/o2> .", // default graph
+      """<http://ex/s3> <http://ex/note> "plain" .""",
+      "# comment", "",
+      "<http://ex/bad> <http://ex/p> ." // malformed → corrupt
+    ).toDF("value")
+    val q = NQuads.parse(lines)
+    assert(q.count() === 4)
+    assert(q.filter($"g" === "http://ex/g1").count() === 2)
+    assert(q.filter($"g" === Quads.DefaultGraph).count() === 2)
+    assert(q.filter($"o" === "Ali\tce \"q\"").count() === 1)
+    assert(NQuads.corrupt(lines).count() === 1)
+    // write → read round-trips node kinds, escapes and graph labels
+    val dir = java.nio.file.Files.createTempDirectory("graft-nq").toString
+    val typed = NQuads.parseTyped(lines)
+    NQuads.write(typed, dir)
+    val back = NQuads.parseTyped(spark.read.text(dir))
+    assert(typed.exceptAll(back).count() === 0)
+    assert(back.exceptAll(typed).count() === 0)
+    // and the parsed quads feed GRAPH queries directly
+    val got = Sparql.runQuads(q,
+      """SELECT ?g ?o WHERE { GRAPH ?g { ?s <http://ex/p> ?o . } }""")
+    assert(got.as[(String, String)].collect().toSet ===
+      Set("http://ex/g1" -> "http://ex/o1"))
+    val dflt = Sparql.runQuads(q,
+      "SELECT ?o WHERE { ?s <http://ex/p> ?o . }")
+    assert(dflt.as[String].collect().toSeq === Seq("http://ex/o2"))
+  }
+
   test("star-collapsed solve ≡ join solve (star, chain, const-object)") {
     val starPats = Seq(
       TP(V("cust"), C("name"), V("cname")),
