@@ -355,6 +355,17 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust ?ord""".stripMargin)),
 
+    // DESCRIBE — the fourth SPARQL query form: the subgraph about the
+    // WHERE-selected resources, via a distributed semi-join of the triple
+    // set against the distinct bindings (plus one directly-named IRI).
+    "q_sparql_describe" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """DESCRIBE <n:5> ?cust WHERE {
+          |  ?cust <mktsegment> "BUILDING" .
+          |  ?cust <nationkey> "5" .
+          |}""".stripMargin)
+        .orderBy(col("s"), col("p"), col("o"))),
+
     // The subject-grouped layout itself (d-sparq's MongoDB document shape):
     // one row per subject, one column per predicate. Explicit pivot values
     // avoid the extra distinct-values job at scale.
@@ -658,6 +669,14 @@ object RdfOps extends QueryModule {
          |  AND q3.s = q2.s
          |  AND q4.g = '' AND q4.p = 'name' AND q4.s = q1b.o
          |ORDER BY cust, ord""".stripMargin),
+
+    "q_sparql_describe" -> cte(
+      """SELECT t.s, t.p, t.o FROM triples t
+        |WHERE t.s = 'n:5' OR EXISTS (
+        |  SELECT 1 FROM triples a JOIN triples b ON a.s = b.s
+        |  WHERE a.p = 'mktsegment' AND a.o = 'BUILDING'
+        |    AND b.p = 'nationkey' AND b.o = '5' AND a.s = t.s)
+        |ORDER BY s, p, o""".stripMargin),
 
     "q_sparql_bnode" -> cte(
       """SELECT t3.o AS cname

@@ -125,7 +125,9 @@ object Sparql {
       construct: Option[Seq[TP]] = None,
       selectAggs: Seq[(String, EAgg)] = Nil,
       groupVars: Seq[String] = Nil,
-      having: Option[Expr] = None) {
+      having: Option[Expr] = None,
+      /** DESCRIBE resources: IRIs and/or WHERE-bound variables. */
+      describe: Option[Seq[Term]] = None) {
     // single-branch accessors (the pre-UNION shape most callers inspect);
     // guarded so a union query can never silently expose only its first
     // branch to plan analysis — inspect `branches` for those
@@ -295,42 +297,13 @@ object Sparql {
   private def execute(q: Query, solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
       solveGraph: (Term, Seq[TP]) => DataFrame): DataFrame = {
-    val solved = q.branches.map { b =>
-      val pieces = (if (b.where.nonEmpty) Seq(solveBgp(b.where)) else Nil) ++
-        b.paths.map { case (s, path, o) => solvePath(path, s, o) } ++
-        b.graphs.map { case (g, pats) => solveGraph(g, pats) } ++
-        // subqueries evaluate independently (own projection, aggregation,
-        // modifiers) and join on their projected variables
-        b.subqueries.map(sq => execute(sq, solveBgp, solvePath, solveGraph))
-      var df = pieces.reduce(Bgp.joinSolved)
-      // VALUES = join with the inline solution table (restricts shared
-      // vars, cross-products disjoint ones — SPARQL join semantics)
-      b.values.foreach { case (vars, rows) =>
-        val spark = df.sparkSession
-        val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
-          org.apache.spark.sql.types.StructField(v,
-            org.apache.spark.sql.types.StringType, nullable = false)))
-        val vdf = spark.createDataFrame(
-          java.util.Arrays.asList(rows.map(r =>
-            org.apache.spark.sql.Row(r: _*)): _*), schema)
-        df = Bgp.joinSolved(df, vdf)
-      }
-      // BIND derives a new binding column; applied before OPTIONAL/MINUS/
-      // FILTER so all of those see the bound variable
-      b.binds.foreach { case (v, e) =>
-        require(!df.columns.contains(v), s"BIND would rebind ?$v")
-        df = df.withColumn(v, scalarCol(e, numericExpr(e), Map.empty))
-      }
-      b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
-      b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
-      b.exists.foreach { case (positive, pats) =>
-        val blk = solveBgp(pats)
-        df = if (positive) Bgp.existsSolved(df, blk)
-        else Bgp.notExistsSolved(df, blk)
-      }
-      b.filters.foreach(f => df = df.filter(boolCol(f, Map.empty)))
-      df
+    // DESCRIBE has its own result shape (a graph about the named
+    // resources) and may have no WHERE at all
+    q.describe.foreach { terms =>
+      return describeResult(q, terms, solveBgp, solvePath, solveGraph)
     }
+    val solved =
+      q.branches.map(solveBranch(_, solveBgp, solvePath, solveGraph))
     var df = solved.reduce(_.unionByName(_, allowMissingColumns = true))
     // ASK = "does any solution exist": limit(1) stops the scan at the
     // first match, the aggregate makes it a 1-row boolean frame
@@ -375,6 +348,78 @@ object Sparql {
     q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     df
+  }
+
+  /** One group graph pattern → its solution mappings: BGP and path and
+    * GRAPH and subquery pieces joined on shared variables, then VALUES,
+    * BIND, OPTIONAL, MINUS, [NOT] EXISTS and FILTER in that order. */
+  private def solveBranch(b: Block, solveBgp: Seq[TP] => DataFrame,
+      solvePath: (Path, Term, Term) => DataFrame,
+      solveGraph: (Term, Seq[TP]) => DataFrame): DataFrame = {
+    val pieces = (if (b.where.nonEmpty) Seq(solveBgp(b.where)) else Nil) ++
+      b.paths.map { case (s, path, o) => solvePath(path, s, o) } ++
+      b.graphs.map { case (g, pats) => solveGraph(g, pats) } ++
+      // subqueries evaluate independently (own projection, aggregation,
+      // modifiers) and join on their projected variables
+      b.subqueries.map(sq => execute(sq, solveBgp, solvePath, solveGraph))
+    var df = pieces.reduce(Bgp.joinSolved)
+    // VALUES = join with the inline solution table (restricts shared
+    // vars, cross-products disjoint ones — SPARQL join semantics)
+    b.values.foreach { case (vars, rows) =>
+      val spark = df.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+        org.apache.spark.sql.types.StructField(v,
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val vdf = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r: _*)): _*), schema)
+      df = Bgp.joinSolved(df, vdf)
+    }
+    // BIND derives a new binding column; applied before OPTIONAL/MINUS/
+    // FILTER so all of those see the bound variable
+    b.binds.foreach { case (v, e) =>
+      require(!df.columns.contains(v), s"BIND would rebind ?$v")
+      df = df.withColumn(v, scalarCol(e, numericExpr(e), Map.empty))
+    }
+    b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
+    b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
+    b.exists.foreach { case (positive, pats) =>
+      val blk = solveBgp(pats)
+      df = if (positive) Bgp.existsSolved(df, blk)
+      else Bgp.notExistsSolved(df, blk)
+    }
+    b.filters.foreach(f => df = df.filter(boolCol(f, Map.empty)))
+    df
+  }
+
+  /** DESCRIBE: the subgraph about the named resources — every triple
+    * whose subject is a DESCRIBEd constant or a WHERE-bound value of a
+    * DESCRIBEd variable (outgoing concise description). The variable form
+    * is a distributed semi-join of the full triple set against the
+    * distinct bindings — no driver-side collection of subjects. */
+  private def describeResult(q: Query, terms: Seq[Term],
+      solveBgp: Seq[TP] => DataFrame,
+      solvePath: (Path, Term, Term) => DataFrame,
+      solveGraph: (Term, Seq[TP]) => DataFrame): DataFrame = {
+    val all = solveBgp(Seq(TP(V("s"), V("p"), V("o"))))
+    val consts = terms.collect { case C(v) => v }
+    val vars = terms.collect { case V(n) => n }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (consts.nonEmpty) parts += all.filter(col("s").isin(consts: _*))
+    if (vars.nonEmpty) {
+      require(q.branches.nonEmpty, "DESCRIBE ?var needs a WHERE clause")
+      val bindings = q.branches
+        .map(solveBranch(_, solveBgp, solvePath, solveGraph))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val unbound = vars.filterNot(bindings.columns.contains)
+      require(unbound.isEmpty, "DESCRIBE variables not bound in WHERE: " +
+        unbound.map("?" + _).mkString(", "))
+      val subjects = vars.map(v => bindings.select(col(v).as("s")))
+        .reduce(_.unionByName(_)).filter(col("s").isNotNull).distinct()
+      parts += all.join(subjects, Seq("s"), "left_semi")
+    }
+    // a graph is a SET of triples
+    parts.reduce(_.unionByName(_)).distinct()
   }
 
   /** GROUP BY / aggregate-SELECT / HAVING lowering: one hash aggregation
@@ -577,13 +622,29 @@ object Sparql {
         require(template.nonEmpty, "empty CONSTRUCT template")
         Some(template.toSeq)
       } else None
-    if (ask || construct.isDefined) {
+    val describe =
+      if (p.peekKw("DESCRIBE")) {
+        p.expectKw("DESCRIBE")
+        val ts = scala.collection.mutable.ArrayBuffer.empty[Term]
+        while (p.hasNext &&
+            ((p.peek().startsWith("?") && p.peek().length > 1) ||
+              p.peek().startsWith("<") ||
+              (p.peek().contains(":") && !p.peek().startsWith("_:") &&
+                !p.peek().startsWith("\""))))
+          ts += term(p, prefixes)
+        require(ts.nonEmpty, "DESCRIBE needs at least one IRI or variable")
+        Some(ts.toSeq)
+      } else None
+    if (ask || construct.isDefined || describe.isDefined) {
       if (ask) p.expectKw("ASK")
-      val branches = whereBranches(p, prefixes)
-      require(!p.hasNext, "ASK/CONSTRUCT take no solution modifiers in " +
-        s"this fragment; got: ${p.rest.take(5).mkString(" ")}")
+      // DESCRIBE <iri> needs no WHERE at all
+      val branches =
+        if (describe.isDefined && !p.peekKw("WHERE")) Nil
+        else whereBranches(p, prefixes)
+      require(!p.hasNext, "ASK/CONSTRUCT/DESCRIBE take no solution " +
+        s"modifiers in this fragment; got: ${p.rest.take(5).mkString(" ")}")
       Query(Seq("*"), branches, distinct = false, Nil, None, None, ask,
-        construct)
+        construct, describe = describe)
     } else {
       val q = selectQuery(p, prefixes)
       require(!p.hasNext,

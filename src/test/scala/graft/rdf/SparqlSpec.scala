@@ -750,6 +750,34 @@ class SparqlSpec extends SparkSpec {
       "SELECT ?c WHERE { GRAPH ?g { ?c <mktsegment> ?s . } }").count())
   }
 
+  test("DESCRIBE returns the subgraph about named IRIs and bound variables") {
+    // direct IRI: its outgoing triples
+    val n1 = Sparql.run(triples, "DESCRIBE <n:1>")
+    assert(n1.columns.toSeq === Seq("s", "p", "o"))
+    assert(n1.count() === triples.filter($"s" === "n:1").count())
+    // bound variable: triples of every matching subject
+    val got = Sparql.run(triples,
+      """DESCRIBE ?c WHERE { ?c <mktsegment> "BUILDING" . }""")
+    val custs = triples.filter($"p" === "mktsegment" && $"o" === "BUILDING")
+      .select($"s")
+    val expect = triples.join(custs, Seq("s"), "left_semi")
+    assert(got.count() === expect.count() && got.count() > 0)
+    assert(got.exceptAll(expect).count() === 0)
+    // mixed form unions both, deduped; unbound DESCRIBE var is an error
+    val mixed = Sparql.run(triples,
+      """DESCRIBE <n:1> ?c WHERE { ?c <mktsegment> "BUILDING" . }""")
+    assert(mixed.count() === got.count() + n1.count())
+    intercept[IllegalArgumentException](Sparql.run(triples,
+      "DESCRIBE ?nope WHERE { ?c <mktsegment> \"BUILDING\" . }").count())
+    // DESCRIBE works over the encoded store too
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val encd = Sparql.runEncoded(enc, dict,
+      """DESCRIBE ?c WHERE { ?c <mktsegment> "BUILDING" . }""")
+    assert(encd.count() === got.count())
+    assert(encd.exceptAll(got).count() === 0)
+  }
+
   test("multi-pattern CONSTRUCT materializes the solved bindings once") {
     val g = Sparql.run(triples,
       """CONSTRUCT {
