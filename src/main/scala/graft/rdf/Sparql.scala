@@ -659,7 +659,11 @@ object Sparql {
   private def selectQuery(p: P, prefixes: Map[String, String]): Query = {
     val selectAggs = scala.collection.mutable.ArrayBuffer.empty[(String, EAgg)]
     p.expectKw("SELECT")
-    val distinct = if (p.peekKw("DISTINCT")) { p.next(); true } else false
+    // REDUCED *permits* duplicate elimination; eliminating them all (i.e.
+    // DISTINCT) is a conformant implementation
+    val distinct =
+      if (p.peekKw("DISTINCT") || p.peekKw("REDUCED")) { p.next(); true }
+      else false
     val proj =
       if (p.peek() == "*") { p.next(); Seq("*") }
       else {

@@ -128,6 +128,41 @@ class PropertySpec extends SparkSpec {
     }, cases = 30)
   }
 
+  test("property: property-path render → parse round-trips the path AST") {
+    import graft.rdf.{Sparql, Path, PEdge, PSeq, PAlt, PPlus, PStar, POpt, PInv, TP, V => RV, C => RC}
+    val genIri = Gen.oneOf("p", "q", "r").map(n => s"http://ex/$n")
+    def genPath(depth: Int): Gen[Path] =
+      if (depth <= 0) genIri.map(PEdge(_))
+      else Gen.frequency(
+        3 -> genIri.map(PEdge(_)),
+        1 -> Gen.zip(genPath(depth - 1), genPath(depth - 1))
+          .map { case (a, b) => PSeq(a, b) },
+        1 -> Gen.zip(genPath(depth - 1), genPath(depth - 1))
+          .map { case (a, b) => PAlt(a, b) },
+        1 -> genPath(depth - 1).map(PPlus(_)),
+        1 -> genPath(depth - 1).map(PStar(_)),
+        1 -> genPath(depth - 1).map(POpt(_)),
+        1 -> genPath(depth - 1).map(PInv(_)))
+    // fully parenthesized rendering — parsing must reproduce the exact AST
+    def render(p: Path): String = p match {
+      case PEdge(v) => s"<$v>"
+      case PSeq(l, r) => s"(${render(l)}/${render(r)})"
+      case PAlt(l, r) => s"(${render(l)}|${render(r)})"
+      case PPlus(q) => s"(${render(q)})+"
+      case PStar(q) => s"(${render(q)})*"
+      case POpt(q) => s"(${render(q)})?"
+      case PInv(q) => s"^(${render(q)})"
+    }
+    check(Prop.forAll(genPath(3)) { path =>
+      val q = Sparql.parse(s"SELECT ?a ?b WHERE { ?a ${render(path)} ?b . }")
+      path match {
+        // a bare predicate collapses to a plain triple pattern
+        case PEdge(v) => q.where == Seq(TP(RV("a"), RC(v), RV("b")))
+        case _ => q.branches.head.paths == Seq((RV("a"), path, RV("b")))
+      }
+    }, cases = 60)
+  }
+
   test("property: SPARQL render → parse round-trips the BGP structure") {
     import graft.rdf.{Sparql, Term, TP, V => RV, C => RC}
     val genTerm: Gen[Term] = Gen.oneOf(

@@ -124,6 +124,15 @@ class SparqlSpec extends SparkSpec {
     assert(cust.filter(!$"s".startsWith("c:")).count() === 0)
   }
 
+  test("SELECT REDUCED eliminates duplicates (conformant as DISTINCT)") {
+    val reduced = Sparql.run(triples,
+      """SELECT REDUCED ?s WHERE {
+        |  { ?s <mktsegment> "BUILDING" . } UNION { ?s <mktsegment> "BUILDING" . }
+        |}""".stripMargin)
+    assert(reduced.count() === reduced.distinct().count())
+    assert(reduced.count() > 0)
+  }
+
   test("DISTINCT collapses duplicate solutions across UNION branches") {
     val bag = Sparql.run(triples,
       """SELECT ?s WHERE {
