@@ -27,6 +27,9 @@ object Graft {
     rdf.Triples.build(spark, sfDir)
   def triplesFromNTriples(spark: SparkSession, path: String): DataFrame =
     rdf.NTriples.read(spark, path)
+  /** (s,p,o,g) quads from N-Quads files; feeds [[sparqlQuads]]. */
+  def quadsFromNQuads(spark: SparkSession, path: String): DataFrame =
+    rdf.NQuads.read(spark, path)
   def typedTriples(df: DataFrame): Dataset[Triple] = {
     import df.sparkSession.implicits._
     df.select("s", "p", "o").as[Triple]
@@ -44,6 +47,9 @@ object Graft {
     * execution model): joins run over longs, bindings decode at emission. */
   def sparqlEncoded(enc: DataFrame, dict: DataFrame, text: String): DataFrame =
     rdf.Sparql.runEncoded(enc, dict, text)
+  /** SPARQL with GRAPH clauses over an (s,p,o,g) quad dataset. */
+  def sparqlQuads(quads: DataFrame, text: String): DataFrame =
+    rdf.Sparql.runQuads(quads, text)
   def bgp(t: DataFrame, patterns: Seq[rdf.TP]): DataFrame =
     rdf.Bgp.solve(t, patterns)
   /** One-shuffle-per-star plan — only sound when (subject, predicate) is
