@@ -20,7 +20,7 @@ object Bench {
     // query RUNS times and report the per-query MIN — the sample least
     // polluted by host noise — so the recorded number tracks the engine,
     // not the sandbox weather.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -150,11 +150,7 @@ object Bgp {
     semiAnti(required, block, "left_anti")
 
   private def semiAnti(required: DataFrame, block: DataFrame,
-      how: String): DataFrame = {
-    val shared = required.columns.intersect(block.columns).toSeq
-    if (shared.isEmpty) required.join(block, lit(true), how)
-    else required.join(block.select(shared.map(col): _*), shared, how)
-  }
+      how: String): DataFrame = joinWith(required, block, how)
 
   private def join(a: DataFrame, b: DataFrame): DataFrame = joinWith(a, b, "inner")
 

@@ -8,7 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Same Spark-native design: `spark.read.text` + codegen'd regex
   * extraction, line-oriented and arbitrarily parallel; the writer is the
-  * symmetric `write.text` so round-trips are exact.
+  * symmetric `write.text`, and write∘parse is a fixpoint (parse → write →
+  * parse reproduces the rows exactly).
+  *
+  * NORMALIZATION (as in [[NTriples]]): literal objects are reduced to
+  * their unescaped LEXICAL form — `^^<datatype>` / `@lang` annotations are
+  * accepted on input but not carried into the (s,p,o,g) columns, because
+  * the engine's data model is plain lexical terms. A file using typed or
+  * lang-tagged literals therefore re-renders them as plain literals.
   *
   * Line forms (W3C N-Quads: the graph label is an optional fourth IRI):
   * {{{

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * `\uXXXX`, `\UXXXXXXXX`, …) via the codegen'd [[NtUnescape]] expression.
   * Comments (`# ...`) and blank lines are dropped. Malformed lines go to
   * [[corrupt]] rather than silently vanishing.
+  *
+  * NORMALIZATION: literal objects are reduced to their unescaped LEXICAL
+  * form — `^^<datatype>` / `@lang` annotations are accepted on input but
+  * not carried into the (s,p,o) columns (the engine's data model is plain
+  * lexical terms), so the writer re-renders typed/lang-tagged literals as
+  * plain literals. Round-trip exactness holds from the parsed rows
+  * (parse → write → parse is the identity), not from annotated files.
   */
 object NTriples {
 

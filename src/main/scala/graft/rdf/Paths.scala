@@ -123,12 +123,15 @@ object Paths {
         evalPath(triples, q, maxIter)
           .select(col("dst").as("src"), col("src").as("dst"))
       case alt: PAlt =>
-        // an alternation of plain predicates collapses to ONE scan with an
-        // IN filter instead of N scans unioned — the same bag (each triple
-        // matches exactly one branch, predicates being distinct per row)
+        // an alternation of DISTINCT plain predicates collapses to ONE
+        // scan with an IN filter instead of N scans unioned — the same bag
+        // (each triple matches exactly one branch). Duplicate predicate
+        // IRIs (e.g. via a prefix alias) must keep the union: alternation
+        // is bag-preserving, so each duplicated branch contributes its own
+        // derivation.
         val leaves = flattenAlt(alt)
         val preds = leaves.collect { case PEdge(v) => v }
-        if (preds.size == leaves.size)
+        if (preds.size == leaves.size && preds.distinct.size == preds.size)
           triples.filter(col("p").isin(preds: _*))
             .select(col("s").as("src"), col("o").as("dst"))
         else leaves.map(evalPath(triples, _, maxIter)).reduce(_.unionByName(_))

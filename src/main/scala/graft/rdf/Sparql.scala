@@ -203,23 +203,23 @@ object Sparql {
     val idOf = EncodedBgp.resolveConstants(dict, allPats, pathTerms)
     val idTriples = EncodedBgp.asTriples(enc)
     def solvePathEnc(path: Path, s: Term, o: Term): DataFrame = {
-      val consts = pathStrings(path) ++
-        Seq(s, o).collect { case C(v: String) => v }
-      // an unresolved constant occurs in no triple → the path provably has
-      // no matches; gate to empty rather than compare a sentinel id
-      val allResolved = consts.forall(idOf.contains)
+      // an unresolved constant (a term occurring in no triple) maps to a
+      // sentinel id that matches nothing, so each unresolved alternation
+      // branch or endpoint contributes no pairs — matching string-space
+      // semantics. Gating the WHOLE path on any unresolved constant would
+      // wrongly empty resolvable branches of `(<known>|<unknown>)+` and
+      // break `*`'s zero-hop. Sentinel collision with a real id is
+      // impossible for dense ids (≥ 1) and 2^-64 for hashed ids — the
+      // same audited assumption as Dictionary.hashIds. One inherent
+      // dictionary-semantics divergence remains: an out-of-dictionary
+      // constant endpoint cannot appear in results (its zero-hop row has
+      // no term to decode to), where the string engine emits it.
       def tr(t: Term): Term = t match {
         case C(v: String) => C(idOf.getOrElse(v, Long.MinValue))
         case other => other
       }
       val idPath = mapPath(path, v => idOf.getOrElse(v, Long.MinValue))
-      val solved =
-        if (allResolved) solvePathOver(idTriples, idPath, tr(s), tr(o))
-        // produce the right-shaped empty frame without running the (eager)
-        // closure against sentinel ids
-        else pathSolution(idTriples
-          .select(col("s").as("src"), col("o").as("dst"))
-          .filter(lit(false)), tr(s), tr(o))
+      val solved = solvePathOver(idTriples, idPath, tr(s), tr(o))
       EncodedBgp.decode(solved, dict, solved.columns)
     }
     execute(q,
@@ -236,18 +236,34 @@ object Sparql {
     * (`*`/`?` keep the unseeded evaluation: their zero-length row depends
     * on the graph's term set, which the seeded form can't observe.) */
   private def solvePathOver(triples: DataFrame, path: Path, s: Term,
-      o: Term): DataFrame = (path, s, o) match {
-    case (PPlus(q), C(v), V(_)) =>
-      pathSolution(
-        Paths.closureFrom(Paths.evalPath(triples, q), Seq(v)), s, o)
-    case (PPlus(q), V(_), C(v)) =>
-      // seed the REVERSED edges at the constant object, then swap back
-      pathSolution(
+      o: Term): DataFrame = {
+    val edges = (path, s, o) match {
+      case (PPlus(q), C(v), V(_)) =>
+        Paths.closureFrom(Paths.evalPath(triples, q), Seq(v))
+      case (PPlus(q), V(_), C(v)) =>
+        // seed the REVERSED edges at the constant object, then swap back
         Paths.closureFrom(Paths.evalPath(triples, q)
             .select(col("dst").as("src"), col("src").as("dst")), Seq(v))
-          .select(col("dst").as("src"), col("src").as("dst")), s, o)
-    case _ => pathSolution(Paths.evalPath(triples, path), s, o)
+          .select(col("dst").as("src"), col("src").as("dst"))
+      case _ => Paths.evalPath(triples, path)
+    }
+    // SPARQL 18.4: a zero-length path matches a CONSTANT endpoint to
+    // itself unconditionally — even a term occurring in no triple (the
+    // graph-term zero-hop inside evalPath only covers occurring terms)
+    val withZero = (path, s, o) match {
+      case (PStar(_) | POpt(_), C(v), _) =>
+        edges.unionByName(selfPair(triples, v)).distinct()
+      case (PStar(_) | POpt(_), _, C(v)) =>
+        edges.unionByName(selfPair(triples, v)).distinct()
+      case _ => edges
+    }
+    pathSolution(withZero, s, o)
   }
+
+  /** A one-row (v, v) pair frame, typed like the plan's node columns. */
+  private def selfPair(ref: DataFrame, v: Any): DataFrame =
+    ref.sparkSession.range(1)
+      .select(lit(v).as("src"), lit(v).as("dst"))
 
   /** Bind a path's (src, dst) pair set to the pattern's endpoint terms. */
   private def pathSolution(edges: DataFrame, s: Term, o: Term): DataFrame =
@@ -375,14 +391,35 @@ object Sparql {
           org.apache.spark.sql.Row(r: _*)): _*), schema)
       df = Bgp.joinSolved(df, vdf)
     }
-    // BIND derives a new binding column; applied before OPTIONAL/MINUS/
-    // FILTER so all of those see the bound variable
-    b.binds.foreach { case (v, e) =>
-      require(!df.columns.contains(v), s"BIND would rebind ?$v")
-      df = df.withColumn(v, scalarCol(e, numericExpr(e), Map.empty))
+    // BIND derives a new binding column. Application is dependency-driven:
+    // a BIND whose referenced variables are already bound applies before
+    // the OPTIONAL/MINUS joins (so they can share its variable); a BIND
+    // referencing an OPTIONAL-bound variable — the COALESCE-default idiom
+    // — applies after them. A reference that never binds is a loud error.
+    var pendingBinds = b.binds
+    def applyReadyBinds(): Unit = {
+      var progressed = true
+      while (progressed && pendingBinds.nonEmpty) {
+        val (ready, rest) = pendingBinds.partition { case (_, e) =>
+          exprVars(e).forall(df.columns.contains)
+        }
+        progressed = ready.nonEmpty
+        ready.foreach { case (v, e) =>
+          require(!df.columns.contains(v), s"BIND would rebind ?$v")
+          df = df.withColumn(v, scalarCol(e, numericExpr(e), Map.empty))
+        }
+        pendingBinds = rest
+      }
     }
+    applyReadyBinds()
     b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
     b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
+    applyReadyBinds()
+    require(pendingBinds.isEmpty, "BIND references unbound variables: " +
+      pendingBinds.map { case (v, e) =>
+        s"?$v ← ${exprVars(e).filterNot(df.columns.contains)
+          .map("?" + _).mkString(", ")}"
+      }.mkString("; "))
     b.exists.foreach { case (positive, pats) =>
       val blk = solveBgp(pats)
       df = if (positive) Bgp.existsSolved(df, blk)
@@ -461,6 +498,21 @@ object Sparql {
     case EAgg("MAX", Some(v), false) => max(col(v))
     case other => throw new IllegalArgumentException(
       s"unsupported aggregate: $other")
+  }
+
+  /** Variables an expression references (for BIND dependency ordering). */
+  private def exprVars(e: Expr): Seq[String] = e match {
+    case EVar(n) => Seq(n)
+    case EBound(v) => Seq(v)
+    case ERegex(v, _) => Seq(v)
+    case ECmp(l, _, r) => exprVars(l) ++ exprVars(r)
+    case EAnd(l, r) => exprVars(l) ++ exprVars(r)
+    case EOr(l, r) => exprVars(l) ++ exprVars(r)
+    case ENot(x) => exprVars(x)
+    case EArith(l, _, r) => exprVars(l) ++ exprVars(r)
+    case EConcat(as) => as.flatMap(exprVars)
+    case EFun(_, as) => as.flatMap(exprVars)
+    case _ => Nil
   }
 
   private def collectAggs(e: Expr): Seq[EAgg] = e match {

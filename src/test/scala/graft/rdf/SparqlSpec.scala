@@ -526,6 +526,10 @@ class SparqlSpec extends SparkSpec {
     // same-variable endpoints keep only cycles (none here beyond zero-hop)
     val self = Sparql.run(t, "SELECT ?a WHERE { ?a <q>* ?a . }")
     assert(self.as[String].collect().toSet === nodes)
+    // alternation is bag-preserving: duplicate predicate branches yield
+    // each matching triple once PER branch (no silent IN-collapse dedup)
+    val dup = Sparql.run(t, "SELECT ?a ?b WHERE { ?a <p>|<p> ?b . }")
+    assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
   test("property paths run in id space on the encoded store (≡ string)") {
@@ -544,6 +548,54 @@ class SparqlSpec extends SparkSpec {
     // a path predicate absent from the dictionary → provably empty
     assert(Sparql.runEncoded(enc, dict,
       "SELECT ?a ?b WHERE { ?a <no_such_pred>+ ?b . }").count() === 0)
+    // but an UNRESOLVED branch must not empty the resolvable one: only
+    // that branch contributes nothing (encoded ≡ string here too)
+    val mixed = "SELECT ?a ?b WHERE { ?a (<nation>|<no_such_pred>)+ ?b . }"
+    val mixedString = Sparql.run(triples, mixed)
+    val mixedIds = Sparql.runEncoded(enc, dict, mixed)
+    assert(mixedString.count() > 0)
+    assert(mixedIds.count() === mixedString.count())
+    assert(mixedIds.exceptAll(mixedString).count() === 0)
+  }
+
+  test("zero-length paths match constant endpoints unconditionally (18.4)") {
+    // a term occurring in NO triple still matches itself under * and ?
+    val ghost = Sparql.run(triples,
+      "SELECT ?b WHERE { <no:such:term> <region>* ?b . }")
+    assert(ghost.as[String].collect().toSeq === Seq("no:such:term"))
+    val ghostOpt = Sparql.run(triples,
+      "SELECT ?a WHERE { ?a <region>? <no:such:term> . }")
+    assert(ghostOpt.as[String].collect().toSeq === Seq("no:such:term"))
+    // an in-graph constant keeps its zero-hop row exactly once plus edges
+    val n1 = Sparql.run(triples,
+      "SELECT ?b WHERE { <n:1> <region>* ?b . }")
+    assert(n1.as[String].collect().toSet ===
+      Set("n:1") ++ triples.filter($"s" === "n:1" && $"p" === "region")
+        .select("o").as[String].collect().toSet)
+    // encoded store: dictionary semantics — an out-of-dictionary endpoint
+    // cannot decode, so it is absent (the one documented divergence)
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    assert(Sparql.runEncoded(enc, dict,
+      "SELECT ?b WHERE { <no:such:term> <region>* ?b . }").count() === 0)
+    assert(Sparql.runEncoded(enc, dict,
+      "SELECT ?b WHERE { <n:1> <region>* ?b . }").count() === n1.count())
+  }
+
+  test("BIND after OPTIONAL sees the optional variable (COALESCE idiom)") {
+    val got = Sparql.run(triples,
+      """SELECT ?cust ?tag WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?ord <custkey> ?cust . ?ord <orderstatus> "P" . }
+        |  BIND (COALESCE(?ord, "none") AS ?tag)
+        |}""".stripMargin)
+    assert(got.filter($"tag" === "none").count() > 0)
+    assert(got.filter($"tag" =!= "none").count() > 0)
+    assert(got.filter($"tag".isNull).count() === 0)
+    // a BIND referencing a variable bound nowhere stays a loud error
+    val e = intercept[IllegalArgumentException](Sparql.run(triples,
+      """SELECT ?c WHERE { ?c <name> ?n . BIND (?ghost AS ?x) }""").count())
+    assert(e.getMessage.contains("ghost"))
   }
 
   test("typed and lang-tagged literals: lexical patterns, numeric filters") {
