@@ -114,8 +114,10 @@ object Sparql {
       /** `{ SELECT ... }` subqueries: evaluated independently, joined with
         * the block on their projected variables (SPARQL 18.2.2.12). */
       subqueries: Seq[Query] = Nil,
-      /** `GRAPH term { patterns }` blocks (quad datasets only). */
-      graphs: Seq[(Term, Seq[TP])] = Nil)
+      /** `GRAPH term { group }` blocks (quad datasets only): a constant
+        * graph takes a full group body; a variable graph takes triple
+        * patterns only (enforced at parse). */
+      graphs: Seq[(Term, Block)] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
 
@@ -168,12 +170,23 @@ object Sparql {
   def runQuads(quads: DataFrame, text: String,
       collapseStars: Boolean = false): DataFrame = {
     val dg = Quads.defaultGraph(quads)
-    execute(parse(text),
-      bgp =>
-        if (collapseStars) Bgp.solveStarCollapsed(dg, bgp)
-        else Bgp.solve(dg, bgp),
-      (path, s, o) => solvePathOver(dg, path, s, o),
-      (g, pats) => Quads.solveGraphBlock(quads, pats, g))
+    def bgpOver(t: DataFrame)(pats: Seq[TP]): DataFrame =
+      if (collapseStars) Bgp.solveStarCollapsed(t, pats) else Bgp.solve(t, pats)
+    def solveGraph(g: Term, inner: Block): DataFrame = g match {
+      // constant graph: the block's FULL group body (OPTIONAL, FILTER,
+      // BIND, paths, …) solves over that one graph's slice
+      case C(gv) =>
+        val slice = quads.filter(col("g") === lit(gv)).select("s", "p", "o")
+        solveBranch(inner, bgpOver(slice),
+          (path, ps, po) => solvePathOver(slice, path, ps, po),
+          (_, _) => throw new IllegalArgumentException(
+            "nested GRAPH blocks are unsupported")) // parser rejects these
+      // variable graph: triple patterns only (parser-enforced), all
+      // joined on the shared graph binding
+      case v => Quads.solveGraphBlock(quads, inner.where, v)
+    }
+    execute(parse(text), bgpOver(dg),
+      (path, s, o) => solvePathOver(dg, path, s, o), solveGraph)
   }
 
   /** Parse and execute against the dictionary-encoded id-triple store —
@@ -312,7 +325,7 @@ object Sparql {
     */
   private def execute(q: Query, solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
-      solveGraph: (Term, Seq[TP]) => DataFrame): DataFrame = {
+      solveGraph: (Term, Block) => DataFrame): DataFrame = {
     // DESCRIBE has its own result shape (a graph about the named
     // resources) and may have no WHERE at all
     q.describe.foreach { terms =>
@@ -371,10 +384,10 @@ object Sparql {
     * BIND, OPTIONAL, MINUS, [NOT] EXISTS and FILTER in that order. */
   private def solveBranch(b: Block, solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
-      solveGraph: (Term, Seq[TP]) => DataFrame): DataFrame = {
+      solveGraph: (Term, Block) => DataFrame): DataFrame = {
     val pieces = (if (b.where.nonEmpty) Seq(solveBgp(b.where)) else Nil) ++
       b.paths.map { case (s, path, o) => solvePath(path, s, o) } ++
-      b.graphs.map { case (g, pats) => solveGraph(g, pats) } ++
+      b.graphs.map { case (g, inner) => solveGraph(g, inner) } ++
       // subqueries evaluate independently (own projection, aggregation,
       // modifiers) and join on their projected variables
       b.subqueries.map(sq => execute(sq, solveBgp, solvePath, solveGraph))
@@ -437,7 +450,7 @@ object Sparql {
   private def describeResult(q: Query, terms: Seq[Term],
       solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
-      solveGraph: (Term, Seq[TP]) => DataFrame): DataFrame = {
+      solveGraph: (Term, Block) => DataFrame): DataFrame = {
     val all = solveBgp(Seq(TP(V("s"), V("p"), V("o"))))
     val consts = terms.collect { case C(v) => v }
     val vars = terms.collect { case V(n) => n }
@@ -846,7 +859,7 @@ object Sparql {
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
     val exists = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[TP])]
     val subqueries = scala.collection.mutable.ArrayBuffer.empty[Query]
-    val graphs = scala.collection.mutable.ArrayBuffer.empty[(Term, Seq[TP])]
+    val graphs = scala.collection.mutable.ArrayBuffer.empty[(Term, Block)]
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -895,7 +908,22 @@ object Sparql {
       } else if (p.peekKw("GRAPH")) {
         p.expectKw("GRAPH")
         val gt = term(p, prefixes)
-        graphs += gt -> bracedPatterns()
+        p.expect("{")
+        val inner = blockBody(p, prefixes)
+        p.expect("}")
+        // a VARIABLE graph ranges over named graphs per solution; only the
+        // triple patterns share the graph binding, so richer group members
+        // would silently mean something else — reject them loudly
+        if (gt.isInstanceOf[V])
+          require(inner.optionals.isEmpty && inner.filters.isEmpty &&
+            inner.minuses.isEmpty && inner.values.isEmpty &&
+            inner.binds.isEmpty && inner.paths.isEmpty &&
+            inner.exists.isEmpty && inner.subqueries.isEmpty &&
+            inner.graphs.isEmpty,
+            "GRAPH ?var blocks support triple patterns only in this " +
+              "fragment; use a constant graph for full group bodies")
+        require(inner.graphs.isEmpty, "nested GRAPH blocks are unsupported")
+        graphs += gt -> inner
       } else if (p.peekKw("VALUES")) {
         // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }
         p.expectKw("VALUES")
@@ -968,12 +996,18 @@ object Sparql {
     def labels(tps: Seq[TP]): Set[String] =
       tps.flatMap(tp => Seq(tp.s, tp.p, tp.o))
         .collect { case V(n) if n.startsWith("_:") => n }.toSet
+    def blockLabels(blk: Block): Set[String] =
+      labels(blk.where) ++
+        (blk.optionals ++ blk.minuses ++ blk.exists.map(_._2))
+          .flatMap(labels) ++
+        blk.paths.flatMap { case (s, _, o) => Seq(s, o) }
+          .collect { case V(n) if n.startsWith("_:") => n }
     val whereLabels = labels(b.where) ++
       b.paths.flatMap { case (s, _, o) => Seq(s, o) }
         .collect { case V(n) if n.startsWith("_:") => n }
     val groups = whereLabels +:
-      (b.optionals ++ b.minuses ++ b.exists.map(_._2) ++
-        b.graphs.map(_._2)).map(labels)
+      ((b.optionals ++ b.minuses ++ b.exists.map(_._2)).map(labels) ++
+        b.graphs.map(g => blockLabels(g._2)))
     val dup = groups.combinations(2).flatMap(pair => pair(0) intersect pair(1))
       .toSeq.distinct
     require(dup.isEmpty,

@@ -809,6 +809,37 @@ class SparqlSpec extends SparkSpec {
     // GRAPH over a plain triples run is a loud error, not a silent miss
     intercept[IllegalArgumentException](Sparql.run(triples,
       "SELECT ?c WHERE { GRAPH ?g { ?c <mktsegment> ?s . } }").count())
+    // a CONSTANT graph takes a full group body: OPTIONAL + FILTER + BIND
+    // solve inside that graph's slice
+    val rich = Sparql.runQuads(quads,
+      """SELECT ?c ?nk ?tag WHERE {
+        |  GRAPH <g:customer> {
+        |    ?c <nationkey> ?nk .
+        |    OPTIONAL { ?c <mktsegment> "BUILDING" . ?c <name> ?bn . }
+        |    FILTER (?nk < 5)
+        |    BIND (COALESCE(?bn, "other") AS ?tag)
+        |  }
+        |}""".stripMargin)
+    val expect = Sparql.run(triples,
+      """SELECT ?c ?nk ?tag WHERE {
+        |  ?c <nationkey> ?nk .
+        |  OPTIONAL { ?c <mktsegment> "BUILDING" . ?c <name> ?bn . }
+        |  FILTER (?nk < 5)
+        |  BIND (COALESCE(?bn, "other") AS ?tag)
+        |}""".stripMargin)
+    assert(rich.count() === expect.count() && rich.count() > 0)
+    assert(rich.filter($"tag" =!= "other").count() > 0)
+    assert(rich.exceptAll(expect).count() === 0)
+    // a VARIABLE graph keeps the triples-only fragment, loudly
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  GRAPH ?g { ?c <p> ?s . OPTIONAL { ?c <q> ?t . } }
+        |}""".stripMargin))
+    // nested GRAPH is rejected
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  GRAPH <g:a> { ?c <p> ?s . GRAPH <g:b> { ?c <q> ?t . } }
+        |}""".stripMargin))
   }
 
   test("DESCRIBE returns the subgraph about named IRIs and bound variables") {
