@@ -195,6 +195,19 @@ object RdfOps extends QueryModule {
           |HAVING (COUNT(?cust) > 10)
           |ORDER BY ?seg""".stripMargin)),
 
+    // Predicate-object (`;`) and object (`,`) lists — the idiomatic way a
+    // SPARQL user writes the subject-star shape this engine specializes in.
+    // The lists desugar at parse to shared-subject patterns, so the lowered
+    // plan is the very same star join the spelled-out syntax produces.
+    "q_sparql_polist" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?ord ?cust ?seg WHERE {
+          |  ?ord <custkey> ?cust ;
+          |       <orderpriority> "1-URGENT" .
+          |  ?cust <mktsegment> ?seg , "BUILDING" .
+          |}
+          |ORDER BY ?ord""".stripMargin)),
+
     // Property path from SPARQL text: (p|q)+ parsed and lowered to the
     // semi-naive closure — the alternation collapses to ONE p-IN scan, the
     // '+' to Paths.transitiveClosure. Oracle: recursive CTE.
@@ -467,6 +480,16 @@ object RdfOps extends QueryModule {
         |           WHERE t1.p = 'custkey' AND t2.p = 'orderstatus' AND t2.o = 'P') opt
         |  ON req.cust = opt.cust
         |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
+
+    // `;`/`,` lists desugar to shared-subject patterns: the oracle is the
+    // written-out conjunction (two mktsegment patterns for the object list)
+    "q_sparql_polist" -> cte(
+      """SELECT t1.s AS ord, t1.o AS cust, t3.o AS seg
+        |FROM triples t1, triples t2, triples t3, triples t4
+        |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
+        |  AND t3.p = 'mktsegment' AND t4.p = 'mktsegment' AND t4.o = 'BUILDING'
+        |  AND t1.s = t2.s AND t1.o = t3.s AND t1.o = t4.s
+        |ORDER BY ord""".stripMargin),
 
     "q_sparql_text" -> sparqlTextOracle,
     // id-space execution must be indistinguishable from string-space: the

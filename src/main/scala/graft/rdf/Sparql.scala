@@ -3,12 +3,14 @@ package graft.rdf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** SPARQL front-end for the engine-supported fragment: SELECT, ASK and
-  * CONSTRUCT over basic graph patterns with OPTIONAL / MINUS blocks,
-  * FILTERs (boolean connectives, BOUND, regex, arithmetic comparisons),
-  * BIND, VALUES inline bindings, UNION, property paths, aggregation
-  * (GROUP BY + COUNT/SUM/AVG/MIN/MAX, HAVING) and the solution modifiers
-  * DISTINCT / ORDER BY / LIMIT / OFFSET.
+/** SPARQL front-end for the engine-supported fragment: SELECT, ASK,
+  * CONSTRUCT and DESCRIBE over basic graph patterns with OPTIONAL / MINUS
+  * blocks, FILTERs (boolean connectives, BOUND, regex, arithmetic
+  * comparisons, [NOT] EXISTS), BIND, VALUES inline bindings, UNION,
+  * property paths, predicate-object (`;`) and object (`,`) lists,
+  * `{ SELECT ... }` subqueries, GRAPH blocks over quad datasets,
+  * aggregation (GROUP BY + COUNT/SUM/AVG/MIN/MAX, HAVING) and the
+  * solution modifiers DISTINCT / ORDER BY / LIMIT / OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
@@ -23,6 +25,7 @@ import org.apache.spark.sql.functions._
   *     ?a ex:p "literal" .           # plain, typed ("5"^^xsd:int) or
   *     _:bn <p> ?a .                 # lang-tagged ("x"@en) literals;
   *     ?a (<p>|<q>)+/<r> ?c .        # property paths: / | + * ? ^ ( )
+  *     ?a <p> ?x ; <q> ?y , ?z .     # predicate-object and object lists
   *     OPTIONAL { ?a <p2> ?c . }
   *     BIND (?n + 1 AS ?m)  BIND (CONCAT("x-", ?b) AS ?tag)
   *     FILTER (?b = "x" || (?n >= 10 && !BOUND(?c)))
@@ -68,8 +71,9 @@ import org.apache.spark.sql.functions._
   * and the built-ins STR / STRLEN / UCASE / LCASE / CONTAINS / STRSTARTS /
   * STRENDS / SUBSTR / ABS / IF / COALESCE alongside CONCAT and regex.
   *
-  * Out of fragment (rejected, not silently mis-run): subqueries, GRAPH /
-  * named graphs, SERVICE, predicate-object lists (`;`).
+  * Out of fragment (rejected, not silently mis-run): SERVICE federation,
+  * SPARQL Update, `a` as an rdf:type shorthand, and collection syntax
+  * (`(...)` lists in term position).
   * The tokenizer verifies every non-whitespace, non-comment character is
   * consumed by a token and errors with the offset of the first unsupported
   * character, so unsupported syntax can never be silently dropped; trailing
@@ -644,13 +648,13 @@ object Sparql {
       """|[A-Za-z_][\w-]*:[\w-]*""" +
       """|[A-Za-z]+""" +
       """|-?\d+(?:\.\d+)?""" +
-      """|&&|\|\||<=|>=|!=|=|[{}().,*+/|^?!<>-]""").r
+      """|&&|\|\||<=|>=|!=|=|[{}().,;*+/|^?!<>-]""").r
 
   /** Tokenize with full-coverage verification: any character not consumed
     * by a token, whitespace, or a comment is an error AT ITS OFFSET — so
-    * unsupported syntax (';' lists, unknown operators) fails loudly at the
-    * offending character instead of being dropped pre-parse and surfacing
-    * as a confusing error on the wrong token. */
+    * unsupported syntax (unknown operators, stray punctuation) fails loudly
+    * at the offending character instead of being dropped pre-parse and
+    * surfacing as a confusing error on the wrong token. */
   private[rdf] def tokenize(text: String): List[String] = {
     val ms = tokenRe.findAllMatchIn(text).toList
     def gap(from: Int, to: Int): Unit = {
@@ -682,7 +686,10 @@ object Sparql {
       if (p.peekKw("CONSTRUCT")) {
         p.expectKw("CONSTRUCT"); p.expect("{")
         val template = scala.collection.mutable.ArrayBuffer.empty[TP]
-        while (p.peek() != "}") { template += triplePattern(p, prefixes); p.maybe(".") }
+        while (p.peek() != "}") {
+          template ++= sameSubject(p, prefixes, allowPaths = false)._1
+          p.maybe(".")
+        }
         p.expect("}")
         require(template.nonEmpty, "empty CONSTRUCT template")
         Some(template.toSeq)
@@ -863,7 +870,10 @@ object Sparql {
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
-      while (p.peek() != "}") { block += triplePattern(p, prefixes); p.maybe(".") }
+      while (p.peek() != "}") {
+        block ++= sameSubject(p, prefixes, allowPaths = false)._1
+        p.maybe(".")
+      }
       p.expect("}")
       block.toSeq
     }
@@ -959,24 +969,11 @@ object Sparql {
         require(rows.nonEmpty, "empty VALUES table")
         values += vars -> rows.toSeq
       } else {
-        // triple pattern — or a property-path pattern when the predicate
-        // position holds path syntax (operators after an IRI, '^', or '(').
-        // Variable, literal and numeric predicates are plain patterns (the
-        // DSL permits them; paths are built from IRIs only)
-        val s = term(p, prefixes)
-        val pk = p.peek()
-        if ((pk.startsWith("?") && pk.length > 1) || pk.startsWith("\"") ||
-            numRe.matches(pk)) {
-          val pd = term(p, prefixes)
-          where += TP(s, pd, term(p, prefixes))
-        } else {
-          val path = parsePath(p, prefixes)
-          val o = term(p, prefixes)
-          path match {
-            case PEdge(iri) => where += TP(s, C(iri), o)
-            case composite => paths += ((s, composite, o))
-          }
-        }
+        // triples-same-subject: plain patterns, property paths in the
+        // predicate slot, and `;`/`,` predicate-object and object lists
+        val (tps, pps) = sameSubject(p, prefixes, allowPaths = true)
+        where ++= tps
+        paths ++= pps
         p.maybe(".")
       }
     }
@@ -1057,8 +1054,44 @@ object Sparql {
     alt()
   }
 
-  private def triplePattern(p: P, prefixes: Map[String, String]): TP =
-    TP(term(p, prefixes), term(p, prefixes), term(p, prefixes))
+  /** TriplesSameSubject (SPARQL grammar 75/77/79): a subject followed by
+    * `verb objectList` groups separated by `;` (predicate-object list),
+    * each objectList being objects separated by `,` — all expanding to
+    * individual patterns sharing the subject. A verb that is a variable,
+    * literal or number is a plain predicate term; anything else parses as
+    * a property path (a bare IRI collapses to a plain pattern). A trailing
+    * `;` before `.` or `}` is permitted, as in Turtle. */
+  private def sameSubject(p: P, prefixes: Map[String, String],
+      allowPaths: Boolean): (Seq[TP], Seq[(Term, Path, Term)]) = {
+    val s = term(p, prefixes)
+    val tps = scala.collection.mutable.ArrayBuffer.empty[TP]
+    val pths = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
+    var more = true
+    while (more) {
+      val pk = p.peek()
+      val addObject: Term => Unit =
+        if ((pk.startsWith("?") && pk.length > 1) || pk.startsWith("\"") ||
+            numRe.matches(pk)) {
+          val pd = term(p, prefixes)
+          o => tps += TP(s, pd, o)
+        } else parsePath(p, prefixes) match {
+          case PEdge(iri) => o => tps += TP(s, C(iri), o)
+          case composite =>
+            require(allowPaths, "property paths are not allowed in " +
+              "OPTIONAL/MINUS/EXISTS blocks or CONSTRUCT templates")
+            o => pths += ((s, composite, o))
+        }
+      addObject(term(p, prefixes))
+      while (p.hasNext && p.peek() == ",") {
+        p.next(); addObject(term(p, prefixes))
+      }
+      more = p.hasNext && p.peek() == ";" && {
+        p.next()
+        p.hasNext && p.peek() != "." && p.peek() != "}"
+      }
+    }
+    (tps.toSeq, pths.toSeq)
+  }
 
   private val numRe = """-?\d+(?:\.\d+)?""".r
 

@@ -24,6 +24,57 @@ class SparqlSpec extends SparkSpec {
     assert(viaDsl.exceptAll(viaText).count() === 0)
   }
 
+  test("predicate-object (;) and object (,) lists expand to shared-subject patterns") {
+    // `;` star syntax ≡ the same patterns written out one per line
+    val listed = Sparql.run(triples,
+      """SELECT ?cust ?cname ?nat WHERE {
+        |  ?cust <name> ?cname ;
+        |        <mktsegment> "BUILDING" ;
+        |        <nation> ?nat .
+        |}""".stripMargin)
+    val spelled = Sparql.run(triples,
+      """SELECT ?cust ?cname ?nat WHERE {
+        |  ?cust <name> ?cname .
+        |  ?cust <mktsegment> "BUILDING" .
+        |  ?cust <nation> ?nat .
+        |}""".stripMargin)
+    assert(listed.count() === spelled.count() && listed.count() > 0)
+    assert(listed.exceptAll(spelled).count() === 0)
+    // object list: both objects must hold for the same (s, p)
+    val t = Seq(("s1", "p", "a"), ("s1", "p", "b"), ("s2", "p", "a"),
+      ("s1", "q", "z")).toDF("s", "p", "o")
+    val both = Sparql.run(t, """SELECT ?s WHERE { ?s <p> "a" , "b" . }""")
+    assert(both.as[String].collect().toSeq === Seq("s1"))
+    // trailing ';' before '.' is Turtle-style and accepted
+    val trail = Sparql.run(t, """SELECT ?s WHERE { ?s <p> "a" ; . }""")
+    assert(trail.as[String].collect().toSet === Set("s1", "s2"))
+    // lists work inside OPTIONAL blocks and with path verbs
+    val opt = Sparql.run(triples,
+      """SELECT ?cust ?on WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?ord <custkey> ?cust ; <orderstatus> "P" ; <name> ?on . }
+        |}""".stripMargin)
+    assert(opt.count() > 0)
+    val withPath = Sparql.run(triples,
+      """SELECT ?o ?dst WHERE {
+        |  ?o <custkey> ?c .
+        |  ?c <nation>/<region> ?dst ; <mktsegment> "BUILDING" .
+        |}""".stripMargin)
+    val withPathSpelled = Sparql.run(triples,
+      """SELECT ?o ?dst WHERE {
+        |  ?o <custkey> ?c .
+        |  ?c <nation>/<region> ?dst .
+        |  ?c <mktsegment> "BUILDING" .
+        |}""".stripMargin)
+    assert(withPath.count() === withPathSpelled.count() && withPath.count() > 0)
+    // paths stay out of OPTIONAL/MINUS/EXISTS blocks and CONSTRUCT, loudly
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?s WHERE { ?s <p> ?x . OPTIONAL { ?x <q>+ ?y . } }"))
+    // a blank node still cannot sit in predicate position
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?s WHERE { ?s _:b ?x . }"))
+  }
+
   test("OPTIONAL keeps unmatched left rows with nulls") {
     val got = Sparql.run(triples,
       """SELECT ?cust ?seg ?ord WHERE {
@@ -93,13 +144,11 @@ class SparqlSpec extends SparkSpec {
   }
 
   test("tokenizer rejects unsupported syntax at its offset; comments pass") {
-    // ';' predicate-object lists are out of fragment: the coverage check
-    // names the offending character and offset instead of dropping it
+    // an unknown operator character: the coverage check names the
+    // offending character and offset instead of dropping it
     val e = intercept[IllegalArgumentException](
-      Sparql.parse("SELECT ?x WHERE { ?x <p> ?y ; <q> ?z . }"))
-    assert(e.getMessage.contains("offset 28") && e.getMessage.contains(";"))
-    intercept[IllegalArgumentException](
       Sparql.parse("SELECT ?x WHERE { ?x <p> ?y . FILTER (?y ~ 3) }"))
+    assert(e.getMessage.contains("offset 41") && e.getMessage.contains("~"))
     // comments are whitespace; '#' inside IRIs/literals is data
     val got = Sparql.run(triples,
       """SELECT ?c ?n WHERE {   # projection comment
