@@ -195,6 +195,22 @@ object RdfOps extends QueryModule {
           |HAVING (COUNT(?cust) > 10)
           |ORDER BY ?seg""".stripMargin)),
 
+    // GROUP_CONCAT and SAMPLE — the two SPARQL 1.1 aggregates whose value
+    // the spec leaves implementation-defined. Both take the deterministic
+    // choice (sorted concatenation; group minimum) so the result is
+    // reproducible under any partitioning AND hash-oracle-able.
+    "q_sparql_groupconcat" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?seg (GROUP_CONCAT(DISTINCT ?nat ; SEPARATOR = "|") AS ?nats)
+          |       (SAMPLE(?nm) AS ?first_name) (COUNT(?cust) AS ?n)
+          |WHERE {
+          |  ?cust <mktsegment> ?seg ;
+          |        <nation> ?nat ;
+          |        <name> ?nm .
+          |}
+          |GROUP BY ?seg
+          |ORDER BY ?seg""".stripMargin)),
+
     // Predicate-object (`;`) and object (`,`) lists — the idiomatic way a
     // SPARQL user writes the subject-star shape this engine specializes in.
     // The lists desugar at parse to shared-subject patterns, so the lowered
@@ -480,6 +496,21 @@ object RdfOps extends QueryModule {
         |           WHERE t1.p = 'custkey' AND t2.p = 'orderstatus' AND t2.o = 'P') opt
         |  ON req.cust = opt.cust
         |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
+
+    // GROUP_CONCAT lowers to sorted-array concatenation ≡ DuckDB's
+    // string_agg with an explicit ORDER BY; SAMPLE's conformant
+    // deterministic choice is min
+    "q_sparql_groupconcat" -> cte(
+      """SELECT t1.o AS seg,
+        |  string_agg(DISTINCT t2.o, '|' ORDER BY t2.o) AS nats,
+        |  min(t3.o) AS first_name,
+        |  count(t1.s) AS n
+        |FROM triples t1
+        |JOIN triples t2 ON t1.s = t2.s
+        |JOIN triples t3 ON t1.s = t3.s
+        |WHERE t1.p = 'mktsegment' AND t2.p = 'nation' AND t3.p = 'name'
+        |GROUP BY t1.o
+        |ORDER BY seg""".stripMargin),
 
     // `;`/`,` lists desugar to shared-subject patterns: the oracle is the
     // written-out conjunction (two mktsegment patterns for the object list)

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** SPARQL front-end for the engine-supported fragment: SELECT, ASK,
   * CONSTRUCT and DESCRIBE over basic graph patterns with OPTIONAL / MINUS
   * blocks, FILTERs (boolean connectives, BOUND, regex, arithmetic
-  * comparisons, [NOT] EXISTS), BIND, VALUES inline bindings, UNION,
+  * comparisons, IN / NOT IN, [NOT] EXISTS), BIND, VALUES inline bindings,
+  * UNION,
   * property paths, predicate-object (`;`) and object (`,`) lists,
   * `{ SELECT ... }` subqueries, GRAPH blocks over quad datasets,
-  * aggregation (GROUP BY + COUNT/SUM/AVG/MIN/MAX, HAVING) and the
-  * solution modifiers DISTINCT / ORDER BY / LIMIT / OFFSET.
+  * aggregation (GROUP BY + COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT,
+  * HAVING) and the solution modifiers DISTINCT / ORDER BY / LIMIT /
+  * OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
@@ -59,7 +61,10 @@ import org.apache.spark.sql.functions._
   *    [[graft.Det]] determinism rule; non-numeric bindings are skipped,
   *    DuckDB-TRY_CAST-aligned), COUNT(DISTINCT ?v) is `countDistinct`,
   *    MIN/MAX compare lexical forms. Non-aggregated projected variables
-  *    must appear in GROUP BY (rejected otherwise, as in SQL).
+  *    must appear in GROUP BY (rejected otherwise, as in SQL). Where the
+  *    spec leaves a choice, the deterministic one is taken: SAMPLE is the
+  *    group minimum and GROUP_CONCAT concatenates in sorted order — both
+  *    conformant, and reproducible under any partitioning.
   *  - property paths: `+`/`*`/`?` have node-pair (distinct) semantics and
   *    `*`'s zero-length path matches every graph term, per SPARQL 18.4;
   *    sequence / alternation stay bags. Closures run as distributed
@@ -99,9 +104,11 @@ object Sparql {
   /** Built-in call: STR, STRLEN, UCASE, LCASE, CONTAINS, STRSTARTS,
     * STRENDS, SUBSTR, ABS, IF, COALESCE. */
   final case class EFun(fn: String, args: Seq[Expr]) extends Expr
-  /** Aggregate call; `v=None` is `COUNT(*)`. Valid only in SELECT
-    * `(AGG(?v) AS ?alias)` bindings and HAVING. */
-  final case class EAgg(fn: String, v: Option[String], distinct: Boolean)
+  /** Aggregate call; `v=None` is `COUNT(*)`, `sep` is GROUP_CONCAT's
+    * SEPARATOR. Valid only in SELECT `(AGG(?v) AS ?alias)` bindings and
+    * HAVING. */
+  final case class EAgg(fn: String, v: Option[String], distinct: Boolean,
+      sep: Option[String] = None)
     extends Expr
 
   /** One group graph pattern: a BGP plus its property-path patterns,
@@ -500,19 +507,30 @@ object Sparql {
   }
 
   private def aggCol(a: EAgg): Column = a match {
-    case EAgg("COUNT", None, false) => count(lit(1))
-    case EAgg("COUNT", Some(v), false) => count(col(v))
-    case EAgg("COUNT", Some(v), true) => countDistinct(col(v))
+    case EAgg("COUNT", None, false, _) => count(lit(1))
+    case EAgg("COUNT", Some(v), false, _) => count(col(v))
+    case EAgg("COUNT", Some(v), true, _) => countDistinct(col(v))
     // exact decimal accumulation → double emission: order-independent and
     // bit-identical to the DuckDB oracle (graft.Det rule); try_cast skips
     // non-numeric lexical forms on both engines
-    case EAgg("SUM", Some(v), false) =>
+    case EAgg("SUM", Some(v), false, _) =>
       sum(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double")
-    case EAgg("AVG", Some(v), false) =>
+    case EAgg("AVG", Some(v), false, _) =>
       sum(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double") /
         count(expr(s"try_cast(`$v` AS double)"))
-    case EAgg("MIN", Some(v), false) => min(col(v))
-    case EAgg("MAX", Some(v), false) => max(col(v))
+    case EAgg("MIN", Some(v), false, _) => min(col(v))
+    case EAgg("MAX", Some(v), false, _) => max(col(v))
+    // SAMPLE returns an implementation-chosen group element (18.5.1.9);
+    // min is a conformant choice and, unlike first(), independent of
+    // partition order — the only reproducible option on a cluster
+    case EAgg("SAMPLE", Some(v), _, _) => min(col(v))
+    // GROUP_CONCAT's sequence order is likewise implementation-defined:
+    // sort the collected values so the result is deterministic under any
+    // partitioning (and oracle-able: string_agg(... ORDER BY) in DuckDB)
+    case EAgg("GROUP_CONCAT", Some(v), distinct, sep) =>
+      array_join(
+        array_sort(if (distinct) collect_set(col(v)) else collect_list(col(v))),
+        sep.getOrElse(" "))
     case other => throw new IllegalArgumentException(
       s"unsupported aggregate: $other")
   }
@@ -547,7 +565,7 @@ object Sparql {
   private def numericExpr(e: Expr): Boolean = e match {
     case ENum(_) => true
     case EArith(_, _, _) => true
-    case EAgg(fn, _, _) => fn == "COUNT" || fn == "SUM" || fn == "AVG"
+    case EAgg(fn, _, _, _) => fn == "COUNT" || fn == "SUM" || fn == "AVG"
     case EFun("STRLEN" | "ABS", _) => true
     case EFun("IF", args) => args.drop(1).exists(numericExpr)
     case EFun("COALESCE", args) => args.exists(numericExpr)
@@ -646,7 +664,7 @@ object Sparql {
       """|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?""" +
       """|#[^\n]*""" +
       """|[A-Za-z_][\w-]*:[\w-]*""" +
-      """|[A-Za-z]+""" +
+      """|[A-Za-z][A-Za-z_]*""" +
       """|-?\d+(?:\.\d+)?""" +
       """|&&|\|\||<=|>=|!=|=|[{}().,;*+/|^?!<>-]""").r
 
@@ -829,8 +847,8 @@ object Sparql {
 
   private def aggCall(p: P): EAgg = {
     val fn = p.next().toUpperCase
-    require(Set("COUNT", "SUM", "AVG", "MIN", "MAX")(fn),
-      s"unsupported aggregate: $fn")
+    require(Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+      "GROUP_CONCAT")(fn), s"unsupported aggregate: $fn")
     p.expect("(")
     val distinct = p.peekKw("DISTINCT")
     if (distinct) p.next()
@@ -841,10 +859,17 @@ object Sparql {
         require(v.startsWith("?"), s"aggregate argument must be ?var or *, got $v")
         Some(v.drop(1))
       }
+    // GROUP_CONCAT(?v ; SEPARATOR = "sep") — SPARQL grammar 127
+    val sep =
+      if (p.peek() == ";") {
+        require(fn == "GROUP_CONCAT", s"only GROUP_CONCAT takes a SEPARATOR")
+        p.next(); p.expectKw("SEPARATOR"); p.expect("=")
+        Some(unquote(p.next()))
+      } else None
     p.expect(")")
     require(arg.isDefined || (fn == "COUNT" && !distinct),
       s"$fn(${if (distinct) "DISTINCT " else ""}*) is not supported")
-    EAgg(fn, arg, distinct)
+    EAgg(fn, arg, distinct, sep)
   }
 
   /** `{ ... }` union branch. */
@@ -1217,6 +1242,25 @@ object Sparql {
     if (p.hasNext && cmpOps(p.peek())) {
       val op = p.next()
       ECmp(l, op, addExpr(p, prefixes, allowAgg))
+    } else if (p.hasNext && (p.peekKw("IN") ||
+        (p.peekKw("NOT") && p.rest.drop(1).headOption
+          .exists(_.equalsIgnoreCase("IN"))))) {
+      // IN/NOT IN are defined as `=`-chain sugar (SPARQL 17.4.1.9/.10):
+      // desugar here so they inherit equality's coercion rules exactly
+      val negated = p.peekKw("NOT")
+      if (negated) p.next()
+      p.next(); p.expect("(")
+      val elems = scala.collection.mutable.ArrayBuffer.empty[Expr]
+      if (p.peek() != ")") {
+        elems += addExpr(p, prefixes, allowAgg)
+        while (p.peek() == ",") { p.next(); elems += addExpr(p, prefixes, allowAgg) }
+      }
+      p.expect(")")
+      // empty list: IN () is false, NOT IN () is true (no error case here)
+      val folded = elems.map(e => ECmp(l, "=", e): Expr)
+        .reduceOption(EOr.apply)
+        .getOrElse(ECmp(ENum(0), "=", ENum(1)))
+      if (negated) ENot(folded) else folded
     } else l
   }
 

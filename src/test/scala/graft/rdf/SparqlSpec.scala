@@ -535,6 +535,53 @@ class SparqlSpec extends SparkSpec {
     assert(hidden.columns.toSeq === Seq("s", "n") && hidden.count() === 5)
   }
 
+  test("IN / NOT IN desugar to equality chains with coercion intact") {
+    val in = Sparql.run(triples,
+      """SELECT ?c ?s WHERE { ?c <mktsegment> ?s .
+        |FILTER (?s IN ("BUILDING", "MACHINERY")) }""".stripMargin)
+    assert(in.select("s").distinct().as[String].collect().toSet ===
+      Set("BUILDING", "MACHINERY"))
+    val notIn = Sparql.run(triples,
+      """SELECT ?c ?s WHERE { ?c <mktsegment> ?s .
+        |FILTER (?s NOT IN ("BUILDING", "MACHINERY")) }""".stripMargin)
+    assert(notIn.filter($"s".isin("BUILDING", "MACHINERY")).count() === 0)
+    assert(in.count() + notIn.count() ===
+      triples.filter($"p" === "mktsegment").count())
+    // numeric elements coerce like '=' does: "05" would match 5 numerically
+    val num = Sparql.run(triples,
+      """SELECT ?c WHERE { ?c <nationkey> ?nk . FILTER (?nk IN (3, 7)) }""")
+    val spelled = Sparql.run(triples,
+      """SELECT ?c WHERE { ?c <nationkey> ?nk . FILTER (?nk = 3 || ?nk = 7) }""")
+    assert(num.count() === spelled.count() && num.count() > 0)
+    // empty lists: IN () selects nothing, NOT IN () everything
+    assert(Sparql.run(triples,
+      "SELECT ?c WHERE { ?c <mktsegment> ?s . FILTER (?s IN ()) }").count() === 0)
+    assert(Sparql.run(triples,
+      "SELECT ?c WHERE { ?c <mktsegment> ?s . FILTER (?s NOT IN ()) }").count() ===
+      triples.filter($"p" === "mktsegment").count())
+  }
+
+  test("GROUP_CONCAT concatenates sorted; SAMPLE is the deterministic min") {
+    val t = Seq(("s1", "p", "b"), ("s1", "p", "a"), ("s1", "p", "b"),
+      ("s2", "p", "z")).toDF("s", "p", "o")
+    // default separator is a single space; duplicates kept without DISTINCT
+    val plain = Sparql.run(t,
+      """SELECT ?s (GROUP_CONCAT(?v) AS ?all) WHERE { ?s <p> ?v . }
+        |GROUP BY ?s ORDER BY ?s""".stripMargin)
+    assert(plain.as[(String, String)].collect().toSeq ===
+      Seq(("s1", "a b b"), ("s2", "z")))
+    // DISTINCT + SEPARATOR; SAMPLE picks the group minimum
+    val rich = Sparql.run(t,
+      """SELECT ?s (GROUP_CONCAT(DISTINCT ?v ; SEPARATOR = "|") AS ?set)
+        |       (SAMPLE(?v) AS ?one)
+        |WHERE { ?s <p> ?v . } GROUP BY ?s ORDER BY ?s""".stripMargin)
+    assert(rich.as[(String, String, String)].collect().toSeq ===
+      Seq(("s1", "a|b", "a"), ("s2", "z", "z")))
+    // SEPARATOR is GROUP_CONCAT-only
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT (SUM(?v ; SEPARATOR = ",") AS ?x) WHERE { ?s <p> ?v . }"""))
+  }
+
   test("property paths: + and | from text ≡ the Paths closure") {
     val viaText = Sparql.run(triples,
       "SELECT ?src ?dst WHERE { ?src (<nation>|<region>)+ ?dst . }")
