@@ -109,6 +109,35 @@ object LlmOps extends QueryModule {
           array_min(col("fp")).as("fp_min"))
         .orderBy(col("doc_id"))),
 
+    // PII scrubbing — regexp_replace chain for emails / SSNs / phones /
+    // IPv4s, a standard training-data sanitization pass. This corpus has
+    // no natural PII, so the query derives a deterministic contact line
+    // from real columns (same derivation in the oracle) to give the
+    // patterns real matches; the raw `text` column is scrubbed too.
+    "q_text_pii" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val contact = concat(
+        substring(col("text"), 1, 40),
+        lit(" reach user"), id, lit("@mail.example.com or 555-010-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ssn 123-45-6789 from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.scrubPii(contact).as("scrubbed"),
+          TextOps.scrubPii(col("text")).as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition signals (Gopher-style): duplicate-word and duplicate-
+    // bigram fractions per document — the cheap boilerplate/spam filters
+    // that length and stopword ratios miss.
+    "q_text_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_words"),
+          col("dup_word_frac"), col("dup_bigram_frac"))
+        .orderBy(col("doc_id"))),
+
     "q_multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d),
@@ -172,6 +201,42 @@ object LlmOps extends QueryModule {
         |      JOIN sizes sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, (floor(jac * 10000.0 + 0.5) / 10000.0) AS jaccard
         |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the oracle scrubs with the very same pattern list (TextOps
+    // .piiPatterns), rendered as a DuckDB regexp_replace(..., 'g') chain
+    "q_text_pii" -> {
+      def scrub(e: String): String = TextOps.piiPatterns.foldLeft(e) {
+        case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+      }
+      s"""WITH raw AS (
+         |  SELECT doc_id, text,
+         |    substr(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com or 555-010-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' ssn 123-45-6789 from 10.0.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.7' AS contact
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${scrub("contact")} AS scrubbed,
+         |  ${scrub("text")} AS text_clean
+         |FROM raw ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_repetition" -> {
+      val dupWord = graft.Det.roundSafeSql(
+        "1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)", 4)
+      val dupBigram = graft.Det.roundSafeSql(
+        "1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (len(ws) - 1)", 4)
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |b AS (SELECT doc_id, ws,
+         |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+         |      FROM w)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  $dupWord AS dup_word_frac,
+         |  CASE WHEN len(ws) < 2 THEN 0.0 ELSE $dupBigram END AS dup_bigram_frac
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_tokens" ->
       """SELECT tok, CAST(count(*) AS BIGINT) AS n

@@ -65,6 +65,43 @@ object TextOps {
           + least(col("avg_wlen") / 8.0, lit(1.0)) * 0.2, 4))
   }
 
+  /** PII-redaction patterns (kept to the regex subset with identical
+    * semantics in Java regex and RE2, for oracle parity): emails, US-style
+    * SSNs and phone numbers, IPv4 addresses. Order matters — emails first
+    * (their local part can contain digits, dots and dashes), then the more
+    * specific numeric shapes before the less specific. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{3}-\d{2}-\d{4}\b""" -> "<SSN>",
+    """\b\d{3}[-.]\d{3}[-.]\d{4}\b""" -> "<PHONE>",
+    """\b(?:\d{1,3}\.){3}\d{1,3}\b""" -> "<IP>")
+
+  /** Redact PII in `c`: a chain of codegen `regexp_replace`, no UDFs — the
+    * scrub stays inside WholeStageCodegen and costs one projection. */
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  /** Repetition signals (Gopher-style quality filters): the fraction of
+    * duplicate words and duplicate word-bigrams per document. High values
+    * flag the boilerplate/spam that length and stopword filters miss.
+    * Codegen HOFs over the token array; one projection, no shuffle. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", tokens)
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("dup_word_frac", graft.Det.roundSafe(
+        lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+          col("n_words"), 4))
+      .withColumn("bigrams", expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (a, b) -> concat(a, ' ', b))"))
+      .withColumn("dup_bigram_frac", when(col("n_words") < 2, lit(0.0))
+        .otherwise(graft.Det.roundSafe(
+          lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+            (col("n_words") - lit(1)), 4)))
+      .drop("ws", "bigrams")
+
   /** Language ID via character-trigram profiles, self-trained on a labeled
     * corpus (n-gram heuristic in the Cavnar–Trenkle style): keep each
     * language's `topK` most frequent trigrams, score a document by how many

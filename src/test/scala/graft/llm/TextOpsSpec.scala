@@ -41,6 +41,39 @@ class TextOpsSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("scrubPii redacts emails, SSNs, phones and IPv4s, leaving prose alone") {
+    val docs = Seq(
+      (1L, "write to jane.doe+spam@corp.example.co.uk or bob@ex.io today"),
+      (2L, "ssn 123-45-6789 phone 555-867-5309 also 555.867.5309"),
+      (3L, "server at 10.0.255.7 logged it"),
+      (4L, "plain text with numbers 12345 and a date 2024-01-02 kept"))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextOps.scrubPii($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "write to <EMAIL> or <EMAIL> today")
+    assert(got(2L) === "ssn <SSN> phone <PHONE> also <PHONE>")
+    assert(got(3L) === "server at <IP> logged it")
+    // no false positives: bare numbers and dates survive
+    assert(got(4L) === "plain text with numbers 12345 and a date 2024-01-02 kept")
+  }
+
+  test("repetition stats: duplicate word and bigram fractions") {
+    val docs = Seq(
+      (1L, "a b c d"),          // all distinct: 0, 0
+      (2L, "a a a a"),          // 1 distinct word of 4; 1 distinct bigram of 3
+      (3L, "x y x y x"),        // 2 of 5 words; bigrams: x y, y x → 2 of 4
+      (4L, "solo"))             // single word: bigram frac guarded to 0
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs)
+      .select($"doc_id", $"n_words", $"dup_word_frac", $"dup_bigram_frac")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 0.0, 0.0)))
+    assert(got(2L) === ((4L, 0.75, math.floor((1.0 - 1.0 / 3) * 1e4 + 0.5) / 1e4)))
+    assert(got(3L) === ((5L, 0.6, 0.5)))
+    assert(got(4L) === ((1L, 0.0, 0.0)))
+  }
+
   test("quality score is monotone in length up to the cap") {
     val docs = Seq((1L, "one two"), (2L, Seq.fill(60)("word").mkString(" ")))
       .toDF("doc_id", "text")
