@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data pipeline operators: benchmark
+  * decontamination, deterministic stratified sampling, and
+  * concatenate-then-chunk sequence packing.
+  *
+  * All three are exact and SQL-oracle-able (unlike the sketch-based dedup
+  * ladder), and each is designed map-side-first: decontamination broadcasts
+  * the (tiny) benchmark gram set, sampling is a shuffle-free filter, and
+  * packing windows inside hash shards so no global sort exists anywhere.
+  */
+object Corpus {
+
+  /** Benchmark decontamination — the n-gram-overlap test used to keep eval
+    * data out of training corpora: a candidate document is contaminated iff
+    * it shares at least one word k-shingle with any benchmark document.
+    *
+    * Returns every NON-benchmark document with its overlapping-gram count
+    * and a contaminated flag (callers drop or downweight as policy).
+    *
+    * Scale shape: an eval benchmark is tiny by nature, so its distinct gram
+    * set builds cheaply and BROADCASTS; the corpus side is one projection +
+    * explode + broadcast semi-side join + partial-aggregated count — the
+    * 100 TB corpus is never shuffled by text, only by doc_id for the final
+    * count, and the left join back is doc_id-to-doc_id.
+    */
+  def decontaminate(docs: DataFrame, isBench: Column, grams: Column): DataFrame = {
+    val bench = docs.filter(isBench)
+    val candidates = docs.filter(!isBench)
+    val benchGrams = bench.select(explode(grams).as("g")).distinct()
+    // grams is produced distinct-per-doc (TextOps.wordShingles), so the
+    // exploded (doc_id, g) stream needs no extra dedup shuffle
+    val hits = candidates.select(col("doc_id"), explode(grams).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    candidates.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
+  /** Uniform-ish deterministic bucket in [0, 1000) from a long id: a
+    * multiplicative hash (Knuth's 2654435761) mod a prime, all in plain
+    * positive-integer arithmetic so ANY engine computes it bit-identically
+    * (no float, no engine-specific hash, and the pre-reduction keeps every
+    * intermediate < 2^63 for ids of any magnitude). */
+  def idBucket(id: Column): Column =
+    ((id % lit(1000003L)) * lit(2654435761L) + lit(40503L)) % lit(1000003L) % lit(1000L)
+
+  /** [[idBucket]] rendered for the DuckDB oracle. */
+  def idBucketSql(expr: String): String =
+    s"((($expr) % 1000003) * 2654435761 + 40503) % 1000003 % 1000"
+
+  /** Deterministic stratified sampling: keep a document iff its id's
+    * [[idBucket]] lands under its stratum's per-mille rate. Reproducible
+    * under any partitioning or retry (pure function of the id, no RNG
+    * state), and embarrassingly parallel — a map-only filter, zero
+    * shuffles, so at 100 TB it runs at scan speed with full pushdown of
+    * any preceding predicates. */
+  def sampleStratified(docs: DataFrame, stratum: Column,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, r)) => when(stratum === lit(k), lit(r)).otherwise(acc)
+    }
+    docs.withColumn("bucket", idBucket(col("doc_id")))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Concatenate-then-chunk sequence packing (the GPT-style training
+    * layout): within each shard, documents are laid out in doc_id order
+    * and the concatenated token stream is cut into fixed `ctx`-size
+    * chunks; each document records its token offset and the first/last
+    * chunk it lands in.
+    *
+    * Sharding is the scale story: the running-offset window partitions by
+    * shard (PARTITION BY shard ORDER BY doc_id), so there is no global
+    * sort — each shard packs independently in one task, exactly how a
+    * 100 TB corpus is packed into independent training files.
+    */
+  def packSequences(docs: DataFrame, tokens: Column, ctx: Int,
+      shards: Int): DataFrame = {
+    require(ctx > 0 && shards > 0, "ctx and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        tokens.cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk_first", floor(col("start_off") / ctx).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("start_off") + col("n_tok") - lit(1)) / ctx).cast("long"))
+  }
+}

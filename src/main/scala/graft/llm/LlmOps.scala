@@ -138,6 +138,30 @@ object LlmOps extends QueryModule {
           col("dup_word_frac"), col("dup_bigram_frac"))
         .orderBy(col("doc_id"))),
 
+    // Benchmark decontamination: docs sharing any word 3-shingle with the
+    // pseudo-benchmark slice (doc_id % 97 == 0 — tiny, like a real eval
+    // set) are flagged. Exact, and the benchmark gram set broadcasts.
+    "q_decontaminate" -> ((s, d) =>
+      Corpus.decontaminate(Tables.documents(s, d),
+          isBench = pmod(col("doc_id"), lit(97)) === 0,
+          grams = TextOps.wordShingles(3))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic stratified sampling: per-lang keep rates driven by a
+    // pure-arithmetic id bucket — reproducible, shuffle-free, oracle-exact.
+    "q_sample_stratified" -> ((s, d) =>
+      Corpus.sampleStratified(Tables.documents(s, d), col("lang"),
+          ratesPerMille = Map("en" -> 300), defaultPerMille = 150)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // Concatenate-then-chunk sequence packing into ctx=256 windows across
+    // 8 independent shards (whitespace tokens as the cost proxy).
+    "q_pack_sequences" -> ((s, d) =>
+      Corpus.packSequences(Tables.documents(s, d),
+          tokens = size(split(col("text"), " ")), ctx = 256, shards = 8)
+        .orderBy(col("doc_id"))),
+
     "q_multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d),
@@ -273,6 +297,45 @@ object LlmOps extends QueryModule {
          |  ${graft.Det.roundSafeSql(quality, 4)} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // identical shingle derivation to the q_dedup_ngram oracle (proven
+    // equivalent to TextOps.wordShingles(3) there)
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS g
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        |            FROM w)),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT g.doc_id, count(*) AS n
+        |         FROM g JOIN bg USING (g) WHERE g.doc_id % 97 <> 0
+        |         GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hit_grams,
+        |  coalesce(n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "q_sample_stratified" -> {
+      val bucket = graft.llm.Corpus.idBucketSql("doc_id")
+      s"""SELECT doc_id, lang, CAST($bucket AS BIGINT) AS bucket
+         |FROM documents
+         |WHERE $bucket < (CASE WHEN lang = 'en' THEN 300 ELSE 150 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |o AS (SELECT doc_id, shard, n_tok,
+        |        CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+        |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |      FROM t)
+        |SELECT doc_id, shard, n_tok, start_off,
+        |  CAST(floor(start_off / 256.0) AS BIGINT) AS chunk_first,
+        |  CAST(floor((start_off + n_tok - 1) / 256.0) AS BIGINT) AS chunk_last
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT doc_id, lang, source, label

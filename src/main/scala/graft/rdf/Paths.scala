@@ -37,6 +37,11 @@ final case class PStar(p: Path) extends Path
 final case class POpt(p: Path) extends Path
 /** inverse `^a` */
 final case class PInv(p: Path) extends Path
+/** negated property set `!(p1|…|pn|^q1|…|^qm)` (SPARQL 1.1 §9.1): forward
+  * members exclude forward edges, inverse members exclude REVERSED edges;
+  * a side with no members contributes nothing (`!(^q)` matches no forward
+  * edge at all, per the grammar's translation to alt of the two parts). */
+final case class PNps(fwd: Seq[Any], inv: Seq[Any]) extends Path
 
 object Paths {
 
@@ -147,6 +152,18 @@ object Paths {
           .distinct()
       case POpt(q) =>
         zeroHop(triples).unionByName(evalPath(triples, q, maxIter)).distinct()
+      case PNps(fwd, inv) =>
+        // one scan per present direction, each a NOT-IN predicate filter
+        // that reaches the source (no join, no shuffle); union is
+        // bag-preserving per the spec's alt translation
+        val parts =
+          (if (fwd.isEmpty) Nil
+           else Seq(triples.filter(!col("p").isin(fwd: _*))
+             .select(col("s").as("src"), col("o").as("dst")))) ++
+          (if (inv.isEmpty) Nil
+           else Seq(triples.filter(!col("p").isin(inv: _*))
+             .select(col("o").as("src"), col("s").as("dst"))))
+        parts.reduce(_.unionByName(_))
     }
 
   private def flattenAlt(p: Path): Seq[Path] = p match {

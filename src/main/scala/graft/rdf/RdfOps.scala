@@ -249,6 +249,18 @@ object RdfOps extends QueryModule {
         """SELECT ?a ?b WHERE { ?a <region>* ?b . }
           |ORDER BY ?a ?b""".stripMargin)),
 
+    // Negated property set !(p|q): every edge whose predicate is NOT in
+    // the set — lowered to ONE scan with a NOT-IN filter at the source
+    // (no join, no union for the forward-only form).
+    "q_sparql_nps" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?ord ?v WHERE {
+          |  ?ord <custkey> ?c .
+          |  ?c <mktsegment> "BUILDING" .
+          |  ?ord !(<custkey>|<orderstatus>) ?v .
+          |}
+          |ORDER BY ?ord ?v""".stripMargin)),
+
     // FILTER boolean connectives: && binds tighter than ||, ! negates,
     // with SPARQL's type-error-eliminates-row rule intact under try_cast.
     "q_sparql_filter_bool" -> ((s, d) =>
@@ -664,6 +676,15 @@ object RdfOps extends QueryModule {
         |  SELECT s, o FROM triples WHERE p = 'region'
         |)
         |ORDER BY a, b""".stripMargin),
+
+    "q_sparql_nps" -> cte(
+      """SELECT t1.s AS ord, t3.o AS v
+        |FROM triples t1
+        |JOIN triples t2 ON t1.o = t2.s
+        |JOIN triples t3 ON t1.s = t3.s
+        |WHERE t1.p = 'custkey' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
+        |  AND t3.p NOT IN ('custkey', 'orderstatus')
+        |ORDER BY ord, v""".stripMargin),
 
     "q_sparql_filter_bool" -> cte(
       """SELECT t1.s AS cust, t1.o AS seg, t2.o AS nk

@@ -317,6 +317,10 @@ object Sparql {
     case PStar(q) => pathStrings(q)
     case POpt(q) => pathStrings(q)
     case PInv(q) => pathStrings(q)
+    // NPS members resolve too: an unresolved member maps to the sentinel
+    // and excludes nothing — matching string-space semantics, where a
+    // never-occurring negated predicate doesn't constrain the scan
+    case PNps(fwd, inv) => (fwd ++ inv).collect { case v: String => v }
   }
 
   private def mapPath(path: Path, f: String => Any): Path = path match {
@@ -328,6 +332,9 @@ object Sparql {
     case PStar(q) => PStar(mapPath(q, f))
     case POpt(q) => POpt(mapPath(q, f))
     case PInv(q) => PInv(mapPath(q, f))
+    case PNps(fwd, inv) =>
+      def m(xs: Seq[Any]) = xs.map { case v: String => f(v); case other => other }
+      PNps(m(fwd), m(inv))
   }
 
   /** Lower a parsed query given a BGP solver that returns string-space
@@ -1040,20 +1047,38 @@ object Sparql {
     * elt)*`, inverse `^elt`, modifiers `+ * ?` on a primary, primaries are
     * IRIs / prefixed names / parenthesized paths. */
   private def parsePath(p: P, prefixes: Map[String, String]): Path = {
+    def iri(): String = {
+      val t = p.next()
+      if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
+      else if (!t.startsWith("\"") && !t.startsWith("?") &&
+          !t.startsWith("_:") && t.contains(":")) {
+        val Array(pre, local) = t.split(":", 2)
+        prefixes.getOrElse(pre, throw new IllegalArgumentException(
+          s"unknown prefix '$pre:' in '$t'")) + local
+      } else throw new IllegalArgumentException(s"unsupported path element: $t")
+    }
+    // PathNegatedPropertySet: `!member` or `!(member|…)`, each member an
+    // IRI or `^`IRI — forward and inverse members split per §9.1
+    def negatedSet(): Path = {
+      def member(): (Boolean, String) = {
+        val isInv = p.peek() == "^"
+        if (isInv) p.next()
+        (isInv, iri())
+      }
+      val ms = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+      if (p.peek() == "(") {
+        p.expect("(")
+        ms += member()
+        while (p.peek() == "|") { p.next(); ms += member() }
+        p.expect(")")
+      } else ms += member()
+      PNps(ms.collect { case (false, v) => v }.toSeq,
+        ms.collect { case (true, v) => v }.toSeq)
+    }
     def primary(): Path =
       if (p.peek() == "(") { p.expect("("); val q = alt(); p.expect(")"); q }
-      else {
-        val t = p.next()
-        val iri =
-          if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
-          else if (!t.startsWith("\"") && !t.startsWith("?") &&
-              !t.startsWith("_:") && t.contains(":")) {
-            val Array(pre, local) = t.split(":", 2)
-            prefixes.getOrElse(pre, throw new IllegalArgumentException(
-              s"unknown prefix '$pre:' in '$t'")) + local
-          } else throw new IllegalArgumentException(s"unsupported path element: $t")
-        PEdge(iri)
-      }
+      else if (p.peek() == "!") { p.next(); negatedSet() }
+      else PEdge(iri())
     def elt(): Path = {
       val base = primary()
       if (p.hasNext && Set("+", "*", "?")(p.peek()))

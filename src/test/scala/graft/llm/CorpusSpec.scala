@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing a shingle with the benchmark") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),          // benchmark (id % 2 == 0 here)
+      (1L, "alpha beta gamma epsilon"),        // shares shingle "alpha beta gamma"
+      (3L, "zeta eta theta iota kappa"),       // clean
+      (5L, "one two alpha beta gamma")         // shares via its tail shingle
+    ).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(docs,
+        isBench = pmod($"doc_id", lit(2)) === 0,
+        grams = TextOps.wordShingles(3))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 5L))
+    assert(got.map(_._3).toSeq === Seq(true, false, true))
+    assert(got(0)._2 >= 1 && got(2)._2 >= 1)
+    // benchmark docs themselves are never emitted as candidates
+    assert(!got.map(_._1).contains(0L))
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val docs = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", s"doc $i")).toDF("doc_id", "lang", "text")
+    val rates = Map("en" -> 300)
+    val a = Corpus.sampleStratified(docs, $"lang", rates, defaultPerMille = 100)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Corpus.sampleStratified(docs.repartition(7), $"lang", rates, defaultPerMille = 100)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a === b, "sample must not depend on partitioning")
+    val en = a.count(_ % 2 == 0).toDouble / 2000
+    val de = a.count(_ % 2 == 1).toDouble / 2000
+    // multiplicative-hash buckets are uniform-ish, not exact; wide bands
+    assert(en > 0.25 && en < 0.35, s"en rate $en")
+    assert(de > 0.07 && de < 0.13, s"de rate $de")
+  }
+
+  test("packing offsets are contiguous within a shard and chunks bound the span") {
+    val docs = (0L until 100L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val packed = Corpus.packSequences(docs, size(split($"text", " ")), ctx = 10, shards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._1))
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var expect = 0L
+      rows.foreach { case (_, _, nTok, startOff, first, last) =>
+        assert(startOff === expect, "offsets must concatenate without gaps")
+        assert(first === startOff / 10)
+        assert(last === (startOff + nTok - 1) / 10)
+        assert(first <= last)
+        expect += nTok
+      }
+    }
+    // every doc appears exactly once across shards
+    assert(packed.map(_._1).toSet.size === 100)
+  }
+}

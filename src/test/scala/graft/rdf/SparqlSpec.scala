@@ -628,6 +628,42 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("negated property sets: forward, inverse and mixed members (§9.1)") {
+    val t = Seq(("a", "p", "b"), ("a", "q", "c"), ("b", "r", "a"),
+      ("c", "q", "d")).toDF("s", "p", "o")
+    def pairs(text: String): Set[(String, String)] =
+      Sparql.run(t, text).as[(String, String)].collect().toSet
+    // single negated member: every forward edge except p
+    assert(pairs("SELECT ?a ?b WHERE { ?a !<p> ?b . }") ===
+      Set("a" -> "c", "b" -> "a", "c" -> "d"))
+    // set form: everything except p and q
+    assert(pairs("SELECT ?a ?b WHERE { ?a !(<p>|<q>) ?b . }") === Set("b" -> "a"))
+    // inverse-only: REVERSED edges whose predicate is not q — and NO
+    // forward component at all (§9.1 splits the directions)
+    assert(pairs("SELECT ?a ?b WHERE { ?a !(^<q>) ?b . }") ===
+      Set("b" -> "a", "a" -> "b"))
+    // mixed: forward non-p edges ∪ reversed non-r edges
+    assert(pairs("SELECT ?a ?b WHERE { ?a !(<p>|^<r>) ?b . }") ===
+      Set("a" -> "c", "b" -> "a", "c" -> "d", "c" -> "a", "d" -> "c"))
+    // NPS is a path primary: modifiers apply (closure over non-q edges)
+    assert(pairs("SELECT ?a ?b WHERE { ?a !<q>+ ?b . }") ===
+      Set("a" -> "b", "b" -> "a", "a" -> "a", "b" -> "b"))
+    // encoded ≡ string, including an out-of-dictionary negated member
+    // (resolves to the sentinel and excludes nothing)
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val text =
+      """SELECT ?c ?v WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  ?c !(<name>|<no_such_pred>) ?v .
+        |}""".stripMargin
+    val viaString = Sparql.run(triples, text)
+    val viaIds = Sparql.runEncoded(enc, dict, text)
+    assert(viaString.count() > 0)
+    assert(viaString.exceptAll(viaIds).count() === 0)
+    assert(viaIds.exceptAll(viaString).count() === 0)
+  }
+
   test("property paths run in id space on the encoded store (≡ string)") {
     val dict = Dictionary.build(spark, triples)
     val enc = Dictionary.encode(triples, dict)
