@@ -71,6 +71,41 @@ object Corpus {
       .filter(col("bucket") < rate)
   }
 
+  /** One-scan quality gate (the C4/Gopher-style rule stack): length,
+    * composite quality score and repetition fractions are all computed in
+    * a single projection over one pass of the corpus — no joins, no
+    * shuffles, every rule a codegen column expression — then applied as
+    * one conjunctive filter. At 100 TB this is the shape that matters:
+    * the gate runs at scan speed and its selectivity prunes everything
+    * downstream. */
+  def qualityGate(docs: DataFrame, minQuality: Double, maxDupWordFrac: Double,
+      minTokens: Long, langs: Seq[String]): DataFrame =
+    TextOps.repetitionStats(TextOps.qualityScored(docs))
+      .filter(col("quality") >= minQuality &&
+        col("dup_word_frac") <= maxDupWordFrac &&
+        col("n_tok") >= minTokens &&
+        col("lang").isin(langs: _*))
+
+  /** Rebalance a skewed stratum mix by downsampling every stratum toward
+    * the SMALLEST one's size: stratum s keeps ⌊1000·min_n/n_s⌋ per mille
+    * of its documents, survivors chosen by the deterministic [[idBucket]].
+    *
+    * Scale shape: the stratum-count aggregate is tiny (|strata| rows), so
+    * the rate table broadcasts back onto the corpus and the keep decision
+    * is a map-side filter — the 100 TB side is scanned once and never
+    * shuffled. */
+  def rebalanceToMin(docs: DataFrame, stratum: Column): DataFrame = {
+    val counts = docs.groupBy(stratum.as("__stratum")).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__t"))))
+      .select(col("__stratum"),
+        floor(col("__t") * lit(1000) / col("__n")).as("__rate_pm"))
+    docs.join(broadcast(rates), stratum === col("__stratum"))
+      .withColumn("bucket", idBucket(col("doc_id")))
+      .filter(col("bucket") < col("__rate_pm"))
+      .drop("__stratum", "__rate_pm")
+  }
+
   /** Concatenate-then-chunk sequence packing (the GPT-style training
     * layout): within each shard, documents are laid out in doc_id order
     * and the concatenated token stream is cut into fixed `ctx`-size

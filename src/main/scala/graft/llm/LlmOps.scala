@@ -162,6 +162,23 @@ object LlmOps extends QueryModule {
           tokens = size(split(col("text"), " ")), ctx = 256, shards = 8)
         .orderBy(col("doc_id"))),
 
+    // The C4/Gopher rule stack as ONE scan: quality + repetition +
+    // length + language rules fused into a single projection and filter.
+    "q_corpus_filter" -> ((s, d) =>
+      Corpus.qualityGate(Tables.documents(s, d), minQuality = 0.7,
+          maxDupWordFrac = 0.6, minTokens = 20,
+          langs = Seq("en", "de", "fr", "es"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("quality"), col("dup_word_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Language-mix rebalancing: every lang downsampled toward the rarest
+    // lang's size, survivors picked by the deterministic id bucket.
+    "q_corpus_mix" -> ((s, d) =>
+      Corpus.rebalanceToMin(Tables.documents(s, d), col("lang"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
     "q_multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d),
@@ -336,6 +353,43 @@ object LlmOps extends QueryModule {
         |  CAST(floor(start_off / 256.0) AS BIGINT) AS chunk_first,
         |  CAST(floor((start_off + n_tok - 1) / 256.0) AS BIGINT) AS chunk_last
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // same derivations as the q_text_quality / q_text_repetition oracles,
+    // fused and filtered — the oracle proves the one-scan gate applies
+    // exactly the documented rule stack
+    "q_corpus_filter" -> {
+      val nTok = "len(string_split(text, ' '))"
+      val nStop = """len(list_filter(string_split(text, ' '),
+        | x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'))""".stripMargin
+      val avgWlen = s"((CAST(length(text) AS DOUBLE) - $nTok + 1) / $nTok)"
+      val stopRatio = s"(CAST($nStop AS DOUBLE) / $nTok)"
+      val quality = graft.Det.roundSafeSql(
+        s"""(least(CAST($nTok AS DOUBLE) / 50.0, 1.0) * 0.5
+           | + (1.0 - $stopRatio) * 0.3 + least($avgWlen / 8.0, 1.0) * 0.2)""".stripMargin, 4)
+      val dupWord = graft.Det.roundSafeSql(
+        "1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+          s"/ $nTok", 4)
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, CAST($nTok AS BIGINT) AS n_tok,
+         |    $quality AS quality, $dupWord AS dup_word_frac
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tok, quality, dup_word_frac FROM q
+         |WHERE quality >= 0.7 AND dup_word_frac <= 0.6 AND n_tok >= 20
+         |  AND lang IN ('en', 'de', 'fr', 'es')
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_mix" -> {
+      val bucket = graft.llm.Corpus.idBucketSql("d.doc_id")
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |t AS (SELECT min(n) AS t FROM c),
+         |r AS (SELECT lang, CAST(floor(t * 1000 / n) AS BIGINT) AS rate_pm
+         |      FROM c, t)
+         |SELECT d.doc_id, d.lang, CAST($bucket AS BIGINT) AS bucket
+         |FROM documents d JOIN r USING (lang)
+         |WHERE $bucket < rate_pm
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_multimodal_join" ->
       """SELECT doc_id, lang, source, label

@@ -41,6 +41,43 @@ class CorpusSpec extends SparkSpec {
     assert(de > 0.07 && de < 0.13, s"de rate $de")
   }
 
+  test("quality gate fuses all rules into one scan with no shuffle") {
+    val diverse = "careful measurement reveals that distributed engines reward " +
+      "plans which avoid needless movement because network transfer remains " +
+      "the slowest resource available under heavy analytical workloads today"
+    val docs = Seq(
+      (1L, "en", diverse),
+      (2L, "en", "short"),                 // fails minTokens
+      (3L, "en", ("spam " * 40).trim),     // fails dup_word_frac
+      (4L, "zh", diverse)                  // fails the language rule
+    ).toDF("doc_id", "lang", "text")
+    val gated = Corpus.qualityGate(docs, minQuality = 0.5,
+      maxDupWordFrac = 0.6, minTokens = 10, langs = Seq("en", "de"))
+    assert(gated.select($"doc_id").as[Long].collect().toSeq === Seq(1L))
+    // the gate is a map-only pipeline: no exchange anywhere in the plan
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality gate must not shuffle:\n$plan")
+  }
+
+  test("rebalanceToMin equalizes strata via broadcast rates, deterministically") {
+    val docs = (0L until 3000L).map(i =>
+      (i, if (i % 10 == 0) "rare" else "common", s"doc $i"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.rebalanceToMin(docs, $"lang")
+    val counts = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // rare keeps everything (rate 1000‰); common downsamples toward 300
+    assert(counts("rare") === 300)
+    assert(counts("common") > 150 && counts("common") < 450,
+      s"common kept ${counts("common")}")
+    val again = Corpus.rebalanceToMin(docs.repartition(13), $"lang")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === out.select($"doc_id").as[Long].collect().toSet)
+    // the rate table joins by broadcast — the corpus is never sort-merged
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"rates must broadcast:\n$plan")
+  }
+
   test("packing offsets are contiguous within a shard and chunks bound the span") {
     val docs = (0L until 100L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
       .toDF("doc_id", "text")
