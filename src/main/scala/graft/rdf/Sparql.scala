@@ -125,9 +125,9 @@ object Sparql {
       /** `{ SELECT ... }` subqueries: evaluated independently, joined with
         * the block on their projected variables (SPARQL 18.2.2.12). */
       subqueries: Seq[Query] = Nil,
-      /** `GRAPH term { group }` blocks (quad datasets only): a constant
-        * graph takes a full group body; a variable graph takes triple
-        * patterns only (enforced at parse). */
+      /** `GRAPH term { group }` blocks (quad datasets only): both constant
+        * and variable graphs take full group bodies; a variable graph
+        * additionally excludes paths/subqueries (enforced at parse). */
       graphs: Seq[(Term, Block)] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
@@ -192,9 +192,20 @@ object Sparql {
           (path, ps, po) => solvePathOver(slice, path, ps, po),
           (_, _) => throw new IllegalArgumentException(
             "nested GRAPH blocks are unsupported")) // parser rejects these
-      // variable graph: triple patterns only (parser-enforced), all
-      // joined on the shared graph binding
-      case v => Quads.solveGraphBlock(quads, inner.where, v)
+      // variable graph: the FULL group body solves with every pattern
+      // group threaded through the graph binding — OPTIONAL / MINUS /
+      // EXISTS blocks each solve over named graphs with ?g bound and then
+      // join/anti-join on the shared ?g column, which IS the spec's
+      // same-active-graph rule (a candidate match in a different graph
+      // has a different ?g value and never joins). Paths and subqueries
+      // stay parser-rejected: their active-graph correlation cannot be
+      // threaded as a join variable.
+      case v =>
+        solveBranch(inner, pats => Quads.solveGraphBlock(quads, pats, v),
+          (_, _, _) => throw new IllegalArgumentException(
+            "property paths inside GRAPH ?var are unsupported"),
+          (_, _) => throw new IllegalArgumentException(
+            "nested GRAPH blocks are unsupported"))
     }
     execute(parse(text), bgpOver(dg),
       (path, s, o) => solvePathOver(dg, path, s, o), solveGraph)
@@ -953,17 +964,15 @@ object Sparql {
         p.expect("{")
         val inner = blockBody(p, prefixes)
         p.expect("}")
-        // a VARIABLE graph ranges over named graphs per solution; only the
-        // triple patterns share the graph binding, so richer group members
-        // would silently mean something else — reject them loudly
+        // a VARIABLE graph threads ?g through every pattern group of its
+        // body (see runQuads); paths and subqueries can't carry that
+        // correlation, and an all-optional body has no anchor pattern to
+        // bind ?g — reject those loudly rather than silently mis-run
         if (gt.isInstanceOf[V])
-          require(inner.optionals.isEmpty && inner.filters.isEmpty &&
-            inner.minuses.isEmpty && inner.values.isEmpty &&
-            inner.binds.isEmpty && inner.paths.isEmpty &&
-            inner.exists.isEmpty && inner.subqueries.isEmpty &&
-            inner.graphs.isEmpty,
-            "GRAPH ?var blocks support triple patterns only in this " +
-              "fragment; use a constant graph for full group bodies")
+          require(inner.paths.isEmpty && inner.subqueries.isEmpty &&
+            inner.where.nonEmpty,
+            "GRAPH ?var blocks take a group body without property paths " +
+              "or subqueries, anchored by at least one triple pattern")
         require(inner.graphs.isEmpty, "nested GRAPH blocks are unsupported")
         graphs += gt -> inner
       } else if (p.peekKw("VALUES")) {
@@ -1049,7 +1058,11 @@ object Sparql {
   private def parsePath(p: P, prefixes: Map[String, String]): Path = {
     def iri(): String = {
       val t = p.next()
-      if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
+      // the `a` verb shorthand (SPARQL grammar rule 106) — legal wherever
+      // a path primary is, i.e. verb and path positions but never as a
+      // subject/object term
+      if (t == "a") "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+      else if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
       else if (!t.startsWith("\"") && !t.startsWith("?") &&
           !t.startsWith("_:") && t.contains(":")) {
         val Array(pre, local) = t.split(":", 2)

@@ -23,6 +23,12 @@ class CorpusSpec extends SparkSpec {
     assert(got(0)._2 >= 1 && got(2)._2 >= 1)
     // benchmark docs themselves are never emitted as candidates
     assert(!got.map(_._1).contains(0L))
+    // the benchmark gram set joins by broadcast: the corpus side is never
+    // shuffled by gram content
+    val plan = Corpus.decontaminate(docs, pmod($"doc_id", lit(2)) === 0,
+      TextOps.wordShingles(3)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"benchmark grams must broadcast:\n$plan")
   }
 
   test("stratified sample is deterministic and respects per-stratum rates") {

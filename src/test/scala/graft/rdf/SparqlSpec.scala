@@ -628,6 +628,25 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("the `a` verb expands to rdf:type in verb and path positions only") {
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val t = Seq(("alice", rdfType, "Person"), ("acme", rdfType, "Company"),
+      ("alice", "works_for", "acme")).toDF("s", "p", "o")
+    assert(Sparql.run(t, """SELECT ?s WHERE { ?s a "Person" . }""")
+      .as[String].collect().toSeq === Seq("alice"))
+    // `a` composes inside property paths (it is a path primary)
+    assert(Sparql.run(t, """SELECT ?c WHERE { ?s <works_for>/a ?c . }""")
+      .as[String].collect().toSeq === Seq("Company"))
+    // and in predicate-object lists
+    assert(Sparql.run(t,
+      """SELECT ?s WHERE { ?s a "Person" ; <works_for> ?e . }""")
+      .as[String].collect().toSeq === Seq("alice"))
+    // but never as a subject or object term
+    intercept[IllegalArgumentException] {
+      Sparql.run(t, "SELECT ?p WHERE { a ?p ?o . }")
+    }
+  }
+
   test("negated property sets: forward, inverse and mixed members (§9.1)") {
     val t = Seq(("a", "p", "b"), ("a", "q", "c"), ("b", "r", "a"),
       ("c", "q", "d")).toDF("s", "p", "o")
@@ -962,10 +981,48 @@ class SparqlSpec extends SparkSpec {
     assert(rich.count() === expect.count() && rich.count() > 0)
     assert(rich.filter($"tag" =!= "other").count() > 0)
     assert(rich.exceptAll(expect).count() === 0)
-    // a VARIABLE graph keeps the triples-only fragment, loudly
+    // a VARIABLE graph takes a full group body too — and OPTIONAL obeys
+    // the same-active-graph rule: orders' <name> triples live in
+    // g:customer, so inside GRAPH ?g (bound to g:orders) they never match
+    val varRich = Sparql.runQuads(quads,
+      """SELECT ?g ?o ?st ?cn WHERE {
+        |  GRAPH ?g {
+        |    ?o <custkey> ?c .
+        |    ?o <orderstatus> ?st .
+        |    OPTIONAL { ?c <name> ?cn . }
+        |    FILTER (?st = "F")
+        |  }
+        |}""".stripMargin)
+    assert(varRich.count() > 0)
+    assert(varRich.filter($"g" =!= "g:orders").count() === 0)
+    assert(varRich.filter($"cn".isNotNull).count() === 0,
+      "OPTIONAL must not match across graphs")
+    // the same OPTIONAL under a CONSTANT customer graph would match: the
+    // cross-graph absence above is the graph scoping, not a data artifact
+    assert(Sparql.runQuads(quads,
+      """SELECT ?c ?cn WHERE {
+        |  GRAPH <g:customer> { ?c <nationkey> ?nk . OPTIONAL { ?c <name> ?cn . } }
+        |}""".stripMargin).filter($"cn".isNotNull).count() > 0)
+    // MINUS inside GRAPH ?g subtracts within the bound graph
+    val minusIn = Sparql.runQuads(quads,
+      """SELECT ?g ?o WHERE {
+        |  GRAPH ?g {
+        |    ?o <orderstatus> "F" .
+        |    MINUS { ?o <orderpriority> "1-URGENT" . }
+        |  }
+        |}""".stripMargin)
+    val fOrders = Sparql.runQuads(quads,
+      """SELECT ?o WHERE { GRAPH <g:orders> { ?o <orderstatus> "F" .
+        |  MINUS { ?o <orderpriority> "1-URGENT" . } } }""".stripMargin)
+    assert(minusIn.count() === fOrders.count() && minusIn.count() > 0)
+    // paths / subqueries inside GRAPH ?var stay loud parse errors
     intercept[IllegalArgumentException](Sparql.parse(
       """SELECT ?c WHERE {
-        |  GRAPH ?g { ?c <p> ?s . OPTIONAL { ?c <q> ?t . } }
+        |  GRAPH ?g { ?c <p>+ ?s . }
+        |}""".stripMargin))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  GRAPH ?g { { SELECT ?c WHERE { ?c <p> ?s . } } ?c <q> ?t . }
         |}""".stripMargin))
     // nested GRAPH is rejected
     intercept[IllegalArgumentException](Sparql.parse(
