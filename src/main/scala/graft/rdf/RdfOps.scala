@@ -249,6 +249,17 @@ object RdfOps extends QueryModule {
         """SELECT ?a ?b WHERE { ?a <region>* ?b . }
           |ORDER BY ?a ?b""".stripMargin)),
 
+    // Nested { group } UNION { group } joined with the enclosing block on
+    // shared vars — bag semantics: a customer matching BOTH branches
+    // contributes two rows, exactly like SQL's UNION ALL derived table.
+    "q_sparql_union_nested" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?cust ?nm WHERE {
+          |  ?cust <name> ?nm .
+          |  { ?cust <mktsegment> "BUILDING" . } UNION { ?cust <nationkey> "3" . }
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
     // Negated property set !(p|q): every edge whose predicate is NOT in
     // the set — lowered to ONE scan with a NOT-IN filter at the source
     // (no join, no union for the forward-only form).
@@ -676,6 +687,16 @@ object RdfOps extends QueryModule {
         |  SELECT s, o FROM triples WHERE p = 'region'
         |)
         |ORDER BY a, b""".stripMargin),
+
+    "q_sparql_union_nested" -> cte(
+      """SELECT n.s AS cust, n.o AS nm
+        |FROM triples n
+        |JOIN (SELECT s FROM triples WHERE p = 'mktsegment' AND o = 'BUILDING'
+        |      UNION ALL
+        |      SELECT s FROM triples WHERE p = 'nationkey' AND o = '3') u
+        |  ON n.s = u.s
+        |WHERE n.p = 'name'
+        |ORDER BY cust""".stripMargin),
 
     "q_sparql_nps" -> cte(
       """SELECT t1.s AS ord, t3.o AS v

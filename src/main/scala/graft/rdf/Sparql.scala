@@ -128,7 +128,12 @@ object Sparql {
       /** `GRAPH term { group }` blocks (quad datasets only): both constant
         * and variable graphs take full group bodies; a variable graph
         * additionally excludes paths/subqueries (enforced at parse). */
-      graphs: Seq[(Term, Block)] = Nil)
+      graphs: Seq[(Term, Block)] = Nil,
+      /** Nested `{ group } [UNION { group }]*` members: each entry's
+        * branches bag-union (null-padding unshared vars) and the result
+        * joins the rest of the block on shared variables — SPARQL's
+        * GroupGraphPattern union, legal anywhere in a body. */
+      unions: Seq[Seq[Block]] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean)
 
@@ -314,10 +319,15 @@ object Sparql {
         "a property-path pattern needs at least one variable endpoint")
     }
 
-  /** Every block of the query, including subquery blocks recursively —
-    * the encoded path resolves ALL constants in one dictionary lookup. */
-  private def allBlocks(q: Query): Seq[Block] =
-    q.branches ++ q.branches.flatMap(_.subqueries).flatMap(allBlocks)
+  /** Every block of the query — nested union branches and subquery blocks
+    * recursively — so the encoded path resolves ALL constants in one
+    * dictionary lookup (a constant seen only inside a nested group must
+    * not gate its patterns to empty). */
+  private def allBlocks(q: Query): Seq[Block] = {
+    def tree(b: Block): Seq[Block] =
+      b +: (b.unions.flatten.flatMap(tree) ++ b.subqueries.flatMap(allBlocks))
+    q.branches.flatMap(tree)
+  }
 
   private def pathStrings(path: Path): Seq[String] = path match {
     case PEdge(v: String) => Seq(v)
@@ -417,6 +427,10 @@ object Sparql {
     val pieces = (if (b.where.nonEmpty) Seq(solveBgp(b.where)) else Nil) ++
       b.paths.map { case (s, path, o) => solvePath(path, s, o) } ++
       b.graphs.map { case (g, inner) => solveGraph(g, inner) } ++
+      // nested { group } [UNION { group }]*: branches solve recursively,
+      // bag-union with null padding, then join the block on shared vars
+      b.unions.map(_.map(solveBranch(_, solveBgp, solvePath, solveGraph))
+        .reduce(_.unionByName(_, allowMissingColumns = true))) ++
       // subqueries evaluate independently (own projection, aggregation,
       // modifiers) and join on their projected variables
       b.subqueries.map(sq => execute(sq, solveBgp, solvePath, solveGraph))
@@ -853,9 +867,11 @@ object Sparql {
       // { group } UNION { group } [ UNION { group } ]*
       val bs = scala.collection.mutable.ArrayBuffer(group(p, prefixes))
       while (p.peekKw("UNION")) { p.expectKw("UNION"); bs += group(p, prefixes) }
-      require(bs.size >= 2, "a braced group must be a UNION branch")
       p.expect("}")
-      bs.toSeq
+      // a single braced group is a plain nested group, not a union: wrap
+      // it so its filters/optionals keep group scope
+      if (bs.size == 1) Seq(Block(Nil, Nil, Nil, unions = Seq(bs.toSeq)))
+      else bs.toSeq
     } else {
       val b = blockBody(p, prefixes)
       p.expect("}")
@@ -910,6 +926,7 @@ object Sparql {
     val exists = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[TP])]
     val subqueries = scala.collection.mutable.ArrayBuffer.empty[Query]
     val graphs = scala.collection.mutable.ArrayBuffer.empty[(Term, Block)]
+    val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Block]]
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -952,12 +969,19 @@ object Sparql {
         p.expect(")")
         binds += v.drop(1) -> e
       } else if (p.peek() == "{") {
-        // { SELECT ... } subquery member
-        p.expect("{")
-        require(p.peekKw("SELECT"),
-          "a braced group inside a block must be a { SELECT ... } subquery")
-        subqueries += selectQuery(p, prefixes)
-        p.expect("}")
+        if (p.rest.drop(1).headOption.exists(_.equalsIgnoreCase("SELECT"))) {
+          // { SELECT ... } subquery member
+          p.expect("{")
+          subqueries += selectQuery(p, prefixes)
+          p.expect("}")
+        } else {
+          // nested { group } [UNION { group }]* member — a single braced
+          // group is the one-branch case (its filters/optionals scope to
+          // the group, then it joins the enclosing block)
+          val bs = scala.collection.mutable.ArrayBuffer(group(p, prefixes))
+          while (p.peekKw("UNION")) { p.expectKw("UNION"); bs += group(p, prefixes) }
+          unions += bs.toSeq
+        }
       } else if (p.peekKw("GRAPH")) {
         p.expectKw("GRAPH")
         val gt = term(p, prefixes)
@@ -968,11 +992,16 @@ object Sparql {
         // body (see runQuads); paths and subqueries can't carry that
         // correlation, and an all-optional body has no anchor pattern to
         // bind ?g — reject those loudly rather than silently mis-run
-        if (gt.isInstanceOf[V])
-          require(inner.paths.isEmpty && inner.subqueries.isEmpty &&
-            inner.where.nonEmpty,
+        if (gt.isInstanceOf[V]) {
+          def offends(blk: Block): Boolean =
+            blk.paths.nonEmpty || blk.subqueries.nonEmpty ||
+              blk.unions.exists(_.exists(offends)) ||
+              blk.graphs.exists { case (_, ib) => offends(ib) }
+          require(!offends(inner) &&
+            (inner.where.nonEmpty || inner.unions.nonEmpty),
             "GRAPH ?var blocks take a group body without property paths " +
               "or subqueries, anchored by at least one triple pattern")
+        }
         require(inner.graphs.isEmpty, "nested GRAPH blocks are unsupported")
         graphs += gt -> inner
       } else if (p.peekKw("VALUES")) {
@@ -1019,10 +1048,10 @@ object Sparql {
       }
     }
     require(where.nonEmpty || paths.nonEmpty || subqueries.nonEmpty ||
-      graphs.nonEmpty, "empty WHERE block")
+      graphs.nonEmpty || unions.nonEmpty, "empty WHERE block")
     val block = Block(where.toSeq, optionals.toSeq, filters.toSeq,
       minuses.toSeq, values.toSeq, binds.toSeq, paths.toSeq, exists.toSeq,
-      subqueries.toSeq, graphs.toSeq)
+      subqueries.toSeq, graphs.toSeq, unions.toSeq)
     checkBnodeScopes(block)
     block
   }
@@ -1045,7 +1074,9 @@ object Sparql {
         .collect { case V(n) if n.startsWith("_:") => n }
     val groups = whereLabels +:
       ((b.optionals ++ b.minuses ++ b.exists.map(_._2)).map(labels) ++
-        b.graphs.map(g => blockLabels(g._2)))
+        b.graphs.map(g => blockLabels(g._2)) ++
+        // each nested union branch is its own label scope
+        b.unions.flatten.map(blockLabels))
     val dup = groups.combinations(2).flatMap(pair => pair(0) intersect pair(1))
       .toSeq.distinct
     require(dup.isEmpty,

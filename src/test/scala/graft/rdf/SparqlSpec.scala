@@ -138,9 +138,12 @@ class SparqlSpec extends SparkSpec {
     // trailing clauses outside the fragment must error, never be ignored
     intercept[IllegalArgumentException](
       Sparql.parse("""SELECT ?x WHERE { ?x <p> ?y . } GRAPH <g>"""))
-    // a lone braced group is not a union
+    // a lone braced group parses as a plain nested group (one-branch
+    // union) — but an empty one is still an error
+    assert(Sparql.parse("""SELECT ?x WHERE { { ?x <p> ?y . } }""")
+      .branches.head.unions.head.size === 1)
     intercept[IllegalArgumentException](
-      Sparql.parse("""SELECT ?x WHERE { { ?x <p> ?y . } }"""))
+      Sparql.parse("""SELECT ?x WHERE { { } }"""))
   }
 
   test("tokenizer rejects unsupported syntax at its offset; comments pass") {
@@ -628,6 +631,75 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("nested { group } UNION { group } joins the enclosing block on shared vars") {
+    // union nested AFTER a pattern: the disjunction restricts ?cust
+    val nested = Sparql.run(triples,
+      """SELECT ?cust ?seg WHERE {
+        |  ?cust <mktsegment> ?seg .
+        |  { ?cust <mktsegment> "BUILDING" . } UNION { ?cust <mktsegment> "AUTOMOBILE" . }
+        |}""".stripMargin)
+    val viaFilter = Sparql.run(triples,
+      """SELECT ?cust ?seg WHERE {
+        |  ?cust <mktsegment> ?seg .
+        |  FILTER (?seg = "BUILDING" || ?seg = "AUTOMOBILE")
+        |}""".stripMargin)
+    assert(nested.count() === viaFilter.count() && nested.count() > 0)
+    assert(nested.exceptAll(viaFilter).count() === 0)
+    // branches may bind DIFFERENT variables: unshared ones null-pad and
+    // the union piece cross-joins nothing it shouldn't (shared ?cust)
+    val mixedVars = Sparql.run(triples,
+      """SELECT ?cust ?nat ?ord WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  { ?cust <nation> ?nat . } UNION { ?ord <custkey> ?cust . }
+        |}""".stripMargin)
+    assert(mixedVars.filter($"nat".isNotNull).count() > 0)
+    assert(mixedVars.filter($"ord".isNotNull).count() > 0)
+    assert(mixedVars.filter($"nat".isNotNull && $"ord".isNotNull).count() === 0)
+    // a filter inside a branch scopes to that branch only (it can only
+    // see the branch's own bindings, per SPARQL group scoping)
+    val scoped = Sparql.run(triples,
+      """SELECT ?cust ?nk WHERE {
+        |  ?cust <nationkey> ?nk .
+        |  { ?cust <mktsegment> "BUILDING" . ?cust <nationkey> ?bnk .
+        |    FILTER (?bnk >= 10) }
+        |  UNION { ?cust <mktsegment> "AUTOMOBILE" . }
+        |}""".stripMargin)
+    val autoLow = Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <nationkey> ?nk . ?cust <mktsegment> "AUTOMOBILE" .
+        |  FILTER (?nk < 10)
+        |}""".stripMargin)
+    assert(autoLow.count() > 0)
+    assert(scoped.join(autoLow, "cust").count() === autoLow.count(),
+      "the branch-scoped filter must not leak onto the other branch")
+    // a single nested group is legal, with group-scoped members
+    assert(Sparql.run(triples,
+      """SELECT ?cust WHERE { { ?cust <mktsegment> "BUILDING" . } }""")
+      .count() === viaFilter.filter($"seg" === "BUILDING").count())
+    // nested unions work inside GRAPH ?var (threading ?g through branches)
+    val quads = Quads.build(spark, sf0001)
+    val inGraph = Sparql.runQuads(quads,
+      """SELECT ?g ?o WHERE {
+        |  GRAPH ?g {
+        |    ?o <custkey> ?c .
+        |    { ?o <orderpriority> "1-URGENT" . } UNION { ?o <orderstatus> "P" . }
+        |  }
+        |}""".stripMargin)
+    assert(inGraph.count() > 0)
+    assert(inGraph.filter($"g" =!= "g:orders").count() === 0)
+    // and on the encoded path, with union-only constants resolved
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val txt =
+      """SELECT ?cust ?seg WHERE {
+        |  ?cust <mktsegment> ?seg .
+        |  { ?cust <mktsegment> "BUILDING" . } UNION { ?cust <mktsegment> "AUTOMOBILE" . }
+        |}""".stripMargin
+    val encRun = Sparql.runEncoded(enc, dict, txt)
+    assert(encRun.count() === nested.count())
+    assert(encRun.exceptAll(nested).count() === 0)
+  }
+
   test("the `a` verb expands to rdf:type in verb and path positions only") {
     val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     val t = Seq(("alice", rdfType, "Person"), ("acme", rdfType, "Company"),
@@ -930,9 +1002,9 @@ class SparqlSpec extends SparkSpec {
     assert(viaString.count() > 0)
     assert(viaString.exceptAll(viaIds).count() === 0)
     assert(viaIds.exceptAll(viaString).count() === 0)
-    // non-SELECT braced groups inside a block stay rejected
-    intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?c WHERE { ?c <p> ?s . { ?c <q> ?t . } }"))
+    // non-SELECT braced groups inside a block are nested group members
+    assert(Sparql.parse("SELECT ?c WHERE { ?c <p> ?s . { ?c <q> ?t . } }")
+      .branches.head.unions.size === 1)
   }
 
   test("GRAPH blocks scope patterns to named graphs; default stays outside") {
