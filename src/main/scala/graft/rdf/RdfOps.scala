@@ -249,6 +249,17 @@ object RdfOps extends QueryModule {
         """SELECT ?a ?b WHERE { ?a <region>* ?b . }
           |ORDER BY ?a ?b""".stripMargin)),
 
+    // FILTER inside OPTIONAL: the block pre-filters before the left join
+    // (≡ the spec's LeftJoin condition for block-bound variables).
+    "q_sparql_optfilter" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?cust ?ord WHERE {
+          |  ?cust <mktsegment> "BUILDING" .
+          |  OPTIONAL { ?ord <custkey> ?cust . ?ord <orderstatus> ?st .
+          |             FILTER (?st = "F") }
+          |}
+          |ORDER BY ?cust ?ord""".stripMargin)),
+
     // Nested { group } UNION { group } joined with the enclosing block on
     // shared vars — bag semantics: a customer matching BOTH branches
     // contributes two rows, exactly like SQL's UNION ALL derived table.
@@ -687,6 +698,17 @@ object RdfOps extends QueryModule {
         |  SELECT s, o FROM triples WHERE p = 'region'
         |)
         |ORDER BY a, b""".stripMargin),
+
+    "q_sparql_optfilter" -> cte(
+      """SELECT req.cust, opt.ord
+        |FROM (SELECT s AS cust FROM triples
+        |      WHERE p = 'mktsegment' AND o = 'BUILDING') req
+        |LEFT JOIN (SELECT t1.s AS ord, t1.o AS cust
+        |           FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |           WHERE t1.p = 'custkey' AND t2.p = 'orderstatus'
+        |             AND t2.o = 'F') opt
+        |  ON req.cust = opt.cust
+        |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
 
     "q_sparql_union_nested" -> cte(
       """SELECT n.s AS cust, n.o AS nm

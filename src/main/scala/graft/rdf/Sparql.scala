@@ -115,7 +115,13 @@ object Sparql {
     * VALUES tables, BINDs, OPTIONALs, MINUSes and FILTERs (applied in that
     * order within the block). Each VALUES entry is (variable names, rows
     * of constants). */
-  final case class Block(where: Seq[TP], optionals: Seq[Seq[TP]],
+  final case class Block(where: Seq[TP],
+      /** OPTIONAL blocks: patterns plus block-scoped FILTERs. A filter
+        * may reference only variables bound inside its OPTIONAL (then
+        * filtering the block before the left join IS the spec's LeftJoin
+        * condition — shared variables agree on compatible pairs); filters
+        * on left-only variables are rejected at solve. */
+      optionals: Seq[(Seq[TP], Seq[Expr])],
       filters: Seq[Expr], minuses: Seq[Seq[TP]] = Nil,
       values: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
       binds: Seq[(String, Expr)] = Nil,
@@ -155,7 +161,7 @@ object Sparql {
       branches.head
     }
     def where: Seq[TP] = only.where
-    def optionals: Seq[Seq[TP]] = only.optionals
+    def optionals: Seq[(Seq[TP], Seq[Expr])] = only.optionals
     def filters: Seq[Expr] = only.filters
   }
 
@@ -235,7 +241,7 @@ object Sparql {
     // (nothing subtracted).
     val blocks = allBlocks(q)
     val allPats = blocks.flatMap(b =>
-      b.where ++ b.optionals.flatten ++ b.minuses.flatten ++
+      b.where ++ b.optionals.flatMap(_._1) ++ b.minuses.flatten ++
         b.exists.flatMap(_._2))
     val pathTerms = blocks.flatMap(_.paths).flatMap { case (s, path, o) =>
       pathStrings(path) ++ Seq(s, o).collect { case C(v: String) => v }
@@ -468,7 +474,18 @@ object Sparql {
       }
     }
     applyReadyBinds()
-    b.optionals.foreach(o => df = Bgp.optionalSolved(df, solveBgp(o)))
+    b.optionals.foreach { case (pats, fs) =>
+      var right = solveBgp(pats)
+      fs.foreach { f =>
+        val missing = exprVars(f).filterNot(right.columns.contains)
+        require(missing.isEmpty,
+          "a FILTER inside OPTIONAL may reference only variables bound " +
+            s"inside its block in this fragment; unbound there: ${
+              missing.map("?" + _).mkString(", ")}")
+        right = right.filter(boolCol(f, Map.empty))
+      }
+      df = Bgp.optionalSolved(df, right)
+    }
     b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
     applyReadyBinds()
     require(pendingBinds.isEmpty, "BIND references unbound variables: " +
@@ -919,7 +936,8 @@ object Sparql {
   private def blockBody(p: P, prefixes: Map[String, String]): Block = {
     val where = scala.collection.mutable.ArrayBuffer.empty[TP]
     val paths = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
-    val optionals = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
+    val optionals =
+      scala.collection.mutable.ArrayBuffer.empty[(Seq[TP], Seq[Expr])]
     val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
     val filters = scala.collection.mutable.ArrayBuffer.empty[Expr]
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
@@ -937,6 +955,23 @@ object Sparql {
       p.expect("}")
       block.toSeq
     }
+    // OPTIONAL bodies: patterns plus block-scoped FILTERs
+    def bracedPatternsFilters(): (Seq[TP], Seq[Expr]) = {
+      p.expect("{")
+      val pats = scala.collection.mutable.ArrayBuffer.empty[TP]
+      val fs = scala.collection.mutable.ArrayBuffer.empty[Expr]
+      while (p.peek() != "}") {
+        if (p.peekKw("FILTER")) {
+          p.expectKw("FILTER")
+          fs += constraint(p, prefixes, allowAgg = false)
+        } else {
+          pats ++= sameSubject(p, prefixes, allowPaths = false)._1
+          p.maybe(".")
+        }
+      }
+      p.expect("}")
+      (pats.toSeq, fs.toSeq)
+    }
     val values =
       scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[Seq[String]])]
     def constant(): String = term(p, prefixes) match {
@@ -947,7 +982,7 @@ object Sparql {
     while (p.peek() != "}") {
       if (p.peekKw("OPTIONAL")) {
         p.expectKw("OPTIONAL")
-        optionals += bracedPatterns()
+        optionals += bracedPatternsFilters()
       } else if (p.peekKw("MINUS")) {
         p.expectKw("MINUS")
         minuses += bracedPatterns()
@@ -1065,7 +1100,7 @@ object Sparql {
         .collect { case V(n) if n.startsWith("_:") => n }.toSet
     def blockLabels(blk: Block): Set[String] =
       labels(blk.where) ++
-        (blk.optionals ++ blk.minuses ++ blk.exists.map(_._2))
+        (blk.optionals.map(_._1) ++ blk.minuses ++ blk.exists.map(_._2))
           .flatMap(labels) ++
         blk.paths.flatMap { case (s, _, o) => Seq(s, o) }
           .collect { case V(n) if n.startsWith("_:") => n }
@@ -1073,7 +1108,7 @@ object Sparql {
       b.paths.flatMap { case (s, _, o) => Seq(s, o) }
         .collect { case V(n) if n.startsWith("_:") => n }
     val groups = whereLabels +:
-      ((b.optionals ++ b.minuses ++ b.exists.map(_._2)).map(labels) ++
+      ((b.optionals.map(_._1) ++ b.minuses ++ b.exists.map(_._2)).map(labels) ++
         b.graphs.map(g => blockLabels(g._2)) ++
         // each nested union branch is its own label scope
         b.unions.flatten.map(blockLabels))

@@ -631,6 +631,40 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("FILTER inside OPTIONAL restricts the block before the left join") {
+    val got = Sparql.run(triples,
+      """SELECT ?cust ?ord ?pr WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?ord <custkey> ?cust . ?ord <orderpriority> ?pr .
+        |             FILTER (?pr = "1-URGENT") }
+        |}""".stripMargin)
+    val custs = Sparql.run(triples,
+      """SELECT ?cust WHERE { ?cust <mktsegment> "BUILDING" . }""")
+    // every customer survives (left join), extended only by urgent orders
+    assert(got.select("cust").distinct().count() === custs.count())
+    assert(got.filter($"pr".isNotNull && $"pr" =!= "1-URGENT").count() === 0)
+    assert(got.filter($"pr".isNull).count() > 0, "unmatched rows keep nulls")
+    assert(got.filter($"pr" === "1-URGENT").count() > 0)
+    // ≡ pre-filtering the optional pattern with a constant object
+    val viaConst = Sparql.run(triples,
+      """SELECT ?cust ?ord WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?ord <custkey> ?cust . ?ord <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(got.select("cust", "ord").exceptAll(viaConst).count() === 0)
+    assert(viaConst.exceptAll(got.select("cust", "ord")).count() === 0)
+    // a filter on a variable NOT bound in the block is a loud error (its
+    // LeftJoin-condition semantics can't be expressed by pre-filtering)
+    val e = intercept[IllegalArgumentException] {
+      Sparql.run(triples,
+        """SELECT ?cust WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  OPTIONAL { ?ord <custkey> ?cust . FILTER (?seg = "BUILDING") }
+          |}""".stripMargin).count()
+    }
+    assert(e.getMessage.contains("inside its block"))
+  }
+
   test("nested { group } UNION { group } joins the enclosing block on shared vars") {
     // union nested AFTER a pattern: the disjunction restricts ?cust
     val nested = Sparql.run(triples,
