@@ -418,6 +418,18 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust ?ord""".stripMargin)),
 
+    // FROM / FROM NAMED dataset clauses: <g:customer> merges into the
+    // default graph while FROM NAMED <g:orders> is the whole named set —
+    // so the star solves un-GRAPHed and ?g ranges over orders only.
+    "q_sparql_from" -> ((s, d) =>
+      Sparql.runQuads(Quads.build(s, d), text =
+        """SELECT ?g ?cust ?ord FROM <g:customer> FROM NAMED <g:orders>
+          |WHERE {
+          |  ?cust <mktsegment> "BUILDING" .
+          |  GRAPH ?g { ?ord <custkey> ?cust . ?ord <orderstatus> "F" . }
+          |}
+          |ORDER BY ?cust ?ord""".stripMargin)),
+
     // DESCRIBE — the fourth SPARQL query form: the subgraph about the
     // WHERE-selected resources, via a distributed semi-join of the triple
     // set against the distinct bindings (plus one directly-named IRI).
@@ -786,6 +798,18 @@ object RdfOps extends QueryModule {
          |  AND q3.g = q2.g AND q3.p = 'orderpriority' AND q3.o = '1-URGENT'
          |  AND q3.s = q2.s
          |  AND q4.g = '' AND q4.p = 'name' AND q4.s = q1b.o
+         |ORDER BY cust, ord""".stripMargin),
+
+    "q_sparql_from" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT q2.g AS g, q1.s AS cust, q2.s AS ord
+         |FROM quads q1, quads q2, quads q3
+         |WHERE q1.g = 'g:customer' AND q1.p = 'mktsegment' AND q1.o = 'BUILDING'
+         |  AND q2.g = 'g:orders' AND q2.p = 'custkey' AND q2.o = q1.s
+         |  AND q3.g = q2.g AND q3.s = q2.s
+         |  AND q3.p = 'orderstatus' AND q3.o = 'F'
          |ORDER BY cust, ord""".stripMargin),
 
     "q_sparql_describe" -> cte(

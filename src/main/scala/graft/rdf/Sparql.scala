@@ -151,7 +151,15 @@ object Sparql {
       groupVars: Seq[String] = Nil,
       having: Option[Expr] = None,
       /** DESCRIBE resources: IRIs and/or WHERE-bound variables. */
-      describe: Option[Seq[Term]] = None) {
+      describe: Option[Seq[Term]] = None,
+      /** `FROM <g>` graphs: the query's default graph is their RDF merge
+        * (set union — a graph is a set of triples). Quads runs only. */
+      fromGraphs: Seq[String] = Nil,
+      /** `FROM NAMED <g>` graphs: the dataset's named-graph set. When any
+        * dataset clause is present the dataset is EXACTLY as described —
+        * FROM only ⇒ GRAPH matches nothing; FROM NAMED only ⇒ empty
+        * default graph (SPARQL 13.2). */
+      fromNamed: Seq[String] = Nil) {
     // single-branch accessors (the pre-UNION shape most callers inspect);
     // guarded so a union query can never silently expose only its first
     // branch to plan analysis — inspect `branches` for those
@@ -176,6 +184,9 @@ object Sparql {
   def run(triples: DataFrame, text: String,
       collapseStars: Boolean = false): DataFrame = {
     val q = parse(text)
+    require(q.fromGraphs.isEmpty && q.fromNamed.isEmpty,
+      "FROM / FROM NAMED dataset clauses require a quads dataset — " +
+        "use Sparql.runQuads")
     execute(q,
       bgp =>
         if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
@@ -191,14 +202,31 @@ object Sparql {
     * graphs ([[Quads.solveGraphBlock]]). */
   def runQuads(quads: DataFrame, text: String,
       collapseStars: Boolean = false): DataFrame = {
-    val dg = Quads.defaultGraph(quads)
+    val q = parse(text)
+    val hasDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
+    // FROM <g>*: the default graph becomes the RDF MERGE of the named
+    // slices — a set union, so multi-graph merges dedup (a graph is a set
+    // of triples; one distinct, only when the clause is present)
+    val dg =
+      if (!hasDataset) Quads.defaultGraph(quads)
+      else {
+        val merged = quads.filter(col("g").isin(q.fromGraphs: _*))
+          .select("s", "p", "o")
+        if (q.fromGraphs.size > 1) merged.distinct() else merged
+      }
+    // FROM NAMED <g>*: GRAPH blocks range over exactly that set (empty
+    // when dataset clauses are present without FROM NAMED)
+    val namedQuads =
+      if (!hasDataset) quads
+      else quads.filter(col("g").isin(q.fromNamed: _*))
     def bgpOver(t: DataFrame)(pats: Seq[TP]): DataFrame =
       if (collapseStars) Bgp.solveStarCollapsed(t, pats) else Bgp.solve(t, pats)
     def solveGraph(g: Term, inner: Block): DataFrame = g match {
       // constant graph: the block's FULL group body (OPTIONAL, FILTER,
       // BIND, paths, …) solves over that one graph's slice
       case C(gv) =>
-        val slice = quads.filter(col("g") === lit(gv)).select("s", "p", "o")
+        val slice = namedQuads.filter(col("g") === lit(gv))
+          .select("s", "p", "o")
         solveBranch(inner, bgpOver(slice),
           (path, ps, po) => solvePathOver(slice, path, ps, po),
           (_, _) => throw new IllegalArgumentException(
@@ -212,13 +240,14 @@ object Sparql {
       // stay parser-rejected: their active-graph correlation cannot be
       // threaded as a join variable.
       case v =>
-        solveBranch(inner, pats => Quads.solveGraphBlock(quads, pats, v),
+        solveBranch(inner,
+          pats => Quads.solveGraphBlock(namedQuads, pats, v),
           (_, _, _) => throw new IllegalArgumentException(
             "property paths inside GRAPH ?var are unsupported"),
           (_, _) => throw new IllegalArgumentException(
             "nested GRAPH blocks are unsupported"))
     }
-    execute(parse(text), bgpOver(dg),
+    execute(q, bgpOver(dg),
       (path, s, o) => solvePathOver(dg, path, s, o), solveGraph)
   }
 
@@ -233,6 +262,9 @@ object Sparql {
   def runEncoded(enc: DataFrame, dict: DataFrame, text: String,
       collapseStars: Boolean = false): DataFrame = {
     val q = parse(text)
+    require(q.fromGraphs.isEmpty && q.fromNamed.isEmpty,
+      "FROM / FROM NAMED dataset clauses require a quads dataset — " +
+        "use Sparql.runQuads")
     // ONE dictionary-lookup job for the whole query — every UNION branch,
     // OPTIONAL and MINUS block and property path shares the resolved
     // constant map. MINUS must be in the batch: a MINUS-only constant
@@ -776,6 +808,7 @@ object Sparql {
       } else None
     if (ask || construct.isDefined || describe.isDefined) {
       if (ask) p.expectKw("ASK")
+      val (fromGraphs, fromNamed) = datasetClauses(p, prefixes)
       // DESCRIBE <iri> needs no WHERE at all
       val branches =
         if (describe.isDefined && !p.peekKw("WHERE")) Nil
@@ -783,19 +816,44 @@ object Sparql {
       require(!p.hasNext, "ASK/CONSTRUCT/DESCRIBE take no solution " +
         s"modifiers in this fragment; got: ${p.rest.take(5).mkString(" ")}")
       Query(Seq("*"), branches, distinct = false, Nil, None, None, ask,
-        construct, describe = describe)
+        construct, describe = describe,
+        fromGraphs = fromGraphs, fromNamed = fromNamed)
     } else {
-      val q = selectQuery(p, prefixes)
+      val q = selectQuery(p, prefixes, topLevel = true)
       require(!p.hasNext,
         s"unsupported trailing clause: ${p.rest.take(5).mkString(" ")}")
       q
     }
   }
 
+  /** `FROM <g>` / `FROM NAMED <g>` dataset clauses (SPARQL grammar 13):
+    * legal between the query head and WHERE, top level only. */
+  private def datasetClauses(p: P,
+      prefixes: Map[String, String]): (Seq[String], Seq[String]) = {
+    val from = scala.collection.mutable.ArrayBuffer.empty[String]
+    val named = scala.collection.mutable.ArrayBuffer.empty[String]
+    def iri(): String = {
+      val t = p.next()
+      if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
+      else if (t.contains(":") && !t.startsWith("\"") && !t.startsWith("_:")) {
+        val Array(pre, local) = t.split(":", 2)
+        prefixes.getOrElse(pre, throw new IllegalArgumentException(
+          s"unknown prefix '$pre:' in '$t'")) + local
+      } else throw new IllegalArgumentException(s"FROM needs an IRI, got $t")
+    }
+    while (p.peekKw("FROM")) {
+      p.expectKw("FROM")
+      if (p.peekKw("NAMED")) { p.expectKw("NAMED"); named += iri() }
+      else from += iri()
+    }
+    (from.toSeq, named.toSeq)
+  }
+
   /** SELECT clause through solution modifiers — the shape shared by the
     * top-level query and `{ SELECT ... }` subqueries (which stop at their
     * closing brace). */
-  private def selectQuery(p: P, prefixes: Map[String, String]): Query = {
+  private def selectQuery(p: P, prefixes: Map[String, String],
+      topLevel: Boolean = false): Query = {
     val selectAggs = scala.collection.mutable.ArrayBuffer.empty[(String, EAgg)]
     p.expectKw("SELECT")
     // REDUCED *permits* duplicate elimination; eliminating them all (i.e.
@@ -825,6 +883,8 @@ object Sparql {
         items.toSeq
       }
     require(proj.nonEmpty, "SELECT needs variables or *")
+    val (fromGraphs, fromNamed) =
+      if (topLevel) datasetClauses(p, prefixes) else (Nil, Nil)
     val branches = whereBranches(p, prefixes)
     val groupVars = scala.collection.mutable.ArrayBuffer.empty[String]
     if (p.peekKw("GROUP")) {
@@ -871,7 +931,8 @@ object Sparql {
         s"in GROUP BY: ${bad.map("?" + _).mkString(", ")}")
     }
     Query(proj, branches, distinct, orderKeys.toSeq, limit, offset,
-      ask = false, None, selectAggs.toSeq, groupVars.toSeq, having)
+      ask = false, None, selectAggs.toSeq, groupVars.toSeq, having,
+      fromGraphs = fromGraphs, fromNamed = fromNamed)
   }
 
   /** `WHERE { ... }`: a plain block, or `{ group } UNION { group }...`.

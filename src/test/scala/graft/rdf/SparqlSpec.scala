@@ -1137,6 +1137,44 @@ class SparqlSpec extends SparkSpec {
         |}""".stripMargin))
   }
 
+  test("FROM / FROM NAMED define the dataset exactly (13.2)") {
+    val quads = Quads.build(spark, sf0001)
+    // FROM <g:customer>: customer triples become the DEFAULT graph, so a
+    // pattern outside GRAPH now matches them
+    val viaFrom = Sparql.runQuads(quads,
+      """SELECT ?c FROM <g:customer> WHERE { ?c <mktsegment> "BUILDING" . }""")
+    val expect = Sparql.run(triples,
+      """SELECT ?c WHERE { ?c <mktsegment> "BUILDING" . }""")
+    assert(viaFrom.count() === expect.count() && viaFrom.count() > 0)
+    // the merge of two graphs is their set union
+    val merged = Sparql.runQuads(quads,
+      """SELECT ?s ?o FROM <g:customer> FROM <g:orders>
+        |WHERE { ?s <custkey> ?o . }""".stripMargin)
+    assert(merged.count() === triples.filter($"p" === "custkey").count())
+    // FROM only ⇒ the named-graph set is EMPTY: GRAPH matches nothing
+    assert(Sparql.runQuads(quads,
+      """SELECT ?c FROM <g:customer>
+        |WHERE { GRAPH ?g { ?c <mktsegment> ?s . } }""".stripMargin)
+      .count() === 0)
+    // FROM NAMED only ⇒ empty default graph, GRAPH ranges over the set
+    val named = Sparql.runQuads(quads,
+      """SELECT ?g ?c FROM NAMED <g:customer>
+        |WHERE { GRAPH ?g { ?c <mktsegment> "BUILDING" . } }""".stripMargin)
+    assert(named.count() === expect.count())
+    assert(Sparql.runQuads(quads,
+      """SELECT ?n FROM NAMED <g:customer>
+        |WHERE { ?n <region> ?r . }""".stripMargin).count() === 0,
+      "FROM NAMED only leaves the default graph empty")
+    // a constant GRAPH outside the FROM NAMED set matches nothing
+    assert(Sparql.runQuads(quads,
+      """SELECT ?o FROM NAMED <g:customer>
+        |WHERE { GRAPH <g:orders> { ?o <orderstatus> ?s . } }""".stripMargin)
+      .count() === 0)
+    // dataset clauses over a plain triples run are a loud error
+    intercept[IllegalArgumentException](Sparql.run(triples,
+      """SELECT ?c FROM <g:x> WHERE { ?c <p> ?o . }"""))
+  }
+
   test("DESCRIBE returns the subgraph about named IRIs and bound variables") {
     // direct IRI: its outgoing triples
     val n1 = Sparql.run(triples, "DESCRIBE <n:1>")
