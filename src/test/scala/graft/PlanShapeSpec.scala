@@ -88,4 +88,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("a forward-only NPS path is a NOT-IN filter, not a join or union") {
+    // the NPS edge set itself: one scan, predicate filtered at the source
+    val df = rdf.Sparql.run(
+      sources.Tables.table(spark, sf0001, "orders")
+        .selectExpr("CAST(o_orderkey AS STRING) AS s",
+          "o_orderstatus AS p", "o_orderpriority AS o"),
+      "SELECT ?s ?o WHERE { ?s !(<F>|<P>) ?o . }")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join") && !p.contains("Union"), p)
+    // the NOT-IN reaches the parquet scan itself
+    assert(p.toLowerCase.contains("not(in(o_orderstatus"), p)
+  }
+
+  test("FROM restricts g at the union branches, never via a join") {
+    val p = rdf.Sparql.runQuads(rdf.Quads.build(spark, sf0001),
+      """SELECT ?c FROM <g:customer> WHERE { ?c <mktsegment> "BUILDING" . }""")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the g restriction folds into each union branch's Filter directly
+    // above its scan (this corpus derives g from the subject at runtime,
+    // so static branch pruning is impossible — but a store written
+    // partitionBy("g") would partition-prune here); the single-pattern
+    // query must stay join-free
+    assert(p.contains("customer.parquet"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("the fused corpus quality gate stays one shuffle-free scan end to end") {
+    val p = plan("q_corpus_filter")
+    // a single Exchange is allowed for the final orderBy; the gate itself
+    // must not add one (count tree nodes, not the detail section)
+    val treeExchanges = p.linesIterator
+      .count(l => (l.contains("+- ") || l.contains(":- ")) && l.contains("Exchange"))
+    assert(treeExchanges <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
