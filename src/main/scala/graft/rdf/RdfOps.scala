@@ -195,6 +195,20 @@ object RdfOps extends QueryModule {
           |HAVING (COUNT(?cust) > 10)
           |ORDER BY ?seg""".stripMargin)),
 
+    // Aggregates over EXPRESSIONS (grammar 127 takes any Expression):
+    // the argument materializes as one hidden pre-aggregation column —
+    // same single-scan single-hash-aggregate plan as a spelled-out BIND.
+    "q_sparql_agg_expr" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?seg (SUM(?nk * 2 + 1) AS ?w) (AVG(?nk * ?nk) AS ?m2)
+          |WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  ?cust <nationkey> ?nk .
+          |}
+          |GROUP BY ?seg
+          |HAVING (SUM(?nk * 2 + 1) > 100)
+          |ORDER BY ?seg""".stripMargin)),
+
     // GROUP_CONCAT and SAMPLE — the two SPARQL 1.1 aggregates whose value
     // the spec leaves implementation-defined. Both take the deterministic
     // choice (sorted concatenation; group minimum) so the result is
@@ -651,6 +665,21 @@ object RdfOps extends QueryModule {
         |GROUP BY s ORDER BY s""".stripMargin),
 
     "q_sparql_agg" -> sparqlAggOracle,
+
+    "q_sparql_agg_expr" -> {
+      val e1 = "(TRY_CAST(t2.o AS DOUBLE) * 2 + 1)"
+      val e2 = "(TRY_CAST(t2.o AS DOUBLE) * TRY_CAST(t2.o AS DOUBLE))"
+      cte(
+        s"""SELECT t1.o AS seg,
+           |  CAST(sum(TRY_CAST($e1 AS DECIMAL(27,6))) AS DOUBLE) AS w,
+           |  CAST(sum(TRY_CAST($e2 AS DECIMAL(27,6))) AS DOUBLE)
+           |    / count(TRY_CAST($e2 AS DOUBLE)) AS m2
+           |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+           |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey'
+           |GROUP BY t1.o
+           |HAVING CAST(sum(TRY_CAST($e1 AS DECIMAL(27,6))) AS DOUBLE) > 100
+           |ORDER BY seg""".stripMargin)
+    },
     // id-space aggregation must be indistinguishable from string-space:
     // the oracle is the very same relational query
     "q_sparql_agg_encoded" -> sparqlAggOracle,

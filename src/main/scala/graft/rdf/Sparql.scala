@@ -108,7 +108,10 @@ object Sparql {
     * SEPARATOR. Valid only in SELECT `(AGG(?v) AS ?alias)` bindings and
     * HAVING. */
   final case class EAgg(fn: String, v: Option[String], distinct: Boolean,
-      sep: Option[String] = None)
+      sep: Option[String] = None,
+      /** Non-variable argument, e.g. `SUM(?price * ?qty)`: materialized
+        * as a hidden column before the hash aggregation. */
+      argExpr: Option[Expr] = None)
     extends Expr
 
   /** One group graph pattern: a BGP plus its property-path patterns,
@@ -574,41 +577,54 @@ object Sparql {
       .filterNot(aliasOf.contains).zipWithIndex
       .map { case (a, i) => (a, s"__h$i") }
     val env: Map[EAgg, String] = aliasOf ++ hidden
-    val aggCols = q.selectAggs.map { case (alias, a) => aggCol(a).as(alias) } ++
-      hidden.map { case (a, n) => aggCol(a).as(n) }
+    // expression arguments (SUM(?a * ?b)) materialize as hidden columns
+    // in ONE pre-aggregation projection — still a single scan + single
+    // hash aggregate, the same plan as a pre-spelled BIND
+    val exprAggs = (q.selectAggs.map(_._2) ++ hidden.map(_._1))
+      .filter(_.argExpr.isDefined).distinct.zipWithIndex
+      .map { case (a, i) => (a, s"__ae$i") }.toMap
+    val pre = exprAggs.foldLeft(solved) { case (df, (a, n)) =>
+      df.withColumn(n,
+        scalarCol(a.argExpr.get, numericExpr(a.argExpr.get), Map.empty))
+    }
+    def rewrite(a: EAgg): EAgg =
+      exprAggs.get(a).map(n => a.copy(v = Some(n), argExpr = None)).getOrElse(a)
+    val aggCols =
+      q.selectAggs.map { case (alias, a) => aggCol(rewrite(a)).as(alias) } ++
+        hidden.map { case (a, n) => aggCol(rewrite(a)).as(n) }
     // GROUP BY with no aggregates is legal (one row per group): aggregate
     // a hidden count to satisfy agg()'s arity, drop it after
     val all = if (aggCols.nonEmpty) aggCols else Seq(count(lit(1)).as("__g"))
     val grouped =
-      if (q.groupVars.nonEmpty) solved.groupBy(q.groupVars.map(col): _*)
-      else solved.groupBy()
+      if (q.groupVars.nonEmpty) pre.groupBy(q.groupVars.map(col): _*)
+      else pre.groupBy()
     var df = grouped.agg(all.head, all.tail: _*)
     q.having.foreach(h => df = df.filter(boolCol(h, env)))
     df.drop(hidden.map(_._2) :+ "__g": _*)
   }
 
   private def aggCol(a: EAgg): Column = a match {
-    case EAgg("COUNT", None, false, _) => count(lit(1))
-    case EAgg("COUNT", Some(v), false, _) => count(col(v))
-    case EAgg("COUNT", Some(v), true, _) => countDistinct(col(v))
+    case EAgg("COUNT", None, false, _, _) => count(lit(1))
+    case EAgg("COUNT", Some(v), false, _, _) => count(col(v))
+    case EAgg("COUNT", Some(v), true, _, _) => countDistinct(col(v))
     // exact decimal accumulation → double emission: order-independent and
     // bit-identical to the DuckDB oracle (graft.Det rule); try_cast skips
     // non-numeric lexical forms on both engines
-    case EAgg("SUM", Some(v), false, _) =>
+    case EAgg("SUM", Some(v), false, _, _) =>
       sum(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double")
-    case EAgg("AVG", Some(v), false, _) =>
+    case EAgg("AVG", Some(v), false, _, _) =>
       sum(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double") /
         count(expr(s"try_cast(`$v` AS double)"))
-    case EAgg("MIN", Some(v), false, _) => min(col(v))
-    case EAgg("MAX", Some(v), false, _) => max(col(v))
+    case EAgg("MIN", Some(v), false, _, _) => min(col(v))
+    case EAgg("MAX", Some(v), false, _, _) => max(col(v))
     // SAMPLE returns an implementation-chosen group element (18.5.1.9);
     // min is a conformant choice and, unlike first(), independent of
     // partition order — the only reproducible option on a cluster
-    case EAgg("SAMPLE", Some(v), _, _) => min(col(v))
+    case EAgg("SAMPLE", Some(v), _, _, _) => min(col(v))
     // GROUP_CONCAT's sequence order is likewise implementation-defined:
     // sort the collected values so the result is deterministic under any
     // partitioning (and oracle-able: string_agg(... ORDER BY) in DuckDB)
-    case EAgg("GROUP_CONCAT", Some(v), distinct, sep) =>
+    case EAgg("GROUP_CONCAT", Some(v), distinct, sep, _) =>
       array_join(
         array_sort(if (distinct) collect_set(col(v)) else collect_list(col(v))),
         sep.getOrElse(" "))
@@ -646,7 +662,7 @@ object Sparql {
   private def numericExpr(e: Expr): Boolean = e match {
     case ENum(_) => true
     case EArith(_, _, _) => true
-    case EAgg(fn, _, _, _) => fn == "COUNT" || fn == "SUM" || fn == "AVG"
+    case EAgg(fn, _, _, _, _) => fn == "COUNT" || fn == "SUM" || fn == "AVG"
     case EFun("STRLEN" | "ABS", _) => true
     case EFun("IF", args) => args.drop(1).exists(numericExpr)
     case EFun("COALESCE", args) => args.exists(numericExpr)
@@ -871,7 +887,7 @@ object Sparql {
           if (p.peek() == "(") {
             // (AGG(?v) AS ?alias) — an aggregate projection binding
             p.expect("(")
-            val a = aggCall(p)
+            val a = aggCall(p, prefixes)
             p.expectKw("AS")
             val v = p.next()
             require(v.startsWith("?"), s"AS needs a variable, got $v")
@@ -957,19 +973,25 @@ object Sparql {
     }
   }
 
-  private def aggCall(p: P): EAgg = {
+  private def aggCall(p: P, prefixes: Map[String, String]): EAgg = {
     val fn = p.next().toUpperCase
     require(Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
       "GROUP_CONCAT")(fn), s"unsupported aggregate: $fn")
     p.expect("(")
     val distinct = p.peekKw("DISTINCT")
     if (distinct) p.next()
+    // the argument is `*`, a bare ?var, or a full scalar expression
+    // (SPARQL grammar 127 takes any Expression)
+    var argExpr = Option.empty[Expr]
     val arg =
       if (p.peek() == "*") { p.next(); None }
-      else {
-        val v = p.next()
-        require(v.startsWith("?"), s"aggregate argument must be ?var or *, got $v")
-        Some(v.drop(1))
+      else orExpr(p, prefixes, allowAgg = false) match {
+        case EVar(n) => Some(n)
+        case e =>
+          require(fn != "GROUP_CONCAT" && fn != "SAMPLE" || !distinct,
+            s"$fn(DISTINCT <expr>) is not supported")
+          argExpr = Some(e)
+          Some("*expr*") // placeholder; aggregate() materializes argExpr
       }
     // GROUP_CONCAT(?v ; SEPARATOR = "sep") — SPARQL grammar 127
     val sep =
@@ -981,7 +1003,7 @@ object Sparql {
     p.expect(")")
     require(arg.isDefined || (fn == "COUNT" && !distinct),
       s"$fn(${if (distinct) "DISTINCT " else ""}*) is not supported")
-    EAgg(fn, arg, distinct, sep)
+    EAgg(fn, arg, distinct, sep, argExpr)
   }
 
   /** `{ ... }` union branch. */
@@ -1461,7 +1483,7 @@ object Sparql {
       val fn = p.next().toUpperCase
       EFun(fn, argList(p, prefixes, allowAgg))
     } else if (allowAgg && Seq("COUNT", "SUM", "AVG", "MIN", "MAX")
-        .exists(p.peekKw)) aggCall(p)
+        .exists(p.peekKw)) aggCall(p, prefixes)
     else {
       val t = p.next()
       if (t.startsWith("?") && t.length > 1) EVar(t.drop(1))

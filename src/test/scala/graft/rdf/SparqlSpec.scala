@@ -631,6 +631,34 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("aggregates take expression arguments (SUM(?a * ?b), HAVING)") {
+    val t = Seq(
+      ("o1", "cat", "a"), ("o1", "price", "10"), ("o1", "qty", "3"),
+      ("o2", "cat", "a"), ("o2", "price", "4"), ("o2", "qty", "5"),
+      ("o3", "cat", "b"), ("o3", "price", "2"), ("o3", "qty", "x"))
+      .toDF("s", "p", "o")
+    val got = Sparql.run(t,
+      """SELECT ?cat (SUM(?pr * ?q) AS ?rev) (COUNT(?pr) AS ?n) WHERE {
+        |  ?s <cat> ?cat . ?s <price> ?pr . ?s <qty> ?q .
+        |}
+        |GROUP BY ?cat
+        |ORDER BY ?cat""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+    // a: 10*3 + 4*5 = 50; b: 2 * "x" is a type error → null, SUM of
+    // nothing numeric is null, COUNT still sees the bound ?pr
+    assert(got.toSeq === Seq(
+      ("a", Some(50.0), 2L), ("b", None, 1L)))
+    // the same expression in HAVING reuses the projection's aggregate
+    val having = Sparql.run(t,
+      """SELECT ?cat (SUM(?pr * ?q) AS ?rev) WHERE {
+        |  ?s <cat> ?cat . ?s <price> ?pr . ?s <qty> ?q .
+        |}
+        |GROUP BY ?cat
+        |HAVING (SUM(?pr * ?q) > 25)
+        |ORDER BY ?cat""".stripMargin)
+    assert(having.collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("FILTER inside OPTIONAL restricts the block before the left join") {
     val got = Sparql.run(triples,
       """SELECT ?cust ?ord ?pr WHERE {
