@@ -106,6 +106,26 @@ object Corpus {
       .drop("__stratum", "__rate_pm")
   }
 
+  /** Source-level (domain-level) filtering, RefinedWeb/DCLM-style: score
+    * every document, aggregate mean quality per stratum (a tiny frame —
+    * one row per source/domain), keep only documents whose stratum's mean
+    * clears the threshold. The mean uses decimal-exact accumulation
+    * ([[graft.Det.davg]]) so a threshold sitting near a boundary cannot
+    * flip with partition combine order.
+    *
+    * Scale shape: one corpus scan feeds both the per-stratum aggregate
+    * (partial map-side combine, |strata| rows out) and the broadcast
+    * LEFT SEMI join back — the corpus itself is never shuffled. */
+  def filterBySourceQuality(docs: DataFrame, stratum: Column,
+      minMeanQuality: Double): DataFrame = {
+    val scored = TextOps.qualityScored(docs)
+    val good = scored.groupBy(stratum.as("__stratum"))
+      .agg(graft.Det.davg(col("quality")).as("__mq"))
+      .filter(col("__mq") >= minMeanQuality)
+      .select(col("__stratum"))
+    scored.join(broadcast(good), stratum === col("__stratum"), "left_semi")
+  }
+
   /** Concatenate-then-chunk sequence packing (the GPT-style training
     * layout): within each shard, documents are laid out in doc_id order
     * and the concatenated token stream is cut into fixed `ctx`-size

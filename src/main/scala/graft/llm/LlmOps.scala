@@ -172,6 +172,16 @@ object LlmOps extends QueryModule {
           col("quality"), col("dup_word_frac"))
         .orderBy(col("doc_id"))),
 
+    // Domain-level filtering: a SOURCE whose mean quality is below the
+    // bar drops wholesale (RefinedWeb-style), regardless of individual
+    // documents — the per-source mean is decimal-exact so the threshold
+    // compare is partition-order-independent.
+    "q_corpus_sourcefilter" -> ((s, d) =>
+      Corpus.filterBySourceQuality(Tables.documents(s, d), col("source"),
+          minMeanQuality = 0.79)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("doc_id"))),
+
     // Language-mix rebalancing: every lang downsampled toward the rarest
     // lang's size, survivors picked by the deterministic id bucket.
     "q_corpus_mix" -> ((s, d) =>
@@ -376,6 +386,23 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, lang, n_tok, quality, dup_word_frac FROM q
          |WHERE quality >= 0.7 AND dup_word_frac <= 0.6 AND n_tok >= 20
          |  AND lang IN ('en', 'de', 'fr', 'es')
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_sourcefilter" -> {
+      val nTok = "len(string_split(text, ' '))"
+      val nStop = """len(list_filter(string_split(text, ' '),
+        | x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'))""".stripMargin
+      val avgWlen = s"((CAST(length(text) AS DOUBLE) - $nTok + 1) / $nTok)"
+      val stopRatio = s"(CAST($nStop AS DOUBLE) / $nTok)"
+      val quality = graft.Det.roundSafeSql(
+        s"""(least(CAST($nTok AS DOUBLE) / 50.0, 1.0) * 0.5
+           | + (1.0 - $stopRatio) * 0.3 + least($avgWlen / 8.0, 1.0) * 0.2)""".stripMargin, 4)
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $quality AS quality FROM documents),
+         |g AS (SELECT source FROM q GROUP BY source
+         |      HAVING ${graft.Det.davgSql("quality")} >= 0.79)
+         |SELECT doc_id, source, quality FROM q JOIN g USING (source)
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -65,6 +65,22 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"quality gate must not shuffle:\n$plan")
   }
 
+  test("source filtering drops whole low-quality strata via a broadcast semi join") {
+    val rich = "careful analysis rewards distributed plans avoiding movement " +
+      "since network transfer stays slow under heavy analytical load"
+    val docs = (0L until 40L).map { i =>
+      val src = if (i % 2 == 0) "good" else "bad"
+      val text = if (src == "good") rich else "the a of and to in the a of"
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val kept = Corpus.filterBySourceQuality(docs, $"source", 0.5)
+    assert(kept.select($"source").distinct().as[String].collect().toSeq === Seq("good"))
+    assert(kept.count() === 20, "the whole good source survives intact")
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the stratum list must broadcast:\n$plan")
+  }
+
   test("rebalanceToMin equalizes strata via broadcast rates, deterministically") {
     val docs = (0L until 3000L).map(i =>
       (i, if (i % 10 == 0) "rare" else "common", s"doc $i"))
