@@ -46,6 +46,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the corpus quality gate runs unchanged on a stream (stateless ops)") {
+    // every text operator is a codegen column expression, so the same
+    // Corpus.qualityGate call compiles onto a streaming relation: the
+    // 100 TB batch gate IS the ingest-time gate, no reimplementation
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, lang: String, text: String)
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "lang", "text")
+    val gated = graft.llm.Corpus.qualityGate(docs, minQuality = 0.5,
+      maxDupWordFrac = 0.6, minTokens = 10, langs = Seq("en"))
+    val q = gated.select("doc_id").writeStream.outputMode("append")
+      .format("memory").queryName("gate_out").start()
+    try {
+      val rich = "careful measurement rewards distributed engines whose " +
+        "plans avoid needless movement across networks entirely"
+      mem.addData((1L, "en", rich), (2L, "en", "short"),
+        (3L, "en", ("spam " * 30).trim), (4L, "de", rich))
+      q.processAllAvailable()
+      assert(spark.table("gate_out").as[Long].collect().toSeq === Seq(1L))
+      // and the result matches the batch gate on the same data
+      val batch = graft.llm.Corpus.qualityGate(
+        Seq((1L, "en", rich), (2L, "en", "short"),
+          (3L, "en", ("spam " * 30).trim), (4L, "de", rich))
+          .toDF("doc_id", "lang", "text"),
+        0.5, 0.6, 10, Seq("en")).select("doc_id").as[Long].collect().toSeq
+      assert(batch === Seq(1L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Raw]
