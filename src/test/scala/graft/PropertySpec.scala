@@ -230,6 +230,36 @@ class PropertySpec extends SparkSpec {
     }, cases = 40)
   }
 
+  test("property: NPS member sets and nested unions round-trip through parse") {
+    import graft.rdf.{Sparql, TP, V => RV, C => RC, PNps}
+    val genIri = Gen.identifier.map(s => "http://ex/" + s.take(8))
+    val genMember = Gen.zip(Gen.oneOf(true, false), genIri)
+    val gen = for {
+      ms <- Gen.nonEmptyListOf(genMember).map(_.take(5))
+      inner <- Gen.nonEmptyListOf(Gen.zip(genIri, genIri)).map(_.take(3))
+    } yield (ms, inner)
+    check(Prop.forAll(gen) { case (ms, inner) =>
+      val nps = ms.map { case (inv, iri) =>
+        (if (inv) "^" else "") + s"<$iri>" }.mkString("|")
+      val branches = inner.map { case (p1, p2) =>
+        s"{ ?s <$p1> ?o . } UNION { ?s <$p2> ?o . }" }.mkString(" ")
+      val q = Sparql.parse(
+        s"SELECT ?s ?o WHERE { ?s !($nps) ?o . $branches }")
+      val b = q.branches.head
+      val pathOk = b.paths match {
+        case Seq((RV("s"), PNps(fwd, invs), RV("o"))) =>
+          fwd == ms.collect { case (false, i) => i } &&
+            invs == ms.collect { case (true, i) => i }
+        case _ => false
+      }
+      pathOk && b.unions.size == inner.size &&
+        b.unions.zip(inner).forall { case (us, (p1, p2)) =>
+          us.map(_.where) == Seq(Seq(TP(RV("s"), RC(p1), RV("o"))),
+            Seq(TP(RV("s"), RC(p2), RV("o"))))
+        }
+    }, cases = 40)
+  }
+
   test("property: roundSafe stays within half-step of the input") {
     check(Prop.forAll(Gen.choose(-1e6, 1e6)) { x =>
       val r = Seq(x).toDF("x").select(Det.roundSafe(col("x"), 4)).as[Double].head()
