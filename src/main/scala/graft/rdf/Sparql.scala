@@ -125,12 +125,16 @@ object Sparql {
         * condition — shared variables agree on compatible pairs); filters
         * on left-only variables are rejected at solve. */
       optionals: Seq[(Seq[TP], Seq[Expr])],
-      filters: Seq[Expr], minuses: Seq[Seq[TP]] = Nil,
+      filters: Seq[Expr],
+      /** MINUS blocks: patterns + block-scoped FILTERs (the filter is part
+        * of the inner group per spec — it applies before subtraction). */
+      minuses: Seq[(Seq[TP], Seq[Expr])] = Nil,
       values: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
       binds: Seq[(String, Expr)] = Nil,
       paths: Seq[(Term, Path, Term)] = Nil,
-      /** FILTER [NOT] EXISTS blocks; the Boolean is "positive". */
-      exists: Seq[(Boolean, Seq[TP])] = Nil,
+      /** FILTER [NOT] EXISTS blocks: (positive, patterns, block-scoped
+        * filters) — inner-bound filter vars only, as with OPTIONAL. */
+      exists: Seq[(Boolean, Seq[TP], Seq[Expr])] = Nil,
       /** `{ SELECT ... }` subqueries: evaluated independently, joined with
         * the block on their projected variables (SPARQL 18.2.2.12). */
       subqueries: Seq[Query] = Nil,
@@ -276,7 +280,7 @@ object Sparql {
     // (nothing subtracted).
     val blocks = allBlocks(q)
     val allPats = blocks.flatMap(b =>
-      b.where ++ b.optionals.flatMap(_._1) ++ b.minuses.flatten ++
+      b.where ++ b.optionals.flatMap(_._1) ++ b.minuses.flatMap(_._1) ++
         b.exists.flatMap(_._2))
     val pathTerms = blocks.flatMap(_.paths).flatMap { case (s, path, o) =>
       pathStrings(path) ++ Seq(s, o).collect { case C(v: String) => v }
@@ -509,27 +513,37 @@ object Sparql {
       }
     }
     applyReadyBinds()
-    b.optionals.foreach { case (pats, fs) =>
+    // a block-scoped FILTER applies to the block's own solutions before
+    // its join (left/anti/semi); for variables the block itself binds this
+    // IS the spec's semantics in each case — and outer-referencing filters
+    // are rejected loudly (their correlated semantics cannot be expressed
+    // by pre-filtering)
+    def solveFiltered(pats: Seq[TP], fs: Seq[Expr], what: String): DataFrame = {
       var right = solveBgp(pats)
       fs.foreach { f =>
         val missing = exprVars(f).filterNot(right.columns.contains)
         require(missing.isEmpty,
-          "a FILTER inside OPTIONAL may reference only variables bound " +
+          s"a FILTER inside $what may reference only variables bound " +
             s"inside its block in this fragment; unbound there: ${
               missing.map("?" + _).mkString(", ")}")
         right = right.filter(boolCol(f, Map.empty))
       }
-      df = Bgp.optionalSolved(df, right)
+      right
     }
-    b.minuses.foreach(m => df = Bgp.minusSolved(df, solveBgp(m)))
+    b.optionals.foreach { case (pats, fs) =>
+      df = Bgp.optionalSolved(df, solveFiltered(pats, fs, "OPTIONAL"))
+    }
+    b.minuses.foreach { case (pats, fs) =>
+      df = Bgp.minusSolved(df, solveFiltered(pats, fs, "MINUS"))
+    }
     applyReadyBinds()
     require(pendingBinds.isEmpty, "BIND references unbound variables: " +
       pendingBinds.map { case (v, e) =>
         s"?$v ← ${exprVars(e).filterNot(df.columns.contains)
           .map("?" + _).mkString(", ")}"
       }.mkString("; "))
-    b.exists.foreach { case (positive, pats) =>
-      val blk = solveBgp(pats)
+    b.exists.foreach { case (positive, pats, fs) =>
+      val blk = solveFiltered(pats, fs, "EXISTS")
       df = if (positive) Bgp.existsSolved(df, blk)
       else Bgp.notExistsSolved(df, blk)
     }
@@ -1021,10 +1035,12 @@ object Sparql {
     val paths = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
     val optionals =
       scala.collection.mutable.ArrayBuffer.empty[(Seq[TP], Seq[Expr])]
-    val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TP]]
+    val minuses =
+      scala.collection.mutable.ArrayBuffer.empty[(Seq[TP], Seq[Expr])]
     val filters = scala.collection.mutable.ArrayBuffer.empty[Expr]
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
-    val exists = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[TP])]
+    val exists = scala.collection.mutable
+      .ArrayBuffer.empty[(Boolean, Seq[TP], Seq[Expr])]
     val subqueries = scala.collection.mutable.ArrayBuffer.empty[Query]
     val graphs = scala.collection.mutable.ArrayBuffer.empty[(Term, Block)]
     val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Block]]
@@ -1068,15 +1084,15 @@ object Sparql {
         optionals += bracedPatternsFilters()
       } else if (p.peekKw("MINUS")) {
         p.expectKw("MINUS")
-        minuses += bracedPatterns()
+        minuses += bracedPatternsFilters()
       } else if (p.peekKw("FILTER")) {
         p.expectKw("FILTER")
         if (p.peekKw("EXISTS")) {
           p.expectKw("EXISTS")
-          exists += true -> bracedPatterns()
+          exists += { val (ps, fs) = bracedPatternsFilters(); (true, ps, fs) }
         } else if (p.peekKw("NOT")) {
           p.expectKw("NOT"); p.expectKw("EXISTS")
-          exists += false -> bracedPatterns()
+          exists += { val (ps, fs) = bracedPatternsFilters(); (false, ps, fs) }
         } else filters += constraint(p, prefixes, allowAgg = false)
       } else if (p.peekKw("BIND")) {
         p.expectKw("BIND"); p.expect("(")
@@ -1183,7 +1199,8 @@ object Sparql {
         .collect { case V(n) if n.startsWith("_:") => n }.toSet
     def blockLabels(blk: Block): Set[String] =
       labels(blk.where) ++
-        (blk.optionals.map(_._1) ++ blk.minuses ++ blk.exists.map(_._2))
+        (blk.optionals.map(_._1) ++ blk.minuses.map(_._1) ++
+          blk.exists.map(_._2))
           .flatMap(labels) ++
         blk.paths.flatMap { case (s, _, o) => Seq(s, o) }
           .collect { case V(n) if n.startsWith("_:") => n }
@@ -1191,7 +1208,8 @@ object Sparql {
       b.paths.flatMap { case (s, _, o) => Seq(s, o) }
         .collect { case V(n) if n.startsWith("_:") => n }
     val groups = whereLabels +:
-      ((b.optionals.map(_._1) ++ b.minuses ++ b.exists.map(_._2)).map(labels) ++
+      ((b.optionals.map(_._1) ++ b.minuses.map(_._1) ++
+        b.exists.map(_._2)).map(labels) ++
         b.graphs.map(g => blockLabels(g._2)) ++
         // each nested union branch is its own label scope
         b.unions.flatten.map(blockLabels))

@@ -693,6 +693,49 @@ class SparqlSpec extends SparkSpec {
     assert(e.getMessage.contains("inside its block"))
   }
 
+  test("FILTERs inside MINUS and EXISTS blocks scope to the block") {
+    // MINUS { P FILTER F }: the filter is part of the inner group — only
+    // urgent orders' customers are subtracted
+    val viaMinus = Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  MINUS { ?ord <custkey> ?cust . ?ord <orderpriority> ?pr .
+        |          FILTER (?pr = "1-URGENT") }
+        |}""".stripMargin)
+    val viaConst = Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  MINUS { ?ord <custkey> ?cust . ?ord <orderpriority> "1-URGENT" . }
+        |}""".stripMargin)
+    assert(viaMinus.count() === viaConst.count() && viaMinus.count() > 0)
+    assert(viaMinus.exceptAll(viaConst).count() === 0)
+    // FILTER EXISTS { P FILTER F } — same equivalence for the semi join
+    val viaExists = Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  FILTER EXISTS { ?ord <custkey> ?cust . ?ord <orderstatus> ?st .
+        |                  FILTER (?st = "F") }
+        |}""".stripMargin)
+    val existsConst = Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  FILTER EXISTS { ?ord <custkey> ?cust . ?ord <orderstatus> "F" . }
+        |}""".stripMargin)
+    assert(viaExists.count() === existsConst.count() && viaExists.count() > 0)
+    assert(viaExists.exceptAll(existsConst).count() === 0)
+    // outer-variable references stay loud errors in both block kinds
+    intercept[IllegalArgumentException](Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> ?seg .
+        |  MINUS { ?ord <custkey> ?cust . FILTER (?seg = "BUILDING") }
+        |}""".stripMargin).count())
+    intercept[IllegalArgumentException](Sparql.run(triples,
+      """SELECT ?cust WHERE {
+        |  ?cust <mktsegment> ?seg .
+        |  FILTER NOT EXISTS { ?ord <custkey> ?cust . FILTER (?seg = "X") }
+        |}""".stripMargin).count())
+  }
+
   test("nested { group } UNION { group } joins the enclosing block on shared vars") {
     // union nested AFTER a pattern: the disjunction restricts ?cust
     val nested = Sparql.run(triples,
