@@ -27,6 +27,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .drop("h")
 
+  /** Incremental exact dedup — the continuous-ingestion shape: drop any
+    * new document whose content digest already exists in the ingested
+    * corpus (anti join on the digest), then exact-dedup within the batch
+    * itself (keep the smallest doc_id per digest).
+    *
+    * Scale shape: the seen side reduces to ONE digest column before the
+    * join — at 100 TB the historical corpus contributes 32-byte rows, not
+    * text; both the anti join and the in-batch groupBy shuffle on the
+    * digest, so the two stages share partitioning. */
+  def incrementalExact(newDocs: DataFrame, seenDocs: DataFrame): DataFrame = {
+    val seen = seenDocs.select(sha2(col("text"), 256).as("h")).distinct()
+    newDocs.withColumn("h", sha2(col("text"), 256))
+      .join(seen, Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .drop("h")
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   val NumHashes = 64

@@ -22,6 +22,16 @@ object LlmOps extends QueryModule {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Continuous-ingestion dedup: docs arriving after the snapshot
+    // boundary (doc_id >= 250) dedup against the already-ingested corpus
+    // by content digest, then within their own batch.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashPairs(Tables.documents(s, d), 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -215,6 +225,14 @@ object LlmOps extends QueryModule {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents n
+        |WHERE doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id < 250 AND s.text = n.text)
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "q_sim_cosine_topk" ->
       """WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),

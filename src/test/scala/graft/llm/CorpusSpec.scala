@@ -31,6 +31,16 @@ class CorpusSpec extends SparkSpec {
       s"benchmark grams must broadcast:\n$plan")
   }
 
+  test("incremental dedup drops digests seen in the snapshot, then dedups the batch") {
+    val seen = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"),            // already ingested → dropped
+      (11L, "gamma"), (12L, "gamma"),          // in-batch dup → one survivor
+      (13L, "delta")).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, seen)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((11L, 2L), (13L, 1L)))
+  }
+
   test("stratified sample is deterministic and respects per-stratum rates") {
     val docs = (0L until 4000L).map(i =>
       (i, if (i % 2 == 0) "en" else "de", s"doc $i")).toDF("doc_id", "lang", "text")
