@@ -811,17 +811,25 @@ object Sparql {
       name.stripSuffix(":") -> iri
     }.toMap
     val ask = p.peekKw("ASK")
+    var constructWhere = false
     val construct =
       if (p.peekKw("CONSTRUCT")) {
-        p.expectKw("CONSTRUCT"); p.expect("{")
-        val template = scala.collection.mutable.ArrayBuffer.empty[TP]
-        while (p.peek() != "}") {
-          template ++= sameSubject(p, prefixes, allowPaths = false)._1
-          p.maybe(".")
+        p.expectKw("CONSTRUCT")
+        // CONSTRUCT WHERE { patterns } shorthand (grammar 10): the WHERE
+        // patterns double as the template — parsed below with everything
+        // else; plain triple patterns only, enforced after the parse
+        if (p.peekKw("WHERE")) { constructWhere = true; Some(Nil) }
+        else {
+          p.expect("{")
+          val template = scala.collection.mutable.ArrayBuffer.empty[TP]
+          while (p.peek() != "}") {
+            template ++= sameSubject(p, prefixes, allowPaths = false)._1
+            p.maybe(".")
+          }
+          p.expect("}")
+          require(template.nonEmpty, "empty CONSTRUCT template")
+          Some(template.toSeq)
         }
-        p.expect("}")
-        require(template.nonEmpty, "empty CONSTRUCT template")
-        Some(template.toSeq)
       } else None
     val describe =
       if (p.peekKw("DESCRIBE")) {
@@ -845,8 +853,21 @@ object Sparql {
         else whereBranches(p, prefixes)
       require(!p.hasNext, "ASK/CONSTRUCT/DESCRIBE take no solution " +
         s"modifiers in this fragment; got: ${p.rest.take(5).mkString(" ")}")
+      // CONSTRUCT WHERE: the template IS the (plain-pattern-only) WHERE
+      val template =
+        if (!constructWhere) construct
+        else {
+          require(branches.size == 1, "CONSTRUCT WHERE takes a single group")
+          val b = branches.head
+          require(b.optionals.isEmpty && b.filters.isEmpty &&
+            b.minuses.isEmpty && b.values.isEmpty && b.binds.isEmpty &&
+            b.paths.isEmpty && b.exists.isEmpty && b.subqueries.isEmpty &&
+            b.graphs.isEmpty && b.unions.isEmpty && b.where.nonEmpty,
+            "CONSTRUCT WHERE takes plain triple patterns only (grammar 10)")
+          Some(b.where)
+        }
       Query(Seq("*"), branches, distinct = false, Nil, None, None, ask,
-        construct, describe = describe,
+        template, describe = describe,
         fromGraphs = fromGraphs, fromNamed = fromNamed)
     } else {
       val q = selectQuery(p, prefixes, topLevel = true)

@@ -693,6 +693,19 @@ class SparqlSpec extends SparkSpec {
     assert(e.getMessage.contains("inside its block"))
   }
 
+  test("CONSTRUCT WHERE shorthand uses the patterns as the template") {
+    val full = Sparql.run(triples,
+      """CONSTRUCT { ?c <mktsegment> ?s . ?c <nation> ?n . }
+        |WHERE { ?c <mktsegment> ?s . ?c <nation> ?n . }""".stripMargin)
+    val short = Sparql.run(triples,
+      "CONSTRUCT WHERE { ?c <mktsegment> ?s . ?c <nation> ?n . }")
+    assert(short.count() === full.count() && short.count() > 0)
+    assert(short.exceptAll(full).count() === 0)
+    // non-plain members are out of the shorthand's grammar, loudly
+    intercept[IllegalArgumentException](Sparql.parse(
+      "CONSTRUCT WHERE { ?c <p> ?s . FILTER (?s = \"x\") }"))
+  }
+
   test("FILTERs inside MINUS and EXISTS blocks scope to the block") {
     // MINUS { P FILTER F }: the filter is part of the inner group — only
     // urgent orders' customers are subtracted
