@@ -209,6 +209,16 @@ object RdfOps extends QueryModule {
           |HAVING (SUM(?nk * 2 + 1) > 100)
           |ORDER BY ?seg""".stripMargin)),
 
+    // GROUP BY over an expression key (GroupCondition `( expr AS ?v )`):
+    // the key materializes once pre-aggregation; FLOOR keeps xsd double
+    // semantics on both engines.
+    "q_sparql_groupby_expr" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?bucket (COUNT(?cust) AS ?n) (SUM(?nk) AS ?tot)
+          |WHERE { ?cust <nationkey> ?nk . }
+          |GROUP BY (FLOOR(?nk / 5) AS ?bucket)
+          |ORDER BY ?bucket""".stripMargin)),
+
     // GROUP_CONCAT and SAMPLE — the two SPARQL 1.1 aggregates whose value
     // the spec leaves implementation-defined. Both take the deterministic
     // choice (sorted concatenation; group minimum) so the result is
@@ -665,6 +675,13 @@ object RdfOps extends QueryModule {
         |GROUP BY s ORDER BY s""".stripMargin),
 
     "q_sparql_agg" -> sparqlAggOracle,
+
+    "q_sparql_groupby_expr" -> cte(
+      """SELECT floor(TRY_CAST(t1.o AS DOUBLE) / 5) AS bucket,
+        |  count(t1.s) AS n,
+        |  CAST(sum(TRY_CAST(t1.o AS DECIMAL(27,6))) AS DOUBLE) AS tot
+        |FROM triples t1 WHERE t1.p = 'nationkey'
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
 
     "q_sparql_agg_expr" -> {
       val e1 = "(TRY_CAST(t2.o AS DOUBLE) * 2 + 1)"

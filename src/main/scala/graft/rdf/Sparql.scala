@@ -166,7 +166,9 @@ object Sparql {
         * dataset clause is present the dataset is EXACTLY as described —
         * FROM only ⇒ GRAPH matches nothing; FROM NAMED only ⇒ empty
         * default graph (SPARQL 13.2). */
-      fromNamed: Seq[String] = Nil) {
+      fromNamed: Seq[String] = Nil,
+      /** `GROUP BY (expr AS ?v)` keys: materialized before grouping. */
+      groupBinds: Seq[(String, Expr)] = Nil) {
     // single-branch accessors (the pre-UNION shape most callers inspect);
     // guarded so a union query can never silently expose only its first
     // branch to plan analysis — inspect `branches` for those
@@ -597,7 +599,11 @@ object Sparql {
     val exprAggs = (q.selectAggs.map(_._2) ++ hidden.map(_._1))
       .filter(_.argExpr.isDefined).distinct.zipWithIndex
       .map { case (a, i) => (a, s"__ae$i") }.toMap
-    val pre = exprAggs.foldLeft(solved) { case (df, (a, n)) =>
+    val withKeys = q.groupBinds.foldLeft(solved) { case (df, (n, e)) =>
+      require(!df.columns.contains(n), s"GROUP BY ... AS would rebind ?$n")
+      df.withColumn(n, scalarCol(e, numericExpr(e), Map.empty))
+    }
+    val pre = exprAggs.foldLeft(withKeys) { case (df, (a, n)) =>
       df.withColumn(n,
         scalarCol(a.argExpr.get, numericExpr(a.argExpr.get), Map.empty))
     }
@@ -677,7 +683,7 @@ object Sparql {
     case ENum(_) => true
     case EArith(_, _, _) => true
     case EAgg(fn, _, _, _, _) => fn == "COUNT" || fn == "SUM" || fn == "AVG"
-    case EFun("STRLEN" | "ABS", _) => true
+    case EFun("STRLEN" | "ABS" | "FLOOR" | "CEIL" | "ROUND", _) => true
     case EFun("IF", args) => args.drop(1).exists(numericExpr)
     case EFun("COALESCE", args) => args.exists(numericExpr)
     case _ => false
@@ -739,6 +745,16 @@ object Sparql {
     case EFun("UCASE", Seq(a)) => upper(scalarCol(a, numeric = false, env))
     case EFun("LCASE", Seq(a)) => lower(scalarCol(a, numeric = false, env))
     case EFun("ABS", Seq(a)) => abs(scalarCol(a, numeric = true, env))
+    // xsd numeric semantics: results stay doubles (Spark's floor/ceil
+    // return longs); ROUND ties go toward +Inf (17.4.4.1), which Spark's
+    // HALF_UP round violates for negatives — floor(x + 0.5) is the spec
+    // AND bit-identical in DuckDB (the Det.roundSafe reasoning)
+    case EFun("FLOOR", Seq(a)) =>
+      floor(scalarCol(a, numeric = true, env)).cast("double")
+    case EFun("CEIL", Seq(a)) =>
+      ceil(scalarCol(a, numeric = true, env)).cast("double")
+    case EFun("ROUND", Seq(a)) =>
+      floor(scalarCol(a, numeric = true, env) + lit(0.5)).cast("double")
     case EFun("SUBSTR", Seq(a, ENum(pos))) =>
       scalarCol(a, numeric = false, env).substr(lit(pos.toInt), lit(Int.MaxValue))
     case EFun("SUBSTR", Seq(a, ENum(pos), ENum(len))) =>
@@ -938,10 +954,29 @@ object Sparql {
       if (topLevel) datasetClauses(p, prefixes) else (Nil, Nil)
     val branches = whereBranches(p, prefixes)
     val groupVars = scala.collection.mutable.ArrayBuffer.empty[String]
+    val groupBinds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
     if (p.peekKw("GROUP")) {
       p.expectKw("GROUP"); p.expectKw("BY")
-      while (p.hasNext && p.peek().startsWith("?") && p.peek().length > 1)
-        groupVars += p.next().drop(1)
+      // GroupCondition (grammar 19): ?var | ( expr [AS ?var] ) — an
+      // expression key materializes pre-aggregation ([[aggregate]]);
+      // without AS it groups on a hidden non-projectable column
+      while (p.hasNext &&
+          ((p.peek().startsWith("?") && p.peek().length > 1) || p.peek() == "(")) {
+        if (p.peek() == "(") {
+          p.expect("(")
+          val e = orExpr(p, prefixes, allowAgg = false)
+          val name =
+            if (p.peekKw("AS")) {
+              p.expectKw("AS")
+              val v = p.next()
+              require(v.startsWith("?"), s"GROUP BY AS needs ?var, got $v")
+              v.drop(1)
+            } else s"__gk${groupBinds.size}"
+          p.expect(")")
+          groupBinds += name -> e
+          groupVars += name
+        } else groupVars += p.next().drop(1)
+      }
       require(groupVars.nonEmpty, "empty GROUP BY")
     }
     var having = Option.empty[Expr]
@@ -983,7 +1018,8 @@ object Sparql {
     }
     Query(proj, branches, distinct, orderKeys.toSeq, limit, offset,
       ask = false, None, selectAggs.toSeq, groupVars.toSeq, having,
-      fromGraphs = fromGraphs, fromNamed = fromNamed)
+      fromGraphs = fromGraphs, fromNamed = fromNamed,
+      groupBinds = groupBinds.toSeq)
   }
 
   /** `WHERE { ... }`: a plain block, or `{ group } UNION { group }...`.
@@ -1545,7 +1581,8 @@ object Sparql {
     }
 
   private val builtinFns = Set("STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
-    "STRSTARTS", "STRENDS", "SUBSTR", "ABS", "IF", "COALESCE")
+    "STRSTARTS", "STRENDS", "SUBSTR", "ABS", "FLOOR", "CEIL", "ROUND",
+    "IF", "COALESCE")
 
   private def argList(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Seq[Expr] = {

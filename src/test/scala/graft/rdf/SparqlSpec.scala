@@ -631,6 +631,29 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("GROUP BY expression keys, aliased and hidden") {
+    val t = Seq(("a", "nk", "3"), ("b", "nk", "7"), ("c", "nk", "8"),
+      ("d", "nk", "12")).toDF("s", "p", "o")
+    // aliased key is projectable
+    val got = Sparql.run(t,
+      """SELECT ?bucket (COUNT(?s) AS ?n) WHERE { ?s <nk> ?v . }
+        |GROUP BY (FLOOR(?v / 5) AS ?bucket)
+        |ORDER BY ?bucket""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0.0, 1L), (1.0, 2L), (2.0, 1L)))
+    // an un-aliased expression key groups but never reaches the output
+    val hidden = Sparql.run(t,
+      """SELECT (COUNT(?s) AS ?n) WHERE { ?s <nk> ?v . }
+        |GROUP BY (FLOOR(?v / 5))
+        |ORDER BY ?n""".stripMargin)
+    assert(hidden.columns.toSeq === Seq("n"))
+    assert(hidden.as[Long].collect().toSeq === Seq(1L, 1L, 2L))
+    // rebinding a WHERE variable is a loud error
+    intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?v (COUNT(?s) AS ?n) WHERE { ?s <nk> ?v . }
+        |GROUP BY (FLOOR(?v / 5) AS ?v)""".stripMargin).count())
+  }
+
   test("aggregates take expression arguments (SUM(?a * ?b), HAVING)") {
     val t = Seq(
       ("o1", "cat", "a"), ("o1", "price", "10"), ("o1", "qty", "3"),
