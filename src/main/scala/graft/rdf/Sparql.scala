@@ -129,7 +129,9 @@ object Sparql {
       /** MINUS blocks: patterns + block-scoped FILTERs (the filter is part
         * of the inner group per spec — it applies before subtraction). */
       minuses: Seq[(Seq[TP], Seq[Expr])] = Nil,
-      values: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
+      /** VALUES tables: (vars, rows); a None cell is UNDEF (the row
+        * leaves that variable unconstrained — a partial binding). */
+      values: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
       binds: Seq[(String, Expr)] = Nil,
       paths: Seq[(Term, Path, Term)] = Nil,
       /** FILTER [NOT] EXISTS blocks: (positive, patterns, block-scoped
@@ -483,16 +485,31 @@ object Sparql {
       b.subqueries.map(sq => execute(sq, solveBgp, solvePath, solveGraph))
     var df = pieces.reduce(Bgp.joinSolved)
     // VALUES = join with the inline solution table (restricts shared
-    // vars, cross-products disjoint ones — SPARQL join semantics)
+    // vars, cross-products disjoint ones — SPARQL join semantics). UNDEF
+    // cells are partial bindings: rows are grouped by their defined-column
+    // mask, each group joins on only its defined columns, and the per-mask
+    // results bag-union — exact, because join distributes over union of
+    // the VALUES multiset. No join condition ever compares to null.
     b.values.foreach { case (vars, rows) =>
       val spark = df.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
-        org.apache.spark.sql.types.StructField(v,
-          org.apache.spark.sql.types.StringType, nullable = false)))
-      val vdf = spark.createDataFrame(
-        java.util.Arrays.asList(rows.map(r =>
-          org.apache.spark.sql.Row(r: _*)): _*), schema)
-      df = Bgp.joinSolved(df, vdf)
+      def joinMask(mask: Seq[Boolean], rs: Seq[Seq[Option[String]]]): DataFrame = {
+        val defVars = vars.zip(mask).collect { case (v, true) => v }
+        if (defVars.isEmpty)
+          // all-UNDEF rows constrain nothing: each contributes every
+          // solution once (bag multiplicity |rows|)
+          return rs.map(_ => df).reduce(_.unionByName(_))
+        val schema = org.apache.spark.sql.types.StructType(defVars.map(v =>
+          org.apache.spark.sql.types.StructField(v,
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        val vdf = spark.createDataFrame(
+          java.util.Arrays.asList(rs.map(r =>
+            org.apache.spark.sql.Row(r.flatten: _*)): _*), schema)
+        Bgp.joinSolved(df, vdf)
+      }
+      df = rows.groupBy(_.map(_.isDefined)).toSeq
+        .sortBy(_._1.mkString) // deterministic union order
+        .map { case (mask, rs) => joinMask(mask, rs) }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }
     // BIND derives a new binding column. Application is dependency-driven:
     // a BIND whose referenced variables are already bound applies before
@@ -1128,12 +1145,15 @@ object Sparql {
       p.expect("}")
       (pats.toSeq, fs.toSeq)
     }
-    val values =
-      scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[Seq[String]])]
-    def constant(): String = term(p, prefixes) match {
-      case C(v) => v.toString
-      case V(n) => throw new IllegalArgumentException(
-        s"VALUES rows take constants, got ?$n")
+    val values = scala.collection.mutable
+      .ArrayBuffer.empty[(Seq[String], Seq[Seq[Option[String]]])]
+    def constant(): Option[String] = {
+      if (p.peekKw("UNDEF")) { p.next(); return None }
+      term(p, prefixes) match {
+        case C(v) => Some(v.toString)
+        case V(n) => throw new IllegalArgumentException(
+          s"VALUES rows take constants or UNDEF, got ?$n")
+      }
     }
     while (p.peek() != "}") {
       if (p.peekKw("OPTIONAL")) {
@@ -1216,7 +1236,8 @@ object Sparql {
           }
         require(vars.nonEmpty, "VALUES needs at least one variable")
         p.expect("{")
-        val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+        val rows =
+          scala.collection.mutable.ArrayBuffer.empty[Seq[Option[String]]]
         while (p.peek() != "}") {
           rows += (if (vars.size == 1) Seq(constant())
           else {

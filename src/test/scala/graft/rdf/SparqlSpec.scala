@@ -631,6 +631,33 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("VALUES rows with UNDEF are partial bindings") {
+    val t = Seq(("s1", "p", "a"), ("s1", "q", "x"), ("s2", "p", "b"),
+      ("s2", "q", "y"), ("s3", "p", "a"), ("s3", "q", "z"))
+      .toDF("s", "p", "o")
+    // (?po ?qo): a fully-bound row restricts both; an UNDEF ?qo row
+    // restricts only ?po (any ?qo matches)
+    val got = Sparql.run(t,
+      """SELECT ?s ?po ?qo WHERE {
+        |  ?s <p> ?po . ?s <q> ?qo .
+        |  VALUES (?po ?qo) { ("b" "y") ("a" UNDEF) }
+        |}
+        |ORDER BY ?s""".stripMargin)
+      .as[(String, String, String)].collect().toSeq
+    assert(got === Seq(("s1", "a", "x"), ("s2", "b", "y"), ("s3", "a", "z")))
+    // UNDEF in the single-variable short form: the row matches everything
+    val short = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?po . VALUES ?po { "b" UNDEF } }
+        |ORDER BY ?s""".stripMargin)
+    // bag semantics: "b" matches s2 once, UNDEF matches all three
+    assert(short.as[String].collect().toSeq.sorted ===
+      Seq("s1", "s2", "s2", "s3"))
+    // all-UNDEF rows multiply: 2 unconstraining rows → every solution ×2
+    val mult = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <q> ?qo . VALUES ?qo { UNDEF UNDEF } }""")
+    assert(mult.count() === 6)
+  }
+
   test("GROUP BY expression keys, aliased and hidden") {
     val t = Seq(("a", "nk", "3"), ("b", "nk", "7"), ("c", "nk", "8"),
       ("d", "nk", "12")).toDF("s", "p", "o")
