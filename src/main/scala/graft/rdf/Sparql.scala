@@ -150,7 +150,12 @@ object Sparql {
         * GroupGraphPattern union, legal anywhere in a body. */
       unions: Seq[Seq[Block]] = Nil)
 
-  final case class OrderKey(v: String, asc: Boolean)
+  final case class OrderKey(v: String, asc: Boolean,
+      /** Expression sort key (OrderCondition beyond a bare variable);
+        * materialized as a hidden column, dropped after LIMIT/OFFSET.
+        * May reference projected variables only (ORDER applies to the
+        * projected solutions in this engine). */
+      expr: Option[Expr] = None)
 
   final case class Query(projection: Seq[String], branches: Seq[Block],
       distinct: Boolean, orderKeys: Seq[OrderKey],
@@ -451,19 +456,43 @@ object Sparql {
     }
     if (q.groupVars.nonEmpty || q.selectAggs.nonEmpty || q.having.isDefined)
       df = aggregate(q, df)
-    if (q.projection != Seq("*")) df = df.select(q.projection.map(col): _*)
+    // hidden expression ORDER keys compute BEFORE projection (18.2.5:
+    // ordering sees the full solution) — except under DISTINCT, where a
+    // key over non-projected variables could split equal projected rows,
+    // so only projected variables are allowed there (loudly)
+    val hiddenKeys = scala.collection.mutable.ArrayBuffer.empty[String]
+    q.orderKeys.zipWithIndex.foreach { case (k, i) =>
+      k.expr.foreach { e =>
+        if (q.distinct) {
+          val out = exprVars(e).filterNot(q.projection.contains)
+          require(out.isEmpty, "an ORDER BY expression under DISTINCT may " +
+            s"use projected variables only; not projected: ${
+              out.map("?" + _).mkString(", ")}")
+        }
+        val n = s"__ok$i"
+        hiddenKeys += n
+        df = df.withColumn(n, scalarCol(e, numericExpr(e), Map.empty))
+      }
+    }
+    if (q.projection != Seq("*"))
+      df = df.select((q.projection ++ hiddenKeys).map(col): _*)
     else {
       // SELECT * projects only named variables — blank-node bindings are
       // internal and must not leak
       val bnodes = df.columns.filter(_.startsWith("_:"))
       if (bnodes.nonEmpty) df = df.drop(bnodes: _*)
     }
+    // under DISTINCT the hidden keys are functions of projected variables
+    // (enforced above), so distinct over projection+keys ≡ over projection
     if (q.distinct) df = df.distinct()
     if (q.orderKeys.nonEmpty)
-      df = df.orderBy(q.orderKeys.map(k =>
-        if (k.asc) asc_nulls_first(k.v) else desc_nulls_last(k.v)): _*)
+      df = df.orderBy(q.orderKeys.zipWithIndex.map { case (k, i) =>
+        val name = if (k.expr.isDefined) s"__ok$i" else k.v
+        if (k.asc) asc_nulls_first(name) else desc_nulls_last(name)
+      }: _*)
     q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
+    if (hiddenKeys.nonEmpty) df = df.drop(hiddenKeys.toSeq: _*)
     df
   }
 
@@ -1004,16 +1033,31 @@ object Sparql {
     val orderKeys = scala.collection.mutable.ArrayBuffer.empty[OrderKey]
     if (p.peekKw("ORDER")) {
       p.expectKw("ORDER"); p.expectKw("BY")
+      // OrderCondition: ?var | [ASC|DESC] ( expr ) | builtin-call —
+      // a bare variable stays a named key; anything else is an
+      // expression key (hidden sort column)
+      def key(e: Expr, asc: Boolean): OrderKey = e match {
+        case EVar(n) => OrderKey(n, asc)
+        case other => OrderKey("", asc, Some(other))
+      }
       while (p.hasNext &&
-          (p.peek().startsWith("?") || p.peekKw("ASC") || p.peekKw("DESC"))) {
+          ((p.peek().startsWith("?") && p.peek().length > 1) ||
+            p.peek() == "(" || p.peekKw("ASC") || p.peekKw("DESC") ||
+            builtinFns.exists(p.peekKw))) {
         if (p.peekKw("ASC") || p.peekKw("DESC")) {
           val asc = p.next().equalsIgnoreCase("ASC")
           p.expect("(")
-          val v = p.next()
-          require(v.startsWith("?"), s"ORDER BY needs a variable, got $v")
+          val e = orExpr(p, prefixes, allowAgg = false)
           p.expect(")")
-          orderKeys += OrderKey(v.drop(1), asc)
-        } else orderKeys += OrderKey(p.next().drop(1), asc = true)
+          orderKeys += key(e, asc)
+        } else if (p.peek() == "(") {
+          p.expect("(")
+          val e = orExpr(p, prefixes, allowAgg = false)
+          p.expect(")")
+          orderKeys += key(e, asc = true)
+        } else if (builtinFns.exists(p.peekKw))
+          orderKeys += key(orExpr(p, prefixes, allowAgg = false), asc = true)
+        else orderKeys += OrderKey(p.next().drop(1), asc = true)
       }
       require(orderKeys.nonEmpty, "empty ORDER BY")
     }

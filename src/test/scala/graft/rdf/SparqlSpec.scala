@@ -631,6 +631,31 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("ORDER BY expression keys sort without leaking hidden columns") {
+    val t = Seq(("s1", "nk", "12"), ("s2", "nk", "3"), ("s3", "nk", "7"))
+      .toDF("s", "p", "o")
+    // arithmetic inside DESC(...): numeric sort, hidden key dropped
+    val got = Sparql.run(t,
+      """SELECT ?s ?v WHERE { ?s <nk> ?v . } ORDER BY DESC(?v * 2)""")
+    assert(got.columns.toSeq === Seq("s", "v"))
+    assert(got.select("s").as[String].collect().toSeq === Seq("s1", "s3", "s2"))
+    // bare bracketed expression ascends; composes with LIMIT
+    val lim = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <nk> ?v . } ORDER BY (?v + 0) LIMIT 2""")
+    assert(lim.as[String].collect().toSeq === Seq("s2", "s3"))
+    // builtin-call condition (STRLEN) with a secondary variable key
+    val t2 = Seq(("a", "name", "xx"), ("b", "name", "z"), ("c", "name", "yy"))
+      .toDF("s", "p", "o")
+    val byLen = Sparql.run(t2,
+      """SELECT ?s ?n WHERE { ?s <name> ?n . } ORDER BY STRLEN(?n) ?s""")
+    assert(byLen.select("s").as[String].collect().toSeq === Seq("b", "a", "c"))
+    // under DISTINCT, a key over a non-projected variable is a loud error
+    // (it could split equal projected rows)
+    intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT DISTINCT ?s WHERE { ?s <nk> ?v . } ORDER BY (?v + 0)""")
+      .count())
+  }
+
   test("VALUES rows with UNDEF are partial bindings") {
     val t = Seq(("s1", "p", "a"), ("s1", "q", "x"), ("s2", "p", "b"),
       ("s2", "q", "y"), ("s3", "p", "a"), ("s3", "q", "z"))
