@@ -209,6 +209,21 @@ object RdfOps extends QueryModule {
           |HAVING (SUM(?nk * 2 + 1) > 100)
           |ORDER BY ?seg""".stripMargin)),
 
+    // SELECT expression projections: a derived ratio of two aggregates
+    // and group-key arithmetic, computed over the aggregated row via the
+    // EAgg→alias environment (unaliased COUNT becomes a hidden column).
+    "q_sparql_select_expr" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?seg (SUM(?nk) AS ?tot)
+          |       (SUM(?nk) / COUNT(?nk) AS ?mean)
+          |       (COUNT(?cust) * 2 AS ?n2)
+          |WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  ?cust <nationkey> ?nk .
+          |}
+          |GROUP BY ?seg
+          |ORDER BY ?seg""".stripMargin)),
+
     // GROUP BY over an expression key (GroupCondition `( expr AS ?v )`):
     // the key materializes once pre-aggregation; FLOOR keeps xsd double
     // semantics on both engines.
@@ -675,6 +690,16 @@ object RdfOps extends QueryModule {
         |GROUP BY s ORDER BY s""".stripMargin),
 
     "q_sparql_agg" -> sparqlAggOracle,
+
+    "q_sparql_select_expr" -> cte(
+      """SELECT t1.o AS seg,
+        |  CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE) AS tot,
+        |  (CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE)
+        |    / CAST(count(t2.o) AS DOUBLE)) AS mean,
+        |  CAST(count(t1.s) AS DOUBLE) * 2 AS n2
+        |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey'
+        |GROUP BY t1.o ORDER BY seg""".stripMargin),
 
     "q_sparql_groupby_expr" -> cte(
       """SELECT floor(TRY_CAST(t1.o AS DOUBLE) / 5) AS bucket,

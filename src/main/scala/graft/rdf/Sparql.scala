@@ -175,7 +175,11 @@ object Sparql {
         * default graph (SPARQL 13.2). */
       fromNamed: Seq[String] = Nil,
       /** `GROUP BY (expr AS ?v)` keys: materialized before grouping. */
-      groupBinds: Seq[(String, Expr)] = Nil) {
+      groupBinds: Seq[(String, Expr)] = Nil,
+      /** `SELECT (expr AS ?v)` non-aggregate-call projections; the
+        * expression may contain aggregates (computed via the EAgg→alias
+        * env after the hash aggregation). */
+      selectBinds: Seq[(String, Expr)] = Nil) {
     // single-branch accessors (the pre-UNION shape most callers inspect);
     // guarded so a union query can never silently expose only its first
     // branch to plan analysis — inspect `branches` for those
@@ -454,8 +458,14 @@ object Sparql {
           t2c(tp.o).cast("string").as("o")))
         .reduce(_.unionByName(_)).distinct()
     }
-    if (q.groupVars.nonEmpty || q.selectAggs.nonEmpty || q.having.isDefined)
-      df = aggregate(q, df)
+    val aggregated = q.groupVars.nonEmpty || q.selectAggs.nonEmpty ||
+      q.having.isDefined || q.selectBinds.exists(b => collectAggs(b._2).nonEmpty)
+    if (aggregated) df = aggregate(q, df)
+    // non-aggregate select-bindings compute from the solution directly
+    else q.selectBinds.foreach { case (v, e) =>
+      require(!df.columns.contains(v), s"SELECT (... AS ?$v) would rebind ?$v")
+      df = df.withColumn(v, scalarCol(e, numericExpr(e), Map.empty))
+    }
     // hidden expression ORDER keys compute BEFORE projection (18.2.5:
     // ordering sees the full solution) — except under DISTINCT, where a
     // key over non-projected variables could split equal projected rows,
@@ -635,7 +645,8 @@ object Sparql {
     * SELECTed compute as hidden columns and drop after the filter. */
   private def aggregate(q: Query, solved: DataFrame): DataFrame = {
     val aliasOf: Map[EAgg, String] = q.selectAggs.map(_.swap).toMap
-    val hidden = q.having.toSeq.flatMap(collectAggs).distinct
+    val hidden = (q.having.toSeq ++ q.selectBinds.map(_._2))
+      .flatMap(collectAggs).distinct
       .filterNot(aliasOf.contains).zipWithIndex
       .map { case (a, i) => (a, s"__h$i") }
     val env: Map[EAgg, String] = aliasOf ++ hidden
@@ -666,6 +677,12 @@ object Sparql {
       else pre.groupBy()
     var df = grouped.agg(all.head, all.tail: _*)
     q.having.foreach(h => df = df.filter(boolCol(h, env)))
+    // select-bindings over the aggregated row: EAgg references resolve
+    // through the alias env (projection aliases + hidden columns)
+    q.selectBinds.foreach { case (v, e) =>
+      require(!df.columns.contains(v), s"SELECT (... AS ?$v) would rebind ?$v")
+      df = df.withColumn(v, scalarCol(e, numericExpr(e), env))
+    }
     df.drop(hidden.map(_._2) :+ "__g": _*)
   }
 
@@ -968,6 +985,7 @@ object Sparql {
   private def selectQuery(p: P, prefixes: Map[String, String],
       topLevel: Boolean = false): Query = {
     val selectAggs = scala.collection.mutable.ArrayBuffer.empty[(String, EAgg)]
+    val selectBinds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
     p.expectKw("SELECT")
     // REDUCED *permits* duplicate elimination; eliminating them all (i.e.
     // DISTINCT) is a conformant implementation
@@ -982,14 +1000,21 @@ object Sparql {
             ((p.peek().startsWith("?") && p.peek().length > 1) ||
               p.peek() == "(")) {
           if (p.peek() == "(") {
-            // (AGG(?v) AS ?alias) — an aggregate projection binding
+            // ( Expression AS ?alias ): a bare aggregate call keeps the
+            // direct selectAggs path; any other expression — including
+            // one CONTAINING aggregates, e.g. (SUM(?x)/COUNT(?x) AS ?r)
+            // — becomes a select-binding computed from the solution (or
+            // from the aggregated row via the EAgg→alias env)
             p.expect("(")
-            val a = aggCall(p, prefixes)
+            val e = orExpr(p, prefixes, allowAgg = true)
             p.expectKw("AS")
             val v = p.next()
             require(v.startsWith("?"), s"AS needs a variable, got $v")
             p.expect(")")
-            selectAggs += v.drop(1) -> a
+            e match {
+              case a: EAgg => selectAggs += v.drop(1) -> a
+              case other => selectBinds += v.drop(1) -> other
+            }
             items += v.drop(1)
           } else items += p.next().drop(1)
         }
@@ -1068,11 +1093,12 @@ object Sparql {
       val n = p.nextInt()
       if (kw.equalsIgnoreCase("LIMIT")) limit = Some(n) else offset = Some(n)
     }
-    val hasAgg = selectAggs.nonEmpty || groupVars.nonEmpty || having.isDefined
+    val hasAgg = selectAggs.nonEmpty || groupVars.nonEmpty ||
+      having.isDefined || selectBinds.exists(b => collectAggs(b._2).nonEmpty)
     if (hasAgg) {
       require(proj != Seq("*"),
         "SELECT * cannot combine with GROUP BY/aggregates")
-      val aliases = selectAggs.map(_._1).toSet
+      val aliases = selectAggs.map(_._1).toSet ++ selectBinds.map(_._1)
       val bad = proj.filterNot(aliases).filterNot(groupVars.contains)
       require(bad.isEmpty, "non-aggregated SELECT variables must appear " +
         s"in GROUP BY: ${bad.map("?" + _).mkString(", ")}")
@@ -1080,7 +1106,7 @@ object Sparql {
     Query(proj, branches, distinct, orderKeys.toSeq, limit, offset,
       ask = false, None, selectAggs.toSeq, groupVars.toSeq, having,
       fromGraphs = fromGraphs, fromNamed = fromNamed,
-      groupBinds = groupBinds.toSeq)
+      groupBinds = groupBinds.toSeq, selectBinds = selectBinds.toSeq)
   }
 
   /** `WHERE { ... }`: a plain block, or `{ group } UNION { group }...`.
@@ -1622,8 +1648,8 @@ object Sparql {
     } else if (builtinFns.exists(p.peekKw)) {
       val fn = p.next().toUpperCase
       EFun(fn, argList(p, prefixes, allowAgg))
-    } else if (allowAgg && Seq("COUNT", "SUM", "AVG", "MIN", "MAX")
-        .exists(p.peekKw)) aggCall(p, prefixes)
+    } else if (allowAgg && Seq("COUNT", "SUM", "AVG", "MIN", "MAX",
+        "SAMPLE", "GROUP_CONCAT").exists(p.peekKw)) aggCall(p, prefixes)
     else {
       val t = p.next()
       if (t.startsWith("?") && t.length > 1) EVar(t.drop(1))

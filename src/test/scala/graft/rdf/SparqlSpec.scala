@@ -631,6 +631,38 @@ class SparqlSpec extends SparkSpec {
     assert(dup.count() === 2 && dup.distinct().count() === 1)
   }
 
+  test("SELECT expression projections, plain and aggregate-bearing") {
+    val t = Seq(("a", "g", "x"), ("a", "nk", "4"), ("b", "g", "x"),
+      ("b", "nk", "6"), ("c", "g", "y"), ("c", "nk", "10"))
+      .toDF("s", "p", "o")
+    // plain scalar projection (BIND-in-SELECT)
+    val plain = Sparql.run(t,
+      """SELECT ?s (?nk * 10 AS ?x10) WHERE { ?s <nk> ?nk . } ORDER BY ?s""")
+    assert(plain.columns.toSeq === Seq("s", "x10"))
+    assert(plain.as[(String, Double)].collect().toSeq ===
+      Seq(("a", 40.0), ("b", 60.0), ("c", 100.0)))
+    // an expression CONTAINING aggregates: ratio of two aggregate values
+    val ratio = Sparql.run(t,
+      """SELECT ?grp (SUM(?nk) AS ?tot) (SUM(?nk) / COUNT(?nk) AS ?mean)
+        |WHERE { ?s <g> ?grp . ?s <nk> ?nk . }
+        |GROUP BY ?grp
+        |ORDER BY ?grp""".stripMargin)
+    assert(ratio.columns.toSeq === Seq("grp", "tot", "mean"))
+    assert(ratio.as[(String, Double, Double)].collect().toSeq ===
+      Seq(("x", 10.0, 5.0), ("y", 10.0, 10.0)))
+    // and an aggregate-bearing projection with NO explicit alias ... AS
+    // reuse: group key arithmetic over the aggregated row
+    val keyed = Sparql.run(t,
+      """SELECT ?grp (COUNT(?s) AS ?n) (COUNT(?s) * 2 AS ?n2)
+        |WHERE { ?s <g> ?grp . }
+        |GROUP BY ?grp ORDER BY ?grp""".stripMargin)
+    assert(keyed.as[(String, Long, Double)].collect().toSeq ===
+      Seq(("x", 2L, 4.0), ("y", 1L, 2.0)))
+    // rebinding an in-scope variable is a loud error
+    intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?nk (?nk + 1 AS ?nk) WHERE { ?s <nk> ?nk . }""").count())
+  }
+
   test("ORDER BY expression keys sort without leaking hidden columns") {
     val t = Seq(("s1", "nk", "12"), ("s2", "nk", "3"), ("s3", "nk", "7"))
       .toDF("s", "p", "o")
