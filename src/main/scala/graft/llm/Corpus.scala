@@ -106,6 +106,32 @@ object Corpus {
       .drop("__stratum", "__rate_pm")
   }
 
+  /** Rare-token (OOV-against-corpus-vocabulary) scoring: a token is rare
+    * when its corpus document frequency is below `minDf`; each document
+    * reports its token count, rare-token count, and rare ratio — the
+    * vocabulary-based garbage/ocr-noise filter that length and stopword
+    * heuristics miss. All-integer counts and one exactly-rounded IEEE
+    * division, so the score is bit-identical across engines and
+    * partitionings (no log/entropy ulp hazards).
+    *
+    * Scale shape: pass 1 aggregates per-token document frequencies
+    * (vocabulary-sized output, partial map-side combine); pass 2 rejoins
+    * tokens to the df table and re-aggregates per doc. Both shuffles key
+    * on bounded-cardinality columns (token, doc_id); nothing quadratic.
+    */
+  def rareTokenStats(docs: DataFrame, minDf: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(df, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        graft.Det.roundSafe(col("n_rare").cast("double") / col("n_tok"), 4))
+  }
+
   /** Source-level (domain-level) filtering, RefinedWeb/DCLM-style: score
     * every document, aggregate mean quality per stratum (a tiny frame —
     * one row per source/domain), keep only documents whose stratum's mean

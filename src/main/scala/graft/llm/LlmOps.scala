@@ -119,6 +119,12 @@ object LlmOps extends QueryModule {
           array_min(col("fp")).as("fp_min"))
         .orderBy(col("doc_id"))),
 
+    // Rare-token ratio against the corpus vocabulary (df < 3): the
+    // vocab-based noise filter; two aggregates, exact integer counts.
+    "q_text_oov" -> ((s, d) =>
+      Corpus.rareTokenStats(Tables.documents(s, d), minDf = 3)
+        .orderBy(col("doc_id"))),
+
     // PII scrubbing — regexp_replace chain for emails / SSNs / phones /
     // IPv4s, a standard training-data sanitization pass. This corpus has
     // no natural PII, so the query derives a deterministic contact line
@@ -270,6 +276,20 @@ object LlmOps extends QueryModule {
         |      JOIN sizes sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, (floor(jac * 10000.0 + 0.5) / 10000.0) AS jaccard
         |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_oov" -> {
+      val ratio = graft.Det.roundSafeSql(
+        "CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |dfs AS (SELECT tok, count(DISTINCT doc_id) AS df
+         |        FROM toks GROUP BY tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  $ratio AS rare_ratio
+         |FROM toks JOIN dfs USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // the oracle scrubs with the very same pattern list (TextOps
     // .piiPatterns), rendered as a DuckDB regexp_replace(..., 'g') chain

@@ -57,6 +57,19 @@ class CorpusSpec extends SparkSpec {
     assert(de > 0.07 && de < 0.13, s"de rate $de")
   }
 
+  test("rare-token stats count df<minDf occurrences exactly") {
+    val docs = Seq(
+      (1L, "common common weird"),   // 'common' df=3, 'weird' df=1
+      (2L, "common other"),          // 'other' df=2
+      (3L, "common other")).toDF("doc_id", "text")
+    val got = Corpus.rareTokenStats(docs, minDf = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tok", $"n_rare").as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc 1: 3 tokens, 'weird' (df=1) occurs once → 1 rare occurrence
+    assert(got === Seq((1L, 3L, 1L), (2L, 2L, 0L), (3L, 2L, 0L)))
+  }
+
   test("quality gate fuses all rules into one scan with no shuffle") {
     val diverse = "careful measurement reveals that distributed engines reward " +
       "plans which avoid needless movement because network transfer remains " +
