@@ -118,13 +118,17 @@ object Sparql {
     * VALUES tables, BINDs, OPTIONALs, MINUSes and FILTERs (applied in that
     * order within the block). Each VALUES entry is (variable names, rows
     * of constants). */
+  /** An OPTIONAL group body: triple patterns, property paths, and
+    * block-scoped FILTERs. A filter may reference only variables bound
+    * inside the OPTIONAL (then filtering the block before the left join
+    * IS the spec's LeftJoin condition — shared variables agree on
+    * compatible pairs); filters on left-only variables are rejected at
+    * solve. */
+  final case class OptBody(pats: Seq[TP],
+      paths: Seq[(Term, Path, Term)], filters: Seq[Expr])
+
   final case class Block(where: Seq[TP],
-      /** OPTIONAL blocks: patterns plus block-scoped FILTERs. A filter
-        * may reference only variables bound inside its OPTIONAL (then
-        * filtering the block before the left join IS the spec's LeftJoin
-        * condition — shared variables agree on compatible pairs); filters
-        * on left-only variables are rejected at solve. */
-      optionals: Seq[(Seq[TP], Seq[Expr])],
+      optionals: Seq[OptBody],
       filters: Seq[Expr],
       /** MINUS blocks: patterns + block-scoped FILTERs (the filter is part
         * of the inner group per spec — it applies before subtraction). */
@@ -189,7 +193,7 @@ object Sparql {
       branches.head
     }
     def where: Seq[TP] = only.where
-    def optionals: Seq[(Seq[TP], Seq[Expr])] = only.optionals
+    def optionals: Seq[OptBody] = only.optionals
     def filters: Seq[Expr] = only.filters
   }
 
@@ -293,9 +297,10 @@ object Sparql {
     // (nothing subtracted).
     val blocks = allBlocks(q)
     val allPats = blocks.flatMap(b =>
-      b.where ++ b.optionals.flatMap(_._1) ++ b.minuses.flatMap(_._1) ++
+      b.where ++ b.optionals.flatMap(_.pats) ++ b.minuses.flatMap(_._1) ++
         b.exists.flatMap(_._2))
-    val pathTerms = blocks.flatMap(_.paths).flatMap { case (s, path, o) =>
+    val pathTerms = blocks.flatMap(b =>
+      b.paths ++ b.optionals.flatMap(_.paths)).flatMap { case (s, path, o) =>
       pathStrings(path) ++ Seq(s, o).collect { case C(v: String) => v }
     }
     val idOf = EncodedBgp.resolveConstants(dict, allPats, pathTerms)
@@ -576,8 +581,8 @@ object Sparql {
     // IS the spec's semantics in each case — and outer-referencing filters
     // are rejected loudly (their correlated semantics cannot be expressed
     // by pre-filtering)
-    def solveFiltered(pats: Seq[TP], fs: Seq[Expr], what: String): DataFrame = {
-      var right = solveBgp(pats)
+    def solveFiltered(solved: DataFrame, fs: Seq[Expr], what: String): DataFrame = {
+      var right = solved
       fs.foreach { f =>
         val missing = exprVars(f).filterNot(right.columns.contains)
         require(missing.isEmpty,
@@ -588,11 +593,14 @@ object Sparql {
       }
       right
     }
-    b.optionals.foreach { case (pats, fs) =>
-      df = Bgp.optionalSolved(df, solveFiltered(pats, fs, "OPTIONAL"))
+    b.optionals.foreach { case OptBody(pats, paths, fs) =>
+      val pieces = (if (pats.nonEmpty) Seq(solveBgp(pats)) else Nil) ++
+        paths.map { case (ps, path, po) => solvePath(path, ps, po) }
+      val solved = pieces.reduce(Bgp.joinSolved)
+      df = Bgp.optionalSolved(df, solveFiltered(solved, fs, "OPTIONAL"))
     }
     b.minuses.foreach { case (pats, fs) =>
-      df = Bgp.minusSolved(df, solveFiltered(pats, fs, "MINUS"))
+      df = Bgp.minusSolved(df, solveFiltered(solveBgp(pats), fs, "MINUS"))
     }
     applyReadyBinds()
     require(pendingBinds.isEmpty, "BIND references unbound variables: " +
@@ -601,7 +609,7 @@ object Sparql {
           .map("?" + _).mkString(", ")}"
       }.mkString("; "))
     b.exists.foreach { case (positive, pats, fs) =>
-      val blk = solveFiltered(pats, fs, "EXISTS")
+      val blk = solveFiltered(solveBgp(pats), fs, "EXISTS")
       df = if (positive) Bgp.existsSolved(df, blk)
       else Bgp.notExistsSolved(df, blk)
     }
@@ -1177,8 +1185,7 @@ object Sparql {
   private def blockBody(p: P, prefixes: Map[String, String]): Block = {
     val where = scala.collection.mutable.ArrayBuffer.empty[TP]
     val paths = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
-    val optionals =
-      scala.collection.mutable.ArrayBuffer.empty[(Seq[TP], Seq[Expr])]
+    val optionals = scala.collection.mutable.ArrayBuffer.empty[OptBody]
     val minuses =
       scala.collection.mutable.ArrayBuffer.empty[(Seq[TP], Seq[Expr])]
     val filters = scala.collection.mutable.ArrayBuffer.empty[Expr]
@@ -1198,7 +1205,7 @@ object Sparql {
       p.expect("}")
       block.toSeq
     }
-    // OPTIONAL bodies: patterns plus block-scoped FILTERs
+    // MINUS / EXISTS bodies: patterns plus block-scoped FILTERs
     def bracedPatternsFilters(): (Seq[TP], Seq[Expr]) = {
       p.expect("{")
       val pats = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -1215,6 +1222,27 @@ object Sparql {
       p.expect("}")
       (pats.toSeq, fs.toSeq)
     }
+    // OPTIONAL bodies additionally take property paths
+    def optionalBody(): OptBody = {
+      p.expect("{")
+      val pats = scala.collection.mutable.ArrayBuffer.empty[TP]
+      val pps = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
+      val fs = scala.collection.mutable.ArrayBuffer.empty[Expr]
+      while (p.peek() != "}") {
+        if (p.peekKw("FILTER")) {
+          p.expectKw("FILTER")
+          fs += constraint(p, prefixes, allowAgg = false)
+        } else {
+          val (tps, paths) = sameSubject(p, prefixes, allowPaths = true)
+          pats ++= tps
+          pps ++= paths
+          p.maybe(".")
+        }
+      }
+      p.expect("}")
+      require(pats.nonEmpty || pps.nonEmpty, "empty OPTIONAL block")
+      OptBody(pats.toSeq, pps.toSeq, fs.toSeq)
+    }
     val values = scala.collection.mutable
       .ArrayBuffer.empty[(Seq[String], Seq[Seq[Option[String]]])]
     def constant(): Option[String] = {
@@ -1228,7 +1256,7 @@ object Sparql {
     while (p.peek() != "}") {
       if (p.peekKw("OPTIONAL")) {
         p.expectKw("OPTIONAL")
-        optionals += bracedPatternsFilters()
+        optionals += optionalBody()
       } else if (p.peekKw("MINUS")) {
         p.expectKw("MINUS")
         minuses += bracedPatternsFilters()
@@ -1276,6 +1304,7 @@ object Sparql {
         if (gt.isInstanceOf[V]) {
           def offends(blk: Block): Boolean =
             blk.paths.nonEmpty || blk.subqueries.nonEmpty ||
+              blk.optionals.exists(_.paths.nonEmpty) ||
               blk.unions.exists(_.exists(offends)) ||
               blk.graphs.exists { case (_, ib) => offends(ib) }
           require(!offends(inner) &&
@@ -1347,7 +1376,7 @@ object Sparql {
         .collect { case V(n) if n.startsWith("_:") => n }.toSet
     def blockLabels(blk: Block): Set[String] =
       labels(blk.where) ++
-        (blk.optionals.map(_._1) ++ blk.minuses.map(_._1) ++
+        (blk.optionals.map(_.pats) ++ blk.minuses.map(_._1) ++
           blk.exists.map(_._2))
           .flatMap(labels) ++
         blk.paths.flatMap { case (s, _, o) => Seq(s, o) }
@@ -1356,7 +1385,7 @@ object Sparql {
       b.paths.flatMap { case (s, _, o) => Seq(s, o) }
         .collect { case V(n) if n.startsWith("_:") => n }
     val groups = whereLabels +:
-      ((b.optionals.map(_._1) ++ b.minuses.map(_._1) ++
+      ((b.optionals.map(_.pats) ++ b.minuses.map(_._1) ++
         b.exists.map(_._2)).map(labels) ++
         b.graphs.map(g => blockLabels(g._2)) ++
         // each nested union branch is its own label scope
@@ -1456,7 +1485,7 @@ object Sparql {
           case PEdge(iri) => o => tps += TP(s, C(iri), o)
           case composite =>
             require(allowPaths, "property paths are not allowed in " +
-              "OPTIONAL/MINUS/EXISTS blocks or CONSTRUCT templates")
+              "MINUS/EXISTS blocks or CONSTRUCT templates")
             o => pths += ((s, composite, o))
         }
       addObject(term(p, prefixes))

@@ -67,9 +67,10 @@ class SparqlSpec extends SparkSpec {
         |  ?c <mktsegment> "BUILDING" .
         |}""".stripMargin)
     assert(withPath.count() === withPathSpelled.count() && withPath.count() > 0)
-    // paths stay out of OPTIONAL/MINUS/EXISTS blocks and CONSTRUCT, loudly
+    // paths are legal in OPTIONAL now but stay out of MINUS/EXISTS
+    // blocks and CONSTRUCT templates, loudly
     intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?s WHERE { ?s <p> ?x . OPTIONAL { ?x <q>+ ?y . } }"))
+      "SELECT ?s WHERE { ?s <p> ?x . MINUS { ?x <q>+ ?y . } }"))
     // a blank node still cannot sit in predicate position
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?s WHERE { ?s _:b ?x . }"))
@@ -811,6 +812,49 @@ class SparqlSpec extends SparkSpec {
     // non-plain members are out of the shorthand's grammar, loudly
     intercept[IllegalArgumentException](Sparql.parse(
       "CONSTRUCT WHERE { ?c <p> ?s . FILTER (?s = \"x\") }"))
+  }
+
+  test("property paths inside OPTIONAL left-join their reachability") {
+    val t = Seq(("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y"))
+      .toDF("s", "p", "o")
+    // nodes with q-edges have no p-reachability → null-extended
+    val got = Sparql.run(t,
+      """SELECT ?s ?far WHERE {
+        |  ?s ?e ?o .
+        |  OPTIONAL { ?s <p>+ ?far . }
+        |}
+        |ORDER BY ?s ?far""".stripMargin)
+      .as[(String, Option[String])].collect().toSeq
+    assert(got === Seq(("a", Some("b")), ("a", Some("c")),
+      ("b", Some("c")), ("x", None)))
+    // paths compose with patterns and filters inside the same OPTIONAL
+    val mixed = Sparql.run(triples,
+      """SELECT ?cust ?dst WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?cust <nation>/<region> ?dst . ?cust <nationkey> ?nk .
+        |             FILTER (?nk < 10) }
+        |}""".stripMargin)
+    assert(mixed.count() > 0)
+    assert(mixed.filter($"dst".isNotNull).count() > 0)
+    assert(mixed.filter($"dst".isNull).count() > 0)
+    // encoded ≡ string for an optional path
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    val text =
+      """SELECT ?cust ?r WHERE {
+        |  ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?cust <nation>/<region> ?r . }
+        |}""".stripMargin
+    val viaString = Sparql.run(triples, text)
+    val viaIds = Sparql.runEncoded(enc, dict, text)
+    assert(viaString.count() > 0)
+    assert(viaString.exceptAll(viaIds).count() === 0)
+    assert(viaIds.exceptAll(viaString).count() === 0)
+    // under GRAPH ?var an optional path cannot thread ?g — loud error
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  GRAPH ?g { ?c <p> ?s . OPTIONAL { ?c <q>+ ?t . } }
+        |}""".stripMargin))
   }
 
   test("FILTERs inside MINUS and EXISTS blocks scope to the block") {
