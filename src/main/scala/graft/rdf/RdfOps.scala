@@ -299,6 +299,17 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust ?ord""".stripMargin)),
 
+    // Property path inside OPTIONAL: reachability left-joins the anchor —
+    // customers reach nation+region (2 hops), nations reach their region,
+    // regions reach nothing and null-extend.
+    "q_sparql_optpath" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?n ?dst WHERE {
+          |  ?n <name> ?nm .
+          |  OPTIONAL { ?n (<nation>|<region>)+ ?dst . }
+          |}
+          |ORDER BY ?n ?dst""".stripMargin)),
+
     // Nested { group } UNION { group } joined with the enclosing block on
     // shared vars — bag semantics: a customer matching BOTH branches
     // contributes two rows, exactly like SQL's UNION ALL derived table.
@@ -792,6 +803,21 @@ object RdfOps extends QueryModule {
         |             AND t2.o = 'F') opt
         |  ON req.cust = opt.cust
         |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
+
+    "q_sparql_optpath" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), edges AS (
+         |  SELECT DISTINCT s AS src, o AS dst FROM triples
+         |  WHERE p IN ('nation', 'region')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), names AS (SELECT s FROM triples WHERE p = 'name')
+         |SELECT names.s AS n, reach.dst AS dst
+         |FROM names LEFT JOIN reach ON reach.src = names.s
+         |ORDER BY n NULLS FIRST, dst NULLS FIRST""".stripMargin,
 
     "q_sparql_union_nested" -> cte(
       """SELECT n.s AS cust, n.o AS nm
