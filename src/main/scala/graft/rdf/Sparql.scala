@@ -4,15 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SPARQL front-end for the engine-supported fragment: SELECT, ASK,
-  * CONSTRUCT and DESCRIBE over basic graph patterns with OPTIONAL / MINUS
-  * blocks, FILTERs (boolean connectives, BOUND, regex, arithmetic
-  * comparisons, IN / NOT IN, [NOT] EXISTS), BIND, VALUES inline bindings,
-  * UNION,
-  * property paths, predicate-object (`;`) and object (`,`) lists,
-  * `{ SELECT ... }` subqueries, GRAPH blocks over quad datasets,
-  * aggregation (GROUP BY + COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT,
-  * HAVING) and the solution modifiers DISTINCT / ORDER BY / LIMIT /
-  * OFFSET.
+  * CONSTRUCT (incl. `CONSTRUCT WHERE`) and DESCRIBE over basic graph
+  * patterns with OPTIONAL / MINUS / [NOT] EXISTS blocks (each carrying
+  * block-scoped FILTERs; OPTIONAL also property paths), FILTERs (boolean
+  * connectives, BOUND, regex, arithmetic comparisons, IN / NOT IN),
+  * BIND, VALUES inline bindings (incl. UNDEF partial bindings), UNION
+  * (top-level and nested `{A} UNION {B}` group members), property paths
+  * (incl. negated property sets and the `a` rdf:type shorthand),
+  * predicate-object (`;`) and object (`,`) lists, `{ SELECT ... }`
+  * subqueries, GRAPH blocks with full group bodies and FROM / FROM NAMED
+  * dataset clauses over quad datasets, aggregation (GROUP BY incl.
+  * expression keys, COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT over
+  * variables or expressions, HAVING, SELECT expression projections incl.
+  * aggregate-bearing ones) and the solution modifiers DISTINCT / ORDER
+  * BY (variables or expression keys) / LIMIT / OFFSET.
   *
   * The reference delegates SPARQL parsing to Jena ARQ and answers the BGP
   * algebra (SURVEY.md §3.3); this is a self-contained recursive-descent
@@ -74,11 +79,14 @@ import org.apache.spark.sql.functions._
   *
   * Also supported: FILTER [NOT] EXISTS blocks (semi/anti-join lowering)
   * and the built-ins STR / STRLEN / UCASE / LCASE / CONTAINS / STRSTARTS /
-  * STRENDS / SUBSTR / ABS / IF / COALESCE alongside CONCAT and regex.
+  * STRENDS / SUBSTR / ABS / FLOOR / CEIL / ROUND / IF / COALESCE
+  * alongside CONCAT and regex.
   *
   * Out of fragment (rejected, not silently mis-run): SERVICE federation,
-  * SPARQL Update, `a` as an rdf:type shorthand, and collection syntax
-  * (`(...)` lists in term position).
+  * SPARQL Update, collection syntax (`(...)` lists in term position),
+  * property paths inside MINUS/EXISTS blocks or under `GRAPH ?var`, and
+  * correlated filters (a block-scoped FILTER referencing variables its
+  * block does not bind).
   * The tokenizer verifies every non-whitespace, non-comment character is
   * consumed by a token and errors with the offset of the first unsupported
   * character, so unsupported syntax can never be silently dropped; trailing
