@@ -152,6 +152,26 @@ object Corpus {
     scored.join(broadcast(good), stratum === col("__stratum"), "left_semi")
   }
 
+  /** Token-budget sampling: keep each stratum's documents, in
+    * deterministic doc_id order, until the stratum's token budget is
+    * reached ("take N tokens per language/domain" — the standard way a
+    * training mix is specified). A document is kept iff the running token
+    * total INCLUDING it fits the budget; later documents drop.
+    *
+    * Scale shape: one running-sum window partitioned by stratum — each
+    * stratum's scan is independent, no global sort; the window keys on
+    * the same column a mix-aware layout would partition by. */
+  def sampleTokenBudget(docs: DataFrame, stratum: Column, tokens: Column,
+      budgetPerStratum: Long): DataFrame = {
+    val w = Window.partitionBy(col("__stratum")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.withColumn("__stratum", stratum)
+      .withColumn("n_tok", tokens.cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetPerStratum)
+      .drop("__stratum")
+  }
+
   /** Concatenate-then-chunk sequence packing (the GPT-style training
     * layout): within each shard, documents are laid out in doc_id order
     * and the concatenated token stream is cut into fixed `ctx`-size

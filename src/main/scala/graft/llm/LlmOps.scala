@@ -171,6 +171,14 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))),
 
+    // Token-budget mixing: 3000 whitespace tokens per language, filled in
+    // deterministic doc_id order (the "N tokens per domain" mix spec).
+    "q_corpus_budget" -> ((s, d) =>
+      Corpus.sampleTokenBudget(Tables.documents(s, d), col("lang"),
+          tokens = size(split(col("text"), " ")), budgetPerStratum = 3000L)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+        .orderBy(col("doc_id"))),
+
     // Concatenate-then-chunk sequence packing into ctx=256 windows across
     // 8 independent shards (whitespace tokens as the cost proxy).
     "q_pack_sequences" -> ((s, d) =>
@@ -387,6 +395,18 @@ object LlmOps extends QueryModule {
          |WHERE $bucket < (CASE WHEN lang = 'en' THEN 300 ELSE 150 END)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_corpus_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_tok
+        |      FROM t)
+        |SELECT doc_id, lang, n_tok, cum_tok FROM c
+        |WHERE cum_tok <= 3000 ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,

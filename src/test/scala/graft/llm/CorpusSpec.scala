@@ -123,6 +123,22 @@ class CorpusSpec extends SparkSpec {
       s"rates must broadcast:\n$plan")
   }
 
+  test("token-budget sampling fills each stratum in doc_id order, then stops") {
+    val docs = (0L until 20L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", ("w " * 10).trim))
+      .toDF("doc_id", "lang", "text")   // 10 tokens per doc
+    val kept = Corpus.sampleTokenBudget(docs, $"lang",
+        org.apache.spark.sql.functions.size(split($"text", " ")), 35L)
+      .select($"doc_id").as[Long].collect().toSet
+    // budget 35 → exactly the first 3 docs of each lang (30 ≤ 35 < 40)
+    assert(kept === Set(0L, 2L, 4L, 1L, 3L, 5L))
+    // deterministic under repartitioning
+    val again = Corpus.sampleTokenBudget(docs.repartition(7), $"lang",
+        org.apache.spark.sql.functions.size(split($"text", " ")), 35L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
   test("packing offsets are contiguous within a shard and chunks bound the span") {
     val docs = (0L until 100L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
       .toDF("doc_id", "text")
