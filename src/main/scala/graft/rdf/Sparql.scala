@@ -824,6 +824,14 @@ object Sparql {
     case EFun("UCASE", Seq(a)) => upper(scalarCol(a, numeric = false, env))
     case EFun("LCASE", Seq(a)) => lower(scalarCol(a, numeric = false, env))
     case EFun("ABS", Seq(a)) => abs(scalarCol(a, numeric = true, env))
+    case EFun("MD5", Seq(a)) => md5(scalarCol(a, numeric = false, env))
+    case EFun("SHA256", Seq(a)) => sha2(scalarCol(a, numeric = false, env), 256)
+    // REPLACE with literal pattern/replacement only (the regex dialects
+    // of the two engines agree on literals; patterns would need escaping
+    // audits) — the common template-rewrite use
+    case EFun("REPLACE", Seq(a, EStr(pat), EStr(rep))) =>
+      regexp_replace(scalarCol(a, numeric = false, env),
+        java.util.regex.Pattern.quote(pat), rep)
     // xsd numeric semantics: results stay doubles (Spark's floor/ceil
     // return longs); ROUND ties go toward +Inf (17.4.4.1), which Spark's
     // HALF_UP round violates for negatives — floor(x + 0.5) is the spec
@@ -870,7 +878,7 @@ object Sparql {
       """|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?""" +
       """|#[^\n]*""" +
       """|[A-Za-z_][\w-]*:[\w-]*""" +
-      """|[A-Za-z][A-Za-z_]*""" +
+      """|[A-Za-z][A-Za-z_0-9]*""" +
       """|-?\d+(?:\.\d+)?""" +
       """|&&|\|\||<=|>=|!=|=|[{}().,;*+/|^?!<>-]""").r
 
@@ -1710,7 +1718,7 @@ object Sparql {
 
   private val builtinFns = Set("STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "SUBSTR", "ABS", "FLOOR", "CEIL", "ROUND",
-    "IF", "COALESCE")
+    "MD5", "SHA256", "REPLACE", "IF", "COALESCE")
 
   private def argList(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Seq[Expr] = {

@@ -1212,6 +1212,23 @@ class SparqlSpec extends SparkSpec {
       assert(Set("b", "x")(r.getString(3)))
       assert(r.getString(4) === r.getString(4)) // coalesce passthrough
     }
+    // hash built-ins match Java references; REPLACE is literal-exact
+    val hashed = Sparql.run(triples,
+      """SELECT ?c ?h ?h2 ?rep WHERE {
+        |  ?c <mktsegment> "BUILDING" .
+        |  BIND (MD5(?c) AS ?h)
+        |  BIND (SHA256(?c) AS ?h2)
+        |  BIND (REPLACE(?c, "c:", "cust-") AS ?rep)
+        |}""".stripMargin).limit(5).collect()
+    assert(hashed.nonEmpty)
+    hashed.foreach { r =>
+      val c = r.getString(0)
+      def hex(alg: String) = java.security.MessageDigest.getInstance(alg)
+        .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(1) === hex("MD5"))
+      assert(r.getString(2) === hex("SHA-256"))
+      assert(r.getString(3) === c.replace("c:", "cust-"))
+    }
     // LCASE / STRENDS / ABS / STR
     val more = Sparql.run(triples,
       """SELECT ?c ?lc ?a WHERE {
