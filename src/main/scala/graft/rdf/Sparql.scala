@@ -825,6 +825,17 @@ object Sparql {
     case EFun("LCASE", Seq(a)) => lower(scalarCol(a, numeric = false, env))
     case EFun("ABS", Seq(a)) => abs(scalarCol(a, numeric = true, env))
     case EFun("MD5", Seq(a)) => md5(scalarCol(a, numeric = false, env))
+    // STRBEFORE/STRAFTER with a literal needle (17.4.3.3/4): empty-needle
+    // edges follow the spec — STRBEFORE(x, "") = "", STRAFTER(x, "") = x
+    case EFun("STRBEFORE", Seq(_, EStr(""))) => lit("")
+    case EFun("STRBEFORE", Seq(a, EStr(sub))) =>
+      val c = scalarCol(a, numeric = false, env)
+      when(instr(c, sub) > 0, substring_index(c, sub, 1)).otherwise(lit(""))
+    case EFun("STRAFTER", Seq(a, EStr(""))) => scalarCol(a, numeric = false, env)
+    case EFun("STRAFTER", Seq(a, EStr(sub))) =>
+      val c = scalarCol(a, numeric = false, env)
+      when(instr(c, sub) > 0,
+        c.substr(instr(c, sub) + sub.length, lit(Int.MaxValue))).otherwise(lit(""))
     case EFun("SHA256", Seq(a)) => sha2(scalarCol(a, numeric = false, env), 256)
     // REPLACE with literal pattern/replacement only (the regex dialects
     // of the two engines agree on literals; patterns would need escaping
@@ -1718,7 +1729,7 @@ object Sparql {
 
   private val builtinFns = Set("STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "SUBSTR", "ABS", "FLOOR", "CEIL", "ROUND",
-    "MD5", "SHA256", "REPLACE", "IF", "COALESCE")
+    "MD5", "SHA256", "REPLACE", "STRBEFORE", "STRAFTER", "IF", "COALESCE")
 
   private def argList(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Seq[Expr] = {

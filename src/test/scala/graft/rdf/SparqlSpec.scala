@@ -1229,6 +1229,20 @@ class SparqlSpec extends SparkSpec {
       assert(r.getString(2) === hex("SHA-256"))
       assert(r.getString(3) === c.replace("c:", "cust-"))
     }
+    // STRBEFORE / STRAFTER spec edges (17.4.3.3/4)
+    val sba = Sparql.run(
+      Seq(("s1", "p", "abc")).toDF("s", "p", "o"),
+      """SELECT ?b1 ?b2 ?b3 ?a1 ?a2 ?a3 WHERE {
+        |  ?s <p> ?v .
+        |  BIND (STRBEFORE(?v, "b") AS ?b1)
+        |  BIND (STRBEFORE(?v, "xyz") AS ?b2)
+        |  BIND (STRBEFORE(?v, "") AS ?b3)
+        |  BIND (STRAFTER(?v, "b") AS ?a1)
+        |  BIND (STRAFTER(?v, "xyz") AS ?a2)
+        |  BIND (STRAFTER(?v, "") AS ?a3)
+        |}""".stripMargin).collect().head
+    assert((0 until 6).map(sba.getString) ===
+      Seq("a", "", "", "c", "", "abc"))
     // LCASE / STRENDS / ABS / STR
     val more = Sparql.run(triples,
       """SELECT ?c ?lc ?a WHERE {
