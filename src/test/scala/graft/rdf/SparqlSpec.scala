@@ -1439,6 +1439,11 @@ class SparqlSpec extends SparkSpec {
     // dataset clauses over a plain triples run are a loud error
     intercept[IllegalArgumentException](Sparql.run(triples,
       """SELECT ?c FROM <g:x> WHERE { ?c <p> ?o . }"""))
+    // and over the encoded run too (it has no dataset axis either)
+    val dict = Dictionary.build(spark, triples)
+    val enc = Dictionary.encode(triples, dict)
+    intercept[IllegalArgumentException](Sparql.runEncoded(enc, dict,
+      """SELECT ?c FROM NAMED <g:x> WHERE { ?c <p> ?o . }"""))
   }
 
   test("DESCRIBE returns the subgraph about named IRIs and bound variables") {
