@@ -152,6 +152,27 @@ object Corpus {
     scored.join(broadcast(good), stratum === col("__stratum"), "left_semi")
   }
 
+  /** Overlapping character-window chunking (the RAG / context-window
+    * splitter): each document yields ⌈max(len - overlap, 1) / stride⌉
+    * chunks of up to `size` chars starting every `stride = size -
+    * overlap` chars, each tagged (doc_id, chunk_no, chunk). Pure
+    * map-side: one `sequence` + `posexplode` projection per row, no
+    * shuffle, no UDF — at 100 TB this runs at scan speed and the output
+    * inherits the input's partitioning. */
+  def chunkText(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    docs
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(greatest(length(text) - $overlap, 1)
+           |                        / $stride.0) AS INT) - 1),
+           |  i -> substring(text, i * $stride + 1, $size))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
+        col("col").as("chunk"))
+  }
+
   /** Token-budget sampling: keep each stratum's documents, in
     * deterministic doc_id order, until the stratum's token budget is
     * reached ("take N tokens per language/domain" — the standard way a

@@ -171,6 +171,12 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))),
 
+    // Overlapping 120-char chunks with 20-char overlap (stride 100) —
+    // the RAG/context-window splitter, one map-side explode.
+    "q_text_chunks" -> ((s, d) =>
+      Corpus.chunkText(Tables.documents(s, d), size = 120, overlap = 20)
+        .orderBy(col("doc_id"), col("chunk_no"))),
+
     // Token-budget mixing: 3000 whitespace tokens per language, filled in
     // deterministic doc_id order (the "N tokens per domain" mix spec).
     "q_corpus_budget" -> ((s, d) =>
@@ -395,6 +401,16 @@ object LlmOps extends QueryModule {
          |WHERE $bucket < (CASE WHEN lang = 'en' THEN 300 ELSE 150 END)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_chunks" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+        |  substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0,
+        |          CAST(ceil(greatest(length(text) - 20, 1) / 100.0)
+        |            AS INT) - 1)) AS i
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q_corpus_budget" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -123,6 +123,33 @@ class CorpusSpec extends SparkSpec {
       s"rates must broadcast:\n$plan")
   }
 
+  test("text chunking covers every char with the declared overlap") {
+    val docs = Seq((1L, "a" * 250), (2L, "b" * 10), (3L, "c" * 100))
+      .toDF("doc_id", "text")
+    val chunks = Corpus.chunkText(docs, size = 100, overlap = 20)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val byDoc = chunks.groupBy(_._1)
+    // 250 chars, stride 80: ceil(230/80) = 3 chunks at 0, 80, 160 —
+    // coverage-complete (a 4th would sit inside the 3rd entirely)
+    assert(byDoc(1L).map(_._3.length).toSeq === Seq(100, 100, 90))
+    // short doc: one whole chunk
+    assert(byDoc(2L).map(_._3).toSeq === Seq("b" * 10))
+    // exactly size chars: one chunk, no empty tail
+    assert(byDoc(3L).map(_._3).toSeq === Seq("c" * 100))
+    // consecutive chunks overlap by exactly `overlap` chars
+    byDoc(1L).sliding(2).foreach {
+      case Array((_, _, prev), (_, _, next)) =>
+        assert(prev.length < 100 || prev.takeRight(20) === next.take(
+          math.min(20, next.length)))
+      case _ =>
+    }
+    // reconstruction: stride-prefixes concatenate back to the original
+    val rebuilt = byDoc(1L).zipWithIndex.map { case ((_, _, c), i) =>
+      if (i == byDoc(1L).length - 1) c else c.take(80)
+    }.mkString
+    assert(rebuilt === "a" * 250)
+  }
+
   test("token-budget sampling fills each stratum in doc_id order, then stops") {
     val docs = (0L until 20L).map(i =>
       (i, if (i % 2 == 0) "en" else "de", ("w " * 10).trim))
