@@ -148,6 +148,10 @@ class CorpusSpec extends SparkSpec {
       if (i == byDoc(1L).length - 1) c else c.take(80)
     }.mkString
     assert(rebuilt === "a" * 250)
+    // chunking is map-only: no exchange in the plan
+    val plan = Corpus.chunkText(docs, 100, 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
   test("token-budget sampling fills each stratum in doc_id order, then stops") {
