@@ -35,7 +35,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    // per-query detail first, compact total LAST: the driver tail-captures
+    // a bounded window of output, and truncation must never lose the total
+    // (round 3 recorded an unparseable bench because the total led the one
+    // giant line and fell outside the captured tail)
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

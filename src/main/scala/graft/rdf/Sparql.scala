@@ -45,7 +45,13 @@ import org.apache.spark.sql.functions._
   * Semantics notes:
   *  - UNION is SPARQL bag union of solution mappings; variables unbound in
   *    a branch are null-padded (lowered to `unionByName` with
-  *    `allowMissingColumns = true`, the exact same padding rule).
+  *    `allowMissingColumns = true`, the exact same padding rule). A nested
+  *    union joined with the rest of its block distributes the join over
+  *    the branches, each joining on the variables IT binds — so a branch
+  *    leaving a shared variable unbound keeps its solutions (SPARQL
+  *    compatibility), never silently dropped by a null-key equi-join.
+  *    Residual possibly-unbound join keys (OPTIONAL-bound, VALUES UNDEF,
+  *    nullable BINDs) are rejected loudly.
   *  - numeric comparisons (a numeric constant, arithmetic, or numeric
   *    aggregate on either side) coerce both sides via `try_cast(double)`:
   *    a binding that is not a number compares unknown → row dropped,
@@ -519,23 +525,84 @@ object Sparql {
     df
   }
 
+  /** A solution frame plus the variables whose bindings may be
+    * SPARQL-unbound (null cells) in some row — union padding, OPTIONAL,
+    * VALUES UNDEF, nullable BIND expressions, subquery non-definite
+    * projections. Joins must never equi-join on such a variable: SPARQL
+    * compatibility treats unbound as matching anything, SQL null keys
+    * match nothing. */
+  private final case class Sol(df: DataFrame, maybeNull: Set[String])
+
+  /** Inner-join two solution frames on shared variables, rejecting loudly
+    * when a shared variable may be unbound on either side (the equi-join
+    * would silently drop solutions SPARQL keeps). Union branches never
+    * reach here with statically-unbound shared variables — [[solveBranch]]
+    * distributes the join over the union first. */
+  private def compatJoin(a: Sol, b: Sol): Sol = {
+    val shared = a.df.columns.toSet intersect b.df.columns.toSet
+    val bad = (shared intersect (a.maybeNull ++ b.maybeNull)).toSeq.sorted
+    require(bad.isEmpty, "joining pattern groups on possibly-unbound " +
+      s"variable(s) ${bad.map("?" + _).mkString(", ")}: SPARQL treats an " +
+      "unbound shared variable as compatible with anything, which this " +
+      "fragment's equi-join cannot express — rejected rather than " +
+      "silently mis-run")
+    Sol(Bgp.joinSolved(a.df, b.df), a.maybeNull ++ b.maybeNull)
+  }
+
   /** One group graph pattern → its solution mappings: BGP and path and
     * GRAPH and subquery pieces joined on shared variables, then VALUES,
-    * BIND, OPTIONAL, MINUS, [NOT] EXISTS and FILTER in that order. */
+    * BIND, OPTIONAL, MINUS, [NOT] EXISTS and FILTER in that order.
+    *
+    * Nested `{ A } UNION { B }` members are joined by DISTRIBUTION: join
+    * distributes over bag union, so each branch joins the rest of the
+    * block on the variables THAT BRANCH actually binds — a branch leaving
+    * a shared variable unbound joins without it (SPARQL compatibility)
+    * instead of null-padding into an inner join that would drop its
+    * solutions. Alternatives multiply across union members (product of
+    * branch counts — bounded by the query text, typically 2–3). */
   private def solveBranch(b: Block, solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
       solveGraph: (Term, Block) => DataFrame): DataFrame = {
-    val pieces = (if (b.where.nonEmpty) Seq(solveBgp(b.where)) else Nil) ++
-      b.paths.map { case (s, path, o) => solvePath(path, s, o) } ++
-      b.graphs.map { case (g, inner) => solveGraph(g, inner) } ++
-      // nested { group } [UNION { group }]*: branches solve recursively,
-      // bag-union with null padding, then join the block on shared vars
-      b.unions.map(_.map(solveBranch(_, solveBgp, solvePath, solveGraph))
-        .reduce(_.unionByName(_, allowMissingColumns = true))) ++
+    val simple: Seq[Sol] =
+      (if (b.where.nonEmpty) Seq(Sol(solveBgp(b.where), Set.empty)) else Nil) ++
+      b.paths.map { case (s, path, o) => Sol(solvePath(path, s, o), Set.empty) } ++
+      b.graphs.map { case (g, inner) =>
+        Sol(solveGraph(g, inner), maybeNullVars(inner)) } ++
       // subqueries evaluate independently (own projection, aggregation,
       // modifiers) and join on their projected variables
-      b.subqueries.map(sq => execute(sq, solveBgp, solvePath, solveGraph))
-    var df = pieces.reduce(Bgp.joinSolved)
+      b.subqueries.map { sq =>
+        val solved = execute(sq, solveBgp, solvePath, solveGraph)
+        Sol(solved, solved.columns.toSet -- definiteProjection(sq))
+      }
+    var alts: Seq[Sol] =
+      if (simple.isEmpty) Nil else Seq(simple.reduce(compatJoin))
+    b.unions.foreach { member =>
+      val branchSols = member.map { blk =>
+        val solved = solveBranch(blk, solveBgp, solvePath, solveGraph)
+        Sol(solved, maybeNullVars(blk) intersect solved.columns.toSet)
+      }
+      alts =
+        if (alts.isEmpty) branchSols
+        else for { a <- alts; br <- branchSols } yield compatJoin(a, br)
+    }
+    // bag-union of the alternatives; a column absent from some alternative
+    // arrives null-padded → possibly-unbound from here on
+    val commonCols = alts.map(_.df.columns.toSet).reduce(_ intersect _)
+    val allCols = alts.flatMap(_.df.columns).toSet
+    val maybeNull = scala.collection.mutable.Set.empty[String]
+    maybeNull ++= alts.flatMap(_.maybeNull) ++= (allCols -- commonCols)
+    var df = alts.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
+    // possibly-unbound variables may flow through FILTER/BIND (null
+    // propagation IS the spec's error→unbound rule, and BOUND sees them)
+    // but never into an equi-join — reject those loudly
+    def noUnboundJoin(shared: Iterable[String], what: String): Unit = {
+      val bad = shared.toSeq.filter(maybeNull).sorted
+      require(bad.isEmpty, s"$what would join on possibly-unbound " +
+        s"variable(s) ${bad.map("?" + _).mkString(", ")} (unbound in some " +
+        "UNION branch, OPTIONAL, or VALUES UNDEF row): SPARQL treats " +
+        "unbound as compatible, which this join lowering cannot express — " +
+        "rejected rather than silently mis-run")
+    }
     // VALUES = join with the inline solution table (restricts shared
     // vars, cross-products disjoint ones — SPARQL join semantics). UNDEF
     // cells are partial bindings: rows are grouped by their defined-column
@@ -544,6 +611,13 @@ object Sparql {
     // the VALUES multiset. No join condition ever compares to null.
     b.values.foreach { case (vars, rows) =>
       val spark = df.sparkSession
+      noUnboundJoin(vars.filter(df.columns.contains), "VALUES")
+      val preCols = df.columns.toSet
+      // UNDEF cells leave a variable unconstrained: if the block itself
+      // never binds it, the all-UNDEF mask group pads it null
+      maybeNull ++= vars.zipWithIndex.collect {
+        case (v, i) if rows.exists(_(i).isEmpty) && !preCols(v) => v
+      }
       def joinMask(mask: Seq[Boolean], rs: Seq[Seq[Option[String]]]): DataFrame = {
         val defVars = vars.zip(mask).collect { case (v, true) => v }
         if (defVars.isEmpty)
@@ -578,6 +652,7 @@ object Sparql {
         progressed = ready.nonEmpty
         ready.foreach { case (v, e) =>
           require(!df.columns.contains(v), s"BIND would rebind ?$v")
+          if (exprEverNull(e, df.columns.toSet -- maybeNull)) maybeNull += v
           df = df.withColumn(v, scalarCol(e, numericExpr(e), Map.empty))
         }
         pendingBinds = rest
@@ -604,11 +679,17 @@ object Sparql {
     b.optionals.foreach { case OptBody(pats, paths, fs) =>
       val pieces = (if (pats.nonEmpty) Seq(solveBgp(pats)) else Nil) ++
         paths.map { case (ps, path, po) => solvePath(path, ps, po) }
-      val solved = pieces.reduce(Bgp.joinSolved)
-      df = Bgp.optionalSolved(df, solveFiltered(solved, fs, "OPTIONAL"))
+      val solved = solveFiltered(pieces.reduce(Bgp.joinSolved), fs, "OPTIONAL")
+      noUnboundJoin(solved.columns.filter(df.columns.contains), "OPTIONAL")
+      val before = df.columns.toSet
+      df = Bgp.optionalSolved(df, solved)
+      // OPTIONAL-introduced columns are unbound on unmatched rows
+      maybeNull ++= df.columns.toSet -- before
     }
     b.minuses.foreach { case (pats, fs) =>
-      df = Bgp.minusSolved(df, solveFiltered(solveBgp(pats), fs, "MINUS"))
+      val blk = solveFiltered(solveBgp(pats), fs, "MINUS")
+      noUnboundJoin(blk.columns.filter(df.columns.contains), "MINUS")
+      df = Bgp.minusSolved(df, blk)
     }
     applyReadyBinds()
     require(pendingBinds.isEmpty, "BIND references unbound variables: " +
@@ -618,11 +699,128 @@ object Sparql {
       }.mkString("; "))
     b.exists.foreach { case (positive, pats, fs) =>
       val blk = solveFiltered(solveBgp(pats), fs, "EXISTS")
+      noUnboundJoin(blk.columns.filter(df.columns.contains),
+        "FILTER [NOT] EXISTS")
       df = if (positive) Bgp.existsSolved(df, blk)
       else Bgp.notExistsSolved(df, blk)
     }
     b.filters.foreach(f => df = df.filter(boolCol(f, Map.empty)))
     df
+  }
+
+  /** Variables a block's solution DEFINITELY binds (non-null in every
+    * row). Conservative: BINDs count only when their expression can never
+    * evaluate to null given the block's other definite variables. */
+  private def definiteVars(b: Block): Set[String] = {
+    var defs: Set[String] =
+      (b.where.flatMap(tp => Seq(tp.s, tp.p, tp.o)) ++
+        b.paths.flatMap { case (s, _, o) => Seq(s, o) })
+        .collect { case V(n) => n }.toSet ++
+        b.graphs.flatMap { case (g, inner) =>
+          definiteVars(inner) ++ (g match { case V(n) => Seq(n); case _ => Nil })
+        } ++
+        b.values.flatMap { case (vars, rows) =>
+          vars.zipWithIndex.collect {
+            case (v, i) if rows.forall(_(i).isDefined) => v
+          }
+        } ++
+        b.subqueries.flatMap(definiteProjection) ++
+        b.unions.flatMap(m => m.map(definiteVars).reduce(_ intersect _))
+    // dependency-ordered, mirroring applyReadyBinds
+    var pending = b.binds
+    var progressed = true
+    while (progressed) {
+      val (ok, rest) = pending.partition { case (_, e) =>
+        exprVars(e).forall(defs) && !exprEverNull(e, defs)
+      }
+      progressed = ok.nonEmpty
+      defs ++= ok.map(_._1)
+      pending = rest
+    }
+    defs
+  }
+
+  /** Variables a block's solution may leave SPARQL-unbound (null) in some
+    * row: OPTIONAL-only vars, VALUES UNDEF cells, nullable BINDs, subquery
+    * non-definite projections, and vars not bound by every nested union
+    * branch. A variable also definitely bound elsewhere in the block is
+    * removed — the join re-anchors it. */
+  private def maybeNullVars(b: Block): Set[String] = {
+    val defs = definiteVars(b)
+    val opt = b.optionals.flatMap(ob =>
+      ob.pats.flatMap(tp => Seq(tp.s, tp.p, tp.o)) ++
+        ob.paths.flatMap { case (s, _, o) => Seq(s, o) })
+      .collect { case V(n) => n }
+    val undef = b.values.flatMap { case (vars, rows) =>
+      vars.zipWithIndex.collect { case (v, i) if rows.exists(_(i).isEmpty) => v }
+    }
+    val binds = b.binds.collect { case (v, e) if exprEverNull(e, defs) => v }
+    val sub = b.subqueries.flatMap(sq =>
+      projectedCols(sq) -- definiteProjection(sq))
+    val uni = b.unions.flatMap { m =>
+      val branchOut = m.map(outVars)
+      branchOut.reduce(_ union _) -- branchOut.reduce(_ intersect _) ++
+        m.flatMap(maybeNullVars)
+    }
+    val grph = b.graphs.flatMap { case (_, inner) => maybeNullVars(inner) }
+    (opt ++ undef ++ binds ++ sub ++ uni ++ grph).toSet -- defs
+  }
+
+  /** Every variable column a block's solution carries (bound or null). */
+  private def outVars(b: Block): Set[String] =
+    (b.where.flatMap(tp => Seq(tp.s, tp.p, tp.o)) ++
+      b.paths.flatMap { case (s, _, o) => Seq(s, o) } ++
+      b.optionals.flatMap(ob =>
+        ob.pats.flatMap(tp => Seq(tp.s, tp.p, tp.o)) ++
+          ob.paths.flatMap { case (s, _, o) => Seq(s, o) }))
+      .collect { case V(n) => n }.toSet ++
+      b.values.flatMap(_._1) ++ b.binds.map(_._1) ++
+      b.subqueries.flatMap(projectedCols) ++
+      b.graphs.flatMap { case (g, inner) =>
+        outVars(inner) ++ (g match { case V(n) => Seq(n); case _ => Nil })
+      } ++
+      b.unions.flatMap(_.flatMap(outVars))
+
+  private def projectedCols(q: Query): Set[String] =
+    if (q.projection == Seq("*"))
+      q.branches.map(outVars).reduceOption(_ union _).getOrElse(Set.empty)
+        .filterNot(_.startsWith("_:"))
+    else q.projection.toSet
+
+  /** Subquery projections that are definitely bound: variables definite in
+    * every branch, plus always-non-null aggregates (COUNT; MIN/MAX/SAMPLE/
+    * GROUP_CONCAT of a definite variable — groups are never empty).
+    * SUM/AVG try_cast-coerce (all-non-numeric group → null) and select
+    * expressions may error → not definite. */
+  private def definiteProjection(q: Query): Set[String] = {
+    val base = q.branches.map(definiteVars).reduceOption(_ intersect _)
+      .getOrElse(Set.empty)
+    val aggDef = q.selectAggs.collect {
+      case (alias, EAgg("COUNT", _, _, _, _)) => alias
+      case (alias, EAgg(fn, Some(v), _, _, None))
+        if Set("MIN", "MAX", "SAMPLE", "GROUP_CONCAT")(fn) && base(v) => alias
+    }.toSet
+    val gbDef = q.groupBinds.collect {
+      case (v, e) if exprVars(e).forall(base) && !exprEverNull(e, base) => v
+    }.toSet
+    projectedCols(q) intersect (base ++ aggDef ++ gbDef)
+  }
+
+  /** Can this scalar expression evaluate to null (SPARQL error → unbound)
+    * when every variable in `definite` is non-null? Conservative: the
+    * numeric paths try_cast-coerce, so any arithmetic or numeric built-in
+    * over a string binding may null out. */
+  private def exprEverNull(e: Expr, definite: Set[String]): Boolean = e match {
+    case EVar(n) => !definite(n)
+    case ENum(_) | EStr(_) => false
+    case EArith(_, _, _) => true
+    case EFun("ABS" | "FLOOR" | "CEIL" | "ROUND", _) => true
+    case EFun("IF", Seq(_, t, f)) =>
+      exprEverNull(t, definite) || exprEverNull(f, definite)
+    case EFun("COALESCE", as) => as.forall(exprEverNull(_, definite))
+    case EFun(_, as) => as.exists(exprEverNull(_, definite))
+    case EConcat(as) => as.exists(exprEverNull(_, definite))
+    case _ => true // aggregates, booleans-in-scalar-position: conservative
   }
 
   /** DESCRIBE: the subgraph about the named resources — every triple
@@ -714,8 +912,16 @@ object Sparql {
     case EAgg("AVG", Some(v), false, _, _) =>
       sum(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double") /
         count(expr(s"try_cast(`$v` AS double)"))
-    case EAgg("MIN", Some(v), false, _, _) => min(col(v))
-    case EAgg("MAX", Some(v), false, _, _) => max(col(v))
+    // DISTINCT forms: distinctness over the same decimal coercion on both
+    // numerator and denominator ("1" and "1.00" coincide consistently)
+    case EAgg("SUM", Some(v), true, _, _) =>
+      sum_distinct(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double")
+    case EAgg("AVG", Some(v), true, _, _) =>
+      sum_distinct(expr(s"try_cast(`$v` AS decimal(27,6))")).cast("double") /
+        countDistinct(expr(s"try_cast(`$v` AS decimal(27,6))"))
+    // MIN/MAX are idempotent under DISTINCT
+    case EAgg("MIN", Some(v), _, _, _) => min(col(v))
+    case EAgg("MAX", Some(v), _, _, _) => max(col(v))
     // SAMPLE returns an implementation-chosen group element (18.5.1.9);
     // min is a conformant choice and, unlike first(), independent of
     // partition order — the only reproducible option on a cluster
@@ -754,6 +960,9 @@ object Sparql {
     case ENot(x) => collectAggs(x)
     case EArith(l, _, r) => collectAggs(l) ++ collectAggs(r)
     case EConcat(as) => as.flatMap(collectAggs)
+    // aggregates inside built-in calls — COALESCE(SUM(?x), 0),
+    // IF(COUNT(?x) > 5, ...) — mark the query aggregated too
+    case EFun(_, as) => as.flatMap(collectAggs)
     case _ => Nil
   }
 
@@ -931,8 +1140,12 @@ object Sparql {
         p.expectKw("CONSTRUCT")
         // CONSTRUCT WHERE { patterns } shorthand (grammar 10): the WHERE
         // patterns double as the template — parsed below with everything
-        // else; plain triple patterns only, enforced after the parse
-        if (p.peekKw("WHERE")) { constructWhere = true; Some(Nil) }
+        // else; plain triple patterns only, enforced after the parse.
+        // Dataset clauses may precede WHERE (CONSTRUCT FROM <g> WHERE):
+        // the shared datasetClauses call below consumes them.
+        if (p.peekKw("WHERE") || p.peekKw("FROM")) {
+          constructWhere = true; Some(Nil)
+        }
         else {
           p.expect("{")
           val template = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -1154,11 +1367,19 @@ object Sparql {
       // { group } UNION { group } [ UNION { group } ]*
       val bs = scala.collection.mutable.ArrayBuffer(group(p, prefixes))
       while (p.peekKw("UNION")) { p.expectKw("UNION"); bs += group(p, prefixes) }
-      p.expect("}")
-      // a single braced group is a plain nested group, not a union: wrap
-      // it so its filters/optionals keep group scope
-      if (bs.size == 1) Seq(Block(Nil, Nil, Nil, unions = Seq(bs.toSeq)))
-      else bs.toSeq
+      if (p.peek() != "}") {
+        // further group members follow the union: it is a nested member of
+        // a plain block (SPARQL GroupGraphPattern), joined on shared vars
+        val rest = blockBody(p, prefixes)
+        p.expect("}")
+        Seq(rest.copy(unions = bs.toSeq +: rest.unions))
+      } else {
+        p.expect("}")
+        // a single braced group is a plain nested group, not a union: wrap
+        // it so its filters/optionals keep group scope
+        if (bs.size == 1) Seq(Block(Nil, Nil, Nil, unions = Seq(bs.toSeq)))
+        else bs.toSeq
+      }
     } else {
       val b = blockBody(p, prefixes)
       p.expect("}")

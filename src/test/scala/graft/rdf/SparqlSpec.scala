@@ -1474,6 +1474,97 @@ class SparqlSpec extends SparkSpec {
     assert(encd.exceptAll(got).count() === 0)
   }
 
+  test("UNION branch leaving a shared variable unbound keeps its solutions") {
+    // SPARQL compatibility: a branch that does not bind ?x is compatible
+    // with any ?x from the rest of the block — the join must distribute
+    // over the branches, not inner-join a null-padded column
+    val t = Seq(
+      ("s1", "p", "a"), ("s2", "p", "b"), ("s3", "p", "z"),
+      ("s1", "q", "a"), ("s3", "q", "w"),
+      ("s2", "r", "c")).toDF("s", "p", "o")
+    val got = Sparql.run(t,
+      """SELECT ?s ?x ?y WHERE {
+        |  ?s <p> ?x .
+        |  { ?s <q> ?x . } UNION { ?s <r> ?y . }
+        |}""".stripMargin)
+    val rows = got.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    // s1: branch 1 agrees on ?x=a. s2: branch 2 binds only ?y, joins on ?s
+    // alone, ?x comes from the enclosing pattern (previously dropped).
+    // s3: branch 1 disagrees on ?x (z vs w) and branch 2 has no row.
+    assert(rows === Set(
+      ("s1", Some("a"), None), ("s2", Some("b"), Some("c"))))
+    // union-first order (no preceding piece) works the same
+    val reversed = Sparql.run(t,
+      """SELECT ?s ?x ?y WHERE {
+        |  { ?s <q> ?x . } UNION { ?s <r> ?y . }
+        |  ?s <p> ?x .
+        |}""".stripMargin)
+    assert(reversed.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSet === rows)
+    // two union members in one block: alternatives multiply (join
+    // distributes over both), still compatibility-exact
+    val two = Sparql.run(t,
+      """SELECT ?s ?x ?y WHERE {
+        |  ?s <p> ?x .
+        |  { ?s <q> ?x . } UNION { ?s <r> ?y . }
+        |  { ?s <p> ?x . } UNION { ?s <q> ?x . }
+        |}""".stripMargin)
+    assert(two.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSet === Set(("s1", Some("a"), None), ("s1", Some("a"), None),
+        ("s2", Some("b"), Some("c"))))
+    // residual possibly-unbound join keys reject loudly, never mis-run:
+    // OPTIONAL joining a union-padded variable…
+    intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT * WHERE {
+        |  ?s <p> ?x .
+        |  { ?s <q> ?x . } UNION { ?s <r> ?y . }
+        |  OPTIONAL { ?y <t> ?z . }
+        |}""".stripMargin))
+    // …and MINUS on an OPTIONAL-bound variable
+    intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT * WHERE {
+        |  ?s <p> ?x .
+        |  OPTIONAL { ?s <q> ?y . }
+        |  MINUS { ?s <r> ?y . }
+        |}""".stripMargin))
+  }
+
+  test("aggregates inside built-in calls and DISTINCT numeric aggregates") {
+    val t = Seq(("s1", "v", "1"), ("s1", "v", "2"), ("s1", "v", "2"),
+      ("s2", "v", "3")).toDF("s", "p", "o")
+    // SUM/AVG(DISTINCT ?v) — previously a bare MatchError
+    val d = Sparql.run(t,
+      """SELECT ?s (SUM(DISTINCT ?o) AS ?sd) (AVG(DISTINCT ?o) AS ?ad)
+        |WHERE { ?s <v> ?o . } GROUP BY ?s ORDER BY ?s""".stripMargin)
+    val by = d.collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(by === Map("s1" -> ((3.0, 1.5)), "s2" -> ((3.0, 3.0))))
+    // an aggregate nested in a built-in call marks the query aggregated
+    // (previously mis-diagnosed as "only valid in SELECT (… AS ?v)")
+    val coal = Sparql.run(t,
+      """SELECT (COALESCE(SUM(?none), 0) AS ?v) WHERE {
+        |  ?s <v> ?o . OPTIONAL { ?s <w> ?none . }
+        |}""".stripMargin)
+    assert(coal.collect().map(_.getDouble(0)).toSeq === Seq(0.0))
+    val iffed = Sparql.run(t,
+      """SELECT (IF(COUNT(?o) > 3, "big", "small") AS ?c) WHERE {
+        |  ?s <v> ?o .
+        |}""".stripMargin)
+    assert(iffed.collect().map(_.getString(0)).toSeq === Seq("big"))
+  }
+
+  test("CONSTRUCT FROM <g> WHERE shorthand parses the dataset clause") {
+    val quads = Quads.build(spark, sf0001)
+    val cf = Sparql.runQuads(quads,
+      """CONSTRUCT FROM <g:customer> WHERE { ?s <mktsegment> ?seg . }""")
+    assert(cf.columns.toSeq === Seq("s", "p", "o"))
+    assert(cf.count() > 0)
+    assert(cf.filter(!col("s").startsWith("c:")).count() === 0)
+  }
+
   test("multi-pattern CONSTRUCT materializes the solved bindings once") {
     val g = Sparql.run(triples,
       """CONSTRUCT {
