@@ -13,6 +13,7 @@ object Bench {
     // store so their queries measure search/solve (the recurring cost),
     // not the one-off index build / dictionary load
     llm.IvfIndex.forEmbeddings(spark, sfDir): Unit
+    llm.EmbeddingOps.indexForEmbeddings(spark, sfDir): Unit
     rdf.TripleStore.encodedFor(spark, sfDir): Unit
     // This sandbox's bench has multi-x run-to-run noise concentrated in
     // shuffle-heavy queries (identical queries measured 3x apart within one

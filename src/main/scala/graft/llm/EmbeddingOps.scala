@@ -88,15 +88,35 @@ object EmbeddingOps {
     withBuckets(vectors, "embedding")
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bkt")))
 
-  /** Approximate top-k: only candidates sharing an LSH bucket with the
-    * probe in at least one table are ranked. */
-  def annTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame = {
+  /** Approximate top-k over an in-memory bucket index built on the fly.
+    * One-shot use only: for repeated querying this recomputes all
+    * `NumTables × PlanesPerTable` hyperplane dot products per vector per
+    * call — strictly more work than the brute-force scan for a single
+    * probe. Production searches go through [[annTopKIndexed]] against the
+    * persisted index ([[indexForEmbeddings]]). */
+  def annTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame =
+    annTopKIndexed(vectors, bucketIndex(vectors), probeId, k)
+
+  /** Approximate top-k against a PREBUILT bucket index: the probe's
+    * buckets are computed once (one vector × 48 dots — driver-scale), the
+    * index scan prunes to the probe's `NumTables` (tbl, bkt) partitions,
+    * and only the candidates are ranked by exact cosine. The hyperplane
+    * pass over the corpus happened at ingest, exactly like
+    * [[IvfIndex.forEmbeddings]]'s k-means fit. */
+  def annTopKIndexed(vectors: DataFrame, index: DataFrame, probeId: Long,
+      k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val idx = bucketIndex(vectors)
-    val probeIdx = idx.filter(col("vec_id") === probeId)
-      .select(col("tbl"), col("bkt"))
-    val candIds = idx.filter(col("vec_id") =!= probeId)
-      .join(broadcast(probeIdx), Seq("tbl", "bkt"))
+    val probeBuckets = withBuckets(
+        vectors.filter(col("vec_id") === probeId), "embedding")
+      .select(posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+      .collect().map(r => (r.getInt(0), r.getAs[Number](1).longValue()))
+    // OR of (tbl, bkt) equality conjunctions: partition-prunable when the
+    // index is stored partitioned by (tbl, bkt)
+    val cond = probeBuckets.map { case (t, b) =>
+      col("tbl") === t && col("bkt") === b
+    }.reduce(_ || _)
+    val candIds = index.filter(cond)
+      .filter(col("vec_id") =!= probeId)
       .select("vec_id").distinct()
     val probeEmb = vectors.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pe"))
@@ -107,6 +127,40 @@ object EmbeddingOps {
       .limit(k)
       .select(col("vec_id"), col("label"), col("sim"))
   }
+
+  // one prebuilt LSH index per embeddings dir per JVM; the on-disk copy
+  // survives the JVM so repeated sessions skip the hyperplane pass
+  private val prebuilt =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The persisted random-hyperplane bucket index over
+    * `<sfDir>/embeddings.parquet`: (vec_id, tbl, bkt) stored PARTITIONED
+    * BY (tbl, bkt), so a probe's bucket lookups prune to `NumTables`
+    * directories at scan time. Built once at ingest via AtomicStore
+    * (crash-safe atomic publication); searches never recompute corpus
+    * hyperplane dot products. */
+  def indexForEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    prebuilt.getOrElseUpdate(sfDir, {
+      // path carries every build input: dataset dir + LSH geometry (the
+      // hyperplane seed is fixed)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_lsh_" +
+        graft.sources.AtomicStore.key(sfDir, NumTables.toString,
+          PlanesPerTable.toString)
+      val path = graft.sources.AtomicStore.materialize(base)(tmp =>
+        bucketIndex(graft.sources.Tables.embeddings(spark, sfDir))
+          .write.partitionBy("tbl", "bkt").parquet(tmp))
+      // serve reads from the partitioned on-disk layout, not the
+      // in-memory lineage, so (tbl, bkt) pruning is real
+      spark.read.parquet(path)
+    })
+
+  /** [[annTopKIndexed]] against [[indexForEmbeddings]] — the production
+    * search path (one pruned index scan + one candidate ranking). */
+  def annTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, probeId: Long, k: Int): DataFrame =
+    annTopKIndexed(graft.sources.Tables.embeddings(spark, sfDir),
+      indexForEmbeddings(spark, sfDir), probeId, k)
 
   /** Embedding near-dup pairs: narrow LSH-bucket equi-join → distinct id
     * pairs → embeddings re-joined by id → exact cosine filter. Never forms

@@ -61,8 +61,11 @@ object LlmOps extends QueryModule {
     "q_sim_cosine_topk" -> ((s, d) =>
       EmbeddingOps.cosineTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)),
 
+    // searches the PREBUILT persisted LSH index (built once per dataset by
+    // EmbeddingOps.indexForEmbeddings, partitioned by (tbl, bkt)); the
+    // corpus hyperplane pass is ingest-time work and never charges a query
     "q_sim_ann_topk" -> ((s, d) =>
-      EmbeddingOps.annTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)),
+      EmbeddingOps.annTopKPersisted(s, d, probeId = 0L, k = 10)),
 
     // searches the PREBUILT index (built+persisted once per dataset by
     // IvfIndex.forEmbeddings); the k-means fit is ingest-time work and

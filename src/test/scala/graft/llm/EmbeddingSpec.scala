@@ -37,6 +37,25 @@ class EmbeddingSpec extends SparkSpec {
     assert(recall >= 0.8, s"ANN recall too low: $recall (exact=$exact ann=$ann)")
   }
 
+  test("persisted LSH index search matches the inline path and prunes partitions") {
+    val sfDir = sf0001
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val inline = EmbeddingOps.annTopK(vectors, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val persisted = EmbeddingOps.annTopKPersisted(spark, sfDir, 0L, 10)
+    val got = persisted.select("vec_id").as[Long].collect().toSeq
+    // identical hyperplanes → identical buckets → identical candidates
+    assert(got === inline)
+    // the candidate scan reads the PREBUILT index with (tbl, bkt)
+    // partition pruning; the corpus hyperplane pass (zip_with folds over
+    // every embedding) must NOT appear in the per-query plan — only the
+    // final exact-cosine ranking over candidates does
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "index scan not partition-pruned")
+    assert(!plan.contains("zip_with"),
+      "per-query plan recomputes corpus hyperplane dot products")
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pair via LSH buckets") {
     val v = rand64()
     val dup = v.map(x => x + 0.005f)
