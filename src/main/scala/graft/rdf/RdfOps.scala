@@ -420,6 +420,26 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust""".stripMargin)),
 
+    // Term introspection over a TERM-STRING store (N-Triples markup in the
+    // cells, [[Terms]]): language-tagged labels filtered by the everyday
+    // FILTER(LANGMATCHES(LANG(?l), "en")) idiom — matches en and en-US on
+    // the RFC 4647 subtag boundary, not fr — with LANG/STR projections.
+    "q_sparql_lang" -> ((s, d) => {
+      val labels = graft.sources.Tables.customer(s, d).select(
+        concat(lit("<c:"), col("c_custkey"), lit(">")).as("s"),
+        lit("label").as("p"),
+        concat(lit("\""), col("c_name"), lit("\"@"),
+          element_at(array(lit("en"), lit("en-US"), lit("fr")),
+            (col("c_custkey") % 3).cast("int") + 1)).as("o"))
+      Sparql.run(labels,
+        """SELECT ?lang (COUNT(?l) AS ?n) (MIN(?str) AS ?first) WHERE {
+          |  ?c <label> ?l .
+          |  FILTER (LANGMATCHES(LANG(?l), "en"))
+          |  BIND (LANG(?l) AS ?lang)
+          |  BIND (STR(?l) AS ?str)
+          |} GROUP BY ?lang ORDER BY ?lang""".stripMargin)
+    }),
+
     // The aggregation surface composed with the encoded execution model:
     // the same GROUP BY query solved over the persisted sid-bucketed
     // id-store (star collapse + decode), aggregated post-decode. Oracle is
@@ -759,6 +779,20 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
         |  AND starts_with(t1.o, 'Customer#')
         |ORDER BY cust""".stripMargin),
+
+    // the engine's LANGMATCHES(LANG(?l), "en") over the round-robin-tagged
+    // labels graph ≡ the tag computation + prefix filter spelled in SQL
+    "q_sparql_lang" ->
+      """WITH labels AS (
+        |  SELECT c_name AS nm,
+        |         CASE CAST(c_custkey % 3 AS INTEGER)
+        |           WHEN 0 THEN 'en' WHEN 1 THEN 'en-US' ELSE 'fr'
+        |         END AS lang
+        |  FROM customer)
+        |SELECT lang, count(*) AS n, min(nm) AS first
+        |FROM labels
+        |WHERE lang = 'en' OR lang = 'en-US'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same recursive-CTE shape as q_path_transitive — the SPARQL text
     // surface must produce the identical closure

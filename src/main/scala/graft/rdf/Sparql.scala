@@ -815,6 +815,8 @@ object Sparql {
     case ENum(_) | EStr(_) => false
     case EArith(_, _, _) => true
     case EFun("ABS" | "FLOOR" | "CEIL" | "ROUND", _) => true
+    // LANG/DATATYPE error (→ null) on IRI and blank-node arguments
+    case EFun("LANG" | "DATATYPE", _) => true
     case EFun("IF", Seq(_, t, f)) =>
       exprEverNull(t, definite) || exprEverNull(f, definite)
     case EFun("COALESCE", as) => as.forall(exprEverNull(_, definite))
@@ -989,6 +991,19 @@ object Sparql {
       scalarCol(a, numeric = false, env).startsWith(scalarCol(b, numeric = false, env))
     case EFun("STRENDS", Seq(a, b)) =>
       scalarCol(a, numeric = false, env).endsWith(scalarCol(b, numeric = false, env))
+    // term-introspection predicates (17.4.1/17.4.2); null (e.g. LANG of an
+    // IRI) is a SPARQL type error → row eliminated, matching the filter
+    case EFun("LANGMATCHES", Seq(a, b)) =>
+      Terms.langMatches(scalarCol(a, numeric = false, env),
+        scalarCol(b, numeric = false, env))
+    case EFun("ISIRI" | "ISURI", Seq(a)) =>
+      Terms.isIri(scalarCol(a, numeric = false, env))
+    case EFun("ISLITERAL", Seq(a)) =>
+      Terms.isLiteral(scalarCol(a, numeric = false, env))
+    case EFun("ISBLANK", Seq(a)) =>
+      Terms.isBlank(scalarCol(a, numeric = false, env))
+    case EFun("ISNUMERIC", Seq(a)) =>
+      Terms.isNumeric(scalarCol(a, numeric = false, env))
     case ECmp(l, op, r) =>
       // a numeric side switches the comparison to numeric semantics over
       // both sides; try_cast (not cast) so that a non-numeric binding is a
@@ -1027,7 +1042,24 @@ object Sparql {
       concat(args.map(a => scalarCol(a, numeric = false, env).cast("string")): _*)
     // built-ins: numeric-valued ones emit double (the arithmetic
     // convention, DuckDB-CAST-alignable); SUBSTR is SPARQL/SQL 1-based
-    case EFun("STR", Seq(a)) => scalarCol(a, numeric = false, env).cast("string")
+    // STR strips term-string markup (IRI brackets, literal quotes and
+    // annotations) and is the identity on plain-lexical cells ([[Terms]])
+    case EFun("STR", Seq(a)) =>
+      Terms.lexical(scalarCol(a, numeric = false, env).cast("string"))
+    case EFun("LANG", Seq(a)) =>
+      Terms.lang(scalarCol(a, numeric = false, env))
+    case EFun("DATATYPE", Seq(a)) =>
+      Terms.datatype(scalarCol(a, numeric = false, env))
+    case EFun("STRLANG", Seq(a, b)) =>
+      Terms.strlang(scalarCol(a, numeric = false, env),
+        scalarCol(b, numeric = false, env))
+    case EFun("STRDT", Seq(a, b)) =>
+      Terms.strdt(scalarCol(a, numeric = false, env),
+        scalarCol(b, numeric = false, env))
+    case EFun("IRI" | "URI", Seq(a)) =>
+      Terms.iri(scalarCol(a, numeric = false, env))
+    case EFun("BNODE", Seq(a)) =>
+      Terms.bnode(scalarCol(a, numeric = false, env))
     case EFun("STRLEN", Seq(a)) =>
       length(scalarCol(a, numeric = false, env)).cast("double")
     case EFun("UCASE", Seq(a)) => upper(scalarCol(a, numeric = false, env))
@@ -1502,6 +1534,11 @@ object Sparql {
       }
     }
     while (p.peek() != "}") {
+      // GroupGraphPatternSub (grammar 54): an optional '.' may follow any
+      // non-triples member; the triples branch consumes its own
+      val nonTriples = !(!p.peekKw("OPTIONAL") && !p.peekKw("MINUS") &&
+        !p.peekKw("FILTER") && !p.peekKw("BIND") && !p.peekKw("GRAPH") &&
+        !p.peekKw("VALUES") && p.peek() != "{")
       if (p.peekKw("OPTIONAL")) {
         p.expectKw("OPTIONAL")
         optionals += optionalBody()
@@ -1605,6 +1642,7 @@ object Sparql {
         paths ++= pps
         p.maybe(".")
       }
+      if (nonTriples) p.maybe(".")
     }
     require(where.nonEmpty || paths.nonEmpty || subqueries.nonEmpty ||
       graphs.nonEmpty || unions.nonEmpty, "empty WHERE block")
@@ -1950,7 +1988,11 @@ object Sparql {
 
   private val builtinFns = Set("STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "SUBSTR", "ABS", "FLOOR", "CEIL", "ROUND",
-    "MD5", "SHA256", "REPLACE", "STRBEFORE", "STRAFTER", "IF", "COALESCE")
+    "MD5", "SHA256", "REPLACE", "STRBEFORE", "STRAFTER", "IF", "COALESCE",
+    // term introspection ([[Terms]]): exact over term-string stores,
+    // plain-literal verdicts over the default plain-lexical stores
+    "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL",
+    "ISBLANK", "ISNUMERIC", "STRLANG", "STRDT", "IRI", "URI", "BNODE")
 
   private def argList(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Seq[Expr] = {

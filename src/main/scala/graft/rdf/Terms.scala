@@ -1,0 +1,103 @@
+package graft.rdf
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** RDF term introspection over TERM-STRING columns — the N-Triples
+  * surface syntax used as a self-describing in-cell encoding:
+  *
+  *   - IRIs render as `<iri>`
+  *   - blank nodes as `_:label`
+  *   - literals as `"lexical"`, `"lexical"@tag` or `"lexical"^^<datatype>`
+  *
+  * The engine's default stores hold PLAIN LEXICAL terms (the matching
+  * representation [[Triples.build]] produces); these functions degrade
+  * gracefully there: a bare value (no leading `<`, `"` or `_:`) is
+  * treated as a plain literal — `LANG` = `""`, `DATATYPE` = xsd:string —
+  * which is exactly SPARQL's verdict on an untagged literal. Exact
+  * node-kind introspection (isIRI vs isLiteral) needs the term-string
+  * encoding; [[strlang]]/[[strdt]]/[[iri]] construct it and are the
+  * SPARQL STRLANG/STRDT/IRI built-ins.
+  *
+  * Everything here is `org.apache.spark.sql.functions` composition
+  * (whole-stage-codegen'd); no UDFs. Payloads are stored raw (the
+  * convention does not ECHAR-escape inner quotes — [[NtEscapes]] handles
+  * serialization boundaries).
+  */
+object Terms {
+
+  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  val RdfLangString =
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  private val langRe = "@([A-Za-z][A-Za-z0-9-]*)$"
+  private val dtRe = "\\^\\^<([^>]*)>$"
+
+  def isIri(c: Column): Column = c.startsWith("<")
+  def isBlank(c: Column): Column = c.startsWith("_:")
+  /** Quoted term-string literal OR bare plain-lexical value. */
+  def isLiteral(c: Column): Column = !isIri(c) && !isBlank(c)
+
+  /** The lexical form: IRI body for `<iri>`, unannotated payload for
+    * quoted literals, the value itself for plain-lexical cells — the
+    * SPARQL `STR` built-in. */
+  def lexical(c: Column): Column =
+    when(c.startsWith("<") && c.endsWith(">"), c.substr(lit(2), length(c) - 2))
+      .when(c.startsWith("\""), regexp_extract(c, "(?s)^\"(.*)\"", 1))
+      .otherwise(c)
+
+  /** SPARQL `LANG`: the language tag of a tagged literal, `""` for an
+    * untagged one, error (null → row elimination) for IRIs and blanks. */
+  def lang(c: Column): Column =
+    when(isIri(c) || isBlank(c), lit(null).cast("string"))
+      .otherwise(regexp_extract(c, langRe, 1))
+
+  /** SPARQL `DATATYPE`: the datatype IRI — rdf:langString for tagged
+    * literals, xsd:string for plain ones, error for IRIs and blanks. */
+  def datatype(c: Column): Column =
+    when(isIri(c) || isBlank(c), lit(null).cast("string"))
+      .when(c.rlike(dtRe), regexp_extract(c, dtRe, 1))
+      .when(c.rlike(langRe) && c.startsWith("\""), lit(RdfLangString))
+      .otherwise(lit(XsdString))
+
+  /** SPARQL `isNumeric`: a literal with a numeric XSD datatype whose
+    * lexical form is a valid number. Plain literals are xsd:string →
+    * false, per spec. */
+  def isNumeric(c: Column): Column = {
+    val dt = datatype(c)
+    val numericDt = Seq("integer", "int", "long", "short", "byte", "decimal",
+      "double", "float", "nonNegativeInteger", "negativeInteger",
+      "positiveInteger", "nonPositiveInteger", "unsignedLong", "unsignedInt",
+      "unsignedShort", "unsignedByte")
+      .map(n => dt === s"http://www.w3.org/2001/XMLSchema#$n")
+      .reduce(_ || _)
+    coalesce(numericDt && lexical(c).try_cast("double").isNotNull,
+      lit(false))
+  }
+
+  /** SPARQL `LANGMATCHES(tag, range)`: RFC 4647 basic filtering — `"*"`
+    * matches any non-empty tag; otherwise case-insensitive equality or a
+    * subtag-boundary prefix (`"en"` matches `en`, `en-US`). */
+  def langMatches(tag: Column, range: Column): Column =
+    when(range === "*", tag =!= "")
+      .otherwise(lower(tag) === lower(range) ||
+        lower(tag).startsWith(concat(lower(range), lit("-"))))
+
+  /** SPARQL `STRLANG(lexical, tag)` → a tagged term-string literal. */
+  def strlang(lex: Column, tag: Column): Column =
+    concat(lit("\""), lex, lit("\"@"), tag)
+
+  /** SPARQL `STRDT(lexical, datatypeIri)` → a typed term-string literal. */
+  def strdt(lex: Column, dt: Column): Column =
+    concat(lit("\""), lex, lit("\"^^<"), dt, lit(">"))
+
+  /** SPARQL `IRI(x)` → a term-string IRI (absolute IRIs only — there is
+    * no base resolution in this fragment). */
+  def iri(c: Column): Column = concat(lit("<"), lexical(c), lit(">"))
+
+  /** SPARQL `BNODE(x)`: a blank node whose label is a deterministic
+    * digest of the argument — same argument, same node, across any
+    * partitioning (the reproducible choice the spec's freshness rule
+    * permits within a solution). */
+  def bnode(c: Column): Column = concat(lit("_:b"), md5(lexical(c)))
+}

@@ -1556,6 +1556,66 @@ class SparqlSpec extends SparkSpec {
     assert(iffed.collect().map(_.getString(0)).toSeq === Seq("big"))
   }
 
+  test("term introspection: LANG, LANGMATCHES, DATATYPE, node kinds, constructors") {
+    val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    val t = Seq(
+      ("<s1>", "p", "\"chat\"@en"),
+      ("<s1>", "p", "\"chatter\"@en-US"),
+      ("<s2>", "p", "\"plain\""),
+      ("<s2>", "p", "<http://ex/iri>"),
+      ("<s3>", "p", s""""5"^^<$xsdInt>"""),
+      ("<s3>", "p", "_:b0"),
+      ("<s4>", "p", "bare")).toDF("s", "p", "o")
+    def os(q: String): Set[String] =
+      Sparql.run(t, q).select("o").as[String].collect().toSet
+    // LANG = "" for untagged literals (quoted, typed, or plain-lexical);
+    // IRIs and blanks are a type error → row eliminated
+    assert(os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (LANG(?o) = "") }""")
+      === Set("\"plain\"", s""""5"^^<$xsdInt>""", "bare"))
+    // LANGMATCHES: subtag-boundary prefix, case-insensitive; "*" = tagged
+    assert(os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (LANGMATCHES(LANG(?o), "EN")) }""")
+      === Set("\"chat\"@en", "\"chatter\"@en-US"))
+    assert(os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (LANGMATCHES(LANG(?o), "*")) }""")
+      === Set("\"chat\"@en", "\"chatter\"@en-US"))
+    // DATATYPE: declared IRI / rdf:langString / xsd:string
+    assert(os(s"""SELECT ?o WHERE { ?s <p> ?o . FILTER (DATATYPE(?o) = "$xsdInt") }""")
+      === Set(s""""5"^^<$xsdInt>"""))
+    assert(os("""SELECT ?o WHERE { ?s <p> ?o .
+      | FILTER (DATATYPE(?o) = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString") }""".stripMargin)
+      === Set("\"chat\"@en", "\"chatter\"@en-US"))
+    // node kinds and isNumeric
+    assert(os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (ISIRI(?o)) }""")
+      === Set("<http://ex/iri>"))
+    assert(os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (ISBLANK(?o)) }""")
+      === Set("_:b0"))
+    assert(os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (ISNUMERIC(?o)) }""")
+      === Set(s""""5"^^<$xsdInt>"""))
+    assert(!os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (ISLITERAL(?o)) }""")
+      .exists(o => o.startsWith("<") || o.startsWith("_:")))
+    // STR strips markup on every node kind
+    val strs = Sparql.run(t,
+      """SELECT ?v WHERE { ?s <p> ?o . BIND (STR(?o) AS ?v) }""")
+      .select("v").as[String].collect().toSet
+    assert(strs === Set("chat", "chatter", "plain", "http://ex/iri", "5",
+      "_:b0", "bare"))
+    // constructors round-trip through the introspectors
+    val built = Sparql.run(t,
+      """SELECT ?s ?tl ?td ?ti WHERE {
+        |  ?s <p> "bare" .
+        |  BIND (STRLANG("x", "en-GB") AS ?tl)
+        |  BIND (STRDT("7", "http://www.w3.org/2001/XMLSchema#integer") AS ?td)
+        |  BIND (IRI("http://ex/new") AS ?ti)
+        |  FILTER (LANGMATCHES(LANG(?tl), "en") && ISNUMERIC(?td) && ISIRI(?ti))
+        |}""".stripMargin)
+    assert(built.count() === 1)
+    // BNODE is deterministic per argument and a blank node
+    val bn = Sparql.run(t,
+      """SELECT ?b WHERE { ?s <p> "bare" . BIND (BNODE(?s) AS ?b) .
+        | FILTER (ISBLANK(?b)) }""".stripMargin)
+      .select("b").as[String].collect()
+    assert(bn.length === 1 && bn.head.startsWith("_:b"))
+  }
+
   test("CONSTRUCT FROM <g> WHERE shorthand parses the dataset clause") {
     val quads = Quads.build(spark, sf0001)
     val cf = Sparql.runQuads(quads,
