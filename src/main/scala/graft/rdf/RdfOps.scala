@@ -17,6 +17,23 @@ object RdfOps extends QueryModule {
       Dictionary.build(s, Triples.build(s, d)).orderBy(col("id"))
     }),
 
+    // Turtle ingest round-trip: the EAV graph is exported once per dataset
+    // as subject-grouped Turtle (prefixless IRIs, `;`/`,` lists,
+    // AtomicStore-published), then read back by the stateful per-file
+    // Turtle parser — the oracle proves write→parse is the identity on
+    // the triple set.
+    "q_turtle_scan" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ttl_" +
+        graft.sources.AtomicStore.key(d)
+      val path = graft.sources.AtomicStore.materialize(base) { tmp =>
+        Turtle.write(Triples.build(s, d)
+          .withColumn("o_is_iri", col("o").rlike("^[conr]:")), tmp)
+      }
+      // the marker file sits next to part-* files: scan *.txt only
+      Turtle.read(s, s"$path/part-*.txt")
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // Subject star: all patterns share ?cust — the reference answers this
     // with ONE subject-grouped Mongo lookup; the star-collapsed solver
     // answers it with one groupBy(s) aggregation (one shuffle per star,
@@ -552,6 +569,9 @@ object RdfOps extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q_triples_build" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
+
+    // Turtle write → parse must be the identity on the EAV triple set
+    "q_turtle_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
 
     "q_dict_encode" -> cte(
       """SELECT CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id, term

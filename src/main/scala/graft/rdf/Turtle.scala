@@ -1,0 +1,361 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Turtle (W3C Turtle 1.1) reader — the dominant RDF serialization in the
+  * wild, next to the line-oriented [[NTriples]]/[[NQuads]] readers.
+  *
+  * Supported grammar subset (the Turtle every mainstream exporter emits):
+  * `@prefix` / SPARQL-style `PREFIX` directives, prefixed names, `a`,
+  * IRIs, predicate-object (`;`) and object (`,`) lists, labelled blank
+  * nodes and `[ ... ]` blank node property lists (as subject or object),
+  * literals with `@lang` tags and `^^` datatypes, short and long
+  * (`"""..."""`) double-quoted strings with ECHAR/UCHAR escapes
+  * ([[NtEscapes]]), single-quoted variants, and bare numeric / boolean
+  * abbreviations. Out of fragment, rejected loudly with the document
+  * offset: `@base`/relative IRIs and RDF collections `( ... )`.
+  *
+  * Distribution model: Turtle is a STATEFUL format — prefix directives
+  * scope the rest of the document and statements span lines — so unlike
+  * N-Triples it cannot be split inside a file. The reader parallelizes
+  * per FILE (`wholetext` scan → flatMap parse), the standard ingest shape
+  * for Turtle corpora: a 100 TB drop arrives as many documents, and each
+  * task parses one. Single huge .ttl files should be converted to
+  * N-Triples ([[NTriples.write]]) for splittable re-reads — that IS this
+  * engine's load path (read once → persist columnar).
+  *
+  * Output matches [[NTriples.parseTyped]]'s plain-lexical convention —
+  * `(s, p, o, o_is_iri)` with IRIs expanded and literal lexical forms
+  * decoded — plus `o_lang` / `o_datatype` columns keeping the full
+  * literal fidelity that the line regex of the N-Triples reader drops.
+  * Blank node labels are rewritten `_:b<docHash>_<n>` so labels from
+  * different documents can never collide when corpora are unioned
+  * (Turtle blank node scope is the document).
+  */
+object Turtle {
+
+  final case class Row(s: String, p: String, o: String, o_is_iri: Boolean,
+      o_lang: String, o_datatype: String)
+
+  /** (s, p, o) plain-lexical triples — the layout the dictionary/BGP
+    * layer consumes. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readTyped(spark, path).select("s", "p", "o")
+
+  /** Full-fidelity read: (s, p, o, o_is_iri, o_lang, o_datatype). */
+  def readTyped(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (file, doc) => parseDoc(doc, docTag(file, doc)) }
+      .toDF()
+  }
+
+  /** Parse one Turtle document (driver- or executor-side Scala). */
+  def parseDoc(doc: String, bnodeTag: String = "d"): Seq[Row] =
+    new Parser(doc, bnodeTag).parse()
+
+  /** Render `o` as a [[Terms]] term string, restoring `@lang`/`^^dt`
+    * markup — feeds the SPARQL term-introspection built-ins. */
+  def termStrings(typed: DataFrame): DataFrame =
+    typed.select(col("s"), col("p"),
+      when(col("o_is_iri"), concat(lit("<"), col("o"), lit(">")))
+        .when(col("o").startsWith("_:"), col("o"))
+        .when(col("o_lang") =!= "",
+          concat(lit("\""), col("o"), lit("\"@"), col("o_lang")))
+        .when(col("o_datatype") =!= "",
+          concat(lit("\""), col("o"), lit("\"^^<"), col("o_datatype"), lit(">")))
+        .otherwise(concat(lit("\""), col("o"), lit("\""))).as("o"))
+
+  /** Turtle sink: subject-grouped statements exercising the `;`
+    * predicate-object and `,` object list syntax, deterministically
+    * sorted. Input is (s, p, o, o_is_iri) — [[NTriples.parseTyped]]'s
+    * layout. Two aggregations (per-(s,p), then per-s) — a sink cost, paid
+    * once at export. */
+  def write(typed: DataFrame, path: String): Unit = {
+    graft.functions.GraftFunctions.register(typed.sparkSession)
+    val obj = when(col("o_is_iri"), concat(lit("<"), col("o"), lit(">")))
+      .otherwise(concat(lit("\""), expr("nt_escape(o)"), lit("\"")))
+    typed
+      .groupBy(col("s"), col("p"))
+      .agg(concat_ws(" , ", array_sort(collect_list(obj))).as("objs"))
+      .groupBy(col("s"))
+      .agg(concat_ws(" ; ", array_sort(collect_list(
+        concat(lit("<"), col("p"), lit("> "), col("objs"))))).as("body"))
+      .select(concat(lit("<"), col("s"), lit("> "), col("body"), lit(" ."))
+        .as("value"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+  }
+
+  private def docTag(file: String, doc: String): String =
+    graft.sources.AtomicStore.key(file, doc.length.toString).take(8)
+
+  // ------------------------- the parser itself -------------------------
+
+  private final class Parser(doc: String, tag: String) {
+    private var i = 0
+    private val prefixes = scala.collection.mutable.Map.empty[String, String]
+    private var bn = 0
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"Turtle: $msg at offset $i: '" +
+        doc.slice(i, math.min(i + 24, doc.length)).takeWhile(_ != '\n') + "'")
+
+    private def ws(): Unit = {
+      var go = true
+      while (go) {
+        while (i < doc.length && doc.charAt(i).isWhitespace) i += 1
+        if (i < doc.length && doc.charAt(i) == '#') {
+          while (i < doc.length && doc.charAt(i) != '\n') i += 1
+        } else go = false
+      }
+    }
+
+    private def eof: Boolean = { ws(); i >= doc.length }
+    private def peekCh: Char = doc.charAt(i)
+    private def expect(c: Char): Unit = {
+      ws()
+      if (i >= doc.length || doc.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    private def matchWord(w: String): Boolean = {
+      ws()
+      if (doc.regionMatches(true, i, w, 0, w.length) &&
+          (i + w.length >= doc.length ||
+            !Character.isLetterOrDigit(doc.charAt(i + w.length)))) {
+        i += w.length; true
+      } else false
+    }
+
+    def parse(): Seq[Row] = {
+      while (!eof) {
+        if (doc.charAt(i) == '@' || matchesSparqlPrefix()) directive()
+        else statement()
+      }
+      out.toSeq
+    }
+
+    private def matchesSparqlPrefix(): Boolean = {
+      def word(w: String): Boolean =
+        doc.regionMatches(true, i, w, 0, w.length) && {
+          val after = i + w.length
+          after >= doc.length || (!Character.isLetterOrDigit(doc.charAt(after))
+            && doc.charAt(after) != ':' && doc.charAt(after) != '_')
+        }
+      word("PREFIX") || word("BASE")
+    }
+
+    private def directive(): Unit = {
+      val atForm = doc.charAt(i) == '@'
+      if (atForm) i += 1
+      if (matchWord("prefix")) {
+        ws()
+        val name = pnameNs()
+        ws()
+        val iri = iriRef()
+        prefixes(name) = iri
+        if (atForm) expect('.')
+      } else if (matchWord("base")) fail("@base/relative IRIs are out of " +
+        "fragment — emit absolute IRIs")
+      else fail("unsupported directive")
+    }
+
+    /** `pname:` → the prefix name (may be empty). */
+    private def pnameNs(): String = {
+      val start = i
+      while (i < doc.length && doc.charAt(i) != ':' &&
+        !doc.charAt(i).isWhitespace) i += 1
+      if (i >= doc.length || doc.charAt(i) != ':') fail("expected 'name:'")
+      val name = doc.substring(start, i)
+      i += 1
+      name
+    }
+
+    private def iriRef(): String = {
+      ws()
+      if (i >= doc.length || doc.charAt(i) != '<') fail("expected <iri>")
+      val end = doc.indexOf('>', i + 1)
+      if (end < 0) fail("unterminated IRI")
+      val body = doc.substring(i + 1, end)
+      if (body.exists(_.isWhitespace)) fail("whitespace in IRI")
+      i = end + 1
+      NtEscapes.unescape(body)
+    }
+
+    private def statement(): Unit = {
+      val subj = subject()
+      predicateObjectList(subj)
+      expect('.')
+    }
+
+    private def subject(): String = {
+      ws()
+      peekCh match {
+        case '<' => iriRef()
+        case '[' => bnodePropertyList()
+        case '_' => blankLabel()
+        case '(' => fail("RDF collections are out of fragment")
+        case _ => prefixedName()
+      }
+    }
+
+    private def blankLabel(): String = {
+      if (!doc.regionMatches(i, "_:", 0, 2)) fail("expected blank node")
+      i += 2
+      val start = i
+      while (i < doc.length && (doc.charAt(i).isLetterOrDigit ||
+        doc.charAt(i) == '_' || doc.charAt(i) == '-')) i += 1
+      if (i == start) fail("empty blank node label")
+      // document-scoped label → corpus-unique label (the l_/g_ split keeps
+      // a literal label "g1" from colliding with a generated node)
+      s"_:b${tag}_l_${doc.substring(start, i)}"
+    }
+
+    private def freshBnode(): String = { bn += 1; s"_:b${tag}_g$bn" }
+
+    private def prefixedName(): String = {
+      val start = i
+      while (i < doc.length && doc.charAt(i) != ':' &&
+        (doc.charAt(i).isLetterOrDigit || doc.charAt(i) == '_' ||
+          doc.charAt(i) == '-' || doc.charAt(i) == '.')) i += 1
+      if (i >= doc.length || doc.charAt(i) != ':') fail("expected prefixed name")
+      val pre = doc.substring(start, i)
+      i += 1
+      val lstart = i
+      while (i < doc.length && (doc.charAt(i).isLetterOrDigit ||
+        doc.charAt(i) == '_' || doc.charAt(i) == '-' ||
+        (doc.charAt(i) == '.' && i + 1 < doc.length &&
+          doc.charAt(i + 1).isLetterOrDigit))) i += 1
+      val local = doc.substring(lstart, i)
+      val base = prefixes.getOrElse(pre, fail(s"unknown prefix '$pre:'"))
+      base + local
+    }
+
+    private def verb(): String = {
+      ws()
+      if (matchWord("a")) "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+      else if (peekCh == '<') iriRef()
+      else prefixedName()
+    }
+
+    private def predicateObjectList(subj: String): Unit = {
+      var more = true
+      while (more) {
+        val p = verb()
+        objectList(subj, p)
+        ws()
+        more = i < doc.length && doc.charAt(i) == ';' && {
+          i += 1
+          ws()
+          // trailing ';' before '.' or ']' is legal
+          i < doc.length && doc.charAt(i) != '.' && doc.charAt(i) != ']'
+        }
+      }
+    }
+
+    private def objectList(subj: String, p: String): Unit = {
+      obj(subj, p)
+      ws()
+      while (i < doc.length && doc.charAt(i) == ',') {
+        i += 1
+        obj(subj, p)
+        ws()
+      }
+    }
+
+    private def obj(subj: String, p: String): Unit = {
+      ws()
+      peekCh match {
+        case '<' => out += Row(subj, p, iriRef(), o_is_iri = true, "", "")
+        case '[' =>
+          out += Row(subj, p, { val b = bnodePropertyList(); b },
+            o_is_iri = false, "", "")
+        case '_' => out += Row(subj, p, blankLabel(), o_is_iri = false, "", "")
+        case '(' => fail("RDF collections are out of fragment")
+        case '"' | '\'' => out += literal(subj, p)
+        case c if c.isDigit || c == '-' || c == '+' => out += numericRow(subj, p)
+        case _ =>
+          if (matchWord("true")) out += Row(subj, p, "true", o_is_iri = false,
+            "", s"${Terms.XsdString.dropRight(6)}boolean")
+          else if (matchWord("false")) out += Row(subj, p, "false",
+            o_is_iri = false, "", s"${Terms.XsdString.dropRight(6)}boolean")
+          else out += Row(subj, p, prefixedName(), o_is_iri = true, "", "")
+      }
+    }
+
+    /** `[ po-list ]` — a fresh blank node carrying its own properties. */
+    private def bnodePropertyList(): String = {
+      expect('[')
+      val node = freshBnode()
+      ws()
+      if (doc.charAt(i) != ']') predicateObjectList(node)
+      expect(']')
+      node
+    }
+
+    private val xsd = "http://www.w3.org/2001/XMLSchema#"
+
+    private def numericRow(subj: String, p: String): Row = {
+      val start = i
+      if (doc.charAt(i) == '-' || doc.charAt(i) == '+') i += 1
+      var dots = 0; var exp = false
+      while (i < doc.length && (doc.charAt(i).isDigit ||
+        (doc.charAt(i) == '.' && i + 1 < doc.length &&
+          doc.charAt(i + 1).isDigit && { dots += 1; true }) ||
+        ((doc.charAt(i) == 'e' || doc.charAt(i) == 'E') && { exp = true; true }) ||
+        (exp && (doc.charAt(i) == '-' || doc.charAt(i) == '+')))) i += 1
+      val lex = doc.substring(start, i)
+      if (lex.isEmpty || lex == "-" || lex == "+") fail("malformed number")
+      val dt = if (exp) s"${xsd}double"
+      else if (dots > 0) s"${xsd}decimal" else s"${xsd}integer"
+      Row(subj, p, lex, o_is_iri = false, "", dt)
+    }
+
+    private def literal(subj: String, p: String): Row = {
+      val lex = stringBody()
+      ws()
+      if (i < doc.length && doc.charAt(i) == '@') {
+        i += 1
+        val start = i
+        while (i < doc.length && (doc.charAt(i).isLetterOrDigit ||
+          doc.charAt(i) == '-')) i += 1
+        if (i == start) fail("empty language tag")
+        Row(subj, p, lex, o_is_iri = false, doc.substring(start, i), "")
+      } else if (doc.regionMatches(i, "^^", 0, 2)) {
+        i += 2
+        ws()
+        val dt = if (peekCh == '<') iriRef() else prefixedName()
+        Row(subj, p, lex, o_is_iri = false, "", dt)
+      } else Row(subj, p, lex, o_is_iri = false, "", "")
+    }
+
+    private def stringBody(): String = {
+      val q = peekCh // '"' or '\''
+      val long = doc.regionMatches(i, s"$q$q$q", 0, 3)
+      if (long) {
+        i += 3
+        val close = s"$q$q$q"
+        val end = doc.indexOf(close, i)
+        if (end < 0) fail("unterminated long string")
+        val body = doc.substring(i, end)
+        i = end + 3
+        NtEscapes.unescape(body)
+      } else {
+        i += 1
+        val sb = new java.lang.StringBuilder()
+        while (i < doc.length && doc.charAt(i) != q) {
+          if (doc.charAt(i) == '\\' && i + 1 < doc.length) {
+            sb.append(doc.charAt(i)).append(doc.charAt(i + 1)); i += 2
+          } else if (doc.charAt(i) == '\n') fail("newline in short string")
+          else { sb.append(doc.charAt(i)); i += 1 }
+        }
+        if (i >= doc.length) fail("unterminated string")
+        i += 1
+        NtEscapes.unescape(sb.toString)
+      }
+    }
+  }
+}

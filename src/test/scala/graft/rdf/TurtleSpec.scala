@@ -1,0 +1,125 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TurtleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  test("parseDoc: prefixes, a, lists, blank node property lists, literals") {
+    val doc =
+      """@prefix ex: <http://ex/> .   # a comment
+        |PREFIX x: <http://x/>
+        |ex:alice a ex:Person ;
+        |  ex:name "Alice" ;
+        |  ex:likes ex:bob , x:carol .
+        |ex:bob ex:age 42 ; ex:height 1.75 ; ex:score 1.0e3 ;
+        |  ex:active true .
+        |ex:carol ex:label "chat"@en ;
+        |  ex:born "2001-01-01"^^<http://www.w3.org/2001/XMLSchema#date> ;
+        |  ex:bio '''multi
+        |line''' .
+        |_:who ex:knows [ ex:name "Nested" ; ex:age 7 ] .
+        |""".stripMargin
+    val rows = Turtle.parseDoc(doc, "t")
+    val spo = rows.map(r => (r.s, r.p, r.o)).toSet
+    assert(spo.contains(("http://ex/alice", rdfType, "http://ex/Person")))
+    assert(spo.contains(("http://ex/alice", "http://ex/name", "Alice")))
+    assert(spo.contains(("http://ex/alice", "http://ex/likes", "http://ex/bob")))
+    assert(spo.contains(("http://ex/alice", "http://ex/likes", "http://x/carol")))
+    assert(spo.contains(("http://ex/bob", "http://ex/age", "42")))
+    assert(spo.contains(("http://ex/bob", "http://ex/height", "1.75")))
+    assert(spo.contains(("http://ex/bob", "http://ex/active", "true")))
+    assert(spo.contains(("http://ex/carol", "http://ex/bio", "multi\nline")))
+    // literal fidelity survives: tags, datatypes, numeric abbreviations
+    val byO = rows.map(r => r.o -> r).toMap
+    assert(byO("chat").o_lang === "en")
+    assert(byO("2001-01-01").o_datatype.endsWith("#date"))
+    assert(byO("42").o_datatype.endsWith("#integer"))
+    assert(byO("1.75").o_datatype.endsWith("#decimal"))
+    assert(byO("1.0e3").o_datatype.endsWith("#double"))
+    assert(byO("true").o_datatype.endsWith("#boolean"))
+    // the bnode property list introduces one generated node carrying its
+    // own properties, linked from the labelled blank subject
+    val gen = rows.find(r => r.p == "http://ex/knows").get.o
+    assert(gen.startsWith("_:bt_g"))
+    assert(spo.contains((gen, "http://ex/name", "Nested")))
+    assert(spo.contains((gen, "http://ex/age", "7")))
+    assert(rows.find(_.p == "http://ex/knows").get.s.startsWith("_:bt_l_who"))
+  }
+
+  test("parseDoc rejects out-of-fragment syntax loudly") {
+    intercept[IllegalArgumentException](
+      Turtle.parseDoc("@base <http://ex/> ."))
+    intercept[IllegalArgumentException](
+      Turtle.parseDoc("@prefix ex: <http://ex/> . ex:a ex:list (1 2) ."))
+    intercept[IllegalArgumentException](
+      Turtle.parseDoc("nope:a <http://p> \"x\" ."))
+    intercept[IllegalArgumentException](
+      Turtle.parseDoc("<http://s> <http://p> \"unterminated ."))
+  }
+
+  test("distributed read round-trips through the N-Triples writer") {
+    val dir = java.nio.file.Files.createTempDirectory("ttl").toString
+    val doc =
+      """@prefix ex: <http://ex/> .
+        |ex:s1 ex:p "v1" , "v2"@en ; ex:q ex:s2 .
+        |ex:s2 ex:p "esc\"aped\n" .
+        |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.ttl"),
+      doc.getBytes("UTF-8"))
+    val typed = Turtle.readTyped(spark, s"$dir/*.ttl")
+    assert(typed.count() === 4)
+    // Turtle read → N-Triples write → N-Triples read: identical triples
+    val ntDir = s"$dir/nt"
+    NTriples.write(typed.select("s", "p", "o", "o_is_iri"), ntDir)
+    val back = NTriples.read(spark, s"$ntDir/part-*.txt")
+    val a = typed.select("s", "p", "o").as[(String, String, String)]
+      .collect().toSet
+    val b = back.as[(String, String, String)].collect().toSet
+    assert(a === b)
+    assert(a.contains(("http://ex/s2", "http://ex/p", "esc\"aped\n")))
+  }
+
+  test("Turtle write → read is the identity on a typed triple set") {
+    val dir = java.nio.file.Files.createTempDirectory("ttlw").toString
+    val typed = Seq(
+      ("a:1", "name", "x", false), ("a:1", "knows", "a:2", true),
+      ("a:2", "name", "multi\nline \"q\"", false),
+      ("a:2", "knows", "a:1", true), ("a:2", "knows", "a:3", true))
+      .toDF("s", "p", "o", "o_is_iri")
+    Turtle.write(typed, dir)
+    val back = Turtle.read(spark, s"$dir/part-*.txt")
+      .as[(String, String, String)].collect().toSet
+    assert(back === typed.select("s", "p", "o")
+      .as[(String, String, String)].collect().toSet)
+  }
+
+  test("termStrings feeds the SPARQL term introspection built-ins") {
+    val dir = java.nio.file.Files.createTempDirectory("ttlt").toString
+    val doc =
+      """@prefix ex: <http://ex/> .
+        |ex:s ex:label "chat"@en , "chatter"@fr , "plain" ;
+        |     ex:n 5 ; ex:ref ex:o .
+        |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.ttl"),
+      doc.getBytes("UTF-8"))
+    val terms = Turtle.termStrings(Turtle.readTyped(spark, s"$dir/*.ttl"))
+    val en = Sparql.run(terms,
+      """SELECT ?v WHERE {
+        |  ?s <http://ex/label> ?l .
+        |  FILTER (LANGMATCHES(LANG(?l), "en"))
+        |  BIND (STR(?l) AS ?v)
+        |}""".stripMargin).as[String].collect().toSeq
+    assert(en === Seq("chat"))
+    val numeric = Sparql.run(terms,
+      """SELECT ?o WHERE { ?s <http://ex/n> ?o . FILTER (ISNUMERIC(?o)) }""")
+    assert(numeric.count() === 1)
+    val iris = Sparql.run(terms,
+      """SELECT ?o WHERE { ?s ?p ?o . FILTER (ISIRI(?o)) }""")
+      .as[String].collect().toSeq
+    assert(iris === Seq("<http://ex/o>"))
+  }
+}
