@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager materialization of intermediate frames with lineage truncation —
+  * the primitive behind the dedup pair builders, iterative path closures
+  * and multi-template CONSTRUCT (re-deriving those relations per consumer
+  * would re-run whole join trees).
+  *
+  * Two modes, switched by the session conf `graft.checkpoint.dir`:
+  *
+  *  - UNSET (default): `localCheckpoint(eager = true)` — blocks live on
+  *    executors, zero external storage, the right call single-JVM and for
+  *    clusters that prefer recompute-from-source on loss. NOT
+  *    fault-tolerant past the checkpoint: losing an executor loses its
+  *    blocks and the lineage that could rebuild them.
+  *  - SET to a durable directory (HDFS/object store on a cluster):
+  *    RELIABLE `checkpoint(eager = true)` — blocks persist to that
+  *    directory, and recomputation after executor loss replays from
+  *    durable storage. The 100 TB deployment setting.
+  *
+  * The checkpoint directory is installed on the SparkContext on first use
+  * and re-installed if the conf changes between queries.
+  */
+object Materialize {
+
+  /** Session conf key: durable checkpoint directory (empty/unset →
+    * executor-local checkpointing). */
+  val DirProp = "graft.checkpoint.dir"
+
+  def apply(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(DirProp).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir appends a per-install UUID subdir; only
+        // (re)install when the configured root actually changed
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+}

@@ -111,13 +111,12 @@ object Dedup {
     * instead of leaking into the caller's session.
     *
     * NOTE: this makes the pair-builder APIs (here, [[simHashPairs]],
-    * [[ngramJaccardPairs]], [[removeNearDuplicates]]) EAGER, and
-    * localCheckpoint truncates lineage to executor-local blocks — on a
-    * multi-executor cluster, losing an executor after the checkpoint makes
-    * downstream reads unrecoverable (no recompute path). Single-JVM this is
-    * strictly a win; a cluster deployment should swap the localCheckpoints
-    * for `spark.sparkContext.setCheckpointDir` + `checkpoint(true)` (HDFS-
-    * reliable) or a small parquet write-then-read of the pair list.
+    * [[ngramJaccardPairs]], [[removeNearDuplicates]]) EAGER. The
+    * materialization mode is [[graft.Materialize]]'s: executor-local
+    * checkpoint by default (single-JVM optimal, not fault-tolerant past
+    * the checkpoint); set the session conf `graft.checkpoint.dir` to a
+    * durable directory (HDFS/object store) for reliable checkpointing on
+    * a cluster — the 100 TB deployment setting.
     */
   def minHashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).persist()
@@ -128,7 +127,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         graft.Det.roundSafe(col("jaccard"), 4).as("jaccard"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.apply)
     sigs.unpersist()
     sh.unpersist()
     pairs
@@ -200,7 +199,7 @@ object Dedup {
   def removeNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     val comps = connectedComponents(minHashPairs(docs, threshold))
     val dropped = comps.filter(col("doc_id") =!= col("label")).select("doc_id")
-      .localCheckpoint(true)
+      .transform(graft.Materialize.apply)
     comps.unpersist()
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
@@ -248,7 +247,7 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .localCheckpoint(true)
+      .transform(graft.Materialize.apply)
     sigs.unpersist()
     pairs
   }
@@ -312,7 +311,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         graft.Det.roundSafe(col("jaccard"), 4).as("jaccard"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.apply)
     prefix.unpersist()
     grams.unpersist()
     out

@@ -184,7 +184,7 @@ object EmbeddingOps {
       .withColumn("sim", graft.Det.roundSafe(cosine("ea", "eb"), 6))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.apply)
     idx.unpersist()
     out
   }

@@ -73,7 +73,7 @@ object Paths {
     spark.conf.set(flag, "false")
     try {
       val e = edges.select(col("src"), col("dst")).distinct().persist()
-      var all = init(e).localCheckpoint(true)
+      var all = graft.Materialize(init(e))
       var delta = all
       var i = 0
       while (i < maxIter && !delta.isEmpty) {
@@ -82,8 +82,8 @@ object Paths {
           .distinct()
           // only genuinely new pairs survive into the next frontier
           .join(all, Seq("src", "dst"), "left_anti")
-          .localCheckpoint(true)
-        if (!next.isEmpty) all = all.unionByName(next).localCheckpoint(true)
+          .transform(graft.Materialize.apply)
+        if (!next.isEmpty) all = all.unionByName(next).transform(graft.Materialize.apply)
         delta = next
         i += 1
       }

@@ -467,11 +467,10 @@ object Sparql {
       }
       // materialize the solved bindings ONCE when the template has several
       // patterns — mapping the template over the unmaterialized frame
-      // would re-run the whole BGP join tree once per pattern.
-      // localCheckpoint is eager and truncates lineage to executor-local
-      // blocks (fine single-JVM; a cluster deployment would swap in a
-      // reliable checkpoint / small parquet round-trip here).
-      val mat = if (template.size > 1) df.localCheckpoint(true) else df
+      // would re-run the whole BGP join tree once per pattern
+      // ([[graft.Materialize]]: executor-local by default, reliable when
+      // graft.checkpoint.dir is set).
+      val mat = if (template.size > 1) graft.Materialize(df) else df
       return template.map(tp => mat.select(
           t2c(tp.s).cast("string").as("s"), t2c(tp.p).cast("string").as("p"),
           t2c(tp.o).cast("string").as("o")))

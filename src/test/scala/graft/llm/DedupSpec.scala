@@ -39,6 +39,28 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(mh - exact) < 5e-4)
   }
 
+  test("reliable-checkpoint mode (graft.checkpoint.dir) matches default results") {
+    val docs = docsDF(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+    val viaLocal = Dedup.minHashPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val closureLocal = graft.rdf.Paths.transitiveClosure(edges)
+      .as[(String, String)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(graft.Materialize.DirProp, dir)
+    try {
+      val viaReliable = Dedup.minHashPairs(docs, 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(viaReliable === viaLocal)
+      val closureReliable = graft.rdf.Paths.transitiveClosure(edges)
+        .as[(String, String)].collect().toSet
+      assert(closureReliable === closureLocal)
+      // the durable checkpoint actually wrote blocks to the directory
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "reliable mode did not write to graft.checkpoint.dir")
+    } finally spark.conf.unset(graft.Materialize.DirProp)
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     // SimHash stabilizes with length: use ~90-token docs differing in one
     // rare token (short docs flip many bits on any edit — that's inherent).
