@@ -10,6 +10,8 @@ object GraftSession {
   def local(cpus: String, extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
+      // StarCollapse optimizer rule (inert until graft.star.collapse=true)
+      .config("spark.sql.extensions", classOf[plans.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

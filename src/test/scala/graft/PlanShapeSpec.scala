@@ -76,6 +76,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$p")
   }
 
+  test("StarCollapse rule: plain Bgp.solve star plans join-free when enabled") {
+    import graft.rdf.{Bgp, C, TP, Triples, V}
+    val triples = Triples.build(spark, sf0001)
+    val star = Seq(
+      TP(V("cust"), C("name"), V("cname")),
+      TP(V("cust"), C("mktsegment"), C("BUILDING")),
+      TP(V("cust"), C("nation"), V("nat")))
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // baseline: the join path (rule inert by default)
+    val joined = Bgp.solve(triples, star)
+    assert(planOf(joined).contains("Join"), "expected the default join plan")
+    spark.conf.set(graft.plans.StarCollapse.Flag, "true")
+    try {
+      val collapsed = Bgp.solve(triples, star)
+      val p = planOf(collapsed)
+      assert(!p.contains("Join"), s"star not collapsed:\n$p")
+      assert(p.contains("Aggregate"), p)
+      // the rewrite is an equivalence on this single-valued corpus
+      assert(collapsed.count() === joined.count())
+      assert(collapsed.exceptAll(joined).count() === 0)
+      assert(joined.exceptAll(collapsed).count() === 0)
+      // explicit API unchanged and still equivalent
+      val explicitly = Bgp.solveStarCollapsed(triples, star)
+      assert(explicitly.exceptAll(collapsed).count() === 0)
+    } finally spark.conf.unset(graft.plans.StarCollapse.Flag)
+  }
+
   test("a constant GRAPH prunes to an equality filter on g at the source") {
     val p = plan("q_sparql_graph")
     // the g:customer block must filter g before joining, not after
