@@ -437,6 +437,23 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust""".stripMargin)),
 
+    // SPARQL UPDATE over the versioned persisted quad store: INSERT DATA
+    // + DELETE WHERE publish immutable successor snapshots (AtomicStore);
+    // the query reads the mutated current version. Both operations are
+    // idempotent, so repeated runs (bench runs=2) converge to the same
+    // result while exercising a full snapshot publication each time.
+    "q_sparql_update" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_quadstore_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), root)
+      QuadStore.update(s, root, """INSERT DATA { <x:1> <label> "v" . }""")
+      QuadStore.update(s, root,
+        """DELETE WHERE { GRAPH <g:orders> { ?o <orderpriority> "1-URGENT" . } }""")
+      QuadStore.read(s, root)
+        .filter(col("p") === "orderpriority" || col("s") === "x:1")
+        .orderBy(col("s"), col("p"), col("o"), col("g"))
+    }),
+
     // Term introspection over a TERM-STRING store (N-Triples markup in the
     // cells, [[Terms]]): language-tagged labels filtered by the everyday
     // FILTER(LANGMATCHES(LANG(?l), "en")) idiom — matches en and en-US on
@@ -799,6 +816,20 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
         |  AND starts_with(t1.o, 'Customer#')
         |ORDER BY cust""".stripMargin),
+
+    // post-update store state: urgent orders deleted, one row inserted
+    "q_sparql_update" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT s, p, o, g FROM (
+         |  SELECT s, p, o, g FROM quads
+         |  WHERE p = 'orderpriority' AND o <> '1-URGENT'
+         |  UNION ALL SELECT 'x:1', 'label', 'v', ''
+         |)
+         |ORDER BY s, p, o, g""".stripMargin,
 
     // the engine's LANGMATCHES(LANG(?l), "en") over the round-robin-tagged
     // labels graph ≡ the tag computation + prefix filter spelled in SQL

@@ -38,6 +38,10 @@ object AtomicStore {
 
   private def complete(dest: File): Boolean = new File(dest, Marker).exists()
 
+  /** Is there a COMPLETE (marker-stamped) store at `path`? Partial
+    * directories left by a crash read as absent. */
+  def isComplete(path: String): Boolean = complete(new File(path))
+
   /** Collision-resistant store key from the build inputs: SHA-256 over the
     * length-prefixed inputs, truncated to 128 bits of hex. 32-bit
     * `hashCode`-based keys can collide across datasets (or a corpus change

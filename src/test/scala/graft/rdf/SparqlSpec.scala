@@ -1625,6 +1625,81 @@ class SparqlSpec extends SparkSpec {
     assert(cf.filter(!col("s").startsWith("c:")).count() === 0)
   }
 
+  test("SPARQL UPDATE over the versioned quad store: mutate, query, pin") {
+    val root = java.nio.file.Files.createTempDirectory("quadstore").toString
+    val quads = Quads.build(spark, sf0001)
+    assert(QuadStore.init(quads, root) === 1)
+    val graphQ =
+      """SELECT ?g ?o WHERE { GRAPH ?g { ?o <orderstatus> "P" . } }"""
+    val baseline = Sparql.runQuads(QuadStore.read(spark, root), graphQ).count()
+    assert(baseline > 0)
+    // the persisted snapshot answers GRAPH queries exactly like the
+    // in-memory dataset it was built from
+    assert(Sparql.runQuads(quads, graphQ).count() === baseline)
+
+    // INSERT DATA into the default graph and a named graph
+    assert(QuadStore.update(spark, root,
+      """INSERT DATA {
+        |  <x:1> <label> "new" .
+        |  GRAPH <g:orders> { <o:999999> <orderstatus> "P" . }
+        |}""".stripMargin) === 2)
+    val cur = QuadStore.read(spark, root)
+    assert(Sparql.runQuads(cur, graphQ).count() === baseline + 1)
+    assert(Sparql.runQuads(cur,
+      """SELECT ?o WHERE { <x:1> <label> ?o . }""").count() === 1)
+    // graphs are sets: re-inserting the same quad does not duplicate
+    QuadStore.update(spark, root, """INSERT DATA { <x:1> <label> "new" . }""")
+    assert(QuadStore.read(spark, root)
+      .filter(col("s") === "x:1").count() === 1)
+    // snapshots are immutable: version 1 still answers without the insert
+    assert(Sparql.runQuads(QuadStore.readVersion(spark, root, 1),
+      """SELECT ?o WHERE { <x:1> <label> ?o . }""").count() === 0)
+    assert(Sparql.runQuads(QuadStore.readVersion(spark, root, 1), graphQ)
+      .count() === baseline)
+
+    // DELETE DATA removes the exact quad
+    QuadStore.update(spark, root,
+      """DELETE DATA { GRAPH <g:orders> { <o:999999> <orderstatus> "P" . } }""")
+    assert(Sparql.runQuads(QuadStore.read(spark, root), graphQ)
+      .count() === baseline)
+
+    // DELETE WHERE: the pattern is match and template at once
+    val urgent = QuadStore.read(spark, root)
+      .filter(col("p") === "orderpriority" && col("o") === "1-URGENT")
+    assert(urgent.count() > 0)
+    QuadStore.update(spark, root,
+      """DELETE WHERE { GRAPH <g:orders> { ?o <orderpriority> "1-URGENT" . } }""")
+    assert(QuadStore.read(spark, root)
+      .filter(col("p") === "orderpriority" && col("o") === "1-URGENT")
+      .count() === 0)
+    // conjunctive DELETE WHERE: only subjects matching BOTH patterns lose
+    // their triples — region names (no <region> edge) survive
+    val regionNames = QuadStore.read(spark, root)
+      .filter(col("s").startsWith("r:") && col("p") === "name").count()
+    assert(regionNames > 0)
+    QuadStore.update(spark, root,
+      """DELETE WHERE { ?n <name> ?nm . ?n <region> ?r . }""")
+    val afterConj = QuadStore.read(spark, root)
+    assert(afterConj.filter(col("s").startsWith("n:")
+      && (col("p") === "name" || col("p") === "region")).count() === 0)
+    assert(afterConj.filter(col("s").startsWith("r:") && col("p") === "name")
+      .count() === regionNames)
+
+    // crash safety: a torn (marker-less) version directory is invisible
+    val before = QuadStore.currentVersion(root).get
+    new java.io.File(root, "v00099").mkdirs()
+    assert(QuadStore.currentVersion(root).get === before)
+
+    // out-of-fragment updates reject loudly
+    intercept[IllegalArgumentException](
+      Update.parse("""INSERT DATA { ?s <p> "x" . }"""))
+    intercept[IllegalArgumentException](Update.parse("CLEAR GRAPH <g:x>"))
+    intercept[IllegalArgumentException](
+      Update.parse("DELETE WHERE { GRAPH ?g { ?s ?p ?o . } }"))
+    intercept[IllegalArgumentException](
+      Update.parse("""DELETE { ?s ?p ?o . } WHERE { ?s ?p ?o . }"""))
+  }
+
   test("multi-pattern CONSTRUCT materializes the solved bindings once") {
     val g = Sparql.run(triples,
       """CONSTRUCT {
