@@ -115,6 +115,27 @@ object StreamOps extends QueryModule {
     ev.withWatermark("ts_us", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming incremental corpus dedup — [[graft.llm.Dedup.incrementalExact]]
+    * lifted to Structured Streaming. New documents dedup against BOTH:
+    *
+    *  - the persisted corpus snapshot, via a stream-static LEFT ANTI join
+    *    on the 32-byte content digest (stateless, re-planned per
+    *    micro-batch; at 100 TB the snapshot side is digest-only rows);
+    *  - in-stream repeats, via `dropDuplicatesWithinWatermark` on the
+    *    digest — cross-micro-batch state that the watermark ages out, so
+    *    the state store holds only the recent-digest window while the
+    *    snapshot side covers everything older.
+    */
+  def streamingIncrementalDedup(docs: DataFrame, snapshot: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val seen = snapshot.select(sha2(col("text"), 256).as("h")).distinct()
+    docs.withColumn("h", sha2(col("text"), 256))
+      .withWatermark("ts_us", lateness)
+      .join(seen, Seq("h"), "left_anti")
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h")
+  }
+
   /** Stream-stream interval join: events match orders of the same user
     * within the trailing `window`. Both sides carry watermarks, so join
     * state is bounded — Spark can discard buffered rows once the other

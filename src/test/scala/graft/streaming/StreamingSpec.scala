@@ -88,6 +88,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup drops snapshot and cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Long, String)] // (doc_id, us, text)
+    val docs = mem.toDF().toDF("doc_id", "us", "text")
+      .withColumn("ts_us", timestamp_micros(col("us")))
+    val out = StreamOps.streamingIncrementalDedup(docs, snapshot)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("inc_dedup").start()
+    try {
+      // batch 1: a snapshot duplicate, a new doc, and an in-batch repeat
+      mem.addData((2L, T0, "aaa"), (3L, T0 + 1, "bbb"), (4L, T0 + 2, "bbb"))
+      q.processAllAvailable()
+      // batch 2: a cross-micro-batch repeat (state) and a genuinely new doc
+      mem.addData((5L, T0 + 3, "bbb"), (6L, T0 + 4, "ccc"))
+      q.processAllAvailable()
+      val kept = spark.table("inc_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      // doc 2 dropped (snapshot), 4 dropped (in-batch), 5 dropped
+      // (cross-batch watermark state); one representative of bbb and ccc
+      assert(kept === Set(3L, 6L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("foreachBatch lands streaming aggregates in parquet (file sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = new java.io.File("target/stream-sink")
