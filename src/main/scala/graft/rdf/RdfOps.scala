@@ -226,6 +226,22 @@ object RdfOps extends QueryModule {
           |HAVING (SUM(?nk * 2 + 1) > 100)
           |ORDER BY ?seg""".stripMargin)),
 
+    // ORDER BY on an aggregate expression (18.2.5: ordering sees the
+    // aggregated solution) combined with HAVING over a non-projected
+    // aggregate: SUM(?nk) appears in neither projection, yet both clauses
+    // resolve to ONE shared hidden column in the same hash aggregate —
+    // no second aggregation pass, hidden column dropped after the sort.
+    "q_sparql_orderagg" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?seg (COUNT(?cust) AS ?n)
+          |WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  ?cust <nationkey> ?nk .
+          |}
+          |GROUP BY ?seg
+          |HAVING (SUM(?nk) > 100)
+          |ORDER BY DESC(SUM(?nk)) ?seg""".stripMargin)),
+
     // SELECT expression projections: a derived ratio of two aggregates
     // and group-key arithmetic, computed over the aggregated row via the
     // EAgg→alias environment (unaliased COUNT becomes a hidden column).
@@ -793,6 +809,15 @@ object RdfOps extends QueryModule {
     // id-space aggregation must be indistinguishable from string-space:
     // the oracle is the very same relational query
     "q_sparql_agg_encoded" -> sparqlAggOracle,
+
+    "q_sparql_orderagg" -> cte(
+      """SELECT t1.o AS seg, count(t1.s) AS n
+        |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey'
+        |GROUP BY t1.o
+        |HAVING CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE) > 100
+        |ORDER BY CAST(sum(TRY_CAST(t2.o AS DECIMAL(27,6))) AS DOUBLE) DESC,
+        |  seg""".stripMargin),
 
     "q_sparql_exists" -> cte(
       """SELECT t1.s AS cust FROM triples t1

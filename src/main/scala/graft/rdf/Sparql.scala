@@ -477,8 +477,18 @@ object Sparql {
         .reduce(_.unionByName(_)).distinct()
     }
     val aggregated = q.groupVars.nonEmpty || q.selectAggs.nonEmpty ||
-      q.having.isDefined || q.selectBinds.exists(b => collectAggs(b._2).nonEmpty)
-    if (aggregated) df = aggregate(q, df)
+      q.having.isDefined ||
+      q.selectBinds.exists(b => collectAggs(b._2).nonEmpty) ||
+      q.orderKeys.exists(_.expr.exists(collectAggs(_).nonEmpty))
+    // aggEnv resolves EAgg references in ORDER BY expression keys to the
+    // hidden aggregate columns; aggDrop defers their removal until after
+    // the sort keys are computed below
+    var aggEnv = Map.empty[EAgg, String]
+    var aggDrop = Seq.empty[String]
+    if (aggregated) {
+      val (adf, env, drops) = aggregate(q, df)
+      df = adf; aggEnv = env; aggDrop = drops
+    }
     // non-aggregate select-bindings compute from the solution directly
     else q.selectBinds.foreach { case (v, e) =>
       require(!df.columns.contains(v), s"SELECT (... AS ?$v) would rebind ?$v")
@@ -499,7 +509,7 @@ object Sparql {
         }
         val n = s"__ok$i"
         hiddenKeys += n
-        df = df.withColumn(n, scalarCol(e, numericExpr(e), Map.empty))
+        df = df.withColumn(n, scalarCol(e, numericExpr(e), aggEnv))
       }
     }
     if (q.projection != Seq("*"))
@@ -509,6 +519,7 @@ object Sparql {
       // internal and must not leak
       val bnodes = df.columns.filter(_.startsWith("_:"))
       if (bnodes.nonEmpty) df = df.drop(bnodes: _*)
+      if (aggDrop.nonEmpty) df = df.drop(aggDrop: _*)
     }
     // under DISTINCT the hidden keys are functions of projected variables
     // (enforced above), so distinct over projection+keys ≡ over projection
@@ -856,11 +867,15 @@ object Sparql {
 
   /** GROUP BY / aggregate-SELECT / HAVING lowering: one hash aggregation
     * over the solved bindings (map-side partial combine for free), HAVING
-    * as a filter over the aggregated frame. HAVING aggregates not already
-    * SELECTed compute as hidden columns and drop after the filter. */
-  private def aggregate(q: Query, solved: DataFrame): DataFrame = {
+    * as a filter over the aggregated frame. Aggregates referenced only by
+    * HAVING or ORDER BY (not SELECTed) compute as hidden columns in the
+    * SAME hash aggregate — no second pass — and drop after use: HAVING's
+    * here, ORDER BY's in [[solve]] via the returned env + drop list. */
+  private def aggregate(q: Query, solved: DataFrame)
+      : (DataFrame, Map[EAgg, String], Seq[String]) = {
     val aliasOf: Map[EAgg, String] = q.selectAggs.map(_.swap).toMap
-    val hidden = (q.having.toSeq ++ q.selectBinds.map(_._2))
+    val hidden = (q.having.toSeq ++ q.selectBinds.map(_._2) ++
+        q.orderKeys.flatMap(_.expr))
       .flatMap(collectAggs).distinct
       .filterNot(aliasOf.contains).zipWithIndex
       .map { case (a, i) => (a, s"__h$i") }
@@ -898,7 +913,12 @@ object Sparql {
       require(!df.columns.contains(v), s"SELECT (... AS ?$v) would rebind ?$v")
       df = df.withColumn(v, scalarCol(e, numericExpr(e), env))
     }
-    df.drop(hidden.map(_._2) :+ "__g": _*)
+    // hidden columns that ORDER BY expression keys still need survive
+    // until solve() computes the keys; everything else drops now
+    val orderAggs = q.orderKeys.flatMap(_.expr).flatMap(collectAggs).toSet
+    val keep = hidden.filter { case (a, _) => orderAggs.contains(a) }
+    val dropNow = hidden.filterNot { case (a, _) => orderAggs.contains(a) }
+    (df.drop(dropNow.map(_._2) :+ "__g": _*), env, keep.map(_._2))
   }
 
   private def aggCol(a: EAgg): Column = a match {
@@ -1344,23 +1364,28 @@ object Sparql {
         case EVar(n) => OrderKey(n, asc)
         case other => OrderKey("", asc, Some(other))
       }
+      // aggregates are legal order conditions on aggregated queries
+      // (grammar 24 OrderCondition → BrackettedExpression | BuiltInCall);
+      // solve() resolves them against the same hash aggregate as HAVING
+      val aggKws = Seq("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+        "GROUP_CONCAT")
       while (p.hasNext &&
           ((p.peek().startsWith("?") && p.peek().length > 1) ||
             p.peek() == "(" || p.peekKw("ASC") || p.peekKw("DESC") ||
-            builtinFns.exists(p.peekKw))) {
+            builtinFns.exists(p.peekKw) || aggKws.exists(p.peekKw))) {
         if (p.peekKw("ASC") || p.peekKw("DESC")) {
           val asc = p.next().equalsIgnoreCase("ASC")
           p.expect("(")
-          val e = orExpr(p, prefixes, allowAgg = false)
+          val e = orExpr(p, prefixes, allowAgg = true)
           p.expect(")")
           orderKeys += key(e, asc)
         } else if (p.peek() == "(") {
           p.expect("(")
-          val e = orExpr(p, prefixes, allowAgg = false)
+          val e = orExpr(p, prefixes, allowAgg = true)
           p.expect(")")
           orderKeys += key(e, asc = true)
-        } else if (builtinFns.exists(p.peekKw))
-          orderKeys += key(orExpr(p, prefixes, allowAgg = false), asc = true)
+        } else if (builtinFns.exists(p.peekKw) || aggKws.exists(p.peekKw))
+          orderKeys += key(orExpr(p, prefixes, allowAgg = true), asc = true)
         else orderKeys += OrderKey(p.next().drop(1), asc = true)
       }
       require(orderKeys.nonEmpty, "empty ORDER BY")
@@ -1373,7 +1398,8 @@ object Sparql {
       if (kw.equalsIgnoreCase("LIMIT")) limit = Some(n) else offset = Some(n)
     }
     val hasAgg = selectAggs.nonEmpty || groupVars.nonEmpty ||
-      having.isDefined || selectBinds.exists(b => collectAggs(b._2).nonEmpty)
+      having.isDefined || selectBinds.exists(b => collectAggs(b._2).nonEmpty) ||
+      orderKeys.exists(_.expr.exists(collectAggs(_).nonEmpty))
     if (hasAgg) {
       require(proj != Seq("*"),
         "SELECT * cannot combine with GROUP BY/aggregates")

@@ -689,6 +689,43 @@ class SparqlSpec extends SparkSpec {
       .count())
   }
 
+  test("ORDER BY aggregate expressions sort the aggregated solution") {
+    val t = Seq(("s1", "g", "a"), ("s1", "v", "1"),
+      ("s2", "g", "a"), ("s2", "v", "2"),
+      ("s3", "g", "b"), ("s3", "v", "10"),
+      ("s4", "g", "c"), ("s4", "v", "5"), ("s5", "g", "c"), ("s5", "v", "6"))
+      .toDF("s", "p", "o")
+    // the sort key SUM(?v) is not projected: a=3, b=10, c=11 → c, b, a
+    val bySum = Sparql.run(t,
+      """SELECT ?grp (COUNT(?s) AS ?n) WHERE {
+        |  ?s <g> ?grp . ?s <v> ?v .
+        |} GROUP BY ?grp ORDER BY DESC(SUM(?v)) ?grp""".stripMargin)
+    assert(bySum.columns.toSeq === Seq("grp", "n"))
+    assert(bySum.select("grp").as[String].collect().toSeq ===
+      Seq("c", "b", "a"))
+    // a SELECTed aggregate referenced by spelling resolves to its alias
+    // column — no duplicate aggregate computed
+    val byAliased = Sparql.run(t,
+      """SELECT ?grp (COUNT(?s) AS ?n) WHERE {
+        |  ?s <g> ?grp .
+        |} GROUP BY ?grp ORDER BY DESC(COUNT(?s)) ?grp""".stripMargin)
+    assert(byAliased.select("grp").as[String].collect().toSeq ===
+      Seq("a", "c", "b"))
+    // HAVING and ORDER BY sharing the same non-projected aggregate use
+    // ONE hidden column; arithmetic around the aggregate works
+    val shared = Sparql.run(t,
+      """SELECT ?grp WHERE {
+        |  ?s <g> ?grp . ?s <v> ?v .
+        |} GROUP BY ?grp HAVING (SUM(?v) > 3)
+        |ORDER BY (0 - SUM(?v))""".stripMargin)
+    assert(shared.as[String].collect().toSeq === Seq("c", "b"))
+    // ungrouped aggregate ORDER BY is legal (single-row solution)
+    val one = Sparql.run(t,
+      """SELECT (COUNT(?s) AS ?n) WHERE { ?s <v> ?v . }
+        |ORDER BY DESC(SUM(?v))""".stripMargin)
+    assert(one.as[Long].collect().toSeq === Seq(5L))
+  }
+
   test("VALUES rows with UNDEF are partial bindings") {
     val t = Seq(("s1", "p", "a"), ("s1", "q", "x"), ("s2", "p", "b"),
       ("s2", "q", "y"), ("s3", "p", "a"), ("s3", "q", "z"))
