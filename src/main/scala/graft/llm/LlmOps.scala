@@ -75,6 +75,14 @@ object LlmOps extends QueryModule {
         probeId = 0L, k = 10, nProbe = 4)
     }),
 
+    // product quantization: the ADC scan reads only the 8-codes-per-vector
+    // table (~32× narrower than the float arrays), reranks the top-50
+    // candidates by exact cosine; the per-subspace k-means fits + encoding
+    // are ingest-time work published once by PqIndex.forEmbeddings
+    "q_sim_pq_topk" -> ((s, d) =>
+      PqIndex.search(PqIndex.forEmbeddings(s, d), Tables.embeddings(s, d),
+        probeId = 0L, k = 10, rerank = 50)),
+
     "q_text_tokens" -> ((s, d) =>
       TextOps.termFrequencies(Tables.documents(s, d))
         .orderBy(col("n").desc, col("tok")).limit(50)),
