@@ -112,6 +112,11 @@ object LlmOps extends QueryModule {
           graft.Det.roundSafe(col("stop_ratio"), 4).as("stop_ratio"), col("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_text_entropy" -> ((s, d) =>
+      TextOps.letterEntropy(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_letters"), col("entropy_bits"))
+        .orderBy(col("doc_id"))),
+
     "q_text_langid" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // profiles are a MODEL: train on a bounded deterministic sample
@@ -370,6 +375,25 @@ object LlmOps extends QueryModule {
         |  (CAST(sum(n_chars) AS DOUBLE) / count(*)) AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // identical letter-count shape and identical left-associated addition
+    // order to TextOps.letterEntropy — double sums agree bit-for-bit
+    "q_text_entropy" -> {
+      val cnt = ('a' to 'z').map(c =>
+        s"(length(__lt) - length(replace(__lt, '$c', '')))")
+      val total = cnt.mkString("(", " + ", ")")
+      val sumClnC = cnt.map(c =>
+        s"(CASE WHEN $c > 0 THEN CAST($c AS DOUBLE) * ln(CAST($c AS DOUBLE)) ELSE 0.0 END)")
+        .mkString("(", " + ", ")")
+      val h = s"""CASE WHEN $total > 0 THEN
+        |  (ln(CAST($total AS DOUBLE)) - $sumClnC / CAST($total AS DOUBLE))
+        |    / ln(2.0)
+        |ELSE 0.0 END""".stripMargin
+      s"""WITH l AS (SELECT doc_id, lower(text) AS __lt FROM documents)
+         |SELECT doc_id, CAST($total AS BIGINT) AS n_letters,
+         |  ${graft.Det.roundSafeSql(h, 6)} AS entropy_bits
+         |FROM l ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_quality" -> {
       val nTok = "len(string_split(text, ' '))"

@@ -65,6 +65,36 @@ object TextOps {
           + least(col("avg_wlen") / 8.0, lit(1.0)) * 0.2, 4))
   }
 
+  /** Letter-distribution entropy (bits) — a cheap gibberish/quality signal:
+    * natural prose lands near the language's letter-frequency entropy
+    * (~4.1 bits for English), while repeated-character spam, base64 blobs
+    * and single-token noise score far off it.
+    *
+    * MAP-ONLY at any scale: the 26-letter histogram is computed as
+    * `length(s) - length(replace(s, c, ''))` per letter — 26 codegen'd
+    * scans of the doc string, zero explodes, zero shuffles — and the
+    * entropy folds over it with left-associated additions (the exact
+    * shape the DuckDB oracle spells, so sums agree bit-for-bit).
+    * H = (ln N − Σ cᵢ·ln cᵢ / N) / ln 2 over letter counts cᵢ, N = Σ cᵢ.
+    */
+  def letterEntropy(docs: DataFrame): DataFrame = {
+    val cnt = ('a' to 'z').map(c =>
+      s"(length(__lt) - length(replace(__lt, '$c', '')))")
+    val total = cnt.mkString("(", " + ", ")")
+    val sumClnC = cnt.map(c =>
+      s"(CASE WHEN $c > 0 THEN CAST($c AS DOUBLE) * ln(CAST($c AS DOUBLE)) ELSE 0.0D END)")
+      .mkString("(", " + ", ")")
+    docs
+      .withColumn("__lt", lower(col("text")))
+      .withColumn("n_letters", expr(total).cast("long"))
+      .withColumn("entropy_bits", graft.Det.roundSafe(expr(
+        s"""CASE WHEN $total > 0 THEN
+           |  (ln(CAST($total AS DOUBLE)) - $sumClnC / CAST($total AS DOUBLE))
+           |    / ln(2.0D)
+           |ELSE 0.0D END""".stripMargin), 6))
+      .drop("__lt")
+  }
+
   /** PII-redaction patterns (kept to the regex subset with identical
     * semantics in Java regex and RE2, for oracle parity): emails, US-style
     * SSNs and phone numbers, IPv4 addresses. Order matters — emails first

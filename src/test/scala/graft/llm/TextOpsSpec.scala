@@ -12,6 +12,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("letterEntropy matches closed-form values and stays map-only") {
+    val docs = Seq(
+      (1L, "aabb"),         // two letters, uniform → exactly 1 bit
+      (2L, "AbCd"),         // case-folded uniform over 4 → exactly 2 bits
+      (3L, "zzzzzz"),       // single letter → 0 bits
+      (4L, "123 !?"),       // no letters at all → defined as 0
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = TextOps.letterEntropy(docs)
+      .select("doc_id", "n_letters", "entropy_bits")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((4L, 1.0)))
+    assert(got(2L) === ((4L, 2.0)))
+    assert(got(3L) === ((6L, 0.0)))
+    assert(got(4L) === ((0L, 0.0)))
+    // pangram: 26 letters, 'o' ×4, 'e','u','h','r','t' ×2, rest ×1 over 35
+    val (n5, h5) = got(5L)
+    val counts = "thequickbrownfoxjumpsoverthelazydog"
+      .groupBy(identity).values.map(_.length.toDouble).toSeq
+    val n = counts.sum
+    val expected = counts.map(c => -c / n * math.log(c / n) / math.log(2)).sum
+    assert(n5 === 35L)
+    assert(math.abs(h5 - expected) < 1e-6, s"pangram entropy $h5 vs $expected")
+    // the whole thing is a projection: no Exchange anywhere in the plan
+    val plan = TextOps.letterEntropy(docs).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"letterEntropy must not shuffle:\n$plan")
+  }
+
   test("language ID separates genuinely distinct vocabularies") {
     // Synthetic fixture with disjoint character distributions: the driver
     // corpus's languages share one vocabulary (NB accuracy ≈ 0.36), so the
