@@ -254,6 +254,20 @@ object LlmOps extends QueryModule {
           stride = 3)
         .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
           length(col("frame")).as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_no"))),
+
+    // Sample → resize, the full frame pipeline: the byte-decimation stand-in
+    // (codec STUB, Multimodal.resizeFrames scaladoc) is oracled on the
+    // output geometry — resized length = ceil(frame/factor) — which a real
+    // resampler must also satisfy; bytes never route through the driver
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeFrames(
+          Multimodal.sampleFrames(
+            Multimodal.withPayload(Tables.documents(s, d).filter(col("doc_id") < 100)),
+            stride = 3),
+          factor = 4)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          length(col("frame")).as("resized_bytes"))
         .orderBy(col("doc_id"), col("frame_no")))
   )
 
@@ -542,6 +556,17 @@ object LlmOps extends QueryModule {
     "q_multimodal_framesample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
         |  CAST(least(32, octet_length(encode(text)) - i * 32) AS INT) AS frame_bytes
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0,
+        |          CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) - 1)) AS i
+        |      FROM documents WHERE doc_id < 100)
+        |WHERE i % 3 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |  CAST(ceil(least(32, octet_length(encode(text)) - i * 32) / 4.0) AS INT)
+        |    AS resized_bytes
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(0,
         |          CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) - 1)) AS i

@@ -96,6 +96,36 @@ object Joins extends QueryModule {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    "q_join_interval" -> ((s, d) => {
+      // Interval-overlap self-join (the Flink interval-join shape): pairs
+      // of SAME-CUSTOMER orders whose 7-day windows overlap. Bucketized
+      // into an EQUI-join on (key, time-bucket): each interval explodes to
+      // the buckets it covers (window ≤ bucket width ⇒ ≤2 per row), the
+      // hash join matches co-bucketed intervals, the exact overlap
+      // predicate filters, and each pair is emitted ONLY in the bucket of
+      // the later start — one emit per pair with no distinct/shuffle for
+      // dedup. The naive ON-overlap spelling is a nested-loop join that
+      // dies at scale (PlanShapeSpec asserts none is planned here).
+      val W = 7L * 86400000L          // bucket width (ms) ≥ window length
+      val win = 6L * 86400000L        // [start, start + 6d] inclusive
+      val iv = Tables.orders(s, d).select(
+          col("o_custkey").as("k"), col("o_orderkey").as("id"),
+          unix_millis(col("o_orderdate")).as("st"))
+        .withColumn("en", col("st") + lit(win))
+      val ex = iv.withColumn("bkt",
+        explode(expr(s"sequence(st div $W, en div $W)")))
+      val a = ex.select(col("k"), col("id").as("o1"), col("st").as("s1"),
+        col("en").as("e1"), col("bkt"))
+      val b = ex.select(col("k"), col("id").as("o2"), col("st").as("s2"),
+        col("en").as("e2"), col("bkt"))
+      a.join(b, Seq("k", "bkt"))
+        .filter(col("o1") < col("o2")
+          && col("s1") <= col("e2") && col("s2") <= col("e1"))
+        .filter(col("bkt") === expr(s"greatest(s1, s2) div $W"))
+        .select(col("k").as("custkey"), col("o1"), col("o2"))
+        .orderBy(col("custkey"), col("o1"), col("o2"))
+    }),
+
     "q_join_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id").as("uid"), col("ts_us_long").as("us"), col("event_id"))
@@ -166,6 +196,17 @@ object Joins extends QueryModule {
         |FROM customer JOIN supplier
         |  ON s_acctbal > c_acctbal - 10.0 AND s_acctbal <= c_acctbal + 10.0
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_join_interval" ->
+      """WITH w AS (
+        |  SELECT o_custkey AS k, o_orderkey AS id,
+        |         epoch_ms(o_orderdate) AS st,
+        |         epoch_ms(o_orderdate) + 518400000 AS en
+        |  FROM orders)
+        |SELECT a.k AS custkey, a.id AS o1, b.id AS o2
+        |FROM w a JOIN w b
+        |  ON a.k = b.k AND a.id < b.id AND a.st <= b.en AND b.st <= a.en
+        |ORDER BY custkey, o1, o2""".stripMargin,
 
     "q_join_asof" ->
       """WITH u AS (

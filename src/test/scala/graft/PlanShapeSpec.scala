@@ -47,6 +47,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q_join_interval bucketizes to an equi-join — no nested loop anywhere") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("as-of join plans without any nested-loop join") {
     val p = plan("q_join_asof")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
