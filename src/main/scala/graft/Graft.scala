@@ -72,4 +72,9 @@ object Graft {
   def annTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame =
     llm.EmbeddingOps.annTopK(vectors, probeId, k)
   def qualityScores(docs: DataFrame): DataFrame = llm.TextOps.qualityScored(docs)
+  def letterEntropy(docs: DataFrame): DataFrame = llm.TextOps.letterEntropy(docs)
+  /** PQ ANN: ingest-time build ([[llm.PqIndex.build]]) + compressed-domain
+    * ADC search with exact rerank. */
+  def pqTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame =
+    llm.PqIndex.search(llm.PqIndex.build(vectors), vectors, probeId, k)
 }

@@ -58,6 +58,23 @@ object Windows extends QueryModule {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "q_win_range_frame" -> ((s, d) => {
+      // RANGE frame over a TIME key (vs q_win_frame's ROWS frame): the
+      // 30-day trailing spend per customer. Range frames are
+      // tie-insensitive — all peers of the current order key are in the
+      // frame — so the epoch-ms key needs no tiebreak for determinism;
+      // decimal accumulation keeps the sliding sum engine-exact.
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("ms"))
+        .rangeBetween(-30L * 86400000L, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("ms", unix_millis(col("o_orderdate")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_trailing"),
+          sum(col("o_totalprice").cast(DecimalType(27, 4))).over(w)
+            .cast(DoubleType).as("sum_trailing"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_win_distribution" -> ((s, d) => {
       // unique total order (custkey tiebreak) keeps ntile boundaries and
       // percent_rank/cume_dist deterministic across engines
@@ -110,6 +127,16 @@ object Windows extends QueryModule {
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS moving_avg3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) OVER w AS DOUBLE)
+        |    AS sum_trailing
+        |FROM (SELECT *, epoch_ms(o_orderdate) AS ms FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ms
+        |  RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_win_distribution" -> {
       val w = "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey"
