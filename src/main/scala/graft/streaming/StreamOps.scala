@@ -200,4 +200,33 @@ object StreamOps extends QueryModule {
           }
       }
   }
+
+  /** Publish one micro-batch as an immutable AtomicStore snapshot keyed by
+    * batch id. foreachBatch delivery is AT-LEAST-once: on failure replay
+    * Structured Streaming re-runs a batch with the SAME id, and
+    * `materialize` then finds the completed snapshot and writes nothing —
+    * making the sink idempotent per batch and therefore exactly-once
+    * end-to-end. Returns the published path. */
+  def publishBatch(batch: DataFrame, root: String, batchId: Long): String =
+    graft.sources.AtomicStore.materialize(s"$root/batch_$batchId")(tmp =>
+      batch.write.mode("overwrite").parquet(tmp))
+
+  /** Exactly-once parquet sink via [[publishBatch]]: attach with
+    * `stream.writeStream.foreachBatch(StreamOps.versionedSink(root))`.
+    * Readers use [[readVersioned]] — batch directories are only visible
+    * once complete (marker-stamped atomic rename), so a reader never
+    * observes a half-written batch. */
+  def versionedSink(root: String): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => { publishBatch(batch.toDF(), root, batchId); () }
+
+  /** Union of all COMPLETE published batches under `root` (incomplete
+    * build dirs carry no completion marker and are skipped). */
+  def readVersioned(spark: SparkSession, root: String): DataFrame = {
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("batch_")
+        && graft.sources.AtomicStore.isComplete(d.getPath))
+      .map(_.getPath).sorted
+    require(dirs.nonEmpty, s"no complete batches under $root")
+    spark.read.parquet(dirs.toIndexedSeq: _*)
+  }
 }

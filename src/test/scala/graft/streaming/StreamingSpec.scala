@@ -242,4 +242,39 @@ class StreamingSpec extends SparkSpec {
       assert(batchRows === Seq((T0, 2L), (T0 + 2 * min5, 1L)))
     } finally q.stop()
   }
+
+  test("versioned sink publishes each micro-batch exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "vsink_test")
+    rmTree(root)
+    val mem = MemoryStream[Raw]
+    val q = toEventDF(mem).writeStream
+      .foreachBatch(StreamOps.versionedSink(root.getPath))
+      .start()
+    try {
+      mem.addData(Raw(1, T0, "a", 1.0), Raw(2, T0 + 1, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Raw(3, T0 + 2, "c", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = StreamOps.readVersioned(spark, root.getPath)
+    assert(out.select("event_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+
+    // at-least-once replay: re-delivering batch 1 with DIFFERENT content
+    // must be a no-op — the completed snapshot wins (idempotent per id)
+    val replay = Seq((99L, T0 + 9, "x", 9.0))
+      .toDF("event_id", "us", "event_type", "value")
+      .withColumn("ts_us", timestamp_micros(col("us")))
+      .withColumn("user_id", col("event_id") % 3)
+    StreamOps.publishBatch(replay, root.getPath, batchId = 1L)
+    val after = StreamOps.readVersioned(spark, root.getPath)
+    assert(after.select("event_id").as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "replayed batch id must not republish")
+
+    // an in-flight (markerless) batch dir is invisible to readers
+    val partial = new java.io.File(root, "batch_7")
+    partial.mkdirs()
+    assert(StreamOps.readVersioned(spark, root.getPath)
+      .select("event_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
 }
