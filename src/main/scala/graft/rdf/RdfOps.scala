@@ -465,6 +465,10 @@ object RdfOps extends QueryModule {
       QuadStore.update(s, root, """INSERT DATA { <x:1> <label> "v" . }""")
       QuadStore.update(s, root,
         """DELETE WHERE { GRAPH <g:orders> { ?o <orderpriority> "1-URGENT" . } }""")
+      // retention: repeated runs would otherwise grow the snapshot chain
+      // by two full copies each — vacuum keeps the newest two, and read()
+      // pins the current (always-retained) version
+      QuadStore.vacuum(root, keep = 2)
       QuadStore.read(s, root)
         .filter(col("p") === "orderpriority" || col("s") === "x:1")
         .orderBy(col("s"), col("p"), col("o"), col("g"))

@@ -268,4 +268,30 @@ object QuadStore {
     * returns the new version number. */
   def update(spark: SparkSession, root: String, text: String): Int =
     publish(Update(read(spark, root), Update.parse(text)), root)
+
+  /** Retention: drop all but the newest `keep` COMPLETE versions, plus any
+    * torn build leftovers. Deleted version numbers are returned. The
+    * current version is always retained, so [[read]]ers are unaffected;
+    * a reader PINNED to a vacuumed version fails fast on its next scan —
+    * retention is an operational contract, exactly as in Delta/Iceberg
+    * VACUUM. Without it the snapshot chain grows by one full copy per
+    * update forever. */
+  def vacuum(root: String, keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    val complete = dirs.flatMap(f => f.getName match {
+      case VersionRe(n) if graft.sources.AtomicStore.isComplete(f.getPath) =>
+        Some(n.toInt -> f)
+      case _ => None
+    }).sortBy(_._1)
+    val cut = complete.map(_._1).lastOption.getOrElse(0) - keep + 1
+    val doomed = complete.filter(_._1 < cut)
+    doomed.foreach { case (_, f) => graft.sources.AtomicStore.deleteRecursively(f) }
+    // torn builds (no marker) are garbage regardless of age
+    dirs.filter(f => f.getName match {
+      case VersionRe(_) => !graft.sources.AtomicStore.isComplete(f.getPath)
+      case _ => false
+    }).foreach(graft.sources.AtomicStore.deleteRecursively)
+    doomed.map(_._1).toSeq
+  }
 }

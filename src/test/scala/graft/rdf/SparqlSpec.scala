@@ -1727,6 +1727,18 @@ class SparqlSpec extends SparkSpec {
     new java.io.File(root, "v00099").mkdirs()
     assert(QuadStore.currentVersion(root).get === before)
 
+    // retention: vacuum drops everything below the newest `keep` complete
+    // versions plus torn build dirs; the current version still reads,
+    // vacuumed pins fail fast
+    val afterCount = afterConj.count()
+    assert(QuadStore.vacuum(root, keep = 2) === (1 to before - 2))
+    assert(QuadStore.currentVersion(root).get === before)
+    assert(QuadStore.read(spark, root).count() === afterCount)
+    assert(!new java.io.File(root, "v00099").exists())
+    intercept[Exception](QuadStore.readVersion(spark, root, 1).collect())
+    // idempotent: nothing more to drop
+    assert(QuadStore.vacuum(root, keep = 2) === Seq.empty)
+
     // out-of-fragment updates reject loudly
     intercept[IllegalArgumentException](
       Update.parse("""INSERT DATA { ?s <p> "x" . }"""))
