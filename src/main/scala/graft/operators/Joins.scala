@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Det, QueryModule}
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The join family.
@@ -98,30 +99,16 @@ object Joins extends QueryModule {
 
     "q_join_interval" -> ((s, d) => {
       // Interval-overlap self-join (the Flink interval-join shape): pairs
-      // of SAME-CUSTOMER orders whose 7-day windows overlap. Bucketized
-      // into an EQUI-join on (key, time-bucket): each interval explodes to
-      // the buckets it covers (window ≤ bucket width ⇒ ≤2 per row), the
-      // hash join matches co-bucketed intervals, the exact overlap
-      // predicate filters, and each pair is emitted ONLY in the bucket of
-      // the later start — one emit per pair with no distinct/shuffle for
-      // dedup. The naive ON-overlap spelling is a nested-loop join that
-      // dies at scale (PlanShapeSpec asserts none is planned here).
-      val W = 7L * 86400000L          // bucket width (ms) ≥ window length
+      // of SAME-CUSTOMER orders whose 7-day windows overlap — see
+      // [[intervalOverlapPairs]]; the naive ON-overlap spelling is a
+      // nested-loop join that dies at scale (PlanShapeSpec asserts none
+      // is planned here; PropertySpec proves ≡ the naive join).
       val win = 6L * 86400000L        // [start, start + 6d] inclusive
       val iv = Tables.orders(s, d).select(
           col("o_custkey").as("k"), col("o_orderkey").as("id"),
           unix_millis(col("o_orderdate")).as("st"))
         .withColumn("en", col("st") + lit(win))
-      val ex = iv.withColumn("bkt",
-        explode(expr(s"sequence(st div $W, en div $W)")))
-      val a = ex.select(col("k"), col("id").as("o1"), col("st").as("s1"),
-        col("en").as("e1"), col("bkt"))
-      val b = ex.select(col("k"), col("id").as("o2"), col("st").as("s2"),
-        col("en").as("e2"), col("bkt"))
-      a.join(b, Seq("k", "bkt"))
-        .filter(col("o1") < col("o2")
-          && col("s1") <= col("e2") && col("s2") <= col("e1"))
-        .filter(col("bkt") === expr(s"greatest(s1, s2) div $W"))
+      intervalOverlapPairs(iv, width = 7L * 86400000L)
         .select(col("k").as("custkey"), col("o1"), col("o2"))
         .orderBy(col("custkey"), col("o1"), col("o2"))
     }),
@@ -155,6 +142,33 @@ object Joins extends QueryModule {
         .orderBy(col("c_mktsegment"))
     })
   )
+
+  /** Interval-overlap self-join pairs, bucketized into an EQUI-join.
+    *
+    * Input: `(k, id, st, en)` — one closed interval `[st, en]` per row
+    * under key `k`. Output: `(k, o1, o2)` with `o1 < o2` for every pair of
+    * same-key rows whose intervals overlap, each pair EXACTLY once.
+    *
+    * Each interval explodes to the `width`-sized buckets it covers
+    * (`en-st ≤ width` ⇒ ≤2 per row), the hash join matches co-bucketed
+    * intervals, the exact overlap predicate filters, and a pair is emitted
+    * ONLY in the bucket of the later start — the first bucket both sides
+    * cover — so no distinct pass is needed. Scales as a plain shuffle
+    * join; the naive ON-overlap spelling plans a nested-loop join. */
+  def intervalOverlapPairs(iv: DataFrame, width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val ex = iv.withColumn("bkt",
+      explode(expr(s"sequence(st div $width, en div $width)")))
+    val a = ex.select(col("k"), col("id").as("o1"), col("st").as("s1"),
+      col("en").as("e1"), col("bkt"))
+    val b = ex.select(col("k"), col("id").as("o2"), col("st").as("s2"),
+      col("en").as("e2"), col("bkt"))
+    a.join(b, Seq("k", "bkt"))
+      .filter(col("o1") < col("o2")
+        && col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .filter(col("bkt") === expr(s"greatest(s1, s2) div $width"))
+      .select(col("k"), col("o1"), col("o2"))
+  }
 
   private val revSql = Det.dsumSql("l_extendedprice * (1.0 - l_discount)", 6)
 

@@ -266,4 +266,30 @@ class PropertySpec extends SparkSpec {
       math.abs(r - x) <= 0.500001e-4
     }, cases = 15)
   }
+
+  test("property: bucketized interval join ≡ naive overlap join, pairs unique") {
+    // random same-key interval sets with lengths up to the bucket width;
+    // the equi-join-bucketized pairs must equal the naive quadratic
+    // overlap join exactly, with every pair emitted exactly once
+    val width = 10L
+    val genIntervals = for {
+      n <- Gen.choose(2, 14)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 2L)
+        st <- Gen.choose(0L, 60L)
+        len <- Gen.choose(0L, width)
+      } yield (k, st, st + len))
+    } yield rows.zipWithIndex.map { case ((k, st, en), i) => (k, i.toLong, st, en) }
+    check(Prop.forAll(genIntervals) { rows =>
+      val iv = rows.toDF("k", "id", "st", "en")
+      val got = operators.Joins.intervalOverlapPairs(iv, width)
+        .as[(Long, Long, Long)].collect().toSeq
+      val naive = for {
+        (k1, i1, s1, e1) <- rows
+        (k2, i2, s2, e2) <- rows
+        if k1 == k2 && i1 < i2 && s1 <= e2 && s2 <= e1
+      } yield (k1, i1, i2)
+      got.sorted == naive.sorted && got.size == got.distinct.size
+    }, cases = 12)
+  }
 }
