@@ -474,6 +474,26 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"), col("g"))
     }),
 
+    // The Modify operation (§3.1.3) on the same store: a predicate rename
+    // — DELETE + INSERT templates instantiated from ONE WHERE solve.
+    // Shares q_sparql_update's root; the two queries touch DISJOINT
+    // predicates (orderpriority/label vs orderstatus/status), so each
+    // reaches its stable end state regardless of execution order, and a
+    // re-run's WHERE matches nothing (the rename is idempotent).
+    "q_sparql_modify" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_quadstore_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), root)
+      QuadStore.update(s, root,
+        """DELETE { GRAPH <g:orders> { ?o <orderstatus> ?st . } }
+          |INSERT { GRAPH <g:orders> { ?o <status> ?st . } }
+          |WHERE { GRAPH <g:orders> { ?o <orderstatus> ?st . } }""".stripMargin)
+      QuadStore.vacuum(root, keep = 2)
+      QuadStore.read(s, root)
+        .filter(col("p") === "orderstatus" || col("p") === "status")
+        .orderBy(col("s"), col("p"), col("o"), col("g"))
+    }),
+
     // Term introspection over a TERM-STRING store (N-Triples markup in the
     // cells, [[Terms]]): language-tagged labels filtered by the everyday
     // FILTER(LANGMATCHES(LANG(?l), "en")) idiom — matches en and en-US on
@@ -858,6 +878,17 @@ object RdfOps extends QueryModule {
          |  WHERE p = 'orderpriority' AND o <> '1-URGENT'
          |  UNION ALL SELECT 'x:1', 'label', 'v', ''
          |)
+         |ORDER BY s, p, o, g""".stripMargin,
+
+    // post-modify store state: every orderstatus quad renamed to status
+    "q_sparql_modify" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT s, 'status' AS p, o, g FROM quads
+         |WHERE p = 'orderstatus'
          |ORDER BY s, p, o, g""".stripMargin,
 
     // the engine's LANGMATCHES(LANG(?l), "en") over the round-robin-tagged

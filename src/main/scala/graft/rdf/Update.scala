@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SPARQL 1.1 Update subset over the VERSIONED persisted quad store
-  * ([[QuadStore]]): `INSERT DATA`, `DELETE DATA` and `DELETE WHERE`,
-  * each publishing a new immutable snapshot.
+  * ([[QuadStore]]): `INSERT DATA`, `DELETE DATA`, `DELETE WHERE` and the
+  * Modify operation `DELETE { t }? INSERT { t }? WHERE { p }`, each
+  * publishing a new immutable snapshot.
   *
   * Operation semantics (SPARQL 1.1 Update §3.1):
   *  - `INSERT DATA { quads }` — ground quads only; graphs are SETS, so
@@ -19,11 +20,15 @@ import org.apache.spark.sql.functions._
   *    across patterns, `GRAPH <g>` blocks match that named graph),
   *    instantiate every pattern per solution, remove the resulting quad
   *    set.
+  *  - `DELETE { t }? INSERT { t }? WHERE { p }` (§3.1.3) — WHERE solves
+  *    once against the original snapshot, both templates instantiate from
+  *    those solutions, deletes apply before inserts: (G \ D) ∪ I.
+  *    Template variables must be WHERE-bound (rejected loudly otherwise —
+  *    this fragment has no bnode-minting templates).
   *
-  * `GRAPH <iri> { ... }` blocks target named graphs in all three forms;
-  * quads outside GRAPH target the default graph. Out of fragment
-  * (rejected loudly): INSERT/DELETE with separate WHERE templates,
-  * LOAD/CLEAR/CREATE/DROP, `GRAPH ?var` in updates.
+  * `GRAPH <iri> { ... }` blocks target named graphs in all forms; quads
+  * outside GRAPH target the default graph. Out of fragment (rejected
+  * loudly): LOAD/CLEAR/CREATE/DROP, WITH/USING, `GRAPH ?var` in updates.
   */
 object Update {
 
@@ -34,6 +39,12 @@ object Update {
   final case class DeleteData(quads: Seq[(String, String, String, String)]) extends Op
   /** Patterns with their (constant) target graph. */
   final case class DeleteWhere(patterns: Seq[(TP, String)]) extends Op
+  /** The Modify operation (§3.1.3): `DELETE { t }? INSERT { t }? WHERE
+    * { p }` — WHERE solves once against the ORIGINAL store, both templates
+    * instantiate from those solutions, deletes apply before inserts:
+    * result = (G \ D) ∪ I. Template variables must be WHERE-bound. */
+  final case class Modify(deleteTpl: Seq[(TP, String)],
+      insertTpl: Seq[(TP, String)], where: Seq[(TP, String)]) extends Op
 
   /** Parse one update request (a single operation in this fragment). */
   def parse(text: String): Op = {
@@ -57,22 +68,56 @@ object Update {
         current.join(broadcast(lit4(qs)), Seq("s", "p", "o", "g"), "left_anti")
       case DeleteWhere(pats) =>
         require(pats.nonEmpty, "empty DELETE WHERE")
-        // solve the conjunction: each pattern over its graph slice, joined
-        // on shared variables (and instantiation needs the bindings once)
-        val solved = pats.map { case (tp, g) =>
-          Bgp.onePattern(current.filter(col("g") === g),
-            Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o))
-        }.reduce(Bgp.joinSolved)
-        def term2col(t: Term): org.apache.spark.sql.Column = t match {
-          case V(n) => col(n)
-          case C(v) => typedLit(v.toString)
-        }
-        val doomed = pats.map { case (tp, g) =>
-          solved.select(term2col(tp.s).as("s"), term2col(tp.p).as("p"),
-            term2col(tp.o).as("o"), typedLit(g).as("g"))
-        }.reduce(_ unionByName _).distinct()
-        current.join(doomed, Seq("s", "p", "o", "g"), "left_anti")
+        // the pattern is both match and template
+        applyModify(current, pats, Nil, pats)
+      case Modify(del, ins, where) =>
+        require(del.nonEmpty || ins.nonEmpty,
+          "Modify needs a DELETE or INSERT template")
+        require(where.nonEmpty, "empty WHERE in Modify")
+        applyModify(current, del, ins, where)
     }
+  }
+
+  private def term2col(t: Term): org.apache.spark.sql.Column = t match {
+    case V(n) => col(n)
+    case C(v) => typedLit(v.toString)
+  }
+
+  /** Solve WHERE once over the current snapshot, instantiate both
+    * templates from the solutions, apply deletes then inserts (set
+    * semantics per graph, no global distinct over the store). */
+  private def applyModify(current: DataFrame, del: Seq[(TP, String)],
+      ins: Seq[(TP, String)], where: Seq[(TP, String)]): DataFrame = {
+    // solve the conjunction: each pattern over its graph slice, joined on
+    // shared variables
+    val solved0 = where.map { case (tp, g) =>
+      Bgp.onePattern(current.filter(col("g") === g),
+        Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o))
+    }.reduce(Bgp.joinSolved)
+    // both templates instantiate from the SAME solution set; materialize
+    // when more than one template leg would re-run the solve
+    val solved = if (del.size + ins.size > 1) graft.Materialize(solved0)
+      else solved0
+    val bound = solved.columns.toSet
+    def inst(tpl: Seq[(TP, String)]): DataFrame = {
+      tpl.foreach { case (tp, _) =>
+        Seq(tp.s, tp.p, tp.o).foreach {
+          case V(n) => require(bound(n),
+            s"template variable ?$n is not bound by the WHERE pattern")
+          case _ => ()
+        }
+      }
+      tpl.map { case (tp, g) =>
+        solved.select(term2col(tp.s).as("s"), term2col(tp.p).as("p"),
+          term2col(tp.o).as("o"), typedLit(g).as("g"))
+      }.reduce(_ unionByName _).distinct()
+    }
+    val afterDel =
+      if (del.isEmpty) current
+      else current.join(inst(del), Seq("s", "p", "o", "g"), "left_anti")
+    if (ins.isEmpty) afterDel
+    else afterDel.unionByName(
+      inst(ins).join(afterDel, Seq("s", "p", "o", "g"), "left_anti"))
   }
 
   // ------------------------------ parser -------------------------------
@@ -104,18 +149,31 @@ object Update {
       }
       val op =
         if (peekKw("INSERT")) {
-          expectKw("INSERT"); expectKw("DATA")
-          InsertData(groundBlock())
+          expectKw("INSERT")
+          if (peekKw("DATA")) { expectKw("DATA"); InsertData(groundBlock()) }
+          else {
+            // INSERT { template } WHERE { patterns }
+            val ins = patternBlock()
+            expectKw("WHERE")
+            Modify(Nil, ins, patternBlock())
+          }
         } else if (peekKw("DELETE")) {
           expectKw("DELETE")
           if (peekKw("DATA")) { expectKw("DATA"); DeleteData(groundBlock()) }
           else if (peekKw("WHERE")) { expectKw("WHERE"); DeleteWhere(patternBlock()) }
-          else throw new IllegalArgumentException(
-            "only INSERT DATA / DELETE DATA / DELETE WHERE are supported " +
+          else if (peek == "{") {
+            // DELETE { t } [INSERT { t }] WHERE { patterns }
+            val del = patternBlock()
+            val ins = if (peekKw("INSERT")) { expectKw("INSERT"); patternBlock() }
+              else Nil
+            expectKw("WHERE")
+            Modify(del, ins, patternBlock())
+          } else throw new IllegalArgumentException(
+            "DELETE takes DATA, WHERE, or a { template } " +
               s"(got DELETE ${peek})")
         } else throw new IllegalArgumentException(
           s"unsupported update operation: $peek (LOAD/CLEAR/CREATE/DROP " +
-            "and template INSERT/DELETE are out of fragment)")
+            "are out of fragment)")
       require(toks.isEmpty || toks == List(";"),
         s"one update operation per request; trailing: ${toks.take(5).mkString(" ")}")
       op

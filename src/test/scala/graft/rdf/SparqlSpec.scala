@@ -724,6 +724,10 @@ class SparqlSpec extends SparkSpec {
       """SELECT (COUNT(?s) AS ?n) WHERE { ?s <v> ?v . }
         |ORDER BY DESC(SUM(?v))""".stripMargin)
     assert(one.as[Long].collect().toSeq === Seq(5L))
+    // an aggregate order key makes the query aggregated: projecting a
+    // bare variable without GROUP BY is then a loud error, not a mis-run
+    intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?s WHERE { ?s <v> ?v . } ORDER BY SUM(?v)"""))
   }
 
   test("VALUES rows with UNDEF are partial bindings") {
@@ -1745,8 +1749,56 @@ class SparqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](Update.parse("CLEAR GRAPH <g:x>"))
     intercept[IllegalArgumentException](
       Update.parse("DELETE WHERE { GRAPH ?g { ?s ?p ?o . } }"))
+  }
+
+  test("Modify: DELETE/INSERT templates over one WHERE solve") {
+    val root = java.nio.file.Files.createTempDirectory("quadstore_mod").toString
+    QuadStore.init(Quads.build(spark, sf0001), root)
+    val nStatus = QuadStore.read(spark, root)
+      .filter(col("p") === "orderstatus").count()
+    assert(nStatus > 0)
+    // predicate rename: delete + insert instantiated from the same
+    // solutions, applied delete-first against the original snapshot
+    QuadStore.update(spark, root,
+      """DELETE { GRAPH <g:orders> { ?o <orderstatus> ?s . } }
+        |INSERT { GRAPH <g:orders> { ?o <status> ?s . } }
+        |WHERE { GRAPH <g:orders> { ?o <orderstatus> ?s . } }""".stripMargin)
+    val cur = QuadStore.read(spark, root)
+    assert(cur.filter(col("p") === "orderstatus").count() === 0)
+    assert(cur.filter(col("p") === "status").count() === nStatus)
+    // INSERT-only with a join in WHERE: derive a cross-graph edge for
+    // customers that have an urgent order
+    QuadStore.update(spark, root,
+      """INSERT { ?c <has_urgent> "y" . }
+        |WHERE { GRAPH <g:orders> { ?o <custkey> ?c .
+        |                           ?o <orderpriority> "1-URGENT" . } }""".stripMargin)
+    val flagged = QuadStore.read(spark, root)
+      .filter(col("p") === "has_urgent")
+    val expected = Quads.build(spark, sf0001).filter(col("g") === "g:orders")
+      .groupBy("s").pivot("p", Seq("custkey", "orderpriority"))
+      .agg(first(col("o")))
+      .filter(col("orderpriority") === "1-URGENT")
+      .select(col("custkey")).distinct().count()
+    assert(flagged.count() === expected)
+    // set semantics: re-applying the same Modify inserts nothing new
+    QuadStore.update(spark, root,
+      """INSERT { ?c <has_urgent> "y" . }
+        |WHERE { GRAPH <g:orders> { ?o <custkey> ?c .
+        |                           ?o <orderpriority> "1-URGENT" . } }""".stripMargin)
+    assert(QuadStore.read(spark, root)
+      .filter(col("p") === "has_urgent").count() === expected)
+    // DELETE-only template narrower than WHERE: drop the flag only for
+    // customers that ALSO have an F-status order (join restricts)
+    QuadStore.update(spark, root,
+      """DELETE { ?c <has_urgent> "y" . }
+        |WHERE { ?c <has_urgent> "y" .
+        |        GRAPH <g:orders> { ?o <custkey> ?c . ?o <status> "F" . } }""".stripMargin)
+    assert(QuadStore.read(spark, root)
+      .filter(col("p") === "has_urgent").count() < expected)
+    // an unbound template variable is a loud error
     intercept[IllegalArgumentException](
-      Update.parse("""DELETE { ?s ?p ?o . } WHERE { ?s ?p ?o . }"""))
+      QuadStore.update(spark, root,
+        """INSERT { ?c <x> ?nope . } WHERE { ?c <has_urgent> "y" . }"""))
   }
 
   test("multi-pattern CONSTRUCT materializes the solved bindings once") {
