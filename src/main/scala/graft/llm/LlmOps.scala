@@ -75,13 +75,22 @@ object LlmOps extends QueryModule {
         probeId = 0L, k = 10, nProbe = 4)
     }),
 
-    // product quantization: the ADC scan reads only the 8-codes-per-vector
-    // table (~32× narrower than the float arrays), reranks the top-50
-    // candidates by exact cosine; the per-subspace k-means fits + encoding
-    // are ingest-time work published once by PqIndex.forEmbeddings
+    // product quantization: the ADC scan reads only the 16-codes-per-vector
+    // table (~4× narrower here, ~16× with byte codes at production dims),
+    // reranks the top-50 candidates by exact cosine; the per-subspace
+    // k-means fits + encoding are ingest-time work published once by
+    // PqIndex.forEmbeddings
     "q_sim_pq_topk" -> ((s, d) =>
       PqIndex.search(PqIndex.forEmbeddings(s, d), Tables.embeddings(s, d),
         probeId = 0L, k = 10, rerank = 50)),
+
+    // IVF+PQ composition (the production vector-store architecture): the
+    // coarse quantizer prunes to nProbe list_id partitions, the PQ codes
+    // inside them scan in the compressed domain, exact rerank recovers
+    // true similarities — ~1000× scan reduction vs brute force at 10^9
+    "q_sim_ivfpq_topk" -> ((s, d) =>
+      IvfPq.search(IvfPq.forEmbeddings(s, d), Tables.embeddings(s, d),
+        probeId = 0L, k = 10, nProbe = 4, rerank = 50)),
 
     "q_text_tokens" -> ((s, d) =>
       TextOps.termFrequencies(Tables.documents(s, d))

@@ -97,24 +97,22 @@ object PqIndex {
       load(spark, path)
     })
 
-  /** ADC search: scan ONLY the codes table for approximate scores, take
-    * the top `rerank` candidates (TakeOrderedAndProject over narrow rows),
-    * then exact-cosine rerank just those against the full vectors. */
-  def search(model: Model, vectors: DataFrame, probeId: Long, k: Int,
-      rerank: Int = 50): DataFrame = {
-    graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val probe = vectors.filter(col("vec_id") === probeId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
-    // per-subspace lookup tables, computed once driver-side (M×K entries):
-    // dtab = dot(query_sub, centroid), ntab = |centroid|²
+  /** The approximate-cosine ADC scoring column over a `code` array column:
+    * per-subspace lookup tables computed once driver-side (`M×K` entries,
+    * inlined as literal arrays) — dtab = dot(query_sub, centroid), ntab =
+    * |centroid|² — then
+    * approx_cos = Σ_m dtab[m][code_m] / (|q| · sqrt(Σ_m ntab[m][code_m])):
+    * pure codegen'd lookups, no vector arithmetic in the scan. */
+  private[llm] def adcCosine(codebooks: Array[Array[Array[Double]]],
+      probe: Array[Double]): org.apache.spark.sql.Column = {
     val dtab = Array.tabulate(M, K) { (m, kk) =>
-      val c = model.codebooks(m)(kk)
+      val c = codebooks(m)(kk)
       var d = 0.0; var i = 0
       while (i < SubDim) { d += probe(m * SubDim + i) * c(i); i += 1 }
       d
     }
     val ntab = Array.tabulate(M, K) { (m, kk) =>
-      val c = model.codebooks(m)(kk)
+      val c = codebooks(m)(kk)
       var n = 0.0; var i = 0
       while (i < SubDim) { n += c(i) * c(i); i += 1 }
       n
@@ -122,18 +120,22 @@ object PqIndex {
     val qNorm = math.sqrt(probe.map(x => x * x).sum)
     def flat(t: Array[Array[Double]]): String =
       t.flatten.mkString("array(", ", ", ")")
-    // approx_cos = Σ_m dtab[m][code_m] / (|q| · sqrt(Σ_m ntab[m][code_m]))
-    // — pure codegen'd lookups, no vector arithmetic in the scan
     def lut(tab: String): String =
       s"aggregate(transform(sequence(0, ${M - 1}), " +
         s"j -> element_at($tab, j * $K + element_at(code, j + 1) + 1)), " +
         "0D, (a, x) -> a + x)"
-    val cands = model.codes.filter(col("vec_id") =!= probeId)
-      .withColumn("adc",
-        expr(lut(flat(dtab))) / (lit(qNorm) * sqrt(expr(lut(flat(ntab))))))
-      .orderBy(col("adc").desc, col("vec_id"))
-      .limit(rerank)
-      .select("vec_id")
+    expr(lut(flat(dtab))) / (lit(qNorm) * sqrt(expr(lut(flat(ntab)))))
+  }
+
+  private[llm] def probeVector(vectors: DataFrame, probeId: Long): Array[Double] =
+    vectors.filter(col("vec_id") === probeId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+
+  /** Exact-cosine rerank of an ADC candidate id set: broadcast the (small)
+    * candidate frame into the vectors table, never the reverse. */
+  private[llm] def rerankExact(cands: DataFrame, vectors: DataFrame,
+      probeId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val probeEmb = vectors.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pe"))
     broadcast(cands).join(vectors, "vec_id")
@@ -143,5 +145,19 @@ object PqIndex {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** ADC search: scan ONLY the codes table for approximate scores, take
+    * the top `rerank` candidates (TakeOrderedAndProject over narrow rows),
+    * then exact-cosine rerank just those against the full vectors. */
+  def search(model: Model, vectors: DataFrame, probeId: Long, k: Int,
+      rerank: Int = 50): DataFrame = {
+    val probe = probeVector(vectors, probeId)
+    val cands = model.codes.filter(col("vec_id") =!= probeId)
+      .withColumn("adc", adcCosine(model.codebooks, probe))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+      .select("vec_id")
+    rerankExact(cands, vectors, probeId, k)
   }
 }
