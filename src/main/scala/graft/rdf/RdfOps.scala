@@ -514,6 +514,30 @@ object RdfOps extends QueryModule {
           |} GROUP BY ?lang ORDER BY ?lang""".stripMargin)
     }),
 
+    // dateTime accessors (17.4.5) over typed literals: orders rendered as
+    // "lex"^^xsd:dateTime term strings (date from o_orderdate, hour derived
+    // from the key), then YEAR/DAY FILTERs and grouped HOURS/DAY stats —
+    // all parsed from the lexical form, so the oracle is plain SQL date
+    // parts with no timezone coupling.
+    "q_sparql_datetime" -> ((s, d) => {
+      val whens = graft.sources.Tables.orders(s, d).select(
+        concat(lit("<o:"), col("o_orderkey"), lit(">")).as("s"),
+        lit("when").as("p"),
+        concat(lit("\""),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T"),
+          lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
+          lit(":15:30\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"))
+          .as("o"))
+      Sparql.run(whens,
+        """SELECT ?y ?m (COUNT(?o) AS ?n) (MIN(?h) AS ?firsth)
+          |       (MAX(?d) AS ?lastd) WHERE {
+          |  ?o <when> ?t .
+          |  BIND (YEAR(?t) AS ?y) BIND (MONTH(?t) AS ?m)
+          |  BIND (HOURS(?t) AS ?h) BIND (DAY(?t) AS ?d)
+          |  FILTER (YEAR(?t) >= 1995 && DAY(?t) <= 15)
+          |} GROUP BY ?y ?m ORDER BY ?y ?m""".stripMargin)
+    }),
+
     // The aggregation surface composed with the encoded execution model:
     // the same GROUP BY query solved over the persisted sid-bucketed
     // id-store (star collapse + decode), aggregated post-decode. Oracle is
@@ -904,6 +928,19 @@ object RdfOps extends QueryModule {
         |FROM labels
         |WHERE lang = 'en' OR lang = 'en-US'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the lexical-form dateTime accessors ≡ SQL date parts on the source
+    // timestamp (hour is key-derived on both sides)
+    "q_sparql_datetime" ->
+      """WITH whens AS (
+        |  SELECT CAST(year(o_orderdate) AS DOUBLE) AS y,
+        |         CAST(month(o_orderdate) AS DOUBLE) AS m,
+        |         CAST(dayofmonth(o_orderdate) AS DOUBLE) AS d,
+        |         CAST(o_orderkey % 24 AS DOUBLE) AS h
+        |  FROM orders)
+        |SELECT y, m, count(*) AS n, min(h) AS firsth, max(d) AS lastd
+        |FROM whens WHERE y >= 1995 AND d <= 15
+        |GROUP BY y, m ORDER BY y, m""".stripMargin,
 
     // same recursive-CTE shape as q_path_transitive — the SPARQL text
     // surface must produce the identical closure

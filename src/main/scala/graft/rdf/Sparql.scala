@@ -115,8 +115,12 @@ object Sparql {
   final case class ERegex(v: String, pattern: String) extends Expr
   final case class EArith(l: Expr, op: String, r: Expr) extends Expr
   final case class EConcat(args: Seq[Expr]) extends Expr
-  /** Built-in call: STR, STRLEN, UCASE, LCASE, CONTAINS, STRSTARTS,
-    * STRENDS, SUBSTR, ABS, IF, COALESCE. */
+  /** Built-in call — the `builtinFns` set: string (STR, STRLEN, UCASE,
+    * LCASE, CONTAINS, STRSTARTS, STRENDS, SUBSTR, REPLACE, STRBEFORE,
+    * STRAFTER, ENCODE_FOR_URI), numeric (ABS, FLOOR, CEIL, ROUND),
+    * hashes (MD5, SHA1, SHA256, SHA384, SHA512), control (IF, COALESCE),
+    * term introspection ([[Terms]]), and the dateTime accessors
+    * (YEAR..SECONDS, TZ). */
   final case class EFun(fn: String, args: Seq[Expr]) extends Expr
   /** Aggregate call; `v=None` is `COUNT(*)`, `sep` is GROUP_CONCAT's
     * SEPARATOR. Valid only in SELECT `(AGG(?v) AS ?alias)` bindings and
@@ -827,6 +831,9 @@ object Sparql {
     case EFun("ABS" | "FLOOR" | "CEIL" | "ROUND", _) => true
     // LANG/DATATYPE error (→ null) on IRI and blank-node arguments
     case EFun("LANG" | "DATATYPE", _) => true
+    // dateTime accessors error (→ null) on non-dateTime lexical forms
+    case EFun("YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS"
+      | "TZ", _) => true
     case EFun("IF", Seq(_, t, f)) =>
       exprEverNull(t, definite) || exprEverNull(f, definite)
     case EFun("COALESCE", as) => as.forall(exprEverNull(_, definite))
@@ -993,6 +1000,8 @@ object Sparql {
     case EArith(_, _, _) => true
     case EAgg(fn, _, _, _, _) => fn == "COUNT" || fn == "SUM" || fn == "AVG"
     case EFun("STRLEN" | "ABS" | "FLOOR" | "CEIL" | "ROUND", _) => true
+    case EFun("YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS",
+      _) => true
     case EFun("IF", args) => args.drop(1).exists(numericExpr)
     case EFun("COALESCE", args) => args.exists(numericExpr)
     case _ => false
@@ -1097,6 +1106,22 @@ object Sparql {
       when(instr(c, sub) > 0,
         c.substr(instr(c, sub) + sub.length, lit(Int.MaxValue))).otherwise(lit(""))
     case EFun("SHA256", Seq(a)) => sha2(scalarCol(a, numeric = false, env), 256)
+    case EFun("SHA1", Seq(a)) => sha1(scalarCol(a, numeric = false, env))
+    case EFun("SHA384", Seq(a)) => sha2(scalarCol(a, numeric = false, env), 384)
+    case EFun("SHA512", Seq(a)) => sha2(scalarCol(a, numeric = false, env), 512)
+    case EFun("ENCODE_FOR_URI", Seq(a)) =>
+      Terms.encodeForUri(scalarCol(a, numeric = false, env))
+    // dateTime accessors (17.4.5) — lexical-form parses, [[Terms]]
+    case EFun("YEAR", Seq(a)) => Terms.year(scalarCol(a, numeric = false, env))
+    case EFun("MONTH", Seq(a)) => Terms.month(scalarCol(a, numeric = false, env))
+    case EFun("DAY", Seq(a)) => Terms.day(scalarCol(a, numeric = false, env))
+    case EFun("HOURS", Seq(a)) =>
+      Terms.hours(scalarCol(a, numeric = false, env))
+    case EFun("MINUTES", Seq(a)) =>
+      Terms.minutes(scalarCol(a, numeric = false, env))
+    case EFun("SECONDS", Seq(a)) =>
+      Terms.seconds(scalarCol(a, numeric = false, env))
+    case EFun("TZ", Seq(a)) => Terms.tz(scalarCol(a, numeric = false, env))
     // REPLACE with literal pattern/replacement only (the regex dialects
     // of the two engines agree on literals; patterns would need escaping
     // audits) — the common template-rewrite use
@@ -2017,7 +2042,10 @@ object Sparql {
     // term introspection ([[Terms]]): exact over term-string stores,
     // plain-literal verdicts over the default plain-lexical stores
     "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL",
-    "ISBLANK", "ISNUMERIC", "STRLANG", "STRDT", "IRI", "URI", "BNODE")
+    "ISBLANK", "ISNUMERIC", "STRLANG", "STRDT", "IRI", "URI", "BNODE",
+    // dateTime accessors + the rest of the hash/URI family ([[Terms]])
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+    "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI")
 
   private def argList(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Seq[Expr] = {

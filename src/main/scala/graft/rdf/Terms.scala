@@ -100,4 +100,51 @@ object Terms {
     * partitioning (the reproducible choice the spec's freshness rule
     * permits within a solution). */
   def bnode(c: Column): Column = concat(lit("_:b"), md5(lexical(c)))
+
+  // ------------------------- date/time accessors -------------------------
+
+  /** xsd:dateTime lexical form (XSD 1.1 §3.3.7): date, 'T', time with
+    * mandatory seconds and optional fraction, optional Z/±HH:MM zone.
+    * Accessors parse the LEXICAL form directly — no timestamp casting, so
+    * the session timezone can never shift a field, and the same regex
+    * evaluates identically in the DuckDB oracle. */
+  private val dateTimeRe =
+    "^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):" +
+      "(\\d{2}(?:\\.\\d+)?)(Z|[+-]\\d{2}:\\d{2})?$"
+
+  /** Field `group` of a dateTime literal's lexical form; null (SPARQL
+    * error → row elimination / unbound) when the form is not a valid
+    * xsd:dateTime. A non-participating optional group extracts as `""`. */
+  private def dtField(c: Column, group: Int): Column = {
+    val lex = lexical(c)
+    when(lex.rlike(dateTimeRe), regexp_extract(lex, dateTimeRe, group))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** SPARQL `YEAR`..`SECONDS` (17.4.5): numeric fields of an xsd:dateTime
+    * literal. Doubles, per the module's numeric-built-in convention;
+    * SECONDS keeps the fraction (xsd:decimal semantics). */
+  def year(c: Column): Column = dtField(c, 1).cast("double")
+  def month(c: Column): Column = dtField(c, 2).cast("double")
+  def day(c: Column): Column = dtField(c, 3).cast("double")
+  def hours(c: Column): Column = dtField(c, 4).cast("double")
+  def minutes(c: Column): Column = dtField(c, 5).cast("double")
+  def seconds(c: Column): Column = dtField(c, 6).cast("double")
+
+  /** SPARQL `TZ`: the timezone designator as a string — `"Z"`, `"+05:00"`,
+    * or `""` when the literal carries no zone. */
+  def tz(c: Column): Column = dtField(c, 7)
+
+  /** SPARQL `ENCODE_FOR_URI` (17.4.3.10): percent-encode everything
+    * outside RFC 3986's unreserved set (ALPHA / DIGIT / `-._~`), UTF-8
+    * bytes in uppercase hex. Built on `url_encode` (form encoding), then
+    * aligned: space is `%20` not `+`, `*` IS encoded, `~` is NOT. */
+  def encodeForUri(c: Column): Column = {
+    val form = url_encode(lexical(c))
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(form, "\\+", "%20"),
+        "\\*", "%2A"),
+      "%7E", "~")
+  }
 }

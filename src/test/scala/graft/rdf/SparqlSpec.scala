@@ -1657,6 +1657,61 @@ class SparqlSpec extends SparkSpec {
     assert(bn.length === 1 && bn.head.startsWith("_:b"))
   }
 
+  test("dateTime accessors: YEAR..SECONDS, TZ; errors eliminate rows") {
+    val xsdDt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    val t = Seq(
+      ("<e1>", "at", s""""2024-03-05T10:30:45"^^<$xsdDt>"""),
+      ("<e2>", "at", s""""1999-12-31T23:59:59.5Z"^^<$xsdDt>"""),
+      ("<e3>", "at", s""""2001-07-04T08:15:00+05:30"^^<$xsdDt>"""),
+      ("<e4>", "at", "2024-03-05T10:30:45"), // plain-lexical degrade
+      ("<e5>", "at", "\"not a date\"")).toDF("s", "p", "o")
+    val fields = Sparql.run(t,
+      """SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?z WHERE {
+        |  ?s <at> ?t .
+        |  BIND (YEAR(?t) AS ?y)    BIND (MONTH(?t) AS ?mo)
+        |  BIND (DAY(?t) AS ?d)     BIND (HOURS(?t) AS ?h)
+        |  BIND (MINUTES(?t) AS ?mi) BIND (SECONDS(?t) AS ?sec)
+        |  BIND (TZ(?t) AS ?z)
+        |} ORDER BY ?s""".stripMargin).collect()
+    assert(fields.length === 5)
+    val byS = fields.map(r => r.getString(0) ->
+      (1 to 6).map(i => if (r.isNullAt(i)) null else r.getDouble(i))).toMap
+    assert(byS("<e1>") === Seq(2024.0, 3.0, 5.0, 10.0, 30.0, 45.0))
+    assert(byS("<e2>") === Seq(1999.0, 12.0, 31.0, 23.0, 59.0, 59.5))
+    assert(byS("<e3>") === Seq(2001.0, 7.0, 4.0, 8.0, 15.0, 0.0))
+    assert(byS("<e4>") === Seq(2024.0, 3.0, 5.0, 10.0, 30.0, 45.0))
+    // invalid lexical form: every accessor errors → unbound (null)
+    assert(byS("<e5>") === Seq(null, null, null, null, null, null))
+    val tzs = fields.map(r => r.getString(0) ->
+      (if (r.isNullAt(7)) null else r.getString(7))).toMap
+    assert(tzs === Map("<e1>" -> "", "<e2>" -> "Z", "<e3>" -> "+05:30",
+      "<e4>" -> "", "<e5>" -> null))
+    // a FILTER over an accessor eliminates error rows like any type error
+    val y2k = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <at> ?t . FILTER (YEAR(?t) >= 2000) }""")
+      .select("s").as[String].collect().toSet
+    assert(y2k === Set("<e1>", "<e3>", "<e4>"))
+  }
+
+  test("SHA1/384/512 and ENCODE_FOR_URI built-ins") {
+    val t = Seq(("<s>", "p", "Les Misérables + 100%")).toDF("s", "p", "o")
+    val r = Sparql.run(t,
+      """SELECT ?h1 ?h384 ?h512 ?u WHERE {
+        |  ?s <p> ?o .
+        |  BIND (SHA1(?o) AS ?h1) BIND (SHA384(?o) AS ?h384)
+        |  BIND (SHA512(?o) AS ?h512)
+        |  BIND (ENCODE_FOR_URI(?o) AS ?u)
+        |}""".stripMargin).head()
+    val md = (alg: String) => java.security.MessageDigest.getInstance(alg)
+      .digest("Les Misérables + 100%".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(0) === md("SHA-1"))
+    assert(r.getString(1) === md("SHA-384"))
+    assert(r.getString(2) === md("SHA-512"))
+    // RFC 3986 unreserved stays; space is %20 (not +); é is UTF-8 bytes
+    assert(r.getString(3) === "Les%20Mis%C3%A9rables%20%2B%20100%25")
+  }
+
   test("CONSTRUCT FROM <g> WHERE shorthand parses the dataset clause") {
     val quads = Quads.build(spark, sf0001)
     val cf = Sparql.runQuads(quads,
