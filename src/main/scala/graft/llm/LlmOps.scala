@@ -150,6 +150,20 @@ object LlmOps extends QueryModule {
       Corpus.rareTokenStats(Tables.documents(s, d), minDf = 3)
         .orderBy(col("doc_id"))),
 
+    // BM25 lexical retrieval: postings pre-filtered to the query's terms
+    // (the shuffle carries a sliver of the corpus, not the corpus), df/idf
+    // in a ≤4-row broadcast, Det-rounded scores, total-order top-k.
+    "q_text_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d),
+        Seq("hash", "join", "vector", "spark"), k = 20)),
+
+    // TF-IDF (doc, term) weights over a fixed vocabulary — same postings
+    // machinery, per-cell weights instead of a per-doc score.
+    "q_text_tfidf" -> ((s, d) =>
+      Retrieval.tfidf(Tables.documents(s, d),
+        Seq("hash", "join", "vector", "spark"))
+        .orderBy(col("doc_id"), col("tok"))),
+
     // PII scrubbing — regexp_replace chain for emails / SSNs / phones /
     // IPv4s, a standard training-data sanitization pass. This corpus has
     // no natural PII, so the query derives a deterministic contact line
@@ -342,6 +356,55 @@ object LlmOps extends QueryModule {
          |  $ratio AS rare_ratio
          |FROM toks JOIN dfs USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the BM25 formula spelled in SQL — identical IEEE evaluation order,
+    // Det decimal-exact per-doc sum, same tie-break
+    "q_text_bm25" -> {
+      val score = graft.Det.roundSafeSql(graft.Det.dsumSql("w", 6), 6)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents
+         |), consts AS (
+         |  SELECT count(*) AS n_docs,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM lens
+         |), post AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ('hash', 'join', 'vector', 'spark')
+         |  GROUP BY doc_id, tok
+         |), dfs AS (
+         |  SELECT tok, count(*) AS df FROM post GROUP BY tok
+         |), w AS (
+         |  SELECT p.doc_id,
+         |         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf /
+         |           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)) AS w
+         |  FROM post p JOIN dfs d USING (tok) JOIN lens l USING (doc_id),
+         |       consts c
+         |)
+         |SELECT doc_id, $score AS score FROM w GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q_text_tfidf" -> {
+      val wt = graft.Det.roundSafeSql(
+        "p.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)", 6)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), post AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ('hash', 'join', 'vector', 'spark')
+         |  GROUP BY doc_id, tok
+         |), dfs AS (
+         |  SELECT tok, count(*) AS df FROM post GROUP BY tok
+         |), n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT p.doc_id, p.tok, p.tf, d.df, $wt AS tfidf
+         |FROM post p JOIN dfs d USING (tok), n
+         |ORDER BY doc_id, tok""".stripMargin
     },
 
     // the oracle scrubs with the very same pattern list (TextOps
