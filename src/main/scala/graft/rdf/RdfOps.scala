@@ -474,6 +474,25 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"), col("g"))
     }),
 
+    // Graph management (§3.2) on its OWN store root: COPY overwrites the
+    // working graph (so re-runs converge to the same end state), ADD
+    // set-unions the default graph in, and the result projects the
+    // composed working graph. Exercises the full parse→apply→publish→
+    // partition-pruned-read loop.
+    "q_sparql_graphmgmt" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_quadstore_gm_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), root)
+      QuadStore.update(s, root, "COPY GRAPH <g:customer> TO GRAPH <g:work>")
+      QuadStore.update(s, root, "ADD DEFAULT TO GRAPH <g:work>")
+      QuadStore.vacuum(root, keep = 2)
+      QuadStore.read(s, root)
+        .filter(col("g") === "g:work" &&
+          (col("p") === "mktsegment" || col("p") === "region"))
+        .orderBy(col("s"), col("p"), col("o"))
+        .select("s", "p", "o", "g")
+    }),
+
     // The Modify operation (§3.1.3) on the same store: a predicate rename
     // — DELETE + INSERT templates instantiated from ONE WHERE solve.
     // Shares q_sparql_update's root; the two queries touch DISJOINT
@@ -903,6 +922,19 @@ object RdfOps extends QueryModule {
          |  UNION ALL SELECT 'x:1', 'label', 'v', ''
          |)
          |ORDER BY s, p, o, g""".stripMargin,
+
+    // the working graph after COPY customer + ADD default: both source
+    // slices re-labeled g:work
+    "q_sparql_graphmgmt" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT s, p, o, 'g:work' AS g FROM quads
+         |WHERE (g = 'g:customer' AND p = 'mktsegment')
+         |   OR (g = '' AND p = 'region')
+         |ORDER BY s, p, o""".stripMargin,
 
     // post-modify store state: every orderstatus quad renamed to status
     "q_sparql_modify" ->

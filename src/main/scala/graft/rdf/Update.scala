@@ -26,13 +26,34 @@ import org.apache.spark.sql.functions._
   *    Template variables must be WHERE-bound (rejected loudly otherwise —
   *    this fragment has no bnode-minting templates).
   *
+  * Graph management (§3.2) over the same snapshot model:
+  *  - `CLEAR GRAPH <g> | DEFAULT | NAMED | ALL` — empty the target.
+  *  - `DROP` ≡ `CLEAR`: this store keeps no empty-graph bookkeeping (a
+  *    graph exists iff it has quads), the degenerate case §3.2.2
+  *    explicitly permits — so dropping and clearing coincide, and
+  *    `CREATE GRAPH` is the matching no-op.
+  *  - `ADD|COPY|MOVE (GRAPH <g> | DEFAULT) TO (GRAPH <g> | DEFAULT)` —
+  *    set-union into / overwrite / overwrite-and-clear-source; same
+  *    source and destination is a no-op per spec.
+  *  - `LOAD <file:path> [INTO GRAPH <g>]` — distributed N-Triples or
+  *    Turtle ingest (by extension) into the target graph, set semantics.
+  *  - `SILENT` is accepted everywhere the grammar allows it (this model
+  *    has no "graph does not exist" failures to silence).
+  *
   * `GRAPH <iri> { ... }` blocks target named graphs in all forms; quads
   * outside GRAPH target the default graph. Out of fragment (rejected
-  * loudly): LOAD/CLEAR/CREATE/DROP, WITH/USING, `GRAPH ?var` in updates.
+  * loudly): WITH/USING, `GRAPH ?var` in updates.
   */
 object Update {
 
   sealed trait Op
+
+  /** CLEAR/DROP target. */
+  sealed trait Target
+  case object DefaultG extends Target
+  case object AllNamed extends Target
+  case object AllGraphs extends Target
+  final case class OneGraph(g: String) extends Target
   /** Ground quads: (s, p, o, g) with [[Quads.DefaultGraph]] for the
     * default graph. */
   final case class InsertData(quads: Seq[(String, String, String, String)]) extends Op
@@ -45,6 +66,16 @@ object Update {
     * result = (G \ D) ∪ I. Template variables must be WHERE-bound. */
   final case class Modify(deleteTpl: Seq[(TP, String)],
       insertTpl: Seq[(TP, String)], where: Seq[(TP, String)]) extends Op
+  /** CLEAR (and DROP — see scaladoc) of a graph target. */
+  final case class Clear(target: Target) extends Op
+  /** CREATE GRAPH — a no-op in the no-empty-graph model, kept so the
+    * syntax round-trips. */
+  final case class Create(g: String) extends Op
+  /** ADD/COPY/MOVE src TO dst; graphs named by value,
+    * [[Quads.DefaultGraph]] for DEFAULT. */
+  final case class GraphXfer(kind: String, src: String, dst: String) extends Op
+  /** LOAD a local N-Triples/Turtle document into a graph. */
+  final case class Load(path: String, graph: String) extends Op
 
   /** Parse one update request (a single operation in this fragment). */
   def parse(text: String): Op = {
@@ -75,6 +106,38 @@ object Update {
           "Modify needs a DELETE or INSERT template")
         require(where.nonEmpty, "empty WHERE in Modify")
         applyModify(current, del, ins, where)
+      case Clear(target) => target match {
+        case OneGraph(g) => current.filter(col("g") =!= g)
+        case DefaultG => current.filter(col("g") =!= Quads.DefaultGraph)
+        case AllNamed => current.filter(col("g") === Quads.DefaultGraph)
+        case AllGraphs => current.limit(0)
+      }
+      case Create(_) => current // no empty-graph bookkeeping (scaladoc)
+      case GraphXfer(kind, src, dst) =>
+        if (src == dst) current // §3.2.5: same graph is a no-op
+        else {
+          val moved = current.filter(col("g") === src)
+            .withColumn("g", lit(dst))
+          kind match {
+            // set union: only quads not already in the destination append
+            case "ADD" => current.unionByName(
+              moved.join(current, Seq("s", "p", "o", "g"), "left_anti"))
+            case "COPY" =>
+              current.filter(col("g") =!= dst).unionByName(moved)
+            case "MOVE" =>
+              current.filter(col("g") =!= dst && col("g") =!= src)
+                .unionByName(moved)
+          }
+        }
+      case Load(path, g) =>
+        val triples =
+          if (path.endsWith(".ttl")) Turtle.read(spark, path)
+          else if (path.endsWith(".nt")) NTriples.read(spark, path)
+          else throw new IllegalArgumentException(
+            s"LOAD reads .nt or .ttl documents, got: $path")
+        val quads = triples.withColumn("g", lit(g))
+        current.unionByName(
+          quads.join(current, Seq("s", "p", "o", "g"), "left_anti"))
     }
   }
 
@@ -171,13 +234,52 @@ object Update {
           } else throw new IllegalArgumentException(
             "DELETE takes DATA, WHERE, or a { template } " +
               s"(got DELETE ${peek})")
+        } else if (peekKw("CLEAR") || peekKw("DROP")) {
+          next() // DROP ≡ CLEAR in the no-empty-graph model (scaladoc)
+          maybeSilent()
+          Clear(
+            if (peekKw("DEFAULT")) { next(); DefaultG }
+            else if (peekKw("NAMED")) { next(); AllNamed }
+            else if (peekKw("ALL")) { next(); AllGraphs }
+            else { expectKw("GRAPH"); OneGraph(graphIri()) })
+        } else if (peekKw("CREATE")) {
+          expectKw("CREATE"); maybeSilent(); expectKw("GRAPH")
+          Create(graphIri())
+        } else if (peekKw("ADD") || peekKw("COPY") || peekKw("MOVE")) {
+          val kind = next().toUpperCase
+          maybeSilent()
+          val src = graphOrDefault()
+          expectKw("TO")
+          GraphXfer(kind, src, graphOrDefault())
+        } else if (peekKw("LOAD")) {
+          expectKw("LOAD"); maybeSilent()
+          val iri = graphIri()
+          val path = iri.stripPrefix("file://")
+          val g = if (peekKw("INTO")) {
+            expectKw("INTO"); expectKw("GRAPH"); graphIri()
+          } else Quads.DefaultGraph
+          Load(path, g)
         } else throw new IllegalArgumentException(
-          s"unsupported update operation: $peek (LOAD/CLEAR/CREATE/DROP " +
-            "are out of fragment)")
+          s"unsupported update operation: $peek (WITH/USING are out of " +
+            "fragment)")
       require(toks.isEmpty || toks == List(";"),
         s"one update operation per request; trailing: ${toks.take(5).mkString(" ")}")
       op
     }
+
+    private def maybeSilent(): Unit = if (peekKw("SILENT")) { next(); () }
+
+    /** A graph IRI (bare or after GRAPH), as its plain value. */
+    private def graphIri(): String = term() match {
+      case C(v) => v.toString
+      case V(n) => throw new IllegalArgumentException(
+        s"graph management names graphs with IRIs, got ?$n")
+    }
+
+    /** `GraphOrDefault ::= DEFAULT | GRAPH? iri` (grammar 45/46). */
+    private def graphOrDefault(): String =
+      if (peekKw("DEFAULT")) { next(); Quads.DefaultGraph }
+      else { if (peekKw("GRAPH")) next(); graphIri() }
 
     /** `{ quads }` — ground terms only. */
     private def groundBlock(): Seq[(String, String, String, String)] = {
@@ -283,11 +385,16 @@ object QuadStore {
   /** Publish `quads` as the next version; returns the version number. */
   def publish(quads: DataFrame, root: String): Int = {
     val v = currentVersion(root).getOrElse(0) + 1
-    graft.sources.AtomicStore.materialize(path(root, v))(tmp =>
-      quads.withColumn("g",
-          when(col("g") === Quads.DefaultGraph, lit(DefaultGraphDir))
-            .otherwise(col("g")))
-        .write.partitionBy("g").parquet(tmp))
+    graft.sources.AtomicStore.materialize(path(root, v))(tmp => {
+      val out = quads.withColumn("g",
+        when(col("g") === Quads.DefaultGraph, lit(DefaultGraphDir))
+          .otherwise(col("g")))
+      // a zero-row partitioned write leaves no schema-bearing files and the
+      // snapshot would be unreadable — an empty store (CLEAR ALL, a
+      // delete-everything Modify) writes one unpartitioned schema-only file
+      if (out.isEmpty) out.write.parquet(tmp)
+      else out.write.partitionBy("g").parquet(tmp)
+    })
     v
   }
 

@@ -1801,9 +1801,65 @@ class SparqlSpec extends SparkSpec {
     // out-of-fragment updates reject loudly
     intercept[IllegalArgumentException](
       Update.parse("""INSERT DATA { ?s <p> "x" . }"""))
-    intercept[IllegalArgumentException](Update.parse("CLEAR GRAPH <g:x>"))
+    intercept[IllegalArgumentException](
+      Update.parse("""WITH <g:x> DELETE { <a> <p> <b> . } WHERE { ?s ?p ?o . }"""))
     intercept[IllegalArgumentException](
       Update.parse("DELETE WHERE { GRAPH ?g { ?s ?p ?o . } }"))
+  }
+
+  test("UPDATE graph management: CLEAR/DROP/CREATE/ADD/COPY/MOVE/LOAD") {
+    val root = java.nio.file.Files.createTempDirectory("quadstore_gm").toString
+    val quads = Seq(
+      ("a", "p", "1", Quads.DefaultGraph),
+      ("b", "p", "2", "g:one"),
+      ("c", "p", "3", "g:one"),
+      ("d", "p", "4", "g:two")).toDF("s", "p", "o", "g")
+    QuadStore.init(quads, root)
+    def cur = QuadStore.read(spark, root)
+
+    // CREATE is a no-op (no empty-graph bookkeeping); SILENT accepted
+    QuadStore.update(spark, root, "CREATE SILENT GRAPH <g:new>")
+    assert(cur.count() === 4)
+    // ADD set-unions into the destination, source untouched; idempotent
+    QuadStore.update(spark, root, "ADD GRAPH <g:one> TO GRAPH <g:two>")
+    assert(cur.filter(col("g") === "g:two").count() === 3)
+    assert(cur.filter(col("g") === "g:one").count() === 2)
+    QuadStore.update(spark, root, "ADD GRAPH <g:one> TO GRAPH <g:two>")
+    assert(cur.filter(col("g") === "g:two").count() === 3)
+    // COPY overwrites the destination with the source
+    QuadStore.update(spark, root, "COPY DEFAULT TO GRAPH <g:two>")
+    assert(cur.filter(col("g") === "g:two")
+      .select("s").as[String].collect().toSet === Set("a"))
+    // MOVE = COPY + clear source
+    QuadStore.update(spark, root, "MOVE GRAPH <g:one> TO GRAPH <g:three>")
+    assert(cur.filter(col("g") === "g:one").count() === 0)
+    assert(cur.filter(col("g") === "g:three").count() === 2)
+    // same source and destination is a no-op, not a self-clear
+    QuadStore.update(spark, root, "MOVE GRAPH <g:three> TO GRAPH <g:three>")
+    assert(cur.filter(col("g") === "g:three").count() === 2)
+    // DROP ≡ CLEAR in this model
+    QuadStore.update(spark, root, "DROP GRAPH <g:three>")
+    assert(cur.filter(col("g") === "g:three").count() === 0)
+    // LOAD: distributed N-Triples ingest into a named graph, set semantics
+    val nt = new java.io.File(root, "doc.nt")
+    java.nio.file.Files.write(nt.toPath,
+      "<x:1> <p> \"v\" .\n<x:2> <p> <x:1> .\n".getBytes("UTF-8"))
+    QuadStore.update(spark, root,
+      s"LOAD <file://${nt.getPath}> INTO GRAPH <g:ld>")
+    assert(cur.filter(col("g") === "g:ld").count() === 2)
+    QuadStore.update(spark, root,
+      s"LOAD <file://${nt.getPath}> INTO GRAPH <g:ld>")
+    assert(cur.filter(col("g") === "g:ld").count() === 2)
+    // CLEAR NAMED keeps only the default graph
+    QuadStore.update(spark, root, "CLEAR NAMED")
+    assert(cur.select("g").distinct().as[String].collect().toSet
+      === Set(Quads.DefaultGraph))
+    // CLEAR ALL publishes a readable EMPTY snapshot, and the store
+    // accepts further updates from it
+    QuadStore.update(spark, root, "CLEAR ALL")
+    assert(cur.count() === 0)
+    QuadStore.update(spark, root, """INSERT DATA { <z> <p> "back" . }""")
+    assert(cur.count() === 1)
   }
 
   test("Modify: DELETE/INSERT templates over one WHERE solve") {
