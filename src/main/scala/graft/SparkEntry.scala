@@ -18,8 +18,10 @@ object SparkEntry {
     operators.Windows,
     operators.SetSortOps,
     operators.Analytics,
+    operators.Tpch,
     functions.FunctionOps,
     rdf.RdfOps,
+    rdf.GraphOps,
     llm.LlmOps,
     streaming.StreamOps)
 

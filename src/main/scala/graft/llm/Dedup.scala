@@ -316,4 +316,34 @@ object Dedup {
     grams.unpersist()
     out
   }
+
+  /** Per-document duplicated-SPAN statistics: of a doc's distinct k-word
+    * spans (sliding windows), how many also occur in at least one OTHER
+    * document — the exact substring-level dedup signal from the "train-data
+    * dedup" literature (duplicated long spans ⇒ trim or drop the doc),
+    * complementing whole-doc near-dup detection, which misses documents
+    * that merely SHARE boilerplate passages.
+    *
+    * Two shuffles total: one aggregate over spans for corpus-wide document
+    * frequency, one join back + per-doc aggregate. EXACT (no hashing, no
+    * banding), hence oracled. At 100 TB the span string itself should not
+    * be the shuffle key — key by xxhash64(span) (64-bit collisions are
+    * ~n²/2⁶⁵ false dup marks) and the shuffle carries 8 bytes per span;
+    * kept as text here so the operator stays hash-free and exactly
+    * verifiable cross-engine.
+    */
+  def spanDupStats(docs: DataFrame, k: Int): DataFrame = {
+    // one row per (doc, span): wordShingles is already distinct-per-doc
+    val spans = docs.select(col("doc_id"),
+      explode(TextOps.wordShingles(k)).as("sp"))
+    // rows are unique per (doc, span), so count(*) = document frequency
+    val df = spans.groupBy(col("sp")).agg(count(lit(1)).as("ndocs"))
+    spans.join(df, "sp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        graft.Det.roundSafe(
+          col("n_dup_spans").cast("double") / col("n_spans"), 4).as("dup_frac"))
+  }
 }

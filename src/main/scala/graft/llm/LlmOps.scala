@@ -54,6 +54,12 @@ object LlmOps extends QueryModule {
       Dedup.removeNearDuplicates(Tables.documents(s, d), 0.6)
         .select(col("doc_id")).orderBy(col("doc_id"))),
 
+    // substring-level: spans shared across documents (boilerplate), which
+    // whole-doc near-dup scoring can't see — exact, hence oracled
+    "q_dedup_span" -> ((s, d) =>
+      Dedup.spanDupStats(Tables.documents(s, d), k = 8)
+        .orderBy(col("doc_id"))),
+
     "q_dedup_embcos" -> ((s, d) =>
       EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -343,6 +349,25 @@ object LlmOps extends QueryModule {
         |      JOIN sizes sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, (floor(jac * 10000.0 + 0.5) / 10000.0) AS jaccard
         |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // distinct 8-word sliding spans per doc (same ws[i : i+k-1] slice
+    // equivalence as the 3-shingle oracle above), then corpus-wide span
+    // document frequency, then per-doc dup-span stats
+    "q_dedup_span" -> {
+      val frac = graft.Det.roundSafeSql(
+        "CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sp AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 7], ' ') AS sp
+         |       FROM (SELECT doc_id, ws,
+         |               unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+         |             FROM w) t),
+         |nd AS (SELECT sp, count(*) AS ndocs FROM sp GROUP BY sp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  $frac AS dup_frac
+         |FROM sp JOIN nd USING (sp)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_oov" -> {
       val ratio = graft.Det.roundSafeSql(

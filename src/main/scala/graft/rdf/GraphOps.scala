@@ -1,0 +1,139 @@
+package graft.rdf
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics surface over the EAV entity graph (SURVEY.md §2.2
+  * addendum): RDFS entailment, degree statistics, and an integer-exact
+  * PageRank — the "graph side" of an RDF store that BGP pattern matching
+  * doesn't cover.
+  *
+  * PageRank determinism note: ranks are kept in MICRO-units as BIGINTs and
+  * every division is integer floor division, so partial-aggregation order
+  * can never perturb a result bit — double-valued PageRank would differ in
+  * ulps between engines and across 1000-executor combine orders. Floor
+  * drift vs real-valued PR is ≤ outdeg micro-units per node per round —
+  * noise far below ranking granularity, and identical in both engines.
+  */
+object GraphOps extends QueryModule {
+
+  /** The directed entity graph: order→customer (custkey), customer→nation
+    * (nation), nation→region (region). */
+  private def entityEdges(s: SparkSession, d: String): DataFrame =
+    Triples.build(s, d)
+      .filter(col("p").isin("custkey", "nation", "region"))
+      .select(col("s").as("src"), col("o").as("dst"))
+
+  private val edgesCte: String =
+    """SELECT s AS src, o AS dst FROM triples
+      |WHERE p IN ('custkey', 'nation', 'region')""".stripMargin
+
+  /** `iters` rounds of damped PageRank over `edges(src, dst)`, ranks in
+    * micro-units. One join + one aggregate per round (the Pregel shape);
+    * edges (with their out-degrees) are computed once and persisted, and
+    * each round's ranks frame is eagerly materialized so the plan doesn't
+    * grow with iteration count ([[graft.Materialize]]: executor-local
+    * single-JVM, durable dir on a cluster). At scale, pre-partitioning
+    * edges and ranks by the join key makes every round reuse one exchange.
+    */
+  def pageRankMicro(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val contribSrc = e.join(outdeg, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inbound = contribSrc.join(ranks, col("src") === col("node"))
+        // `div` is exact long floor division — never a double in the path
+        .select(col("dst").as("node"), expr("rank div d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      ranks = graft.Materialize(
+        nodes.join(inbound, Seq("node"), "left")
+          .select(col("node"),
+            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("rank")))
+    }
+    ranks
+  }
+
+  val queries: Map[String, Q] = Map(
+    // RDFS ρdf materialization: all inferred types + lifted properties.
+    // Instance data carries no rdf:type at all — every type row is
+    // entailed through domain/range + the schema closures.
+    "q_rdfs_infer" -> ((s, d) => {
+      Rdfs.entail(Triples.build(s, d), Rdfs.tpchSchema)
+        .filter(col("p").isin("type", "locatedIn", "involves", "relatedTo"))
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
+    // degree statistics per node over the entity graph — one union-side
+    // aggregate each, outer-merged so zero-degree sides stay visible
+    "q_graph_degree" -> ((s, d) => {
+      val e = entityEdges(s, d)
+      val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("indeg"))
+      out.join(in, Seq("node"), "full")
+        .select(col("node"),
+          coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+          coalesce(col("indeg"), lit(0L)).as("indeg"))
+        .orderBy(col("node"))
+    }),
+
+    // 3 damped rounds; the entity graph is a DAG (order→customer→nation→
+    // region) so depth 3 reaches the fixpoint of every path
+    "q_graph_pagerank" -> ((s, d) =>
+      pageRankMicro(entityEdges(s, d), iters = 3)
+        .orderBy(col("node"))))
+
+  /** One unrolled PageRank round in DuckDB (integer floor division `//`
+    * matches Spark's long `div` on the all-positive ranks). */
+  private def duckRound(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.node,
+       |    CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, SUM(r.rank // od.d) AS m
+       |    FROM e JOIN outd od ON e.src = od.src
+       |    JOIN $prev r ON r.node = e.src
+       |    GROUP BY e.dst) s ON n.node = s.node
+       |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rdfs_infer" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |),
+         |${Rdfs.entailDuckSql(Rdfs.tpchSchema)}
+         |-- DISTINCT, not UNION dedup: inside WITH RECURSIVE, DuckDB 1.0
+         |-- evaluates UNION in NON-recursive CTEs as UNION ALL
+         |SELECT DISTINCT s, p, o FROM entailed
+         |WHERE p IN ('type', 'locatedIn', 'involves', 'relatedTo')
+         |ORDER BY s, p, o""".stripMargin,
+
+    "q_graph_degree" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), e AS (
+         |$edgesCte
+         |), od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+         |id AS (SELECT dst AS node, count(*) AS indeg FROM e GROUP BY dst)
+         |SELECT COALESCE(od.node, id.node) AS node,
+         |  COALESCE(outdeg, 0) AS outdeg, COALESCE(indeg, 0) AS indeg
+         |FROM od FULL OUTER JOIN id ON od.node = id.node
+         |ORDER BY node""".stripMargin,
+
+    "q_graph_pagerank" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), e AS (
+         |$edgesCte
+         |), outd AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |${duckRound("r0", "r1")},
+         |${duckRound("r1", "r2")},
+         |${duckRound("r2", "r3")}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)
+}

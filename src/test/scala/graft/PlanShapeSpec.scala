@@ -162,4 +162,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(treeExchanges <= 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q_tpch_q1 is scan → partial agg → final agg, filter at the scan") {
+    val p = plan("q_tpch_q1")
+    assert(!p.contains("Join"), p)
+    // shipdate predicate reaches the parquet reader
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+    // partial aggregation (map-side combine) before the group shuffle
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_tpch_q3 broadcasts the filtered customer side, no cartesian") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the segment filter is applied at the customer scan, not post-join
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    // top-10 via TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_tpch_q5 star join: no cartesian, date range at the orders scan") {
+    val p = plan("q_tpch_q5")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("q_rdfs_infer instance pass is join-free (schema folded map-side)") {
+    val p = plan("q_rdfs_infer")
+    // entailment = explode + union + distinct; all reasoning over the
+    // schema happened on the driver, so NO join touches instance triples
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the explode expansions
+  }
 }

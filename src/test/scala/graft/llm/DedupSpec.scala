@@ -126,4 +126,24 @@ class DedupSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     assert(Dedup.minHashPairs(docs, 0.6).count() > 0)
   }
+
+  test("spanDupStats: shared boilerplate spans counted, unique text not") {
+    // doc 1 and 2 share an 8-word prefix (boilerplate) but differ after —
+    // whole-doc jaccard is low, the span signal still fires; doc 3 shares
+    // nothing; doc 4 is 3 words (single short span, unique)
+    val boiler = "this document is provided as is without warranty"
+    val docs = docsDF(Seq(
+      1L -> s"$boiler of any kind either express or implied",
+      2L -> s"$boiler and no liability is accepted by anyone",
+      3L -> unrelated,
+      4L -> "three word doc"))
+    val got = Dedup.spanDupStats(docs, k = 8)
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 15 words → 8 sliding 8-spans; exactly one (the boilerplate) is shared
+    assert(got(1L) === ((8L, 1L)))
+    assert(got(2L) === ((8L, 1L)))
+    assert(got(3L)._2 === 0L)
+    assert(got(4L) === ((1L, 0L)))
+  }
 }

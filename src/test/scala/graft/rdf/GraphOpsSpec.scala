@@ -1,0 +1,86 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RDFS entailment + graph analytics (rdf.Rdfs, rdf.GraphOps). */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RDFS entailment: domain/range types lift through both closures") {
+    val schema = Rdfs.Schema(
+      subClassOf = Seq("Cat" -> "Animal", "Animal" -> "Thing"),
+      subPropertyOf = Seq("owns" -> "has"),
+      domain = Seq("owns" -> "Person"),
+      range = Seq("owns" -> "Cat"))
+    val triples = Seq(("alice", "owns", "tom")).toDF("s", "p", "o")
+    val got = Rdfs.entail(triples, schema)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("alice", "owns", "tom"),          // base
+      ("alice", "has", "tom"),           // rdfs7
+      ("alice", "type", "Person"),       // rdfs2
+      ("tom", "type", "Cat"),            // rdfs3
+      ("tom", "type", "Animal"),         // rdfs9
+      ("tom", "type", "Thing")))         // rdfs9 through rdfs11
+  }
+
+  test("RDFS entailment: domain of a SUPERproperty applies to the sub") {
+    // (s sub o) entails (s super o) by rdfs7, whose domain then types s
+    // by rdfs2 — the composition the folded maps must not miss
+    val schema = Rdfs.Schema(
+      subClassOf = Nil,
+      subPropertyOf = Seq("capital" -> "cityIn"),
+      domain = Seq("cityIn" -> "City"),
+      range = Seq("cityIn" -> "Country"))
+    val triples = Seq(("paris", "capital", "france")).toDF("s", "p", "o")
+    val got = Rdfs.entail(triples, schema)
+      .as[(String, String, String)].collect().toSet
+    assert(got.contains(("paris", "type", "City")))
+    assert(got.contains(("france", "type", "Country")))
+    assert(got.contains(("paris", "cityIn", "france")))
+  }
+
+  test("entailment output never duplicates (idempotent union)") {
+    val t = Triples.build(spark, sf0001)
+    val e = Rdfs.entail(t, Rdfs.tpchSchema)
+    assert(e.count() === e.distinct().count())
+    // base triples survive entailment unchanged
+    assert(t.exceptAll(e.select(col("s"), col("p"), col("o"))).isEmpty)
+  }
+
+  test("integer PageRank matches a hand-computed fixpoint on a tiny DAG") {
+    // a -> c, b -> c, c -> d: after enough rounds,
+    //   a = b = 150000 (no in-edges)
+    //   c = 150000 + 85*(150000/1 + 150000/1)/100 = 405000
+    //   d = 150000 + 85*(405000/1)/100 = 494250
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = GraphOps.pageRankMicro(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "a" -> 150000L, "b" -> 150000L, "c" -> 405000L, "d" -> 494250L))
+  }
+
+  test("integer PageRank floors exactly like long division") {
+    // out-degree 3 from a: each neighbor gets 1000000 div 3 = 333333;
+    // b = 150000 + 85*333333 div 100 = 150000 + 283333 = 433333
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d")).toDF("src", "dst")
+    val got = GraphOps.pageRankMicro(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got("b") === 433333L)
+    assert(got("a") === 150000L)
+  }
+
+  test("q_rdfs_infer over sf0.001: types inferred without any type triples") {
+    val df = GraphOps.queries("q_rdfs_infer")(spark, sf0001)
+    val types = df.filter(col("p") === "type")
+      .select(col("o")).distinct().as[String].collect().toSet
+    // every class in the ontology is inhabited at sf0.001
+    assert(types === Set("Customer", "Agent", "Resource", "Nation", "Region",
+      "Place", "Order", "Activity"))
+    // spot-check: a customer node is an Agent and a Resource
+    val c1 = df.filter(col("s") === "c:1" && col("p") === "type")
+      .select(col("o")).as[String].collect().toSet
+    assert(Set("Customer", "Agent", "Resource").subsetOf(c1))
+  }
+}
