@@ -216,4 +216,33 @@ object Corpus {
       .withColumn("chunk_last",
         floor((col("start_off") + col("n_tok") - lit(1)) / ctx).cast("long"))
   }
+
+  /** Deterministic corpus shuffle into training shards: every doc gets a
+    * pseudo-random but REPRODUCIBLE position — shard by the multiplicative
+    * id hash, order within a shard by (hash, doc_id). The training-prep
+    * step between dedup/filter and [[packSequences]]: breaks source/time
+    * ordering so no shard (and no contiguous read) is source-correlated.
+    *
+    * Scale shape: no global sort. Shard assignment is a map-side
+    * expression; within-shard positions come from one window per shard
+    * (PARTITION BY shard), so shards order independently in parallel —
+    * and re-running on the same corpus yields byte-identical shards (pure
+    * function of ids, no RNG state, survives retries and repartitions).
+    */
+  def shuffleIntoShards(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    // full-range hash (no mod-1000 bucketing): enough spread that ordering
+    // by it permutes, with doc_id as the total-order tiebreak
+    val key = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
+      + lit(40503L)) % lit(1000003L)
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("key"))
+      .withColumn("shard", (col("key") % lit(shards.toLong)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long") - lit(1L))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** [[shuffleIntoShards]]'s hash key for the DuckDB oracle. */
+  def shuffleKeySql(expr: String): String =
+    s"((($expr) % 1000003) * 2654435761 + 40503) % 1000003"
 }

@@ -237,6 +237,12 @@ object LlmOps extends QueryModule {
           tokens = size(split(col("text"), " ")), ctx = 256, shards = 8)
         .orderBy(col("doc_id"))),
 
+    // Deterministic training-order shuffle into 16 shards (the step
+    // between filtering and packing): hash-sharded, no global sort
+    "q_corpus_shuffle" -> ((s, d) =>
+      Corpus.shuffleIntoShards(Tables.documents(s, d), shards = 16)
+        .orderBy(col("doc_id"))),
+
     // The C4/Gopher rule stack as ONE scan: quality + repetition +
     // length + language rules fused into a single projection and filter.
     "q_corpus_filter" -> ((s, d) =>
@@ -636,6 +642,18 @@ object LlmOps extends QueryModule {
          |FROM documents d JOIN r USING (lang)
          |WHERE $bucket < rate_pm
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same multiplicative-hash key and per-shard row_number; ties
+    // impossible (key, doc_id) is unique per doc
+    "q_corpus_shuffle" -> {
+      val key = Corpus.shuffleKeySql("doc_id")
+      s"""WITH k AS (SELECT doc_id, $key AS key FROM documents),
+         |s AS (SELECT doc_id, key, CAST(key % 16 AS BIGINT) AS shard FROM k)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+         |       - 1 AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin
     },
 
     "q_multimodal_join" ->

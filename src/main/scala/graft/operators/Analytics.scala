@@ -89,7 +89,16 @@ object Analytics extends QueryModule {
     "q_ts_resample" -> ((s, d) =>
       TimeSeries.resampleCounts(Tables.events(s, d),
           "event_type", "ts_us_long", stepUnits = 3600000000L)
-        .orderBy(col("event_type"), col("bucket")))
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // Gap-based batch sessionization (30-min gap over epoch-micros — the
+    // precision DuckDB's parquet reader keeps for TIMESTAMP(NANOS), so the
+    // oracle sees identical integers): the offline twin of the streaming
+    // session_window query
+    "q_sessionize" -> ((s, d) =>
+      TimeSeries.sessionize(Tables.events(s, d),
+          "user_id", "ts_us_long", gapUnits = 1800000000L)
+        .orderBy(col("user_id"), col("session_start")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -158,6 +167,26 @@ object Analytics extends QueryModule {
         |  FROM ev GROUP BY event_type)
         |SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
         |FROM grid g LEFT JOIN counts c USING (event_type, bucket)
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // identical lag/running-sum construction; ties on (user, ts) are
+    // boundary-invariant (equal timestamps always share a session), so no
+    // tiebreak column is needed on either engine
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w > 1800000000 THEN 1
+        |             ELSE 0 END AS newsess
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ts) - min(ts) AS duration
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

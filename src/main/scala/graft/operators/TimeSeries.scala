@@ -34,4 +34,37 @@ object TimeSeries {
       .select(col("__g").as(groupCol), col("bucket"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Gap-based BATCH sessionization (the offline twin of
+    * `session_window` in [[graft.streaming.StreamOps]]): per key, events
+    * more than `gapUnits` apart start a new session. The classic two-window
+    * form — `lag` marks session starts, a running sum numbers them — which
+    * is ONE shuffle on the key (both windows share the (key, ts) partition
+    * sort), then a hash aggregate per session. Nothing here is
+    * gap-parameter-global: each key's sessions are derived independently,
+    * so skewed keys parallelize with AQE like any other aggregate.
+    *
+    * `tsCol` is epoch-integer (exact — never a float timestamp), so
+    * session boundaries are deterministic; output is one row per session:
+    * (key, session_start, n_events, duration = last - first).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapUnits: Long): DataFrame = {
+    require(gapUnits > 0, s"gapUnits must be positive, got $gapUnits")
+    // ties on (key, ts) need no tiebreak: equal timestamps always share a
+    // session (gap 0), and the per-session aggregates are order-free
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__ts"))
+    df.select(col(keyCol), col(tsCol).as("__ts"))
+      .withColumn("__new", when(
+        col("__ts") - lag(col("__ts"), 1).over(w) > gapUnits || lag(col("__ts"), 1).over(w).isNull,
+        1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__sess"))
+      .agg(min(col("__ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("__ts")) - min(col("__ts"))).as("duration"))
+      .select(col(keyCol), col("session_start"), col("n_events"), col("duration"))
+  }
 }

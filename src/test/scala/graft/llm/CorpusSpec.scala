@@ -189,4 +189,22 @@ class CorpusSpec extends SparkSpec {
     // every doc appears exactly once across shards
     assert(packed.map(_._1).toSet.size === 100)
   }
+
+  test("shuffleIntoShards: a permutation, deterministic, order-breaking") {
+    val docs = (0L until 200L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val a = Corpus.shuffleIntoShards(docs, shards = 16)
+      .as[(Long, Long, Long)].collect()
+    // every doc exactly once; positions within a shard are 0..n-1 dense
+    assert(a.map(_._1).toSet.size === 200)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // deterministic across re-evaluation and repartitioning
+    val b = Corpus.shuffleIntoShards(docs.repartition(7), shards = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    // the shard-0 read order is NOT doc_id order (it actually shuffles)
+    val shard0 = a.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 !== shard0.sorted)
+  }
 }

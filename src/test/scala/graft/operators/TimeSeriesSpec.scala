@@ -18,4 +18,24 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.resampleCounts(df, "g", "t", 0L))
   }
+
+  test("sessionize splits at gaps strictly greater than the gap parameter") {
+    // key a: 0,5,10 | 25,26 (gap 15 > 10 splits); a gap of EXACTLY 10
+    // does NOT split (strict >); key b independent
+    val df = Seq(("a", 0L), ("a", 5L), ("a", 10L), ("a", 25L), ("a", 26L),
+      ("b", 100L)).toDF("k", "t")
+    val got = TimeSeries.sessionize(df, "k", "t", gapUnits = 10L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 0L, 3L, 10L),   // events 0,5,10: 10-0 gap allowed (not strict)
+      ("a", 25L, 2L, 1L),
+      ("b", 100L, 1L, 0L)))
+  }
+
+  test("sessionize: duplicate timestamps share a session, boundaries exact") {
+    val df = Seq(("u", 0L), ("u", 0L), ("u", 0L), ("u", 11L)).toDF("k", "t")
+    val got = TimeSeries.sessionize(df, "k", "t", gapUnits = 10L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("u", 0L, 3L, 0L), ("u", 11L, 1L, 0L)))
+  }
 }
