@@ -8,6 +8,19 @@ import org.apache.spark.sql.functions._
   */
 object RdfOps extends QueryModule {
 
+  /** Typed xsd:dateTime term strings derived from orders (the
+    * q_sparql_datetime corpus): date from o_orderdate, hour keyed off the
+    * order key so the time part is exercised too. */
+  private def buildWhens(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.sources.Tables.orders(s, d).select(
+      concat(lit("<o:"), col("o_orderkey"), lit(">")).as("s"),
+      lit("when").as("p"),
+      concat(lit("\""),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T"),
+        lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
+        lit(":15:30\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"))
+        .as("o"))
+
   val queries: Map[String, Q] = Map(
     "q_triples_build" -> ((s, d) => {
       Triples.build(s, d).orderBy(col("s"), col("p"), col("o"))
@@ -539,14 +552,17 @@ object RdfOps extends QueryModule {
     // all parsed from the lexical form, so the oracle is plain SQL date
     // parts with no timezone coupling.
     "q_sparql_datetime" -> ((s, d) => {
-      val whens = graft.sources.Tables.orders(s, d).select(
-        concat(lit("<o:"), col("o_orderkey"), lit(">")).as("s"),
-        lit("when").as("p"),
-        concat(lit("\""),
-          date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T"),
-          lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
-          lit(":15:30\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"))
-          .as("o"))
+      val whensLazy = buildWhens(s, d)
+      // materialize the term strings before the SPARQL solve, repartitioned
+      // to core count. Two pathologies otherwise (both measured): predicate
+      // pushdown inlines the concat(date_format(...)) construction into
+      // EVERY occurrence inside the lowered FILTER (~12 re-evaluations per
+      // row), and the single smallish parquet file scans as ONE task, so
+      // the CPU-bound accessor regexes run serially. Materialized + split,
+      // the parse stage reads stored strings on every core — the same
+      // shape a persisted term store gives the other q_sparql_* queries.
+      val whens = graft.Materialize(
+        whensLazy.repartition(s.sparkContext.defaultParallelism))
       Sparql.run(whens,
         """SELECT ?y ?m (COUNT(?o) AS ?n) (MIN(?h) AS ?firsth)
           |       (MAX(?d) AS ?lastd) WHERE {

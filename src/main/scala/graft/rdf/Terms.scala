@@ -40,11 +40,25 @@ object Terms {
 
   /** The lexical form: IRI body for `<iri>`, unannotated payload for
     * quoted literals, the value itself for plain-lexical cells — the
-    * SPARQL `STR` built-in. */
-  def lexical(c: Column): Column =
+    * SPARQL `STR` built-in.
+    *
+    * The quoted-literal branch slices between the opening and LAST quote
+    * with position arithmetic instead of a regex: Catalyst's
+    * CollapseProject happily duplicates an un-aliased subexpression into
+    * every consumer, so in a query binding several accessors of one term
+    * this runs once per accessor per row — substring ops make that cheap
+    * where the former greedy-backtracking regex dominated the whole
+    * query's runtime. Semantics are identical, including the degenerate
+    * no-closing-quote case (→ `""`, as the old regex's no-match did). */
+  def lexical(c: Column): Column = {
+    // 1-based position of the last '"'; 1 (the opening quote itself) or
+    // 0 when no closing quote exists
+    val lastQ = length(c) - instr(reverse(c), "\"") + 1
     when(c.startsWith("<") && c.endsWith(">"), c.substr(lit(2), length(c) - 2))
-      .when(c.startsWith("\""), regexp_extract(c, "(?s)^\"(.*)\"", 1))
+      .when(c.startsWith("\""),
+        when(lastQ >= 2, c.substr(lit(2), lastQ - 2)).otherwise(lit("")))
       .otherwise(c)
+  }
 
   /** SPARQL `LANG`: the language tag of a tagged literal, `""` for an
     * untagged one, error (null → row elimination) for IRIs and blanks. */
@@ -112,13 +126,26 @@ object Terms {
     "^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):" +
       "(\\d{2}(?:\\.\\d+)?)(Z|[+-]\\d{2}:\\d{2})?$"
 
-  /** Field `group` of a dateTime literal's lexical form; null (SPARQL
-    * error → row elimination / unbound) when the form is not a valid
-    * xsd:dateTime. A non-participating optional group extracts as `""`. */
+  /** Mandatory field `group` of a dateTime literal's lexical form, as the
+    * raw match: `""` when the form is not a valid xsd:dateTime (the
+    * numeric accessors' cast turns that into the SPARQL error null).
+    *
+    * Performance shape, learned the hard way:
+    *  - NO validity `when` around the extract: whole-stage codegen's
+    *    common-subexpression elimination skips anything inside CaseWhen
+    *    branches, so a guard forces every accessor to re-derive the
+    *    lexical form — unguarded, the shared `lexical(c)` subtree is
+    *    CSE'd once per row across all accessors in a projection.
+    *  - NO positional-substr "optimization" of the fields: every substr
+    *    argument re-embeds the lexical subtree and the nesting multiplies
+    *    it combinatorially (profiled 4× slower at depth 2, 20× at the tz
+    *    field); the anchored regex touches the string once with a cached
+    *    compiled pattern. */
   private def dtField(c: Column, group: Int): Column = {
-    val lex = lexical(c)
-    when(lex.rlike(dateTimeRe), regexp_extract(lex, dateTimeRe, group))
-      .otherwise(lit(null).cast("string"))
+    val f = regexp_extract(lexical(c), dateTimeRe, group)
+    // no-match "" → null HERE (not via cast: ANSI mode throws on '');
+    // matched groups are always clean digit strings, so the cast is safe
+    when(f === "", lit(null).cast("string")).otherwise(f)
   }
 
   /** SPARQL `YEAR`..`SECONDS` (17.4.5): numeric fields of an xsd:dateTime
@@ -132,8 +159,15 @@ object Terms {
   def seconds(c: Column): Column = dtField(c, 6).cast("double")
 
   /** SPARQL `TZ`: the timezone designator as a string — `"Z"`, `"+05:00"`,
-    * or `""` when the literal carries no zone. */
-  def tz(c: Column): Column = dtField(c, 7)
+    * or `""` when the literal carries no zone; null (error) for a
+    * non-dateTime. The one accessor that must keep the validity guard:
+    * `""` is a VALID result here (zone absent), so a failed match can't
+    * double as the error signal the way it does for the numeric fields. */
+  def tz(c: Column): Column = {
+    val lex = lexical(c)
+    when(lex.rlike(dateTimeRe), regexp_extract(lex, dateTimeRe, 7))
+      .otherwise(lit(null).cast("string"))
+  }
 
   /** SPARQL `ENCODE_FOR_URI` (17.4.3.10): percent-encode everything
     * outside RFC 3986's unreserved set (ALPHA / DIGIT / `-._~`), UTF-8
