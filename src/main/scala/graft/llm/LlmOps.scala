@@ -170,6 +170,12 @@ object LlmOps extends QueryModule {
         Seq("hash", "join", "vector", "spark"))
         .orderBy(col("doc_id"), col("tok"))),
 
+    // bigram-LM mean conditional probability per doc (integer micro-units,
+    // [[TextOps.bigramLmScore]]) — the classic pre-neural perplexity proxy
+    "q_text_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLmScore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // PII scrubbing — regexp_replace chain for emails / SSNs / phones /
     // IPv4s, a standard training-data sanitization pass. This corpus has
     // no natural PII, so the query derives a deterministic contact line
@@ -419,6 +425,24 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, $score AS score FROM w GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    // all-integer bigram LM: per-instance micro-probability is BIGINT
+    // floor division, per-doc mean an integer-divided integer sum — the
+    // exact arithmetic Spark's `div` performs, so no rounding helper needed
+    "q_text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(1, len(ws) - 1)) AS i
+        |            FROM w WHERE len(ws) >= 2) t),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY w1),
+        |m AS (SELECT b.doc_id, (1000000 * c2.n2) // c1.n1 AS micro
+        |      FROM b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |      JOIN c1 ON b.w1 = c1.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(micro) // count(*) AS BIGINT) AS score_micro
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_tfidf" -> {
       val wt = graft.Det.roundSafeSql(

@@ -33,6 +33,42 @@ object TextOps {
     docs.select(explode(tokens).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
 
+  /** Bigram language-model document scoring — the cheap perplexity proxy a
+    * training-data pipeline runs before any neural quality scorer: fit
+    * corpus bigram statistics in one pass, then score every document by
+    * the mean conditional probability of its bigram instances,
+    * p(w2|w1) = c(w1,w2) / c(w1,·).
+    *
+    * Determinism: probabilities are integer MICRO-units via floor division
+    * and the per-doc mean is an integer-divided integer sum — no doubles
+    * anywhere, so partial-aggregation order can never perturb a bit
+    * (summed log-prob doubles would differ in ulps across engines and
+    * combine orders). Scale: the corpus is scanned once into a persisted
+    * bigram bag; counts are two hash aggregates bounded by vocabulary²,
+    * re-joined on the bigram key — all shuffles carry (word, word, count),
+    * never document text.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), tokens.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist() // scanned 3×: bigram counts, unigram counts, scoring
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val out = graft.Materialize(
+      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col("doc_id"), expr("(1000000L * n2) div n1").as("micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(micro) div count(*)").as("score_micro")))
+    bi.unpersist()
+    out
+  }
+
   /** BPE-style pre-tokenization (GPT-2-ish regex): contraction suffixes,
     * letter runs, digit runs, punctuation runs, each with optional leading
     * space. The COUNT of these pieces is the usual cheap proxy for LLM

@@ -91,13 +91,32 @@ object Tpch extends QueryModule {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Q6 forecasting-revenue change — the canonical single-scan aggregate:
+    * no join, one filter, one global sum. At 100 TB this is a pure test of
+    * scan bandwidth + pushdown (the three predicates all reach the parquet
+    * reader; `.explain` shows them in PushedFilters). Same one-year shift
+    * as Q5 (spec 1994 predates the data). Discounts are exact hundredths
+    * in this dataset, so the double BETWEEN bounds compare identically in
+    * both engines; the revenue sum is decimal-exact. */
+  private val q6: String =
+    s"""SELECT
+       |  ${Det.dsumSql("l_extendedprice * l_discount", 4)} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q1" -> run(q1),
     "q_tpch_q3" -> run(q3("date_format(o_orderdate, 'yyyy-MM-dd')")),
-    "q_tpch_q5" -> run(q5))
+    "q_tpch_q5" -> run(q5),
+    "q_tpch_q6" -> run(q6))
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q1" -> q1,
     "q_tpch_q3" -> q3("strftime(o_orderdate, '%Y-%m-%d')"),
-    "q_tpch_q5" -> q5)
+    "q_tpch_q5" -> q5,
+    "q_tpch_q6" -> q6)
 }

@@ -84,7 +84,25 @@ object GraphOps extends QueryModule {
     // region) so depth 3 reaches the fixpoint of every path
     "q_graph_pagerank" -> ((s, d) =>
       pageRankMicro(entityEdges(s, d), iters = 3)
-        .orderBy(col("node"))))
+        .orderBy(col("node"))),
+
+    // connected components over the UNDIRECTED entity graph, via the same
+    // generic min-label-propagation engine the near-dup clusterer uses
+    // ([[graft.llm.Dedup.connectedComponents]]) — this query is what makes
+    // that iterative engine ORACLED, not just spec-tested: the entity
+    // graph's known topology (everything hangs off one region) lets DuckDB
+    // compute the exact same labels non-recursively, while Spark runs the
+    // general fixpoint loop. Label = lexicographic min node id in the
+    // component (identical bytewise string MIN in both engines).
+    "q_graph_cc" -> ((s, d) => {
+      val comps = graft.llm.Dedup.connectedComponents(
+        entityEdges(s, d)
+          .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      val out = graft.Materialize(
+        comps.select(col("doc_id").as("node"), col("label").as("component")))
+      comps.unpersist()
+      out.orderBy(col("node"))
+    }))
 
   /** One unrolled PageRank round in DuckDB (integer floor division `//`
     * matches Spark's long `div` on the all-positive ranks). */
@@ -135,5 +153,28 @@ object GraphOps extends QueryModule {
          |${duckRound("r0", "r1")},
          |${duckRound("r1", "r2")},
          |${duckRound("r2", "r3")}
-         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+    // Non-recursive CC oracle: the undirected entity graph's components
+    // are exactly "one region + its nations + their customers + their
+    // orders" (all 5 regions are referenced; every edge column is
+    // non-null), so each node's component root is its region key reached
+    // by the fixed-depth chain — no recursive CTE needed. Label = MIN
+    // node id per root group, matching min-label propagation's fixpoint.
+    "q_graph_cc" ->
+      """WITH roots AS (
+        |  SELECT 'r:' || CAST(r_regionkey AS VARCHAR) AS node,
+        |         r_regionkey AS root FROM region
+        |  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+        |         n_regionkey FROM nation
+        |  UNION ALL SELECT 'c:' || CAST(c_custkey AS VARCHAR), n_regionkey
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), n_regionkey
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |), lab AS (
+        |  SELECT root, min(node) AS component FROM roots GROUP BY root
+        |)
+        |SELECT r.node, l.component FROM roots r JOIN lab l ON r.root = l.root
+        |ORDER BY r.node""".stripMargin)
 }

@@ -12,6 +12,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("bigramLmScore: hand-computed integer micro-probabilities") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigram instances (a,b) (b,a) (a,b)
+      (2L, "a b c"),   // (a,b) (b,c)
+      (3L, "x"))       // no bigrams — absent from the output
+      .toDF("doc_id", "text")
+    // corpus: c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; c1(a)=3 c1(b)=2
+    // micro(a,b) = 1e6*3 div 3 = 1000000; micro(b,a) = micro(b,c) = 500000
+    val got = TextOps.bigramLmScore(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((3L, (1000000L + 500000L + 1000000L) / 3)), // 833333
+      2L -> ((2L, 750000L))))
+  }
+
   test("letterEntropy matches closed-form values and stays map-only") {
     val docs = Seq(
       (1L, "aabb"),         // two letters, uniform → exactly 1 bit

@@ -83,4 +83,28 @@ class GraphOpsSpec extends SparkSpec {
       .select(col("o")).as[String].collect().toSet
     assert(Set("Customer", "Agent", "Resource").subsetOf(c1))
   }
+
+  test("q_graph_cc labels every node with its component's min id") {
+    val df = GraphOps.queries("q_graph_cc")(spark, sf0001)
+    val labels = df.as[(String, String)].collect().toMap
+    // every region's chain collapses to one component; the graph has as
+    // many components as regions (all referenced at this SF)
+    val nRegions = labels.keysIterator.count(_.startsWith("r:"))
+    assert(labels.values.toSet.size === nRegions)
+    // the label really is the component-wide minimum: no member sorts
+    // below its own label, and each label labels itself
+    assert(labels.forall { case (n, l) => l <= n })
+    assert(labels.values.toSet.forall(l => labels(l) === l))
+    // chain coherence: an order, its customer, the customer's nation and
+    // region all agree on the component
+    val triples = Triples.build(spark, sf0001)
+      .as[(String, String, String)].collect()
+    val custOf = triples.collect { case (s, "custkey", o) => s -> o }.toMap
+    val natOf = triples.collect { case (s, "nation", o) => s -> o }.toMap
+    val regOf = triples.collect { case (s, "region", o) => s -> o }.toMap
+    val (o1, c1c) = custOf.head
+    assert(labels(o1) === labels(c1c))
+    assert(labels(c1c) === labels(natOf(c1c)))
+    assert(labels(natOf(c1c)) === labels(regOf(natOf(c1c))))
+  }
 }
