@@ -32,7 +32,8 @@ object Tpch extends QueryModule {
 
   /** Register the tables this module reads as temp views (idempotent). */
   private def register(s: SparkSession, d: String): Unit =
-    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region",
+        "part")
       .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
 
   private def run(sql: String): (SparkSession, String) => DataFrame =
@@ -108,15 +109,172 @@ object Tpch extends QueryModule {
        |  AND l_discount BETWEEN 0.05 AND 0.07
        |  AND l_quantity < 24""".stripMargin
 
+  /** Q4 order-priority checking, adapted: the spec's `l_commitdate <
+    * l_receiptdate` lateness test becomes "shipped more than 60 days after
+    * the order date" (this schema carries only l_shipdate). The EXISTS
+    * keeps an equality on the order key, so Catalyst plans a hash LEFT
+    * SEMI join with the date comparison as a residual — never a nested
+    * loop — and lineitem is reduced to two columns before the shuffle. */
+  private val q4: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Q10 returned-item reporting (top 20 problem customers by returned
+    * revenue, one quarter). Customer and nation broadcast after pruning;
+    * only orders⋈lineitem shuffles. The `l_returnflag = 'R'` filter is
+    * pushed to the lineitem scan. */
+  private val q10: String =
+    s"""SELECT c_custkey, c_name,
+       |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** Q13 customer order-count distribution, adapted: the spec excludes
+    * orders by a comment pattern (no comment column here), so the
+    * exclusion is `o_orderpriority <> '1-URGENT'`. The left outer join
+    * keeps zero-order customers in the c_count=0 bucket — the part naive
+    * inner-join rewrites get wrong — and the two-level aggregate is the
+    * classic histogram-of-group-sizes shape. */
+  private val q13: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer
+      |      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |        AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q14 promotion effect — conditional aggregation over a join. This
+    * dataset's p_type values are bare categories, so the spec's
+    * `LIKE 'PROMO%'` is `= 'PROMO'`. Both sums accumulate exactly in
+    * decimal; the final ratio is ONE double multiply + divide of
+    * bit-identical operands, so the double result is bit-identical too
+    * (dividing doubles is deterministic — summing them is not). */
+  private val q14: String =
+    """SELECT (100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |          THEN CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,4))
+      |        END) AS DOUBLE))
+      |     / CAST(sum(CAST((l_extendedprice * (1 - l_discount))
+      |          AS DECIMAL(27,4))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  /** Q15 top supplier: the revenue CTE feeds both the join and the
+    * scalar-subquery max — `WHERE total_revenue = (SELECT max ...)` is
+    * the spec's formulation (not a LIMIT 1), so ties would all surface.
+    * Exact decimal sums make the `=` comparison safe across engines. */
+  private val q15: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q17 small-quantity-order revenue: a correlated scalar aggregate
+    * (per-part 20%-of-average threshold) that Catalyst decorrelates into
+    * an aggregate + equi-join — no per-row subquery execution. Quantities
+    * are integer-valued doubles, so `avg` is exact in ANY combine order
+    * (integer-exact sums well below 2^53) and `0.2 * avg` compares
+    * identically in both engines. A count column keeps the single-row
+    * result robustly comparable. */
+  private val q17: String =
+    s"""SELECT
+       |  ${Det.dsumSql("l_extendedprice", 2)} / 7.0 AS avg_yearly,
+       |  count(*) AS n_small
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#12'
+       |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+       |                    FROM lineitem l2
+       |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Q18 large-volume customers: the IN-subquery with a HAVING threshold
+    * is a self-semi-join of lineitem against its own aggregate. The
+    * quantity HAVING sum is integer-exact in doubles; the projected
+    * sum_qty goes through decimal anyway for uniformity. Threshold 300
+    * (spec: 300) keeps the result non-empty at every SF here. */
+  private val q18: String =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       |  ${Det.dsumSql("l_quantity", 2)} AS sum_qty
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+       |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+       |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
+  /** Q22 global sales opportunity, adapted: no phone column, so the
+    * country-code IN-list becomes the nation join, and "never ordered"
+    * (empty at this order density — every rich customer has orders)
+    * becomes "no URGENT order". Shape preserved exactly: uncorrelated
+    * scalar average threshold + NOT EXISTS anti join + per-group
+    * count/sum. The average divides an exact decimal sum by a count —
+    * one double division, bit-identical. */
+  private val q22: String =
+    s"""SELECT n_name, count(*) AS numcust,
+       |  ${Det.dsumSql("c_acctbal", 2)} AS totacctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > (SELECT ${Det.dsumSql("c_acctbal", 2)} / count(*)
+       |                   FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderpriority = '1-URGENT')
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q1" -> run(q1),
     "q_tpch_q3" -> run(q3("date_format(o_orderdate, 'yyyy-MM-dd')")),
+    "q_tpch_q4" -> run(q4),
     "q_tpch_q5" -> run(q5),
-    "q_tpch_q6" -> run(q6))
+    "q_tpch_q6" -> run(q6),
+    "q_tpch_q10" -> run(q10),
+    "q_tpch_q13" -> run(q13),
+    "q_tpch_q14" -> run(q14),
+    "q_tpch_q15" -> run(q15),
+    "q_tpch_q17" -> run(q17),
+    "q_tpch_q18" -> run(q18),
+    "q_tpch_q22" -> run(q22))
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q1" -> q1,
     "q_tpch_q3" -> q3("strftime(o_orderdate, '%Y-%m-%d')"),
+    "q_tpch_q4" -> q4,
     "q_tpch_q5" -> q5,
-    "q_tpch_q6" -> q6)
+    "q_tpch_q6" -> q6,
+    "q_tpch_q10" -> q10,
+    "q_tpch_q13" -> q13,
+    "q_tpch_q14" -> q14,
+    "q_tpch_q15" -> q15,
+    "q_tpch_q17" -> q17,
+    "q_tpch_q18" -> q18,
+    "q_tpch_q22" -> q22)
 }

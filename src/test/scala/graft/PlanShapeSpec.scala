@@ -189,6 +189,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("EqualTo(r_name,ASIA)"), p)
   }
 
+  test("q_tpch_q4 plans the EXISTS as a hash semi join, never a loop") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the order-date window reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q_tpch_q10 pushes the returnflag filter and avoids loops") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_tpch_q17 decorrelates the per-part threshold into an aggregate join") {
+    val p = plan("q_tpch_q17")
+    // no per-row subquery execution: the correlated scalar aggregate
+    // becomes aggregate + equi-join
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(p_brand,Brand#12)"), p)
+  }
+
+  test("q_tpch_q22 plans NOT EXISTS as a hash anti join") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_rdfs_infer instance pass is join-free (schema folded map-side)") {
     val p = plan("q_rdfs_infer")
     // entailment = explode + union + distinct; all reasoning over the
