@@ -49,20 +49,42 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * We read the raw nanos (legacy conf) and expose:
+  /** `events.ts` has shipped under two physical types across driver data
+    * generations: parquet TIMESTAMP(NANOS) (read as raw nanos Long via the
+    * legacy conf, which Spark's reader otherwise rejects) and plain
+    * TIMESTAMP(MICROS). Both normalize to the same three derived columns so
+    * every downstream query and oracle is schema-generation-agnostic:
     *   - `ts_ns`: exact epoch nanos (Long) — use for arithmetic that must
     *     not lose precision (as-of joins, session gaps);
-    *   - `ts_us`: micros-truncated TimestampType — use for window functions
+    *   - `ts_us_long`: epoch micros (Long);
+    *   - `ts_us`: micros TimestampType — use for window functions
     *     (`window`, `session_window`) which require TimestampType.
     * Truncation ns→us is a floor; window-bucket membership is unaffected
-    * because bucket boundaries are whole seconds.
+    * because bucket boundaries are whole seconds. The DuckDB oracles use
+    * `epoch_ns(ts)`, which is precision-agnostic on their side too.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us_long", expr("ts_ns div 1000"))
-      .withColumn("ts_us", timestamp_micros(col("ts_us_long")))
+    normalizeEvents(table(spark, sfDir, "events"))
+  }
+
+  /** Normalize a raw events scan (batch OR streaming — pure column logic)
+    * from either physical `ts` type to the derived-column contract above. */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    val fromNanosLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val df =
+      if (fromNanosLong)
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us_long", expr("ts_ns div 1000"))
+          .withColumn("ts_us", timestamp_micros(col("ts_us_long")))
+      else
+        raw.withColumn("ts_us_long",
+            unix_micros(col("ts").cast(TimestampType)))
+          .withColumn("ts_ns", col("ts_us_long") * lit(1000L))
+          .withColumn("ts_us", timestamp_micros(col("ts_us_long")))
+    // identical column order regardless of the source generation
+    df.select("event_id", "ts_ns", "user_id", "event_type", "value",
+      "props", "ts_us_long", "ts_us")
   }
 }

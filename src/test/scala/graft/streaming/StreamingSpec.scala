@@ -139,11 +139,9 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       java.nio.file.Paths.get(dir.getPath, "events.parquet"))
-    val schema = spark.read.parquet(dir.getPath).schema // ts read as nanos long
-    val stream = spark.readStream.schema(schema).parquet(dir.getPath)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us_long", expr("ts_ns div 1000"))
-      .withColumn("ts_us", timestamp_micros(col("ts_us_long")))
+    val schema = spark.read.parquet(dir.getPath).schema
+    val stream = graft.sources.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(dir.getPath))
     val q = StreamOps.tumbling(stream).writeStream
       .outputMode("complete").format("memory").queryName("file_src_out").start()
     try {
