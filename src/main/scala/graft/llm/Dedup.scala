@@ -45,6 +45,54 @@ object Dedup {
       .drop("h")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — same result as
+    * [[incrementalExact]] (bitwise: the confirm step is exact, so bloom
+    * false positives never change the output), different scale shape.
+    *
+    * [[incrementalExact]] shuffles the ENTIRE new batch into the anti
+    * join against the snapshot digests. Here the snapshot is first
+    * collapsed into a compact Bloom filter over xxhash64(text) (one
+    * aggregate; ~1.2 GB per 10^9 seen docs at 1% fpp), which ships to
+    * executors inside the probe expression ([[graft.functions.BloomMightContain]],
+    * task-binary broadcast). The batch then splits map-side:
+    *   - bloom says NO  → definitely unseen, bypasses the join entirely;
+    *   - bloom says yes → candidate (true dup or fp), and ONLY these
+    *     rows — a (dup_rate + fpp) fraction of the batch — enter the
+    *     exact sha2-digest anti join.
+    * For append-mostly corpus ingestion (the common 100 TB case: most of
+    * each batch is new), the expensive confirm join shrinks by 10-100×
+    * while the fast path stays one codegen'd scan. The LSM-tree bloom
+    * discipline, applied to corpus dedup.
+    *
+    * `expectedSeen` sizes the filter (must be ≥ the snapshot's distinct
+    * digest count for `fpp` to hold; oversizing only costs memory).
+    */
+  def incrementalExactBloom(newDocs: DataFrame, seenDocs: DataFrame,
+      expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bloom = seenDocs.select(xxhash64(col("text")).as("hl"))
+      .stat.bloomFilter("hl", expectedSeen, fpp)
+    // expose the probe through the function registry (the repo-standard
+    // route from a custom Expression to a Column); unique name per filter
+    // so two live bloom dedups never clobber each other's resolution
+    val fn = s"graft_bloom_seen_${java.lang.System.identityHashCode(bloom)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, exprs => graft.functions.BloomMightContain(bloom, exprs.head),
+      "built-in")
+    val keyed = newDocs.withColumn("hl", xxhash64(col("text")))
+    // map-only fast path: no false negatives ⇒ !mightContain is unseen
+    val fresh = keyed.filter(!expr(s"$fn(hl)"))
+    val candidates = keyed.filter(expr(s"$fn(hl)"))
+    val seen = seenDocs.select(sha2(col("text"), 256).as("h")).distinct()
+    val confirmedNew = candidates.withColumn("h", sha2(col("text"), 256))
+      .join(seen, Seq("h"), "left_anti").drop("h")
+    fresh.unionByName(confirmedNew).drop("hl")
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .drop("h")
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   val NumHashes = 64

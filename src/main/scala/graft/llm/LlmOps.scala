@@ -32,6 +32,19 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Same ingestion semantics through the Bloom-prefiltered path: the
+    // snapshot collapses to a compact filter and only bloom-positive rows
+    // reach the exact confirm join. Result is bitwise-identical to
+    // q_dedup_incremental (the confirm is exact), so this APPROXIMATE
+    // acceleration structure is fully ORACLED, not just spec-tested.
+    "q_dedup_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExactBloom(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          expectedSeen = 1 << 14)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashPairs(Tables.documents(s, d), 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -318,6 +331,15 @@ object LlmOps extends QueryModule {
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents n
+        |WHERE doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id < 250 AND s.text = n.text)
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // the bloom path must produce exactly the incremental-dedup relation
+    "q_dedup_bloom" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents n
         |WHERE doc_id >= 250

@@ -57,6 +57,47 @@ object GraphOps extends QueryModule {
     ranks
   }
 
+  /** Shortest hop distance from `source` to every reachable node over the
+    * UNDIRECTED view of `edges(src, dst)` — frontier-expansion BFS, the
+    * min-distance complement of [[graft.rdf.Paths.transitiveClosure]]
+    * (which computes reachability, not distance).
+    *
+    * Scale shape: each round is ONE join (frontier ⋈ edges) + distinct +
+    * anti join against the settled set — all keyed on the node id, so at
+    * scale every round reuses one hash partitioning; the frontier frame is
+    * eagerly materialized ([[graft.Materialize]]) so the plan stays
+    * constant-depth instead of growing per round. The settled set is
+    * (node, dist) — never the edge list — so its anti-join side stays
+    * narrow. Rounds stop at the first empty frontier (a driver-side
+    * emptiness probe on the ALREADY-materialized frame — no recompute),
+    * bounded by `maxDepth` as a cycle guard.
+    *
+    * Determinism: a node's distance is the round number that first reached
+    * it — partition order can't perturb an integer round count.
+    */
+  def bfs(edges: DataFrame, source: String, maxDepth: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = graft.Materialize(
+      Seq((source, 0)).toDF("node", "dist"))
+    var frontier = dist
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = frontier.join(und, frontier("node") === und("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+      frontier = graft.Materialize(next)
+      dist = graft.Materialize(dist.unionByName(frontier))
+    }
+    und.unpersist()
+    dist
+  }
+
   val queries: Map[String, Q] = Map(
     // RDFS ρdf materialization: all inferred types + lifted properties.
     // Instance data carries no rdf:type at all — every type row is
@@ -94,6 +135,13 @@ object GraphOps extends QueryModule {
     // compute the exact same labels non-recursively, while Spark runs the
     // general fixpoint loop. Label = lexicographic min node id in the
     // component (identical bytewise string MIN in both engines).
+    // shortest hop distances from region 0 over the undirected entity
+    // graph — reaches exactly region 0's component (nations at 1 hop,
+    // their customers at 2, those customers' orders at 3)
+    "q_graph_bfs" -> ((s, d) =>
+      bfs(entityEdges(s, d), source = "r:0", maxDepth = 8)
+        .orderBy(col("node"))),
+
     "q_graph_cc" -> ((s, d) => {
       val comps = graft.llm.Dedup.connectedComponents(
         entityEdges(s, d)
@@ -154,6 +202,25 @@ object GraphOps extends QueryModule {
          |${duckRound("r1", "r2")},
          |${duckRound("r2", "r3")}
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+    // Bounded recursive walk: UNION (not UNION ALL) dedups (node, dist)
+    // pairs and the dist < 8 guard terminates the even/odd revisit cycle
+    // an undirected edge pair creates; min(dist) is the BFS distance.
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), e AS (
+         |$edgesCte
+         |), und AS (
+         |  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+         |), walk(node, dist) AS (
+         |  SELECT 'r:0', 0
+         |  UNION
+         |  SELECT u.dst, w.dist + 1 FROM walk w JOIN und u ON w.node = u.src
+         |  WHERE w.dist < 8
+         |)
+         |SELECT node, min(dist) AS dist FROM walk GROUP BY node
+         |ORDER BY node""".stripMargin,
 
     // Non-recursive CC oracle: the undirected entity graph's components
     // are exactly "one region + its nations + their customers + their

@@ -20,6 +20,38 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq((1L, 2L), (3L, 1L))) // (doc_id, n_copies)
   }
 
+  test("bloom-prefiltered incremental dedup == exact incremental dedup") {
+    val seen = docsDF(Seq(1L -> base, 2L -> unrelated))
+    val batch = docsDF(Seq(
+      10L -> base,      // true dup of the snapshot → dropped
+      11L -> nearDup,   // unseen (near-dup is not exact-dup) → kept
+      12L -> nearDup,   // in-batch dup of 11 → folded into its group
+      13L -> unrelated, // true dup of the snapshot → dropped
+      14L -> "fresh text never seen before in any corpus at all"))
+    val want = Dedup.incrementalExact(batch, seen)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val got = Dedup.incrementalExactBloom(batch, seen, expectedSeen = 1024)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(want === Seq((11L, 2L), (14L, 1L)))
+    assert(got === want)
+  }
+
+  test("bloom false positives are removed by the exact confirm join") {
+    // an undersized, high-fpp filter makes nearly every probe a
+    // candidate — the exact confirm must still produce the exact result
+    val seen = docsDF((1L to 50L).map(i => i -> s"seen document number $i"))
+    val batch = docsDF((1L to 200L).map(i =>
+      (1000L + i) -> (if (i <= 40) s"seen document number $i"
+                      else s"new document number $i")))
+    val want = Dedup.incrementalExact(batch, seen)
+      .as[(Long, Long)].collect().toSet
+    val got = Dedup.incrementalExactBloom(batch, seen,
+        expectedSeen = 8, fpp = 0.5) // deliberately way undersized
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.size === 160)
+  }
+
   test("minhash LSH finds planted near-dup and skips unrelated docs") {
     val docs = docsDF(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
     val pairs = Dedup.minHashPairs(docs, 0.5)

@@ -84,6 +84,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(Set("Customer", "Agent", "Resource").subsetOf(c1))
   }
 
+  test("BFS distances match a hand-computed graph with a shortcut") {
+    // diamond + tail, undirected: a-b, a-c, b-d, c-d, d-e, plus the
+    // shortcut a-e: e is at distance 1 via the shortcut, NOT 3 via d —
+    // the min-distance semantics BFS must get right on cyclic graphs
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("a", "e"), ("x", "y")).toDF("src", "dst")
+    val got = GraphOps.bfs(edges, "a", maxDepth = 8)
+      .as[(String, Int)].collect().toMap
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 1, "e" -> 1, "d" -> 2))
+    // x/y are a separate component: absent, not infinite
+    assert(!got.contains("x"))
+  }
+
+  test("q_graph_bfs: structural distances over the entity graph") {
+    val df = GraphOps.queries("q_graph_bfs")(spark, sf0001)
+    val dist = df.as[(String, Int)].collect().toMap
+    assert(dist("r:0") === 0)
+    // the entity tree fixes distance by node kind within the component
+    dist.foreach { case (node, d) =>
+      node.charAt(0) match {
+        case 'r' => assert(d === 0)
+        case 'n' => assert(d === 1)
+        case 'c' => assert(d === 2)
+        case 'o' => assert(d === 3)
+      }
+    }
+    // only region 0's component is reached — other regions absent
+    assert(dist.keysIterator.count(_.startsWith("r:")) === 1)
+  }
+
   test("q_graph_cc labels every node with its component's min id") {
     val df = GraphOps.queries("q_graph_cc")(spark, sf0001)
     val labels = df.as[(String, String)].collect().toMap
