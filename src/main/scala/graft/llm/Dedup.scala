@@ -209,16 +209,20 @@ object Dedup {
           .withColumnRenamed("label", "nlabel"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nlabel")).as("minNeighbor"))
-      // the label-update join also computes the per-node changed flag, so
-      // the convergence probe below is a scan of the just-persisted round
-      // frame — not a second shuffle join against the previous labels
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"),
-          (coalesce(col("minNeighbor"), col("label")) < col("label")).as("__changed"))
-        .persist()
+      // EAGER full materialization ([[graft.Materialize]]), not a lazy
+      // persist: a convergence probe that early-exits (limit 1) would
+      // compute only SOME partitions of a lazily-cached round frame, and
+      // every later round would then rebuild the uncached partitions
+      // through the whole chain of earlier rounds — superlinear recompute
+      // that turned this loop pathological at 165k nodes. Materialize
+      // computes every partition once and truncates lineage, so each
+      // round costs exactly its own two shuffles.
+      val updated = graft.Materialize(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"),
+            (coalesce(col("minNeighbor"), col("label")) < col("label")).as("__changed")))
       val changed = updated.filter(col("__changed")).limit(1).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1
@@ -228,12 +232,9 @@ object Dedup {
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (a component's diameter exceeds it)")
-    // re-cache the flag-free projection so the handle returned to callers
-    // is itself the persisted frame (their unpersist() must release it)
-    val out = labels.drop("__changed").persist()
-    out.count(): Unit
-    labels.unpersist()
-    out // note: returned labels stay cached; callers must unpersist
+    // the returned frame is the final round's checkpointed projection —
+    // already fully computed; callers' unpersist() is a harmless no-op
+    labels.drop("__changed")
   }
 
   /** The materialization step of near-dup removal: cluster the pair list,
