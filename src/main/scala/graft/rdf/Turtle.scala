@@ -123,9 +123,13 @@ object Turtle {
     }
     private def matchWord(w: String): Boolean = {
       ws()
+      // the boundary must exclude ':' and '_' too: `a:x` is a prefixed
+      // name using prefix "a", NOT the `a` keyword (likewise `true:x`)
       if (doc.regionMatches(true, i, w, 0, w.length) &&
-          (i + w.length >= doc.length ||
-            !Character.isLetterOrDigit(doc.charAt(i + w.length)))) {
+          (i + w.length >= doc.length || {
+            val c = doc.charAt(i + w.length)
+            !Character.isLetterOrDigit(c) && c != ':' && c != '_'
+          })) {
         i += w.length; true
       } else false
     }
@@ -248,8 +252,8 @@ object Turtle {
         objectList(subj, p)
         ws()
         more = i < doc.length && doc.charAt(i) == ';' && {
-          i += 1
-          ws()
+          // consecutive ';;' (empty po-list entries) are legal Turtle
+          while (i < doc.length && doc.charAt(i) == ';') { i += 1; ws() }
           // trailing ';' before '.' or ']' is legal
           i < doc.length && doc.charAt(i) != '.' && doc.charAt(i) != ']'
         }
@@ -276,7 +280,10 @@ object Turtle {
         case '_' => out += Row(subj, p, blankLabel(), o_is_iri = false, "", "")
         case '(' => fail("RDF collections are out of fragment")
         case '"' | '\'' => out += literal(subj, p)
-        case c if c.isDigit || c == '-' || c == '+' => out += numericRow(subj, p)
+        case c if c.isDigit || c == '-' || c == '+' ||
+          // leading-dot decimals (".5") are legal Turtle
+          (c == '.' && i + 1 < doc.length && doc.charAt(i + 1).isDigit) =>
+          out += numericRow(subj, p)
         case _ =>
           if (matchWord("true")) out += Row(subj, p, "true", o_is_iri = false,
             "", s"${Terms.XsdString.dropRight(6)}boolean")
@@ -308,9 +315,14 @@ object Turtle {
         ((doc.charAt(i) == 'e' || doc.charAt(i) == 'E') && { exp = true; true }) ||
         (exp && (doc.charAt(i) == '-' || doc.charAt(i) == '+')))) i += 1
       val lex = doc.substring(start, i)
-      if (lex.isEmpty || lex == "-" || lex == "+") fail("malformed number")
-      val dt = if (exp) s"${xsd}double"
-      else if (dots > 0) s"${xsd}decimal" else s"${xsd}integer"
+      // validate the WHOLE lexical form — the permissive scan above would
+      // otherwise silently accept "1.2.3" or "1e5-2" as a plausible number
+      val dt =
+        if (lex.matches("[+-]?[0-9]+")) s"${xsd}integer"
+        else if (lex.matches("[+-]?[0-9]*\\.[0-9]+")) s"${xsd}decimal"
+        else if (lex.matches("[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)[eE][+-]?[0-9]+"))
+          s"${xsd}double"
+        else fail(s"malformed numeric literal '$lex'")
       Row(subj, p, lex, o_is_iri = false, "", dt)
     }
 
@@ -337,10 +349,20 @@ object Turtle {
       val long = doc.regionMatches(i, s"$q$q$q", 0, 3)
       if (long) {
         i += 3
-        val close = s"$q$q$q"
-        val end = doc.indexOf(close, i)
+        // scan for the first UNESCAPED triple-quote: a naive indexOf would
+        // treat the quote of a trailing \" escape as the delimiter's first
+        // char and corrupt the content (e.g. """a\"""")
+        val start = i
+        var end = -1
+        var j = i
+        while (end < 0 && j <= doc.length - 3) {
+          if (doc.charAt(j) == q && doc.charAt(j + 1) == q &&
+              doc.charAt(j + 2) == q) end = j
+          else if (doc.charAt(j) == '\\') j += 2 // skip the escaped char
+          else j += 1
+        }
         if (end < 0) fail("unterminated long string")
-        val body = doc.substring(i, end)
+        val body = doc.substring(start, end)
         i = end + 3
         NtEscapes.unescape(body)
       } else {

@@ -50,6 +50,33 @@ class TurtleSpec extends SparkSpec {
     assert(rows.find(_.p == "http://ex/knows").get.s.startsWith("_:bt_l_who"))
   }
 
+  test("parser edge cases: ;; lists, a: prefix, escaped quote before long close") {
+    // consecutive ';' (empty predicate-object entries) are legal Turtle
+    val r1 = Turtle.parseDoc(
+      "@prefix ex: <http://ex/> .\nex:s ex:p ex:o ;; ex:q ex:r ; .\n", "t")
+    assert(r1.map(r => (r.p, r.o)).toSet ===
+      Set(("http://ex/p", "http://ex/o"), ("http://ex/q", "http://ex/r")))
+    // 'a' and 'true' as PREFIX names, not keywords, when followed by ':'
+    val r2 = Turtle.parseDoc(
+      "@prefix a: <http://a/> .\n@prefix true: <http://t/> .\n" +
+        "a:s a:p true:o .\n", "t")
+    assert(r2.head === Turtle.Row("http://a/s", "http://a/p", "http://t/o",
+      o_is_iri = true, "", ""))
+    // a long string whose content ends with an escaped quote
+    val r3 = Turtle.parseDoc(
+      "@prefix ex: <http://ex/> .\nex:s ex:p \"\"\"say \\\"hi\\\"\"\"\" .\n", "t")
+    assert(r3.head.o === "say \"hi\"")
+    // leading-dot decimal
+    val r4 = Turtle.parseDoc(
+      "@prefix ex: <http://ex/> .\nex:s ex:p .5 .\n", "t")
+    assert(r4.head.o === ".5")
+    assert(r4.head.o_datatype.endsWith("decimal"))
+    // malformed numbers fail loudly instead of parsing as plausible values
+    intercept[IllegalArgumentException] {
+      Turtle.parseDoc("@prefix ex: <http://ex/> .\nex:s ex:p 1.2.3 .\n", "t")
+    }
+  }
+
   test("parseDoc rejects out-of-fragment syntax loudly") {
     intercept[IllegalArgumentException](
       Turtle.parseDoc("@base <http://ex/> ."))
