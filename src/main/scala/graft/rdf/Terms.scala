@@ -61,17 +61,24 @@ object Terms {
   }
 
   /** SPARQL `LANG`: the language tag of a tagged literal, `""` for an
-    * untagged one, error (null → row elimination) for IRIs and blanks. */
+    * untagged one, error (null → row elimination) for IRIs and blanks.
+    * Only QUOTED term strings can carry a tag (the same guard
+    * [[datatype]]'s langString branch applies): a bare plain-lexical cell
+    * whose payload happens to end in `@word` — an email, a handle — is a
+    * plain literal with `LANG = ""`, not a tagged one. */
   def lang(c: Column): Column =
     when(isIri(c) || isBlank(c), lit(null).cast("string"))
-      .otherwise(regexp_extract(c, langRe, 1))
+      .when(c.startsWith("\""), regexp_extract(c, langRe, 1))
+      .otherwise(lit(""))
 
   /** SPARQL `DATATYPE`: the datatype IRI — rdf:langString for tagged
     * literals, xsd:string for plain ones, error for IRIs and blanks. */
   def datatype(c: Column): Column =
     when(isIri(c) || isBlank(c), lit(null).cast("string"))
-      .when(c.rlike(dtRe), regexp_extract(c, dtRe, 1))
-      .when(c.rlike(langRe) && c.startsWith("\""), lit(RdfLangString))
+      // quoted-only, like [[lang]]: a bare payload ending in ^^<x> is a
+      // plain literal, not a typed term string
+      .when(c.startsWith("\"") && c.rlike(dtRe), regexp_extract(c, dtRe, 1))
+      .when(c.startsWith("\"") && c.rlike(langRe), lit(RdfLangString))
       .otherwise(lit(XsdString))
 
   /** SPARQL `isNumeric`: a literal with a numeric XSD datatype whose

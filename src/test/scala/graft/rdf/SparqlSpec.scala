@@ -1606,13 +1606,17 @@ class SparqlSpec extends SparkSpec {
       ("<s2>", "p", "<http://ex/iri>"),
       ("<s3>", "p", s""""5"^^<$xsdInt>"""),
       ("<s3>", "p", "_:b0"),
-      ("<s4>", "p", "bare")).toDF("s", "p", "o")
+      ("<s4>", "p", "bare"),
+      // a bare plain-lexical payload that merely ENDS in @word is a plain
+      // literal (LANG = ""), not a tagged one — only quoted term strings
+      // carry tags
+      ("<s4>", "p", "user@example")).toDF("s", "p", "o")
     def os(q: String): Set[String] =
       Sparql.run(t, q).select("o").as[String].collect().toSet
     // LANG = "" for untagged literals (quoted, typed, or plain-lexical);
     // IRIs and blanks are a type error → row eliminated
     assert(os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (LANG(?o) = "") }""")
-      === Set("\"plain\"", s""""5"^^<$xsdInt>""", "bare"))
+      === Set("\"plain\"", s""""5"^^<$xsdInt>""", "bare", "user@example"))
     // LANGMATCHES: subtag-boundary prefix, case-insensitive; "*" = tagged
     assert(os("""SELECT ?o WHERE { ?s <p> ?o . FILTER (LANGMATCHES(LANG(?o), "EN")) }""")
       === Set("\"chat\"@en", "\"chatter\"@en-US"))
@@ -1638,7 +1642,7 @@ class SparqlSpec extends SparkSpec {
       """SELECT ?v WHERE { ?s <p> ?o . BIND (STR(?o) AS ?v) }""")
       .select("v").as[String].collect().toSet
     assert(strs === Set("chat", "chatter", "plain", "http://ex/iri", "5",
-      "_:b0", "bare"))
+      "_:b0", "bare", "user@example"))
     // constructors round-trip through the introspectors
     val built = Sparql.run(t,
       """SELECT ?s ?tl ?td ?ti WHERE {
