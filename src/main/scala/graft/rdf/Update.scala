@@ -92,9 +92,17 @@ object Update {
     op match {
       case InsertData(qs) =>
         // set semantics per graph without a global distinct: only the
-        // genuinely-new literal quads append
+        // genuinely-new literal quads append. Presence-check shape: a
+        // direct block-anti-current join would put the STORE on the build
+        // side (LeftAnti can only broadcast its right), shuffling the
+        // whole store to screen a handful of ground quads — instead scan
+        // the store once against the BROADCAST block (semi, shuffle-free;
+        // ≤ |block| survivors) and anti the block against that tiny set
+        val block = lit4(qs).distinct()
+        val present = current
+          .join(broadcast(block), Seq("s", "p", "o", "g"), "left_semi")
         current.unionByName(
-          lit4(qs).distinct().join(current, Seq("s", "p", "o", "g"), "left_anti"))
+          block.join(present, Seq("s", "p", "o", "g"), "left_anti"))
       case DeleteData(qs) =>
         current.join(broadcast(lit4(qs)), Seq("s", "p", "o", "g"), "left_anti")
       case DeleteWhere(pats) =>
