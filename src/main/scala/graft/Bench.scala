@@ -11,10 +11,17 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     // ingest-time setup: materialize the IVF index and the encoded triple
     // store so their queries measure search/solve (the recurring cost),
-    // not the one-off index build / dictionary load
-    llm.IvfIndex.forEmbeddings(spark, sfDir): Unit
-    llm.EmbeddingOps.indexForEmbeddings(spark, sfDir): Unit
-    rdf.TripleStore.encodedFor(spark, sfDir): Unit
+    // not the one-off index build / dictionary load. Guarded: a broken
+    // environment must surface as per-query "failed" entries in the JSON
+    // line, not kill the whole bench before it prints anything.
+    try {
+      llm.IvfIndex.forEmbeddings(spark, sfDir): Unit
+      llm.EmbeddingOps.indexForEmbeddings(spark, sfDir): Unit
+      rdf.TripleStore.encodedFor(spark, sfDir): Unit
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] setup failed: ${e.getMessage}")
+    }
     // This sandbox's bench has multi-x run-to-run noise concentrated in
     // shuffle-heavy queries (identical queries measured 3x apart within one
     // JVM). One sample per query therefore cannot gate anything: run each
@@ -22,12 +29,17 @@ object Bench {
     // polluted by host noise — so the recorded number tracks the engine,
     // not the sandbox weather.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // failures must be visible IN the emitted JSON, not only on stderr: a
+    // crashing query records a (fast) time, and without this field the
+    // recorded total would flatter a broken build
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        // a crashing query must not read as a fast success in the bench line
         try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -35,13 +47,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // per-query detail first, compact total LAST: the driver tail-captures
     // a bounded window of output, and truncation must never lose the total
     // (round 3 recorded an unparseable bench because the total led the one
     // giant line and fell outside the captured tail)
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

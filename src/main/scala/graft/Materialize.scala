@@ -39,4 +39,23 @@ object Materialize {
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
+
+  /** Free the executor blocks of a frame produced by [[apply]] once it is
+    * superseded. Iterative loops (PageRank, BFS, closure, min-label
+    * propagation) otherwise pin EVERY round's checkpoint blocks until
+    * driver GC — on a long-converging run that is rounds × |labels| of
+    * executor memory for frames that will never be read again.
+    *
+    * Only call on frames that are dead: a local checkpoint's lineage is
+    * truncated, so unpersisting its RDD is irrecoverable by design. No-op
+    * for non-checkpointed frames (round-0 seeds over source tables) and
+    * harmless for reliable checkpoints (the files on the durable store
+    * remain authoritative; only cached blocks drop).
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.logical.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }

@@ -67,30 +67,47 @@ object Dedup {
     * `expectedSeen` sizes the filter (must be ≥ the snapshot's distinct
     * digest count for `fpp` to hold; oversizing only costs memory).
     */
+  private val bloomFnIds = new java.util.concurrent.atomic.AtomicLong()
+
   def incrementalExactBloom(newDocs: DataFrame, seenDocs: DataFrame,
       expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
     val spark = newDocs.sparkSession
     val bloom = seenDocs.select(xxhash64(col("text")).as("hl"))
       .stat.bloomFilter("hl", expectedSeen, fpp)
     // expose the probe through the function registry (the repo-standard
-    // route from a custom Expression to a Column); unique name per filter
-    // so two live bloom dedups never clobber each other's resolution
-    val fn = s"graft_bloom_seen_${java.lang.System.identityHashCode(bloom)}"
+    // route from a custom Expression to a Column); a monotone counter —
+    // not identityHashCode, which can collide across live filters — keeps
+    // concurrent bloom dedups from clobbering each other's resolution
+    val fn = s"graft_bloom_seen_${bloomFnIds.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fn, exprs => graft.functions.BloomMightContain(bloom, exprs.head),
       "built-in")
-    val keyed = newDocs.withColumn("hl", xxhash64(col("text")))
-    // map-only fast path: no false negatives ⇒ !mightContain is unseen
-    val fresh = keyed.filter(!expr(s"$fn(hl)"))
-    val candidates = keyed.filter(expr(s"$fn(hl)"))
-    val seen = seenDocs.select(sha2(col("text"), 256).as("h")).distinct()
-    val confirmedNew = candidates.withColumn("h", sha2(col("text"), 256))
-      .join(seen, Seq("h"), "left_anti").drop("h")
-    fresh.unionByName(confirmedNew).drop("hl")
-      .withColumn("h", sha2(col("text"), 256))
-      .groupBy("h")
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .drop("h")
+    try {
+      val keyed = newDocs.withColumn("hl", xxhash64(col("text")))
+      // map-only fast path: no false negatives ⇒ !mightContain is unseen.
+      // NULL text ⇒ NULL probe key, which both filters would silently drop;
+      // route null-key rows to the fresh side explicitly so this path keeps
+      // them exactly like [[incrementalExact]] does (a NULL digest never
+      // matches its anti join) — the documented bitwise equivalence.
+      val fresh = keyed.filter(col("hl").isNull || !expr(s"$fn(hl)"))
+      val candidates = keyed.filter(col("hl").isNotNull && expr(s"$fn(hl)"))
+      val seen = seenDocs.select(sha2(col("text"), 256).as("h")).distinct()
+      val confirmedNew = candidates.withColumn("h", sha2(col("text"), 256))
+        .join(seen, Seq("h"), "left_anti").drop("h")
+      fresh.unionByName(confirmedNew).drop("hl")
+        .withColumn("h", sha2(col("text"), 256))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .drop("h")
+    } finally {
+      // Dataset construction analyzes eagerly, so every $fn reference above
+      // is already resolved to a BloomMightContain bound to this filter
+      // object; dropping the registration immediately keeps repeated-ingest
+      // usage from pinning every filter (GB-scale at the documented 10^9
+      // sizing) in the session FunctionRegistry forever.
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fn)): Unit
+    }
   }
 
   // ---------------- MinHash + LSH ----------------
@@ -223,6 +240,11 @@ object Dedup {
             least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"),
             (coalesce(col("minNeighbor"), col("label")) < col("label")).as("__changed")))
       val changed = updated.filter(col("__changed")).limit(1).count()
+      // the superseded round's checkpoint blocks are dead once `updated`
+      // is materialized — release them, or a long-converging run holds
+      // every round's labels on executors simultaneously (round 0's
+      // labels frame isn't checkpointed, so this is a no-op there)
+      graft.Materialize.release(labels)
       labels = updated
       converged = changed == 0
       i += 1
@@ -233,7 +255,8 @@ object Dedup {
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (a component's diameter exceeds it)")
     // the returned frame is the final round's checkpointed projection —
-    // already fully computed; callers' unpersist() is a harmless no-op
+    // already fully computed; callers release it via Materialize.release
+    // once they have folded it into their own result
     labels.drop("__changed")
   }
 
@@ -249,7 +272,7 @@ object Dedup {
     val comps = connectedComponents(minHashPairs(docs, threshold))
     val dropped = comps.filter(col("doc_id") =!= col("label")).select("doc_id")
       .transform(graft.Materialize.apply)
-    comps.unpersist()
+    graft.Materialize.release(comps)
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
 

@@ -49,10 +49,14 @@ object GraphOps extends QueryModule {
         // `div` is exact long floor division — never a double in the path
         .select(col("dst").as("node"), expr("rank div d").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      ranks = graft.Materialize(
+      val next = graft.Materialize(
         nodes.join(inbound, Seq("node"), "left")
           .select(col("node"),
             expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("rank")))
+      // superseded round's blocks are dead once `next` exists (no-op on
+      // the non-checkpointed round-0 seed)
+      graft.Materialize.release(ranks)
+      ranks = next
     }
     ranks
   }
@@ -91,8 +95,14 @@ object GraphOps extends QueryModule {
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
-      frontier = graft.Materialize(next)
-      dist = graft.Materialize(dist.unionByName(frontier))
+      val f2 = graft.Materialize(next)
+      val d2 = graft.Materialize(dist.unionByName(f2))
+      // both previous-round frames are folded into d2 — release their
+      // blocks (round 1: frontier eq dist, double release is harmless)
+      graft.Materialize.release(frontier)
+      graft.Materialize.release(dist)
+      frontier = f2
+      dist = d2
     }
     und.unpersist()
     dist
@@ -148,7 +158,7 @@ object GraphOps extends QueryModule {
           .select(col("src").as("doc_a"), col("dst").as("doc_b")))
       val out = graft.Materialize(
         comps.select(col("doc_id").as("node"), col("label").as("component")))
-      comps.unpersist()
+      graft.Materialize.release(comps)
       out.orderBy(col("node"))
     }))
 

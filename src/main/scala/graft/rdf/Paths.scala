@@ -83,7 +83,16 @@ object Paths {
           // only genuinely new pairs survive into the next frontier
           .join(all, Seq("src", "dst"), "left_anti")
           .transform(graft.Materialize.apply)
-        if (!next.isEmpty) all = all.unionByName(next).transform(graft.Materialize.apply)
+        if (!next.isEmpty) {
+          val grown = all.unionByName(next).transform(graft.Materialize.apply)
+          // the previous `all` is folded into `grown`; its blocks are dead
+          graft.Materialize.release(all)
+          all = grown
+        }
+        // `delta` was consumed building `next` — release it UNLESS it is
+        // still the live result frame (round 0 seeds delta = all; if the
+        // closure converges immediately, `all` is what we return)
+        if (!(delta eq all)) graft.Materialize.release(delta)
         delta = next
         i += 1
       }

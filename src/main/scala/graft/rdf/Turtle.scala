@@ -128,7 +128,12 @@ object Turtle {
       if (doc.regionMatches(true, i, w, 0, w.length) &&
           (i + w.length >= doc.length || {
             val c = doc.charAt(i + w.length)
-            !Character.isLetterOrDigit(c) && c != ':' && c != '_'
+            // reject the full PN_CHARS set: `a-b:x` / `a·x` are prefixed
+            // names whose prefix merely STARTS with the keyword letters
+            !Character.isLetterOrDigit(c) && c != ':' && c != '_' &&
+              c != '-' && c != 0x00B7.toChar &&
+              !(c >= 0x0300.toChar && c <= 0x036F.toChar) &&
+              !(c >= 0x203F.toChar && c <= 0x2040.toChar)
           })) {
         i += w.length; true
       } else false
@@ -357,7 +362,15 @@ object Turtle {
         var j = i
         while (end < 0 && j <= doc.length - 3) {
           if (doc.charAt(j) == q && doc.charAt(j + 1) == q &&
-              doc.charAt(j + 2) == q) end = j
+              doc.charAt(j + 2) == q) {
+            // STRING_LITERAL_LONG_QUOTE: content may END in up to two
+            // unescaped quotes (e.g. """a"""" is the string a"), so when
+            // the quote run extends past 3, the LAST three quotes are the
+            // delimiter and the leading ones belong to the content
+            var k = j + 3
+            while (k < doc.length && doc.charAt(k) == q) k += 1
+            end = k - 3
+          }
           else if (doc.charAt(j) == '\\') j += 2 // skip the escaped char
           else j += 1
         }

@@ -36,6 +36,35 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bloom path keeps NULL-text rows exactly like the plain path") {
+    // NULL text hashes to a NULL probe key; the bloom path must route such
+    // rows to the fresh side (not drop them map-side) to stay bitwise
+    // equal to incrementalExact, whose NULL digest never matches the anti
+    // join and survives into the final group
+    val seen = docsDF(Seq(1L -> base))
+    val batch = Seq((10L, base), (11L, null), (12L, null),
+        (13L, unrelated)).toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val want = Dedup.incrementalExact(batch, seen)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val got = Dedup.incrementalExactBloom(batch, seen, expectedSeen = 64)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(want === Seq((11L, 2L), (13L, 1L))) // null rows fold to one group
+    assert(got === want)
+  }
+
+  test("repeated bloom dedup calls do not pin filters in the registry") {
+    val seen = docsDF(Seq(1L -> base))
+    val batch = docsDF(Seq(10L -> base, 11L -> unrelated))
+    val reg = spark.sessionState.functionRegistry
+    def bloomFns = reg.listFunction()
+      .count(_.funcName.startsWith("graft_bloom_seen_"))
+    val before = bloomFns
+    (1 to 3).foreach { _ =>
+      Dedup.incrementalExactBloom(batch, seen, expectedSeen = 64).count(): Unit
+    }
+    assert(bloomFns === before) // every registration was dropped on return
+  }
+
   test("bloom false positives are removed by the exact confirm join") {
     // an undersized, high-fpp filter makes nearly every probe a
     // candidate — the exact confirm must still produce the exact result

@@ -75,6 +75,21 @@ class TurtleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Turtle.parseDoc("@prefix ex: <http://ex/> .\nex:s ex:p 1.2.3 .\n", "t")
     }
+    // long string whose content ENDS in 1-2 unescaped quotes: the last
+    // three quotes of the run are the delimiter (STRING_LITERAL_LONG_QUOTE)
+    val r5 = Turtle.parseDoc(
+      "@prefix ex: <http://ex/> .\nex:s ex:p \"\"\"a\"\"\"\" .\n", "t")
+    assert(r5.head.o === "a\"")
+    val r6 = Turtle.parseDoc(
+      "@prefix ex: <http://ex/> .\nex:s ex:p \"\"\"ab\"\"\"\"\" .\n", "t")
+    assert(r6.head.o === "ab\"\"")
+    // hyphenated prefix starting with keyword letters: a-b is a prefix
+    // label, not the 'a' keyword followed by garbage (same for true-…)
+    val r7 = Turtle.parseDoc(
+      "@prefix a-b: <http://ab/> .\n@prefix true-x: <http://tx/> .\n" +
+        "a-b:s a-b:p true-x:o .\n", "t")
+    assert(r7.head === Turtle.Row("http://ab/s", "http://ab/p", "http://tx/o",
+      o_is_iri = true, "", ""))
   }
 
   test("parseDoc rejects out-of-fragment syntax loudly") {
