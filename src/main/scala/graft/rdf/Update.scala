@@ -83,12 +83,47 @@ object Update {
     new UParser(toks).parseOp()
   }
 
+  /** The CHANGE an operation makes against a snapshot, as data: quads to
+    * append, quad tombstones, and whole-graph clears, applied in the fixed
+    * order clears → dels → adds ([[applyDelta]]). This is what the
+    * delta-log store persists per update — O(|delta|) bytes, not
+    * O(|store|) — and `adds` is constructed DISJOINT from the
+    * post-delete state, so replaying a delta is a plain union with no
+    * read-time distinct. */
+  final case class Delta(adds: DataFrame, dels: DataFrame,
+      clears: Seq[Target])
+
   /** Apply an operation to a quad snapshot → the successor quad set. */
-  def apply(current: DataFrame, op: Op): DataFrame = {
+  def apply(current: DataFrame, op: Op): DataFrame =
+    applyDelta(current, delta(current, op))
+
+  /** Replay one [[Delta]] on a snapshot: clears, then tombstones (an
+    * anti-join — tiny delta sides broadcast off their file stats, so the
+    * store itself never shuffles), then the disjoint-by-construction adds
+    * as a bare union. */
+  def applyDelta(current: DataFrame, d: Delta): DataFrame = {
+    val afterClear = d.clears.foldLeft(current) { (st, t) => t match {
+      case DefaultG => st.filter(col("g") =!= Quads.DefaultGraph)
+      case OneGraph(g) => st.filter(col("g") =!= g)
+      case AllNamed => st.filter(col("g") === Quads.DefaultGraph)
+      case AllGraphs => st.limit(0)
+    }}
+    afterClear.join(d.dels, Seq("s", "p", "o", "g"), "left_anti")
+      .unionByName(d.adds)
+  }
+
+  /** Compute an operation's [[Delta]] against `current`. The store may be
+    * SCANNED here (set-semantics presence checks), but everything returned
+    * is delta-sized: ground blocks, template instantiations, one moved
+    * graph — never a rewritten store. */
+  def delta(current: DataFrame, op: Op): Delta = {
     val spark = current.sparkSession
     import spark.implicits._
     def lit4(qs: Seq[(String, String, String, String)]): DataFrame =
       qs.toDF("s", "p", "o", "g")
+    def none: DataFrame =
+      Seq.empty[(String, String, String, String)].toDF("s", "p", "o", "g")
+    val keys = Seq("s", "p", "o", "g")
     op match {
       case InsertData(qs) =>
         // set semantics per graph without a global distinct: only the
@@ -99,42 +134,36 @@ object Update {
         // the store once against the BROADCAST block (semi, shuffle-free;
         // ≤ |block| survivors) and anti the block against that tiny set
         val block = lit4(qs).distinct()
-        val present = current
-          .join(broadcast(block), Seq("s", "p", "o", "g"), "left_semi")
-        current.unionByName(
-          block.join(present, Seq("s", "p", "o", "g"), "left_anti"))
+        val present = current.join(broadcast(block), keys, "left_semi")
+        Delta(block.join(present, keys, "left_anti"), none, Nil)
       case DeleteData(qs) =>
-        current.join(broadcast(lit4(qs)), Seq("s", "p", "o", "g"), "left_anti")
+        // tombstones for quads that were never present are harmless under
+        // anti-join replay, so no presence screen is needed
+        Delta(none, lit4(qs).distinct(), Nil)
       case DeleteWhere(pats) =>
         require(pats.nonEmpty, "empty DELETE WHERE")
         // the pattern is both match and template
-        applyModify(current, pats, Nil, pats)
+        modifyDelta(current, pats, Nil, pats)
       case Modify(del, ins, where) =>
         require(del.nonEmpty || ins.nonEmpty,
           "Modify needs a DELETE or INSERT template")
         require(where.nonEmpty, "empty WHERE in Modify")
-        applyModify(current, del, ins, where)
-      case Clear(target) => target match {
-        case OneGraph(g) => current.filter(col("g") =!= g)
-        case DefaultG => current.filter(col("g") =!= Quads.DefaultGraph)
-        case AllNamed => current.filter(col("g") === Quads.DefaultGraph)
-        case AllGraphs => current.limit(0)
-      }
-      case Create(_) => current // no empty-graph bookkeeping (scaladoc)
+        modifyDelta(current, del, ins, where)
+      case Clear(target) => Delta(none, none, Seq(target))
+      case Create(_) => Delta(none, none, Nil) // no empty-graph bookkeeping
       case GraphXfer(kind, src, dst) =>
-        if (src == dst) current // §3.2.5: same graph is a no-op
+        if (src == dst) Delta(none, none, Nil) // §3.2.5: no-op
         else {
           val moved = current.filter(col("g") === src)
             .withColumn("g", lit(dst))
           kind match {
             // set union: only quads not already in the destination append
-            case "ADD" => current.unionByName(
-              moved.join(current, Seq("s", "p", "o", "g"), "left_anti"))
-            case "COPY" =>
-              current.filter(col("g") =!= dst).unionByName(moved)
-            case "MOVE" =>
-              current.filter(col("g") =!= dst && col("g") =!= src)
-                .unionByName(moved)
+            case "ADD" => Delta(moved.join(current, keys, "left_anti"),
+              none, Nil)
+            // overwrite: clear the destination, append the whole source
+            case "COPY" => Delta(moved, none, Seq(OneGraph(dst)))
+            case "MOVE" => Delta(moved, none,
+              Seq(OneGraph(dst), OneGraph(src)))
           }
         }
       case Load(path, g) =>
@@ -144,8 +173,7 @@ object Update {
           else throw new IllegalArgumentException(
             s"LOAD reads .nt or .ttl documents, got: $path")
         val quads = triples.withColumn("g", lit(g))
-        current.unionByName(
-          quads.join(current, Seq("s", "p", "o", "g"), "left_anti"))
+        Delta(quads.join(current, keys, "left_anti"), none, Nil)
     }
   }
 
@@ -155,10 +183,18 @@ object Update {
   }
 
   /** Solve WHERE once over the current snapshot, instantiate both
-    * templates from the solutions, apply deletes then inserts (set
-    * semantics per graph, no global distinct over the store). */
-  private def applyModify(current: DataFrame, del: Seq[(TP, String)],
-      ins: Seq[(TP, String)], where: Seq[(TP, String)]): DataFrame = {
+    * templates from the solutions, deletes before inserts (set semantics
+    * per graph, no global distinct over the store). The insert leg is
+    * screened against the post-delete state the same semi-then-anti way as
+    * INSERT DATA — the store is scanned, never put on an anti-join's
+    * build side. */
+  private def modifyDelta(current: DataFrame, del: Seq[(TP, String)],
+      ins: Seq[(TP, String)], where: Seq[(TP, String)]): Delta = {
+    val spark = current.sparkSession
+    import spark.implicits._
+    def none: DataFrame =
+      Seq.empty[(String, String, String, String)].toDF("s", "p", "o", "g")
+    val keys = Seq("s", "p", "o", "g")
     // solve the conjunction: each pattern over its graph slice, joined on
     // shared variables
     val solved0 = where.map { case (tp, g) =>
@@ -183,12 +219,16 @@ object Update {
           term2col(tp.o).as("o"), typedLit(g).as("g"))
       }.reduce(_ unionByName _).distinct()
     }
-    val afterDel =
-      if (del.isEmpty) current
-      else current.join(inst(del), Seq("s", "p", "o", "g"), "left_anti")
-    if (ins.isEmpty) afterDel
-    else afterDel.unionByName(
-      inst(ins).join(afterDel, Seq("s", "p", "o", "g"), "left_anti"))
+    val delQ = if (del.isEmpty) none else inst(del)
+    if (ins.isEmpty) Delta(none, delQ, Nil)
+    else {
+      val insQ = inst(ins)
+      val afterDel =
+        if (del.isEmpty) current
+        else current.join(delQ, keys, "left_anti")
+      val present = afterDel.join(insQ, keys, "left_semi")
+      Delta(insQ.join(present, keys, "left_anti"), delQ, Nil)
+    }
   }
 
   // ------------------------------ parser -------------------------------
@@ -366,34 +406,55 @@ object Update {
   }
 }
 
-/** Versioned persisted quad store: immutable parquet snapshots
-  * `v00001, v00002, …` under one root, each published crash-safely via
-  * [[graft.sources.AtomicStore]] (build → marker → atomic rename).
-  * Readers resolve the highest COMPLETE version — a torn write is
-  * invisible — and a snapshot, once published, never changes: queries
-  * pinned to a version are repeatable while updates land.
+/** Versioned persisted quad store with a DELTA LOG: full parquet
+  * snapshots `v00001, …` (bases) interleaved with per-update delta
+  * segments `d00002, …` under one root, every directory published
+  * crash-safely via [[graft.sources.AtomicStore]] (build → marker →
+  * atomic rename, Hadoop-FS-portable). Version `v`'s state is the newest
+  * base at-or-below `v` with the deltas `(base, v]` replayed in order
+  * ([[Update.applyDelta]]: clears → tombstones → adds). Readers resolve
+  * the highest COMPLETE version — a torn write is invisible — and a
+  * version, once published, never changes: queries pinned to a version
+  * are repeatable while updates land.
   *
-  * Scale notes: each update publishes a full successor snapshot — the
-  * right durability story for the analytical load-then-query lifecycle
-  * this engine targets (updates are rare and batched; a high-churn OLTP
-  * graph wants a delta log + compaction instead, with this snapshot
-  * publication as the compaction step). Snapshots are written
-  * `partitionBy("g")`, so constant-GRAPH queries partition-prune.
-  * Single writer assumed (concurrent writers race on the same successor
-  * version; the loser's rename is discarded).
+  * Scale notes: an update writes O(|delta|) bytes — a one-quad
+  * `INSERT DATA` against a 100 TB store appends a few-KB segment, never a
+  * rewritten snapshot (the old copy-on-write path cost O(|store|) per
+  * statement). The store is still SCANNED once per update for the
+  * set-semantics presence check, but scan-only. Delta replay adds one
+  * anti-join + union per segment to read plans, with the tiny segment
+  * sides broadcast off their file stats; [[vacuum]] is the compaction
+  * step that folds a delta chain back into a base, bounding replay depth
+  * — run it on the same cadence as Delta/Iceberg table maintenance.
+  * Bases are written `partitionBy("g")`, so constant-GRAPH queries
+  * partition-prune. Single writer assumed (concurrent writers race on the
+  * same successor version; the loser's rename is discarded).
   */
 object QuadStore {
 
   private val VersionRe = """^v(\d{5})$""".r
+  private val DeltaRe = """^d(\d{5})$""".r
 
   // the default graph's "" would round-trip as a Hive null partition;
   // store it under a real directory token instead
   private val DefaultGraphDir = "__default__"
 
-  /** Publish `quads` as the next version; returns the version number. */
+  // clear-tombstone sentinels in a delta segment's `g` column;  
+  // cannot open a graph IRI, so these never collide with real graphs
+  private val ClearAll = " ALL"
+  private val ClearNamed = " NAMED"
+
+  /** Publish `quads` as the next version — a full base snapshot; returns
+    * the version number. Updates go through [[update]] (delta segments);
+    * this is the bulk-load / compaction write. */
   def publish(quads: DataFrame, root: String): Int = {
     val v = currentVersion(root).getOrElse(0) + 1
-    graft.sources.AtomicStore.materialize(path(root, v))(tmp => {
+    writeBase(quads, path(root, v))
+    v
+  }
+
+  private def writeBase(quads: DataFrame, dest: String): Unit = {
+    graft.sources.AtomicStore.materialize(dest)(tmp => {
       val out = quads.withColumn("g",
         when(col("g") === Quads.DefaultGraph, lit(DefaultGraphDir))
           .otherwise(col("g")))
@@ -402,69 +463,150 @@ object QuadStore {
       // delete-everything Modify) writes one unpartitioned schema-only file
       if (out.isEmpty) out.write.parquet(tmp)
       else out.write.partitionBy("g").parquet(tmp)
-    })
-    v
+    }): Unit
   }
 
   /** Initialize the store with version 1 unless versions already exist. */
   def init(quads: DataFrame, root: String): Int =
     currentVersion(root).getOrElse(publish(quads, root))
 
+  /** Complete versions under `root` as (version, isBase), ascending. A
+    * version compacted in place can carry both a base and a (redundant)
+    * delta directory — the base wins. */
+  private def versions(root: String): Seq[(Int, Boolean)] =
+    graft.sources.AtomicStore.list(root).flatMap { f =>
+      val name = f.getPath.getName
+      val complete = () =>
+        graft.sources.AtomicStore.isComplete(f.getPath.toString)
+      name match {
+        case VersionRe(n) if complete() => Some(n.toInt -> true)
+        case DeltaRe(n) if complete() => Some(n.toInt -> false)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (v, vs) => v -> vs.exists(_._2) }
+      .toSeq.sortBy(_._1)
+
   def currentVersion(root: String): Option[Int] = {
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty)
-    val vs = dirs.flatMap(f => f.getName match {
-      case VersionRe(n) if graft.sources.AtomicStore.isComplete(f.getPath) =>
-        Some(n.toInt)
-      case _ => None
-    })
-    if (vs.isEmpty) None else Some(vs.max)
+    val vs = versions(root)
+    if (vs.isEmpty) None else Some(vs.map(_._1).max)
   }
 
-  private def path(root: String, v: Int): String =
-    f"$root%s/v$v%05d"
+  private def path(root: String, v: Int): String = f"$root%s/v$v%05d"
+  private def deltaPath(root: String, v: Int): String = f"$root%s/d$v%05d"
 
   /** The current snapshot (highest complete version). */
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no complete version under $root")))
 
-  /** A PINNED snapshot — immutable, repeatable reads. */
-  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame =
+  /** A PINNED version — immutable, repeatable reads: the newest base
+    * at-or-below `v` plus the ordered replay of the delta segments up to
+    * `v`. Fails fast when the supporting chain was vacuumed. */
+  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val vs = versions(root).toMap
+    val base = vs.filter { case (i, isBase) => isBase && i <= v }
+      .keys.maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no base snapshot at or below v$v under $root — vacuumed?"))
+    (base + 1 to v).foldLeft(readBase(spark, root, base)) { (st, i) =>
+      require(vs.contains(i),
+        s"version $i missing from the delta chain under $root — vacuumed?")
+      Update.applyDelta(st, readDelta(spark, root, i))
+    }
+  }
+
+  private def readBase(spark: SparkSession, root: String, v: Int): DataFrame =
     spark.read.parquet(path(root, v))
       .withColumn("g",
         when(col("g") === DefaultGraphDir, lit(Quads.DefaultGraph))
           .otherwise(col("g").cast("string")))
       .select("s", "p", "o", "g")
 
-  /** Parse and apply one update, publishing the successor snapshot;
-    * returns the new version number. */
-  def update(spark: SparkSession, root: String, text: String): Int =
-    publish(Update(read(spark, root), Update.parse(text)), root)
+  /** One delta segment: a single parquet of (s,p,o,g,op) rows, op ∈
+    * {a,d,g} for add / tombstone / graph-clear. The clear rows are
+    * collected driver-side — bounded at two per update statement. */
+  private def readDelta(spark: SparkSession, root: String,
+      v: Int): Update.Delta = {
+    val df = spark.read.parquet(deltaPath(root, v))
+    val clears = df.filter(col("op") === "g").select("g").collect()
+      .map(r => r.getString(0) match {
+        case ClearAll => Update.AllGraphs
+        case ClearNamed => Update.AllNamed
+        case Quads.DefaultGraph => Update.DefaultG
+        case g => Update.OneGraph(g)
+      }).toIndexedSeq
+    Update.Delta(
+      df.filter(col("op") === "a").select("s", "p", "o", "g"),
+      df.filter(col("op") === "d").select("s", "p", "o", "g"),
+      clears)
+  }
 
-  /** Retention: drop all but the newest `keep` COMPLETE versions, plus any
-    * torn build leftovers. Deleted version numbers are returned. The
-    * current version is always retained, so [[read]]ers are unaffected;
-    * a reader PINNED to a vacuumed version fails fast on its next scan —
-    * retention is an operational contract, exactly as in Delta/Iceberg
-    * VACUUM. Without it the snapshot chain grows by one full copy per
-    * update forever. */
+  /** Persist a [[Update.Delta]] as the next version's segment; returns
+    * the new version number. */
+  def publishDelta(spark: SparkSession, d: Update.Delta,
+      root: String): Int = {
+    import spark.implicits._
+    val v = currentVersion(root).getOrElse(throw new IllegalArgumentException(
+      s"no store under $root — init() before update()")) + 1
+    val clearRows = d.clears.map {
+      case Update.AllGraphs => ClearAll
+      case Update.AllNamed => ClearNamed
+      case Update.DefaultG => Quads.DefaultGraph
+      case Update.OneGraph(g) => g
+    }.map(g => (null: String, null: String, null: String, g, "g"))
+      .toDF("s", "p", "o", "g", "op")
+    graft.sources.AtomicStore.materialize(deltaPath(root, v))(tmp =>
+      clearRows
+        .unionByName(d.dels.withColumn("op", lit("d")))
+        .unionByName(d.adds.withColumn("op", lit("a")))
+        .write.parquet(tmp))
+    v
+  }
+
+  /** Parse and apply one update, appending a delta segment (O(|delta|)
+    * bytes written); returns the new version number. */
+  def update(spark: SparkSession, root: String, text: String): Int =
+    publishDelta(spark, Update.delta(read(spark, root), Update.parse(text)),
+      root)
+
+  /** Compaction + retention: fold the delta chain below the retention
+    * window into a full base snapshot, then drop every older version and
+    * any torn build leftovers. Deleted version numbers are returned.
+    *
+    * Concretely, with `cut = current - keep + 1`: version `cut` is
+    * rewritten as a base (one full-store write — the ONLY place the store
+    * is ever rewritten), versions `< cut` are deleted, and every retained
+    * version `cut..current` stays pinned-readable off the new base. The
+    * invariant "the oldest surviving version is a base" holds from init
+    * onward. The current version is always retained, so [[read]]ers are
+    * unaffected; a reader PINNED to a vacuumed version fails fast on its
+    * next scan — retention is an operational contract, exactly as in
+    * Delta/Iceberg VACUUM. Without it the delta chain (and replay depth)
+    * grows by one segment per update forever. */
   def vacuum(root: String, keep: Int = 2): Seq[Int] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
-    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-    val complete = dirs.flatMap(f => f.getName match {
-      case VersionRe(n) if graft.sources.AtomicStore.isComplete(f.getPath) =>
-        Some(n.toInt -> f)
-      case _ => None
-    }).sortBy(_._1)
-    val cut = complete.map(_._1).lastOption.getOrElse(0) - keep + 1
-    val doomed = complete.filter(_._1 < cut)
-    doomed.foreach { case (_, f) => graft.sources.AtomicStore.deleteRecursively(f) }
+    val spark = SparkSession.active
+    val vs = versions(root)
+    val cut = vs.map(_._1).maxOption.getOrElse(0) - keep + 1
+    // compact the oldest retained version into a base so everything newer
+    // chains from it and everything older is droppable
+    vs.find(_._1 == cut).foreach { case (v, isBase) =>
+      if (!isBase) {
+        writeBase(readVersion(spark, root, v), path(root, v))
+        graft.sources.AtomicStore.delete(deltaPath(root, v))
+      }
+    }
+    val doomed = vs.map(_._1).filter(_ < cut)
+    doomed.foreach { v =>
+      graft.sources.AtomicStore.delete(path(root, v))
+      graft.sources.AtomicStore.delete(deltaPath(root, v))
+    }
     // torn builds (no marker) are garbage regardless of age
-    dirs.filter(f => f.getName match {
-      case VersionRe(_) => !graft.sources.AtomicStore.isComplete(f.getPath)
-      case _ => false
-    }).foreach(graft.sources.AtomicStore.deleteRecursively)
-    doomed.map(_._1).toSeq
+    graft.sources.AtomicStore.list(root).filter(f =>
+      f.getPath.getName match {
+        case VersionRe(_) | DeltaRe(_) =>
+          !graft.sources.AtomicStore.isComplete(f.getPath.toString)
+        case _ => false
+      }).foreach(f => graft.sources.AtomicStore.delete(f.getPath.toString))
+    doomed
   }
 }

@@ -1,9 +1,11 @@
 package graft.sources
 
-import java.io.File
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 
 /** Crash- and concurrency-safe materialization for build-once persisted
-  * artifacts (ANN indexes, encoded triple stores).
+  * artifacts (ANN indexes, encoded triple stores, quad-store versions).
   *
   * The builder writes into a process-private temp directory next to the
   * final path, a completion marker is stamped inside it, and a single
@@ -12,35 +14,94 @@ import java.io.File
   * crash (or by /tmp cleaners pruning files inside it) is detected and
   * rebuilt, never served. Two JVMs racing to build both succeed — one
   * rename wins, the loser discards its build and reads the winner's.
+  *
+  * All filesystem traffic goes through the Hadoop [[FileSystem]] API
+  * resolved from the path's own scheme, so bare paths and `file://` hit
+  * the local disk while `hdfs://`-style URIs hit the cluster filesystem —
+  * the same store code runs against either. Portability contract by
+  * backend:
+  *  - local / HDFS: directory rename is atomic; readers see either the
+  *    old state or the complete new store, never a torn one.
+  *  - object stores (s3a:// and friends): "rename" is copy+delete, NOT
+  *    atomic — a reader CAN list a store mid-copy. The completion marker
+  *    is what keeps that safe: [[isComplete]] gates every consumer, and
+  *    the marker is stamped before the copy starts, so it lands with the
+  *    rest of the directory; a half-copied store missing its marker reads
+  *    as absent and is rebuilt. What object stores do NOT get is the
+  *    two-writer economy (both racers pay a full copy) — acceptable for
+  *    build-once artifacts, and correctness is unaffected.
   */
 object AtomicStore {
 
   private val Marker = "_GRAFT_COMPLETE"
 
+  /** The Hadoop filesystem owning `p`, configured from the active Spark
+    * session when one exists (so `fs.defaultFS`, s3a credentials, etc.
+    * follow the session's Hadoop conf). For the local scheme the RAW
+    * filesystem is used — checksum sidecar files would only pollute
+    * store directories that parquet already integrity-checks itself. */
+  private def fsFor(p: Path): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+    p.getFileSystem(conf) match {
+      case c: ChecksumFileSystem => c.getRawFileSystem
+      case fs => fs
+    }
+  }
+
   /** Ensure a complete store exists at `path`, building it via
     * `build(tempDir)` if absent or partial. Returns `path`. */
   def materialize(path: String)(build: String => Unit): String = {
-    val dest = new File(path)
-    if (!complete(dest)) {
+    val dest = new Path(path)
+    val fs = fsFor(dest)
+    if (!complete(fs, dest)) {
       // partial or pre-marker-format leftovers: rebuild from scratch
-      deleteRecursively(dest)
-      val tmp = new File(path + ".build." + java.util.UUID.randomUUID().toString.take(8))
+      fs.delete(dest, true)
+      val tmp = new Path(path + ".build." + java.util.UUID.randomUUID().toString.take(8))
       try {
-        build(tmp.getPath)
-        require(new File(tmp, Marker).createNewFile(),
+        build(tmp.toString)
+        require(fs.createNewFile(new Path(tmp, Marker)),
           s"cannot stamp completion marker in $tmp")
-        if (!tmp.renameTo(dest))
-          require(complete(dest), s"failed to materialize store at $path")
-      } finally deleteRecursively(tmp) // no-op when the rename won
+        // rename-if-absent: a racing winner leaves dest in place and our
+        // rename either returns false or (HDFS mv-into-dir semantics)
+        // lands tmp INSIDE dest — detect the stray and discard it, then
+        // demand the winner's store is complete
+        if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+          require(complete(fs, dest), s"failed to materialize store at $path")
+        } else {
+          val stray = new Path(dest, tmp.getName)
+          if (fs.exists(stray)) fs.delete(stray, true)
+          require(complete(fs, dest), s"failed to materialize store at $path")
+        }
+      } finally fs.delete(tmp, true) // no-op when the rename won
     }
     path
   }
 
-  private def complete(dest: File): Boolean = new File(dest, Marker).exists()
+  private def complete(fs: FileSystem, dest: Path): Boolean =
+    fs.exists(new Path(dest, Marker))
 
   /** Is there a COMPLETE (marker-stamped) store at `path`? Partial
     * directories left by a crash read as absent. */
-  def isComplete(path: String): Boolean = complete(new File(path))
+  def isComplete(path: String): Boolean = {
+    val p = new Path(path)
+    complete(fsFor(p), p)
+  }
+
+  /** Child entries of `path` (empty when absent) — the Hadoop-portable
+    * replacement for `java.io.File.listFiles`. */
+  def list(path: String): Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toIndexedSeq
+  }
+
+  /** Recursive delete through the Hadoop filesystem; absent paths no-op. */
+  def delete(path: String): Unit = {
+    val p = new Path(path)
+    fsFor(p).delete(p, true): Unit
+  }
 
   /** Collision-resistant store key from the build inputs: SHA-256 over the
     * length-prefixed inputs, truncated to 128 bits of hex. 32-bit
@@ -59,7 +120,7 @@ object AtomicStore {
     md.digest().take(16).map(b => f"$b%02x").mkString
   }
 
-  def deleteRecursively(f: File): Unit = {
+  def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

@@ -222,10 +222,10 @@ object StreamOps extends QueryModule {
   /** Union of all COMPLETE published batches under `root` (incomplete
     * build dirs carry no completion marker and are skipped). */
   def readVersioned(spark: SparkSession, root: String): DataFrame = {
-    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("batch_")
-        && graft.sources.AtomicStore.isComplete(d.getPath))
-      .map(_.getPath).sorted
+    val dirs = graft.sources.AtomicStore.list(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("batch_")
+        && graft.sources.AtomicStore.isComplete(d.getPath.toString))
+      .map(_.getPath.toString).sorted
     require(dirs.nonEmpty, s"no complete batches under $root")
     spark.read.parquet(dirs.toIndexedSeq: _*)
   }
