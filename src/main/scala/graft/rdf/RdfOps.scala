@@ -356,6 +356,32 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?n ?dst""".stripMargin)),
 
+    // Property path inside MINUS: subtract every named subject whose
+    // (nation|region)+ closure reaches region r:0 — the path solves to a
+    // (n,dst) pair set inside the block, the block FILTER narrows it, and
+    // the anti-join runs on the shared ?n. Survivors: customers/nations
+    // of other regions plus all regions (no outgoing path edges).
+    "q_sparql_minuspath" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?n ?nm WHERE {
+          |  ?n <name> ?nm .
+          |  MINUS { ?n (<nation>|<region>)+ ?dst . FILTER (?dst = "r:0") }
+          |}
+          |ORDER BY ?n ?nm""".stripMargin)),
+
+    // Property path inside FILTER EXISTS: keep exactly the named subjects
+    // whose closure DOES reach r:0 (the complement of q_sparql_minuspath
+    // over the same block) — the path lowers to the same closure and the
+    // exists to a semi-join on ?n.
+    "q_sparql_existspath" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?n ?nm WHERE {
+          |  ?n <name> ?nm .
+          |  FILTER EXISTS { ?n (<nation>|<region>)+ ?dst .
+          |                  FILTER (?dst = "r:0") }
+          |}
+          |ORDER BY ?n ?nm""".stripMargin)),
+
     // Nested { group } UNION { group } joined with the enclosing block on
     // shared vars — bag semantics: a customer matching BOTH branches
     // contributes two rows, exactly like SQL's UNION ALL derived table.
@@ -1048,6 +1074,41 @@ object RdfOps extends QueryModule {
          |SELECT names.s AS n, reach.dst AS dst
          |FROM names LEFT JOIN reach ON reach.src = names.s
          |ORDER BY n NULLS FIRST, dst NULLS FIRST""".stripMargin,
+
+    // the same reach closure, subtractively: named subjects NOT reaching
+    // r:0 (MINUS with a property path + block filter)
+    "q_sparql_minuspath" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), edges AS (
+         |  SELECT DISTINCT s AS src, o AS dst FROM triples
+         |  WHERE p IN ('nation', 'region')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT t.s AS n, t.o AS nm FROM triples t
+         |WHERE t.p = 'name' AND NOT EXISTS (
+         |  SELECT 1 FROM reach WHERE reach.src = t.s AND reach.dst = 'r:0')
+         |ORDER BY n, nm""".stripMargin,
+
+    // and its complement: EXISTS with the same path block semi-joins
+    "q_sparql_existspath" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), edges AS (
+         |  SELECT DISTINCT s AS src, o AS dst FROM triples
+         |  WHERE p IN ('nation', 'region')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT t.s AS n, t.o AS nm FROM triples t
+         |WHERE t.p = 'name' AND EXISTS (
+         |  SELECT 1 FROM reach WHERE reach.src = t.s AND reach.dst = 'r:0')
+         |ORDER BY n, nm""".stripMargin,
 
     "q_sparql_union_nested" -> cte(
       """SELECT n.s AS cust, n.o AS nm

@@ -90,9 +90,9 @@ import org.apache.spark.sql.functions._
   *
   * Out of fragment (rejected, not silently mis-run): SERVICE federation,
   * SPARQL Update, collection syntax (`(...)` lists in term position),
-  * property paths inside MINUS/EXISTS blocks or under `GRAPH ?var`, and
-  * correlated filters (a block-scoped FILTER referencing variables its
-  * block does not bind).
+  * property paths under `GRAPH ?var` (they parse everywhere else,
+  * including OPTIONAL/MINUS/EXISTS bodies), and correlated filters (a
+  * block-scoped FILTER referencing variables its block does not bind).
   * The tokenizer verifies every non-whitespace, non-comment character is
   * consumed by a token and errors with the offset of the first unsupported
   * character, so unsupported syntax can never be silently dropped; trailing
@@ -148,17 +148,19 @@ object Sparql {
   final case class Block(where: Seq[TP],
       optionals: Seq[OptBody],
       filters: Seq[Expr],
-      /** MINUS blocks: patterns + block-scoped FILTERs (the filter is part
-        * of the inner group per spec — it applies before subtraction). */
-      minuses: Seq[(Seq[TP], Seq[Expr])] = Nil,
+      /** MINUS blocks: full group bodies — patterns, property paths, and
+        * block-scoped FILTERs (the filter is part of the inner group per
+        * spec — it applies before subtraction). */
+      minuses: Seq[OptBody] = Nil,
       /** VALUES tables: (vars, rows); a None cell is UNDEF (the row
         * leaves that variable unconstrained — a partial binding). */
       values: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
       binds: Seq[(String, Expr)] = Nil,
       paths: Seq[(Term, Path, Term)] = Nil,
-      /** FILTER [NOT] EXISTS blocks: (positive, patterns, block-scoped
-        * filters) — inner-bound filter vars only, as with OPTIONAL. */
-      exists: Seq[(Boolean, Seq[TP], Seq[Expr])] = Nil,
+      /** FILTER [NOT] EXISTS blocks: (positive, body) — patterns,
+        * property paths, and inner-bound filter vars only, as with
+        * OPTIONAL. */
+      exists: Seq[(Boolean, OptBody)] = Nil,
       /** `{ SELECT ... }` subqueries: evaluated independently, joined with
         * the block on their projected variables (SPARQL 18.2.2.12). */
       subqueries: Seq[Query] = Nil,
@@ -315,10 +317,11 @@ object Sparql {
     // (nothing subtracted).
     val blocks = allBlocks(q)
     val allPats = blocks.flatMap(b =>
-      b.where ++ b.optionals.flatMap(_.pats) ++ b.minuses.flatMap(_._1) ++
-        b.exists.flatMap(_._2))
+      b.where ++ b.optionals.flatMap(_.pats) ++ b.minuses.flatMap(_.pats) ++
+        b.exists.flatMap(_._2.pats))
     val pathTerms = blocks.flatMap(b =>
-      b.paths ++ b.optionals.flatMap(_.paths)).flatMap { case (s, path, o) =>
+      b.paths ++ b.optionals.flatMap(_.paths) ++ b.minuses.flatMap(_.paths) ++
+        b.exists.flatMap(_._2.paths)).flatMap { case (s, path, o) =>
       pathStrings(path) ++ Seq(s, o).collect { case C(v: String) => v }
     }
     val idOf = EncodedBgp.resolveConstants(dict, allPats, pathTerms)
@@ -700,8 +703,16 @@ object Sparql {
       // OPTIONAL-introduced columns are unbound on unmatched rows
       maybeNull ++= df.columns.toSet -- before
     }
-    b.minuses.foreach { case (pats, fs) =>
-      val blk = solveFiltered(solveBgp(pats), fs, "MINUS")
+    // MINUS / EXISTS bodies solve exactly like OPTIONAL bodies (patterns
+    // and property paths joined on shared variables, block filters
+    // applied), then subtract / semi-join
+    def solveBody(body: OptBody, what: String): DataFrame = {
+      val pieces = (if (body.pats.nonEmpty) Seq(solveBgp(body.pats)) else Nil) ++
+        body.paths.map { case (ps, path, po) => solvePath(path, ps, po) }
+      solveFiltered(pieces.reduce(Bgp.joinSolved), body.filters, what)
+    }
+    b.minuses.foreach { body =>
+      val blk = solveBody(body, "MINUS")
       noUnboundJoin(blk.columns.filter(df.columns.contains), "MINUS")
       df = Bgp.minusSolved(df, blk)
     }
@@ -711,8 +722,8 @@ object Sparql {
         s"?$v ← ${exprVars(e).filterNot(df.columns.contains)
           .map("?" + _).mkString(", ")}"
       }.mkString("; "))
-    b.exists.foreach { case (positive, pats, fs) =>
-      val blk = solveFiltered(solveBgp(pats), fs, "EXISTS")
+    b.exists.foreach { case (positive, body) =>
+      val blk = solveBody(body, "EXISTS")
       noUnboundJoin(blk.columns.filter(df.columns.contains),
         "FILTER [NOT] EXISTS")
       df = if (positive) Bgp.existsSolved(df, blk)
@@ -1516,12 +1527,11 @@ object Sparql {
     val where = scala.collection.mutable.ArrayBuffer.empty[TP]
     val paths = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
     val optionals = scala.collection.mutable.ArrayBuffer.empty[OptBody]
-    val minuses =
-      scala.collection.mutable.ArrayBuffer.empty[(Seq[TP], Seq[Expr])]
+    val minuses = scala.collection.mutable.ArrayBuffer.empty[OptBody]
     val filters = scala.collection.mutable.ArrayBuffer.empty[Expr]
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, Expr)]
     val exists = scala.collection.mutable
-      .ArrayBuffer.empty[(Boolean, Seq[TP], Seq[Expr])]
+      .ArrayBuffer.empty[(Boolean, OptBody)]
     val subqueries = scala.collection.mutable.ArrayBuffer.empty[Query]
     val graphs = scala.collection.mutable.ArrayBuffer.empty[(Term, Block)]
     val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Block]]
@@ -1535,25 +1545,9 @@ object Sparql {
       p.expect("}")
       block.toSeq
     }
-    // MINUS / EXISTS bodies: patterns plus block-scoped FILTERs
-    def bracedPatternsFilters(): (Seq[TP], Seq[Expr]) = {
-      p.expect("{")
-      val pats = scala.collection.mutable.ArrayBuffer.empty[TP]
-      val fs = scala.collection.mutable.ArrayBuffer.empty[Expr]
-      while (p.peek() != "}") {
-        if (p.peekKw("FILTER")) {
-          p.expectKw("FILTER")
-          fs += constraint(p, prefixes, allowAgg = false)
-        } else {
-          pats ++= sameSubject(p, prefixes, allowPaths = false)._1
-          p.maybe(".")
-        }
-      }
-      p.expect("}")
-      (pats.toSeq, fs.toSeq)
-    }
-    // OPTIONAL bodies additionally take property paths
-    def optionalBody(): OptBody = {
+    // OPTIONAL / MINUS / EXISTS bodies: triple patterns, property paths,
+    // and block-scoped FILTERs
+    def groupBody(what: String): OptBody = {
       p.expect("{")
       val pats = scala.collection.mutable.ArrayBuffer.empty[TP]
       val pps = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
@@ -1570,7 +1564,7 @@ object Sparql {
         }
       }
       p.expect("}")
-      require(pats.nonEmpty || pps.nonEmpty, "empty OPTIONAL block")
+      require(pats.nonEmpty || pps.nonEmpty, s"empty $what block")
       OptBody(pats.toSeq, pps.toSeq, fs.toSeq)
     }
     val values = scala.collection.mutable
@@ -1591,18 +1585,18 @@ object Sparql {
         !p.peekKw("VALUES") && p.peek() != "{")
       if (p.peekKw("OPTIONAL")) {
         p.expectKw("OPTIONAL")
-        optionals += optionalBody()
+        optionals += groupBody("OPTIONAL")
       } else if (p.peekKw("MINUS")) {
         p.expectKw("MINUS")
-        minuses += bracedPatternsFilters()
+        minuses += groupBody("MINUS")
       } else if (p.peekKw("FILTER")) {
         p.expectKw("FILTER")
         if (p.peekKw("EXISTS")) {
           p.expectKw("EXISTS")
-          exists += { val (ps, fs) = bracedPatternsFilters(); (true, ps, fs) }
+          exists += ((true, groupBody("EXISTS")))
         } else if (p.peekKw("NOT")) {
           p.expectKw("NOT"); p.expectKw("EXISTS")
-          exists += { val (ps, fs) = bracedPatternsFilters(); (false, ps, fs) }
+          exists += ((false, groupBody("NOT EXISTS")))
         } else filters += constraint(p, prefixes, allowAgg = false)
       } else if (p.peekKw("BIND")) {
         p.expectKw("BIND"); p.expect("(")
@@ -1639,7 +1633,8 @@ object Sparql {
         if (gt.isInstanceOf[V]) {
           def offends(blk: Block): Boolean =
             blk.paths.nonEmpty || blk.subqueries.nonEmpty ||
-              blk.optionals.exists(_.paths.nonEmpty) ||
+              (blk.optionals ++ blk.minuses ++ blk.exists.map(_._2))
+                .exists(_.paths.nonEmpty) ||
               blk.unions.exists(_.exists(offends)) ||
               blk.graphs.exists { case (_, ib) => offends(ib) }
           require(!offends(inner) &&
@@ -1710,19 +1705,18 @@ object Sparql {
     def labels(tps: Seq[TP]): Set[String] =
       tps.flatMap(tp => Seq(tp.s, tp.p, tp.o))
         .collect { case V(n) if n.startsWith("_:") => n }.toSet
+    def pathLabels(pps: Seq[(Term, Path, Term)]): Set[String] =
+      pps.flatMap { case (s, _, o) => Seq(s, o) }
+        .collect { case V(n) if n.startsWith("_:") => n }.toSet
+    def bodyLabels(ob: OptBody): Set[String] =
+      labels(ob.pats) ++ pathLabels(ob.paths)
     def blockLabels(blk: Block): Set[String] =
-      labels(blk.where) ++
-        (blk.optionals.map(_.pats) ++ blk.minuses.map(_._1) ++
-          blk.exists.map(_._2))
-          .flatMap(labels) ++
-        blk.paths.flatMap { case (s, _, o) => Seq(s, o) }
-          .collect { case V(n) if n.startsWith("_:") => n }
-    val whereLabels = labels(b.where) ++
-      b.paths.flatMap { case (s, _, o) => Seq(s, o) }
-        .collect { case V(n) if n.startsWith("_:") => n }
+      labels(blk.where) ++ pathLabels(blk.paths) ++
+        (blk.optionals ++ blk.minuses ++ blk.exists.map(_._2))
+          .flatMap(bodyLabels)
+    val whereLabels = labels(b.where) ++ pathLabels(b.paths)
     val groups = whereLabels +:
-      ((b.optionals.map(_.pats) ++ b.minuses.map(_._1) ++
-        b.exists.map(_._2)).map(labels) ++
+      ((b.optionals ++ b.minuses ++ b.exists.map(_._2)).map(bodyLabels) ++
         b.graphs.map(g => blockLabels(g._2)) ++
         // each nested union branch is its own label scope
         b.unions.flatten.map(blockLabels))

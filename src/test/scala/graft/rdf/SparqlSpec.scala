@@ -67,10 +67,11 @@ class SparqlSpec extends SparkSpec {
         |  ?c <mktsegment> "BUILDING" .
         |}""".stripMargin)
     assert(withPath.count() === withPathSpelled.count() && withPath.count() > 0)
-    // paths are legal in OPTIONAL now but stay out of MINUS/EXISTS
-    // blocks and CONSTRUCT templates, loudly
+    // paths are legal in OPTIONAL/MINUS/EXISTS bodies but stay out of
+    // CONSTRUCT templates, loudly
+    Sparql.parse("SELECT ?s WHERE { ?s <p> ?x . MINUS { ?x <q>+ ?y . } }")
     intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?s WHERE { ?s <p> ?x . MINUS { ?x <q>+ ?y . } }"))
+      "CONSTRUCT { ?s <q>+ ?y . } WHERE { ?s <p> ?y . }"))
     // a blank node still cannot sit in predicate position
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?s WHERE { ?s _:b ?x . }"))
@@ -896,6 +897,75 @@ class SparqlSpec extends SparkSpec {
       """SELECT ?c WHERE {
         |  GRAPH ?g { ?c <p> ?s . OPTIONAL { ?c <q>+ ?t . } }
         |}""".stripMargin))
+  }
+
+  test("property paths inside MINUS and EXISTS blocks") {
+    val t = Seq(("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y"),
+      ("a", "tag", "t1"), ("b", "tag", "t2"), ("x", "tag", "t3"),
+      ("c", "tag", "t4")).toDF("s", "p", "o")
+    // MINUS subtracts subjects whose p+ closure reaches c: a (a→b→c) and
+    // b (b→c) go; x (no p-edges) and c (closure is forward-only) stay
+    val minus = Sparql.run(t,
+      """SELECT ?s WHERE {
+        |  ?s <tag> ?v .
+        |  MINUS { ?s <p>+ ?far . FILTER (?far = "c") }
+        |}
+        |ORDER BY ?s""".stripMargin)
+    assert(minus.as[String].collect().toSeq === Seq("c", "x"))
+    // FILTER EXISTS with the same block is the exact complement
+    val exist = Sparql.run(t,
+      """SELECT ?s WHERE {
+        |  ?s <tag> ?v .
+        |  FILTER EXISTS { ?s <p>+ ?far . FILTER (?far = "c") }
+        |}
+        |ORDER BY ?s""".stripMargin)
+    assert(exist.as[String].collect().toSeq === Seq("a", "b"))
+    // NOT EXISTS ≡ MINUS for this shared-variable shape
+    val notex = Sparql.run(t,
+      """SELECT ?s WHERE {
+        |  ?s <tag> ?v .
+        |  FILTER NOT EXISTS { ?s <p>+ ?far . FILTER (?far = "c") }
+        |}
+        |ORDER BY ?s""".stripMargin)
+    assert(notex.as[String].collect().toSeq === Seq("c", "x"))
+    // paths compose with plain patterns inside the MINUS body (joined on
+    // the shared block variable before subtraction): only subjects that
+    // BOTH reach c and carry tag t1 are subtracted
+    val mixed = Sparql.run(t,
+      """SELECT ?s WHERE {
+        |  ?s <tag> ?v .
+        |  MINUS { ?s <p>+ ?far . ?s <tag> "t1" . }
+        |}
+        |ORDER BY ?s""".stripMargin)
+    assert(mixed.as[String].collect().toSeq === Seq("b", "c", "x"))
+    // encoded ≡ string for a path inside MINUS (constants in the block
+    // resolve through the same one-batch dictionary lookup)
+    val dict = Dictionary.build(spark, t)
+    val enc = Dictionary.encode(t, dict)
+    val text =
+      """SELECT ?s WHERE {
+        |  ?s <tag> ?v .
+        |  MINUS { ?s <p>+ ?far . FILTER (?far = "c") }
+        |}""".stripMargin
+    val viaIds = Sparql.runEncoded(enc, dict, text)
+    assert(viaIds.select("s").as[String].collect().sorted.toSeq ===
+      Seq("c", "x"))
+    // under GRAPH ?var a MINUS/EXISTS path cannot thread ?g — loud error
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  GRAPH ?g { ?c <p> ?s . MINUS { ?c <q>+ ?t . } }
+        |}""".stripMargin))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  GRAPH ?g { ?c <p> ?s . FILTER EXISTS { ?c <q>+ ?t . } }
+        |}""".stripMargin))
+    // a MINUS block FILTER referencing an outer-only variable stays a
+    // loud correlation error with paths present too
+    intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?s WHERE {
+        |  ?s <tag> ?v .
+        |  MINUS { ?s <p>+ ?far . FILTER (?v = "t1") }
+        |}""".stripMargin).collect())
   }
 
   test("FILTERs inside MINUS and EXISTS blocks scope to the block") {
