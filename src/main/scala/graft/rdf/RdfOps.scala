@@ -47,6 +47,24 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // JSON-LD ingest round-trip: the same EAV graph exported as
+    // per-partition `[node object, ...]` documents (subject-grouped,
+    // IRIs as {"@id": ...}), then read back by the per-file JSON-LD
+    // parser — write→parse is the identity on the triple set, proven
+    // against the same plain-SELECT oracle as the Turtle loop.
+    "q_jsonld_scan" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_jsonld_" +
+        graft.sources.AtomicStore.key(d)
+      val path = graft.sources.AtomicStore.materialize(base) { tmp =>
+        JsonLd.write(Triples.build(s, d)
+          .withColumn("o_is_iri", col("o").rlike("^[conr]:"))
+          .withColumn("o_lang", lit(""))
+          .withColumn("o_datatype", lit("")), tmp)
+      }
+      JsonLd.read(s, s"$path/part-*.txt")
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // Subject star: all patterns share ?cust — the reference answers this
     // with ONE subject-grouped Mongo lookup; the star-collapsed solver
     // answers it with one groupBy(s) aggregation (one shuffle per star,
@@ -714,6 +732,8 @@ object RdfOps extends QueryModule {
 
     // Turtle write → parse must be the identity on the EAV triple set
     "q_turtle_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
+
+    "q_jsonld_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
 
     "q_dict_encode" -> cte(
       """SELECT CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id, term
