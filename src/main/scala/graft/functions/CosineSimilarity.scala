@@ -114,5 +114,8 @@ object GraftFunctions {
       "nt_unescape", exprs => graft.rdf.NtUnescape(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "nt_escape", exprs => graft.rdf.NtEscape(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_check_bucketed",
+      exprs => BloomCheckBucketed(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 }

@@ -66,11 +66,31 @@ object Dedup {
     *
     * `expectedSeen` sizes the filter (must be ≥ the snapshot's distinct
     * digest count for `fpp` to hold; oversizing only costs memory).
+    *
+    * CROSSOVER — when the prefilter pays: the bloom path adds a fixed
+    * cost (a full aggregate over the seen keys to build the filter, plus
+    * ~1.2 bytes/key of task-binary shipping at 1% fpp) to save per-batch
+    * shuffle rows. With |seen| ≈ |batch| the build costs about as much
+    * as the anti join it replaces and the filter saves nothing (measured
+    * at sf0.1: bloom 0.45 s vs plain 0.24 s — the build dominates); the
+    * filter wins when the snapshot DWARFS the batch (|seen| ≳ 10·|batch|
+    * and large in absolute terms), the steady state of continuous corpus
+    * ingestion, where it also amortizes across batches. Below
+    * `minSeenForBloom` expected keys this method therefore AUTO-SWITCHES
+    * to the plain [[incrementalExact]] anti join — bitwise the same
+    * output either way (spec-proven), so the switch is purely a plan
+    * choice; pass `minSeenForBloom = 0` to force the filter path.
+    * Beyond ~10⁹ seen keys, switch to
+    * [[incrementalExactBloomPartitioned]] instead — same output, filters
+    * built executor-side per bucket so the driver never holds them.
     */
   private val bloomFnIds = new java.util.concurrent.atomic.AtomicLong()
 
   def incrementalExactBloom(newDocs: DataFrame, seenDocs: DataFrame,
-      expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
+      expectedSeen: Long, fpp: Double = 0.01,
+      minSeenForBloom: Long = 1L << 22): DataFrame = {
+    if (expectedSeen < minSeenForBloom)
+      return incrementalExact(newDocs, seenDocs)
     val spark = newDocs.sparkSession
     val bloom = seenDocs.select(xxhash64(col("text")).as("hl"))
       .stat.bloomFilter("hl", expectedSeen, fpp)
@@ -108,6 +128,92 @@ object Dedup {
       spark.sessionState.functionRegistry.dropFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(fn)): Unit
     }
+  }
+
+  /** Bucket-partitioned variant of [[incrementalExactBloom]] for the
+    * beyond-10⁹-seen-docs regime — same output (bitwise: the confirm step
+    * is identical), different build and transport:
+    *
+    *  - the seen keys are hash-bucketed (`pmod(xxhash64(text), buckets)`)
+    *    and ONE Bloom filter per bucket is built EXECUTOR-SIDE by a typed
+    *    aggregation — partial filters merge where the data lives and the
+    *    driver never materializes any filter (the single-filter path's
+    *    `stat.bloomFilter` does its final merge on the driver: ≈1.2 GB at
+    *    10⁹ keys / 1% fpp, the scaling wall this variant removes);
+    *  - the batch shuffles ON THE SAME BUCKET KEY and equi-joins its
+    *    bucket's filter, so each task receives only the filters for the
+    *    buckets it processes — per-executor filter residency is
+    *    total/buckets × (buckets touched per task), not the full set;
+    *  - the probe ([[graft.functions.BloomCheckBucketed]]) memoizes
+    *    bucket→filter per task, deserializing each filter once.
+    *
+    * The price versus the single-filter path is one extra shuffle of the
+    * batch (by bucket) — which is why the task-binary-broadcast variant
+    * stays the default below its driver-memory wall. Per-bucket sizing is
+    * `expectedSeen / buckets` keys at the same `fpp`, so total filter
+    * bytes match the single filter; `buckets` should comfortably exceed
+    * max-executor-count to spread the build's final merges.
+    */
+  def incrementalExactBloomPartitioned(newDocs: DataFrame,
+      seenDocs: DataFrame, expectedSeen: Long, fpp: Double = 0.01,
+      buckets: Int = 64): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val perBucket = math.max(expectedSeen / buckets, 1L)
+    // materialized eagerly: the fresh/candidate split below scans the
+    // joined frame twice, and without this the per-bucket aggregation
+    // would run once per branch
+    val filters = graft.Materialize(
+      seenDocs.select(xxhash64(col("text")).as("hl"))
+        .filter(col("hl").isNotNull).as[Long]
+        .groupByKey(k => java.lang.Math.floorMod(k, buckets.toLong))
+        .agg(new BloomBuildAgg(perBucket, fpp).toColumn.name("bloom_bin"))
+        .toDF("bkt", "bloom_bin"))
+    val keyed = newDocs.withColumn("hl", xxhash64(col("text")))
+      .withColumn("bkt", pmod(col("hl"), lit(buckets.toLong)))
+    // equi-join on the bucket: shuffle-hash, NOT broadcast — broadcasting
+    // the filter table would ship every bucket's filter to every executor,
+    // re-creating exactly the residency problem this variant removes
+    val joined = keyed.join(filters.hint("shuffle_hash"), Seq("bkt"), "left")
+    // any-null → false probe: NULL text (no key) and empty buckets (no
+    // filter row off the left join) both land on the fresh side, exactly
+    // like [[incrementalExact]] treats them
+    val probe = expr("bloom_check_bucketed(bkt, bloom_bin, hl)")
+    val fresh = joined.filter(!probe)
+    val candidates = joined.filter(probe)
+    val seen = seenDocs.select(sha2(col("text"), 256).as("h")).distinct()
+    val confirmedNew = candidates.withColumn("h", sha2(col("text"), 256))
+      .join(seen, Seq("h"), "left_anti").drop("h")
+    fresh.unionByName(confirmedNew).drop("hl", "bkt", "bloom_bin")
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .drop("h")
+  }
+
+  /** Executor-side per-bucket Bloom builder for
+    * [[incrementalExactBloomPartitioned]]: partial filters fill where the
+    * data lives and merge per bucket — a typed aggregation, so the only
+    * serialization points are partial-output boundaries, never per row.
+    * (`stat.bloomFilter`'s treeAggregate ends with a driver-side merge;
+    * this one ends on whichever executor owns the bucket.) */
+  private[llm] class BloomBuildAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    def reduce(b: BloomFilter, key: Long): BloomFilter = { b.putLong(key); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = a.mergeInPlace(b)
+    def finish(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
   }
 
   // ---------------- MinHash + LSH ----------------

@@ -39,9 +39,25 @@ object LlmOps extends QueryModule {
     // acceleration structure is fully ORACLED, not just spec-tested.
     "q_dedup_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // minSeenForBloom = 0 FORCES the filter path: at test scale the
+      // auto-switch would (correctly — see the crossover scaladoc) pick
+      // the plain anti join, and the point of this key is to oracle the
+      // bloom machinery itself
       Dedup.incrementalExactBloom(
           docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
-          expectedSeen = 1 << 14)
+          expectedSeen = 1 << 14, minSeenForBloom = 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the bucket-partitioned bloom variant (executor-built per-bucket
+    // filters, shuffle-joined probe) must ALSO reproduce the incremental
+    // relation exactly — the beyond-10^9-seen scale path, oracled at test
+    // scale
+    "q_dedup_bloom_part" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExactBloomPartitioned(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          expectedSeen = 1 << 14, buckets = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -340,6 +356,15 @@ object LlmOps extends QueryModule {
 
     // the bloom path must produce exactly the incremental-dedup relation
     "q_dedup_bloom" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents n
+        |WHERE doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id < 250 AND s.text = n.text)
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // ... and so must its bucket-partitioned variant
+    "q_dedup_bloom_part" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents n
         |WHERE doc_id >= 250

@@ -30,7 +30,8 @@ class DedupSpec extends SparkSpec {
       14L -> "fresh text never seen before in any corpus at all"))
     val want = Dedup.incrementalExact(batch, seen)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
-    val got = Dedup.incrementalExactBloom(batch, seen, expectedSeen = 1024)
+    val got = Dedup.incrementalExactBloom(batch, seen, expectedSeen = 1024,
+        minSeenForBloom = 0)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(want === Seq((11L, 2L), (14L, 1L)))
     assert(got === want)
@@ -46,7 +47,8 @@ class DedupSpec extends SparkSpec {
         (13L, unrelated)).toDF("doc_id", "text").withColumn("lang", lit("xx"))
     val want = Dedup.incrementalExact(batch, seen)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
-    val got = Dedup.incrementalExactBloom(batch, seen, expectedSeen = 64)
+    val got = Dedup.incrementalExactBloom(batch, seen, expectedSeen = 64,
+        minSeenForBloom = 0)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(want === Seq((11L, 2L), (13L, 1L))) // null rows fold to one group
     assert(got === want)
@@ -60,7 +62,8 @@ class DedupSpec extends SparkSpec {
       .count(_.funcName.startsWith("graft_bloom_seen_"))
     val before = bloomFns
     (1 to 3).foreach { _ =>
-      Dedup.incrementalExactBloom(batch, seen, expectedSeen = 64).count(): Unit
+      Dedup.incrementalExactBloom(batch, seen, expectedSeen = 64,
+        minSeenForBloom = 0).count(): Unit
     }
     assert(bloomFns === before) // every registration was dropped on return
   }
@@ -75,10 +78,50 @@ class DedupSpec extends SparkSpec {
     val want = Dedup.incrementalExact(batch, seen)
       .as[(Long, Long)].collect().toSet
     val got = Dedup.incrementalExactBloom(batch, seen,
-        expectedSeen = 8, fpp = 0.5) // deliberately way undersized
+        expectedSeen = 8, fpp = 0.5, minSeenForBloom = 0) // way undersized
       .as[(Long, Long)].collect().toSet
     assert(got === want)
     assert(got.size === 160)
+  }
+
+  test("auto-switch takes the plain path below the crossover, bitwise equal") {
+    val seen = docsDF(Seq(1L -> base, 2L -> unrelated))
+    val batch = docsDF(Seq(10L -> base, 11L -> nearDup, 12L -> nearDup,
+      13L -> unrelated, 14L -> "fresh text never seen before at all"))
+    val want = Dedup.incrementalExact(batch, seen)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // default minSeenForBloom (2^22) >> expectedSeen → the call is a plan
+    // choice only: no graft_bloom_seen_* registration may appear, and the
+    // output must be bitwise the plain relation
+    val reg = spark.sessionState.functionRegistry
+    def bloomFns = reg.listFunction()
+      .count(_.funcName.startsWith("graft_bloom_seen_"))
+    val before = bloomFns
+    val auto = Dedup.incrementalExactBloom(batch, seen, expectedSeen = 1024)
+    assert(bloomFns === before,
+      "below the crossover no bloom filter may even be built")
+    assert(auto.orderBy("doc_id").as[(Long, Long)].collect().toSeq === want)
+  }
+
+  test("bucket-partitioned bloom == exact incremental dedup (nulls too)") {
+    val seen = docsDF(Seq(1L -> base, 2L -> unrelated))
+    val batch = Seq((10L, base), (11L, nearDup), (12L, nearDup),
+        (13L, unrelated), (14L, "fresh text never seen before at all"),
+        (15L, null), (16L, null))
+      .toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val want = Dedup.incrementalExact(batch, seen)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    for (buckets <- Seq(1, 4, 64)) {
+      val got = Dedup.incrementalExactBloomPartitioned(batch, seen,
+          expectedSeen = 1024, buckets = buckets)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(got === want, s"buckets=$buckets")
+    }
+    // undersized + high fpp: every probe is a candidate, confirm is exact
+    val fuzzy = Dedup.incrementalExactBloomPartitioned(batch, seen,
+        expectedSeen = 2, fpp = 0.5, buckets = 4)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(fuzzy === want)
   }
 
   test("minhash LSH finds planted near-dup and skips unrelated docs") {
