@@ -15,6 +15,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cost-based optimization: inert without statistics, active for
+      // anything registered through Tables.analyzeAll (TPC-H, CBO chains)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       // events.ts is parquet TIMESTAMP(NANOS); read as raw nanos (see Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

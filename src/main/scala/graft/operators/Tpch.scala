@@ -30,11 +30,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tpch extends QueryModule {
 
-  /** Register the tables this module reads as temp views (idempotent). */
+  /** Register the tables this module reads as ANALYZED external catalog
+    * tables ([[Tables.analyzeAll]], idempotent — the stats scan runs once
+    * per dataset) and make their database current, so every query below
+    * plans with row counts and column NDVs: CBO join reorder and
+    * build-side choice fire from the helper alone, replacing the old
+    * stats-free temp-view registration. */
   private def register(s: SparkSession, d: String): Unit =
-    Seq("customer", "orders", "lineitem", "supplier", "nation", "region",
-        "part")
-      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    Tables.analyzeAll(s, d, Seq("customer", "orders", "lineitem",
+      "supplier", "nation", "region", "part")): Unit
 
   private def run(sql: String): (SparkSession, String) => DataFrame =
     (s, d) => { register(s, d); s.sql(sql) }

@@ -87,4 +87,72 @@ object Tables {
     df.select("event_id", "ts_ns", "user_id", "event_type", "value",
       "props", "ts_us_long", "ts_us")
   }
+
+  // ------------------------- CBO statistics -------------------------
+
+  /** The per-dataset statistics database name ([[analyzeAll]]). */
+  def statsDb(sfDir: String): String =
+    "graft_" + AtomicStore.key(sfDir).take(12)
+
+  private val analyzedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register `sfDir`'s parquet tables as EXTERNAL catalog tables under a
+    * per-dataset database and feed Catalyst's cost-based optimizer:
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS` per table
+    * (row counts, NDVs, min/max — what join reorder and build-side choice
+    * plan from). This replaces the reference's per-predicate selectivity
+    * counts with the engine-native statistics machinery (SURVEY.md §4).
+    *
+    * Scale shape: EXTERNAL tables are metadata only — no data is copied,
+    * the ANALYZE scan is the entire cost and it is paid ONCE per dataset
+    * per catalog (idempotent: a table that already carries stats is
+    * skipped, and a per-session memo skips even the metadata round-trip).
+    * The current database is switched to the dataset's, so plain-name SQL
+    * (`FROM lineitem ...`) resolves to the analyzed tables. Returns the
+    * database name. */
+  def analyzeAll(spark: SparkSession, sfDir: String,
+      tables: Seq[String] = names): String = {
+    val db = statsDb(sfDir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    tables.foreach { t =>
+      if (analyzedKeys.add(
+          s"${System.identityHashCode(spark.sessionState)}:$db.$t")) {
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$t USING parquet " +
+          s"LOCATION '$sfDir/$t.parquet'")
+        analyze(spark, s"$db.$t")
+      }
+    }
+    spark.catalog.setCurrentDatabase(db)
+    db
+  }
+
+  /** Compute CBO statistics for one catalog table unless it already has
+    * them, restricted to the stat-supported column types (ANALYZE rejects
+    * arrays/maps/structs outright — embeddings, event props). TIMESTAMP_NTZ
+    * is additionally excluded although ANALYZE accepts it: Spark's
+    * FilterEstimation lacks an NTZ case and a stats-carrying NTZ column
+    * crashes optimization with a MatchError the moment a filter touches it
+    * (hit by the o_orderdate range predicates on NTZ-generation parquet).
+    * A table with NO stat-able column still gets table-level row counts. */
+  def analyze(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val hasStats = spark.sessionState.catalog.getTableMetadata(ident)
+      .stats.exists(s => s.colStats.nonEmpty || s.rowCount.isDefined)
+    if (!hasStats) {
+      val cols = spark.table(table).schema.fields.collect {
+        case f if (f.dataType match {
+          case _: NumericType | _: TimestampType | DateType |
+               BooleanType | _: StringType | BinaryType => true
+          case _ => false
+        }) => s"`${f.name}`"
+      }
+      if (cols.isEmpty)
+        spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS"): Unit
+      else
+        spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${cols.mkString(", ")}"): Unit
+    }
+  }
 }

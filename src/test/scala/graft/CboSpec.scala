@@ -10,32 +10,39 @@ import graft.sources.Tables
 class CboSpec extends SparkSpec {
 
 
-  test("ANALYZE TABLE feeds row counts and column stats into the optimizer") {
-    spark.sql("DROP TABLE IF EXISTS cbo_orders")
-    rmTree(new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "cbo_orders"))
-    Tables.orders(spark, sf0001).write.saveAsTable("cbo_orders")
-    spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
-
-    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    try {
-      val plan = spark.table("cbo_orders").queryExecution.optimizedPlan
-      val stats = plan.stats
-      assert(stats.rowCount.contains(BigInt(1500)), s"rowCount=${stats.rowCount}")
-      assert(stats.attributeStats.nonEmpty, "expected column-level stats")
-      val status = spark.sql("DESCRIBE EXTENDED cbo_orders o_orderstatus")
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(status("distinct_count") === "3") // F / O / P
-    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  test("analyzeAll wires row counts and column stats via the helper alone") {
+    // ONE call: external tables + ANALYZE ... FOR ALL COLUMNS + current db
+    val db = Tables.analyzeAll(spark, sf0001)
+    val plan = spark.table(s"$db.orders").queryExecution.optimizedPlan
+    val stats = plan.stats
+    assert(stats.rowCount.contains(BigInt(1500)), s"rowCount=${stats.rowCount}")
+    assert(stats.attributeStats.nonEmpty, "expected column-level stats")
+    val status = spark.sql(s"DESCRIBE EXTENDED $db.orders o_orderstatus")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(status("distinct_count") === "3") // F / O / P
+    // the database is current, so TPC-H's plain-name SQL hits the
+    // analyzed tables
+    assert(spark.catalog.currentDatabase === db)
+    assert(spark.sql("SELECT count(*) FROM orders").head.getLong(0) === 1500)
+    // idempotent: a second call is metadata-only and keeps the stats
+    assert(Tables.analyzeAll(spark, sf0001) === db)
+    assert(spark.table(s"$db.orders").queryExecution.optimizedPlan
+      .stats.rowCount.contains(BigInt(1500)))
   }
 
   test("CBO reorders a BGP chain so the selective pattern joins first") {
+    // the analyzeAll test may have switched the current database — this
+    // test's managed table lives in default, in a fresh location
+    spark.catalog.setCurrentDatabase("default")
     spark.sql("DROP TABLE IF EXISTS cbo_triples")
-    rmTree(new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "cbo_triples"))
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    rmTree(new java.io.File(wh, "cbo_triples"))
+    // leftover db-scoped locations from older runs (current-db drift)
+    Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".db"))
+      .foreach(d => rmTree(new java.io.File(d, "cbo_triples")))
     graft.rdf.Triples.build(spark, sf0001).write.saveAsTable("cbo_triples")
-    spark.sql("ANALYZE TABLE cbo_triples COMPUTE STATISTICS FOR ALL COLUMNS")
+    Tables.analyze(spark, "cbo_triples")
 
     // the q_bgp_chain shape, WRITTEN with the worst pattern order: the big
     // unselective patterns join first, the '1-URGENT' filter dead last
