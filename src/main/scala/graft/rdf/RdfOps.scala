@@ -65,6 +65,25 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // RDF/XML ingest round-trip: the EAV graph exported as per-partition
+    // <rdf:RDF> documents (bare predicates under the graft: namespace —
+    // RDF/XML requires QName property elements), then read back by the
+    // per-file DOM parser and the namespace stripped, recovering the
+    // exact triple set.
+    "q_rdfxml_scan" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_rdfxml_" +
+        graft.sources.AtomicStore.key(d)
+      val path = graft.sources.AtomicStore.materialize(base) { tmp =>
+        RdfXml.write(Triples.build(s, d)
+          .withColumn("o_is_iri", col("o").rlike("^[conr]:"))
+          .withColumn("o_lang", lit(""))
+          .withColumn("o_datatype", lit("")), tmp)
+      }
+      RdfXml.read(s, s"$path/part-*.txt")
+        .withColumn("p", expr("substring(p, 7)")) // strip 'graft:'
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // Subject star: all patterns share ?cust — the reference answers this
     // with ONE subject-grouped Mongo lookup; the star-collapsed solver
     // answers it with one groupBy(s) aggregation (one shuffle per star,
@@ -570,6 +589,33 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"), col("g"))
     }),
 
+    // WITH / USING (§3.1.3.2/3) on its own store root: statement 1 reads
+    // BUILDING customers through a USING-described dataset (default =
+    // g:customer's slice; WITH is ignored for WHERE once USING appears)
+    // and flags them in the WITH graph; statement 2 renames the flag via
+    // a USING NAMED dataset (GRAPH <g:customer> ranges over exactly that
+    // set) with both templates defaulting to the WITH graph. Re-runs
+    // converge: statement 1 restores what 2 deleted, 2 deletes it again
+    // and re-inserts an already-present set.
+    "q_sparql_with" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_quadstore_with_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), root)
+      QuadStore.update(s, root,
+        """WITH <g:flags> INSERT { ?c <flag> "bld" . }
+          |USING <g:customer> WHERE { ?c <mktsegment> "BUILDING" . }"""
+          .stripMargin)
+      QuadStore.update(s, root,
+        """WITH <g:flags> DELETE { ?c <flag> "bld" . }
+          |INSERT { ?c <flag2> ?nm . }
+          |USING NAMED <g:customer>
+          |WHERE { GRAPH <g:customer> { ?c <mktsegment> "BUILDING" .
+          |                             ?c <name> ?nm . } }""".stripMargin)
+      QuadStore.vacuum(root, keep = 2)
+      QuadStore.read(s, root).filter(col("g") === "g:flags")
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // Term introspection over a TERM-STRING store (N-Triples markup in the
     // cells, [[Terms]]): language-tagged labels filtered by the everyday
     // FILTER(LANGMATCHES(LANG(?l), "en")) idiom — matches en and en-US on
@@ -734,6 +780,8 @@ object RdfOps extends QueryModule {
     "q_turtle_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
 
     "q_jsonld_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
+
+    "q_rdfxml_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
 
     "q_dict_encode" -> cte(
       """SELECT CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id, term
@@ -1008,6 +1056,21 @@ object RdfOps extends QueryModule {
          |SELECT s, 'status' AS p, o, g FROM quads
          |WHERE p = 'orderstatus'
          |ORDER BY s, p, o, g""".stripMargin,
+
+    // the flags graph after the WITH/USING pair: one flag2=name quad per
+    // BUILDING customer, read from the g:customer slice
+    "q_sparql_with" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT t1.s AS s, 'flag2' AS p, t2.o AS o, 'g:flags' AS g
+         |FROM quads t1 JOIN quads t2 ON t1.s = t2.s
+         |WHERE t1.g = 'g:customer' AND t1.p = 'mktsegment'
+         |  AND t1.o = 'BUILDING'
+         |  AND t2.g = 'g:customer' AND t2.p = 'name'
+         |ORDER BY s, p, o""".stripMargin,
 
     // the engine's LANGMATCHES(LANG(?l), "en") over the round-robin-tagged
     // labels graph ≡ the tag computation + prefix filter spelled in SQL

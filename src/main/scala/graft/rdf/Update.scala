@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   *    across patterns, `GRAPH <g>` blocks match that named graph),
   *    instantiate every pattern per solution, remove the resulting quad
   *    set.
-  *  - `DELETE { t }? INSERT { t }? WHERE { p }` (§3.1.3) — WHERE solves
-  *    once against the original snapshot, both templates instantiate from
-  *    those solutions, deletes apply before inserts: (G \ D) ∪ I.
-  *    Template variables must be WHERE-bound (rejected loudly otherwise —
-  *    this fragment has no bnode-minting templates).
+  *  - `WITH <g>? DELETE { t }? INSERT { t }? USING* WHERE { p }`
+  *    (§3.1.3) — WHERE solves once against the original snapshot, both
+  *    templates instantiate from those solutions, deletes apply before
+  *    inserts: (G \ D) ∪ I. Template variables must be WHERE-bound
+  *    (rejected loudly otherwise — this fragment has no bnode-minting
+  *    templates). `WITH` redirects the operation's default graph;
+  *    `USING` / `USING NAMED` describe the WHERE dataset exactly
+  *    (§3.1.3.2/3: default = merge of USING graphs, GRAPH ranges over
+  *    the USING NAMED set, WITH then governs templates only).
   *
   * Graph management (§3.2) over the same snapshot model:
   *  - `CLEAR GRAPH <g> | DEFAULT | NAMED | ALL` — empty the target.
@@ -41,8 +45,8 @@ import org.apache.spark.sql.functions._
   *    has no "graph does not exist" failures to silence).
   *
   * `GRAPH <iri> { ... }` blocks target named graphs in all forms; quads
-  * outside GRAPH target the default graph. Out of fragment (rejected
-  * loudly): WITH/USING, `GRAPH ?var` in updates.
+  * outside GRAPH target the default graph (or the WITH graph in a
+  * Modify). Out of fragment (rejected loudly): `GRAPH ?var` in updates.
   */
 object Update {
 
@@ -60,12 +64,25 @@ object Update {
   final case class DeleteData(quads: Seq[(String, String, String, String)]) extends Op
   /** Patterns with their (constant) target graph. */
   final case class DeleteWhere(patterns: Seq[(TP, String)]) extends Op
-  /** The Modify operation (§3.1.3): `DELETE { t }? INSERT { t }? WHERE
-    * { p }` — WHERE solves once against the ORIGINAL store, both templates
-    * instantiate from those solutions, deletes apply before inserts:
-    * result = (G \ D) ∪ I. Template variables must be WHERE-bound. */
+  /** The Modify operation (§3.1.3): `WITH <g>? DELETE { t }? INSERT
+    * { t }? USING* WHERE { p }` — WHERE solves once against the ORIGINAL
+    * store, both templates instantiate from those solutions, deletes
+    * apply before inserts: result = (G \ D) ∪ I. Template variables must
+    * be WHERE-bound.
+    *
+    * `withGraph` redirects the operation's default graph: template quads
+    * outside GRAPH blocks are stamped with it at parse, and WHERE
+    * patterns outside GRAPH match it INSTEAD of the default graph —
+    * unless any USING clause is present, in which case (per §3.1.3.2/3)
+    * the WHERE dataset is exactly as described: its default graph is the
+    * RDF merge of the `usingDefault` graphs and GRAPH blocks range over
+    * exactly the `usingNamed` set (a GRAPH naming anything else matches
+    * nothing), while WITH keeps governing only the templates. */
   final case class Modify(deleteTpl: Seq[(TP, String)],
-      insertTpl: Seq[(TP, String)], where: Seq[(TP, String)]) extends Op
+      insertTpl: Seq[(TP, String)], where: Seq[(TP, String)],
+      withGraph: Option[String] = None,
+      usingDefault: Seq[String] = Nil,
+      usingNamed: Seq[String] = Nil) extends Op
   /** CLEAR (and DROP — see scaladoc) of a graph target. */
   final case class Clear(target: Target) extends Op
   /** CREATE GRAPH — a no-op in the no-empty-graph model, kept so the
@@ -143,12 +160,12 @@ object Update {
       case DeleteWhere(pats) =>
         require(pats.nonEmpty, "empty DELETE WHERE")
         // the pattern is both match and template
-        modifyDelta(current, pats, Nil, pats)
-      case Modify(del, ins, where) =>
+        modifyDelta(current, pats, Nil, pats, None, Nil, Nil)
+      case Modify(del, ins, where, withG, usingD, usingN) =>
         require(del.nonEmpty || ins.nonEmpty,
           "Modify needs a DELETE or INSERT template")
         require(where.nonEmpty, "empty WHERE in Modify")
-        modifyDelta(current, del, ins, where)
+        modifyDelta(current, del, ins, where, withG, usingD, usingN)
       case Clear(target) => Delta(none, none, Seq(target))
       case Create(_) => Delta(none, none, Nil) // no empty-graph bookkeeping
       case GraphXfer(kind, src, dst) =>
@@ -189,17 +206,38 @@ object Update {
     * INSERT DATA — the store is scanned, never put on an anti-join's
     * build side. */
   private def modifyDelta(current: DataFrame, del: Seq[(TP, String)],
-      ins: Seq[(TP, String)], where: Seq[(TP, String)]): Delta = {
+      ins: Seq[(TP, String)], where: Seq[(TP, String)],
+      withGraph: Option[String], usingDefault: Seq[String],
+      usingNamed: Seq[String]): Delta = {
     val spark = current.sparkSession
     import spark.implicits._
     def none: DataFrame =
       Seq.empty[(String, String, String, String)].toDF("s", "p", "o", "g")
     val keys = Seq("s", "p", "o", "g")
+    val hasDataset = usingDefault.nonEmpty || usingNamed.nonEmpty
+    // the graph slice a WHERE pattern matches: the default-graph token
+    // resolves through WITH / USING (scaladoc on [[Modify]]); an explicit
+    // GRAPH <g> outside the USING NAMED set of a described dataset
+    // matches nothing
+    def slice(g: String): DataFrame =
+      if (g == Quads.DefaultGraph) {
+        if (usingDefault.nonEmpty) {
+          // RDF merge: a graph is a SET of triples, so a multi-graph
+          // merge dedups (one distinct, only when >1 graph is merged)
+          val merged = current.filter(col("g").isin(usingDefault: _*))
+          if (usingDefault.size > 1)
+            merged.select("s", "p", "o").distinct()
+              .withColumn("g", lit(Quads.DefaultGraph))
+          else merged
+        } else if (hasDataset) current.limit(0) // USING NAMED only: empty default
+        else current.filter(
+          col("g") === withGraph.getOrElse(Quads.DefaultGraph))
+      } else if (hasDataset && !usingNamed.contains(g)) current.limit(0)
+      else current.filter(col("g") === g)
     // solve the conjunction: each pattern over its graph slice, joined on
     // shared variables
     val solved0 = where.map { case (tp, g) =>
-      Bgp.onePattern(current.filter(col("g") === g),
-        Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o))
+      Bgp.onePattern(slice(g), Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o))
     }.reduce(Bgp.joinSolved)
     // both templates instantiate from the SAME solution set; materialize
     // when more than one template leg would re-run the solve
@@ -258,31 +296,64 @@ object Update {
         require(iri.startsWith("<"), s"PREFIX needs an IRI, got $iri")
         prefixes += name -> iri.stripPrefix("<").stripSuffix(">")
       }
+      // WITH <g> may only prefix the full Modify operation (grammar 41);
+      // it redirects the templates' and (absent USING) the WHERE's
+      // default graph
+      val withG: Option[String] =
+        if (peekKw("WITH")) { expectKw("WITH"); Some(graphIri()) } else None
+      def requireNoWith(what: String): Unit = require(withG.isEmpty,
+        s"WITH applies to DELETE/INSERT ... WHERE only, not $what")
+      // stamp a template's non-GRAPH quads with the WITH graph
+      def stamp(tpl: Seq[(TP, String)]): Seq[(TP, String)] = tpl.map {
+        case (tp, g) if g == Quads.DefaultGraph =>
+          (tp, withG.getOrElse(Quads.DefaultGraph))
+        case x => x
+      }
+      // `USING <g>` / `USING NAMED <g>` dataset clauses before WHERE
+      def usingClauses(): (Seq[String], Seq[String]) = {
+        val d = scala.collection.mutable.ArrayBuffer.empty[String]
+        val n = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (peekKw("USING")) {
+          expectKw("USING")
+          if (peekKw("NAMED")) { expectKw("NAMED"); n += graphIri() }
+          else d += graphIri()
+        }
+        (d.toSeq, n.toSeq)
+      }
       val op =
         if (peekKw("INSERT")) {
           expectKw("INSERT")
-          if (peekKw("DATA")) { expectKw("DATA"); InsertData(groundBlock()) }
-          else {
-            // INSERT { template } WHERE { patterns }
+          if (peekKw("DATA")) {
+            requireNoWith("INSERT DATA")
+            expectKw("DATA"); InsertData(groundBlock())
+          } else {
+            // INSERT { template } USING* WHERE { patterns }
             val ins = patternBlock()
+            val (ud, un) = usingClauses()
             expectKw("WHERE")
-            Modify(Nil, ins, patternBlock())
+            Modify(Nil, stamp(ins), patternBlock(), withG, ud, un)
           }
         } else if (peekKw("DELETE")) {
           expectKw("DELETE")
-          if (peekKw("DATA")) { expectKw("DATA"); DeleteData(groundBlock()) }
-          else if (peekKw("WHERE")) { expectKw("WHERE"); DeleteWhere(patternBlock()) }
-          else if (peek == "{") {
-            // DELETE { t } [INSERT { t }] WHERE { patterns }
+          if (peekKw("DATA")) {
+            requireNoWith("DELETE DATA")
+            expectKw("DATA"); DeleteData(groundBlock())
+          } else if (peekKw("WHERE")) {
+            requireNoWith("DELETE WHERE")
+            expectKw("WHERE"); DeleteWhere(patternBlock())
+          } else if (peek == "{") {
+            // DELETE { t } [INSERT { t }] USING* WHERE { patterns }
             val del = patternBlock()
             val ins = if (peekKw("INSERT")) { expectKw("INSERT"); patternBlock() }
               else Nil
+            val (ud, un) = usingClauses()
             expectKw("WHERE")
-            Modify(del, ins, patternBlock())
+            Modify(stamp(del), stamp(ins), patternBlock(), withG, ud, un)
           } else throw new IllegalArgumentException(
             "DELETE takes DATA, WHERE, or a { template } " +
               s"(got DELETE ${peek})")
         } else if (peekKw("CLEAR") || peekKw("DROP")) {
+          requireNoWith(peek.toUpperCase)
           next() // DROP ≡ CLEAR in the no-empty-graph model (scaladoc)
           maybeSilent()
           Clear(
@@ -291,15 +362,18 @@ object Update {
             else if (peekKw("ALL")) { next(); AllGraphs }
             else { expectKw("GRAPH"); OneGraph(graphIri()) })
         } else if (peekKw("CREATE")) {
+          requireNoWith("CREATE")
           expectKw("CREATE"); maybeSilent(); expectKw("GRAPH")
           Create(graphIri())
         } else if (peekKw("ADD") || peekKw("COPY") || peekKw("MOVE")) {
+          requireNoWith(peek.toUpperCase)
           val kind = next().toUpperCase
           maybeSilent()
           val src = graphOrDefault()
           expectKw("TO")
           GraphXfer(kind, src, graphOrDefault())
         } else if (peekKw("LOAD")) {
+          requireNoWith("LOAD")
           expectKw("LOAD"); maybeSilent()
           val iri = graphIri()
           val path = iri.stripPrefix("file://")
@@ -308,8 +382,7 @@ object Update {
           } else Quads.DefaultGraph
           Load(path, g)
         } else throw new IllegalArgumentException(
-          s"unsupported update operation: $peek (WITH/USING are out of " +
-            "fragment)")
+          s"unsupported update operation: $peek")
       require(toks.isEmpty || toks == List(";"),
         s"one update operation per request; trailing: ${toks.take(5).mkString(" ")}")
       op

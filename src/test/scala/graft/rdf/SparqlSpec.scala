@@ -1875,10 +1875,50 @@ class SparqlSpec extends SparkSpec {
     // out-of-fragment updates reject loudly
     intercept[IllegalArgumentException](
       Update.parse("""INSERT DATA { ?s <p> "x" . }"""))
+    // WITH prefixes the full Modify only (grammar 41) — not CLEAR, not
+    // the DATA forms
     intercept[IllegalArgumentException](
-      Update.parse("""WITH <g:x> DELETE { <a> <p> <b> . } WHERE { ?s ?p ?o . }"""))
+      Update.parse("""WITH <g:x> CLEAR GRAPH <g:y>"""))
+    intercept[IllegalArgumentException](
+      Update.parse("""WITH <g:x> INSERT DATA { <a> <p> "v" . }"""))
     intercept[IllegalArgumentException](
       Update.parse("DELETE WHERE { GRAPH ?g { ?s ?p ?o . } }"))
+  }
+
+  test("Modify WITH/USING dataset semantics (§3.1.3.2/3)") {
+    val quads = Seq(
+      ("a", "p", "1", "g:one"), ("a", "p", "1", "g:two"),
+      ("b", "p", "2", "g:two"), ("c", "p", "3", ""),
+      ("a", "q", "x", "g:with")).toDF("s", "p", "o", "g")
+    // WITH alone: WHERE reads the WITH graph, the template writes it
+    val r1 = Update(quads, Update.parse(
+      """WITH <g:one> INSERT { ?s <hit> "y" . } WHERE { ?s <p> ?v . }"""))
+    assert(r1.filter($"p" === "hit").select("s", "g").as[(String, String)]
+      .collect().toSeq === Seq(("a", "g:one")))
+    // USING merges the described default graph; non-matching graphs
+    // (g:with, the real default) contribute nothing
+    val r2 = Update(quads, Update.parse(
+      """INSERT { ?s <cnt> ?v . } USING <g:one> USING <g:two>
+        |WHERE { ?s <p> ?v . }""".stripMargin))
+    assert(r2.filter($"p" === "cnt").select("s", "o").as[(String, String)]
+      .collect().toSet === Set(("a", "1"), ("b", "2")))
+    // WITH is ignored for WHERE once USING appears — it still directs
+    // the template
+    val r3 = Update(quads, Update.parse(
+      """WITH <g:with> INSERT { ?s <hit2> ?v . } USING <g:two>
+        |WHERE { ?s <p> ?v . }""".stripMargin))
+    assert(r3.filter($"p" === "hit2").select("s", "g").as[(String, String)]
+      .collect().toSet === Set(("a", "g:with"), ("b", "g:with")))
+    // a GRAPH block outside the USING NAMED set matches nothing
+    val r4 = Update(quads, Update.parse(
+      """INSERT { ?s <n> ?v . } USING NAMED <g:one>
+        |WHERE { GRAPH <g:two> { ?s <p> ?v . } }""".stripMargin))
+    assert(r4.count() === quads.count())
+    // USING NAMED alone leaves the described default graph EMPTY
+    val r5 = Update(quads, Update.parse(
+      """INSERT { ?s <n> ?v . } USING NAMED <g:one>
+        |WHERE { ?s <p> ?v . }""".stripMargin))
+    assert(r5.count() === quads.count())
   }
 
   test("UPDATE graph management: CLEAR/DROP/CREATE/ADD/COPY/MOVE/LOAD") {
