@@ -58,8 +58,23 @@ object Paths {
       maxIter: Int = 20): DataFrame =
     closure(edges, maxIter, _.filter(col("src").isin(seeds: _*)))
 
+  /** [[transitiveClosure]] over per-graph edge sets `(g, src, dst)`: `g`
+    * rides as one more equi-join key, so no derived pair ever composes
+    * edges from two graphs — the SPARQL active-graph rule for paths under
+    * `GRAPH ?var`, expressed as a wider join key rather than a per-graph
+    * loop (one distributed fixpoint covers every named graph at once). */
+  def transitiveClosureGraphs(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    closure(edges, maxIter, identity, keys = Seq("g"))
+
+  /** [[closureFrom]] with the per-graph key: reachability from the seed
+    * sources, independently inside each graph. */
+  def closureFromGraphs(edges: DataFrame, seeds: Seq[Any],
+      maxIter: Int = 20): DataFrame =
+    closure(edges, maxIter, _.filter(col("src").isin(seeds: _*)),
+      keys = Seq("g"))
+
   private def closure(edges: DataFrame, maxIter: Int,
-      init: DataFrame => DataFrame): DataFrame = {
+      init: DataFrame => DataFrame, keys: Seq[String] = Nil): DataFrame = {
     // Spark's Union constraint rewriting (UnionBase.rewriteConstraints)
     // can throw "key not found: <attr>" when unioning localCheckpoint
     // frames whose origin constraints reference attributes pruned from the
@@ -72,16 +87,20 @@ object Paths {
     val prev = spark.conf.get(flag)
     spark.conf.set(flag, "false")
     try {
-      val e = edges.select(col("src"), col("dst")).distinct().persist()
+      val cols = keys :+ "src" :+ "dst"
+      val e = edges.select(cols.map(col): _*).distinct().persist()
       var all = graft.Materialize(init(e))
       var delta = all
       var i = 0
       while (i < maxIter && !delta.isEmpty) {
-        val next = delta.as("d").join(e.as("e"), col("d.dst") === col("e.src"))
-          .select(col("d.src").as("src"), col("e.dst").as("dst"))
+        val joinCond = keys.map(k => col(s"d.$k") === col(s"e.$k"))
+          .foldLeft(col("d.dst") === col("e.src"))(_ && _)
+        val next = delta.as("d").join(e.as("e"), joinCond)
+          .select(keys.map(k => col(s"d.$k").as(k)) ++
+            Seq(col("d.src").as("src"), col("e.dst").as("dst")): _*)
           .distinct()
           // only genuinely new pairs survive into the next frontier
-          .join(all, Seq("src", "dst"), "left_anti")
+          .join(all, cols, "left_anti")
           .transform(graft.Materialize.apply)
         if (!next.isEmpty) {
           val grown = all.unionByName(next).transform(graft.Materialize.apply)
@@ -175,6 +194,59 @@ object Paths {
         parts.reduce(_.unionByName(_))
     }
 
+  /** [[evalPath]] per named graph: a quads frame `(g, s, p, o)` →
+    * `(g, src, dst)` pairs solved WITHIN each graph. Every operator is the
+    * same scan/join/union as [[evalPath]] with `g` carried as one more
+    * equi-join key — sequence joins, `+`/`*` closures and the zero-length
+    * node set all stay inside their graph, so one distributed plan covers
+    * all named graphs at once instead of a driver loop over graph names
+    * (which at 100 TB with millions of named graphs would serialize the
+    * whole query on the driver). */
+  def evalPathGraphs(quads: DataFrame, path: Path,
+      maxIter: Int = 20): DataFrame = path match {
+    case PEdge(p) =>
+      quads.filter(col("p") === lit(p))
+        .select(col("g"), col("s").as("src"), col("o").as("dst"))
+    case PInv(q) =>
+      evalPathGraphs(quads, q, maxIter)
+        .select(col("g"), col("dst").as("src"), col("src").as("dst"))
+    case alt: PAlt =>
+      // same one-scan IN-collapse as evalPath (bag-exact for distinct
+      // predicate leaves; duplicates keep the union)
+      val leaves = flattenAlt(alt)
+      val preds = leaves.collect { case PEdge(v) => v }
+      if (preds.size == leaves.size && preds.distinct.size == preds.size)
+        quads.filter(col("p").isin(preds: _*))
+          .select(col("g"), col("s").as("src"), col("o").as("dst"))
+      else leaves.map(evalPathGraphs(quads, _, maxIter))
+        .reduce(_.unionByName(_))
+    case PSeq(l, r) =>
+      val a = evalPathGraphs(quads, l, maxIter).as("l")
+      val b = evalPathGraphs(quads, r, maxIter).as("r")
+      a.join(b, col("l.dst") === col("r.src") && col("l.g") === col("r.g"))
+        .select(col("l.g").as("g"), col("l.src").as("src"),
+          col("r.dst").as("dst"))
+    case PPlus(q) =>
+      transitiveClosureGraphs(evalPathGraphs(quads, q, maxIter), maxIter)
+    case PStar(q) =>
+      zeroHopGraphs(quads)
+        .unionByName(
+          transitiveClosureGraphs(evalPathGraphs(quads, q, maxIter), maxIter))
+        .distinct()
+    case POpt(q) =>
+      zeroHopGraphs(quads).unionByName(evalPathGraphs(quads, q, maxIter))
+        .distinct()
+    case PNps(fwd, inv) =>
+      val parts =
+        (if (fwd.isEmpty) Nil
+         else Seq(quads.filter(!col("p").isin(fwd: _*))
+           .select(col("g"), col("s").as("src"), col("o").as("dst")))) ++
+        (if (inv.isEmpty) Nil
+         else Seq(quads.filter(!col("p").isin(inv: _*))
+           .select(col("g"), col("o").as("src"), col("s").as("dst"))))
+      parts.reduce(_.unionByName(_))
+  }
+
   private def flattenAlt(p: Path): Seq[Path] = p match {
     case PAlt(l, r) => flattenAlt(l) ++ flattenAlt(r)
     case other => Seq(other)
@@ -186,5 +258,13 @@ object Paths {
     val nodes = triples.select(col("s").as("n"))
       .unionByName(triples.select(col("o").as("n"))).distinct()
     nodes.select(col("n").as("src"), col("n").as("dst"))
+  }
+
+  /** Per-graph zero-length relation: each graph's terms paired with
+    * themselves (the `*`/`?` zero-hop, scoped to the active graph). */
+  private def zeroHopGraphs(quads: DataFrame): DataFrame = {
+    val nodes = quads.select(col("g"), col("s").as("n"))
+      .unionByName(quads.select(col("g"), col("o").as("n"))).distinct()
+    nodes.select(col("g"), col("n").as("src"), col("n").as("dst"))
   }
 }

@@ -65,6 +65,21 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // TriG ingest round-trip: the quads dataset (named graphs + default)
+    // exported as `<g> { ... }` blocks plus top-level default-graph
+    // statements, read back by the shared Turtle grammar's TriG entry —
+    // write→parse is the identity on the quad set.
+    "q_trig_scan" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_trig_" +
+        graft.sources.AtomicStore.key(d)
+      val path = graft.sources.AtomicStore.materialize(base) { tmp =>
+        Trig.write(Quads.build(s, d)
+          .withColumn("o_is_iri", col("o").rlike("^[conr]:")), tmp)
+      }
+      Trig.read(s, s"$path/part-*.txt")
+        .orderBy(col("g"), col("s"), col("p"), col("o"))
+    }),
+
     // RDF/XML ingest round-trip: the EAV graph exported as per-partition
     // <rdf:RDF> documents (bare predicates under the graft: namespace —
     // RDF/XML requires QName property elements), then read back by the
@@ -711,6 +726,20 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust ?ord""".stripMargin)),
 
+    // Property path INSIDE GRAPH ?var: per-graph pair sets with ?g bound
+    // (the closure joins carry g as a key, so no pair composes edges from
+    // two graphs — o:→c: in g:orders never extends through c:→n: in
+    // g:customer), then the endpoint joins a default-graph pattern. Only
+    // paths ending at nation nodes survive the <name> join, so a pooled
+    // (graph-ignoring) closure would emit extra rows and hash-mismatch.
+    "q_sparql_graphpath" -> ((s, d) =>
+      Sparql.runQuads(Quads.build(s, d), text =
+        """SELECT ?g ?src ?nname WHERE {
+          |  GRAPH ?g { ?src (<custkey>|<nation>)+ ?dst . }
+          |  ?dst <name> ?nname .
+          |}
+          |ORDER BY ?g ?src ?nname""".stripMargin)),
+
     // FROM / FROM NAMED dataset clauses: <g:customer> merges into the
     // default graph while FROM NAMED <g:orders> is the whole named set —
     // so the star solves un-GRAPHed and ?g ranges over orders only.
@@ -782,6 +811,12 @@ object RdfOps extends QueryModule {
     "q_jsonld_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
 
     "q_rdfxml_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
+
+    "q_trig_scan" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT s, p, o, g FROM quads ORDER BY g, s, p, o""".stripMargin),
 
     "q_dict_encode" -> cte(
       """SELECT CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id, term
@@ -1270,6 +1305,25 @@ object RdfOps extends QueryModule {
          |  AND q3.s = q2.s
          |  AND q4.g = '' AND q4.p = 'name' AND q4.s = q1b.o
          |ORDER BY cust, ord""".stripMargin),
+
+    "q_sparql_graphpath" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |), edges AS (
+         |  SELECT DISTINCT g, s AS src, o AS dst FROM quads
+         |  WHERE g <> '' AND p IN ('custkey', 'nation')
+         |), reach(g, src, dst) AS (
+         |  SELECT g, src, dst FROM edges
+         |  UNION
+         |  SELECT r.g, r.src, e.dst
+         |  FROM reach r JOIN edges e ON e.g = r.g AND e.src = r.dst
+         |)
+         |SELECT r.g AS g, r.src AS src, q.o AS nname
+         |FROM reach r
+         |JOIN quads q ON q.g = '' AND q.p = 'name' AND q.s = r.dst
+         |ORDER BY g, src, nname""".stripMargin,
 
     "q_sparql_from" -> cte(
       s""", quads AS (

@@ -90,9 +90,10 @@ import org.apache.spark.sql.functions._
   *
   * Out of fragment (rejected, not silently mis-run): SERVICE federation,
   * SPARQL Update, collection syntax (`(...)` lists in term position),
-  * property paths under `GRAPH ?var` (they parse everywhere else,
-  * including OPTIONAL/MINUS/EXISTS bodies), and correlated filters (a
-  * block-scoped FILTER referencing variables its block does not bind).
+  * subqueries under `GRAPH ?var` (property paths work there — they solve
+  * per-graph with `?g` bound, see [[Paths.evalPathGraphs]]), and
+  * correlated filters (a block-scoped FILTER referencing variables its
+  * block does not bind).
   * The tokenizer verifies every non-whitespace, non-comment character is
   * consumed by a token and errors with the offset of the first unsupported
   * character, so unsupported syntax can never be silently dropped; trailing
@@ -283,11 +284,10 @@ object Sparql {
       // has a different ?g value and never joins). Paths and subqueries
       // stay parser-rejected: their active-graph correlation cannot be
       // threaded as a join variable.
-      case v =>
+      case v @ V(gName) =>
         solveBranch(inner,
           pats => Quads.solveGraphBlock(namedQuads, pats, v),
-          (_, _, _) => throw new IllegalArgumentException(
-            "property paths inside GRAPH ?var are unsupported"),
+          (path, ps, po) => solvePathOverGraphs(namedQuads, gName, path, ps, po),
           (_, _) => throw new IllegalArgumentException(
             "nested GRAPH blocks are unsupported"))
     }
@@ -382,6 +382,65 @@ object Sparql {
       case _ => edges
     }
     pathSolution(withZero, s, o)
+  }
+
+  /** [[solvePathOver]] under `GRAPH ?g`: pairs solve per named graph
+    * ([[Paths.evalPathGraphs]] — `g` is one more equi-join key, so closures
+    * and sequences never cross graphs) and the graph name stays bound as
+    * `?g` in the solution, which is exactly the same-active-graph join
+    * variable the rest of the block threads. */
+  private def solvePathOverGraphs(allQuads: DataFrame, gName: String,
+      path: Path, s: Term, o: Term): DataFrame = {
+    // GRAPH ?var ranges over NAMED graphs only (the dataset rule) — the
+    // default graph must contribute neither edges nor zero-hop terms
+    val quads = allQuads.filter(col("g") =!= Quads.DefaultGraph)
+    val edges = (path, s, o) match {
+      case (PPlus(q), C(v), V(_)) =>
+        Paths.closureFromGraphs(Paths.evalPathGraphs(quads, q), Seq(v))
+      case (PPlus(q), V(_), C(v)) =>
+        Paths.closureFromGraphs(Paths.evalPathGraphs(quads, q)
+            .select(col("g"), col("dst").as("src"), col("src").as("dst")),
+            Seq(v))
+          .select(col("g"), col("dst").as("src"), col("src").as("dst"))
+      case _ => Paths.evalPathGraphs(quads, path)
+    }
+    // zero-length constant endpoint: the active graph iterates over every
+    // named graph, and in each the constant matches itself unconditionally
+    def allGraphSelf(v: Any): DataFrame = quads.select(col("g")).distinct()
+      .select(col("g"), lit(v).as("src"), lit(v).as("dst"))
+    val withZero = (path, s, o) match {
+      case (PStar(_) | POpt(_), C(v), _) =>
+        edges.unionByName(allGraphSelf(v)).distinct()
+      case (PStar(_) | POpt(_), _, C(v)) =>
+        edges.unionByName(allGraphSelf(v)).distinct()
+      case _ => edges
+    }
+    // keep the graph under a reserved temp name while binding endpoints:
+    // an endpoint VARIABLE may itself be named "g", which must not be
+    // conflated with the frame's graph column
+    val tmp = "__graft_g"
+    val g0 = withZero.withColumnRenamed("g", tmp)
+    val (sol, endpointVars) = (s, o) match {
+      case (V(a), V(b)) if a == b =>
+        (g0.filter(col("src") === col("dst"))
+          .select(col(tmp), col("src").as(a)), Set(a))
+      case (V(a), V(b)) =>
+        (g0.select(col(tmp), col("src").as(a), col("dst").as(b)), Set(a, b))
+      case (C(v), V(b)) =>
+        (g0.filter(col("src") === lit(v))
+          .select(col(tmp), col("dst").as(b)), Set(b))
+      case (V(a), C(v)) =>
+        (g0.filter(col("dst") === lit(v))
+          .select(col(tmp), col("src").as(a)), Set(a))
+      case (C(_), C(_)) => throw new IllegalArgumentException(
+        "a property-path pattern needs at least one variable endpoint")
+    }
+    // the graph variable may coincide with a path endpoint variable
+    // (GRAPH ?g { ?g <p> ?x }): that's an equality constraint, not a
+    // second column
+    if (endpointVars.contains(gName))
+      sol.filter(col(tmp) === col(gName)).drop(tmp)
+    else sol.withColumnRenamed(tmp, gName)
   }
 
   /** A one-row (v, v) pair frame, typed like the plan's node columns. */
@@ -1627,20 +1686,21 @@ object Sparql {
         val inner = blockBody(p, prefixes)
         p.expect("}")
         // a VARIABLE graph threads ?g through every pattern group of its
-        // body (see runQuads); paths and subqueries can't carry that
-        // correlation, and an all-optional body has no anchor pattern to
-        // bind ?g — reject those loudly rather than silently mis-run
+        // body (see runQuads); property paths carry the correlation too
+        // (per-graph pair sets with ?g bound — solvePathOverGraphs), but
+        // subqueries can't (their projection would have to smuggle ?g),
+        // and an all-optional body has no anchor group to bind ?g —
+        // reject those loudly rather than silently mis-run
         if (gt.isInstanceOf[V]) {
           def offends(blk: Block): Boolean =
-            blk.paths.nonEmpty || blk.subqueries.nonEmpty ||
-              (blk.optionals ++ blk.minuses ++ blk.exists.map(_._2))
-                .exists(_.paths.nonEmpty) ||
+            blk.subqueries.nonEmpty ||
               blk.unions.exists(_.exists(offends)) ||
               blk.graphs.exists { case (_, ib) => offends(ib) }
           require(!offends(inner) &&
-            (inner.where.nonEmpty || inner.unions.nonEmpty),
-            "GRAPH ?var blocks take a group body without property paths " +
-              "or subqueries, anchored by at least one triple pattern")
+            (inner.where.nonEmpty || inner.unions.nonEmpty ||
+              inner.paths.nonEmpty),
+            "GRAPH ?var blocks take a group body without subqueries, " +
+              "anchored by at least one triple or path pattern")
         }
         require(inner.graphs.isEmpty, "nested GRAPH blocks are unsupported")
         graphs += gt -> inner

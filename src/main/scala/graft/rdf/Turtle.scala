@@ -89,12 +89,15 @@ object Turtle {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
   }
 
-  private def docTag(file: String, doc: String): String =
+  private[rdf] def docTag(file: String, doc: String): String =
     graft.sources.AtomicStore.key(file, doc.length.toString).take(8)
 
   // ------------------------- the parser itself -------------------------
 
-  private final class Parser(doc: String, tag: String) {
+  /** Package-visible so [[Trig]] reuses the whole Turtle grammar — TriG
+    * 1.1 is Turtle plus graph blocks, so the TriG entry point lives here
+    * as [[Parser.parseTrig]] and shares every production below. */
+  private[rdf] final class Parser(doc: String, tag: String) {
     private var i = 0
     private val prefixes = scala.collection.mutable.Map.empty[String, String]
     private var bn = 0
@@ -145,6 +148,73 @@ object Turtle {
         else statement()
       }
       out.toSeq
+    }
+
+    // ------------------------- TriG additions -------------------------
+
+    private val qout =
+      scala.collection.mutable.ArrayBuffer.empty[(Row, String)]
+    private var qmark = 0
+    /** Tag every row emitted since the last drain with graph `g`. */
+    private def drain(g: String): Unit = {
+      while (qmark < out.length) { qout += ((out(qmark), g)); qmark += 1 }
+    }
+
+    /** TriG 1.1 document: Turtle statements (default graph) interleaved
+      * with `[GRAPH] label { ... }` / `{ ... }` graph blocks. */
+    private[rdf] def parseTrig(): Seq[(Row, String)] = {
+      while (!eof) {
+        if (doc.charAt(i) == '@' || matchesSparqlPrefix()) directive()
+        else if (peekCh == '{') { i += 1; graphBody(Quads.DefaultGraph) }
+        else if (matchWord("GRAPH")) {
+          val g = graphLabel(); expect('{'); graphBody(g)
+        } else {
+          // labelOrSubject: a node followed by '{' labels a graph block;
+          // anything else continues as a default-graph Turtle statement
+          val before = out.length
+          val node = subject()
+          ws()
+          if (i < doc.length && peekCh == '{') {
+            if (out.length != before)
+              fail("a non-empty blank node property list cannot label a graph")
+            i += 1
+            graphBody(node)
+          } else {
+            predicateObjectList(node)
+            expect('.')
+            drain(Quads.DefaultGraph)
+          }
+        }
+      }
+      qout.toSeq
+    }
+
+    private def graphLabel(): String = {
+      ws()
+      peekCh match {
+        case '<' => iriRef()
+        case '_' => blankLabel()
+        case '[' =>
+          expect('['); ws(); expect(']'); freshBnode() // ANON label
+        case _ => prefixedName()
+      }
+    }
+
+    /** Statements until '}', each tagged with the block's graph; the
+      * final '.' before '}' is optional (TriG triplesBlock). */
+    private def graphBody(g: String): Unit = {
+      ws()
+      while (i < doc.length && doc.charAt(i) != '}') {
+        val subj = subject()
+        predicateObjectList(subj)
+        ws()
+        if (i < doc.length && doc.charAt(i) == '.') i += 1
+        else if (i >= doc.length || doc.charAt(i) != '}')
+          fail("expected '.' or '}'")
+        ws()
+      }
+      expect('}')
+      drain(g)
     }
 
     private def matchesSparqlPrefix(): Boolean = {

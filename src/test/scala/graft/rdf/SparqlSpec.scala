@@ -892,11 +892,12 @@ class SparqlSpec extends SparkSpec {
     assert(viaString.count() > 0)
     assert(viaString.exceptAll(viaIds).count() === 0)
     assert(viaIds.exceptAll(viaString).count() === 0)
-    // under GRAPH ?var an optional path cannot thread ?g — loud error
-    intercept[IllegalArgumentException](Sparql.parse(
+    // under GRAPH ?var an optional path now parses and threads ?g (the
+    // per-graph behavior is asserted in "property paths inside GRAPH ?var")
+    Sparql.parse(
       """SELECT ?c WHERE {
         |  GRAPH ?g { ?c <p> ?s . OPTIONAL { ?c <q>+ ?t . } }
-        |}""".stripMargin))
+        |}""".stripMargin)
   }
 
   test("property paths inside MINUS and EXISTS blocks") {
@@ -950,15 +951,16 @@ class SparqlSpec extends SparkSpec {
     val viaIds = Sparql.runEncoded(enc, dict, text)
     assert(viaIds.select("s").as[String].collect().sorted.toSeq ===
       Seq("c", "x"))
-    // under GRAPH ?var a MINUS/EXISTS path cannot thread ?g — loud error
-    intercept[IllegalArgumentException](Sparql.parse(
+    // under GRAPH ?var a MINUS/EXISTS path now parses and threads ?g (the
+    // per-graph behavior is asserted in "property paths inside GRAPH ?var")
+    Sparql.parse(
       """SELECT ?c WHERE {
         |  GRAPH ?g { ?c <p> ?s . MINUS { ?c <q>+ ?t . } }
-        |}""".stripMargin))
-    intercept[IllegalArgumentException](Sparql.parse(
+        |}""".stripMargin)
+    Sparql.parse(
       """SELECT ?c WHERE {
         |  GRAPH ?g { ?c <p> ?s . FILTER EXISTS { ?c <q>+ ?t . } }
-        |}""".stripMargin))
+        |}""".stripMargin)
     // a MINUS block FILTER referencing an outer-only variable stays a
     // loud correlation error with paths present too
     intercept[IllegalArgumentException](Sparql.run(t,
@@ -966,6 +968,76 @@ class SparqlSpec extends SparkSpec {
         |  ?s <tag> ?v .
         |  MINUS { ?s <p>+ ?far . FILTER (?v = "t1") }
         |}""".stripMargin).collect())
+  }
+
+  test("property paths inside GRAPH ?var solve per graph") {
+    // g1 holds a 2-hop chain a→b→c; g2 holds c→d; the default graph tags a.
+    // A pooled (graph-ignoring) closure would derive a→d / b→d — the keyed
+    // closure must not.
+    val quads = Seq(
+      ("a", "p", "b", "g1"), ("b", "p", "c", "g1"),
+      ("c", "p", "d", "g2"),
+      ("g1", "p", "z", "g1"),
+      ("a", "tag", "t1", "")).toDF("s", "p", "o", "g")
+    val plus = Sparql.runQuads(quads,
+      """SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <p>+ ?y . } }
+        |ORDER BY ?g ?x ?y""".stripMargin)
+    assert(plus.as[(String, String, String)].collect().toSeq === Seq(
+      ("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "c"),
+      ("g1", "g1", "z"), ("g2", "c", "d")))
+    // zero-hop with a constant source matches in EVERY named graph, even
+    // one where the constant occurs in no triple (SPARQL 18.4)
+    val star = Sparql.runQuads(quads,
+      """SELECT ?g ?y WHERE { GRAPH ?g { <a> <p>* ?y . } }
+        |ORDER BY ?g ?y""".stripMargin)
+    assert(star.as[(String, String)].collect().toSeq === Seq(
+      ("g1", "a"), ("g1", "b"), ("g1", "c"), ("g2", "a")))
+    // graph variable coinciding with the path source is an equality
+    // constraint: only g1's node "g1" satisfies ?g <p> ?y with ?g = g1
+    val coincide = Sparql.runQuads(quads,
+      """SELECT ?g ?y WHERE { GRAPH ?g { ?g <p> ?y . } }""")
+    assert(coincide.as[(String, String)].collect().toSeq === Seq(("g1", "z")))
+    // OPTIONAL path inside GRAPH ?var: extension stays in the active graph
+    // (b→c extends within g1; c's continuation c→d lives in g2 only, so
+    // the g1 row for b→c gets a null, not a cross-graph d)
+    val opt = Sparql.runQuads(quads,
+      """SELECT ?g ?x ?y ?t WHERE {
+        |  GRAPH ?g { ?x <p> ?y . OPTIONAL { ?y <p>+ ?t . } }
+        |}
+        |ORDER BY ?g ?x ?y ?t""".stripMargin)
+    val optRows = opt.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)))).toSeq
+    assert(optRows.contains(("g1", "a", "b", Some("c"))))
+    assert(optRows.contains(("g1", "b", "c", None)),
+      "OPTIONAL path must not extend across graphs")
+    assert(optRows.contains(("g2", "c", "d", None)))
+    // MINUS with a path: per-graph subtraction — c reaches d inside g2, so
+    // g2's edge is subtracted; nothing in g1 reaches d, so g1 edges stay
+    val minus = Sparql.runQuads(quads,
+      """SELECT ?g ?x WHERE {
+        |  GRAPH ?g { ?x <p> ?y . MINUS { ?x <p>+ ?far . FILTER (?far = "d") } }
+        |}
+        |ORDER BY ?g ?x""".stripMargin)
+    assert(minus.as[(String, String)].collect().toSeq === Seq(
+      ("g1", "a"), ("g1", "b"), ("g1", "g1")))
+    // FILTER EXISTS is the complement
+    val exists = Sparql.runQuads(quads,
+      """SELECT ?g ?x WHERE {
+        |  GRAPH ?g { ?x <p> ?y .
+        |             FILTER EXISTS { ?x <p>+ ?far . FILTER (?far = "d") } }
+        |}
+        |ORDER BY ?g ?x""".stripMargin)
+    assert(exists.as[(String, String)].collect().toSeq === Seq(("g2", "c")))
+    // a path-only GRAPH ?var body anchors ?g by itself
+    val pathOnly = Sparql.runQuads(quads,
+      """SELECT ?g WHERE { GRAPH ?g { <a> <p>+ ?y . } }""")
+    assert(pathOnly.select("g").distinct().as[String].collect().toSeq ===
+      Seq("g1"))
+    // subqueries under GRAPH ?var stay a loud error
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  GRAPH ?g { { SELECT ?c WHERE { ?c <p> ?s . } } }
+        |}""".stripMargin))
   }
 
   test("FILTERs inside MINUS and EXISTS blocks scope to the block") {
@@ -1498,11 +1570,12 @@ class SparqlSpec extends SparkSpec {
       """SELECT ?o WHERE { GRAPH <g:orders> { ?o <orderstatus> "F" .
         |  MINUS { ?o <orderpriority> "1-URGENT" . } } }""".stripMargin)
     assert(minusIn.count() === fOrders.count() && minusIn.count() > 0)
-    // paths / subqueries inside GRAPH ?var stay loud parse errors
-    intercept[IllegalArgumentException](Sparql.parse(
+    // paths inside GRAPH ?var parse (behavior tested in "property paths
+    // inside GRAPH ?var"); subqueries stay loud parse errors
+    Sparql.parse(
       """SELECT ?c WHERE {
         |  GRAPH ?g { ?c <p>+ ?s . }
-        |}""".stripMargin))
+        |}""".stripMargin)
     intercept[IllegalArgumentException](Sparql.parse(
       """SELECT ?c WHERE {
         |  GRAPH ?g { { SELECT ?c WHERE { ?c <p> ?s . } } ?c <q> ?t . }
