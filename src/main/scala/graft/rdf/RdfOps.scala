@@ -726,6 +726,25 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust ?ord""".stripMargin)),
 
+    // SERVICE federation over a registered endpoint: the supplier graph
+    // is a SEPARATE dataset (its own parquet-backed triples frame, as a
+    // second store would be); the SERVICE body solves over it and joins
+    // the main graph's nation star on the shared ?n — set-at-a-time
+    // federation as one distributed join.
+    "q_sparql_service" -> ((s, d) => {
+      val suppliers = Triples.fromTable(graft.sources.Tables.supplier(s, d),
+        concat(lit("sup:"), col("s_suppkey")), Seq(
+          "nation" -> concat(lit("n:"), col("s_nationkey")),
+          "name" -> col("s_name")))
+      Sparql.run(Triples.build(s, d),
+        endpoints = Map("graft://suppliers" -> suppliers), text =
+        """SELECT DISTINCT ?nname WHERE {
+          |  ?n <name> ?nname . ?n <region> ?r .
+          |  SERVICE <graft://suppliers> { ?sup <nation> ?n . }
+          |}
+          |ORDER BY ?nname""".stripMargin)
+    }),
+
     // Property path INSIDE GRAPH ?var: per-graph pair sets with ?g bound
     // (the closure joins carry g as a key, so no pair composes edges from
     // two graphs — o:→c: in g:orders never extends through c:→n: in
@@ -1305,6 +1324,11 @@ object RdfOps extends QueryModule {
          |  AND q3.s = q2.s
          |  AND q4.g = '' AND q4.p = 'name' AND q4.s = q1b.o
          |ORDER BY cust, ord""".stripMargin),
+
+    "q_sparql_service" -> cte(
+      """SELECT DISTINCT n.n_name AS nname
+        |FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |ORDER BY nname""".stripMargin),
 
     "q_sparql_graphpath" ->
       s"""WITH RECURSIVE triples AS (

@@ -83,12 +83,16 @@ import org.apache.spark.sql.functions._
   *  - ORDER BY sorts ascending nulls-first / descending nulls-last;
   *    OFFSET applies before LIMIT (SPARQL 18.2.5 modifier order).
   *
-  * Also supported: FILTER [NOT] EXISTS blocks (semi/anti-join lowering)
-  * and the built-ins STR / STRLEN / UCASE / LCASE / CONTAINS / STRSTARTS /
+  * Also supported: FILTER [NOT] EXISTS blocks (semi/anti-join lowering),
+  * `SERVICE [SILENT] <iri> { ... }` federation over registered endpoint
+  * datasets (the `endpoints` map of [[run]]/[[runQuads]] — the body solves
+  * over the endpoint's triples and joins set-at-a-time), and the
+  * built-ins STR / STRLEN / UCASE / LCASE / CONTAINS / STRSTARTS /
   * STRENDS / SUBSTR / ABS / FLOOR / CEIL / ROUND / IF / COALESCE
   * alongside CONCAT and regex.
   *
-  * Out of fragment (rejected, not silently mis-run): SERVICE federation,
+  * Out of fragment (rejected, not silently mis-run): variable SERVICE
+  * endpoints and SERVICE on the encoded path,
   * SPARQL Update, collection syntax (`(...)` lists in term position),
   * subqueries under `GRAPH ?var` (property paths work there — they solve
   * per-graph with `?g` bound, see [[Paths.evalPathGraphs]]), and
@@ -173,7 +177,17 @@ object Sparql {
         * branches bag-union (null-padding unshared vars) and the result
         * joins the rest of the block on shared variables — SPARQL's
         * GroupGraphPattern union, legal anywhere in a body. */
-      unions: Seq[Seq[Block]] = Nil)
+      unions: Seq[Seq[Block]] = Nil,
+      /** `SERVICE [SILENT] <iri> { group }` blocks: (silent, endpoint,
+        * body). Endpoints are REGISTERED datasets (the `endpoints` map of
+        * [[Sparql.run]]/[[Sparql.runQuads]]) — set-at-a-time federation:
+        * the body solves over the endpoint's triples and joins the
+        * enclosing block on shared variables, one distributed join
+        * instead of the per-binding network chatter of wire-protocol
+        * federation. SILENT turns an unregistered endpoint into the unit
+        * solution instead of an error. Variable endpoints are out of
+        * fragment (rejected at parse). */
+      services: Seq[(Boolean, String, Block)] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean,
       /** Expression sort key (OrderCondition beyond a bare variable);
@@ -227,7 +241,8 @@ object Sparql {
     * one-shuffle-per-star plan (see [[Bgp.solveStarCollapsed]]).
     */
   def run(triples: DataFrame, text: String,
-      collapseStars: Boolean = false): DataFrame = {
+      collapseStars: Boolean = false,
+      endpoints: Map[String, DataFrame] = Map.empty): DataFrame = {
     val q = parse(text)
     require(q.fromGraphs.isEmpty && q.fromNamed.isEmpty,
       "FROM / FROM NAMED dataset clauses require a quads dataset — " +
@@ -238,7 +253,32 @@ object Sparql {
         else Bgp.solve(triples, bgp),
       (path, s, o) => solvePathOver(triples, path, s, o),
       (_, _) => throw new IllegalArgumentException(
-        "GRAPH requires a quad dataset — use Sparql.runQuads"))
+        "GRAPH requires a quad dataset — use Sparql.runQuads"),
+      endpointSolver(endpoints))
+  }
+
+  /** The SERVICE solver over a registered-endpoint map: each endpoint is
+    * a triples DataFrame (another TripleStore, another parquet corpus, a
+    * different cluster's exported graph) and the SERVICE body solves over
+    * it with the full group grammar — set-at-a-time federation as one
+    * distributed join, not per-binding round-trips. Nested SERVICE
+    * resolves against the same map. */
+  private def endpointSolver(endpoints: Map[String, DataFrame])
+      : (Boolean, String, Block) => Option[DataFrame] = {
+    lazy val solve: (Boolean, String, Block) => Option[DataFrame] =
+      (silent, iri, body) => endpoints.get(iri) match {
+        case Some(ep) => Some(solveBranch(body,
+          bgp => Bgp.solve(ep, bgp),
+          (path, s, o) => solvePathOver(ep, path, s, o),
+          (_, _) => throw new IllegalArgumentException(
+            "GRAPH inside SERVICE is unsupported — endpoints are triples"),
+          solve))
+        case None if silent => None
+        case None => throw new IllegalArgumentException(
+          s"SERVICE endpoint <$iri> is not registered — pass it in " +
+            "`endpoints` (SILENT would tolerate this)")
+      }
+    solve
   }
 
   /** Parse and execute against a quads DataFrame(s,p,o,g) — an RDF
@@ -246,7 +286,8 @@ object Sparql {
     * ([[Quads.DefaultGraph]]); `GRAPH ?g`/`GRAPH <iri>` blocks match named
     * graphs ([[Quads.solveGraphBlock]]). */
   def runQuads(quads: DataFrame, text: String,
-      collapseStars: Boolean = false): DataFrame = {
+      collapseStars: Boolean = false,
+      endpoints: Map[String, DataFrame] = Map.empty): DataFrame = {
     val q = parse(text)
     val hasDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
     // FROM <g>*: the default graph becomes the RDF MERGE of the named
@@ -292,7 +333,8 @@ object Sparql {
             "nested GRAPH blocks are unsupported"))
     }
     execute(q, bgpOver(dg),
-      (path, s, o) => solvePathOver(dg, path, s, o), solveGraph)
+      (path, s, o) => solvePathOver(dg, path, s, o), solveGraph,
+      endpointSolver(endpoints))
   }
 
   /** Parse and execute against the dictionary-encoded id-triple store —
@@ -505,16 +547,27 @@ object Sparql {
     * bindings and a path solver; everything above those (BIND, OPTIONAL,
     * FILTER, UNION, aggregation, solution modifiers) is solver-independent.
     */
+  /** Default SERVICE solver: this execution path has no endpoint
+    * registry, so any SERVICE block (SILENT or not) errors loudly. */
+  private val rejectService: (Boolean, String, Block) => Option[DataFrame] =
+    (_, iri, _) => throw new IllegalArgumentException(
+      s"SERVICE <$iri> is not supported on this execution path — pass " +
+        "`endpoints` to Sparql.run / Sparql.runQuads")
+
   private def execute(q: Query, solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
-      solveGraph: (Term, Block) => DataFrame): DataFrame = {
+      solveGraph: (Term, Block) => DataFrame,
+      solveService: (Boolean, String, Block) => Option[DataFrame] =
+        rejectService): DataFrame = {
     // DESCRIBE has its own result shape (a graph about the named
     // resources) and may have no WHERE at all
     q.describe.foreach { terms =>
-      return describeResult(q, terms, solveBgp, solvePath, solveGraph)
+      return describeResult(q, terms, solveBgp, solvePath, solveGraph,
+        solveService)
     }
     val solved =
-      q.branches.map(solveBranch(_, solveBgp, solvePath, solveGraph))
+      q.branches.map(solveBranch(_, solveBgp, solvePath, solveGraph,
+        solveService))
     var df = solved.reduce(_.unionByName(_, allowMissingColumns = true))
     // ASK = "does any solution exist": limit(1) stops the scan at the
     // first match, the aggregate makes it a 1-row boolean frame
@@ -638,23 +691,34 @@ object Sparql {
     * branch counts — bounded by the query text, typically 2–3). */
   private def solveBranch(b: Block, solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
-      solveGraph: (Term, Block) => DataFrame): DataFrame = {
+      solveGraph: (Term, Block) => DataFrame,
+      solveService: (Boolean, String, Block) => Option[DataFrame] =
+        rejectService): DataFrame = {
     val simple: Seq[Sol] =
       (if (b.where.nonEmpty) Seq(Sol(solveBgp(b.where), Set.empty)) else Nil) ++
       b.paths.map { case (s, path, o) => Sol(solvePath(path, s, o), Set.empty) } ++
       b.graphs.map { case (g, inner) =>
         Sol(solveGraph(g, inner), maybeNullVars(inner)) } ++
+      // SERVICE: the endpoint-solved body joins like any pattern group; a
+      // None (SILENT + unregistered) contributes the unit solution, i.e.
+      // no Sol at all
+      b.services.flatMap { case (silent, iri, body) =>
+        solveService(silent, iri, body).map(df =>
+          Sol(df, maybeNullVars(body) intersect df.columns.toSet))
+      } ++
       // subqueries evaluate independently (own projection, aggregation,
       // modifiers) and join on their projected variables
       b.subqueries.map { sq =>
-        val solved = execute(sq, solveBgp, solvePath, solveGraph)
+        val solved = execute(sq, solveBgp, solvePath, solveGraph,
+          solveService)
         Sol(solved, solved.columns.toSet -- definiteProjection(sq))
       }
     var alts: Seq[Sol] =
       if (simple.isEmpty) Nil else Seq(simple.reduce(compatJoin))
     b.unions.foreach { member =>
       val branchSols = member.map { blk =>
-        val solved = solveBranch(blk, solveBgp, solvePath, solveGraph)
+        val solved = solveBranch(blk, solveBgp, solvePath, solveGraph,
+          solveService)
         Sol(solved, maybeNullVars(blk) intersect solved.columns.toSet)
       }
       alts =
@@ -809,6 +873,10 @@ object Sparql {
           }
         } ++
         b.subqueries.flatMap(definiteProjection) ++
+        // a SILENT service's bindings are never definite (the whole Sol
+        // may vanish on an unregistered endpoint)
+        b.services.flatMap { case (silent, _, inner) =>
+          if (silent) Nil else definiteVars(inner) } ++
         b.unions.flatMap(m => m.map(definiteVars).reduce(_ intersect _))
     // dependency-ordered, mirroring applyReadyBinds
     var pending = b.binds
@@ -847,7 +915,12 @@ object Sparql {
         m.flatMap(maybeNullVars)
     }
     val grph = b.graphs.flatMap { case (_, inner) => maybeNullVars(inner) }
-    (opt ++ undef ++ binds ++ sub ++ uni ++ grph).toSet -- defs
+    // a SILENT service may drop out entirely (unregistered endpoint), so
+    // every variable it would bind is possibly-absent downstream; a
+    // non-silent one contributes its body's own possibly-null vars
+    val svc = b.services.flatMap { case (silent, _, inner) =>
+      if (silent) outVars(inner) else maybeNullVars(inner) }
+    (opt ++ undef ++ binds ++ sub ++ uni ++ grph ++ svc).toSet -- defs
   }
 
   /** Every variable column a block's solution carries (bound or null). */
@@ -863,6 +936,7 @@ object Sparql {
       b.graphs.flatMap { case (g, inner) =>
         outVars(inner) ++ (g match { case V(n) => Seq(n); case _ => Nil })
       } ++
+      b.services.flatMap { case (_, _, inner) => outVars(inner) } ++
       b.unions.flatMap(_.flatMap(outVars))
 
   private def projectedCols(q: Query): Set[String] =
@@ -920,7 +994,9 @@ object Sparql {
   private def describeResult(q: Query, terms: Seq[Term],
       solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
-      solveGraph: (Term, Block) => DataFrame): DataFrame = {
+      solveGraph: (Term, Block) => DataFrame,
+      solveService: (Boolean, String, Block) => Option[DataFrame] =
+        rejectService): DataFrame = {
     val all = solveBgp(Seq(TP(V("s"), V("p"), V("o"))))
     val consts = terms.collect { case C(v) => v }
     val vars = terms.collect { case V(n) => n }
@@ -929,7 +1005,7 @@ object Sparql {
     if (vars.nonEmpty) {
       require(q.branches.nonEmpty, "DESCRIBE ?var needs a WHERE clause")
       val bindings = q.branches
-        .map(solveBranch(_, solveBgp, solvePath, solveGraph))
+        .map(solveBranch(_, solveBgp, solvePath, solveGraph, solveService))
         .reduce(_.unionByName(_, allowMissingColumns = true))
       val unbound = vars.filterNot(bindings.columns.contains)
       require(unbound.isEmpty, "DESCRIBE variables not bound in WHERE: " +
@@ -1594,6 +1670,8 @@ object Sparql {
     val subqueries = scala.collection.mutable.ArrayBuffer.empty[Query]
     val graphs = scala.collection.mutable.ArrayBuffer.empty[(Term, Block)]
     val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Block]]
+    val services =
+      scala.collection.mutable.ArrayBuffer.empty[(Boolean, String, Block)]
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -1704,6 +1782,23 @@ object Sparql {
         }
         require(inner.graphs.isEmpty, "nested GRAPH blocks are unsupported")
         graphs += gt -> inner
+      } else if (p.peekKw("SERVICE")) {
+        p.expectKw("SERVICE")
+        val silent =
+          if (p.peekKw("SILENT")) { p.expectKw("SILENT"); true } else false
+        val ep = term(p, prefixes)
+        val iri = ep match {
+          case C(v: String) => v
+          case _ => throw new IllegalArgumentException(
+            "SERVICE takes a constant endpoint IRI — variable endpoints " +
+              "are out of fragment")
+        }
+        p.expect("{")
+        val inner = blockBody(p, prefixes)
+        p.expect("}")
+        require(inner.graphs.isEmpty,
+          "GRAPH inside SERVICE is unsupported — endpoints are triples")
+        services += ((silent, iri, inner))
       } else if (p.peekKw("VALUES")) {
         // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }
         p.expectKw("VALUES")
@@ -1750,10 +1845,11 @@ object Sparql {
       if (nonTriples) p.maybe(".")
     }
     require(where.nonEmpty || paths.nonEmpty || subqueries.nonEmpty ||
-      graphs.nonEmpty || unions.nonEmpty, "empty WHERE block")
+      graphs.nonEmpty || unions.nonEmpty || services.nonEmpty,
+      "empty WHERE block")
     val block = Block(where.toSeq, optionals.toSeq, filters.toSeq,
       minuses.toSeq, values.toSeq, binds.toSeq, paths.toSeq, exists.toSeq,
-      subqueries.toSeq, graphs.toSeq, unions.toSeq)
+      subqueries.toSeq, graphs.toSeq, unions.toSeq, services.toSeq)
     checkBnodeScopes(block)
     block
   }

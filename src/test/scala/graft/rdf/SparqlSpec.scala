@@ -1040,6 +1040,54 @@ class SparqlSpec extends SparkSpec {
         |}""".stripMargin))
   }
 
+  test("SERVICE solves over registered endpoints and joins set-at-a-time") {
+    val local = Seq(("a", "kind", "K"), ("b", "kind", "K"), ("c", "kind", "L"))
+      .toDF("s", "p", "o")
+    val remote = Seq(("a", "score", "1"), ("c", "score", "2"),
+      ("x", "hop", "a"), ("a", "hop", "b")).toDF("s", "p", "o")
+    val eps = Map("graft://remote" -> remote)
+    // plain join on the shared subject variable
+    val joined = Sparql.run(local,
+      """SELECT ?s ?v WHERE {
+        |  ?s <kind> ?k .
+        |  SERVICE <graft://remote> { ?s <score> ?v . }
+        |}
+        |ORDER BY ?s""".stripMargin, endpoints = eps)
+    assert(joined.as[(String, String)].collect().toSeq ===
+      Seq(("a", "1"), ("c", "2")))
+    // the full group grammar works inside the body: paths, filters
+    val withPath = Sparql.run(local,
+      """SELECT ?s ?far WHERE {
+        |  ?s <kind> "K" .
+        |  SERVICE <graft://remote> { ?far <hop>+ ?s . }
+        |}
+        |ORDER BY ?s ?far""".stripMargin, endpoints = eps)
+    assert(withPath.as[(String, String)].collect().toSeq ===
+      Seq(("a", "x"), ("b", "a"), ("b", "x")))
+    // unregistered endpoint: loud error...
+    val boom = intercept[IllegalArgumentException](Sparql.run(local,
+      """SELECT ?s WHERE { SERVICE <graft://nope> { ?s <p> ?o . } }""",
+      endpoints = eps))
+    assert(boom.getMessage.contains("graft://nope"))
+    // ...unless SILENT, which degrades to the unit solution
+    val silent = Sparql.run(local,
+      """SELECT ?s ?v WHERE {
+        |  ?s <kind> "L" .
+        |  OPTIONAL { ?s <missing> ?v . }
+        |  SERVICE SILENT <graft://nope> { ?s <score> ?v2 . }
+        |}""".stripMargin, endpoints = eps)
+    assert(silent.select("s").as[String].collect().toSeq === Seq("c"))
+    // variable endpoints are out of fragment, loudly
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?s WHERE { SERVICE ?ep { ?s <p> ?o . } }"""))
+    // SERVICE on the encoded path is rejected, not silently mis-run
+    val dict = Dictionary.build(spark, local)
+    val enc = Dictionary.encode(local, dict)
+    intercept[IllegalArgumentException](Sparql.runEncoded(enc, dict,
+      """SELECT ?s WHERE { ?s <kind> ?k .
+        |SERVICE <graft://remote> { ?s <score> ?v . } }""".stripMargin))
+  }
+
   test("FILTERs inside MINUS and EXISTS blocks scope to the block") {
     // MINUS { P FILTER F }: the filter is part of the inner group — only
     // urgent orders' customers are subtracted
