@@ -93,6 +93,15 @@ object LlmOps extends QueryModule {
       EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // SemDeDup: k-means clusters (the SHARED persisted IVF model) confine
+    // the quadratic pair search; within a near-dup pair the member farther
+    // from its centroid survives. Declared no-oracle (k-means clustering
+    // is not SQL-expressible); SemDedupSpec proves the keep-rule invariants
+    // against a brute-force pass.
+    "q_dedup_semantic" -> ((s, d) =>
+      SemDedup.forEmbeddings(s, d, k = 16, eps = 0.4)
+        .select(col("vec_id"), col("list_id")).orderBy(col("vec_id"))),
+
     "q_sim_cosine_topk" -> ((s, d) =>
       EmbeddingOps.cosineTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)),
 
