@@ -32,8 +32,22 @@ object Dictionary {
       .distinct()
 
   /** Dense deterministic dictionary: id = 1-based rank in term sort order. */
-  def build(spark: SparkSession, triples: DataFrame): DataFrame = {
-    val sorted = terms(triples).orderBy("term")
+  def build(spark: SparkSession, triples: DataFrame): DataFrame =
+    rankIds(spark, terms(triples))
+
+  /** Distinct terms of a quads table — graph names are terms too (the
+    * dataset axis decodes through the same dictionary). */
+  def quadTerms(quads: DataFrame): DataFrame =
+    terms(quads)
+      .unionByName(quads.select(col("g").as("term")))
+      .distinct()
+
+  /** [[build]] over a quads table (s, p, o AND g terms). */
+  def buildQuads(spark: SparkSession, quads: DataFrame): DataFrame =
+    rankIds(spark, quadTerms(quads))
+
+  private def rankIds(spark: SparkSession, termsDf: DataFrame): DataFrame = {
+    val sorted = termsDf.orderBy("term")
     val rows = sorted.rdd.zipWithIndex.map { case (r, i) => Row(i + 1L, r.getString(0)) }
     spark.createDataFrame(rows, StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -59,6 +73,16 @@ object Dictionary {
       .join(dict.withColumnRenamed("term", "p").withColumnRenamed("id", "pid"), "p")
       .join(dict.withColumnRenamed("term", "o").withColumnRenamed("id", "oid"), "o")
       .select("sid", "pid", "oid")
+
+  /** (s,p,o,g) strings → (sid,pid,oid,gid) longs — the id-space dataset
+    * (the graph column joins the same dictionary). */
+  def encodeQuads(quads: DataFrame, dict: DataFrame): DataFrame =
+    quads
+      .join(dict.withColumnRenamed("term", "s").withColumnRenamed("id", "sid"), "s")
+      .join(dict.withColumnRenamed("term", "p").withColumnRenamed("id", "pid"), "p")
+      .join(dict.withColumnRenamed("term", "o").withColumnRenamed("id", "oid"), "o")
+      .join(dict.withColumnRenamed("term", "g").withColumnRenamed("id", "gid"), "g")
+      .select("sid", "pid", "oid", "gid")
 
   /** (sid,pid,oid) → (s,p,o) on result emission (reference's decode step). */
   def decode(encoded: DataFrame, dict: DataFrame): DataFrame =

@@ -726,6 +726,25 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust ?ord""".stripMargin)),
 
+    // GRAPH over the dictionary-encoded QUADS store: the same dataset
+    // query as q_sparql_graph, but every join — the customer star, the
+    // GRAPH ?g block, the default-graph pattern — runs over 8-byte ids
+    // with gid one more fixed-width key; decode only at emission.
+    "q_sparql_graph_encoded" -> ((s, d) => {
+      val quads = Quads.build(s, d)
+      val dict = Dictionary.buildQuads(s, quads)
+      val enc = Dictionary.encodeQuads(quads, dict)
+      Sparql.runQuadsEncoded(enc, dict, text =
+        """SELECT ?g ?cust ?ord ?nname WHERE {
+          |  GRAPH <g:customer> { ?cust <mktsegment> "BUILDING" .
+          |                       ?cust <nation> ?nat . }
+          |  GRAPH ?g { ?ord <custkey> ?cust .
+          |             ?ord <orderpriority> "1-URGENT" . }
+          |  ?nat <name> ?nname .
+          |}
+          |ORDER BY ?cust ?ord""".stripMargin)
+    }),
+
     // SERVICE federation over a registered endpoint: the supplier graph
     // is a SEPARATE dataset (its own parquet-backed triples frame, as a
     // second store would be); the SERVICE body solves over it and joins
@@ -1310,6 +1329,20 @@ object RdfOps extends QueryModule {
         |  ON t2.o = segs.seg
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
         |ORDER BY cust""".stripMargin),
+
+    "q_sparql_graph_encoded" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT q2.g AS g, q1.s AS cust, q2.s AS ord, q4.o AS nname
+         |FROM quads q1, quads q1b, quads q2, quads q3, quads q4
+         |WHERE q1.g = 'g:customer' AND q1.p = 'mktsegment' AND q1.o = 'BUILDING'
+         |  AND q1b.g = 'g:customer' AND q1b.p = 'nation' AND q1b.s = q1.s
+         |  AND q2.g <> '' AND q2.p = 'custkey' AND q2.o = q1.s
+         |  AND q3.g = q2.g AND q3.p = 'orderpriority' AND q3.o = '1-URGENT'
+         |  AND q3.s = q2.s
+         |  AND q4.g = '' AND q4.p = 'name' AND q4.s = q1b.o
+         |ORDER BY cust, ord""".stripMargin),
 
     "q_sparql_graph" -> cte(
       s""", quads AS (

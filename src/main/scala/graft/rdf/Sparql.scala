@@ -92,7 +92,7 @@ import org.apache.spark.sql.functions._
   * alongside CONCAT and regex.
   *
   * Out of fragment (rejected, not silently mis-run): variable SERVICE
-  * endpoints and SERVICE on the encoded path,
+  * endpoints and SERVICE on the encoded paths,
   * SPARQL Update, collection syntax (`(...)` lists in term position),
   * subqueries under `GRAPH ?var` (property paths work there — they solve
   * per-graph with `?g` bound, see [[Paths.evalPathGraphs]]), and
@@ -392,7 +392,106 @@ object Sparql {
       bgp => EncodedBgp.solveResolved(enc, dict, bgp, idOf, collapseStars),
       solvePathEnc,
       (_, _) => throw new IllegalArgumentException(
-        "GRAPH is not supported over the encoded store — use Sparql.runQuads"))
+        "GRAPH over the encoded store needs the quads store — " +
+          "use Sparql.runQuadsEncoded"))
+  }
+
+  /** Parse and execute against a dictionary-encoded QUADS store
+    * (sid, pid, oid, gid) — the reference's id-space execution model
+    * extended to RDF datasets: GRAPH blocks (constant AND variable),
+    * FROM / FROM NAMED dataset clauses and property paths (including
+    * under `GRAPH ?var`) all solve over 8-byte longs, with the graph id
+    * one more fixed-width join key; bindings decode to terms only at
+    * emission. Build the store with [[Dictionary.buildQuads]] +
+    * [[Dictionary.encodeQuads]] (graph names are dictionary terms). */
+  def runQuadsEncoded(encQuads: DataFrame, dict: DataFrame, text: String,
+      collapseStars: Boolean = false): DataFrame = {
+    val q = parse(text)
+    // ONE dictionary-lookup job for the whole query: pattern + path
+    // constants of every block (GRAPH bodies included via allBlocks),
+    // graph IRIs of GRAPH clauses, dataset clauses, and the default-graph
+    // marker term
+    val blocks = allBlocks(q)
+    val allPats = blocks.flatMap(b =>
+      b.where ++ b.optionals.flatMap(_.pats) ++ b.minuses.flatMap(_.pats) ++
+        b.exists.flatMap(_._2.pats))
+    val pathTerms = blocks.flatMap(b =>
+      b.paths ++ b.optionals.flatMap(_.paths) ++ b.minuses.flatMap(_.paths) ++
+        b.exists.flatMap(_._2.paths)).flatMap { case (s, path, o) =>
+      pathStrings(path) ++ Seq(s, o).collect { case C(v: String) => v }
+    }
+    val graphTerms = blocks.flatMap(_.graphs.map(_._1))
+      .collect { case C(v: String) => v } ++
+      q.fromGraphs ++ q.fromNamed :+ Quads.DefaultGraph
+    val idOf = EncodedBgp.resolveConstants(dict, allPats,
+      (pathTerms ++ graphTerms).distinct)
+    def gidOf(t: String): Long = idOf.getOrElse(t, Long.MinValue)
+    val defaultGid = gidOf(Quads.DefaultGraph)
+    val hasDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
+    // FROM <g>*: RDF merge of the named slices (set union, as in runQuads)
+    val dgIds =
+      if (!hasDataset) encQuads.filter(col("gid") === defaultGid)
+        .select("sid", "pid", "oid")
+      else {
+        val merged = encQuads
+          .filter(col("gid").isin(q.fromGraphs.map(gidOf): _*))
+          .select("sid", "pid", "oid")
+        if (q.fromGraphs.size > 1) merged.distinct() else merged
+      }
+    val namedQ =
+      if (!hasDataset) encQuads
+      else encQuads.filter(col("gid").isin(q.fromNamed.map(gidOf): _*))
+    def bgpOver(ids: DataFrame)(pats: Seq[TP]): DataFrame =
+      EncodedBgp.solveResolved(ids, dict, pats, idOf, collapseStars)
+    def pathOver(ids: DataFrame)(path: Path, s: Term, o: Term): DataFrame = {
+      // sentinel-id semantics documented at [[runEncoded]]'s solvePathEnc
+      def tr(t: Term): Term = t match {
+        case C(v: String) => C(idOf.getOrElse(v, Long.MinValue))
+        case other => other
+      }
+      val idPath = mapPath(path, v => idOf.getOrElse(v, Long.MinValue))
+      val solved = solvePathOver(EncodedBgp.asTriples(ids), idPath,
+        tr(s), tr(o))
+      EncodedBgp.decode(solved, dict, solved.columns)
+    }
+    def nestedReject: (Term, Block) => DataFrame = (_, _) =>
+      throw new IllegalArgumentException("nested GRAPH blocks are unsupported")
+    def solveGraph(g: Term, inner: Block): DataFrame = g match {
+      case C(gv: String) =>
+        val slice = namedQ.filter(col("gid") === gidOf(gv))
+          .select("sid", "pid", "oid")
+        solveBranch(inner, bgpOver(slice), pathOver(slice), nestedReject)
+      case C(other) => throw new IllegalArgumentException(
+        s"GRAPH constant must be an IRI, got $other")
+      case v @ V(gName) =>
+        val named = namedQ.filter(col("gid") =!= defaultGid)
+        // variable graph: gid is a fourth pattern component, decoded with
+        // the bindings
+        def bgpVar(pats: Seq[TP]): DataFrame = {
+          val (eps, allResolved) = EncodedBgp.encodeResolved(pats, idOf)
+          val named4 = named.select(col("sid").as("s"), col("pid").as("p"),
+            col("oid").as("o"), col("gid").as("g"))
+          val solved = eps.map(tp => Bgp.onePattern(named4,
+              Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o, "g" -> v)))
+            .reduce(Bgp.joinSolved)
+          val gated = if (allResolved) solved else solved.filter(lit(false))
+          EncodedBgp.decode(gated, dict, gated.columns)
+        }
+        def pathVar(path: Path, ps: Term, po: Term): DataFrame = {
+          val named4 = named.select(col("gid").as("g"), col("sid").as("s"),
+            col("pid").as("p"), col("oid").as("o"))
+          def tr(t: Term): Term = t match {
+            case C(vv: String) => C(idOf.getOrElse(vv, Long.MinValue))
+            case other => other
+          }
+          val idPath = mapPath(path, vv => idOf.getOrElse(vv, Long.MinValue))
+          val solved = solvePathOverGraphsOn(named4, gName, idPath,
+            tr(ps), tr(po))
+          EncodedBgp.decode(solved, dict, solved.columns)
+        }
+        solveBranch(inner, bgpVar, pathVar, nestedReject)
+    }
+    execute(q, bgpOver(dgIds), pathOver(dgIds), solveGraph)
   }
 
   /** Evaluate a path pattern over a triples frame, seeding the closure at
@@ -432,10 +531,17 @@ object Sparql {
     * `?g` in the solution, which is exactly the same-active-graph join
     * variable the rest of the block threads. */
   private def solvePathOverGraphs(allQuads: DataFrame, gName: String,
-      path: Path, s: Term, o: Term): DataFrame = {
+      path: Path, s: Term, o: Term): DataFrame =
     // GRAPH ?var ranges over NAMED graphs only (the dataset rule) — the
     // default graph must contribute neither edges nor zero-hop terms
-    val quads = allQuads.filter(col("g") =!= Quads.DefaultGraph)
+    solvePathOverGraphsOn(allQuads.filter(col("g") =!= Quads.DefaultGraph),
+      gName, path, s, o)
+
+  /** Core of [[solvePathOverGraphs]] over PRE-FILTERED named quads —
+    * shared by the string and the dictionary-encoded engines (the latter
+    * passes id-typed quads, an id-mapped path and id constants). */
+  private def solvePathOverGraphsOn(quads: DataFrame, gName: String,
+      path: Path, s: Term, o: Term): DataFrame = {
     val edges = (path, s, o) match {
       case (PPlus(q), C(v), V(_)) =>
         Paths.closureFromGraphs(Paths.evalPathGraphs(quads, q), Seq(v))
@@ -510,7 +616,8 @@ object Sparql {
     * not gate its patterns to empty). */
   private def allBlocks(q: Query): Seq[Block] = {
     def tree(b: Block): Seq[Block] =
-      b +: (b.unions.flatten.flatMap(tree) ++ b.subqueries.flatMap(allBlocks))
+      b +: (b.unions.flatten.flatMap(tree) ++ b.subqueries.flatMap(allBlocks) ++
+        b.graphs.map(_._2).flatMap(tree) ++ b.services.map(_._3).flatMap(tree))
     q.branches.flatMap(tree)
   }
 

@@ -1040,6 +1040,49 @@ class SparqlSpec extends SparkSpec {
         |}""".stripMargin))
   }
 
+  test("encoded quads engine ≡ string engine across dataset features") {
+    val quads = Quads.build(spark, sf0001)
+    val dict = Dictionary.buildQuads(spark, quads)
+    val enc = Dictionary.encodeQuads(quads, dict)
+    def both(text: String): Unit = {
+      val viaString = Sparql.runQuads(quads, text)
+      val viaIds = Sparql.runQuadsEncoded(enc, dict, text)
+      assert(viaString.count() > 0, s"vacuous: $text")
+      assert(viaString.exceptAll(viaIds).count() === 0, text)
+      assert(viaIds.exceptAll(viaString).count() === 0, text)
+    }
+    // constant graph with a full body + default-graph pattern outside
+    both("""SELECT ?c ?nat ?nn WHERE {
+           |  GRAPH <g:customer> { ?c <mktsegment> "BUILDING" .
+           |                       ?c <nation> ?nat . }
+           |  ?nat <name> ?nn .
+           |}""".stripMargin)
+    // variable graph: ?g binds per named graph, OPTIONAL stays in-graph
+    both("""SELECT ?g ?o ?st ?cn WHERE {
+           |  GRAPH ?g { ?o <custkey> ?c . ?o <orderstatus> ?st .
+           |             OPTIONAL { ?c <name> ?cn . } }
+           |}""".stripMargin)
+    // property path inside GRAPH ?var, solved in id space per graph
+    both("""SELECT ?g ?src ?nn WHERE {
+           |  GRAPH ?g { ?src (<custkey>|<nation>)+ ?dst . }
+           |  ?dst <name> ?nn .
+           |}""".stripMargin)
+    // FROM / FROM NAMED dataset clauses
+    both("""SELECT ?g ?cust ?ord FROM <g:customer> FROM NAMED <g:orders>
+           |WHERE {
+           |  ?cust <mktsegment> "BUILDING" .
+           |  GRAPH ?g { ?ord <custkey> ?cust . ?ord <orderstatus> "F" . }
+           |}""".stripMargin)
+    // aggregation over a GRAPH ?var solve
+    both("""SELECT ?g (COUNT(?o) AS ?n) WHERE {
+           |  GRAPH ?g { ?o <orderstatus> "F" . }
+           |} GROUP BY ?g""".stripMargin)
+    // an unknown graph IRI gates to empty on both engines
+    val ghost = Sparql.runQuadsEncoded(enc, dict,
+      """SELECT ?s WHERE { GRAPH <g:nope> { ?s <custkey> ?c . } }""")
+    assert(ghost.count() === 0)
+  }
+
   test("SERVICE solves over registered endpoints and joins set-at-a-time") {
     val local = Seq(("a", "kind", "K"), ("b", "kind", "K"), ("c", "kind", "L"))
       .toDF("s", "p", "o")
