@@ -165,6 +165,13 @@ object LlmOps extends QueryModule {
           graft.Det.roundSafe(col("stop_ratio"), 4).as("stop_ratio"), col("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_text_gopher" -> ((s, d) =>
+      TextOps.gopherRules(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+          col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+          col("alpha_frac"), col("n_stop_kinds"), col("gopher_pass"))
+        .orderBy(col("doc_id"))),
+
     "q_text_entropy" -> ((s, d) =>
       TextOps.letterEntropy(Tables.documents(s, d))
         .select(col("doc_id"), col("n_letters"), col("entropy_bits"))
@@ -572,6 +579,52 @@ object LlmOps extends QueryModule {
         |  (CAST(sum(n_chars) AS DOUBLE) / count(*)) AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // identical word/line derivations and identical rounding to
+    // TextOps.gopherRules (arXiv:2112.11446 §A.1.1 thresholds verbatim)
+    "q_text_gopher" -> {
+      val nWords = "len(string_split(text, ' '))"
+      val sumWlen =
+        "list_sum(list_transform(string_split(text, ' '), x -> length(x)))"
+      val nHash = "(length(text) - length(replace(text, '#', '')))"
+      val nEll = "((length(text) - length(replace(text, '...', ''))) // 3)"
+      val nLines = "len(string_split(text, chr(10)))"
+      val nBullet = ("len(list_filter(string_split(text, chr(10)), l -> " +
+        "starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))")
+      val nEllLine = ("len(list_filter(string_split(text, chr(10)), l -> " +
+        "ends_with(rtrim(l), '...')))")
+      val nAlpha = ("len(list_filter(string_split(text, ' '), w -> " +
+        "regexp_matches(w, '[A-Za-z]')))")
+      val stopList = graft.llm.TextOps.gopherStops
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val nStopKinds = ("len(list_intersect(list_distinct(" +
+        s"string_split(text, ' ')), $stopList))")
+      val meanWlen = graft.Det.roundSafeSql(
+        s"CAST($sumWlen AS DOUBLE) / $nWords", 4)
+      val symbolRatio = graft.Det.roundSafeSql(
+        s"CAST($nHash + $nEll AS DOUBLE) / $nWords", 4)
+      val bulletFrac = graft.Det.roundSafeSql(
+        s"CAST($nBullet AS DOUBLE) / $nLines", 4)
+      val ellipsisFrac = graft.Det.roundSafeSql(
+        s"CAST($nEllLine AS DOUBLE) / $nLines", 4)
+      val alphaFrac = graft.Det.roundSafeSql(
+        s"CAST($nAlpha AS DOUBLE) / $nWords", 4)
+      s"""SELECT doc_id,
+         |  CAST($nWords AS BIGINT) AS n_words,
+         |  $meanWlen AS mean_wlen,
+         |  $symbolRatio AS symbol_ratio,
+         |  $bulletFrac AS bullet_frac,
+         |  $ellipsisFrac AS ellipsis_frac,
+         |  $alphaFrac AS alpha_frac,
+         |  CAST($nStopKinds AS BIGINT) AS n_stop_kinds,
+         |  CAST(CASE WHEN $nWords BETWEEN 50 AND 100000
+         |    AND $meanWlen BETWEEN 3.0 AND 10.0
+         |    AND $symbolRatio < 0.1
+         |    AND $bulletFrac < 0.9 AND $ellipsisFrac < 0.3
+         |    AND $alphaFrac > 0.8 AND $nStopKinds >= 2
+         |    THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // identical letter-count shape and identical left-associated addition
     // order to TextOps.letterEntropy — double sums agree bit-for-bit

@@ -83,6 +83,58 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** The Gopher/MassiveWeb quality-rule battery (Rae et al. 2021,
+    * arXiv:2112.11446 §A.1.1) — the published rule set most large corpus
+    * pipelines start from: word-count window, mean word length window,
+    * symbol-to-word ratio (# and ellipsis), bullet-/ellipsis-line
+    * fractions, alphabetic-word fraction, and the ≥2-distinct-stop-words
+    * requirement. Every rule is a codegen column expression over one text
+    * scan — MAP-ONLY at any corpus size, no shuffle, no UDF — and each
+    * rule's measurement is emitted alongside the verdict so a pipeline
+    * can re-threshold without recomputing.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val nWords = "size(split(text, ' '))"
+    val sumWlen = "aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))"
+    val nHash = "(length(text) - length(replace(text, '#', '')))"
+    val nEll = "((length(text) - length(replace(text, '...', ''))) / 3)"
+    val nLines = "size(split(text, '\\n'))"
+    val nBullet = "size(filter(split(text, '\\n'), l -> " +
+      "startswith(ltrim(l), '-') OR startswith(ltrim(l), '*')))"
+    val nEllLine = "size(filter(split(text, '\\n'), l -> " +
+      "endswith(rtrim(l), '...')))"
+    val nAlpha = "size(filter(split(text, ' '), w -> w rlike '[A-Za-z]'))"
+    val stopArr = gopherStops.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val nStopKinds =
+      s"size(array_intersect(array_distinct(split(text, ' ')), $stopArr))"
+    docs
+      .withColumn("n_words", expr(nWords).cast("long"))
+      .withColumn("mean_wlen", graft.Det.roundSafe(
+        expr(sumWlen).cast("double") / col("n_words"), 4))
+      .withColumn("symbol_ratio", graft.Det.roundSafe(
+        (expr(nHash) + expr(nEll)).cast("double") / col("n_words"), 4))
+      .withColumn("bullet_frac", graft.Det.roundSafe(
+        expr(nBullet).cast("double") / expr(nLines), 4))
+      .withColumn("ellipsis_frac", graft.Det.roundSafe(
+        expr(nEllLine).cast("double") / expr(nLines), 4))
+      .withColumn("alpha_frac", graft.Det.roundSafe(
+        expr(nAlpha).cast("double") / col("n_words"), 4))
+      .withColumn("n_stop_kinds", expr(nStopKinds).cast("long"))
+      // the paper's thresholds, verbatim; emitted as 0/1 for a
+      // cross-engine-stable column type
+      .withColumn("gopher_pass",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_frac") < 0.9 && col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") > 0.8 && col("n_stop_kinds") >= 2)
+          .cast("long"))
+  }
+
+  /** Gopher's stop-word set (§A.1.1), verbatim. */
+  private[llm] val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Heuristic quality score in [0,1]: length, stopword ratio, average word
     * length — the usual cheap pre-LLM corpus filters. Pure double
     * arithmetic on exact inputs → deterministic across engines.

@@ -163,6 +163,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("the Gopher rule battery is one map-only scan") {
+    val p = plan("q_text_gopher")
+    // one Exchange for the final orderBy; the rules themselves are codegen
+    // column expressions over a single documents scan
+    val treeExchanges = p.linesIterator
+      .count(l => (l.contains("+- ") || l.contains(":- ")) && l.contains("Exchange"))
+    assert(treeExchanges <= 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("documents.parquet"), p)
+  }
+
   test("q_tpch_q1 is scan → partial agg → final agg, filter at the scan") {
     val p = plan("q_tpch_q1")
     assert(!p.contains("Join"), p)

@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherRules: each rule trips on its own pathology") {
+    val good = (Seq("the", "of", "and", "that") ++
+      (1 to 60).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "the of too short"),                     // word count < 50
+      (3L, (Seq("the", "of") ++ (1 to 60).map(_ => "a")).mkString(" ")),
+                                                    // mean word length < 3
+      (4L, (Seq("the", "of") ++ (1 to 60).map(i => s"w$i###")).mkString(" ")),
+                                                    // symbol ratio ≥ 0.1
+      (5L, (Seq("the", "of") ++ (1 to 60).map(_ => "12345")).mkString(" ")),
+                                                    // alpha fraction ≤ 0.8
+      (6L, (1 to 60).map(i => s"word$i").mkString(" ")),
+                                                    // < 2 stop-word kinds
+      (7L, (1 to 60).map(i => s"- the of bullet$i line").mkString("\n")),
+                                                    // ≥ 90% bullet lines
+      (8L, (1 to 60).map(i => s"the of line$i trails ...").mkString("\n")))
+                                                    // ≥ 30% ellipsis lines
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs)
+      .select("doc_id", "gopher_pass").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L))
+    // the measurements behind the verdicts are exposed for re-thresholding
+    val m = TextOps.gopherRules(docs).filter($"doc_id" === 7L)
+      .select("bullet_frac").as[Double].head()
+    assert(m === 1.0)
+  }
+
   test("termFrequencies counts tokens across the corpus") {
     val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextOps.termFrequencies(docs).as[(String, Long)].collect().toMap
