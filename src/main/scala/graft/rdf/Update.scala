@@ -641,6 +641,52 @@ object QuadStore {
     publishDelta(spark, Update.delta(read(spark, root), Update.parse(text)),
       root)
 
+  /** Net change between two pinned versions: `(adds, dels)` quad frames —
+    * what a downstream consumer (an incremental index, a replica, a CDC
+    * feed) must apply to move from `from` to `to`.
+    *
+    * Fast path: fold the delta segments alone — for each touched quad the
+    * LAST add/tombstone in the range decides its candidate direction, and
+    * ONE presence screen against the `from` snapshot (store scanned once
+    * against the BROADCAST candidate set, same shape as the INSERT DATA
+    * presence check — the store never shuffles) removes phantom
+    * tombstones and re-adds. Work is O(Σ|delta|) plus one store scan,
+    * never a two-snapshot join. A graph-clear inside the range (a
+    * store-sized effect no segment enumerates) or a compacted-away
+    * segment falls back to the exact two-way `exceptAll` diff of the
+    * pinned reads. */
+  def changes(spark: SparkSession, root: String, from: Int,
+      to: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(from <= to, s"changes: from $from > to $to")
+    val fromState = readVersion(spark, root, from)
+    val toState = readVersion(spark, root, to)
+    val keys = Seq("s", "p", "o", "g")
+    if (from == to)
+      return (fromState.limit(0), fromState.limit(0))
+    def fallback: (DataFrame, DataFrame) =
+      (toState.exceptAll(fromState), fromState.exceptAll(toState))
+    val segsReadable = ((from + 1) to to).forall(i =>
+      graft.sources.AtomicStore.isComplete(deltaPath(root, i)))
+    if (!segsReadable) return fallback
+    val all = ((from + 1) to to).map(i =>
+        spark.read.parquet(deltaPath(root, i)).withColumn("v", lit(i)))
+      .reduce(_.unionByName(_))
+    if (!all.filter(col("op") === "g").isEmpty) return fallback
+    // last operation per quad decides the candidate direction; within one
+    // version replay order is dels-then-adds, so 'a' wins a same-version tie
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("v").desc, col("op").asc)
+    val last = all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val candAdds = last.filter(col("op") === "a").select(keys.map(col): _*)
+    val candDels = last.filter(col("op") === "d").select(keys.map(col): _*)
+    val present = fromState.join(
+      broadcast(candAdds.unionByName(candDels)), keys, "left_semi")
+    (candAdds.join(present, keys, "left_anti"),
+      candDels.join(present, keys, "left_semi"))
+  }
+
   /** Compaction + retention: fold the delta chain below the retention
     * window into a full base snapshot, then drop every older version and
     * any torn build leftovers. Deleted version numbers are returned.

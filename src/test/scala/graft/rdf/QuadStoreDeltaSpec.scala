@@ -77,4 +77,44 @@ class QuadStoreDeltaSpec extends SparkSpec {
     // pinned read of the previous (now base) version also works
     assert(QuadStore.readVersion(spark, root, cur - 1).count() > 0)
   }
+
+  test("changes() returns the exact net diff between pinned versions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("qsdelta3").toString
+    QuadStore.init(Quads.build(spark, sf0001), root)
+    QuadStore.update(spark, root,
+      """INSERT DATA { <x:1> <p> "a" . <x:2> <p> "b" . }""")       // v2
+    QuadStore.update(spark, root,
+      """DELETE DATA { <x:2> <p> "b" .
+        |              <x:ghost> <p> "never there" . }""".stripMargin) // v3
+    QuadStore.update(spark, root,
+      """INSERT DATA { <x:2> <p> "b" . <x:3> <p> "c" . }""")       // v4
+    def spo(df: org.apache.spark.sql.DataFrame) =
+      df.select("s", "p", "o").as[(String, String, String)].collect().toSet
+    // fast path (segments only): net of add→del→re-add is one add; the
+    // phantom tombstone nets to nothing
+    val (adds, dels) = QuadStore.changes(spark, root, 1, 4)
+    assert(spo(adds) === Set(("x:1", "p", "a"), ("x:2", "p", "b"),
+      ("x:3", "p", "c")))
+    assert(dels.count() === 0)
+    // a middle window sees the deletion of a quad that DID exist at from
+    val (a23, d23) = QuadStore.changes(spark, root, 2, 3)
+    assert(spo(a23).isEmpty)
+    assert(spo(d23) === Set(("x:2", "p", "b")))
+    // the fold must agree with the exact two-snapshot diff
+    val exact = QuadStore.readVersion(spark, root, 4)
+      .exceptAll(QuadStore.readVersion(spark, root, 1))
+    assert(adds.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(adds).count() === 0)
+    // a CLEAR in the range exercises the fallback path and stays exact
+    QuadStore.update(spark, root, "CLEAR GRAPH <g:customer>")      // v5
+    val (a45, d45) = QuadStore.changes(spark, root, 4, 5)
+    assert(a45.count() === 0)
+    assert(d45.count() ===
+      QuadStore.readVersion(spark, root, 4)
+        .filter(col("g") === "g:customer").count())
+    // identical versions diff to nothing
+    val (same, sameD) = QuadStore.changes(spark, root, 3, 3)
+    assert(same.count() === 0 && sameD.count() === 0)
+  }
 }
