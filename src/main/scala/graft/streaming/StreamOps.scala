@@ -55,7 +55,14 @@ object StreamOps extends QueryModule {
         .orderBy(col("win_start_us"), col("event_type"))),
     "q_stream_session" -> ((s, d) =>
       session(Tables.events(s, d))
-        .orderBy(col("user_id"), col("sess_start_us")))
+        .orderBy(col("user_id"), col("sess_start_us"))),
+    // Star completion over the triples feed: the batch dual of
+    // streamingStarMatch — subjects that have seen ALL star predicates,
+    // with the deterministic first (min) object per predicate.
+    "q_stream_star" -> ((s, d) =>
+      starMatch(graft.rdf.Triples.build(s, d),
+        Seq("name", "mktsegment", "nation"))
+        .orderBy(col("s"), col("p")))
   )
 
   private val sumv = Det.dsumSql("value")
@@ -97,8 +104,32 @@ object StreamOps extends QueryModule {
          |  FROM x)
          |SELECT user_id, min(us) AS sess_start_us,
          |  CAST(count(*) AS BIGINT) AS n, $sumv AS sum_value
-         |FROM y GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin
+         |FROM y GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin,
+
+    "q_stream_star" ->
+      s"""WITH triples AS (
+         |${graft.rdf.Triples.duckCte}
+         |), m AS (
+         |  SELECT s, p, min(o) AS o FROM triples
+         |  WHERE p IN ('name', 'mktsegment', 'nation') GROUP BY s, p
+         |)
+         |SELECT s, p, o FROM m
+         |WHERE s IN (SELECT s FROM m GROUP BY s HAVING count(*) = 3)
+         |ORDER BY s, p""".stripMargin
   )
+
+  /** Batch star-completion: subjects of `triples` carrying ALL `preds`,
+    * emitted as the star's (s, p, o) rows with the deterministic FIRST
+    * (minimum) object per predicate — the batch dual the streaming
+    * matcher must agree with. Two partial-agg shuffles, (s, p) then s. */
+  def starMatch(triples: DataFrame, preds: Seq[String]): DataFrame = {
+    val m = triples.filter(col("p").isin(preds: _*))
+      .groupBy(col("s"), col("p")).agg(min(col("o")).as("o"))
+    val complete = m.groupBy(col("s")).agg(count(lit(1)).as("np"))
+      .filter(col("np") === preds.size)
+      .select("s")
+    m.join(complete, Seq("s"), "left_semi")
+  }
 
   // ---------------- true-streaming helpers (tested via MemoryStream) ------
 
@@ -196,6 +227,59 @@ object StreamOps extends QueryModule {
               state.update(s)
               idleTimeout.foreach(state.setTimeoutDuration)
             }
+            out.iterator
+          }
+      }
+  }
+
+  case class Triple3(s: String, p: String, o: String)
+  case class StarState(bound: Map[String, String], done: Boolean)
+  case class StarOut(s: String, bindings: Map[String, String])
+
+  /** Continuous star matching over a TRIPLE STREAM — the reference's
+    * subject-star lookup (one grouped fetch per star) turned into a
+    * standing query: as triples arrive, per-subject state accumulates the
+    * star's predicate bindings and EMITS EXACTLY ONCE the moment every
+    * predicate of `preds` has been seen. The entity-completeness gate of
+    * a streaming KG ingest — "release the customer record downstream once
+    * name, segment and nation have all arrived".
+    *
+    * Semantics (deterministic): first arrival binds a predicate (later
+    * objects for an already-bound predicate are ignored; within one
+    * micro-batch "first" is the (p, o)-least row); a completed subject is
+    * remembered as done so replays/extras never re-emit. State per
+    * subject is one partial map, bounded by the star width; production
+    * streams SHOULD set `idleTimeout` so never-completing subjects are
+    * evicted instead of living in the state store forever (same contract
+    * as [[statefulSessionize]]).
+    */
+  def streamingStarMatch(triples: Dataset[Triple3], preds: Seq[String],
+      idleTimeout: Option[String] = None): Dataset[StarOut] = {
+    import triples.sparkSession.implicits._
+    val want = preds.toSet
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    triples.filter(t => want.contains(t.p))
+      .groupByKey(_.s)
+      .flatMapGroupsWithState[StarState, StarOut](
+        OutputMode.Append, timeoutConf) {
+        (subj: String, rows: Iterator[Triple3], state: GroupState[StarState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(StarState(Map.empty, done = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StarOut]
+            rows.toSeq.sortBy(t => (t.p, t.o)).foreach { t =>
+              if (!st.done && !st.bound.contains(t.p)) {
+                st = st.copy(bound = st.bound + (t.p -> t.o))
+                if (want.forall(st.bound.contains)) {
+                  out += StarOut(subj, st.bound)
+                  st = st.copy(done = true)
+                }
+              }
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
             out.iterator
           }
       }

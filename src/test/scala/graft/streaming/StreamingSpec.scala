@@ -275,4 +275,63 @@ class StreamingSpec extends SparkSpec {
     assert(StreamOps.readVersioned(spark, root.getPath)
       .select("event_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
+
+  test("streaming star match emits once per completed subject") {
+    import StreamOps.{Triple3, StarOut}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Triple3]
+    val out = StreamOps.streamingStarMatch(mem.toDS(), Seq("a", "b"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("star_out").start()
+    try {
+      // partial star: nothing emits, state holds the binding
+      mem.addData(Triple3("s1", "a", "v1"), Triple3("s2", "a", "x"))
+      q.processAllAvailable()
+      assert(spark.table("star_out").count() === 0)
+      // completion emits exactly one row; first arrival bound `a`
+      mem.addData(Triple3("s1", "b", "v2"),
+        Triple3("s1", "a", "LATER-IGNORED"))
+      q.processAllAvailable()
+      val rows = spark.table("star_out").as[StarOut].collect()
+      assert(rows.toSeq === Seq(StarOut("s1", Map("a" -> "v1", "b" -> "v2"))))
+      // replays / extra triples never re-emit a done subject
+      mem.addData(Triple3("s1", "b", "again"), Triple3("s1", "a", "again"))
+      q.processAllAvailable()
+      assert(spark.table("star_out").count() === 1)
+      // non-star predicates are filtered before state
+      mem.addData(Triple3("s2", "zzz", "noise"))
+      q.processAllAvailable()
+      assert(spark.table("star_out").count() === 1)
+      // s2 completes later
+      mem.addData(Triple3("s2", "b", "y"))
+      q.processAllAvailable()
+      assert(spark.table("star_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("streaming star match agrees with the batch starMatch dual") {
+    import StreamOps.Triple3
+    implicit val sqlCtx = spark.sqlContext
+    val preds = Seq("name", "mktsegment", "nation")
+    val triples = graft.rdf.Triples.build(spark, sf0001)
+    val rows = triples.as[(String, String, String)].collect()
+      .map { case (s, p, o) => Triple3(s, p, o) }
+    val mem = MemoryStream[Triple3]
+    val out = StreamOps.streamingStarMatch(mem.toDS(), preds)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("star_batch_eq").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rest.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("star_batch_eq")
+        .select(col("s"), explode(col("bindings")).as(Seq("p", "o")))
+      val batch = StreamOps.starMatch(triples, preds)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
