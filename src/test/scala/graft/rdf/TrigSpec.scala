@@ -68,6 +68,22 @@ class TrigSpec extends SparkSpec {
       Trig.parseDoc("<g> { <a> <b> ( <c> ) . }"))
   }
 
+  test("write → read round-trips escapes and mixed graphs") {
+    val typed = Seq(
+      ("a:1", "name", "esc\"aped\nnewline\ttab\\slash", false, ""),
+      ("a:1", "knows", "a:2", true, "g:one"),
+      ("a:2", "name", "unicode é — ☃", false, "g:one"),
+      ("a:2", "ref", "a:1", true, "g:two"),
+      ("a:3", "name", "plain", false, ""))
+      .toDF("s", "p", "o", "o_is_iri", "g")
+    val dir = java.nio.file.Files.createTempDirectory("trig_esc").toString
+    Trig.write(typed, dir)
+    val back = Trig.read(spark, s"$dir/part-*.txt")
+      .as[(String, String, String, String)].collect().toSet
+    assert(back === typed.select("s", "p", "o", "g")
+      .as[(String, String, String, String)].collect().toSet)
+  }
+
   test("write → read round-trips the quads dataset") {
     val quads = Quads.build(spark, sf0001)
       .withColumn("o_is_iri", col("o").rlike("^[conr]:"))
