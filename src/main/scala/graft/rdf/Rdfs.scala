@@ -69,7 +69,19 @@ object Rdfs {
     * emissions, each already lifted through the rdfs5/11 closures, as one
     * map-side expansion + distinct. `type` is the plain term `"type"`.
     */
-  def entail(triples: DataFrame, schema: Schema): DataFrame = {
+  def entail(triples: DataFrame, schema: Schema): DataFrame =
+    derivations(triples, schema).distinct()
+
+  /** Every DERIVATION of every entailed triple — the pre-distinct
+    * expansion, one row per (input triple, rule emission). Grouping this
+    * by (s, p, o) with a count gives the SUPPORT of each entailed triple:
+    * how many input triples derive it. Because the RDFS instance pass is
+    * map-side (each output derives from exactly ONE input row), support
+    * counts make the materialization incrementally maintainable under
+    * adds AND deletes via counting (the classic non-recursive-IVM
+    * result): see [[supportCounts]] / [[maintainCounts]].
+    */
+  def derivations(triples: DataFrame, schema: Schema): DataFrame = {
     val propsUp = closure(schema.subPropertyOf) // p -> p + all superprops
     val classUp = closure(schema.subClassOf)    // C -> C + all superclasses
 
@@ -115,8 +127,28 @@ object Rdfs {
     val objTypes = t.select(col("o").as("s"), lit("type").as("p"),
         explode(coalesce(element_at(rans, col("p")), array().cast("array<string>"))).as("o"))
 
-    viaProps.unionByName(subjTypes).unionByName(objTypes).distinct()
+    viaProps.unionByName(subjTypes).unionByName(objTypes)
   }
+
+  /** The materialized entailment WITH per-triple support: (s, p, o, n)
+    * where n = number of deriving input triples. `select(s,p,o)` IS
+    * [[entail]]'s result (n ≥ 1 by construction). */
+  def supportCounts(triples: DataFrame, schema: Schema): DataFrame =
+    derivations(triples, schema)
+      .groupBy(col("s"), col("p"), col("o"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Incrementally maintain a [[supportCounts]] materialization under a
+    * net (adds, dels) change to the INPUT triples (e.g. a
+    * [[QuadStore.changes]] feed): only the delta is expanded and
+    * shuffled — the base materialization is never recomputed — and
+    * support hitting zero retracts the entailed triple exactly (no
+    * over-deletion, the counting-IVM guarantee for map-side rules). */
+  def maintainCounts(counts: DataFrame, adds: DataFrame, dels: DataFrame,
+      schema: Schema): DataFrame =
+    graft.operators.IncrementalAgg.maintain(counts,
+      derivations(adds, schema), derivations(dels, schema),
+      Seq("s", "p", "o"), Map("n" -> lit(1L)))
 
   /** DuckDB oracle: the same entailment as first-principles recursive SQL
     * over a VALUES-encoded schema — closures via recursive CTEs (no

@@ -25,6 +25,41 @@ class GraphOpsSpec extends SparkSpec {
       ("tom", "type", "Thing")))         // rdfs9 through rdfs11
   }
 
+  test("RDFS counting-IVM: maintain ≡ recompute under adds and deletes") {
+    val schema = Rdfs.Schema(
+      subClassOf = Seq("Cat" -> "Animal"),
+      subPropertyOf = Seq("owns" -> "has"),
+      domain = Seq("owns" -> "Person"),
+      range = Seq("owns" -> "Cat"))
+    // two owners of tom: (tom type Cat) has support 2 — deleting ONE
+    // derivation must NOT retract it (the over-deletion trap counting
+    // avoids); deleting both must
+    val base = Seq(("alice", "owns", "tom"), ("bob", "owns", "tom"))
+      .toDF("s", "p", "o")
+    var counts = graft.Materialize(Rdfs.supportCounts(base, schema))
+    assert(counts.filter($"s" === "tom" && $"p" === "type" && $"o" === "Cat")
+      .select("n").as[Long].head() === 2L)
+    val dels1 = Seq(("bob", "owns", "tom")).toDF("s", "p", "o")
+    val adds1 = Seq(("carol", "owns", "mia")).toDF("s", "p", "o")
+    counts = Rdfs.maintainCounts(counts, adds1, dels1, schema)
+    val truth1 = Rdfs.supportCounts(
+      base.exceptAll(dels1).unionByName(adds1), schema)
+    assert(counts.exceptAll(truth1).count() === 0)
+    assert(truth1.exceptAll(counts).count() === 0)
+    assert(counts.filter($"s" === "tom" && $"p" === "type" && $"o" === "Cat")
+      .select("n").as[Long].head() === 1L, "support 2→1 must not retract")
+    // now delete alice's triple too: every tom entailment retracts
+    counts = Rdfs.maintainCounts(counts,
+      dels1.limit(0), Seq(("alice", "owns", "tom")).toDF("s", "p", "o"),
+      schema)
+    assert(counts.filter($"s" === "tom").count() === 0)
+    // and the entailed VIEW equals a from-scratch entail
+    val viewNow = counts.select("s", "p", "o")
+    val entailNow = Rdfs.entail(adds1, schema)
+    assert(viewNow.exceptAll(entailNow).count() === 0)
+    assert(entailNow.exceptAll(viewNow).count() === 0)
+  }
+
   test("RDFS entailment: domain of a SUPERproperty applies to the sub") {
     // (s sub o) entails (s super o) by rdfs7, whose domain then types s
     // by rdfs2 — the composition the folded maps must not miss
