@@ -641,6 +641,21 @@ object QuadStore {
     publishDelta(spark, Update.delta(read(spark, root), Update.parse(text)),
       root)
 
+  /** SPARQL over the store's CURRENT snapshot — read-side sugar closing
+    * the loop with [[update]]'s write side. `endpoints` passes through to
+    * SERVICE federation, so one query can join this store against other
+    * registered datasets. */
+  def query(spark: SparkSession, root: String, text: String,
+      endpoints: Map[String, DataFrame] = Map.empty): DataFrame =
+    Sparql.runQuads(read(spark, root), text, endpoints = endpoints)
+
+  /** SPARQL over a PINNED version — repeatable time-travel reads: the
+    * same query against v answers identically forever (until vacuum
+    * drops v's supporting chain). */
+  def queryVersion(spark: SparkSession, root: String, v: Int, text: String,
+      endpoints: Map[String, DataFrame] = Map.empty): DataFrame =
+    Sparql.runQuads(readVersion(spark, root, v), text, endpoints = endpoints)
+
   /** Net change between two pinned versions: `(adds, dels)` quad frames —
     * what a downstream consumer (an incremental index, a replica, a CDC
     * feed) must apply to move from `from` to `to`.

@@ -116,5 +116,21 @@ class QuadStoreDeltaSpec extends SparkSpec {
     // identical versions diff to nothing
     val (same, sameD) = QuadStore.changes(spark, root, 3, 3)
     assert(same.count() === 0 && sameD.count() === 0)
+
+    // SPARQL directly over the store, current and time-traveled: v4 has
+    // x:2 re-added; v3 (pinned) must still answer without it
+    val q = """SELECT ?s WHERE { ?s <p> ?v . FILTER (STRSTARTS(STR(?s), "x:")) }
+              |ORDER BY ?s""".stripMargin
+    assert(QuadStore.queryVersion(spark, root, 4, q)
+      .as[String].collect().toSeq === Seq("x:1", "x:2", "x:3"))
+    assert(QuadStore.queryVersion(spark, root, 3, q)
+      .as[String].collect().toSeq === Seq("x:1"))
+    // and SERVICE federation works against the store read
+    val ep = Seq(("x:1", "ext", "E")).toDF("s", "p", "o")
+    val fed = QuadStore.queryVersion(spark, root, 4,
+      """SELECT ?s ?e WHERE {
+        |  ?s <p> ?v . SERVICE <graft://ext> { ?s <ext> ?e . }
+        |}""".stripMargin, endpoints = Map("graft://ext" -> ep))
+    assert(fed.as[(String, String)].collect().toSeq === Seq(("x:1", "E")))
   }
 }
