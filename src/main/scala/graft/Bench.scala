@@ -19,6 +19,7 @@ object Bench {
       llm.EmbeddingOps.indexForEmbeddings(spark, sfDir): Unit
       rdf.TripleStore.encodedFor(spark, sfDir): Unit
       rdf.TripleStore.quadsEncodedFor(spark, sfDir): Unit
+      rdf.ExtVp.forDataset(spark, sfDir): Unit
       // CBO statistics are likewise ingest-time state: analyze once here
       // so TPC-H queries measure planning+execution, not the stats scan
       sources.Tables.analyzeAll(spark, sfDir): Unit

@@ -122,6 +122,19 @@ object RdfOps extends QueryModule {
         .orderBy(col("ord"))
     }),
 
+    // S2RDF-style ExtVP (VLDB 2016): the same chain solved over the
+    // PREBUILT semi-join-reduction store — each pattern scans the
+    // lowest-selectivity reduction its join partners admit, so the join
+    // inputs shrink before any shuffle.
+    "q_bgp_extvp" -> ((s, d) => {
+      ExtVp.solve(ExtVp.forDataset(s, d), Seq(
+        TP(V("ord"), C("custkey"), V("cust")),
+        TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+        TP(V("cust"), C("mktsegment"), V("seg")),
+        TP(V("cust"), C("name"), V("cname"))))
+        .orderBy(col("ord"))
+    }),
+
     // The reference's ACTUAL execution model (SURVEY.md §3.3): terms are
     // dictionary-encoded once at load (TripleStore.encodedFor persists the
     // dict + id-triples per dataset), the whole join tree runs over 8-byte
@@ -872,6 +885,14 @@ object RdfOps extends QueryModule {
         |ORDER BY cust""".stripMargin),
 
     "q_bgp_chain" -> cte(
+      """SELECT t1.s AS ord, t1.o AS cust, t3.o AS seg, t4.o AS cname
+        |FROM triples t1, triples t2, triples t3, triples t4
+        |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
+        |  AND t3.p = 'mktsegment' AND t4.p = 'name'
+        |  AND t1.s = t2.s AND t1.o = t3.s AND t1.o = t4.s
+        |ORDER BY ord""".stripMargin),
+
+    "q_bgp_extvp" -> cte(
       """SELECT t1.s AS ord, t1.o AS cust, t3.o AS seg, t4.o AS cname
         |FROM triples t1, triples t2, triples t3, triples t4
         |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'

@@ -1,0 +1,70 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtVpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val chain = Seq(
+    TP(V("ord"), C("custkey"), V("cust")),
+    TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+    TP(V("cust"), C("mktsegment"), V("seg")),
+    TP(V("cust"), C("name"), V("cname")))
+
+  test("ExtVP solve ≡ the plain join solver on the canonical chain") {
+    val triples = Triples.build(spark, sf0001)
+    val store = ExtVp.build(triples, threshold = 0.9)
+    val viaExt = ExtVp.solve(store, chain)
+    val viaBgp = Bgp.solve(triples, chain)
+    assert(viaExt.count() > 0)
+    assert(viaExt.exceptAll(viaBgp).count() === 0)
+    assert(viaBgp.exceptAll(viaExt).count() === 0)
+    store.vp.values.foreach(_.unpersist())
+  }
+
+  test("reductions are genuine subsets with recorded selectivities") {
+    val triples = Triples.build(spark, sf0001)
+    val store = ExtVp.build(triples, threshold = 0.9)
+    // custkey's OBJECTS are customers; only SOME customers own orders, so
+    // the mktsegment-by-custkey SO reduction must be strictly smaller
+    // than full VP[mktsegment] unless every customer ordered
+    assert(store.sel.nonEmpty, "no reduction survived the threshold")
+    store.red.foreach { case ((p, _, _) , df) =>
+      val full = store.vp(p).count()
+      val cnt = df.count()
+      assert(cnt <= full && cnt > 0)
+    }
+    store.sel.foreach { case (k, s) =>
+      assert(s > 0.0 && s <= 0.9, s"$k selectivity $s outside (0, 0.9]")
+    }
+    // the definitional check: SS[custkey|orderpriority] = orders with BOTH
+    val ss = store.red.get(("custkey", "orderpriority", "SS"))
+    ss.foreach { df =>
+      val manual = triples.filter($"p" === "custkey").select("s", "o")
+        .join(triples.filter($"p" === "orderpriority").select("s").distinct(),
+          Seq("s"), "left_semi")
+      assert(df.exceptAll(manual).count() === 0)
+      assert(manual.exceptAll(df).count() === 0)
+    }
+    store.vp.values.foreach(_.unpersist())
+  }
+
+  test("variable predicates reject loudly; unknown predicates match nothing") {
+    val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
+    val store = ExtVp.build(triples)
+    intercept[IllegalArgumentException](
+      ExtVp.solve(store, Seq(TP(V("s"), V("p"), V("o")))))
+    assert(ExtVp.solve(store, Seq(TP(V("s"), C("nope"), V("o"))))
+      .count() === 0)
+    store.vp.values.foreach(_.unpersist())
+  }
+
+  test("the persisted store round-trips and answers identically") {
+    val st = ExtVp.forDataset(spark, sf0001)
+    val viaDisk = ExtVp.solve(st, chain)
+    val viaBgp = Bgp.solve(Triples.build(spark, sf0001), chain)
+    assert(viaDisk.exceptAll(viaBgp).count() === 0)
+    assert(viaBgp.exceptAll(viaDisk).count() === 0)
+  }
+}
