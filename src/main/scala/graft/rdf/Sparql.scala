@@ -242,15 +242,23 @@ object Sparql {
     */
   def run(triples: DataFrame, text: String,
       collapseStars: Boolean = false,
-      endpoints: Map[String, DataFrame] = Map.empty): DataFrame = {
+      endpoints: Map[String, DataFrame] = Map.empty,
+      extVp: Option[ExtVp.Store] = None): DataFrame = {
     val q = parse(text)
     require(q.fromGraphs.isEmpty && q.fromNamed.isEmpty,
       "FROM / FROM NAMED dataset clauses require a quads dataset — " +
         "use Sparql.runQuads")
     execute(q,
-      bgp =>
-        if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
-        else Bgp.solve(triples, bgp),
+      bgp => extVp match {
+        // the ExtVP reduction store serves any all-constant-predicate
+        // group (the overwhelmingly common SPARQL shape); a variable
+        // predicate falls back to the full-table solver — same results,
+        // just no reduction pruning for that group
+        case Some(st) if bgp.forall(_.p.isInstanceOf[C]) => ExtVp.solve(st, bgp)
+        case _ =>
+          if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
+          else Bgp.solve(triples, bgp)
+      },
       (path, s, o) => solvePathOver(triples, path, s, o),
       (_, _) => throw new IllegalArgumentException(
         "GRAPH requires a quad dataset — use Sparql.runQuads"),

@@ -60,6 +60,29 @@ class ExtVpSpec extends SparkSpec {
     store.vp.values.foreach(_.unpersist())
   }
 
+  test("full SPARQL through the ExtVP store matches the plain engine") {
+    val triples = Triples.build(spark, sf0001)
+    val st = ExtVp.forDataset(spark, sf0001)
+    val text =
+      """SELECT ?ord ?cust ?cname WHERE {
+        |  ?ord <custkey> ?cust .
+        |  ?ord <orderpriority> "1-URGENT" .
+        |  OPTIONAL { ?cust <mktsegment> ?seg . FILTER (?seg = "BUILDING") }
+        |  ?cust <name> ?cname .
+        |  FILTER regex(?cname, "[05]$")
+        |}
+        |ORDER BY ?ord ?cust""".stripMargin
+    val viaExt = Sparql.run(triples, text, extVp = Some(st))
+    val plain = Sparql.run(triples, text)
+    assert(viaExt.count() > 0)
+    assert(viaExt.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(viaExt).count() === 0)
+    // a variable-predicate query falls back (no rejection, same answer)
+    val varP = "SELECT ?p WHERE { <c:1> ?p ?o . } ORDER BY ?p"
+    assert(Sparql.run(triples, varP, extVp = Some(st))
+      .exceptAll(Sparql.run(triples, varP)).count() === 0)
+  }
+
   test("the persisted store round-trips and answers identically") {
     val st = ExtVp.forDataset(spark, sf0001)
     val viaDisk = ExtVp.solve(st, chain)
