@@ -208,6 +208,13 @@ object LlmOps extends QueryModule {
       Retrieval.bm25TopK(Tables.documents(s, d),
         Seq("hash", "join", "vector", "spark"), k = 20)),
 
+    // RRF fusion of the BM25 ranking with a query-by-example vector
+    // ranking — the production RAG retrieval shape, fully oracled (both
+    // rankings and the fusion are deterministic rank arithmetic).
+    "q_retrieval_hybrid" -> ((s, d) =>
+      Retrieval.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("hash", "join", "vector", "spark"), probeId = 0L, k = 20)),
+
     // TF-IDF (doc, term) weights over a fixed vocabulary — same postings
     // machinery, per-cell weights instead of a per-doc score.
     "q_text_tfidf" -> ((s, d) =>
@@ -403,6 +410,69 @@ object LlmOps extends QueryModule {
         |  WHERE e.vec_id <> 0)
         |SELECT vec_id, label, sim FROM sims
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // identical BM25 and cosine derivations to their standalone oracles,
+    // ranked with the same (score desc, id) total order, fused with the
+    // fixed two-term coalesce addition — deterministic across engines
+    "q_retrieval_hybrid" -> {
+      val score = graft.Det.roundSafeSql(graft.Det.dsumSql("w", 6), 6)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents
+         |), consts AS (
+         |  SELECT count(*) AS n_docs,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM lens
+         |), post AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ('hash', 'join', 'vector', 'spark')
+         |  GROUP BY doc_id, tok
+         |), dfs AS (
+         |  SELECT tok, count(*) AS df FROM post GROUP BY tok
+         |), w AS (
+         |  SELECT p.doc_id,
+         |         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf /
+         |           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)) AS w
+         |  FROM post p JOIN dfs d USING (tok) JOIN lens l USING (doc_id),
+         |       consts c
+         |), lexpool AS (
+         |  SELECT doc_id, $score AS score FROM w GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 100
+         |), lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM lexpool
+         |), probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |sims AS (
+         |  SELECT e.vec_id, floor((
+         |      list_aggregate(list_transform(list_zip(e.embedding, p.pe),
+         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(list_aggregate(list_transform(e.embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         |         * sqrt(list_aggregate(list_transform(p.pe,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM embeddings e CROSS JOIN probe p
+         |  WHERE e.vec_id <> 0
+         |), vecpool AS (
+         |  SELECT vec_id FROM sims ORDER BY sim DESC, vec_id LIMIT 100
+         |), vec AS (
+         |  SELECT s.vec_id AS doc_id, CAST(row_number() OVER
+         |    (ORDER BY s.sim DESC, s.vec_id) AS BIGINT) AS vec_rank
+         |  FROM sims s JOIN vecpool v ON s.vec_id = v.vec_id
+         |), fused AS (
+         |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         |    lex.lex_rank AS lex_rank, vec.vec_rank AS vec_rank,
+         |    ${graft.Det.roundSafeSql(
+              "COALESCE(1.0 / (60 + lex.lex_rank), 0.0) + " +
+                "COALESCE(1.0 / (60 + vec.vec_rank), 0.0)", 6)} AS rrf
+         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+         |)
+         |SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     // q_dedup_ngram is EXACT (prefix filtering is a complete candidate
     // generator; the spec proves it loses no pairs) — so unlike the

