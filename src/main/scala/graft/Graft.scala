@@ -63,10 +63,36 @@ object Graft {
   def saveVerticalPartitioned(t: DataFrame, path: String): Unit =
     rdf.TripleStore.saveVerticalPartitioned(t, path)
 
+  /** Quads from TriG documents (Turtle + graph blocks). */
+  def quadsFromTrig(spark: SparkSession, path: String): DataFrame =
+    rdf.Trig.read(spark, path)
+  /** SPARQL with SERVICE federation: the endpoints map names other
+    * registered datasets the query may join set-at-a-time. */
+  def sparqlFederated(t: DataFrame, text: String,
+      endpoints: Map[String, DataFrame]): DataFrame =
+    rdf.Sparql.run(t, text, endpoints = endpoints)
+  /** SPARQL over the dictionary-encoded QUADS store (GRAPH in id space). */
+  def sparqlQuadsEncoded(encQuads: DataFrame, dict: DataFrame,
+      text: String): DataFrame =
+    rdf.Sparql.runQuadsEncoded(encQuads, dict, text)
+  /** BGP solving over the S2RDF-style semi-join-reduction store. */
+  def bgpExtVp(store: rdf.ExtVp.Store, patterns: Seq[rdf.TP]): DataFrame =
+    rdf.ExtVp.solve(store, patterns)
+
   // ---- LLM-pipeline ----
   def deduplicateExact(docs: DataFrame): DataFrame = llm.Dedup.exact(docs)
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
     llm.Dedup.minHashPairs(docs, threshold)
+  /** SemDeDup survivors: k-means-cluster-confined cosine dedup. */
+  def semanticDeduplicate(assigned: DataFrame, centroids: DataFrame,
+      eps: Double): DataFrame =
+    llm.SemDedup.removeSemanticDuplicates(assigned, centroids, eps)
+  /** The Gopher/MassiveWeb quality-rule verdicts + measurements. */
+  def gopherRules(docs: DataFrame): DataFrame = llm.TextOps.gopherRules(docs)
+  /** BM25 ⊕ vector retrieval fused by reciprocal-rank fusion. */
+  def hybridSearch(docs: DataFrame, vectors: DataFrame, query: Seq[String],
+      probeId: Long, k: Int): DataFrame =
+    llm.Retrieval.hybridRrf(docs, vectors, query, probeId, k)
   def cosineTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame =
     llm.EmbeddingOps.cosineTopK(vectors, probeId, k)
   def annTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame =
