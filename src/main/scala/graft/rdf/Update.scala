@@ -641,6 +641,26 @@ object QuadStore {
     publishDelta(spark, Update.delta(read(spark, root), Update.parse(text)),
       root)
 
+  /** Append a quads frame as one delta segment, set-semantically: only
+    * quads NOT already in the store land in the segment (the same
+    * scan-store-once-against-the-broadcast-block presence screen as
+    * INSERT DATA, so the store never shuffles). An append whose content
+    * is already present produces an EMPTY segment — which makes this the
+    * idempotent micro-batch sink primitive: an at-least-once replay of
+    * the same batch appends nothing (see
+    * [[graft.streaming.StreamOps.quadStoreSink]]). Returns the new
+    * version. */
+  def appendQuads(spark: SparkSession, root: String,
+      quads: DataFrame): Int = {
+    val keys = Seq("s", "p", "o", "g")
+    val block = quads.select(keys.map(col): _*).distinct()
+    val current = read(spark, root)
+    val present = current.join(broadcast(block), keys, "left_semi")
+    publishDelta(spark,
+      Update.Delta(block.join(present, keys, "left_anti"),
+        current.limit(0), Nil), root)
+  }
+
   /** SPARQL over the store's CURRENT snapshot — read-side sugar closing
     * the loop with [[update]]'s write side. `endpoints` passes through to
     * SERVICE federation, so one query can join this store against other

@@ -285,6 +285,22 @@ object StreamOps extends QueryModule {
       }
   }
 
+  /** foreachBatch sink appending each micro-batch of quads into a
+    * delta-log [[graft.rdf.QuadStore]] — the continuous-KG-ingest shape:
+    * a triple/quad stream lands as O(|batch|) delta segments on one
+    * evolving, versioned, SPARQL-queryable store. Exactly-once
+    * end-to-end: delivery is at-least-once, but
+    * [[graft.rdf.QuadStore.appendQuads]] presence-screens the batch
+    * against the store (set semantics), so a replayed batch appends an
+    * empty segment and the quad SET is unchanged. Usage:
+    * `stream.writeStream.foreachBatch(StreamOps.quadStoreSink(root))`. */
+  def quadStoreSink(root: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => {
+      graft.rdf.QuadStore.appendQuads(batch.sparkSession, root,
+        batch.toDF()): Unit
+    }
+
   /** Publish one micro-batch as an immutable AtomicStore snapshot keyed by
     * batch id. foreachBatch delivery is AT-LEAST-once: on failure replay
     * Structured Streaming re-runs a batch with the SAME id, and
