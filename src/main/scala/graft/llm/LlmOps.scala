@@ -165,6 +165,14 @@ object LlmOps extends QueryModule {
           graft.Det.roundSafe(col("stop_ratio"), 4).as("stop_ratio"), col("quality"))
         .orderBy(col("doc_id"))),
 
+    // Learned-BPE training on the word-frequency table (one corpus pass,
+    // then vocabulary-sized merge rounds). Declared no-oracle (the
+    // iterative argmax is not SQL-expressible); BpeSpec proves the merge
+    // sequence equals a naive single-node reference implementation.
+    "q_text_bpe_train" -> ((s, d) =>
+      Bpe.mergeTable(Tables.documents(s, d), numMerges = 20)
+        .orderBy(col("rank"))),
+
     "q_text_gopher" -> ((s, d) =>
       TextOps.gopherRules(Tables.documents(s, d))
         .select(col("doc_id"), col("n_words"), col("mean_wlen"),

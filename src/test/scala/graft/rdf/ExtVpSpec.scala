@@ -89,5 +89,9 @@ class ExtVpSpec extends SparkSpec {
     val viaBgp = Bgp.solve(Triples.build(spark, sf0001), chain)
     assert(viaDisk.exceptAll(viaBgp).count() === 0)
     assert(viaBgp.exceptAll(viaDisk).count() === 0)
+    // the plan scans the REDUCTION parquet, not the full triples table
+    val plan = viaDisk.queryExecution.executedPlan.toString()
+    assert(plan.contains("graft_extvp"), plan.take(2000))
+    assert(plan.contains("/red/"), "no reduction directory in the scan")
   }
 }
