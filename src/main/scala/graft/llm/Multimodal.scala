@@ -77,6 +77,47 @@ object Multimodal {
          |  X'', (acc, b) -> concat(acc, b))""".stripMargin))
   }
 
+  /** Media → embedding: the feature-extraction stage of a multimodal
+    * retrieval/dedup pipeline (CLIP-style encoder in production; here the
+    * encoder body is the documented STUB — a deterministic hash-seeded
+    * projection of the bytes, L2-normalized — because no model runtime
+    * exists in this sandbox). The plumbing is the real contract: binary
+    * column in, fixed-dim `array<float>` out, per-partition batches so a
+    * real encoder amortizes model load, output directly joinable to
+    * [[EmbeddingOps]]/[[IvfIndex]]/[[SemDedup]] (same (vec_id, embedding)
+    * shape the vector stack consumes). */
+  def embedMedia(ds: Dataset[Media], dim: Int = 16): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // model load would happen once per partition, here:
+      it.map { m =>
+        val raw = new Array[Double](dim)
+        var i = 0
+        while (i < m.media.length) {
+          // deterministic byte scatter — stands in for the encoder forward
+          raw((i * 31 + (m.media(i) & 0xff)) % dim) += (m.media(i) & 0xff)
+          i += 1
+        }
+        val norm = math.sqrt(raw.map(x => x * x).sum)
+        val emb =
+          if (norm == 0) raw.map(_.toFloat)
+          else raw.map(x => (x / norm).toFloat)
+        (m.doc_id, emb)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Media similarity search end-to-end: embed the corpus (ingest-time in
+    * production), then exact cosine top-k against the probe document's
+    * media — the multimodal near-dup / retrieval loop closed over the
+    * same vector machinery as the text stack. */
+  def mediaTopK(docs: DataFrame, probeId: Long, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val media = withPayload(docs).as[Media]
+    EmbeddingOps.cosineTopK(
+      embedMedia(media).withColumn("label", lit("media")), probeId, k)
+  }
+
   /** The oracled query shape: payload → deterministic metadata columns. */
   def describe(spark: SparkSession, docs: DataFrame): DataFrame =
     withPayload(docs)

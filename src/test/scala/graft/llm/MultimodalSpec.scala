@@ -40,4 +40,25 @@ class MultimodalSpec extends SparkSpec {
       .as[String].head() === "abcdefghij") // factor 1 = identity
     intercept[IllegalArgumentException](Multimodal.resizeFrames(frames, 0))
   }
+
+  test("media embedding feeds the vector stack; identical bytes align") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a completely different payload entirely"),
+      (4L, "")).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs).as[Multimodal.Media]
+    val emb = Multimodal.embedMedia(media)
+    // fixed dim, unit norm (except the empty payload), deterministic
+    val rows = emb.as[(Long, Seq[Float])].collect().toMap
+    assert(rows.values.forall(_.length === 16))
+    def norm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm(rows(1L)) - 1.0) < 1e-5)
+    assert(norm(rows(4L)) === 0.0)
+    assert(rows(1L) === rows(2L), "same bytes must embed identically")
+    assert(rows(1L) !== rows(3L))
+    // end-to-end similarity search: the byte-identical doc ranks first
+    // with similarity 1
+    val top = Multimodal.mediaTopK(docs, probeId = 1L, k = 2).collect()
+    assert(top.head.getAs[Long]("vec_id") === 2L)
+    assert(top.head.getAs[Double]("sim") === 1.0)
+  }
 }
