@@ -168,6 +168,98 @@ object Bgp {
 
   /** Generalized pattern solver over any (column, term) bindings — the
     * quad solver reuses it with a fourth `g` component. */
+
+  /** Solve a BGP DIRECTLY over a property table — one row per subject,
+    * one column per predicate (d-sparq's subject-grouped document layout,
+    * [P] §1.1; built by [[propertyTable]]). A star is then a pure
+    * filter + projection on the table — ZERO joins and zero shuffles per
+    * star, the exact analog of the reference's one-document Mongo lookup;
+    * stars still join each other on shared variables. A predicate the
+    * table lacks contributes an all-null synthetic column, so the
+    * present-predicate filter makes the star empty rather than erroring —
+    * matching triple semantics. Same single-valued precondition as
+    * [[solveStarCollapsed]].
+    */
+  def solveOverPropertyTable(pt: DataFrame, patterns: Seq[TP]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    def pred(tp: TP): String = tp.p match {
+      case C(v: String) => v
+      case _ => throw new IllegalArgumentException(
+        "property-table solving needs constant predicates")
+    }
+    val bySubj = patterns.zipWithIndex.groupBy(_._1.s).toSeq
+      .sortBy(_._2.head._2)
+    val starDfs = bySubj.map { case (subj, numbered) =>
+      val tps = numbered.map(_._1)
+      val preds = tps.map(pred)
+      val missing = preds.distinct.filterNot(pt.columns.contains)
+      val base = missing.foldLeft(pt)((df, m) =>
+        df.withColumn(m, lit(null).cast("string")))
+      var df = preds.distinct.map(p => col(p).isNotNull)
+        .foldLeft(base)(_.filter(_))
+      val sBind: Seq[(String, String)] = subj match {
+        case C(v) => df = df.filter(col("s") === lit(v)); Nil
+        case V(n) => Seq("s" -> n)
+      }
+      val oBinds = tps.flatMap { tp =>
+        tp.o match {
+          case C(v) => df = df.filter(col(pred(tp)) === lit(v)); None
+          case V(n) => Some(pred(tp) -> n)
+        }
+      }
+      val binds = sBind ++ oBinds
+      // one variable bound from several columns → equality, keep first
+      binds.groupBy(_._2).values.filter(_.size > 1).foreach(g =>
+        g.tail.foreach(t => df = df.filter(col(g.head._1) === col(t._1))))
+      // first-appearance binding order, matching [[solve]]'s column order
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      binds.foreach { case (c, n) => if (!seen.contains(n)) seen(n) = c }
+      df.select(seen.toSeq.map { case (n, c) => col(c).as(n) }: _*)
+    }
+    starDfs.reduce(joinSolved)
+  }
+
+  /** The property table itself: one row per subject carrying the given
+    * single-valued predicates as columns (max-aggregated for
+    * determinism — equal to the value under the precondition). */
+  def propertyTable(triples: DataFrame, preds: Seq[String]): DataFrame =
+    triples.filter(col("p").isin(preds: _*))
+      .groupBy(col("s"))
+      .pivot("p", preds)
+      .agg(max(col("o")))
+
+  /** Per-predicate triple counts — the reference's selectivity statistics
+    * collection ([P] R7), driver-held because #predicates is schema-sized. */
+  def predicateCounts(triples: DataFrame): Map[String, Long] = {
+    import triples.sparkSession.implicits._
+    triples.groupBy("p").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** [[solve]] with the reference's explicit selectivity reorder (R7):
+    * patterns sort by estimated cardinality — constant-object patterns
+    * count as a fraction of their predicate's triples, unknown predicates
+    * as 0 (they match nothing) — so the join fold starts from the most
+    * selective pattern, shrinking every intermediate result, without
+    * relying on CBO statistics being loaded. Result-equal to [[solve]]
+    * under any input order (joins commute; only the tree shape changes).
+    */
+  def solveReordered(triples: DataFrame, patterns: Seq[TP],
+      stats: Map[String, Long]): DataFrame = {
+    def est(tp: TP): (Long, String) = {
+      val base = tp.p match {
+        case C(v: String) => stats.getOrElse(v, 0L)
+        case _ => stats.values.sum
+      }
+      val scaled = (tp.s, tp.o) match {
+        case (C(_), _) | (_, C(_)) => base / 100 // a constant endpoint prunes hard
+        case _ => base
+      }
+      (scaled, tp.toString) // total order: ties break on the pattern text
+    }
+    solve(triples, patterns.sortBy(est))
+  }
+
   private[rdf] def onePattern(triples: DataFrame,
       bound: Seq[(String, Term)]): DataFrame = {
     val filters: Seq[Column] = bound.collect { case (c, C(v)) => col(c) === lit(v) }

@@ -111,6 +111,32 @@ object RdfOps extends QueryModule {
         .orderBy(col("cust"))
     }),
 
+    // The star answered DIRECTLY over the property table (d-sparq's
+    // subject-grouped document layout): filter + projection on one row
+    // per subject — zero joins, zero shuffles for the star itself.
+    "q_bgp_proptable" -> ((s, d) => {
+      val pt = Bgp.propertyTable(Triples.build(s, d),
+        Seq("name", "mktsegment", "nation"))
+      Bgp.solveOverPropertyTable(pt, Seq(
+        TP(V("cust"), C("name"), V("cname")),
+        TP(V("cust"), C("mktsegment"), C("BUILDING")),
+        TP(V("cust"), C("nation"), V("nat"))))
+        .orderBy(col("cust"))
+    }),
+
+    // The chain with the reference's EXPLICIT selectivity reorder (R7):
+    // per-predicate counts (the stats collection) sort patterns most
+    // selective first before the join fold — no CBO needed.
+    "q_bgp_reordered" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      Bgp.solveReordered(t, Seq(
+        TP(V("ord"), C("custkey"), V("cust")),
+        TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+        TP(V("cust"), C("mktsegment"), V("seg")),
+        TP(V("cust"), C("name"), V("cname"))), Bgp.predicateCounts(t))
+        .orderBy(col("ord"))
+    }),
+
     // Chain/pipeline: order-star feeds customer-star through ?cust; each
     // star collapses to an aggregate, the chain is one join between them.
     "q_bgp_chain" -> ((s, d) => {
@@ -883,6 +909,21 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
         |  AND t3.p = 'nation' AND t1.s = t2.s AND t1.s = t3.s
         |ORDER BY cust""".stripMargin),
+
+    "q_bgp_proptable" -> cte(
+      """SELECT t1.s AS cust, t1.o AS cname, t3.o AS nat
+        |FROM triples t1, triples t2, triples t3
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
+        |  AND t3.p = 'nation' AND t1.s = t2.s AND t1.s = t3.s
+        |ORDER BY cust""".stripMargin),
+
+    "q_bgp_reordered" -> cte(
+      """SELECT t1.s AS ord, t1.o AS cust, t3.o AS seg, t4.o AS cname
+        |FROM triples t1, triples t2, triples t3, triples t4
+        |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
+        |  AND t3.p = 'mktsegment' AND t4.p = 'name'
+        |  AND t1.s = t2.s AND t1.o = t3.s AND t1.o = t4.s
+        |ORDER BY ord""".stripMargin),
 
     "q_bgp_chain" -> cte(
       """SELECT t1.s AS ord, t1.o AS cust, t3.o AS seg, t4.o AS cname

@@ -266,4 +266,50 @@ class RdfSpec extends SparkSpec {
     assert(got.columns.sorted.toSeq === Seq("cname", "cust", "ord", "seg"))
     assert(got.count() > 0)
   }
+
+  test("property-table star solving ≡ join solving, zero joins per star") {
+    val triples = Triples.build(spark, sf0001)
+    val pats = Seq(
+      TP(V("cust"), C("name"), V("cname")),
+      TP(V("cust"), C("mktsegment"), C("BUILDING")),
+      TP(V("cust"), C("nation"), V("nat")))
+    val pt = Bgp.propertyTable(triples, Seq("name", "mktsegment", "nation"))
+    val viaPt = Bgp.solveOverPropertyTable(pt, pats)
+    val viaJoin = Bgp.solve(triples, pats)
+    assert(viaPt.count() > 0)
+    assert(viaPt.exceptAll(viaJoin).count() === 0)
+    assert(viaJoin.exceptAll(viaPt).count() === 0)
+    // the single-star solve is join-free (the reference's one-lookup shape)
+    val plan = viaPt.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), plan.take(1500))
+    // a predicate the table lacks empties the star instead of erroring
+    assert(Bgp.solveOverPropertyTable(pt,
+      pats :+ TP(V("cust"), C("ghost"), V("g"))).count() === 0)
+    // constant subject restricts; repeated object var forces equality
+    val one = Bgp.solveOverPropertyTable(pt,
+      Seq(TP(C("c:1"), C("name"), V("n"))))
+    assert(one.count() === 1)
+    assert(Bgp.solveOverPropertyTable(pt, Seq(
+      TP(V("c"), C("name"), V("x")),
+      TP(V("c"), C("mktsegment"), V("x")))).count() === 0,
+      "no customer's name equals its segment")
+  }
+
+  test("selectivity reorder is result-invariant under any input order") {
+    val triples = Triples.build(spark, sf0001)
+    val stats = Bgp.predicateCounts(triples)
+    assert(stats("custkey") > stats("region"),
+      "fixture sanity: order edges outnumber region edges")
+    val pats = Seq(
+      TP(V("ord"), C("custkey"), V("cust")),
+      TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+      TP(V("cust"), C("mktsegment"), V("seg")),
+      TP(V("cust"), C("name"), V("cname")))
+    val base = Bgp.solve(triples, pats)
+    pats.permutations.take(6).foreach { perm =>
+      val got = Bgp.solveReordered(triples, perm, stats)
+      assert(got.exceptAll(base).count() === 0 &&
+        base.exceptAll(got).count() === 0, s"order $perm diverged")
+    }
+  }
 }
