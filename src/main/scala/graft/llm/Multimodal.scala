@@ -94,8 +94,11 @@ object Multimodal {
         val raw = new Array[Double](dim)
         var i = 0
         while (i < m.media.length) {
-          // deterministic byte scatter — stands in for the encoder forward
-          raw((i * 31 + (m.media(i) & 0xff)) % dim) += (m.media(i) & 0xff)
+          // deterministic byte scatter — stands in for the encoder
+          // forward; Long arithmetic so GB-scale payloads cannot
+          // overflow the index into negative territory
+          val slot = ((i.toLong * 31 + (m.media(i) & 0xff)) % dim).toInt
+          raw(slot) += (m.media(i) & 0xff)
           i += 1
         }
         val norm = math.sqrt(raw.map(x => x * x).sum)

@@ -28,13 +28,28 @@ object IncrementalAgg {
   /** Maintain any set of additive measures: `measures` maps an output
     * column of `current` to the row-level expression whose SUM it holds
     * (COUNT(*) is SUM(1)). One union + one shuffle over delta-sized
-    * frames; the summary itself is the third (small) union leg. */
+    * frames; the summary itself is the third (small) union leg.
+    *
+    * Contract (enforced): `countCol` names a measure that counts rows
+    * (its expression sums to the group's row count, e.g. `lit(1L)`) —
+    * it is the ONLY sound group-liveness test (a SUM measure can net to
+    * zero over surviving rows); and every measure expression is
+    * INTEGER-typed — long sums are exact and order-independent, where
+    * double sums would make maintain diverge from recompute by combine
+    * order (scale fractional measures to integers, the
+    * [[graft.Det.dsum]] decimal discipline). */
   def maintain(current: DataFrame, adds: DataFrame, dels: DataFrame,
-      groupCols: Seq[String], measures: Map[String, Column]): DataFrame = {
+      groupCols: Seq[String], measures: Map[String, Column],
+      countCol: String = "n"): DataFrame = {
     val mCols = measures.keys.toSeq.sorted
     require(mCols.forall(current.columns.contains),
       s"summary is missing measure column(s) ${
         mCols.filterNot(current.columns.contains).mkString(", ")}")
+    require(measures.contains(countCol),
+      s"measures must include the row-count measure '$countCol' — the " +
+        "group-liveness test (drop groups whose count nets to zero) is " +
+        "only sound on a count")
+    requireIntegral(adds, measures)
     def contrib(df: DataFrame, sign: Int): DataFrame =
       df.select(groupCols.map(col) ++ mCols.map(m =>
         (measures(m).cast("long") * sign).as(m)): _*)
@@ -44,14 +59,27 @@ object IncrementalAgg {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(mCols.head).as(mCols.head),
         mCols.tail.map(m => sum(m).as(m)): _*)
-      // a group whose EVERY measure netted to zero has no surviving rows;
-      // counts hitting zero prove it for any row set with a count measure
-      .filter(mCols.map(m => col(m) =!= 0L).reduce(_ || _))
+      // zero surviving rows ⇔ the count measure netted to zero
+      .filter(col(countCol) =!= 0L)
+  }
+
+  /** Fractional measures would be silently truncated by the exactness
+    * cast — reject them loudly instead. */
+  private def requireIntegral(ref: DataFrame,
+      measures: Map[String, Column]): Unit = {
+    import org.apache.spark.sql.types._
+    measures.foreach { case (name, e) =>
+      val dt = ref.select(e.as(name)).schema.head.dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"measure '$name' is $dt — additive maintenance needs integer " +
+          "measures (scale decimals/doubles to integer units first)")
+    }
   }
 
   /** The from-scratch summary `maintain` must agree with. */
   def recompute(rows: DataFrame, groupCols: Seq[String],
       measures: Map[String, Column]): DataFrame = {
+    requireIntegral(rows, measures)
     val mCols = measures.keys.toSeq.sorted
     rows.groupBy(groupCols.map(col): _*)
       .agg(sum(measures(mCols.head).cast("long")).as(mCols.head),

@@ -94,20 +94,16 @@ object ExtVp {
       val best = candidates.filter(store.sel.contains)
         .sortBy(k => (store.sel(k), k.toString))
         .headOption
+      // unknown predicate matches nothing; an EMPTY store has no vp to
+      // slice, so synthesize the (s, o) shape from the session
+      def emptyScan: DataFrame = org.apache.spark.sql.SparkSession.active
+        .range(0).select(lit("").as("s"), lit("").as("o"))
       val scan = best.map(store.red).getOrElse(
         store.vp.getOrElse(p,
-          store.vp.head._2.limit(0))) // unknown predicate matches nothing
-      // σ(constants) + π(variables) + repeated-var equality, VP layout
-      val bound = Seq("s" -> tp.s, "o" -> tp.o)
-      val filtered = bound.collect { case (c, C(v)) => col(c) === lit(v) }
-        .foldLeft(scan)(_.filter(_))
-      val varCols = bound.collect { case (c, V(nm)) => (c, nm) }
-      val eq = varCols.groupBy(_._2).values.filter(_.size > 1)
-        .flatMap(g => g.tail.map(t => col(g.head._1) === col(t._1)))
-      val eqed = eq.foldLeft(filtered)(_.filter(_))
-      val uniq = varCols.groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (nm, g) => (g.head._1, nm) }
-      eqed.select(uniq.map { case (c, nm) => col(c).as(nm) }: _*)
+          store.vp.headOption.map(_._2.limit(0)).getOrElse(emptyScan)))
+      // σ(constants) + π(variables) + repeated-var equality over the VP
+      // layout — the shared pattern solver, with no `p` component
+      Bgp.onePattern(scan, Seq("s" -> tp.s, "o" -> tp.o))
     }
     solved.reduce(Bgp.joinSolved)
   }

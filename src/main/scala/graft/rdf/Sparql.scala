@@ -315,6 +315,9 @@ object Sparql {
       else quads.filter(col("g").isin(q.fromNamed: _*))
     def bgpOver(t: DataFrame)(pats: Seq[TP]): DataFrame =
       if (collapseStars) Bgp.solveStarCollapsed(t, pats) else Bgp.solve(t, pats)
+    // SERVICE ignores the active graph (its dataset is the endpoint's), so
+    // ONE solver threads through GRAPH bodies and the outer block alike
+    val svc = endpointSolver(endpoints)
     def solveGraph(g: Term, inner: Block): DataFrame = g match {
       // constant graph: the block's FULL group body (OPTIONAL, FILTER,
       // BIND, paths, …) solves over that one graph's slice
@@ -324,7 +327,8 @@ object Sparql {
         solveBranch(inner, bgpOver(slice),
           (path, ps, po) => solvePathOver(slice, path, ps, po),
           (_, _) => throw new IllegalArgumentException(
-            "nested GRAPH blocks are unsupported")) // parser rejects these
+            "nested GRAPH blocks are unsupported"), // parser rejects these
+          svc)
       // variable graph: the FULL group body solves with every pattern
       // group threaded through the graph binding — OPTIONAL / MINUS /
       // EXISTS blocks each solve over named graphs with ?g bound and then
@@ -338,11 +342,11 @@ object Sparql {
           pats => Quads.solveGraphBlock(namedQuads, pats, v),
           (path, ps, po) => solvePathOverGraphs(namedQuads, gName, path, ps, po),
           (_, _) => throw new IllegalArgumentException(
-            "nested GRAPH blocks are unsupported"))
+            "nested GRAPH blocks are unsupported"),
+          svc)
     }
     execute(q, bgpOver(dg),
-      (path, s, o) => solvePathOver(dg, path, s, o), solveGraph,
-      endpointSolver(endpoints))
+      (path, s, o) => solvePathOver(dg, path, s, o), solveGraph, svc)
   }
 
   /** Parse and execute against the dictionary-encoded id-triple store —
@@ -840,6 +844,12 @@ object Sparql {
         if (alts.isEmpty) branchSols
         else for { a <- alts; br <- branchSols } yield compatJoin(a, br)
     }
+    // a block whose every member dropped out (all SILENT services on
+    // unregistered endpoints — the parser rejects genuinely empty blocks)
+    // is SPARQL's UNIT solution: one row, no bindings
+    if (alts.isEmpty)
+      alts = Seq(Sol(org.apache.spark.sql.SparkSession.active
+        .range(1).select(), Set.empty))
     // bag-union of the alternatives; a column absent from some alternative
     // arrives null-padded → possibly-unbound from here on
     val commonCols = alts.map(_.df.columns.toSet).reduce(_ intersect _)

@@ -48,10 +48,14 @@ object Trig {
 
   /** TriG sink: named graphs as `<g> { ... }` blocks with subject-grouped
     * statements inside (the `;`/`,` list syntax), default-graph rows as
-    * top-level statements. Input is (s, p, o, o_is_iri, g). One output
-    * row per graph — three aggregations, paid once at export; a single
-    * pathological graph holding most of the corpus should be exported via
-    * [[NQuads.write]] (line-oriented, splittable) instead. */
+    * top-level statements. Input is (s, p, o, o_is_iri, g).
+    * PRECONDITION (as [[Turtle.write]]): s/p/g are VALID IRI terms — RDF
+    * IRIs cannot contain '>', '<' or whitespace, and the writer emits
+    * them raw inside angle brackets; literal objects are the escaped
+    * position. One output row per graph — three aggregations, paid once
+    * at export; a single pathological graph holding most of the corpus
+    * should be exported via [[NQuads.write]] (line-oriented, splittable)
+    * instead. */
   def write(typedQuads: DataFrame, path: String): Unit = {
     graft.functions.GraftFunctions.register(typedQuads.sparkSession)
     val obj = when(col("o_is_iri"), concat(lit("<"), col("o"), lit(">")))

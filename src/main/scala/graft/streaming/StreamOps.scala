@@ -119,9 +119,13 @@ object StreamOps extends QueryModule {
   )
 
   /** Batch star-completion: subjects of `triples` carrying ALL `preds`,
-    * emitted as the star's (s, p, o) rows with the deterministic FIRST
-    * (minimum) object per predicate — the batch dual the streaming
-    * matcher must agree with. Two partial-agg shuffles, (s, p) then s. */
+    * emitted as the star's (s, p, o) rows with the deterministic minimum
+    * object per predicate. Two partial-agg shuffles, (s, p) then s.
+    * Agrees with [[streamingStarMatch]] when each (subject, predicate)
+    * is single-valued — the property-table assumption — or when arrival
+    * order presents the minimum first; with multi-valued predicates the
+    * streaming matcher keeps the FIRST arrival (its contract), which
+    * need not be the minimum. */
   def starMatch(triples: DataFrame, preds: Seq[String]): DataFrame = {
     val m = triples.filter(col("p").isin(preds: _*))
       .groupBy(col("s"), col("p")).agg(min(col("o")).as("o"))

@@ -22,6 +22,22 @@ class IncrementalAggSpec extends SparkSpec {
     assert(maintained.filter($"k" === "a").count() === 0)
   }
 
+  test("contract guards: count measure required, fractional rejected") {
+    val base = Seq(("a", 1L)).toDF("k", "v")
+    val cur = IncrementalAgg.recompute(base, Seq("k"), Map("n" -> lit(1L)))
+    // no count measure → loud error (a sum can net to zero over live rows)
+    val noCount = intercept[IllegalArgumentException](
+      IncrementalAgg.maintain(cur.withColumnRenamed("n", "sv"),
+        base, base.limit(0), Seq("k"), Map("sv" -> col("v"))))
+    assert(noCount.getMessage.contains("row-count measure"))
+    // fractional measure → loud error instead of silent truncation
+    val frac = Seq(("a", 0.5)).toDF("k", "v")
+    val truncated = intercept[IllegalArgumentException](
+      IncrementalAgg.recompute(frac, Seq("k"),
+        Map("n" -> lit(1L), "sv" -> col("v"))))
+    assert(truncated.getMessage.contains("integer"))
+  }
+
   test("a QuadStore changes() feed maintains predicate counts") {
     val root = java.nio.file.Files.createTempDirectory("incragg").toString
     QuadStore.init(Quads.build(spark, sf0001), root)

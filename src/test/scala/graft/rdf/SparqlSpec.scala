@@ -1120,6 +1120,32 @@ class SparqlSpec extends SparkSpec {
         |  SERVICE SILENT <graft://nope> { ?s <score> ?v2 . }
         |}""".stripMargin, endpoints = eps)
     assert(silent.select("s").as[String].collect().toSeq === Seq("c"))
+    // a block whose ONLY member is a SILENT service on an unregistered
+    // endpoint degrades to the UNIT solution (one row, no bindings), so
+    // an ASK over it answers true
+    val unit = Sparql.run(local,
+      """ASK WHERE { SERVICE SILENT <graft://nope> { ?s <p> ?o . } }""",
+      endpoints = eps)
+    assert(unit.as[Boolean].head() === true)
+    // SERVICE inside a GRAPH body resolves through the same endpoint map
+    // (its dataset is the endpoint's, independent of the active graph)
+    val quads = local.withColumn("g", lit("g:k"))
+    val inGraph = Sparql.runQuads(quads,
+      """SELECT ?g ?s ?v WHERE {
+        |  GRAPH ?g { ?s <kind> "K" . }
+        |  SERVICE <graft://remote> { ?s <score> ?v . }
+        |}
+        |ORDER BY ?s""".stripMargin, endpoints = eps)
+    assert(inGraph.select("s", "v").as[(String, String)].collect().toSeq ===
+      Seq(("a", "1")))
+    val nested = Sparql.runQuads(quads,
+      """SELECT ?g ?s ?v WHERE {
+        |  GRAPH ?g { ?s <kind> "K" .
+        |             SERVICE <graft://remote> { ?s <score> ?v . } }
+        |}
+        |ORDER BY ?s""".stripMargin, endpoints = eps)
+    assert(nested.select("s", "v").as[(String, String)].collect().toSeq ===
+      Seq(("a", "1")))
     // variable endpoints are out of fragment, loudly
     intercept[IllegalArgumentException](Sparql.parse(
       """SELECT ?s WHERE { SERVICE ?ep { ?s <p> ?o . } }"""))
