@@ -559,6 +559,10 @@ object QuadStore {
     }.groupBy(_._1).map { case (v, vs) => v -> vs.exists(_._2) }
       .toSeq.sortBy(_._1)
 
+  /** Number of live (base + delta) versions under `root` — the replay
+    * chain length, the quantity retention policies bound. */
+  def chainLength(root: String): Int = versions(root).size
+
   def currentVersion(root: String): Option[Int] = {
     val vs = versions(root)
     if (vs.isEmpty) None else Some(vs.map(_._1).max)
