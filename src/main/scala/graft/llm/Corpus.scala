@@ -245,4 +245,36 @@ object Corpus {
   /** [[shuffleIntoShards]]'s hash key for the DuckDB oracle. */
   def shuffleKeySql(expr: String): String =
     s"((($expr) % 1000003) * 2654435761 + 40503) % 1000003"
+
+  /** Weighted EPOCH upsampling — the pretraining mixture primitive (the
+    * Pile / LLaMA-style source weighting): each stratum is repeated
+    * `weightsPerMille / 1000` epochs, fractional epochs realized by
+    * repeating the deterministic [[idBucket]]-chosen fraction of its
+    * documents once more (2500‰ ⇒ every doc twice, the hash-chosen half a
+    * third time; 300‰ ⇒ the chosen 30%). Output carries an `epoch`
+    * ordinal per copy so downstream shuffling/packing can interleave
+    * copies instead of clustering them.
+    *
+    * Determinism and scale: the epoch count is a pure integer function of
+    * (stratum weight, doc_id) — no RNG state, identical under retries and
+    * any partitioning — and the expansion is a map-side `explode` over a
+    * bounded sequence (≤ ⌈w⌉ copies), so the corpus is scanned once with
+    * zero shuffles; 100 TB in, weight-scaled bytes out, at scan speed.
+    */
+  def upsample(docs: DataFrame, stratum: Column,
+      weightsPerMille: Map[String, Int],
+      defaultPerMille: Int = 1000): DataFrame = {
+    require((defaultPerMille +: weightsPerMille.values.toSeq).forall(_ >= 0),
+      "weights must be non-negative")
+    val w = weightsPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, v)) => when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    docs.withColumn("__w", w.cast("long"))
+      .withColumn("n_epochs",
+        expr("__w div 1000") +
+          when(idBucket(col("doc_id")) < col("__w") % 1000, 1L).otherwise(0L))
+      .filter(col("n_epochs") > 0)
+      .withColumn("epoch", explode(expr("sequence(0L, n_epochs - 1L)")))
+      .drop("__w")
+  }
 }

@@ -180,6 +180,15 @@ object LlmOps extends QueryModule {
           col("alpha_frac"), col("n_stop_kinds"), col("gopher_pass"))
         .orderBy(col("doc_id"))),
 
+    // C4 cleaning battery (Raffel et al. 2020 §2.2): line-level keep rules
+    // + page-level verdicts in one map-only scan, cleaned text emitted.
+    "q_text_c4" -> ((s, d) =>
+      TextOps.c4Rules(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("clean_text"), col("n_sentences"), col("has_lorem"),
+          col("has_brace"), col("has_blockword"), col("c4_pass"))
+        .orderBy(col("doc_id"))),
+
     "q_text_entropy" -> ((s, d) =>
       TextOps.letterEntropy(Tables.documents(s, d))
         .select(col("doc_id"), col("n_letters"), col("entropy_bits"))
@@ -302,6 +311,16 @@ object LlmOps extends QueryModule {
       Corpus.packSequences(Tables.documents(s, d),
           tokens = size(split(col("text"), " ")), ctx = 256, shards = 8)
         .orderBy(col("doc_id"))),
+
+    // Weighted epoch upsampling (the pretraining mixture primitive):
+    // src0 runs 2.5 epochs, src1 0.3, everything else exactly 1 —
+    // fractional epochs realized by the deterministic id bucket, one
+    // map-side explode, zero shuffles.
+    "q_corpus_upsample" -> ((s, d) =>
+      Corpus.upsample(Tables.documents(s, d), col("source"),
+          weightsPerMille = Map("src0" -> 2500, "src1" -> 300))
+        .select(col("doc_id"), col("source"), col("n_epochs"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
 
     // Deterministic training-order shuffle into 16 shards (the step
     // between filtering and packing): hash-sharded, no global sort
@@ -800,6 +819,53 @@ object LlmOps extends QueryModule {
         |  CAST(floor(start_off / 256.0) AS BIGINT) AS chunk_first,
         |  CAST(floor((start_off + n_tok - 1) / 256.0) AS BIGINT) AS chunk_last
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_upsample" -> {
+      val bucket = Corpus.idBucketSql("doc_id")
+      s"""WITH w AS (SELECT doc_id, source,
+         |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 300
+         |    ELSE 1000 END AS wpm FROM documents),
+         |e AS (SELECT doc_id, source,
+         |  wpm // 1000 + CASE WHEN $bucket < wpm % 1000
+         |    THEN 1 ELSE 0 END AS n_epochs FROM w)
+         |SELECT doc_id, source, CAST(n_epochs AS BIGINT) AS n_epochs,
+         |  CAST(unnest(generate_series(0, n_epochs - 1)) AS BIGINT) AS epoch
+         |FROM e WHERE n_epochs > 0 ORDER BY doc_id, epoch""".stripMargin
+    },
+
+    "q_text_c4" -> {
+      val kept = """list_filter(string_split(text, chr(10)), l ->
+        | (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR
+        |  ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"')) AND
+        | len(string_split(l, ' ')) >= 3 AND
+        | NOT contains(lower(l), 'javascript'))""".stripMargin
+      val blockList = TextOps.c4Blocklist
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      val nSent = Seq(".", "!", "?").map(c =>
+          s"(length(clean_text) - length(replace(clean_text, '$c', '')))")
+        .mkString("(", " + ", ")")
+      s"""WITH k AS (SELECT doc_id, text, $kept AS kept FROM documents),
+         |m AS (SELECT doc_id, text,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k),
+         |v AS (SELECT doc_id, n_lines, n_kept_lines, clean_text,
+         |  CAST($nSent AS BIGINT) AS n_sentences,
+         |  CAST(CASE WHEN contains(lower(text), 'lorem ipsum')
+         |    THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+         |  CAST(CASE WHEN contains(text, '{')
+         |    THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+         |  CAST(CASE WHEN len(list_intersect(list_distinct(
+         |      string_split(lower(text), ' ')), $blockList)) > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS has_blockword
+         |  FROM m)
+         |SELECT doc_id, n_lines, n_kept_lines, clean_text, n_sentences,
+         |  has_lorem, has_brace, has_blockword,
+         |  CAST(CASE WHEN n_sentences >= 5 AND has_lorem = 0
+         |    AND has_brace = 0 AND has_blockword = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
 
     // same derivations as the q_text_quality / q_text_repetition oracles,
     // fused and filtered — the oracle proves the one-scan gate applies

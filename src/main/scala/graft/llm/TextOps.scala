@@ -266,4 +266,56 @@ object TextOps {
       .withColumn("fp", array_distinct(
         expr(s"transform(sequence(0, greatest(size(grams) - $w, 0)), j -> array_min(slice(grams, j + 1, $w)))")))
       .drop("grams")
+
+  /** Placeholder for the published C4 blocklist ("List of Dirty, Naughty,
+    * Obscene or Otherwise Bad Words") — the sandbox ships no wordlists, so
+    * these tokens stand in; production passes the real list, the rule is
+    * identical. */
+  private[llm] val c4Blocklist = Seq("obscene0", "obscene1")
+
+  /** The C4 cleaning ruleset (Raffel et al. 2020, arXiv:1910.10683 §2.2),
+    * the other canonical published corpus battery beside [[gopherRules]]:
+    * keep only lines ending in terminal punctuation (. ! ? ") with ≥3
+    * words and no "javascript"; drop pages with <5 surviving sentences,
+    * any blocklist word, "lorem ipsum", or a curly brace. Emits the
+    * CLEANED text (surviving lines rejoined) plus every rule's measurement
+    * beside the verdict, so a pipeline can re-threshold without rescanning.
+    *
+    * Scale shape, same as the Gopher battery: every rule is a codegen
+    * column expression over ONE text scan — map-only at any corpus size,
+    * no shuffle, no UDF — so the gate runs at parquet scan speed and its
+    * selectivity prunes everything downstream.
+    */
+  def c4Rules(docs: DataFrame,
+      blocklist: Seq[String] = c4Blocklist): DataFrame = {
+    // terminal punctuation + ≥3 words + no "javascript" per the paper;
+    // the end-quote case covers sentences closing a quotation
+    val kept = "filter(split(text, '\\n'), l -> " +
+      "(endswith(rtrim(l), '.') OR endswith(rtrim(l), '!') OR " +
+      "endswith(rtrim(l), '?') OR endswith(rtrim(l), '\"')) AND " +
+      "size(split(l, ' ')) >= 3 AND NOT contains(lower(l), 'javascript'))"
+    val blockArr = blocklist.map(s => s"'$s'").mkString("array(", ", ", ")")
+    // sentence count = terminal marks in the SURVIVING text (the paper
+    // counts sentences after line filtering); three replace-diffs keep the
+    // expression portable across engines (no translate/regexp dialects)
+    val nSent = Seq(".", "!", "?").map(c =>
+        s"(length(clean_text) - length(replace(clean_text, '$c', '')))")
+      .mkString("(", " + ", ")")
+    docs
+      .withColumn("__kept", expr(kept))
+      .withColumn("n_lines", expr("size(split(text, '\\n'))").cast("long"))
+      .withColumn("n_kept_lines", size(col("__kept")).cast("long"))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_sentences", expr(nSent).cast("long"))
+      .withColumn("has_lorem",
+        expr("contains(lower(text), 'lorem ipsum')").cast("long"))
+      .withColumn("has_brace", expr("contains(text, '{')").cast("long"))
+      .withColumn("has_blockword", expr(
+        s"size(array_intersect(array_distinct(split(lower(text), ' ')), $blockArr)) > 0")
+        .cast("long"))
+      .withColumn("c4_pass",
+        (col("n_sentences") >= 5 && col("has_lorem") === 0 &&
+          col("has_brace") === 0 && col("has_blockword") === 0).cast("long"))
+      .drop("__kept")
+  }
 }

@@ -57,6 +57,17 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Mergeable PERSISTED-sketch workflow ([[Sketches]]): per-flag HLL
+    // sketches (the ingest-time artifact) answer per-stratum AND unioned
+    // global distinct questions from kilobytes, never rescanning the
+    // corpus. Approximate ⇒ no SQL oracle; SketchesSpec bounds the error
+    // and proves union-of-parts ≡ sketch-of-whole.
+    "q_agg_hll_union" -> ((s, d) => {
+      val sk = Sketches.hllSketches(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_partkey"))
+      Sketches.hllEstimates(sk).orderBy(col("stratum"))
+    }),
+
     "q_agg_rollup" -> ((s, d) => {
       Tables.orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))

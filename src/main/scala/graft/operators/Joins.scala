@@ -140,6 +140,22 @@ object Joins extends QueryModule {
       SkewJoin.salted(o, c, "k", salt = 8)
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Co-located join over the persisted bucketed store (the 100 TB shape
+    // for lineitem ⋈ orders): both sides bucketed+sorted by order key, so
+    // the merge join AND the per-order aggregate above it plan with zero
+    // shuffle exchanges (asserted in PlanShapeSpec). The merge hint pins
+    // the bucketing-exploiting plan at toy scale, where orders would
+    // otherwise broadcast; at production scale SMJ is what Catalyst picks
+    // anyway and the hint is a no-op.
+    "q_join_bucketed" -> ((s, d) => {
+      val (o, l) = graft.sources.BucketedTables.ordersLineitem(s, d)
+      l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -247,6 +263,16 @@ object Joins extends QueryModule {
     "q_join_skew" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the oracle is the PLAIN join — bucketing must be invisible in the
+    // result, it only changes the physical plan
+    "q_join_bucketed" -> {
+      val qty = Det.dsumSql("l_quantity", 2)
+      s"""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+         |  $qty AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+    }
   )
 }

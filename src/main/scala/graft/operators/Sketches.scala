@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-summary workflow over Spark's DataSketches HLL builtins —
+  * the 100 TB pattern for distinct counting: per-stratum sketches are
+  * built ONCE at ingest (each a few KB, mergeable), persisted beside the
+  * data, and every later question ("distinct across these strata?",
+  * "...this month + last month?") is answered by UNIONING the sketches —
+  * never by rescanning the corpus. `approx_count_distinct` (q_agg_approx
+  * _distinct) answers one fixed question per scan; a sketch TABLE answers
+  * all of them from kilobytes.
+  *
+  * Determinism: DataSketches HLL register state is a max-per-bucket fold
+  * of a seeded hash — associative and commutative — so the union of
+  * per-stratum sketches reaches the register state of a whole-corpus
+  * sketch, and estimates are identical whatever the partitioning or merge
+  * order (asserted in SketchesSpec). No oracle (DuckDB's approx engine
+  * differs); the spec bounds error vs exact distinct counts instead.
+  */
+object Sketches {
+
+  /** Per-stratum HLL sketch table: one binary sketch per group. `lgK`=12
+    * is the DataSketches default (~1.6% relative standard error, ≤4 KB a
+    * sketch); the aggregation is map-side-combining like any hash agg,
+    * and the output is |strata| rows — this is the ingest-time artifact
+    * to persist. */
+  def hllSketches(df: DataFrame, stratum: Column, value: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(stratum.as("stratum"))
+      .agg(hll_sketch_agg(value, lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge a sketch table (or any filtered subset of it) into one
+    * estimate: a kilobytes-sized aggregation, never a data rescan. */
+  def hllUnionEstimate(sketches: DataFrame): DataFrame =
+    sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("estimate"))
+
+  /** Per-stratum estimates PLUS the global union row ("__all") from the
+    * same sketch table — the query a persisted sketch store serves. */
+  def hllEstimates(sketches: DataFrame): DataFrame = {
+    val per = sketches.select(col("stratum"),
+      hll_sketch_estimate(col("sketch")).as("estimate"))
+    val all = sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("estimate"))
+      .select(lit("__all").as("stratum"), col("estimate"))
+    per.unionByName(all)
+  }
+}

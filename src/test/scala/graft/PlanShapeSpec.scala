@@ -58,6 +58,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_join_bucketed: co-located merge join with ZERO shuffle exchanges") {
+    // both sides read from the bucketed store; the join AND the per-order
+    // aggregate ride the bucketing, so the only exchange in the whole plan
+    // is the final ORDER BY's range repartition
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"join/agg must ride the bucketing, not re-shuffle:\n$p")
+  }
+
   test("native cosine kernel appears in the similarity plan") {
     assert(plan("q_sim_cosine_topk").contains("cosine_sim"))
   }

@@ -207,4 +207,36 @@ class CorpusSpec extends SparkSpec {
     val shard0 = a.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
     assert(shard0 !== shard0.sorted)
   }
+
+  test("upsample: integer epochs exact, fractional epochs hash-chosen, zero drops") {
+    val docs = (0L until 300L).map { id =>
+      val src = if (id < 100) "a" else if (id < 200) "b" else "c"
+      (id, src, s"doc $id")
+    }.toDF("doc_id", "source", "text")
+    val got = Corpus.upsample(docs, $"source",
+        weightsPerMille = Map("a" -> 2500, "b" -> 0), defaultPerMille = 1000)
+      .select($"doc_id", $"source", $"n_epochs", $"epoch")
+      .as[(Long, String, Long, Long)].collect()
+    // weight 0 ⇒ stratum fully dropped
+    assert(!got.exists(_._2 == "b"))
+    // default 1000‰ ⇒ exactly one copy each
+    val c = got.filter(_._2 == "c")
+    assert(c.length === 100 && c.forall(r => r._3 == 1L && r._4 == 0L))
+    // 2500‰ ⇒ every doc 2 or 3 copies; totals match the per-doc bucket rule
+    val byDoc = got.filter(_._2 == "a").groupBy(_._1)
+    assert(byDoc.forall { case (_, rows) =>
+      val n = rows.head._3
+      (n == 2L || n == 3L) && rows.map(_._4).sorted.toSeq == (0L until n).toSeq
+    })
+    // the fractional half really is a fraction (not all-2 or all-3)
+    val ns = byDoc.values.map(_.head._3).toSeq
+    assert(ns.contains(2L) && ns.contains(3L))
+    // deterministic under repartitioning (pure function of ids)
+    val again = Corpus.upsample(docs.repartition(7), $"source",
+        Map("a" -> 2500, "b" -> 0), 1000)
+      .select($"doc_id", $"source", $"n_epochs", $"epoch")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._4)).toSeq ===
+      again.sortBy(r => (r._1, r._4)).toSeq)
+  }
 }

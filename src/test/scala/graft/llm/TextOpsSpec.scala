@@ -154,4 +154,34 @@ class TextOpsSpec extends SparkSpec {
     assert(q(2L) > q(1L))
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("c4Rules: line keeps, sentence count, page verdicts per the paper") {
+    val good = (1 to 6).map(i => s"this is sentence number $i.").mkString("\n")
+    val docs = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "no punctuation here\nshort.\nuses javascript today.\n" +
+        "a good line stays here."),                  // line rules bite
+      (3L, good + "\nlorem ipsum dolor sit."),       // lorem page drop
+      (4L, good + "\nhas a { brace."),               // brace page drop
+      (5L, good + "\nhas obscene0 inside.")          // blocklist page drop
+    ).toDF("doc_id", "text")
+    val got = TextOps.c4Rules(docs)
+      .select($"doc_id", $"n_lines", $"n_kept_lines", $"clean_text",
+        $"n_sentences", $"has_lorem", $"has_brace", $"has_blockword",
+        $"c4_pass")
+      .as[(Long, Long, Long, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._9 === 1L && got(1L)._5 === 6L)
+    // doc 2: "no punctuation" dropped (no terminal mark), "short." dropped
+    // (<3 words), the javascript line dropped, one survivor
+    assert(got(2L)._2 === 4L && got(2L)._3 === 1L)
+    assert(got(2L)._4 === "a good line stays here.")
+    assert(got(2L)._9 === 0L, "fewer than 5 sentences must fail the page")
+    assert(got(3L)._6 === 1L && got(3L)._9 === 0L)
+    assert(got(4L)._7 === 1L && got(4L)._9 === 0L)
+    assert(got(5L)._8 === 1L && got(5L)._9 === 0L)
+    // map-only: no exchange anywhere in the plan
+    val plan = TextOps.c4Rules(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4Rules must stay map-only:\n$plan")
+  }
 }

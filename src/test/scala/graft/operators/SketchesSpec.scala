@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 5000L)
+    .map(i => (s"g${i % 4}", i % 1777L))
+    .toDF("g", "v")
+
+  test("per-stratum estimates are within HLL error of exact distincts") {
+    val sk = Sketches.hllSketches(corpus, $"g", $"v")
+    val est = Sketches.hllEstimates(sk)
+      .as[(String, Long)].collect().toMap
+    val exact = corpus.groupBy($"g").agg(countDistinct($"v").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      // lgK=12 ⇒ rse ≈ 1.04/√4096 ≈ 1.6%; allow 5 sigma
+      assert(math.abs(est(g) - n) <= math.max(3, 0.08 * n),
+        s"stratum $g: est ${est(g)} vs exact $n")
+    }
+    val exactAll = corpus.agg(countDistinct($"v")).as[Long].head()
+    assert(math.abs(est("__all") - exactAll) <= math.max(3, 0.08 * exactAll))
+  }
+
+  test("union of per-stratum sketches ≡ one whole-corpus sketch") {
+    // HLL registers fold by max (associative+commutative), so merging the
+    // parts must reach the whole's estimate exactly — the property that
+    // makes a persisted sketch table answer arbitrary rollups
+    val parts = Sketches.hllUnionEstimate(
+      Sketches.hllSketches(corpus, $"g", $"v")).as[Long].head()
+    val whole = Sketches.hllUnionEstimate(
+      Sketches.hllSketches(corpus, lit("x"), $"v")).as[Long].head()
+    assert(parts === whole)
+    // and the estimate is deterministic under repartitioning
+    val re = Sketches.hllUnionEstimate(
+      Sketches.hllSketches(corpus.repartition(13), $"g", $"v"))
+      .as[Long].head()
+    assert(re === parts)
+  }
+
+  test("sketch table is strata-sized and the union reads only sketches") {
+    val sk = Sketches.hllSketches(corpus, $"g", $"v")
+    assert(sk.count() === 4)
+    // the union aggregates the 4-row sketch table; no join back to corpus
+    val plan = Sketches.hllUnionEstimate(sk)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"union must not rescan the corpus:\n$plan")
+  }
+}
