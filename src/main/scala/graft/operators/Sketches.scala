@@ -50,4 +50,31 @@ object Sketches {
       .select(lit("__all").as("stratum"), col("estimate"))
     per.unionByName(all)
   }
+
+  /** Incremental maintenance of the sketch store from an INSERT batch:
+    * sketch the batch alone (batch-sized work), then outer-merge with the
+    * existing strata-sized table — `hll_union` is exactly the additive
+    * fold HLL supports, so the maintained store estimates within sketch
+    * error of a from-scratch rebuild (asserted in SketchesSpec; unioning
+    * may promote a still-sparse sketch to dense form, so low-cardinality
+    * estimates can move a few counts — the error BOUND is unchanged)
+    * while never rescanning history. Deletes are NOT maintainable in an
+    * HLL (register maxes don't retract) — retraction-bearing feeds must
+    * rebuild, which is why this takes an insert frame, not a change feed.
+    */
+  def maintain(sketches: DataFrame, inserts: DataFrame, stratum: Column,
+      value: Column, lgK: Int = 12): DataFrame = {
+    val delta = hllSketches(inserts, stratum, value, lgK)
+      .withColumnRenamed("sketch", "d_sketch")
+      .withColumnRenamed("n_rows", "d_rows")
+    sketches.join(delta, Seq("stratum"), "full_outer")
+      .select(col("stratum"),
+        when(col("sketch").isNull, col("d_sketch"))
+          .when(col("d_sketch").isNull, col("sketch"))
+          .otherwise(hll_union(col("sketch"), col("d_sketch"),
+            allowDifferentLgConfigK = false))
+          .as("sketch"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+          .as("n_rows"))
+  }
 }

@@ -41,6 +41,29 @@ class SketchesSpec extends SparkSpec {
     assert(re === parts)
   }
 
+  test("maintained store stays within sketch error of a rebuild") {
+    val base = corpus.filter($"v" < 900L)
+    val batch = corpus.filter($"v" >= 900L)
+      .union(Seq(("gNEW", 42L)).toDF("g", "v")) // a brand-new stratum too
+    val maintained = Sketches.maintain(
+        Sketches.hllSketches(base, $"g", $"v"), batch, $"g", $"v")
+    val a = Sketches.hllEstimates(maintained)
+      .as[(String, Long)].collect().toMap
+    // same error bound as a direct sketch — the union adds no error
+    // beyond the (possible) sparse→dense promotion
+    val exact = corpus.union(Seq(("gNEW", 42L)).toDF("g", "v"))
+      .groupBy($"g").agg(countDistinct($"v").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(a(g) - n) <= math.max(3, 0.08 * n),
+        s"stratum $g: maintained ${a(g)} vs exact $n")
+    }
+    val rows = maintained.select($"stratum", $"n_rows")
+      .as[(String, Long)].collect().toMap
+    assert(rows("gNEW") === 1L)
+    assert(rows.values.sum === corpus.count() + 1)
+  }
+
   test("sketch table is strata-sized and the union reads only sketches") {
     val sk = Sketches.hllSketches(corpus, $"g", $"v")
     assert(sk.count() === 4)
