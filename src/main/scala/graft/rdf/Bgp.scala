@@ -237,12 +237,17 @@ object Bgp {
   }
 
   /** [[solve]] with the reference's explicit selectivity reorder (R7):
-    * patterns sort by estimated cardinality — constant-object patterns
-    * count as a fraction of their predicate's triples, unknown predicates
-    * as 0 (they match nothing) — so the join fold starts from the most
-    * selective pattern, shrinking every intermediate result, without
-    * relying on CBO statistics being loaded. Result-equal to [[solve]]
-    * under any input order (joins commute; only the tree shape changes).
+    * the fold starts from the most selective pattern (constant-object
+    * patterns count as a fraction of their predicate's triples, unknown
+    * predicates as 0 — they match nothing) and then GREEDILY extends with
+    * the most selective pattern CONNECTED to the already-bound variables.
+    * Connectivity-awareness is the part a plain selectivity sort gets
+    * fatally wrong: sorting alone can put two variable-disjoint patterns
+    * adjacent, and a disjoint fold step is a cross join — O(n·m) rows
+    * that later joins then filter back down (measured 114 s vs 0.9 s on
+    * the sf0.1 chain). A genuinely disconnected BGP still falls back to
+    * the cross join it denotes. Result-equal to [[solve]] under any input
+    * order (joins commute; only the tree shape changes).
     */
   def solveReordered(triples: DataFrame, patterns: Seq[TP],
       stats: Map[String, Long]): DataFrame = {
@@ -257,7 +262,21 @@ object Bgp {
       }
       (scaled, tp.toString) // total order: ties break on the pattern text
     }
-    solve(triples, patterns.sortBy(est))
+    def vars(tp: TP): Set[String] =
+      Seq(tp.s, tp.p, tp.o).collect { case V(n) => n }.toSet
+    val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
+    val ordered = Seq.newBuilder[TP]
+    var bound = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val connected = remaining
+        .filter(tp => bound.isEmpty || (vars(tp) & bound).nonEmpty)
+      val pool = if (connected.nonEmpty) connected else remaining
+      val next = pool.minBy(est)
+      ordered += next
+      remaining -= next
+      bound ++= vars(next)
+    }
+    solve(triples, ordered.result())
   }
 
   private[rdf] def onePattern(triples: DataFrame,

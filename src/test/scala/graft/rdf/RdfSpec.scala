@@ -310,6 +310,13 @@ class RdfSpec extends SparkSpec {
       val got = Bgp.solveReordered(triples, perm, stats)
       assert(got.exceptAll(base).count() === 0 &&
         base.exceptAll(got).count() === 0, s"order $perm diverged")
+      // the greedy reorder must stay CONNECTED: a selectivity sort alone
+      // can make adjacent fold steps variable-disjoint, and a disjoint
+      // step is a cross join — quadratic intermediates on a linear query
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("NestedLoop"),
+        s"order $perm cross-joined:\n$plan")
     }
   }
 }
