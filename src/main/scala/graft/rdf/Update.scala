@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SPARQL 1.1 Update subset over the VERSIONED persisted quad store
@@ -584,10 +584,90 @@ object QuadStore {
     val base = vs.filter { case (i, isBase) => isBase && i <= v }
       .keys.maxOption.getOrElse(throw new IllegalArgumentException(
         s"no base snapshot at or below v$v under $root — vacuumed?"))
-    (base + 1 to v).foldLeft(readBase(spark, root, base)) { (st, i) =>
-      require(vs.contains(i),
-        s"version $i missing from the delta chain under $root — vacuumed?")
-      Update.applyDelta(st, readDelta(spark, root, i))
+    val segs = (base + 1 to v)
+    segs.foreach(i => require(vs.contains(i),
+      s"version $i missing from the delta chain under $root — vacuumed?"))
+    if (segs.size <= flatReplayThreshold)
+      segs.foldLeft(readBase(spark, root, base)) { (st, i) =>
+        Update.applyDelta(st, readDelta(spark, root, i))
+      }
+    else readVersionFlat(spark, root, base, segs)
+  }
+
+  /** Below this replay depth the sequential fold wins: each segment's
+    * tombstones broadcast into a map-side anti join, so a 1–2-segment
+    * replay never shuffles the store. Beyond it the nested plan's cost
+    * grows with depth and the flat fold's ONE quad-keyed shuffle is
+    * cheaper — and constant, however deep the chain. */
+  private val flatReplayThreshold = 3
+
+  /** Above this summed delta-segment size the flat fold's op set stops
+    * being broadcastable and replay falls back to one store-wide shuffle
+    * — still constant-depth, just not shuffle-free. Delta segments are
+    * O(|update|) by construction, so an 8-deep chain of typical updates
+    * sits far below this. */
+  private val broadcastFoldMaxBytes = 64L << 20
+
+  /** Constant-depth replay: fold ALL delta segments into one
+    * last-op-per-quad winner set, then apply it to the base in a single
+    * pass. Semantics: a quad survives iff its latest op is an add whose
+    * sequence is ≥ the latest graph-clear covering its graph (≥ because
+    * within one segment [[Update.applyDelta]] applies clears before adds,
+    * so a same-version add beats a same-version clear — MOVE relies on
+    * this); a delete/add tie at one sequence resolves to the add (rank
+    * 1 > 0), matching the sequential order dels-then-adds; a base quad
+    * counts as an add that predates every clear.
+    *
+    * Plan shape when the op set fits the broadcast budget (the designed
+    * case — segments are O(|update|)): the winner fold aggregates only
+    * the TINY op union, the base is screened by a broadcast anti join and
+    * the clear fold is a map-side filter — the store is scanned ONCE and
+    * never shuffled, whatever the chain depth. Oversized chains fall back
+    * to one store-wide shuffle (still constant-depth). Either way the
+    * read cost no longer grows with how long compaction was deferred. */
+  private def readVersionFlat(spark: SparkSession, root: String, base: Int,
+      segs: Range): DataFrame = {
+    val keys = Seq("s", "p", "o", "g")
+    val deltaDfs = segs.map { i =>
+      spark.read.parquet(deltaPath(root, i))
+        .filter(col("op") =!= "g")
+        .select(col("s"), col("p"), col("o"), col("g"), lit(i).as("__seq"),
+          when(col("op") === "a", lit(1)).otherwise(lit(0)).as("__rank"))
+    }
+    // clear selectors are driver-bounded (≤2 per update statement); fold
+    // them into one covering-max expression instead of per-clear filters
+    val clears: Seq[(Update.Target, Int)] = segs.flatMap(i =>
+      readDelta(spark, root, i).clears.map(_ -> i))
+    val lastClear: Column = clears.foldLeft(lit(-1)) { case (acc, (t, i)) =>
+      val covers = t match {
+        case Update.AllGraphs => lit(true)
+        case Update.AllNamed => col("g") =!= Quads.DefaultGraph
+        case Update.DefaultG => col("g") === Quads.DefaultGraph
+        case Update.OneGraph(gg) => col("g") === lit(gg)
+      }
+      when(covers && lit(i) > acc, lit(i)).otherwise(acc)
+    }
+    val baseDf = readBase(spark, root, base)
+    val deltaBytes = segs.map(i =>
+      graft.sources.AtomicStore.list(deltaPath(root, i)).map(_.getLen).sum).sum
+    if (deltaBytes <= broadcastFoldMaxBytes && deltaDfs.nonEmpty) {
+      val winners = deltaDfs.reduce(_.unionByName(_))
+        .groupBy(keys.map(col): _*)
+        .agg(max(struct(col("__seq"), col("__rank"))).as("m"))
+      val keep = winners
+        .filter(col("m.__rank") === 1 && col("m.__seq") >= lastClear)
+        .select(keys.map(col): _*)
+      baseDf.filter(lastClear < lit(0)) // every clear postdates the base
+        .join(broadcast(winners.select(keys.map(col): _*)), keys, "left_anti")
+        .unionByName(keep)
+    } else {
+      val baseOps = baseDf.select(col("s"), col("p"), col("o"), col("g"),
+        lit(base).as("__seq"), lit(1).as("__rank"))
+      (baseOps +: deltaDfs).reduce(_.unionByName(_))
+        .groupBy(keys.map(col): _*)
+        .agg(max(struct(col("__seq"), col("__rank"))).as("m"))
+        .filter(col("m.__rank") === 1 && col("m.__seq") >= lastClear)
+        .select(keys.map(col): _*)
     }
   }
 
@@ -740,6 +820,31 @@ object QuadStore {
     * next scan — retention is an operational contract, exactly as in
     * Delta/Iceberg VACUUM. Without it the delta chain (and replay depth)
     * grows by one segment per update forever. */
+  /** [[vacuum]] only when the chain is DEEP (> `maxChain` versions) or
+    * the accumulated delta segments are FAT (> `maxDeltaFrac` of the
+    * newest base's bytes) — the steady-state retention policy. Small
+    * updates then stay O(|delta|) appends with constant-cost reads (the
+    * flat broadcast fold), and the O(|store|) compaction amortizes to one
+    * rewrite per `maxChain − keep` updates. The byte trigger matters for
+    * graph-scale operations (COPY/ADD/MOVE write a whole graph as ONE
+    * delta): a chain of those rivals the base in bytes after a couple of
+    * statements, and every replay pays to union it — compacting
+    * immediately is cheaper than reading the fat chain even once more.
+    * This is the policy a production maintenance job should run;
+    * [[vacuum]] directly is the "compact now" override. */
+  def vacuumIfDeep(root: String, keep: Int = 2, maxChain: Int = 8,
+      maxDeltaFrac: Double = 0.3): Seq[Int] = {
+    val vs = versions(root)
+    val newestBase = vs.filter(_._2).map(_._1).maxOption.getOrElse(0)
+    val baseBytes =
+      graft.sources.AtomicStore.sizeBytes(path(root, newestBase))
+    val deltaBytes = vs.map(_._1).filter(_ > newestBase)
+      .map(v => graft.sources.AtomicStore.sizeBytes(deltaPath(root, v))).sum
+    if (vs.size > maxChain || deltaBytes > baseBytes * maxDeltaFrac)
+      vacuum(root, keep)
+    else Nil
+  }
+
   def vacuum(root: String, keep: Int = 2): Seq[Int] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val spark = SparkSession.active

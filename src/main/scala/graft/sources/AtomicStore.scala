@@ -103,6 +103,14 @@ object AtomicStore {
     fsFor(p).delete(p, true): Unit
   }
 
+  /** Recursive byte size of a tree (0 when absent) — drives size-based
+    * retention policies (compact when deltas rival the base). */
+  def sizeBytes(path: String): Long = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
   /** Collision-resistant store key from the build inputs: SHA-256 over the
     * length-prefixed inputs, truncated to 128 bits of hex. 32-bit
     * `hashCode`-based keys can collide across datasets (or a corpus change

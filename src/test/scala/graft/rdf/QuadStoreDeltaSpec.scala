@@ -78,6 +78,39 @@ class QuadStoreDeltaSpec extends SparkSpec {
     assert(QuadStore.readVersion(spark, root, cur - 1).count() > 0)
   }
 
+  test("a deep chain replays FLAT: no per-segment join chain in the plan") {
+    val root = java.nio.file.Files.createTempDirectory("qsflat").toString
+    QuadStore.init(Quads.build(spark, sf0001), root)
+    (1 to 5).foreach(i => QuadStore.update(spark, root,
+      s"""INSERT DATA { <x:$i> <p> "v$i" . }"""))
+    // depth 5 > flatReplayThreshold: the read folds all segments into one
+    // broadcast winner set — the base is screened by ONE map-side anti
+    // join (not a per-segment chain) and the only shuffle in the plan is
+    // the op-union's own tiny aggregation, so read cost stops depending
+    // on chain depth and the store itself is never shuffled
+    val df = QuadStore.read(spark, root)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"deep replay must screen the base with one broadcast anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"store must not shuffle:\n$plan")
+    // the winner fold shows up once per use (anti screen + survivors),
+    // both over the tiny op union — the base FileScan feeds the anti join
+    // directly, with no exchange of store rows
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"only the tiny op union may shuffle:\n$plan")
+    assert(df.filter(col("s") === "x:3").count() === 1)
+    // threshold-gated retention: nothing compacts while the chain is
+    // shallow enough, then one vacuum bounds it
+    assert(QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 8).isEmpty)
+    assert(QuadStore.chainLength(root) === 6)
+    assert(QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 3).nonEmpty)
+    assert(QuadStore.chainLength(root) === 2)
+    // fresh read after compaction (the pre-vacuum frame is pinned to
+    // dropped files by design); contents unchanged
+    assert(QuadStore.read(spark, root)
+      .filter(col("s") === "x:3").count() === 1)
+  }
+
   test("changes() returns the exact net diff between pinned versions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("qsdelta3").toString
