@@ -246,6 +246,35 @@ object Corpus {
   def shuffleKeySql(expr: String): String =
     s"((($expr) % 1000003) * 2654435761 + 40503) % 1000003"
 
+  /** The pretraining corpus pipeline END-TO-END in one declarative plan:
+    * quality gate → exact dedup → benchmark decontamination → stratified
+    * sampling. Every stage is the already-oracled operator, composed —
+    * which is the point: the whole pipeline stays ONE Catalyst plan, so
+    * the gate's filters push toward the scan, the dedup window and the
+    * decontamination semi-join see only gated survivors, and nothing is
+    * materialized between stages. At 100 TB the stage order is the cost
+    * model: the map-only gate prunes first, dedup shuffles only digests
+    * of survivors, the benchmark gram set broadcasts, and the sampler is
+    * a map-side filter.
+    *
+    * Dedup keeps the smallest doc_id per content digest among GATED
+    * docs; decontamination drops candidates sharing any `grams` shingle
+    * with the `isBench` slice (and the bench docs themselves). */
+  def pipeline(docs: DataFrame, isBench: Column, grams: Column,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val gated = qualityGate(docs, minQuality = 0.7, maxDupWordFrac = 0.6,
+      minTokens = 20, langs = Seq("en", "de", "fr", "es"))
+    val win = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    val deduped = gated
+      .withColumn("__h", sha2(col("text"), 256))
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1).drop("__h", "__rn")
+    val clean = decontaminate(docs, isBench, grams)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    sampleStratified(deduped.join(clean, Seq("doc_id"), "left_semi"),
+      col("lang"), ratesPerMille, defaultPerMille)
+  }
+
   /** Weighted EPOCH upsampling — the pretraining mixture primitive (the
     * Pile / LLaMA-style source weighting): each stratum is repeated
     * `weightsPerMille / 1000` epochs, fractional epochs realized by

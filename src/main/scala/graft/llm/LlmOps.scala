@@ -291,6 +291,19 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))),
 
+    // The WHOLE corpus pipeline composed into one plan: gate → exact
+    // dedup → decontaminate → stratified sample, each stage the oracled
+    // operator — the flagship "switch your pipeline to this library"
+    // query.
+    "q_corpus_pipeline" -> ((s, d) =>
+      Corpus.pipeline(Tables.documents(s, d),
+          isBench = pmod(col("doc_id"), lit(97)) === 0,
+          grams = TextOps.wordShingles(3),
+          ratesPerMille = Map("en" -> 600), defaultPerMille = 400)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("quality"),
+          col("bucket"))
+        .orderBy(col("doc_id"))),
+
     // Overlapping 120-char chunks with 20-char overlap (stride 100) —
     // the RAG/context-window splitter, one map-side explode.
     "q_text_chunks" -> ((s, d) =>
@@ -781,6 +794,49 @@ object LlmOps extends QueryModule {
       s"""SELECT doc_id, lang, CAST($bucket AS BIGINT) AS bucket
          |FROM documents
          |WHERE $bucket < (CASE WHEN lang = 'en' THEN 300 ELSE 150 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // each CTE mirrors its stage's standalone oracle (q_corpus_filter,
+    // q_dedup_exact, q_decontaminate, q_sample_stratified), composed
+    "q_corpus_pipeline" -> {
+      val nTok = "len(string_split(text, ' '))"
+      val nStop = """len(list_filter(string_split(text, ' '),
+        | x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'))""".stripMargin
+      val avgWlen = s"((CAST(length(text) AS DOUBLE) - $nTok + 1) / $nTok)"
+      val stopRatio = s"(CAST($nStop AS DOUBLE) / $nTok)"
+      val quality = graft.Det.roundSafeSql(
+        s"""(least(CAST($nTok AS DOUBLE) / 50.0, 1.0) * 0.5
+           | + (1.0 - $stopRatio) * 0.3 + least($avgWlen / 8.0, 1.0) * 0.2)""".stripMargin, 4)
+      val dupWord = graft.Det.roundSafeSql(
+        "1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+          s"/ $nTok", 4)
+      val bucket = graft.llm.Corpus.idBucketSql("doc_id")
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text, CAST($nTok AS BIGINT) AS n_tok,
+         |    $quality AS quality, $dupWord AS dup_word_frac
+         |  FROM documents),
+         |gated AS (
+         |  SELECT * FROM q
+         |  WHERE quality >= 0.7 AND dup_word_frac <= 0.6 AND n_tok >= 20
+         |    AND lang IN ('en', 'de', 'fr', 'es')),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+         |    AS rn FROM gated),
+         |surv AS (SELECT * FROM dd WHERE rn = 1),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS g
+         |      FROM (SELECT doc_id, ws,
+         |              unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+         |            FROM w)),
+         |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         |hits AS (SELECT DISTINCT g.doc_id
+         |         FROM g JOIN bg USING (g) WHERE g.doc_id % 97 <> 0)
+         |SELECT doc_id, lang, n_tok, quality, CAST($bucket AS BIGINT) AS bucket
+         |FROM surv
+         |WHERE doc_id % 97 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM hits)
+         |  AND $bucket < (CASE WHEN lang = 'en' THEN 600 ELSE 400 END)
          |ORDER BY doc_id""".stripMargin
     },
 

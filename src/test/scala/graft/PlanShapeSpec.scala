@@ -58,6 +58,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_corpus_pipeline composes without cartesians; bench grams broadcast") {
+    val p = plan("q_corpus_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gram set must broadcast:\n$p")
+  }
+
   test("q_join_bucketed: co-located merge join with ZERO shuffle exchanges") {
     // both sides read from the bucketed store; the join AND the per-order
     // aggregate ride the bucketing, so the only exchange in the whole plan
