@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** RDF triple — the typed row at API boundaries (`Dataset[Triple]`);
   * internally everything stays `DataFrame` so Catalyst optimizes freely. */
@@ -103,4 +103,25 @@ object Graft {
     * ADC search with exact rerank. */
   def pqTopK(vectors: DataFrame, probeId: Long, k: Int): DataFrame =
     llm.PqIndex.search(llm.PqIndex.build(vectors), vectors, probeId, k)
+
+  /** C4 cleaning battery (Raffel et al. 2020 §2.2): line keeps + page
+    * verdicts + cleaned text in one map-only scan. */
+  def c4Rules(docs: DataFrame): DataFrame = llm.TextOps.c4Rules(docs)
+
+  /** Weighted epoch upsampling (per-mille weights per stratum value). */
+  def upsample(docs: DataFrame, stratum: Column,
+      weightsPerMille: Map[String, Int],
+      defaultPerMille: Int = 1000): DataFrame =
+    llm.Corpus.upsample(docs, stratum, weightsPerMille, defaultPerMille)
+
+  /** The composed pretraining pipeline: quality gate → exact dedup →
+    * decontamination → stratified sample, one Catalyst plan. */
+  def corpusPipeline(docs: DataFrame, isBench: Column, grams: Column,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int): DataFrame =
+    llm.Corpus.pipeline(docs, isBench, grams, ratesPerMille, defaultPerMille)
+
+  /** Per-stratum mergeable HLL sketch table; see [[operators.Sketches]]
+    * for union-estimates and incremental maintenance. */
+  def hllSketches(df: DataFrame, stratum: Column, value: Column): DataFrame =
+    operators.Sketches.hllSketches(df, stratum, value)
 }
