@@ -249,13 +249,14 @@ object Corpus {
   /** The pretraining corpus pipeline END-TO-END in one declarative plan:
     * quality gate → exact dedup → benchmark decontamination → stratified
     * sampling. Every stage is the already-oracled operator, composed —
-    * which is the point: the whole pipeline stays ONE Catalyst plan, so
-    * the gate's filters push toward the scan, the dedup window and the
-    * decontamination semi-join see only gated survivors, and nothing is
-    * materialized between stages. At 100 TB the stage order is the cost
-    * model: the map-only gate prunes first, dedup shuffles only digests
-    * of survivors, the benchmark gram set broadcasts, and the sampler is
-    * a map-side filter.
+    * which is the point: the whole pipeline stays ONE Catalyst plan and
+    * nothing is materialized between stages. At 100 TB the stage order
+    * IS the cost model: the map-only gate prunes at the scan, dedup pays
+    * the pipeline's one full-row shuffle (rows must co-locate by content
+    * digest to pick winners — the minimum for emitting survivor rows),
+    * the shingle explode + broadcast-gram probe of decontamination runs
+    * over DEDUPED SURVIVORS only (the benchmark slice itself still comes
+    * from the full corpus), and the sampler is a map-side filter.
     *
     * Dedup keeps the smallest doc_id per content digest among GATED
     * docs; decontamination drops candidates sharing any `grams` shingle
@@ -269,7 +270,14 @@ object Corpus {
       .withColumn("__h", sha2(col("text"), 256))
       .withColumn("__rn", row_number().over(win))
       .filter(col("__rn") === 1).drop("__h", "__rn")
-    val clean = decontaminate(docs, isBench, grams)
+    // candidate side = survivors only — running the shingle explode over
+    // the full raw corpus would make the most expensive stage the one
+    // stage the gate can't prune; the bench slice must stay corpus-wide
+    val contaminationInput = docs.filter(isBench)
+      .select(col("doc_id"), col("text"))
+      .unionByName(deduped.filter(!isBench)
+        .select(col("doc_id"), col("text")))
+    val clean = decontaminate(contaminationInput, isBench, grams)
       .filter(!col("contaminated")).select(col("doc_id"))
     sampleStratified(deduped.join(clean, Seq("doc_id"), "left_semi"),
       col("lang"), ratesPerMille, defaultPerMille)

@@ -912,7 +912,7 @@ object LlmOps extends QueryModule {
          |  CAST(CASE WHEN contains(text, '{')
          |    THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
          |  CAST(CASE WHEN len(list_intersect(list_distinct(
-         |      string_split(lower(text), ' ')), $blockList)) > 0
+         |      regexp_split_to_array(lower(text), '[^a-z0-9]+')), $blockList)) > 0
          |    THEN 1 ELSE 0 END AS BIGINT) AS has_blockword
          |  FROM m)
          |SELECT doc_id, n_lines, n_kept_lines, clean_text, n_sentences,

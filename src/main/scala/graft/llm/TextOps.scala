@@ -310,8 +310,12 @@ object TextOps {
       .withColumn("has_lorem",
         expr("contains(lower(text), 'lorem ipsum')").cast("long"))
       .withColumn("has_brace", expr("contains(text, '{')").cast("long"))
+      // word boundary = any non-alphanumeric run, NOT just spaces: the
+      // paper's rule is "any page containing any word on the list", and a
+      // space-split would let "obscene0." or a newline-adjacent word
+      // escape detection
       .withColumn("has_blockword", expr(
-        s"size(array_intersect(array_distinct(split(lower(text), ' ')), $blockArr)) > 0")
+        s"size(array_intersect(array_distinct(split(lower(text), '[^a-z0-9]+')), $blockArr)) > 0")
         .cast("long"))
       .withColumn("c4_pass",
         (col("n_sentences") >= 5 && col("has_lorem") === 0 &&

@@ -628,16 +628,22 @@ object QuadStore {
   private def readVersionFlat(spark: SparkSession, root: String, base: Int,
       segs: Range): DataFrame = {
     val keys = Seq("s", "p", "o", "g")
-    val deltaDfs = segs.map { i =>
+    val rawSegs = segs.map { i =>
       spark.read.parquet(deltaPath(root, i))
-        .filter(col("op") =!= "g")
-        .select(col("s"), col("p"), col("o"), col("g"), lit(i).as("__seq"),
-          when(col("op") === "a", lit(1)).otherwise(lit(0)).as("__rank"))
-    }
+        .select(col("s"), col("p"), col("o"), col("g"), col("op"),
+          lit(i).as("__seq"))
+    }.reduce(_.unionByName(_))
+    val opsDf = rawSegs.filter(col("op") =!= "g")
+      .select(col("s"), col("p"), col("o"), col("g"), col("__seq"),
+        when(col("op") === "a", lit(1)).otherwise(lit(0)).as("__rank"))
     // clear selectors are driver-bounded (≤2 per update statement); fold
-    // them into one covering-max expression instead of per-clear filters
-    val clears: Seq[(Update.Target, Int)] = segs.flatMap(i =>
-      readDelta(spark, root, i).clears.map(_ -> i))
+    // them into one covering-max expression instead of per-clear filters.
+    // ONE collect over the unioned segments — a per-segment readDelta here
+    // would run one driver-blocking job per segment, re-introducing the
+    // O(depth) read latency the flat fold exists to remove
+    val clears: Seq[(Update.Target, Int)] = rawSegs
+      .filter(col("op") === "g").select("g", "__seq").collect()
+      .map(r => targetOf(r.getString(0)) -> r.getInt(1)).toIndexedSeq
     val lastClear: Column = clears.foldLeft(lit(-1)) { case (acc, (t, i)) =>
       val covers = t match {
         case Update.AllGraphs => lit(true)
@@ -650,8 +656,8 @@ object QuadStore {
     val baseDf = readBase(spark, root, base)
     val deltaBytes = segs.map(i =>
       graft.sources.AtomicStore.list(deltaPath(root, i)).map(_.getLen).sum).sum
-    if (deltaBytes <= broadcastFoldMaxBytes && deltaDfs.nonEmpty) {
-      val winners = deltaDfs.reduce(_.unionByName(_))
+    if (deltaBytes <= broadcastFoldMaxBytes) {
+      val winners = opsDf
         .groupBy(keys.map(col): _*)
         .agg(max(struct(col("__seq"), col("__rank"))).as("m"))
       val keep = winners
@@ -663,7 +669,7 @@ object QuadStore {
     } else {
       val baseOps = baseDf.select(col("s"), col("p"), col("o"), col("g"),
         lit(base).as("__seq"), lit(1).as("__rank"))
-      (baseOps +: deltaDfs).reduce(_.unionByName(_))
+      baseOps.unionByName(opsDf)
         .groupBy(keys.map(col): _*)
         .agg(max(struct(col("__seq"), col("__rank"))).as("m"))
         .filter(col("m.__rank") === 1 && col("m.__seq") >= lastClear)
@@ -681,16 +687,19 @@ object QuadStore {
   /** One delta segment: a single parquet of (s,p,o,g,op) rows, op ∈
     * {a,d,g} for add / tombstone / graph-clear. The clear rows are
     * collected driver-side — bounded at two per update statement. */
+  /** Decode a persisted clear-row selector back to its [[Update.Target]]. */
+  private def targetOf(g: String): Update.Target = g match {
+    case ClearAll => Update.AllGraphs
+    case ClearNamed => Update.AllNamed
+    case Quads.DefaultGraph => Update.DefaultG
+    case other => Update.OneGraph(other)
+  }
+
   private def readDelta(spark: SparkSession, root: String,
       v: Int): Update.Delta = {
     val df = spark.read.parquet(deltaPath(root, v))
     val clears = df.filter(col("op") === "g").select("g").collect()
-      .map(r => r.getString(0) match {
-        case ClearAll => Update.AllGraphs
-        case ClearNamed => Update.AllNamed
-        case Quads.DefaultGraph => Update.DefaultG
-        case g => Update.OneGraph(g)
-      }).toIndexedSeq
+      .map(r => targetOf(r.getString(0))).toIndexedSeq
     Update.Delta(
       df.filter(col("op") === "a").select("s", "p", "o", "g"),
       df.filter(col("op") === "d").select("s", "p", "o", "g"),
@@ -820,29 +829,39 @@ object QuadStore {
     * next scan — retention is an operational contract, exactly as in
     * Delta/Iceberg VACUUM. Without it the delta chain (and replay depth)
     * grows by one segment per update forever. */
-  /** [[vacuum]] only when the chain is DEEP (> `maxChain` versions) or
-    * the accumulated delta segments are FAT (> `maxDeltaFrac` of the
-    * newest base's bytes) — the steady-state retention policy. Small
-    * updates then stay O(|delta|) appends with constant-cost reads (the
-    * flat broadcast fold), and the O(|store|) compaction amortizes to one
-    * rewrite per `maxChain − keep` updates. The byte trigger matters for
-    * graph-scale operations (COPY/ADD/MOVE write a whole graph as ONE
-    * delta): a chain of those rivals the base in bytes after a couple of
-    * statements, and every replay pays to union it — compacting
-    * immediately is cheaper than reading the fat chain even once more.
-    * This is the policy a production maintenance job should run;
-    * [[vacuum]] directly is the "compact now" override. */
+  /** The steady-state retention policy — run this on the maintenance
+    * cadence; [[vacuum]] directly is the "compact now" override.
+    *
+    * Two independent triggers:
+    * - DEEP chain (> `maxChain` versions): a regular [[vacuum]] bounds
+    *   replay depth, amortizing the O(|store|) rewrite to one per
+    *   `maxChain − keep` updates.
+    * - FAT chain (delta bytes since the newest base > `maxDeltaFrac` of
+    *   that base): the CURRENT version is compacted into a base IN PLACE
+    *   — nothing is dropped, every pinned version stays readable off the
+    *   old chain, but new reads start from the fresh base instead of
+    *   replaying graph-scale segments. This matters for COPY/ADD/MOVE,
+    *   whose single delta rivals the base; crucially it also compacts
+    *   deltas still inside the keep window, which [[vacuum]] alone never
+    *   touches (it only base-ifies the version at the retention cut — a
+    *   fat NEWEST delta would otherwise be replayed by every read while
+    *   repeated byte-triggered vacuums accomplished nothing). */
   def vacuumIfDeep(root: String, keep: Int = 2, maxChain: Int = 8,
       maxDeltaFrac: Double = 0.3): Seq[Int] = {
     val vs = versions(root)
+    if (vs.isEmpty) return Nil
+    val cur = vs.map(_._1).max
     val newestBase = vs.filter(_._2).map(_._1).maxOption.getOrElse(0)
     val baseBytes =
       graft.sources.AtomicStore.sizeBytes(path(root, newestBase))
     val deltaBytes = vs.map(_._1).filter(_ > newestBase)
       .map(v => graft.sources.AtomicStore.sizeBytes(deltaPath(root, v))).sum
-    if (vs.size > maxChain || deltaBytes > baseBytes * maxDeltaFrac)
-      vacuum(root, keep)
-    else Nil
+    if (deltaBytes > baseBytes * maxDeltaFrac && !vs.toMap.getOrElse(cur, false)) {
+      val spark = SparkSession.active
+      writeBase(readVersion(spark, root, cur), path(root, cur))
+      graft.sources.AtomicStore.delete(deltaPath(root, cur))
+    }
+    if (versions(root).size > maxChain) vacuum(root, keep) else Nil
   }
 
   def vacuum(root: String, keep: Int = 2): Seq[Int] = {

@@ -30,11 +30,18 @@ object BucketedTables {
   def ordersLineitem(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) =
     cached.getOrElseUpdate(sfDir, {
-      val key = AtomicStore.key(sfDir, s"bucketed-orderkey-$buckets")
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$key"
       val specs = Seq(
         ("orders", "o_orderkey", () => Tables.orders(spark, sfDir)),
         ("lineitem", "l_orderkey", () => Tables.lineitem(spark, sfDir)))
+      // keyed by dataset, LAYOUT and SCHEMA: a loader/schema change must
+      // invalidate the store — AtomicStore's marker would otherwise keep
+      // serving old files under the new CREATE TABLE DDL, reading missing
+      // columns as nulls (same rule as TripleStore.encodedFor's corpus
+      // fingerprint)
+      val schemaKey = specs.map { case (n, _, load) =>
+        s"$n:${load().schema.toDDL}" }.mkString(";")
+      val key = AtomicStore.key(sfDir, s"bucketed-orderkey-$buckets", schemaKey)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$key"
       val path = AtomicStore.materialize(base) { tmp =>
         specs.foreach { case (name, bucketCol, load) =>
           // bucketBy requires a catalog table; the explicit path makes it

@@ -163,7 +163,9 @@ class TextOpsSpec extends SparkSpec {
         "a good line stays here."),                  // line rules bite
       (3L, good + "\nlorem ipsum dolor sit."),       // lorem page drop
       (4L, good + "\nhas a { brace."),               // brace page drop
-      (5L, good + "\nhas obscene0 inside.")          // blocklist page drop
+      (5L, good + "\nhas obscene0 inside."),         // blocklist page drop
+      (6L, good + "\nobscene0!")                     // punctuation/newline-
+                                                     // adjacent blockword
     ).toDF("doc_id", "text")
     val got = TextOps.c4Rules(docs)
       .select($"doc_id", $"n_lines", $"n_kept_lines", $"clean_text",
@@ -180,6 +182,8 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L)._6 === 1L && got(3L)._9 === 0L)
     assert(got(4L)._7 === 1L && got(4L)._9 === 0L)
     assert(got(5L)._8 === 1L && got(5L)._9 === 0L)
+    assert(got(6L)._8 === 1L && got(6L)._9 === 0L,
+      "a blockword adjacent to punctuation/newline must still be caught")
     // map-only: no exchange anywhere in the plan
     val plan = TextOps.c4Rules(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"c4Rules must stay map-only:\n$plan")

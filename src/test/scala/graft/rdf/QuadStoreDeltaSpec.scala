@@ -111,6 +111,28 @@ class QuadStoreDeltaSpec extends SparkSpec {
       .filter(col("s") === "x:3").count() === 1)
   }
 
+  test("a FAT chain base-ifies the current version in place, keeping pins") {
+    val root = java.nio.file.Files.createTempDirectory("qsfat").toString
+    // tiny base, then a graph-scale COPY: the one delta rivals the base
+    QuadStore.init(Quads.build(spark, sf0001)
+      .filter(col("g") === "g:customer"), root)
+    QuadStore.update(spark, root, "COPY GRAPH <g:customer> TO GRAPH <g:work>")
+    val before = QuadStore.read(spark, root).count()
+    // byte trigger fires even though the fat delta is INSIDE the keep
+    // window; nothing is dropped (no doomed versions), the current
+    // version just becomes a base
+    assert(QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 8).isEmpty)
+    assert(new java.io.File(root, "v00002").isDirectory,
+      "current version must be compacted into a base")
+    assert(!new java.io.File(root, "d00002").exists(),
+      "the compacted delta segment is redundant")
+    assert(QuadStore.read(spark, root).count() === before)
+    // the pinned pre-copy version still reads off the old base
+    assert(QuadStore.readVersion(spark, root, 1).count() > 0)
+    // a second maintenance call is a no-op, not a repeated rewrite
+    assert(QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 8).isEmpty)
+  }
+
   test("changes() returns the exact net diff between pinned versions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("qsdelta3").toString
