@@ -94,10 +94,21 @@ object Update {
   /** LOAD a local N-Triples/Turtle document into a graph. */
   final case class Load(path: String, graph: String) extends Op
 
-  /** Parse one update request (a single operation in this fragment). */
+  /** Parse a single-operation update request (errors on sequences —
+    * callers that accept full requests use [[parseAll]]). */
   def parse(text: String): Op = {
+    val ops = parseAll(text)
+    require(ops.size == 1,
+      s"expected one update operation, got ${ops.size} — use parseAll")
+    ops.head
+  }
+
+  /** Parse a full update REQUEST: one or more operations separated by
+    * `;`, evaluated in order against the evolving store state (SPARQL
+    * 1.1 Update §3). */
+  def parseAll(text: String): Seq[Op] = {
     val toks = Sparql.tokenize(text)
-    new UParser(toks).parseOp()
+    new UParser(toks).parseSeq()
   }
 
   /** The CHANGE an operation makes against a snapshot, as data: quads to
@@ -383,9 +394,22 @@ object Update {
           Load(path, g)
         } else throw new IllegalArgumentException(
           s"unsupported update operation: $peek")
-      require(toks.isEmpty || toks == List(";"),
-        s"one update operation per request; trailing: ${toks.take(5).mkString(" ")}")
       op
+    }
+
+    /** A full update REQUEST: `;`-separated operation sequence (SPARQL
+      * 1.1 Update grammar [29]). PREFIX declarations accumulate across
+      * operations, per spec; a trailing `;` is legal. */
+    def parseSeq(): Seq[Op] = {
+      val ops = Seq.newBuilder[Op]
+      ops += parseOp()
+      while (toks.headOption.contains(";")) {
+        next()
+        if (toks.nonEmpty) ops += parseOp()
+      }
+      require(toks.isEmpty,
+        s"trailing tokens after update sequence: ${toks.take(5).mkString(" ")}")
+      ops.result()
     }
 
     private def maybeSilent(): Unit = if (peekKw("SILENT")) { next(); () }
@@ -731,8 +755,13 @@ object QuadStore {
   /** Parse and apply one update, appending a delta segment (O(|delta|)
     * bytes written); returns the new version number. */
   def update(spark: SparkSession, root: String, text: String): Int =
-    publishDelta(spark, Update.delta(read(spark, root), Update.parse(text)),
-      root)
+    // a REQUEST is a `;`-separated operation sequence: each operation's
+    // delta is computed against the state the previous one left (its
+    // segment is already published when the next read() runs), one
+    // O(|delta|) segment per operation
+    Update.parseAll(text).map { op =>
+      publishDelta(spark, Update.delta(read(spark, root), op), root)
+    }.last
 
   /** Append a quads frame as one delta segment, set-semantically: only
     * quads NOT already in the store land in the segment (the same

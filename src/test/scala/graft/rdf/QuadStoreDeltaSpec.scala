@@ -111,6 +111,29 @@ class QuadStoreDeltaSpec extends SparkSpec {
       .filter(col("s") === "x:3").count() === 1)
   }
 
+  test("an update REQUEST is a ;-sequence, each op seeing the last's state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("qsseq").toString
+    QuadStore.init(Quads.build(spark, sf0001), root)
+    // one request, three operations; the DELETE WHERE only matches what
+    // the first INSERT created, and PREFIX carries across operations
+    val v = QuadStore.update(spark, root,
+      """PREFIX ex: <http://ex/>
+        |INSERT DATA { ex:a <p> "one" . ex:b <p> "two" . } ;
+        |DELETE WHERE { ex:a <p> ?o . } ;
+        |INSERT DATA { ex:c <p> "three" . } ;""".stripMargin)
+    // three segments published — one per operation
+    assert(QuadStore.currentVersion(root).get === v && v === 4)
+    val got = QuadStore.read(spark, root)
+      .filter(col("p") === "p").select("s", "o")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("http://ex/b", "two"), ("http://ex/c", "three")))
+    // the single-op parser refuses sequences loudly
+    val e = intercept[IllegalArgumentException](
+      Update.parse("""CLEAR ALL ; CLEAR ALL"""))
+    assert(e.getMessage.contains("one update operation"))
+  }
+
   test("a FAT chain base-ifies the current version in place, keeping pins") {
     val root = java.nio.file.Files.createTempDirectory("qsfat").toString
     // tiny base, then a graph-scale COPY: the one delta rivals the base
