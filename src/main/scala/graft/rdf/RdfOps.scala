@@ -765,6 +765,18 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust ?ord""".stripMargin)),
 
+    // NESTED GRAPH: the inner block re-scopes the active graph (SPARQL
+    // 18.2.2): the var-graph body's urgent orders chain into the
+    // constant customer graph without leaving the outer block.
+    "q_sparql_graph_nested" -> ((s, d) =>
+      Sparql.runQuads(Quads.build(s, d), text =
+        """SELECT ?g ?ord ?cust ?seg WHERE {
+          |  GRAPH ?g { ?ord <custkey> ?cust .
+          |             ?ord <orderpriority> "1-URGENT" .
+          |             GRAPH <g:customer> { ?cust <mktsegment> ?seg . } }
+          |}
+          |ORDER BY ?ord""".stripMargin)),
+
     // GRAPH over the dictionary-encoded QUADS store: the same dataset
     // query as q_sparql_graph, but every join — the customer star, the
     // GRAPH ?g block, the default-graph pattern — runs over 8-byte ids
@@ -1420,6 +1432,18 @@ object RdfOps extends QueryModule {
          |  AND q3.s = q2.s
          |  AND q4.g = '' AND q4.p = 'name' AND q4.s = q1b.o
          |ORDER BY cust, ord""".stripMargin),
+
+    "q_sparql_graph_nested" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT q1.g AS g, q1.s AS ord, q1.o AS cust, q3.o AS seg
+         |FROM quads q1, quads q2, quads q3
+         |WHERE q1.g <> '' AND q1.p = 'custkey'
+         |  AND q2.g = q1.g AND q2.s = q1.s
+         |  AND q2.p = 'orderpriority' AND q2.o = '1-URGENT'
+         |  AND q3.g = 'g:customer' AND q3.p = 'mktsegment' AND q3.s = q1.o
+         |ORDER BY ord""".stripMargin),
 
     "q_sparql_service" -> cte(
       """SELECT DISTINCT n.n_name AS nname

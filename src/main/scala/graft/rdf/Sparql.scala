@@ -320,30 +320,36 @@ object Sparql {
     val svc = endpointSolver(endpoints)
     def solveGraph(g: Term, inner: Block): DataFrame = g match {
       // constant graph: the block's FULL group body (OPTIONAL, FILTER,
-      // BIND, paths, …) solves over that one graph's slice
+      // BIND, paths, …) solves over that one graph's slice. A NESTED
+      // GRAPH re-scopes the active graph, so it simply recurses — its
+      // solutions join the rest of the body on shared variables, which
+      // is the spec's group-join semantics
       case C(gv) =>
         val slice = namedQuads.filter(col("g") === lit(gv))
           .select("s", "p", "o")
         solveBranch(inner, bgpOver(slice),
           (path, ps, po) => solvePathOver(slice, path, ps, po),
-          (_, _) => throw new IllegalArgumentException(
-            "nested GRAPH blocks are unsupported"), // parser rejects these
-          svc)
+          solveGraph, svc)
       // variable graph: the FULL group body solves with every pattern
       // group threaded through the graph binding — OPTIONAL / MINUS /
       // EXISTS blocks each solve over named graphs with ?g bound and then
       // join/anti-join on the shared ?g column, which IS the spec's
       // same-active-graph rule (a candidate match in a different graph
-      // has a different ?g value and never joins). Paths and subqueries
-      // stay parser-rejected: their active-graph correlation cannot be
-      // threaded as a join variable.
+      // has a different ?g value and never joins). Nested GRAPH blocks
+      // recurse with their OWN active graph; when the body binds ?g only
+      // through nesting-independent members (no direct anchor), ?g is
+      // unconstrained per spec and crosses with the named-graph name set
+      // — bounded by the dataset's graph count. Subqueries stay
+      // parser-rejected: their projection would have to smuggle ?g.
       case v @ V(gName) =>
-        solveBranch(inner,
+        val solved = solveBranch(inner,
           pats => Quads.solveGraphBlock(namedQuads, pats, v),
           (path, ps, po) => solvePathOverGraphs(namedQuads, gName, path, ps, po),
-          (_, _) => throw new IllegalArgumentException(
-            "nested GRAPH blocks are unsupported"),
-          svc)
+          solveGraph, svc)
+        if (solved.columns.contains(gName)) solved
+        else solved.crossJoin(
+          namedQuads.filter(col("g") =!= Quads.DefaultGraph)
+            .select(col("g").as(gName)).distinct())
     }
     execute(q, bgpOver(dg),
       (path, s, o) => solvePathOver(dg, path, s, o), solveGraph, svc)
@@ -466,13 +472,13 @@ object Sparql {
         tr(s), tr(o))
       EncodedBgp.decode(solved, dict, solved.columns)
     }
-    def nestedReject: (Term, Block) => DataFrame = (_, _) =>
-      throw new IllegalArgumentException("nested GRAPH blocks are unsupported")
     def solveGraph(g: Term, inner: Block): DataFrame = g match {
       case C(gv: String) =>
         val slice = namedQ.filter(col("gid") === gidOf(gv))
           .select("sid", "pid", "oid")
-        solveBranch(inner, bgpOver(slice), pathOver(slice), nestedReject)
+        // nested GRAPH re-scopes the active graph → recurse; solutions
+        // join the body on shared (decoded) variables
+        solveBranch(inner, bgpOver(slice), pathOver(slice), solveGraph)
       case C(other) => throw new IllegalArgumentException(
         s"GRAPH constant must be an IRI, got $other")
       case v @ V(gName) =>
@@ -501,7 +507,12 @@ object Sparql {
             tr(ps), tr(po))
           EncodedBgp.decode(solved, dict, solved.columns)
         }
-        solveBranch(inner, bgpVar, pathVar, nestedReject)
+        val solved = solveBranch(inner, bgpVar, pathVar, solveGraph)
+        // body anchored only by nested graphs → ?g is unconstrained per
+        // spec: cross with the (decoded) named-graph name set
+        if (solved.columns.contains(gName)) solved
+        else solved.crossJoin(EncodedBgp.decode(
+          named.select(col("gid").as(gName)).distinct(), dict, Seq(gName)))
     }
     execute(q, bgpOver(dgIds), pathOver(dgIds), solveGraph)
   }
@@ -1899,13 +1910,22 @@ object Sparql {
             blk.subqueries.nonEmpty ||
               blk.unions.exists(_.exists(offends)) ||
               blk.graphs.exists { case (_, ib) => offends(ib) }
-          require(!offends(inner) &&
-            (inner.where.nonEmpty || inner.unions.nonEmpty ||
-              inner.paths.nonEmpty),
+          // a NESTED graph re-scopes the active graph, so it cannot
+          // anchor the outer ?g; a body made only of nested graphs is
+          // fine (runQuads then crosses the solution with the named-graph
+          // name set — the spec's unconstrained ?g range), but a body
+          // whose only other members are OPTIONAL/MINUS/EXISTS/FILTER
+          // still needs a direct anchor to thread ?g through them
+          val anchored = inner.where.nonEmpty || inner.unions.nonEmpty ||
+            inner.paths.nonEmpty
+          val needsAnchor = inner.optionals.nonEmpty ||
+            inner.minuses.nonEmpty || inner.exists.nonEmpty ||
+            inner.filters.nonEmpty || inner.binds.nonEmpty
+          require(!offends(inner) && (anchored ||
+              (inner.graphs.nonEmpty && !needsAnchor)),
             "GRAPH ?var blocks take a group body without subqueries, " +
               "anchored by at least one triple or path pattern")
         }
-        require(inner.graphs.isEmpty, "nested GRAPH blocks are unsupported")
         graphs += gt -> inner
       } else if (p.peekKw("SERVICE")) {
         p.expectKw("SERVICE")

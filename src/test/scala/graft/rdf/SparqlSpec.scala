@@ -970,6 +970,51 @@ class SparqlSpec extends SparkSpec {
         |}""".stripMargin).collect())
   }
 
+  test("nested GRAPH blocks re-scope the active graph") {
+    val quads = Seq(
+      ("a", "p", "b", "g1"), ("b", "q", "c", "g2"),
+      ("x", "p", "y", "g2"), ("y", "q", "z", "g1"),
+      ("a", "tag", "t", "")).toDF("s", "p", "o", "g")
+    // constant inside constant: the inner block matches in ITS graph,
+    // joining the outer slice's bindings on the shared variable
+    val cc = Sparql.runQuads(quads,
+      """SELECT ?s ?v WHERE {
+        |  GRAPH <g1> { ?s <p> ?m . GRAPH <g2> { ?m <q> ?v . } }
+        |}""".stripMargin)
+    assert(cc.as[(String, String)].collect().toSeq === Seq(("a", "c")))
+    // constant inside VARIABLE: the outer anchor binds ?g per graph, the
+    // nested block is graph-fixed — only g2's <p> edge chains into g1's
+    // <q> edge
+    val vc = Sparql.runQuads(quads,
+      """SELECT ?g ?s ?v WHERE {
+        |  GRAPH ?g { ?s <p> ?m . GRAPH <g1> { ?m <q> ?v . } }
+        |} ORDER BY ?g""".stripMargin)
+    assert(vc.as[(String, String, String)].collect().toSeq ===
+      Seq(("g2", "x", "z")))
+    // a body anchored ONLY by nesting leaves ?g unconstrained: it ranges
+    // over every named graph (the spec's GRAPH ?g semantics)
+    val only = Sparql.runQuads(quads,
+      """SELECT ?g ?v WHERE {
+        |  GRAPH ?g { GRAPH <g2> { ?x <q> ?v . } }
+        |} ORDER BY ?g ?v""".stripMargin)
+    assert(only.as[(String, String)].collect().toSeq ===
+      Seq(("g1", "c"), ("g2", "c")))
+    // variable inside variable: the inner block binds its OWN graph var
+    val vv = Sparql.runQuads(quads,
+      """SELECT ?g ?h ?s ?v WHERE {
+        |  GRAPH ?g { ?s <p> ?m . GRAPH ?h { ?m <q> ?v . } }
+        |} ORDER BY ?g ?h""".stripMargin)
+    assert(vv.as[(String, String, String, String)].collect().toSeq ===
+      Seq(("g1", "g2", "a", "c"), ("g2", "g1", "x", "z")))
+    // SAME variable nested: inner and outer must agree — no row here,
+    // since no graph chains <p> into <q> within itself
+    val same = Sparql.runQuads(quads,
+      """SELECT ?g ?s ?v WHERE {
+        |  GRAPH ?g { ?s <p> ?m . GRAPH ?g { ?m <q> ?v . } }
+        |}""".stripMargin)
+    assert(same.count() === 0)
+  }
+
   test("property paths inside GRAPH ?var solve per graph") {
     // g1 holds a 2-hop chain a→b→c; g2 holds c→d; the default graph tags a.
     // A pooled (graph-ignoring) closure would derive a→d / b→d — the keyed
@@ -1077,6 +1122,11 @@ class SparqlSpec extends SparkSpec {
     both("""SELECT ?g (COUNT(?o) AS ?n) WHERE {
            |  GRAPH ?g { ?o <orderstatus> "F" . }
            |} GROUP BY ?g""".stripMargin)
+    // NESTED GRAPH: a var-graph body chaining into a constant-graph block
+    both("""SELECT ?g ?ord ?cust ?seg WHERE {
+           |  GRAPH ?g { ?ord <custkey> ?cust .
+           |             GRAPH <g:customer> { ?cust <mktsegment> ?seg . } }
+           |}""".stripMargin)
     // an unknown graph IRI gates to empty on both engines
     val ghost = Sparql.runQuadsEncoded(enc, dict,
       """SELECT ?s WHERE { GRAPH <g:nope> { ?s <custkey> ?c . } }""")
@@ -1697,11 +1747,12 @@ class SparqlSpec extends SparkSpec {
       """SELECT ?c WHERE {
         |  GRAPH ?g { { SELECT ?c WHERE { ?c <p> ?s . } } ?c <q> ?t . }
         |}""".stripMargin))
-    // nested GRAPH is rejected
-    intercept[IllegalArgumentException](Sparql.parse(
+    // nested GRAPH parses (behavior tested in "nested GRAPH blocks
+    // re-scope the active graph")
+    Sparql.parse(
       """SELECT ?c WHERE {
         |  GRAPH <g:a> { ?c <p> ?s . GRAPH <g:b> { ?c <q> ?t . } }
-        |}""".stripMargin))
+        |}""".stripMargin)
   }
 
   test("FROM / FROM NAMED define the dataset exactly (13.2)") {
