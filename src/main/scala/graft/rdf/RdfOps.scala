@@ -816,6 +816,24 @@ object RdfOps extends QueryModule {
           |ORDER BY ?nname""".stripMargin)
     }),
 
+    // GRAPH inside SERVICE against a DATASET endpoint (a registered quads
+    // frame): the remote body's GRAPH block matches the ENDPOINT's named
+    // graphs — SPARQL's "the service's dataset" rule — and the local
+    // block joins set-at-a-time on ?cust.
+    "q_sparql_service_graph" -> ((s, d) => {
+      Sparql.run(Triples.build(s, d),
+        endpoints = Map("graft://dataset" -> Quads.build(s, d)), text =
+        """SELECT ?cust ?seg ?ord WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |  FILTER (?seg = "BUILDING")
+          |  SERVICE <graft://dataset> {
+          |    GRAPH <g:orders> { ?ord <custkey> ?cust .
+          |                       ?ord <orderpriority> "1-URGENT" . }
+          |  }
+          |}
+          |ORDER BY ?cust ?ord""".stripMargin)
+    }),
+
     // Property path INSIDE GRAPH ?var: per-graph pair sets with ?g bound
     // (the closure joins carry g as a key, so no pair composes edges from
     // two graphs — o:→c: in g:orders never extends through c:→n: in
@@ -1449,6 +1467,18 @@ object RdfOps extends QueryModule {
       """SELECT DISTINCT n.n_name AS nname
         |FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
         |ORDER BY nname""".stripMargin),
+
+    "q_sparql_service_graph" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT t1.s AS cust, t1.o AS seg, q1.s AS ord
+         |FROM triples t1, quads q1, quads q2
+         |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
+         |  AND q1.g = 'g:orders' AND q1.p = 'custkey' AND q1.o = t1.s
+         |  AND q2.g = 'g:orders' AND q2.p = 'orderpriority'
+         |  AND q2.o = '1-URGENT' AND q2.s = q1.s
+         |ORDER BY cust, ord""".stripMargin),
 
     "q_sparql_graphpath" ->
       s"""WITH RECURSIVE triples AS (

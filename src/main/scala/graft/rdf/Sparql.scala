@@ -267,19 +267,46 @@ object Sparql {
 
   /** The SERVICE solver over a registered-endpoint map: each endpoint is
     * a triples DataFrame (another TripleStore, another parquet corpus, a
-    * different cluster's exported graph) and the SERVICE body solves over
-    * it with the full group grammar — set-at-a-time federation as one
-    * distributed join, not per-binding round-trips. Nested SERVICE
-    * resolves against the same map. */
+    * different cluster's exported graph) or — when the frame carries a
+    * `g` column — a full DATASET, and the SERVICE body solves over it
+    * with the full group grammar — set-at-a-time federation as one
+    * distributed join, not per-binding round-trips. Against a dataset
+    * endpoint, patterns outside GRAPH match ITS default graph and GRAPH
+    * blocks (nested ones too) match its named graphs — the spec's "the
+    * service's dataset" rule. Nested SERVICE resolves against the same
+    * map. */
   private def endpointSolver(endpoints: Map[String, DataFrame])
       : (Boolean, String, Block) => Option[DataFrame] = {
     lazy val solve: (Boolean, String, Block) => Option[DataFrame] =
       (silent, iri, body) => endpoints.get(iri) match {
+        case Some(ep) if ep.columns.contains("g") =>
+          val dg = Quads.defaultGraph(ep)
+          def sg(g: Term, inner: Block): DataFrame = g match {
+            case C(gv) =>
+              val slice = ep.filter(col("g") === lit(gv))
+                .select("s", "p", "o")
+              solveBranch(inner, bgp => Bgp.solve(slice, bgp),
+                (path, ps, po) => solvePathOver(slice, path, ps, po),
+                sg, solve)
+            case v @ V(gName) =>
+              val solved = solveBranch(inner,
+                pats => Quads.solveGraphBlock(ep, pats, v),
+                (path, ps, po) =>
+                  solvePathOverGraphs(ep, gName, path, ps, po),
+                sg, solve)
+              if (solved.columns.contains(gName)) solved
+              else solved.crossJoin(
+                ep.filter(col("g") =!= Quads.DefaultGraph)
+                  .select(col("g").as(gName)).distinct())
+          }
+          Some(solveBranch(body, bgp => Bgp.solve(dg, bgp),
+            (path, s, o) => solvePathOver(dg, path, s, o), sg, solve))
         case Some(ep) => Some(solveBranch(body,
           bgp => Bgp.solve(ep, bgp),
           (path, s, o) => solvePathOver(ep, path, s, o),
           (_, _) => throw new IllegalArgumentException(
-            "GRAPH inside SERVICE is unsupported — endpoints are triples"),
+            "GRAPH inside SERVICE needs a DATASET endpoint — register a " +
+              "quads frame (s,p,o,g) for this IRI"),
           solve))
         case None if silent => None
         case None => throw new IllegalArgumentException(
@@ -1941,8 +1968,8 @@ object Sparql {
         p.expect("{")
         val inner = blockBody(p, prefixes)
         p.expect("}")
-        require(inner.graphs.isEmpty,
-          "GRAPH inside SERVICE is unsupported — endpoints are triples")
+        // GRAPH inside SERVICE is legal against a DATASET endpoint (a
+        // registered quads frame); triples endpoints reject at solve
         services += ((silent, iri, inner))
       } else if (p.peekKw("VALUES")) {
         // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }

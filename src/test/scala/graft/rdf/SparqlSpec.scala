@@ -1196,6 +1196,27 @@ class SparqlSpec extends SparkSpec {
         |ORDER BY ?s""".stripMargin, endpoints = eps)
     assert(nested.select("s", "v").as[(String, String)].collect().toSeq ===
       Seq(("a", "1")))
+    // a DATASET endpoint (quads frame): outside-GRAPH patterns match ITS
+    // default graph, GRAPH blocks its named graphs — the spec's "the
+    // service's dataset" rule
+    val remoteDs = Seq(("a", "score", "9", ""), ("a", "flag", "f1", "gA"),
+      ("c", "flag", "f2", "gB")).toDF("s", "p", "o", "g")
+    val dsEps = Map("graft://ds" -> remoteDs)
+    val viaDs = Sparql.run(local,
+      """SELECT ?s ?v ?rg ?f WHERE {
+        |  ?s <kind> "K" .
+        |  SERVICE <graft://ds> { ?s <score> ?v .
+        |                         GRAPH ?rg { ?s <flag> ?f . } }
+        |}""".stripMargin, endpoints = dsEps)
+    assert(viaDs.select("s", "v", "rg", "f")
+      .as[(String, String, String, String)].collect().toSeq ===
+      Seq(("a", "9", "gA", "f1")))
+    // GRAPH against a TRIPLES endpoint stays a loud error
+    intercept[IllegalArgumentException](Sparql.run(local,
+      """SELECT ?s WHERE {
+        |  ?s <kind> "K" .
+        |  SERVICE <graft://remote> { GRAPH ?g { ?s <score> ?v . } }
+        |}""".stripMargin, endpoints = eps).collect())
     // variable endpoints are out of fragment, loudly
     intercept[IllegalArgumentException](Sparql.parse(
       """SELECT ?s WHERE { SERVICE ?ep { ?s <p> ?o . } }"""))
