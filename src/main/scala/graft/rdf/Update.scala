@@ -730,13 +730,14 @@ object QuadStore {
       clears)
   }
 
-  /** Persist a [[Update.Delta]] as the next version's segment; returns
-    * the new version number. */
-  def publishDelta(spark: SparkSession, d: Update.Delta,
-      root: String): Int = {
+  /** Persist a [[Update.Delta]] as version `v`'s segment; returns true
+    * iff THIS writer won the publish (see
+    * [[graft.sources.AtomicStore.materializeExclusive]]) — a losing
+    * concurrent writer must recompute its delta against the winner's
+    * state and retry at the next version, never drop its operation. */
+  def publishDeltaAt(spark: SparkSession, d: Update.Delta,
+      root: String, v: Int): Boolean = {
     import spark.implicits._
-    val v = currentVersion(root).getOrElse(throw new IllegalArgumentException(
-      s"no store under $root — init() before update()")) + 1
     val clearRows = d.clears.map {
       case Update.AllGraphs => ClearAll
       case Update.AllNamed => ClearNamed
@@ -744,23 +745,58 @@ object QuadStore {
       case Update.OneGraph(g) => g
     }.map(g => (null: String, null: String, null: String, g, "g"))
       .toDF("s", "p", "o", "g", "op")
-    graft.sources.AtomicStore.materialize(deltaPath(root, v))(tmp =>
+    graft.sources.AtomicStore.materializeExclusive(deltaPath(root, v))(tmp =>
       clearRows
         .unionByName(d.dels.withColumn("op", lit("d")))
         .unionByName(d.adds.withColumn("op", lit("a")))
         .write.parquet(tmp))
+  }
+
+  /** Persist a [[Update.Delta]] as the next version's segment; returns
+    * the new version number. Single-writer convenience — under writer
+    * concurrency use the OCC loop shape of [[update]]/[[appendQuads]]
+    * (the delta must be recomputed against the winner's state, which
+    * this method cannot do). */
+  def publishDelta(spark: SparkSession, d: Update.Delta,
+      root: String): Int = {
+    val v = currentVersion(root).getOrElse(throw new IllegalArgumentException(
+      s"no store under $root — init() before update()")) + 1
+    publishDeltaAt(spark, d, root, v): Unit
     v
   }
 
+  /** Optimistic-concurrency write loop: recompute `d` against the
+    * CURRENT state and try to publish it as the next version, retrying
+    * while racing writers win the slot — Delta-Lake-style OCC over the
+    * same marker protocol, so concurrent updaters serialize without a
+    * lock service and no operation is ever silently dropped. */
+  private def occPublish(spark: SparkSession, root: String,
+      mkDelta: DataFrame => Update.Delta): Int = {
+    val maxAttempts = 50
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = currentVersion(root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no store under $root — init() before update()"))
+      val d = mkDelta(readVersion(spark, root, cur))
+      if (publishDeltaAt(spark, d, root, cur + 1)) return cur + 1
+    }
+    throw new IllegalStateException(
+      s"update lost the publish race $maxAttempts times under $root — " +
+        "pathological writer contention")
+  }
+
   /** Parse and apply one update, appending a delta segment (O(|delta|)
-    * bytes written); returns the new version number. */
+    * bytes written); returns the new version number. Safe under
+    * concurrent writers (OCC retry, [[occPublish]]). */
   def update(spark: SparkSession, root: String, text: String): Int =
     // a REQUEST is a `;`-separated operation sequence: each operation's
     // delta is computed against the state the previous one left (its
     // segment is already published when the next read() runs), one
     // O(|delta|) segment per operation
     Update.parseAll(text).map { op =>
-      publishDelta(spark, Update.delta(read(spark, root), op), root)
+      occPublish(spark, root, cur => Update.delta(cur, op))
     }.last
 
   /** Append a quads frame as one delta segment, set-semantically: only
@@ -771,16 +807,16 @@ object QuadStore {
     * idempotent micro-batch sink primitive: an at-least-once replay of
     * the same batch appends nothing (see
     * [[graft.streaming.StreamOps.quadStoreSink]]). Returns the new
-    * version. */
+    * version. Safe under concurrent writers (OCC retry). */
   def appendQuads(spark: SparkSession, root: String,
       quads: DataFrame): Int = {
     val keys = Seq("s", "p", "o", "g")
     val block = quads.select(keys.map(col): _*).distinct()
-    val current = read(spark, root)
-    val present = current.join(broadcast(block), keys, "left_semi")
-    publishDelta(spark,
+    occPublish(spark, root, { current =>
+      val present = current.join(broadcast(block), keys, "left_semi")
       Update.Delta(block.join(present, keys, "left_anti"),
-        current.limit(0), Nil), root)
+        current.limit(0), Nil)
+    })
   }
 
   /** SPARQL over the store's CURRENT snapshot — read-side sugar closing

@@ -79,6 +79,41 @@ object AtomicStore {
     path
   }
 
+  /** [[materialize]] that also reports OWNERSHIP: true iff OUR build is
+    * the one now published at `path`; false when a complete store already
+    * existed or a racing writer won the publish. Content-keyed stores
+    * never need this (any winner has the same bytes); VERSION-numbered
+    * stores do — a quad-store delta losing the race for d{v+1} must NOT
+    * be silently dropped, it must retry at the next version with a
+    * recomputed delta (see QuadStore.update's OCC loop). Detection: a
+    * writer-unique nonce file travels inside the build and is checked at
+    * the published destination. */
+  def materializeExclusive(path: String)(build: String => Unit): Boolean = {
+    val dest = new Path(path)
+    val fs = fsFor(dest)
+    if (complete(fs, dest)) return false
+    fs.delete(dest, true)
+    val nonce = "_GRAFT_WRITER_" +
+      java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(path + ".build." +
+      java.util.UUID.randomUUID().toString.take(8))
+    try {
+      build(tmp.toString)
+      require(fs.createNewFile(new Path(tmp, nonce)),
+        s"cannot stamp writer nonce in $tmp")
+      require(fs.createNewFile(new Path(tmp, Marker)),
+        s"cannot stamp completion marker in $tmp")
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        require(complete(fs, dest), s"failed to materialize store at $path")
+      } else {
+        val stray = new Path(dest, tmp.getName)
+        if (fs.exists(stray)) fs.delete(stray, true)
+        require(complete(fs, dest), s"failed to materialize store at $path")
+      }
+      fs.exists(new Path(dest, nonce))
+    } finally fs.delete(tmp, true): Unit
+  }
+
   private def complete(fs: FileSystem, dest: Path): Boolean =
     fs.exists(new Path(dest, Marker))
 

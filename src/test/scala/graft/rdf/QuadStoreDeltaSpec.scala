@@ -78,6 +78,30 @@ class QuadStoreDeltaSpec extends SparkSpec {
     assert(QuadStore.readVersion(spark, root, cur - 1).count() > 0)
   }
 
+  test("concurrent writers serialize via OCC — no update is lost") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("qsocc").toString
+    QuadStore.init(Quads.build(spark, sf0001), root)
+    // 6 writers race disjoint INSERT DATA on the same root: the version
+    // slot is contended, losers must recompute+retry, and afterward EVERY
+    // quad must be present — the materialize() path would silently drop
+    // the losers' segments
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 6).map { i =>
+      Future(QuadStore.update(spark, root,
+        s"""INSERT DATA { <w:$i> <wrote> "yes" . }"""))
+    }
+    val versions = Await.result(Future.sequence(writers), 120.seconds)
+    assert(versions.toSet.size === 6, "each writer must get its own version")
+    assert(QuadStore.currentVersion(root).get === 7)
+    val wrote = QuadStore.read(spark, root)
+      .filter(col("p") === "wrote").select("s")
+      .as[String].collect().toSet
+    assert(wrote === (1 to 6).map(i => s"w:$i").toSet)
+  }
+
   test("a deep chain replays FLAT: no per-segment join chain in the plan") {
     val root = java.nio.file.Files.createTempDirectory("qsflat").toString
     QuadStore.init(Quads.build(spark, sf0001), root)
