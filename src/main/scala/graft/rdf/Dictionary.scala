@@ -91,4 +91,13 @@ object Dictionary {
       .join(dict.withColumnRenamed("id", "pid").withColumnRenamed("term", "p"), "pid")
       .join(dict.withColumnRenamed("id", "oid").withColumnRenamed("term", "o"), "oid")
       .select("s", "p", "o")
+
+  /** (sid,pid,oid,gid) → (s,p,o,g) — the dataset decode. */
+  def decodeQuads(encoded: DataFrame, dict: DataFrame): DataFrame =
+    encoded
+      .join(dict.withColumnRenamed("id", "sid").withColumnRenamed("term", "s"), "sid")
+      .join(dict.withColumnRenamed("id", "pid").withColumnRenamed("term", "p"), "pid")
+      .join(dict.withColumnRenamed("id", "oid").withColumnRenamed("term", "o"), "oid")
+      .join(dict.withColumnRenamed("id", "gid").withColumnRenamed("term", "g"), "gid")
+      .select("s", "p", "o", "g")
 }

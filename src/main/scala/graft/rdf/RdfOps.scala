@@ -670,6 +670,31 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // The ID-SPACE MIRROR closing the update loop: SPARQL UPDATE mutates
+    // the delta-log store, EncodedMirror.sync folds the net changes into
+    // the dictionary-encoded layout (xxhash64 ids, zero coordination),
+    // and the query runs the reference's id-space execution over
+    // update-fresh data. Ops are idempotent, so repeated runs converge;
+    // sync always lands before retention, honoring the mirror contract.
+    "q_sparql_mirror" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_mir_" +
+        graft.sources.AtomicStore.key(d)
+      val mirror = s"${sys.props("java.io.tmpdir")}/graft_encmirror_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      QuadStore.update(s, store, """INSERT DATA { <m:1> <mlabel> "v" . }""")
+      QuadStore.update(s, store,
+        """DELETE WHERE { GRAPH <g:customer> { ?c <mktsegment> "MACHINERY" . } }""")
+      EncodedMirror.sync(s, store, mirror): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      EncodedMirror.query(s, mirror,
+        """SELECT ?s ?o WHERE {
+          |  { ?s <mlabel> ?o . }
+          |  UNION { GRAPH <g:customer> { ?s <mktsegment> ?o . } }
+          |}
+          |ORDER BY ?s ?o""".stripMargin)
+    }),
+
     // Term introspection over a TERM-STRING store (N-Triples markup in the
     // cells, [[Terms]]): language-tagged labels filtered by the everyday
     // FILTER(LANGMATCHES(LANG(?l), "en")) idiom — matches en and en-US on
@@ -1467,6 +1492,20 @@ object RdfOps extends QueryModule {
       """SELECT DISTINCT n.n_name AS nname
         |FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
         |ORDER BY nname""".stripMargin),
+
+    // converged post-update state: the mlabel row plus every
+    // non-MACHINERY customer segment (the DELETE WHERE's fixpoint)
+    "q_sparql_mirror" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT s, o FROM (
+         |  SELECT 'm:1' AS s, 'v' AS o
+         |  UNION ALL
+         |  SELECT s, o FROM quads
+         |  WHERE g = 'g:customer' AND p = 'mktsegment'
+         |    AND o <> 'MACHINERY')
+         |ORDER BY s, o""".stripMargin),
 
     "q_sparql_service_graph" -> cte(
       s""", quads AS (

@@ -1,0 +1,53 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EncodedMirrorSpec extends SparkSpec {
+
+  test("mirror tracks store updates; id-space queries match string-space") {
+    val store = java.nio.file.Files.createTempDirectory("emstore").toString
+    val mirror = java.nio.file.Files.createTempDirectory("emmirror").toString
+    QuadStore.init(Quads.build(spark, sf0001), store)
+    assert(EncodedMirror.sync(spark, store, mirror) === 1)
+    def stateEq(): Unit = {
+      val decoded = Dictionary.decodeQuads(
+        EncodedMirror.encoded(spark, mirror),
+        EncodedMirror.dict(spark, mirror))
+      val truth = QuadStore.read(spark, store)
+      assert(decoded.exceptAll(truth).count() === 0 &&
+        truth.exceptAll(decoded).count() === 0,
+        "mirror must decode to exactly the store state")
+    }
+    stateEq()
+    // updates with NEW terms, a pattern delete, and a graph clear; then
+    // ONE catch-up sync folds versions 2..4 into a single segment
+    QuadStore.update(spark, store,
+      """INSERT DATA { <new:1> <brand-new> "term" .
+        |              GRAPH <g:x> { <new:2> <p> "q" . } }""".stripMargin)
+    QuadStore.update(spark, store,
+      """DELETE WHERE { GRAPH <g:orders> { ?o <orderpriority> "2-HIGH" . } }""")
+    QuadStore.update(spark, store, "CLEAR GRAPH <g:x>")
+    assert(EncodedMirror.sync(spark, store, mirror) === 4)
+    stateEq()
+    // re-sync with no new store versions is a no-op
+    assert(EncodedMirror.sync(spark, store, mirror) === 4)
+    // the dictionary picked up the new terms exactly once
+    val d = EncodedMirror.dict(spark, mirror)
+    assert(d.filter(col("term") === "new:1").count() === 1)
+    assert(d.groupBy("term").count().filter(col("count") > 1).count() === 0)
+    // id-space SPARQL over the mirror ≡ string-space over the store,
+    // GRAPH blocks included
+    val text =
+      """SELECT ?g ?o ?pr WHERE {
+        |  GRAPH ?g { ?o <orderpriority> ?pr . }
+        |}""".stripMargin
+    val viaMirror = EncodedMirror.query(spark, mirror, text)
+    val viaStore = QuadStore.query(spark, store, text)
+    assert(viaMirror.exceptAll(viaStore).count() === 0 &&
+      viaStore.exceptAll(viaMirror).count() === 0)
+    // the deleted priority is really gone from the id-space answer
+    assert(viaMirror.filter(col("pr") === "2-HIGH").count() === 0)
+    assert(viaMirror.count() > 0)
+  }
+}
