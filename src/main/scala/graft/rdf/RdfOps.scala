@@ -598,7 +598,7 @@ object RdfOps extends QueryModule {
       // retention: compaction (an O(|store|) rewrite) fires only when the
       // delta chain is deep — updates stay O(|delta|) appends and the flat
       // replay keeps read cost constant in between
-      QuadStore.vacuumIfDeep(root, keep = 2)
+      QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 4)
       QuadStore.read(s, root)
         .filter(col("p") === "orderpriority" || col("s") === "x:1")
         .orderBy(col("s"), col("p"), col("o"), col("g"))
@@ -615,7 +615,7 @@ object RdfOps extends QueryModule {
       QuadStore.init(Quads.build(s, d), root)
       QuadStore.update(s, root, "COPY GRAPH <g:customer> TO GRAPH <g:work>")
       QuadStore.update(s, root, "ADD DEFAULT TO GRAPH <g:work>")
-      QuadStore.vacuumIfDeep(root, keep = 2)
+      QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 4)
       QuadStore.read(s, root)
         .filter(col("g") === "g:work" &&
           (col("p") === "mktsegment" || col("p") === "region"))
@@ -637,7 +637,7 @@ object RdfOps extends QueryModule {
         """DELETE { GRAPH <g:orders> { ?o <orderstatus> ?st . } }
           |INSERT { GRAPH <g:orders> { ?o <status> ?st . } }
           |WHERE { GRAPH <g:orders> { ?o <orderstatus> ?st . } }""".stripMargin)
-      QuadStore.vacuumIfDeep(root, keep = 2)
+      QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 4)
       QuadStore.read(s, root)
         .filter(col("p") === "orderstatus" || col("p") === "status")
         .orderBy(col("s"), col("p"), col("o"), col("g"))
@@ -665,7 +665,7 @@ object RdfOps extends QueryModule {
           |USING NAMED <g:customer>
           |WHERE { GRAPH <g:customer> { ?c <mktsegment> "BUILDING" .
           |                             ?c <name> ?nm . } }""".stripMargin)
-      QuadStore.vacuumIfDeep(root, keep = 2)
+      QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 4)
       QuadStore.read(s, root).filter(col("g") === "g:flags")
         .orderBy(col("s"), col("p"), col("o"))
     }),
