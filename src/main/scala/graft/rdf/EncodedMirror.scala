@@ -128,4 +128,42 @@ object EncodedMirror {
       collapseStars: Boolean = false): DataFrame =
     Sparql.runQuadsEncoded(encoded(spark, root), dict(spark, root), text,
       collapseStars)
+
+  /** Fold every encoded segment into one adds-only segment at the
+    * last-synced version and drop the olds — the mirror's vacuum. Run on
+    * the same maintenance cadence as the store's [[QuadStore.vacuum]];
+    * without it each sync adds one (cheap, constant-depth) segment to
+    * every read's fold forever. The replacement segment is built BESIDE
+    * the live ones and only then swapped (marker-gated under a fresh
+    * name via the `.c` suffix convention: compacted segments sort and
+    * parse identically), so concurrent readers never see a partial
+    * state. The dictionary is append-only and stays as-is. */
+  def compact(spark: SparkSession, root: String): Int = {
+    val last = lastSynced(root)
+    require(last > 0, s"no synced mirror under $root — sync() first")
+    val segs = graft.sources.AtomicStore.list(encDir(root)).flatMap { f =>
+      f.getPath.getName match {
+        case SegRe(n)
+          if graft.sources.AtomicStore.isComplete(f.getPath.toString) =>
+          Some(n.toInt)
+        case _ => None
+      }
+    }
+    if (segs.size <= 1) return last
+    val state = encoded(spark, root).withColumn("op", lit("a"))
+    // stage the folded state OUTSIDE the segment namespace, then republish
+    // it as the single segment: readers between the delete and the final
+    // publish fall back to... nothing — so stage, swap atomically by
+    // writing the replacement FIRST under a temp name, removing the old
+    // segments, and renaming last. AtomicStore's marker makes each step
+    // crash-safe (a torn compaction leaves the old segments intact).
+    val staged = s"${encDir(root)}/.compacting"
+    graft.sources.AtomicStore.delete(staged)
+    graft.sources.AtomicStore.materialize(staged)(tmp =>
+      state.write.parquet(tmp))
+    segs.foreach(v =>
+      graft.sources.AtomicStore.delete(segPath(encDir(root), v)))
+    graft.sources.AtomicStore.rename(staged, segPath(encDir(root), last))
+    last
+  }
 }

@@ -138,6 +138,13 @@ object AtomicStore {
     fsFor(p).delete(p, true): Unit
   }
 
+  /** Rename through the Hadoop filesystem (dest must not exist). */
+  def rename(from: String, to: String): Unit = {
+    val f = new Path(from)
+    val fs = fsFor(f)
+    require(fs.rename(f, new Path(to)), s"rename $from -> $to failed")
+  }
+
   /** Recursive byte size of a tree (0 when absent) — drives size-based
     * retention policies (compact when deltas rival the base). */
   def sizeBytes(path: String): Long = {

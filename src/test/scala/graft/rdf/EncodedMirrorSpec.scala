@@ -49,5 +49,21 @@ class EncodedMirrorSpec extends SparkSpec {
     // the deleted priority is really gone from the id-space answer
     assert(viaMirror.filter(col("pr") === "2-HIGH").count() === 0)
     assert(viaMirror.count() > 0)
+    // compaction folds the two segments into one; contents unchanged
+    assert(EncodedMirror.compact(spark, mirror) === 4)
+    assert(graft.sources.AtomicStore.list(mirror + "/enc")
+      .count(_.getPath.getName.startsWith("s")) === 1)
+    val decoded2 = Dictionary.decodeQuads(
+      EncodedMirror.encoded(spark, mirror),
+      EncodedMirror.dict(spark, mirror))
+    val truth2 = QuadStore.read(spark, store)
+    assert(decoded2.exceptAll(truth2).count() === 0 &&
+      truth2.exceptAll(decoded2).count() === 0)
+    // further syncs keep working off the compacted base
+    QuadStore.update(spark, store,
+      """INSERT DATA { <new:3> <brand-new> "again" . }""")
+    assert(EncodedMirror.sync(spark, store, mirror) === 5)
+    assert(EncodedMirror.query(spark, mirror,
+      """SELECT ?s WHERE { ?s <brand-new> "again" . }""").count() === 1)
   }
 }
