@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   *    last synced version and the head — O(|delta|), computed from the
   *    delta segments without rescanning the base) into ONE encoded
   *    segment of (sid,pid,oid,gid,op) rows plus one dictionary segment of
-  *    genuinely-new terms. Segments are AtomicStore-published under the
-  *    TARGET version's name, so a replayed or crashed sync is a no-op and
-  *    concurrent syncers collapse to one winner.
-  *  - [[encoded]] reads the mirror with the same last-op-per-quad fold as
-  *    the store's flat replay: union the segments, keep each quad's
-  *    latest op, emit adds — constant plan depth however many syncs have
-  *    accumulated.
+  *    genuinely-new terms. Segments are AtomicStore-published and carry
+  *    their COVERAGE in the name: a bootstrap/compaction writes a base
+  *    `b{v}` (the full state at v), an incremental sync writes
+  *    `s{from}_{to}` — so a replayed or crashed sync is a no-op, and a
+  *    pathological race of two syncers that observed different `from`
+  *    versions produces a detectably NON-CONTIGUOUS chain that [[encoded]]
+  *    rejects loudly instead of silently resurrecting deleted quads.
+  *  - [[encoded]] reads the newest base plus the later segments with the
+  *    same constant-depth last-op-per-quad fold as the store's flat
+  *    replay.
   *
   * Retention contract: `sync` needs the last-synced version to still be
   * pinned-readable in the store ([[QuadStore.changes]] reads it for the
@@ -36,23 +39,33 @@ object EncodedMirror {
 
   private def encDir(root: String) = s"$root/enc"
   private def dictDir(root: String) = s"$root/dict"
-  private def segPath(dir: String, v: Int) = f"$dir%s/s$v%05d"
-  private val SegRe = "s(\\d{5})".r
+  private def basePath(dir: String, v: Int) = f"$dir%s/b$v%05d"
+  private def segPath(dir: String, from: Int, to: Int) =
+    f"$dir%s/s$from%05d" + f"_$to%05d"
+  private def dictSegPath(dir: String, v: Int) = f"$dir%s/s$v%05d"
+  private val BaseRe = "b(\\d{5})".r
+  private val SegRe = "s(\\d{5})_(\\d{5})".r
+  private val DictRe = "s(\\d{5})".r
+
+  /** Complete (kind, from, to) entries under enc/: bases as (b, v, v). */
+  private def entries(root: String): Seq[(String, Int, Int)] =
+    graft.sources.AtomicStore.list(encDir(root)).flatMap { f =>
+      val complete =
+        () => graft.sources.AtomicStore.isComplete(f.getPath.toString)
+      f.getPath.getName match {
+        case BaseRe(v) if complete() => Some(("b", v.toInt, v.toInt))
+        case SegRe(a, b) if complete() => Some(("s", a.toInt, b.toInt))
+        case _ => None
+      }
+    }
 
   /** Highest store version folded into the mirror (0 = never synced). */
   def lastSynced(root: String): Int =
-    graft.sources.AtomicStore.list(encDir(root)).flatMap { f =>
-      f.getPath.getName match {
-        case SegRe(n)
-          if graft.sources.AtomicStore.isComplete(f.getPath.toString) =>
-          Some(n.toInt)
-        case _ => None
-      }
-    }.maxOption.getOrElse(0)
+    entries(root).map(_._3).maxOption.getOrElse(0)
 
   /** Fold the store's changes since the last sync into the mirror;
     * returns the store version the mirror now reflects. Idempotent and
-    * crash-safe (marker-gated segments named by target version). */
+    * crash-safe (marker-gated segments named by their coverage). */
   def sync(spark: SparkSession, storeRoot: String, root: String): Int = {
     val cur = QuadStore.currentVersion(storeRoot).getOrElse(
       throw new IllegalArgumentException(
@@ -68,7 +81,7 @@ object EncodedMirror {
     // Deleted quads' terms entered the dictionary when the quad did, so
     // only `adds` can introduce new terms.
     val known = dict(spark, root).select("term")
-    graft.sources.AtomicStore.materialize(segPath(dictDir(root), cur)) {
+    graft.sources.AtomicStore.materialize(dictSegPath(dictDir(root), cur)) {
       tmp =>
         Dictionary.quadTerms(adds)
           .join(known, Seq("term"), "left_anti")
@@ -76,12 +89,14 @@ object EncodedMirror {
           .write.parquet(tmp)
     }
     val full = dict(spark, root)
-    graft.sources.AtomicStore.materialize(segPath(encDir(root), cur)) {
-      tmp =>
-        Dictionary.encodeQuads(adds, full).withColumn("op", lit("a"))
-          .unionByName(
-            Dictionary.encodeQuads(dels, full).withColumn("op", lit("d")))
-          .write.parquet(tmp)
+    val dest =
+      if (last == 0) basePath(encDir(root), cur)
+      else segPath(encDir(root), last, cur)
+    graft.sources.AtomicStore.materialize(dest) { tmp =>
+      Dictionary.encodeQuads(adds, full).withColumn("op", lit("a"))
+        .unionByName(
+          Dictionary.encodeQuads(dels, full).withColumn("op", lit("d")))
+        .write.parquet(tmp)
     }
     cur
   }
@@ -89,7 +104,8 @@ object EncodedMirror {
   /** The mirror's dictionary: union of the append-only segments. */
   def dict(spark: SparkSession, root: String): DataFrame = {
     val segs = graft.sources.AtomicStore.list(dictDir(root)).collect {
-      case f if graft.sources.AtomicStore.isComplete(f.getPath.toString) =>
+      case f if DictRe.matches(f.getPath.getName) &&
+        graft.sources.AtomicStore.isComplete(f.getPath.toString) =>
         spark.read.parquet(f.getPath.toString)
     }
     if (segs.isEmpty)
@@ -97,22 +113,36 @@ object EncodedMirror {
     else segs.reduce(_.unionByName(_)).distinct()
   }
 
-  /** The mirror's CURRENT id-quads (sid,pid,oid,gid): last-op-per-quad
-    * fold over the encoded segments — same constant-depth shape as the
-    * store's flat replay. */
+  /** The mirror's CURRENT id-quads (sid,pid,oid,gid): the newest base
+    * plus the later segments, folded last-op-per-quad — same
+    * constant-depth shape as the store's flat replay. The segment chain
+    * above the base must be CONTIGUOUS (each `from` equals the previous
+    * `to`); a gap or overlap means two syncers raced with different
+    * views and is rejected loudly (delete the mirror and resync) rather
+    * than silently resurrecting deleted quads. */
   def encoded(spark: SparkSession, root: String): DataFrame = {
     val keys = Seq("sid", "pid", "oid", "gid")
-    val segs = graft.sources.AtomicStore.list(encDir(root)).flatMap { f =>
-      f.getPath.getName match {
-        case SegRe(n)
-          if graft.sources.AtomicStore.isComplete(f.getPath.toString) =>
-          Some(spark.read.parquet(f.getPath.toString)
-            .withColumn("__seq", lit(n.toInt)))
-        case _ => None
+    val es = entries(root)
+    require(es.nonEmpty, s"no synced mirror under $root — sync() first")
+    val base = es.filter(_._1 == "b").map(_._3).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"mirror under $root has segments but no base — torn bootstrap?"))
+    val chain = es.filter(e => e._1 == "s" && e._3 > base).sortBy(_._3)
+    chain.foldLeft(base) { case (prev, (_, from, to)) =>
+      require(from == prev,
+        s"non-contiguous mirror chain under $root: segment s$from-$to " +
+          s"follows version $prev — racing syncs? delete the mirror and " +
+          "resync from the store")
+      to
+    }: Unit
+    val frames =
+      spark.read.parquet(basePath(encDir(root), base))
+        .withColumn("__seq", lit(base)) +:
+      chain.map { case (_, from, to) =>
+        spark.read.parquet(segPath(encDir(root), from, to))
+          .withColumn("__seq", lit(to))
       }
-    }
-    require(segs.nonEmpty, s"no synced mirror under $root — sync() first")
-    segs.reduce(_.unionByName(_))
+    frames.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
       .agg(max(struct(col("__seq"),
         when(col("op") === "a", lit(1)).otherwise(lit(0)).as("__rank")))
@@ -129,41 +159,30 @@ object EncodedMirror {
     Sparql.runQuadsEncoded(encoded(spark, root), dict(spark, root), text,
       collapseStars)
 
-  /** Fold every encoded segment into one adds-only segment at the
-    * last-synced version and drop the olds — the mirror's vacuum. Run on
-    * the same maintenance cadence as the store's [[QuadStore.vacuum]];
-    * without it each sync adds one (cheap, constant-depth) segment to
-    * every read's fold forever. The replacement segment is built BESIDE
-    * the live ones and only then swapped (marker-gated under a fresh
-    * name via the `.c` suffix convention: compacted segments sort and
-    * parse identically), so concurrent readers never see a partial
-    * state. The dictionary is append-only and stays as-is. */
+  /** Fold the base and every segment into one NEW base at the
+    * last-synced version, then drop the superseded entries — the
+    * mirror's vacuum. Run it on the same maintenance cadence as the
+    * store's [[QuadStore.vacuum]]; without it each sync adds one (cheap,
+    * constant-depth) segment to every read's fold forever. Ordering
+    * makes every intermediate state readable: the new base is
+    * marker-published FIRST (readers immediately prefer it, old entries
+    * become dead weight), the old entries are deleted after — a crash
+    * between the two leaves a larger-but-consistent mirror. */
   def compact(spark: SparkSession, root: String): Int = {
     val last = lastSynced(root)
     require(last > 0, s"no synced mirror under $root — sync() first")
-    val segs = graft.sources.AtomicStore.list(encDir(root)).flatMap { f =>
-      f.getPath.getName match {
-        case SegRe(n)
-          if graft.sources.AtomicStore.isComplete(f.getPath.toString) =>
-          Some(n.toInt)
-        case _ => None
-      }
-    }
-    if (segs.size <= 1) return last
+    val es = entries(root)
+    if (es.size <= 1) return last
     val state = encoded(spark, root).withColumn("op", lit("a"))
-    // stage the folded state OUTSIDE the segment namespace, then republish
-    // it as the single segment: readers between the delete and the final
-    // publish fall back to... nothing — so stage, swap atomically by
-    // writing the replacement FIRST under a temp name, removing the old
-    // segments, and renaming last. AtomicStore's marker makes each step
-    // crash-safe (a torn compaction leaves the old segments intact).
-    val staged = s"${encDir(root)}/.compacting"
-    graft.sources.AtomicStore.delete(staged)
-    graft.sources.AtomicStore.materialize(staged)(tmp =>
-      state.write.parquet(tmp))
-    segs.foreach(v =>
-      graft.sources.AtomicStore.delete(segPath(encDir(root), v)))
-    graft.sources.AtomicStore.rename(staged, segPath(encDir(root), last))
+    graft.sources.AtomicStore.materialize(basePath(encDir(root), last))(
+      tmp => state.write.parquet(tmp))
+    es.foreach {
+      case ("b", v, _) if v < last =>
+        graft.sources.AtomicStore.delete(basePath(encDir(root), v))
+      case ("s", from, to) if to <= last =>
+        graft.sources.AtomicStore.delete(segPath(encDir(root), from, to))
+      case _ => ()
+    }
     last
   }
 }

@@ -279,26 +279,14 @@ object Sparql {
       : (Boolean, String, Block) => Option[DataFrame] = {
     lazy val solve: (Boolean, String, Block) => Option[DataFrame] =
       (silent, iri, body) => endpoints.get(iri) match {
-        case Some(ep) if ep.columns.contains("g") =>
+        // exactly the (s,p,o,g) shape means a DATASET endpoint; a wider
+        // frame that merely happens to carry a g column keeps the plain
+        // triples semantics it always had
+        case Some(ep) if ep.columns.toSet == Set("s", "p", "o", "g") =>
           val dg = Quads.defaultGraph(ep)
-          def sg(g: Term, inner: Block): DataFrame = g match {
-            case C(gv) =>
-              val slice = ep.filter(col("g") === lit(gv))
-                .select("s", "p", "o")
-              solveBranch(inner, bgp => Bgp.solve(slice, bgp),
-                (path, ps, po) => solvePathOver(slice, path, ps, po),
-                sg, solve)
-            case v @ V(gName) =>
-              val solved = solveBranch(inner,
-                pats => Quads.solveGraphBlock(ep, pats, v),
-                (path, ps, po) =>
-                  solvePathOverGraphs(ep, gName, path, ps, po),
-                sg, solve)
-              if (solved.columns.contains(gName)) solved
-              else solved.crossJoin(
-                ep.filter(col("g") =!= Quads.DefaultGraph)
-                  .select(col("g").as(gName)).distinct())
-          }
+          lazy val sg: (Term, Block) => DataFrame =
+            solveGraphOverQuads(ep, slice => bgp => Bgp.solve(slice, bgp),
+              () => sg, solve)
           Some(solveBranch(body, bgp => Bgp.solve(dg, bgp),
             (path, s, o) => solvePathOver(dg, path, s, o), sg, solve))
         case Some(ep) => Some(solveBranch(body,
@@ -306,7 +294,7 @@ object Sparql {
           (path, s, o) => solvePathOver(ep, path, s, o),
           (_, _) => throw new IllegalArgumentException(
             "GRAPH inside SERVICE needs a DATASET endpoint — register a " +
-              "quads frame (s,p,o,g) for this IRI"),
+              "quads frame with exactly the columns (s,p,o,g) for this IRI"),
           solve))
         case None if silent => None
         case None => throw new IllegalArgumentException(
@@ -314,6 +302,62 @@ object Sparql {
             "`endpoints` (SILENT would tolerate this)")
       }
     solve
+  }
+
+  /** Normalize a variable-graph block's solution against the dataset's
+    * named-graph NAME set (`names`: one `gName` column, distinct).
+    * Three cases, all required by GRAPH ?g's semantics — eval(GRAPH ?g P)
+    * = ⋃ over named g of (eval(P, g) ⋈ {?g → g}):
+    *  - ?g never bound (body anchored only by nested GRAPH / SERVICE):
+    *    cross with the full name set — ?g is unconstrained;
+    *  - ?g bound but NULL on some rows (a UNION branch without a direct
+    *    anchor null-pads it): those rows expand over the name set too;
+    *  - ?g bound to arbitrary TERMS (the body uses the same variable name
+    *    as, say, a subject — `GRAPH ?g { GRAPH <g2> { ?g <q> ?v } }`):
+    *    SPARQL makes that the SAME variable, so solutions survive only
+    *    when the term IS a named graph — a semi-join against the name
+    *    set, which is a no-op for values threaded from the g column. */
+  private def normalizeGraphVar(solved: DataFrame, gName: String,
+      names: DataFrame): DataFrame =
+    if (!solved.columns.contains(gName)) solved.crossJoin(names)
+    else {
+      val bound = solved.filter(col(gName).isNotNull)
+        .join(names, Seq(gName), "left_semi")
+      val unbound = solved.filter(col(gName).isNull).drop(gName)
+        .crossJoin(names)
+      bound.unionByName(unbound)
+    }
+
+  /** The string-space GRAPH-block solver over a quads frame, shared by
+    * [[runQuads]] and the dataset-endpoint branch of [[endpointSolver]]
+    * (`bgpSlice` injects the engine's BGP solver for constant-graph
+    * slices — star collapsing, ExtVP, …). `self` is passed lazily so the
+    * returned function can recurse into NESTED GRAPH blocks. */
+  private def solveGraphOverQuads(quads: DataFrame,
+      bgpSlice: DataFrame => Seq[TP] => DataFrame,
+      self: () => (Term, Block) => DataFrame,
+      svc: (Boolean, String, Block) => Option[DataFrame])
+      : (Term, Block) => DataFrame = {
+    // constant graph: the block's FULL group body (OPTIONAL, FILTER,
+    // BIND, paths, …) solves over that one graph's slice; a NESTED GRAPH
+    // re-scopes the active graph, so it recurses and its solutions join
+    // the body on shared variables — the spec's group-join semantics.
+    // Variable graph: every pattern group threads the ?g binding
+    // (same-active-graph via the shared join column); the solution then
+    // normalizes against the named-graph name set ([[normalizeGraphVar]]).
+    case (C(gv), inner) =>
+      val slice = quads.filter(col("g") === lit(gv)).select("s", "p", "o")
+      solveBranch(inner, bgpSlice(slice),
+        (path, ps, po) => solvePathOver(slice, path, ps, po),
+        self(), svc)
+    case (v @ V(gName), inner) =>
+      val solved = solveBranch(inner,
+        pats => Quads.solveGraphBlock(quads, pats, v),
+        (path, ps, po) => solvePathOverGraphs(quads, gName, path, ps, po),
+        self(), svc)
+      normalizeGraphVar(solved, gName,
+        quads.filter(col("g") =!= Quads.DefaultGraph)
+          .select(col("g").as(gName)).distinct())
   }
 
   /** Parse and execute against a quads DataFrame(s,p,o,g) — an RDF
@@ -345,39 +389,13 @@ object Sparql {
     // SERVICE ignores the active graph (its dataset is the endpoint's), so
     // ONE solver threads through GRAPH bodies and the outer block alike
     val svc = endpointSolver(endpoints)
-    def solveGraph(g: Term, inner: Block): DataFrame = g match {
-      // constant graph: the block's FULL group body (OPTIONAL, FILTER,
-      // BIND, paths, …) solves over that one graph's slice. A NESTED
-      // GRAPH re-scopes the active graph, so it simply recurses — its
-      // solutions join the rest of the body on shared variables, which
-      // is the spec's group-join semantics
-      case C(gv) =>
-        val slice = namedQuads.filter(col("g") === lit(gv))
-          .select("s", "p", "o")
-        solveBranch(inner, bgpOver(slice),
-          (path, ps, po) => solvePathOver(slice, path, ps, po),
-          solveGraph, svc)
-      // variable graph: the FULL group body solves with every pattern
-      // group threaded through the graph binding — OPTIONAL / MINUS /
-      // EXISTS blocks each solve over named graphs with ?g bound and then
-      // join/anti-join on the shared ?g column, which IS the spec's
-      // same-active-graph rule (a candidate match in a different graph
-      // has a different ?g value and never joins). Nested GRAPH blocks
-      // recurse with their OWN active graph; when the body binds ?g only
-      // through nesting-independent members (no direct anchor), ?g is
-      // unconstrained per spec and crosses with the named-graph name set
-      // — bounded by the dataset's graph count. Subqueries stay
-      // parser-rejected: their projection would have to smuggle ?g.
-      case v @ V(gName) =>
-        val solved = solveBranch(inner,
-          pats => Quads.solveGraphBlock(namedQuads, pats, v),
-          (path, ps, po) => solvePathOverGraphs(namedQuads, gName, path, ps, po),
-          solveGraph, svc)
-        if (solved.columns.contains(gName)) solved
-        else solved.crossJoin(
-          namedQuads.filter(col("g") =!= Quads.DefaultGraph)
-            .select(col("g").as(gName)).distinct())
-    }
+    // the shared GRAPH-block solver ([[solveGraphOverQuads]]): constant
+    // graphs slice + recurse for nesting, variable graphs thread ?g
+    // through every pattern group and normalize against the named-graph
+    // name set. Subqueries under GRAPH ?var stay parser-rejected: their
+    // projection would have to smuggle ?g.
+    lazy val solveGraph: (Term, Block) => DataFrame =
+      solveGraphOverQuads(namedQuads, bgpOver, () => solveGraph, svc)
     execute(q, bgpOver(dg),
       (path, s, o) => solvePathOver(dg, path, s, o), solveGraph, svc)
   }
@@ -535,10 +553,9 @@ object Sparql {
           EncodedBgp.decode(solved, dict, solved.columns)
         }
         val solved = solveBranch(inner, bgpVar, pathVar, solveGraph)
-        // body anchored only by nested graphs → ?g is unconstrained per
-        // spec: cross with the (decoded) named-graph name set
-        if (solved.columns.contains(gName)) solved
-        else solved.crossJoin(EncodedBgp.decode(
+        // same three-way ?g normalization as the string engine
+        // ([[normalizeGraphVar]]), against the DECODED name set
+        normalizeGraphVar(solved, gName, EncodedBgp.decode(
           named.select(col("gid").as(gName)).distinct(), dict, Seq(gName)))
     }
     execute(q, bgpOver(dgIds), pathOver(dgIds), solveGraph)

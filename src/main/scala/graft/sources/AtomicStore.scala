@@ -92,7 +92,18 @@ object AtomicStore {
     val dest = new Path(path)
     val fs = fsFor(dest)
     if (complete(fs, dest)) return false
-    fs.delete(dest, true)
+    // clear only a PRE-EXISTING torn directory (a dead writer's partial
+    // build). An unconditional delete here would race a concurrent
+    // writer whose publish landed between our completeness check and the
+    // delete — destroying a COMPLETE segment and letting both OCC
+    // writers report success, the exact lost update this primitive
+    // exists to prevent. With the existence gate, a racer publishing
+    // after our check merely makes our rename fail below, and we
+    // correctly report the loss.
+    if (fs.exists(dest)) {
+      if (complete(fs, dest)) return false
+      fs.delete(dest, true): Unit
+    }
     val nonce = "_GRAFT_WRITER_" +
       java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(path + ".build." +

@@ -49,10 +49,13 @@ class EncodedMirrorSpec extends SparkSpec {
     // the deleted priority is really gone from the id-space answer
     assert(viaMirror.filter(col("pr") === "2-HIGH").count() === 0)
     assert(viaMirror.count() > 0)
-    // compaction folds the two segments into one; contents unchanged
+    // compaction folds base + segment into ONE new base; contents
+    // unchanged
     assert(EncodedMirror.compact(spark, mirror) === 4)
     assert(graft.sources.AtomicStore.list(mirror + "/enc")
-      .count(_.getPath.getName.startsWith("s")) === 1)
+      .map(_.getPath.getName)
+      .count(n => n.startsWith("s") || n.startsWith("b")) === 1)
+    assert(new java.io.File(mirror + "/enc", "b00004").isDirectory)
     val decoded2 = Dictionary.decodeQuads(
       EncodedMirror.encoded(spark, mirror),
       EncodedMirror.dict(spark, mirror))

@@ -1013,6 +1013,33 @@ class SparqlSpec extends SparkSpec {
         |  GRAPH ?g { ?s <p> ?m . GRAPH ?g { ?m <q> ?v . } }
         |}""".stripMargin)
     assert(same.count() === 0)
+    // a UNION member anchored only by nesting: ITS rows expand over every
+    // named graph (?g unconstrained for that branch) while the anchored
+    // branch's rows keep their threaded binding
+    val unionMix = Sparql.runQuads(quads,
+      """SELECT ?g ?s ?x ?v WHERE {
+        |  GRAPH ?g { { ?s <tag2> ?t . } UNION { GRAPH <g2> { ?x <q> ?v . } } }
+        |} ORDER BY ?g ?s ?x""".stripMargin)
+    // no <tag2> triples exist → only the nested branch contributes: its
+    // one solution (b q c) × named graphs {g1, g2}
+    assert(unionMix.select("g", "x", "v").as[(String, String, String)]
+      .collect().toSeq === Seq(("g1", "b", "c"), ("g2", "b", "c")))
+    // the graph variable coinciding with an inner TERM variable is the
+    // SAME variable: solutions survive only when the term IS a named
+    // graph — "b" is not, so zero rows (not ?g="b")
+    val coincide = Sparql.runQuads(quads,
+      """SELECT ?g ?v WHERE {
+        |  GRAPH ?g { GRAPH <g2> { ?g <q> ?v . } }
+        |}""".stripMargin)
+    assert(coincide.count() === 0)
+    // ...and when the term IS a named graph, it binds: add g1 <q> w in g2
+    val quads2 = quads.union(Seq(("g1", "q", "w", "g2")).toDF("s", "p", "o", "g"))
+    val coincide2 = Sparql.runQuads(quads2,
+      """SELECT ?g ?v WHERE {
+        |  GRAPH ?g { GRAPH <g2> { ?g <q> ?v . } }
+        |}""".stripMargin)
+    assert(coincide2.as[(String, String)].collect().toSeq ===
+      Seq(("g1", "w")))
   }
 
   test("property paths inside GRAPH ?var solve per graph") {
