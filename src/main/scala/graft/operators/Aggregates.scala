@@ -68,6 +68,17 @@ object Aggregates extends QueryModule {
       Sketches.hllEstimates(sk).orderBy(col("stratum"))
     }),
 
+    // Distinct-INTERSECTION estimate between two strata from summaries
+    // alone ([[Sketches.setSketches]]): MinHash Jaccard × HLL union —
+    // the question neither sketch answers by itself, answered without
+    // any pairwise join of the data. Approximate ⇒ no SQL oracle;
+    // SketchesSpec bounds the error against exact set arithmetic.
+    "q_agg_set_overlap" -> ((s, d) => {
+      val sk = Sketches.setSketches(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_partkey"))
+      Sketches.intersectionEstimate(sk, "A", "R")
+    }),
+
     "q_agg_rollup" -> ((s, d) => {
       Tables.orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))

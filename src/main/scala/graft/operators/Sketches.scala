@@ -51,6 +51,51 @@ object Sketches {
     per.unionByName(all)
   }
 
+  /** Per-stratum set-sketch PAIR table: an HLL sketch (union
+    * cardinality) AND a MinHash signature (Jaccard) per group — together
+    * they answer the question neither answers alone: the DISTINCT
+    * INTERSECTION between any two strata, |A∩B| ≈ J(A,B) · |A∪B|, from
+    * kilobytes, no rescan, no pairwise join of the data. Both summaries
+    * are mergeable (register max / element-wise min), so the table
+    * maintains under the same insert-batch fold as [[maintain]]. */
+  def setSketches(df: DataFrame, stratum: Column, value: Column,
+      lgK: Int = 12, numHashes: Int = 128): DataFrame = {
+    // columnar MinHash: per seed, the group minimum of a seeded xxhash64
+    // — every component a codegen'd min aggregate with map-side combine,
+    // merge = element-wise min (associative), same estimator as
+    // functions.MinHashAggregator's typed form
+    val v = value.cast("string")
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(concat(v, lit(s"#$i")))).as(s"__h$i"))
+    val mh = df.groupBy(stratum.as("stratum"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("stratum"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("mh"))
+    mh.join(hllSketches(df, stratum, value, lgK), "stratum")
+  }
+
+  /** Estimated |A∩B| between two strata of a [[setSketches]] table:
+    * Jaccard from the MinHash signatures (fraction of agreeing
+    * components) times the HLL union cardinality — inclusion-exclusion
+    * from summaries alone. One broadcast-sized join; tolerance is
+    * governed by numHashes (J stderr ≈ 1/√n) and lgK. */
+  def intersectionEstimate(sketches: DataFrame, a: String,
+      b: String): DataFrame = {
+    val left = sketches.filter(col("stratum") === a)
+      .select(col("mh").as("mh_a"), col("sketch").as("sk_a"))
+    val right = sketches.filter(col("stratum") === b)
+      .select(col("mh").as("mh_b"), col("sketch").as("sk_b"))
+    left.crossJoin(right)
+      .select(
+        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
+          .cast("double")./(size(col("mh_a"))).as("jaccard"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"),
+          allowDifferentLgConfigK = false)).as("union_card"))
+      .select(col("jaccard"), col("union_card"),
+        round(col("jaccard") * col("union_card")).cast("long")
+          .as("intersection_est"))
+  }
+
   /** Incremental maintenance of the sketch store from an INSERT batch:
     * sketch the batch alone (batch-sized work), then outer-merge with the
     * existing strata-sized table — `hll_union` is exactly the additive

@@ -64,6 +64,30 @@ class SketchesSpec extends SparkSpec {
     assert(rows.values.sum === corpus.count() + 1)
   }
 
+  test("set sketches estimate pairwise distinct intersections") {
+    // A = 0..999, B = 500..1499 → |A∩B| = 500, J = 1/3, |A∪B| = 1500
+    val df = ((0L until 1000L).map(("A", _)) ++
+      (500L until 1500L).map(("B", _))).toDF("g", "v")
+    val sk = Sketches.setSketches(df, $"g", $"v")
+    val est = Sketches.intersectionEstimate(sk, "A", "B")
+      .as[(Double, Long, Long)].head()
+    assert(math.abs(est._1 - 1.0 / 3) < 0.1, s"jaccard ${est._1}")
+    assert(math.abs(est._2 - 1500L) <= 120, s"union ${est._2}")
+    assert(math.abs(est._3 - 500L) <= 180, s"intersection ${est._3}")
+    // disjoint strata estimate ~zero intersection
+    val dj = ((0L until 500L).map(("A", _)) ++
+      (5000L until 5500L).map(("B", _))).toDF("g", "v")
+    val none = Sketches.intersectionEstimate(
+      Sketches.setSketches(dj, $"g", $"v"), "A", "B")
+      .as[(Double, Long, Long)].head()
+    assert(none._3 <= 40, s"disjoint estimated ${none._3}")
+    // deterministic under repartitioning (min/max folds commute)
+    val re = Sketches.intersectionEstimate(
+      Sketches.setSketches(df.repartition(13), $"g", $"v"), "A", "B")
+      .as[(Double, Long, Long)].head()
+    assert(re === est)
+  }
+
   test("sketch table is strata-sized and the union reads only sketches") {
     val sk = Sketches.hllSketches(corpus, $"g", $"v")
     assert(sk.count() === 4)
