@@ -124,4 +124,18 @@ object Graft {
     * for union-estimates and incremental maintenance. */
   def hllSketches(df: DataFrame, stratum: Column, value: Column): DataFrame =
     operators.Sketches.hllSketches(df, stratum, value)
+
+  /** Per-stratum MinHash+HLL pair table → pairwise distinct-intersection
+    * estimates from summaries alone ([[operators.Sketches]]). */
+  def setSketches(df: DataFrame, stratum: Column, value: Column): DataFrame =
+    operators.Sketches.setSketches(df, stratum, value)
+
+  /** Sync the dictionary-encoded mirror of a quad store and query it in
+    * id space ([[rdf.EncodedMirror]]). */
+  def mirrorSync(spark: SparkSession, storeRoot: String,
+      mirrorRoot: String): Int =
+    rdf.EncodedMirror.sync(spark, storeRoot, mirrorRoot)
+  def mirrorQuery(spark: SparkSession, mirrorRoot: String,
+      text: String): DataFrame =
+    rdf.EncodedMirror.query(spark, mirrorRoot, text)
 }
