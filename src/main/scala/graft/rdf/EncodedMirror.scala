@@ -63,6 +63,10 @@ object EncodedMirror {
   def lastSynced(root: String): Int =
     entries(root).map(_._3).maxOption.getOrElse(0)
 
+  /** Live segment count (bases + deltas) — the fold width a maintenance
+    * job bounds with [[compact]]. */
+  def segmentCount(root: String): Int = entries(root).size
+
   /** Fold the store's changes since the last sync into the mirror;
     * returns the store version the mirror now reflects. Idempotent and
     * crash-safe (marker-gated segments named by their coverage). */
@@ -79,15 +83,18 @@ object EncodedMirror {
     // dictionary first: a crash between the two writes leaves extra terms
     // (harmless superset) — never an encoded row without its terms.
     // Deleted quads' terms entered the dictionary when the quad did, so
-    // only `adds` can introduce new terms.
+    // only `adds` can introduce new terms — and a no-new-terms sync (the
+    // steady state of idempotent traffic) writes NO dictionary segment,
+    // so the dict fold width doesn't grow with sync count.
     val known = dict(spark, root).select("term")
-    graft.sources.AtomicStore.materialize(dictSegPath(dictDir(root), cur)) {
-      tmp =>
-        Dictionary.quadTerms(adds)
-          .join(known, Seq("term"), "left_anti")
-          .withColumn("id", xxhash64(col("term")))
-          .write.parquet(tmp)
-    }
+    val newTerms = graft.Materialize(
+      Dictionary.quadTerms(adds)
+        .join(known, Seq("term"), "left_anti")
+        .withColumn("id", xxhash64(col("term"))))
+    if (!newTerms.isEmpty)
+      graft.sources.AtomicStore.materialize(dictSegPath(dictDir(root), cur))(
+        tmp => newTerms.write.parquet(tmp)): Unit
+    graft.Materialize.release(newTerms)
     val full = dict(spark, root)
     val dest =
       if (last == 0) basePath(encDir(root), cur)
@@ -182,6 +189,30 @@ object EncodedMirror {
       case ("s", from, to) if to <= last =>
         graft.sources.AtomicStore.delete(segPath(encDir(root), from, to))
       case _ => ()
+    }
+    // fold the dictionary segments too, publish-then-drop: the folded
+    // union lands at s{last} FIRST, the superseded segments go after, so
+    // every intermediate state is a superset of the encoded terms
+    // (which is all dict correctness needs). Folding is skipped when
+    // s{last} is already a segment (a new-terms sync at exactly `last`)
+    // — rare, since steady-state syncs write no dict segment, and the
+    // next compact's `last` will have advanced past it.
+    val dictSegs = graft.sources.AtomicStore.list(dictDir(root)).filter(f =>
+      DictRe.matches(f.getPath.getName) &&
+        graft.sources.AtomicStore.isComplete(f.getPath.toString))
+    // compare by NAME — list() yields fully-qualified URIs, and a
+    // string-vs-URI comparison would silently never match, letting the
+    // no-op materialize below "publish" the pre-existing partial segment
+    // and the delete loop destroy the whole dictionary
+    val targetName = f"s$last%05d"
+    if (dictSegs.size > 1 &&
+        !dictSegs.exists(_.getPath.getName == targetName)) {
+      val folded = dict(spark, root)
+      graft.sources.AtomicStore.materialize(
+        dictSegPath(dictDir(root), last))(
+        tmp => folded.write.parquet(tmp))
+      dictSegs.filter(_.getPath.getName != targetName).foreach(f =>
+        graft.sources.AtomicStore.delete(f.getPath.toString))
     }
     last
   }

@@ -686,6 +686,10 @@ object RdfOps extends QueryModule {
       QuadStore.update(s, store,
         """DELETE WHERE { GRAPH <g:customer> { ?c <mktsegment> "MACHINERY" . } }""")
       EncodedMirror.sync(s, store, mirror): Unit
+      // mirror retention, same policy shape as the store's: compact only
+      // when the fold is wide, so steady-state syncs stay O(|delta|)
+      if (EncodedMirror.segmentCount(mirror) > 6)
+        EncodedMirror.compact(s, mirror): Unit
       QuadStore.vacuumIfDeep(store, keep = 2): Unit
       EncodedMirror.query(s, mirror,
         """SELECT ?s ?o WHERE {

@@ -68,5 +68,21 @@ class EncodedMirrorSpec extends SparkSpec {
     assert(EncodedMirror.sync(spark, store, mirror) === 5)
     assert(EncodedMirror.query(spark, mirror,
       """SELECT ?s WHERE { ?s <brand-new> "again" . }""").count() === 1)
+    // a no-new-terms update then compact exercises the DICT fold path
+    // (the target name is free): segments collapse to one, terms intact
+    val dictBefore = EncodedMirror.dict(spark, mirror).count()
+    QuadStore.update(spark, store,
+      """DELETE DATA { <new:3> <brand-new> "again" . }""")
+    assert(EncodedMirror.sync(spark, store, mirror) === 6)
+    assert(EncodedMirror.compact(spark, mirror) === 6)
+    assert(new java.io.File(mirror + "/dict").list()
+      .count(_.startsWith("s")) === 1)
+    assert(EncodedMirror.dict(spark, mirror).count() === dictBefore)
+    val decoded3 = Dictionary.decodeQuads(
+      EncodedMirror.encoded(spark, mirror),
+      EncodedMirror.dict(spark, mirror))
+    val truth3 = QuadStore.read(spark, store)
+    assert(decoded3.exceptAll(truth3).count() === 0 &&
+      truth3.exceptAll(decoded3).count() === 0)
   }
 }
