@@ -55,36 +55,72 @@ object Sketches {
     * cardinality) AND a MinHash signature (Jaccard) per group — together
     * they answer the question neither answers alone: the DISTINCT
     * INTERSECTION between any two strata, |A∩B| ≈ J(A,B) · |A∪B|, from
-    * kilobytes, no rescan, no pairwise join of the data. Both summaries
-    * are mergeable (register max / element-wise min), so the table
-    * maintains under the same insert-batch fold as [[maintain]]. */
+    * kilobytes, no rescan, no pairwise join of the data. ONE scan: every
+    * MinHash component, the HLL sketch and the row count are aggregates
+    * of the same grouping, so the whole table is a single
+    * map-side-combining groupBy. Both summaries are mergeable — fold
+    * insert batches in with [[maintainSet]]. NULL values are excluded
+    * from both summaries alike (min skips the null-gated hash exactly as
+    * hll_sketch_agg skips null inputs), so the two sketches always
+    * describe the same set. */
   def setSketches(df: DataFrame, stratum: Column, value: Column,
       lgK: Int = 12, numHashes: Int = 128): DataFrame = {
     // columnar MinHash: per seed, the group minimum of a seeded xxhash64
-    // — every component a codegen'd min aggregate with map-side combine,
-    // merge = element-wise min (associative), same estimator as
-    // functions.MinHashAggregator's typed form
+    // — every component a codegen'd min aggregate, merge = element-wise
+    // min (associative), same estimator as functions.MinHashAggregator's
+    // typed form
     val v = value.cast("string")
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(concat(v, lit(s"#$i")))).as(s"__h$i"))
-    val mh = df.groupBy(stratum.as("stratum"))
-      .agg(mins.head, mins.tail: _*)
+      min(when(v.isNotNull, xxhash64(concat(v, lit(s"#$i"))))).as(s"__h$i"))
+    val aggs = mins ++ Seq(
+      hll_sketch_agg(value, lit(lgK)).as("sketch"),
+      count(lit(1)).as("n_rows"))
+    df.groupBy(stratum.as("stratum"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("stratum"),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("mh"))
-    mh.join(hllSketches(df, stratum, value, lgK), "stratum")
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("mh"),
+        col("sketch"), col("n_rows"))
+  }
+
+  /** [[maintain]] for a [[setSketches]] table: HLL registers union,
+    * MinHash components take the element-wise minimum, counts add —
+    * every fold the summaries support, so the pair table ingests batches
+    * without ever rescanning history. */
+  def maintainSet(sketches: DataFrame, inserts: DataFrame, stratum: Column,
+      value: Column, lgK: Int = 12, numHashes: Int = 128): DataFrame = {
+    val delta = setSketches(inserts, stratum, value, lgK, numHashes)
+      .withColumnRenamed("mh", "d_mh")
+      .withColumnRenamed("sketch", "d_sketch")
+      .withColumnRenamed("n_rows", "d_rows")
+    sketches.join(delta, Seq("stratum"), "full_outer")
+      .select(col("stratum"),
+        when(col("mh").isNull, col("d_mh"))
+          .when(col("d_mh").isNull, col("mh"))
+          .otherwise(expr("zip_with(mh, d_mh, (x, y) -> least(x, y))"))
+          .as("mh"),
+        when(col("sketch").isNull, col("d_sketch"))
+          .when(col("d_sketch").isNull, col("sketch"))
+          .otherwise(hll_union(col("sketch"), col("d_sketch"),
+            allowDifferentLgConfigK = false))
+          .as("sketch"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+          .as("n_rows"))
   }
 
   /** Estimated |A∩B| between two strata of a [[setSketches]] table:
     * Jaccard from the MinHash signatures (fraction of agreeing
     * components) times the HLL union cardinality — inclusion-exclusion
     * from summaries alone. One broadcast-sized join; tolerance is
-    * governed by numHashes (J stderr ≈ 1/√n) and lgK. */
+    * governed by numHashes (J stderr ≈ 1/√n) and lgK. An absent stratum
+    * label fails loudly — an empty result would read as "no overlap". */
   def intersectionEstimate(sketches: DataFrame, a: String,
       b: String): DataFrame = {
     val left = sketches.filter(col("stratum") === a)
       .select(col("mh").as("mh_a"), col("sketch").as("sk_a"))
     val right = sketches.filter(col("stratum") === b)
       .select(col("mh").as("mh_b"), col("sketch").as("sk_b"))
+    require(!left.isEmpty, s"stratum '$a' is not in the sketch table")
+    require(!right.isEmpty, s"stratum '$b' is not in the sketch table")
     left.crossJoin(right)
       .select(
         expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")

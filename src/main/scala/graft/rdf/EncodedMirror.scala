@@ -193,26 +193,33 @@ object EncodedMirror {
     // fold the dictionary segments too, publish-then-drop: the folded
     // union lands at s{last} FIRST, the superseded segments go after, so
     // every intermediate state is a superset of the encoded terms
-    // (which is all dict correctness needs). Folding is skipped when
-    // s{last} is already a segment (a new-terms sync at exactly `last`)
-    // — rare, since steady-state syncs write no dict segment, and the
-    // next compact's `last` will have advanced past it.
-    val dictSegs = graft.sources.AtomicStore.list(dictDir(root)).filter(f =>
-      DictRe.matches(f.getPath.getName) &&
-        graft.sources.AtomicStore.isComplete(f.getPath.toString))
-    // compare by NAME — list() yields fully-qualified URIs, and a
-    // string-vs-URI comparison would silently never match, letting the
-    // no-op materialize below "publish" the pre-existing partial segment
-    // and the delete loop destroy the whole dictionary
-    val targetName = f"s$last%05d"
-    if (dictSegs.size > 1 &&
-        !dictSegs.exists(_.getPath.getName == targetName)) {
-      val folded = dict(spark, root)
+    // (which is all dict correctness needs). Two bounds mirror the enc
+    // loop's discipline: (a) compare by NAME — list() yields
+    // fully-qualified URIs, and a string-vs-URI comparison would
+    // silently never match, letting the no-op materialize "publish" a
+    // pre-existing segment and the delete loop destroy the dictionary;
+    // (b) fold and delete ONLY segments with version ≤ last — a
+    // concurrent sync's NEWER segment carries terms the fold lacks, and
+    // deleting it would silently orphan its encoded rows. Folding is
+    // skipped when s{last} already exists (a new-terms sync at exactly
+    // `last`) — rare, since steady-state syncs write no dict segment.
+    val dictSegs = graft.sources.AtomicStore.list(dictDir(root)).flatMap {
+      f => f.getPath.getName match {
+        case DictRe(n)
+          if n.toInt <= last &&
+            graft.sources.AtomicStore.isComplete(f.getPath.toString) =>
+          Some(n.toInt -> f.getPath.toString)
+        case _ => None
+      }
+    }
+    if (dictSegs.size > 1 && !dictSegs.exists(_._1 == last)) {
+      val folded = dictSegs.map(e => spark.read.parquet(e._2))
+        .reduce(_.unionByName(_)).distinct()
       graft.sources.AtomicStore.materialize(
         dictSegPath(dictDir(root), last))(
         tmp => folded.write.parquet(tmp))
-      dictSegs.filter(_.getPath.getName != targetName).foreach(f =>
-        graft.sources.AtomicStore.delete(f.getPath.toString))
+      dictSegs.filter(_._1 != last).foreach(e =>
+        graft.sources.AtomicStore.delete(e._2))
     }
     last
   }

@@ -88,6 +88,29 @@ class SketchesSpec extends SparkSpec {
     assert(re === est)
   }
 
+  test("maintainSet folds an insert batch into the pair table") {
+    val base = ((0L until 800L).map(("A", _)) ++
+      (500L until 1200L).map(("B", _))).toDF("g", "v")
+    val batch = ((800L until 1000L).map(("A", _)) ++
+      (1200L until 1500L).map(("B", _))).toDF("g", "v")
+    val maintained = Sketches.maintainSet(
+      Sketches.setSketches(base, $"g", $"v"), batch, $"g", $"v")
+    // MinHash element-wise min is exactly the rebuild's fold, so the
+    // Jaccard estimate matches a from-scratch build bit-for-bit
+    val rebuilt = Sketches.setSketches(base.union(batch), $"g", $"v")
+    val em = Sketches.intersectionEstimate(maintained, "A", "B")
+      .as[(Double, Long, Long)].head()
+    val er = Sketches.intersectionEstimate(rebuilt, "A", "B")
+      .as[(Double, Long, Long)].head()
+    assert(em._1 === er._1, "maintained MinHash must equal the rebuild's")
+    // truth: A=0..999, B=500..1499 → ∩=500, ∪=1500
+    assert(math.abs(em._3 - 500L) <= 180, s"intersection ${em._3}")
+    // absent strata fail loudly, not empty
+    val e = intercept[IllegalArgumentException](
+      Sketches.intersectionEstimate(rebuilt, "nope", "B"))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("sketch table is strata-sized and the union reads only sketches") {
     val sk = Sketches.hllSketches(corpus, $"g", $"v")
     assert(sk.count() === 4)
