@@ -130,6 +130,14 @@ object Graft {
   def setSketches(df: DataFrame, stratum: Column, value: Column): DataFrame =
     operators.Sketches.setSketches(df, stratum, value)
 
+  /** W3C SPARQL results serializations of a solution frame
+    * ([[rdf.SparqlResults]]): CSV/TSV per sparql11-results-csv-tsv,
+    * results-json bindings — the endpoint wire formats, distributed. */
+  def resultsCsv(df: DataFrame): DataFrame = rdf.SparqlResults.toCsvRows(df)
+  def resultsTsv(df: DataFrame): DataFrame = rdf.SparqlResults.toTsvRows(df)
+  def resultsJson(df: DataFrame): Dataset[String] =
+    rdf.SparqlResults.toJsonBindings(df)
+
   /** Sync the dictionary-encoded mirror of a quad store and query it in
     * id space ([[rdf.EncodedMirror]]). */
   def mirrorSync(spark: SparkSession, storeRoot: String,
