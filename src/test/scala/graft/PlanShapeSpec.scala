@@ -58,6 +58,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("upsample is a map-side explode: no exchange before the final sort") {
+    val p = plan("q_corpus_upsample")
+    // the only exchange allowed is the ORDER BY's range partitioning —
+    // epoch expansion itself must never shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"upsample must stay map-side:\n$p")
+    assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
+  }
+
   test("q_corpus_pipeline composes without cartesians; bench grams broadcast") {
     val p = plan("q_corpus_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
