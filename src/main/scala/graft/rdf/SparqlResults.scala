@@ -20,22 +20,45 @@ object SparqlResults {
 
   /** CSV (§3 of sparql11-results-csv-tsv): header row of variable
     * names, cells are the term's LEXICAL form only — IRIs bare, tags and
-    * datatypes dropped — with RFC 4180 quoting left to the writer. */
+    * datatypes dropped. */
   def toCsvRows(df: DataFrame): DataFrame =
     df.select(df.columns.map(c =>
       Terms.lexical(col(c)).as(c)).toIndexedSeq: _*)
 
-  /** Write the CSV serialization (header included, RFC 4180 quoting). */
-  def writeCsv(df: DataFrame, path: String): Unit =
-    toCsvRows(df).write.option("header", "true").mode("overwrite").csv(path)
+  /** Write the CSV serialization: RFC 4180 quoting (embedded quotes
+    * DOUBLE — Spark's default backslash escape is not RFC 4180 and
+    * standard consumers misread it), and exactly ONE header row emitted
+    * as the leading data row — the writer's own `header` option stamps a
+    * header into EVERY part file, which corrupts the §3 single-document
+    * assembly (getmerge/cat) for any multi-partition result. */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    val rows = toCsvRows(df)
+    val spark = df.sparkSession
+    val header = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row.fromSeq(df.columns.toSeq)),
+      rows.schema)
+    header.unionByName(rows).write
+      .option("escape", "\"").mode("overwrite").csv(path)
+  }
 
   /** One TSV cell (§4): full term syntax — IRIs `<...>`, blanks `_:...`,
-    * quoted literals as-is, bare lexical cells ECHAR-escaped and
-    * quoted as plain literals; unbound stays empty. */
-  private def tsvCell(c: Column): Column =
+    * quoted literals re-serialized with their RAW payload ECHAR-escaped
+    * (Terms' storage convention keeps payloads unescaped, so tabs or
+    * inner quotes in the payload MUST be escaped at this boundary or the
+    * row's column count breaks), bare lexical cells escaped and quoted
+    * as plain literals; unbound stays empty. */
+  private def tsvCell(c: Column): Column = {
+    // the annotation after the closing quote (@lang / ^^<dt>), if any
+    val lastQ = length(c) - instr(reverse(c), "\"") + 1
+    val suffix = c.substr(lastQ + 1, length(c))
     when(c.isNull, lit(""))
-      .when(Terms.isIri(c) || Terms.isBlank(c) || c.startsWith("\""), c)
+      .when(Terms.isIri(c) || Terms.isBlank(c), c)
+      .when(c.startsWith("\""),
+        concat(lit("\""), call_function("nt_escape", Terms.lexical(c)),
+          lit("\""), suffix))
       .otherwise(concat(lit("\""), call_function("nt_escape", c), lit("\"")))
+  }
 
   /** TSV (§4): first row `?var<TAB>?var...`, then full-syntax terms. The
     * result is ONE string column (`line`) — TSV's cells are never
@@ -76,14 +99,27 @@ object SparqlResults {
   /** One binding object per solution row (`{"v":{...},...}`, unbound
     * variables omitted per spec) — the distributed body of the
     * results-json document. */
+  /** A column NAME as a JSON string: full escape (quote, backslash,
+    * control chars) — names are driver-side constants, so this runs
+    * once, not per row; `c.replace("\"", ...)` alone would emit invalid
+    * JSON for names containing backslashes or control characters. */
+  private def jsonKey(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case ch if ch < ' ' => sb.append(f"\\u${ch.toInt}%04x")
+      case ch => sb.append(ch)
+    }
+    sb.append('"').toString
+  }
+
   def toJsonBindings(df: DataFrame): Dataset[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     val entries = df.columns.map { c =>
-      // a JSON-escaped key via to_json of a 1-field struct: "{"c":..."
       when(col(c).isNotNull,
-        concat(lit("\"" + c.replace("\"", "\\\"") + "\":"),
-          termJson(col(c))))
+        concat(lit(jsonKey(c) + ":"), termJson(col(c))))
     }
     df.select(concat(lit("{"),
       concat_ws(",", entries.toIndexedSeq: _*), lit("}")).as("b"))
@@ -98,8 +134,7 @@ object SparqlResults {
     val rows = toJsonBindings(df).take(maxRows + 1)
     require(rows.length <= maxRows,
       s"result exceeds $maxRows rows — stream toJsonBindings instead")
-    val vars = df.columns
-      .map(c => "\"" + c.replace("\"", "\\\"") + "\"").mkString(",")
+    val vars = df.columns.map(jsonKey).mkString(",")
     s"""{"head":{"vars":[$vars]},"results":{"bindings":[""" +
       rows.mkString(",") + "]}}"
   }

@@ -13,29 +13,43 @@ class SparqlResultsSpec extends SparkSpec {
     ("<http://ex/q\"x>", "\"say \"hi\"\"", "tab\there")
   ).toDF("s", "v", "w")
 
-  test("CSV: lexical forms only, unbound empty, writer quotes") {
+  test("CSV: lexical forms only, RFC 4180 doubling, ONE header row") {
     val rows = SparqlResults.toCsvRows(sols)
       .as[(String, String, String)].collect()
     assert(rows(0) === (("http://ex/a", "hello", "plain")))
     assert(rows(1)._2 === "3" && rows(1)._3 === null)
-    // round-trip through the actual CSV writer/reader (RFC 4180 quoting)
     val dir = java.nio.file.Files.createTempDirectory("csvres").toString
-    SparqlResults.writeCsv(sols, dir)
-    val back = spark.read.option("header", "true").csv(dir)
+    SparqlResults.writeCsv(sols.repartition(3), dir)
+    // assemble the single document the way an endpoint would (getmerge):
+    // exactly one header line — the per-part-file header option would
+    // plant one per partition
+    val raw = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(raw.count(_ == "s,v,w") === 1)
+    // embedded quotes DOUBLE (RFC 4180), never backslash-escape
+    assert(raw.exists(_.contains("\"say \"\"hi\"\"\"")),
+      raw.mkString("\n"))
+    assert(!raw.exists(_.contains("\\\"")))
+    val back = spark.read.option("header", "true").option("escape", "\"")
+      .csv(spark.createDataset(raw.toIndexedSeq)(
+        org.apache.spark.sql.Encoders.STRING))
     assert(back.count() === 3)
-    assert(back.columns.toSeq === Seq("s", "v", "w"))
-    assert(back.filter(col("v") === "hello").count() === 1)
+    assert(back.filter(col("v") === "say \"hi\"").count() === 1)
   }
 
-  test("TSV: full term syntax, bare cells become quoted literals") {
+  test("TSV: full term syntax, raw payloads ECHAR-escaped at the boundary") {
     val lines = SparqlResults.toTsvRows(sols).as[String].collect()
     assert(lines(0) === "?s\t?v\t?w")
     assert(lines.exists(_ ==
       "<http://ex/a>\t\"hello\"@en\t\"plain\""))
-    // unbound → empty cell; term strings pass through untouched
+    // unbound → empty cell; annotations survive re-serialization
     assert(lines.exists(_.startsWith(
       "_:b0\t\"3\"^^<http://www.w3.org/2001/XMLSchema#integer>\t")))
-    // a tab INSIDE a bare literal is ECHAR-escaped, so columns stay 3
+    // raw inner quotes and tabs in payloads are escaped, so every row
+    // keeps exactly 3 columns and quoted literals parse under §4
+    assert(lines.exists(_.contains("\"say \\\"hi\\\"\"")))
+    assert(lines.exists(_.contains("\"tab\\there\"")))
     assert(lines.filter(_.nonEmpty).forall(_.split("\t", -1).length == 3))
   }
 
