@@ -43,9 +43,12 @@ object EncodedMirror {
   private def segPath(dir: String, from: Int, to: Int) =
     f"$dir%s/s$from%05d" + f"_$to%05d"
   private def dictSegPath(dir: String, v: Int) = f"$dir%s/s$v%05d"
-  private val BaseRe = "b(\\d{5})".r
-  private val SegRe = "s(\\d{5})_(\\d{5})".r
-  private val DictRe = "s(\\d{5})".r
+  // {5,}: %05d PADS to five digits but grows past them at version
+  // 100000 — an exact-width match would silently ignore newer segments,
+  // freezing lastSynced and serving stale data with no error
+  private val BaseRe = "b(\\d{5,})".r
+  private val SegRe = "s(\\d{5,})_(\\d{5,})".r
+  private val DictRe = "s(\\d{5,})".r
 
   /** Complete (kind, from, to) entries under enc/: bases as (b, v, v). */
   private def entries(root: String): Seq[(String, Int, Int)] =
@@ -91,9 +94,16 @@ object EncodedMirror {
       Dictionary.quadTerms(adds)
         .join(known, Seq("term"), "left_anti")
         .withColumn("id", xxhash64(col("term"))))
-    if (!newTerms.isEmpty)
+    if (!newTerms.isEmpty) {
       graft.sources.AtomicStore.materialize(dictSegPath(dictDir(root), cur))(
         tmp => newTerms.write.parquet(tmp)): Unit
+      // collision screen: every sync that grew the dictionary re-proves
+      // id uniqueness (O(|dict|) groupBy over the kilobyte-scale mirror
+      // dict) — a 64-bit xxhash collision would silently merge two terms
+      // (two distinct quads collapse to one id-quad; deleting one drops
+      // the other), so it must fail LOUDLY here, at write time
+      auditDict(spark, root)
+    }
     graft.Materialize.release(newTerms)
     val full = dict(spark, root)
     val dest =
@@ -106,6 +116,18 @@ object EncodedMirror {
         .write.parquet(tmp)
     }
     cur
+  }
+
+  /** Fail loudly if any two distinct terms share an id — the 'fails
+    * loudly, never silently diverges' contract on the hashed-id space.
+    * [[sync]] runs this after every dictionary-growing write; callers
+    * building hashed dictionaries elsewhere should do the same. */
+  def auditDict(spark: SparkSession, root: String): Unit = {
+    val coll = Dictionary.auditCollisions(dict(spark, root)).limit(1).collect()
+    if (coll.nonEmpty) throw new IllegalStateException(
+      s"xxhash64 id collision in mirror dictionary under $root: id=" +
+        s"${coll(0).getLong(0)} terms=${coll(0).getSeq[String](2).mkString(", ")}" +
+        " — the id space is corrupt; rebuild with a wider/dense id scheme")
   }
 
   /** The mirror's dictionary: union of the append-only segments. */
@@ -142,6 +164,13 @@ object EncodedMirror {
           "resync from the store")
       to
     }: Unit
+    // an empty chain (fresh bootstrap, or right after compact) means the
+    // base IS the state — it's adds-only by construction, so the
+    // last-op-per-quad fold would be a store-wide shuffle computing the
+    // identity; skip it
+    if (chain.isEmpty)
+      return spark.read.parquet(basePath(encDir(root), base))
+        .select(keys.map(col): _*)
     val frames =
       spark.read.parquet(basePath(encDir(root), base))
         .withColumn("__seq", lit(base)) +:

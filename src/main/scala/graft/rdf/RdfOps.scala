@@ -643,6 +643,28 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"), col("g"))
     }),
 
+    // GRAPH ?var in UPDATES, on its own store root: one atomic request
+    // whose Modify renames a predicate IN WHATEVER NAMED GRAPH it lives
+    // (?g binds per solution and the templates instantiate with it), then
+    // a DELETE WHERE purges a pattern across all named graphs — the
+    // graph-wildcard admin idiom. Both ops match nothing on a re-run, so
+    // bench runs converge.
+    "q_sparql_update_graphvar" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_quadstore_gv_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), root)
+      QuadStore.update(s, root,
+        """DELETE { GRAPH ?g { ?o <orderstatus> ?st . } }
+          |INSERT { GRAPH ?g { ?o <archived> ?st . } }
+          |WHERE { GRAPH ?g { ?o <orderstatus> ?st . } } ;
+          |DELETE WHERE { GRAPH ?g { ?c <mktsegment> "FURNITURE" . } }"""
+          .stripMargin)
+      QuadStore.vacuumIfDeep(root, keep = 2, maxChain = 4)
+      QuadStore.read(s, root)
+        .filter(col("p") === "archived" || col("p") === "mktsegment")
+        .orderBy(col("s"), col("p"), col("o"), col("g"))
+    }),
+
     // WITH / USING (§3.1.3.2/3) on its own store root: statement 1 reads
     // BUILDING customers through a USING-described dataset (default =
     // g:customer's slice; WITH is ignored for WHERE once USING appears)
@@ -1250,6 +1272,23 @@ object RdfOps extends QueryModule {
          |)
          |SELECT s, 'status' AS p, o, g FROM quads
          |WHERE p = 'orderstatus'
+         |ORDER BY s, p, o, g""".stripMargin,
+
+    // post-graphvar-update state: orderstatus renamed to archived in its
+    // own (variable-bound) graph; FURNITURE segment rows purged wherever
+    // they lived
+    "q_sparql_update_graphvar" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT s, p, o, g FROM (
+         |  SELECT s, 'archived' AS p, o, g FROM quads WHERE p = 'orderstatus'
+         |  UNION ALL
+         |  SELECT s, p, o, g FROM quads
+         |  WHERE p = 'mktsegment' AND o <> 'FURNITURE'
+         |)
          |ORDER BY s, p, o, g""".stripMargin,
 
     // the flags graph after the WITH/USING pair: one flag2=name quad per

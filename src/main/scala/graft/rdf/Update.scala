@@ -46,7 +46,12 @@ import org.apache.spark.sql.functions._
   *
   * `GRAPH <iri> { ... }` blocks target named graphs in all forms; quads
   * outside GRAPH target the default graph (or the WITH graph in a
-  * Modify). Out of fragment (rejected loudly): `GRAPH ?var` in updates.
+  * Modify). Pattern blocks (DELETE WHERE / Modify) also take
+  * `GRAPH ?var { ... }` — the variable ranges over the store's NAMED
+  * graphs, binds per solution, and templates may instantiate with it
+  * (the "purge this subject wherever it lives" admin idiom:
+  * `DELETE WHERE { GRAPH ?g { <s> ?p ?o } }`). Ground data blocks
+  * (INSERT/DELETE DATA) stay constant-graph per grammar.
   */
 object Update {
 
@@ -62,8 +67,12 @@ object Update {
     * default graph. */
   final case class InsertData(quads: Seq[(String, String, String, String)]) extends Op
   final case class DeleteData(quads: Seq[(String, String, String, String)]) extends Op
-  /** Patterns with their (constant) target graph. */
-  final case class DeleteWhere(patterns: Seq[(TP, String)]) extends Op
+  /** Patterns with their target graph: `C(iri)` for a constant graph
+    * (`C(Quads.DefaultGraph)` outside GRAPH blocks), `V(name)` for
+    * `GRAPH ?var` — the variable ranges over the store's NAMED graphs
+    * (SPARQL semantics; the default graph is not in scope) and binds like
+    * any other pattern variable, so templates can instantiate with it. */
+  final case class DeleteWhere(patterns: Seq[(TP, Term)]) extends Op
   /** The Modify operation (§3.1.3): `WITH <g>? DELETE { t }? INSERT
     * { t }? USING* WHERE { p }` — WHERE solves once against the ORIGINAL
     * store, both templates instantiate from those solutions, deletes
@@ -78,8 +87,8 @@ object Update {
     * RDF merge of the `usingDefault` graphs and GRAPH blocks range over
     * exactly the `usingNamed` set (a GRAPH naming anything else matches
     * nothing), while WITH keeps governing only the templates. */
-  final case class Modify(deleteTpl: Seq[(TP, String)],
-      insertTpl: Seq[(TP, String)], where: Seq[(TP, String)],
+  final case class Modify(deleteTpl: Seq[(TP, Term)],
+      insertTpl: Seq[(TP, Term)], where: Seq[(TP, Term)],
       withGraph: Option[String] = None,
       usingDefault: Seq[String] = Nil,
       usingNamed: Seq[String] = Nil) extends Op
@@ -138,6 +147,70 @@ object Update {
     }}
     afterClear.join(d.dels, Seq("s", "p", "o", "g"), "left_anti")
       .unionByName(d.adds)
+  }
+
+  /** The sequential composition of two deltas: ONE delta whose replay
+    * equals `applyDelta(applyDelta(st, d1), d2)` for every snapshot `st`
+    * d1 was computed against. This is what makes a `;`-separated update
+    * REQUEST atomic: the whole sequence folds into one published segment
+    * instead of one commit per operation (SPARQL 1.1 Protocol expects a
+    * request to succeed or fail as a whole).
+    *
+    * Derivation (replay order is clears → tombstones → adds):
+    *  - clears concatenate — every clear removes whole graphs from the
+    *    base, so applying d2's clears "early" is harmless for base rows,
+    *    and d1's adds into graphs d2 clears are dropped HERE instead.
+    *  - d1's adds survive unless d2 clears their graph or tombstones them.
+    *  - d2's tombstones for quads d1 added are redundant (those quads were
+    *    absent from the pre-d1 state — that's [[Delta]]'s adds-disjointness
+    *    invariant — and the add is dropped above), so only tombstones
+    *    aimed at pre-d1 quads carry over.
+    *  - adds stay disjoint from the composed post-delete state: anything
+    *    present after (clears', dels') was present after d1 resp. d2 and
+    *    would have been screened out of that delta's adds.
+    * A quad in BOTH dels' and adds' (deleted by d1, re-inserted by d2) is
+    * fine — tombstones apply before adds, so the base copy is removed and
+    * exactly one copy returns. */
+  def composeDeltas(d1: Delta, d2: Delta): Delta = {
+    val keys = Seq("s", "p", "o", "g")
+    def covered(clears: Seq[Target]): Column =
+      clears.foldLeft(lit(false)) { (acc, t) => acc || (t match {
+        case AllGraphs => lit(true)
+        case AllNamed => col("g") =!= Quads.DefaultGraph
+        case DefaultG => col("g") === Quads.DefaultGraph
+        case OneGraph(g) => col("g") === g
+      })}
+    val a1s = d1.adds.filter(!covered(d2.clears))
+      .join(d2.dels, keys, "left_anti")
+    val carriedTombs = d2.dels.join(d1.adds, keys, "left_anti")
+    Delta(a1s.unionByName(d2.adds),
+      d1.dels.filter(!covered(d2.clears)).unionByName(carriedTombs),
+      d1.clears ++ d2.clears)
+  }
+
+  /** The net [[Delta]] of a whole operation SEQUENCE against `current`:
+    * each operation's delta is computed against the state its
+    * predecessors left (per SPARQL 1.1 Update §3), then folded via
+    * [[composeDeltas]] into one delta — so a request publishes ONE
+    * version atomically, and any mid-sequence failure (unbound template
+    * variable, empty block) surfaces before anything is committed.
+    * Requests are human-written and short, so the per-op plan growth here
+    * is bounded; a machine-generated thousand-op request should be split
+    * by the caller. */
+  def deltaSeq(current: DataFrame, ops: Seq[Op]): Delta = {
+    require(ops.nonEmpty, "empty update request")
+    val spark = current.sparkSession
+    import spark.implicits._
+    def none: DataFrame =
+      Seq.empty[(String, String, String, String)].toDF("s", "p", "o", "g")
+    var state = current
+    var acc = Delta(none, none, Nil)
+    ops.foreach { op =>
+      val d = delta(state, op)
+      state = applyDelta(state, d)
+      acc = composeDeltas(acc, d)
+    }
+    acc
   }
 
   /** Compute an operation's [[Delta]] against `current`. The store may be
@@ -216,8 +289,8 @@ object Update {
     * screened against the post-delete state the same semi-then-anti way as
     * INSERT DATA — the store is scanned, never put on an anti-join's
     * build side. */
-  private def modifyDelta(current: DataFrame, del: Seq[(TP, String)],
-      ins: Seq[(TP, String)], where: Seq[(TP, String)],
+  private def modifyDelta(current: DataFrame, del: Seq[(TP, Term)],
+      ins: Seq[(TP, Term)], where: Seq[(TP, Term)],
       withGraph: Option[String], usingDefault: Seq[String],
       usingNamed: Seq[String]): Delta = {
     val spark = current.sparkSession
@@ -245,27 +318,39 @@ object Update {
           col("g") === withGraph.getOrElse(Quads.DefaultGraph))
       } else if (hasDataset && !usingNamed.contains(g)) current.limit(0)
       else current.filter(col("g") === g)
+    // GRAPH ?var ranges over the NAMED graphs (never the default — SPARQL
+    // dataset semantics); with a USING-described dataset it ranges over
+    // exactly the USING NAMED set
+    def sliceVar: DataFrame =
+      if (usingNamed.nonEmpty) current.filter(col("g").isin(usingNamed: _*))
+      else if (hasDataset) current.limit(0)
+      else current.filter(col("g") =!= Quads.DefaultGraph)
     // solve the conjunction: each pattern over its graph slice, joined on
-    // shared variables
-    val solved0 = where.map { case (tp, g) =>
-      Bgp.onePattern(slice(g), Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o))
+    // shared variables; a variable graph binds `g` as a solution column
+    val solved0 = where.map { case (tp, gt) =>
+      gt match {
+        case C(g) => Bgp.onePattern(slice(g.toString),
+          Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o))
+        case v @ V(_) => Bgp.onePattern(sliceVar,
+          Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o, "g" -> v))
+      }
     }.reduce(Bgp.joinSolved)
     // both templates instantiate from the SAME solution set; materialize
     // when more than one template leg would re-run the solve
     val solved = if (del.size + ins.size > 1) graft.Materialize(solved0)
       else solved0
     val bound = solved.columns.toSet
-    def inst(tpl: Seq[(TP, String)]): DataFrame = {
-      tpl.foreach { case (tp, _) =>
-        Seq(tp.s, tp.p, tp.o).foreach {
+    def inst(tpl: Seq[(TP, Term)]): DataFrame = {
+      tpl.foreach { case (tp, gt) =>
+        Seq(tp.s, tp.p, tp.o, gt).foreach {
           case V(n) => require(bound(n),
             s"template variable ?$n is not bound by the WHERE pattern")
           case _ => ()
         }
       }
-      tpl.map { case (tp, g) =>
+      tpl.map { case (tp, gt) =>
         solved.select(term2col(tp.s).as("s"), term2col(tp.p).as("p"),
-          term2col(tp.o).as("o"), typedLit(g).as("g"))
+          term2col(tp.o).as("o"), term2col(gt).as("g"))
       }.reduce(_ unionByName _).distinct()
     }
     val delQ = if (del.isEmpty) none else inst(del)
@@ -315,9 +400,9 @@ object Update {
       def requireNoWith(what: String): Unit = require(withG.isEmpty,
         s"WITH applies to DELETE/INSERT ... WHERE only, not $what")
       // stamp a template's non-GRAPH quads with the WITH graph
-      def stamp(tpl: Seq[(TP, String)]): Seq[(TP, String)] = tpl.map {
-        case (tp, g) if g == Quads.DefaultGraph =>
-          (tp, withG.getOrElse(Quads.DefaultGraph))
+      def stamp(tpl: Seq[(TP, Term)]): Seq[(TP, Term)] = tpl.map {
+        case (tp, C(g)) if g == Quads.DefaultGraph =>
+          (tp, C(withG.getOrElse(Quads.DefaultGraph)))
         case x => x
       }
       // `USING <g>` / `USING NAMED <g>` dataset clauses before WHERE
@@ -456,24 +541,22 @@ object Update {
         s"INSERT/DELETE DATA take ground terms only, got ?$n")
     }
 
-    /** `{ patterns }` with optional `GRAPH <g> { ... }` members. */
-    private def patternBlock(): Seq[(TP, String)] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(TP, String)]
+    /** `{ patterns }` with optional `GRAPH (<g> | ?var) { ... }` members —
+      * a variable graph ranges over the named graphs and binds like any
+      * pattern variable (see [[DeleteWhere]]). */
+    private def patternBlock(): Seq[(TP, Term)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(TP, Term)]
       expect("{")
       while (peek != "}") {
         if (peekKw("GRAPH")) {
           expectKw("GRAPH")
-          val g = term() match {
-            case C(v) => v.toString
-            case V(n) => throw new IllegalArgumentException(
-              s"GRAPH ?$n is not supported in updates — name the graph")
-          }
+          val g = term()
           expect("{")
           while (peek != "}") { out += ((TP(term(), term(), term()), g)); maybeDot() }
           expect("}")
           maybeDot()
         } else {
-          out += ((TP(term(), term(), term()), Quads.DefaultGraph))
+          out += ((TP(term(), term(), term()), C(Quads.DefaultGraph)))
           maybeDot()
         }
       }
@@ -529,8 +612,11 @@ object Update {
   */
 object QuadStore {
 
-  private val VersionRe = """^v(\d{5})$""".r
-  private val DeltaRe = """^d(\d{5})$""".r
+  // {5,}: path formatting pads to five digits but grows past them at
+  // version 100000 — an exact-width match would silently drop newer
+  // versions from the listing (readers would serve stale snapshots)
+  private val VersionRe = """^v(\d{5,})$""".r
+  private val DeltaRe = """^d(\d{5,})$""".r
 
   // the default graph's "" would round-trip as a Hive null partition;
   // store it under a real directory token instead
@@ -787,17 +873,19 @@ object QuadStore {
         "pathological writer contention")
   }
 
-  /** Parse and apply one update, appending a delta segment (O(|delta|)
-    * bytes written); returns the new version number. Safe under
-    * concurrent writers (OCC retry, [[occPublish]]). */
-  def update(spark: SparkSession, root: String, text: String): Int =
-    // a REQUEST is a `;`-separated operation sequence: each operation's
-    // delta is computed against the state the previous one left (its
-    // segment is already published when the next read() runs), one
-    // O(|delta|) segment per operation
-    Update.parseAll(text).map { op =>
-      occPublish(spark, root, cur => Update.delta(cur, op))
-    }.last
+  /** Parse and apply one update REQUEST — a `;`-separated operation
+    * sequence — ATOMICALLY: the whole request parses up front, each
+    * operation's delta is computed against the state its predecessors
+    * left, and the composed net delta publishes as ONE segment / ONE
+    * version ([[Update.deltaSeq]]). A failure anywhere (parse error,
+    * unbound template variable, exhausted OCC retries) leaves the store
+    * untouched — SPARQL 1.1 Protocol's request-level success-or-failure.
+    * O(Σ|delta|) bytes written; safe under concurrent writers (OCC
+    * retry, [[occPublish]]). Returns the new version number. */
+  def update(spark: SparkSession, root: String, text: String): Int = {
+    val ops = Update.parseAll(text)
+    occPublish(spark, root, cur => Update.deltaSeq(cur, ops))
+  }
 
   /** Append a quads frame as one delta segment, set-semantically: only
     * quads NOT already in the store land in the segment (the same
@@ -921,6 +1009,11 @@ object QuadStore {
       graft.sources.AtomicStore.sizeBytes(path(root, newestBase))
     val deltaBytes = vs.map(_._1).filter(_ > newestBase)
       .map(v => graft.sources.AtomicStore.sizeBytes(deltaPath(root, v))).sum
+    // crash-window note: in-place compaction publishes base v{cur} then
+    // deletes d{cur}; a crash between the two leaves BOTH directories for
+    // cur. versions() already collapses that duplicate (groupBy version,
+    // base wins), so the toMap lookup and the chain-depth count below are
+    // deterministic, and the delete retries on the next call
     if (deltaBytes > baseBytes * maxDeltaFrac && !vs.toMap.getOrElse(cur, false)) {
       val spark = SparkSession.active
       writeBase(readVersion(spark, root, cur), path(root, cur))

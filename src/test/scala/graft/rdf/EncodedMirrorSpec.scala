@@ -85,4 +85,30 @@ class EncodedMirrorSpec extends SparkSpec {
     assert(decoded3.exceptAll(truth3).count() === 0 &&
       truth3.exceptAll(decoded3).count() === 0)
   }
+
+  test("a dictionary id collision fails LOUDLY, at sync time") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("emcstore").toString
+    val mirror = java.nio.file.Files.createTempDirectory("emcmirror").toString
+    QuadStore.init(
+      Seq(("a:1", "p", "v", "")).toDF("s", "p", "o", "g"), store)
+    EncodedMirror.sync(spark, store, mirror): Unit
+    // inject a synthetic colliding segment (two terms, one id) — xxhash64
+    // collisions can't be manufactured cheaply, so the corrupt state is
+    // written directly in the mirror's own segment format
+    graft.sources.AtomicStore.materialize(s"$mirror/dict/s00099") { tmp =>
+      Seq(("collide-x", 42L), ("collide-y", 42L)).toDF("term", "id")
+        .write.parquet(tmp)
+    }: Unit
+    val e = intercept[IllegalStateException](
+      EncodedMirror.auditDict(spark, mirror))
+    assert(e.getMessage.contains("collision"))
+    // ...and the screen is ON the sync path: a dictionary-growing sync
+    // trips over the corruption instead of silently building on it
+    QuadStore.update(spark, store,
+      """INSERT DATA { <fresh:term> <p> "new" . }""")
+    val e2 = intercept[IllegalStateException](
+      EncodedMirror.sync(spark, store, mirror))
+    assert(e2.getMessage.contains("collision"))
+  }
 }

@@ -146,8 +146,8 @@ class QuadStoreDeltaSpec extends SparkSpec {
         |INSERT DATA { ex:a <p> "one" . ex:b <p> "two" . } ;
         |DELETE WHERE { ex:a <p> ?o . } ;
         |INSERT DATA { ex:c <p> "three" . } ;""".stripMargin)
-    // three segments published — one per operation
-    assert(QuadStore.currentVersion(root).get === v && v === 4)
+    // the whole request commits ATOMICALLY as one composed segment
+    assert(QuadStore.currentVersion(root).get === v && v === 2)
     val got = QuadStore.read(spark, root)
       .filter(col("p") === "p").select("s", "o")
       .as[(String, String)].collect().toSet
@@ -156,6 +156,77 @@ class QuadStoreDeltaSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Update.parse("""CLEAR ALL ; CLEAR ALL"""))
     assert(e.getMessage.contains("one update operation"))
+  }
+
+  test("a request fails as a whole: no prefix of it is ever committed") {
+    val root = java.nio.file.Files.createTempDirectory("qsatomic").toString
+    QuadStore.init(Quads.build(spark, sf0001), root)
+    val v0 = QuadStore.currentVersion(root).get
+    // op 2 is invalid (template variable ?y unbound by WHERE): the
+    // request must leave the store untouched — op 1 included
+    intercept[IllegalArgumentException](QuadStore.update(spark, root,
+      """INSERT DATA { <ex:a> <p> "one" . } ;
+        |DELETE { ?x <p> ?y } WHERE { ?x <q> ?w }""".stripMargin))
+    assert(QuadStore.currentVersion(root).get === v0)
+    assert(QuadStore.read(spark, root)
+      .filter(col("s") === "ex:a").count() === 0)
+  }
+
+  test("composed request semantics match sequential application") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("qscompose").toString
+    QuadStore.init(
+      Seq(("b:1", "p", "v", ""), ("b:2", "p", "w", "g:x"))
+        .toDF("s", "p", "o", "g"), root)
+    // insert-then-delete nets to absent; delete-then-reinsert of a BASE
+    // quad nets to exactly one copy; clear between inserts keeps only the
+    // post-clear insert
+    QuadStore.update(spark, root,
+      """INSERT DATA { <t:1> <p> "gone" . } ;
+        |DELETE DATA { <t:1> <p> "gone" . } ;
+        |DELETE DATA { <b:1> <p> "v" . } ;
+        |INSERT DATA { <b:1> <p> "v" . } ;
+        |INSERT DATA { GRAPH <g:x> { <t:2> <p> "pre" . } } ;
+        |CLEAR GRAPH <g:x> ;
+        |INSERT DATA { GRAPH <g:x> { <t:3> <p> "post" . } }""".stripMargin)
+    // ONE delta segment for the whole request
+    assert(QuadStore.currentVersion(root).get === 2)
+    val got = QuadStore.read(spark, root)
+      .select("s", "p", "o", "g").as[(String, String, String, String)]
+      .collect().toSet
+    assert(got === Set(
+      ("b:1", "p", "v", ""),
+      ("t:3", "p", "post", "g:x")))
+  }
+
+  test("GRAPH ?var in updates: purge across named graphs, bind in templates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("qsgvar").toString
+    QuadStore.init(Seq(
+      ("a", "p", "1", "g:x"), ("b", "p", "2", "g:y"),
+      ("c", "q", "3", "g:x"), ("d", "p", "4", "")) // default graph NOT in ?g's range
+      .toDF("s", "p", "o", "g"), root)
+    // delete ?s <p> ?o wherever it lives among the NAMED graphs
+    QuadStore.update(spark, root,
+      "DELETE WHERE { GRAPH ?g { ?s <p> ?o . } }")
+    val afterPurge = QuadStore.read(spark, root)
+      .select("s", "p", "o", "g").as[(String, String, String, String)]
+      .collect().toSet
+    assert(afterPurge === Set(("c", "q", "3", "g:x"), ("d", "p", "4", "")))
+    // Modify with ?g in BOTH templates: rename q→r in the graph it lives
+    QuadStore.update(spark, root,
+      """DELETE { GRAPH ?g { ?s <q> ?o . } }
+        |INSERT { GRAPH ?g { ?s <r> ?o . } }
+        |WHERE { GRAPH ?g { ?s <q> ?o . } }""".stripMargin)
+    val afterRename = QuadStore.read(spark, root)
+      .select("s", "p", "o", "g").as[(String, String, String, String)]
+      .collect().toSet
+    assert(afterRename === Set(("c", "r", "3", "g:x"), ("d", "p", "4", "")))
+    // an unbound graph variable in a template still fails loudly
+    val e = intercept[IllegalArgumentException](QuadStore.update(spark, root,
+      """DELETE { GRAPH ?h { ?s <r> ?o . } }
+        |WHERE { ?s <r> ?o . }""".stripMargin))
+    assert(e.getMessage.contains("?h"))
   }
 
   test("a FAT chain base-ifies the current version in place, keeping pins") {

@@ -2170,8 +2170,13 @@ class SparqlSpec extends SparkSpec {
       Update.parse("""WITH <g:x> CLEAR GRAPH <g:y>"""))
     intercept[IllegalArgumentException](
       Update.parse("""WITH <g:x> INSERT DATA { <a> <p> "v" . }"""))
+    // GRAPH ?var is IN fragment for pattern blocks since round 6 (the
+    // graph-wildcard purge); it parses to a variable graph term
+    assert(Update.parse("DELETE WHERE { GRAPH ?g { ?s ?p ?o . } }") ===
+      Update.DeleteWhere(Seq((TP(V("s"), V("p"), V("o")), V("g")))))
+    // ...but ground DATA blocks stay constant-graph per grammar
     intercept[IllegalArgumentException](
-      Update.parse("DELETE WHERE { GRAPH ?g { ?s ?p ?o . } }"))
+      Update.parse("""INSERT DATA { GRAPH ?g { <a> <p> "v" . } }"""))
   }
 
   test("Modify WITH/USING dataset semantics (§3.1.3.2/3)") {
