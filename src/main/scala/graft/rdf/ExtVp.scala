@@ -16,13 +16,21 @@ import org.apache.spark.sql.functions._
   * — so a BGP join scans only the join-surviving subset of each
   * predicate's table. Reductions with selectivity above `threshold` are
   * discarded (they would not pay for their storage), exactly S2RDF's SF
-  * threshold. Build is ingest-time: #preds is schema-sized, so the
-  * reduction enumeration is O(#preds²) SMALL semi-joins over
-  * predicate-pruned scans, each delta written once; at query time the
-  * solver picks, per pattern, the lowest-selectivity reduction its join
-  * partners admit (VP as the fallback) — scans shrink before any shuffle
-  * happens, which at 100 TB is the difference between shuffling a
-  * predicate's full fact table and its join-relevant slice.
+  * threshold.
+  *
+  * Ingest-time enumeration is CO-OCCURRENCE-PRUNED, not #preds²: every
+  * candidate pair's exact reduction size is derived from THREE keyed
+  * aggregations over the triples ([[pairStats]] — per-subject and
+  * per-object predicate row counts joined on the shared key), so pairs
+  * that never share a key simply never appear. On a TPC-H/LUBM-shaped
+  * schema that's the same pair set as full enumeration; on an open
+  * vocabulary (Wikidata-scale, 10⁴–10⁵ predicates) it is the difference
+  * between an infeasible #preds²·3 sweep of per-pair count jobs and work
+  * proportional to the pairs that actually co-occur — S2RDF's own answer.
+  * A per-(predicate, kind) fan-out cap (`maxPartners`, most selective
+  * partners kept) bounds the store size under pathological co-occurrence,
+  * and only SURVIVING reductions are ever computed or written. The driver
+  * never loops over the data — it collects one bounded stats table.
   */
 object ExtVp {
 
@@ -31,35 +39,85 @@ object ExtVp {
       red: Map[(String, String, String), DataFrame],
       sel: Map[(String, String, String), Double])
 
-  /** Build VP + reductions for every predicate of `triples`. Driver work
-    * is bounded by the schema (#preds² selectivity checks, each a count
-    * over a cached predicate slice), never by the data volume. */
-  def build(triples: DataFrame, threshold: Double = 0.9): Store = {
+  /** Exact reduction sizes for every CO-OCCURRING (p, q, kind) pair, as
+    * `(p, q, kind) -> (matched, total)` with `matched` = |ExtVP_kind[p|q]|
+    * and `total` = |VP[p]| — computed from keyed aggregations, one row per
+    * co-occurring pair, NO per-pair jobs:
+    *
+    *  - `perSP(s, p, cnt)` / `perOP(o, p, cnt)`: one groupBy each.
+    *  - SS[p|q] = Σ_s perSP(s,p).cnt over subjects where q also occurs
+    *    (join perSP with perSP's key set on the subject).
+    *  - SO[p|q] = Σ_x perSP(x,p).cnt over x that occur as an object of q.
+    *  - OS[p|q] = Σ_x perOP(x,p).cnt over x that occur as a subject of q.
+    *
+    * These are exactly the semi-join reduction counts: a VP[p] row
+    * survives iff its join-side term occurs in q's relevant column. */
+  def pairStats(triples: DataFrame):
+      Map[(String, String, String), (Long, Long)] = {
+    val perSP = triples.groupBy("s", "p").agg(count(lit(1)).as("cnt"))
+    val perOP = triples.groupBy(col("o").as("s"), col("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val subjPreds = perSP.select(col("s"), col("p").as("q")).distinct()
+    val objPreds = perOP.select(col("s"), col("p").as("q")).distinct()
+    def matched(rows: DataFrame, partners: DataFrame, kind: String) =
+      rows.join(partners, "s")
+        .filter(col("p") =!= col("q"))
+        .groupBy("p", "q")
+        .agg(sum("cnt").as("matched"))
+        .select(col("p"), col("q"), lit(kind).as("kind"), col("matched"))
+    val stats = matched(perSP, subjPreds, "SS")
+      .unionByName(matched(perSP, objPreds, "SO"))
+      .unionByName(matched(perOP, subjPreds, "OS"))
+    val totals = triples.groupBy("p").agg(count(lit(1)).as("total"))
+    // bounded collect: one row per CO-OCCURRING pair — the quantity the
+    // whole design keeps proportional to the schema's real connectivity
+    stats.join(totals, "p").collect().map { r =>
+      (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))
+    }.toMap
+  }
+
+  /** Build VP + reductions for the predicates of `triples`: enumerate
+    * only co-occurring pairs ([[pairStats]]), keep per (p, kind) the
+    * `maxPartners` most selective partners at-or-under `threshold`, and
+    * materialize ONLY those reductions (each a single semi-join). */
+  def build(triples: DataFrame, threshold: Double = 0.9,
+      maxPartners: Int = 16): Store = {
     import triples.sparkSession.implicits._
     val preds = triples.select("p").distinct().as[String].collect().sorted
     val vp = preds.map(p =>
-      p -> triples.filter(col("p") === p).select("s", "o").persist()).toMap
-    val n = preds.map(p => p -> vp(p).count().toDouble).toMap
-    val red = scala.collection.mutable.Map.empty[(String, String, String), DataFrame]
-    val sel = scala.collection.mutable.Map.empty[(String, String, String), Double]
-    for (p <- preds; q <- preds if p != q; kind <- Seq("SS", "SO", "OS")) {
+      p -> triples.filter(col("p") === p).select("s", "o")).toMap
+    val chosen = choosePairs(pairStats(triples), threshold, maxPartners)
+    val red = chosen.keys.map { case k @ (p, q, kind) =>
       val (leftKey, rightKey) = kind match {
         case "SS" => ("s", "s")
         case "SO" => ("s", "o")
         case "OS" => ("o", "s")
       }
-      val reduced = vp(p).join(
+      k -> vp(p).join(
         vp(q).select(col(rightKey).as(leftKey)).distinct(),
         Seq(leftKey), "left_semi")
-      val cnt = reduced.count().toDouble
-      val s = if (n(p) == 0) 1.0 else cnt / n(p)
-      if (s <= threshold && cnt > 0) {
-        red((p, q, kind)) = reduced
-        sel((p, q, kind)) = s
-      }
-    }
-    Store(vp, red.toMap, sel.toMap)
+    }.toMap
+    Store(vp, red, chosen)
   }
+
+  /** Threshold + fan-out selection over [[pairStats]] output: selectivity
+    * = matched/total must be ≤ `threshold` (S2RDF's SF cut — a reduction
+    * that keeps nearly everything doesn't pay for its storage), then per
+    * (p, kind) only the `maxPartners` MOST selective partners survive
+    * (deterministic tie-break on the partner name). */
+  private[rdf] def choosePairs(
+      stats: Map[(String, String, String), (Long, Long)],
+      threshold: Double, maxPartners: Int):
+      Map[(String, String, String), Double] =
+    stats.toSeq.flatMap { case ((p, q, kind), (m, total)) =>
+      val s = if (total == 0) 1.0 else m.toDouble / total
+      if (m > 0 && s <= threshold) Some(((p, q, kind), s)) else None
+    }
+      .groupBy { case ((p, _, kind), _) => (p, kind) }
+      .flatMap { case (_, group) =>
+        group.sortBy { case ((_, q, _), s) => (s, q) }.take(maxPartners)
+      }
 
   /** Solve a constant-predicate BGP over the store: each pattern scans
     * the LOWEST-selectivity reduction its join partners admit (its VP
@@ -114,8 +172,10 @@ object ExtVp {
   /** The persisted ExtVP store for the canonical triples of `sfDir` —
     * reductions are parquet directories under one AtomicStore-published
     * root (crash-safe, built once per dataset), with the selectivity map
-    * in `sel.json`. Queries through here measure the reduced-scan solve,
-    * not the ingest-time reduction build. */
+    * in `sel.json` written and read through the SAME Hadoop-FS path as
+    * the data files (file://, hdfs://, bare paths — one code path).
+    * Queries through here measure the reduced-scan solve, not the
+    * ingest-time reduction build. */
   def forDataset(spark: SparkSession, sfDir: String,
       threshold: Double = 0.9): Store =
     stores.getOrElseUpdate(s"$sfDir#$threshold", {
@@ -123,7 +183,8 @@ object ExtVp {
         s"extvp-$threshold")
       val base = s"${sys.props("java.io.tmpdir")}/graft_extvp_$key"
       val path = graft.sources.AtomicStore.materialize(base) { tmp =>
-        val st = build(Triples.build(spark, sfDir), threshold)
+        val triples = Triples.build(spark, sfDir).persist()
+        val st = build(triples, threshold)
         st.vp.foreach { case (p, df) =>
           df.write.parquet(s"$tmp/vp/${enc(p)}") }
         st.red.foreach { case ((p, q, k), df) =>
@@ -131,12 +192,11 @@ object ExtVp {
         val json = st.sel.toSeq.sortBy(_._1.toString).map {
           case ((p, q, k), s) => s"""["${enc(p)}","${enc(q)}","$k",$s]"""
         }.mkString("[", ",", "]")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(tmp, "sel.json"), json): Unit
-        st.vp.values.foreach(_.unpersist())
+        graft.sources.AtomicStore.writeString(s"$tmp/sel.json", json)
+        triples.unpersist(): Unit
       }
-      val selRows = parseSel(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(path, "sel.json")))
+      val selRows = parseSel(
+        graft.sources.AtomicStore.readString(s"$path/sel.json"))
       val sel = selRows.map { case (p, q, k, s) => ((dec(p), dec(q), k), s) }.toMap
       val vp = graft.sources.AtomicStore.list(s"$path/vp").map(f =>
         dec(f.getPath.getName) ->

@@ -164,6 +164,28 @@ object AtomicStore {
     if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
   }
 
+  /** Write a small metadata string (store manifests, selectivity maps)
+    * through the Hadoop filesystem — bare paths, file:// and hdfs:// all
+    * take the same code path as the data files next to it. Overwrites. */
+  def writeString(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val out = fsFor(p).create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a small metadata string written by [[writeString]]. */
+  def readString(path: String): String = {
+    val p = new Path(path)
+    val in = fsFor(p).open(p)
+    try {
+      val baos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { baos.write(buf, 0, n); n = in.read(buf) }
+      new String(baos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   /** Collision-resistant store key from the build inputs: SHA-256 over the
     * length-prefixed inputs, truncated to 128 bits of hex. 32-bit
     * `hashCode`-based keys can collide across datasets (or a corpus change

@@ -50,6 +50,45 @@ class ExtVpSpec extends SparkSpec {
     store.vp.values.foreach(_.unpersist())
   }
 
+  test("build enumerates CO-OCCURRING pairs, not #preds² (wide vocabulary)") {
+    // two disjoint predicate clusters: subjects and objects never cross
+    // clusters, so cross-cluster pairs must not even be ENUMERATED — the
+    // open-vocabulary scale property (work ∝ real connectivity, never
+    // #preds²·3)
+    val nPred = 20
+    val rows = (0 until nPred).flatMap { i =>
+      val cluster = if (i < nPred / 2) "a" else "b"
+      (0 until 3).map(j => (s"$cluster:s$j", s"p$i", s"$cluster:o$j"))
+    }
+    val triples = rows.toDF("s", "p", "o")
+    val stats = ExtVp.pairStats(triples)
+    assert(stats.nonEmpty)
+    stats.keys.foreach { case (p, q, _) =>
+      val cp = p.stripPrefix("p").toInt < nPred / 2
+      val cq = q.stripPrefix("p").toInt < nPred / 2
+      assert(cp === cq, s"cross-cluster pair enumerated: ($p, $q)")
+    }
+    // objects never appear as subjects here, so only SS pairs exist:
+    // 2 clusters × 10×9 ordered pairs — FAR below the 20·19·3 sweep
+    assert(stats.size === 2 * 10 * 9)
+    assert(stats.size < nPred * (nPred - 1) * 3)
+    // exactness: the stat is the semi-join reduction count it stands for
+    assert(stats(("p0", "p1", "SS")) === ((3L, 3L)))
+    // the fan-out cap bounds reductions per (predicate, kind)
+    val capped = ExtVp.build(triples, threshold = 1.0, maxPartners = 3)
+    val perPK = capped.sel.keys.groupBy { case (p, _, k) => (p, k) }
+      .view.mapValues(_.size)
+    assert(perPK.values.forall(_ <= 3), perPK.toMap.toString)
+    assert(capped.sel.nonEmpty)
+    // capped solve still answers correctly (uncovered patterns fall back
+    // to their VP table)
+    val pats = Seq(TP(V("x"), C("p0"), V("o0")), TP(V("x"), C("p5"), V("o5")))
+    val viaExt = ExtVp.solve(capped, pats)
+    val viaBgp = Bgp.solve(triples, pats)
+    assert(viaExt.exceptAll(viaBgp).count() === 0 &&
+      viaBgp.exceptAll(viaExt).count() === 0)
+  }
+
   test("variable predicates reject loudly; unknown predicates match nothing") {
     val triples = Seq(("a", "p", "b")).toDF("s", "p", "o")
     val store = ExtVp.build(triples)
