@@ -65,6 +65,24 @@ object RdfOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // JSON-LD NAMED-GRAPH round-trip (the TriG-equivalent quads surface):
+    // the quads dataset exported as per-partition documents whose named
+    // graphs are {"@id": g, "@graph": [...]} graph objects and whose
+    // default-graph subjects are top-level nodes, then read back by the
+    // quads parser — write→parse is the identity on the quad set.
+    "q_jsonld_quads" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_jsonldq_" +
+        graft.sources.AtomicStore.key(d)
+      val path = graft.sources.AtomicStore.materialize(base) { tmp =>
+        JsonLd.writeQuads(Quads.build(s, d)
+          .withColumn("o_is_iri", col("o").rlike("^[conr]:"))
+          .withColumn("o_lang", lit(""))
+          .withColumn("o_datatype", lit("")), tmp)
+      }
+      JsonLd.readQuads(s, s"$path/part-*.txt")
+        .orderBy(col("g"), col("s"), col("p"), col("o"))
+    }),
+
     // TriG ingest round-trip: the quads dataset (named graphs + default)
     // exported as `<g> { ... }` blocks plus top-level default-graph
     // statements, read back by the shared Turtle grammar's TriG entry —
@@ -972,6 +990,13 @@ object RdfOps extends QueryModule {
     "q_rdfxml_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
 
     "q_trig_scan" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT s, p, o, g FROM quads ORDER BY g, s, p, o""".stripMargin),
+
+    // same identity as q_trig_scan, through the JSON-LD quads round-trip
+    "q_jsonld_quads" -> cte(
       s""", quads AS (
          |${Quads.duckCte}
          |)

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** W3C SPARQL 1.1 Query Results serializations of a solution DataFrame —
   * the wire formats a SPARQL endpoint replacement must speak
-  * (sparql11-results-csv-tsv, sparql11-results-json). Every serializer
+  * (sparql11-results-csv-tsv, sparql11-results-json, and the original
+  * protocol format rdf-sparql-XMLres). Every serializer
   * is a column expression over the solution frame, so results stream out
   * DISTRIBUTED — the driver never assembles the document (callers that
   * genuinely need one in-memory string use [[jsonDocument]] with its
@@ -124,6 +125,72 @@ object SparqlResults {
     df.select(concat(lit("{"),
       concat_ws(",", entries.toIndexedSeq: _*), lit("}")).as("b"))
       .as[String]
+  }
+
+  // ------------------------- results-xml (§) --------------------------
+
+  /** XML text-content escape as a column expression (order matters: &
+    * first); attributes additionally escape the quote. */
+  private def xmlEscape(c: Column): Column =
+    replace(replace(replace(c, lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+  private def xmlAttr(c: Column): Column =
+    replace(xmlEscape(c), lit("\""), lit("&quot;"))
+
+  /** A driver-side constant (variable name) XML-escaped once. */
+  private def xmlName(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
+  /** One `<binding name="v">…</binding>` element, typed per the W3C
+    * results-XML vocabulary: `<uri>`, `<bnode>`, `<literal>` with
+    * optional `xml:lang` / `datatype`; NULL (unbound) yields null so the
+    * enclosing concat_ws omits it, matching the spec's absent binding. */
+  private def bindingXml(name: String, c: Column): Column = {
+    val lex = xmlEscape(Terms.lexical(c))
+    val lang = Terms.lang(c)
+    val dt = Terms.datatype(c)
+    val inner =
+      when(Terms.isIri(c), concat(lit("<uri>"), lex, lit("</uri>")))
+        .when(Terms.isBlank(c), concat(lit("<bnode>"),
+          xmlEscape(c.substr(lit(3), length(c))), lit("</bnode>")))
+        .when(lang =!= "", concat(lit("<literal xml:lang=\""),
+          xmlAttr(lang), lit("\">"), lex, lit("</literal>")))
+        .when(dt =!= Terms.XsdString && dt =!= Terms.RdfLangString,
+          concat(lit("<literal datatype=\""), xmlAttr(dt), lit("\">"),
+            lex, lit("</literal>")))
+        .otherwise(concat(lit("<literal>"), lex, lit("</literal>")))
+    when(c.isNotNull,
+      concat(lit(s"""<binding name="${xmlName(name)}">"""),
+        inner, lit("</binding>")))
+  }
+
+  /** XML results (the ORIGINAL W3C protocol format,
+    * `application/sparql-results+xml`): one `<result>` ELEMENT per
+    * solution row as a string column — column expressions end to end, so
+    * the body streams out distributed like the CSV/TSV/JSON siblings;
+    * [[xmlDocument]] is the bounded whole-document assembler. */
+  def toXmlRows(df: DataFrame): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bindings = df.columns.map(c => bindingXml(c, col(c)))
+    df.select(concat(lit("<result>"),
+      concat_ws("", bindings.toIndexedSeq: _*), lit("</result>")).as("r"))
+      .as[String]
+  }
+
+  /** The complete results-XML document as ONE string — bounded collect,
+    * same contract as [[jsonDocument]]; endpoints streaming big results
+    * use [[toXmlRows]] and frame the envelope themselves. */
+  def xmlDocument(df: DataFrame, maxRows: Int = 100000): String = {
+    val rows = toXmlRows(df).take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"result exceeds $maxRows rows — stream toXmlRows instead")
+    val vars = df.columns
+      .map(c => s"""<variable name="${xmlName(c)}"/>""").mkString
+    """<?xml version="1.0"?>""" +
+      """<sparql xmlns="http://www.w3.org/2005/sparql-results#">""" +
+      s"<head>$vars</head><results>" + rows.mkString + "</results></sparql>"
   }
 
   /** The complete results-json document as ONE string — for bounded

@@ -116,4 +116,43 @@ class JsonLdSpec extends SparkSpec {
     assert(back.exceptAll(typed).count() === 0)
     assert(typed.exceptAll(back).count() === 0)
   }
+
+  test("named graphs: graph objects parse; writeQuads → readQuads identity") {
+    // JSON-LD 1.1 named graphs: a node with @graph names a graph for its
+    // contained nodes; its OTHER properties stay in the enclosing graph
+    val doc =
+      """{"@context": {"ex": "http://ex/"},
+        | "@graph": [
+        |   {"@id": "ex:g1", "ex:label": "graph one",
+        |    "@graph": [
+        |      {"@id": "ex:a", "ex:p": {"@id": "ex:b"}},
+        |      {"@id": "ex:b", "ex:q": "v"}]},
+        |   {"@id": "ex:top", "ex:p": "w"}]}""".stripMargin
+    val rows = JsonLd.parseQuadsDoc(doc).toSet
+    assert(rows === Set(
+      Trig.QRow("http://ex/g1", "http://ex/label", "graph one",
+        o_is_iri = false, o_lang = "", o_datatype = "", g = ""),
+      Trig.QRow("http://ex/a", "http://ex/p", "http://ex/b",
+        o_is_iri = true, o_lang = "", o_datatype = "", g = "http://ex/g1"),
+      Trig.QRow("http://ex/b", "http://ex/q", "v",
+        o_is_iri = false, o_lang = "", o_datatype = "", g = "http://ex/g1"),
+      Trig.QRow("http://ex/top", "http://ex/p", "w",
+        o_is_iri = false, o_lang = "", o_datatype = "", g = "")))
+    // the triples read is the UNION of the graphs (never drops data)
+    assert(JsonLd.parseDoc(doc).size === 4)
+    // write→parse identity on a typed QUAD set, named + default graphs,
+    // through multiple partitions (each part file a valid document)
+    val typed = Seq(
+      ("s1", "label", "hello", false, "en", "", "g:a"),
+      ("s1", "age", "7", false, "",
+        "http://www.w3.org/2001/XMLSchema#integer", "g:a"),
+      ("s2", "knows", "s1", true, "", "", "g:b"),
+      ("s3", "label", "default", false, "", "", ""))
+      .toDF("s", "p", "o", "o_is_iri", "o_lang", "o_datatype", "g")
+    val dir = java.nio.file.Files.createTempDirectory("jsonld-quads").toString
+    JsonLd.writeQuads(typed.repartition(3), s"$dir/out")
+    val back = JsonLd.readQuadsTyped(spark, s"$dir/out/part-*.txt")
+    assert(back.exceptAll(typed).count() === 0)
+    assert(typed.exceptAll(back).count() === 0)
+  }
 }

@@ -75,4 +75,46 @@ class SparqlResultsSpec extends SparkSpec {
       SparqlResults.jsonDocument(sols, maxRows = 2))
     assert(e.getMessage.contains("exceeds"))
   }
+
+  test("XML: typed bindings, unbound omitted, round-trips a DOM parser") {
+    // add XML-hostile payloads: &, <, > and quotes in every term position
+    val hostile = Seq(
+      ("<http://ex/a?x=1&y=<2>>", "\"a & b < c\"@en", "plain \"quoted\""),
+      ("_:b0", "\"3\"^^<http://www.w3.org/2001/XMLSchema#integer>", null))
+      .toDF("s", "v", "w")
+    val doc = SparqlResults.xmlDocument(hostile)
+    // well-formedness: the JDK DOM parser must accept the document
+    val dom = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(doc.getBytes("UTF-8")))
+    def elems(tag: String) = {
+      val nl = dom.getElementsByTagName(tag)
+      (0 until nl.getLength).map(nl.item)
+    }
+    assert(elems("variable").map(
+      _.getAttributes.getNamedItem("name").getNodeValue) ===
+      Seq("s", "v", "w"))
+    assert(elems("result").size === 2)
+    // typed term elements with ESCAPING undone by the parser
+    assert(elems("uri").map(_.getTextContent) ===
+      Seq("http://ex/a?x=1&y=<2>"))
+    assert(elems("bnode").map(_.getTextContent) === Seq("b0"))
+    val lits = elems("literal")
+    assert(lits.map(_.getTextContent).toSet ===
+      Set("a & b < c", "plain \"quoted\"", "3"))
+    assert(lits.flatMap(l => Option(
+        l.getAttributes.getNamedItem("xml:lang")).map(_.getNodeValue)) ===
+      Seq("en"))
+    assert(lits.flatMap(l => Option(
+        l.getAttributes.getNamedItem("datatype")).map(_.getNodeValue)) ===
+      Seq("http://www.w3.org/2001/XMLSchema#integer"))
+    // the unbound w is ABSENT: row 2 carries two bindings, not three
+    val perResult = elems("result").map(r =>
+      r.getChildNodes.getLength)
+    assert(perResult.sorted === Seq(2, 3))
+    // the row bound is enforced loudly, like the JSON sibling
+    val e = intercept[IllegalArgumentException](
+      SparqlResults.xmlDocument(hostile, maxRows = 1))
+    assert(e.getMessage.contains("exceeds"))
+  }
 }
