@@ -12,14 +12,29 @@ import org.apache.spark.sql.functions._
   * text — the corpus is touched ONCE (one distinct-words count
   * aggregation); every merge round after that is a pair-count
   * aggregation over the vocabulary-sized symbol table plus a driver-side
-  * argmax of exactly one row. At 100 TB the corpus scan dominates and the
-  * rounds are each O(|vocab|) — the standard trick that makes BPE
-  * trainable at web scale. State per round is eagerly materialized
-  * ([[graft.Materialize]]) so the plan stays constant-depth across
-  * hundreds of merges.
+  * collect of at most `batchTopK` rows. At 100 TB the corpus scan
+  * dominates and the rounds are each O(|vocab|) — the standard trick
+  * that makes BPE trainable at web scale. State per round is eagerly
+  * materialized ([[graft.Materialize]]) so the plan stays constant-depth
+  * across hundreds of merges.
   *
-  * Determinism: the argmax tie-breaks on (count desc, left, right) — a
-  * total order — so the merge sequence is a pure function of the corpus.
+  * Rounds commit a BATCH of merges, not one: from the top candidates in
+  * total order, take the maximal prefix of mutually symbol-disjoint
+  * pairs whose counts strictly exceed the first conflicting candidate's
+  * count. That bound is what makes batching EXACTLY sequence-equivalent
+  * to one-merge-at-a-time training: disjoint pairs cannot change each
+  * other's counts, and every pair a merge can create or boost — (x, l+r)
+  * from a preceding x, (l+r, y) from a following y — is count-bounded by
+  * an existing pair that SHARES a symbol with the batch (old (x,l) resp.
+  * (r,y)), hence by the first conflict's count. Equal counts are not
+  * safe: a derived pair can tie a candidate's count and outrank it
+  * lexicographically (e.g. "a b y"/"ac d": merging (a,b) derives (ab,y),
+  * and "ab" < "ac"), so the strict `>` is load-bearing and spec-pinned.
+  * A 50k-merge production vocabulary goes from 50k sequential Spark jobs
+  * to ~50k/|batch| — order-of-magnitude fewer driver round-trips.
+  *
+  * Determinism: candidates order by (count desc, left, right) — a total
+  * order — so the merge sequence is a pure function of the corpus.
   */
 object Bpe {
 
@@ -27,10 +42,15 @@ object Bpe {
   /** Public only because Spark's codegen'd encoders require it. */
   final case class WordSyms(syms: Seq[String], cnt: Long)
 
-  /** Learn `numMerges` merges from the corpus's `text` column. */
-  def train(docs: DataFrame, numMerges: Int): Seq[Merge] = {
+  /** Learn `numMerges` merges from the corpus's `text` column.
+    * `batchTopK` bounds the per-round candidate collect (rows on the
+    * driver, never corpus data); 1 degenerates to the classic
+    * one-merge-per-round loop. Any value yields the SAME sequence. */
+  def train(docs: DataFrame, numMerges: Int,
+      batchTopK: Int = 256): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(batchTopK >= 1, s"batchTopK must be >= 1, got $batchTopK")
     // ONE corpus pass: word frequencies; then words become symbol seqs
     var words: Dataset[WordSyms] = graft.Materialize(
       docs.select(explode(split(col("text"), " ")).as("w"))
@@ -41,29 +61,60 @@ object Bpe {
         .map { case (w, c) => WordSyms(w.map(_.toString), c) }
         .toDF()).as[WordSyms]
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var r = 0
     var exhausted = false
-    while (r < numMerges && !exhausted) {
-      // pair counts over the vocabulary table; argmax is ONE collected row
-      val top = words.flatMap(ws =>
+    while (merges.length < numMerges && !exhausted) {
+      // pair counts over the vocabulary table; candidates are a bounded
+      // collect in the global total order
+      val cands = words.flatMap(ws =>
           ws.syms.zip(ws.syms.drop(1)).map(p => (p._1, p._2, ws.cnt)))
         .toDF("l", "r", "c")
         .groupBy("l", "r").agg(sum("c").as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(batchTopK).collect()
+        .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+      if (cands.isEmpty) exhausted = true
       else {
-        val (l, rr) = (top(0).getString(0), top(0).getString(1))
-        merges += Merge(r, l, rr)
-        val next = graft.Materialize(
-          words.map(ws => WordSyms(mergePair(ws.syms, l, rr), ws.cnt)).toDF())
+        val batch = selectBatch(cands, batchTopK,
+          numMerges - merges.length)
+        batch.foreach { case (l, rr, _) =>
+          merges += Merge(merges.length, l, rr)
+        }
+        val pairs = batch.map(b => (b._1, b._2))
+        val next = graft.Materialize(words.map { ws =>
+          WordSyms(pairs.foldLeft(ws.syms) {
+            case (s, (l, rr)) => mergePair(s, l, rr)
+          }, ws.cnt)
+        }.toDF())
         graft.Materialize.release(words.toDF())
         words = next.as[WordSyms]
-        r += 1
       }
     }
     graft.Materialize.release(words.toDF())
     merges.toSeq
+  }
+
+  /** The sequence-safe batch: the maximal prefix of mutually
+    * symbol-disjoint candidates whose counts strictly exceed the
+    * conflict bar — the first conflicting candidate's count, or (when
+    * no conflict surfaced but the collect hit its limit) the last
+    * collected count, which bounds everything below the horizon. When
+    * even the top pair sits at the bar, it alone is still safe: the
+    * global argmax is the sequential pick by definition. */
+  private[llm] def selectBatch(cands: Array[(String, String, Long)],
+      batchTopK: Int, maxTake: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = List.newBuilder[(String, String, Long)]
+    var bar = if (cands.length == batchTopK) cands.last._3 else -1L
+    var conflicted = false
+    val it = cands.iterator
+    while (it.hasNext && !conflicted) {
+      val c @ (l, r, _) = it.next()
+      if (used.contains(l) || used.contains(r)) {
+        conflicted = true; bar = math.max(bar, c._3)
+      } else { accepted += c; used += l; used += r }
+    }
+    val safe = accepted.result().takeWhile(_._3 > bar).take(maxTake)
+    if (safe.isEmpty) cands.take(1).toSeq else safe
   }
 
   /** Replace every adjacent (l, r) with the merged symbol, left to right

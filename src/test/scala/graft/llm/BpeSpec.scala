@@ -63,6 +63,62 @@ class BpeSpec extends SparkSpec {
     assert(toks(1L).length < "lowlowestnewer".length)
   }
 
+  test("batched rounds reproduce the sequence on a conflict-free corpus") {
+    // pairwise-disjoint symbols, distinct counts, no derivable pairs:
+    // one round commits all three merges, and the sequence still matches
+    val texts = Seq(Seq.fill(9)("ab").mkString(" "),
+      Seq.fill(8)("cd").mkString(" "), Seq.fill(7)("ef").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.train(docs, numMerges = 3).map(m => (m.left, m.right))
+    assert(got === naiveTrain(texts, 3))
+    assert(got === Seq(("a", "b"), ("c", "d"), ("e", "f")))
+  }
+
+  test("a tied conflict stops the batch — derived pairs can outrank") {
+    // (a,b):5 and (b,y):5 conflict; (c,d):5 is disjoint but TIES the
+    // conflict bar, and merging (a,b) derives (ab,y):5 with "ab" < "c" —
+    // sequential picks (ab,y) before (c,d), so batching (c,d) would be
+    // wrong. The strict > in selectBatch is what this pins.
+    val texts = Seq(Seq.fill(5)("aby").mkString(" "),
+      Seq.fill(5)("cd").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.train(docs, numMerges = 4).map(m => (m.left, m.right))
+    val want = naiveTrain(texts, 4)
+    assert(got === want)
+    assert(want.take(2) === Seq(("a", "b"), ("ab", "y")),
+      "sequential must interleave the derived pair ahead of (c,d)")
+  }
+
+  test("selectBatch: strict bar, horizon bar, and the forced-top case") {
+    // first conflict at count 10 bars the tied disjoint candidate
+    val tied = Array(("a", "b", 10L), ("b", "y", 10L), ("c", "d", 10L))
+    assert(Bpe.selectBatch(tied, 16, 99) === Seq(("a", "b", 10L)))
+    // strictly above the conflict bar → batched together
+    val above = Array(("a", "b", 20L), ("c", "d", 15L), ("b", "y", 10L))
+    assert(Bpe.selectBatch(above, 16, 99) ===
+      Seq(("a", "b", 20L), ("c", "d", 15L)))
+    // no conflict but the collect hit its limit: the horizon is the bar
+    val full = Array(("a", "b", 20L), ("c", "d", 15L), ("e", "f", 15L))
+    assert(Bpe.selectBatch(full, 3, 99) === Seq(("a", "b", 20L)),
+      "pairs below the horizon may tie 15, so only count 20 is safe")
+    assert(Bpe.selectBatch(full, 16, 99) === full.toSeq,
+      "the same list as the COMPLETE table batches everything")
+    // maxTake caps the batch at the remaining merge budget
+    assert(Bpe.selectBatch(full, 16, 2) === full.take(2).toSeq)
+  }
+
+  test("batchTopK=1 degenerates to the classic loop, same sequence") {
+    val texts = Seq("low low low lower lowest", "new newer newest new")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val one = Bpe.train(docs, numMerges = 8, batchTopK = 1)
+    val many = Bpe.train(docs, numMerges = 8, batchTopK = 256)
+    assert(one === many)
+    assert(one.map(m => (m.left, m.right)) === naiveTrain(texts, 8))
+  }
+
   test("the corpus merge table is deterministic across runs") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val a = Bpe.mergeTable(docs, 10).collect().toSeq
