@@ -205,6 +205,29 @@ object RdfOps extends QueryModule {
         .orderBy(asc_nulls_first("cust"), asc_nulls_first("ord"))
     }),
 
+    // Incremental view maintenance for a materialized BGP: the star view
+    // is maintained through two churn rounds (the BUILDING memberships
+    // arrive as a batch; pre-existing PHANTOM memberships are retracted)
+    // by BgpView's delta-join rule — the base is never recomputed. The
+    // final state equals the plain triples build, so the q_bgp_star
+    // oracle checks the MAINTAINED result exactly.
+    "q_bgp_ivm" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val patterns = Seq(
+        TP(V("cust"), C("name"), V("cname")),
+        TP(V("cust"), C("mktsegment"), C("BUILDING")),
+        TP(V("cust"), C("nation"), V("nat")))
+      val adds = t.filter(col("p") === "mktsegment" && col("o") === "BUILDING")
+      val phantom = adds.withColumn("o", lit("PHANTOM"))
+      val old = t.exceptAll(adds).unionByName(phantom)
+      val none = t.limit(0)
+      var view = BgpView.compute(old, patterns)
+      view = BgpView.maintain(view, old, adds, none, patterns)
+      val mid = old.unionByName(adds)
+      view = BgpView.maintain(view, mid, none, phantom, patterns)
+      view.orderBy(col("cust"))
+    }),
+
     // The full reference user path: SPARQL *text* → parse → BGP algebra →
     // star-collapsed execution, with OPTIONAL-free chain + FILTER regex.
     "q_sparql_text" -> ((s, d) => {
@@ -1017,6 +1040,15 @@ object RdfOps extends QueryModule {
         |ORDER BY cust""".stripMargin),
 
     "q_bgp_proptable" -> cte(
+      """SELECT t1.s AS cust, t1.o AS cname, t3.o AS nat
+        |FROM triples t1, triples t2, triples t3
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
+        |  AND t3.p = 'nation' AND t1.s = t2.s AND t1.s = t3.s
+        |ORDER BY cust""".stripMargin),
+
+    // the maintained view's final state is exactly the plain triple set,
+    // so the recompute-shaped SQL checks the IVM path end to end
+    "q_bgp_ivm" -> cte(
       """SELECT t1.s AS cust, t1.o AS cname, t3.o AS nat
         |FROM triples t1, triples t2, triples t3
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'

@@ -1,0 +1,114 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class BgpViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t3(rows: (String, String, String)*): DataFrame =
+    rows.toDF("s", "p", "o")
+
+  private def rowSet(df: DataFrame): Set[Seq[Any]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+  }
+
+  /** maintain must land exactly on compute over the new state. */
+  private def check(old: DataFrame, adds: DataFrame, dels: DataFrame,
+      patterns: Seq[TP]): DataFrame = {
+    val view = BgpView.compute(old, patterns)
+    val maintained = BgpView.maintain(view, old, adds, dels, patterns)
+    val newState = old.exceptAll(dels.select("s", "p", "o"))
+      .unionByName(adds.select("s", "p", "o"))
+    assert(rowSet(maintained) === rowSet(BgpView.compute(newState, patterns)),
+      "maintained view diverged from recompute")
+    newState
+  }
+
+  private val empty3 = Seq.empty[(String, String, String)].toDF("s", "p", "o")
+
+  private val star = Seq(
+    TP(V("c"), C("name"), V("n")),
+    TP(V("c"), C("seg"), C("B")),
+    TP(V("c"), C("nat"), V("nt")))
+
+  test("star view: mixed add/del batches maintain to the recompute") {
+    val old = t3(
+      ("c1", "name", "alice"), ("c1", "seg", "B"), ("c1", "nat", "de"),
+      ("c2", "name", "bob"), ("c2", "seg", "A"), ("c2", "nat", "fr"),
+      ("c3", "name", "carol"), ("c3", "nat", "us"))
+    // c2's seg flips A→B (del+add), c3 gains the missing seg, c1 loses nat
+    val adds = t3(("c2", "seg", "B"), ("c3", "seg", "B"))
+    val dels = t3(("c2", "seg", "A"), ("c1", "nat", "de"))
+    val s1 = check(old, adds, dels, star)
+    assert(rowSet(BgpView.compute(s1, star)) ===
+      Set(Seq("c2", "bob", "fr"), Seq("c3", "carol", "us")))
+    // second round on the maintained state: a full new star arrives,
+    // an existing one is dismantled
+    val adds2 = t3(("c4", "name", "dan"), ("c4", "seg", "B"),
+      ("c4", "nat", "jp"))
+    val dels2 = t3(("c3", "name", "carol"))
+    val s2 = check(s1, adds2, dels2, star)
+    assert(rowSet(BgpView.compute(s2, star)) ===
+      Set(Seq("c2", "bob", "fr"), Seq("c4", "dan", "jp")))
+  }
+
+  test("chain view: cross-term combinations count exactly once") {
+    val chain = Seq(TP(V("a"), C("p1"), V("b")), TP(V("b"), C("p2"), V("z")))
+    // both legs of a NEW binding arrive in the same batch (+1, not +2)
+    check(t3(("k", "p1", "l")), t3(("x", "p1", "y"), ("y", "p2", "z")),
+      empty3, chain)
+    // both legs of an EXISTING binding leave in the same batch (−1, not −2)
+    check(t3(("x", "p1", "y"), ("y", "p2", "z")), empty3,
+      t3(("x", "p1", "y"), ("y", "p2", "z")), chain)
+    // a shared middle node fans out: one del on the left kills two bindings
+    val old = t3(("x", "p1", "y"), ("y", "p2", "u"), ("y", "p2", "v"),
+      ("w", "p1", "y"))
+    check(old, t3(("y", "p2", "t")), t3(("x", "p1", "y")), chain)
+  }
+
+  test("delta nets to nothing on no-op feeds and self-canceling churn") {
+    val old = t3(("c1", "name", "alice"), ("c1", "seg", "B"),
+      ("c1", "nat", "de"))
+    val (a0, d0) = BgpView.delta(old, empty3, empty3, star)
+    assert(a0.count() === 0 && d0.count() === 0)
+    // delete a non-view triple: the view delta is empty
+    val (a1, d1) = BgpView.delta(
+      old.unionByName(t3(("c9", "other", "x"))),
+      empty3, t3(("c9", "other", "x")), star)
+    assert(a1.count() === 0 && d1.count() === 0)
+  }
+
+  test("maintained from a QuadStore.changes feed") {
+    val root = java.nio.file.Files.createTempDirectory("bgpivm").toString
+    val g = "g:x"
+    val q4 = Seq(
+      ("c1", "name", "alice", g), ("c1", "seg", "B", g),
+      ("c2", "name", "bob", g)).toDF("s", "p", "o", "g")
+    QuadStore.init(q4, root)
+    val patterns = Seq(TP(V("c"), C("name"), V("n")),
+      TP(V("c"), C("seg"), C("B")))
+    val tOf = (df: DataFrame) => df.filter(col("g") === g).select("s", "p", "o")
+    val v1 = QuadStore.currentVersion(root).get
+    val old = tOf(QuadStore.readVersion(spark, root, v1))
+    var view = BgpView.compute(old, patterns)
+    QuadStore.update(spark, root,
+      s"""INSERT DATA { GRAPH <$g> { <c2> <seg> "B" . } } ;
+         |DELETE DATA { GRAPH <$g> { <c1> <seg> "B" . } }""".stripMargin)
+    val v2 = QuadStore.currentVersion(root).get
+    val (adds, dels) = QuadStore.changes(spark, root, v1, v2)
+    view = BgpView.maintain(view, old, tOf(adds), tOf(dels), patterns)
+    assert(rowSet(view) === rowSet(BgpView.compute(
+      tOf(QuadStore.readVersion(spark, root, v2)), patterns)))
+    assert(rowSet(view) === Set(Seq("c2", "bob")))
+    rmTree(new java.io.File(root))
+  }
+
+  test("repeated variable inside one pattern maintains correctly") {
+    val self = Seq(TP(V("x"), C("knows"), V("x")))
+    check(t3(("a", "knows", "a"), ("a", "knows", "b")),
+      t3(("b", "knows", "b")), t3(("a", "knows", "a")), self)
+  }
+}
