@@ -908,6 +908,28 @@ object RdfOps extends QueryModule {
           |ORDER BY ?nname""".stripMargin)
     }),
 
+    // SERVICE with a VARIABLE endpoint: ?ep ranges over the registered
+    // endpoint map (the engine's service description — the spec leaves a
+    // variable's domain implementation-defined), the body solves once
+    // per endpoint set-at-a-time, and branches bag-union with ?ep bound
+    // — the federation analog of GRAPH ?var over named graphs.
+    "q_sparql_service_var" -> ((s, d) => {
+      val suppliers = Triples.fromTable(graft.sources.Tables.supplier(s, d),
+        concat(lit("sup:"), col("s_suppkey")), Seq(
+          "nation" -> concat(lit("n:"), col("s_nationkey"))))
+      val customers = Triples.fromTable(graft.sources.Tables.customer(s, d),
+        concat(lit("c:"), col("c_custkey")), Seq(
+          "nation" -> concat(lit("n:"), col("c_nationkey"))))
+      Sparql.run(Triples.build(s, d),
+        endpoints = Map("graft://suppliers" -> suppliers,
+          "graft://customers" -> customers), text =
+        """SELECT ?ep ?who ?nname WHERE {
+          |  ?n <name> ?nname . ?n <region> ?r .
+          |  SERVICE ?ep { ?who <nation> ?n . }
+          |}
+          |ORDER BY ?ep ?who""".stripMargin)
+    }),
+
     // GRAPH inside SERVICE against a DATASET endpoint (a registered quads
     // frame): the remote body's GRAPH block matches the ENDPOINT's named
     // graphs — SPARQL's "the service's dataset" rule — and the local
@@ -1606,6 +1628,18 @@ object RdfOps extends QueryModule {
          |  WHERE g = 'g:customer' AND p = 'mktsegment'
          |    AND o <> 'MACHINERY')
          |ORDER BY s, o""".stripMargin),
+
+    // one UNION ALL branch per registered endpoint, each tagging its IRI
+    // — exactly the variable-endpoint semantics
+    "q_sparql_service_var" -> cte(
+      """SELECT ep, who, nname FROM (
+        |  SELECT 'graft://customers' AS ep, 'c:' || c_custkey AS who,
+        |         n.n_name AS nname
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'graft://suppliers', 'sup:' || s_suppkey, n.n_name
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |ORDER BY ep, who""".stripMargin),
 
     "q_sparql_service_graph" -> cte(
       s""", quads AS (

@@ -86,13 +86,14 @@ import org.apache.spark.sql.functions._
   * Also supported: FILTER [NOT] EXISTS blocks (semi/anti-join lowering),
   * `SERVICE [SILENT] <iri> { ... }` federation over registered endpoint
   * datasets (the `endpoints` map of [[run]]/[[runQuads]] — the body solves
-  * over the endpoint's triples and joins set-at-a-time), and the
+  * over the endpoint's triples and joins set-at-a-time; `SERVICE ?ep`
+  * ranges the variable over the registry, binding it per branch), and the
   * built-ins STR / STRLEN / UCASE / LCASE / CONTAINS / STRSTARTS /
   * STRENDS / SUBSTR / ABS / FLOOR / CEIL / ROUND / IF / COALESCE
   * alongside CONCAT and regex.
   *
-  * Out of fragment (rejected, not silently mis-run): variable SERVICE
-  * endpoints and SERVICE on the encoded paths,
+  * Out of fragment (rejected, not silently mis-run): SERVICE on the
+  * encoded paths,
   * SPARQL Update, collection syntax (`(...)` lists in term position),
   * subqueries under `GRAPH ?var` (property paths work there — they solve
   * per-graph with `?g` bound, see [[Paths.evalPathGraphs]]), and
@@ -178,16 +179,19 @@ object Sparql {
         * joins the rest of the block on shared variables — SPARQL's
         * GroupGraphPattern union, legal anywhere in a body. */
       unions: Seq[Seq[Block]] = Nil,
-      /** `SERVICE [SILENT] <iri> { group }` blocks: (silent, endpoint,
+      /** `SERVICE [SILENT] term { group }` blocks: (silent, endpoint,
         * body). Endpoints are REGISTERED datasets (the `endpoints` map of
         * [[Sparql.run]]/[[Sparql.runQuads]]) — set-at-a-time federation:
         * the body solves over the endpoint's triples and joins the
         * enclosing block on shared variables, one distributed join
         * instead of the per-binding network chatter of wire-protocol
         * federation. SILENT turns an unregistered endpoint into the unit
-        * solution instead of an error. Variable endpoints are out of
-        * fragment (rejected at parse). */
-      services: Seq[(Boolean, String, Block)] = Nil)
+        * solution instead of an error. A VARIABLE endpoint ranges over
+        * the whole registry — ⋃ over registered e of (solve(body, e) ⋈
+        * {?ep → e}), the federation analog of GRAPH ?g over named graphs
+        * (the spec leaves the variable's domain implementation-defined;
+        * the registry is this engine's service description). */
+      services: Seq[(Boolean, Term, Block)] = Nil)
 
   final case class OrderKey(v: String, asc: Boolean,
       /** Expression sort key (OrderCondition beyond a bare variable);
@@ -274,11 +278,30 @@ object Sparql {
     * endpoint, patterns outside GRAPH match ITS default graph and GRAPH
     * blocks (nested ones too) match its named graphs — the spec's "the
     * service's dataset" rule. Nested SERVICE resolves against the same
-    * map. */
+    * map. A VARIABLE endpoint ranges over the registry: the body solves
+    * once per registered endpoint (a bounded, driver-known set — the
+    * engine's service description) and the branches bag-union with ?ep
+    * bound to each IRI; a body that already binds the same variable
+    * filters instead, SPARQL's same-variable rule. */
   private def endpointSolver(endpoints: Map[String, DataFrame])
-      : (Boolean, String, Block) => Option[DataFrame] = {
-    lazy val solve: (Boolean, String, Block) => Option[DataFrame] =
-      (silent, iri, body) => endpoints.get(iri) match {
+      : (Boolean, Term, Block) => Option[DataFrame] = {
+    lazy val solve: (Boolean, Term, Block) => Option[DataFrame] = {
+      case (silent, V(epVar), body) =>
+        require(endpoints.nonEmpty,
+          "SERVICE with a variable endpoint needs a non-empty endpoint " +
+            "registry — the variable ranges over registered IRIs")
+        val branches = endpoints.keys.toSeq.sorted.map { iri =>
+          val df = solve(silent, C(iri), body).get
+          if (df.columns.contains(epVar)) df.filter(col(epVar) === lit(iri))
+          else df.withColumn(epVar, lit(iri))
+        }
+        Some(branches.reduce(_.unionByName(_, allowMissingColumns = true)))
+      case (_, C(other), _) if !other.isInstanceOf[String] =>
+        throw new IllegalArgumentException(
+          s"SERVICE endpoint must be an IRI or a variable, got $other")
+      case (silent, C(iriAny), body) =>
+        val iri = iriAny.asInstanceOf[String]
+        endpoints.get(iri) match {
         // exactly the (s,p,o,g) shape means a DATASET endpoint; a wider
         // frame that merely happens to carry a g column keeps the plain
         // triples semantics it always had
@@ -300,7 +323,8 @@ object Sparql {
         case None => throw new IllegalArgumentException(
           s"SERVICE endpoint <$iri> is not registered — pass it in " +
             "`endpoints` (SILENT would tolerate this)")
-      }
+        }
+    }
     solve
   }
 
@@ -336,7 +360,7 @@ object Sparql {
   private def solveGraphOverQuads(quads: DataFrame,
       bgpSlice: DataFrame => Seq[TP] => DataFrame,
       self: () => (Term, Block) => DataFrame,
-      svc: (Boolean, String, Block) => Option[DataFrame])
+      svc: (Boolean, Term, Block) => Option[DataFrame])
       : (Term, Block) => DataFrame = {
     // constant graph: the block's FULL group body (OPTIONAL, FILTER,
     // BIND, paths, …) solves over that one graph's slice; a NESTED GRAPH
@@ -723,15 +747,15 @@ object Sparql {
     */
   /** Default SERVICE solver: this execution path has no endpoint
     * registry, so any SERVICE block (SILENT or not) errors loudly. */
-  private val rejectService: (Boolean, String, Block) => Option[DataFrame] =
-    (_, iri, _) => throw new IllegalArgumentException(
-      s"SERVICE <$iri> is not supported on this execution path — pass " +
+  private val rejectService: (Boolean, Term, Block) => Option[DataFrame] =
+    (_, ep, _) => throw new IllegalArgumentException(
+      s"SERVICE $ep is not supported on this execution path — pass " +
         "`endpoints` to Sparql.run / Sparql.runQuads")
 
   private def execute(q: Query, solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
       solveGraph: (Term, Block) => DataFrame,
-      solveService: (Boolean, String, Block) => Option[DataFrame] =
+      solveService: (Boolean, Term, Block) => Option[DataFrame] =
         rejectService): DataFrame = {
     // DESCRIBE has its own result shape (a graph about the named
     // resources) and may have no WHERE at all
@@ -866,7 +890,7 @@ object Sparql {
   private def solveBranch(b: Block, solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
       solveGraph: (Term, Block) => DataFrame,
-      solveService: (Boolean, String, Block) => Option[DataFrame] =
+      solveService: (Boolean, Term, Block) => Option[DataFrame] =
         rejectService): DataFrame = {
     val simple: Seq[Sol] =
       (if (b.where.nonEmpty) Seq(Sol(solveBgp(b.where), Set.empty)) else Nil) ++
@@ -1054,9 +1078,12 @@ object Sparql {
         } ++
         b.subqueries.flatMap(definiteProjection) ++
         // a SILENT service's bindings are never definite (the whole Sol
-        // may vanish on an unregistered endpoint)
-        b.services.flatMap { case (silent, _, inner) =>
-          if (silent) Nil else definiteVars(inner) } ++
+        // may vanish on an unregistered endpoint); a variable endpoint
+        // binds ?ep on every surviving row
+        b.services.flatMap { case (silent, ep, inner) =>
+          if (silent) Nil
+          else definiteVars(inner) ++
+            (ep match { case V(n) => Seq(n); case _ => Nil }) } ++
         b.unions.flatMap(m => m.map(definiteVars).reduce(_ intersect _))
     // dependency-ordered, mirroring applyReadyBinds
     var pending = b.binds
@@ -1098,8 +1125,11 @@ object Sparql {
     // a SILENT service may drop out entirely (unregistered endpoint), so
     // every variable it would bind is possibly-absent downstream; a
     // non-silent one contributes its body's own possibly-null vars
-    val svc = b.services.flatMap { case (silent, _, inner) =>
-      if (silent) outVars(inner) else maybeNullVars(inner) }
+    // SILENT + constant: the whole Sol may vanish, so every bound var is
+    // possibly-absent; variable endpoints never vanish (registry-driven)
+    val svc = b.services.flatMap { case (silent, ep, inner) =>
+      if (silent && !ep.isInstanceOf[V]) outVars(inner)
+      else maybeNullVars(inner) }
     (opt ++ undef ++ binds ++ sub ++ uni ++ grph ++ svc).toSet -- defs
   }
 
@@ -1116,7 +1146,9 @@ object Sparql {
       b.graphs.flatMap { case (g, inner) =>
         outVars(inner) ++ (g match { case V(n) => Seq(n); case _ => Nil })
       } ++
-      b.services.flatMap { case (_, _, inner) => outVars(inner) } ++
+      b.services.flatMap { case (_, ep, inner) =>
+        outVars(inner) ++ (ep match { case V(n) => Seq(n); case _ => Nil })
+      } ++
       b.unions.flatMap(_.flatMap(outVars))
 
   private def projectedCols(q: Query): Set[String] =
@@ -1175,7 +1207,7 @@ object Sparql {
       solveBgp: Seq[TP] => DataFrame,
       solvePath: (Path, Term, Term) => DataFrame,
       solveGraph: (Term, Block) => DataFrame,
-      solveService: (Boolean, String, Block) => Option[DataFrame] =
+      solveService: (Boolean, Term, Block) => Option[DataFrame] =
         rejectService): DataFrame = {
     val all = solveBgp(Seq(TP(V("s"), V("p"), V("o"))))
     val consts = terms.collect { case C(v) => v }
@@ -1851,7 +1883,7 @@ object Sparql {
     val graphs = scala.collection.mutable.ArrayBuffer.empty[(Term, Block)]
     val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Block]]
     val services =
-      scala.collection.mutable.ArrayBuffer.empty[(Boolean, String, Block)]
+      scala.collection.mutable.ArrayBuffer.empty[(Boolean, Term, Block)]
     def bracedPatterns(): Seq[TP] = {
       p.expect("{")
       val block = scala.collection.mutable.ArrayBuffer.empty[TP]
@@ -1976,18 +2008,17 @@ object Sparql {
         val silent =
           if (p.peekKw("SILENT")) { p.expectKw("SILENT"); true } else false
         val ep = term(p, prefixes)
-        val iri = ep match {
-          case C(v: String) => v
-          case _ => throw new IllegalArgumentException(
-            "SERVICE takes a constant endpoint IRI — variable endpoints " +
-              "are out of fragment")
+        ep match {
+          case C(_: String) | V(_) => ()
+          case other => throw new IllegalArgumentException(
+            s"SERVICE takes an endpoint IRI or a variable, got $other")
         }
         p.expect("{")
         val inner = blockBody(p, prefixes)
         p.expect("}")
         // GRAPH inside SERVICE is legal against a DATASET endpoint (a
         // registered quads frame); triples endpoints reject at solve
-        services += ((silent, iri, inner))
+        services += ((silent, ep, inner))
       } else if (p.peekKw("VALUES")) {
         // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }
         p.expectKw("VALUES")

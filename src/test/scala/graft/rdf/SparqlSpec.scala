@@ -1244,8 +1244,27 @@ class SparqlSpec extends SparkSpec {
         |  ?s <kind> "K" .
         |  SERVICE <graft://remote> { GRAPH ?g { ?s <score> ?v . } }
         |}""".stripMargin, endpoints = eps).collect())
-    // variable endpoints are out of fragment, loudly
-    intercept[IllegalArgumentException](Sparql.parse(
+    // a VARIABLE endpoint ranges over the registry, binding ?ep per
+    // branch — the federation analog of GRAPH ?var
+    val remote2 = Seq(("b", "score", "7")).toDF("s", "p", "o")
+    val twoEps = Map("graft://remote" -> remote, "graft://r2" -> remote2)
+    val varEp = Sparql.run(local,
+      """SELECT ?ep ?s ?v WHERE {
+        |  ?s <kind> ?k .
+        |  SERVICE ?ep { ?s <score> ?v . }
+        |}
+        |ORDER BY ?ep ?s""".stripMargin, endpoints = twoEps)
+    assert(varEp.as[(String, String, String)].collect().toSeq ===
+      Seq(("graft://r2", "b", "7"), ("graft://remote", "a", "1"),
+        ("graft://remote", "c", "2")))
+    // a body binding the SAME variable filters (SPARQL's same-variable
+    // rule): solutions survive only where the term equals the endpoint IRI
+    val sameVar = Sparql.run(local,
+      """SELECT ?ep WHERE { SERVICE ?ep { ?s <score> ?ep . } }""",
+      endpoints = twoEps)
+    assert(sameVar.count() === 0)
+    // an empty registry cannot give the variable a domain — loud error
+    intercept[IllegalArgumentException](Sparql.run(local,
       """SELECT ?s WHERE { SERVICE ?ep { ?s <p> ?o . } }"""))
     // SERVICE on the encoded path is rejected, not silently mis-run
     val dict = Dictionary.build(spark, local)
