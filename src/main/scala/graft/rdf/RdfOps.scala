@@ -228,6 +228,36 @@ object RdfOps extends QueryModule {
       view.orderBy(col("cust"))
     }),
 
+    // The PERSISTED maintained view: a ViewStore over the quad store's
+    // g:customer slice tracks UPDATE traffic via coverage-named delta
+    // segments (sync = one O(|Δview|) write off the BgpView delta-join;
+    // the base view is only rewritten by compaction). The read folds
+    // base+segments and must equal the recompute over the store head,
+    // which the oracle expresses directly over the updated quad set.
+    "q_bgp_view_store" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_vs_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_viewstore_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <name> "zz-new" . <c:zz1> <mktsegment> "BUILDING" . } }"""
+          .stripMargin)
+      QuadStore.update(s, store,
+        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
+      val pats = Seq(TP(V("cust"), C("name"), V("cname")),
+        TP(V("cust"), C("mktsegment"), C("BUILDING")))
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.create(s, store, view, pats, "g:customer"): Unit
+      else ViewStore.sync(s, store, view): Unit
+      // retention, same policy shape as the store/mirror: compact only
+      // when the fold is wide, keeping steady-state syncs O(|delta|)
+      if (ViewStore.segmentCount(view) > 6) ViewStore.compact(s, view)
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.read(s, view).orderBy(col("cust"))
+    }),
+
     // The full reference user path: SPARQL *text* → parse → BGP algebra →
     // star-collapsed execution, with OPTIONAL-free chain + FILTER regex.
     "q_sparql_text" -> ((s, d) => {
@@ -1076,6 +1106,24 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
         |  AND t3.p = 'nation' AND t1.s = t2.s AND t1.s = t3.s
         |ORDER BY cust""".stripMargin),
+
+    // the store head after the two updates: the synthetic BUILDING
+    // customer joins the view, c:1's membership is purged
+    "q_bgp_view_store" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |    SELECT q.s, q.p, q.o FROM (
+        |${QUADS}
+        |    ) q WHERE q.g = 'g:customer'
+        |      AND NOT (q.s = 'c:1' AND q.p = 'mktsegment')
+        |    UNION ALL SELECT 'c:zz1', 'name', 'zz-new'
+        |    UNION ALL SELECT 'c:zz1', 'mktsegment', 'BUILDING'))
+        |SELECT t1.s AS cust, t1.o AS cname
+        |FROM cq t1, cq t2
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
+        |  AND t1.s = t2.s
+        |ORDER BY cust""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
 
     "q_bgp_reordered" -> cte(
       """SELECT t1.s AS ord, t1.o AS cust, t3.o AS seg, t4.o AS cname

@@ -1,0 +1,212 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED materialized BGP view kept in sync with a delta-log
+  * [[QuadStore]] — [[BgpView]]'s delta-join rule given the same
+  * operational lifecycle as [[EncodedMirror]]: coverage-named,
+  * AtomicStore-published segments, loud contiguity checks, and a
+  * compaction path.
+  *
+  * Layout under `viewRoot`:
+  *  - `meta.tsv` — the view definition (graph slice + patterns),
+  *    written ONCE at [[create]]; lastSynced is derived from segment
+  *    names, never from mutable metadata (crash-safe by construction).
+  *  - `b{v}` — a full view snapshot at store version v.
+  *  - `s{from}_{to}` — the view-level net change between store versions
+  *    (op 'a'/'d' rows over the binding columns).
+  *
+  * Scale shape: [[sync]] writes O(|Δview|) — the base view (which can be
+  * corpus-sized) is folded at READ time with one constant-depth
+  * last-op-per-binding window, and rewritten only by [[compact]]. The
+  * store's 100 TB base is scanned but never shuffled during sync
+  * ([[BgpView.delta]]'s broadcast-Δ fold); nothing in the steady state
+  * is proportional to |view| on the write axis.
+  *
+  * Retention contract (same as the mirror's): sync before the store's
+  * vacuum drops the last synced version — violations fail loudly in
+  * [[QuadStore.changes]], never silently diverge.
+  */
+object ViewStore {
+
+  private def basePath(root: String, v: Int) = f"$root%s/b$v%05d"
+  private def segPath(root: String, from: Int, to: Int) =
+    f"$root%s/s$from%05d" + f"_$to%05d"
+  // {5,}: %05d pads to five digits but grows past them at version
+  // 100000 — exact-width would silently freeze the fold (mirror lesson)
+  private val BaseRe = "b(\\d{5,})".r
+  private val SegRe = "s(\\d{5,})_(\\d{5,})".r
+
+  /** Complete (kind, from, to) entries, bases as (b, v, v). */
+  private def entries(root: String): Seq[(String, Int, Int)] =
+    graft.sources.AtomicStore.list(root).flatMap { f =>
+      val complete =
+        () => graft.sources.AtomicStore.isComplete(f.getPath.toString)
+      f.getPath.getName match {
+        case BaseRe(v) if complete() => Some(("b", v.toInt, v.toInt))
+        case SegRe(a, b) if complete() => Some(("s", a.toInt, b.toInt))
+        case _ => None
+      }
+    }
+
+  /** Highest store version the view reflects (0 = never created). */
+  def lastSynced(root: String): Int =
+    entries(root).map(_._3).maxOption.getOrElse(0)
+
+  /** Live entry count (bases + segments) — the read-side fold width a
+    * maintenance job bounds with [[compact]]. */
+  def segmentCount(root: String): Int = entries(root).size
+
+  // ---- view definition metadata: one-shot, base64-armored TSV --------
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+  private def termEnc(t: Term): String = t match {
+    case V(n) => "V:" + b64(n)
+    case C(v: String) => "C:" + b64(v)
+    case C(other) => throw new IllegalArgumentException(
+      s"ViewStore persists string-space views only, got constant $other")
+  }
+  private def termDec(s: String): Term = s.splitAt(2) match {
+    case ("V:", b) => V(unb64(b))
+    case ("C:", b) => C(unb64(b))
+    case _ => throw new IllegalArgumentException(s"bad term encoding: $s")
+  }
+
+  private def writeMeta(root: String, graph: String,
+      patterns: Seq[TP]): Unit = {
+    val lines = s"graph\t${b64(graph)}" +:
+      patterns.map(tp =>
+        Seq(termEnc(tp.s), termEnc(tp.p), termEnc(tp.o)).mkString("\t"))
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      lines.mkString("\n"))
+  }
+
+  /** The persisted definition: (graph, patterns). */
+  def definition(root: String): (String, Seq[TP]) = {
+    val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").toSeq
+    // -1: the default graph encodes to an EMPTY field, which a plain
+    // split would drop
+    val g = lines.head.split("\t", -1) match {
+      case Array("graph", b) => unb64(b)
+      case _ => throw new IllegalArgumentException(
+        s"bad meta.tsv under $root")
+    }
+    val pats = lines.tail.map { l =>
+      val Array(s, p, o) = l.split("\t")
+      TP(termDec(s), termDec(p), termDec(o))
+    }
+    (g, pats)
+  }
+
+  // ---- lifecycle ------------------------------------------------------
+
+  /** The `graph` slice of a pinned store version, as (s,p,o). */
+  private def slice(spark: SparkSession, storeRoot: String, v: Int,
+      graph: String): DataFrame =
+    QuadStore.readVersion(spark, storeRoot, v)
+      .filter(col("g") === graph).select("s", "p", "o")
+
+  /** Bootstrap the view at the store's current version: computes the
+    * full view once, publishes it as the base, persists the definition.
+    * Idempotent: an existing complete base at the same version is kept. */
+  def create(spark: SparkSession, storeRoot: String, viewRoot: String,
+      patterns: Seq[TP], graph: String = ""): Int = {
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before create()"))
+    writeMeta(viewRoot, graph, patterns)
+    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
+      BgpView.compute(slice(spark, storeRoot, cur, graph), patterns)
+        .write.parquet(tmp)
+    }
+    cur
+  }
+
+  /** Fold the store's changes since the last sync into one view-delta
+    * segment; returns the store version the view now reflects.
+    * Idempotent and crash-safe (marker-gated, coverage-named). */
+  def sync(spark: SparkSession, storeRoot: String,
+      viewRoot: String): Int = {
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before sync()"))
+    val last = lastSynced(viewRoot)
+    require(last > 0, s"no view under $viewRoot — create() before sync()")
+    if (cur <= last) return last
+    val (graph, patterns) = definition(viewRoot)
+    val (adds, dels) = QuadStore.changes(spark, storeRoot, last, cur)
+    val tOf = (df: DataFrame) =>
+      df.filter(col("g") === graph).select("s", "p", "o")
+    val (va, vd) = BgpView.delta(slice(spark, storeRoot, last, graph),
+      tOf(adds), tOf(dels), patterns)
+    // an empty delta still writes its (tiny) segment: coverage
+    // contiguity is what lets a replayed or raced sync be a no-op and
+    // makes gaps loudly detectable at read
+    graft.sources.AtomicStore.materialize(segPath(viewRoot, last, cur)) {
+      tmp =>
+        va.withColumn("__op", lit("a"))
+          .unionByName(vd.withColumn("__op", lit("d")))
+          .write.parquet(tmp)
+    }
+    cur
+  }
+
+  /** The maintained view: newest base plus the ordered segment chain,
+    * folded by one last-op-per-binding window. Rejects a non-contiguous
+    * chain loudly (two racing syncers from different `from` versions). */
+  def read(spark: SparkSession, viewRoot: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val es = entries(viewRoot)
+    require(es.nonEmpty, s"no view under $viewRoot")
+    val baseV = es.collect { case ("b", v, _) => v }.max
+    val segs = es.collect { case ("s", f, t) if t > baseV => (f, t) }
+      .sortBy(_._2)
+    segs.foldLeft(baseV) { case (at, (f, t)) =>
+      require(f == at, s"view chain gap under $viewRoot: segment " +
+        s"s$f..$t does not extend $at — concurrent syncs from " +
+        "different versions? rebuild with create()")
+      t
+    }
+    val base = spark.read.parquet(basePath(viewRoot, baseV))
+    if (segs.isEmpty) return base
+    val cols = base.columns.toSeq
+    val all = base.withColumn("__v", lit(baseV)).withColumn("__op", lit("a"))
+      .unionByName(segs.map { case (f, t) =>
+        spark.read.parquet(segPath(viewRoot, f, t)).withColumn("__v", lit(t))
+      }.reduce(_.unionByName(_)))
+    val w = Window.partitionBy(cols.map(col): _*)
+      .orderBy(col("__v").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") === "a")
+      .select(cols.map(col): _*)
+  }
+
+  /** Fold the chain into a fresh base at the synced head and drop the
+    * replaced entries — bounds read-side fold width, exactly the
+    * mirror's compaction contract. */
+  def compact(spark: SparkSession, viewRoot: String): Unit = {
+    val before = entries(viewRoot)
+    val head = lastSynced(viewRoot)
+    val baseV = before.collect { case ("b", v, _) => v }.max
+    if (head > baseV) {
+      val folded = read(spark, viewRoot)
+      graft.sources.AtomicStore.materialize(basePath(viewRoot, head)) {
+        tmp => folded.write.parquet(tmp)
+      }
+    }
+    // even when already based at head, sweep crash leftovers below it
+    // everything the new base subsumes goes: older bases, and every
+    // segment INCLUDING the one ending at head
+    before.filter { case (k, _, t) => t < head || k == "s" }.foreach {
+      case ("b", v, _) =>
+        graft.sources.AtomicStore.delete(basePath(viewRoot, v))
+      case (_, f, t) =>
+        graft.sources.AtomicStore.delete(segPath(viewRoot, f, t))
+    }
+  }
+}

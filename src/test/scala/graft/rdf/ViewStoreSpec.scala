@@ -1,0 +1,89 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ViewStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rowSet(df: DataFrame): Set[Seq[Any]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+  }
+
+  private def recompute(storeRoot: String, viewRoot: String): DataFrame = {
+    val (g, pats) = ViewStore.definition(viewRoot)
+    BgpView.compute(QuadStore.read(spark, storeRoot)
+      .filter(col("g") === g).select("s", "p", "o"), pats)
+  }
+
+  test("create/sync/read track the store through update batches") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_store").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_view").toString
+    val g = "g:x"
+    QuadStore.init(Seq(
+      ("c1", "name", "alice", g), ("c1", "seg", "B", g),
+      ("c2", "name", "bob", g), ("n1", "other", "zzz", "g:y"))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    val pats = Seq(TP(V("c"), C("name"), V("n")), TP(V("c"), C("seg"), C("B")))
+    val v1 = ViewStore.create(spark, storeRoot, viewRoot, pats, g)
+    assert(ViewStore.lastSynced(viewRoot) === v1)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === Set(Seq("c1", "alice")))
+    // definition survives round-trip, including the graph slice
+    assert(ViewStore.definition(viewRoot) === (g, pats))
+
+    // batch 1: c2 joins the view, c1 leaves it
+    QuadStore.update(spark, storeRoot,
+      s"""INSERT DATA { GRAPH <$g> { <c2> <seg> "B" . } } ;
+         |DELETE DATA { GRAPH <$g> { <c1> <seg> "B" . } }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === Set(Seq("c2", "bob")))
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      rowSet(recompute(storeRoot, viewRoot)))
+
+    // batch 2: a fresh member arrives; other-graph noise must not leak in
+    QuadStore.update(spark, storeRoot,
+      s"""INSERT DATA { GRAPH <$g> { <c3> <name> "carol" . <c3> <seg> "B" . }
+         |              GRAPH <g:y> { <c9> <name> "noise" . <c9> <seg> "B" . } }"""
+        .stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c2", "bob"), Seq("c3", "carol")))
+
+    // a replayed sync is a no-op; lastSynced tracks the store head
+    val head = QuadStore.currentVersion(storeRoot).get
+    assert(ViewStore.sync(spark, storeRoot, viewRoot) === head)
+    assert(ViewStore.lastSynced(viewRoot) === head)
+
+    // compaction folds the chain into one base and keeps the answer
+    val beforeCompact = rowSet(ViewStore.read(spark, viewRoot))
+    ViewStore.compact(spark, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === beforeCompact)
+    assert(graft.sources.AtomicStore.list(viewRoot)
+      .map(_.getPath.getName).count(_.startsWith("s")) === 0,
+      "compaction must drop the subsumed segments")
+
+    // syncs keep working off the fresh base
+    QuadStore.update(spark, storeRoot,
+      s"""DELETE DATA { GRAPH <$g> { <c2> <name> "bob" . } }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === Set(Seq("c3", "carol")))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
+  test("definition armors hostile terms; non-string constants reject") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s2").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v2").toString
+    val nasty = "we\"ird\tterm\nwith\\stuff"
+    QuadStore.init(Seq((nasty, "p", "x", "")).toDF("s", "p", "o", "g"),
+      storeRoot)
+    val pats = Seq(TP(V("s"), C("p"), C(nasty)))
+    ViewStore.create(spark, storeRoot, viewRoot, pats)
+    assert(ViewStore.definition(viewRoot) === (("", pats)))
+    intercept[IllegalArgumentException](
+      ViewStore.create(spark, storeRoot, viewRoot + "_2",
+        Seq(TP(V("s"), C(42L), V("o")))))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+}
