@@ -262,4 +262,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("Generate"), p) // the explode expansions
   }
+
+  test("BgpView delta folds broadcast the Δ-sized accumulator, never " +
+      "shuffling the base") {
+    import org.apache.spark.sql.functions.col
+    val t = rdf.Triples.build(spark, sf0001)
+    val patterns = Seq(
+      rdf.TP(rdf.V("cust"), rdf.C("name"), rdf.V("cname")),
+      rdf.TP(rdf.V("cust"), rdf.C("mktsegment"), rdf.C("BUILDING")),
+      rdf.TP(rdf.V("cust"), rdf.C("nation"), rdf.V("nat")))
+    val adds = t.filter(col("p") === "nation").limit(5)
+    val (va, _) = rdf.BgpView.delta(t.exceptAll(adds), adds, t.limit(0),
+      patterns)
+    val p = va.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // every pattern-leg join in every telescoping term is a broadcast
+    // build of the Δ-sized accumulator — the base legs stream through
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a base-shuffling join crept into the delta fold:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }

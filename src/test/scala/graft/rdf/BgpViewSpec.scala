@@ -106,6 +106,31 @@ class BgpViewSpec extends SparkSpec {
     rmTree(new java.io.File(root))
   }
 
+  test("projected aggregate views ride IncrementalAgg on the view delta") {
+    // the full-binding view is a set; a projection that would introduce
+    // multiplicities (members per nation) is maintained as counts fed by
+    // BgpView.delta — the documented composition
+    val star = Seq(TP(V("c"), C("seg"), C("B")), TP(V("c"), C("nat"), V("nt")))
+    val old = t3(("c1", "seg", "B"), ("c1", "nat", "de"),
+      ("c2", "seg", "B"), ("c2", "nat", "de"), ("c3", "seg", "B"),
+      ("c3", "nat", "fr"))
+    val adds = t3(("c4", "seg", "B"), ("c4", "nat", "de"))
+    val dels = t3(("c3", "seg", "B"))
+    val counts0 = graft.operators.IncrementalAgg.recompute(
+      BgpView.compute(old, star), Seq("nt"),
+      Map("n" -> lit(1L)))
+    val (va, vd) = BgpView.delta(old, adds, dels, star)
+    val maintained = graft.operators.IncrementalAgg.maintainCounts(
+      counts0, va, vd, Seq("nt"))
+    val newState = old.exceptAll(dels).unionByName(adds)
+    assert(rowSet(maintained) === rowSet(
+      graft.operators.IncrementalAgg.recompute(
+        BgpView.compute(newState, star), Seq("nt"),
+        Map("n" -> lit(1L)))))
+    assert(rowSet(maintained) === Set(Seq(3L, "de")),
+      "fr nets to zero members and must leave the summary")
+  }
+
   test("repeated variable inside one pattern maintains correctly") {
     val self = Seq(TP(V("x"), C("knows"), V("x")))
     check(t3(("a", "knows", "a"), ("a", "knows", "b")),
