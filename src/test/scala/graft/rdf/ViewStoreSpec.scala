@@ -72,6 +72,42 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("a streaming quad feed drives the maintained view end to end") {
+    // CDC loop: exactly-once streaming ingest appends store deltas,
+    // sync folds them into the view — no batch recompute anywhere
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.Triple3
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s3").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v3").toString
+    val g = "g:live"
+    QuadStore.init(Seq(("c1", "name", "alice", g)).toDF("s", "p", "o", "g"),
+      storeRoot)
+    val pats = Seq(TP(V("c"), C("name"), V("n")), TP(V("c"), C("seg"), C("B")))
+    ViewStore.create(spark, storeRoot, viewRoot, pats, g)
+    assert(ViewStore.read(spark, viewRoot).count() === 0)
+    val mem = MemoryStream[Triple3]
+    val q = mem.toDF().withColumn("g", lit(g)).writeStream
+      .foreachBatch(StreamOps.quadStoreSink(storeRoot))
+      .outputMode("append").start()
+    try {
+      mem.addData(Triple3("c1", "seg", "B"), Triple3("c2", "name", "bob"))
+      q.processAllAvailable()
+      ViewStore.sync(spark, storeRoot, viewRoot)
+      assert(rowSet(ViewStore.read(spark, viewRoot)) === Set(Seq("c1", "alice")))
+      // a replayed quad (at-least-once shape) plus the completing leg
+      mem.addData(Triple3("c1", "seg", "B"), Triple3("c2", "seg", "B"))
+      q.processAllAvailable()
+      ViewStore.sync(spark, storeRoot, viewRoot)
+      assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+        Set(Seq("c1", "alice"), Seq("c2", "bob")))
+      assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+        rowSet(recompute(storeRoot, viewRoot)))
+    } finally q.stop()
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("definition armors hostile terms; non-string constants reject") {
     val storeRoot = java.nio.file.Files.createTempDirectory("vs_s2").toString
     val viewRoot = java.nio.file.Files.createTempDirectory("vs_v2").toString
