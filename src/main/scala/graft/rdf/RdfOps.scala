@@ -219,11 +219,14 @@ object RdfOps extends QueryModule {
         TP(V("cust"), C("nation"), V("nat")))
       val adds = t.filter(col("p") === "mktsegment" && col("o") === "BUILDING")
       val phantom = adds.withColumn("o", lit("PHANTOM"))
-      val old = t.exceptAll(adds).unionByName(phantom)
+      // each maintenance round reads its pre-state once per telescoping
+      // leg — materialize the two states so the exceptAll shuffle runs
+      // once, not 2k+1 times
+      val old = graft.Materialize(t.exceptAll(adds).unionByName(phantom))
       val none = t.limit(0)
       var view = BgpView.compute(old, patterns)
       view = BgpView.maintain(view, old, adds, none, patterns)
-      val mid = old.unionByName(adds)
+      val mid = graft.Materialize(old.unionByName(adds))
       view = BgpView.maintain(view, mid, none, phantom, patterns)
       view.orderBy(col("cust"))
     }),
