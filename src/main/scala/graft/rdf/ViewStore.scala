@@ -103,6 +103,42 @@ object ViewStore {
     (g, pats)
   }
 
+  /** Extract a maintainable pattern set from SPARQL text: a single
+    * `SELECT * WHERE { <plain BGP> }` (or a projection naming every
+    * pattern variable). Anything beyond the BGP fragment — OPTIONAL,
+    * FILTER, UNION, paths, GRAPH, aggregation, modifiers — is rejected
+    * loudly: the delta-join rule maintains conjunctive views; richer
+    * shapes compose DOWNSTREAM of the materialization (filters as reads
+    * over it, projections/aggregates via IncrementalAgg on the delta). */
+  def patternsFromSparql(text: String): Seq[TP] = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view definitions are single-block SELECTs")
+    val b = q.branches.head
+    require(b.optionals.isEmpty && b.filters.isEmpty && b.minuses.isEmpty &&
+      b.values.isEmpty && b.binds.isEmpty && b.paths.isEmpty &&
+      b.exists.isEmpty && b.subqueries.isEmpty && b.graphs.isEmpty &&
+      b.unions.isEmpty && b.services.isEmpty && b.where.nonEmpty,
+      "a maintainable view body is a plain BGP — compose OPTIONAL/" +
+        "FILTER/UNION/paths/aggregation downstream of the materialization")
+    require(!q.distinct && q.orderKeys.isEmpty && q.limit.isEmpty &&
+      q.offset.isEmpty && q.selectAggs.isEmpty && q.groupVars.isEmpty &&
+      q.having.isEmpty && q.selectBinds.isEmpty,
+      "view definitions take no solution modifiers or aggregation")
+    val vars = b.where.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case V(n) => n }.distinct
+    require(q.projection == Seq("*") || q.projection.toSet == vars.toSet,
+      s"the materialized view holds the FULL binding (${
+        vars.mkString(", ")}) — project or aggregate over the view's " +
+        "reads, or via IncrementalAgg on its delta")
+    b.where
+  }
+
+  /** [[create]] from SPARQL text ([[patternsFromSparql]]'s fragment). */
+  def createFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, text: String, graph: String = ""): Int =
+    create(spark, storeRoot, viewRoot, patternsFromSparql(text), graph)
+
   // ---- lifecycle ------------------------------------------------------
 
   /** The `graph` slice of a pinned store version, as (s,p,o). */
@@ -184,6 +220,35 @@ object ViewStore {
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") === "a")
       .select(cols.map(col): _*)
+  }
+
+  /** A grouped COUNT over the maintained view, folded WITHOUT
+    * materializing the full binding set: the base contributes +1 per
+    * row and each segment ±1 by op — sound because segments are NET
+    * view deltas (every binding's signed sum across the chain is 0 or
+    * 1), so per-group sign sums ARE the group counts. One shuffle on
+    * the group keys; groups netting zero leave the summary, matching
+    * [[graft.operators.IncrementalAgg]]'s recompute contract. */
+  def readCounts(spark: SparkSession, viewRoot: String,
+      groupVars: Seq[String], countCol: String = "n"): DataFrame = {
+    require(!groupVars.contains(countCol),
+      s"count column '$countCol' collides with a group variable — " +
+        "pass countCol explicitly")
+    val es = entries(viewRoot)
+    require(es.nonEmpty, s"no view under $viewRoot")
+    val baseV = es.collect { case ("b", v, _) => v }.max
+    val segs = es.collect { case ("s", f, t) if t > baseV => (f, t) }
+      .sortBy(_._2)
+    val gcols = groupVars.map(col)
+    val signed = (spark.read.parquet(basePath(viewRoot, baseV))
+      .select(gcols :+ lit(1L).as("__sgn"): _*) +:
+      segs.map { case (f, t) =>
+        spark.read.parquet(segPath(viewRoot, f, t))
+          .select(gcols :+ when(col("__op") === "a", 1L)
+            .otherwise(-1L).as("__sgn"): _*)
+      }).reduce(_.unionByName(_))
+    signed.groupBy(gcols: _*).agg(sum("__sgn").as(countCol))
+      .filter(col(countCol) =!= 0L)
   }
 
   /** Fold the chain into a fresh base at the synced head and drop the

@@ -69,6 +69,14 @@ class ViewStoreSpec extends SparkSpec {
       s"""DELETE DATA { GRAPH <$g> { <c2> <name> "bob" . } }""")
     ViewStore.sync(spark, storeRoot, viewRoot)
     assert(rowSet(ViewStore.read(spark, viewRoot)) === Set(Seq("c3", "carol")))
+    // the summary folds from base+segments without materializing the
+    // view, and matches the grouped recompute (c2's group netted away)
+    assert(rowSet(ViewStore.readCounts(spark, viewRoot, Seq("n"),
+        countCol = "cnt")) ===
+      rowSet(ViewStore.read(spark, viewRoot).groupBy("n")
+        .agg(count(lit(1)).as("cnt"))))
+    intercept[IllegalArgumentException](
+      ViewStore.readCounts(spark, viewRoot, Seq("n"), countCol = "n"))
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
@@ -105,6 +113,36 @@ class ViewStoreSpec extends SparkSpec {
       assert(rowSet(ViewStore.read(spark, viewRoot)) ===
         rowSet(recompute(storeRoot, viewRoot)))
     } finally q.stop()
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
+  test("SPARQL-text definitions: the BGP fragment in, the rest rejected") {
+    assert(ViewStore.patternsFromSparql(
+      """SELECT * WHERE { ?c <name> ?n . ?c <seg> "B" . }""") ===
+      Seq(TP(V("c"), C("name"), V("n")), TP(V("c"), C("seg"), C("B"))))
+    // a projection naming every variable is the same thing
+    assert(ViewStore.patternsFromSparql(
+      """SELECT ?n ?c WHERE { ?c <name> ?n . }""") ===
+      Seq(TP(V("c"), C("name"), V("n"))))
+    // everything beyond the conjunctive fragment is loud
+    for (bad <- Seq(
+      """SELECT * WHERE { ?c <name> ?n . FILTER (?n = "x") }""",
+      """SELECT * WHERE { ?c <name> ?n . OPTIONAL { ?c <x> ?y . } }""",
+      """SELECT * WHERE { { ?c <name> ?n . } UNION { ?c <x> ?n . } }""",
+      """SELECT * WHERE { ?c <knows>+ ?n . }""",
+      """SELECT ?c WHERE { ?c <name> ?n . }""",
+      """SELECT DISTINCT * WHERE { ?c <name> ?n . }""",
+      """SELECT (COUNT(?c) AS ?k) WHERE { ?c <name> ?n . }"""))
+      intercept[IllegalArgumentException](
+        ViewStore.patternsFromSparql(bad))
+    // and the text path drives the real lifecycle
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s4").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v4").toString
+    QuadStore.init(Seq(("c1", "name", "alice", ""), ("c1", "seg", "B", ""))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    ViewStore.createFromSparql(spark, storeRoot, viewRoot,
+      """SELECT * WHERE { ?c <name> ?n . ?c <seg> "B" . }""")
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === Set(Seq("c1", "alice")))
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
