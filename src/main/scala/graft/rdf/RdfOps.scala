@@ -256,7 +256,7 @@ object RdfOps extends QueryModule {
       else ViewStore.sync(s, store, view): Unit
       // retention, same policy shape as the store/mirror: compact only
       // when the fold is wide, keeping steady-state syncs O(|delta|)
-      if (ViewStore.segmentCount(view) > 6) ViewStore.compact(s, view)
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
       QuadStore.vacuumIfDeep(store, keep = 2): Unit
       ViewStore.read(s, view).orderBy(col("cust"))
     }),

@@ -251,6 +251,16 @@ object ViewStore {
       .filter(col(countCol) =!= 0L)
   }
 
+  /** Steady-state retention policy — run on the maintenance cadence:
+    * compacts only when the fold chain is deep, so syncs stay
+    * O(|Δview|) and the O(|view|) rewrite amortizes across the window
+    * (the store's vacuumIfDeep / the mirror's compact-at-depth shape). */
+  def compactIfDeep(spark: SparkSession, viewRoot: String,
+      maxChain: Int = 8): Boolean =
+    if (segmentCount(viewRoot) > maxChain) {
+      compact(spark, viewRoot); true
+    } else false
+
   /** Fold the chain into a fresh base at the synced head and drop the
     * replaced entries — bounds read-side fold width, exactly the
     * mirror's compaction contract. */
