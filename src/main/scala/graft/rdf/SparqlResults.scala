@@ -127,6 +127,38 @@ object SparqlResults {
       .as[String]
   }
 
+  /** The complete CSV document (§3) as ONE string — RFC 4180 quoting as
+    * a column expression, header first; bounded collect, same contract
+    * as the other document forms (streaming endpoints use [[writeCsv]] /
+    * [[toCsvRows]]). */
+  def csvDocument(df: DataFrame, maxRows: Int = 100000): String = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def quoted(c: Column): Column =
+      when(c.isNull, lit(""))
+        .when(c.rlike("[\",\r\n]"),
+          concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
+        .otherwise(c)
+    val rows = toCsvRows(df)
+    val lines = rows.select(concat_ws(",",
+        rows.columns.map(c => quoted(col(c))).toIndexedSeq: _*).as("line"))
+      .as[String].take(maxRows + 1)
+    require(lines.length <= maxRows,
+      s"result exceeds $maxRows rows — stream toCsvRows instead")
+    (df.columns.mkString(",") +: lines.toSeq).mkString("", "\r\n", "\r\n")
+  }
+
+  /** The complete TSV document (§4) as ONE string — bounded collect over
+    * [[toTsvRows]] (which already leads with the `?var` header row). */
+  def tsvDocument(df: DataFrame, maxRows: Int = 100000): String = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = toTsvRows(df).as[String].take(maxRows + 2)
+    require(lines.length <= maxRows + 1,
+      s"result exceeds $maxRows rows — stream toTsvRows instead")
+    lines.mkString("", "\n", "\n")
+  }
+
   // ------------------------- results-xml (§) --------------------------
 
   /** XML text-content escape as a column expression (order matters: &

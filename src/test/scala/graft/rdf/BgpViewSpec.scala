@@ -131,6 +131,32 @@ class BgpViewSpec extends SparkSpec {
       "fr nets to zero members and must leave the summary")
   }
 
+  test("the delta rule is id-space agnostic: encoded views maintain too") {
+    // the reference's execution model runs over 8-byte ids; BgpView is
+    // schema-agnostic over (s,p,o), so the SAME maintenance code drives
+    // an id-space view — decode at emission matches the string view
+    val patterns = Seq(TP(V("c"), C("name"), V("n")),
+      TP(V("c"), C("seg"), C("B")))
+    val old = t3(("c1", "name", "alice"), ("c1", "seg", "B"),
+      ("c2", "name", "bob"))
+    val adds = t3(("c2", "seg", "B"))
+    val dels = t3(("c1", "seg", "B"))
+    // one dictionary covering old ∪ adds (deletes never add terms)
+    val dict = Dictionary.build(spark, old.unionByName(adds))
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      EncodedBgp.asTriples(Dictionary.encode(df, dict))
+    val (idPats, ok) = EncodedBgp.encodePatterns(dict, patterns)
+    assert(ok)
+    val idView = BgpView.maintain(
+      BgpView.compute(enc(old), idPats),
+      enc(old), enc(adds), enc(dels), idPats)
+    val decoded = EncodedBgp.decode(idView, dict, Seq("c", "n"))
+    val strView = BgpView.maintain(
+      BgpView.compute(old, patterns), old, adds, dels, patterns)
+    assert(rowSet(decoded) === rowSet(strView))
+    assert(rowSet(decoded) === Set(Seq("c2", "bob")))
+  }
+
   test("repeated variable inside one pattern maintains correctly") {
     val self = Seq(TP(V("x"), C("knows"), V("x")))
     check(t3(("a", "knows", "a"), ("a", "knows", "b")),

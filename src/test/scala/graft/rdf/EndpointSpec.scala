@@ -1,0 +1,81 @@
+package graft.rdf
+
+import graft.SparkSpec
+
+class EndpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): String = {
+    val root = java.nio.file.Files.createTempDirectory("endpoint").toString
+    QuadStore.init(Seq(
+      ("c:1", "name", "al,i\"ce"),
+      ("c:2", "name", "bob")).map { case (s, p, o) => (s, p, o, "") }
+      .toDF("s", "p", "o", "g"), root)
+    root
+  }
+
+  test("negotiation: order wins, q-params tolerated, */* defaults, 406 is loud") {
+    assert(Endpoint.negotiate("") === Endpoint.Json)
+    assert(Endpoint.negotiate("*/*") === Endpoint.Json)
+    assert(Endpoint.negotiate("text/csv, application/sparql-results+json")
+      === Endpoint.Csv)
+    assert(Endpoint.negotiate(
+      "application/sparql-results+xml;q=0.9, text/csv") === Endpoint.Xml)
+    assert(Endpoint.negotiate("text/html, */*") === Endpoint.Json)
+    val boom = intercept[IllegalArgumentException](
+      Endpoint.negotiate("text/html"))
+    assert(boom.getMessage.contains("no supported media type"))
+  }
+
+  test("SELECT serializes in all four W3C formats from one store") {
+    val root = freshStore()
+    val q = "SELECT ?s ?n WHERE { ?s <name> ?n . } ORDER BY ?s"
+    val (jm, json) = Endpoint.query(spark, root, q)
+    assert(jm === Endpoint.Json)
+    assert(json.contains(""""vars":["s","n"]""") &&
+      json.contains(""""value":"c:2""""))
+    val (_, xml) = Endpoint.query(spark, root, q, accept = Endpoint.Xml)
+    // must parse as XML despite the hostile literal payload
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    assert(doc.getElementsByTagName("result").getLength === 2)
+    val (_, csv) = Endpoint.query(spark, root, q, accept = Endpoint.Csv)
+    val lines = csv.split("\r\n").toSeq
+    assert(lines.head === "s,n")
+    assert(lines.exists(_ startsWith "c:1,\"al,i\"\"ce\""),
+      s"RFC 4180 quoting of the hostile cell, got: $lines")
+    val (_, tsv) = Endpoint.query(spark, root, q, accept = Endpoint.Tsv)
+    assert(tsv.linesIterator.next() === "?s\t?n")
+    assert(tsv.linesIterator.size === 3)
+  }
+
+  test("ASK uses the boolean forms; CSV/TSV reject it per spec scope") {
+    val root = freshStore()
+    val q = """ASK WHERE { <c:1> <name> ?n . }"""
+    assert(Endpoint.query(spark, root, q)._2 ===
+      """{"head":{},"boolean":true}""")
+    assert(Endpoint.query(spark, root, q, accept = Endpoint.Xml)._2
+      .contains("<boolean>true</boolean>"))
+    assert(Endpoint.query(spark, root,
+      """ASK WHERE { <c:9> <name> ?n . }""")._2.contains("false"))
+    intercept[IllegalArgumentException](
+      Endpoint.query(spark, root, q, accept = Endpoint.Csv))
+  }
+
+  test("the protocol loop: update commits atomically, queries see it; " +
+      "pinned versions answer the past") {
+    val root = freshStore()
+    val v1 = QuadStore.currentVersion(root).get
+    val v2 = Endpoint.update(spark, root,
+      """INSERT DATA { <c:3> <name> "carol" . } ;
+        |DELETE DATA { <c:2> <name> "bob" . }""".stripMargin)
+    assert(v2 === v1 + 1, "a ;-request is ONE version")
+    val q = "SELECT ?s WHERE { ?s <name> ?n . } ORDER BY ?s"
+    assert(Endpoint.query(spark, root, q, accept = Endpoint.Csv)._2
+      .split("\r\n").toSeq.tail === Seq("c:1", "c:3"))
+    assert(Endpoint.queryVersion(spark, root, v1, q,
+        accept = Endpoint.Csv)._2
+      .split("\r\n").toSeq.tail === Seq("c:1", "c:2"))
+  }
+}

@@ -146,6 +146,27 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("a chain gap is rejected loudly, not silently mis-served") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s5").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v5").toString
+    QuadStore.init(Seq(("c1", "name", "alice", "")).toDF("s", "p", "o", "g"),
+      storeRoot)
+    val pats = Seq(TP(V("c"), C("name"), V("n")))
+    val v1 = ViewStore.create(spark, storeRoot, viewRoot, pats)
+    QuadStore.update(spark, storeRoot, """INSERT DATA { <c2> <name> "b" . }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    QuadStore.update(spark, storeRoot, """INSERT DATA { <c3> <name> "c" . }""")
+    val v3 = ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(ViewStore.read(spark, viewRoot).count() === 3)
+    // simulate the two-racing-syncers hole: the middle segment vanishes
+    graft.sources.AtomicStore.delete(f"$viewRoot%s/s${v1}%05d" + f"_${v1 + 1}%05d")
+    val boom = intercept[IllegalArgumentException](
+      ViewStore.read(spark, viewRoot))
+    assert(boom.getMessage.contains("chain gap"), boom.getMessage)
+    assert(v3 === v1 + 2)
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("definition armors hostile terms; non-string constants reject") {
     val storeRoot = java.nio.file.Files.createTempDirectory("vs_s2").toString
     val viewRoot = java.nio.file.Files.createTempDirectory("vs_v2").toString
