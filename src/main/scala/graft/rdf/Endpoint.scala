@@ -25,6 +25,9 @@ object Endpoint {
   val Xml = "application/sparql-results+xml"
   val Csv = "text/csv"
   val Tsv = "text/tab-separated-values"
+  /** Graph results (CONSTRUCT / DESCRIBE) serialize as RDF, not as a
+    * results table — N-Triples is the offered format. */
+  val NTriplesMedia = "application/n-triples"
   private val Supported = Seq(Json, Xml, Csv, Tsv)
 
   /** First supported media type in the Accept list (list order is the
@@ -46,21 +49,49 @@ object Endpoint {
   /** Execute a query against the store head and serialize per `accept`;
     * returns (media type, response body). ASK uses the boolean
     * results-json/xml forms (CSV/TSV are defined for SELECT only —
-    * loud error, per the spec's scope). */
+    * loud error, per the spec's scope); CONSTRUCT/DESCRIBE return an
+    * RDF GRAPH and serialize as N-Triples. */
   def query(spark: SparkSession, root: String, text: String,
-      accept: String = Json,
+      accept: String = "",
       endpoints: Map[String, DataFrame] = Map.empty,
       maxRows: Int = 100000): (String, String) =
-    serialize(QuadStore.query(spark, root, text, endpoints),
-      negotiate(accept), maxRows)
+    respond(Sparql.parse(text),
+      QuadStore.query(spark, root, text, endpoints), accept, maxRows)
 
   /** [[query]] against a PINNED store version — repeatable reads. */
   def queryVersion(spark: SparkSession, root: String, v: Int, text: String,
-      accept: String = Json,
+      accept: String = "",
       endpoints: Map[String, DataFrame] = Map.empty,
       maxRows: Int = 100000): (String, String) =
-    serialize(QuadStore.queryVersion(spark, root, v, text, endpoints),
-      negotiate(accept), maxRows)
+    respond(Sparql.parse(text),
+      QuadStore.queryVersion(spark, root, v, text, endpoints), accept,
+      maxRows)
+
+  private def respond(parsed: Sparql.Query, df: DataFrame, accept: String,
+      maxRows: Int): (String, String) =
+    if (parsed.construct.isDefined || parsed.describe.isDefined)
+      serializeGraph(df, accept, maxRows)
+    else serialize(df, negotiate(accept), maxRows)
+
+  /** The graph-result serialization: negotiate against the RDF formats
+    * (N-Triples; `*／*` and empty accept it), render distributedly,
+    * assemble bounded. */
+  private def serializeGraph(df: DataFrame, accept: String,
+      maxRows: Int): (String, String) = {
+    val wanted = accept.split(",").map(_.trim.takeWhile(_ != ';').trim)
+      .filter(_.nonEmpty).toSeq
+    val ok = wanted.isEmpty ||
+      wanted.exists(t => t == "*/*" || t == NTriplesMedia)
+    if (!ok) throw new IllegalArgumentException(
+      s"graph results serialize as RDF — no supported media type in " +
+        s"Accept '$accept', offer $NTriplesMedia")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = NTriples.renderTerms(df).as[String].take(maxRows + 1)
+    require(lines.length <= maxRows,
+      s"graph exceeds $maxRows triples — stream NTriples.renderTerms")
+    (NTriplesMedia, lines.mkString("", "\n", "\n"))
+  }
 
   /** Execute an UPDATE request (a full `;`-separated sequence, committed
     * ATOMICALLY as one store version); returns the new version. */

@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** N-Triples source and sink — the reference's native input format
@@ -95,6 +95,32 @@ object NTriples {
       when(col("o_is_iri"), concat(lit("<"), col("o"), lit(">")))
         .otherwise(concat(lit("\""), expr("nt_escape(o)"), lit("\""))),
       lit(" .")).as("value"))
+  }
+
+  /** Render (s, p, o) TERM-STRING rows ([[Terms]]' conventions) to
+    * N-Triples lines — the serializer for CONSTRUCT/DESCRIBE results,
+    * whose object node-kind is carried in the cell, not a flag column.
+    * Bare s/p cells read as IRIs (the default stores' layout); a bare o
+    * is a plain literal — Terms' own verdict on an unmarked value.
+    * Literal payloads are stored RAW and ECHAR-escape at this boundary;
+    * `@lang` / `^^<datatype>` annotations pass through. */
+  def renderTerms(triples: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(triples.sparkSession)
+    def subjPred(c: Column): Column =
+      when(Terms.isIri(c) || Terms.isBlank(c), c)
+        .otherwise(concat(lit("<"), c, lit(">")))
+    def obj(c: Column): Column = {
+      val lastQ = length(c) - instr(reverse(c), "\"") + 1
+      val suffix = c.substr(lastQ + 1, length(c))
+      when(Terms.isIri(c) || Terms.isBlank(c), c)
+        .when(c.startsWith("\""),
+          concat(lit("\""), call_function("nt_escape", Terms.lexical(c)),
+            lit("\""), suffix))
+        .otherwise(concat(lit("\""), call_function("nt_escape", c),
+          lit("\"")))
+    }
+    triples.select(concat(subjPred(col("s")), lit(" "),
+      subjPred(col("p")), lit(" "), obj(col("o")), lit(" .")).as("value"))
   }
 
   /** N-Triples sink: distributed text write, one line per triple. */

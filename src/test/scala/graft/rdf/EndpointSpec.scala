@@ -63,6 +63,25 @@ class EndpointSpec extends SparkSpec {
       Endpoint.query(spark, root, q, accept = Endpoint.Csv))
   }
 
+  test("CONSTRUCT serializes as N-Triples and round-trips the graph") {
+    val root = freshStore()
+    val q = """CONSTRUCT { ?s <label> ?n . } WHERE { ?s <name> ?n . }"""
+    val (media, body) = Endpoint.query(spark, root, q)
+    assert(media === Endpoint.NTriplesMedia)
+    // the document must parse back to exactly the constructed graph,
+    // hostile payload escaped on the way out and recovered on the way in
+    val back = NTriples.parse(Seq(body.split("\n").toSeq: _*).toDF("value"))
+      .select("s", "p", "o").as[(String, String, String)].collect().toSet
+    assert(back === Set(("c:1", "label", "al,i\"ce"), ("c:2", "label", "bob")))
+    // a results-format-only Accept is the 406 analog for graphs
+    intercept[IllegalArgumentException](
+      Endpoint.query(spark, root, q, accept = Endpoint.Csv))
+    // but an explicit n-triples (or */*) Accept is honored
+    assert(Endpoint.query(spark, root, q,
+      accept = "text/html, application/n-triples")._1 ===
+      Endpoint.NTriplesMedia)
+  }
+
   test("the protocol loop: update commits atomically, queries see it; " +
       "pinned versions answer the past") {
     val root = freshStore()
