@@ -247,9 +247,16 @@ object Tpch extends QueryModule {
   private val supplyCte: String =
     s"""supply AS (
        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-       |    min(l_extendedprice / l_quantity) AS ps_supplycost,
+       |    min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+       |      AS ps_supplycost,
        |    ${Det.dsumSql("l_quantity", 2)} AS ps_availqty
        |  FROM lineitem GROUP BY l_partkey, l_suppkey)""".stripMargin
+  // ps_supplycost divides as IEEE DOUBLE in BOTH engines on purpose:
+  // decimal division scale/rounding rules are engine-specific (Spark's
+  // result scale vs DuckDB's), and the last-decimal drift survives into
+  // Q11's DECIMAL(27,4) rounding on boundary values (first seen at
+  // sf0.001). Double division is bit-identical everywhere; MIN over
+  // doubles is exact.
 
   /** Q2 minimum-cost supplier over the derived supply relation. The
     * correlated `= (SELECT min ...)` threshold keeps the spec's shape —
@@ -347,11 +354,15 @@ object Tpch extends QueryModule {
        |ORDER BY nation, o_year DESC""".stripMargin
 
   /** Q11 important stock: per-part supply value within one nation vs a
-    * fraction of that nation's total. Both sides of the HAVING comparison
-    * are exact decimal sums cast to double, and the threshold multiply is
-    * a single double op — engine-stable. The uncorrelated scalar subquery
-    * broadcasts; fraction 0.002 ≈ 3.6× the mean part share here, so the
-    * filter bites without emptying the result. */
+    * fraction of that nation's total. Per-term values round by FLOOR in
+    * integer micro-units, NOT by a decimal cast: the double product can
+    * land exactly on a half at the rounding scale (sf0.001 produced
+    * 113981.01625), where Spark's decimal cast rounds HALF_UP and
+    * DuckDB's rounds half-even — floor of the same IEEE double is
+    * engine-identical by construction, and the BIGINT sum is exact and
+    * order-independent. The uncorrelated scalar subquery broadcasts;
+    * fraction 0.002 ≈ 3.6× the mean part share here, so the filter bites
+    * without emptying the result. */
   private val q11: String =
     """WITH SUPPLY_CTE,
       |nation_supply AS (
@@ -361,11 +372,11 @@ object Tpch extends QueryModule {
       |  JOIN nation ON s_nationkey = n_nationkey
       |  WHERE n_name = 'NATION_20')
       |SELECT ps_partkey,
-      |  CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(27,4))) AS DOUBLE) AS part_value
+      |  CAST(sum(CAST(floor(ps_supplycost * ps_availqty * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS part_value
       |FROM nation_supply
       |GROUP BY ps_partkey
-      |HAVING CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(27,4))) AS DOUBLE)
-      |  > (SELECT CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(27,4))) AS DOUBLE) * 0.002
+      |HAVING CAST(sum(CAST(floor(ps_supplycost * ps_availqty * 10000) AS BIGINT)) AS DOUBLE) / 10000
+      |  > (SELECT CAST(sum(CAST(floor(ps_supplycost * ps_availqty * 10000) AS BIGINT)) AS DOUBLE) / 10000 * 0.002
       |     FROM nation_supply)
       |ORDER BY part_value DESC, ps_partkey""".stripMargin
       .replace("SUPPLY_CTE", supplyCte)

@@ -90,13 +90,74 @@ object Endpoint {
     val lines = NTriples.renderTerms(df).as[String].take(maxRows + 1)
     require(lines.length <= maxRows,
       s"graph exceeds $maxRows triples — stream NTriples.renderTerms")
-    (NTriplesMedia, lines.mkString("", "\n", "\n"))
+    (NTriplesMedia,
+      if (lines.isEmpty) "" else lines.mkString("", "\n", "\n"))
   }
 
   /** Execute an UPDATE request (a full `;`-separated sequence, committed
     * ATOMICALLY as one store version); returns the new version. */
   def update(spark: SparkSession, root: String, text: String): Int =
     QuadStore.update(spark, root, text)
+
+  // ---- SPARQL 1.1 Graph Store Protocol (§5), network-free -----------
+  // The ?graph=<iri> / ?default resource operations: a server shim maps
+  // GET/PUT/POST/DELETE here. Bodies are N-Triples. `graph = None`
+  // addresses the default graph. Each write is ONE store version (PUT's
+  // clear+insert composes into a single delta — no torn window), and
+  // payload/graph names never round-trip through SPARQL surface syntax,
+  // so hostile characters cannot break out. Node-kind note: the default
+  // stores hold PLAIN LEXICAL terms (Terms' engine-wide convention), so
+  // a PUT IRI object serializes back as a plain literal — the GET/PUT
+  // loop is the identity on the STORED graph, and term-string-encoded
+  // stores keep exact node kinds where that matters.
+
+  /** GSP GET: the graph's triples as an N-Triples document. */
+  def getGraph(spark: SparkSession, root: String,
+      graph: Option[String] = None,
+      maxRows: Int = 100000): (String, String) = {
+    import spark.implicits._
+    val g = graph.getOrElse(Quads.DefaultGraph)
+    val slice = QuadStore.read(spark, root)
+      .filter(org.apache.spark.sql.functions.col("g") === g)
+      .select("s", "p", "o")
+    val lines = NTriples.renderTerms(slice).as[String].take(maxRows + 1)
+    require(lines.length <= maxRows,
+      s"graph exceeds $maxRows triples — stream NTriples.renderTerms")
+    (NTriplesMedia,
+      if (lines.isEmpty) "" else lines.mkString("", "\n", "\n"))
+  }
+
+  /** GSP PUT: replace the graph with the parsed N-Triples body — one
+    * atomic version. Corrupt body lines are a loud error, never a
+    * partial ingest. */
+  def putGraph(spark: SparkSession, root: String, body: String,
+      graph: Option[String] = None): Int =
+    QuadStore.replaceGraph(spark, root,
+      graph.getOrElse(Quads.DefaultGraph), parseBody(spark, body))
+
+  /** GSP POST: merge the body's triples into the graph (RDF merge =
+    * set union; an idempotent replay appends nothing). */
+  def postGraph(spark: SparkSession, root: String, body: String,
+      graph: Option[String] = None): Int = {
+    val g = graph.getOrElse(Quads.DefaultGraph)
+    QuadStore.appendQuads(spark, root, parseBody(spark, body)
+      .withColumn("g", org.apache.spark.sql.functions.lit(g)))
+  }
+
+  /** GSP DELETE: drop the graph — one atomic version. */
+  def deleteGraph(spark: SparkSession, root: String,
+      graph: Option[String] = None): Int =
+    QuadStore.dropGraph(spark, root, graph.getOrElse(Quads.DefaultGraph))
+
+  private def parseBody(spark: SparkSession, body: String): DataFrame = {
+    import spark.implicits._
+    val lines = body.split("\n").toSeq.toDF("value")
+    val bad = NTriples.corrupt(lines).limit(1).collect()
+    require(bad.isEmpty,
+      s"N-Triples body has unparseable lines, first: '${
+        if (bad.isEmpty) "" else bad(0).getString(0)}'")
+    NTriples.parse(lines)
+  }
 
   private def isAsk(df: DataFrame): Boolean =
     df.schema.fields.length == 1 &&

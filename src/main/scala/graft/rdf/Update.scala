@@ -856,7 +856,7 @@ object QuadStore {
     * while racing writers win the slot — Delta-Lake-style OCC over the
     * same marker protocol, so concurrent updaters serialize without a
     * lock service and no operation is ever silently dropped. */
-  private def occPublish(spark: SparkSession, root: String,
+  private[rdf] def occPublish(spark: SparkSession, root: String,
       mkDelta: DataFrame => Update.Delta): Int = {
     val maxAttempts = 50
     var attempt = 0
@@ -904,6 +904,39 @@ object QuadStore {
       val present = current.join(broadcast(block), keys, "left_semi")
       Update.Delta(block.join(present, keys, "left_anti"),
         current.limit(0), Nil)
+    })
+  }
+
+  /** Replace one graph's content in ONE version (the Graph Store
+    * Protocol's PUT): the clear and the new content compose into a
+    * single delta segment, so readers see the old graph or the new one,
+    * never a window between. A DIRECT API rather than update-text
+    * composition on purpose — a graph IRI or payload with hostile
+    * characters never round-trips through SPARQL surface syntax. The
+    * incoming frame's g column is overwritten with `graph`: a PUT
+    * payload addresses exactly one graph. Safe under concurrent writers
+    * (OCC retry). */
+  def replaceGraph(spark: SparkSession, root: String, graph: String,
+      triples: DataFrame): Int = {
+    val block = triples.select(col("s"), col("p"), col("o"),
+      lit(graph).as("g")).distinct()
+    val clear =
+      if (graph == Quads.DefaultGraph) Update.DefaultG
+      else Update.OneGraph(graph)
+    occPublish(spark, root, { current =>
+      Update.Delta(block, current.limit(0), Seq(clear))
+    })
+  }
+
+  /** Drop one graph's content in ONE version (the Graph Store
+    * Protocol's DELETE) — the same direct-API rationale as
+    * [[replaceGraph]]. Returns the new version. */
+  def dropGraph(spark: SparkSession, root: String, graph: String): Int = {
+    val clear =
+      if (graph == Quads.DefaultGraph) Update.DefaultG
+      else Update.OneGraph(graph)
+    occPublish(spark, root, { current =>
+      Update.Delta(current.limit(0), current.limit(0), Seq(clear))
     })
   }
 

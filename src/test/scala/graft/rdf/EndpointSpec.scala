@@ -82,6 +82,42 @@ class EndpointSpec extends SparkSpec {
       Endpoint.NTriplesMedia)
   }
 
+  test("Graph Store Protocol: PUT/GET/POST/DELETE, one version per write") {
+    val root = freshStore()
+    val v0 = QuadStore.currentVersion(root).get
+    val g = Some("g:mine")
+    val body = "<a> <p> \"pay\\\"load\" .\n<a> <q> <b> .\n"
+    // PUT replaces atomically: one version, exact content
+    val v1 = Endpoint.putGraph(spark, root, body, g)
+    assert(v1 === v0 + 1)
+    val (media, got) = Endpoint.getGraph(spark, root, g)
+    assert(media === Endpoint.NTriplesMedia)
+    // GET→PUT round-trip is the identity on the graph
+    Endpoint.putGraph(spark, root, got, g)
+    assert(Endpoint.getGraph(spark, root, g)._2.split("\n").toSet ===
+      got.split("\n").toSet)
+    // POST merges set-semantically; a replay appends nothing
+    Endpoint.postGraph(spark, root, "<c> <p> \"x\" .\n", g)
+    Endpoint.postGraph(spark, root, "<c> <p> \"x\" .\n", g)
+    assert(Endpoint.getGraph(spark, root, g)._2.split("\n").length === 3)
+    // a second PUT REPLACES, not merges
+    Endpoint.putGraph(spark, root, "<z> <p> \"only\" .\n", g)
+    assert(Endpoint.getGraph(spark, root, g)._2.trim ===
+      "<z> <p> \"only\" .")
+    // the default graph is addressable and isolated from named graphs
+    assert(Endpoint.getGraph(spark, root)._2.split("\n").length === 2,
+      "freshStore's default graph must be untouched")
+    // DELETE empties the graph in one version
+    val vBefore = QuadStore.currentVersion(root).get
+    assert(Endpoint.deleteGraph(spark, root, g) === vBefore + 1)
+    assert(Endpoint.getGraph(spark, root, g)._2 === "")
+    // corrupt bodies are loud, and nothing lands
+    val vNow = QuadStore.currentVersion(root).get
+    intercept[IllegalArgumentException](
+      Endpoint.putGraph(spark, root, "<a> <p> oops", g))
+    assert(QuadStore.currentVersion(root).get === vNow)
+  }
+
   test("the protocol loop: update commits atomically, queries see it; " +
       "pinned versions answer the past") {
     val root = freshStore()
