@@ -1,7 +1,6 @@
 package graft.rdf
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.BooleanType
 
 /** The SPARQL 1.1 Protocol surface, network-free: everything a
   * conformant HTTP endpoint needs except the socket. A server shim maps
@@ -71,7 +70,7 @@ object Endpoint {
       maxRows: Int): (String, String) =
     if (parsed.construct.isDefined || parsed.describe.isDefined)
       serializeGraph(df, accept, maxRows)
-    else serialize(df, negotiate(accept), maxRows)
+    else serialize(df, negotiate(accept), maxRows, parsed.ask)
 
   /** The graph-result serialization: negotiate against the RDF formats
     * (N-Triples; `*／*` and empty accept it), render distributedly,
@@ -159,13 +158,11 @@ object Endpoint {
     NTriples.parse(lines)
   }
 
-  private def isAsk(df: DataFrame): Boolean =
-    df.schema.fields.length == 1 &&
-      df.schema.fields(0).dataType == BooleanType
-
+  // ASK is decided by the PARSED query form, never by sniffing the
+  // result schema — a SELECT projecting a boolean BIND is still a table
   private def serialize(df: DataFrame, media: String,
-      maxRows: Int): (String, String) = {
-    if (isAsk(df)) {
+      maxRows: Int, isAsk: Boolean): (String, String) = {
+    if (isAsk) {
       val b = df.collect()(0).getBoolean(0)
       media match {
         case Json => (Json, s"""{"head":{},"boolean":$b}""")
