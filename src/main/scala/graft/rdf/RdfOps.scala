@@ -261,6 +261,31 @@ object RdfOps extends QueryModule {
       ViewStore.read(s, view).orderBy(col("cust"))
     }),
 
+    // The network-free protocol loop IN the correctness gate: a SELECT
+    // runs through Endpoint (negotiation → store query → W3C CSV
+    // document), the serialized body parses back to a table, and the
+    // oracle checks the round-tripped values — so the serialization
+    // layer itself is oracled, not just spec-tested. The corpus slice
+    // (nations/regions) is comma/quote-free by construction, making the
+    // hand parse exact; hostile-payload quoting is EndpointSpec's job.
+    "q_sparql_endpoint" -> ((s, d) => {
+      import s.implicits._
+      val root = s"${sys.props("java.io.tmpdir")}/graft_endpoint_" +
+        graft.sources.AtomicStore.key(d)
+      val quads = Triples.build(s, d)
+        .filter(col("s").startsWith("n:") || col("s").startsWith("r:"))
+        .withColumn("g", lit(""))
+      QuadStore.init(quads, root)
+      val (_, csv) = Endpoint.query(s, root,
+        """SELECT ?n ?nname ?r WHERE {
+          |  ?n <name> ?nname . ?n <region> ?r .
+          |}
+          |ORDER BY ?n""".stripMargin, accept = Endpoint.Csv)
+      val lines = csv.split("\r\n").toSeq
+      lines.tail.map { l => val a = l.split(",", -1); (a(0), a(1), a(2)) }
+        .toDF(lines.head.split(","): _*)
+    }),
+
     // The full reference user path: SPARQL *text* → parse → BGP algebra →
     // star-collapsed execution, with OPTIONAL-free chain + FILTER regex.
     "q_sparql_text" -> ((s, d) => {
@@ -1691,6 +1716,12 @@ object RdfOps extends QueryModule {
         |  SELECT 'graft://suppliers', 'sup:' || s_suppkey, n.n_name
         |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
         |ORDER BY ep, who""".stripMargin),
+
+    // CSV cells are lexical forms — strings on both sides
+    "q_sparql_endpoint" -> cte(
+      """SELECT 'n:' || n_nationkey AS n, n_name AS nname,
+        |       'r:' || n_regionkey AS r
+        |FROM nation ORDER BY n""".stripMargin),
 
     "q_sparql_service_graph" -> cte(
       s""", quads AS (

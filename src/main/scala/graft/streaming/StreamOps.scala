@@ -305,6 +305,23 @@ object StreamOps extends QueryModule {
         batch.toDF()): Unit
     }
 
+  /** [[quadStoreSink]] composed with maintained-view sync: each
+    * micro-batch lands in the delta store exactly-once AND folds into
+    * the persisted BGP view ([[graft.rdf.ViewStore.sync]] — one
+    * O(|Δview|) segment per batch, coverage-named so replays are
+    * no-ops). The CDC loop from stream to materialization as one
+    * foreachBatch hook; `maxChain` bounds the view's read-side fold via
+    * compactIfDeep on the same cadence. */
+  def maintainedViewSink(storeRoot: String, viewRoot: String,
+      maxChain: Int = 16)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      quadStoreSink(storeRoot)(batch, batchId)
+      graft.rdf.ViewStore.sync(batch.sparkSession, storeRoot, viewRoot): Unit
+      graft.rdf.ViewStore.compactIfDeep(batch.sparkSession, viewRoot,
+        maxChain): Unit
+    }
+
   /** Publish one micro-batch as an immutable AtomicStore snapshot keyed by
     * batch id. foreachBatch delivery is AT-LEAST-once: on failure replay
     * Structured Streaming re-runs a batch with the SAME id, and

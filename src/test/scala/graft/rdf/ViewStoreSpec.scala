@@ -96,18 +96,17 @@ class ViewStoreSpec extends SparkSpec {
     ViewStore.create(spark, storeRoot, viewRoot, pats, g)
     assert(ViewStore.read(spark, viewRoot).count() === 0)
     val mem = MemoryStream[Triple3]
+    // the one-hook composition: store append + view sync per micro-batch
     val q = mem.toDF().withColumn("g", lit(g)).writeStream
-      .foreachBatch(StreamOps.quadStoreSink(storeRoot))
+      .foreachBatch(StreamOps.maintainedViewSink(storeRoot, viewRoot))
       .outputMode("append").start()
     try {
       mem.addData(Triple3("c1", "seg", "B"), Triple3("c2", "name", "bob"))
       q.processAllAvailable()
-      ViewStore.sync(spark, storeRoot, viewRoot)
       assert(rowSet(ViewStore.read(spark, viewRoot)) === Set(Seq("c1", "alice")))
       // a replayed quad (at-least-once shape) plus the completing leg
       mem.addData(Triple3("c1", "seg", "B"), Triple3("c2", "seg", "B"))
       q.processAllAvailable()
-      ViewStore.sync(spark, storeRoot, viewRoot)
       assert(rowSet(ViewStore.read(spark, viewRoot)) ===
         Set(Seq("c1", "alice"), Seq("c2", "bob")))
       assert(rowSet(ViewStore.read(spark, viewRoot)) ===
