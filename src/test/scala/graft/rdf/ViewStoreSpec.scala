@@ -145,6 +145,46 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("a graph CLEAR in the sync range empties the view via the " +
+      "changes fallback") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s6").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v6").toString
+    val g = "g:x"
+    QuadStore.init(Seq(("c1", "name", "alice", g), ("c1", "seg", "B", g))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    val pats = Seq(TP(V("c"), C("name"), V("n")), TP(V("c"), C("seg"), C("B")))
+    ViewStore.create(spark, storeRoot, viewRoot, pats, g)
+    assert(ViewStore.read(spark, viewRoot).count() === 1)
+    // CLEAR is a store-sized effect no delta segment enumerates —
+    // QuadStore.changes falls back to the exact snapshot diff, and the
+    // view-level delta nets every binding away
+    QuadStore.update(spark, storeRoot, s"CLEAR GRAPH <$g>")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(ViewStore.read(spark, viewRoot).count() === 0)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      rowSet(recompute(storeRoot, viewRoot)))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
+  test("sync after retention dropped the last synced version fails " +
+      "loudly, never silently diverges") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s7").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v7").toString
+    QuadStore.init(Seq(("c1", "name", "alice", "")).toDF("s", "p", "o", "g"),
+      storeRoot)
+    ViewStore.create(spark, storeRoot, viewRoot,
+      Seq(TP(V("c"), C("name"), V("n"))))
+    // advance the store far past the view, then vacuum the view's
+    // pinned version away
+    (1 to 4).foreach(i => QuadStore.update(spark, storeRoot,
+      s"""INSERT DATA { <c$i> <name> "x$i" . }"""))
+    QuadStore.vacuum(storeRoot, keep = 2)
+    intercept[Exception] {
+      ViewStore.sync(spark, storeRoot, viewRoot)
+    }
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("a chain gap is rejected loudly, not silently mis-served") {
     val storeRoot = java.nio.file.Files.createTempDirectory("vs_s5").toString
     val viewRoot = java.nio.file.Files.createTempDirectory("vs_v5").toString
