@@ -46,21 +46,75 @@ object BgpView {
   def compute(triples: DataFrame, patterns: Seq[TP]): DataFrame =
     Bgp.solve(triples, patterns)
 
+  /** [[compute]] over QUAD patterns — each pattern carries a graph term
+    * (a constant names one graph; a variable ranges over graphs and
+    * binds as a view column, so one maintained view can track EVERY
+    * graph). Named-graph SPARQL semantics (a variable graph excludes the
+    * default graph) are the caller's filter; this is the raw quad BGP. */
+  def computeQuads(quads: DataFrame,
+      patterns: Seq[(TP, Term)]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    patterns.map { case (tp, g) =>
+      Bgp.onePattern(quads, quadBound(tp, g))
+    }.reduce { (a, b) =>
+      val shared = a.columns.intersect(b.columns).toSeq
+      if (shared.isEmpty) a.join(b, lit(true), "inner")
+      else a.join(b, shared, "inner")
+    }
+  }
+
   /** View-level net change under the triple-level net change:
     * `(viewAdds, viewDels)` — disjoint full-binding frames. */
   def delta(oldTriples: DataFrame, adds: DataFrame, dels: DataFrame,
-      patterns: Seq[TP]): (DataFrame, DataFrame) = {
+      patterns: Seq[TP]): (DataFrame, DataFrame) =
+    deltaBound(oldTriples, adds, dels, Seq("s", "p", "o"),
+      patterns.map(tp => tripleBound(tp)))
+
+  /** [[delta]] over QUAD patterns and a quad change feed. */
+  def deltaQuads(oldQuads: DataFrame, adds: DataFrame, dels: DataFrame,
+      patterns: Seq[(TP, Term)]): (DataFrame, DataFrame) =
+    deltaBound(oldQuads, adds, dels, Seq("s", "p", "o", "g"),
+      patterns.map { case (tp, g) => quadBound(tp, g) })
+
+  /** Apply the view-level delta to the materialization: the incremental
+    * step whose result is spec-pinned to [[compute]] over the new state. */
+  def maintain(view: DataFrame, oldTriples: DataFrame, adds: DataFrame,
+      dels: DataFrame, patterns: Seq[TP]): DataFrame =
+    applyDelta(view, delta(oldTriples, adds, dels, patterns))
+
+  /** [[maintain]] over QUAD patterns. */
+  def maintainQuads(view: DataFrame, oldQuads: DataFrame, adds: DataFrame,
+      dels: DataFrame, patterns: Seq[(TP, Term)]): DataFrame =
+    applyDelta(view, deltaQuads(oldQuads, adds, dels, patterns))
+
+  private def applyDelta(view: DataFrame,
+      d: (DataFrame, DataFrame)): DataFrame = {
+    val (va, vd) = d
+    val keys = view.columns.toSeq
+    view.join(vd.select(keys.map(col): _*).hint("broadcast"),
+        keys, "left_anti")
+      .unionByName(va.select(keys.map(col): _*))
+  }
+
+  private def tripleBound(tp: TP): Seq[(String, Term)] =
+    Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+  private def quadBound(tp: TP, g: Term): Seq[(String, Term)] =
+    tripleBound(tp) :+ ("g" -> g)
+
+  /** The telescoping sum over any binding shape (triples or quads). */
+  private def deltaBound(oldT: DataFrame, adds: DataFrame, dels: DataFrame,
+      keys: Seq[String],
+      patterns: Seq[Seq[(String, Term)]]): (DataFrame, DataFrame) = {
     require(patterns.nonEmpty, "empty BGP")
     require(patterns.exists(vars(_).nonEmpty),
       "a BGP view needs at least one variable")
-    val spo = Seq("s", "p", "o")
-    val newTriples = oldTriples
-      .join(dels.select(spo.map(col): _*).hint("broadcast"), spo, "left_anti")
-      .unionByName(adds.select(spo.map(col): _*))
-    val dT = adds.select(spo.map(col): _*).withColumn(SGN, lit(1L))
-      .unionByName(dels.select(spo.map(col): _*).withColumn(SGN, lit(-1L)))
-    val terms = patterns.indices.map(i =>
-      term(i, patterns, newTriples, oldTriples, dT))
+    val newT = oldT
+      .join(dels.select(keys.map(col): _*).hint("broadcast"), keys,
+        "left_anti")
+      .unionByName(adds.select(keys.map(col): _*))
+    val dT = adds.select(keys.map(col): _*).withColumn(SGN, lit(1L))
+      .unionByName(dels.select(keys.map(col): _*).withColumn(SGN, lit(-1L)))
+    val terms = patterns.indices.map(i => term(i, patterns, newT, oldT, dT))
     val viewCols = terms.head.columns.filterNot(_ == SGN).toSeq
     val net = terms.reduce(_.unionByName(_))
       .groupBy(viewCols.map(col): _*).agg(sum(SGN).as(SGN))
@@ -69,30 +123,18 @@ object BgpView {
       net.filter(col(SGN) < 0).drop(SGN))
   }
 
-  /** Apply the view-level delta to the materialization: the incremental
-    * step whose result is spec-pinned to [[compute]] over the new state. */
-  def maintain(view: DataFrame, oldTriples: DataFrame, adds: DataFrame,
-      dels: DataFrame, patterns: Seq[TP]): DataFrame = {
-    val (va, vd) = delta(oldTriples, adds, dels, patterns)
-    val keys = view.columns.toSeq
-    view.join(vd.select(keys.map(col): _*).hint("broadcast"),
-        keys, "left_anti")
-      .unionByName(va.select(keys.map(col): _*))
-  }
-
   /** One telescoping term: legs before `i` see the new state, leg `i` is
     * the signed delta, legs after see the old state. The fold starts at
     * the delta leg and greedily extends to variable-connected legs (the
     * same cross-join avoidance as [[Bgp.solveReordered]]); the
     * accumulator stays Δ-sized and is broadcast at every step. */
-  private def term(i: Int, patterns: Seq[TP], newT: DataFrame,
-      oldT: DataFrame, dT: DataFrame): DataFrame = {
+  private def term(i: Int, patterns: Seq[Seq[(String, Term)]],
+      newT: DataFrame, oldT: DataFrame, dT: DataFrame): DataFrame = {
     var acc = onePatternSigned(dT, patterns(i))
     var accVars = vars(patterns(i))
     val remaining = scala.collection.mutable.ArrayBuffer(
-      patterns.zipWithIndex.collect { case (tp, j) if j != i =>
-        (vars(tp), Bgp.onePattern(if (j < i) newT else oldT,
-          Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)))
+      patterns.zipWithIndex.collect { case (bound, j) if j != i =>
+        (vars(bound), Bgp.onePattern(if (j < i) newT else oldT, bound))
       }: _*)
     while (remaining.nonEmpty) {
       val next = remaining.find { case (vs, _) => (vs & accVars).nonEmpty }
@@ -109,8 +151,8 @@ object BgpView {
   }
 
   /** [[Bgp.onePattern]] with the sign column carried through. */
-  private def onePatternSigned(dT: DataFrame, tp: TP): DataFrame = {
-    val bound = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+  private def onePatternSigned(dT: DataFrame,
+      bound: Seq[(String, Term)]): DataFrame = {
     val filters = bound.collect { case (c, C(v)) => col(c) === lit(v) }
     val filtered = filters.foldLeft(dT)(_.filter(_))
     val varCols = bound.collect { case (c, V(n)) => (c, n) }
@@ -122,6 +164,6 @@ object BgpView {
     eq.select(proj: _*)
   }
 
-  private def vars(tp: TP): Set[String] =
-    Seq(tp.s, tp.p, tp.o).collect { case V(n) => n }.toSet
+  private def vars(bound: Seq[(String, Term)]): Set[String] =
+    bound.collect { case (_, V(n)) => n }.toSet
 }

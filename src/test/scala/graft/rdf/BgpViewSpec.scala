@@ -157,6 +157,37 @@ class BgpViewSpec extends SparkSpec {
     assert(rowSet(decoded) === Set(Seq("c2", "bob")))
   }
 
+  test("quad views: a shared graph variable tracks every graph at once") {
+    def q4(rows: (String, String, String, String)*): DataFrame =
+      rows.toDF("s", "p", "o", "g")
+    // the star must complete WITHIN one graph (shared ?g), so the same
+    // subject's legs split across graphs never bind
+    val pats = Seq((TP(V("c"), C("name"), V("n")), V("g")),
+      (TP(V("c"), C("seg"), C("B")), V("g")))
+    val old = q4(
+      ("c1", "name", "alice", "gA"), ("c1", "seg", "B", "gA"),
+      ("c2", "name", "bob", "gA"), ("c2", "seg", "B", "gB"))
+    assert(rowSet(BgpView.computeQuads(old, pats)) ===
+      Set(Seq("c1", "gA", "alice")))
+    // c2's star completes in gB; c1's collapses when gA's seg leaves
+    val adds = q4(("c2", "name", "bob", "gB"))
+    val dels = q4(("c1", "seg", "B", "gA"))
+    val view = BgpView.maintainQuads(BgpView.computeQuads(old, pats),
+      old, adds, dels, pats)
+    val newState = old.exceptAll(dels).unionByName(adds)
+    assert(rowSet(view) === rowSet(BgpView.computeQuads(newState, pats)))
+    assert(rowSet(view) === Set(Seq("c2", "gB", "bob")))
+    // constant-graph patterns pin a leg to one graph inside the same view
+    val mixed = Seq((TP(V("c"), C("name"), V("n")), V("g")),
+      (TP(V("c"), C("flag"), C("y")), C("gMeta")))
+    val old2 = q4(("c1", "name", "alice", "gA"), ("c1", "flag", "y", "gMeta"),
+      ("c2", "name", "bob", "gB"))
+    val (va, vd) = BgpView.deltaQuads(old2, q4(("c2", "flag", "y", "gMeta")),
+      q4(("c1", "flag", "y", "gMeta")), mixed)
+    assert(rowSet(va) === Set(Seq("c2", "gB", "bob")))
+    assert(rowSet(vd) === Set(Seq("c1", "gA", "alice")))
+  }
+
   test("repeated variable inside one pattern maintains correctly") {
     val self = Seq(TP(V("x"), C("knows"), V("x")))
     check(t3(("a", "knows", "a"), ("a", "knows", "b")),
