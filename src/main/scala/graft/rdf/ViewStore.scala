@@ -85,7 +85,23 @@ object ViewStore {
       lines.mkString("\n"))
   }
 
-  /** The persisted definition: (graph, patterns). */
+  private def writeMetaQuads(root: String,
+      patterns: Seq[(TP, Term)]): Unit = {
+    val lines = "mode\tquads" +:
+      patterns.map { case (tp, g) =>
+        Seq(termEnc(tp.s), termEnc(tp.p), termEnc(tp.o), termEnc(g))
+          .mkString("\t")
+      }
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      lines.mkString("\n"))
+  }
+
+  /** Is this a quad-pattern (GRAPH-aware) view? */
+  def isQuadView(root: String): Boolean =
+    graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").head.startsWith("mode\tquads")
+
+  /** The persisted TRIPLE-view definition: (graph slice, patterns). */
   def definition(root: String): (String, Seq[TP]) = {
     val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
       .split("\n").toSeq
@@ -94,13 +110,25 @@ object ViewStore {
     val g = lines.head.split("\t", -1) match {
       case Array("graph", b) => unb64(b)
       case _ => throw new IllegalArgumentException(
-        s"bad meta.tsv under $root")
+        s"not a triple-slice view under $root — use definitionQuads")
     }
     val pats = lines.tail.map { l =>
       val Array(s, p, o) = l.split("\t")
       TP(termDec(s), termDec(p), termDec(o))
     }
     (g, pats)
+  }
+
+  /** The persisted QUAD-view definition. */
+  def definitionQuads(root: String): Seq[(TP, Term)] = {
+    val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").toSeq
+    require(lines.head == "mode\tquads",
+      s"not a quad view under $root — use definition")
+    lines.tail.map { l =>
+      val Array(s, p, o, g) = l.split("\t")
+      (TP(termDec(s), termDec(p), termDec(o)), termDec(g))
+    }
   }
 
   /** Extract a maintainable pattern set from SPARQL text: a single
@@ -163,9 +191,26 @@ object ViewStore {
     cur
   }
 
+  /** Bootstrap a QUAD-pattern view (GRAPH-aware — constant graph terms
+    * pin legs, a shared variable makes the graph a view column tracking
+    * every graph) at the store's current version. */
+  def createQuads(spark: SparkSession, storeRoot: String, viewRoot: String,
+      patterns: Seq[(TP, Term)]): Int = {
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before create()"))
+    writeMetaQuads(viewRoot, patterns)
+    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
+      BgpView.computeQuads(QuadStore.readVersion(spark, storeRoot, cur),
+        patterns).write.parquet(tmp)
+    }
+    cur
+  }
+
   /** Fold the store's changes since the last sync into one view-delta
     * segment; returns the store version the view now reflects.
-    * Idempotent and crash-safe (marker-gated, coverage-named). */
+    * Idempotent and crash-safe (marker-gated, coverage-named). Serves
+    * both view shapes — the meta discriminates. */
   def sync(spark: SparkSession, storeRoot: String,
       viewRoot: String): Int = {
     val cur = QuadStore.currentVersion(storeRoot).getOrElse(
@@ -174,12 +219,18 @@ object ViewStore {
     val last = lastSynced(viewRoot)
     require(last > 0, s"no view under $viewRoot — create() before sync()")
     if (cur <= last) return last
-    val (graph, patterns) = definition(viewRoot)
     val (adds, dels) = QuadStore.changes(spark, storeRoot, last, cur)
-    val tOf = (df: DataFrame) =>
-      df.filter(col("g") === graph).select("s", "p", "o")
-    val (va, vd) = BgpView.delta(slice(spark, storeRoot, last, graph),
-      tOf(adds), tOf(dels), patterns)
+    val (va, vd) =
+      if (isQuadView(viewRoot))
+        BgpView.deltaQuads(QuadStore.readVersion(spark, storeRoot, last),
+          adds, dels, definitionQuads(viewRoot))
+      else {
+        val (graph, patterns) = definition(viewRoot)
+        val tOf = (df: DataFrame) =>
+          df.filter(col("g") === graph).select("s", "p", "o")
+        BgpView.delta(slice(spark, storeRoot, last, graph),
+          tOf(adds), tOf(dels), patterns)
+      }
     // an empty delta still writes its (tiny) segment: coverage
     // contiguity is what lets a replayed or raced sync be a no-op and
     // makes gaps loudly detectable at read

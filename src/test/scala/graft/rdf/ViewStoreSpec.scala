@@ -185,6 +185,35 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("a persisted QUAD view tracks every graph through update batches") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s8").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v8").toString
+    QuadStore.init(Seq(
+      ("c1", "name", "alice", "gA"), ("c1", "seg", "B", "gA"),
+      ("c2", "name", "bob", "gB")).toDF("s", "p", "o", "g"), storeRoot)
+    val pats = Seq((TP(V("c"), C("name"), V("n")), V("gr")),
+      (TP(V("c"), C("seg"), C("B")), V("gr")))
+    ViewStore.createQuads(spark, storeRoot, viewRoot, pats)
+    assert(ViewStore.isQuadView(viewRoot))
+    assert(ViewStore.definitionQuads(viewRoot) === pats)
+    intercept[IllegalArgumentException](ViewStore.definition(viewRoot))
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c1", "gA", "alice")))
+    // one request touches TWO graphs; one sync folds both
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { GRAPH <gB> { <c2> <seg> "B" . } } ;
+        |DELETE DATA { GRAPH <gA> { <c1> <seg> "B" . } }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c2", "gB", "bob")))
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      rowSet(BgpView.computeQuads(QuadStore.read(spark, storeRoot), pats)))
+    // summaries group on the graph column like any other view variable
+    assert(rowSet(ViewStore.readCounts(spark, viewRoot, Seq("gr"),
+        countCol = "cnt")) === Set(Seq(1L, "gB")))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("a chain gap is rejected loudly, not silently mis-served") {
     val storeRoot = java.nio.file.Files.createTempDirectory("vs_s5").toString
     val viewRoot = java.nio.file.Files.createTempDirectory("vs_v5").toString
