@@ -340,6 +340,11 @@ object Dedup {
       // that turned this loop pathological at 165k nodes. Materialize
       // computes every partition once and truncates lineage, so each
       // round costs exactly its own two shuffles.
+      // (measured alternatives at sf0.1, both slower: pre-partitioning
+      // edges on dst adds a shuffle AQE's exchange reuse already covers;
+      // pointer-jump shortcutting halves rounds but the per-round label
+      // self-join costs more than the rounds it saves at these diameters
+      // — revisit only for high-diameter graphs)
       val updated = graft.Materialize(
         labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
