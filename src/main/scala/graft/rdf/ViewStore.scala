@@ -167,6 +167,55 @@ object ViewStore {
       viewRoot: String, text: String, graph: String = ""): Int =
     create(spark, storeRoot, viewRoot, patternsFromSparql(text), graph)
 
+  /** The QUAD-view fragment from SPARQL text: plain patterns address
+    * the default graph, `GRAPH term { patterns }` blocks carry their
+    * graph term (constant or variable — a variable binds as a view
+    * column). The same conjunctive-only discipline as
+    * [[patternsFromSparql]]: graph blocks take bare BGP bodies, and
+    * everything else is rejected loudly. */
+  def quadPatternsFromSparql(text: String): Seq[(TP, Term)] = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view definitions are single-block SELECTs")
+    val b = q.branches.head
+    require(b.optionals.isEmpty && b.filters.isEmpty && b.minuses.isEmpty &&
+      b.values.isEmpty && b.binds.isEmpty && b.paths.isEmpty &&
+      b.exists.isEmpty && b.subqueries.isEmpty && b.unions.isEmpty &&
+      b.services.isEmpty,
+      "a maintainable view body is a conjunction of plain and GRAPH-" +
+        "wrapped BGPs — compose the rest downstream of the materialization")
+    val fromGraphs = b.graphs.flatMap { case (g, inner) =>
+      require(inner.where.nonEmpty && inner.optionals.isEmpty &&
+        inner.filters.isEmpty && inner.minuses.isEmpty &&
+        inner.values.isEmpty && inner.binds.isEmpty &&
+        inner.paths.isEmpty && inner.exists.isEmpty &&
+        inner.subqueries.isEmpty && inner.graphs.isEmpty &&
+        inner.unions.isEmpty && inner.services.isEmpty,
+        "GRAPH blocks in view definitions take bare BGP bodies")
+      inner.where.map(tp => (tp, g))
+    }
+    val plain = b.where.map(tp =>
+      (tp, C(Quads.DefaultGraph): Term))
+    val pats = plain ++ fromGraphs
+    require(pats.nonEmpty, "empty view body")
+    require(!q.distinct && q.orderKeys.isEmpty && q.limit.isEmpty &&
+      q.offset.isEmpty && q.selectAggs.isEmpty && q.groupVars.isEmpty &&
+      q.having.isEmpty && q.selectBinds.isEmpty,
+      "view definitions take no solution modifiers or aggregation")
+    val vars = pats.flatMap { case (tp, g) => Seq(tp.s, tp.p, tp.o, g) }
+      .collect { case V(n) => n }.distinct
+    require(q.projection == Seq("*") || q.projection.toSet == vars.toSet,
+      s"the materialized view holds the FULL binding (${
+        vars.mkString(", ")}) — project or aggregate over the view's " +
+        "reads, or via IncrementalAgg on its delta")
+    pats
+  }
+
+  /** [[createQuads]] from SPARQL text. */
+  def createQuadsFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, text: String): Int =
+    createQuads(spark, storeRoot, viewRoot, quadPatternsFromSparql(text))
+
   // ---- lifecycle ------------------------------------------------------
 
   /** The `graph` slice of a pinned store version, as (s,p,o). */

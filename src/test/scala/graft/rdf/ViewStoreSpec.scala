@@ -214,6 +214,38 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("quad views define from SPARQL text with GRAPH blocks") {
+    assert(ViewStore.quadPatternsFromSparql(
+      """SELECT * WHERE {
+        |  ?c <kind> "k" .
+        |  GRAPH ?g { ?c <name> ?n . }
+        |  GRAPH <gMeta> { ?c <flag> "y" . }
+        |}""".stripMargin) === Seq(
+      (TP(V("c"), C("kind"), C("k")), C("")),
+      (TP(V("c"), C("name"), V("n")), V("g")),
+      (TP(V("c"), C("flag"), C("y")), C("gMeta"))))
+    // non-conjunctive bodies and narrowing projections stay loud
+    intercept[IllegalArgumentException](ViewStore.quadPatternsFromSparql(
+      """SELECT * WHERE { GRAPH ?g { ?c <name> ?n . FILTER (?n = "x") } }"""))
+    intercept[IllegalArgumentException](ViewStore.quadPatternsFromSparql(
+      """SELECT ?c WHERE { GRAPH ?g { ?c <name> ?n . } }"""))
+    // the text path drives the persisted quad-view lifecycle
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s9").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v9").toString
+    QuadStore.init(Seq(("c1", "name", "alice", "gA"), ("c1", "seg", "B", "gA"))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    ViewStore.createQuadsFromSparql(spark, storeRoot, viewRoot,
+      """SELECT * WHERE { GRAPH ?g { ?c <name> ?n . ?c <seg> "B" . } }""")
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c1", "gA", "alice")))
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { GRAPH <gB> { <c2> <name> "bob" . <c2> <seg> "B" . } }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c1", "gA", "alice"), Seq("c2", "gB", "bob")))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("a chain gap is rejected loudly, not silently mis-served") {
     val storeRoot = java.nio.file.Files.createTempDirectory("vs_s5").toString
     val viewRoot = java.nio.file.Files.createTempDirectory("vs_v5").toString
