@@ -261,6 +261,34 @@ object RdfOps extends QueryModule {
       ViewStore.read(s, view).orderBy(col("cust"))
     }),
 
+    // Aggregate-IVM in the gate: the grouped summary (BUILDING customers
+    // per nation) is maintained by feeding BgpView's view deltas into
+    // IncrementalAgg through the same two churn rounds as q_bgp_ivm —
+    // the base summary is never recomputed, groups netting to zero
+    // leave, and the final state equals the plain GROUP BY oracle.
+    "q_bgp_ivm_agg" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val patterns = Seq(
+        TP(V("cust"), C("name"), V("cname")),
+        TP(V("cust"), C("mktsegment"), C("BUILDING")),
+        TP(V("cust"), C("nation"), V("nat")))
+      val adds = t.filter(col("p") === "mktsegment" && col("o") === "BUILDING")
+      val phantom = adds.withColumn("o", lit("PHANTOM"))
+      val old = graft.Materialize(t.exceptAll(adds).unionByName(phantom))
+      val none = t.limit(0)
+      val measures = Map("cnt" -> lit(1L))
+      var counts = graft.operators.IncrementalAgg.recompute(
+        BgpView.compute(old, patterns), Seq("nat"), measures)
+      val (va1, vd1) = BgpView.delta(old, adds, none, patterns)
+      counts = graft.operators.IncrementalAgg.maintain(
+        counts, va1, vd1, Seq("nat"), measures, countCol = "cnt")
+      val mid = graft.Materialize(old.unionByName(adds))
+      val (va2, vd2) = BgpView.delta(mid, none, phantom, patterns)
+      counts = graft.operators.IncrementalAgg.maintain(
+        counts, va2, vd2, Seq("nat"), measures, countCol = "cnt")
+      counts.orderBy(col("nat"))
+    }),
+
     // The network-free protocol loop IN the correctness gate: a SELECT
     // runs through Endpoint (negotiation → store query → W3C CSV
     // document), the serialized body parses back to a table, and the
@@ -1716,6 +1744,14 @@ object RdfOps extends QueryModule {
         |  SELECT 'graft://suppliers', 'sup:' || s_suppkey, n.n_name
         |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
         |ORDER BY ep, who""".stripMargin),
+
+    // the maintained summary's final state is the plain grouped count
+    "q_bgp_ivm_agg" -> cte(
+      """SELECT t3.o AS nat, CAST(count(*) AS BIGINT) AS cnt
+        |FROM triples t1, triples t2, triples t3
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
+        |  AND t3.p = 'nation' AND t1.s = t2.s AND t1.s = t3.s
+        |GROUP BY nat ORDER BY nat""".stripMargin),
 
     // CSV cells are lexical forms — strings on both sides
     "q_sparql_endpoint" -> cte(
