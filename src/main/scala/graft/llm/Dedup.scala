@@ -529,4 +529,59 @@ object Dedup {
         graft.Det.roundSafe(
           col("n_dup_spans").cast("double") / col("n_spans"), 4).as("dup_frac"))
   }
+
+  /** Cross-document duplicated-span REMOVAL — the acted-on form of
+    * [[spanDupStats]]'s signal and the distributed k-gram analog of
+    * ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022): every word covered by a k-word
+    * span that also occurs in a LOWER-doc_id document is excised, and
+    * the remaining words rejoin in order. The lowest doc_id owning a
+    * span is its canonical document and keeps its text for that span
+    * untouched (within-document repetition stays q_text_repetition's
+    * domain); overlapping duplicated spans merge naturally through the
+    * distinct covered-position set.
+    *
+    * Returns (doc_id, n_kept, n_removed, cleaned_text), one row per
+    * input document (fully-excised docs keep an empty text). Word
+    * positions come from one `split`, so reconstruction normalizes
+    * whitespace exactly like the split — both engines agree by
+    * construction.
+    *
+    * Scale shape: three shuffles, each linear in corpus words — span
+    * ownership (groupBy span), coverage distinct, per-doc rebuild. Same
+    * 100 TB note as [[spanDupStats]]: shuffle the span as xxhash64 when
+    * exactness can yield to 8-byte keys; kept as text here so the
+    * operator is exactly verifiable cross-engine.
+    */
+  def removeDupSpans(docs: DataFrame, k: Int): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val words = ws.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("idx", "word")))
+    val spans = ws.filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $k), " +
+          s"i -> struct(i AS i, array_join(slice(ws, i + 1, $k), ' ') AS sp))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.sp").as("sp"))
+    val owners = spans.groupBy("sp").agg(min("doc_id").as("odoc"))
+    val cov = spans.join(owners, "sp")
+      .filter(col("doc_id") > col("odoc"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(k - 1))).as("idx"))
+      .distinct()
+    val kept = words.join(cov, Seq("doc_id", "idx"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("word")))),
+        x => x.getField("word")), " ").as("cleaned_text"))
+    val covCnt = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    docs.select(col("doc_id"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .join(covCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -89,6 +89,13 @@ object LlmOps extends QueryModule {
       Dedup.spanDupStats(Tables.documents(s, d), k = 8)
         .orderBy(col("doc_id"))),
 
+    // ...and the acted-on form: excise every word covered by a span that
+    // also lives in a lower-doc_id document (ExactSubstr-style removal,
+    // canonical doc keeps its text) — exact, hence oracled
+    "q_dedup_span_removal" -> ((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d), k = 8)
+        .orderBy(col("doc_id"))),
+
     "q_dedup_embcos" -> ((s, d) =>
       EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -553,6 +560,39 @@ object LlmOps extends QueryModule {
          |FROM sp JOIN nd USING (sp)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // positions are 1-based here (generate_subscripts / generate_series)
+    // and 0-based on the Spark side — each engine is internally
+    // consistent, and only the reconstructed text crosses engines
+    "q_dedup_span_removal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wpos AS (SELECT doc_id, generate_subscripts(ws, 1) AS idx,
+        |                unnest(ws) AS word FROM w),
+        |pos AS (SELECT doc_id, i, array_to_string(ws[i : i + 7], ' ') AS sp
+        |        FROM (SELECT doc_id, ws,
+        |                unnest(generate_series(1, len(ws) - 7)) AS i
+        |              FROM w WHERE len(ws) >= 8) t),
+        |own AS (SELECT sp, min(doc_id) AS odoc FROM pos GROUP BY sp),
+        |cov AS (SELECT DISTINCT p.doc_id, x.idx
+        |        FROM pos p JOIN own o ON p.sp = o.sp AND p.doc_id > o.odoc
+        |        JOIN wpos x ON x.doc_id = p.doc_id
+        |          AND x.idx BETWEEN p.i AND p.i + 7),
+        |kept AS (SELECT wp.doc_id, wp.idx, wp.word
+        |         FROM wpos wp LEFT JOIN cov c
+        |           ON wp.doc_id = c.doc_id AND wp.idx = c.idx
+        |         WHERE c.doc_id IS NULL)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(kc.nk, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(cv.nr, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(kt.txt, '') AS cleaned_text
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, count(*) AS nk FROM kept GROUP BY doc_id)
+        |  kc USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS nr FROM cov GROUP BY doc_id)
+        |  cv USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS txt
+        |           FROM kept GROUP BY doc_id) kt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_oov" -> {
       val ratio = graft.Det.roundSafeSql(

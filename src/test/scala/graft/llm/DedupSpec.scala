@@ -4,6 +4,32 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
+
+  test("removeDupSpans excises shared spans, canonical doc untouched") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro $boiler outro"),          // canonical owner of boiler
+      (2L, s"alpha $boiler beta"),           // loses the 8 boiler words
+      (3L, "completely different text here"),// untouched (short + unique)
+      (4L, boiler))                          // fully excised
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.removeDupSpans(docs, k = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) === ((1L, 10L, 0L, s"intro $boiler outro")))
+    assert(out(1) === ((2L, 2L, 8L, "alpha beta")))
+    assert(out(2) === ((3L, 4L, 0L, "completely different text here")))
+    assert(out(3) === ((4L, 0L, 8L, "")))
+    // overlapping duplicated spans merge: doc 5 shares a 9-word run
+    // with doc 1's window space → two overlapping 8-spans, 9 covered
+    val nine = s"intro $boiler"
+    val more = docs.unionByName(Seq((5L, s"$nine tail")).toDF("doc_id", "text"))
+    val five = graft.llm.Dedup.removeDupSpans(more, 8)
+      .filter($"doc_id" === 5L)
+      .as[(Long, Long, Long, String)].head()
+    assert(five === ((5L, 1L, 9L, "tail")))
+  }
   import spark.implicits._
 
   private def docsDF(rows: Seq[(Long, String)]) =
