@@ -554,19 +554,43 @@ object Dedup {
     * operator is exactly verifiable cross-engine.
     */
   def removeDupSpans(docs: DataFrame, k: Int): DataFrame = {
-    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val words = ws.select(col("doc_id"),
-      posexplode(col("ws")).as(Seq("idx", "word")))
-    val spans = ws.filter(size(col("ws")) >= k)
+    val spans = positionedSpans(docs, k)
+    val owners = spans.groupBy("sp").agg(min("doc_id").as("odoc"))
+    val marked = spans.join(owners, "sp").filter(col("doc_id") > col("odoc"))
+    excise(docs, marked, k)
+  }
+
+  /** Span-level benchmark DECONTAMINATION — the acted-on form of
+    * [[graft.llm.Corpus]]' decontaminate flag: every word covered by a
+    * k-word span occurring ANYWHERE in the benchmark corpus is excised
+    * (the standard leakage scrub when dropping whole documents is too
+    * blunt), same output shape and reconstruction discipline as
+    * [[removeDupSpans]]. The benchmark span set is typically tiny
+    * against the corpus; Catalyst broadcasts it. */
+  def removeBenchmarkSpans(docs: DataFrame, bench: DataFrame,
+      k: Int): DataFrame = {
+    val benchSpans = positionedSpans(bench, k).select("sp").distinct()
+    val marked = positionedSpans(docs, k).join(benchSpans, "sp")
+    excise(docs, marked, k)
+  }
+
+  /** One row per k-word window: (doc_id, i, sp) with 0-based start. */
+  private def positionedSpans(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ws) - $k), " +
           s"i -> struct(i AS i, array_join(slice(ws, i + 1, $k), ' ') AS sp))"))
         .as("x"))
       .select(col("doc_id"), col("x.i").as("i"), col("x.sp").as("sp"))
-    val owners = spans.groupBy("sp").agg(min("doc_id").as("odoc"))
-    val cov = spans.join(owners, "sp")
-      .filter(col("doc_id") > col("odoc"))
-      .select(col("doc_id"),
+
+  /** Remove every word of `docs` covered by a marked span occurrence
+    * ((doc_id, i) rows); rebuild the residual text in word order. */
+  private def excise(docs: DataFrame, marked: DataFrame,
+      k: Int): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "word")))
+    val cov = marked.select(col("doc_id"),
         explode(sequence(col("i"), col("i") + lit(k - 1))).as("idx"))
       .distinct()
     val kept = words.join(cov, Seq("doc_id", "idx"), "left_anti")

@@ -290,6 +290,18 @@ object LlmOps extends QueryModule {
           grams = TextOps.wordShingles(3))
         .orderBy(col("doc_id"))),
 
+    // ...and the span-level scrub: words covered by any 5-gram occurring
+    // in the benchmark slice are EXCISED from the training docs (whole-
+    // doc dropping is too blunt when only a quoted line leaked); the
+    // benchmark span set broadcasts. Exact, hence oracled.
+    "q_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.removeBenchmarkSpans(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: per-lang keep rates driven by a
     // pure-arithmetic id bucket — reproducible, shuffle-free, oracle-exact.
     "q_sample_stratified" -> ((s, d) =>
@@ -586,6 +598,42 @@ object LlmOps extends QueryModule {
         |  CAST(COALESCE(cv.nr, 0) AS BIGINT) AS n_removed,
         |  COALESCE(kt.txt, '') AS cleaned_text
         |FROM documents d
+        |LEFT JOIN (SELECT doc_id, count(*) AS nk FROM kept GROUP BY doc_id)
+        |  kc USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS nr FROM cov GROUP BY doc_id)
+        |  cv USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS txt
+        |           FROM kept GROUP BY doc_id) kt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same 1-based/0-based position note as q_dedup_span_removal
+    "q_decontaminate_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE doc_id % 97 <> 0),
+        |b AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |bsp AS (SELECT DISTINCT array_to_string(ws[i : i + 4], ' ') AS sp
+        |        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 4)) AS i
+        |              FROM b WHERE len(ws) >= 5) t),
+        |wpos AS (SELECT doc_id, generate_subscripts(ws, 1) AS idx,
+        |                unnest(ws) AS word FROM w),
+        |pos AS (SELECT doc_id, i, array_to_string(ws[i : i + 4], ' ') AS sp
+        |        FROM (SELECT doc_id, ws,
+        |                unnest(generate_series(1, len(ws) - 4)) AS i
+        |              FROM w WHERE len(ws) >= 5) t),
+        |cov AS (SELECT DISTINCT p.doc_id, x.idx
+        |        FROM pos p JOIN bsp USING (sp)
+        |        JOIN wpos x ON x.doc_id = p.doc_id
+        |          AND x.idx BETWEEN p.i AND p.i + 4),
+        |kept AS (SELECT wp.doc_id, wp.idx, wp.word
+        |         FROM wpos wp LEFT JOIN cov c
+        |           ON wp.doc_id = c.doc_id AND wp.idx = c.idx
+        |         WHERE c.doc_id IS NULL)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(kc.nk, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(cv.nr, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(kt.txt, '') AS cleaned_text
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN (SELECT doc_id, count(*) AS nk FROM kept GROUP BY doc_id)
         |  kc USING (doc_id)
         |LEFT JOIN (SELECT doc_id, count(*) AS nr FROM cov GROUP BY doc_id)

@@ -30,6 +30,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].head()
     assert(five === ((5L, 1L, 9L, "tail")))
   }
+
+  test("removeBenchmarkSpans scrubs leaked benchmark lines, not the doc") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps"
+    val bench = Seq((100L, s"eval question: $leak end"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"prefix $leak suffix words"),    // leaked 5-gram excised
+      (2L, "nothing shared with the benchmark at all"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.removeBenchmarkSpans(docs, bench, k = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) === ((1L, 3L, 5L, "prefix suffix words")))
+    assert(out(1)._3 === 0L)
+    assert(out(1)._4 === "nothing shared with the benchmark at all")
+  }
   import spark.implicits._
 
   private def docsDF(rows: Seq[(Long, String)]) =
