@@ -158,4 +158,29 @@ object Bpe {
     train(docs, numMerges).map(m => (m.rank, m.left, m.right))
       .toDF("rank", "left", "right")
   }
+
+  /** Persist the learned merges as an AtomicStore-published parquet
+    * directory — the ship-and-version step of the tokenizer lifecycle
+    * (crash-safe, rebuild-or-serve, same protocol as every other
+    * persisted artifact). Idempotent for a given path. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    graft.sources.AtomicStore.materialize(path) { tmp =>
+      merges.map(m => (m.rank, m.left, m.right))
+        .toDF("rank", "left", "right").coalesce(1).write.parquet(tmp)
+    }: Unit
+  }
+
+  /** Load a persisted merge table in rank order — a vocabulary-sized
+    * (bounded) collect, the tokenizer's startup step. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] = {
+    require(graft.sources.AtomicStore.isComplete(path),
+      s"no complete merge table under $path — saveMerges first")
+    import spark.implicits._
+    spark.read.parquet(path).select("rank", "left", "right")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+      .map { case (r, l, rr) => Merge(r, l, rr) }.toSeq
+  }
 }

@@ -108,6 +108,33 @@ object GraphOps extends QueryModule {
     dist
   }
 
+  /** Common-neighbor link prediction over the UNDIRECTED graph: for
+    * every unordered node pair sharing at least one neighbor, the shared
+    * count — the classic first-order similarity score, here with the
+    * standard scale guard: paths are counted only THROUGH nodes of
+    * degree ≤ `maxDegree`, because a hub of degree h contributes h²/2
+    * pairs (one nation hub at sf0.1 would alone emit ~18M rows) while
+    * contributing near-zero signal — exactly why production link
+    * prediction degree-caps or inverse-degree-weights hubs (cf.
+    * Adamic–Adar). The cap bounds the blowup at Σ_through deg² ≤
+    * maxDegree · |E|: LINEAR in edges at fixed cap. Output is the exact
+    * top-`k` by (count desc, a, b) — a TakeOrderedAndProject, no global
+    * sort. */
+  def commonNeighbors(edges: DataFrame, maxDegree: Int,
+      topK: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("dst").as("mid")).agg(count(lit(1)).as("d"))
+    val through = und.select(col("src").as("a"), col("dst").as("mid"))
+      .join(deg.filter(col("d") <= maxDegree), "mid")
+    val pairs = through.select(col("a"), col("mid"))
+      .join(through.select(col("a").as("b"), col("mid")), "mid")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    pairs.orderBy(col("common").desc, col("a"), col("b")).limit(topK)
+  }
+
   val queries: Map[String, Q] = Map(
     // RDFS ρdf materialization: all inferred types + lifted properties.
     // Instance data carries no rdf:type at all — every type row is
@@ -160,7 +187,13 @@ object GraphOps extends QueryModule {
         comps.select(col("doc_id").as("node"), col("label").as("component")))
       graft.Materialize.release(comps)
       out.orderBy(col("node"))
-    }))
+    }),
+
+    // common-neighbor link prediction, hub-capped (degree ≤ 64 keeps
+    // order→customer co-membership and excludes the nation/region hubs
+    // whose quadratic pair fan-out carries no signal); exact top-100
+    "q_graph_common" -> ((s, d) =>
+      commonNeighbors(entityEdges(s, d), maxDegree = 64, topK = 100)))
 
   /** One unrolled PageRank round in DuckDB (integer floor division `//`
     * matches Spark's long `div` on the all-positive ranks). */
@@ -253,5 +286,24 @@ object GraphOps extends QueryModule {
         |  SELECT root, min(node) AS component FROM roots GROUP BY root
         |)
         |SELECT r.node, l.component FROM roots r JOIN lab l ON r.root = l.root
-        |ORDER BY r.node""".stripMargin)
+        |ORDER BY r.node""".stripMargin,
+
+    // same undirected + degree-cap + pair-count derivation, first
+    // principles: hubs (degree > 64) contribute no paths
+    "q_graph_common" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), e AS (
+         |$edgesCte
+         |), und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+         |), deg AS (SELECT dst AS mid, count(*) AS d FROM und GROUP BY dst),
+         |thr AS (SELECT u.src AS a, u.dst AS mid
+         |        FROM und u JOIN deg ON u.dst = deg.mid WHERE deg.d <= 64)
+         |SELECT t1.a AS a, t2.a AS b, CAST(count(*) AS BIGINT) AS common
+         |FROM thr t1 JOIN thr t2 ON t1.mid = t2.mid AND t1.a < t2.a
+         |GROUP BY t1.a, t2.a
+         |ORDER BY common DESC, t1.a, t2.a
+         |LIMIT 100""".stripMargin)
 }

@@ -119,6 +119,19 @@ class BpeSpec extends SparkSpec {
     assert(one.map(m => (m.left, m.right)) === naiveTrain(texts, 8))
   }
 
+  test("merges persist through the AtomicStore and tokenize identically") {
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 6)
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/m"
+    Bpe.saveMerges(spark, merges, path)
+    assert(Bpe.loadMerges(spark, path) === merges)
+    val corpus = Seq((1L, "lowest lower")).toDF("doc_id", "text")
+    assert(Bpe.tokenize(corpus, Bpe.loadMerges(spark, path)).collect().toSeq
+      === Bpe.tokenize(corpus, merges).collect().toSeq)
+    // an incomplete / absent store is loud
+    intercept[IllegalArgumentException](Bpe.loadMerges(spark, path + "_no"))
+  }
+
   test("the corpus merge table is deterministic across runs") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val a = Bpe.mergeTable(docs, 10).collect().toSeq

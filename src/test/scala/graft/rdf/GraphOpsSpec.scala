@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("commonNeighbors counts shared middles and excludes hubs") {
+    val edges = Seq(("a", "x"), ("b", "x"), ("a", "y"), ("b", "y"),
+      ("a", "h"), ("b", "h"), ("c", "h")).toDF("src", "dst")
+    val out = GraphOps.commonNeighbors(edges, maxDegree = 2, topK = 10)
+      .as[(String, String, Long)].collect().toSeq
+    // h (degree 3) and a/b (degree 3) are over the cap as MIDDLES: only
+    // x and y qualify, so (a,b) counts 2 and nothing else pairs at all
+    assert(out === Seq(("a", "b", 2L)))
+    // with the cap lifted, the hub contributes its pairs and (a,b)
+    // gains the h path
+    val unc = GraphOps.commonNeighbors(edges, maxDegree = 10, topK = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(unc.head === (("a", "b", 3L)))
+    assert(unc.contains(("a", "c", 1L)) && unc.contains(("b", "c", 1L)))
+  }
+  import spark.implicits._
+
   test("RDFS entailment: domain/range types lift through both closures") {
     val schema = Rdfs.Schema(
       subClassOf = Seq("Cat" -> "Animal", "Animal" -> "Thing"),
