@@ -508,17 +508,24 @@ object Dedup {
     * that merely SHARE boilerplate passages.
     *
     * Two shuffles total: one aggregate over spans for corpus-wide document
-    * frequency, one join back + per-doc aggregate. EXACT (no hashing, no
-    * banding), hence oracled. At 100 TB the span string itself should not
-    * be the shuffle key — key by xxhash64(span) (64-bit collisions are
-    * ~n²/2⁶⁵ false dup marks) and the shuffle carries 8 bytes per span;
-    * kept as text here so the operator stays hash-free and exactly
-    * verifiable cross-engine.
+    * frequency, one join back + per-doc aggregate. With the default
+    * `hashSpans = false` the span TEXT is the shuffle key — hash-free,
+    * hence exactly verifiable cross-engine and oracled. `hashSpans = true`
+    * is the 100 TB production path: the shuffle key is xxhash64(span),
+    * 8 bytes per span instead of ~8 words of text (a ~10× shuffle-byte
+    * drop at k=8; 64-bit collisions are ~n²/2⁶⁵ false dup marks —
+    * negligible against the dup base rate). Both paths produce identical
+    * output on collision-free corpora (DedupSpec proves it on the
+    * fixtures and measures the shuffle-byte drop).
     */
-  def spanDupStats(docs: DataFrame, k: Int): DataFrame = {
+  def spanDupStats(docs: DataFrame, k: Int,
+      hashSpans: Boolean = false): DataFrame = {
     // one row per (doc, span): wordShingles is already distinct-per-doc
-    val spans = docs.select(col("doc_id"),
+    val text = docs.select(col("doc_id"),
       explode(TextOps.wordShingles(k)).as("sp"))
+    val spans =
+      if (hashSpans) text.select(col("doc_id"), xxhash64(col("sp")).as("sp"))
+      else text
     // rows are unique per (doc, span), so count(*) = document frequency
     val df = spans.groupBy(col("sp")).agg(count(lit(1)).as("ndocs"))
     spans.join(df, "sp")
@@ -549,12 +556,15 @@ object Dedup {
     *
     * Scale shape: three shuffles, each linear in corpus words — span
     * ownership (groupBy span), coverage distinct, per-doc rebuild. Same
-    * 100 TB note as [[spanDupStats]]: shuffle the span as xxhash64 when
-    * exactness can yield to 8-byte keys; kept as text here so the
+    * 100 TB lever as [[spanDupStats]]: `hashSpans = true` shuffles
+    * xxhash64(span) 8-byte keys in the ownership join instead of span
+    * text (the coverage/rebuild shuffles already carry only
+    * (doc_id, idx) pairs); the text path stays the default so the
     * operator is exactly verifiable cross-engine.
     */
-  def removeDupSpans(docs: DataFrame, k: Int): DataFrame = {
-    val spans = positionedSpans(docs, k)
+  def removeDupSpans(docs: DataFrame, k: Int,
+      hashSpans: Boolean = false): DataFrame = {
+    val spans = positionedSpans(docs, k, hashSpans)
     val owners = spans.groupBy("sp").agg(min("doc_id").as("odoc"))
     val marked = spans.join(owners, "sp").filter(col("doc_id") > col("odoc"))
     excise(docs, marked, k)
@@ -566,23 +576,33 @@ object Dedup {
     * (the standard leakage scrub when dropping whole documents is too
     * blunt), same output shape and reconstruction discipline as
     * [[removeDupSpans]]. The benchmark span set is typically tiny
-    * against the corpus; Catalyst broadcasts it. */
+    * against the corpus; Catalyst broadcasts it. `hashSpans = true`
+    * broadcasts 8-byte xxhash64 keys instead of span text — the same
+    * ~10× byte drop applied to the broadcast table. */
   def removeBenchmarkSpans(docs: DataFrame, bench: DataFrame,
-      k: Int): DataFrame = {
-    val benchSpans = positionedSpans(bench, k).select("sp").distinct()
-    val marked = positionedSpans(docs, k).join(benchSpans, "sp")
+      k: Int, hashSpans: Boolean = false): DataFrame = {
+    val benchSpans = positionedSpans(bench, k, hashSpans)
+      .select("sp").distinct()
+    val marked = positionedSpans(docs, k, hashSpans).join(benchSpans, "sp")
     excise(docs, marked, k)
   }
 
-  /** One row per k-word window: (doc_id, i, sp) with 0-based start. */
-  private def positionedSpans(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+  /** One row per k-word window: (doc_id, i, sp) with 0-based start;
+    * `hashed` swaps the span text for its xxhash64 (the 8-byte shuffle
+    * key of the production path). */
+  private def positionedSpans(docs: DataFrame, k: Int,
+      hashed: Boolean = false): DataFrame = {
+    val text = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ws) - $k), " +
           s"i -> struct(i AS i, array_join(slice(ws, i + 1, $k), ' ') AS sp))"))
         .as("x"))
       .select(col("doc_id"), col("x.i").as("i"), col("x.sp").as("sp"))
+    if (hashed)
+      text.select(col("doc_id"), col("i"), xxhash64(col("sp")).as("sp"))
+    else text
+  }
 
   /** Remove every word of `docs` covered by a marked span occurrence
     * ((doc_id, i) rows); rebuild the residual text in word order. */

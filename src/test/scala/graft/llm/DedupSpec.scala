@@ -292,4 +292,73 @@ class DedupSpec extends SparkSpec {
     assert(got(3L)._2 === 0L)
     assert(got(4L) === ((1L, 0L)))
   }
+
+  /** Sum of shuffle-write bytes across all tasks run by `body`. Listener
+    * delivery is async, so poll until the counter is quiescent. */
+  private def shuffleWriteBytes(body: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach { m =>
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = bytes.get()
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+      bytes.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("hashed-span path ≡ text path; shuffle bytes drop") {
+    // a corpus big enough that the shuffle-byte gap is unambiguous:
+    // 120 docs × ~60 words, every third doc carries a 12-word boilerplate
+    // run (→ overlapping duplicated 8-spans), the rest unique filler
+    val boiler = (1 to 12).map(i => s"common$i").mkString(" ")
+    val rows = (0 until 120).map { d =>
+      val filler = (0 until 48).map(w => s"u${d}x$w").mkString(" ")
+      val text = if (d % 3 == 0) s"$boiler $filler" else filler
+      (d.toLong, text)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val bench = Seq((999L, s"eval item: $boiler tail")).toDF("doc_id", "text")
+
+    // equivalence on all three operators (no span-hash collisions here,
+    // and 64-bit collisions are negligible in general)
+    val statsT = Dedup.spanDupStats(docs, 8).orderBy("doc_id").collect().toSeq
+    val statsH = Dedup.spanDupStats(docs, 8, hashSpans = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(statsH === statsT)
+    val remT = Dedup.removeDupSpans(docs, 8).orderBy("doc_id").collect().toSeq
+    val remH = Dedup.removeDupSpans(docs, 8, hashSpans = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(remH === remT)
+    val benT = Dedup.removeBenchmarkSpans(docs, bench, 8)
+      .orderBy("doc_id").collect().toSeq
+    val benH = Dedup.removeBenchmarkSpans(docs, bench, 8, hashSpans = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(benH === benT)
+
+    // the point of the production path: spanDupStats' shuffle carries
+    // 8-byte keys instead of ~8-word span text — measure the drop
+    val bT = shuffleWriteBytes {
+      Dedup.spanDupStats(docs, 8).count(): Unit
+    }
+    val bH = shuffleWriteBytes {
+      Dedup.spanDupStats(docs, 8, hashSpans = true).count(): Unit
+    }
+    // measured locally: ~4-6× smaller (text spans here are ~48 chars);
+    // assert a conservative 2× so compression jitter can't flake it
+    info(s"spanDupStats shuffle-write bytes: text=$bT hashed=$bH " +
+      f"(${bT.toDouble / bH}%.1fx)")
+    assert(bH * 2 < bT, s"hashed=$bH text=$bT — expected ≥2× drop")
+  }
 }
