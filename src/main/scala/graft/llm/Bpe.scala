@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   * safe: a derived pair can tie a candidate's count and outrank it
   * lexicographically (e.g. "a b y"/"ac d": merging (a,b) derives (ab,y),
   * and "ab" < "ac"), so the strict `>` is load-bearing and spec-pinned.
+  * Neither are string COLLISIONS: when a merge's concatenation equals a
+  * symbol that already exists (common at char level — 'l'+'ow' and
+  * 'lo'+'w' both yield 'low'), created and pre-existing counts pool and
+  * the bar no longer bounds them, so such candidates end the batch too
+  * (see [[selectBatch]]; BpeSpec's ambiguous-concat corpora pin it).
   * A 50k-merge production vocabulary goes from 50k sequential Spark jobs
   * to ~50k/|batch| — order-of-magnitude fewer driver round-trips.
   *
@@ -75,7 +80,8 @@ object Bpe {
       if (cands.isEmpty) exhausted = true
       else {
         val batch = selectBatch(cands, batchTopK,
-          numMerges - merges.length)
+          numMerges - merges.length,
+          merges.iterator.map(m => m.left + m.right).toSet)
         batch.foreach { case (l, rr, _) =>
           merges += Merge(merges.length, l, rr)
         }
@@ -99,19 +105,39 @@ object Bpe {
     * no conflict surfaced but the collect hit its limit) the last
     * collected count, which bounds everything below the horizon. When
     * even the top pair sits at the bar, it alone is still safe: the
-    * global argmax is the sequential pick by definition. */
+    * global argmax is the sequential pick by definition.
+    *
+    * The bar bound holds only while every symbol a batch member CREATES
+    * is a brand-new string: then any pair gaining count mid-batch
+    * involves that new symbol, and its count equals occurrences created
+    * by the merge, each of which destroyed a pre-existing pair sharing
+    * one of the merge's operands — a non-accepted pair, hence ≤ bar.
+    * String COLLISIONS break that (e.g. 'l'+'ow' creating 'low' when
+    * 'low' already exists as a symbol from a prior merge: counts POOL,
+    * and a pre-existing-count pair like ('low', x) can overtake an
+    * accepted candidate mid-batch), so a candidate also conflicts when
+    * its concatenation equals any symbol already in play — a prior
+    * merge's concat (`knownSymbols`), a symbol this batch creates, or
+    * an accepted operand — or when one of its operands is a symbol this
+    * batch creates. */
   private[llm] def selectBatch(cands: Array[(String, String, Long)],
-      batchTopK: Int, maxTake: Int): Seq[(String, String, Long)] = {
+      batchTopK: Int, maxTake: Int,
+      knownSymbols: Set[String] = Set.empty): Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
+    val created = scala.collection.mutable.Set.empty[String]
     val accepted = List.newBuilder[(String, String, Long)]
     var bar = if (cands.length == batchTopK) cands.last._3 else -1L
     var conflicted = false
     val it = cands.iterator
     while (it.hasNext && !conflicted) {
       val c @ (l, r, _) = it.next()
-      if (used.contains(l) || used.contains(r)) {
+      val cat = l + r
+      if (used.contains(l) || used.contains(r) ||
+          created.contains(l) || created.contains(r) ||
+          knownSymbols.contains(cat) || created.contains(cat) ||
+          used.contains(cat)) {
         conflicted = true; bar = math.max(bar, c._3)
-      } else { accepted += c; used += l; used += r }
+      } else { accepted += c; used += l; used += r; created += cat }
     }
     val safe = accepted.result().takeWhile(_._3 > bar).take(maxTake)
     if (safe.isEmpty) cands.take(1).toSeq else safe

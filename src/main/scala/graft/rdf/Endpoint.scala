@@ -29,14 +29,32 @@ object Endpoint {
   val NTriplesMedia = "application/n-triples"
   private val Supported = Seq(Json, Xml, Csv, Tsv)
 
-  /** First supported media type in the Accept list (list order is the
-    * preference; `;q=` parameters are tolerated and ignored). `*／*` and
-    * an empty header mean the spec-recommended default, results-json.
+  /** Accept entries ordered by q-value (highest first; ties keep header
+    * order — sortBy is stable). RFC 9110 §12.4.2: `q=0` means "not
+    * acceptable", so those entries are DROPPED before matching — an
+    * Accept of `text/csv;q=0, application/sparql-results+json` must
+    * never select CSV. A malformed q is tolerated as 1.0 (the header's
+    * own default), matching the previous lenient behavior. */
+  private def acceptable(accept: String): Seq[String] = {
+    val entries = accept.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { e =>
+        val parts = e.split(";").map(_.trim)
+        val q = parts.tail.collectFirst {
+          case p if p.toLowerCase.startsWith("q=") =>
+            try p.drop(2).toDouble
+            catch { case _: NumberFormatException => 1.0 }
+        }.getOrElse(1.0)
+        (parts.head, q)
+      }
+    entries.filter(_._2 > 0).sortBy(-_._2).map(_._1)
+  }
+
+  /** Highest-q supported media type in the Accept list. `*／*` and an
+    * empty header mean the spec-recommended default, results-json.
     * Nothing acceptable → loud error, the 406 analog. */
   def negotiate(accept: String): String = {
-    val wanted = accept.split(",").map(_.trim.takeWhile(_ != ';').trim)
-      .filter(_.nonEmpty).toSeq
-    if (wanted.isEmpty) Json
+    val wanted = acceptable(accept)
+    if (wanted.isEmpty && accept.trim.isEmpty) Json
     else wanted.collectFirst {
       case "*/*" => Json
       case t if Supported.contains(t) => t
@@ -77,9 +95,8 @@ object Endpoint {
     * assemble bounded. */
   private def serializeGraph(df: DataFrame, accept: String,
       maxRows: Int): (String, String) = {
-    val wanted = accept.split(",").map(_.trim.takeWhile(_ != ';').trim)
-      .filter(_.nonEmpty).toSeq
-    val ok = wanted.isEmpty ||
+    val wanted = acceptable(accept)
+    val ok = (wanted.isEmpty && accept.trim.isEmpty) ||
       wanted.exists(t => t == "*/*" || t == NTriplesMedia)
     if (!ok) throw new IllegalArgumentException(
       s"graph results serialize as RDF — no supported media type in " +

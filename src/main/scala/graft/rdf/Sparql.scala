@@ -290,12 +290,24 @@ object Sparql {
         require(endpoints.nonEmpty,
           "SERVICE with a variable endpoint needs a non-empty endpoint " +
             "registry — the variable ranges over registered IRIs")
-        val branches = endpoints.keys.toSeq.sorted.map { iri =>
-          val df = solve(silent, C(iri), body).get
-          if (df.columns.contains(epVar)) df.filter(col(epVar) === lit(iri))
-          else df.withColumn(epVar, lit(iri))
+        val branches = endpoints.keys.toSeq.sorted.flatMap { iri =>
+          // under SILENT a per-endpoint failure (e.g. a GRAPH block
+          // against a plain-triples endpoint, rejected at solve) skips
+          // that branch instead of aborting the whole union — one
+          // incompatible registry entry must not make SILENT
+          // SERVICE ?ep unusable
+          val solved =
+            if (silent)
+              try solve(silent, C(iri), body)
+              catch { case _: IllegalArgumentException => None }
+            else solve(silent, C(iri), body)
+          solved.map { df =>
+            if (df.columns.contains(epVar)) df.filter(col(epVar) === lit(iri))
+            else df.withColumn(epVar, lit(iri))
+          }
         }
-        Some(branches.reduce(_.unionByName(_, allowMissingColumns = true)))
+        if (branches.isEmpty) None
+        else Some(branches.reduce(_.unionByName(_, allowMissingColumns = true)))
       case (_, C(other), _) if !other.isInstanceOf[String] =>
         throw new IllegalArgumentException(
           s"SERVICE endpoint must be an IRI or a variable, got $other")

@@ -622,10 +622,11 @@ object QuadStore {
   // store it under a real directory token instead
   private val DefaultGraphDir = "__default__"
 
-  // clear-tombstone sentinels in a delta segment's `g` column;  
-  // cannot open a graph IRI, so these never collide with real graphs
-  private val ClearAll = " ALL"
-  private val ClearNamed = " NAMED"
+  // clear-tombstone sentinels in a delta segment's `g` column; a NUL
+  // (written as an escape so the file greps as text) cannot open a graph
+  // IRI, so these never collide with real graphs
+  private val ClearAll = "\u0000ALL"
+  private val ClearNamed = "\u0000NAMED"
 
   /** Publish `quads` as the next version — a full base snapshot; returns
     * the version number. Updates go through [[update]] (delta segments);

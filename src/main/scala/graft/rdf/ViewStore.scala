@@ -292,11 +292,13 @@ object ViewStore {
     cur
   }
 
-  /** The maintained view: newest base plus the ordered segment chain,
-    * folded by one last-op-per-binding window. Rejects a non-contiguous
-    * chain loudly (two racing syncers from different `from` versions). */
-  def read(spark: SparkSession, viewRoot: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Newest base + the contiguous segment chain above it; rejects a
+    * gapped or overlapping chain loudly (two racing syncers from
+    * different `from` versions, or a segment replayed against a base
+    * that already covers its range). EVERY read path — [[read]] and
+    * [[readCounts]] alike — goes through this, so summaries can never
+    * silently diverge from the binding fold. */
+  private def chain(viewRoot: String): (Int, Seq[(Int, Int)]) = {
     val es = entries(viewRoot)
     require(es.nonEmpty, s"no view under $viewRoot")
     val baseV = es.collect { case ("b", v, _) => v }.max
@@ -308,6 +310,15 @@ object ViewStore {
         "different versions? rebuild with create()")
       t
     }
+    (baseV, segs)
+  }
+
+  /** The maintained view: newest base plus the ordered segment chain,
+    * folded by one last-op-per-binding window. Rejects a non-contiguous
+    * chain loudly (two racing syncers from different `from` versions). */
+  def read(spark: SparkSession, viewRoot: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (baseV, segs) = chain(viewRoot)
     val base = spark.read.parquet(basePath(viewRoot, baseV))
     if (segs.isEmpty) return base
     val cols = base.columns.toSeq
@@ -334,11 +345,9 @@ object ViewStore {
     require(!groupVars.contains(countCol),
       s"count column '$countCol' collides with a group variable — " +
         "pass countCol explicitly")
-    val es = entries(viewRoot)
-    require(es.nonEmpty, s"no view under $viewRoot")
-    val baseV = es.collect { case ("b", v, _) => v }.max
-    val segs = es.collect { case ("s", f, t) if t > baseV => (f, t) }
-      .sortBy(_._2)
+    // same contiguity gate as read(): a gapped/overlapping chain would
+    // otherwise sum ±1 signs over the wrong segment set SILENTLY
+    val (baseV, segs) = chain(viewRoot)
     val gcols = groupVars.map(col)
     val signed = (spark.read.parquet(basePath(viewRoot, baseV))
       .select(gcols :+ lit(1L).as("__sgn"): _*) +:

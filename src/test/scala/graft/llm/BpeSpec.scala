@@ -109,6 +109,51 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.selectBatch(full, 16, 2) === full.take(2).toSeq)
   }
 
+  test("ambiguous-concat corpus: collision with a prior merge's symbol") {
+    // round 1 merges ('l','o') then ('lo','w') → symbol 'low' exists.
+    // later, words "zlow..." reach a state where pair ('l','ow') could
+    // batch with a pre-existing-count pair ('low', x): applying the
+    // former boosts the latter, so the batch must break there. The
+    // distributed trainer must match the naive sequential reference
+    // EXACTLY on this corpus, at every batchTopK.
+    val texts = Seq(
+      Seq.fill(30)("low").mkString(" "),   // drives l+o, lo+w → 'low'
+      Seq.fill(12)("lowx").mkString(" "),  // ('low','x') pre-existing pool
+      Seq.fill(11)("zow").mkString(" "),   // drives o+w → 'ow' elsewhere
+      Seq.fill(10)("qlowx").mkString(" ")) // more 'low'-adjacent mass
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val want = naiveTrain(texts, 10)
+    for (k <- Seq(1, 4, 256)) {
+      val got = Bpe.train(docs, numMerges = 10, batchTopK = k)
+        .map(m => (m.left, m.right))
+      assert(got === want, s"batchTopK=$k diverged from sequential")
+    }
+  }
+
+  test("randomized tiny-alphabet corpora: batchTopK never changes the sequence") {
+    // alphabet {a,b} makes concat collisions frequent ('a'+'ab' vs
+    // 'aa'+'b' → 'aab', …) — the corner the collision guard exists for.
+    // Deterministic seed; each corpus checked against the naive
+    // sequential reference at batchTopK 1 and 256.
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val texts = Seq.fill(6) {
+        Seq.fill(24)(
+          Seq.fill(1 + rnd.nextInt(5))(if (rnd.nextBoolean()) "a" else "b")
+            .mkString).mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val want = naiveTrain(texts, 12)
+      val one = Bpe.train(docs, 12, batchTopK = 1).map(m => (m.left, m.right))
+      val many = Bpe.train(docs, 12, batchTopK = 256)
+        .map(m => (m.left, m.right))
+      assert(one === want, s"trial $trial: batchTopK=1 diverged")
+      assert(many === want, s"trial $trial: batchTopK=256 diverged")
+    }
+  }
+
   test("batchTopK=1 degenerates to the classic loop, same sequence") {
     val texts = Seq("low low low lower lowest", "new newer newest new")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -14,13 +14,24 @@ class EndpointSpec extends SparkSpec {
     root
   }
 
-  test("negotiation: order wins, q-params tolerated, */* defaults, 406 is loud") {
+  test("negotiation: q-order wins, q=0 excludes, */* defaults, 406 is loud") {
     assert(Endpoint.negotiate("") === Endpoint.Json)
     assert(Endpoint.negotiate("*/*") === Endpoint.Json)
     assert(Endpoint.negotiate("text/csv, application/sparql-results+json")
       === Endpoint.Csv)
+    // RFC 9110 §12.4.2: explicit q orders preferences — csv's implicit
+    // q=1 outranks xml's 0.9 regardless of header order
     assert(Endpoint.negotiate(
-      "application/sparql-results+xml;q=0.9, text/csv") === Endpoint.Xml)
+      "application/sparql-results+xml;q=0.9, text/csv") === Endpoint.Csv)
+    assert(Endpoint.negotiate(
+      "text/csv;q=0.3, application/sparql-results+xml;q=0.9") === Endpoint.Xml)
+    // q=0 means NOT acceptable — it must never be selected, even when
+    // listed first
+    assert(Endpoint.negotiate(
+      "text/csv;q=0, application/sparql-results+json") === Endpoint.Json)
+    val all0 = intercept[IllegalArgumentException](
+      Endpoint.negotiate("text/csv;q=0"))
+    assert(all0.getMessage.contains("no supported media type"))
     assert(Endpoint.negotiate("text/html, */*") === Endpoint.Json)
     val boom = intercept[IllegalArgumentException](
       Endpoint.negotiate("text/html"))

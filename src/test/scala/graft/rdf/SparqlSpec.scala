@@ -1266,6 +1266,22 @@ class SparqlSpec extends SparkSpec {
     // an empty registry cannot give the variable a domain — loud error
     intercept[IllegalArgumentException](Sparql.run(local,
       """SELECT ?s WHERE { SERVICE ?ep { ?s <p> ?o . } }"""))
+    // SILENT SERVICE ?ep skips a shape-incompatible registry entry (a
+    // GRAPH body against a plain-triples endpoint) instead of aborting
+    // the whole union — one bad entry must not kill the federation
+    val mixedEps = Map("graft://remote" -> remote, "graft://ds" -> remoteDs)
+    val silentVar = Sparql.run(local,
+      """SELECT ?ep ?s ?f WHERE {
+        |  SERVICE SILENT ?ep { GRAPH ?g { ?s <flag> ?f . } }
+        |} ORDER BY ?s""".stripMargin, endpoints = mixedEps)
+    assert(silentVar.select("ep", "s", "f")
+      .as[(String, String, String)].collect().toSeq ===
+      Seq(("graft://ds", "a", "f1"), ("graft://ds", "c", "f2")))
+    // without SILENT the incompatible branch stays a loud error
+    intercept[IllegalArgumentException](Sparql.run(local,
+      """SELECT ?ep ?s WHERE {
+        |  SERVICE ?ep { GRAPH ?g { ?s <flag> ?f . } }
+        |}""".stripMargin, endpoints = mixedEps).collect())
     // SERVICE on the encoded path is rejected, not silently mis-run
     val dict = Dictionary.build(spark, local)
     val enc = Dictionary.encode(local, dict)

@@ -263,6 +263,11 @@ class ViewStoreSpec extends SparkSpec {
     val boom = intercept[IllegalArgumentException](
       ViewStore.read(spark, viewRoot))
     assert(boom.getMessage.contains("chain gap"), boom.getMessage)
+    // the SUMMARY read path runs the same gate — a gapped chain must
+    // never silently sum the wrong segment set (round-6 advice)
+    val boomCounts = intercept[IllegalArgumentException](
+      ViewStore.readCounts(spark, viewRoot, Seq("n"), countCol = "cnt"))
+    assert(boomCounts.getMessage.contains("chain gap"), boomCounts.getMessage)
     assert(v3 === v1 + 2)
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
