@@ -373,6 +373,36 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust ?seg""".stripMargin)),
 
+    // RDF collections + @base, end to end: a Turtle fixture lists each
+    // region's nations as a `( ... )` collection under @base-relative
+    // IRIs; the parse desugars to rdf:first/rest/nil chains (and resolves
+    // the relative IRIs), and the SPARQL query matches with collection
+    // syntax in object position — binding the first and last cells of
+    // exactly-5-element lists. The document is region-count-sized
+    // (bounded): the PARSE path is the fixture's point; corpus-scale
+    // Turtle rides the per-file distributed reader.
+    "q_sparql_collections" -> ((s, d) => {
+      import s.implicits._
+      val stmts = graft.sources.Tables.nation(s, d)
+        .select(col("n_regionkey").as("rk"),
+          concat(lit("n"), col("n_nationkey")).as("n"))
+        .groupBy("rk")
+        .agg(concat_ws(" ", transform(array_sort(collect_list(col("n"))),
+          x => concat(lit("<"), x, lit(">")))).as("list"))
+        .select(concat(lit("<r"), col("rk"), lit("> <nations> ( "),
+          col("list"), lit(" ) .")).as("line"))
+        .as[String].collect().sorted
+      val doc = ("@base <http://graft.example/> ." +: stmts.toSeq)
+        .mkString("\n")
+      val triples = Turtle.parseDoc(doc, "coll").toDF().select("s", "p", "o")
+      Sparql.run(triples, text =
+        """PREFIX g: <http://graft.example/>
+          |SELECT ?r ?n1 ?n5 WHERE {
+          |  ?r g:nations ( ?n1 ?n2 ?n3 ?n4 ?n5 ) .
+          |}
+          |ORDER BY ?r""".stripMargin)
+    }),
+
     // MINUS → anti-join on the shared variable: BUILDING-segment customers
     // with NO urgent order.
     "q_sparql_minus" -> ((s, d) =>
@@ -928,6 +958,20 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust""".stripMargin)),
 
+    // Subquery under GRAPH ?var: eval(GRAPH ?g P) runs P once per named
+    // graph, so the inner SELECT is correlated BY the active graph — the
+    // solver threads ?g through its pattern groups (one more join key)
+    // and the grouped count lands per graph, joining the outer anchor on
+    // ?g. The round-6 parser rejection, closed.
+    "q_sparql_subquery_graph" -> ((s, d) =>
+      Sparql.runQuads(Quads.build(s, d), text =
+        """SELECT ?g ?cust ?n WHERE {
+          |  GRAPH ?g { ?cust <mktsegment> "BUILDING" .
+          |             { SELECT ?g (COUNT(?x) AS ?n)
+          |               WHERE { ?x <nation> ?nat . } GROUP BY ?g } }
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
     // Named graphs over the quad dataset: a constant GRAPH prunes to one
     // graph's slice; GRAPH ?g joins all patterns of its block on the same
     // named graph and binds it. Non-GRAPH patterns see only the default
@@ -1272,6 +1316,23 @@ object RdfOps extends QueryModule {
     // id-space execution must be indistinguishable from string-space: the
     // oracle is the very same relational query
     "q_sparql_encoded" -> sparqlTextOracle,
+
+    // the fixture lists nations per region sorted by their (base-resolved)
+    // IRI string; the 5-cell collection pattern matches only regions with
+    // exactly 5 nations, hence the cnt = 5 guard
+    "q_sparql_collections" ->
+      """WITH ns AS (
+        |  SELECT 'http://graft.example/r' || CAST(n_regionkey AS VARCHAR) AS r,
+        |         'http://graft.example/n' || CAST(n_nationkey AS VARCHAR) AS n,
+        |         row_number() OVER (PARTITION BY n_regionkey
+        |           ORDER BY 'n' || CAST(n_nationkey AS VARCHAR)) AS rn,
+        |         count(*) OVER (PARTITION BY n_regionkey) AS cnt
+        |  FROM nation)
+        |SELECT r,
+        |       max(CASE WHEN rn = 1 THEN n END) AS n1,
+        |       max(CASE WHEN rn = 5 THEN n END) AS n5
+        |FROM ns WHERE cnt = 5
+        |GROUP BY r ORDER BY r""".stripMargin,
 
     "q_sparql_ask" -> cte(
       """SELECT EXISTS(
@@ -1673,6 +1734,17 @@ object RdfOps extends QueryModule {
         |  ON t2.o = segs.seg
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
         |ORDER BY cust""".stripMargin),
+
+    "q_sparql_subquery_graph" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT q1.g AS g, q1.s AS cust, cnt.n AS n
+         |FROM quads q1
+         |JOIN (SELECT g, count(*) AS n FROM quads
+         |      WHERE p = 'nation' GROUP BY g) cnt ON cnt.g = q1.g
+         |WHERE q1.g <> '' AND q1.p = 'mktsegment' AND q1.o = 'BUILDING'
+         |ORDER BY cust""".stripMargin),
 
     "q_sparql_graph_encoded" -> cte(
       s""", quads AS (

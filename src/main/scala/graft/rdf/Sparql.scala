@@ -92,11 +92,18 @@ import org.apache.spark.sql.functions._
   * STRENDS / SUBSTR / ABS / FLOOR / CEIL / ROUND / IF / COALESCE
   * alongside CONCAT and regex.
   *
-  * Out of fragment (rejected, not silently mis-run): SERVICE on the
-  * encoded paths,
-  * SPARQL Update, collection syntax (`(...)` lists in term position),
-  * subqueries under `GRAPH ?var` (property paths work there — they solve
-  * per-graph with `?g` bound, see [[Paths.evalPathGraphs]]), and
+  * Collection syntax (`(...)` lists in subject/object position) desugars
+  * to rdf:first/rdf:rest/rdf:nil chains over fresh `_:collN` blank-node
+  * variables — non-projectable, exactly the spec's expansion. Subqueries
+  * under `GRAPH ?var` correlate by the active graph ([[adoptGraphVar]] —
+  * the solver threads ?g like one more join key, exactly as property
+  * paths do via [[Paths.evalPathGraphs]]); SERVICE federates from the
+  * encoded engines too (the endpoint body solves string-space, joining
+  * on the decoded bindings).
+  *
+  * Out of fragment (rejected, not silently mis-run): SPARQL Update via
+  * this entry point (see [[Update]]), LIMIT/OFFSET inside a subquery
+  * under `GRAPH ?var` (would need per-graph application), and
   * correlated filters (a block-scoped FILTER referencing variables its
   * block does not bind).
   * The tokenizer verifies every non-whitespace, non-comment character is
@@ -390,7 +397,7 @@ object Sparql {
       val solved = solveBranch(inner,
         pats => Quads.solveGraphBlock(quads, pats, v),
         (path, ps, po) => solvePathOverGraphs(quads, gName, path, ps, po),
-        self(), svc)
+        self(), svc, graphVar = Some(gName))
       normalizeGraphVar(solved, gName,
         quads.filter(col("g") =!= Quads.DefaultGraph)
           .select(col("g").as(gName)).distinct())
@@ -443,9 +450,17 @@ object Sparql {
     * are likewise solved in id space (path closures iterate over 8-byte
     * longs) and joined after decode; FILTER / BIND / aggregation apply to
     * the decoded bindings, where they mean the same thing as in [[run]].
+    *
+    * SERVICE federates from id space too: the endpoint body solves over
+    * the registered frame in STRING space (an endpoint's terms are not in
+    * this store's dictionary, so id-space execution there is meaningless)
+    * and joins the enclosing block on the decoded bindings — decode
+    * already happens at every pattern group's emission, so the federation
+    * boundary costs nothing extra.
     */
   def runEncoded(enc: DataFrame, dict: DataFrame, text: String,
-      collapseStars: Boolean = false): DataFrame = {
+      collapseStars: Boolean = false,
+      endpoints: Map[String, DataFrame] = Map.empty): DataFrame = {
     val q = parse(text)
     require(q.fromGraphs.isEmpty && q.fromNamed.isEmpty,
       "FROM / FROM NAMED dataset clauses require a quads dataset — " +
@@ -492,7 +507,8 @@ object Sparql {
       solvePathEnc,
       (_, _) => throw new IllegalArgumentException(
         "GRAPH over the encoded store needs the quads store — " +
-          "use Sparql.runQuadsEncoded"))
+          "use Sparql.runQuadsEncoded"),
+      endpointSolver(endpoints))
   }
 
   /** Parse and execute against a dictionary-encoded QUADS store
@@ -504,7 +520,11 @@ object Sparql {
     * emission. Build the store with [[Dictionary.buildQuads]] +
     * [[Dictionary.encodeQuads]] (graph names are dictionary terms). */
   def runQuadsEncoded(encQuads: DataFrame, dict: DataFrame, text: String,
-      collapseStars: Boolean = false): DataFrame = {
+      collapseStars: Boolean = false,
+      endpoints: Map[String, DataFrame] = Map.empty): DataFrame = {
+    // SERVICE solves in string space over the registered frames and joins
+    // on decoded bindings — same boundary rule as [[runEncoded]]
+    val svc = endpointSolver(endpoints)
     val q = parse(text)
     // ONE dictionary-lookup job for the whole query: pattern + path
     // constants of every block (GRAPH bodies included via allBlocks),
@@ -559,7 +579,7 @@ object Sparql {
           .select("sid", "pid", "oid")
         // nested GRAPH re-scopes the active graph → recurse; solutions
         // join the body on shared (decoded) variables
-        solveBranch(inner, bgpOver(slice), pathOver(slice), solveGraph)
+        solveBranch(inner, bgpOver(slice), pathOver(slice), solveGraph, svc)
       case C(other) => throw new IllegalArgumentException(
         s"GRAPH constant must be an IRI, got $other")
       case v @ V(gName) =>
@@ -588,13 +608,14 @@ object Sparql {
             tr(ps), tr(po))
           EncodedBgp.decode(solved, dict, solved.columns)
         }
-        val solved = solveBranch(inner, bgpVar, pathVar, solveGraph)
+        val solved = solveBranch(inner, bgpVar, pathVar, solveGraph, svc,
+          graphVar = Some(gName))
         // same three-way ?g normalization as the string engine
         // ([[normalizeGraphVar]]), against the DECODED name set
         normalizeGraphVar(solved, gName, EncodedBgp.decode(
           named.select(col("gid").as(gName)).distinct(), dict, Seq(gName)))
     }
-    execute(q, bgpOver(dgIds), pathOver(dgIds), solveGraph)
+    execute(q, bgpOver(dgIds), pathOver(dgIds), solveGraph, svc)
   }
 
   /** Evaluate a path pattern over a triples frame, seeding the closure at
@@ -768,7 +789,8 @@ object Sparql {
       solvePath: (Path, Term, Term) => DataFrame,
       solveGraph: (Term, Block) => DataFrame,
       solveService: (Boolean, Term, Block) => Option[DataFrame] =
-        rejectService): DataFrame = {
+        rejectService,
+      graphVar: Option[String] = None): DataFrame = {
     // DESCRIBE has its own result shape (a graph about the named
     // resources) and may have no WHERE at all
     q.describe.foreach { terms =>
@@ -777,7 +799,7 @@ object Sparql {
     }
     val solved =
       q.branches.map(solveBranch(_, solveBgp, solvePath, solveGraph,
-        solveService))
+        solveService, graphVar))
     var df = solved.reduce(_.unionByName(_, allowMissingColumns = true))
     // ASK = "does any solution exist": limit(1) stops the scan at the
     // first match, the aggregate makes it a 1-row boolean frame
@@ -864,6 +886,38 @@ object Sparql {
     df
   }
 
+  /** Rewrite a subquery under `GRAPH ?g` so the active-graph variable
+    * survives its projection and grouping: eval(GRAPH ?g P) evaluates P
+    * once per named graph, so a subquery inside P is correlated BY ?g —
+    * the solver already threads ?g through its pattern groups (one more
+    * join key, exactly like property paths do), and this rewrite keeps
+    * the column visible: appended to an explicit projection, and, when
+    * the subquery aggregates, to GROUP BY (a global aggregate under
+    * GRAPH ?g IS a per-graph aggregate). LIMIT/OFFSET would need
+    * per-graph application (a window, not a global limit) — rejected
+    * loudly; every branch needs a triple/path anchor to bind ?g. */
+  private def adoptGraphVar(q: Query, g: String): Query = {
+    require(q.limit.isEmpty && q.offset.isEmpty,
+      s"LIMIT/OFFSET in a subquery under GRAPH ?$g would need per-graph " +
+        "application — lift the modifier out of the GRAPH block")
+    q.branches.foreach { b =>
+      require(b.where.nonEmpty || b.paths.nonEmpty,
+        s"every branch of a subquery under GRAPH ?$g needs a triple or " +
+          s"path anchor to bind ?$g")
+    }
+    val aggregated = q.groupVars.nonEmpty || q.selectAggs.nonEmpty ||
+      q.having.isDefined ||
+      q.selectBinds.exists(b => collectAggs(b._2).nonEmpty) ||
+      q.orderKeys.exists(_.expr.exists(collectAggs(_).nonEmpty))
+    q.copy(
+      projection =
+        if (q.projection == Seq("*") || q.projection.contains(g)) q.projection
+        else q.projection :+ g,
+      groupVars =
+        if (aggregated && !q.groupVars.contains(g)) q.groupVars :+ g
+        else q.groupVars)
+  }
+
   /** A solution frame plus the variables whose bindings may be
     * SPARQL-unbound (null cells) in some row — union padding, OPTIONAL,
     * VALUES UNDEF, nullable BIND expressions, subquery non-definite
@@ -903,7 +957,8 @@ object Sparql {
       solvePath: (Path, Term, Term) => DataFrame,
       solveGraph: (Term, Block) => DataFrame,
       solveService: (Boolean, Term, Block) => Option[DataFrame] =
-        rejectService): DataFrame = {
+        rejectService,
+      graphVar: Option[String] = None): DataFrame = {
     val simple: Seq[Sol] =
       (if (b.where.nonEmpty) Seq(Sol(solveBgp(b.where), Set.empty)) else Nil) ++
       b.paths.map { case (s, path, o) => Sol(solvePath(path, s, o), Set.empty) } ++
@@ -917,18 +972,27 @@ object Sparql {
           Sol(df, maybeNullVars(body) intersect df.columns.toSet))
       } ++
       // subqueries evaluate independently (own projection, aggregation,
-      // modifiers) and join on their projected variables
+      // modifiers) and join on their projected variables. Under GRAPH ?g
+      // the subquery is CORRELATED by the active graph: the solver
+      // threads ?g through its pattern groups (one more join key, like
+      // paths), and adoptGraphVar keeps the column through projection
+      // and grouping, so the outer compatJoin re-correlates on it.
       b.subqueries.map { sq =>
-        val solved = execute(sq, solveBgp, solvePath, solveGraph,
-          solveService)
-        Sol(solved, solved.columns.toSet -- definiteProjection(sq))
+        val sq2 = graphVar.fold(sq)(adoptGraphVar(sq, _))
+        val solved = execute(sq2, solveBgp, solvePath, solveGraph,
+          solveService, graphVar)
+        // the threaded active-graph variable is solver-bound on every
+        // row of an anchored branch (adoptGraphVar enforces the anchor)
+        // — never null, so it must not trip the unbound-join guard
+        Sol(solved,
+          solved.columns.toSet -- definiteProjection(sq2) -- graphVar)
       }
     var alts: Seq[Sol] =
       if (simple.isEmpty) Nil else Seq(simple.reduce(compatJoin))
     b.unions.foreach { member =>
       val branchSols = member.map { blk =>
         val solved = solveBranch(blk, solveBgp, solvePath, solveGraph,
-          solveService)
+          solveService, graphVar)
         Sol(solved, maybeNullVars(blk) intersect solved.columns.toSet)
       }
       alts =
@@ -1133,7 +1197,14 @@ object Sparql {
       branchOut.reduce(_ union _) -- branchOut.reduce(_ intersect _) ++
         m.flatMap(maybeNullVars)
     }
-    val grph = b.graphs.flatMap { case (_, inner) => maybeNullVars(inner) }
+    // a variable graph term is ALWAYS bound on the block's solutions
+    // (normalizeGraphVar fills unbound rows from the name set), even when
+    // the body itself leaves it possibly-null (e.g. a subquery projecting
+    // the threaded ?g)
+    val grph = b.graphs.flatMap { case (g, inner) =>
+      val mn = maybeNullVars(inner)
+      g match { case V(n) => mn - n; case _ => mn }
+    }
     // a SILENT service may drop out entirely (unregistered endpoint), so
     // every variable it would bind is possibly-absent downstream; a
     // non-silent one contributes its body's own possibly-null vars
@@ -1989,15 +2060,12 @@ object Sparql {
         p.expect("}")
         // a VARIABLE graph threads ?g through every pattern group of its
         // body (see runQuads); property paths carry the correlation too
-        // (per-graph pair sets with ?g bound — solvePathOverGraphs), but
-        // subqueries can't (their projection would have to smuggle ?g),
-        // and an all-optional body has no anchor group to bind ?g —
-        // reject those loudly rather than silently mis-run
+        // (per-graph pair sets with ?g bound — solvePathOverGraphs), and
+        // subqueries keep ?g through their projection/grouping
+        // (adoptGraphVar — their own solve-time validation). An
+        // all-optional body has no anchor group to bind ?g — rejected
+        // loudly rather than silently mis-run
         if (gt.isInstanceOf[V]) {
-          def offends(blk: Block): Boolean =
-            blk.subqueries.nonEmpty ||
-              blk.unions.exists(_.exists(offends)) ||
-              blk.graphs.exists { case (_, ib) => offends(ib) }
           // a NESTED graph re-scopes the active graph, so it cannot
           // anchor the outer ?g; a body made only of nested graphs is
           // fine (runQuads then crosses the solution with the named-graph
@@ -2005,14 +2073,13 @@ object Sparql {
           // whose only other members are OPTIONAL/MINUS/EXISTS/FILTER
           // still needs a direct anchor to thread ?g through them
           val anchored = inner.where.nonEmpty || inner.unions.nonEmpty ||
-            inner.paths.nonEmpty
+            inner.paths.nonEmpty || inner.subqueries.nonEmpty
           val needsAnchor = inner.optionals.nonEmpty ||
             inner.minuses.nonEmpty || inner.exists.nonEmpty ||
             inner.filters.nonEmpty || inner.binds.nonEmpty
-          require(!offends(inner) && (anchored ||
-              (inner.graphs.nonEmpty && !needsAnchor)),
-            "GRAPH ?var blocks take a group body without subqueries, " +
-              "anchored by at least one triple or path pattern")
+          require(anchored || (inner.graphs.nonEmpty && !needsAnchor),
+            "GRAPH ?var blocks take a group body anchored by at least " +
+              "one triple, path, union or subquery member")
         }
         graphs += gt -> inner
       } else if (p.peekKw("SERVICE")) {
@@ -2188,9 +2255,14 @@ object Sparql {
     * `;` before `.` or `}` is permitted, as in Turtle. */
   private def sameSubject(p: P, prefixes: Map[String, String],
       allowPaths: Boolean): (Seq[TP], Seq[(Term, Path, Term)]) = {
-    val s = term(p, prefixes)
     val tps = scala.collection.mutable.ArrayBuffer.empty[TP]
     val pths = scala.collection.mutable.ArrayBuffer.empty[(Term, Path, Term)]
+    val s = termOrColl(p, prefixes, tps)
+    // grammar 75: a collection as subject may stand alone (its chain IS
+    // the pattern set); a plain term still requires a predicate-object
+    // list, as before
+    if (tps.nonEmpty && p.hasNext && (p.peek() == "." || p.peek() == "}"))
+      return (tps.toSeq, Seq.empty)
     var more = true
     while (more) {
       val pk = p.peek()
@@ -2206,9 +2278,9 @@ object Sparql {
               "MINUS/EXISTS blocks or CONSTRUCT templates")
             o => pths += ((s, composite, o))
         }
-      addObject(term(p, prefixes))
+      addObject(termOrColl(p, prefixes, tps))
       while (p.hasNext && p.peek() == ",") {
-        p.next(); addObject(term(p, prefixes))
+        p.next(); addObject(termOrColl(p, prefixes, tps))
       }
       more = p.hasNext && p.peek() == ";" && {
         p.next()
@@ -2219,6 +2291,36 @@ object Sparql {
   }
 
   private val numRe = """-?\d+(?:\.\d+)?""".r
+
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  /** A term, or an RDF collection `( e1 e2 … )` desugared to its
+    * rdf:first/rdf:rest/rdf:nil chain (SPARQL grammar 102): each cell is
+    * a fresh `_:collN` blank-node variable — non-projectable and
+    * block-scoped like any `_:` label — the chain's patterns append to
+    * `tps`, and the collection's value is its head cell (rdf:nil when
+    * empty). Nested collections recurse. */
+  private def termOrColl(p: P, prefixes: Map[String, String],
+      tps: scala.collection.mutable.ArrayBuffer[TP]): Term =
+    if (p.hasNext && p.peek() == "(") {
+      p.expect("(")
+      val items = scala.collection.mutable.ArrayBuffer.empty[Term]
+      while (p.peek() != ")") items += termOrColl(p, prefixes, tps)
+      p.expect(")")
+      if (items.isEmpty) C(RdfNs + "nil")
+      else {
+        val cells: Seq[Term] = items.map { _ =>
+          p.collN += 1; V(s"_:coll${p.collN}")
+        }.toSeq
+        cells.zip(items).foreach { case (cell, item) =>
+          tps += TP(cell, C(RdfNs + "first"), item)
+        }
+        cells.zip(cells.drop(1) :+ C(RdfNs + "nil")).foreach {
+          case (cell, nxt) => tps += TP(cell, C(RdfNs + "rest"), nxt)
+        }
+        cells.head
+      }
+    } else term(p, prefixes)
 
   private def term(p: P, prefixes: Map[String, String]): Term = {
     val t = p.next()
@@ -2444,6 +2546,9 @@ object Sparql {
       .replace("\\\"", "\"").replace("\\\\", "\\")
 
   private final class P(var toks: List[String]) {
+    /** Fresh-label counter for desugared collection cells — per-parse,
+      * so a given query text always yields the same internal names. */
+    var collN: Int = 0
     def peek(): String = toks.headOption.getOrElse(
       throw new IllegalArgumentException("unexpected end of query"))
     def next(): String = { val t = peek(); toks = toks.tail; t }

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * nodes and `[ ... ]` blank node property lists (as subject or object),
   * literals with `@lang` tags and `^^` datatypes, short and long
   * (`"""..."""`) double-quoted strings with ECHAR/UCHAR escapes
-  * ([[NtEscapes]]), single-quoted variants, and bare numeric / boolean
-  * abbreviations. Out of fragment, rejected loudly with the document
-  * offset: `@base`/relative IRIs and RDF collections `( ... )`.
+  * ([[NtEscapes]]), single-quoted variants, bare numeric / boolean
+  * abbreviations, RDF collections `( ... )` (desugared to their
+  * rdf:first/rdf:rest/rdf:nil chains with document-scoped blank nodes),
+  * and `@base` / SPARQL-style `BASE` with RFC 3986 relative-IRI
+  * resolution ([[resolveIri]] — manual §5.2 merge, since `java.net.URI`
+  * rejects the non-ASCII characters IRIs allow). A relative IRI in a
+  * document that never set a base is rejected loudly with the offset.
   *
   * Distribution model: Turtle is a STATEFUL format — prefix directives
   * scope the rest of the document and statements span lines — so unlike
@@ -92,6 +96,85 @@ object Turtle {
   private[rdf] def docTag(file: String, doc: String): String =
     graft.sources.AtomicStore.key(file, doc.length.toString).take(8)
 
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:.*$"
+
+  /** RFC 3986 §5.2 reference resolution over raw strings. `java.net.URI`
+    * rejects the non-ASCII characters IRIs allow (RFC 3987 widens the
+    * char classes but keeps §5.2's resolution verbatim), so the merge is
+    * done manually. `base` must be absolute. */
+  private[rdf] def resolveIri(base: String, ref: String): String = {
+    // (scheme, hasAuthority, authority, path, query-with-?, frag-with-#)
+    def split(u: String): (String, Boolean, String, String, String, String) = {
+      var s = u
+      var frag = ""
+      val hi = s.indexOf('#')
+      if (hi >= 0) { frag = s.substring(hi); s = s.substring(0, hi) }
+      var query = ""
+      val qi = s.indexOf('?')
+      if (qi >= 0) { query = s.substring(qi); s = s.substring(0, qi) }
+      var scheme = ""
+      val ci = s.indexOf(':')
+      if (ci > 0 && s.substring(0, ci).matches("[A-Za-z][A-Za-z0-9+.-]*")) {
+        scheme = s.substring(0, ci); s = s.substring(ci + 1)
+      }
+      var hasAuth = false
+      var auth = ""
+      if (s.startsWith("//")) {
+        hasAuth = true
+        val end = s.indexOf('/', 2) match { case -1 => s.length; case k => k }
+        auth = s.substring(2, end); s = s.substring(end)
+      }
+      (scheme, hasAuth, auth, s, query, frag)
+    }
+    // §5.2.4 remove_dot_segments, the literal buffer algorithm
+    def removeDots(p0: String): String = {
+      var in = p0
+      val out = new StringBuilder
+      def dropLastSeg(): Unit = {
+        val k = out.lastIndexOf("/")
+        out.setLength(if (k >= 0) k else 0)
+      }
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.substring(3)
+        else if (in.startsWith("./")) in = in.substring(2)
+        else if (in.startsWith("/./")) in = "/" + in.substring(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../")) { in = "/" + in.substring(4); dropLastSeg() }
+        else if (in == "/..") { in = "/"; dropLastSeg() }
+        else if (in == "." || in == "..") in = ""
+        else {
+          val start = if (in.startsWith("/")) 1 else 0
+          val next = in.indexOf('/', start)
+          if (next == -1) { out.append(in); in = "" }
+          else { out.append(in.substring(0, next)); in = in.substring(next) }
+        }
+      }
+      out.toString
+    }
+    val (bs, bHasAuth, ba, bp, bq, _) = split(base)
+    require(bs.nonEmpty, s"base IRI '$base' has no scheme — not absolute")
+    val (rs, rHasAuth, ra, rp, rq, rf) = split(ref)
+    val (s, hasAuth, a, pth, q) =
+      if (rs.nonEmpty) (rs, rHasAuth, ra, removeDots(rp), rq)
+      else if (rHasAuth) (bs, true, ra, removeDots(rp), rq)
+      else if (rp.isEmpty) (bs, bHasAuth, ba, bp, if (rq.nonEmpty) rq else bq)
+      else if (rp.startsWith("/")) (bs, bHasAuth, ba, removeDots(rp), rq)
+      else {
+        val merged =
+          if (bHasAuth && bp.isEmpty) "/" + rp
+          else bp.lastIndexOf('/') match {
+            case -1 => rp
+            case k => bp.substring(0, k + 1) + rp
+          }
+        (bs, bHasAuth, ba, removeDots(merged), rq)
+      }
+    val sb = new StringBuilder
+    if (s.nonEmpty) sb.append(s).append(':')
+    if (hasAuth) sb.append("//").append(a)
+    sb.append(pth).append(q).append(rf)
+    sb.toString
+  }
+
   // ------------------------- the parser itself -------------------------
 
   /** Package-visible so [[Trig]] reuses the whole Turtle grammar — TriG
@@ -100,6 +183,7 @@ object Turtle {
   private[rdf] final class Parser(doc: String, tag: String) {
     private var i = 0
     private val prefixes = scala.collection.mutable.Map.empty[String, String]
+    private var base: String = null // @base / BASE scope: rest of document
     private var bn = 0
     private val out = scala.collection.mutable.ArrayBuffer.empty[Row]
 
@@ -237,9 +321,13 @@ object Turtle {
         val iri = iriRef()
         prefixes(name) = iri
         if (atForm) expect('.')
-      } else if (matchWord("base")) fail("@base/relative IRIs are out of " +
-        "fragment — emit absolute IRIs")
-      else fail("unsupported directive")
+      } else if (matchWord("base")) {
+        ws()
+        // iriRef() resolves a RELATIVE @base against the current base
+        // (legal: later directives re-base relative to earlier ones)
+        base = iriRef()
+        if (atForm) expect('.')
+      } else fail("unsupported directive")
     }
 
     /** `pname:` → the prefix name (may be empty). */
@@ -261,7 +349,13 @@ object Turtle {
       val body = doc.substring(i + 1, end)
       if (body.exists(_.isWhitespace)) fail("whitespace in IRI")
       i = end + 1
-      NtEscapes.unescape(body)
+      val iri = NtEscapes.unescape(body)
+      // no @base in scope → the ref is kept VERBATIM: the engine-wide
+      // plain-lexical convention (its own Turtle exports write bare
+      // `<name>` predicates), and exactly the pre-@base behavior. Once a
+      // base is set, relative refs resolve per RFC 3986.
+      if (base == null || iri.matches(SchemeRe)) iri
+      else resolveIri(base, iri)
     }
 
     private def statement(): Unit = {
@@ -276,7 +370,7 @@ object Turtle {
         case '<' => iriRef()
         case '[' => bnodePropertyList()
         case '_' => blankLabel()
-        case '(' => fail("RDF collections are out of fragment")
+        case '(' => collection()
         case _ => prefixedName()
       }
     }
@@ -353,7 +447,9 @@ object Turtle {
           out += Row(subj, p, { val b = bnodePropertyList(); b },
             o_is_iri = false, "", "")
         case '_' => out += Row(subj, p, blankLabel(), o_is_iri = false, "", "")
-        case '(' => fail("RDF collections are out of fragment")
+        case '(' =>
+          val head = collection()
+          out += Row(subj, p, head, o_is_iri = !head.startsWith("_:"), "", "")
         case '"' | '\'' => out += literal(subj, p)
         case c if c.isDigit || c == '-' || c == '+' ||
           // leading-dot decimals (".5") are legal Turtle
@@ -365,6 +461,35 @@ object Turtle {
           else if (matchWord("false")) out += Row(subj, p, "false",
             o_is_iri = false, "", s"${Terms.XsdString.dropRight(6)}boolean")
           else out += Row(subj, p, prefixedName(), o_is_iri = true, "", "")
+      }
+    }
+
+    private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    /** `( e1 e2 … )` — an RDF collection, desugared to the
+      * rdf:first/rdf:rest chain of fresh document-scoped blank nodes
+      * (Turtle 1.1 §2.8); returns the head cell, or rdf:nil for `()`.
+      * Elements recurse through [[obj]], so nested collections, blank
+      * node property lists and every literal form are legal members. */
+    private def collection(): String = {
+      expect('(')
+      var head: String = null
+      var tail: String = null
+      ws()
+      while (i < doc.length && doc.charAt(i) != ')') {
+        val cell = freshBnode()
+        if (head == null) head = cell
+        else out += Row(tail, RdfNs + "rest", cell, o_is_iri = false, "", "")
+        obj(cell, RdfNs + "first")
+        tail = cell
+        ws()
+      }
+      expect(')')
+      if (head == null) RdfNs + "nil"
+      else {
+        out += Row(tail, RdfNs + "rest", RdfNs + "nil",
+          o_is_iri = true, "", "")
+        head
       }
     }
 

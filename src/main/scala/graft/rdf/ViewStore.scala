@@ -373,24 +373,133 @@ object ViewStore {
   /** Fold the chain into a fresh base at the synced head and drop the
     * replaced entries — bounds read-side fold width, exactly the
     * mirror's compaction contract. */
-  def compact(spark: SparkSession, viewRoot: String): Unit = {
-    val before = entries(viewRoot)
-    val head = lastSynced(viewRoot)
+  def compact(spark: SparkSession, viewRoot: String): Unit =
+    compactWith(viewRoot)(read(spark, viewRoot))
+
+  private def compactWith(root: String)(folded: => DataFrame): Unit = {
+    val before = entries(root)
+    val head = lastSynced(root)
     val baseV = before.collect { case ("b", v, _) => v }.max
-    if (head > baseV) {
-      val folded = read(spark, viewRoot)
-      graft.sources.AtomicStore.materialize(basePath(viewRoot, head)) {
+    if (head > baseV)
+      graft.sources.AtomicStore.materialize(basePath(root, head)) {
         tmp => folded.write.parquet(tmp)
       }
-    }
     // even when already based at head, sweep crash leftovers below it
     // everything the new base subsumes goes: older bases, and every
     // segment INCLUDING the one ending at head
     before.filter { case (k, _, t) => t < head || k == "s" }.foreach {
       case ("b", v, _) =>
-        graft.sources.AtomicStore.delete(basePath(viewRoot, v))
+        graft.sources.AtomicStore.delete(basePath(root, v))
       case (_, f, t) =>
-        graft.sources.AtomicStore.delete(segPath(viewRoot, f, t))
+        graft.sources.AtomicStore.delete(segPath(root, f, t))
     }
   }
+
+  // ---- persisted AGGREGATE views: the summary's own segment lifecycle
+
+  private def writeMetaAgg(root: String, groupVars: Seq[String],
+      countCol: String): Unit = {
+    val lines = s"mode\tagg\t${b64(countCol)}" +: groupVars.map(b64)
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      lines.mkString("\n"))
+  }
+
+  /** The persisted AGGREGATE-view definition: (groupVars, countCol). */
+  def definitionAgg(root: String): (Seq[String], String) = {
+    val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").toSeq
+    val cc = lines.head.split("\t") match {
+      case Array("mode", "agg", b) => unb64(b)
+      case _ => throw new IllegalArgumentException(
+        s"not an aggregate view under $root")
+    }
+    (lines.tail.map(unb64), cc)
+  }
+
+  /** Bootstrap a PERSISTED grouped-count summary over a maintained view:
+    * the base snapshot is [[readCounts]] at the view's current coverage
+    * (the only time the summary is derived by folding the view); after
+    * this, [[syncAgg]] advances it from the view's delta SEGMENTS alone
+    * — a dashboard summary over a corpus-sized view is maintained and
+    * served without ever refolding the binding set. Group-count layout:
+    * (groupVars..., countCol). */
+  def createAgg(spark: SparkSession, viewRoot: String, aggRoot: String,
+      groupVars: Seq[String], countCol: String = "n"): Int = {
+    val v = lastSynced(viewRoot)
+    require(v > 0, s"no view under $viewRoot — create() before createAgg()")
+    writeMetaAgg(aggRoot, groupVars, countCol)
+    graft.sources.AtomicStore.materialize(basePath(aggRoot, v)) { tmp =>
+      readCounts(spark, viewRoot, groupVars, countCol).write.parquet(tmp)
+    }
+    v
+  }
+
+  /** Fold the view's delta segments above the summary's coverage into
+    * ONE summary segment of per-group NET count changes (segments are
+    * net view deltas, so ±1 signs sum to the group's exact change —
+    * [[graft.operators.IncrementalAgg]]'s rule as a persisted artifact).
+    * O(|Δview|) read and write; the view's BASE is never touched.
+    *
+    * Retention contract (the store/mirror shape): syncAgg before
+    * compact(view) drops the segments it needs — a compacted-away range
+    * fails loudly here, never a silently stale summary. */
+  def syncAgg(spark: SparkSession, viewRoot: String,
+      aggRoot: String): Int = {
+    val (gv, countCol) = definitionAgg(aggRoot)
+    val aggLast = lastSynced(aggRoot)
+    require(aggLast > 0, s"no aggregate view under $aggRoot — createAgg()")
+    val viewLast = lastSynced(viewRoot)
+    if (viewLast <= aggLast) return aggLast
+    val vsegs = entries(viewRoot)
+      .collect { case ("s", f, t) if f >= aggLast => (f, t) }.sortBy(_._2)
+    val covered = vsegs.foldLeft(aggLast) { case (at, (f, t)) =>
+      require(f == at, s"view segment chain gap above $aggLast under " +
+        s"$viewRoot: s$f..$t does not extend $at")
+      t
+    }
+    require(covered == viewLast,
+      s"view segments cover $aggLast..$covered but the view is at " +
+        s"$viewLast — compacted past the summary's last sync? syncAgg " +
+        "before compact(view), or rebuild with createAgg()")
+    val gcols = gv.map(col)
+    val delta = vsegs.map { case (f, t) =>
+        spark.read.parquet(segPath(viewRoot, f, t))
+      }.reduce(_.unionByName(_))
+      .select(gcols :+ when(col("__op") === "a", 1L)
+        .otherwise(-1L).as("__sgn"): _*)
+      .groupBy(gcols: _*).agg(sum("__sgn").as(countCol))
+      .filter(col(countCol) =!= 0L)
+    graft.sources.AtomicStore.materialize(
+      segPath(aggRoot, aggLast, viewLast)) { tmp =>
+      delta.write.parquet(tmp)
+    }
+    viewLast
+  }
+
+  /** The maintained summary: base counts plus net segment changes,
+    * summed per group in one shuffle over SUMMARY-sized frames — the
+    * binding view is never opened. Zero-netting groups leave, matching
+    * the recompute (which has no empty groups). Same contiguity gate as
+    * every read path. */
+  def readAgg(spark: SparkSession, aggRoot: String): DataFrame = {
+    val (gv, countCol) = definitionAgg(aggRoot)
+    val (baseV, segs) = chain(aggRoot)
+    val gcols = gv.map(col)
+    (spark.read.parquet(basePath(aggRoot, baseV)) +:
+      segs.map { case (f, t) => spark.read.parquet(segPath(aggRoot, f, t)) })
+      .reduce(_.unionByName(_))
+      .groupBy(gcols: _*).agg(sum(countCol).as(countCol))
+      .filter(col(countCol) =!= 0L)
+  }
+
+  /** [[compactIfDeep]] for the summary chain. */
+  def compactAggIfDeep(spark: SparkSession, aggRoot: String,
+      maxChain: Int = 8): Boolean =
+    if (segmentCount(aggRoot) > maxChain) {
+      compactAgg(spark, aggRoot); true
+    } else false
+
+  /** Fold the summary chain into a fresh base at its synced head. */
+  def compactAgg(spark: SparkSession, aggRoot: String): Unit =
+    compactWith(aggRoot)(readAgg(spark, aggRoot))
 }

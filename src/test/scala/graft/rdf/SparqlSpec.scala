@@ -130,6 +130,52 @@ class SparqlSpec extends SparkSpec {
     assert(got === Set("a", "b")) // star-collapse would lose one binding
   }
 
+  test("collection syntax in term position desugars and matches") {
+    val doc =
+      """@prefix ex: <http://ex/> .
+        |ex:menu ex:items ( ex:soup ex:fish ex:cake ) .
+        |ex:short ex:items ( ex:one ) .
+        |ex:none ex:items ( ) .
+        |""".stripMargin
+    val lists = Turtle.parseDoc(doc, "q").map(r => (r.s, r.p, r.o))
+      .toDF("s", "p", "o")
+    // a 3-element collection pattern matches only the 3-list, binding
+    // its cells' rdf:first values
+    val three = Sparql.run(lists,
+      """PREFIX ex: <http://ex/>
+        |SELECT ?s ?a ?c WHERE { ?s ex:items ( ?a ?b ?c ) . }""".stripMargin)
+    assert(three.as[(String, String, String)].collect().toSeq ===
+      Seq(("http://ex/menu", "http://ex/soup", "http://ex/cake")))
+    // constants inside collections constrain the match
+    val one = Sparql.run(lists,
+      """PREFIX ex: <http://ex/>
+        |SELECT ?s WHERE { ?s ex:items ( ex:one ) . }""".stripMargin)
+    assert(one.as[String].collect().toSeq === Seq("http://ex/short"))
+    // the empty collection is the rdf:nil constant
+    val none = Sparql.run(lists,
+      """PREFIX ex: <http://ex/>
+        |SELECT ?s WHERE { ?s ex:items ( ) . }""".stripMargin)
+    assert(none.as[String].collect().toSeq === Seq("http://ex/none"))
+    // a subject-position collection standing alone: its chain IS the
+    // pattern set (grammar 75's TriplesNode with empty property list)
+    val heads = Sparql.run(lists,
+      """SELECT ?x WHERE { ( ?x ) . }""")
+    assert(heads.as[String].collect().toSet ===
+      Set("http://ex/cake", "http://ex/one"))
+    // nested collections recurse; the blank-node cells stay
+    // non-projectable (dropped from SELECT *)
+    val nested = Turtle.parseDoc(
+      "@prefix e: <http://e/> . e:s e:l ( ( e:a ) e:b ) .", "n")
+      .map(r => (r.s, r.p, r.o)).toDF("s", "p", "o")
+    val star = Sparql.run(nested,
+      """PREFIX e: <http://e/>
+        |SELECT * WHERE { ?s e:l ( ( ?inner ) ?flat ) . }""".stripMargin)
+    assert(star.columns.toSet === Set("s", "inner", "flat"))
+    assert(star.select("s", "inner", "flat")
+      .as[(String, String, String)].collect().toSeq ===
+      Seq(("http://e/s", "http://e/a", "http://e/b")))
+  }
+
   test("out-of-fragment constructs are rejected, not mis-run") {
     intercept[IllegalArgumentException](
       Sparql.parse("SELECT ?x WHERE { }"))
@@ -1105,11 +1151,79 @@ class SparqlSpec extends SparkSpec {
       """SELECT ?g WHERE { GRAPH ?g { <a> <p>+ ?y . } }""")
     assert(pathOnly.select("g").distinct().as[String].collect().toSeq ===
       Seq("g1"))
-    // subqueries under GRAPH ?var stay a loud error
-    intercept[IllegalArgumentException](Sparql.parse(
-      """SELECT ?c WHERE {
-        |  GRAPH ?g { { SELECT ?c WHERE { ?c <p> ?s . } } }
+  }
+
+  test("subqueries under GRAPH ?var correlate by the active graph") {
+    val quads = Seq(
+      ("a", "p", "b", "g1"), ("a", "p", "c", "g1"), ("x", "p", "y", "g1"),
+      ("a", "p", "b", "g2"),
+      ("a", "tagged", "t1", "g1"), ("x", "tagged", "t2", "g1"),
+      ("a", "tagged", "t3", "g2"),
+      ("a", "tag", "d", "")).toDF("s", "p", "o", "g")
+    // a global aggregate under GRAPH ?g IS a per-graph aggregate:
+    // eval(GRAPH ?g P) runs P once per named graph
+    val agg = Sparql.runQuads(quads,
+      """SELECT ?g ?n WHERE {
+        |  GRAPH ?g { { SELECT (COUNT(?s) AS ?n) WHERE { ?s <p> ?o . } } }
+        |} ORDER BY ?g""".stripMargin)
+    assert(agg.as[(String, String)].collect().toSeq ===
+      Seq(("g1", "3"), ("g2", "1")))
+    // the user-visible correlated form: ?g projected and grouped inside
+    val aggG = Sparql.runQuads(quads,
+      """SELECT ?g ?n WHERE {
+        |  GRAPH ?g { { SELECT ?g (COUNT(?s) AS ?n)
+        |               WHERE { ?s <p> ?o . } GROUP BY ?g } }
+        |} ORDER BY ?g""".stripMargin)
+    assert(aggG.as[(String, String)].collect().toSeq ===
+      Seq(("g1", "3"), ("g2", "1")))
+    // the subquery joins the outer anchor per graph — g1's count lands
+    // on g1's tagged subjects, g2's on g2's
+    val joined = Sparql.runQuads(quads,
+      """SELECT ?g ?s ?n WHERE {
+        |  GRAPH ?g { ?s <tagged> ?t .
+        |             { SELECT (COUNT(?x) AS ?n) WHERE { ?x <p> ?o . } } }
+        |} ORDER BY ?g ?s""".stripMargin)
+    assert(joined.as[(String, String, String)].collect().toSeq === Seq(
+      ("g1", "a", "3"), ("g1", "x", "3"), ("g2", "a", "1")))
+    // a plain (non-aggregating) subquery: binds per graph, joins on the
+    // shared variable AND the active graph — x is tagged only in g1, so
+    // g2's <p> subjects never pick it up
+    val plain = Sparql.runQuads(quads,
+      """SELECT ?g ?s WHERE {
+        |  GRAPH ?g { ?s <p> ?o .
+        |             { SELECT ?s WHERE { ?s <tagged> ?t . } } }
+        |} ORDER BY ?g ?s""".stripMargin)
+    assert(plain.distinct().orderBy($"g", $"s")
+      .as[(String, String)].collect().toSeq ===
+      Seq(("g1", "a"), ("g1", "x"), ("g2", "a")))
+    // the ENCODED engine agrees on every shape
+    val dict = Dictionary.buildQuads(spark, quads)
+    val enc = Dictionary.encodeQuads(quads, dict)
+    for (q <- Seq(
+      """SELECT ?g ?n WHERE {
+        |  GRAPH ?g { { SELECT (COUNT(?s) AS ?n) WHERE { ?s <p> ?o . } } }
+        |} ORDER BY ?g""".stripMargin,
+      """SELECT ?g ?s ?n WHERE {
+        |  GRAPH ?g { ?s <tagged> ?t .
+        |             { SELECT (COUNT(?x) AS ?n) WHERE { ?x <p> ?o . } } }
+        |} ORDER BY ?g ?s""".stripMargin)) {
+      assert(Sparql.runQuadsEncoded(enc, dict, q).collect().toSeq ===
+        Sparql.runQuads(quads, q).collect().toSeq, s"encoded diverged: $q")
+    }
+    // LIMIT/OFFSET inside would need per-graph application — loud
+    val boom = intercept[IllegalArgumentException](Sparql.runQuads(quads,
+      """SELECT ?g ?s WHERE {
+        |  GRAPH ?g { { SELECT ?s WHERE { ?s <p> ?o . } LIMIT 1 } }
         |}""".stripMargin))
+    assert(boom.getMessage.contains("per-graph"))
+    // a subquery alone anchors ?g (no extra triple needed)
+    val alone = Sparql.runQuads(quads,
+      """SELECT ?g ?s WHERE {
+        |  GRAPH ?g { { SELECT ?s WHERE { ?s <tagged> ?t . } } }
+        |} ORDER BY ?g ?s""".stripMargin)
+    assert(alone.distinct().orderBy($"g", $"s")
+      .as[(String, String)].collect().toSeq ===
+      Seq(("g1", "a"), ("g1", "x"), ("g2", "a")))
   }
 
   test("encoded quads engine ≡ string engine across dataset features") {
@@ -1149,6 +1263,20 @@ class SparqlSpec extends SparkSpec {
     both("""SELECT ?g (COUNT(?o) AS ?n) WHERE {
            |  GRAPH ?g { ?o <orderstatus> "F" . }
            |} GROUP BY ?g""".stripMargin)
+    // SERVICE federation from the encoded quads engine: the endpoint
+    // body solves string-space and joins on decoded bindings
+    val ep = Map("graft://names" -> quads
+      .filter($"g" === "" && $"p" === "name").select("s", "p", "o"))
+    val fedText =
+      """SELECT ?c ?nat ?nn WHERE {
+        |  GRAPH <g:customer> { ?c <mktsegment> "BUILDING" .
+        |                       ?c <nation> ?nat . }
+        |  SERVICE <graft://names> { ?nat <name> ?nn . }
+        |}""".stripMargin
+    val fedS = Sparql.runQuads(quads, fedText, endpoints = ep)
+    val fedE = Sparql.runQuadsEncoded(enc, dict, fedText, endpoints = ep)
+    assert(fedS.count() > 0 && fedS.exceptAll(fedE).count() === 0 &&
+      fedE.exceptAll(fedS).count() === 0)
     // NESTED GRAPH: a var-graph body chaining into a constant-graph block
     both("""SELECT ?g ?ord ?cust ?seg WHERE {
            |  GRAPH ?g { ?ord <custkey> ?cust .
@@ -1282,9 +1410,28 @@ class SparqlSpec extends SparkSpec {
       """SELECT ?ep ?s WHERE {
         |  SERVICE ?ep { GRAPH ?g { ?s <flag> ?f . } }
         |}""".stripMargin, endpoints = mixedEps).collect())
-    // SERVICE on the encoded path is rejected, not silently mis-run
+    // SERVICE federates from the ENCODED engine too: the endpoint body
+    // solves in string space (its terms are not in this store's
+    // dictionary) and joins on the decoded bindings — encoded ≡ string
+    // on every federation shape above
     val dict = Dictionary.build(spark, local)
     val enc = Dictionary.encode(local, dict)
+    val fedQ =
+      """SELECT ?s ?k ?v WHERE { ?s <kind> ?k .
+        |SERVICE <graft://remote> { ?s <score> ?v . } }
+        |ORDER BY ?s""".stripMargin
+    assert(Sparql.runEncoded(enc, dict, fedQ, endpoints = eps)
+      .collect().toSeq ===
+      Sparql.run(local, fedQ, endpoints = eps).collect().toSeq)
+    val fedVar =
+      """SELECT ?ep ?s ?v WHERE {
+        |  ?s <kind> ?k .
+        |  SERVICE ?ep { ?s <score> ?v . }
+        |} ORDER BY ?ep ?s""".stripMargin
+    assert(Sparql.runEncoded(enc, dict, fedVar, endpoints = twoEps)
+      .collect().toSeq ===
+      Sparql.run(local, fedVar, endpoints = twoEps).collect().toSeq)
+    // without a registry the error stays loud (unregistered endpoint)
     intercept[IllegalArgumentException](Sparql.runEncoded(enc, dict,
       """SELECT ?s WHERE { ?s <kind> ?k .
         |SERVICE <graft://remote> { ?s <score> ?v . } }""".stripMargin))
@@ -1820,16 +1967,16 @@ class SparqlSpec extends SparkSpec {
       """SELECT ?o WHERE { GRAPH <g:orders> { ?o <orderstatus> "F" .
         |  MINUS { ?o <orderpriority> "1-URGENT" . } } }""".stripMargin)
     assert(minusIn.count() === fOrders.count() && minusIn.count() > 0)
-    // paths inside GRAPH ?var parse (behavior tested in "property paths
-    // inside GRAPH ?var"); subqueries stay loud parse errors
+    // paths and subqueries inside GRAPH ?var parse (behavior tested in
+    // "property paths inside GRAPH ?var" / "subqueries under GRAPH ?var")
     Sparql.parse(
       """SELECT ?c WHERE {
         |  GRAPH ?g { ?c <p>+ ?s . }
         |}""".stripMargin)
-    intercept[IllegalArgumentException](Sparql.parse(
+    Sparql.parse(
       """SELECT ?c WHERE {
         |  GRAPH ?g { { SELECT ?c WHERE { ?c <p> ?s . } } ?c <q> ?t . }
-        |}""".stripMargin))
+        |}""".stripMargin)
     // nested GRAPH parses (behavior tested in "nested GRAPH blocks
     // re-scope the active graph")
     Sparql.parse(

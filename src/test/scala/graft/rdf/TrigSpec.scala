@@ -65,7 +65,11 @@ class TrigSpec extends SparkSpec {
       Trig.parseDoc("<g> { <a> <b> <c> ."))
     // Turtle-level errors inside blocks keep their offsets/messages
     intercept[IllegalArgumentException](
-      Trig.parseDoc("<g> { <a> <b> ( <c> ) . }"))
+      Trig.parseDoc("<g> { <a> <b> \"unterminated . }"))
+    // collections inside graph blocks desugar like anywhere else
+    val coll = Trig.parseDoc("<g> { <a> <b> ( <c> ) . }", "t")
+    assert(coll.exists(r => r.g == "g" &&
+      r.p.endsWith("rdf-syntax-ns#first") && r.o == "c"))
   }
 
   test("write → read round-trips escapes and mixed graphs") {

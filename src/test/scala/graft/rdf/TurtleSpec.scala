@@ -94,13 +94,13 @@ class TurtleSpec extends SparkSpec {
 
   test("parseDoc rejects out-of-fragment syntax loudly") {
     intercept[IllegalArgumentException](
-      Turtle.parseDoc("@base <http://ex/> ."))
-    intercept[IllegalArgumentException](
-      Turtle.parseDoc("@prefix ex: <http://ex/> . ex:a ex:list (1 2) ."))
-    intercept[IllegalArgumentException](
       Turtle.parseDoc("nope:a <http://p> \"x\" ."))
     intercept[IllegalArgumentException](
       Turtle.parseDoc("<http://s> <http://p> \"unterminated ."))
+    intercept[IllegalArgumentException](
+      Turtle.parseDoc("<http://s> <http://p> ( \"open list\" ."))
+    intercept[IllegalArgumentException](
+      Turtle.parseDoc("@unknown <http://ex/> ."))
   }
 
   test("distributed read round-trips through the N-Triples writer") {
@@ -137,6 +137,97 @@ class TurtleSpec extends SparkSpec {
       .as[(String, String, String)].collect().toSet
     assert(back === typed.select("s", "p", "o")
       .as[(String, String, String)].collect().toSet)
+  }
+
+  test("RFC 3986 reference resolution: the spec's own examples") {
+    val base = "http://a/b/c/d;p?q"
+    // §5.4.1 normal examples
+    val normal = Seq(
+      "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g",
+      "//g" -> "http://g", "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y", "#s" -> "http://a/b/c/d;p?q#s",
+      "g#s" -> "http://a/b/c/g#s", "g?y#s" -> "http://a/b/c/g?y#s",
+      ";x" -> "http://a/b/c/;x", "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y#s", "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/", "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/", "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g", "../.." -> "http://a/",
+      "../../" -> "http://a/", "../../g" -> "http://a/g")
+    // §5.4.2 abnormal examples (the dot-segment edge cases)
+    val abnormal = Seq(
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "http:g" -> "http:g")
+    (normal ++ abnormal).foreach { case (ref, want) =>
+      assert(Turtle.resolveIri(base, ref) === want, s"ref '$ref'")
+    }
+    // non-ASCII survives (the reason java.net.URI is not used)
+    assert(Turtle.resolveIri("http://ex/café/", "ñ#frag")
+      === "http://ex/café/ñ#frag")
+  }
+
+  test("@base scopes the document; relative IRIs resolve; re-basing works") {
+    val doc =
+      """@base <http://ex.org/data/> .
+        |<alpha> <rel/p> <../top> .
+        |BASE <other/>
+        |<beta> <p2> "x" .
+        |""".stripMargin
+    val rows = Turtle.parseDoc(doc).map(r => (r.s, r.p, r.o)).toSet
+    assert(rows === Set(
+      ("http://ex.org/data/alpha", "http://ex.org/data/rel/p",
+        "http://ex.org/top"),
+      // the SPARQL-style bare BASE re-bases RELATIVE to the earlier base
+      ("http://ex.org/data/other/beta", "http://ex.org/data/other/p2", "x")))
+    // no base in scope → refs stay verbatim (the engine's plain-lexical
+    // convention; its own exports write bare `<name>` predicates)
+    assert(Turtle.parseDoc("<rel> <p> <o> .").map(r => (r.s, r.p, r.o))
+      === Seq(("rel", "p", "o")))
+  }
+
+  test("RDF collections desugar to first/rest/nil chains") {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val doc =
+      """@prefix ex: <http://ex/> .
+        |ex:s ex:list ( ex:a "two" 3 ) .
+        |ex:t ex:empty ( ) .
+        |( ex:x ) ex:tag "headstmt" .
+        |""".stripMargin
+    val rows = Turtle.parseDoc(doc, "t")
+    val bySP = rows.map(r => (r.s, r.p) -> r).toMap
+    // non-empty list: head cell chains through rest to nil, in order
+    val head = rows.find(r => r.p == "http://ex/list").get
+    assert(!head.o_is_iri && head.o.startsWith("_:bt_"))
+    val c1 = head.o
+    assert(bySP((c1, rdf + "first")).o === "http://ex/a")
+    val c2 = bySP((c1, rdf + "rest")).o
+    assert(bySP((c2, rdf + "first")).o === "two")
+    val c3 = bySP((c2, rdf + "rest")).o
+    assert(bySP((c3, rdf + "first")).o === "3")
+    assert(bySP((c3, rdf + "first")).o_datatype.endsWith("integer"))
+    val nil = bySP((c3, rdf + "rest"))
+    assert(nil.o === rdf + "nil" && nil.o_is_iri)
+    // the empty collection IS rdf:nil (an IRI, no cells)
+    val empty = rows.find(r => r.p == "http://ex/empty").get
+    assert(empty.o === rdf + "nil" && empty.o_is_iri)
+    // a collection as SUBJECT: the statement hangs off the head cell
+    val tag = rows.find(r => r.p == "http://ex/tag").get
+    assert(tag.o === "headstmt" && tag.s.startsWith("_:bt_"))
+    assert(bySP((tag.s, rdf + "first")).o === "http://ex/x")
+    assert(bySP((tag.s, rdf + "rest")).o === rdf + "nil")
+    // nested collections recurse
+    val nested = Turtle.parseDoc(
+      "@prefix e: <http://e/> . e:s e:l ( ( e:a ) e:b ) .", "n")
+    val inner = nested.filter(r => r.p == rdf + "first")
+    assert(inner.map(_.o).toSet.contains("http://e/a"))
+    assert(nested.count(_.p == rdf + "rest") === 3)
   }
 
   test("termStrings feeds the SPARQL term introspection built-ins") {

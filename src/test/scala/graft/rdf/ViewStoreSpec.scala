@@ -246,6 +246,80 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("persisted aggregate view: maintained from view segments alone") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s7").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v7").toString
+    val aggRoot = java.nio.file.Files.createTempDirectory("vs_a7").toString
+    val g = "g:x"
+    QuadStore.init(Seq(
+      ("c1", "name", "alice", g), ("c1", "nat", "de", g),
+      ("c2", "name", "bob", g), ("c2", "nat", "de", g),
+      ("c3", "name", "carol", g), ("c3", "nat", "fr", g))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    val pats = Seq(TP(V("c"), C("name"), V("n")), TP(V("c"), C("nat"), V("nat")))
+    ViewStore.create(spark, storeRoot, viewRoot, pats, g)
+    ViewStore.createAgg(spark, viewRoot, aggRoot, Seq("nat"), countCol = "cnt")
+    assert(ViewStore.definitionAgg(aggRoot) === ((Seq("nat"), "cnt")))
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+      Set(Seq(2L, "de"), Seq(1L, "fr")))
+
+    // churn round 1: a member joins de, carol leaves fr (group nets to 0)
+    QuadStore.update(spark, storeRoot,
+      s"""INSERT DATA { GRAPH <$g> { <c4> <name> "dan" . <c4> <nat> "de" . } } ;
+         |DELETE DATA { GRAPH <$g> { <c3> <nat> "fr" . } }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+    // churn round 2: fr returns with one member
+    QuadStore.update(spark, storeRoot,
+      s"""INSERT DATA { GRAPH <$g> { <c5> <name> "eve" . <c5> <nat> "fr" . } }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+
+    // the summary is maintained OFF SEGMENTS ALONE: deleting the binding
+    // view's BASE snapshot breaks read()/readCounts(), but the persisted
+    // summary neither notices nor refolds — the whole point of the
+    // artifact (a dashboard over a corpus-sized view never touches it)
+    val baseName = graft.sources.AtomicStore.list(viewRoot)
+      .map(_.getPath.getName).filter(_.startsWith("b")).min
+    graft.sources.AtomicStore.delete(s"$viewRoot/$baseName")
+    intercept[Exception](ViewStore.read(spark, viewRoot).collect())
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+      Set(Seq(3L, "de"), Seq(1L, "fr")),
+      "summary must land on the GROUP BY oracle off segments alone")
+
+    // replayed syncAgg is a no-op; compaction folds and keeps the answer
+    assert(ViewStore.syncAgg(spark, viewRoot, aggRoot) ===
+      ViewStore.lastSynced(viewRoot))
+    val before = rowSet(ViewStore.readAgg(spark, aggRoot))
+    ViewStore.compactAgg(spark, aggRoot)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === before)
+    assert(graft.sources.AtomicStore.list(aggRoot)
+      .map(_.getPath.getName).count(_.startsWith("s")) === 0)
+
+    // retention contract: compacting the VIEW past the summary's
+    // coverage makes the next syncAgg loud, never silently stale
+    QuadStore.update(spark, storeRoot,
+      s"""DELETE DATA { GRAPH <$g> { <c5> <nat> "fr" . } }""")
+    // restore a readable view base first (the earlier delete broke read)
+    // by re-creating the view at the store head, then advancing past it
+    rmTree(new java.io.File(viewRoot))
+    ViewStore.create(spark, storeRoot, viewRoot, pats, g)
+    QuadStore.update(spark, storeRoot,
+      s"""INSERT DATA { GRAPH <$g> { <c6> <name> "fin" . <c6> <nat> "fi" . } }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    val agg2 = java.nio.file.Files.createTempDirectory("vs_a7b").toString
+    ViewStore.createAgg(spark, viewRoot, agg2, Seq("nat"), countCol = "cnt")
+    QuadStore.update(spark, storeRoot,
+      s"""INSERT DATA { GRAPH <$g> { <c7> <name> "gus" . <c7> <nat> "fi" . } }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.compact(spark, viewRoot) // drops the segment syncAgg needs
+    val boom = intercept[IllegalArgumentException](
+      ViewStore.syncAgg(spark, viewRoot, agg2))
+    assert(boom.getMessage.contains("compacted past"), boom.getMessage)
+    Seq(storeRoot, viewRoot, aggRoot, agg2).foreach(p =>
+      rmTree(new java.io.File(p)))
+  }
+
   test("a chain gap is rejected loudly, not silently mis-served") {
     val storeRoot = java.nio.file.Files.createTempDirectory("vs_s5").toString
     val viewRoot = java.nio.file.Files.createTempDirectory("vs_v5").toString
