@@ -239,13 +239,30 @@ object Dedup {
 
   /** LSH banding: docs agreeing on any band's row-slice become candidates.
     * Join is equi on (band, bucket-hash) — no cross product.
-    */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
+    *
+    * Skew: a HOT bucket (n docs sharing one (band, bh)) emits n²/2 pairs
+    * — correct but quadratic in the bucket width. The shuffle side is
+    * equi-keyed, so AQE's skew-join split handles partition imbalance at
+    * cluster scale; the OUTPUT blowup is the real hazard, and
+    * `maxBucket > 0` bounds it by dropping buckets wider than the cap.
+    * That is the standard production guard: a bucket that wide means
+    * near-identical mass, which the pipeline's EXACT dedup stage (run
+    * first — [[exact]]) already collapses, so the cap costs recall only
+    * on corpora that skipped exact dedup. Off (0) by default: the oracle
+    * paths stay exhaustive. DedupSpec's adversarial-skew case measures
+    * both modes. */
+  def candidatePairs(sigs: DataFrame, maxBucket: Int = 0): DataFrame = {
     val banded = sigs.select(col("doc_id"), posexplode(
       expr(s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(b, slice(sig, b * $Rows + 1, $Rows)))"))
       .as(Seq("band", "bh")))
-    banded.as("a")
-      .join(banded.as("b"),
+    val limited =
+      if (maxBucket <= 0) banded
+      else banded.join(
+        banded.groupBy("band", "bh").agg(count(lit(1)).as("__bw"))
+          .filter(col("__bw") <= maxBucket).drop("__bw"),
+        Seq("band", "bh"), "left_semi")
+    limited.as("a")
+      .join(limited.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -67,22 +67,39 @@ object Endpoint {
     * returns (media type, response body). ASK uses the boolean
     * results-json/xml forms (CSV/TSV are defined for SELECT only —
     * loud error, per the spec's scope); CONSTRUCT/DESCRIBE return an
-    * RDF GRAPH and serialize as N-Triples. */
+    * RDF GRAPH and serialize as N-Triples.
+    *
+    * `defaultGraphUris` / `namedGraphUris` are the protocol's
+    * `default-graph-uri` / `named-graph-uri` request parameters
+    * (§2.1.4): when EITHER is supplied they define the dataset — the
+    * default graph is the RDF merge of the `default-graph-uri` slices,
+    * GRAPH ranges over exactly the `named-graph-uri` set — and take
+    * precedence over the query's own FROM / FROM NAMED clauses. */
   def query(spark: SparkSession, root: String, text: String,
       accept: String = "",
       endpoints: Map[String, DataFrame] = Map.empty,
-      maxRows: Int = 100000): (String, String) =
+      maxRows: Int = 100000,
+      defaultGraphUris: Seq[String] = Nil,
+      namedGraphUris: Seq[String] = Nil): (String, String) =
     respond(Sparql.parse(text),
-      QuadStore.query(spark, root, text, endpoints), accept, maxRows)
+      QuadStore.query(spark, root, text, endpoints,
+        protocolDataset(defaultGraphUris, namedGraphUris)), accept, maxRows)
 
   /** [[query]] against a PINNED store version — repeatable reads. */
   def queryVersion(spark: SparkSession, root: String, v: Int, text: String,
       accept: String = "",
       endpoints: Map[String, DataFrame] = Map.empty,
-      maxRows: Int = 100000): (String, String) =
+      maxRows: Int = 100000,
+      defaultGraphUris: Seq[String] = Nil,
+      namedGraphUris: Seq[String] = Nil): (String, String) =
     respond(Sparql.parse(text),
-      QuadStore.queryVersion(spark, root, v, text, endpoints), accept,
+      QuadStore.queryVersion(spark, root, v, text, endpoints,
+        protocolDataset(defaultGraphUris, namedGraphUris)), accept,
       maxRows)
+
+  private def protocolDataset(dgs: Seq[String],
+      ngs: Seq[String]): Option[(Seq[String], Seq[String])] =
+    if (dgs.isEmpty && ngs.isEmpty) None else Some((dgs, ngs))
 
   private def respond(parsed: Sparql.Query, df: DataFrame, accept: String,
       maxRows: Int): (String, String) =

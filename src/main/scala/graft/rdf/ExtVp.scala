@@ -119,6 +119,77 @@ object ExtVp {
         group.sortBy { case ((_, q, _), s) => (s, q) }.take(maxPartners)
       }
 
+  /** Maintain a store under a net `(adds, dels)` triple change feed —
+    * the [[QuadStore.changes]] consumer, closing the round-6 gap of
+    * full-rebuild-only ExtVP. Both structures advance incrementally:
+    *
+    *  - VP[p]: deleted rows leave by an anti-join against the BROADCAST
+    *    delta slice, added rows union on — the table is scanned, never
+    *    shuffled.
+    *  - each kept reduction ExtVP_kind[p|q] = VP[p] ⋉ K(q) advances by
+    *    the semi-join delta rule. With survivors = VP[p] ∖ dels_p and
+    *    K_new = K_old ∖ removedKeys ∪ addedKeys:
+    *      new = old ∖ dels_p ∖ (rows keyed by removedKeys)
+    *            ∪ (adds_p ⋉ K_new) ∪ (survivors ⋉ addedKeys)
+    *    removedKeys/addedKeys derive from the DELTA's distinct keys
+    *    checked against the partner VP (a key leaves only when its last
+    *    q-row does), so both are delta-sized and broadcast into the
+    *    anti/semi joins; only pairs whose p or q actually changed do any
+    *    work at all.
+    *
+    * The reduction CHOICE — which (p,q,kind) pairs are materialized,
+    * S2RDF's selectivity-threshold policy — is an ingest-time decision
+    * and stays FIXED here (a drifted selectivity makes a reduction less
+    * profitable, never wrong); refresh it at rebuild/compaction cadence.
+    * Predicates first seen in `adds` get VP tables (no reductions until
+    * the next rebuild); `sel` is retained as the scan-ordering hint it
+    * is. ExtVpSpec pins maintained ≡ rebuilt on the solve surface. */
+  def maintain(store: Store, adds: DataFrame, dels: DataFrame): Store = {
+    import adds.sparkSession.implicits._
+    val touched = (adds.select("p").distinct().as[String].collect() ++
+      dels.select("p").distinct().as[String].collect()).toSet
+    def slice(df: DataFrame, p: String): DataFrame =
+      df.filter(col("p") === p).select("s", "o")
+    def minus(base: DataFrame, d: DataFrame): DataFrame =
+      base.join(broadcast(d), Seq("s", "o"), "left_anti")
+    val vp = store.vp.map { case (p, df) =>
+      p -> (if (!touched(p)) df
+            else graft.Materialize(
+              minus(df, slice(dels, p)).unionByName(slice(adds, p))))
+    } ++ (touched -- store.vp.keySet).map { p =>
+      // a brand-new predicate: its VP is just its added rows
+      p -> graft.Materialize(slice(adds, p))
+    }
+    val red = store.red.map { case (k @ (p, q, kind), old) =>
+      if (!touched(p) && !touched(q)) k -> old
+      else {
+        val (leftKey, rightKey) = kind match {
+          case "SS" => ("s", "s")
+          case "SO" => ("s", "o")
+          case "OS" => ("o", "s")
+        }
+        def keysOf(df: DataFrame): DataFrame =
+          df.select(col(rightKey).as(leftKey)).distinct()
+        // delta-derived partner-key movements: a key is removed iff no
+        // q-row carries it anymore; added iff none did before
+        val removedKeys = keysOf(slice(dels, q))
+          .join(keysOf(vp(q)), Seq(leftKey), "left_anti")
+        val addedKeys = keysOf(slice(adds, q))
+          .join(keysOf(store.vp(q)), Seq(leftKey), "left_anti")
+        val survivors = minus(store.vp(p), slice(dels, p))
+        val kept = minus(old, slice(dels, p))
+          .join(broadcast(removedKeys), Seq(leftKey), "left_anti")
+        val fromAdds = slice(adds, p)
+          .join(keysOf(vp(q)), Seq(leftKey), "left_semi")
+        val fromNewKeys = survivors
+          .join(broadcast(addedKeys), Seq(leftKey), "left_semi")
+        k -> graft.Materialize(
+          kept.unionByName(fromAdds).unionByName(fromNewKeys))
+      }
+    }
+    Store(vp, red, store.sel)
+  }
+
   /** Solve a constant-predicate BGP over the store: each pattern scans
     * the LOWEST-selectivity reduction its join partners admit (its VP
     * table when none survives the threshold), then the ordinary solved

@@ -179,6 +179,30 @@ object RdfOps extends QueryModule {
         .orderBy(col("ord"))
     }),
 
+    // Incrementally MAINTAINED ExtVP in the gate: the store bootstraps
+    // over a churned state (BUILDING segment rows swapped for PHANTOM),
+    // then two ExtVp.maintain rounds (adds restore BUILDING, dels drop
+    // the phantoms) land it exactly on the canonical triples — VP tables
+    // and semi-join reductions advance by the delta rule, never rebuilt —
+    // and the solve must equal q_bgp_extvp's chain oracle.
+    "q_bgp_extvp_ivm" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val adds = t.filter(col("p") === "mktsegment" && col("o") === "BUILDING")
+      val phantom = adds.withColumn("o", lit("PHANTOM"))
+      val old = graft.Materialize(t.exceptAll(adds).unionByName(phantom))
+      val none = t.limit(0)
+      val st1 = ExtVp.maintain(ExtVp.build(old), adds, none)
+      val st2 = ExtVp.maintain(st1, none, phantom)
+      // `old` stays materialized: untouched VP frames and the lazily
+      // computed reductions still read through it (q_bgp_ivm precedent)
+      ExtVp.solve(st2, Seq(
+        TP(V("ord"), C("custkey"), V("cust")),
+        TP(V("ord"), C("orderpriority"), C("1-URGENT")),
+        TP(V("cust"), C("mktsegment"), V("seg")),
+        TP(V("cust"), C("name"), V("cname"))))
+        .orderBy(col("ord"))
+    }),
+
     // The reference's ACTUAL execution model (SURVEY.md §3.3): terms are
     // dictionary-encoded once at load (TripleStore.encodedFor persists the
     // dict + id-triples per dataset), the whole join tree runs over 8-byte
@@ -259,6 +283,40 @@ object RdfOps extends QueryModule {
       ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
       QuadStore.vacuumIfDeep(store, keep = 2): Unit
       ViewStore.read(s, view).orderBy(col("cust"))
+    }),
+
+    // The PERSISTED aggregate view in the gate: store → binding view →
+    // summary, each with its own segment lifecycle. The summary
+    // bootstraps BEFORE the churn, so the updates flow store → view
+    // segments → ONE net-count summary segment (syncAgg) — the summary
+    // never refolds the binding view; compaction runs agg-after-view so
+    // the retention contract (syncAgg before compact(view)) holds.
+    "q_bgp_agg_store" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_av_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_av_" +
+        graft.sources.AtomicStore.key(d)
+      val agg = s"${sys.props("java.io.tmpdir")}/graft_agg_av_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      val pats = Seq(TP(V("cust"), C("mktsegment"), C("BUILDING")),
+        TP(V("cust"), C("nation"), V("nat")))
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.create(s, store, view, pats, "g:customer"): Unit
+      if (ViewStore.lastSynced(agg) == 0)
+        ViewStore.createAgg(s, view, agg, Seq("nat"), countCol = "cnt"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <mktsegment> "BUILDING" . <c:zz1> <nation> "n:0" . } }"""
+          .stripMargin)
+      QuadStore.update(s, store,
+        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.syncAgg(s, view, agg): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      ViewStore.compactAggIfDeep(s, agg, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.readAgg(s, agg).orderBy(col("nat"))
     }),
 
     // Aggregate-IVM in the gate: the grouped summary (BUILDING customers
@@ -1824,6 +1882,31 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
         |  AND t3.p = 'nation' AND t1.s = t2.s AND t1.s = t3.s
         |GROUP BY nat ORDER BY nat""".stripMargin),
+
+    // the persisted summary after the churn: c:zz1 joins n:0's group,
+    // c:1 leaves its group — recomputed directly over the updated slice
+    "q_bgp_agg_store" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |${QUADS}
+        |  ) q WHERE q.g = 'g:customer'
+        |    AND NOT (q.s = 'c:1' AND q.p = 'mktsegment')
+        |  UNION ALL SELECT 'c:zz1', 'mktsegment', 'BUILDING'
+        |  UNION ALL SELECT 'c:zz1', 'nation', 'n:0')
+        |SELECT t2.o AS nat, CAST(count(*) AS BIGINT) AS cnt
+        |FROM cq t1, cq t2
+        |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
+        |  AND t2.p = 'nation' AND t1.s = t2.s
+        |GROUP BY nat ORDER BY nat""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
+    "q_bgp_extvp_ivm" -> cte(
+      """SELECT t1.s AS ord, t1.o AS cust, t3.o AS seg, t4.o AS cname
+        |FROM triples t1, triples t2, triples t3, triples t4
+        |WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT'
+        |  AND t3.p = 'mktsegment' AND t4.p = 'name'
+        |  AND t1.s = t2.s AND t1.o = t3.s AND t1.o = t4.s
+        |ORDER BY ord""".stripMargin),
 
     // CSV cells are lexical forms — strings on both sides
     "q_sparql_endpoint" -> cte(

@@ -409,24 +409,32 @@ object Sparql {
     * graphs ([[Quads.solveGraphBlock]]). */
   def runQuads(quads: DataFrame, text: String,
       collapseStars: Boolean = false,
-      endpoints: Map[String, DataFrame] = Map.empty): DataFrame = {
+      endpoints: Map[String, DataFrame] = Map.empty,
+      protocolDataset: Option[(Seq[String], Seq[String])] = None)
+      : DataFrame = {
     val q = parse(text)
-    val hasDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
+    // SPARQL Protocol §2.1.4: a dataset given in the request
+    // (default-graph-uri*/named-graph-uri*) takes PRECEDENCE over the
+    // query's own FROM / FROM NAMED clauses
+    val (fromGraphs, fromNamed) = protocolDataset
+      .getOrElse((q.fromGraphs.toSeq, q.fromNamed.toSeq))
+    val hasDataset = protocolDataset.isDefined ||
+      fromGraphs.nonEmpty || fromNamed.nonEmpty
     // FROM <g>*: the default graph becomes the RDF MERGE of the named
     // slices — a set union, so multi-graph merges dedup (a graph is a set
     // of triples; one distinct, only when the clause is present)
     val dg =
       if (!hasDataset) Quads.defaultGraph(quads)
       else {
-        val merged = quads.filter(col("g").isin(q.fromGraphs: _*))
+        val merged = quads.filter(col("g").isin(fromGraphs: _*))
           .select("s", "p", "o")
-        if (q.fromGraphs.size > 1) merged.distinct() else merged
+        if (fromGraphs.size > 1) merged.distinct() else merged
       }
     // FROM NAMED <g>*: GRAPH blocks range over exactly that set (empty
     // when dataset clauses are present without FROM NAMED)
     val namedQuads =
       if (!hasDataset) quads
-      else quads.filter(col("g").isin(q.fromNamed: _*))
+      else quads.filter(col("g").isin(fromNamed: _*))
     def bgpOver(t: DataFrame)(pats: Seq[TP]): DataFrame =
       if (collapseStars) Bgp.solveStarCollapsed(t, pats) else Bgp.solve(t, pats)
     // SERVICE ignores the active graph (its dataset is the endpoint's), so

@@ -946,15 +946,19 @@ object QuadStore {
     * SERVICE federation, so one query can join this store against other
     * registered datasets. */
   def query(spark: SparkSession, root: String, text: String,
-      endpoints: Map[String, DataFrame] = Map.empty): DataFrame =
-    Sparql.runQuads(read(spark, root), text, endpoints = endpoints)
+      endpoints: Map[String, DataFrame] = Map.empty,
+      protocolDataset: Option[(Seq[String], Seq[String])] = None): DataFrame =
+    Sparql.runQuads(read(spark, root), text, endpoints = endpoints,
+      protocolDataset = protocolDataset)
 
   /** SPARQL over a PINNED version — repeatable time-travel reads: the
     * same query against v answers identically forever (until vacuum
     * drops v's supporting chain). */
   def queryVersion(spark: SparkSession, root: String, v: Int, text: String,
-      endpoints: Map[String, DataFrame] = Map.empty): DataFrame =
-    Sparql.runQuads(readVersion(spark, root, v), text, endpoints = endpoints)
+      endpoints: Map[String, DataFrame] = Map.empty,
+      protocolDataset: Option[(Seq[String], Seq[String])] = None): DataFrame =
+    Sparql.runQuads(readVersion(spark, root, v), text, endpoints = endpoints,
+      protocolDataset = protocolDataset)
 
   /** Net change between two pinned versions: `(adds, dels)` quad frames —
     * what a downstream consumer (an incremental index, a replica, a CDC

@@ -318,6 +318,35 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("adversarial skew: one hot LSH bucket — exact output, bounded time") {
+    // 800 IDENTICAL docs share every (band, bucket) → one hot bucket per
+    // band emitting C(800,2) = 319,600 pairs, against a unique-text
+    // background that shares nothing. The join stays equi-keyed on
+    // (band, bh) — the shape AQE's skew-join splits at cluster scale
+    // (local[4] spec data sits far under the 256 MB split threshold, so
+    // the assertion here is exact OUTPUT + bounded wall time, not plan
+    // shape). Measured locally: ~8 s for the hot corpus — the quadratic
+    // OUTPUT is the cost, the shuffle itself is balanced by banding.
+    val hotText = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val docs = ((0 until 800).map(d => (d.toLong, hotText)) ++
+      (800 until 1200).map(d =>
+        (d.toLong, (0 until 20).map(w => s"u${d}w$w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs).persist()
+    val sigs = Dedup.signatures(sh).persist()
+    val t0 = System.nanoTime()
+    val n = Dedup.candidatePairs(sigs).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === 800L * 799 / 2,
+      "hot bucket must yield exactly its pair set; background none")
+    assert(secs < 120, f"skewed band join took $secs%.1f s — runaway")
+    // the production guard: capping bucket width drops the degenerate
+    // bucket entirely (its mass is exact-dup territory — the pipeline
+    // runs Dedup.exact first), background buckets unaffected
+    assert(Dedup.candidatePairs(sigs, maxBucket = 100).count() === 0L)
+    sigs.unpersist(); sh.unpersist(): Unit
+  }
+
   test("hashed-span path ≡ text path; shuffle bytes drop") {
     // a corpus big enough that the shuffle-byte gap is unambiguous:
     // 120 docs × ~60 words, every third doc carries a 12-word boilerplate

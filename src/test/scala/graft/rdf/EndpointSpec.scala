@@ -14,6 +14,48 @@ class EndpointSpec extends SparkSpec {
     root
   }
 
+  test("protocol dataset parameters define the dataset and override FROM") {
+    val root = java.nio.file.Files.createTempDirectory("endpoint_ds").toString
+    QuadStore.init(Seq(
+      ("a", "p", "1", "g:one"), ("b", "p", "2", "g:two"),
+      ("c", "p", "3", "g:one"), ("d", "p", "0", ""))
+      .toDF("s", "p", "o", "g"), root)
+    def csvRows(body: String): Seq[String] = body.split("\r\n").toSeq.tail
+    // default-graph-uri: the listed slices BECOME the default graph
+    // (RDF merge), so a plain pattern matches them and nothing else
+    val (_, one) = Endpoint.query(spark, root,
+      "SELECT ?s WHERE { ?s <p> ?o . } ORDER BY ?s", accept = Endpoint.Csv,
+      defaultGraphUris = Seq("g:one"))
+    assert(csvRows(one) === Seq("a", "c"))
+    // two default slices merge
+    val (_, both) = Endpoint.query(spark, root,
+      "SELECT ?s WHERE { ?s <p> ?o . } ORDER BY ?s", accept = Endpoint.Csv,
+      defaultGraphUris = Seq("g:one", "g:two"))
+    assert(csvRows(both) === Seq("a", "b", "c"))
+    // named-graph-uri scopes GRAPH ?g to exactly that set — and giving
+    // ONLY named-graph-uri empties the default graph (the request
+    // defines the whole dataset)
+    val (_, named) = Endpoint.query(spark, root,
+      """SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o . } } ORDER BY ?s""",
+      accept = Endpoint.Csv, namedGraphUris = Seq("g:two"))
+    assert(csvRows(named) === Seq("g:two,b"))
+    val (_, noDefault) = Endpoint.query(spark, root,
+      "SELECT ?s WHERE { ?s <p> ?o . }", accept = Endpoint.Csv,
+      namedGraphUris = Seq("g:two"))
+    assert(csvRows(noDefault).isEmpty)
+    // §2.1.4 precedence: the request dataset OVERRIDES the query's FROM
+    val (_, overridden) = Endpoint.query(spark, root,
+      "SELECT ?s FROM <g:two> WHERE { ?s <p> ?o . } ORDER BY ?s",
+      accept = Endpoint.Csv, defaultGraphUris = Seq("g:one"))
+    assert(csvRows(overridden) === Seq("a", "c"),
+      "default-graph-uri must override FROM <g:two>")
+    // no parameters → the query's own clauses apply as before
+    val (_, fromOnly) = Endpoint.query(spark, root,
+      "SELECT ?s FROM <g:two> WHERE { ?s <p> ?o . }", accept = Endpoint.Csv)
+    assert(csvRows(fromOnly) === Seq("b"))
+    rmTree(new java.io.File(root))
+  }
+
   test("negotiation: q-order wins, q=0 excludes, */* defaults, 406 is loud") {
     assert(Endpoint.negotiate("") === Endpoint.Json)
     assert(Endpoint.negotiate("*/*") === Endpoint.Json)

@@ -122,6 +122,50 @@ class ExtVpSpec extends SparkSpec {
       .exceptAll(Sparql.run(triples, varP)).count() === 0)
   }
 
+  test("maintain: churned store ≡ rebuilt store on contents and solves") {
+    val t0 = graft.Materialize(Triples.build(spark, sf0001))
+    val store = ExtVp.build(t0, threshold = 0.9)
+    // churn: a new urgent order for a fresh customer (new chain rows), a
+    // deleted order (its custkey/priority rows leave), a new PREDICATE
+    val someOrd = t0.filter($"p" === "orderpriority" && $"o" === "1-URGENT")
+      .select("s").as[String].head()
+    val adds = Seq(
+      ("o:new1", "custkey", "c:new1"), ("o:new1", "orderpriority", "1-URGENT"),
+      ("c:new1", "mktsegment", "BUILDING"), ("c:new1", "name", "Customer#new1"),
+      ("c:new1", "vip", "yes")).toDF("s", "p", "o")
+    val dels = graft.Materialize(t0.filter($"s" === someOrd))
+    val t1 = graft.Materialize(
+      t0.join(dels, Seq("s", "p", "o"), "left_anti").unionByName(adds))
+    val maintained = ExtVp.maintain(store, adds, dels)
+    // VP tables: maintained ≡ recomputed slices (incl. the new predicate)
+    for (p <- Seq("custkey", "orderpriority", "mktsegment", "vip")) {
+      val want = t1.filter($"p" === p).select("s", "o")
+      val got = maintained.vp(p)
+      assert(got.exceptAll(want).count() === 0 &&
+        want.exceptAll(got).count() === 0, s"VP[$p] diverged")
+    }
+    // every kept reduction ≡ the definitional semi-join over t1
+    maintained.red.foreach { case ((p, q, kind), got) =>
+      val (lk, rk) = kind match {
+        case "SS" => ("s", "s"); case "SO" => ("s", "o"); case _ => ("o", "s")
+      }
+      val want = t1.filter($"p" === p).select("s", "o")
+        .join(t1.filter($"p" === q).select(col(rk).as(lk)).distinct(),
+          Seq(lk), "left_semi")
+      assert(got.exceptAll(want).count() === 0 &&
+        want.exceptAll(got).count() === 0, s"red[$p|$q,$kind] diverged")
+    }
+    // and the solve surface agrees with the plain engine over t1
+    val viaExt = ExtVp.solve(maintained, chain)
+    val viaBgp = Bgp.solve(t1, chain)
+    assert(viaExt.count() > 0)
+    assert(viaExt.exceptAll(viaBgp).count() === 0 &&
+      viaBgp.exceptAll(viaExt).count() === 0)
+    // untouched predicates keep their very frames (no recompute churn)
+    assert(maintained.vp("nationkey") eq store.vp("nationkey"))
+    Seq(t0, t1, dels).foreach(graft.Materialize.release)
+  }
+
   test("the persisted store round-trips and answers identically") {
     val st = ExtVp.forDataset(spark, sf0001)
     val viaDisk = ExtVp.solve(st, chain)
