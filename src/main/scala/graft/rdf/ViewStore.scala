@@ -492,6 +492,61 @@ object ViewStore {
       .filter(col(countCol) =!= 0L)
   }
 
+  /** The grouped-COUNT view fragment from SPARQL text:
+    * `SELECT ?g1 … (COUNT(*) AS ?n) WHERE { <conjunctive BGP> }
+    * GROUP BY ?g1 …` → (patterns, groupVars, count alias). The same
+    * conjunctive-only discipline as [[patternsFromSparql]]; beyond it,
+    * exactly ONE aggregate — COUNT(*) — is admitted (the self-
+    * maintainable summary [[syncAgg]] keeps; SUM-shaped summaries
+    * compose via [[graft.operators.IncrementalAgg]] on the view's
+    * delta), the GROUP BY variables must be pattern variables, and the
+    * projection must name exactly the group variables plus the alias. */
+  def aggPatternsFromSparql(text: String): (Seq[TP], Seq[String], String) = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view definitions are single-block SELECTs")
+    val b = q.branches.head
+    require(b.optionals.isEmpty && b.filters.isEmpty && b.minuses.isEmpty &&
+      b.values.isEmpty && b.binds.isEmpty && b.paths.isEmpty &&
+      b.exists.isEmpty && b.subqueries.isEmpty && b.graphs.isEmpty &&
+      b.unions.isEmpty && b.services.isEmpty && b.where.nonEmpty,
+      "a maintainable view body is a plain BGP — compose OPTIONAL/" +
+        "FILTER/UNION/paths downstream of the materialization")
+    require(!q.distinct && q.orderKeys.isEmpty && q.limit.isEmpty &&
+      q.offset.isEmpty && q.having.isEmpty && q.selectBinds.isEmpty,
+      "aggregate view definitions take no solution modifiers, HAVING " +
+        "or select expressions")
+    val alias = q.selectAggs match {
+      case Seq((a, Sparql.EAgg("COUNT", None, false, None, None))) => a
+      case _ => throw new IllegalArgumentException(
+        "aggregate views maintain grouped COUNT(*) — one " +
+          "`(COUNT(*) AS ?alias)`; other aggregates compose via " +
+          "IncrementalAgg on the view's delta")
+    }
+    require(q.groupVars.nonEmpty,
+      "aggregate view definitions need GROUP BY")
+    val vars = b.where.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case V(n) => n }.distinct
+    require(q.groupVars.forall(vars.contains),
+      s"GROUP BY variables must be pattern variables (${
+        q.groupVars.filterNot(vars.contains).mkString(", ")} are not)")
+    require(q.projection.toSet == (q.groupVars :+ alias).toSet,
+      "project exactly the GROUP BY variables plus the count alias")
+    (b.where, q.groupVars, alias)
+  }
+
+  /** The full store→view→summary pipeline from ONE SPARQL text
+    * ([[aggPatternsFromSparql]]'s fragment): creates the binding view
+    * AND its persisted summary; returns the bootstrapped version.
+    * Thereafter [[sync]] + [[syncAgg]] advance both incrementally. */
+  def createAggFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, aggRoot: String, text: String,
+      graph: String = ""): Int = {
+    val (pats, groupVars, countCol) = aggPatternsFromSparql(text)
+    create(spark, storeRoot, viewRoot, pats, graph): Unit
+    createAgg(spark, viewRoot, aggRoot, groupVars, countCol)
+  }
+
   /** [[compactIfDeep]] for the summary chain. */
   def compactAggIfDeep(spark: SparkSession, aggRoot: String,
       maxChain: Int = 8): Boolean =

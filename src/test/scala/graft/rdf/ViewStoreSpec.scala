@@ -320,6 +320,51 @@ class ViewStoreSpec extends SparkSpec {
       rmTree(new java.io.File(p)))
   }
 
+  test("aggregate views define from SPARQL text; the rest is loud") {
+    assert(ViewStore.aggPatternsFromSparql(
+      """SELECT ?nat (COUNT(*) AS ?cnt) WHERE {
+        |  ?c <seg> "B" . ?c <nat> ?nat . } GROUP BY ?nat""".stripMargin) ===
+      ((Seq(TP(V("c"), C("seg"), C("B")), TP(V("c"), C("nat"), V("nat"))),
+        Seq("nat"), "cnt")))
+    for (bad <- Seq(
+      // no GROUP BY
+      """SELECT (COUNT(*) AS ?n) WHERE { ?c <nat> ?nat . }""",
+      // non-COUNT aggregate
+      """SELECT ?nat (SUM(?x) AS ?n) WHERE { ?c <nat> ?nat . ?c <x> ?x . }
+        |GROUP BY ?nat""".stripMargin,
+      // projection must be groupVars + alias
+      """SELECT ?nat WHERE { ?c <nat> ?nat . } GROUP BY ?nat""",
+      // beyond the conjunctive fragment
+      """SELECT ?nat (COUNT(*) AS ?n) WHERE {
+        |  ?c <nat> ?nat . OPTIONAL { ?c <x> ?y . } } GROUP BY ?nat"""
+        .stripMargin,
+      // modifiers
+      """SELECT ?nat (COUNT(*) AS ?n) WHERE { ?c <nat> ?nat . }
+        |GROUP BY ?nat LIMIT 5""".stripMargin))
+      intercept[IllegalArgumentException](
+        ViewStore.aggPatternsFromSparql(bad))
+    // the one-call pipeline drives the real lifecycle
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s8").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v8").toString
+    val aggRoot = java.nio.file.Files.createTempDirectory("vs_a8").toString
+    QuadStore.init(Seq(
+      ("c1", "seg", "B", ""), ("c1", "nat", "de", ""),
+      ("c2", "seg", "B", ""), ("c2", "nat", "de", ""))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    ViewStore.createAggFromSparql(spark, storeRoot, viewRoot, aggRoot,
+      """SELECT ?nat (COUNT(*) AS ?cnt) WHERE {
+        |  ?c <seg> "B" . ?c <nat> ?nat . } GROUP BY ?nat""".stripMargin)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === Set(Seq(2L, "de")))
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <c3> <seg> "B" . <c3> <nat> "fr" . }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+      Set(Seq(2L, "de"), Seq(1L, "fr")))
+    Seq(storeRoot, viewRoot, aggRoot).foreach(p =>
+      rmTree(new java.io.File(p)))
+  }
+
   test("a chain gap is rejected loudly, not silently mis-served") {
     val storeRoot = java.nio.file.Files.createTempDirectory("vs_s5").toString
     val viewRoot = java.nio.file.Files.createTempDirectory("vs_v5").toString
