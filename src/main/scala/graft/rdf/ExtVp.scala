@@ -146,6 +146,9 @@ object ExtVp {
     * is. ExtVpSpec pins maintained ≡ rebuilt on the solve surface. */
   def maintain(store: Store, adds: DataFrame, dels: DataFrame): Store = {
     import adds.sparkSession.implicits._
+    // bounded collect: distinct predicates of the DELTA — vocabulary-
+    // sized (the same driver-scale quantity build() enumerates), never
+    // row data
     val touched = (adds.select("p").distinct().as[String].collect() ++
       dels.select("p").distinct().as[String].collect()).toSet
     def slice(df: DataFrame, p: String): DataFrame =

@@ -283,4 +283,22 @@ class PlanShapeSpec extends SparkSpec {
       "a base-shuffling join crept into the delta fold:\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("q_bgp_agg_store reads ONLY summary segments — never the binding " +
+      "view, never the store") {
+    // the plan of the returned readAgg frame must scan the agg root's
+    // parquet alone: folding the binding view (or the quad store) back
+    // in would break the whole point of the persisted summary
+    val p = plan("q_bgp_agg_store")
+    assert(p.contains("graft_agg_av_"), p)
+    assert(!p.contains("graft_view_av_"),
+      "summary read folds the binding view:\n" + p)
+    assert(!p.contains("graft_quadstore_av_"),
+      "summary read reaches into the quad store:\n" + p)
+  }
+
+  test("q_bgp_extvp_ivm solves with equi-joins only") {
+    val p = plan("q_bgp_extvp_ivm")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }
