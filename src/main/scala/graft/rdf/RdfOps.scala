@@ -461,6 +461,19 @@ object RdfOps extends QueryModule {
           |ORDER BY ?r""".stripMargin)
     }),
 
+    // The query-final VALUES clause (grammar 28 / 18.2.4.4): the data
+    // block joins the WHOLE query result — here AFTER the aggregation,
+    // restricting the grouped summary to two segments post-hoc (the
+    // parameterized-report idiom).
+    "q_sparql_values_clause" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?seg (COUNT(?cust) AS ?n) WHERE {
+          |  ?cust <mktsegment> ?seg .
+          |}
+          |GROUP BY ?seg
+          |ORDER BY ?seg
+          |VALUES ?seg { "BUILDING" "MACHINERY" }""".stripMargin)),
+
     // MINUS → anti-join on the shared variable: BUILDING-segment customers
     // with NO urgent order.
     "q_sparql_minus" -> ((s, d) =>
@@ -1470,6 +1483,11 @@ object RdfOps extends QueryModule {
         |GROUP BY s ORDER BY s""".stripMargin),
 
     "q_sparql_agg" -> sparqlAggOracle,
+
+    "q_sparql_values_clause" -> cte(
+      """SELECT o AS seg, count(s) AS n FROM triples
+        |WHERE p = 'mktsegment' AND o IN ('BUILDING', 'MACHINERY')
+        |GROUP BY o ORDER BY seg""".stripMargin),
 
     "q_sparql_select_expr" -> cte(
       """SELECT t1.o AS seg,

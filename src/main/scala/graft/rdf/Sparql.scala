@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * patterns with OPTIONAL / MINUS / [NOT] EXISTS blocks (each carrying
   * block-scoped FILTERs; OPTIONAL also property paths), FILTERs (boolean
   * connectives, BOUND, regex, arithmetic comparisons, IN / NOT IN),
-  * BIND, VALUES inline bindings (incl. UNDEF partial bindings), UNION
+  * BIND, VALUES inline bindings (incl. UNDEF partial bindings, and the
+  * query-final ValuesClause joining the whole result per 18.2.4.4), UNION
   * (top-level and nested `{A} UNION {B}` group members), property paths
   * (incl. negated property sets and the `a` rdf:type shorthand),
   * predicate-object (`;`) and object (`,`) lists, `{ SELECT ... }`
@@ -214,6 +215,10 @@ object Sparql {
       selectAggs: Seq[(String, EAgg)] = Nil,
       groupVars: Seq[String] = Nil,
       having: Option[Expr] = None,
+      /** The query-final `VALUES` clause (grammar 28 ValuesClause):
+        * joins the whole query result after aggregation/HAVING, before
+        * projection and the remaining modifiers (18.2.4.4). */
+      trailingValues: Option[(Seq[String], Seq[Seq[Option[String]]])] = None,
       /** DESCRIBE resources: IRIs and/or WHERE-bound variables. */
       describe: Option[Seq[Term]] = None,
       /** `FROM <g>` graphs: the query's default graph is their RDF merge
@@ -853,6 +858,20 @@ object Sparql {
       require(!df.columns.contains(v), s"SELECT (... AS ?$v) would rebind ?$v")
       df = df.withColumn(v, scalarCol(e, numericExpr(e), Map.empty))
     }
+    // the query-final VALUES (18.2.4.4): join the data block after
+    // aggregation/HAVING, before projection and the remaining modifiers.
+    // The equi-join lowering is sound only on definitely-bound shared
+    // variables — the engine-wide unbound-join rule, loud otherwise.
+    q.trailingValues.foreach { case (vars, rows) =>
+      val shared = vars.filter(df.columns.contains)
+      val bad = shared.filterNot(trailingDefinite(q)).sorted
+      require(bad.isEmpty, "the trailing VALUES clause would join on " +
+        s"possibly-unbound variable(s) ${bad.map("?" + _).mkString(", ")}" +
+        " (unbound in some UNION branch, OPTIONAL, or UNDEF row): SPARQL" +
+        " treats unbound as compatible, which this join lowering cannot" +
+        " express — rejected rather than silently mis-run")
+      df = joinValuesTable(df, vars, rows)
+    }
     // hidden expression ORDER keys compute BEFORE projection (18.2.5:
     // ordering sees the full solution) — except under DISTINCT, where a
     // key over non-projected variables could split equal projected rows,
@@ -924,6 +943,35 @@ object Sparql {
       groupVars =
         if (aggregated && !q.groupVars.contains(g)) q.groupVars :+ g
         else q.groupVars)
+  }
+
+  /** Join a solution frame with a VALUES data block per defined-column
+    * mask group: rows are grouped by which cells are UNDEF, each group
+    * joins on only its defined columns, and the per-mask results
+    * bag-union — exact, because join distributes over union of the
+    * VALUES multiset. No join condition ever compares to null. Shared
+    * by block-level VALUES members and the query-final ValuesClause. */
+  private def joinValuesTable(df: DataFrame, vars: Seq[String],
+      rows: Seq[Seq[Option[String]]]): DataFrame = {
+    val spark = df.sparkSession
+    def joinMask(mask: Seq[Boolean], rs: Seq[Seq[Option[String]]]): DataFrame = {
+      val defVars = vars.zip(mask).collect { case (v, true) => v }
+      if (defVars.isEmpty)
+        // all-UNDEF rows constrain nothing: each contributes every
+        // solution once (bag multiplicity |rows|)
+        return rs.map(_ => df).reduce(_.unionByName(_))
+      val schema = org.apache.spark.sql.types.StructType(defVars.map(v =>
+        org.apache.spark.sql.types.StructField(v,
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val vdf = spark.createDataFrame(
+        java.util.Arrays.asList(rs.map(r =>
+          org.apache.spark.sql.Row(r.flatten: _*)): _*), schema)
+      Bgp.joinSolved(df, vdf)
+    }
+    rows.groupBy(_.map(_.isDefined)).toSeq
+      .sortBy(_._1.mkString) // deterministic union order
+      .map { case (mask, rs) => joinMask(mask, rs) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** A solution frame plus the variables whose bindings may be
@@ -1038,7 +1086,6 @@ object Sparql {
     // results bag-union — exact, because join distributes over union of
     // the VALUES multiset. No join condition ever compares to null.
     b.values.foreach { case (vars, rows) =>
-      val spark = df.sparkSession
       noUnboundJoin(vars.filter(df.columns.contains), "VALUES")
       val preCols = df.columns.toSet
       // UNDEF cells leave a variable unconstrained: if the block itself
@@ -1046,24 +1093,7 @@ object Sparql {
       maybeNull ++= vars.zipWithIndex.collect {
         case (v, i) if rows.exists(_(i).isEmpty) && !preCols(v) => v
       }
-      def joinMask(mask: Seq[Boolean], rs: Seq[Seq[Option[String]]]): DataFrame = {
-        val defVars = vars.zip(mask).collect { case (v, true) => v }
-        if (defVars.isEmpty)
-          // all-UNDEF rows constrain nothing: each contributes every
-          // solution once (bag multiplicity |rows|)
-          return rs.map(_ => df).reduce(_.unionByName(_))
-        val schema = org.apache.spark.sql.types.StructType(defVars.map(v =>
-          org.apache.spark.sql.types.StructField(v,
-            org.apache.spark.sql.types.StringType, nullable = false)))
-        val vdf = spark.createDataFrame(
-          java.util.Arrays.asList(rs.map(r =>
-            org.apache.spark.sql.Row(r.flatten: _*)): _*), schema)
-        Bgp.joinSolved(df, vdf)
-      }
-      df = rows.groupBy(_.map(_.isDefined)).toSeq
-        .sortBy(_._1.mkString) // deterministic union order
-        .map { case (mask, rs) => joinMask(mask, rs) }
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      df = joinValuesTable(df, vars, rows)
     }
     // BIND derives a new binding column. Application is dependency-driven:
     // a BIND whose referenced variables are already bound applies before
@@ -1247,6 +1277,28 @@ object Sparql {
       q.branches.map(outVars).reduceOption(_ union _).getOrElse(Set.empty)
         .filterNot(_.startsWith("_:"))
     else q.projection.toSet
+
+  /** Variables definitely bound at the trailing-VALUES join point
+    * (post-aggregation, pre-projection): branch-definite variables —
+    * restricted to the group keys when the query aggregates — plus the
+    * always-non-null aggregate aliases. */
+  private def trailingDefinite(q: Query): Set[String] = {
+    val base = q.branches.map(definiteVars).reduceOption(_ intersect _)
+      .getOrElse(Set.empty)
+    val aggregated = q.groupVars.nonEmpty || q.selectAggs.nonEmpty ||
+      q.having.isDefined ||
+      q.selectBinds.exists(b => collectAggs(b._2).nonEmpty)
+    if (!aggregated) base
+    else {
+      val aggDef = q.selectAggs.collect {
+        case (alias, EAgg("COUNT", _, _, _, _)) => alias
+        case (alias, EAgg(fn, Some(v), _, _, None))
+          if Set("MIN", "MAX", "SAMPLE", "GROUP_CONCAT")(fn) && base(v) =>
+            alias
+      }.toSet
+      (q.groupVars.toSet intersect base) ++ aggDef
+    }
+  }
 
   /** Subquery projections that are definitely bound: variables definite in
     * every branch, plus always-non-null aggregates (COUNT; MIN/MAX/SAMPLE/
@@ -1882,10 +1934,64 @@ object Sparql {
       require(bad.isEmpty, "non-aggregated SELECT variables must appear " +
         s"in GROUP BY: ${bad.map("?" + _).mkString(", ")}")
     }
+    // grammar 28 ValuesClause: a query-final data block (top level only
+    // — subqueries stop at their closing brace)
+    val trailing =
+      if (topLevel && p.hasNext && p.peekKw("VALUES")) {
+        p.expectKw("VALUES")
+        Some(valuesTable(p, prefixes))
+      } else None
     Query(proj, branches, distinct, orderKeys.toSeq, limit, offset,
       ask = false, None, selectAggs.toSeq, groupVars.toSeq, having,
+      trailingValues = trailing,
       fromGraphs = fromGraphs, fromNamed = fromNamed,
       groupBinds = groupBinds.toSeq, selectBinds = selectBinds.toSeq)
+  }
+
+  /** The `VALUES`-keyword-consumed data block: `?x { c… }` or
+    * `(?x ?y) { (c c)… }` with UNDEF cells — shared by block-level
+    * VALUES members and the query-final ValuesClause. */
+  private def valuesTable(p: P, prefixes: Map[String, String])
+      : (Seq[String], Seq[Seq[Option[String]]]) = {
+    def constant(): Option[String] = {
+      if (p.peekKw("UNDEF")) { p.next(); return None }
+      term(p, prefixes) match {
+        case C(v) => Some(v.toString)
+        case V(n) => throw new IllegalArgumentException(
+          s"VALUES rows take constants or UNDEF, got ?$n")
+      }
+    }
+    val vars =
+      if (p.peek() == "(") {
+        p.expect("(")
+        val vs = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (p.peek() != ")") {
+          val v = p.next()
+          require(v.startsWith("?"), s"VALUES needs variables, got $v")
+          vs += v.drop(1)
+        }
+        p.expect(")")
+        vs.toSeq
+      } else {
+        val v = p.next()
+        require(v.startsWith("?"), s"VALUES needs a variable, got $v")
+        Seq(v.drop(1))
+      }
+    require(vars.nonEmpty, "VALUES needs at least one variable")
+    p.expect("{")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Option[String]]]
+    while (p.peek() != "}") {
+      rows += (if (vars.size == 1) Seq(constant())
+      else {
+        p.expect("(")
+        val r = vars.map(_ => constant())
+        p.expect(")")
+        r
+      })
+    }
+    p.expect("}")
+    require(rows.nonEmpty, "empty VALUES table")
+    (vars, rows.toSeq)
   }
 
   /** `WHERE { ... }`: a plain block, or `{ group } UNION { group }...`.
@@ -2009,14 +2115,6 @@ object Sparql {
     }
     val values = scala.collection.mutable
       .ArrayBuffer.empty[(Seq[String], Seq[Seq[Option[String]]])]
-    def constant(): Option[String] = {
-      if (p.peekKw("UNDEF")) { p.next(); return None }
-      term(p, prefixes) match {
-        case C(v) => Some(v.toString)
-        case V(n) => throw new IllegalArgumentException(
-          s"VALUES rows take constants or UNDEF, got ?$n")
-      }
-    }
     while (p.peek() != "}") {
       // GroupGraphPatternSub (grammar 54): an optional '.' may follow any
       // non-triples member; the triples branch consumes its own
@@ -2109,38 +2207,7 @@ object Sparql {
       } else if (p.peekKw("VALUES")) {
         // VALUES ?x { "a" "b" }  |  VALUES (?x ?y) { ("a" "b") ("c" "d") }
         p.expectKw("VALUES")
-        val vars =
-          if (p.peek() == "(") {
-            p.expect("(")
-            val vs = scala.collection.mutable.ArrayBuffer.empty[String]
-            while (p.peek() != ")") {
-              val v = p.next()
-              require(v.startsWith("?"), s"VALUES needs variables, got $v")
-              vs += v.drop(1)
-            }
-            p.expect(")")
-            vs.toSeq
-          } else {
-            val v = p.next()
-            require(v.startsWith("?"), s"VALUES needs a variable, got $v")
-            Seq(v.drop(1))
-          }
-        require(vars.nonEmpty, "VALUES needs at least one variable")
-        p.expect("{")
-        val rows =
-          scala.collection.mutable.ArrayBuffer.empty[Seq[Option[String]]]
-        while (p.peek() != "}") {
-          rows += (if (vars.size == 1) Seq(constant())
-          else {
-            p.expect("(")
-            val r = vars.map(_ => constant())
-            p.expect(")")
-            r
-          })
-        }
-        p.expect("}")
-        require(rows.nonEmpty, "empty VALUES table")
-        values += vars -> rows.toSeq
+        values += valuesTable(p, prefixes)
       } else {
         // triples-same-subject: plain patterns, property paths in the
         // predicate slot, and `;`/`,` predicate-object and object lists

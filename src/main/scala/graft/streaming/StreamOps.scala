@@ -322,6 +322,25 @@ object StreamOps extends QueryModule {
         maxChain): Unit
     }
 
+  /** [[maintainedViewSink]] extended through the PERSISTED summary:
+    * store append → view sync → summary sync per micro-batch, then
+    * compaction — view before summary only AFTER syncAgg consumed the
+    * segments (the retention contract: compacting the view past the
+    * summary's coverage is a loud error, so the order here is
+    * load-bearing). The full CDC chain stream → store → view → dashboard
+    * summary as one foreachBatch hook, each stage O(|Δ|). */
+  def maintainedAggSink(storeRoot: String, viewRoot: String,
+      aggRoot: String, maxChain: Int = 16)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      quadStoreSink(storeRoot)(batch, batchId)
+      val spark = batch.sparkSession
+      graft.rdf.ViewStore.sync(spark, storeRoot, viewRoot): Unit
+      graft.rdf.ViewStore.syncAgg(spark, viewRoot, aggRoot): Unit
+      graft.rdf.ViewStore.compactIfDeep(spark, viewRoot, maxChain): Unit
+      graft.rdf.ViewStore.compactAggIfDeep(spark, aggRoot, maxChain): Unit
+    }
+
   /** Publish one micro-batch as an immutable AtomicStore snapshot keyed by
     * batch id. foreachBatch delivery is AT-LEAST-once: on failure replay
     * Structured Streaming re-runs a batch with the SAME id, and

@@ -344,6 +344,53 @@ class SparqlSpec extends SparkSpec {
       Sparql.parse("SELECT ?c WHERE { ?c <p> ?s . VALUES ?s { ?notconst } }"))
   }
 
+  test("trailing VALUES clause joins the whole query result (18.2.4.4)") {
+    // post-hoc restriction of a plain query
+    val two = Sparql.run(triples,
+      """SELECT ?cust ?seg WHERE { ?cust <mktsegment> ?seg . }
+        |ORDER BY ?cust
+        |VALUES ?seg { "BUILDING" "MACHINERY" }""".stripMargin)
+    val inline = Sparql.run(triples,
+      """SELECT ?cust ?seg WHERE { ?cust <mktsegment> ?seg .
+        |  VALUES ?seg { "BUILDING" "MACHINERY" } }
+        |ORDER BY ?cust""".stripMargin)
+    assert(two.count() > 0)
+    assert(two.exceptAll(inline).count() === 0 &&
+      inline.exceptAll(two).count() === 0)
+    // applies AFTER aggregation: the data block restricts group keys
+    val agg = Sparql.run(triples,
+      """SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c <mktsegment> ?seg . }
+        |GROUP BY ?seg
+        |VALUES ?seg { "BUILDING" }""".stripMargin)
+    assert(agg.count() === 1)
+    assert(agg.select("seg").as[String].head() === "BUILDING")
+    // a fresh variable cross-products in (parameter injection); UNDEF
+    // rows leave it unconstrained on that row
+    val fresh = Sparql.run(triples,
+      """SELECT ?cust ?tag WHERE { ?cust <mktsegment> "BUILDING" . }
+        |VALUES ?tag { "a" "b" }""".stripMargin)
+    val base = Sparql.run(triples,
+      """SELECT ?cust WHERE { ?cust <mktsegment> "BUILDING" . }""")
+    assert(fresh.count() === 2 * base.count())
+    // multi-var rows with UNDEF partial bindings work like block VALUES
+    val undef = Sparql.run(triples,
+      """SELECT ?cust ?seg WHERE { ?cust <mktsegment> ?seg . }
+        |VALUES (?cust ?seg) { (UNDEF "BUILDING") ("c:1" UNDEF) }"""
+        .stripMargin)
+    val expect = Sparql.run(triples,
+      """SELECT ?cust ?seg WHERE { ?cust <mktsegment> ?seg .
+        |  VALUES (?cust ?seg) { (UNDEF "BUILDING") ("c:1" UNDEF) } }"""
+        .stripMargin)
+    assert(undef.exceptAll(expect).count() === 0 &&
+      expect.exceptAll(undef).count() === 0)
+    // joining on an OPTIONAL-bound (possibly-unbound) variable is loud
+    val boom = intercept[IllegalArgumentException](Sparql.run(triples,
+      """SELECT ?cust ?nk WHERE { ?cust <mktsegment> "BUILDING" .
+        |  OPTIONAL { ?cust <nationkey> ?nk . } }
+        |VALUES ?nk { "3" }""".stripMargin))
+    assert(boom.getMessage.contains("possibly-unbound"))
+  }
+
   test("MINUS removes compatible solutions; disjoint MINUS removes nothing") {
     val withOrders = Sparql.run(triples,
       """SELECT ?c WHERE {

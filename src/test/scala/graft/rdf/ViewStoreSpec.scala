@@ -115,6 +115,39 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("a streaming feed drives store → view → summary end to end") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.Triple3
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s9").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v9").toString
+    val aggRoot = java.nio.file.Files.createTempDirectory("vs_a9").toString
+    val g = "g:live"
+    QuadStore.init(Seq(("c1", "nat", "de", g)).toDF("s", "p", "o", "g"),
+      storeRoot)
+    ViewStore.create(spark, storeRoot, viewRoot,
+      Seq(TP(V("c"), C("nat"), V("n"))), g)
+    ViewStore.createAgg(spark, viewRoot, aggRoot, Seq("n"), countCol = "cnt")
+    val mem = MemoryStream[Triple3]
+    val q = mem.toDF().withColumn("g", lit(g)).writeStream
+      .foreachBatch(StreamOps.maintainedAggSink(storeRoot, viewRoot, aggRoot))
+      .outputMode("append").start()
+    try {
+      mem.addData(Triple3("c2", "nat", "de"), Triple3("c3", "nat", "fr"))
+      q.processAllAvailable()
+      assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+        Set(Seq(2L, "de"), Seq(1L, "fr")))
+      // a replayed triple (at-least-once shape) plus a fresh one
+      mem.addData(Triple3("c3", "nat", "fr"), Triple3("c4", "nat", "fr"))
+      q.processAllAvailable()
+      assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+        Set(Seq(2L, "de"), Seq(2L, "fr")))
+    } finally q.stop()
+    Seq(storeRoot, viewRoot, aggRoot).foreach(p =>
+      rmTree(new java.io.File(p)))
+  }
+
   test("SPARQL-text definitions: the BGP fragment in, the rest rejected") {
     assert(ViewStore.patternsFromSparql(
       """SELECT * WHERE { ?c <name> ?n . ?c <seg> "B" . }""") ===
