@@ -128,9 +128,39 @@ object Endpoint {
   }
 
   /** Execute an UPDATE request (a full `;`-separated sequence, committed
-    * ATOMICALLY as one store version); returns the new version. */
-  def update(spark: SparkSession, root: String, text: String): Int =
-    QuadStore.update(spark, root, text)
+    * ATOMICALLY as one store version); returns the new version.
+    *
+    * `usingGraphUris` / `usingNamedGraphUris` are the protocol's
+    * `using-graph-uri` / `using-named-graph-uri` request parameters
+    * (§2.2.3): they scope every WHERE-bearing operation's dataset
+    * exactly like USING / USING NAMED clauses would (`DELETE WHERE`
+    * desugars to its Modify form first, §3.1.3's shorthand rule).
+    * Combining them with an operation that already carries USING,
+    * USING NAMED or WITH is rejected, as the spec REQUIRES. */
+  def update(spark: SparkSession, root: String, text: String,
+      usingGraphUris: Seq[String] = Nil,
+      usingNamedGraphUris: Seq[String] = Nil): Int =
+    if (usingGraphUris.isEmpty && usingNamedGraphUris.isEmpty)
+      QuadStore.update(spark, root, text)
+    else {
+      val ops = Update.parseAll(text).map {
+        case m: Update.Modify =>
+          require(m.withGraph.isEmpty && m.usingDefault.isEmpty &&
+            m.usingNamed.isEmpty,
+            "using-graph-uri/using-named-graph-uri must not combine " +
+              "with USING / USING NAMED / WITH in the request — the " +
+              "SPARQL Protocol (§2.2.3) requires rejecting it")
+          m.copy(usingDefault = usingGraphUris,
+            usingNamed = usingNamedGraphUris)
+        case dw: Update.DeleteWhere =>
+          Update.Modify(dw.patterns, Nil, dw.patterns,
+            usingDefault = usingGraphUris, usingNamed = usingNamedGraphUris)
+        // data/graph-management ops have no WHERE — unaffected by the
+        // request dataset
+        case other => other
+      }
+      QuadStore.updateOps(spark, root, ops)
+    }
 
   // ---- SPARQL 1.1 Graph Store Protocol (§5), network-free -----------
   // The ?graph=<iri> / ?default resource operations: a server shim maps

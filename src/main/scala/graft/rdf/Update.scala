@@ -888,6 +888,13 @@ object QuadStore {
     occPublish(spark, root, cur => Update.deltaSeq(cur, ops))
   }
 
+  /** [[update]] over PRE-PARSED operations — the protocol layer rewrites
+    * ops (the `using-graph-uri` request dataset) before applying; same
+    * atomic one-version commit. */
+  def updateOps(spark: SparkSession, root: String,
+      ops: Seq[Update.Op]): Int =
+    occPublish(spark, root, cur => Update.deltaSeq(cur, ops))
+
   /** Append a quads frame as one delta segment, set-semantically: only
     * quads NOT already in the store land in the segment (the same
     * scan-store-once-against-the-broadcast-block presence screen as

@@ -56,6 +56,38 @@ class EndpointSpec extends SparkSpec {
     rmTree(new java.io.File(root))
   }
 
+  test("update dataset parameters scope WHERE like USING; combining is loud") {
+    val root = java.nio.file.Files.createTempDirectory("endpoint_us").toString
+    QuadStore.init(Seq(
+      ("a", "p", "1", "g:one"), ("b", "p", "2", "g:two"))
+      .toDF("s", "p", "o", "g"), root)
+    // the WHERE sees only g:one (its triples as the operation's default
+    // graph), so only a's marker lands
+    Endpoint.update(spark, root,
+      """INSERT { GRAPH <g:log> { ?s <seen> "y" . } } WHERE { ?s <p> ?o . }""",
+      usingGraphUris = Seq("g:one"))
+    val logged = QuadStore.read(spark, root)
+      .filter($"g" === "g:log").select("s").as[String].collect().toSeq
+    assert(logged === Seq("a"))
+    // DELETE WHERE desugars to its Modify form: the request dataset
+    // scopes the match, the delete still lands on the matched graphs
+    Endpoint.update(spark, root,
+      """DELETE WHERE { GRAPH ?g { ?s <p> ?o . } }""",
+      usingNamedGraphUris = Seq("g:two"))
+    val left = QuadStore.read(spark, root)
+      .filter($"p" === "p").select("s").as[String].collect().toSeq
+    assert(left === Seq("a"), "only g:two's <p> row may be deleted")
+    // §2.2.3: combining with in-request USING / WITH must be rejected
+    val boom = intercept[IllegalArgumentException](Endpoint.update(spark,
+      root,
+      """INSERT { <x> <q> "1" . } USING <g:one> WHERE { ?s <p> ?o . }""",
+      usingGraphUris = Seq("g:two")))
+    assert(boom.getMessage.contains("2.2.3"))
+    // ...and nothing landed (request-level success-or-failure)
+    assert(QuadStore.read(spark, root).filter($"p" === "q").count() === 0)
+    rmTree(new java.io.File(root))
+  }
+
   test("negotiation: q-order wins, q=0 excludes, */* defaults, 406 is loud") {
     assert(Endpoint.negotiate("") === Endpoint.Json)
     assert(Endpoint.negotiate("*/*") === Endpoint.Json)
