@@ -146,4 +146,75 @@ object Graft {
   def mirrorQuery(spark: SparkSession, mirrorRoot: String,
       text: String): DataFrame =
     rdf.EncodedMirror.query(spark, mirrorRoot, text)
+
+  // ---- versioned quad store + SPARQL Protocol surface ----
+  /** Bootstrap a delta-log [[rdf.QuadStore]] from an (s,p,o,g) frame. */
+  def storeInit(quads: DataFrame, root: String): Int =
+    rdf.QuadStore.init(quads, root)
+  /** SPARQL 1.1 Update request — atomic: one committed version. */
+  def storeUpdate(spark: SparkSession, root: String, text: String): Int =
+    rdf.QuadStore.update(spark, root, text)
+  /** SPARQL over the store head (see [[rdf.QuadStore.queryVersion]] for
+    * pinned time-travel reads). */
+  def storeQuery(spark: SparkSession, root: String, text: String): DataFrame =
+    rdf.QuadStore.query(spark, root, text)
+  /** The network-free SPARQL Protocol operation: content-negotiated
+    * (media type, document) for a query, incl. the W3C result formats
+    * and the `default-graph-uri`/`named-graph-uri` request dataset. */
+  def protocolQuery(spark: SparkSession, root: String, text: String,
+      accept: String = "",
+      defaultGraphUris: Seq[String] = Nil,
+      namedGraphUris: Seq[String] = Nil): (String, String) =
+    rdf.Endpoint.query(spark, root, text, accept,
+      defaultGraphUris = defaultGraphUris, namedGraphUris = namedGraphUris)
+
+  // ---- persisted materialized views (binding + summary) ----
+  /** Materialize a conjunctive SPARQL view over a store; incremental
+    * thereafter via [[viewSync]]. */
+  def viewCreate(spark: SparkSession, storeRoot: String, viewRoot: String,
+      text: String, graph: String = ""): Int =
+    rdf.ViewStore.createFromSparql(spark, storeRoot, viewRoot, text, graph)
+  def viewSync(spark: SparkSession, storeRoot: String,
+      viewRoot: String): Int =
+    rdf.ViewStore.sync(spark, storeRoot, viewRoot)
+  def viewRead(spark: SparkSession, viewRoot: String): DataFrame =
+    rdf.ViewStore.read(spark, viewRoot)
+  /** Materialize a grouped-COUNT summary pipeline (store → view →
+    * summary) from one SPARQL text; advance with [[viewSync]] +
+    * [[summarySync]], serve with [[summaryRead]] — the summary never
+    * refolds the binding view. */
+  def summaryCreate(spark: SparkSession, storeRoot: String,
+      viewRoot: String, aggRoot: String, text: String,
+      graph: String = ""): Int =
+    rdf.ViewStore.createAggFromSparql(spark, storeRoot, viewRoot, aggRoot,
+      text, graph)
+  def summarySync(spark: SparkSession, viewRoot: String,
+      aggRoot: String): Int =
+    rdf.ViewStore.syncAgg(spark, viewRoot, aggRoot)
+  def summaryRead(spark: SparkSession, aggRoot: String): DataFrame =
+    rdf.ViewStore.readAgg(spark, aggRoot)
+
+  // ---- ExtVP (S2RDF semi-join reductions) ----
+  def extVpBuild(t: DataFrame, threshold: Double = 0.9): rdf.ExtVp.Store =
+    rdf.ExtVp.build(t, threshold)
+  /** Advance an ExtVP store from a net (adds, dels) triple feed — the
+    * semi-join delta rule; never a rebuild. */
+  def extVpMaintain(store: rdf.ExtVp.Store, adds: DataFrame,
+      dels: DataFrame): rdf.ExtVp.Store =
+    rdf.ExtVp.maintain(store, adds, dels)
+
+  // ---- span-level dedup / decontamination ----
+  /** Per-document duplicated-span statistics; `hashSpans` shuffles
+    * 8-byte xxhash64 keys instead of span text (the 100 TB path). */
+  def spanDupStats(docs: DataFrame, k: Int = 8,
+      hashSpans: Boolean = false): DataFrame =
+    llm.Dedup.spanDupStats(docs, k, hashSpans)
+  /** ExactSubstr-style cross-document span removal. */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
+      hashSpans: Boolean = false): DataFrame =
+    llm.Dedup.removeDupSpans(docs, k, hashSpans)
+  /** Span-level benchmark decontamination (surgical, not whole-doc). */
+  def removeBenchmarkSpans(docs: DataFrame, bench: DataFrame, k: Int = 8,
+      hashSpans: Boolean = false): DataFrame =
+    llm.Dedup.removeBenchmarkSpans(docs, bench, k, hashSpans)
 }

@@ -27,4 +27,39 @@ class GraftFacadeSpec extends SparkSpec {
     assert(named.as[(String, String)].collect().toSet ===
       Set("http://ex/g1" -> "http://ex/o1"))
   }
+
+  test("façade store lifecycle: init → update → view → summary → protocol") {
+    val store = java.nio.file.Files.createTempDirectory("gf_store").toString
+    val view = java.nio.file.Files.createTempDirectory("gf_view").toString
+    val agg = java.nio.file.Files.createTempDirectory("gf_agg").toString
+    Graft.storeInit(Seq(
+      ("c1", "seg", "B", ""), ("c1", "nat", "de", ""),
+      ("c2", "seg", "B", ""), ("c2", "nat", "fr", ""))
+      .toDF("s", "p", "o", "g"), store)
+    Graft.summaryCreate(spark, store, view, agg,
+      """SELECT ?nat (COUNT(*) AS ?n) WHERE {
+        |  ?c <seg> "B" . ?c <nat> ?nat . } GROUP BY ?nat""".stripMargin)
+    Graft.storeUpdate(spark, store,
+      """INSERT DATA { <c3> <seg> "B" . <c3> <nat> "de" . }""")
+    Graft.viewSync(spark, store, view)
+    Graft.summarySync(spark, view, agg)
+    assert(Graft.summaryRead(spark, agg)
+      .as[(String, Long)].collect().toMap === Map("de" -> 2L, "fr" -> 1L))
+    assert(Graft.viewRead(spark, view).count() === 3)
+    assert(Graft.storeQuery(spark, store,
+      """SELECT ?c WHERE { ?c <seg> "B" . }""").count() === 3)
+    val (media, body) = Graft.protocolQuery(spark, store,
+      "SELECT ?c WHERE { ?c <seg> \"B\" . } ORDER BY ?c",
+      accept = "text/csv")
+    assert(media === "text/csv" && body.contains("c3"))
+    // span dedup + ExtVP delegates stay wired
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h j"))
+      .toDF("doc_id", "text")
+    assert(Graft.spanDupStats(docs, k = 8, hashSpans = true).count() === 2)
+    val t = Seq(("s1", "p", "o1"), ("o1", "q", "z")).toDF("s", "p", "o")
+    val st = Graft.extVpMaintain(Graft.extVpBuild(t),
+      Seq(("s2", "p", "o1")).toDF("s", "p", "o"), t.limit(0))
+    assert(st.vp("p").count() === 2)
+    Seq(store, view, agg).foreach(p => rmTree(new java.io.File(p)))
+  }
 }
