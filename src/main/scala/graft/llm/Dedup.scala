@@ -604,6 +604,38 @@ object Dedup {
     excise(docs, marked, k)
   }
 
+  /** Per-BENCHMARK-document leakage report — the measure-before-scrub
+    * step of decontamination: of each benchmark doc's distinct k-word
+    * spans, how many occur ANYWHERE in the training corpus, and the
+    * leaked fraction (the number an eval-integrity review reads before
+    * deciding between whole-doc dropping, [[removeBenchmarkSpans]]'
+    * surgical excision, or acceptance). The benchmark span set is tiny
+    * → BROADCAST into one join against corpus spans: the corpus is
+    * scanned once and never self-joins or shuffles (matched pairs are
+    * benchmark-sized). Exact with text keys, hence oracled;
+    * `hashSpans` is the same 8-byte-key production lever as
+    * [[spanDupStats]]. */
+  def decontaminationReport(docs: DataFrame, bench: DataFrame, k: Int,
+      hashSpans: Boolean = false): DataFrame = {
+    def spansOf(df: DataFrame): DataFrame = {
+      val t = df.select(col("doc_id"),
+        explode(TextOps.wordShingles(k)).as("sp"))
+      if (hashSpans) t.select(col("doc_id"), xxhash64(col("sp")).as("sp"))
+      else t
+    }
+    val benchSp = spansOf(bench)
+    val totals = benchSp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val leaked = spansOf(docs).select("sp")
+      .join(broadcast(benchSp), "sp")
+      .select(col("doc_id"), col("sp")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+    totals.join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        graft.Det.roundSafe(coalesce(col("n_leaked"), lit(0L))
+          .cast("double") / col("n_spans"), 4).as("leak_frac"))
+  }
+
   /** One row per k-word window: (doc_id, i, sp) with 0-based start;
     * `hashed` swaps the span text for its xxhash64 (the 8-byte shuffle
     * key of the production path). */

@@ -96,6 +96,15 @@ object LlmOps extends QueryModule {
       Dedup.removeDupSpans(Tables.documents(s, d), k = 8)
         .orderBy(col("doc_id"))),
 
+    // the PRODUCTION span-dedup path in the gate: xxhash64(span) 8-byte
+    // shuffle keys instead of span text (~10x shuffle-byte drop at k=8).
+    // hashed ≡ text on collision-free corpora (DedupSpec pins it), so
+    // the SAME text-keyed DuckDB oracle as q_dedup_span checks it —
+    // the gate itself proves the hash introduces no divergence here
+    "q_dedup_span_hashed" -> ((s, d) =>
+      Dedup.spanDupStats(Tables.documents(s, d), k = 8, hashSpans = true)
+        .orderBy(col("doc_id"))),
+
     "q_dedup_embcos" -> ((s, d) =>
       EmbeddingOps.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -302,6 +311,19 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ...and the MEASUREMENT that precedes either scrub: per benchmark
+    // document, how many of its 5-gram spans leaked into the training
+    // slice and the leaked fraction — the eval-integrity report read
+    // before choosing drop vs excise vs accept. Bench spans broadcast;
+    // the corpus never self-joins. Exact, hence oracled.
+    "q_decontaminate_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: per-lang keep rates driven by a
     // pure-arithmetic id bucket — reproducible, shuffle-free, oracle-exact.
     "q_sample_stratified" -> ((s, d) =>
@@ -422,6 +444,24 @@ object LlmOps extends QueryModule {
           length(col("frame")).as("resized_bytes"))
         .orderBy(col("doc_id"), col("frame_no")))
   )
+
+  /** Shared by `q_dedup_span` (text keys) and `q_dedup_span_hashed`
+    * (xxhash64 keys): both must land on the identical statistics. */
+  private val spanStatsOracle: String = {
+    val frac = graft.Det.roundSafeSql(
+      "CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sp AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 7], ' ') AS sp
+       |       FROM (SELECT doc_id, ws,
+       |               unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+       |             FROM w) t),
+       |nd AS (SELECT sp, count(*) AS ndocs FROM sp GROUP BY sp)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  $frac AS dup_frac
+       |FROM sp JOIN nd USING (sp)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -557,20 +597,28 @@ object LlmOps extends QueryModule {
     // distinct 8-word sliding spans per doc (same ws[i : i+k-1] slice
     // equivalence as the 3-shingle oracle above), then corpus-wide span
     // document frequency, then per-doc dup-span stats
-    "q_dedup_span" -> {
+    "q_dedup_span" -> spanStatsOracle,
+    // the hashed production path lands on the SAME text-keyed oracle:
+    // the gate itself proves xxhash64 span keys introduce no divergence
+    "q_dedup_span_hashed" -> spanStatsOracle,
+
+    "q_decontaminate_report" -> {
       val frac = graft.Det.roundSafeSql(
-        "CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)
+        "CAST(coalesce(max(l.n_leaked), 0) AS DOUBLE) / count(*)", 4)
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |sp AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 7], ' ') AS sp
+         |sp AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 4], ' ') AS sp
          |       FROM (SELECT doc_id, ws,
-         |               unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+         |               unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
          |             FROM w) t),
-         |nd AS (SELECT sp, count(*) AS ndocs FROM sp GROUP BY sp)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |  CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-         |  $frac AS dup_frac
-         |FROM sp JOIN nd USING (sp)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |bench AS (SELECT * FROM sp WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT DISTINCT sp FROM sp WHERE doc_id % 97 <> 0),
+         |leaked AS (SELECT b.doc_id, count(*) AS n_leaked
+         |           FROM bench b JOIN corpus c USING (sp) GROUP BY b.doc_id)
+         |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(max(l.n_leaked), 0) AS BIGINT) AS n_leaked,
+         |  $frac AS leak_frac
+         |FROM bench b LEFT JOIN leaked l USING (doc_id)
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
     },
 
     // positions are 1-based here (generate_subscripts / generate_series)

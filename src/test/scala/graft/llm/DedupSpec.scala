@@ -293,6 +293,30 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((1L, 0L)))
   }
 
+  test("decontaminationReport counts leaked spans per benchmark doc") {
+    val leak = "the quick brown fox jumps"
+    val docs = Seq(
+      (1L, s"training text with $leak inside it"),
+      (2L, "clean training text nothing shared here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, s"eval question about $leak right"),   // one 5-span leaked
+      (101L, "totally novel benchmark content words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminationReport(docs, bench, k = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 100: 9 words → 5 sliding 5-spans; exactly the leak span is in
+    // the corpus. doc 101: nothing leaked.
+    assert(got(0)._1 === 100L && got(0)._2 === 5L && got(0)._3 === 1L)
+    assert(got(0)._4 === 0.2)
+    assert(got(1) === ((101L, 1L, 0L, 0.0)))
+    // hashed keys land on identical numbers
+    assert(Dedup.decontaminationReport(docs, bench, 5, hashSpans = true)
+      .orderBy("doc_id").collect().toSeq ===
+      Dedup.decontaminationReport(docs, bench, 5)
+        .orderBy("doc_id").collect().toSeq)
+  }
+
   /** Sum of shuffle-write bytes across all tasks run by `body`. Listener
     * delivery is async, so poll until the counter is quiescent. */
   private def shuffleWriteBytes(body: => Unit): Long = {
