@@ -1520,6 +1520,13 @@ object Sparql {
       scalarCol(a, numeric = false, env).startsWith(scalarCol(b, numeric = false, env))
     case EFun("STRENDS", Seq(a, b)) =>
       scalarCol(a, numeric = false, env).endsWith(scalarCol(b, numeric = false, env))
+    // 17.4.1.8: term identity — exact equality of the STORED term
+    // representation (term strings compare full node identity; the
+    // default plain-lexical stores compare lexical forms, which is the
+    // identity those stores have)
+    case EFun("SAMETERM", Seq(a, b)) =>
+      scalarCol(a, numeric = false, env) ===
+        scalarCol(b, numeric = false, env)
     // term-introspection predicates (17.4.1/17.4.2); null (e.g. LANG of an
     // IRI) is a SPARQL type error → row eliminated, matching the filter
     case EFun("LANGMATCHES", Seq(a, b)) =>
@@ -2604,7 +2611,7 @@ object Sparql {
     "ISBLANK", "ISNUMERIC", "STRLANG", "STRDT", "IRI", "URI", "BNODE",
     // dateTime accessors + the rest of the hash/URI family ([[Terms]])
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
-    "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI")
+    "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI", "SAMETERM")
 
   private def argList(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Seq[Expr] = {

@@ -344,6 +344,33 @@ class SparqlSpec extends SparkSpec {
       Sparql.parse("SELECT ?c WHERE { ?c <p> ?s . VALUES ?s { ?notconst } }"))
   }
 
+  test("SAMETERM compares stored term identity (17.4.1.8)") {
+    val t = Seq(("a", "p", "x"), ("b", "p", "x"), ("c", "p", "y"))
+      .toDF("s", "p", "o")
+    val same = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?o . FILTER (SAMETERM(?o, "x")) }
+        |ORDER BY ?s""".stripMargin)
+    assert(same.as[String].collect().toSeq === Seq("a", "b"))
+    val diff = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?o . FILTER (!SAMETERM(?o, "x")) }""")
+    assert(diff.as[String].collect().toSeq === Seq("c"))
+    // on a TERM-STRING store, node kind is part of identity: the typed
+    // literal "5"^^xsd:integer is NOT the same term as the plain "5"
+    // (STRDT constructs the typed term string to compare against)
+    val dir = java.nio.file.Files.createTempDirectory("sameterm").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.ttl"),
+      """@prefix ex: <http://ex/> .
+        |ex:s1 ex:n 5 . ex:s2 ex:n "5" .""".stripMargin.getBytes("UTF-8"))
+    val terms = Turtle.termStrings(Turtle.readTyped(spark, s"$dir/*.ttl"))
+    val typedOnly = Sparql.run(terms,
+      """PREFIX ex: <http://ex/>
+        |SELECT ?s WHERE { ?s ex:n ?o .
+        |  FILTER (SAMETERM(?o,
+        |    STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>))) }"""
+        .stripMargin)
+    assert(typedOnly.as[String].collect().toSeq === Seq("http://ex/s1"))
+  }
+
   test("trailing VALUES clause joins the whole query result (18.2.4.4)") {
     // post-hoc restriction of a plain query
     val two = Sparql.run(triples,
