@@ -96,6 +96,194 @@ object BgpView {
       .unionByName(va.select(keys.map(col): _*))
   }
 
+  // ---- UNION views: the counting algorithm's support counts -----------
+
+  /** Shared variable set of a union view's branches — every branch must
+    * bind exactly the same variables, or the union is not column-aligned. */
+  private def unionVars(branches: Seq[Seq[TP]]): Seq[String] = {
+    require(branches.nonEmpty, "empty union")
+    val per = branches.map(b =>
+      b.flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect { case V(n) => n }.toSet)
+    require(per.forall(_ == per.head) && per.head.nonEmpty,
+      s"union branches must bind the same non-empty variable set, got ${
+        per.map(_.toSeq.sorted.mkString("{", ",", "}")).mkString(" vs ")}")
+    per.head.toSeq.sorted
+  }
+
+  /** V = B₁ ∪ … ∪ B_m, the SET union of conjunctive views over one
+    * triples frame. */
+  def computeUnion(triples: DataFrame, branches: Seq[Seq[TP]]): DataFrame =
+    computeUnionCounts(triples, branches).drop(SupportCol)
+
+  /** Column holding a union view's support count. */
+  val SupportCol = "__support"
+
+  /** The maintainable artifact behind [[computeUnion]]: set union does
+    * NOT distribute over set deltas (a binding leaving one branch may
+    * persist through another), so the counting algorithm's SUPPORT COUNT
+    * — n(b) = number of branches deriving b, each branch a set by the
+    * full-binding argument — is what gets maintained. Support is
+    * additive: the branch-level ±1 deltas sum to the exact Δn with NO
+    * cross-branch membership probe, and membership is n > 0. */
+  def computeUnionCounts(triples: DataFrame,
+      branches: Seq[Seq[TP]]): DataFrame = {
+    val vs = unionVars(branches)
+    branches.map(b => Bgp.solve(triples, b)
+        .select(vs.map(col): _*).withColumn(SupportCol, lit(1L)))
+      .reduce(_.unionByName(_))
+      .groupBy(vs.map(col): _*).agg(sum(SupportCol).as(SupportCol))
+  }
+
+  /** Per-binding NET support change under the triple-level net change —
+    * one frame, zero-netting bindings dropped. Each branch contributes
+    * its conjunctive [[delta]]; the shapes stay Δ-sized throughout. */
+  def deltaUnionCounts(oldTriples: DataFrame, adds: DataFrame,
+      dels: DataFrame, branches: Seq[Seq[TP]]): DataFrame = {
+    val vs = unionVars(branches)
+    branches.map { b =>
+      val (ba, bd) = delta(oldTriples, adds, dels, b)
+      ba.select(vs.map(col): _*).withColumn(SupportCol, lit(1L))
+        .unionByName(
+          bd.select(vs.map(col): _*).withColumn(SupportCol, lit(-1L)))
+    }.reduce(_.unionByName(_))
+      .groupBy(vs.map(col): _*).agg(sum(SupportCol).as(SupportCol))
+      .filter(col(SupportCol) =!= 0L)
+  }
+
+  /** Apply a [[deltaUnionCounts]] change to the support-count view: the
+    * untouched (vast) majority passes through a broadcast anti-join;
+    * only the Δ-sized touched slice is re-summed. Supports never go
+    * negative under a sound net feed; bindings netting to zero leave. */
+  def maintainUnionCounts(viewCounts: DataFrame, oldTriples: DataFrame,
+      adds: DataFrame, dels: DataFrame,
+      branches: Seq[Seq[TP]]): DataFrame = {
+    val vs = unionVars(branches)
+    val d = deltaUnionCounts(oldTriples, adds, dels, branches)
+    val keys = d.select(vs.map(col): _*).hint("broadcast")
+    val untouched = viewCounts.join(keys, vs, "left_anti")
+    val touched = viewCounts.join(keys, vs, "left_semi")
+      .unionByName(d)
+      .groupBy(vs.map(col): _*).agg(sum(SupportCol).as(SupportCol))
+      .filter(col(SupportCol) > 0L)
+    untouched.unionByName(touched)
+  }
+
+  // ---- OPTIONAL views: matched rows + match-count padded transitions --
+
+  /** V = A ⟕ B (SPARQL OPTIONAL over two conjunctive bodies sharing at
+    * least one variable): the matched rows are the conjunctive view over
+    * `left ++ right`, and each A-binding with NO match keeps one row
+    * with the B-only columns null. */
+  def computeOptional(triples: DataFrame, left: Seq[TP],
+      right: Seq[TP]): DataFrame = {
+    optionalVars(left, right): Unit // validate the shape loudly up front
+    Bgp.optional(Bgp.solve(triples, left), triples, right)
+  }
+
+  /** View-level net change for an OPTIONAL view. The matched rows are a
+    * conjunctive view, so their delta is [[delta]] over `left ++ right`.
+    * The padded rows are NOT monotone in either body — a binding's pad
+    * appears exactly while `a ∈ A ∧ matches(a) = 0` — so their delta is
+    * a TRANSITION rule over the affected A-bindings (π_A of the matched
+    * delta plus A's own delta, a Δ-sized set): probe each candidate's
+    * A-membership and match-existence in the old and new states, and
+    * emit pads whose condition flipped. Each probe folds the base
+    * pattern legs FROM the broadcast candidate set — the same
+    * never-shuffle-the-base shape as the telescoping terms. */
+  def deltaOptional(oldTriples: DataFrame, adds: DataFrame,
+      dels: DataFrame, left: Seq[TP],
+      right: Seq[TP]): (DataFrame, DataFrame) = {
+    val (lv, _) = optionalVars(left, right)
+    val (mAdds, mDels) = delta(oldTriples, adds, dels, left ++ right)
+    val (aAdds, aDels) = delta(oldTriples, adds, dels, left)
+    val keys = Seq("s", "p", "o")
+    val newTriples = oldTriples
+      .join(dels.select(keys.map(col): _*).hint("broadcast"), keys,
+        "left_anti")
+      .unionByName(adds.select(keys.map(col): _*))
+    val lcols = lv.map(col)
+    val affected = graft.Materialize(
+      Seq(mAdds, mDels, aAdds, aDels)
+        .map(_.select(lcols: _*)).reduce(_.unionByName(_)).distinct())
+    val inAOld = probe(affected, lv, left, oldTriples)
+    val inANew = probe(affected, lv, left, newTriples)
+    val matchOld = probe(affected, lv, right, oldTriples)
+    val matchNew = probe(affected, lv, right, newTriples)
+    val padOld = inAOld.join(matchOld, lv, "left_anti")
+    val padNew = inANew.join(matchNew, lv, "left_anti")
+    // B-only columns of a pad are null, typed from the matched delta
+    val bOnly = mAdds.columns.filterNot(lv.contains).toSeq
+    val pad = (df: DataFrame) => df.select(lcols ++ bOnly.map(c =>
+      lit(null).cast(mAdds.schema(c).dataType).as(c)): _*)
+    (mAdds.unionByName(pad(padNew.join(padOld, lv, "left_anti"))),
+      mDels.unionByName(pad(padOld.join(padNew, lv, "left_anti"))))
+  }
+
+  /** Apply [[deltaOptional]] to the materialization. Padded rows carry
+    * nulls, so the retract join must be NULL-SAFE — a plain equi-join
+    * would never match a pad and the retraction would silently no-op. */
+  def maintainOptional(view: DataFrame, oldTriples: DataFrame,
+      adds: DataFrame, dels: DataFrame, left: Seq[TP],
+      right: Seq[TP]): DataFrame = {
+    val (va, vd) = deltaOptional(oldTriples, adds, dels, left, right)
+    val keys = view.columns.toSeq
+    val del = vd.select(keys.map(col): _*).hint("broadcast").as("__d")
+    val cond = keys.map(k => view(k) <=> col(s"__d.$k")).reduce(_ && _)
+    view.join(del, cond, "left_anti")
+      .unionByName(va.select(keys.map(col): _*))
+  }
+
+  private def optionalVars(left: Seq[TP],
+      right: Seq[TP]): (Seq[String], Seq[String]) = {
+    require(left.nonEmpty && right.nonEmpty, "empty OPTIONAL body")
+    val lv = left.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case V(n) => n }.distinct.sorted
+    val rv = right.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case V(n) => n }.toSet
+    val shared = lv.filter(rv.contains)
+    require(lv.nonEmpty && shared.nonEmpty,
+      "an OPTIONAL view needs required variables and at least one " +
+        "shared with the optional body (a disconnected OPTIONAL is a " +
+        "cartesian pad — compose it downstream)")
+    (lv, shared)
+  }
+
+  /** Distinct `seedVars` rows of `seed` that extend to a full match of
+    * `patterns` over `t`: the membership/match-existence probe. The seed
+    * is Δ-sized and broadcast at every fold step; the base is scanned
+    * (predicate-pushed), never shuffled. */
+  private def probe(seed: DataFrame, seedVars: Seq[String],
+      patterns: Seq[TP], t: DataFrame): DataFrame = {
+    val legs = patterns.map { tp =>
+      val bound = tripleBound(tp)
+      (vars(bound), Bgp.onePattern(t, bound))
+    }
+    foldLegs(seed, seedVars.toSet, legs)
+      .select(seedVars.map(col): _*).distinct()
+  }
+
+  /** Greedy connectivity-first fold of pattern legs onto an accumulator,
+    * broadcast at every step — the shared engine of the telescoping
+    * [[term]]s and the OPTIONAL [[probe]]s. */
+  private def foldLegs(acc0: DataFrame, accVars0: Set[String],
+      legs: Seq[(Set[String], DataFrame)]): DataFrame = {
+    var acc = acc0
+    var accVars = accVars0
+    val remaining = scala.collection.mutable.ArrayBuffer(legs: _*)
+    while (remaining.nonEmpty) {
+      val next = remaining.find { case (vs, _) => (vs & accVars).nonEmpty }
+        .getOrElse(remaining.head)
+      remaining -= next
+      val (vs, leg) = next
+      val shared = (vs & accVars).toSeq.sorted
+      acc =
+        if (shared.isEmpty) acc.hint("broadcast").join(leg, lit(true), "inner")
+        else acc.hint("broadcast").join(leg, shared, "inner")
+      accVars ++= vs
+    }
+    acc
+  }
+
   private def tripleBound(tp: TP): Seq[(String, Term)] =
     Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
   private def quadBound(tp: TP, g: Term): Seq[(String, Term)] =
@@ -129,26 +317,11 @@ object BgpView {
     * same cross-join avoidance as [[Bgp.solveReordered]]); the
     * accumulator stays Δ-sized and is broadcast at every step. */
   private def term(i: Int, patterns: Seq[Seq[(String, Term)]],
-      newT: DataFrame, oldT: DataFrame, dT: DataFrame): DataFrame = {
-    var acc = onePatternSigned(dT, patterns(i))
-    var accVars = vars(patterns(i))
-    val remaining = scala.collection.mutable.ArrayBuffer(
+      newT: DataFrame, oldT: DataFrame, dT: DataFrame): DataFrame =
+    foldLegs(onePatternSigned(dT, patterns(i)), vars(patterns(i)),
       patterns.zipWithIndex.collect { case (bound, j) if j != i =>
         (vars(bound), Bgp.onePattern(if (j < i) newT else oldT, bound))
-      }: _*)
-    while (remaining.nonEmpty) {
-      val next = remaining.find { case (vs, _) => (vs & accVars).nonEmpty }
-        .getOrElse(remaining.head)
-      remaining -= next
-      val (vs, leg) = next
-      val shared = (vs & accVars).toSeq.sorted
-      acc =
-        if (shared.isEmpty) acc.hint("broadcast").join(leg, lit(true), "inner")
-        else acc.hint("broadcast").join(leg, shared, "inner")
-      accVars ++= vs
-    }
-    acc
-  }
+      })
 
   /** [[Bgp.onePattern]] with the sign column carried through. */
   private def onePatternSigned(dT: DataFrame,

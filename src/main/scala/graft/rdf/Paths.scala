@@ -124,6 +124,171 @@ object Paths {
     } finally spark.conf.set(flag, prev)
   }
 
+  /** Incrementally maintained transitive closure: advance a materialized
+    * [[transitiveClosure]] under an edge churn `(adds, dels)` without
+    * recomputing it — the recursive-view analog of [[BgpView.maintain]].
+    *
+    * Counting IVM cannot serve recursion (a pair's derivation count is
+    * unbounded and deletion of one edge can kill unboundedly many
+    * derivations at once), so deletions use DRed — delete-and-rederive:
+    *
+    *  1. OVER-DELETE every pair with SOME derivation through a deleted
+    *     edge. For reachability that set is exact WITHOUT iteration: any
+    *     path through deleted edge (u,v) decomposes as x→*u, (u,v), v→*y,
+    *     so suspects = {(x,y) : ∃(u,v)∈dels, (x=u ∨ x→*u) ∧ (y=v ∨
+    *     v→*y)} — two joins against the old closure with the deleted
+    *     edges broadcast, and suspects ⊆ C by C's transitivity.
+    *  2. RE-DERIVE the suspects still reachable over surviving edges,
+    *     semi-naive: (x,y) survives iff some surviving edge (x,m) has
+    *     m = y, or continues into a KEPT pair (round 0) or an
+    *     already-re-derived one (later rounds — a new derivation must
+    *     pass through a newly recovered pair, so joining the frontier
+    *     only is complete). Rounds ≤ the affected region's diameter.
+    *
+    * Insertions extend semi-naive from the ADDED edges with old segments
+    * pre-composed — x →* u, (u,v) ∈ adds, v →* y, identities included —
+    * so rounds are bounded by the number of added edges on a path, not
+    * the path's length.
+    *
+    * Scale shape: the deleted/added edge sets ride broadcast; per-round
+    * frontiers are affected-region-sized and broadcast into scans of the
+    * closure where possible. The over-delete and kept-set anti-joins
+    * shuffle the closure once each — DRed's intrinsic cost, still far
+    * under the diameter-many |C| shuffles of a recompute. Contract (the
+    * [[QuadStore.changes]] guarantee): `adds` disjoint from `oldEdges`,
+    * `dels` ⊆ `oldEdges`; both (src, dst) sets.
+    */
+  def maintainClosure(closure: DataFrame, oldEdges: DataFrame,
+      adds: DataFrame, dels: DataFrame, maxIter: Int = 20): DataFrame =
+    maintainClosureDelta(closure, oldEdges, adds, dels, maxIter)._1
+
+  /** [[maintainClosure]] also returning the NET closure-level change as
+    * `(closure, pairAdds, pairDels)` — disjoint frames, a pair deleted by
+    * the DRed phase and re-derived by the insertion phase nets out. The
+    * persisted path view's sync consumes this to write O(|Δclosure|)
+    * segments instead of diffing two closure snapshots. */
+  def maintainClosureDelta(closure: DataFrame, oldEdges: DataFrame,
+      adds: DataFrame, dels: DataFrame,
+      maxIter: Int = 20): (DataFrame, DataFrame, DataFrame) = {
+    val spark = closure.sparkSession
+    // same scoped setting as closure(): the loop unions checkpointed
+    // frames, where constraint rewriting can throw on pruned origins
+    val flag = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.get(flag)
+    spark.conf.set(flag, "false")
+    try {
+      val cols = Seq("src", "dst")
+      val sel = (df: DataFrame) => df.select(cols.map(col): _*)
+      var cur = sel(closure)
+      var edges = sel(oldEdges)
+      var pairDels = cur.limit(0)
+      var pairAdds = cur.limit(0)
+      if (!dels.isEmpty) {
+        val d = sel(dels).select(col("src").as("u"), col("dst").as("v"))
+        edges = edges
+          .join(sel(dels).hint("broadcast"), cols, "left_anti")
+        // {(x, u, v)}: x reaches the deleted edge's tail (or IS it)
+        val lefts = d.select(col("u").as("x"), col("u"), col("v"))
+          .unionByName(cur.select(col("src").as("x"), col("dst").as("u"))
+            .join(d.hint("broadcast"), Seq("u"))
+            .select(col("x"), col("u"), col("v")))
+        // … × {y : y = v ∨ v →* y}. `lefts` is affected-region-sized
+        // (Δ-descended, not Δ-sized) — this join's shuffle is DRed's
+        // intrinsic cost, proportional to the severed region
+        val over = graft.Materialize(
+          lefts.select(col("x").as("src"), col("v").as("dst"))
+            .unionByName(lefts.select(col("x"), col("v"))
+              .join(cur.select(col("src").as("v"), col("dst").as("y")),
+                Seq("v"))
+              .select(col("x").as("src"), col("y").as("dst")))
+            .distinct())
+        val kept = graft.Materialize(cur.join(over, cols, "left_anti"))
+        // surviving out-edges of suspect sources — the only edges a
+        // re-derivation can start with
+        val eAff = graft.Materialize(edges.join(
+          over.select("src").distinct().hint("broadcast"),
+          Seq("src"), "left_semi"))
+        def witnessed(cand: DataFrame, base: DataFrame): DataFrame = {
+          val via = cand.join(
+            eAff.select(col("src"), col("dst").as("m")), Seq("src"))
+          via.filter(col("m") === col("dst")).select(cols.map(col): _*)
+            .unionByName(via.join(
+              base.select(col("src").as("m"), col("dst")),
+              Seq("m", "dst"), "left_semi").select(cols.map(col): _*))
+            .distinct()
+        }
+        var red = graft.Materialize(witnessed(over, kept))
+        var frontier = red
+        var i = 0
+        while (i < maxIter && !frontier.isEmpty) {
+          val cand = over.join(red, cols, "left_anti")
+          val next = graft.Materialize(witnessed(cand, frontier))
+          if (!next.isEmpty) {
+            val grown = graft.Materialize(red.unionByName(next))
+            graft.Materialize.release(red)
+            red = grown
+          }
+          if (!(frontier eq red)) graft.Materialize.release(frontier)
+          frontier = next
+          i += 1
+        }
+        require(frontier.isEmpty,
+          s"closure re-derivation did not converge in $maxIter rounds — " +
+            "raise maxIter (the affected region is deeper than it)")
+        pairDels = graft.Materialize(over.join(red, cols, "left_anti"))
+        cur = graft.Materialize(kept.unionByName(red))
+      }
+      if (!adds.isEmpty) {
+        val a = graft.Materialize(sel(adds))
+        edges = edges.unionByName(a)
+        val base = cur // post-deletion closure: already transitively closed
+        // one added edge, old closed segments composed on the left…
+        val leftExt = a.unionByName(
+          base.select(col("src"), col("dst").as("m"))
+            .join(a.select(col("src").as("m"), col("dst"))
+              .hint("broadcast"), Seq("m"))
+            .select(cols.map(col): _*))
+        // …and on the right: frontier broadcast into the closure scan
+        def rightExt(f: DataFrame): DataFrame =
+          f.unionByName(f.hint("broadcast")
+            .select(col("src"), col("dst").as("m"))
+            .join(base.select(col("src").as("m"), col("dst")), Seq("m"))
+            .select(cols.map(col): _*)).distinct()
+        var all = cur
+        val frontiers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        var frontier = graft.Materialize(
+          rightExt(leftExt).join(all, cols, "left_anti"))
+        var i = 0
+        while (i < maxIter && !frontier.isEmpty) {
+          frontiers += frontier
+          val grown = graft.Materialize(all.unionByName(frontier))
+          if (!(all eq cur)) graft.Materialize.release(all)
+          all = grown
+          // paths with one MORE added edge: frontier ∘ adds ∘ (C ∪ id)
+          val viaAdd = frontier.select(col("src"), col("dst").as("m"))
+            .join(a.select(col("src").as("m"), col("dst"))
+              .hint("broadcast"), Seq("m"))
+            .select(cols.map(col): _*)
+          val next = graft.Materialize(
+            rightExt(viaAdd).join(all, cols, "left_anti"))
+          frontier = next
+          i += 1
+        }
+        require(frontier.isEmpty,
+          s"closure extension did not converge in $maxIter rounds — " +
+            "raise maxIter (a path crosses more added edges than it)")
+        if (frontiers.nonEmpty)
+          pairAdds = frontiers.reduce(_.unionByName(_))
+        cur = all
+      }
+      // a pair the DRed phase dropped and the insertion phase recovered
+      // was present before AND after — it nets out of both delta sides
+      (cur,
+        graft.Materialize(pairAdds.join(pairDels, cols, "left_anti")),
+        graft.Materialize(pairDels.join(pairAdds, cols, "left_anti")))
+    } finally spark.conf.set(flag, prev)
+  }
+
   /** SPARQL `pred+` over the triples table: reachability through edges
     * labeled with any of the given predicates. */
   def predicatePlus(triples: DataFrame, preds: Seq[String],

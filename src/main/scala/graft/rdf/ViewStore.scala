@@ -97,9 +97,17 @@ object ViewStore {
   }
 
   /** Is this a quad-pattern (GRAPH-aware) view? */
-  def isQuadView(root: String): Boolean =
-    graft.sources.AtomicStore.readString(s"$root/meta.tsv")
-      .split("\n").head.startsWith("mode\tquads")
+  def isQuadView(root: String): Boolean = mode(root) == "quads"
+
+  /** The view's maintenance mode: "triple" (the original conjunctive
+    * slice view), "quads", "agg", "union", "optional" or "path" — every
+    * lifecycle entry point dispatches on this, so one `sync`/`read`/
+    * `compact` surface serves all view shapes. */
+  def mode(root: String): String = {
+    val head = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").head.split("\t", -1)
+    if (head(0) == "graph") "triple" else head(1)
+  }
 
   /** The persisted TRIPLE-view definition: (graph slice, patterns). */
   def definition(root: String): (String, Seq[TP]) = {
@@ -129,6 +137,93 @@ object ViewStore {
       val Array(s, p, o, g) = l.split("\t")
       (TP(termDec(s), termDec(p), termDec(o)), termDec(g))
     }
+  }
+
+  // ---- beyond the conjunctive fragment: union / optional / path ------
+
+  private def writeMetaUnion(root: String, graph: String,
+      branches: Seq[Seq[TP]]): Unit = {
+    val lines = s"mode\tunion\t${b64(graph)}" +:
+      branches.zipWithIndex.flatMap { case (pats, i) =>
+        pats.map(tp => (Seq(i.toString) ++
+          Seq(termEnc(tp.s), termEnc(tp.p), termEnc(tp.o))).mkString("\t"))
+      }
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      lines.mkString("\n"))
+  }
+
+  /** The persisted UNION-view definition: (graph slice, branches). */
+  def definitionUnion(root: String): (String, Seq[Seq[TP]]) = {
+    val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").toSeq
+    val g = lines.head.split("\t", -1) match {
+      case Array("mode", "union", b) => unb64(b)
+      case _ => throw new IllegalArgumentException(
+        s"not a union view under $root")
+    }
+    val branches = lines.tail.map { l =>
+      val Array(i, s, p, o) = l.split("\t")
+      (i.toInt, TP(termDec(s), termDec(p), termDec(o)))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+    (g, branches)
+  }
+
+  private def writeMetaOptional(root: String, graph: String,
+      left: Seq[TP], right: Seq[TP]): Unit = {
+    val enc = (tag: String, pats: Seq[TP]) => pats.map(tp =>
+      (Seq(tag) ++ Seq(termEnc(tp.s), termEnc(tp.p), termEnc(tp.o)))
+        .mkString("\t"))
+    val lines = s"mode\toptional\t${b64(graph)}" +:
+      (enc("L", left) ++ enc("R", right))
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      lines.mkString("\n"))
+  }
+
+  /** The persisted OPTIONAL-view definition: (graph, left, right). */
+  def definitionOptional(root: String): (String, Seq[TP], Seq[TP]) = {
+    val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").toSeq
+    val g = lines.head.split("\t", -1) match {
+      case Array("mode", "optional", b) => unb64(b)
+      case _ => throw new IllegalArgumentException(
+        s"not an optional view under $root")
+    }
+    val pats = lines.tail.map { l =>
+      val Array(tag, s, p, o) = l.split("\t")
+      (tag, TP(termDec(s), termDec(p), termDec(o)))
+    }
+    (g, pats.collect { case ("L", tp) => tp },
+      pats.collect { case ("R", tp) => tp })
+  }
+
+  private def writeMetaPath(root: String, graph: String, srcVar: String,
+      dstVar: String, fwd: Seq[String], inv: Seq[String]): Unit = {
+    val lines = Seq(
+      s"mode\tpath\t${b64(graph)}",
+      (Seq("vars", b64(srcVar), b64(dstVar))).mkString("\t"),
+      (Seq("fwd") ++ fwd.map(b64)).mkString("\t"),
+      (Seq("inv") ++ inv.map(b64)).mkString("\t"))
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      lines.mkString("\n"))
+  }
+
+  /** The persisted PATH-view definition:
+    * (graph, srcVar, dstVar, forward preds, inverse preds). */
+  def definitionPath(root: String)
+      : (String, String, String, Seq[String], Seq[String]) = {
+    val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").toSeq
+    val g = lines.head.split("\t", -1) match {
+      case Array("mode", "path", b) => unb64(b)
+      case _ => throw new IllegalArgumentException(
+        s"not a path view under $root")
+    }
+    val byTag = lines.tail.map { l =>
+      val parts = l.split("\t", -1).toSeq
+      (parts.head, parts.tail)
+    }.toMap
+    val Seq(sv, dv) = byTag("vars").map(unb64)
+    (g, sv, dv, byTag("fwd").map(unb64), byTag("inv").map(unb64))
   }
 
   /** Extract a maintainable pattern set from SPARQL text: a single
@@ -216,6 +311,138 @@ object ViewStore {
       viewRoot: String, text: String): Int =
     createQuads(spark, storeRoot, viewRoot, quadPatternsFromSparql(text))
 
+  // the shared loud rejections of the maintainable-fragment parsers
+  private def noModifiers(q: Sparql.Query): Unit =
+    require(!q.distinct && q.orderKeys.isEmpty && q.limit.isEmpty &&
+      q.offset.isEmpty && q.selectAggs.isEmpty && q.groupVars.isEmpty &&
+      q.having.isEmpty && q.selectBinds.isEmpty &&
+      q.trailingValues.isEmpty,
+      "view definitions take no solution modifiers or aggregation")
+  private def bareBody(b: Sparql.Block, what: String,
+      allowOptional: Boolean = false, allowPaths: Boolean = false): Unit =
+    require((allowOptional || b.optionals.isEmpty) && b.filters.isEmpty &&
+      b.minuses.isEmpty && b.values.isEmpty && b.binds.isEmpty &&
+      (allowPaths || b.paths.isEmpty) && b.exists.isEmpty &&
+      b.subqueries.isEmpty &&
+      b.graphs.isEmpty && b.unions.isEmpty && b.services.isEmpty,
+      s"$what — anything richer composes downstream of the " +
+        "materialization")
+  private def tpVars(pats: Seq[TP]): Seq[String] =
+    pats.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case V(n) => n }.distinct
+  private def fullBinding(q: Sparql.Query, vars: Seq[String]): Unit =
+    require(q.projection == Seq("*") || q.projection.toSet == vars.toSet,
+      s"the materialized view holds the FULL binding (${
+        vars.mkString(", ")}) — project over the view's reads")
+
+  /** The UNION-view fragment from SPARQL text: two or more top-level
+    * `{ BGP } UNION { BGP }` branches over the SAME variable set. */
+  def unionBranchesFromSparql(text: String): Seq[Seq[TP]] = {
+    val q = Sparql.parse(text)
+    require(!q.ask && q.construct.isEmpty && q.describe.isEmpty,
+      "view definitions are SELECTs")
+    require(q.branches.size >= 2,
+      "a union view needs two or more UNION branches — use " +
+        "createFromSparql for a single BGP")
+    noModifiers(q)
+    val branches = q.branches.map { b =>
+      bareBody(b, "each union branch of a maintainable view is a " +
+        "plain BGP")
+      require(b.where.nonEmpty, "empty union branch")
+      b.where
+    }
+    val per = branches.map(tpVars(_).toSet)
+    require(per.forall(_ == per.head),
+      "union view branches must bind the same variable set, got " +
+        per.map(_.toSeq.sorted.mkString("{", ",", "}")).mkString(" vs "))
+    fullBinding(q, per.head.toSeq.sorted)
+    branches
+  }
+
+  /** [[createUnion]] from SPARQL text. */
+  def createUnionFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, text: String, graph: String = ""): Int =
+    createUnion(spark, storeRoot, viewRoot,
+      unionBranchesFromSparql(text), graph)
+
+  /** The OPTIONAL-view fragment from SPARQL text: a plain required BGP
+    * plus exactly one `OPTIONAL { BGP }` block → (left, right). */
+  def optionalFromSparql(text: String): (Seq[TP], Seq[TP]) = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view definitions are single-block SELECTs")
+    val b = q.branches.head
+    bareBody(b, "a maintainable OPTIONAL view is a plain BGP plus one " +
+      "OPTIONAL { BGP }", allowOptional = true)
+    require(b.where.nonEmpty, "empty required body")
+    require(b.optionals.size == 1, "exactly one OPTIONAL block")
+    val ob = b.optionals.head
+    require(ob.pats.nonEmpty && ob.paths.isEmpty && ob.filters.isEmpty,
+      "the OPTIONAL body of a maintainable view is a bare BGP")
+    noModifiers(q)
+    fullBinding(q, tpVars(b.where ++ ob.pats).sorted)
+    (b.where, ob.pats)
+  }
+
+  /** [[createOptional]] from SPARQL text. */
+  def createOptionalFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, text: String, graph: String = ""): Int = {
+    val (left, right) = optionalFromSparql(text)
+    createOptional(spark, storeRoot, viewRoot, left, right, graph)
+  }
+
+  /** The PATH-view fragment from SPARQL text: exactly
+    * `SELECT … WHERE { ?src (p1|…|^q1|…)+ ?dst }` — a one-or-more
+    * closure over a LINEAR predicate alternation (linear in the triples,
+    * so the edge-level delta is the alternation applied to the change
+    * feed). Sequences/nesting inside the `+` are rejected loudly: their
+    * edge sets are joins, whose deltas need the full conjunctive rule. */
+  def pathFromSparql(text: String)
+      : (String, String, Seq[String], Seq[String]) = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view definitions are single-block SELECTs")
+    val b = q.branches.head
+    require(b.where.isEmpty && b.paths.size == 1,
+      "a maintainable path view is exactly one path pattern")
+    bareBody(b, "a maintainable path view is exactly one path pattern",
+      allowPaths = true)
+    noModifiers(q)
+    val (sv, dv, fwd, inv) = b.paths.head match {
+      case (V(s), PPlus(inner), V(d)) =>
+        val (f, i) = linearAlt(inner)
+        (s, d, f, i)
+      case (_, p, _) => throw new IllegalArgumentException(
+        s"a maintainable path view is `?src (preds)+ ?dst`, got $p — " +
+          "`*`'s zero-hop row set and constant endpoints compose " +
+          "downstream of the materialization")
+    }
+    require(sv != dv, "path view endpoints must be distinct variables")
+    fullBinding(q, Seq(sv, dv).sorted)
+    (sv, dv, fwd, inv)
+  }
+
+  private def linearAlt(p: Path): (Seq[String], Seq[String]) = p match {
+    case PEdge(v: String) => (Seq(v), Nil)
+    case PInv(PEdge(v: String)) => (Nil, Seq(v))
+    case PAlt(l, r) =>
+      val (lf, li) = linearAlt(l)
+      val (rf, ri) = linearAlt(r)
+      (lf ++ rf, li ++ ri)
+    case other => throw new IllegalArgumentException(
+      s"a maintainable path view closes over a LINEAR predicate " +
+        s"alternation (p|…|^q|…), got $other — sequence edge sets are " +
+        "joins; their deltas need the conjunctive rule, compose them " +
+        "downstream")
+  }
+
+  /** [[createPath]] from SPARQL text. */
+  def createPathFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, text: String, graph: String = ""): Int = {
+    val (sv, dv, fwd, inv) = pathFromSparql(text)
+    createPath(spark, storeRoot, viewRoot, sv, dv, fwd, inv, graph)
+  }
+
   // ---- lifecycle ------------------------------------------------------
 
   /** The `graph` slice of a pinned store version, as (s,p,o). */
@@ -256,10 +483,82 @@ object ViewStore {
     cur
   }
 
+  /** The per-direction edge scan of a path view — a SET (the closure's
+    * domain), so alternation duplicates collapse. */
+  private def pathEdges(t: DataFrame, fwd: Seq[String],
+      inv: Seq[String]): DataFrame = {
+    val parts =
+      (if (fwd.isEmpty) Nil
+       else Seq(t.filter(col("p").isin(fwd: _*))
+         .select(col("s").as("src"), col("o").as("dst")))) ++
+      (if (inv.isEmpty) Nil
+       else Seq(t.filter(col("p").isin(inv: _*))
+         .select(col("o").as("src"), col("s").as("dst"))))
+    parts.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** Bootstrap a UNION view — branches of conjunctive BGPs over the same
+    * variable set. The persisted artifact is the counting algorithm's
+    * SUPPORT COUNT frame ([[BgpView.computeUnionCounts]]): set union
+    * does not distribute over set deltas, support does — segments carry
+    * per-binding net support changes and membership is support > 0. */
+  def createUnion(spark: SparkSession, storeRoot: String, viewRoot: String,
+      branches: Seq[Seq[TP]], graph: String = ""): Int = {
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before createUnion()"))
+    writeMetaUnion(viewRoot, graph, branches)
+    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
+      BgpView.computeUnionCounts(slice(spark, storeRoot, cur, graph),
+        branches).write.parquet(tmp)
+    }
+    cur
+  }
+
+  /** Bootstrap an OPTIONAL view — `left ⟕ right`, padded rows carrying
+    * null optional columns; segments are net a/d rows maintained by
+    * [[BgpView.deltaOptional]]'s transition rule. */
+  def createOptional(spark: SparkSession, storeRoot: String,
+      viewRoot: String, left: Seq[TP], right: Seq[TP],
+      graph: String = ""): Int = {
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before createOptional()"))
+    writeMetaOptional(viewRoot, graph, left, right)
+    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
+      BgpView.computeOptional(slice(spark, storeRoot, cur, graph),
+        left, right).write.parquet(tmp)
+    }
+    cur
+  }
+
+  /** Bootstrap a PATH view — the transitive closure of a predicate
+    * alternation `(p1|…|^q1|…)+`, columns (srcVar, dstVar); segments are
+    * net a/d pair rows maintained by [[Paths.maintainClosureDelta]]
+    * (DRed deletions, semi-naive insertions). */
+  def createPath(spark: SparkSession, storeRoot: String, viewRoot: String,
+      srcVar: String, dstVar: String, fwd: Seq[String],
+      inv: Seq[String] = Nil, graph: String = ""): Int = {
+    require(fwd.nonEmpty || inv.nonEmpty, "empty predicate alternation")
+    require(srcVar != dstVar, "path view endpoints must be distinct vars")
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before createPath()"))
+    writeMetaPath(viewRoot, graph, srcVar, dstVar, fwd, inv)
+    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
+      Paths.transitiveClosure(
+          pathEdges(slice(spark, storeRoot, cur, graph), fwd, inv))
+        .select(col("src").as(srcVar), col("dst").as(dstVar))
+        .write.parquet(tmp)
+    }
+    cur
+  }
+
   /** Fold the store's changes since the last sync into one view-delta
     * segment; returns the store version the view now reflects.
     * Idempotent and crash-safe (marker-gated, coverage-named). Serves
-    * both view shapes — the meta discriminates. */
+    * every view shape — the meta's mode discriminates; union segments
+    * carry net SUPPORT changes, the rest net a/d binding rows. */
   def sync(spark: SparkSession, storeRoot: String,
       viewRoot: String): Int = {
     val cur = QuadStore.currentVersion(storeRoot).getOrElse(
@@ -269,25 +568,57 @@ object ViewStore {
     require(last > 0, s"no view under $viewRoot — create() before sync()")
     if (cur <= last) return last
     val (adds, dels) = QuadStore.changes(spark, storeRoot, last, cur)
-    val (va, vd) =
-      if (isQuadView(viewRoot))
-        BgpView.deltaQuads(QuadStore.readVersion(spark, storeRoot, last),
-          adds, dels, definitionQuads(viewRoot))
-      else {
+    val opRows = (d: (DataFrame, DataFrame)) =>
+      d._1.withColumn("__op", lit("a"))
+        .unionByName(d._2.withColumn("__op", lit("d")))
+    val tOf = (graph: String) => (df: DataFrame) =>
+      df.filter(col("g") === graph).select("s", "p", "o")
+    val segment = mode(viewRoot) match {
+      case "quads" =>
+        opRows(BgpView.deltaQuads(
+          QuadStore.readVersion(spark, storeRoot, last),
+          adds, dels, definitionQuads(viewRoot)))
+      case "union" =>
+        val (graph, branches) = definitionUnion(viewRoot)
+        val t = tOf(graph)
+        BgpView.deltaUnionCounts(slice(spark, storeRoot, last, graph),
+          t(adds), t(dels), branches)
+      case "optional" =>
+        val (graph, left, right) = definitionOptional(viewRoot)
+        val t = tOf(graph)
+        opRows(BgpView.deltaOptional(slice(spark, storeRoot, last, graph),
+          t(adds), t(dels), left, right))
+      case "path" =>
+        val (graph, sv, dv, fwd, inv) = definitionPath(viewRoot)
+        val t = tOf(graph)
+        val oldT = slice(spark, storeRoot, last, graph)
+        val oldE = pathEdges(oldT, fwd, inv)
+        val newT = oldT.join(t(dels).hint("broadcast"),
+            Seq("s", "p", "o"), "left_anti").unionByName(t(adds))
+        // triple-level net ≠ edge-level net under alternation: an edge
+        // survives while ANY alternative predicate still derives it
+        val eAdds = pathEdges(t(adds), fwd, inv)
+          .join(oldE, Seq("src", "dst"), "left_anti")
+        val eDels = pathEdges(t(dels), fwd, inv)
+          .join(pathEdges(newT, fwd, inv), Seq("src", "dst"), "left_anti")
+        val (_, pa, pd) = Paths.maintainClosureDelta(
+          read(spark, viewRoot)
+            .select(col(sv).as("src"), col(dv).as("dst")),
+          oldE, eAdds, eDels)
+        val named = (df: DataFrame) =>
+          df.select(col("src").as(sv), col("dst").as(dv))
+        opRows((named(pa), named(pd)))
+      case _ =>
         val (graph, patterns) = definition(viewRoot)
-        val tOf = (df: DataFrame) =>
-          df.filter(col("g") === graph).select("s", "p", "o")
-        BgpView.delta(slice(spark, storeRoot, last, graph),
-          tOf(adds), tOf(dels), patterns)
-      }
+        val t = tOf(graph)
+        opRows(BgpView.delta(slice(spark, storeRoot, last, graph),
+          t(adds), t(dels), patterns))
+    }
     // an empty delta still writes its (tiny) segment: coverage
     // contiguity is what lets a replayed or raced sync be a no-op and
     // makes gaps loudly detectable at read
     graft.sources.AtomicStore.materialize(segPath(viewRoot, last, cur)) {
-      tmp =>
-        va.withColumn("__op", lit("a"))
-          .unionByName(vd.withColumn("__op", lit("d")))
-          .write.parquet(tmp)
+      tmp => segment.write.parquet(tmp)
     }
     cur
   }
@@ -318,6 +649,8 @@ object ViewStore {
     * chain loudly (two racing syncers from different `from` versions). */
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (mode(viewRoot) == "union")
+      return readUnionCounts(spark, viewRoot).drop(BgpView.SupportCol)
     val (baseV, segs) = chain(viewRoot)
     val base = spark.read.parquet(basePath(viewRoot, baseV))
     if (segs.isEmpty) return base
@@ -333,6 +666,21 @@ object ViewStore {
       .select(cols.map(col): _*)
   }
 
+  /** A union view's maintained support-count frame: base supports plus
+    * net segment changes, one sum per binding; membership is > 0. The
+    * same contiguity gate as every read path. */
+  def readUnionCounts(spark: SparkSession, viewRoot: String): DataFrame = {
+    val (baseV, segs) = chain(viewRoot)
+    val base = spark.read.parquet(basePath(viewRoot, baseV))
+    val bcols = base.columns.filterNot(_ == BgpView.SupportCol).toSeq
+    (base +: segs.map { case (f, t) =>
+      spark.read.parquet(segPath(viewRoot, f, t)) })
+      .reduce(_.unionByName(_))
+      .groupBy(bcols.map(col): _*)
+      .agg(sum(BgpView.SupportCol).as(BgpView.SupportCol))
+      .filter(col(BgpView.SupportCol) > 0L)
+  }
+
   /** A grouped COUNT over the maintained view, folded WITHOUT
     * materializing the full binding set: the base contributes +1 per
     * row and each segment ±1 by op — sound because segments are NET
@@ -345,6 +693,12 @@ object ViewStore {
     require(!groupVars.contains(countCol),
       s"count column '$countCol' collides with a group variable — " +
         "pass countCol explicitly")
+    // a union view's counts are per-binding supports, not ±1 signs —
+    // fold the supports first, then count present bindings per group
+    if (mode(viewRoot) == "union")
+      return readUnionCounts(spark, viewRoot)
+        .groupBy(groupVars.map(col): _*)
+        .agg(count(lit(1)).as(countCol))
     // same contiguity gate as read(): a gapped/overlapping chain would
     // otherwise sum ±1 signs over the wrong segment set SILENTLY
     val (baseV, segs) = chain(viewRoot)
@@ -374,7 +728,9 @@ object ViewStore {
     * replaced entries — bounds read-side fold width, exactly the
     * mirror's compaction contract. */
   def compact(spark: SparkSession, viewRoot: String): Unit =
-    compactWith(viewRoot)(read(spark, viewRoot))
+    compactWith(viewRoot)(
+      if (mode(viewRoot) == "union") readUnionCounts(spark, viewRoot)
+      else read(spark, viewRoot))
 
   private def compactWith(root: String)(folded: => DataFrame): Unit = {
     val before = entries(root)

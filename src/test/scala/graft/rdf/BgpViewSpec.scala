@@ -193,4 +193,103 @@ class BgpViewSpec extends SparkSpec {
     check(t3(("a", "knows", "a"), ("a", "knows", "b")),
       t3(("b", "knows", "b")), t3(("a", "knows", "a")), self)
   }
+
+  // ---- UNION views ----------------------------------------------------
+
+  private val unionBranches = Seq(
+    Seq(TP(V("c"), C("seg"), C("B"))),
+    Seq(TP(V("c"), C("seg"), C("A")), TP(V("c"), C("vip"), C("y"))))
+
+  private def checkUnion(old: DataFrame, adds: DataFrame, dels: DataFrame,
+      branches: Seq[Seq[TP]]): DataFrame = {
+    val counts = BgpView.computeUnionCounts(old, branches)
+    val maintained =
+      BgpView.maintainUnionCounts(counts, old, adds, dels, branches)
+    val newState = old.exceptAll(dels.select("s", "p", "o"))
+      .unionByName(adds.select("s", "p", "o"))
+    assert(rowSet(maintained) ===
+      rowSet(BgpView.computeUnionCounts(newState, branches)),
+      "maintained union support counts diverged from recompute")
+    newState
+  }
+
+  test("union view: support counts carry a binding across branch exits") {
+    // c1 is in BOTH branches; dropping it from one must KEEP the binding
+    // (the case where naive set-delta union over-deletes)
+    val old = t3(
+      ("c1", "seg", "B"), ("c1", "vip", "y"),
+      ("c2", "seg", "A"), ("c2", "vip", "y"),
+      ("c3", "seg", "B"))
+    val mid = checkUnion(old,
+      adds = t3(("c1", "seg", "A")), dels = t3(("c1", "seg", "B")),
+      unionBranches)
+    // c1 flipped B→A: support stays 1 (via branch 2), membership holds
+    assert(rowSet(BgpView.computeUnion(mid, unionBranches)) ===
+      Set(Seq("c1"), Seq("c2"), Seq("c3")))
+    // now cut c1's vip — the LAST deriving branch — and add a two-branch
+    // member in one batch
+    val end = checkUnion(mid,
+      adds = t3(("c4", "seg", "B"), ("c4", "seg", "A"), ("c4", "vip", "y")),
+      dels = t3(("c1", "vip", "y")), unionBranches)
+    assert(rowSet(BgpView.computeUnion(end, unionBranches)) ===
+      Set(Seq("c2"), Seq("c3"), Seq("c4")))
+  }
+
+  test("union view rejects misaligned branch variable sets") {
+    intercept[IllegalArgumentException] {
+      BgpView.computeUnionCounts(empty3, Seq(
+        Seq(TP(V("a"), C("p"), V("b"))), Seq(TP(V("a"), C("q"), V("c")))))
+    }
+  }
+
+  // ---- OPTIONAL views -------------------------------------------------
+
+  private val optLeft = Seq(TP(V("c"), C("name"), V("n")))
+  private val optRight = Seq(TP(V("c"), C("ord"), V("o2")),
+    TP(V("o2"), C("st"), C("P")))
+
+  private def checkOptional(old: DataFrame, adds: DataFrame,
+      dels: DataFrame): DataFrame = {
+    val view = BgpView.computeOptional(old, optLeft, optRight)
+    val maintained =
+      BgpView.maintainOptional(view, old, adds, dels, optLeft, optRight)
+    val newState = old.exceptAll(dels.select("s", "p", "o"))
+      .unionByName(adds.select("s", "p", "o"))
+    assert(rowSet(maintained) ===
+      rowSet(BgpView.computeOptional(newState, optLeft, optRight)),
+      "maintained OPTIONAL view diverged from recompute")
+    newState
+  }
+
+  test("optional view: matched/padded transitions maintain exactly") {
+    val old = t3(
+      ("c1", "name", "alice"), ("c1", "ord", "o1"), ("o1", "st", "P"),
+      ("c2", "name", "bob"), // padded: no order
+      ("c3", "name", "carol"), ("c3", "ord", "o3"), ("o3", "st", "P"))
+    // c2 gains its first match (pad → matched), c1 loses its only match
+    // (matched → pad), and a new matchless c4 arrives (new pad)
+    val mid = checkOptional(old,
+      adds = t3(("c2", "ord", "o2"), ("o2", "st", "P"),
+        ("c4", "name", "dan")),
+      dels = t3(("o1", "st", "P")))
+    assert(rowSet(BgpView.computeOptional(mid, optLeft, optRight)) === Set(
+      Seq("c1", "alice", null), Seq("c2", "bob", "o2"),
+      Seq("c3", "carol", "o3"), Seq("c4", "dan", null)))
+    // second round on the maintained state: c3 gains a SECOND match (no
+    // pad involved), padded c1 leaves A entirely, c2 loses one of the
+    // triples backing its match
+    val end = checkOptional(mid,
+      adds = t3(("c3", "ord", "o3b"), ("o3b", "st", "P")),
+      dels = t3(("c1", "name", "alice"), ("c2", "ord", "o2")))
+    assert(rowSet(BgpView.computeOptional(end, optLeft, optRight)) === Set(
+      Seq("c2", "bob", null), Seq("c3", "carol", "o3"),
+      Seq("c3", "carol", "o3b"), Seq("c4", "dan", null)))
+  }
+
+  test("optional view rejects a disconnected optional body") {
+    intercept[IllegalArgumentException] {
+      BgpView.computeOptional(empty3,
+        Seq(TP(V("a"), C("p"), V("b"))), Seq(TP(V("x"), C("q"), V("y"))))
+    }
+  }
 }

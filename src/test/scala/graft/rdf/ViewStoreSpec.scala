@@ -438,4 +438,138 @@ class ViewStoreSpec extends SparkSpec {
         Seq(TP(V("s"), C(42L), V("o")))))
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
+
+  // ---- beyond the conjunctive fragment --------------------------------
+
+  private def freshRoots(tag: String): (String, String) = (
+    java.nio.file.Files.createTempDirectory(s"vs_${tag}_store").toString,
+    java.nio.file.Files.createTempDirectory(s"vs_${tag}_view").toString)
+
+  test("union view: persisted support counts survive branch exits") {
+    val (storeRoot, viewRoot) = freshRoots("union")
+    QuadStore.init(Seq(
+      ("c1", "seg", "B", ""), ("c1", "vip", "y", ""),
+      ("c2", "seg", "A", ""), ("c2", "vip", "y", ""),
+      ("c3", "seg", "B", "")).toDF("s", "p", "o", "g"), storeRoot)
+    val text =
+      """SELECT * WHERE {
+        |  { ?c <seg> "B" } UNION { ?c <seg> "A" . ?c <vip> "y" } }"""
+        .stripMargin
+    ViewStore.createUnionFromSparql(spark, storeRoot, viewRoot, text)
+    assert(ViewStore.mode(viewRoot) === "union")
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c1"), Seq("c2"), Seq("c3")))
+    // c1 flips B→A: leaves branch 1, ENTERS branch 2 — membership holds
+    // because support moves 1→1 (the over-delete a set-delta union makes)
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c1> <seg> "B" } ; INSERT DATA { <c1> <seg> "A" }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c1"), Seq("c2"), Seq("c3")))
+    // cut the LAST deriving branch; counts fold without the binding view
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c1> <vip> "y" }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c2"), Seq("c3")))
+    // compaction preserves support counts (c2 must survive losing ONE
+    // branch after compaction, so supports — not memberships — folded)
+    ViewStore.compact(spark, viewRoot)
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <c2> <seg> "B" } ;
+        |DELETE DATA { <c2> <seg> "A" }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c2"), Seq("c3")))
+    assert(rowSet(ViewStore.readCounts(spark, viewRoot, Seq("c"))) ===
+      Set(Seq("c2", 1L), Seq("c3", 1L)))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
+  test("optional view: persisted pad transitions through churn") {
+    val (storeRoot, viewRoot) = freshRoots("opt")
+    QuadStore.init(Seq(
+      ("c1", "name", "alice", ""), ("c1", "ord", "o1", ""),
+      ("c2", "name", "bob", "")).toDF("s", "p", "o", "g"), storeRoot)
+    ViewStore.createOptionalFromSparql(spark, storeRoot, viewRoot,
+      "SELECT * WHERE { ?c <name> ?n OPTIONAL { ?c <ord> ?o } }")
+    assert(ViewStore.mode(viewRoot) === "optional")
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c1", "alice", "o1"), Seq("c2", "bob", null)))
+    // c2 pads→matches, c1 matches→pads, matchless c3 arrives
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <c2> <ord> "o2" . <c3> <name> "carol" } ;
+        |DELETE DATA { <c1> <ord> "o1" }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c1", "alice", null), Seq("c2", "bob", "o2"),
+        Seq("c3", "carol", null)))
+    ViewStore.compact(spark, viewRoot)
+    // post-compaction: the padded c1 leaves entirely
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c1> <name> "alice" }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("c2", "bob", "o2"), Seq("c3", "carol", null)))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
+  test("path view: persisted closure maintained by DRed through churn") {
+    val (storeRoot, viewRoot) = freshRoots("path")
+    QuadStore.init(Seq(
+      ("a", "next", "b", ""), ("b", "next", "c", ""),
+      ("c", "hop", "d", "")).toDF("s", "p", "o", "g"), storeRoot)
+    ViewStore.createPathFromSparql(spark, storeRoot, viewRoot,
+      "SELECT * WHERE { ?x (<next>|<hop>)+ ?y }")
+    assert(ViewStore.mode(viewRoot) === "path")
+    val full = Set(Seq("a", "b"), Seq("a", "c"), Seq("a", "d"),
+      Seq("b", "c"), Seq("b", "d"), Seq("c", "d"))
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === full)
+    // sever b→c; keep (b,?) alive via a fresh bypass in the SAME batch
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <b> <next> "c" } ;
+        |INSERT DATA { <b> <hop> "d" }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("a", "b"), Seq("a", "d"), Seq("b", "d"), Seq("c", "d")))
+    // alternation subtlety: deleting ONE predicate of a doubly-derived
+    // edge must not drop the pair
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <b> <next> "d" } ;
+        |DELETE DATA { <b> <hop> "d" }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("a", "b"), Seq("a", "d"), Seq("b", "d"), Seq("c", "d")))
+    ViewStore.compact(spark, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("a", "b"), Seq("a", "d"), Seq("b", "d"), Seq("c", "d")))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
+  test("fragment parsers reject what the delta rules cannot maintain") {
+    // union: misaligned branch variables
+    intercept[IllegalArgumentException](ViewStore.unionBranchesFromSparql(
+      "SELECT * WHERE { { ?a <p> ?b } UNION { ?a <q> ?c } }"))
+    // union: a single branch is the conjunctive fragment's job
+    intercept[IllegalArgumentException](ViewStore.unionBranchesFromSparql(
+      "SELECT * WHERE { ?a <p> ?b }"))
+    // optional: filters inside the optional body
+    intercept[IllegalArgumentException](ViewStore.optionalFromSparql(
+      "SELECT * WHERE { ?c <name> ?n OPTIONAL { ?c <ord> ?o " +
+        "FILTER (?o != \"x\") } }"))
+    // path: a sequence inside the closure is a join-shaped edge set
+    intercept[IllegalArgumentException](ViewStore.pathFromSparql(
+      "SELECT * WHERE { ?x (<a>/<b>)+ ?y }"))
+    // path: * needs the zero-hop row set
+    intercept[IllegalArgumentException](ViewStore.pathFromSparql(
+      "SELECT * WHERE { ?x <a>* ?y }"))
+    // well-formed shapes parse
+    assert(ViewStore.pathFromSparql(
+      "SELECT * WHERE { ?x (<a>|^<b>)+ ?y }") ===
+      (("x", "y", Seq("a"), Seq("b"))))
+    assert(ViewStore.optionalFromSparql(
+      "SELECT ?c ?n ?o WHERE { ?c <name> ?n OPTIONAL { ?c <ord> ?o } }")
+      === ((Seq(TP(V("c"), C("name"), V("n"))),
+        Seq(TP(V("c"), C("ord"), V("o"))))))
+  }
 }
