@@ -319,6 +319,106 @@ object RdfOps extends QueryModule {
       ViewStore.readAgg(s, agg).orderBy(col("nat"))
     }),
 
+    // The persisted UNION view in the gate: set union does not distribute
+    // over set deltas, so the store maintains per-binding SUPPORT counts
+    // (number of deriving branches). The churn exercises both counting
+    // cases — zz1 flips branches atomically (support moves 1→1, membership
+    // holds through the flip) and zz2 loses ONE of two derivations
+    // (support 2→1, membership holds because counts, not memberships,
+    // folded). Read = bindings with support > 0 = the UNION recompute
+    // over the store head, which the oracle expresses directly.
+    "q_bgp_view_union" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_vu_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_vu_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createUnionFromSparql(s, store, view,
+          """SELECT * WHERE {
+            |  { ?cust <mktsegment> "BUILDING" }
+            |  UNION { ?cust <mktsegment> "MACHINERY" } }""".stripMargin,
+          "g:customer"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <mktsegment> "BUILDING" .
+          |  <c:zz2> <mktsegment> "BUILDING" .
+          |  <c:zz2> <mktsegment> "MACHINERY" . } }""".stripMargin)
+      QuadStore.update(s, store,
+        """DELETE DATA { GRAPH <g:customer> {
+          |  <c:zz1> <mktsegment> "BUILDING" .
+          |  <c:zz2> <mktsegment> "BUILDING" . } } ;
+          |INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <mktsegment> "MACHINERY" . } }""".stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.read(s, view).orderBy(col("cust"))
+    }),
+
+    // The persisted OPTIONAL view in the gate: pads are not monotone in
+    // either body, so sync runs the transition rule over the Δ-sized
+    // affected A-bindings. The churn exercises all three transitions —
+    // zz1 arrives MATCHED, zz2 arrives PADDED (alongside the base pads),
+    // zz3 arrives matched then loses its match (match→pad, the
+    // retraction a plain equi-join would silently miss on null pads).
+    "q_bgp_view_optional" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_vo_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_vo_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createOptionalFromSparql(s, store, view,
+          """SELECT * WHERE { ?cust <name> ?cname .
+            |  ?cust <mktsegment> "BUILDING"
+            |  OPTIONAL { ?cust <vip> ?flag } }""".stripMargin,
+          "g:customer"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <name> "zz-one" . <c:zz1> <mktsegment> "BUILDING" .
+          |  <c:zz1> <vip> "y" .
+          |  <c:zz2> <name> "zz-two" . <c:zz2> <mktsegment> "BUILDING" .
+          |  <c:zz3> <name> "zz-three" . <c:zz3> <mktsegment> "BUILDING" .
+          |  <c:zz3> <vip> "y" . } }""".stripMargin)
+      QuadStore.update(s, store,
+        """DELETE DATA { GRAPH <g:customer> { <c:zz3> <vip> "y" . } }""")
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.read(s, view)
+        .orderBy(col("cust"), asc_nulls_first("flag"))
+    }),
+
+    // The persisted PATH view in the gate: a transitive closure
+    // maintained by DRed (over-delete every pair with a derivation
+    // through the deleted edge, re-derive the survivors) instead of
+    // recomputing. The churn grows a zz-chain onto the nation→region
+    // edges, then severs its link INTO them — zz:c→zz:a→zz:b survives
+    // (a genuine 2-hop pair), everything from zz:* into n:/r: space is
+    // severed. The oracle recomputes with a recursive CTE over the
+    // final edge set.
+    "q_bgp_view_path" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_vp_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_vp_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createPathFromSparql(s, store, view,
+          "SELECT * WHERE { ?x (<nation>|<region>)+ ?y }"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA {
+          |  <zz:c> <region> "zz:a" . <zz:a> <region> "zz:b" .
+          |  <zz:b> <region> "n:0" . }""".stripMargin)
+      QuadStore.update(s, store,
+        """DELETE DATA { <zz:b> <region> "n:0" . }""")
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.read(s, view).orderBy(col("x"), col("y"))
+    }),
+
     // Aggregate-IVM in the gate: the grouped summary (BUILDING customers
     // per nation) is maintained by feeding BgpView's view deltas into
     // IncrementalAgg through the same two churn rounds as q_bgp_ivm —
@@ -420,6 +520,32 @@ object RdfOps extends QueryModule {
     "q_path_transitive" -> ((s, d) =>
       Paths.predicatePlus(Triples.build(s, d), Seq("nation", "region"))
         .orderBy(col("src"), col("dst"))),
+
+    // Incrementally maintained transitive closure: the materialized
+    // closure advances through two churn rounds (the customer→nation
+    // edges arrive as a batch; pre-existing PHANTOM edges are retracted
+    // by DRed — over-delete the pairs deriving through them, re-derive
+    // the survivors semi-naively) without ever being recomputed. The
+    // final state equals the plain closure, so q_path_transitive's
+    // recursive-CTE oracle checks the MAINTAINED result exactly.
+    "q_path_ivm" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val edges = t.filter(col("p").isin("nation", "region"))
+        .select(col("s").as("src"), col("o").as("dst")).distinct()
+      val adds = edges.filter(col("src").startsWith("c:"))
+      val phantom = adds.withColumn("dst",
+        concat(lit("ph:"), col("dst")))
+      // materialize the two pre-states: each maintenance phase reads its
+      // pre-state several times (over-delete joins, kept-set anti-join)
+      val old = graft.Materialize(edges.exceptAll(adds)
+        .unionByName(phantom))
+      val none = edges.limit(0)
+      var c = Paths.transitiveClosure(old)
+      c = Paths.maintainClosure(c, old, adds, none)
+      val mid = graft.Materialize(old.unionByName(adds))
+      c = Paths.maintainClosure(c, mid, none, phantom)
+      c.orderBy(col("src"), col("dst"))
+    }),
 
     // VALUES → join with the inline solution table (the parameterized-
     // query idiom): restrict ?seg to two segments without a FILTER.
@@ -808,6 +934,18 @@ object RdfOps extends QueryModule {
           |  BIND (LCASE(SUBSTR(?seg, 1, 3)) AS ?pre)
           |  BIND (IF(CONTAINS(?seg, "BUILD"), "b", "x") AS ?cls)
           |  FILTER (STRSTARTS(?nm, "Customer#"))
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
+    // REGEX with an XPath flags argument (17.4.3.14): case-insensitive
+    // anchored match against the TPC-H name shape — DuckDB's
+    // regexp_matches takes the identical options string, so the flag
+    // semantics themselves are oracled.
+    "q_sparql_regex" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?cust ?cname WHERE {
+          |  ?cust <name> ?cname .
+          |  FILTER regex(?cname, "customer#0*1[0-9]$", "i")
           |}
           |ORDER BY ?cust""".stripMargin)),
 
@@ -1428,6 +1566,41 @@ object RdfOps extends QueryModule {
          |)
          |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin,
 
+    // the maintained closure must land exactly on the recompute
+    "q_path_ivm" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), edges AS (
+         |  SELECT DISTINCT s AS src, o AS dst FROM triples
+         |  WHERE p IN ('nation', 'region')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin,
+
+    // the persisted path view after the churn: the zz-chain minus its
+    // severed link into n:0, closed over with the base nation→region
+    // edges (the default-graph slice of the quads)
+    "q_bgp_view_path" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |), edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT s AS src, o AS dst FROM quads
+         |    WHERE g = '' AND p IN ('nation', 'region')
+         |    UNION ALL SELECT 'zz:c', 'zz:a'
+         |    UNION ALL SELECT 'zz:a', 'zz:b')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS x, dst AS y FROM reach ORDER BY x, y""".stripMargin,
+
     "q_sparql_values" -> cte(
       """SELECT s AS cust, o AS seg FROM triples
         |WHERE p = 'mktsegment' AND o IN ('BUILDING', 'MACHINERY')
@@ -1554,6 +1727,12 @@ object RdfOps extends QueryModule {
         |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
         |  AND starts_with(t1.o, 'Customer#')
+        |ORDER BY cust""".stripMargin),
+
+    "q_sparql_regex" -> cte(
+      """SELECT s AS cust, o AS cname FROM triples
+        |WHERE p = 'name'
+        |  AND regexp_matches(o, 'customer#0*1[0-9]$', 'i')
         |ORDER BY cust""".stripMargin),
 
     // post-update store state: urgent orders deleted, one row inserted
@@ -1916,6 +2095,43 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
         |  AND t2.p = 'nation' AND t1.s = t2.s
         |GROUP BY nat ORDER BY nat""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
+    // the union view's store head: zz1 flipped to MACHINERY, zz2 kept
+    // only its MACHINERY derivation — membership is the plain UNION
+    "q_bgp_view_union" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |${QUADS}
+        |  ) q WHERE q.g = 'g:customer'
+        |  UNION ALL SELECT 'c:zz1', 'mktsegment', 'MACHINERY'
+        |  UNION ALL SELECT 'c:zz2', 'mktsegment', 'MACHINERY')
+        |SELECT DISTINCT s AS cust FROM cq
+        |WHERE p = 'mktsegment' AND o IN ('BUILDING', 'MACHINERY')
+        |ORDER BY cust""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
+    // the optional view's store head: zz1 matched, zz2 padded from
+    // birth, zz3 lost its match — a LEFT JOIN over the final slice
+    "q_bgp_view_optional" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |${QUADS}
+        |  ) q WHERE q.g = 'g:customer'
+        |  UNION ALL SELECT 'c:zz1', 'name', 'zz-one'
+        |  UNION ALL SELECT 'c:zz1', 'mktsegment', 'BUILDING'
+        |  UNION ALL SELECT 'c:zz1', 'vip', 'y'
+        |  UNION ALL SELECT 'c:zz2', 'name', 'zz-two'
+        |  UNION ALL SELECT 'c:zz2', 'mktsegment', 'BUILDING'
+        |  UNION ALL SELECT 'c:zz3', 'name', 'zz-three'
+        |  UNION ALL SELECT 'c:zz3', 'mktsegment', 'BUILDING')
+        |SELECT t1.s AS cust, t1.o AS cname, v.o AS flag
+        |FROM cq t1
+        |JOIN cq t2 ON t2.s = t1.s AND t2.p = 'mktsegment'
+        |  AND t2.o = 'BUILDING'
+        |LEFT JOIN cq v ON v.s = t1.s AND v.p = 'vip'
+        |WHERE t1.p = 'name'
+        |ORDER BY cust, flag""".stripMargin
         .replace("${QUADS}", Quads.duckCte)),
 
     "q_bgp_extvp_ivm" -> cte(

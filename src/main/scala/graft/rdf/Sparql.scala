@@ -126,7 +126,13 @@ object Sparql {
   final case class EOr(l: Expr, r: Expr) extends Expr
   final case class ENot(e: Expr) extends Expr
   final case class EBound(v: String) extends Expr
-  final case class ERegex(v: String, pattern: String) extends Expr
+  /** REGEX(text, pattern[, flags]) — 17.4.3.14 / XPath fn:matches:
+    * unanchored match of `text` (any string expression) against a
+    * LITERAL pattern, with the XPath flags `i s m x q`. Pattern and
+    * flags must be literals (the dialect-translation caveat as REPLACE:
+    * a variable pattern can't be checked for Java/RE2 divergence). */
+  final case class ERegex(text: Expr, pattern: String,
+    flags: String) extends Expr
   final case class EArith(l: Expr, op: String, r: Expr) extends Expr
   final case class EConcat(args: Seq[Expr]) extends Expr
   /** Built-in call — the `builtinFns` set: string (STR, STRLEN, UCASE,
@@ -1470,7 +1476,7 @@ object Sparql {
   private def exprVars(e: Expr): Seq[String] = e match {
     case EVar(n) => Seq(n)
     case EBound(v) => Seq(v)
-    case ERegex(v, _) => Seq(v)
+    case ERegex(t, _, _) => exprVars(t)
     case ECmp(l, _, r) => exprVars(l) ++ exprVars(r)
     case EAnd(l, r) => exprVars(l) ++ exprVars(r)
     case EOr(l, r) => exprVars(l) ++ exprVars(r)
@@ -1513,7 +1519,20 @@ object Sparql {
     case EOr(l, r) => boolCol(l, env) || boolCol(r, env)
     case ENot(x) => !boolCol(x, env)
     case EBound(v) => col(v).isNotNull
-    case ERegex(v, p) => col(v).rlike(p)
+    // XPath flags: i/s/m/x ride as a Java-embedded flag group (both
+    // dialects define them identically); q means "pattern is a literal
+    // string", which is a contains-match, not a regex at all
+    case ERegex(t, p, flags) =>
+      require(flags.forall("ismxq".contains(_)),
+        s"unsupported REGEX flags '$flags' — XPath defines i s m x q")
+      val txt = scalarCol(t, numeric = false, env)
+      if (flags.contains('q')) {
+        if (flags.contains('i')) lower(txt).contains(p.toLowerCase)
+        else txt.contains(p)
+      } else {
+        val pre = flags.filter("ismx".contains(_))
+        txt.rlike(if (pre.isEmpty) p else s"(?$pre)$p")
+      }
     case EFun("CONTAINS", Seq(a, b)) =>
       scalarCol(a, numeric = false, env).contains(scalarCol(b, numeric = false, env))
     case EFun("STRSTARTS", Seq(a, b)) =>
@@ -1630,6 +1649,18 @@ object Sparql {
     case EFun("SECONDS", Seq(a)) =>
       Terms.seconds(scalarCol(a, numeric = false, env))
     case EFun("TZ", Seq(a)) => Terms.tz(scalarCol(a, numeric = false, env))
+    case EFun("TIMEZONE", Seq(a)) =>
+      Terms.timezone(scalarCol(a, numeric = false, env))
+    // 17.4.5.1 NOW: Spark evaluates current_timestamp ONCE per query,
+    // which is exactly the spec's same-value-for-the-whole-execution
+    // rule; rendered as an xsd:dateTime lexical form with offset
+    case EFun("NOW", Nil) =>
+      date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    // 17.4.1.4-6: fresh per solution (nondeterministic per row)
+    case EFun("RAND", Nil) => rand()
+    case EFun("UUID", Nil) =>
+      Terms.iri(concat(lit("urn:uuid:"), expr("uuid()")))
+    case EFun("STRUUID", Nil) => expr("uuid()")
     // REPLACE with literal pattern/replacement only (the regex dialects
     // of the two engines agree on literals; patterns would need escaping
     // audits) — the common template-rewrite use
@@ -2470,7 +2501,8 @@ object Sparql {
     * (the two shapes SPARQL's `Constraint` production allows). */
   private def constraint(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Expr =
-    if (p.peekKw("regex") || p.peekKw("BOUND")) builtin(p)
+    if (p.peekKw("regex") || p.peekKw("BOUND"))
+      builtin(p, prefixes, allowAgg)
     else {
       p.expect("(")
       val e = orExpr(p, prefixes, allowAgg)
@@ -2478,15 +2510,24 @@ object Sparql {
       e
     }
 
-  private def builtin(p: P): Expr =
+  private def builtin(p: P, prefixes: Map[String, String],
+      allowAgg: Boolean): Expr =
     if (p.peekKw("regex")) {
       p.expectKw("regex"); p.expect("(")
-      val v = p.next()
-      require(v.startsWith("?"), s"regex needs a variable, got $v")
+      val text = orExpr(p, prefixes, allowAgg)
       p.maybe(",")
-      val pat = unquote(p.next())
+      val pat = p.next()
+      require(pat.startsWith("\""),
+        s"regex needs a literal pattern, got $pat — a variable pattern " +
+          "can't be checked for regex-dialect divergence")
+      val flags = if (p.peek() == ",") {
+        p.next()
+        val f = p.next()
+        require(f.startsWith("\""), s"regex flags must be a literal, got $f")
+        unquote(f)
+      } else ""
       p.expect(")")
-      ERegex(v.drop(1), pat)
+      ERegex(text, unquote(pat), flags)
     } else {
       p.expectKw("BOUND"); p.expect("(")
       val v = p.next()
@@ -2572,10 +2613,15 @@ object Sparql {
       allowAgg: Boolean): Expr =
     if (p.peek() == "(") {
       p.expect("("); val e = orExpr(p, prefixes, allowAgg); p.expect(")"); e
-    } else if (p.peekKw("regex") || p.peekKw("BOUND")) builtin(p)
+    } else if (p.peekKw("regex") || p.peekKw("BOUND"))
+      builtin(p, prefixes, allowAgg)
     else if (p.peekKw("CONCAT")) {
       p.expectKw("CONCAT")
       EConcat(argList(p, prefixes, allowAgg))
+    } else if (zeroArgFns.exists(p.peekKw)) {
+      val fn = p.next().toUpperCase
+      p.expect("("); p.expect(")")
+      EFun(fn, Nil)
     } else if (builtinFns.exists(p.peekKw)) {
       val fn = p.next().toUpperCase
       EFun(fn, argList(p, prefixes, allowAgg))
@@ -2611,7 +2657,12 @@ object Sparql {
     "ISBLANK", "ISNUMERIC", "STRLANG", "STRDT", "IRI", "URI", "BNODE",
     // dateTime accessors + the rest of the hash/URI family ([[Terms]])
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+    "TIMEZONE",
     "SHA1", "SHA384", "SHA512", "ENCODE_FOR_URI", "SAMETERM")
+
+  /** Zero-argument built-ins (17.4.1.4-6, 17.4.5.1) — parsed apart from
+    * [[argList]], which requires at least one argument. */
+  private val zeroArgFns = Seq("NOW", "RAND", "UUID", "STRUUID")
 
   private def argList(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Seq[Expr] = {

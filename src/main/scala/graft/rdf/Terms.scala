@@ -176,6 +176,27 @@ object Terms {
       .otherwise(lit(null).cast("string"))
   }
 
+  /** SPARQL `TIMEZONE` (17.4.5.8): the timezone as an
+    * xsd:dayTimeDuration lexical form — `Z`/`±00:00` → `PT0S`,
+    * `-05:00` → `-PT5H`, `+05:30` → `PT5H30M`; null (error) when the
+    * literal carries no zone or is not a dateTime — unlike [[tz]],
+    * zone-absent is an ERROR here, so the empty-match case maps to
+    * null, not `""`. */
+  def timezone(c: Column): Column = {
+    val z = tz(c)
+    val h = substring(z, 2, 2).cast("int")
+    val m = substring(z, 5, 2).cast("int")
+    val sign = when(z.startsWith("-"), lit("-")).otherwise(lit(""))
+    val body = concat(
+      when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
+      when(m > 0, concat(m.cast("string"), lit("M"))).otherwise(lit("")))
+    when(z === "Z", lit("PT0S"))
+      .when(z.rlike("^[+-]\\d{2}:\\d{2}$"),
+        when(h === 0 && m === 0, lit("PT0S"))
+          .otherwise(concat(sign, lit("PT"), body)))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** SPARQL `ENCODE_FOR_URI` (17.4.3.10): percent-encode everything
     * outside RFC 3986's unreserved set (ALPHA / DIGIT / `-._~`), UTF-8
     * bytes in uppercase hex. Built on `url_encode` (form encoding), then

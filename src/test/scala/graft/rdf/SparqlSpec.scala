@@ -371,6 +371,72 @@ class SparqlSpec extends SparkSpec {
     assert(typedOnly.as[String].collect().toSeq === Seq("http://ex/s1"))
   }
 
+  test("REGEX takes expressions and XPath flags (17.4.3.14)") {
+    val t = Seq(("a", "p", "Foo-Bar"), ("b", "p", "foobar"),
+      ("c", "p", "a.b"), ("d", "p", "axb")).toDF("s", "p", "o")
+    // case-insensitive flag
+    val i = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?o . FILTER regex(?o, "^foo", "i") }
+        |ORDER BY ?s""".stripMargin)
+    assert(i.as[String].collect().toSeq === Seq("a", "b"))
+    // expression operand, not just a variable
+    val e = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?o . FILTER regex(UCASE(?o), "^FOO") }
+        |ORDER BY ?s""".stripMargin)
+    assert(e.as[String].collect().toSeq === Seq("a", "b"))
+    // without q the dot is a metacharacter; with q the pattern is a
+    // literal string and matches only itself
+    val dot = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?o . FILTER regex(?o, "a.b") }
+        |ORDER BY ?s""".stripMargin)
+    assert(dot.as[String].collect().toSeq === Seq("c", "d"))
+    val q = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?o . FILTER regex(?o, "a.b", "q") }""")
+    assert(q.as[String].collect().toSeq === Seq("c"))
+    // unknown flags and variable patterns are loud errors
+    intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?s WHERE { ?s <p> ?o . FILTER regex(?o, "x", "g") }"""))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?s WHERE { ?s <p> ?o . FILTER regex(?o, ?o) }"""))
+  }
+
+  test("NOW/RAND/UUID/STRUUID/TIMEZONE (17.4.1.4-6, 17.4.5)") {
+    val t = Seq(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3"))
+      .toDF("s", "p", "o")
+    // NOW is constant for the whole query execution (17.4.5.1)
+    val now = Sparql.run(t,
+      "SELECT ?s (NOW() AS ?t) WHERE { ?s <p> ?o . }")
+      .select("t").as[String].collect().toSeq
+    assert(now.size === 3 && now.distinct.size === 1)
+    assert(now.head.matches(
+      """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}.*"""))
+    // RAND in [0, 1) (17.4.1.4)
+    val rnd = Sparql.run(t,
+      "SELECT ?s (RAND() AS ?r) WHERE { ?s <p> ?o . }")
+      .select("r").as[Double].collect().toSeq
+    assert(rnd.forall(r => r >= 0.0 && r < 1.0))
+    // UUID is an urn:uuid IRI, STRUUID the bare form; fresh per solution
+    val ids = Sparql.run(t,
+      "SELECT (UUID() AS ?u) (STRUUID() AS ?su) WHERE { ?s <p> ?o . }")
+      .select("u", "su").as[(String, String)].collect().toSeq
+    assert(ids.map(_._2).distinct.size === 3)
+    // UUID goes through IRI(), so it carries the term-string brackets
+    assert(ids.forall(_._1.startsWith("<urn:uuid:")))
+    assert(ids.forall(_._2.matches("[0-9a-f-]{36}")))
+    // TIMEZONE is the zone as an xsd:dayTimeDuration; absent = error
+    val tz = Seq(
+      ("m5", "at", "2011-01-10T14:45:13.815-05:00"),
+      ("none", "at", "2011-01-10T14:45:13.815"),
+      ("p530", "at", "2011-01-10T14:45:13.815+05:30"),
+      ("z", "at", "2011-01-10T14:45:13.815Z"),
+      ("z0", "at", "2011-01-10T14:45:13.815+00:00")).toDF("s", "p", "o")
+    val tzs = Sparql.run(tz,
+      """SELECT ?s (TIMEZONE(?o) AS ?d) WHERE { ?s <at> ?o . }""")
+      .select("s", "d").as[(String, String)].collect().toMap
+    assert(tzs === Map("z" -> "PT0S", "z0" -> "PT0S", "m5" -> "-PT5H",
+      "p530" -> "PT5H30M", "none" -> null))
+  }
+
   test("trailing VALUES clause joins the whole query result (18.2.4.4)") {
     // post-hoc restriction of a plain query
     val two = Sparql.run(triples,
