@@ -319,6 +319,36 @@ object RdfOps extends QueryModule {
       ViewStore.readAgg(s, agg).orderBy(col("nat"))
     }),
 
+    // View-based query ANSWERING in the gate — the payoff side of view
+    // maintenance: the 3-pattern query is answered by embedding the
+    // maintained (name, BUILDING) view homomorphically into its BGP, so
+    // two legs read the pre-joined view and only the nation leg scans
+    // the store (ViewAnswer.answerStored, staleness-gated). The oracle
+    // recomputes all three patterns directly over the churned slice.
+    "q_bgp_view_answer" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_va_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_va_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      val pats = Seq(TP(V("cust"), C("name"), V("cname")),
+        TP(V("cust"), C("mktsegment"), C("BUILDING")))
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.create(s, store, view, pats, "g:customer"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <name> "zz-new" . <c:zz1> <mktsegment> "BUILDING" .
+          |  <c:zz1> <nation> "n:0" . } }""".stripMargin)
+      QuadStore.update(s, store,
+        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
+      ViewStore.sync(s, store, view): Unit
+      ViewAnswer.answerStored(s, store, Seq(view), Seq(
+        TP(V("cust"), C("name"), V("cname")),
+        TP(V("cust"), C("mktsegment"), C("BUILDING")),
+        TP(V("cust"), C("nation"), V("nat"))), "g:customer")
+        .orderBy(col("cust"))
+    }),
+
     // The persisted UNION view in the gate: set union does not distribute
     // over set deltas, so the store maintains per-binding SUPPORT counts
     // (number of deriving branches). The churn exercises both counting
@@ -2095,6 +2125,24 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
         |  AND t2.p = 'nation' AND t1.s = t2.s
         |GROUP BY nat ORDER BY nat""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
+    // the answered query over the store head: zz1 (with its nation)
+    // joins, c:1's membership is purged
+    "q_bgp_view_answer" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |${QUADS}
+        |  ) q WHERE q.g = 'g:customer'
+        |    AND NOT (q.s = 'c:1' AND q.p = 'mktsegment')
+        |  UNION ALL SELECT 'c:zz1', 'name', 'zz-new'
+        |  UNION ALL SELECT 'c:zz1', 'mktsegment', 'BUILDING'
+        |  UNION ALL SELECT 'c:zz1', 'nation', 'n:0')
+        |SELECT t1.s AS cust, t1.o AS cname, t3.o AS nat
+        |FROM cq t1, cq t2, cq t3
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
+        |  AND t1.s = t2.s AND t3.p = 'nation' AND t1.s = t3.s
+        |ORDER BY cust""".stripMargin
         .replace("${QUADS}", Quads.duckCte)),
 
     // the union view's store head: zz1 flipped to MACHINERY, zz2 kept
