@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A PERSISTED materialized BGP view kept in sync with a delta-log
@@ -754,22 +754,49 @@ object ViewStore {
   // ---- persisted AGGREGATE views: the summary's own segment lifecycle
 
   private def writeMetaAgg(root: String, groupVars: Seq[String],
-      countCol: String): Unit = {
-    val lines = s"mode\tagg\t${b64(countCol)}" +: groupVars.map(b64)
+      countCol: String, sums: Seq[(String, String)]): Unit = {
+    val head = (Seq("mode", "agg", b64(countCol)) ++
+      sums.flatMap { case (out, src) => Seq(b64(out), b64(src)) })
+      .mkString("\t")
+    val lines = head +: groupVars.map(b64)
     graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
       lines.mkString("\n"))
   }
 
-  /** The persisted AGGREGATE-view definition: (groupVars, countCol). */
-  def definitionAgg(root: String): (Seq[String], String) = {
+  /** The persisted AGGREGATE-view definition:
+    * (groupVars, countCol, sum measures as (outCol, bindingVar)). */
+  def definitionAgg(root: String)
+      : (Seq[String], String, Seq[(String, String)]) = {
     val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
       .split("\n").toSeq
-    val cc = lines.head.split("\t") match {
-      case Array("mode", "agg", b) => unb64(b)
+    val (cc, sums) = lines.head.split("\t").toSeq match {
+      case Seq("mode", "agg", b, rest @ _*) =>
+        require(rest.size % 2 == 0,
+          s"corrupt aggregate-view meta under $root")
+        (unb64(b), rest.grouped(2).map {
+          case Seq(o, s) => (unb64(o), unb64(s)) }.toSeq)
       case _ => throw new IllegalArgumentException(
         s"not an aggregate view under $root")
     }
-    (lines.tail.map(unb64), cc)
+    (lines.tail.map(unb64), cc, sums)
+  }
+
+  /** A SUM measure over a binding column: long-cast with a LOUD failure
+    * on a non-integer lexical form — a silent null would sum as a
+    * dropped value and the maintained summary would diverge from the
+    * recompute with no signal (raise_error is codegen'd: free on clean
+    * data). Integer-only is [[graft.operators.IncrementalAgg]]'s
+    * exactness discipline — long sums are combine-order-independent
+    * where double sums are not. */
+  private def longMeasure(src: String): Column = {
+    // try_cast, not cast: the ANSI cast would throw its own error before
+    // the guard runs — this way the failure names the measure
+    val cast = expr(s"try_cast(`$src` AS long)")
+    when(col(src).isNotNull && cast.isNull,
+      raise_error(concat(
+        lit(s"non-integer value in SUM measure over '$src': "),
+        col(src))).cast("long"))
+      .otherwise(cast)
   }
 
   /** Bootstrap a PERSISTED grouped-count summary over a maintained view:
@@ -777,15 +804,33 @@ object ViewStore {
     * (the only time the summary is derived by folding the view); after
     * this, [[syncAgg]] advances it from the view's delta SEGMENTS alone
     * — a dashboard summary over a corpus-sized view is maintained and
-    * served without ever refolding the binding set. Group-count layout:
-    * (groupVars..., countCol). */
+    * served without ever refolding the binding set. Layout:
+    * (groupVars..., countCol, sumCols...).
+    *
+    * `sums` adds grouped SUM measures, each `(outCol, bindingVar)` =
+    * SUM of the binding variable's integer value ([[longMeasure]]'s
+    * loud-cast discipline). Sums are additive, so [[syncAgg]] maintains
+    * them from the view's delta segments exactly like the count — the
+    * only difference is the bootstrap, which must fold the binding
+    * VALUES once (count-only summaries fold ±1 signs instead). */
   def createAgg(spark: SparkSession, viewRoot: String, aggRoot: String,
-      groupVars: Seq[String], countCol: String = "n"): Int = {
+      groupVars: Seq[String], countCol: String = "n",
+      sums: Seq[(String, String)] = Nil): Int = {
     val v = lastSynced(viewRoot)
     require(v > 0, s"no view under $viewRoot — create() before createAgg()")
-    writeMetaAgg(aggRoot, groupVars, countCol)
+    val outs = countCol +: sums.map(_._1)
+    require(outs.distinct.size == outs.size &&
+      !outs.exists(groupVars.contains),
+      "summary output columns must be distinct and disjoint from the " +
+        "group variables")
+    writeMetaAgg(aggRoot, groupVars, countCol, sums)
     graft.sources.AtomicStore.materialize(basePath(aggRoot, v)) { tmp =>
-      readCounts(spark, viewRoot, groupVars, countCol).write.parquet(tmp)
+      val base =
+        if (sums.isEmpty) readCounts(spark, viewRoot, groupVars, countCol)
+        else read(spark, viewRoot).groupBy(groupVars.map(col): _*)
+          .agg(count(lit(1)).as(countCol), sums.map { case (o, s) =>
+            sum(longMeasure(s)).as(o) }: _*)
+      base.write.parquet(tmp)
     }
     v
   }
@@ -801,7 +846,7 @@ object ViewStore {
     * fails loudly here, never a silently stale summary. */
   def syncAgg(spark: SparkSession, viewRoot: String,
       aggRoot: String): Int = {
-    val (gv, countCol) = definitionAgg(aggRoot)
+    val (gv, countCol, sums) = definitionAgg(aggRoot)
     val aggLast = lastSynced(aggRoot)
     require(aggLast > 0, s"no aggregate view under $aggRoot — createAgg()")
     val viewLast = lastSynced(viewRoot)
@@ -818,13 +863,20 @@ object ViewStore {
         s"$viewLast — compacted past the summary's last sync? syncAgg " +
         "before compact(view), or rebuild with createAgg()")
     val gcols = gv.map(col)
+    val sgn = when(col("__op") === "a", 1L).otherwise(-1L)
+    // a group whose COUNT nets to zero can still carry a nonzero SUM
+    // change (a binding replaced by one with a different value), so the
+    // drop-empty-delta filter must test every measure, not just the count
+    val live = sums.map { case (o, _) => col(o) =!= 0L }
+      .foldLeft(col(countCol) =!= 0L)(_ || _)
     val delta = vsegs.map { case (f, t) =>
         spark.read.parquet(segPath(viewRoot, f, t))
       }.reduce(_.unionByName(_))
-      .select(gcols :+ when(col("__op") === "a", 1L)
-        .otherwise(-1L).as("__sgn"): _*)
-      .groupBy(gcols: _*).agg(sum("__sgn").as(countCol))
-      .filter(col(countCol) =!= 0L)
+      .select(gcols ++ (sgn.as("__sgn") +: sums.map { case (o, s) =>
+        (sgn * longMeasure(s)).as(o) }): _*)
+      .groupBy(gcols: _*).agg(sum("__sgn").as(countCol),
+        sums.map { case (o, _) => sum(o).as(o) }: _*)
+      .filter(live)
     graft.sources.AtomicStore.materialize(
       segPath(aggRoot, aggLast, viewLast)) { tmp =>
       delta.write.parquet(tmp)
@@ -838,26 +890,33 @@ object ViewStore {
     * the recompute (which has no empty groups). Same contiguity gate as
     * every read path. */
   def readAgg(spark: SparkSession, aggRoot: String): DataFrame = {
-    val (gv, countCol) = definitionAgg(aggRoot)
+    val (gv, countCol, sums) = definitionAgg(aggRoot)
     val (baseV, segs) = chain(aggRoot)
     val gcols = gv.map(col)
     (spark.read.parquet(basePath(aggRoot, baseV)) +:
       segs.map { case (f, t) => spark.read.parquet(segPath(aggRoot, f, t)) })
       .reduce(_.unionByName(_))
-      .groupBy(gcols: _*).agg(sum(countCol).as(countCol))
+      .groupBy(gcols: _*).agg(sum(countCol).as(countCol),
+        sums.map { case (o, _) => sum(o).as(o) }: _*)
+      // no surviving rows ⇔ the COUNT nets to zero (sums of zero rows
+      // are zero by soundness, so the count is the liveness test)
       .filter(col(countCol) =!= 0L)
   }
 
-  /** The grouped-COUNT view fragment from SPARQL text:
-    * `SELECT ?g1 … (COUNT(*) AS ?n) WHERE { <conjunctive BGP> }
-    * GROUP BY ?g1 …` → (patterns, groupVars, count alias). The same
-    * conjunctive-only discipline as [[patternsFromSparql]]; beyond it,
-    * exactly ONE aggregate — COUNT(*) — is admitted (the self-
-    * maintainable summary [[syncAgg]] keeps; SUM-shaped summaries
-    * compose via [[graft.operators.IncrementalAgg]] on the view's
-    * delta), the GROUP BY variables must be pattern variables, and the
-    * projection must name exactly the group variables plus the alias. */
-  def aggPatternsFromSparql(text: String): (Seq[TP], Seq[String], String) = {
+  /** The grouped-summary view fragment from SPARQL text:
+    * `SELECT ?g1 … (COUNT(*) AS ?n) [(SUM(?v) AS ?s) …] WHERE
+    * { <conjunctive BGP> } GROUP BY ?g1 …` →
+    * (patterns, groupVars, count alias, sum measures). The same
+    * conjunctive-only discipline as [[patternsFromSparql]]; the
+    * admitted aggregates are exactly ONE COUNT(*) (the group-liveness
+    * measure [[syncAgg]] requires) plus any number of SUMs over
+    * pattern variables (additive, hence self-maintainable; MIN/MAX are
+    * not — a deleted extremum needs the base — and stay rejected). The
+    * GROUP BY variables must be pattern variables and the projection
+    * must name exactly the group variables plus the aggregate
+    * aliases. */
+  def aggPatternsFromSparql(text: String)
+      : (Seq[TP], Seq[String], String, Seq[(String, String)]) = {
     val q = Sparql.parse(text)
     require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
       q.describe.isEmpty, "view definitions are single-block SELECTs")
@@ -872,12 +931,19 @@ object ViewStore {
       q.offset.isEmpty && q.having.isEmpty && q.selectBinds.isEmpty,
       "aggregate view definitions take no solution modifiers, HAVING " +
         "or select expressions")
-    val alias = q.selectAggs match {
-      case Seq((a, Sparql.EAgg("COUNT", None, false, None, None))) => a
-      case _ => throw new IllegalArgumentException(
-        "aggregate views maintain grouped COUNT(*) — one " +
-          "`(COUNT(*) AS ?alias)`; other aggregates compose via " +
-          "IncrementalAgg on the view's delta")
+    val (counts, rest) = q.selectAggs.partition(
+      _._2 == Sparql.EAgg("COUNT", None, false, None, None))
+    require(counts.size == 1,
+      "aggregate views need exactly one `(COUNT(*) AS ?alias)` — the " +
+        "group-liveness measure syncAgg maintains")
+    val alias = counts.head._1
+    val sums = rest.map {
+      case (a, Sparql.EAgg("SUM", Some(v), false, None, None)) => (a, v)
+      case (a, other) => throw new IllegalArgumentException(
+        s"aggregate views maintain COUNT(*) and SUM(?var) — ?$a is " +
+          s"${other.fn}${if (other.distinct) " DISTINCT" else ""}, " +
+          "which is not additive under deletes; compose it over the " +
+          "binding view's reads")
     }
     require(q.groupVars.nonEmpty,
       "aggregate view definitions need GROUP BY")
@@ -886,9 +952,13 @@ object ViewStore {
     require(q.groupVars.forall(vars.contains),
       s"GROUP BY variables must be pattern variables (${
         q.groupVars.filterNot(vars.contains).mkString(", ")} are not)")
-    require(q.projection.toSet == (q.groupVars :+ alias).toSet,
-      "project exactly the GROUP BY variables plus the count alias")
-    (b.where, q.groupVars, alias)
+    require(sums.map(_._2).forall(vars.contains),
+      s"SUM arguments must be pattern variables (${
+        sums.map(_._2).filterNot(vars.contains).mkString(", ")} are not)")
+    require(q.projection.toSet ==
+      (q.groupVars ++ (alias +: sums.map(_._1))).toSet,
+      "project exactly the GROUP BY variables plus the aggregate aliases")
+    (b.where, q.groupVars, alias, sums)
   }
 
   /** The full store→view→summary pipeline from ONE SPARQL text
@@ -898,9 +968,9 @@ object ViewStore {
   def createAggFromSparql(spark: SparkSession, storeRoot: String,
       viewRoot: String, aggRoot: String, text: String,
       graph: String = ""): Int = {
-    val (pats, groupVars, countCol) = aggPatternsFromSparql(text)
+    val (pats, groupVars, countCol, sums) = aggPatternsFromSparql(text)
     create(spark, storeRoot, viewRoot, pats, graph): Unit
-    createAgg(spark, viewRoot, aggRoot, groupVars, countCol)
+    createAgg(spark, viewRoot, aggRoot, groupVars, countCol, sums)
   }
 
   /** [[compactIfDeep]] for the summary chain. */

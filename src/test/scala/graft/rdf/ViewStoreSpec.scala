@@ -115,6 +115,36 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("a streaming feed maintains a PATH view — sync dispatches on mode") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.Triple3
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val (storeRoot, viewRoot) = freshRoots("pstream")
+    QuadStore.init(Seq(("a", "next", "b", ""))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    ViewStore.createPathFromSparql(spark, storeRoot, viewRoot,
+      "SELECT * WHERE { ?x (<next>)+ ?y }")
+    val mem = MemoryStream[Triple3]
+    val q = mem.toDF().withColumn("g", lit("")).writeStream
+      .foreachBatch(StreamOps.maintainedViewSink(storeRoot, viewRoot))
+      .outputMode("append").start()
+    try {
+      // two arriving edges extend the chain; the closure must gain the
+      // composed 2- and 3-hop pairs, maintained per micro-batch by DRed
+      mem.addData(Triple3("b", "next", "c"))
+      q.processAllAvailable()
+      assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+        Set(Seq("a", "b"), Seq("a", "c"), Seq("b", "c")))
+      mem.addData(Triple3("c", "next", "d"))
+      q.processAllAvailable()
+      assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+        Set(Seq("a", "b"), Seq("a", "c"), Seq("a", "d"),
+          Seq("b", "c"), Seq("b", "d"), Seq("c", "d")))
+    } finally q.stop()
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("a streaming feed drives store → view → summary end to end") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.Triple3
@@ -292,7 +322,7 @@ class ViewStoreSpec extends SparkSpec {
     val pats = Seq(TP(V("c"), C("name"), V("n")), TP(V("c"), C("nat"), V("nat")))
     ViewStore.create(spark, storeRoot, viewRoot, pats, g)
     ViewStore.createAgg(spark, viewRoot, aggRoot, Seq("nat"), countCol = "cnt")
-    assert(ViewStore.definitionAgg(aggRoot) === ((Seq("nat"), "cnt")))
+    assert(ViewStore.definitionAgg(aggRoot) === ((Seq("nat"), "cnt", Nil)))
     assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
       Set(Seq(2L, "de"), Seq(1L, "fr")))
 
@@ -353,12 +383,84 @@ class ViewStoreSpec extends SparkSpec {
       rmTree(new java.io.File(p)))
   }
 
+  test("SUM-measure summary maintained through churn, incl. count-zero") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_s9").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_v9").toString
+    val aggRoot = java.nio.file.Files.createTempDirectory("vs_a9").toString
+    QuadStore.init(Seq(
+      ("c1", "nat", "de", ""), ("c1", "bal", "10", ""),
+      ("c2", "nat", "de", ""), ("c2", "bal", "5", ""),
+      ("c3", "nat", "fr", ""), ("c3", "bal", "7", ""))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    val pats = Seq(TP(V("c"), C("nat"), V("nat")),
+      TP(V("c"), C("bal"), V("bal")))
+    ViewStore.create(spark, storeRoot, viewRoot, pats)
+    ViewStore.createAgg(spark, viewRoot, aggRoot, Seq("nat"),
+      countCol = "cnt", sums = Seq("total" -> "bal"))
+    assert(ViewStore.definitionAgg(aggRoot) ===
+      ((Seq("nat"), "cnt", Seq("total" -> "bal"))))
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+      Set(Seq(2L, "de", 15L), Seq(1L, "fr", 7L)))
+    // churn 1: c3's balance CHANGES (fr count nets to 0, sum must move)
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c3> <bal> "7" } ;
+        |INSERT DATA { <c3> <bal> "9" }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+      Set(Seq(2L, "de", 15L), Seq(1L, "fr", 9L)),
+      "a count-neutral value change must still move the sum")
+    // churn 2: de loses a member, a new group arrives
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c2> <nat> "de" } ;
+        |INSERT DATA { <c4> <nat> "fi" . <c4> <bal> "3" }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+    val expect = Set(Seq(1L, "de", 10L), Seq(1L, "fi", 3L),
+      Seq(1L, "fr", 9L))
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === expect)
+    // compaction keeps measures; replay is a no-op
+    ViewStore.compactAgg(spark, aggRoot)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === expect)
+    assert(ViewStore.syncAgg(spark, viewRoot, aggRoot) ===
+      ViewStore.lastSynced(viewRoot))
+    // a non-integer lexical form in the measure fails LOUDLY at sync
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <c5> <nat> "fi" . <c5> <bal> "oops" }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    val boom = intercept[Exception] {
+      ViewStore.syncAgg(spark, viewRoot, aggRoot)
+      ViewStore.readAgg(spark, aggRoot).collect()
+    }
+    assert(boom.getMessage.contains("non-integer value in SUM measure"),
+      boom.getMessage)
+    // the one-call SPARQL pipeline carries SUM measures end to end:
+    // bootstrap folds the binding VALUES, so the "oops" row in this
+    // store's head makes it loud right at create
+    val v2 = java.nio.file.Files.createTempDirectory("vs_v9b").toString
+    val a2 = java.nio.file.Files.createTempDirectory("vs_a9b").toString
+    val boom2 = intercept[Exception](
+      ViewStore.createAggFromSparql(spark, storeRoot, v2, a2,
+        """SELECT ?nat (COUNT(*) AS ?cnt) (SUM(?bal) AS ?total) WHERE {
+          |  ?c <nat> ?nat . ?c <bal> ?bal . } GROUP BY ?nat"""
+          .stripMargin))
+    assert(boom2.getMessage.contains("non-integer value in SUM measure"),
+      boom2.getMessage)
+    Seq(storeRoot, viewRoot, aggRoot, v2, a2).foreach(p =>
+      rmTree(new java.io.File(p)))
+  }
+
   test("aggregate views define from SPARQL text; the rest is loud") {
     assert(ViewStore.aggPatternsFromSparql(
       """SELECT ?nat (COUNT(*) AS ?cnt) WHERE {
         |  ?c <seg> "B" . ?c <nat> ?nat . } GROUP BY ?nat""".stripMargin) ===
       ((Seq(TP(V("c"), C("seg"), C("B")), TP(V("c"), C("nat"), V("nat"))),
-        Seq("nat"), "cnt")))
+        Seq("nat"), "cnt", Nil)))
+    // SUM measures parse alongside the COUNT
+    assert(ViewStore.aggPatternsFromSparql(
+      """SELECT ?nat (COUNT(*) AS ?cnt) (SUM(?bal) AS ?total)
+        |WHERE { ?c <bal> ?bal . ?c <nat> ?nat . } GROUP BY ?nat"""
+        .stripMargin)._4 === Seq("total" -> "bal"))
     for (bad <- Seq(
       // no GROUP BY
       """SELECT (COUNT(*) AS ?n) WHERE { ?c <nat> ?nat . }""",
