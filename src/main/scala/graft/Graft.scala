@@ -193,6 +193,20 @@ object Graft {
     rdf.ViewStore.syncAgg(spark, viewRoot, aggRoot)
   def summaryRead(spark: SparkSession, aggRoot: String): DataFrame =
     rdf.ViewStore.readAgg(spark, aggRoot)
+  /** Answer a conjunctive SPARQL query from the registered views —
+    * covered legs read the materialized views, only the residual scans
+    * the store; stale views are loud errors ([[rdf.ViewAnswer]]). */
+  def viewAnswer(spark: SparkSession, storeRoot: String,
+      viewRoots: Seq[String], text: String,
+      graph: String = ""): DataFrame =
+    rdf.ViewAnswer.answerSparql(spark, storeRoot, viewRoots, text, graph)
+  /** Answer a grouped COUNT/SUM query from the persisted summary alone
+    * (isomorphism-matched, staleness-gated — the dashboard read). */
+  def summaryAnswer(spark: SparkSession, storeRoot: String,
+      viewRoot: String, aggRoot: String, text: String,
+      graph: String = ""): DataFrame =
+    rdf.ViewAnswer.answerAggSparql(spark, storeRoot, viewRoot, aggRoot,
+      text, graph)
 
   // ---- ExtVP (S2RDF semi-join reductions) ----
   def extVpBuild(t: DataFrame, threshold: Double = 0.9): rdf.ExtVp.Store =

@@ -112,6 +112,96 @@ object ViewAnswer {
     pieces.reduce(Bgp.joinSolved)
   }
 
+  /** [[answerStored]] from SPARQL text — the user-facing front door:
+    * `SELECT ?x ?y WHERE { <conjunctive BGP> }` (any projection subset,
+    * optional DISTINCT), answered from the registered views. Richer
+    * query shapes are rejected loudly — the conjunctive fragment is
+    * where the view-substitution soundness argument lives; compose
+    * OPTIONAL/FILTER/aggregation downstream of the answered frame. */
+  def answerSparql(spark: SparkSession, storeRoot: String,
+      viewRoots: Seq[String], text: String,
+      graph: String = ""): DataFrame = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view answering takes single-block SELECTs")
+    val b = q.branches.head
+    require(b.optionals.isEmpty && b.filters.isEmpty && b.minuses.isEmpty &&
+      b.values.isEmpty && b.binds.isEmpty && b.paths.isEmpty &&
+      b.exists.isEmpty && b.subqueries.isEmpty && b.graphs.isEmpty &&
+      b.unions.isEmpty && b.services.isEmpty && b.where.nonEmpty,
+      "view answering serves the conjunctive fragment — compose " +
+        "OPTIONAL/FILTER/UNION/aggregation downstream of the answer")
+    require(q.orderKeys.isEmpty && q.limit.isEmpty && q.offset.isEmpty &&
+      q.selectAggs.isEmpty && q.groupVars.isEmpty && q.having.isEmpty &&
+      q.selectBinds.isEmpty,
+      "view answering takes no solution modifiers or aggregation")
+    val full = answerStored(spark, storeRoot, viewRoots, b.where, graph)
+    val projected =
+      if (q.projection == Seq("*")) full
+      else full.select(q.projection.map(col): _*)
+    if (q.distinct) projected.distinct() else projected
+  }
+
+  /** Answer a grouped COUNT/SUM query from a PERSISTED summary
+    * ([[ViewStore.createAgg]]): the dashboard read — a query over a
+    * corpus-sized store served from the summary-sized artifact, zero
+    * scans of the triples OR the binding view.
+    *
+    * Soundness needs more than embedding here — aggregates count
+    * bindings, so the query's BGP must be ISOMORPHIC to the view's
+    * (full-cover embedding with every view variable mapped to a
+    * DISTINCT query variable: the binding sets are then in bijection
+    * and per-group counts/sums carry over exactly). The group variables
+    * and SUM arguments must align under that mapping; anything else is
+    * a loud error, as is a view not synced to the store head or a
+    * summary not synced to the view. */
+  def answerAggSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, aggRoot: String, text: String,
+      graph: String = ""): DataFrame = {
+    val (qPats, qGroup, qCount, qSums) =
+      ViewStore.aggPatternsFromSparql(text)
+    require(ViewStore.mode(viewRoot) == "triple",
+      s"$viewRoot: summary answering rides a conjunctive binding view")
+    val (g, vPats) = ViewStore.definition(viewRoot)
+    require(g == graph,
+      s"$viewRoot is a view over graph '$g', query runs over '$graph'")
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(s"no store under $storeRoot"))
+    require(ViewStore.lastSynced(viewRoot) == cur,
+      s"$viewRoot reflects store version ${ViewStore.lastSynced(viewRoot)
+        } but the store is at $cur — sync() first, or the answer is stale")
+    require(ViewStore.lastSynced(aggRoot) == cur,
+      s"$aggRoot reflects version ${ViewStore.lastSynced(aggRoot)} but " +
+        s"the store is at $cur — syncAgg() first, or the answer is stale")
+    val (h, covered) = embed(vPats, qPats).getOrElse(
+      throw new IllegalArgumentException(
+        "the view's patterns do not embed into the query"))
+    require(covered == qPats.indices.toSet,
+      "summary answering needs the view's patterns to cover the WHOLE " +
+        "query BGP — an uncovered pattern changes the counts")
+    val varMap = h.collect { case (v, V(q)) => v -> q }
+    require(varMap.size == h.size && varMap.values.toSeq.distinct.size ==
+      varMap.size,
+      "summary answering needs every view variable mapped to a DISTINCT " +
+        "query variable — a merge or constant specialization changes " +
+        "the counts")
+    val (aGroup, aCount, aSums) = ViewStore.definitionAgg(aggRoot)
+    require(aGroup.map(varMap).toSet == qGroup.toSet,
+      s"the summary groups by ${aGroup.map(varMap).mkString(", ")} but " +
+        s"the query groups by ${qGroup.mkString(", ")}")
+    val sumCols = qSums.map { case (alias, v) =>
+      val out = aSums.collectFirst {
+        case (o, src) if varMap(src) == v => o
+      }.getOrElse(throw new IllegalArgumentException(
+        s"the summary has no SUM measure over ?$v — stored measures: ${
+          aSums.map(s => s"?${varMap(s._2)}").mkString(", ")}"))
+      col(out).as(alias)
+    }
+    ViewStore.readAgg(spark, aggRoot).select(
+      aGroup.map(gv => col(gv).as(varMap(gv))) ++
+        (col(aCount).as(qCount) +: sumCols): _*)
+  }
+
   /** [[answer]] over PERSISTED views: reads each conjunctive view's
     * definition and maintained state from its [[ViewStore]] root and the
     * triples from the store head. Every view must be synced to the

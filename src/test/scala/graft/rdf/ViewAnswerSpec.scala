@@ -130,4 +130,83 @@ class ViewAnswerSpec extends SparkSpec {
     assert(rowSet(ViewAnswer.answerStored(spark, store, Seq(view),
       segView.map { case TP(s, p, o) => TP(s, p, o) })).size === 3)
   }
+
+  test("answerSparql: text front door, projection, loud fragment gate") {
+    val store = java.nio.file.Files
+      .createTempDirectory("vat_store").toString
+    val view = java.nio.file.Files.createTempDirectory("vat_view").toString
+    QuadStore.init(triples.withColumn("g", lit("")), store)
+    ViewStore.createFromSparql(spark, store, view,
+      """SELECT * WHERE { ?c <name> ?n . ?c <seg> "B" }""")
+    val got = ViewAnswer.answerSparql(spark, store, Seq(view),
+      """SELECT ?cname ?nat WHERE {
+        |  ?cust <name> ?cname . ?cust <seg> "B" .
+        |  ?cust <nation> ?nat }""".stripMargin)
+    assert(got.columns.toSeq === Seq("cname", "nat"))
+    assert(rowSet(got) === Set(Seq("alice", "n1"), Seq("bob", "n2")))
+    // richer shapes are rejected loudly, not silently mis-answered
+    intercept[IllegalArgumentException](ViewAnswer.answerSparql(
+      spark, store, Seq(view),
+      """SELECT ?c WHERE { ?c <name> ?n . FILTER (STRLEN(?n) > 2) }"""))
+    intercept[IllegalArgumentException](ViewAnswer.answerSparql(
+      spark, store, Seq(view),
+      "SELECT (COUNT(*) AS ?n) WHERE { ?c <name> ?nm }"))
+  }
+
+  test("answerAggSparql serves dashboards from the persisted summary") {
+    val store = java.nio.file.Files
+      .createTempDirectory("vaa_store").toString
+    val view = java.nio.file.Files.createTempDirectory("vaa_view").toString
+    val agg = java.nio.file.Files.createTempDirectory("vaa_agg").toString
+    QuadStore.init(t3(
+      ("c1", "nat", "de"), ("c1", "bal", "10"),
+      ("c2", "nat", "de"), ("c2", "bal", "5"),
+      ("c3", "nat", "fr"), ("c3", "bal", "7"))
+      .withColumn("g", lit("")), store)
+    ViewStore.createAggFromSparql(spark, store, view, agg,
+      """SELECT ?nat (COUNT(*) AS ?cnt) (SUM(?bal) AS ?total) WHERE {
+        |  ?c <nat> ?nat . ?c <bal> ?bal . } GROUP BY ?nat""".stripMargin)
+    // the query renames every variable — answered via the embedding
+    val q =
+      """SELECT ?country (COUNT(*) AS ?members) (SUM(?b) AS ?sum) WHERE {
+        |  ?cust <nat> ?country . ?cust <bal> ?b . } GROUP BY ?country"""
+        .stripMargin
+    val got = ViewAnswer.answerAggSparql(spark, store, view, agg, q)
+    assert(got.columns.toSeq === Seq("country", "members", "sum"))
+    assert(rowSet(got) === Set(Seq("de", 2L, 15L), Seq("fr", 1L, 7L)))
+    // churn without syncs → stale, loud; after syncs → fresh answer
+    QuadStore.update(spark, store,
+      """INSERT DATA { <c4> <nat> "fr" . <c4> <bal> "3" }""")
+    val e = intercept[IllegalArgumentException](
+      ViewAnswer.answerAggSparql(spark, store, view, agg, q))
+    assert(e.getMessage.contains("stale"))
+    ViewStore.sync(spark, store, view)
+    intercept[IllegalArgumentException]( // summary itself still behind
+      ViewAnswer.answerAggSparql(spark, store, view, agg, q))
+    ViewStore.syncAgg(spark, view, agg)
+    assert(rowSet(ViewAnswer.answerAggSparql(spark, store, view, agg, q))
+      === Set(Seq("de", 2L, 15L), Seq("fr", 2L, 10L)))
+    // a query with an EXTRA pattern must not be served from the summary
+    intercept[IllegalArgumentException](ViewAnswer.answerAggSparql(
+      spark, store, view, agg,
+      """SELECT ?country (COUNT(*) AS ?members) WHERE {
+        |  ?cust <nat> ?country . ?cust <bal> ?b . ?cust <vip> ?y . }
+        |GROUP BY ?country""".stripMargin))
+    // a SUM the summary does not store is loud
+    intercept[IllegalArgumentException](ViewAnswer.answerAggSparql(
+      spark, store, view, agg,
+      """SELECT ?country (COUNT(*) AS ?n) (SUM(?country) AS ?x) WHERE {
+        |  ?cust <nat> ?country . ?cust <bal> ?b . } GROUP BY ?country"""
+        .stripMargin))
+    // plan shape: the dashboard read scans ONLY the summary chain —
+    // the plan names locations under the aggRoot and never the store
+    // or the binding view
+    val plan = ViewAnswer.answerAggSparql(spark, store, view, agg, q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(agg).getName),
+      s"no summary scan in:\n$plan")
+    assert(!plan.contains(new java.io.File(store).getName) &&
+      !plan.contains(new java.io.File(view).getName),
+      s"summary answering must read the summary alone:\n$plan")
+  }
 }
