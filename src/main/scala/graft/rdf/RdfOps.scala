@@ -319,6 +319,43 @@ object RdfOps extends QueryModule {
       ViewStore.readAgg(s, agg).orderBy(col("nat"))
     }),
 
+    // Summary-served dashboard in the gate: a grouped COUNT + SUM query
+    // (every variable renamed) is answered from the persisted aggregate
+    // view via the isomorphism check — zero scans of the triples OR the
+    // binding view at read time; the SUM measure rides the store's
+    // integer nationkey through create/sync/syncAgg. The oracle
+    // recomputes the GROUP BY directly over the churned slice.
+    "q_bgp_agg_answer" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_aa_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_aa_" +
+        graft.sources.AtomicStore.key(d)
+      val agg = s"${sys.props("java.io.tmpdir")}/graft_agg_aa_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createAggFromSparql(s, store, view, agg,
+          """SELECT ?seg (COUNT(*) AS ?cnt) (SUM(?nk) AS ?nksum) WHERE {
+            |  ?cust <mktsegment> ?seg . ?cust <nationkey> ?nk . }
+            |GROUP BY ?seg""".stripMargin, "g:customer"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <mktsegment> "BUILDING" .
+          |  <c:zz1> <nationkey> "7" . } }""".stripMargin)
+      QuadStore.update(s, store,
+        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.syncAgg(s, view, agg): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      ViewStore.compactAggIfDeep(s, agg, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewAnswer.answerAggSparql(s, store, view, agg,
+        """SELECT ?segment (COUNT(*) AS ?n) (SUM(?k) AS ?ksum) WHERE {
+          |  ?c <mktsegment> ?segment . ?c <nationkey> ?k . }
+          |GROUP BY ?segment""".stripMargin, "g:customer")
+        .orderBy(col("segment"))
+    }),
+
     // View-based query ANSWERING in the gate — the payoff side of view
     // maintenance: the 3-pattern query is answered by embedding the
     // maintained (name, BUILDING) view homomorphically into its BGP, so
@@ -2125,6 +2162,23 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
         |  AND t2.p = 'nation' AND t1.s = t2.s
         |GROUP BY nat ORDER BY nat""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
+    // the summary-served dashboard over the store head: zz1 joins
+    // BUILDING with nationkey 7, c:1's membership is purged
+    "q_bgp_agg_answer" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |${QUADS}
+        |  ) q WHERE q.g = 'g:customer'
+        |    AND NOT (q.s = 'c:1' AND q.p = 'mktsegment')
+        |  UNION ALL SELECT 'c:zz1', 'mktsegment', 'BUILDING'
+        |  UNION ALL SELECT 'c:zz1', 'nationkey', '7')
+        |SELECT t1.o AS segment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(t2.o AS BIGINT)) AS BIGINT) AS ksum
+        |FROM cq t1, cq t2
+        |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey' AND t1.s = t2.s
+        |GROUP BY segment ORDER BY segment""".stripMargin
         .replace("${QUADS}", Quads.duckCte)),
 
     // the answered query over the store head: zz1 (with its nation)

@@ -81,7 +81,13 @@ object Rdfs {
     * adds AND deletes via counting (the classic non-recursive-IVM
     * result): see [[supportCounts]] / [[maintainCounts]].
     */
-  def derivations(triples: DataFrame, schema: Schema): DataFrame = {
+  /** The folded per-predicate emission tables behind [[derivations]]:
+    * (supers, domains, ranges), each `p -> emitted values`. EVERYTHING
+    * a triple emits is a pure function of its predicate's three entries
+    * here — which is what makes SCHEMA churn maintainable by a
+    * predicate-pruned rescan ([[maintainSchema]]). */
+  def foldedMaps(schema: Schema): (Map[String, Seq[String]],
+      Map[String, Seq[String]], Map[String, Seq[String]]) = {
     val propsUp = closure(schema.subPropertyOf) // p -> p + all superprops
     val classUp = closure(schema.subClassOf)    // C -> C + all superclasses
 
@@ -100,8 +106,12 @@ object Rdfs {
         p -> cs
       }.filter(_._2.nonEmpty).toMap
     }
-    val domainOf = liftedSig(schema.domain)
-    val rangeOf = liftedSig(schema.range)
+    (propsUp.map { case (p, up) => p -> (up :+ p).distinct.sorted },
+      liftedSig(schema.domain), liftedSig(schema.range))
+  }
+
+  def derivations(triples: DataFrame, schema: Schema): DataFrame = {
+    val (supersMap, domainOf, rangeOf) = foldedMaps(schema)
 
     // literal lookup maps — broadcast to every task inside the plan, no
     // join against instance data
@@ -111,7 +121,7 @@ object Rdfs {
         Seq(lit(k), array(vs.map(lit): _*))
       }: _*)
     }
-    val supers = lookup(propsUp.map { case (p, up) => p -> (up :+ p).distinct })
+    val supers = lookup(supersMap)
     val doms = lookup(domainOf)
     val rans = lookup(rangeOf)
 
@@ -149,6 +159,43 @@ object Rdfs {
     graft.operators.IncrementalAgg.maintain(counts,
       derivations(adds, schema), derivations(dels, schema),
       Seq("s", "p", "o"), Map("n" -> lit(1L)))
+
+  /** Predicates whose EMISSION BEHAVIOR differs between two schemas —
+    * the only triples a schema change can affect. A predicate absent
+    * from the folded maps emits itself (supers) and no types, so
+    * defaults are compared, not just map entries. */
+  def changedPreds(oldSchema: Schema, newSchema: Schema): Set[String] = {
+    val (os, od, or) = foldedMaps(oldSchema)
+    val (ns, nd, nr) = foldedMaps(newSchema)
+    val preds = os.keySet ++ ns.keySet ++ od.keySet ++ nd.keySet ++
+      or.keySet ++ nr.keySet
+    preds.filter { p =>
+      os.getOrElse(p, Seq(p)) != ns.getOrElse(p, Seq(p)) ||
+        od.getOrElse(p, Nil) != nd.getOrElse(p, Nil) ||
+        or.getOrElse(p, Nil) != nr.getOrElse(p, Nil)
+    }
+  }
+
+  /** Incrementally maintain a [[supportCounts]] materialization under a
+    * SCHEMA change (ontology evolution — the recursive case, since
+    * subClassOf/subPropertyOf edits move the closures). Because every
+    * emission is a pure per-predicate function ([[foldedMaps]]), the
+    * affected input slice is exactly `p ∈ changedPreds` — a PUSHDOWN
+    * FILTER scan of the input, not a recompute of the materialization;
+    * at 100 TB an ontology edit touching two predicates rescans two
+    * predicates' partitions. Emissions the change does not move cancel
+    * inside the count sum (+1 from the new-schema expansion, −1 from
+    * the old — the same derivation), so the net is exact. */
+  def maintainSchema(counts: DataFrame, triples: DataFrame,
+      oldSchema: Schema, newSchema: Schema): DataFrame = {
+    val changed = changedPreds(oldSchema, newSchema)
+    if (changed.isEmpty) return counts
+    val affected = triples.select(col("s"), col("p"), col("o"))
+      .filter(col("p").isin(changed.toSeq: _*))
+    graft.operators.IncrementalAgg.maintain(counts,
+      derivations(affected, newSchema), derivations(affected, oldSchema),
+      Seq("s", "p", "o"), Map("n" -> lit(1L)))
+  }
 
   /** DuckDB oracle: the same entailment as first-principles recursive SQL
     * over a VALUES-encoded schema — closures via recursive CTEs (no

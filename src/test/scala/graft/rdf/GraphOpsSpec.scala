@@ -77,6 +77,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(entailNow.exceptAll(viewNow).count() === 0)
   }
 
+  test("RDFS schema churn maintained by a predicate-pruned rescan") {
+    val oldS = Rdfs.Schema(
+      subClassOf = Seq("Cat" -> "Animal"),
+      subPropertyOf = Seq("owns" -> "has"),
+      domain = Seq("owns" -> "Owner"),
+      range = Seq("owns" -> "Cat"))
+    // evolution: a new subclass edge (lifts owns' range), a new
+    // subproperty with its own range
+    val newS = Rdfs.Schema(
+      subClassOf = Seq("Cat" -> "Animal", "Animal" -> "Being"),
+      subPropertyOf = Seq("owns" -> "has", "feeds" -> "has"),
+      domain = Seq("owns" -> "Owner"),
+      range = Seq("owns" -> "Cat", "feeds" -> "Animal"))
+    // only the predicates whose EMISSIONS move are affected — 'color'
+    // never rescans, 'has' is schema-touched but emission-stable
+    assert(Rdfs.changedPreds(oldS, newS) === Set("owns", "feeds"))
+    val data = Seq(("alice", "owns", "tom"), ("bob", "feeds", "rex"),
+      ("x", "color", "red")).toDF("s", "p", "o")
+    val base = graft.Materialize(Rdfs.supportCounts(data, oldS))
+    val fwd = Rdfs.maintainSchema(base, data, oldS, newS)
+    val fwdTruth = Rdfs.supportCounts(data, newS)
+    assert(fwd.exceptAll(fwdTruth).count() === 0)
+    assert(fwdTruth.exceptAll(fwd).count() === 0)
+    // retraction direction: the ontology edit rolls back exactly
+    val back = Rdfs.maintainSchema(graft.Materialize(fwd), data, newS, oldS)
+    val backTruth = Rdfs.supportCounts(data, oldS)
+    assert(back.exceptAll(backTruth).count() === 0)
+    assert(backTruth.exceptAll(back).count() === 0)
+    // identical schemas: a no-op, the same frame back
+    assert(Rdfs.maintainSchema(base, data, oldS, oldS) eq base)
+  }
+
   test("RDFS entailment: domain of a SUPERproperty applies to the sub") {
     // (s sub o) entails (s super o) by rdfs7, whose domain then types s
     // by rdfs2 — the composition the folded maps must not miss
