@@ -146,6 +146,18 @@ object Graft {
   def mirrorQuery(spark: SparkSession, mirrorRoot: String,
       text: String): DataFrame =
     rdf.EncodedMirror.query(spark, mirrorRoot, text)
+  /** The ID-SPACE maintained view over a mirror ([[rdf.EncodedView]]):
+    * create/sync run entirely on 8-byte ids, decode only at emission. */
+  def encodedViewCreate(spark: SparkSession, mirrorRoot: String,
+      viewRoot: String, patterns: Seq[rdf.TP],
+      graph: String = ""): Int =
+    rdf.EncodedView.create(spark, mirrorRoot, viewRoot, patterns, graph)
+  def encodedViewSync(spark: SparkSession, mirrorRoot: String,
+      viewRoot: String): Int =
+    rdf.EncodedView.sync(spark, mirrorRoot, viewRoot)
+  def encodedViewRead(spark: SparkSession, mirrorRoot: String,
+      viewRoot: String): DataFrame =
+    rdf.EncodedView.readDecoded(spark, mirrorRoot, viewRoot)
 
   // ---- versioned quad store + SPARQL Protocol surface ----
   /** Bootstrap a delta-log [[rdf.QuadStore]] from an (s,p,o,g) frame. */

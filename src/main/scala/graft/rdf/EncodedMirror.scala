@@ -149,14 +149,28 @@ object EncodedMirror {
     * `to`); a gap or overlap means two syncers raced with different
     * views and is rejected loudly (delete the mirror and resync) rather
     * than silently resurrecting deleted quads. */
-  def encoded(spark: SparkSession, root: String): DataFrame = {
+  def encoded(spark: SparkSession, root: String): DataFrame =
+    encodedAt(spark, root, lastSynced(root))
+
+  /** The mirror's id-quads AT a pinned SYNCED version `v` — the same
+    * fold as the head read, stopped at v. Needs the newest base ≤ v
+    * plus a contiguous chain reaching exactly v; a compaction that
+    * rewrote past v makes this loud (the retention contract consumers
+    * like [[EncodedView]] rely on: sync views before compacting the
+    * mirror), never a silently wrong pin. */
+  def encodedAt(spark: SparkSession, root: String, v: Int): DataFrame = {
     val keys = Seq("sid", "pid", "oid", "gid")
     val es = entries(root)
     require(es.nonEmpty, s"no synced mirror under $root — sync() first")
-    val base = es.filter(_._1 == "b").map(_._3).maxOption.getOrElse(
-      throw new IllegalStateException(
-        s"mirror under $root has segments but no base — torn bootstrap?"))
-    val chain = es.filter(e => e._1 == "s" && e._3 > base).sortBy(_._3)
+    val base = es.collect { case ("b", _, t) if t <= v => t }
+      .maxOption.getOrElse(throw new IllegalStateException(
+        s"mirror under $root has no base at or below $v — compacted " +
+          "past it? sync consumers before compact()"))
+    val chain = es.filter(e => e._1 == "s" && e._3 > base && e._3 <= v)
+      .sortBy(_._3)
+    require(chain.lastOption.map(_._3).getOrElse(base) == v,
+      s"mirror chain under $root does not reach $v — not a synced " +
+        "version boundary")
     chain.foldLeft(base) { case (prev, (_, from, to)) =>
       require(from == prev,
         s"non-contiguous mirror chain under $root: segment s$from-$to " +
@@ -185,6 +199,46 @@ object EncodedMirror {
         .as("m"))
       .filter(col("m.__rank") === 1)
       .select(keys.map(col): _*)
+  }
+
+  /** NET id-quad changes from synced version `from` to the mirror head,
+    * as disjoint (adds, dels) — the BgpView.delta contract. Segments in
+    * the range are per-range net, so composition needs the membership
+    * screens: a quad whose LAST op is 'a' is a net add only if absent
+    * at `from` (a delete-then-re-add nets out), and a last-op 'd' is a
+    * net del only if present. Both screens are joins of the (Δ-sized)
+    * folded range against the pinned state — the state is scanned with
+    * pushdown, never shuffled beyond the join. */
+  def changesSince(spark: SparkSession, root: String,
+      from: Int): (DataFrame, DataFrame) = {
+    val keys = Seq("sid", "pid", "oid", "gid")
+    val cur = lastSynced(root)
+    require(cur > from, s"nothing to fold: mirror at $cur, from=$from")
+    val segs = entries(root)
+      .filter(e => e._1 == "s" && e._2 >= from && e._3 > from)
+      .sortBy(_._3)
+    segs.foldLeft(from) { case (at, (_, f, t)) =>
+      require(f == at, s"mirror segments under $root do not cover " +
+        s"$from..$cur contiguously (s$f..$t after $at) — compacted " +
+        "past a consumer's sync point? sync consumers before compact()")
+      t
+    }: Unit
+    require(segs.lastOption.exists(_._3 == cur),
+      s"mirror segments under $root stop before $cur")
+    val folded = segs.map { case (_, f, t) =>
+        spark.read.parquet(segPath(encDir(root), f, t))
+          .withColumn("__seq", lit(t))
+      }.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col("__seq"),
+        when(col("op") === "a", lit(1)).otherwise(lit(0)).as("__rank")))
+        .as("m"))
+      .select(keys.map(col) :+ col("m.__rank").as("__rank"): _*)
+    val old = encodedAt(spark, root, from)
+    (folded.filter(col("__rank") === 1).drop("__rank")
+        .join(old, keys, "left_anti"),
+      folded.filter(col("__rank") === 0).drop("__rank")
+        .join(old, keys, "left_semi"))
   }
 
   /** SPARQL over the mirror — the reference's id-space execution

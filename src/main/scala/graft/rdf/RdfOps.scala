@@ -319,6 +319,43 @@ object RdfOps extends QueryModule {
       ViewStore.readAgg(s, agg).orderBy(col("nat"))
     }),
 
+    // The ID-SPACE maintained view in the gate — the last string-vs-id
+    // asymmetry closed: store → encoded mirror → EncodedView, every
+    // maintenance step over 8-byte ids (pattern constants encode by the
+    // mirror's pure xxhash64, BgpView.delta runs on id frames), terms
+    // appearing only in the final readDecoded emission. The oracle
+    // recomputes the view in string space over the churned slice.
+    "q_bgp_view_encoded" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_ve_" +
+        graft.sources.AtomicStore.key(d)
+      val mirror = s"${sys.props("java.io.tmpdir")}/graft_mirror_ve_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_encview_ve_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      EncodedMirror.sync(s, store, mirror): Unit
+      if (EncodedView.lastSynced(view) == 0)
+        EncodedView.create(s, mirror, view, Seq(
+          TP(V("cust"), C("name"), V("cname")),
+          TP(V("cust"), C("mktsegment"), C("BUILDING"))),
+          "g:customer"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <name> "zz-new" . <c:zz1> <mktsegment> "BUILDING" . } }"""
+          .stripMargin)
+      QuadStore.update(s, store,
+        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
+      EncodedMirror.sync(s, store, mirror): Unit
+      EncodedView.sync(s, mirror, view): Unit
+      // retention order is load-bearing: the view consumed the mirror's
+      // change range BEFORE the mirror may compact it away
+      EncodedView.compactIfDeep(s, view, maxChain = 6): Unit
+      if (EncodedMirror.segmentCount(mirror) > 6)
+        EncodedMirror.compact(s, mirror): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      EncodedView.readDecoded(s, mirror, view).orderBy(col("cust"))
+    }),
+
     // Summary-served dashboard in the gate: a grouped COUNT + SUM query
     // (every variable renamed) is answered from the persisted aggregate
     // view via the isomorphism check — zero scans of the triples OR the
@@ -2162,6 +2199,23 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
         |  AND t2.p = 'nation' AND t1.s = t2.s
         |GROUP BY nat ORDER BY nat""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
+    // the id-space maintained view decoded at emission — same churn and
+    // patterns as q_bgp_view_store, recomputed in string space
+    "q_bgp_view_encoded" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |${QUADS}
+        |  ) q WHERE q.g = 'g:customer'
+        |    AND NOT (q.s = 'c:1' AND q.p = 'mktsegment')
+        |  UNION ALL SELECT 'c:zz1', 'name', 'zz-new'
+        |  UNION ALL SELECT 'c:zz1', 'mktsegment', 'BUILDING')
+        |SELECT t1.s AS cust, t1.o AS cname
+        |FROM cq t1, cq t2
+        |WHERE t1.p = 'name' AND t2.p = 'mktsegment' AND t2.o = 'BUILDING'
+        |  AND t1.s = t2.s
+        |ORDER BY cust""".stripMargin
         .replace("${QUADS}", Quads.duckCte)),
 
     // the summary-served dashboard over the store head: zz1 joins

@@ -341,6 +341,25 @@ object StreamOps extends QueryModule {
       graft.rdf.ViewStore.compactAggIfDeep(spark, aggRoot, maxChain): Unit
     }
 
+  /** The ID-SPACE CDC chain: each micro-batch lands in the delta store,
+    * folds into the encoded mirror (one encoded segment + new dict
+    * terms), and advances the id-space view ([[graft.rdf.EncodedView]])
+    * — every per-batch maintenance step over 8-byte ids. Compaction
+    * order is load-bearing: the view consumes the mirror's change range
+    * BEFORE the mirror may fold it away. */
+  def encodedViewSink(storeRoot: String, mirrorRoot: String,
+      viewRoot: String, maxChain: Int = 16)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      quadStoreSink(storeRoot)(batch, batchId)
+      val spark = batch.sparkSession
+      graft.rdf.EncodedMirror.sync(spark, storeRoot, mirrorRoot): Unit
+      graft.rdf.EncodedView.sync(spark, mirrorRoot, viewRoot): Unit
+      graft.rdf.EncodedView.compactIfDeep(spark, viewRoot, maxChain): Unit
+      if (graft.rdf.EncodedMirror.segmentCount(mirrorRoot) > maxChain)
+        graft.rdf.EncodedMirror.compact(spark, mirrorRoot): Unit
+    }
+
   /** Publish one micro-batch as an immutable AtomicStore snapshot keyed by
     * batch id. foreachBatch delivery is AT-LEAST-once: on failure replay
     * Structured Streaming re-runs a batch with the SAME id, and
