@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** An ID-SPACE mirror of a delta-log [[QuadStore]] — the reference's
@@ -158,8 +158,19 @@ object EncodedMirror {
     * rewrote past v makes this loud (the retention contract consumers
     * like [[EncodedView]] rely on: sync views before compacting the
     * mirror), never a silently wrong pin. */
-  def encodedAt(spark: SparkSession, root: String, v: Int): DataFrame = {
+  def encodedAt(spark: SparkSession, root: String, v: Int): DataFrame =
+    encodedAt(spark, root, v, None)
+
+  /** [[encodedAt]] with a pre-fold filter. The predicate may reference
+    * only the quad KEY columns (sid/pid/oid/gid) — filtering the frames
+    * BEFORE the last-op-per-quad fold then commutes with it exactly,
+    * and a consumer that needs one graph's slice (an [[EncodedView]])
+    * folds a slice-sized shuffle with the filter pushed into every
+    * parquet scan, instead of shuffling the whole mirror. */
+  def encodedAt(spark: SparkSession, root: String, v: Int,
+      where: Option[Column]): DataFrame = {
     val keys = Seq("sid", "pid", "oid", "gid")
+    val pre = (df: DataFrame) => where.fold(df)(df.filter)
     val es = entries(root)
     require(es.nonEmpty, s"no synced mirror under $root — sync() first")
     val base = es.collect { case ("b", _, t) if t <= v => t }
@@ -183,13 +194,13 @@ object EncodedMirror {
     // last-op-per-quad fold would be a store-wide shuffle computing the
     // identity; skip it
     if (chain.isEmpty)
-      return spark.read.parquet(basePath(encDir(root), base))
+      return pre(spark.read.parquet(basePath(encDir(root), base)))
         .select(keys.map(col): _*)
     val frames =
-      spark.read.parquet(basePath(encDir(root), base))
+      pre(spark.read.parquet(basePath(encDir(root), base)))
         .withColumn("__seq", lit(base)) +:
       chain.map { case (_, from, to) =>
-        spark.read.parquet(segPath(encDir(root), from, to))
+        pre(spark.read.parquet(segPath(encDir(root), from, to)))
           .withColumn("__seq", lit(to))
       }
     frames.reduce(_.unionByName(_))
@@ -210,8 +221,16 @@ object EncodedMirror {
     * folded range against the pinned state — the state is scanned with
     * pushdown, never shuffled beyond the join. */
   def changesSince(spark: SparkSession, root: String,
-      from: Int): (DataFrame, DataFrame) = {
+      from: Int): (DataFrame, DataFrame) =
+    changesSince(spark, root, from, None)
+
+  /** [[changesSince]] restricted by a KEY-column predicate, pushed
+    * below both the range fold and the membership screens (same
+    * commuting argument as [[encodedAt]]'s `where`). */
+  def changesSince(spark: SparkSession, root: String, from: Int,
+      where: Option[Column]): (DataFrame, DataFrame) = {
     val keys = Seq("sid", "pid", "oid", "gid")
+    val pre = (df: DataFrame) => where.fold(df)(df.filter)
     val cur = lastSynced(root)
     require(cur > from, s"nothing to fold: mirror at $cur, from=$from")
     val segs = entries(root)
@@ -226,7 +245,7 @@ object EncodedMirror {
     require(segs.lastOption.exists(_._3 == cur),
       s"mirror segments under $root stop before $cur")
     val folded = segs.map { case (_, f, t) =>
-        spark.read.parquet(segPath(encDir(root), f, t))
+        pre(spark.read.parquet(segPath(encDir(root), f, t)))
           .withColumn("__seq", lit(t))
       }.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
@@ -234,7 +253,7 @@ object EncodedMirror {
         when(col("op") === "a", lit(1)).otherwise(lit(0)).as("__rank")))
         .as("m"))
       .select(keys.map(col) :+ col("m.__rank").as("__rank"): _*)
-    val old = encodedAt(spark, root, from)
+    val old = encodedAt(spark, root, from, where)
     (folded.filter(col("__rank") === 1).drop("__rank")
         .join(old, keys, "left_anti"),
       folded.filter(col("__rank") === 0).drop("__rank")

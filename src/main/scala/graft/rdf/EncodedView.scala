@@ -136,10 +136,15 @@ object EncodedView {
     writeMeta(viewRoot, graph, patterns)
     val enc = encodePatterns(spark, patterns)
     val gid = gidOf(spark, graph)
-    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
-      BgpView.compute(slice(EncodedMirror.encoded(spark, mirrorRoot), gid),
-        enc).write.parquet(tmp)
-    }
+    // the gid filter rides BELOW the mirror's last-op fold (pushdown in
+    // every scan), and the folded slice is materialized ONCE — compute
+    // scans it per pattern leg, and re-running the fold per leg is the
+    // difference between slice-sized and mirror-sized work each time
+    val old = graft.Materialize(slice(EncodedMirror.encodedAt(spark,
+      mirrorRoot, cur, Some(col("gid") === gid)), gid))
+    try graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) {
+      tmp => BgpView.compute(old, enc).write.parquet(tmp)
+    } finally graft.Materialize.release(old)
     cur
   }
 
@@ -163,15 +168,23 @@ object EncodedView {
     val (graph, patterns) = definition(viewRoot)
     val enc = encodePatterns(spark, patterns)
     val gid = gidOf(spark, graph)
-    val (adds, dels) = EncodedMirror.changesSince(spark, mirrorRoot, last)
-    val old = slice(EncodedMirror.encodedAt(spark, mirrorRoot, last), gid)
-    val (va, vd) = BgpView.delta(old, slice(adds, gid), slice(dels, gid),
-      enc)
-    val segment = va.withColumn("__op", lit("a"))
-      .unionByName(vd.withColumn("__op", lit("d")))
-    graft.sources.AtomicStore.materialize(segPath(viewRoot, last, cur)) {
-      tmp => segment.write.parquet(tmp)
-    }
+    val sliceOnly = Some(col("gid") === gid)
+    val (adds, dels) = EncodedMirror.changesSince(spark, mirrorRoot, last,
+      sliceOnly)
+    // the telescoping delta rule scans its pre-state once per leg —
+    // materialize the (slice-sized, gid-pushed-down) fold so each leg
+    // reads a cached frame instead of re-shuffling the fold
+    val old = graft.Materialize(slice(
+      EncodedMirror.encodedAt(spark, mirrorRoot, last, sliceOnly), gid))
+    try {
+      val (va, vd) = BgpView.delta(old, slice(adds, gid),
+        slice(dels, gid), enc)
+      val segment = va.withColumn("__op", lit("a"))
+        .unionByName(vd.withColumn("__op", lit("d")))
+      graft.sources.AtomicStore.materialize(segPath(viewRoot, last, cur)) {
+        tmp => segment.write.parquet(tmp)
+      }
+    } finally graft.Materialize.release(old)
     cur
   }
 
