@@ -177,6 +177,51 @@ object GraphOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // owl:sameAs canonicalization: customer facts scattered across a
+    // 3-member alias clique (x2:… sameAs x1:… sameAs c:… — a CHAIN, so
+    // min-label propagation must walk two hops) are rewritten onto the
+    // class minimum; the oracle expresses the post-merge semantics
+    // directly over the unaliased data.
+    "q_owl_sameas" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val name = t.filter(col("p") === "name" && col("s").startsWith("c:"))
+      val seg = t.filter(col("p") === "mktsegment")
+        .select(concat(lit("x1:"), col("s")).as("s"), col("p"), col("o"))
+      val nat = t.filter(col("p") === "nation")
+        .select(concat(lit("x2:"), col("s")).as("s"), col("p"), col("o"))
+      val sa = t.filter(col("p") === "mktsegment")
+        .select(concat(lit("x1:"), col("s")).as("s"),
+          lit("sameAs").as("p"), col("s").as("o"))
+        .unionByName(t.filter(col("p") === "nation")
+          .select(concat(lit("x2:"), col("s")).as("s"),
+            lit("sameAs").as("p"), concat(lit("x1:"), col("s")).as("o")))
+      val merged = Owl.sameAsCanonical(
+        name.unionByName(seg).unionByName(nat).unionByName(sa))
+      Bgp.solve(merged, Seq(
+        TP(V("cust"), C("name"), V("cname")),
+        TP(V("cust"), C("mktsegment"), V("seg")),
+        TP(V("cust"), C("nation"), V("nat"))))
+        .orderBy(col("cust"))
+    }),
+
+    // OWL-Horst property rules: locatedIn (the rdfs7-lifted nation ∪
+    // region edges) declared TRANSITIVE — customers reach their region
+    // through the closure; custkey's declared INVERSE hasOrder; region
+    // edges as a SYMMETRIC linkedTo. The oracle recomputes each rule
+    // family in SQL (closure as a recursive CTE).
+    "q_owl_infer" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val in = t.filter(col("p").isin("nation", "region"))
+        .select(col("s"), lit("locatedIn").as("p"), col("o"))
+        .unionByName(t.filter(col("p") === "custkey"))
+        .unionByName(t.filter(col("p") === "region")
+          .select(col("s"), lit("linkedTo").as("p"), col("o")))
+      Owl.entail(in, transitive = Seq("locatedIn"),
+        inverses = Seq("custkey" -> "hasOrder"),
+        symmetric = Seq("linkedTo"))
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // degree statistics per node over the entity graph — one union-side
     // aggregate each, outer-merged so zero-degree sides stay visible
     "q_graph_degree" -> ((s, d) => {
@@ -250,6 +295,38 @@ object GraphOps extends QueryModule {
          |-- evaluates UNION in NON-recursive CTEs as UNION ALL
          |SELECT DISTINCT s, p, o FROM entailed
          |WHERE p IN ('type', 'locatedIn', 'involves', 'relatedTo')
+         |ORDER BY s, p, o""".stripMargin,
+
+    // the merged clique semantics, expressed directly over the
+    // unaliased data (aliases map 1:1 onto c:K subjects)
+    "q_owl_sameas" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |)
+         |SELECT t1.s AS cust, t1.o AS cname, t2.o AS seg, t3.o AS nat
+         |FROM triples t1, triples t2, triples t3
+         |WHERE t1.p = 'name' AND t1.s LIKE 'c:%'
+         |  AND t2.p = 'mktsegment' AND t2.s = t1.s
+         |  AND t3.p = 'nation' AND t3.s = t1.s
+         |ORDER BY cust""".stripMargin,
+
+    "q_owl_infer" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), loc AS (
+         |  SELECT DISTINCT s, o FROM triples WHERE p IN ('nation', 'region')
+         |), reach(s, o) AS (
+         |  SELECT s, o FROM loc
+         |  UNION
+         |  SELECT l.s, r.o FROM loc l JOIN reach r ON l.o = r.s
+         |)
+         |SELECT s, p, o FROM (
+         |  SELECT s, 'locatedIn' AS p, o FROM reach
+         |  UNION SELECT s, 'custkey', o FROM triples WHERE p = 'custkey'
+         |  UNION SELECT o, 'hasOrder', s FROM triples WHERE p = 'custkey'
+         |  UNION SELECT s, 'linkedTo', o FROM triples WHERE p = 'region'
+         |  UNION SELECT o, 'linkedTo', s FROM triples WHERE p = 'region'
+         |)
          |ORDER BY s, p, o""".stripMargin,
 
     // the maintained materialization must land exactly on the recompute
