@@ -188,26 +188,38 @@ object EncodedView {
     cur
   }
 
-  /** Newest base + contiguous segment chain, loud on gaps/overlaps. */
-  private def chain(root: String): (Int, Seq[(Int, Int)]) = {
+  /** Newest base ≤ v + the contiguous segments reaching exactly v —
+    * loud on gaps/overlaps, on a compaction that rewrote past v, and
+    * on a v no sync landed on. */
+  private def chainAt(root: String, v: Int): (Int, Seq[(Int, Int)]) = {
     val es = entries(root)
     require(es.nonEmpty, s"no view under $root")
-    val baseV = es.collect { case ("b", v, _) => v }.max
-    val segs = es.collect { case ("s", f, t) if t > baseV => (f, t) }
-      .sortBy(_._2)
-    segs.foldLeft(baseV) { case (at, (f, t)) =>
+    val baseV = es.collect { case ("b", b, _) if b <= v => b }
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no view base at or below $v under $root — compacted past it?"))
+    val segs = es.collect {
+      case ("s", f, t) if t > baseV && t <= v => (f, t)
+    }.sortBy(_._2)
+    val reached = segs.foldLeft(baseV) { case (at, (f, t)) =>
       require(f == at, s"view chain gap under $root: segment s$f..$t " +
         s"does not extend $at — concurrent syncs? rebuild with create()")
       t
-    }: Unit
+    }
+    require(reached == v, s"$v is not a synced boundary of $root " +
+      s"(chain reaches $reached)")
     (baseV, segs)
   }
 
   /** The maintained ID-BINDING view: base + segments, one
     * last-op-per-binding window — all 8-byte columns. */
-  def read(spark: SparkSession, viewRoot: String): DataFrame = {
+  def read(spark: SparkSession, viewRoot: String): DataFrame =
+    readAt(spark, viewRoot, lastSynced(viewRoot))
+
+  /** TIME-TRAVEL id read: the view at pinned mirror version `v`
+    * (the [[ViewStore.readAt]] contract, in id space). */
+  def readAt(spark: SparkSession, viewRoot: String, v: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (baseV, segs) = chain(viewRoot)
+    val (baseV, segs) = chainAt(viewRoot, v)
     val base = spark.read.parquet(basePath(viewRoot, baseV))
     if (segs.isEmpty) return base
     val cols = base.columns.toSeq

@@ -629,29 +629,55 @@ object ViewStore {
     * that already covers its range). EVERY read path — [[read]] and
     * [[readCounts]] alike — goes through this, so summaries can never
     * silently diverge from the binding fold. */
-  private def chain(viewRoot: String): (Int, Seq[(Int, Int)]) = {
+  private def chain(viewRoot: String): (Int, Seq[(Int, Int)]) =
+    chainAt(viewRoot, lastSynced(viewRoot))
+
+  /** The chain capped at a PINNED synced version `v` — the time-travel
+    * read's spine: newest base ≤ v plus the contiguous segments up to
+    * exactly v. Loud when compaction rewrote past v (no base at or
+    * below it) or v is not a sync boundary — never a silently
+    * approximate historical answer. */
+  private def chainAt(viewRoot: String,
+      v: Int): (Int, Seq[(Int, Int)]) = {
     val es = entries(viewRoot)
     require(es.nonEmpty, s"no view under $viewRoot")
-    val baseV = es.collect { case ("b", v, _) => v }.max
-    val segs = es.collect { case ("s", f, t) if t > baseV => (f, t) }
-      .sortBy(_._2)
-    segs.foldLeft(baseV) { case (at, (f, t)) =>
+    val baseV = es.collect { case ("b", b, _) if b <= v => b }
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no view base at or below $v under $viewRoot — compacted past " +
+          "it? historical reads live within the retention window"))
+    val segs = es.collect {
+      case ("s", f, t) if t > baseV && t <= v => (f, t)
+    }.sortBy(_._2)
+    val reached = segs.foldLeft(baseV) { case (at, (f, t)) =>
       require(f == at, s"view chain gap under $viewRoot: segment " +
         s"s$f..$t does not extend $at — concurrent syncs from " +
         "different versions? rebuild with create()")
       t
     }
+    require(reached == v,
+      s"$v is not a synced boundary of $viewRoot (chain reaches " +
+        s"$reached) — pin a version some sync landed on")
     (baseV, segs)
   }
 
   /** The maintained view: newest base plus the ordered segment chain,
     * folded by one last-op-per-binding window. Rejects a non-contiguous
     * chain loudly (two racing syncers from different `from` versions). */
-  def read(spark: SparkSession, viewRoot: String): DataFrame = {
+  def read(spark: SparkSession, viewRoot: String): DataFrame =
+    readAt(spark, viewRoot, lastSynced(viewRoot))
+
+  /** TIME-TRAVEL read: the view exactly as it stood at synced store
+    * version `v` — the audit question ("what did this dashboard serve
+    * at version 12?") answered from the same segments the live read
+    * folds, just capped. Historical depth = the retention window:
+    * compaction rewrites the base forward, after which older pins are
+    * loud errors, never approximations. Serves every view mode. */
+  def readAt(spark: SparkSession, viewRoot: String, v: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (mode(viewRoot) == "union")
-      return readUnionCounts(spark, viewRoot).drop(BgpView.SupportCol)
-    val (baseV, segs) = chain(viewRoot)
+      return readUnionCountsAt(spark, viewRoot, v)
+        .drop(BgpView.SupportCol)
+    val (baseV, segs) = chainAt(viewRoot, v)
     val base = spark.read.parquet(basePath(viewRoot, baseV))
     if (segs.isEmpty) return base
     val cols = base.columns.toSeq
@@ -669,8 +695,12 @@ object ViewStore {
   /** A union view's maintained support-count frame: base supports plus
     * net segment changes, one sum per binding; membership is > 0. The
     * same contiguity gate as every read path. */
-  def readUnionCounts(spark: SparkSession, viewRoot: String): DataFrame = {
-    val (baseV, segs) = chain(viewRoot)
+  def readUnionCounts(spark: SparkSession, viewRoot: String): DataFrame =
+    readUnionCountsAt(spark, viewRoot, lastSynced(viewRoot))
+
+  private def readUnionCountsAt(spark: SparkSession, viewRoot: String,
+      v: Int): DataFrame = {
+    val (baseV, segs) = chainAt(viewRoot, v)
     val base = spark.read.parquet(basePath(viewRoot, baseV))
     val bcols = base.columns.filterNot(_ == BgpView.SupportCol).toSeq
     (base +: segs.map { case (f, t) =>

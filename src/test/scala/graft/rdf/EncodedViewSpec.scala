@@ -64,6 +64,11 @@ class EncodedViewSpec extends SparkSpec {
           C(Seq("B").toDF("t").select(xxhash64(col("t")))
             .collect()(0).getLong(0)))))
     assert(rowSet(EncodedView.read(spark, view)) === rowSet(recomputed))
+    // time-travel: the id view as it stood BEFORE churn 2
+    val preChurn2 = EncodedView.lastSynced(view) - 1
+    assert(EncodedView.readAt(spark, view, preChurn2).count() === 1)
+    intercept[IllegalArgumentException](
+      EncodedView.readAt(spark, view, preChurn2 + 99))
     // replayed sync is a no-op; compaction folds and keeps the answer
     assert(EncodedView.sync(spark, mirror, view) ===
       EncodedView.lastSynced(view))

@@ -383,6 +383,36 @@ class ViewStoreSpec extends SparkSpec {
       rmTree(new java.io.File(p)))
   }
 
+  test("time-travel readAt: the view as it stood at each synced version") {
+    val (storeRoot, viewRoot) = freshRoots("tt")
+    QuadStore.init(Seq(("c1", "seg", "B", ""), ("c2", "seg", "A", ""))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    val v1 = ViewStore.create(spark, storeRoot, viewRoot,
+      Seq(TP(V("c"), C("seg"), C("B"))))
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <c2> <seg> "B" }""")
+    val v2 = ViewStore.sync(spark, storeRoot, viewRoot)
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c1> <seg> "B" }""")
+    val v3 = ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.readAt(spark, viewRoot, v1)) ===
+      Set(Seq("c1")))
+    assert(rowSet(ViewStore.readAt(spark, viewRoot, v2)) ===
+      Set(Seq("c1"), Seq("c2")))
+    assert(rowSet(ViewStore.readAt(spark, viewRoot, v3)) ===
+      rowSet(ViewStore.read(spark, viewRoot)))
+    // a version no sync landed on is loud, not interpolated
+    intercept[IllegalArgumentException](
+      ViewStore.readAt(spark, viewRoot, v3 + 7))
+    // compaction rewrites the base forward: older pins leave the window
+    ViewStore.compact(spark, viewRoot)
+    intercept[IllegalArgumentException](
+      ViewStore.readAt(spark, viewRoot, v1))
+    assert(rowSet(ViewStore.readAt(spark, viewRoot, v3)) ===
+      Set(Seq("c2")))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("SUM-measure summary maintained through churn, incl. count-zero") {
     val storeRoot = java.nio.file.Files.createTempDirectory("vs_s9").toString
     val viewRoot = java.nio.file.Files.createTempDirectory("vs_v9").toString
