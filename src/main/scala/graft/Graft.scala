@@ -205,6 +205,13 @@ object Graft {
     rdf.ViewStore.syncAgg(spark, viewRoot, aggRoot)
   def summaryRead(spark: SparkSession, aggRoot: String): DataFrame =
     rdf.ViewStore.readAgg(spark, aggRoot)
+  /** Time-travel reads: the view / summary exactly as it stood at a
+    * pinned synced version (loud outside the retention window). */
+  def viewReadAt(spark: SparkSession, viewRoot: String, v: Int): DataFrame =
+    rdf.ViewStore.readAt(spark, viewRoot, v)
+  def summaryReadAt(spark: SparkSession, aggRoot: String,
+      v: Int): DataFrame =
+    rdf.ViewStore.readAggAt(spark, aggRoot, v)
   /** Answer a conjunctive SPARQL query from the registered views —
     * covered legs read the materialized views, only the residual scans
     * the store; stale views are loud errors ([[rdf.ViewAnswer]]). */

@@ -919,9 +919,15 @@ object ViewStore {
     * binding view is never opened. Zero-netting groups leave, matching
     * the recompute (which has no empty groups). Same contiguity gate as
     * every read path. */
-  def readAgg(spark: SparkSession, aggRoot: String): DataFrame = {
+  def readAgg(spark: SparkSession, aggRoot: String): DataFrame =
+    readAggAt(spark, aggRoot, lastSynced(aggRoot))
+
+  /** TIME-TRAVEL summary read — "what did the dashboard show at
+    * version v?" ([[readAt]]'s contract on the summary chain). */
+  def readAggAt(spark: SparkSession, aggRoot: String,
+      v: Int): DataFrame = {
     val (gv, countCol, sums) = definitionAgg(aggRoot)
-    val (baseV, segs) = chain(aggRoot)
+    val (baseV, segs) = chainAt(aggRoot, v)
     val gcols = gv.map(col)
     (spark.read.parquet(basePath(aggRoot, baseV)) +:
       segs.map { case (f, t) => spark.read.parquet(segPath(aggRoot, f, t)) })

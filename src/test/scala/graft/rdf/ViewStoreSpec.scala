@@ -449,6 +449,13 @@ class ViewStoreSpec extends SparkSpec {
     val expect = Set(Seq(1L, "de", 10L), Seq(1L, "fi", 3L),
       Seq(1L, "fr", 9L))
     assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === expect)
+    // time-travel on the SUMMARY: the dashboard as it stood before
+    // churn 2 (fr already at 9, de still at 2 members)
+    assert(rowSet(ViewStore.readAggAt(spark, aggRoot,
+        ViewStore.lastSynced(aggRoot) - 1)) ===
+      Set(Seq(2L, "de", 15L), Seq(1L, "fr", 9L)))
+    intercept[IllegalArgumentException](
+      ViewStore.readAggAt(spark, aggRoot, 99))
     // compaction keeps measures; replay is a no-op
     ViewStore.compactAgg(spark, aggRoot)
     assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === expect)
