@@ -219,6 +219,13 @@ object Graft {
       viewRoots: Seq[String], text: String,
       graph: String = ""): DataFrame =
     rdf.ViewAnswer.answerSparql(spark, storeRoot, viewRoots, text, graph)
+  /** Catalog-discovered answering: registered views are FILTERED to
+    * the usable ones (conjunctive, same graph, synced to the store
+    * head) — lagging or cross-graph registrations never break a query
+    * ([[rdf.ViewCatalog]]). */
+  def catalogAnswer(spark: SparkSession, storeRoot: String,
+      catalogRoot: String, text: String, graph: String = ""): DataFrame =
+    rdf.ViewCatalog.answer(spark, storeRoot, catalogRoot, text, graph)
   /** Answer a grouped COUNT/SUM query from the persisted summary alone
     * (isomorphism-matched, staleness-gated — the dashboard read). */
   def summaryAnswer(spark: SparkSession, storeRoot: String,

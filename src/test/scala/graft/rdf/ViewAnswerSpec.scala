@@ -153,6 +153,47 @@ class ViewAnswerSpec extends SparkSpec {
       "SELECT (COUNT(*) AS ?n) WHERE { ?c <name> ?nm }"))
   }
 
+  test("ViewCatalog: discovery filters to usable views, never breaks") {
+    val store = java.nio.file.Files
+      .createTempDirectory("vc_store").toString
+    val cat = java.nio.file.Files.createTempDirectory("vc_cat").toString
+    val good = java.nio.file.Files.createTempDirectory("vc_good").toString
+    val lag = java.nio.file.Files.createTempDirectory("vc_lag").toString
+    val other = java.nio.file.Files
+      .createTempDirectory("vc_other").toString
+    QuadStore.init(triples.withColumn("g", lit("")), store)
+    ViewStore.create(spark, store, good, segView)
+    ViewStore.create(spark, store, lag,
+      Seq(TP(V("c"), C("nation"), V("nt"))))
+    ViewStore.create(spark, store, other,
+      Seq(TP(V("c"), C("name"), V("n"))), graph = "g:zzz")
+    ViewCatalog.register(cat, good)
+    ViewCatalog.register(cat, good) // idempotent
+    ViewCatalog.register(cat, lag)
+    ViewCatalog.register(cat, other)
+    intercept[Exception]( // a typo'd root is rejected at registration
+      ViewCatalog.register(cat, "/tmp/does-not-exist-zzz"))
+    assert(ViewCatalog.roots(cat) === Seq(good, lag, other))
+    // churn; sync only `good` — `lag` falls behind, `other` is
+    // cross-graph: both filtered OUT, the query still answers
+    QuadStore.update(spark, store,
+      """INSERT DATA { <c4> <name> "dan" . <c4> <seg> "B" . }""")
+    ViewStore.sync(spark, store, good)
+    assert(ViewCatalog.usable(spark, store, cat) === Seq(good))
+    val got = ViewCatalog.answer(spark, store, cat,
+      """SELECT ?cname ?nat WHERE {
+        |  ?cust <name> ?cname . ?cust <seg> "B" .
+        |  ?cust <nation> ?nat }""".stripMargin)
+    assert(rowSet(got) === Set(Seq("alice", "n1"), Seq("bob", "n2")))
+    // no usable view at all → plain-solve fallback, same answer
+    ViewCatalog.deregister(cat, good)
+    assert(ViewCatalog.usable(spark, store, cat) === Nil)
+    assert(rowSet(ViewCatalog.answer(spark, store, cat,
+      """SELECT ?cname ?nat WHERE {
+        |  ?cust <name> ?cname . ?cust <seg> "B" .
+        |  ?cust <nation> ?nat }""".stripMargin)) === rowSet(got))
+  }
+
   test("answerAggSparql serves dashboards from the persisted summary") {
     val store = java.nio.file.Files
       .createTempDirectory("vaa_store").toString
