@@ -393,6 +393,57 @@ object RdfOps extends QueryModule {
         .orderBy(col("segment"))
     }),
 
+    // MIN/MAX/AVG in the persisted summary: extremums are not additive
+    // under deletes, so the summary persists per-(group, value) SUPPORT
+    // counts (ViewStore.createAgg exts) and the read takes the extremum
+    // over live values. The churn inserts a new group maximum (999) and
+    // then deletes it — a naive max-carry would keep 999; the support
+    // counts reveal the runner-up exactly, and the oracle recomputes the
+    // GROUP BY over the churned slice to prove it. AVG rides as exact
+    // integer SUM over live COUNT, divided once at read.
+    "q_bgp_agg_minmax" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_mm_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_mm_" +
+        graft.sources.AtomicStore.key(d)
+      val agg = s"${sys.props("java.io.tmpdir")}/graft_agg_mm_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createAggFromSparql(s, store, view, agg,
+          """SELECT ?seg (COUNT(*) AS ?cnt) (SUM(?nk) AS ?nksum)
+            |  (MIN(?nk) AS ?nkmin) (MAX(?nk) AS ?nkmax)
+            |  (AVG(?nk) AS ?nkavg)
+            |WHERE { ?cust <mktsegment> ?seg . ?cust <nationkey> ?nk . }
+            |GROUP BY ?seg""".stripMargin, "g:customer"): Unit
+      // churn 1: a new BUILDING maximum arrives; c:1 leaves its group
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <mktsegment> "BUILDING" .
+          |  <c:zz1> <nationkey> "999" . } } ;
+          |DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }"""
+          .stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.syncAgg(s, view, agg): Unit
+      // churn 2: the maximum is deleted again — the runner-up must
+      // surface from the persisted supports, never a view rescan
+      QuadStore.update(s, store,
+        """DELETE DATA { GRAPH <g:customer> {
+          |  <c:zz1> <mktsegment> "BUILDING" .
+          |  <c:zz1> <nationkey> "999" . } }""".stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.syncAgg(s, view, agg): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      ViewStore.compactAggIfDeep(s, agg, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewAnswer.answerAggSparql(s, store, view, agg,
+        """SELECT ?segment (COUNT(*) AS ?n) (SUM(?k) AS ?ksum)
+          |  (MIN(?k) AS ?kmin) (MAX(?k) AS ?kmax) (AVG(?k) AS ?kavg)
+          |WHERE { ?c <mktsegment> ?segment . ?c <nationkey> ?k . }
+          |GROUP BY ?segment""".stripMargin, "g:customer")
+        .orderBy(col("segment"))
+    }),
+
     // View-based query ANSWERING in the gate — the payoff side of view
     // maintenance: the 3-pattern query is answered by embedding the
     // maintained (name, BUILDING) view homomorphically into its BGP, so
@@ -2230,6 +2281,27 @@ object RdfOps extends QueryModule {
         |  UNION ALL SELECT 'c:zz1', 'nationkey', '7')
         |SELECT t1.o AS segment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(t2.o AS BIGINT)) AS BIGINT) AS ksum
+        |FROM cq t1, cq t2
+        |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey' AND t1.s = t2.s
+        |GROUP BY segment ORDER BY segment""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
+    // the extremum summary after zz1's 999 maximum arrived AND left: the
+    // recompute over the churned slice (zz1 nets out, c:1's membership
+    // is purged) — a stuck max-carry would answer 999 and mismatch. AVG
+    // recomputed the same way the read serves it: exact integer sum,
+    // one double division
+    "q_bgp_agg_minmax" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |${QUADS}
+        |  ) q WHERE q.g = 'g:customer'
+        |    AND NOT (q.s = 'c:1' AND q.p = 'mktsegment'))
+        |SELECT t1.o AS segment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(t2.o AS BIGINT)) AS BIGINT) AS ksum,
+        |  CAST(min(CAST(t2.o AS BIGINT)) AS BIGINT) AS kmin,
+        |  CAST(max(CAST(t2.o AS BIGINT)) AS BIGINT) AS kmax,
+        |  CAST(sum(CAST(t2.o AS BIGINT)) AS DOUBLE) / count(*) AS kavg
         |FROM cq t1, cq t2
         |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey' AND t1.s = t2.s
         |GROUP BY segment ORDER BY segment""".stripMargin

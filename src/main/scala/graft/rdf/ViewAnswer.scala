@@ -158,7 +158,7 @@ object ViewAnswer {
   def answerAggSparql(spark: SparkSession, storeRoot: String,
       viewRoot: String, aggRoot: String, text: String,
       graph: String = ""): DataFrame = {
-    val (qPats, qGroup, qCount, qSums) =
+    val (qPats, qGroup, qCount, qSums, qExts) =
       ViewStore.aggPatternsFromSparql(text)
     require(ViewStore.mode(viewRoot) == "triple",
       s"$viewRoot: summary answering rides a conjunctive binding view")
@@ -185,7 +185,7 @@ object ViewAnswer {
       "summary answering needs every view variable mapped to a DISTINCT " +
         "query variable — a merge or constant specialization changes " +
         "the counts")
-    val (aGroup, aCount, aSums) = ViewStore.definitionAgg(aggRoot)
+    val (aGroup, aCount, aSums, aExts) = ViewStore.definitionAgg(aggRoot)
     require(aGroup.map(varMap).toSet == qGroup.toSet,
       s"the summary groups by ${aGroup.map(varMap).mkString(", ")} but " +
         s"the query groups by ${qGroup.mkString(", ")}")
@@ -197,9 +197,21 @@ object ViewAnswer {
           aSums.map(s => s"?${varMap(s._2)}").mkString(", ")}"))
       col(out).as(alias)
     }
+    // extremum/avg aliases match on (mapped variable, function) — the
+    // bijection argument covers them: per-group value multisets carry
+    // over exactly, so so do their min/max/avg
+    val extCols = qExts.map { case (alias, v, fn) =>
+      val out = aExts.collectFirst {
+        case (o, src, f) if varMap(src) == v && f == fn => o
+      }.getOrElse(throw new IllegalArgumentException(
+        s"the summary has no ${fn.toUpperCase} measure over ?$v — " +
+          s"stored: ${aExts.map(e =>
+            s"${e._3}(?${varMap(e._2)})").mkString(", ")}"))
+      col(out).as(alias)
+    }
     ViewStore.readAgg(spark, aggRoot).select(
       aGroup.map(gv => col(gv).as(varMap(gv))) ++
-        (col(aCount).as(qCount) +: sumCols): _*)
+        (col(aCount).as(qCount) +: (sumCols ++ extCols)): _*)
   }
 
   /** [[answer]] over PERSISTED views: reads each conjunctive view's

@@ -784,31 +784,51 @@ object ViewStore {
   // ---- persisted AGGREGATE views: the summary's own segment lifecycle
 
   private def writeMetaAgg(root: String, groupVars: Seq[String],
-      countCol: String, sums: Seq[(String, String)]): Unit = {
-    val head = (Seq("mode", "agg", b64(countCol)) ++
-      sums.flatMap { case (out, src) => Seq(b64(out), b64(src)) })
+      countCol: String, sums: Seq[(String, String)],
+      exts: Seq[(String, String, String)]): Unit = {
+    // count-only/SUM summaries keep the round-7 "agg" head; extremum
+    // summaries write "aggx" with an explicit sums arity so the pair
+    // list and the (out, src, fn) triple list parse unambiguously
+    val head = (if (exts.isEmpty)
+      Seq("mode", "agg", b64(countCol)) ++
+        sums.flatMap { case (out, src) => Seq(b64(out), b64(src)) }
+    else
+      Seq("mode", "aggx", b64(countCol), sums.size.toString) ++
+        sums.flatMap { case (out, src) => Seq(b64(out), b64(src)) } ++
+        exts.flatMap { case (out, src, fn) => Seq(b64(out), b64(src), fn) })
       .mkString("\t")
     val lines = head +: groupVars.map(b64)
     graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
       lines.mkString("\n"))
   }
 
-  /** The persisted AGGREGATE-view definition:
-    * (groupVars, countCol, sum measures as (outCol, bindingVar)). */
-  def definitionAgg(root: String)
-      : (Seq[String], String, Seq[(String, String)]) = {
+  /** The persisted AGGREGATE-view definition: (groupVars, countCol,
+    * sum measures as (outCol, bindingVar), extremum/avg measures as
+    * (outCol, bindingVar, "min"|"max"|"avg")). */
+  def definitionAgg(root: String): (Seq[String], String,
+      Seq[(String, String)], Seq[(String, String, String)]) = {
     val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
       .split("\n").toSeq
-    val (cc, sums) = lines.head.split("\t").toSeq match {
+    val (cc, sums, exts) = lines.head.split("\t").toSeq match {
       case Seq("mode", "agg", b, rest @ _*) =>
         require(rest.size % 2 == 0,
           s"corrupt aggregate-view meta under $root")
         (unb64(b), rest.grouped(2).map {
-          case Seq(o, s) => (unb64(o), unb64(s)) }.toSeq)
+          case Seq(o, s) => (unb64(o), unb64(s)) }.toSeq,
+          Seq.empty[(String, String, String)])
+      case Seq("mode", "aggx", b, n, rest @ _*) =>
+        val nSums = n.toInt
+        val (sp, ep) = rest.splitAt(nSums * 2)
+        require(ep.size % 3 == 0,
+          s"corrupt aggregate-view meta under $root")
+        (unb64(b), sp.grouped(2).map {
+          case Seq(o, s) => (unb64(o), unb64(s)) }.toSeq,
+          ep.grouped(3).map {
+            case Seq(o, s, f) => (unb64(o), unb64(s), f) }.toSeq)
       case _ => throw new IllegalArgumentException(
         s"not an aggregate view under $root")
     }
-    (lines.tail.map(unb64), cc, sums)
+    (lines.tail.map(unb64), cc, sums, exts)
   }
 
   /** A SUM measure over a binding column: long-cast with a LOUD failure
@@ -829,6 +849,23 @@ object ViewStore {
       .otherwise(cast)
   }
 
+  /** The segment/base grain of a summary: extremum measures (MIN/MAX)
+    * are not additive under deletes — a deleted extremum needs the
+    * runner-up — so their summaries persist per-(group, VALUE) support
+    * counts (the value variables join the segment keys) and the read
+    * takes the extremum over values with live support. COUNT/SUM/AVG
+    * stay exact at that finer grain because they re-sum. */
+  private def fineKeys(groupVars: Seq[String],
+      exts: Seq[(String, String, String)]): Seq[String] =
+    groupVars ++ exts.collect { case (_, src, fn) if fn != "avg" => src }
+      .distinct.filterNot(groupVars.contains)
+
+  /** AVG is served as an exact integer SUM over the live COUNT (one
+    * IEEE division at read); the sum rides a hidden persisted measure. */
+  private def persistedSums(sums: Seq[(String, String)],
+      exts: Seq[(String, String, String)]): Seq[(String, String)] =
+    sums ++ exts.collect { case (out, src, "avg") => (s"__avg_$out", src) }
+
   /** Bootstrap a PERSISTED grouped-count summary over a maintained view:
     * the base snapshot is [[readCounts]] at the view's current coverage
     * (the only time the summary is derived by folding the view); after
@@ -842,23 +879,39 @@ object ViewStore {
     * loud-cast discipline). Sums are additive, so [[syncAgg]] maintains
     * them from the view's delta segments exactly like the count — the
     * only difference is the bootstrap, which must fold the binding
-    * VALUES once (count-only summaries fold ±1 signs instead). */
+    * VALUES once (count-only summaries fold ±1 signs instead).
+    *
+    * `exts` adds MIN/MAX/AVG measures, each `(outCol, bindingVar, fn)`.
+    * MIN/MAX are NOT additive — deleting the current extremum needs the
+    * runner-up — so the summary's persisted grain widens to
+    * per-(group, extremum-value) support counts ([[fineKeys]]): the
+    * delete of an extremum nets its value's support to zero and the
+    * read's `support > 0` gate reveals the runner-up exactly, with no
+    * rescan of the view. Segment size is O(distinct changed value
+    * combos), still Δ-bounded. AVG = hidden SUM / COUNT, both exact
+    * integers, divided once at read ([[persistedSums]]). */
   def createAgg(spark: SparkSession, viewRoot: String, aggRoot: String,
       groupVars: Seq[String], countCol: String = "n",
-      sums: Seq[(String, String)] = Nil): Int = {
+      sums: Seq[(String, String)] = Nil,
+      exts: Seq[(String, String, String)] = Nil): Int = {
     val v = lastSynced(viewRoot)
     require(v > 0, s"no view under $viewRoot — create() before createAgg()")
-    val outs = countCol +: sums.map(_._1)
+    require(exts.forall(e => Set("min", "max", "avg")(e._3)),
+      s"extremum measures are min/max/avg, got ${exts.map(_._3)}")
+    val outs = countCol +: (sums.map(_._1) ++ exts.map(_._1))
     require(outs.distinct.size == outs.size &&
       !outs.exists(groupVars.contains),
       "summary output columns must be distinct and disjoint from the " +
         "group variables")
-    writeMetaAgg(aggRoot, groupVars, countCol, sums)
+    writeMetaAgg(aggRoot, groupVars, countCol, sums, exts)
+    val keys = fineKeys(groupVars, exts)
+    val psums = persistedSums(sums, exts)
     graft.sources.AtomicStore.materialize(basePath(aggRoot, v)) { tmp =>
       val base =
-        if (sums.isEmpty) readCounts(spark, viewRoot, groupVars, countCol)
-        else read(spark, viewRoot).groupBy(groupVars.map(col): _*)
-          .agg(count(lit(1)).as(countCol), sums.map { case (o, s) =>
+        if (psums.isEmpty && exts.isEmpty)
+          readCounts(spark, viewRoot, groupVars, countCol)
+        else read(spark, viewRoot).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(countCol), psums.map { case (o, s) =>
             sum(longMeasure(s)).as(o) }: _*)
       base.write.parquet(tmp)
     }
@@ -876,7 +929,11 @@ object ViewStore {
     * fails loudly here, never a silently stale summary. */
   def syncAgg(spark: SparkSession, viewRoot: String,
       aggRoot: String): Int = {
-    val (gv, countCol, sums) = definitionAgg(aggRoot)
+    val (gv0, countCol, sums0, exts) = definitionAgg(aggRoot)
+    // extremum summaries sync at their persisted grain: the same net
+    // ±1 rule over (group, value) keys — nothing else changes
+    val gv = fineKeys(gv0, exts)
+    val sums = persistedSums(sums0, exts)
     val aggLast = lastSynced(aggRoot)
     require(aggLast > 0, s"no aggregate view under $aggRoot — createAgg()")
     val viewLast = lastSynced(viewRoot)
@@ -926,17 +983,41 @@ object ViewStore {
     * version v?" ([[readAt]]'s contract on the summary chain). */
   def readAggAt(spark: SparkSession, aggRoot: String,
       v: Int): DataFrame = {
-    val (gv, countCol, sums) = definitionAgg(aggRoot)
+    val (gv, countCol, sums, exts) = definitionAgg(aggRoot)
     val (baseV, segs) = chainAt(aggRoot, v)
-    val gcols = gv.map(col)
-    (spark.read.parquet(basePath(aggRoot, baseV)) +:
+    val keys = fineKeys(gv, exts)
+    val psums = persistedSums(sums, exts)
+    // level 1: net support + sums per persisted (group[, value]) combo.
+    // NO liveness filter here — a combo whose support nets to zero can
+    // still carry a nonzero SUM delta (a binding swapped for one with
+    // the same extremum value but a different sum value); dropping it
+    // would lose that contribution. Liveness gates only what follows.
+    val fine = (spark.read.parquet(basePath(aggRoot, baseV)) +:
       segs.map { case (f, t) => spark.read.parquet(segPath(aggRoot, f, t)) })
       .reduce(_.unionByName(_))
-      .groupBy(gcols: _*).agg(sum(countCol).as(countCol),
-        sums.map { case (o, _) => sum(o).as(o) }: _*)
-      // no surviving rows ⇔ the COUNT nets to zero (sums of zero rows
-      // are zero by soundness, so the count is the liveness test)
-      .filter(col(countCol) =!= 0L)
+      .groupBy(keys.map(col): _*).agg(sum(countCol).as(countCol),
+        psums.map { case (o, _) => sum(o).as(o) }: _*)
+    if (exts.isEmpty)
+      // count/SUM grain IS the group grain: one aggregation, done
+      fine.filter(col(countCol) =!= 0L)
+    else {
+      // level 2 (summary-sized): extremums over values with LIVE
+      // support — the deleted-extremum case resolves to the runner-up
+      // right here, with no rescan of the binding view
+      val live = col(countCol) > 0L
+      val measures =
+        sum(countCol).as(countCol) +:
+          (sums.map { case (o, _) => sum(o).as(o) } ++
+            exts.map {
+              case (o, s, "min") => min(when(live, longMeasure(s))).as(o)
+              case (o, s, "max") => max(when(live, longMeasure(s))).as(o)
+              case (o, _, _) => // avg: exact integer sum / live count
+                (sum(s"__avg_$o").cast("double") /
+                  sum(countCol).cast("double")).as(o)
+            })
+      fine.groupBy(gv.map(col): _*).agg(measures.head, measures.tail: _*)
+        .filter(col(countCol) =!= 0L)
+    }
   }
 
   /** The grouped-summary view fragment from SPARQL text:
@@ -945,14 +1026,15 @@ object ViewStore {
     * (patterns, groupVars, count alias, sum measures). The same
     * conjunctive-only discipline as [[patternsFromSparql]]; the
     * admitted aggregates are exactly ONE COUNT(*) (the group-liveness
-    * measure [[syncAgg]] requires) plus any number of SUMs over
-    * pattern variables (additive, hence self-maintainable; MIN/MAX are
-    * not — a deleted extremum needs the base — and stay rejected). The
-    * GROUP BY variables must be pattern variables and the projection
-    * must name exactly the group variables plus the aggregate
-    * aliases. */
-  def aggPatternsFromSparql(text: String)
-      : (Seq[TP], Seq[String], String, Seq[(String, String)]) = {
+    * measure [[syncAgg]] requires) plus any number of SUM/MIN/MAX/AVG
+    * over pattern variables — SUM/AVG because integer sums are
+    * additive, MIN/MAX because [[createAgg]] widens the persisted grain
+    * to per-(group, value) support counts, which makes the deleted-
+    * extremum case exact. The GROUP BY variables must be pattern
+    * variables and the projection must name exactly the group
+    * variables plus the aggregate aliases. */
+  def aggPatternsFromSparql(text: String): (Seq[TP], Seq[String], String,
+      Seq[(String, String)], Seq[(String, String, String)]) = {
     val q = Sparql.parse(text)
     require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
       q.describe.isEmpty, "view definitions are single-block SELECTs")
@@ -973,13 +1055,22 @@ object ViewStore {
       "aggregate views need exactly one `(COUNT(*) AS ?alias)` — the " +
         "group-liveness measure syncAgg maintains")
     val alias = counts.head._1
-    val sums = rest.map {
+    val (sumAggs, extAggs) = rest.partition(_._2.fn == "SUM")
+    val sums = sumAggs.map {
       case (a, Sparql.EAgg("SUM", Some(v), false, None, None)) => (a, v)
       case (a, other) => throw new IllegalArgumentException(
-        s"aggregate views maintain COUNT(*) and SUM(?var) — ?$a is " +
-          s"${other.fn}${if (other.distinct) " DISTINCT" else ""}, " +
-          "which is not additive under deletes; compose it over the " +
-          "binding view's reads")
+        s"?$a: SUM measures take a plain pattern variable, got " +
+          s"${other.fn}${if (other.distinct) " DISTINCT" else ""}")
+    }
+    val exts = extAggs.map {
+      case (a, Sparql.EAgg(fn, Some(v), false, None, None))
+          if Set("MIN", "MAX", "AVG")(fn) => (a, v, fn.toLowerCase)
+      case (a, other) => throw new IllegalArgumentException(
+        s"aggregate views maintain COUNT(*), SUM, MIN, MAX and AVG over " +
+          s"pattern variables — ?$a is ${other.fn}${
+            if (other.distinct) " DISTINCT" else ""}, which is not " +
+          "maintainable from deltas; compose it over the binding " +
+          "view's reads")
     }
     require(q.groupVars.nonEmpty,
       "aggregate view definitions need GROUP BY")
@@ -988,13 +1079,14 @@ object ViewStore {
     require(q.groupVars.forall(vars.contains),
       s"GROUP BY variables must be pattern variables (${
         q.groupVars.filterNot(vars.contains).mkString(", ")} are not)")
-    require(sums.map(_._2).forall(vars.contains),
-      s"SUM arguments must be pattern variables (${
-        sums.map(_._2).filterNot(vars.contains).mkString(", ")} are not)")
+    val measureVars = sums.map(_._2) ++ exts.map(_._2)
+    require(measureVars.forall(vars.contains),
+      s"aggregate arguments must be pattern variables (${
+        measureVars.filterNot(vars.contains).mkString(", ")} are not)")
     require(q.projection.toSet ==
-      (q.groupVars ++ (alias +: sums.map(_._1))).toSet,
+      (q.groupVars ++ (alias +: (sums.map(_._1) ++ exts.map(_._1)))).toSet,
       "project exactly the GROUP BY variables plus the aggregate aliases")
-    (b.where, q.groupVars, alias, sums)
+    (b.where, q.groupVars, alias, sums, exts)
   }
 
   /** The full store→view→summary pipeline from ONE SPARQL text
@@ -1004,9 +1096,10 @@ object ViewStore {
   def createAggFromSparql(spark: SparkSession, storeRoot: String,
       viewRoot: String, aggRoot: String, text: String,
       graph: String = ""): Int = {
-    val (pats, groupVars, countCol, sums) = aggPatternsFromSparql(text)
+    val (pats, groupVars, countCol, sums, exts) =
+      aggPatternsFromSparql(text)
     create(spark, storeRoot, viewRoot, pats, graph): Unit
-    createAgg(spark, viewRoot, aggRoot, groupVars, countCol, sums)
+    createAgg(spark, viewRoot, aggRoot, groupVars, countCol, sums, exts)
   }
 
   /** [[compactIfDeep]] for the summary chain. */
@@ -1016,7 +1109,26 @@ object ViewStore {
       compactAgg(spark, aggRoot); true
     } else false
 
-  /** Fold the summary chain into a fresh base at its synced head. */
-  def compactAgg(spark: SparkSession, aggRoot: String): Unit =
-    compactWith(aggRoot)(readAgg(spark, aggRoot))
+  /** Fold the summary chain into a fresh base at its synced head — at
+    * the PERSISTED grain ([[fineKeys]]): an extremum summary's base must
+    * keep its per-(group, value) support counts or future deletes lose
+    * the runner-up. Kept rows are any with live support OR a nonzero
+    * sum (the swapped-binding corner readAggAt documents). */
+  def compactAgg(spark: SparkSession, aggRoot: String): Unit = {
+    val (gv, countCol, sums, exts) = definitionAgg(aggRoot)
+    val keys = fineKeys(gv, exts)
+    val psums = persistedSums(sums, exts)
+    compactWith(aggRoot) {
+      val (baseV, segs) = chainAt(aggRoot, lastSynced(aggRoot))
+      val live = psums.map { case (o, _) => col(o) =!= 0L }
+        .foldLeft(col(countCol) =!= 0L)(_ || _)
+      (spark.read.parquet(basePath(aggRoot, baseV)) +:
+        segs.map { case (f, t) =>
+          spark.read.parquet(segPath(aggRoot, f, t)) })
+        .reduce(_.unionByName(_))
+        .groupBy(keys.map(col): _*).agg(sum(countCol).as(countCol),
+          psums.map { case (o, _) => sum(o).as(o) }: _*)
+        .filter(live)
+    }
+  }
 }

@@ -322,7 +322,8 @@ class ViewStoreSpec extends SparkSpec {
     val pats = Seq(TP(V("c"), C("name"), V("n")), TP(V("c"), C("nat"), V("nat")))
     ViewStore.create(spark, storeRoot, viewRoot, pats, g)
     ViewStore.createAgg(spark, viewRoot, aggRoot, Seq("nat"), countCol = "cnt")
-    assert(ViewStore.definitionAgg(aggRoot) === ((Seq("nat"), "cnt", Nil)))
+    assert(ViewStore.definitionAgg(aggRoot) ===
+      ((Seq("nat"), "cnt", Nil, Nil)))
     assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
       Set(Seq(2L, "de"), Seq(1L, "fr")))
 
@@ -428,7 +429,7 @@ class ViewStoreSpec extends SparkSpec {
     ViewStore.createAgg(spark, viewRoot, aggRoot, Seq("nat"),
       countCol = "cnt", sums = Seq("total" -> "bal"))
     assert(ViewStore.definitionAgg(aggRoot) ===
-      ((Seq("nat"), "cnt", Seq("total" -> "bal"))))
+      ((Seq("nat"), "cnt", Seq("total" -> "bal"), Nil)))
     assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
       Set(Seq(2L, "de", 15L), Seq(1L, "fr", 7L)))
     // churn 1: c3's balance CHANGES (fr count nets to 0, sum must move)
@@ -487,17 +488,136 @@ class ViewStoreSpec extends SparkSpec {
       rmTree(new java.io.File(p)))
   }
 
+  test("MIN/MAX/AVG summary: deleted extremum resolves to the runner-up " +
+      "from persisted support counts, never a view rescan") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_sx").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_vx").toString
+    val aggRoot = java.nio.file.Files.createTempDirectory("vs_ax").toString
+    QuadStore.init(Seq(
+      ("c1", "nat", "de", ""), ("c1", "bal", "10", ""),
+      ("c2", "nat", "de", ""), ("c2", "bal", "5", ""),
+      ("c3", "nat", "fr", ""), ("c3", "bal", "7", ""),
+      ("c4", "nat", "fr", ""), ("c4", "bal", "3", ""))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    val pats = Seq(TP(V("c"), C("nat"), V("nat")),
+      TP(V("c"), C("bal"), V("bal")))
+    ViewStore.create(spark, storeRoot, viewRoot, pats)
+    val exts = Seq(("lo", "bal", "min"), ("hi", "bal", "max"),
+      ("mean", "bal", "avg"))
+    ViewStore.createAgg(spark, viewRoot, aggRoot, Seq("nat"),
+      countCol = "cnt", sums = Seq("total" -> "bal"), exts = exts)
+    // definition round-trips through the aggx meta head
+    assert(ViewStore.definitionAgg(aggRoot) ===
+      ((Seq("nat"), "cnt", Seq("total" -> "bal"), exts)))
+    // rowSet orders columns by name: cnt, hi, lo, mean, nat, total
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === Set(
+      Seq(2L, 10L, 5L, 7.5d, "de", 15L),
+      Seq(2L, 7L, 3L, 5.0d, "fr", 10L)))
+    // churn 1: de LOSES ITS MINIMUM (c2 leaves the view) — the naive-IVM
+    // killer; fr's c3 changes value 7→9 (extremum value churn both ways)
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c2> <bal> "5" . <c3> <bal> "7" } ;
+        |INSERT DATA { <c3> <bal> "9" }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === Set(
+      Seq(1L, 10L, 10L, 10.0d, "de", 10L),
+      Seq(2L, 9L, 3L, 6.0d, "fr", 12L)),
+      "deleting the minimum must reveal the runner-up")
+    // churn 2: a new de maximum arrives, fr loses its minimum member
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <c5> <nat> "de" . <c5> <bal> "20" } ;
+        |DELETE DATA { <c4> <nat> "fr" }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+    val afterTwo = Set(
+      Seq(2L, 20L, 10L, 15.0d, "de", 30L),
+      Seq(1L, 9L, 9L, 9.0d, "fr", 9L))
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === afterTwo)
+    // summary time travel serves extremums at the pinned version too
+    assert(rowSet(ViewStore.readAggAt(spark, aggRoot,
+        ViewStore.lastSynced(aggRoot) - 1)) === Set(
+      Seq(1L, 10L, 10L, 10.0d, "de", 10L),
+      Seq(2L, 9L, 3L, 6.0d, "fr", 12L)))
+    // compaction folds at the PERSISTED (group, value) grain…
+    ViewStore.compactAgg(spark, aggRoot)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === afterTwo)
+    // …so a post-compaction extremum delete still finds the runner-up
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c5> <bal> "20" }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) === Set(
+      Seq(1L, 10L, 10L, 10.0d, "de", 10L),
+      Seq(1L, 9L, 9L, 9.0d, "fr", 9L)),
+      "the compacted base must keep runner-up supports")
+    Seq(storeRoot, viewRoot, aggRoot).foreach(p =>
+      rmTree(new java.io.File(p)))
+  }
+
+  test("extremum summary: a support-neutral swap must still move sums " +
+      "over OTHER variables (no liveness filter at the fine grain)") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("vs_sy").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("vs_vy").toString
+    val aggRoot = java.nio.file.Files.createTempDirectory("vs_ay").toString
+    QuadStore.init(Seq(
+      ("c1", "nat", "de", ""), ("c1", "bal", "10", ""),
+      ("c1", "sc", "2", ""),
+      ("c2", "nat", "de", ""), ("c2", "bal", "7", ""),
+      ("c2", "sc", "4", ""))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    val pats = Seq(TP(V("c"), C("nat"), V("nat")),
+      TP(V("c"), C("bal"), V("bal")), TP(V("c"), C("sc"), V("sc")))
+    ViewStore.create(spark, storeRoot, viewRoot, pats)
+    ViewStore.createAgg(spark, viewRoot, aggRoot, Seq("nat"),
+      countCol = "cnt", sums = Seq("tsc" -> "sc"),
+      exts = Seq(("lo", "bal", "min")))
+    // columns sorted: cnt, lo, nat, tsc
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+      Set(Seq(2L, 7L, "de", 6L)))
+    // c1 (bal 10, sc 2) swaps for c9 (bal 10, sc 8): the fine combo
+    // (de, 10)'s support nets to ZERO change while tsc moves +6 — a
+    // liveness filter before the sum re-aggregation would lose it
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c1> <nat> "de" . <c1> <bal> "10" . <c1> <sc> "2" } ;
+        |INSERT DATA { <c9> <nat> "de" . <c9> <bal> "10" . <c9> <sc> "8" }"""
+        .stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    ViewStore.syncAgg(spark, viewRoot, aggRoot)
+    assert(rowSet(ViewStore.readAgg(spark, aggRoot)) ===
+      Set(Seq(2L, 7L, "de", 12L)))
+    Seq(storeRoot, viewRoot, aggRoot).foreach(p =>
+      rmTree(new java.io.File(p)))
+  }
+
   test("aggregate views define from SPARQL text; the rest is loud") {
     assert(ViewStore.aggPatternsFromSparql(
       """SELECT ?nat (COUNT(*) AS ?cnt) WHERE {
         |  ?c <seg> "B" . ?c <nat> ?nat . } GROUP BY ?nat""".stripMargin) ===
       ((Seq(TP(V("c"), C("seg"), C("B")), TP(V("c"), C("nat"), V("nat"))),
-        Seq("nat"), "cnt", Nil)))
+        Seq("nat"), "cnt", Nil, Nil)))
     // SUM measures parse alongside the COUNT
     assert(ViewStore.aggPatternsFromSparql(
       """SELECT ?nat (COUNT(*) AS ?cnt) (SUM(?bal) AS ?total)
         |WHERE { ?c <bal> ?bal . ?c <nat> ?nat . } GROUP BY ?nat"""
         .stripMargin)._4 === Seq("total" -> "bal"))
+    // MIN/MAX/AVG parse as extremum measures
+    assert(ViewStore.aggPatternsFromSparql(
+      """SELECT ?nat (COUNT(*) AS ?cnt) (MIN(?bal) AS ?lo)
+        |  (MAX(?bal) AS ?hi) (AVG(?bal) AS ?mean)
+        |WHERE { ?c <bal> ?bal . ?c <nat> ?nat . } GROUP BY ?nat"""
+        .stripMargin)._5 === Seq(("lo", "bal", "min"),
+        ("hi", "bal", "max"), ("mean", "bal", "avg")))
+    // SAMPLE and DISTINCT aggregates stay out — not delta-maintainable
+    for (bad <- Seq(
+      """SELECT ?nat (COUNT(*) AS ?n) (SAMPLE(?bal) AS ?s)
+        |WHERE { ?c <bal> ?bal . ?c <nat> ?nat . } GROUP BY ?nat"""
+        .stripMargin,
+      """SELECT ?nat (COUNT(*) AS ?n) (SUM(DISTINCT ?bal) AS ?s)
+        |WHERE { ?c <bal> ?bal . ?c <nat> ?nat . } GROUP BY ?nat"""
+        .stripMargin))
+      intercept[IllegalArgumentException](
+        ViewStore.aggPatternsFromSparql(bad))
     for (bad <- Seq(
       // no GROUP BY
       """SELECT (COUNT(*) AS ?n) WHERE { ?c <nat> ?nat . }""",
