@@ -27,6 +27,35 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .drop("h")
 
+  /** Exact dedup with REPRESENTATIVE SELECTION: real pipelines don't keep
+    * an arbitrary copy — the same text crawled from a high-trust source
+    * and a content mirror should survive as the high-trust row (its
+    * metadata: provenance, license, timestamps). `preference` ranks
+    * sources best-first; unlisted sources rank after all listed ones,
+    * ties break on the smaller doc_id, so the choice is a deterministic
+    * total order.
+    *
+    * Scale: identical to [[exact]] — ONE hash aggregation whose shuffle
+    * rows carry the 32-byte digest plus (rank, doc_id, source); `min_by`
+    * over the (rank, doc_id) struct combines map-side, so no group's
+    * copies ever co-locate as text. */
+  def exactKeepBest(docs: DataFrame,
+      preference: Seq[String]): DataFrame = {
+    val rank = preference.zipWithIndex
+      .foldRight(lit(preference.size): org.apache.spark.sql.Column) {
+        case ((src, i), els) => when(col("source") === src, lit(i))
+          .otherwise(els)
+      }
+    docs.withColumn("h", sha2(col("text"), 256))
+      .withColumn("r", rank)
+      .groupBy("h")
+      .agg(
+        expr("min_by(doc_id, struct(r, doc_id))").as("doc_id"),
+        expr("min_by(source, struct(r, doc_id))").as("source"),
+        count(lit(1)).as("n_copies"))
+      .drop("h")
+  }
+
   /** Incremental exact dedup — the continuous-ingestion shape: drop any
     * new document whose content digest already exists in the ingested
     * corpus (anti join on the digest), then exact-dedup within the batch

@@ -22,6 +22,21 @@ object LlmOps extends QueryModule {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Representative selection: which copy of a duplicate group SURVIVES.
+    // The corpus has no natural exact dupes, so both engines derive the
+    // same mirrored slice (doc_id < 50 re-tagged source "src7", the
+    // top-preference source) — the mirror then WINS its group whenever
+    // the original's source ranks lower, proving selection follows the
+    // preference order and not arrival/id order.
+    "q_dedup_keepbest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val mirror = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("source", lit("src7"))
+      Dedup.exactKeepBest(docs.unionByName(mirror), Seq("src7", "src3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Continuous-ingestion dedup: docs arriving after the snapshot
     // boundary (doc_id >= 250) dedup against the already-ingested corpus
     // by content digest, then within their own batch.
@@ -281,6 +296,18 @@ object LlmOps extends QueryModule {
       TextOps.bigramLmScore(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // CCNet-style reference-LM filtering: the model fits on the trusted
+    // src0 slice only, every document scores against IT (penalized
+    // unigram backoff for unseen bigrams), and the keep flag thresholds
+    // the mean micro-probability — unlike q_text_bigram_lm's self-trained
+    // score, spam can't teach the model to like spam.
+    "q_text_lm_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.refLmFilter(docs, docs.filter(col("source") === "src0"),
+          keepAboveMicro = 30000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing — regexp_replace chain for emails / SSNs / phones /
     // IPv4s, a standard training-data sanitization pass. This corpus has
     // no natural PII, so the query derives a deterministic contact line
@@ -487,6 +514,26 @@ object LlmOps extends QueryModule {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // same mirrored-slice derivation; the survivor is row_number() = 1
+    // under the (source preference, doc_id) total order
+    "q_dedup_keepbest" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'src7' FROM documents
+        |  WHERE doc_id < 50),
+        |ranked AS (
+        |  SELECT doc_id, source, text,
+        |    CASE source WHEN 'src7' THEN 0 WHEN 'src3' THEN 1
+        |      ELSE 2 END AS r
+        |  FROM all_docs)
+        |SELECT doc_id, source, n_copies FROM (
+        |  SELECT doc_id, source,
+        |    CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+        |    row_number() OVER (PARTITION BY text ORDER BY r, doc_id) AS rn
+        |  FROM ranked) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -771,6 +818,37 @@ object LlmOps extends QueryModule {
         |      JOIN c1 ON b.w1 = c1.w1)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(micro) // count(*) AS BIGINT) AS score_micro
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the reference-LM filter: counts fit on the src0 slice only,
+    // unseen bigrams back off to the penalized reference unigram —
+    // identical integer floor arithmetic to the engine's
+    "q_text_lm_filter" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |b AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
+        |      FROM (SELECT doc_id, source, ws,
+        |              unnest(generate_series(1, len(ws) - 1)) AS i
+        |            FROM w WHERE len(ws) >= 2) t),
+        |rb AS (SELECT w1, w2 FROM b WHERE source = 'src0'),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM rb GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM rb GROUP BY w1),
+        |uni AS (SELECT tok AS w2, count(*) AS u FROM (
+        |          SELECT unnest(ws) AS tok FROM w WHERE source = 'src0')
+        |        GROUP BY tok),
+        |tot AS (SELECT count(*) AS t_ref FROM (
+        |          SELECT unnest(ws) AS tok FROM w WHERE source = 'src0')),
+        |m AS (SELECT b.doc_id,
+        |        CASE WHEN c2.n2 IS NOT NULL THEN (1000000 * c2.n2) // c1.n1
+        |             ELSE (100000 * coalesce(uni.u, 0)) // tot.t_ref
+        |        END AS micro
+        |      FROM b
+        |      LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |      LEFT JOIN c1 ON b.w1 = c1.w1
+        |      LEFT JOIN uni ON b.w2 = uni.w2, tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(micro) // count(*) AS BIGINT) AS score_micro,
+        |  CAST(sum(micro) // count(*) >= 30000 AS BIGINT) AS kept
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_tfidf" -> {

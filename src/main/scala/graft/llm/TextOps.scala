@@ -69,6 +69,61 @@ object TextOps {
     out
   }
 
+  /** Reference-LM corpus filtering (the CCNet/CC-100 shape, Wenzek et al.
+    * 2020, arXiv:1911.00359): fit bigram statistics on a TRUSTED
+    * reference slice (there: Wikipedia; here: `ref`), score every corpus
+    * document by its mean conditional probability under that model —
+    * p(w2|w1) with a penalized unigram backoff for bigrams the reference
+    * never saw — and keep documents above a threshold. Filtering against
+    * a reference separates "fluent text the reference distribution
+    * recognizes" from boilerplate/gibberish, which self-trained scores
+    * ([[bigramLmScore]]) cannot: a corpus full of spam scores spam high.
+    *
+    * Determinism: integer micro-units throughout ([[bigramLmScore]]'s
+    * discipline) — a known bigram scores `(1e6 * n2) div n1`, an unknown
+    * one backs off to `(1e5 * u(w2)) div T` (unigram frequency capped at
+    * a 10× penalty, zero for out-of-reference words); the per-doc score
+    * is the integer mean. No doubles, no ulp drift, combine-order-free.
+    *
+    * Scale: the reference model is vocabulary-bounded (a wiki-sized
+    * slice, not the corpus) — `c2`/`c1`/`uni` broadcast to every
+    * executor and the corpus is scanned ONCE through three broadcast
+    * hash joins, no corpus-sized shuffle anywhere. */
+  def refLmFilter(docs: DataFrame, ref: DataFrame,
+      keepAboveMicro: Long): DataFrame = {
+    def bigrams(d: DataFrame) = d
+      .select(col("doc_id"), tokens.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val rb = bigrams(ref).persist() // reference-sized; scanned twice
+    val c2 = rb.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = rb.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val uni = ref.select(explode(tokens).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("u"))
+    val tot = ref.select(explode(tokens).as("w"))
+      .agg(count(lit(1)).as("t_ref"))
+    val out = graft.Materialize(
+      bigrams(docs)
+        .join(broadcast(c2), Seq("w1", "w2"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .join(broadcast(uni), Seq("w2"), "left")
+        .crossJoin(broadcast(tot)) // one scalar row: the token total
+        .select(col("doc_id"), expr(
+          """CASE WHEN n2 IS NOT NULL THEN (1000000L * n2) div n1
+            |     ELSE (100000L * coalesce(u, 0L)) div t_ref END"""
+            .stripMargin).as("micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(micro) div count(*)").as("score_micro"))
+        .withColumn("kept",
+          (col("score_micro") >= keepAboveMicro).cast("long")))
+    rb.unpersist()
+    out
+  }
+
   /** BPE-style pre-tokenization (GPT-2-ish regex): contraction suffixes,
     * letter runs, digit runs, punctuation runs, each with optional leading
     * space. The COUNT of these pieces is the usual cheap proxy for LLM

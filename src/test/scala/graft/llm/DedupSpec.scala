@@ -62,6 +62,23 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq((1L, 2L), (3L, 1L))) // (doc_id, n_copies)
   }
 
+  test("exactKeepBest picks by source preference, then doc_id; unlisted " +
+      "sources rank last") {
+    val docs = Seq(
+      // group A: wiki (preferred) must beat the crawl copy with the
+      // smaller doc_id
+      (5L, base, "crawl"), (9L, base, "wiki"),
+      // group B: two copies from the same listed source — doc_id breaks
+      (3L, unrelated, "crawl"), (4L, unrelated, "crawl"),
+      // group C: only unlisted sources — doc_id breaks the rank tie
+      (8L, "solo text here", "blogs"), (7L, "solo text here", "forums"))
+      .toDF("doc_id", "text", "source")
+    val kept = Dedup.exactKeepBest(docs, Seq("wiki", "crawl"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(kept === Seq((3L, "crawl", 2L), (7L, "forums", 2L),
+      (9L, "wiki", 2L)))
+  }
+
   test("bloom-prefiltered incremental dedup == exact incremental dedup") {
     val seen = docsDF(Seq(1L -> base, 2L -> unrelated))
     val batch = docsDF(Seq(

@@ -56,6 +56,26 @@ class TextOpsSpec extends SparkSpec {
       2L -> ((2L, 750000L))))
   }
 
+  test("refLmFilter: reference-only counts, penalized unigram backoff, " +
+      "zero for out-of-reference words") {
+    val ref = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    // reference: c2(a,b)=2 c2(b,a)=1 c2(b,c)=1; c1(a)=2 c1(b)=2
+    // unigrams: a=2 b=2 c=1; T=5
+    val docs = Seq(
+      (1L, "a b"),   // known bigram: 1e6*2 div 2 = 1000000
+      (2L, "c a"),   // unseen bigram (c,a): backoff 1e5*2 div 5 = 40000
+      (3L, "a z"),   // unseen bigram, z out-of-reference: 0
+      (4L, "b c b a")) // (b,c)=5e5, (c,b) backoff b: 40000, (b,a)=5e5
+      .toDF("doc_id", "text")
+    val got = TextOps.refLmFilter(docs, ref, keepAboveMicro = 100000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1000000L, 1L),
+      (2L, 1L, 40000L, 0L),
+      (3L, 1L, 0L, 0L),
+      (4L, 3L, (500000L + 40000L + 500000L) / 3, 1L))) // 346666
+  }
+
   test("letterEntropy matches closed-form values and stays map-only") {
     val docs = Seq(
       (1L, "aabb"),         // two letters, uniform → exactly 1 bit
