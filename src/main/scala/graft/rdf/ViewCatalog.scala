@@ -65,4 +65,63 @@ object ViewCatalog {
       text: String, graph: String = ""): DataFrame =
     ViewAnswer.answerSparql(spark, storeRoot,
       usable(spark, storeRoot, catalogRoot, graph), text, graph)
+
+  // ---- aggregate-summary routing ------------------------------------
+
+  private def aggFile(root: String) = s"$root/catalog_agg.tsv"
+
+  /** Registered (binding view, summary) pairs, registration order. */
+  def aggPairs(catalogRoot: String): Seq[(String, String)] =
+    try graft.sources.AtomicStore.readString(aggFile(catalogRoot))
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(v, a) = line.split("\t")
+        (unb64(v), unb64(a))
+      }.distinct
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Register a maintained summary with its binding view (idempotent);
+    * both must already exist. */
+  def registerAgg(catalogRoot: String, viewRoot: String,
+      aggRoot: String): Unit = {
+    ViewStore.mode(viewRoot): Unit
+    ViewStore.definitionAgg(aggRoot): Unit // loud if not a summary
+    val now = (aggPairs(catalogRoot) :+ ((viewRoot, aggRoot))).distinct
+    graft.sources.AtomicStore.writeString(aggFile(catalogRoot),
+      now.map { case (v, a) => s"${b64(v)}\t${b64(a)}" }.mkString("\n"))
+  }
+
+  def deregisterAgg(catalogRoot: String, viewRoot: String,
+      aggRoot: String): Unit =
+    graft.sources.AtomicStore.writeString(aggFile(catalogRoot),
+      aggPairs(catalogRoot).filterNot(_ == ((viewRoot, aggRoot)))
+        .map { case (v, a) => s"${b64(v)}\t${b64(a)}" }.mkString("\n"))
+
+  /** Route a grouped COUNT/SUM/MIN/MAX/AVG query to the first registered
+    * summary that can serve it — same policy shape as [[answer]]: the
+    * strict checks live in [[ViewAnswer.answerAggSparql]] (isomorphic
+    * BGP, aligned groups and measures, double staleness gate), and the
+    * catalog tries each usable pair, skipping the ones whose strictness
+    * trips. A query no summary serves — or one outside the maintainable
+    * aggregate fragment entirely — falls back to the plain solve over
+    * the store head, so registration mistakes degrade to performance,
+    * never to wrong or refused answers. */
+  def answerAgg(spark: SparkSession, storeRoot: String,
+      catalogRoot: String, text: String, graph: String = ""): DataFrame = {
+    val fallback = () => {
+      val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+        throw new IllegalArgumentException(s"no store under $storeRoot"))
+      Sparql.run(QuadStore.readVersion(spark, storeRoot, cur)
+        .filter(org.apache.spark.sql.functions.col("g") === graph)
+        .select("s", "p", "o"), text)
+    }
+    val parsed =
+      try { ViewStore.aggPatternsFromSparql(text); true }
+      catch { case _: IllegalArgumentException => false }
+    if (!parsed) return fallback()
+    aggPairs(catalogRoot).view.flatMap { case (v, a) =>
+      try Some(ViewAnswer.answerAggSparql(spark, storeRoot, v, a, text,
+        graph))
+      catch { case _: IllegalArgumentException => None }
+    }.headOption.getOrElse(fallback())
+  }
 }

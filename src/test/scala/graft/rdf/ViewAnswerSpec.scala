@@ -194,6 +194,69 @@ class ViewAnswerSpec extends SparkSpec {
         |  ?cust <nation> ?nat }""".stripMargin)) === rowSet(got))
   }
 
+  test("ViewCatalog.answerAgg routes grouped queries to a matching " +
+      "summary; everything else falls back to the plain solve") {
+    val store = java.nio.file.Files
+      .createTempDirectory("vca_store").toString
+    val cat = java.nio.file.Files.createTempDirectory("vca_cat").toString
+    val v1 = java.nio.file.Files.createTempDirectory("vca_v1").toString
+    val a1 = java.nio.file.Files.createTempDirectory("vca_a1").toString
+    val v2 = java.nio.file.Files.createTempDirectory("vca_v2").toString
+    val a2 = java.nio.file.Files.createTempDirectory("vca_a2").toString
+    QuadStore.init(t3(
+      ("c1", "nat", "de"), ("c1", "bal", "10"), ("c1", "seg", "B"),
+      ("c2", "nat", "de"), ("c2", "bal", "5"), ("c2", "seg", "A"),
+      ("c3", "nat", "fr"), ("c3", "bal", "7"), ("c3", "seg", "B"))
+      .withColumn("g", lit("")), store)
+    ViewStore.createAggFromSparql(spark, store, v1, a1,
+      """SELECT ?nat (COUNT(*) AS ?cnt) (SUM(?bal) AS ?total) WHERE {
+        |  ?c <nat> ?nat . ?c <bal> ?bal . } GROUP BY ?nat""".stripMargin)
+    ViewStore.createAggFromSparql(spark, store, v2, a2,
+      """SELECT ?seg (COUNT(*) AS ?n) WHERE {
+        |  ?c <seg> ?seg . } GROUP BY ?seg""".stripMargin)
+    ViewCatalog.registerAgg(cat, v1, a1)
+    ViewCatalog.registerAgg(cat, v1, a1) // idempotent
+    ViewCatalog.registerAgg(cat, v2, a2)
+    intercept[Exception]( // not a summary → rejected at registration
+      ViewCatalog.registerAgg(cat, v1, v2))
+    assert(ViewCatalog.aggPairs(cat) === Seq((v1, a1), (v2, a2)))
+    // a renamed nat-grouped query routes PAST the seg summary to (v1,a1)
+    val q =
+      """SELECT ?country (COUNT(*) AS ?members) (SUM(?b) AS ?sum) WHERE {
+        |  ?cust <nat> ?country . ?cust <bal> ?b . } GROUP BY ?country"""
+        .stripMargin
+    val expect = Set(Seq("de", 2L, 15L), Seq("fr", 1L, 7L))
+    assert(rowSet(ViewCatalog.answerAgg(spark, store, cat, q)) === expect)
+    // the seg query routes to the second pair
+    assert(rowSet(ViewCatalog.answerAgg(spark, store, cat,
+      """SELECT ?s (COUNT(*) AS ?k) WHERE { ?c <seg> ?s . }
+        |GROUP BY ?s""".stripMargin)) ===
+      Set(Seq(1L, "A"), Seq(2L, "B")))
+    // a grouped query NO summary serves falls back to the plain solve
+    assert(rowSet(ViewCatalog.answerAgg(spark, store, cat,
+      """SELECT ?nat (COUNT(*) AS ?n) (SUM(?bal) AS ?t) WHERE {
+        |  ?c <nat> ?nat . ?c <bal> ?bal . ?c <seg> "B" . }
+        |GROUP BY ?nat""".stripMargin)) ===
+      Set(Seq(1L, "de", 10L), Seq(1L, "fr", 7L)))
+    // outside the maintainable fragment (HAVING) → plain solve too
+    assert(rowSet(ViewCatalog.answerAgg(spark, store, cat,
+      """SELECT ?nat (COUNT(*) AS ?n) WHERE { ?c <nat> ?nat . }
+        |GROUP BY ?nat HAVING (COUNT(*) > 1)""".stripMargin)) ===
+      Set(Seq(2L, "de")))
+    // staleness SKIPS the summary (strictness trips inside the try) and
+    // the fallback still answers fresh; after syncs it routes again
+    QuadStore.update(spark, store,
+      """INSERT DATA { <c4> <nat> "fr" . <c4> <bal> "3" }""")
+    val fresh = Set(Seq("de", 2L, 15L), Seq("fr", 2L, 10L))
+    assert(rowSet(ViewCatalog.answerAgg(spark, store, cat, q)) === fresh)
+    ViewStore.sync(spark, store, v1)
+    ViewStore.syncAgg(spark, v1, a1)
+    assert(rowSet(ViewCatalog.answerAgg(spark, store, cat, q)) === fresh)
+    ViewCatalog.deregisterAgg(cat, v1, a1)
+    assert(ViewCatalog.aggPairs(cat) === Seq((v2, a2)))
+    assert(rowSet(ViewCatalog.answerAgg(spark, store, cat, q)) === fresh)
+  }
+
   test("answerAggSparql serves dashboards from the persisted summary") {
     val store = java.nio.file.Files
       .createTempDirectory("vaa_store").toString
