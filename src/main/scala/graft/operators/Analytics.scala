@@ -91,6 +91,15 @@ object Analytics extends QueryModule {
           "event_type", "ts_us_long", stepUnits = 3600000000L)
         .orderBy(col("event_type"), col("bucket"))),
 
+    // LOCF gap fill of a level metric (the last event's value per hourly
+    // bucket, carried across empty buckets) — deterministic max_by pick,
+    // one shuffle over the grid frame
+    "q_ts_fill" -> ((s, d) =>
+      TimeSeries.fillForward(Tables.events(s, d),
+          "event_type", "ts_us_long", "value", "event_id",
+          stepUnits = 3600000000L)
+        .orderBy(col("event_type"), col("bucket"))),
+
     // Gap-based batch sessionization (30-min gap over epoch-micros — the
     // precision DuckDB's parquet reader keeps for TIMESTAMP(NANOS), so the
     // oracle sees identical integers): the offline twin of the streaming
@@ -167,6 +176,30 @@ object Analytics extends QueryModule {
         |  FROM ev GROUP BY event_type)
         |SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
         |FROM grid g LEFT JOIN counts c USING (event_type, bucket)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // identical LOCF derivation: arg_max pick per bucket, running
+    // non-null count numbers the stretches, stretch-max broadcasts the
+    // head value to its gap rows
+    "q_ts_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS bucket,
+        |         value, event_id
+        |  FROM events),
+        |obs AS (
+        |  SELECT event_type, bucket, arg_max(value, event_id) AS v_raw
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+        |  FROM ev GROUP BY event_type),
+        |joined AS (
+        |  SELECT g.event_type, g.bucket, o.v_raw,
+        |    count(o.v_raw) OVER (PARTITION BY g.event_type ORDER BY g.bucket
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM grid g LEFT JOIN obs o USING (event_type, bucket))
+        |SELECT event_type, bucket, v_raw,
+        |  max(v_raw) OVER (PARTITION BY event_type, grp) AS v_filled
+        |FROM joined
         |ORDER BY event_type, bucket""".stripMargin,
 
     // identical lag/running-sum construction; ties on (user, ts) are

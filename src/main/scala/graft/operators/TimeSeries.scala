@@ -35,6 +35,49 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Resample a VALUE metric to the bucket grid with LOCF gap fill (last
+    * observation carried forward) — the other half of the missing-bucket
+    * problem: [[resampleCounts]] zero-fills counts, but a LEVEL metric
+    * (a balance, a temperature, a gauge) must carry its last observed
+    * value across empty buckets, not drop to zero.
+    *
+    * Per (group, bucket) the observation is the value of the HIGHEST-id
+    * event in the bucket (`max_by` — a deterministic pick where "last by
+    * arrival" would depend on partition order). The fill is the
+    * partition-free two-window form: a running count of observations
+    * numbers the stretches (`grp`), then `max` over (group, grp) — whose
+    * only non-null value is the stretch's head — broadcasts it to the
+    * gap rows. BOTH windows sort the same (group, bucket) partition, so
+    * the whole fill is ONE shuffle over the summary-sized grid frame
+    * (groups × buckets), never over the raw events.
+    *
+    * Output: (group, bucket, v_raw nullable, v_filled). Buckets before a
+    * group's first observation cannot occur (the grid starts at the
+    * group's min observed bucket), so v_filled is always defined.
+    */
+  def fillForward(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String, idCol: String, stepUnits: Long): DataFrame = {
+    require(stepUnits > 0, s"stepUnits must be positive, got $stepUnits")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.select(col(groupCol).as("__g"),
+      expr(s"$tsCol div $stepUnits").as("bucket"),
+      col(valCol).as("__v"), col(idCol).as("__id"))
+    val obs = bucketed.groupBy("__g", "bucket")
+      .agg(expr("max_by(__v, __id)").as("v_raw"))
+    val grid = bucketed.groupBy("__g")
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("__g"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val w = Window.partitionBy("__g").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("__g", "bucket"), "left")
+      .withColumn("__grp",
+        sum(when(col("v_raw").isNotNull, 1L).otherwise(0L)).over(w))
+      .withColumn("v_filled",
+        max(col("v_raw")).over(Window.partitionBy("__g", "__grp")))
+      .select(col("__g").as(groupCol), col("bucket"), col("v_raw"),
+        col("v_filled"))
+  }
+
   /** Gap-based BATCH sessionization (the offline twin of
     * `session_window` in [[graft.streaming.StreamOps]]): per key, events
     * more than `gapUnits` apart start a new session. The classic two-window

@@ -38,4 +38,23 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got === Set(("u", 0L, 3L, 0L), ("u", 11L, 1L, 0L)))
   }
+
+  test("fillForward: LOCF carries the last observed value across gaps, " +
+      "picks deterministically within a bucket") {
+    // step 10: group a observes buckets 0 (two events — max event_id 7
+    // wins), 3; buckets 1-2 are gaps carrying 2.5
+    val df = Seq(
+      ("a", 5L, 1.5d, 3L), ("a", 7L, 2.5d, 7L), ("a", 35L, 9.0d, 9L),
+      ("b", 101L, 4.0d, 1L))
+      .toDF("g", "t", "v", "id")
+    val got = TimeSeries.fillForward(df, "g", "t", "v", "id",
+        stepUnits = 10L)
+      .as[(String, Long, Option[Double], Double)].collect().toSet
+    assert(got === Set(
+      ("a", 0L, Some(2.5d), 2.5d),
+      ("a", 1L, None, 2.5d),
+      ("a", 2L, None, 2.5d),
+      ("a", 3L, Some(9.0d), 9.0d),
+      ("b", 10L, Some(4.0d), 4.0d)))
+  }
 }

@@ -221,4 +221,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(labels(c1c) === labels(natOf(c1c)))
     assert(labels(natOf(c1c)) === labels(regOf(natOf(c1c))))
   }
+
+  test("triangles: degree-ordered orientation counts each closure once") {
+    // K4 on {a,b,c,d} has 4 triangles, every node in 3; an appended
+    // pendant edge (d,e) closes nothing; a self-loop and a duplicate
+    // edge must not inflate counts
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val edges = (k4 ++ Seq(("d", "e"), ("e", "e"), ("a", "b")))
+      .toDF("src", "dst")
+    val got = GraphOps.triangles(edges, topK = 10)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 3L), ("b", 3L), ("c", 3L), ("d", 3L)))
+    // a wheel: hub h connected to a 4-cycle rim — triangles only where
+    // the rim closes with the hub (4 of them, hub in all)
+    val rim = Seq(("r1", "r2"), ("r2", "r3"), ("r3", "r4"), ("r4", "r1"))
+    val wheel = (rim ++ rim.flatMap(e => Seq(e)) ++
+      Seq("r1", "r2", "r3", "r4").map(r => ("h", r))).toDF("src", "dst")
+    val got2 = GraphOps.triangles(wheel, topK = 10)
+      .as[(String, Long)].collect().toSet
+    assert(got2 === Set(("h", 4L), ("r1", 2L), ("r2", 2L),
+      ("r3", 2L), ("r4", 2L)))
+  }
 }
