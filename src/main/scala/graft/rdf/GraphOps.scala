@@ -1,7 +1,7 @@
 package graft.rdf
 
 import graft.QueryModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph-analytics surface over the EAV entity graph (SURVEY.md §2.2
@@ -148,7 +148,8 @@ object GraphOps extends QueryModule {
     * then explodes to its three corners for the per-node counts. Output
     * is the exact top-`k` by (count desc, node) — TakeOrderedAndProject,
     * no global sort. */
-  def triangles(edges: DataFrame, topK: Int): DataFrame = {
+  def triangles(edges: DataFrame, topK: Int,
+      decode: Column => Column = identity): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -160,6 +161,12 @@ object GraphOps extends QueryModule {
     // the wedge join can order its two far endpoints without re-joining
     val ka = struct(col("da").as("kd"), col("a").as("kn"))
     val kb = struct(col("db").as("kd"), col("b").as("kn"))
+    // deg is node-sized — small next to the edge list but NOT a safe
+    // static broadcast at arbitrary scale (billions of nodes), so the
+    // attachment joins stay unhinted and AQE picks broadcast when the
+    // runtime size allows; oriented is read THREE times (both wedge
+    // legs + the closing probe) → persist, or each consumer re-runs
+    // the whole upstream including both degree joins
     val oriented = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -167,6 +174,7 @@ object GraphOps extends QueryModule {
         when(ka < kb, col("a")).otherwise(col("b")).as("lo"),
         when(ka < kb, kb).otherwise(ka).as("hik"))
       .select(col("lo"), col("hik"), col("hik.kn").as("hi"))
+      .persist()
     val wedges = oriented.select(col("lo"), col("hik").as("vk"),
         col("hi").as("v"))
       .join(oriented.select(col("lo"), col("hik").as("wk"),
@@ -175,24 +183,42 @@ object GraphOps extends QueryModule {
     val tri = wedges.join(
       oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
       .select(col("lo").as("u"), col("v"), col("w"))
-    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("n_triangles").desc, col("node")).limit(topK)
+    val out = graft.Materialize(
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        // decode BEFORE the top-k sort: the tie-break must run on the
+        // EMITTED node representation or a count tie at the k boundary
+        // would admit different nodes than the oracle's order
+        .select(decode(col("node")).as("node"), col("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node")).limit(topK))
+    oriented.unpersist()
+    out
   }
 
   /** The tripartite lineitem graph: every line item links its order, part
     * and supplier pairwise, so each (order, part, supplier) row closes a
     * triangle by construction — plus whatever extra closures shared
-    * parts/suppliers induce. */
+    * parts/suppliers induce.
+    *
+    * Node ids are REVERSIBLE LONGS (key·4 + a type code) so every shuffle
+    * in the triangle pipeline — 14M wedge rows at sf0.1 — carries 8-byte
+    * keys with long comparisons instead of decorated strings; only the
+    * final top-k decodes ([[decodeLineitemNode]]). */
   private def lineitemEdges(s: SparkSession, d: String): DataFrame = {
     val l = graft.sources.Tables.lineitem(s, d).select(
-      concat(lit("o:"), col("l_orderkey")).as("o"),
-      concat(lit("p:"), col("l_partkey")).as("p"),
-      concat(lit("s:"), col("l_suppkey")).as("sp"))
+      (col("l_orderkey").cast("long") * 4L).as("o"),
+      (col("l_partkey").cast("long") * 4L + 1L).as("p"),
+      (col("l_suppkey").cast("long") * 4L + 2L).as("sp"))
     l.select(col("o").as("src"), col("p").as("dst"))
       .unionByName(l.select(col("o").as("src"), col("sp").as("dst")))
       .unionByName(l.select(col("p").as("src"), col("sp").as("dst")))
   }
+
+  private def decodeLineitemNode(c: Column): Column =
+    concat(
+      when(c.bitwiseAND(3L) === 0L, lit("o:"))
+        .when(c.bitwiseAND(3L) === 1L, lit("p:")).otherwise(lit("s:")),
+      shiftright(c, 2).cast("string"))
 
   private val lineitemEdgesCte: String =
     """SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
@@ -346,7 +372,8 @@ object GraphOps extends QueryModule {
     // item closes an order–part–supplier triangle by construction);
     // degree-ordered orientation, exact top-20 nodes
     "q_graph_triangles" -> ((s, d) =>
-      triangles(lineitemEdges(s, d), topK = 20)))
+      triangles(lineitemEdges(s, d), topK = 20,
+        decode = decodeLineitemNode)))
 
   /** One unrolled PageRank round in DuckDB (integer floor division `//`
     * matches Spark's long `div` on the all-positive ranks). */
