@@ -274,4 +274,128 @@ object EncodedView {
       maxChain: Int = 8): Boolean =
     if (segmentCount(viewRoot) > maxChain) { compact(spark, viewRoot); true }
     else false
+
+  // ---- id-space aggregate summary ------------------------------------
+
+  private def writeMetaAgg(root: String, groupVars: Seq[String],
+      countCol: String): Unit =
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      (Seq("mode", "aggenc", b64(countCol)) ++ groupVars.map(b64))
+        .mkString("\t"))
+
+  /** The id-space summary definition: (groupVars, countCol). */
+  def definitionAgg(root: String): (Seq[String], String) =
+    graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\t").toSeq match {
+      case Seq("mode", "aggenc", cc, gv @ _*) => (gv.map(unb64), unb64(cc))
+      case _ => throw new IllegalArgumentException(
+        s"not an id-space aggregate view under $root")
+    }
+
+  /** Bootstrap a PERSISTED grouped-count summary over a maintained
+    * ID-SPACE view — [[ViewStore.createAgg]]'s shape with every group
+    * key an 8-byte id: the dashboard over an id-space deployment never
+    * touches a term string until [[readAggDecoded]]'s emission joins.
+    * COUNT is the only measure — binding CELLS are ids here, so a SUM
+    * over them would sum dictionary hashes; a numeric-measure summary
+    * belongs on the string-space [[ViewStore]] (or decode first). */
+  def createAgg(spark: SparkSession, viewRoot: String, aggRoot: String,
+      groupVars: Seq[String], countCol: String = "n"): Int = {
+    val v = lastSynced(viewRoot)
+    require(v > 0, s"no view under $viewRoot — create() before createAgg()")
+    require(!groupVars.contains(countCol),
+      "the count column must not collide with a group variable")
+    writeMetaAgg(aggRoot, groupVars, countCol)
+    graft.sources.AtomicStore.materialize(basePath(aggRoot, v)) { tmp =>
+      read(spark, viewRoot).groupBy(groupVars.map(col): _*)
+        .agg(count(lit(1)).as(countCol)).write.parquet(tmp)
+    }
+    v
+  }
+
+  /** Advance the summary from the view's delta SEGMENTS alone — the
+    * segments are exact set transitions (a binding enters as "a",
+    * leaves as "d"), so ±1 signs sum to each group's exact count
+    * change; the view's base is never refolded. Same retention
+    * contract as [[ViewStore.syncAgg]]: a compacted-away range fails
+    * loudly here. */
+  def syncAgg(spark: SparkSession, viewRoot: String,
+      aggRoot: String): Int = {
+    val (gv, countCol) = definitionAgg(aggRoot)
+    val aggLast = lastSynced(aggRoot)
+    require(aggLast > 0, s"no summary under $aggRoot — createAgg() first")
+    val viewLast = lastSynced(viewRoot)
+    if (viewLast <= aggLast) return aggLast
+    val vsegs = entries(viewRoot)
+      .collect { case ("s", f, t) if f >= aggLast => (f, t) }.sortBy(_._2)
+    val covered = vsegs.foldLeft(aggLast) { case (at, (f, t)) =>
+      require(f == at, s"view segment chain gap above $aggLast under " +
+        s"$viewRoot: s$f..$t does not extend $at")
+      t
+    }
+    require(covered == viewLast,
+      s"view segments cover $aggLast..$covered but the view is at " +
+        s"$viewLast — compacted past the summary's last sync? syncAgg " +
+        "before compact(view), or rebuild with createAgg()")
+    val sgn = when(col("__op") === "a", 1L).otherwise(-1L)
+    val delta = vsegs.map { case (f, t) =>
+        spark.read.parquet(segPath(viewRoot, f, t))
+      }.reduce(_.unionByName(_))
+      .select(gv.map(col) :+ sgn.as("__sgn"): _*)
+      .groupBy(gv.map(col): _*).agg(sum("__sgn").as(countCol))
+      .filter(col(countCol) =!= 0L)
+    graft.sources.AtomicStore.materialize(
+      segPath(aggRoot, aggLast, viewLast)) { tmp =>
+      delta.write.parquet(tmp)
+    }
+    viewLast
+  }
+
+  /** The maintained id-keyed summary: base + net segment changes summed
+    * per group over summary-sized frames. */
+  def readAgg(spark: SparkSession, aggRoot: String): DataFrame = {
+    val (gv, countCol) = definitionAgg(aggRoot)
+    val (baseV, segs) = chainAt(aggRoot, lastSynced(aggRoot))
+    (spark.read.parquet(basePath(aggRoot, baseV)) +:
+      segs.map { case (f, t) => spark.read.parquet(segPath(aggRoot, f, t)) })
+      .reduce(_.unionByName(_))
+      .groupBy(gv.map(col): _*).agg(sum(countCol).as(countCol))
+      .filter(col(countCol) =!= 0L)
+  }
+
+  /** [[readAgg]] with the group keys decoded at emission — the only
+    * strings in the whole summary lifecycle. */
+  def readAggDecoded(spark: SparkSession, mirrorRoot: String,
+      aggRoot: String): DataFrame = {
+    val (gv, _) = definitionAgg(aggRoot)
+    val ids = readAgg(spark, aggRoot)
+    val dict = EncodedMirror.dict(spark, mirrorRoot)
+    gv.foldLeft(ids) { (df, c) =>
+      df.join(dict.select(col("id").as(c), col("term").as(s"__t_$c")),
+          Seq(c))
+        .drop(c).withColumnRenamed(s"__t_$c", c)
+    }.select(ids.columns.toSeq.map(col): _*)
+  }
+
+  /** Fold the summary chain into a fresh base at its synced head. */
+  def compactAgg(spark: SparkSession, aggRoot: String): Unit = {
+    val before = entries(aggRoot)
+    val head = lastSynced(aggRoot)
+    val baseV = before.collect { case ("b", v, _) => v }.max
+    if (head > baseV)
+      graft.sources.AtomicStore.materialize(basePath(aggRoot, head)) {
+        tmp => readAgg(spark, aggRoot).write.parquet(tmp)
+      }
+    before.filter { case (k, _, t) => t < head || k == "s" }.foreach {
+      case ("b", v, _) =>
+        graft.sources.AtomicStore.delete(basePath(aggRoot, v))
+      case (_, f, t) =>
+        graft.sources.AtomicStore.delete(segPath(aggRoot, f, t))
+    }
+  }
+
+  def compactAggIfDeep(spark: SparkSession, aggRoot: String,
+      maxChain: Int = 8): Boolean =
+    if (segmentCount(aggRoot) > maxChain) { compactAgg(spark, aggRoot); true }
+    else false
 }

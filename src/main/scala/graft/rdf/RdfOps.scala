@@ -356,6 +356,50 @@ object RdfOps extends QueryModule {
       EncodedView.readDecoded(s, mirror, view).orderBy(col("cust"))
     }),
 
+    // The ID-SPACE persisted summary: store → mirror → EncodedView →
+    // grouped-count summary, every maintenance step over 8-byte ids
+    // (EncodedView.syncAgg folds the view's id segments into net count
+    // changes); term strings appear only in readAggDecoded's emission
+    // joins. Same churn as q_bgp_agg_store, recomputed by the oracle in
+    // string space.
+    "q_bgp_agg_encoded" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_ae_" +
+        graft.sources.AtomicStore.key(d)
+      val mirror = s"${sys.props("java.io.tmpdir")}/graft_mirror_ae_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_encview_ae_" +
+        graft.sources.AtomicStore.key(d)
+      val agg = s"${sys.props("java.io.tmpdir")}/graft_encagg_ae_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      EncodedMirror.sync(s, store, mirror): Unit
+      if (EncodedView.lastSynced(view) == 0)
+        EncodedView.create(s, mirror, view, Seq(
+          TP(V("cust"), C("mktsegment"), C("BUILDING")),
+          TP(V("cust"), C("nation"), V("nat"))), "g:customer"): Unit
+      if (EncodedView.lastSynced(agg) == 0)
+        EncodedView.createAgg(s, view, agg, Seq("nat"),
+          countCol = "cnt"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zz1> <mktsegment> "BUILDING" . <c:zz1> <nation> "n:0" . } }"""
+          .stripMargin)
+      QuadStore.update(s, store,
+        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
+      EncodedMirror.sync(s, store, mirror): Unit
+      EncodedView.sync(s, mirror, view): Unit
+      EncodedView.syncAgg(s, view, agg): Unit
+      // retention order: summary consumed the view's segments before the
+      // view may compact them; the view consumed the mirror's change
+      // range before the mirror may compact it
+      EncodedView.compactAggIfDeep(s, agg, maxChain = 6): Unit
+      EncodedView.compactIfDeep(s, view, maxChain = 6): Unit
+      if (EncodedMirror.segmentCount(mirror) > 6)
+        EncodedMirror.compact(s, mirror): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      EncodedView.readAggDecoded(s, mirror, agg).orderBy(col("nat"))
+    }),
+
     // Summary-served dashboard in the gate: a grouped COUNT + SUM query
     // (every variable renamed) is answered from the persisted aggregate
     // view via the isomorphism check — zero scans of the triples OR the
@@ -2238,6 +2282,23 @@ object RdfOps extends QueryModule {
     // the persisted summary after the churn: c:zz1 joins n:0's group,
     // c:1 leaves its group — recomputed directly over the updated slice
     "q_bgp_agg_store" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |${QUADS}
+        |  ) q WHERE q.g = 'g:customer'
+        |    AND NOT (q.s = 'c:1' AND q.p = 'mktsegment')
+        |  UNION ALL SELECT 'c:zz1', 'mktsegment', 'BUILDING'
+        |  UNION ALL SELECT 'c:zz1', 'nation', 'n:0')
+        |SELECT t2.o AS nat, CAST(count(*) AS BIGINT) AS cnt
+        |FROM cq t1, cq t2
+        |WHERE t1.p = 'mktsegment' AND t1.o = 'BUILDING'
+        |  AND t2.p = 'nation' AND t1.s = t2.s
+        |GROUP BY nat ORDER BY nat""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
+    // the id-space summary after the churn: zz1 joins n:0's BUILDING
+    // count, c:1 leaves its group — recomputed in string space
+    "q_bgp_agg_encoded" -> cte(
       """, cq AS (
         |  SELECT s, p, o FROM (
         |${QUADS}

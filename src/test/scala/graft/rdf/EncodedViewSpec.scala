@@ -78,6 +78,56 @@ class EncodedViewSpec extends SparkSpec {
     Seq(store, mirror, view).foreach(p => rmTree(new java.io.File(p)))
   }
 
+  test("id-space summary: maintained from the view's id segments alone, " +
+      "decoded only at emission") {
+    val (store, mirror, view) = roots("agg")
+    val agg = java.nio.file.Files.createTempDirectory("ev_agg_sum").toString
+    QuadStore.init(Seq(
+      ("c1", "nat", "de", ""), ("c1", "seg", "B", ""),
+      ("c2", "nat", "de", ""), ("c2", "seg", "B", ""),
+      ("c3", "nat", "fr", ""), ("c3", "seg", "B", ""))
+      .toDF("s", "p", "o", "g"), store)
+    EncodedMirror.sync(spark, store, mirror)
+    EncodedView.create(spark, mirror, view, Seq(
+      TP(V("c"), C("seg"), C("B")), TP(V("c"), C("nat"), V("nat"))))
+    EncodedView.createAgg(spark, view, agg, Seq("nat"), countCol = "cnt")
+    assert(EncodedView.definitionAgg(agg) === ((Seq("nat"), "cnt")))
+    // the id summary is all-long; the decoded read lands in string space
+    val ids = EncodedView.readAgg(spark, agg)
+    assert(ids.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType))
+    assert(rowSet(EncodedView.readAggDecoded(spark, mirror, agg)) ===
+      Set(Seq(2L, "de"), Seq(1L, "fr")))
+    // churn 1: fr's only member leaves (group nets to zero and must
+    // vanish), a NEW nation arrives through the mirror's dict segment
+    QuadStore.update(spark, store,
+      """DELETE DATA { <c3> <seg> "B" } ;
+        |INSERT DATA { <c9> <nat> "fi" . <c9> <seg> "B" }""".stripMargin)
+    EncodedMirror.sync(spark, store, mirror)
+    EncodedView.sync(spark, mirror, view)
+    EncodedView.syncAgg(spark, view, agg)
+    assert(rowSet(EncodedView.readAggDecoded(spark, mirror, agg)) ===
+      Set(Seq(2L, "de"), Seq(1L, "fi")))
+    // replayed syncAgg is a no-op; compaction keeps the answer
+    assert(EncodedView.syncAgg(spark, view, agg) ===
+      EncodedView.lastSynced(view))
+    EncodedView.compactAgg(spark, agg)
+    assert(rowSet(EncodedView.readAggDecoded(spark, mirror, agg)) ===
+      Set(Seq(2L, "de"), Seq(1L, "fi")))
+    assert(EncodedView.segmentCount(agg) === 1)
+    // churn 2 lands on the compacted base; the view compacting PAST the
+    // summary's sync point is loud, never silently stale
+    QuadStore.update(spark, store,
+      """DELETE DATA { <c1> <seg> "B" }""")
+    EncodedMirror.sync(spark, store, mirror)
+    EncodedView.sync(spark, mirror, view)
+    EncodedView.compact(spark, view) // drops the range syncAgg needs
+    val boom = intercept[IllegalArgumentException](
+      EncodedView.syncAgg(spark, view, agg))
+    assert(boom.getMessage.contains("compacted past"), boom.getMessage)
+    Seq(store, mirror, view, agg).foreach(p => rmTree(new java.io.File(p)))
+  }
+
   test("a streaming feed drives store → mirror → id-space view") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.Triple3
