@@ -296,6 +296,19 @@ object LlmOps extends QueryModule {
       TextOps.bigramLmScore(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // a LEARNED quality filter the gate can oracle bitwise: integer
+    // batch-perceptron training (order-free integer updates, fixed
+    // rounds) on a fixed vocabulary, labels derived from the text in
+    // both engines; the oracle replays the SAME five rounds as an
+    // unrolled SQL chain. Output = the trained weight vector.
+    "q_text_classifier" -> ((s, d) =>
+      Perceptron.train(Tables.documents(s, d),
+          Seq("spark", "hash", "join", "vector"),
+          when(array_contains(split(col("text"), " "), "spark"), 1L)
+            .otherwise(-1L),
+          rounds = 5)
+        .orderBy(col("feature"))),
+
     // CCNet-style reference-LM filtering: the model fits on the trusted
     // src0 slice only, every document scores against IT (penalized
     // unigram backoff for unseen bigrams), and the keep flag thresholds
@@ -819,6 +832,47 @@ object LlmOps extends QueryModule {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(micro) // count(*) AS BIGINT) AS score_micro
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same five batch-perceptron rounds unrolled: each round joins
+    // the sparse features against the previous weight vector, sums the
+    // misclassified docs' integer updates, and folds them in — every
+    // step integer-exact, so the final weights match Spark's bitwise
+    "q_text_classifier" -> {
+      val vocab = Seq("spark", "hash", "join", "vector")
+      val names = "__bias" +: vocab
+      val inList = vocab.map(v => s"'$v'").mkString(", ")
+      val w0 = names.map(n => s"('$n', CAST(0 AS BIGINT))").mkString(", ")
+      val rounds = (1 to 5).map { k =>
+        s"""m$k AS (
+           |  SELECT f.doc_id, sum(f.x * w.weight) AS margin
+           |  FROM f JOIN w${k - 1} w USING (feature) GROUP BY f.doc_id),
+           |mis$k AS (
+           |  SELECT l.doc_id, l.y FROM lab l JOIN m$k m USING (doc_id)
+           |  WHERE l.y * m.margin <= 0),
+           |d$k AS (
+           |  SELECT f.feature, sum(m.y * f.x) AS d
+           |  FROM mis$k m JOIN f USING (doc_id) GROUP BY f.feature),
+           |w$k AS (
+           |  SELECT w.feature, w.weight + coalesce(d.d, 0) AS weight
+           |  FROM w${k - 1} w LEFT JOIN d$k d USING (feature))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |lab AS (
+         |  SELECT doc_id, CASE WHEN list_contains(ws, 'spark')
+         |    THEN 1 ELSE -1 END AS y FROM docs0),
+         |f AS (
+         |  SELECT doc_id, tok AS feature, CAST(count(*) AS BIGINT) AS x
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM docs0)
+         |  WHERE tok IN ($inList) GROUP BY doc_id, tok
+         |  UNION ALL
+         |  SELECT doc_id, '__bias', CAST(1 AS BIGINT) FROM docs0),
+         |w0 AS (SELECT * FROM (VALUES $w0) AS t(feature, weight)),
+         |$rounds
+         |SELECT feature, CAST(weight AS BIGINT) AS weight FROM w5
+         |ORDER BY feature""".stripMargin
+    },
 
     // the reference-LM filter: counts fit on the src0 slice only,
     // unseen bigrams back off to the penalized reference unigram —
