@@ -100,7 +100,23 @@ object Aggregates extends QueryModule {
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
-    })
+    }),
+
+    // exact per-group MODE with a total tie order (highest count, then
+    // lexicographically smallest value): two hash aggregates — value
+    // counts, then one min_by over the (−count, value) struct — both
+    // map-side combining, so the second stage sees one row per
+    // (group, value), never the raw rows
+    "q_agg_mode" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          expr("min_by(c_mktsegment, struct(-cnt, c_mktsegment))")
+            .as("mode_seg"),
+          max(col("cnt")).as("n"))
+        .orderBy(col("c_nationkey")))
   )
 
   private val tot = Det.dsumSql("o_totalprice")
@@ -142,6 +158,16 @@ object Aggregates extends QueryModule {
       s"""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n, $tot AS total
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // the same (count desc, value asc) total tie order via a window
+    "q_agg_mode" ->
+      """SELECT c_nationkey, mode_seg, n FROM (
+        |  SELECT c_nationkey, c_mktsegment AS mode_seg,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY count(*) DESC, c_mktsegment) AS rn
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment) t
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin
   )
 }

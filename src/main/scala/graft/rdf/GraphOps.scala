@@ -195,6 +195,46 @@ object GraphOps extends QueryModule {
     out
   }
 
+  /** Single-source shortest WEIGHTED distance after `rounds` Bellman-Ford
+    * relaxations over the UNDIRECTED view of `edges(src, dst, w)` —
+    * integer weights, so distances are exact longs and every engine
+    * agrees bitwise. After K rounds the frame holds the exact shortest
+    * distance among paths of ≤ K edges — a well-defined (and oracle-able)
+    * result even when K < diameter; pick K ≥ diameter for the classic
+    * SSSP answer.
+    *
+    * Scale shape ([[bfs]]'s discipline, plus weights): each round is ONE
+    * join keyed on the node id + a min-aggregate, the dist frame is
+    * (node, dist) — never edge-sized — and eager materialization keeps
+    * the plan constant-depth across rounds. Unlike [[bfs]] there is no
+    * settled set to anti-join: a node's distance can IMPROVE in a later
+    * round (that is what relaxation means), so the min-fold is the whole
+    * update rule. */
+  def sssp(edges: DataFrame, source: Any, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep best
+      .persist()
+    var dist = graft.Materialize(
+      Seq(source.toString).toDF("__n")
+        .select(col("__n").cast(und.schema("src").dataType).as("node"),
+          lit(0L).as("dist")))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(und, dist("node") === und("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+      val next = graft.Materialize(relaxed)
+      graft.Materialize.release(dist)
+      dist = next
+    }
+    und.unpersist()
+    dist
+  }
+
   /** The tripartite lineitem graph: every line item links its order, part
     * and supplier pairwise, so each (order, part, supplier) row closes a
     * triangle by construction — plus whatever extra closures shared
@@ -212,6 +252,21 @@ object GraphOps extends QueryModule {
     l.select(col("o").as("src"), col("p").as("dst"))
       .unionByName(l.select(col("o").as("src"), col("sp").as("dst")))
       .unionByName(l.select(col("p").as("src"), col("sp").as("dst")))
+  }
+
+  /** [[lineitemEdges]] with integer weights: each edge carries the
+    * minimum l_quantity over the line items that induce it. */
+  private def lineitemEdgesW(s: SparkSession, d: String): DataFrame = {
+    val l = graft.sources.Tables.lineitem(s, d).select(
+      (col("l_orderkey").cast("long") * 4L).as("o"),
+      (col("l_partkey").cast("long") * 4L + 1L).as("p"),
+      (col("l_suppkey").cast("long") * 4L + 2L).as("sp"),
+      col("l_quantity").cast("long").as("w"))
+    l.select(col("o").as("src"), col("p").as("dst"), col("w"))
+      .unionByName(l.select(col("o").as("src"), col("sp").as("dst"),
+        col("w")))
+      .unionByName(l.select(col("p").as("src"), col("sp").as("dst"),
+        col("w")))
   }
 
   private def decodeLineitemNode(c: Column): Column =
@@ -373,7 +428,15 @@ object GraphOps extends QueryModule {
     // degree-ordered orientation, exact top-20 nodes
     "q_graph_triangles" -> ((s, d) =>
       triangles(lineitemEdges(s, d), topK = 20,
-        decode = decodeLineitemNode)))
+        decode = decodeLineitemNode)),
+
+    // weighted single-source shortest distance from supplier 1 (id 6 =
+    // 1·4+2), exactly four Bellman-Ford rounds — the ≤4-edge shortest
+    // distance, integer-exact, the oracle unrolling the same rounds
+    "q_graph_sssp" -> ((s, d) =>
+      sssp(lineitemEdgesW(s, d), source = 6L, rounds = 4)
+        .select(decodeLineitemNode(col("node")).as("node"), col("dist"))
+        .orderBy(col("node"))))
 
   /** One unrolled PageRank round in DuckDB (integer floor division `//`
     * matches Spark's long `div` on the all-positive ranks). */
@@ -562,5 +625,37 @@ object GraphOps extends QueryModule {
          |  UNION ALL SELECT v FROM tri
          |  UNION ALL SELECT w FROM tri)
          |GROUP BY node ORDER BY n_triangles DESC, node
-         |LIMIT 20""".stripMargin)
+         |LIMIT 20""".stripMargin,
+
+    // the same four relaxation rounds unrolled; parallel edges keep
+    // their minimum weight, mirroring makes the graph undirected
+    "q_graph_sssp" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""d$k AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT e.dst AS node, d.dist + e.w AS dist
+           |    FROM d${k - 1} d JOIN e ON d.node = e.src
+           |    UNION ALL SELECT node, dist FROM d${k - 1})
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (
+         |  SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS o,
+         |         'p:' || CAST(l_partkey AS VARCHAR) AS p,
+         |         's:' || CAST(l_suppkey AS VARCHAR) AS sp,
+         |         CAST(l_quantity AS BIGINT) AS w
+         |  FROM lineitem),
+         |e0 AS (
+         |  SELECT o AS src, p AS dst, w FROM l
+         |  UNION ALL SELECT o, sp, w FROM l
+         |  UNION ALL SELECT p, sp, w FROM l),
+         |e AS (
+         |  SELECT src, dst, min(w) AS w FROM (
+         |    SELECT src, dst, w FROM e0
+         |    UNION ALL SELECT dst, src, w FROM e0)
+         |  GROUP BY src, dst),
+         |d0 AS (SELECT 's:1' AS node, CAST(0 AS BIGINT) AS dist),
+         |$rounds
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+         |ORDER BY node""".stripMargin
+    })
 }

@@ -245,4 +245,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got2 === Set(("h", 4L), ("r1", 2L), ("r2", 2L),
       ("r3", 2L), ("r4", 2L)))
   }
+
+  test("sssp: relaxation improves a distance in a later round; K bounds " +
+      "the edge count") {
+    // a -1- b -1- c -1- d, plus a direct heavy edge a -10- d: round 1
+    // settles d at 10, round 3 must IMPROVE it to 3
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "d", 10L), ("a", "b", 5L)) // parallel edge keeps min
+      .toDF("src", "dst", "w")
+    def run(k: Int) = GraphOps.sssp(edges, "a", rounds = k)
+      .as[(String, Long)].collect().toMap
+    assert(run(1) === Map("a" -> 0L, "b" -> 1L, "d" -> 10L))
+    assert(run(3) === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // undirected: the reverse direction relaxes too
+    assert(GraphOps.sssp(edges, "d", rounds = 3)
+      .as[(String, Long)].collect().toMap ===
+      Map("d" -> 0L, "c" -> 1L, "b" -> 2L, "a" -> 3L))
+  }
 }
