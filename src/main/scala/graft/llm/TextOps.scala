@@ -98,30 +98,30 @@ object TextOps {
         """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
           |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val rb = bigrams(ref).persist() // reference-sized; scanned twice
+    // the reference is small by contract (a wiki-sized trusted slice,
+    // not the corpus), so its four aggregation scans stay cheap and the
+    // result returns LAZY — no materialization of a corpus-sized output
+    val rb = bigrams(ref)
     val c2 = rb.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
     val c1 = rb.groupBy("w1").agg(count(lit(1)).as("n1"))
     val uni = ref.select(explode(tokens).as("w2"))
       .groupBy("w2").agg(count(lit(1)).as("u"))
     val tot = ref.select(explode(tokens).as("w"))
       .agg(count(lit(1)).as("t_ref"))
-    val out = graft.Materialize(
-      bigrams(docs)
-        .join(broadcast(c2), Seq("w1", "w2"), "left")
-        .join(broadcast(c1), Seq("w1"), "left")
-        .join(broadcast(uni), Seq("w2"), "left")
-        .crossJoin(broadcast(tot)) // one scalar row: the token total
-        .select(col("doc_id"), expr(
-          """CASE WHEN n2 IS NOT NULL THEN (1000000L * n2) div n1
-            |     ELSE (100000L * coalesce(u, 0L)) div t_ref END"""
-            .stripMargin).as("micro"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(micro) div count(*)").as("score_micro"))
-        .withColumn("kept",
-          (col("score_micro") >= keepAboveMicro).cast("long")))
-    rb.unpersist()
-    out
+    bigrams(docs)
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
+      .crossJoin(broadcast(tot)) // one scalar row: the token total
+      .select(col("doc_id"), expr(
+        """CASE WHEN n2 IS NOT NULL THEN (1000000L * n2) div n1
+          |     ELSE (100000L * coalesce(u, 0L)) div t_ref END"""
+          .stripMargin).as("micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(micro) div count(*)").as("score_micro"))
+      .withColumn("kept",
+        (col("score_micro") >= keepAboveMicro).cast("long"))
   }
 
   /** BPE-style pre-tokenization (GPT-2-ish regex): contraction suffixes,

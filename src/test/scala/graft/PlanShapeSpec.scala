@@ -301,4 +301,29 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_bgp_extvp_ivm")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("triangle and SSSP pipelines join equi-keyed — no nested loop, " +
+      "no cartesian") {
+    for (q <- Seq("q_graph_triangles", "q_graph_sssp")) {
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q_text_lm_filter broadcasts the reference model; the corpus " +
+      "never shuffles") {
+    val p = plan("q_text_lm_filter")
+    // three broadcast hash joins attach c2/c1/uni; the only other join
+    // is the broadcast-of-one-row cross for the scalar token total
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side must never shuffle for a join:\n" + p)
+  }
+
+  test("q_dedup_keepbest is one hash aggregation over digests") {
+    val p = plan("q_dedup_keepbest")
+    assert(!p.contains("Join"), p) // no join anywhere: pure agg pipeline
+  }
 }

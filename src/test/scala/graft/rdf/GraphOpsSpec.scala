@@ -262,4 +262,20 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap ===
       Map("d" -> 0L, "c" -> 1L, "b" -> 2L, "a" -> 3L))
   }
+
+  test("triangles adversarial skew: a 20k-spoke star hub contributes " +
+      "zero wedges at its own end and finishes promptly") {
+    // every spoke has degree 1 < hub degree, so orientation points all
+    // edges spoke->hub and NO node has oriented out-degree >= 2: the
+    // wedge join is EMPTY — the O(sqrt m) out-degree bound in action,
+    // where an unoriented formulation would enumerate C(20k, 2) = 2*10^8
+    // hub wedges
+    val spokes = spark.range(20000)
+      .selectExpr("concat('n', id) AS src", "'hub' AS dst")
+    val t0 = System.nanoTime()
+    val got = GraphOps.triangles(spokes, topK = 5).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.isEmpty)
+    assert(secs < 60.0, s"star graph took ${secs}s — wedge blowup?")
+  }
 }
