@@ -827,6 +827,22 @@ object RdfOps extends QueryModule {
     // UNION of two groups binding different variable sets: ?seg is unbound
     // in the orders branch and null-padded, DISTINCT collapses the bag,
     // and the total ORDER BY + LIMIT make the cut deterministic.
+    // SPARQL compatibility join (18.2.2.4): the subquery's OPTIONAL
+    // leaves ?rname unbound for non-European nations, and the outer
+    // patterns share ?rname — an unbound cell is compatible with every
+    // row and takes the bound side's value (the mask-group
+    // decomposition in Sparql.compatJoin), where a plain equi-join
+    // would silently drop the 20 unbound nations
+    "q_sparql_compat" -> ((s, d) => {
+      Sparql.run(Triples.build(s, d), text =
+        """SELECT ?n ?n2 ?r2 ?rname WHERE {
+          |  { SELECT ?n ?rname WHERE { ?n <region> ?reg .
+          |      OPTIONAL { ?reg <name> ?rname . FILTER (?rname = "EUROPE") } } }
+          |  ?n2 <region> ?r2 . ?r2 <name> ?rname .
+          |}
+          |ORDER BY ?n ?n2 ?r2 ?rname""".stripMargin)
+    }),
+
     "q_sparql_union" -> ((s, d) => {
       Sparql.run(Triples.build(s, d), collapseStars = true, text =
         """SELECT DISTINCT ?s ?n ?seg WHERE {
@@ -1824,6 +1840,23 @@ object RdfOps extends QueryModule {
         |  FROM triples t1 JOIN triples t2 ON t1.s = t2.s
         |  WHERE t1.p = 'custkey' AND t2.p = 'orderpriority' AND t2.o = '1-URGENT')
         |ORDER BY s, p, o""".stripMargin),
+
+    // the compatibility join from first principles: unbound sub rows
+    // (rname IS NULL) pair with every right row, bound rows equi-join
+    "q_sparql_compat" -> cte(
+      """, sub AS (
+        |  SELECT n.s AS n, rn.o AS rname
+        |  FROM triples n LEFT JOIN triples rn
+        |    ON rn.s = n.o AND rn.p = 'name' AND rn.o = 'EUROPE'
+        |  WHERE n.p = 'region'),
+        |rt AS (
+        |  SELECT n2.s AS n2, n2.o AS r2, rn.o AS rname
+        |  FROM triples n2 JOIN triples rn
+        |    ON rn.s = n2.o AND rn.p = 'name'
+        |  WHERE n2.p = 'region')
+        |SELECT sub.n, rt.n2, rt.r2, rt.rname
+        |FROM sub JOIN rt ON sub.rname = rt.rname OR sub.rname IS NULL
+        |ORDER BY n, n2, r2, rt.rname""".stripMargin),
 
     "q_sparql_union" -> cte(
       """SELECT s, n, seg FROM (

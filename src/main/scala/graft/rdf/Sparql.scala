@@ -51,8 +51,11 @@ import org.apache.spark.sql.functions._
   *    the branches, each joining on the variables IT binds — so a branch
   *    leaving a shared variable unbound keeps its solutions (SPARQL
   *    compatibility), never silently dropped by a null-key equi-join.
-  *    Residual possibly-unbound join keys (OPTIONAL-bound, VALUES UNDEF,
-  *    nullable BINDs) are rejected loudly.
+  *    Pattern-group joins on possibly-unbound shared variables (a padded
+  *    subquery or GRAPH-block projection) run the EXACT compatibility
+  *    semantics via mask-group decomposition ([[compatJoin]]); the
+  *    remaining possibly-unbound key positions (OPTIONAL's own join,
+  *    MINUS, trailing VALUES on padded vars) are rejected loudly.
   *  - numeric comparisons (a numeric constant, arithmetic, or numeric
   *    aggregate on either side) coerce both sides via `try_cast(double)`:
   *    a binding that is not a number compares unknown → row dropped,
@@ -988,20 +991,64 @@ object Sparql {
     * match nothing. */
   private final case class Sol(df: DataFrame, maybeNull: Set[String])
 
-  /** Inner-join two solution frames on shared variables, rejecting loudly
-    * when a shared variable may be unbound on either side (the equi-join
-    * would silently drop solutions SPARQL keeps). Union branches never
-    * reach here with statically-unbound shared variables — [[solveBranch]]
-    * distributes the join over the union first. */
+  /** Inner-join two solution frames on shared variables under SPARQL
+    * COMPATIBILITY (18.2.2.4): an unbound shared cell matches anything
+    * and the joined row takes the bound side's value. Statically-bound
+    * shared variables ride the plain equi-join. Each possibly-unbound
+    * shared variable splits its side into bound/unbound row groups, and
+    * the join distributes over that partition EXACTLY: every
+    * (maskA, maskB) group pair equi-joins on the variables bound on
+    * both sides (a cross join when none are — that IS the spec's
+    * semantics for fully-incomparable rows) and the group results
+    * bag-union. ≤ 2^|maybeNull∩shared| groups per side; a loud cap
+    * keeps a pathological query from silently exploding the plan —
+    * at that point the query needs restructuring, not patience.
+    *
+    * The result's maybe-null set is PRECISE on shared variables: a
+    * variable bound on either side is definitely bound after the
+    * compatibility join (the coalesce picks the bound cell), which
+    * keeps downstream joins on it single-group. */
   private def compatJoin(a: Sol, b: Sol): Sol = {
-    val shared = a.df.columns.toSet intersect b.df.columns.toSet
-    val bad = (shared intersect (a.maybeNull ++ b.maybeNull)).toSeq.sorted
-    require(bad.isEmpty, "joining pattern groups on possibly-unbound " +
-      s"variable(s) ${bad.map("?" + _).mkString(", ")}: SPARQL treats an " +
-      "unbound shared variable as compatible with anything, which this " +
-      "fragment's equi-join cannot express — rejected rather than " +
-      "silently mis-run")
-    Sol(Bgp.joinSolved(a.df, b.df), a.maybeNull ++ b.maybeNull)
+    val shared = (a.df.columns.toSet intersect b.df.columns.toSet)
+      .toSeq.sorted
+    val ma = shared.filter(a.maybeNull)
+    val mb = shared.filter(b.maybeNull)
+    val outMaybe = (a.maybeNull ++ b.maybeNull) --
+      shared.filter(v => !a.maybeNull(v) || !b.maybeNull(v))
+    if (ma.isEmpty && mb.isEmpty)
+      return Sol(Bgp.joinSolved(a.df, b.df), outMaybe)
+    require(ma.size <= 4 && mb.size <= 4,
+      "joining pattern groups on more than 4 possibly-unbound shared " +
+        s"variables per side (${(ma ++ mb).distinct.map("?" + _)
+          .mkString(", ")}) — restructure the query; the mask-group " +
+        "decomposition would need " +
+        s"${(1 << ma.size) * (1 << mb.size)} part joins")
+    val aCols = a.df.columns.toSeq
+    val outCols = aCols ++ b.df.columns.toSeq.filterNot(aCols.contains)
+    def masks(vs: Seq[String]): Seq[Map[String, Boolean]] =
+      (0 until (1 << vs.size)).map(i =>
+        vs.zipWithIndex.map { case (v, j) =>
+          v -> (((i >> j) & 1) == 1) }.toMap)
+    val parts = for (mka <- masks(ma); mkb <- masks(mb)) yield {
+      val fa = ma.foldLeft(a.df)((df, v) =>
+        df.filter(if (mka(v)) col(v).isNotNull else col(v).isNull))
+      val fb0 = mb.foldLeft(b.df)((df, v) =>
+        df.filter(if (mkb(v)) col(v).isNotNull else col(v).isNull))
+      // shared vars bound on both sides in this group pair = join keys;
+      // the rest collide by name only — rename b's, merge by coalesce
+      // (at most one side is bound, so coalesce IS the spec's merge)
+      val keys = shared.filter(v =>
+        mka.getOrElse(v, true) && mkb.getOrElse(v, true))
+      val collide = shared.filterNot(keys.contains)
+      val fb = collide.foldLeft(fb0)((df, v) =>
+        df.withColumnRenamed(v, s"__cj_$v"))
+      Bgp.joinSolved(fa, fb).select(outCols.map {
+        case v if collide.contains(v) =>
+          coalesce(col(v), col(s"__cj_$v")).as(v)
+        case v => col(v)
+      }: _*)
+    }
+    Sol(parts.reduce(_.unionByName(_)), outMaybe)
   }
 
   /** One group graph pattern → its solution mappings: BGP and path and

@@ -2659,4 +2659,56 @@ class SparqlSpec extends SparkSpec {
     assert(!plan.contains("Scan parquet"))
     assert(g.count() > 0)
   }
+
+  test("compatibility join: a subquery's possibly-unbound projection " +
+      "joins outer patterns per 18.2.2.4, not an equi-join drop") {
+    val t = Seq(
+      ("s1", "p", "a"), ("s2", "p", "b"),            // outer anchors
+      ("s1", "q", "k1"),                              // only s1 has q
+      ("k1", "t", "v1"), ("k2", "t", "v2"))           // key table
+      .toDF("s", "p", "o")
+    // subquery: every ?s with <p>, OPTIONAL key — s2's ?k is unbound.
+    // outer: ?k <t> ?v. SPARQL compatibility: s1 (k=k1) joins the k1
+    // row only; s2 (k unbound) is compatible with EVERY key row and
+    // takes ?k from the right side.
+    val got = Sparql.run(t,
+      """SELECT ?s ?k ?v WHERE {
+        |  { SELECT ?s ?k WHERE { ?s <p> ?x . OPTIONAL { ?s <q> ?k } } }
+        |  ?k <t> ?v .
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      ("s1", "k1", "v1"),
+      ("s2", "k1", "v1"), ("s2", "k2", "v2")))
+    // the bound-both group still enforces equality: flip the data so
+    // s1's key has no <t> row — s1 drops, s2 still fans out
+    val t2 = Seq(("s1", "p", "a"), ("s2", "p", "b"), ("s1", "q", "k9"),
+      ("k1", "t", "v1")).toDF("s", "p", "o")
+    val got2 = Sparql.run(t2,
+      """SELECT ?s ?k ?v WHERE {
+        |  { SELECT ?s ?k WHERE { ?s <p> ?x . OPTIONAL { ?s <q> ?k } } }
+        |  ?k <t> ?v .
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got2 === Set(("s2", "k1", "v1")))
+    // both sides possibly-unbound: two padded subqueries share ?k;
+    // (bound,bound) needs equality, (bound,unbound)/(unbound,bound)
+    // merge by coalesce, (unbound,unbound) stays unbound
+    val t3 = Seq(("s1", "p", "a"), ("s2", "p", "b"),
+      ("s1", "q", "k1"), ("s2", "r", "k2")).toDF("s", "p", "o")
+    val got3 = Sparql.run(t3,
+      """SELECT ?s ?u ?k WHERE {
+        |  { SELECT ?s ?k WHERE { ?s <p> ?x . OPTIONAL { ?s <q> ?k } } }
+        |  { SELECT ?u ?k WHERE { ?u <p> ?x2 . OPTIONAL { ?u <r> ?k } } }
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(got3 === Set(
+      ("s1", "s1", Some("k1")), // bound ⋈ unbound → the bound k1
+      ("s2", "s1", None),       // unbound ⋈ unbound → stays unbound
+      ("s2", "s2", Some("k2"))))// unbound ⋈ bound → the bound k2
+      // and (s1 bound k1) ⋈ (s2 bound k2) is INCOMPATIBLE — dropped
+  }
 }
