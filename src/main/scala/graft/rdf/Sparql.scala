@@ -1,6 +1,6 @@
 package graft.rdf
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SPARQL front-end for the engine-supported fragment: SELECT, ASK,
@@ -51,11 +51,11 @@ import org.apache.spark.sql.functions._
   *    the branches, each joining on the variables IT binds — so a branch
   *    leaving a shared variable unbound keeps its solutions (SPARQL
   *    compatibility), never silently dropped by a null-key equi-join.
-  *    Pattern-group joins on possibly-unbound shared variables (a padded
-  *    subquery or GRAPH-block projection) run the EXACT compatibility
-  *    semantics via mask-group decomposition ([[compatJoin]]); the
-  *    remaining possibly-unbound key positions (OPTIONAL's own join,
-  *    MINUS, trailing VALUES on padded vars) are rejected loudly.
+  *    Pattern-group joins, VALUES data blocks (UNDEF rows included),
+  *    OPTIONAL, MINUS and FILTER [NOT] EXISTS on possibly-unbound
+  *    shared variables all run the EXACT compatibility semantics via
+  *    mask-group decomposition ([[compatJoin]], [[compatOptional]],
+  *    [[compatMinus]], [[compatSemiAnti]]).
   *  - numeric comparisons (a numeric constant, arithmetic, or numeric
   *    aggregate on either side) coerce both sides via `try_cast(double)`:
   *    a binding that is not a number compares unknown → row dropped,
@@ -869,17 +869,16 @@ object Sparql {
     }
     // the query-final VALUES (18.2.4.4): join the data block after
     // aggregation/HAVING, before projection and the remaining modifiers.
-    // The equi-join lowering is sound only on definitely-bound shared
-    // variables — the engine-wide unbound-join rule, loud otherwise.
+    // Possibly-unbound shared variables (anything trailingDefinite
+    // cannot prove bound — a sound over-approximation: a spurious
+    // maybe-null only adds an empty mask group) run the compatibility
+    // join like every other join in the engine.
     q.trailingValues.foreach { case (vars, rows) =>
-      val shared = vars.filter(df.columns.contains)
-      val bad = shared.filterNot(trailingDefinite(q)).sorted
-      require(bad.isEmpty, "the trailing VALUES clause would join on " +
-        s"possibly-unbound variable(s) ${bad.map("?" + _).mkString(", ")}" +
-        " (unbound in some UNION branch, OPTIONAL, or UNDEF row): SPARQL" +
-        " treats unbound as compatible, which this join lowering cannot" +
-        " express — rejected rather than silently mis-run")
-      df = joinValuesTable(df, vars, rows)
+      val (vdf, undef) = valuesFrame(df.sparkSession, vars, rows)
+      val definite = trailingDefinite(q)
+      df = compatJoin(
+        Sol(df, df.columns.toSet.filterNot(definite)),
+        Sol(vdf, undef)).df
     }
     // hidden expression ORDER keys compute BEFORE projection (18.2.5:
     // ordering sees the full solution) — except under DISTINCT, where a
@@ -954,33 +953,21 @@ object Sparql {
         else q.groupVars)
   }
 
-  /** Join a solution frame with a VALUES data block per defined-column
-    * mask group: rows are grouped by which cells are UNDEF, each group
-    * joins on only its defined columns, and the per-mask results
-    * bag-union — exact, because join distributes over union of the
-    * VALUES multiset. No join condition ever compares to null. Shared
-    * by block-level VALUES members and the query-final ValuesClause. */
-  private def joinValuesTable(df: DataFrame, vars: Seq[String],
-      rows: Seq[Seq[Option[String]]]): DataFrame = {
-    val spark = df.sparkSession
-    def joinMask(mask: Seq[Boolean], rs: Seq[Seq[Option[String]]]): DataFrame = {
-      val defVars = vars.zip(mask).collect { case (v, true) => v }
-      if (defVars.isEmpty)
-        // all-UNDEF rows constrain nothing: each contributes every
-        // solution once (bag multiplicity |rows|)
-        return rs.map(_ => df).reduce(_.unionByName(_))
-      val schema = org.apache.spark.sql.types.StructType(defVars.map(v =>
-        org.apache.spark.sql.types.StructField(v,
-          org.apache.spark.sql.types.StringType, nullable = false)))
-      val vdf = spark.createDataFrame(
-        java.util.Arrays.asList(rs.map(r =>
-          org.apache.spark.sql.Row(r.flatten: _*)): _*), schema)
-      Bgp.joinSolved(df, vdf)
-    }
-    rows.groupBy(_.map(_.isDefined)).toSeq
-      .sortBy(_._1.mkString) // deterministic union order
-      .map { case (mask, rs) => joinMask(mask, rs) }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+  /** A VALUES data block as a nullable solution frame (UNDEF → null)
+    * plus the set of variables any row leaves UNDEF — the Sol shape, so
+    * block-level VALUES and the query-final ValuesClause both join
+    * through [[compatJoin]]'s mask-group decomposition like every other
+    * solution join in the engine. */
+  private def valuesFrame(spark: SparkSession, vars: Seq[String],
+      rows: Seq[Seq[Option[String]]]): (DataFrame, Set[String]) = {
+    val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+      org.apache.spark.sql.types.StructField(v,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val vdf = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r.map(_.orNull): _*)): _*), schema)
+    (vdf, vars.zipWithIndex.collect {
+      case (v, i) if rows.exists(_(i).isEmpty) => v }.toSet)
   }
 
   /** A solution frame plus the variables whose bindings may be
@@ -1025,15 +1012,9 @@ object Sparql {
         s"${(1 << ma.size) * (1 << mb.size)} part joins")
     val aCols = a.df.columns.toSeq
     val outCols = aCols ++ b.df.columns.toSeq.filterNot(aCols.contains)
-    def masks(vs: Seq[String]): Seq[Map[String, Boolean]] =
-      (0 until (1 << vs.size)).map(i =>
-        vs.zipWithIndex.map { case (v, j) =>
-          v -> (((i >> j) & 1) == 1) }.toMap)
-    val parts = for (mka <- masks(ma); mkb <- masks(mb)) yield {
-      val fa = ma.foldLeft(a.df)((df, v) =>
-        df.filter(if (mka(v)) col(v).isNotNull else col(v).isNull))
-      val fb0 = mb.foldLeft(b.df)((df, v) =>
-        df.filter(if (mkb(v)) col(v).isNotNull else col(v).isNull))
+    val parts = for (mka <- maskSeq(ma); mkb <- maskSeq(mb)) yield {
+      val fa = maskSlice(a.df, ma, mka)
+      val fb0 = maskSlice(b.df, mb, mkb)
       // shared vars bound on both sides in this group pair = join keys;
       // the rest collide by name only — rename b's, merge by coalesce
       // (at most one side is bound, so coalesce IS the spec's merge)
@@ -1049,6 +1030,95 @@ object Sparql {
       }: _*)
     }
     Sol(parts.reduce(_.unionByName(_)), outMaybe)
+  }
+
+  private def maskSlice(df: DataFrame, vs: Seq[String],
+      mask: Map[String, Boolean]): DataFrame =
+    vs.foldLeft(df)((d, v) =>
+      d.filter(if (mask(v)) col(v).isNotNull else col(v).isNull))
+
+  private def maskSeq(vs: Seq[String]): Seq[Map[String, Boolean]] =
+    (0 until (1 << vs.size)).map(i =>
+      vs.zipWithIndex.map { case (v, j) =>
+        v -> (((i >> j) & 1) == 1) }.toMap)
+
+  /** SPARQL LeftJoin with compatibility on possibly-unbound left-side
+    * shared variables — the nested-OPTIONAL idiom (`OPTIONAL { … ?x }
+    * OPTIONAL { ?x … }`): decompose the LEFT side into bound/unbound
+    * mask groups (the right side of an OPTIONAL body always binds its
+    * variables), left-outer-join each group on the vars its mask keeps
+    * bound, merge the rest by coalesce. Each left row lands in exactly
+    * one group, so the bag union is exact. */
+  private def compatOptional(left: DataFrame, maybeNull: Set[String],
+      solved: DataFrame): DataFrame = {
+    val shared = solved.columns.filter(left.columns.contains).toSeq.sorted
+    val m = shared.filter(maybeNull)
+    if (m.isEmpty) return Bgp.optionalSolved(left, solved)
+    require(m.size <= 4,
+      s"OPTIONAL over ${m.size} possibly-unbound shared variables (${
+        m.map("?" + _).mkString(", ")}) — restructure the query")
+    val leftCols = left.columns.toSeq
+    val outCols = leftCols ++ solved.columns.filterNot(leftCols.contains)
+    maskSeq(m).map { mk =>
+      val fa = maskSlice(left, m, mk)
+      val keys = shared.filter(v => mk.getOrElse(v, true))
+      val collide = shared.filterNot(keys.contains)
+      val fb = collide.foldLeft(solved)((df, v) =>
+        df.withColumnRenamed(v, s"__cj_$v"))
+      Bgp.optionalSolved(fa, fb).select(outCols.map {
+        case v if collide.contains(v) =>
+          coalesce(col(v), col(s"__cj_$v")).as(v)
+        case v => col(v)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** FILTER [NOT] EXISTS with compatibility on possibly-unbound
+    * left-side shared variables: μ1 passes EXISTS iff some block row is
+    * compatible — each mask group semi-joins (anti for NOT) on exactly
+    * its bound shared vars; a group binding none is compatible with
+    * every block row, which the empty-key semi/anti (join on `true`)
+    * expresses exactly. */
+  private def compatSemiAnti(left: DataFrame, maybeNull: Set[String],
+      blk: DataFrame, positive: Boolean): DataFrame = {
+    val shared = blk.columns.filter(left.columns.contains).toSeq.sorted
+    val m = shared.filter(maybeNull)
+    def plain(fa: DataFrame, fb: DataFrame) =
+      if (positive) Bgp.existsSolved(fa, fb)
+      else Bgp.notExistsSolved(fa, fb)
+    if (m.isEmpty) return plain(left, blk)
+    require(m.size <= 4,
+      s"FILTER [NOT] EXISTS over ${m.size} possibly-unbound shared " +
+        s"variables (${m.map("?" + _).mkString(", ")}) — restructure " +
+        "the query")
+    maskSeq(m).map { mk =>
+      val fa = maskSlice(left, m, mk)
+      val bound = shared.filter(v => mk.getOrElse(v, true))
+      // drop the block columns this mask leaves unbound on the left, so
+      // the semi/anti keys are exactly the bound shared vars
+      plain(fa, blk.drop(shared.filterNot(bound.contains): _*))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** SPARQL MINUS with compatibility on possibly-unbound left-side
+    * shared variables: μ1 is removed iff some block row agrees on
+    * dom(μ1) ∩ dom(μ2) ≠ ∅ — so a left row binding NONE of the shared
+    * variables survives (empty domain intersection, 8.3.3), and every
+    * other mask group anti-joins on exactly its bound shared vars. */
+  private def compatMinus(left: DataFrame, maybeNull: Set[String],
+      blk: DataFrame): DataFrame = {
+    val shared = blk.columns.filter(left.columns.contains).toSeq.sorted
+    val m = shared.filter(maybeNull)
+    if (m.isEmpty) return Bgp.minusSolved(left, blk)
+    require(m.size <= 4,
+      s"MINUS over ${m.size} possibly-unbound shared variables (${
+        m.map("?" + _).mkString(", ")}) — restructure the query")
+    maskSeq(m).map { mk =>
+      val fa = maskSlice(left, m, mk)
+      val bound = shared.filter(v => mk.getOrElse(v, true))
+      if (bound.isEmpty) fa // no domain overlap: MINUS removes nothing
+      else fa.join(blk.select(bound.map(col): _*), bound, "left_anti")
+    }.reduce(_.unionByName(_))
   }
 
   /** One group graph pattern → its solution mappings: BGP and path and
@@ -1124,14 +1194,6 @@ object Sparql {
     // possibly-unbound variables may flow through FILTER/BIND (null
     // propagation IS the spec's error→unbound rule, and BOUND sees them)
     // but never into an equi-join — reject those loudly
-    def noUnboundJoin(shared: Iterable[String], what: String): Unit = {
-      val bad = shared.toSeq.filter(maybeNull).sorted
-      require(bad.isEmpty, s"$what would join on possibly-unbound " +
-        s"variable(s) ${bad.map("?" + _).mkString(", ")} (unbound in some " +
-        "UNION branch, OPTIONAL, or VALUES UNDEF row): SPARQL treats " +
-        "unbound as compatible, which this join lowering cannot express — " +
-        "rejected rather than silently mis-run")
-    }
     // VALUES = join with the inline solution table (restricts shared
     // vars, cross-products disjoint ones — SPARQL join semantics). UNDEF
     // cells are partial bindings: rows are grouped by their defined-column
@@ -1139,14 +1201,14 @@ object Sparql {
     // results bag-union — exact, because join distributes over union of
     // the VALUES multiset. No join condition ever compares to null.
     b.values.foreach { case (vars, rows) =>
-      noUnboundJoin(vars.filter(df.columns.contains), "VALUES")
-      val preCols = df.columns.toSet
-      // UNDEF cells leave a variable unconstrained: if the block itself
-      // never binds it, the all-UNDEF mask group pads it null
-      maybeNull ++= vars.zipWithIndex.collect {
-        case (v, i) if rows.exists(_(i).isEmpty) && !preCols(v) => v
-      }
-      df = joinValuesTable(df, vars, rows)
+      // the data block is one more solution frame: UNDEF cells are
+      // unbound bindings, and the compatibility join handles every
+      // pairing of UNDEF rows with possibly-unbound block variables
+      val (vdf, undef) = valuesFrame(df.sparkSession, vars, rows)
+      val joined = compatJoin(Sol(df, maybeNull.toSet), Sol(vdf, undef))
+      df = joined.df
+      maybeNull.clear()
+      maybeNull ++= joined.maybeNull
     }
     // BIND derives a new binding column. Application is dependency-driven:
     // a BIND whose referenced variables are already bound applies before
@@ -1191,9 +1253,10 @@ object Sparql {
       val pieces = (if (pats.nonEmpty) Seq(solveBgp(pats)) else Nil) ++
         paths.map { case (ps, path, po) => solvePath(path, ps, po) }
       val solved = solveFiltered(pieces.reduce(Bgp.joinSolved), fs, "OPTIONAL")
-      noUnboundJoin(solved.columns.filter(df.columns.contains), "OPTIONAL")
       val before = df.columns.toSet
-      df = Bgp.optionalSolved(df, solved)
+      // possibly-unbound shared vars run the compatibility LeftJoin
+      // (mask-group decomposition) — the nested-OPTIONAL idiom
+      df = compatOptional(df, maybeNull.toSet, solved)
       // OPTIONAL-introduced columns are unbound on unmatched rows
       maybeNull ++= df.columns.toSet -- before
     }
@@ -1207,8 +1270,10 @@ object Sparql {
     }
     b.minuses.foreach { body =>
       val blk = solveBody(body, "MINUS")
-      noUnboundJoin(blk.columns.filter(df.columns.contains), "MINUS")
-      df = Bgp.minusSolved(df, blk)
+      // possibly-unbound shared vars run the compatibility MINUS: each
+      // mask group subtracts on exactly its bound shared variables, and
+      // the group binding none survives (empty domain intersection)
+      df = compatMinus(df, maybeNull.toSet, blk)
     }
     applyReadyBinds()
     require(pendingBinds.isEmpty, "BIND references unbound variables: " +
@@ -1218,10 +1283,7 @@ object Sparql {
       }.mkString("; "))
     b.exists.foreach { case (positive, body) =>
       val blk = solveBody(body, "EXISTS")
-      noUnboundJoin(blk.columns.filter(df.columns.contains),
-        "FILTER [NOT] EXISTS")
-      df = if (positive) Bgp.existsSolved(df, blk)
-      else Bgp.notExistsSolved(df, blk)
+      df = compatSemiAnti(df, maybeNull.toSet, blk, positive)
     }
     b.filters.foreach(f => df = df.filter(boolCol(f, Map.empty)))
     df

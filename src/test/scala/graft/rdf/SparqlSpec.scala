@@ -476,12 +476,17 @@ class SparqlSpec extends SparkSpec {
         .stripMargin)
     assert(undef.exceptAll(expect).count() === 0 &&
       expect.exceptAll(undef).count() === 0)
-    // joining on an OPTIONAL-bound (possibly-unbound) variable is loud
-    val boom = intercept[IllegalArgumentException](Sparql.run(triples,
-      """SELECT ?cust ?nk WHERE { ?cust <mktsegment> "BUILDING" .
-        |  OPTIONAL { ?cust <nationkey> ?nk . } }
-        |VALUES ?nk { "3" }""".stripMargin))
-    assert(boom.getMessage.contains("possibly-unbound"))
+    // trailing VALUES on an OPTIONAL-bound variable runs the
+    // compatibility join: bound rows filter to the listed value, the
+    // unbound row ADOPTS it (18.2.2.4)
+    val tv = Seq(("c1", "p", "B"), ("c2", "p", "B"), ("c1", "nk", "3"),
+      ("c3", "p", "B"), ("c3", "nk", "9")).toDF("s", "p", "o")
+    val trail = Sparql.run(tv,
+      """SELECT ?cust ?nk WHERE { ?cust <p> "B" .
+        |  OPTIONAL { ?cust <nk> ?nk . } }
+        |VALUES ?nk { "3" }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(trail === Set(("c1", "3"), ("c2", "3")))
   }
 
   test("MINUS removes compatible solutions; disjoint MINUS removes nothing") {
@@ -2237,21 +2242,60 @@ class SparqlSpec extends SparkSpec {
       (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
       .toSet === Set(("s1", Some("a"), None), ("s1", Some("a"), None),
         ("s2", Some("b"), Some("c"))))
-    // residual possibly-unbound join keys reject loudly, never mis-run:
-    // OPTIONAL joining a union-padded variable…
-    intercept[IllegalArgumentException](Sparql.run(t,
-      """SELECT * WHERE {
+    // OPTIONAL joining a union-padded variable runs the compatibility
+    // LeftJoin: the y-unbound row is compatible with the body's row and
+    // TAKES its ?y (18.2.2.4's merge), the y-bound row equi-joins
+    val t4 = t.unionByName(Seq(("c", "t", "zz")).toDF("s", "p", "o"))
+    val opt = Sparql.run(t4,
+      """SELECT ?s ?x ?y ?z WHERE {
         |  ?s <p> ?x .
         |  { ?s <q> ?x . } UNION { ?s <r> ?y . }
         |  OPTIONAL { ?y <t> ?z . }
-        |}""".stripMargin))
-    // …and MINUS on an OPTIONAL-bound variable
-    intercept[IllegalArgumentException](Sparql.run(t,
-      """SELECT * WHERE {
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(opt === Set(
+      ("s1", "a", Some("c"), Some("zz")), // unbound ?y adopts the body's
+      ("s2", "b", Some("c"), Some("zz"))))
+    // …and when the OPTIONAL body matches nothing, rows pad as usual
+    val optEmpty = Sparql.run(t,
+      """SELECT ?s ?x ?y ?z WHERE {
+        |  ?s <p> ?x .
+        |  { ?s <q> ?x . } UNION { ?s <r> ?y . }
+        |  OPTIONAL { ?y <t> ?z . }
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(optEmpty === Set(
+      ("s1", "a", None, None), ("s2", "b", Some("c"), None)))
+    // MINUS on an OPTIONAL-bound variable: the y-unbound row still
+    // shares a bound ?s with the block row — dom intersection {?s} is
+    // non-empty, so it IS removed (8.3.3); bound-?y rows subtract on
+    // (?s, ?y) and survive here
+    val minus = Sparql.run(t,
+      """SELECT ?s ?x ?y WHERE {
         |  ?s <p> ?x .
         |  OPTIONAL { ?s <q> ?y . }
         |  MINUS { ?s <r> ?y . }
-        |}""".stripMargin))
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(minus === Set(
+      ("s1", "a", Some("a")), ("s3", "z", Some("w"))))
+    // EXISTS on an OPTIONAL-bound variable: the y-unbound row is
+    // compatible with the block row through its bound ?s — it PASSES
+    // EXISTS (and is the only one that does; bound rows disagree on ?y)
+    def existsQ(not: String) = Sparql.run(t,
+      s"""SELECT ?s ?x ?y WHERE {
+         |  ?s <p> ?x .
+         |  OPTIONAL { ?s <q> ?y . }
+         |  FILTER $not EXISTS { ?s <r> ?y . }
+         |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(existsQ("") === Set(("s2", "b", None)))
+    assert(existsQ("NOT") === Set(
+      ("s1", "a", Some("a")), ("s3", "z", Some("w"))))
   }
 
   test("aggregates inside built-in calls and DISTINCT numeric aggregates") {
