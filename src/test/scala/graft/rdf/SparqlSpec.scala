@@ -2755,4 +2755,39 @@ class SparqlSpec extends SparkSpec {
       ("s2", "s2", Some("k2"))))// unbound ⋈ bound → the bound k2
       // and (s1 bound k1) ⋈ (s2 bound k2) is INCOMPATIBLE — dropped
   }
+
+  test("compatibility joins: encoded ≡ string across join, OPTIONAL, " +
+      "MINUS and EXISTS positions") {
+    val t = Seq(
+      ("s1", "p", "a"), ("s2", "p", "b"), ("s3", "p", "z"),
+      ("s1", "q", "k1"), ("s3", "q", "w"),
+      ("s2", "r", "c"), ("k1", "t", "v1"), ("k2", "t", "v2"))
+      .toDF("s", "p", "o")
+    val dict = Dictionary.build(spark, t)
+    val enc = Dictionary.encode(t, dict)
+    for (text <- Seq(
+      // padded subquery joined to a pattern
+      """SELECT ?s ?k ?v WHERE {
+        |  { SELECT ?s ?k WHERE { ?s <p> ?x . OPTIONAL { ?s <q> ?k } } }
+        |  ?k <t> ?v . }""".stripMargin,
+      // OPTIONAL on a padded variable
+      """SELECT ?s ?k ?v WHERE {
+        |  { SELECT ?s ?k WHERE { ?s <p> ?x . OPTIONAL { ?s <q> ?k } } }
+        |  OPTIONAL { ?k <t> ?v . } }""".stripMargin,
+      // MINUS and EXISTS on a padded variable
+      """SELECT ?s ?x ?y WHERE { ?s <p> ?x .
+        |  OPTIONAL { ?s <q> ?y . } MINUS { ?s <r> ?y . } }""".stripMargin,
+      """SELECT ?s ?x ?y WHERE { ?s <p> ?x .
+        |  OPTIONAL { ?s <q> ?y . }
+        |  FILTER NOT EXISTS { ?s <r> ?y . } }""".stripMargin,
+      // VALUES with UNDEF meeting a padded variable
+      """SELECT ?s ?y WHERE { ?s <p> ?x . OPTIONAL { ?s <q> ?y . }
+        |  VALUES ?y { "k1" UNDEF } }""".stripMargin)) {
+      val viaString = Sparql.run(t, text)
+      val viaIds = Sparql.runEncoded(enc, dict, text)
+      assert(viaString.count() > 0, text)
+      assert(viaString.exceptAll(viaIds).count() === 0, text)
+      assert(viaIds.exceptAll(viaString).count() === 0, text)
+    }
+  }
 }
