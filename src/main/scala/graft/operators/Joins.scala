@@ -130,6 +130,23 @@ object Joins extends QueryModule {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // match each other — here a derived nullable key (BUILDING mapped
+    // to NULL) still lands every row in its group; a plain equi-join
+    // would silently drop the whole NULL slice. Catalyst plans <=> as
+    // an ordinary hash/sort-merge join key, so this shuffles exactly
+    // like q_join_shuffle.
+    "q_join_null_safe" -> ((s, d) => {
+      val left = Tables.customer(s, d).select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("k"))
+      val right = Tables.customer(s, d)
+        .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      left.join(right, left("k") <=> right("k"))
+        .select(col("c_custkey"), col("n"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_join_skew" -> ((s, d) => {
       // Salted equi-join ([[SkewJoin]]): the oracle is the PLAIN join —
       // salting must be invisible in the result. The skew benefit itself
@@ -259,6 +276,18 @@ object Joins extends QueryModule {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_null_safe" ->
+      """WITH l AS (
+        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS k
+        |  FROM customer),
+        |r AS (
+        |  SELECT nullif(c_mktsegment, 'BUILDING') AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1)
+        |SELECT l.c_custkey, r.n FROM l
+        |JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY l.c_custkey""".stripMargin,
 
     "q_join_skew" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
