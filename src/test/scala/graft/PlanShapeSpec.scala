@@ -326,4 +326,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_dedup_keepbest")
     assert(!p.contains("Join"), p) // no join anywhere: pure agg pipeline
   }
+
+  test("null-safe equi join plans as a hash/merge join, never a " +
+      "nested loop") {
+    val p = plan("q_join_null_safe")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
