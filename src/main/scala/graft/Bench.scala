@@ -66,6 +66,17 @@ object Bench {
     // giant line and fell outside the captured tail)
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // the stdout tail keeps ~64 of 200+ keys — the FULL per-query map must
+    // survive as a file or a regression is unattributable from the
+    // artifact alone (round 7's 3× total scare). Keyed identically to the
+    // stdout JSON.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_perq.json"),
+      s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"total":$total,"failed":$failedJson}""")
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bench_perq.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -122,20 +122,23 @@ object LlmOps extends QueryModule {
 
     // the persisted, APPENDABLE MinHash-LSH index: build on the odd
     // half of the corpus, append the even half as a second immutable
-    // segment (existing signatures never recompute), then probe with a
-    // doc slice — banded-bucket candidates, signature-estimated jaccard.
+    // segment (existing signatures never recompute), COMPACT the two
+    // into one base (fold-to-base retention — probe plans stay bounded
+    // across thousands of ingest batches), then probe with a doc slice
+    // — banded-bucket candidates, signature-estimated jaccard.
     // Approximate (minhash estimator) → declared no-oracle;
-    // LshIndexSpec pins recall against brute force and the estimator's
-    // accuracy, exactly the sketch-key protocol.
+    // LshIndexSpec pins recall against brute force, the estimator's
+    // accuracy, and probe-identity across compaction.
     "q_dedup_lsh_index" -> ((s, d) => {
       val root = s"${sys.props("java.io.tmpdir")}/graft_lshidx_" +
         graft.sources.AtomicStore.key(d)
       val docs = Tables.documents(s, d)
-      if (LshIndex.segmentCount(root) < 2) {
+      if (LshIndex.segmentCount(root) == 0) {
         LshIndex.build(docs.filter(pmod(col("doc_id"), lit(2)) === 1), root)
         LshIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
           root): Unit
       }
+      LshIndex.compactIfDeep(s, root, maxSegments = 1)
       LshIndex.probe(s, root, docs.filter(col("doc_id") < 60), minEst = 0.5)
         .orderBy(col("q_id"), col("corpus_id"))
     }),

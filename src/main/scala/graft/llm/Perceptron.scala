@@ -50,7 +50,9 @@ object Perceptron {
         docs.select(col("doc_id"), label.cast("long").as("y")), "doc_id"))
     val names = "__bias" +: vocab
     var w = names.map(_ -> 0L).toMap
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       // margin via a LITERAL weight map — no join, pure codegen map work
       val wCol = names.map(n =>
         when(col("feature") === n, lit(w(n))).otherwise(lit(0L)))
@@ -65,8 +67,11 @@ object Perceptron {
           "doc_id")
         .groupBy("feature").agg(sum(col("y") * col("x")).as("d"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (delta.isEmpty) { /* converged: no misclassified docs */ }
-      w = names.map(n => n -> (w(n) + delta.getOrElse(n, 0L))).toMap
+      // converged: no misclassified docs → later rounds are no-op cluster
+      // jobs (margin scan + collect each), so stop launching them
+      if (delta.isEmpty) converged = true
+      else w = names.map(n => n -> (w(n) + delta.getOrElse(n, 0L))).toMap
+      round += 1
     }
     graft.Materialize.release(feats)
     names.map(n => (n, w(n))).toDF("feature", "weight")

@@ -114,9 +114,14 @@ object TextOps {
       .join(broadcast(uni), Seq("w2"), "left")
       .crossJoin(broadcast(tot)) // one scalar row: the token total
       .select(col("doc_id"), expr(
+        // t_ref = 0 (an empty reference slice) must fail LOUDLY, not
+        // null-out every unknown-bigram backoff — the guard stays inside
+        // the plan so the result remains lazy with no extra driver job
         """CASE WHEN n2 IS NOT NULL THEN (1000000L * n2) div n1
-          |     ELSE (100000L * coalesce(u, 0L)) div t_ref END"""
-          .stripMargin).as("micro"))
+          |     ELSE (100000L * coalesce(u, 0L)) div
+          |       (CASE WHEN t_ref > 0 THEN t_ref ELSE raise_error(
+          |          'refLmFilter: empty reference corpus (t_ref = 0)') END)
+          |END""".stripMargin).as("micro"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(micro) div count(*)").as("score_micro"))

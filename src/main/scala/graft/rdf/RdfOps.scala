@@ -267,12 +267,14 @@ object RdfOps extends QueryModule {
       val view = s"${sys.props("java.io.tmpdir")}/graft_viewstore_" +
         graft.sources.AtomicStore.key(d)
       QuadStore.init(Quads.build(s, d), store)
+      // ONE atomic `;`-request (SPARQL 1.1 Protocol): the churn is a
+      // single version commit, not one per operation — half the publish
+      // jobs, identical net state (the ops touch different subjects)
       QuadStore.update(s, store,
         """INSERT DATA { GRAPH <g:customer> {
-          |  <c:zz1> <name> "zz-new" . <c:zz1> <mktsegment> "BUILDING" . } }"""
+          |  <c:zz1> <name> "zz-new" . <c:zz1> <mktsegment> "BUILDING" . } } ;
+          |DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }"""
           .stripMargin)
-      QuadStore.update(s, store,
-        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
       val pats = Seq(TP(V("cust"), C("name"), V("cname")),
         TP(V("cust"), C("mktsegment"), C("BUILDING")))
       if (ViewStore.lastSynced(view) == 0)
@@ -305,12 +307,12 @@ object RdfOps extends QueryModule {
         ViewStore.create(s, store, view, pats, "g:customer"): Unit
       if (ViewStore.lastSynced(agg) == 0)
         ViewStore.createAgg(s, view, agg, Seq("nat"), countCol = "cnt"): Unit
+      // one atomic `;`-request = one version commit for the whole churn
       QuadStore.update(s, store,
         """INSERT DATA { GRAPH <g:customer> {
-          |  <c:zz1> <mktsegment> "BUILDING" . <c:zz1> <nation> "n:0" . } }"""
+          |  <c:zz1> <mktsegment> "BUILDING" . <c:zz1> <nation> "n:0" . } } ;
+          |DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }"""
           .stripMargin)
-      QuadStore.update(s, store,
-        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
       ViewStore.sync(s, store, view): Unit
       ViewStore.syncAgg(s, view, agg): Unit
       ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
@@ -339,12 +341,12 @@ object RdfOps extends QueryModule {
           TP(V("cust"), C("name"), V("cname")),
           TP(V("cust"), C("mktsegment"), C("BUILDING"))),
           "g:customer"): Unit
+      // one atomic `;`-request = one version commit for the whole churn
       QuadStore.update(s, store,
         """INSERT DATA { GRAPH <g:customer> {
-          |  <c:zz1> <name> "zz-new" . <c:zz1> <mktsegment> "BUILDING" . } }"""
+          |  <c:zz1> <name> "zz-new" . <c:zz1> <mktsegment> "BUILDING" . } } ;
+          |DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }"""
           .stripMargin)
-      QuadStore.update(s, store,
-        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
       EncodedMirror.sync(s, store, mirror): Unit
       EncodedView.sync(s, mirror, view): Unit
       // retention order is load-bearing: the view consumed the mirror's
@@ -380,12 +382,12 @@ object RdfOps extends QueryModule {
       if (EncodedView.lastSynced(agg) == 0)
         EncodedView.createAgg(s, view, agg, Seq("nat"),
           countCol = "cnt"): Unit
+      // one atomic `;`-request = one version commit for the whole churn
       QuadStore.update(s, store,
         """INSERT DATA { GRAPH <g:customer> {
-          |  <c:zz1> <mktsegment> "BUILDING" . <c:zz1> <nation> "n:0" . } }"""
+          |  <c:zz1> <mktsegment> "BUILDING" . <c:zz1> <nation> "n:0" . } } ;
+          |DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }"""
           .stripMargin)
-      QuadStore.update(s, store,
-        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
       EncodedMirror.sync(s, store, mirror): Unit
       EncodedView.sync(s, mirror, view): Unit
       EncodedView.syncAgg(s, view, agg): Unit
@@ -419,12 +421,13 @@ object RdfOps extends QueryModule {
           """SELECT ?seg (COUNT(*) AS ?cnt) (SUM(?nk) AS ?nksum) WHERE {
             |  ?cust <mktsegment> ?seg . ?cust <nationkey> ?nk . }
             |GROUP BY ?seg""".stripMargin, "g:customer"): Unit
+      // one atomic `;`-request = one version commit for the whole churn
       QuadStore.update(s, store,
         """INSERT DATA { GRAPH <g:customer> {
           |  <c:zz1> <mktsegment> "BUILDING" .
-          |  <c:zz1> <nationkey> "7" . } }""".stripMargin)
-      QuadStore.update(s, store,
-        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
+          |  <c:zz1> <nationkey> "7" . } } ;
+          |DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }"""
+          .stripMargin)
       ViewStore.sync(s, store, view): Unit
       ViewStore.syncAgg(s, view, agg): Unit
       ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
@@ -504,13 +507,16 @@ object RdfOps extends QueryModule {
         TP(V("cust"), C("mktsegment"), C("BUILDING")))
       if (ViewStore.lastSynced(view) == 0)
         ViewStore.create(s, store, view, pats, "g:customer"): Unit
+      // one atomic `;`-request = one version commit for the whole churn
       QuadStore.update(s, store,
         """INSERT DATA { GRAPH <g:customer> {
           |  <c:zz1> <name> "zz-new" . <c:zz1> <mktsegment> "BUILDING" .
-          |  <c:zz1> <nation> "n:0" . } }""".stripMargin)
-      QuadStore.update(s, store,
-        """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }""")
+          |  <c:zz1> <nation> "n:0" . } } ;
+          |DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?seg . } }"""
+          .stripMargin)
       ViewStore.sync(s, store, view): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
       ViewAnswer.answerStored(s, store, Seq(view), Seq(
         TP(V("cust"), C("name"), V("cname")),
         TP(V("cust"), C("mktsegment"), C("BUILDING")),
@@ -1149,6 +1155,29 @@ object RdfOps extends QueryModule {
           |  BIND (LCASE(SUBSTR(?seg, 1, 3)) AS ?pre)
           |  BIND (IF(CONTAINS(?seg, "BUILD"), "b", "x") AS ?cls)
           |  FILTER (STRSTARTS(?nm, "Customer#"))
+          |}
+          |ORDER BY ?cust""".stripMargin)),
+
+    // XSD constructor casts (SPARQL 17.5): xsd:integer/double/string/
+    // boolean/dateTime as expression functions with the XPath
+    // error→unbound rule — ?bad casts a customer NAME to integer and
+    // stays unbound on every row; the FILTER coerces through the cast.
+    // Lexical validation is by regex on BOTH engines (DuckDB would round
+    // '1.5' to BIGINT where XPath demands a cast error), so the rule
+    // itself is oracled.
+    "q_sparql_casts" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?cust ?n ?d ?s ?b ?bad ?dt WHERE {
+          |  ?cust <nationkey> ?nk .
+          |  ?cust <name> ?nm .
+          |  BIND (xsd:integer(?nk) AS ?n)
+          |  BIND (xsd:double(?nk) AS ?d)
+          |  BIND (xsd:string(?n) AS ?s)
+          |  BIND (xsd:integer(?nm) AS ?bad)
+          |  BIND (xsd:boolean(IF(?n >= 10, "true", "0")) AS ?b)
+          |  BIND (xsd:dateTime("2024-03-01T12:00:00Z") AS ?dt)
+          |  FILTER (xsd:integer(?nk) >= 5)
           |}
           |ORDER BY ?cust""".stripMargin)),
 
@@ -1959,6 +1988,26 @@ object RdfOps extends QueryModule {
         |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
         |WHERE t1.p = 'name' AND t2.p = 'mktsegment'
         |  AND starts_with(t1.o, 'Customer#')
+        |ORDER BY cust""".stripMargin),
+
+    // the casts restated with the same regex lexical gates the engine
+    // lowers (CAST alone diverges: DuckDB rounds '1.5' to BIGINT 2)
+    "q_sparql_casts" -> cte(
+      """SELECT t1.s AS cust,
+        |  CASE WHEN regexp_matches(t1.o, '^[+-]?[0-9]+$')
+        |    THEN CAST(t1.o AS BIGINT) END AS n,
+        |  CASE WHEN regexp_matches(t1.o,
+        |      '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |    THEN CAST(t1.o AS DOUBLE) END AS d,
+        |  CAST(CAST(t1.o AS BIGINT) AS VARCHAR) AS s,
+        |  CAST(t1.o AS BIGINT) >= 10 AS b,
+        |  CASE WHEN regexp_matches(t2.o, '^[+-]?[0-9]+$')
+        |    THEN CAST(t2.o AS BIGINT) END AS bad,
+        |  '2024-03-01T12:00:00Z' AS dt
+        |FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+        |WHERE t1.p = 'nationkey' AND t2.p = 'name'
+        |  AND regexp_matches(t1.o, '^[+-]?[0-9]+$')
+        |  AND CAST(t1.o AS BIGINT) >= 5
         |ORDER BY cust""".stripMargin),
 
     "q_sparql_regex" -> cte(

@@ -1004,12 +1004,14 @@ object Sparql {
       shared.filter(v => !a.maybeNull(v) || !b.maybeNull(v))
     if (ma.isEmpty && mb.isEmpty)
       return Sol(Bgp.joinSolved(a.df, b.df), outMaybe)
-    require(ma.size <= 4 && mb.size <= 4,
-      "joining pattern groups on more than 4 possibly-unbound shared " +
-        s"variables per side (${(ma ++ mb).distinct.map("?" + _)
-          .mkString(", ")}) — restructure the query; the mask-group " +
-        "decomposition would need " +
-        s"${(1 << ma.size) * (1 << mb.size)} part joins")
+    // the cap bounds the PRODUCT of mask groups (what the plan actually
+    // pays — part joins unioned into one plan), not each side alone:
+    // 4-per-side would still admit 2^4 × 2^4 = 256 part joins
+    require((1 << ma.size) * (1 << mb.size) <= 16,
+      "joining pattern groups would need " +
+        s"${(1 << ma.size) * (1 << mb.size)} part joins (> 16) over the " +
+        s"possibly-unbound shared variables ${(ma ++ mb).distinct
+          .map("?" + _).mkString(", ")} — restructure the query")
     val aCols = a.df.columns.toSeq
     val outCols = aCols ++ b.df.columns.toSeq.filterNot(aCols.contains)
     val parts = for (mka <- maskSeq(ma); mkb <- maskSeq(mb)) yield {
@@ -1451,6 +1453,9 @@ object Sparql {
     case EFun("IF", Seq(_, t, f)) =>
       exprEverNull(t, definite) || exprEverNull(f, definite)
     case EFun("COALESCE", as) => as.forall(exprEverNull(_, definite))
+    // XSD casts (17.5) null on any out-of-type lexical form — except
+    // xsd:string, which succeeds on every bound term (default case)
+    case EFun(fn, _) if fn.startsWith("XSD:") && fn != "XSD:string" => true
     case EFun(_, as) => as.exists(exprEverNull(_, definite))
     case EConcat(as) => as.exists(exprEverNull(_, definite))
     case _ => true // aggregates, booleans-in-scalar-position: conservative
@@ -1620,6 +1625,7 @@ object Sparql {
       _) => true
     case EFun("IF", args) => args.drop(1).exists(numericExpr)
     case EFun("COALESCE", args) => args.exists(numericExpr)
+    case EFun(fn, _) if xsdNumericFns(fn) => true
     case _ => false
   }
 
@@ -1668,6 +1674,10 @@ object Sparql {
       Terms.isBlank(scalarCol(a, numeric = false, env))
     case EFun("ISNUMERIC", Seq(a)) =>
       Terms.isNumeric(scalarCol(a, numeric = false, env))
+    // xsd:boolean(?x) in constraint position: the cast IS the verdict
+    // (a cast error is null → not true → row eliminated)
+    case f @ EFun("XSD:boolean", Seq(_)) =>
+      scalarCol(f, numeric = false, env)
     case ECmp(l, op, r) =>
       // a numeric side switches the comparison to numeric semantics over
       // both sides; try_cast (not cast) so that a non-numeric binding is a
@@ -1797,6 +1807,10 @@ object Sparql {
     case EFun("COALESCE", args) if args.nonEmpty =>
       val n = numeric || args.exists(numericExpr)
       coalesce(args.map(scalarCol(_, n, env)): _*)
+    // XSD constructor casts (17.5): cast error → null cell → unbound
+    // BIND / eliminated FILTER row, the spec's error propagation
+    case EFun(fn, Seq(a)) if fn.startsWith("XSD:") =>
+      xsdCastCol(fn, scalarCol(a, numeric = false, env))
     case f: EFun => throw new IllegalArgumentException(
       s"unsupported function or arity: ${f.fn}/${f.args.size} " +
         "(SUBSTR positions must be numeric literals)")
@@ -2736,6 +2750,33 @@ object Sparql {
       EFun(fn, argList(p, prefixes, allowAgg))
     } else if (allowAgg && Seq("COUNT", "SUM", "AVG", "MIN", "MAX",
         "SAMPLE", "GROUP_CONCAT").exists(p.peekKw)) aggCall(p, prefixes)
+    else if (p.hasNext &&
+        (p.peek().startsWith("<") ||
+          (p.peek().contains(":") && !p.peek().startsWith("_:") &&
+            !p.peek().startsWith("\"") && !p.peek().startsWith("?"))) &&
+        p.rest.drop(1).headOption.contains("(")) {
+      // IRI function call (grammar 70, iriOrFunction): the supported set
+      // is the XSD constructor casts (17.5) — xsd:integer(?x) etc. Any
+      // other IRI head is a loud error, not a silent cross product.
+      val t = p.next()
+      val iri =
+        if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
+        else {
+          val Array(pre, local) = t.split(":", 2)
+          prefixes.getOrElse(pre, throw new IllegalArgumentException(
+            s"unknown prefix '$pre:' in function call '$t'")) + local
+        }
+      require(iri.startsWith(XsdNs),
+        s"IRI function calls support the XSD constructor casts (SPARQL " +
+          s"17.5) — <$iri> is not in the XSD namespace")
+      val local = iri.stripPrefix(XsdNs)
+      require(xsdCastFns(local),
+        s"unsupported XSD constructor: xsd:$local (supported: ${
+          xsdCastFns.toSeq.sorted.mkString(", ")})")
+      val args = argList(p, prefixes, allowAgg)
+      require(args.size == 1, s"xsd:$local takes exactly one argument")
+      EFun("XSD:" + local, args)
+    }
     else {
       val t = p.next()
       if (t.startsWith("?") && t.length > 1) EVar(t.drop(1))
@@ -2772,6 +2813,59 @@ object Sparql {
   /** Zero-argument built-ins (17.4.1.4-6, 17.4.5.1) — parsed apart from
     * [[argList]], which requires at least one argument. */
   private val zeroArgFns = Seq("NOW", "RAND", "UUID", "STRUUID")
+
+  private val XsdNs = "http://www.w3.org/2001/XMLSchema#"
+
+  /** XSD constructor casts admitted as expression functions (17.5).
+    * Integer variants share one lowering; a cast error (lexical form
+    * outside the target type's space) is the XPath error → the SPARQL
+    * expression errors → BIND leaves the variable unbound, FILTER
+    * eliminates the row — exactly a null column cell in both uses. */
+  private val xsdCastFns = Set("integer", "long", "int", "short", "byte",
+    "decimal", "double", "float", "string", "boolean", "dateTime", "date")
+
+  private val xsdIntegerFns =
+    Set("XSD:integer", "XSD:long", "XSD:int", "XSD:short", "XSD:byte")
+  private val xsdNumericFns = xsdIntegerFns ++
+    Set("XSD:decimal", "XSD:double", "XSD:float")
+
+  // lexical validation is by REGEX, not by engine parser, so the DuckDB
+  // oracle states the identical rule (DuckDB would happily round "1.5"
+  // to BIGINT 2 where XPath demands a cast error)
+  private val xsdIntRe = "^[+-]?[0-9]+$"
+  private val xsdDecRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$"
+  private val xsdDblRe =
+    "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  // date/dateTime validate the XSD lexical shape with in-range fields;
+  // value-space checks beyond the shape (Feb 30) are documented slack
+  private val xsdDateRe = "^-?[0-9]{4,}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+  private val xsdTimeRe = "T([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]" +
+    "(\\.[0-9]+)?(Z|[+-](0[0-9]|1[0-4]):[0-5][0-9])?$"
+
+  /** The shared lowering for [[xsdCastFns]]: lexical-form gate by regex
+    * (identical rule on both engines), emission in the engine's binding
+    * representation — integers as longs, decimal/double as doubles,
+    * boolean as boolean, string/dateTime/date as the lexical form. */
+  private def xsdCastCol(fn: String, arg: Column): Column = {
+    val lex = Terms.lexical(arg.cast("string"))
+    fn match {
+      case f if xsdIntegerFns(f) =>
+        when(lex.rlike(xsdIntRe), lex.cast("long"))
+      case "XSD:decimal" =>
+        when(lex.rlike(xsdDecRe), lex.cast("double"))
+      case "XSD:double" | "XSD:float" =>
+        when(lex.rlike(xsdDblRe), lex.cast("double"))
+      case "XSD:string" => lex
+      case "XSD:boolean" =>
+        when(lex.isin("true", "1"), lit(true))
+          .when(lex.isin("false", "0"), lit(false))
+      case "XSD:dateTime" =>
+        when(lex.rlike(xsdDateRe + xsdTimeRe), lex)
+      case "XSD:date" =>
+        when(lex.rlike(xsdDateRe +
+          "(Z|[+-](0[0-9]|1[0-4]):[0-5][0-9])?$"), lex)
+    }
+  }
 
   private def argList(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Seq[Expr] = {

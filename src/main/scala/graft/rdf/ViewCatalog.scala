@@ -101,23 +101,53 @@ object ViewCatalog {
     * strict checks live in [[ViewAnswer.answerAggSparql]] (isomorphic
     * BGP, aligned groups and measures, double staleness gate), and the
     * catalog tries each usable pair, skipping the ones whose strictness
-    * trips. A query no summary serves — or one outside the maintainable
-    * aggregate fragment entirely — falls back to the plain solve over
+    * trips. A query no summary serves falls back to a recompute over
     * the store head, so registration mistakes degrade to performance,
-    * never to wrong or refused answers. */
+    * never to wrong or refused answers.
+    *
+    * Representation contract: queries inside the maintainable fragment
+    * get the summary layer's NUMERIC measure semantics on BOTH routes —
+    * SUM/MIN/MAX are exact longs over [[ViewStore.longMeasure]]'s
+    * loud-cast integers, AVG one double division — so whether a
+    * registered summary happens to serve a query changes latency only,
+    * never values or column types. (Plain [[Sparql.run]] would order
+    * MIN/MAX lexicographically over the string bindings — right for the
+    * general engine, wrong to let routing pick between the two.) Only a
+    * query OUTSIDE the fragment — one no summary could ever serve —
+    * runs the general engine. */
   def answerAgg(spark: SparkSession, storeRoot: String,
       catalogRoot: String, text: String, graph: String = ""): DataFrame = {
-    val fallback = () => {
+    import org.apache.spark.sql.functions._
+    val parsed =
+      try Some(ViewStore.aggPatternsFromSparql(text))
+      catch { case _: IllegalArgumentException => None }
+    val parsedFallback = parsed.map {
+      case (pats, groupVars, countCol, sums, exts) => () => {
+        // the recompute mirrors ViewStore.readAgg's representation
+        // exactly: solve the BGP over the head, then the same integer
+        // measures the summary would have persisted
+        val sol = ViewAnswer.answerStored(spark, storeRoot, Nil, pats, graph)
+        val aggs = count(lit(1)).as(countCol) +:
+          (sums.map { case (a, v) =>
+            sum(ViewStore.longMeasure(v)).as(a)
+          } ++ exts.map {
+            case (a, v, "min") => min(ViewStore.longMeasure(v)).as(a)
+            case (a, v, "max") => max(ViewStore.longMeasure(v)).as(a)
+            case (a, v, _) => // avg: exact integer sum, one IEEE division
+              (sum(ViewStore.longMeasure(v)).cast("double") /
+                count(lit(1)).cast("double")).as(a)
+          })
+        sol.groupBy(groupVars.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    }
+    val fallback = parsedFallback.getOrElse(() => {
       val cur = QuadStore.currentVersion(storeRoot).getOrElse(
         throw new IllegalArgumentException(s"no store under $storeRoot"))
       Sparql.run(QuadStore.readVersion(spark, storeRoot, cur)
-        .filter(org.apache.spark.sql.functions.col("g") === graph)
+        .filter(col("g") === graph)
         .select("s", "p", "o"), text)
-    }
-    val parsed =
-      try { ViewStore.aggPatternsFromSparql(text); true }
-      catch { case _: IllegalArgumentException => false }
-    if (!parsed) return fallback()
+    })
+    if (parsed.isEmpty) return fallback()
     aggPairs(catalogRoot).view.flatMap { case (v, a) =>
       try Some(ViewAnswer.answerAggSparql(spark, storeRoot, v, a, text,
         graph))

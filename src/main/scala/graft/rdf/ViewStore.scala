@@ -838,7 +838,7 @@ object ViewStore {
     * data). Integer-only is [[graft.operators.IncrementalAgg]]'s
     * exactness discipline — long sums are combine-order-independent
     * where double sums are not. */
-  private def longMeasure(src: String): Column = {
+  private[rdf] def longMeasure(src: String): Column = {
     // try_cast, not cast: the ANSI cast would throw its own error before
     // the guard runs — this way the failure names the measure
     val cast = expr(s"try_cast(`$src` AS long)")

@@ -72,4 +72,36 @@ class LshIndexSpec extends SparkSpec {
     assert(selfHits.length === 6, s"3 docs, all pairwise near-dups: $selfHits")
     rmTree(new java.io.File(root))
   }
+
+  test("compact folds segments into one base; probes are identical " +
+      "before and after, and ingest continues above the base") {
+    val root = java.nio.file.Files.createTempDirectory("lsh_cmp").toString
+    LshIndex.build(Seq((1L, variant(1))).toDF("doc_id", "text"), root)
+    (2 to 5).foreach(i => LshIndex.append(
+      Seq((i.toLong, variant(i))).toDF("doc_id", "text"), root): Unit)
+    assert(LshIndex.segmentCount(root) === 5)
+    val probe = Seq((50L, base)).toDF("doc_id", "text")
+    def hits() = LshIndex.probe(spark, root, probe, minEst = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val before = hits()
+    assert(before.map(_._2) === (1L to 5L).toSet)
+    // under the policy threshold → no-op; above it → one base
+    LshIndex.compactIfDeep(spark, root, maxSegments = 8)
+    assert(LshIndex.segmentCount(root) === 5)
+    LshIndex.compactIfDeep(spark, root, maxSegments = 2)
+    assert(LshIndex.segmentCount(root) === 1)
+    assert(hits() === before, "compaction must not change probe results")
+    // appends number ABOVE the base (a reused low number would be
+    // invisible to readers) and a second compaction folds base + segs
+    val n = LshIndex.append(
+      Seq((6L, variant(6))).toDF("doc_id", "text"), root)
+    assert(n === 6)
+    assert(LshIndex.segmentCount(root) === 2)
+    assert(hits().map(_._2) === (1L to 6L).toSet)
+    assert(LshIndex.compact(spark, root) === 1)
+    assert(hits().map(_._2) === (1L to 6L).toSet)
+    // compacting a single-entry index is a free no-op
+    assert(LshIndex.compact(spark, root) === 1)
+    rmTree(new java.io.File(root))
+  }
 }

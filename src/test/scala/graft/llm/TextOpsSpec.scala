@@ -76,6 +76,16 @@ class TextOpsSpec extends SparkSpec {
       (4L, 3L, (500000L + 40000L + 500000L) / 3, 1L))) // 346666
   }
 
+  test("refLmFilter fails LOUDLY on an empty reference slice instead of " +
+      "silently nulling every backoff score") {
+    val docs = Seq((1L, "c a")).toDF("doc_id", "text") // backoff path
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[Exception](
+      TextOps.refLmFilter(docs, empty, keepAboveMicro = 0L).collect())
+    assert(e.getMessage.contains("empty reference"),
+      s"wanted the empty-reference error, got: ${e.getMessage}")
+  }
+
   test("letterEntropy matches closed-form values and stays map-only") {
     val docs = Seq(
       (1L, "aabb"),         // two letters, uniform → exactly 1 bit

@@ -556,6 +556,78 @@ class SparqlSpec extends SparkSpec {
     assert(viaIds.exceptAll(viaString).count() === 0)
   }
 
+  test("XSD constructor casts (17.5): cast errors are unbound, lexical " +
+      "gates are exact, string ≡ encoded") {
+    val t = Seq(
+      ("a", "v", "7"), ("b", "v", "1.5"), ("c", "v", "2e3"),
+      ("d", "v", "x9"), ("e", "v", "true"), ("f", "v", "0"),
+      ("g", "v", "2024-03-01T12:00:00Z"), ("h", "v", "2024-13-01T12:00:00Z"))
+      .toDF("s", "p", "o")
+    val text =
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s ?i ?dec ?dbl ?str ?bool ?dt WHERE {
+        |  ?s <v> ?o .
+        |  BIND (xsd:integer(?o) AS ?i)
+        |  BIND (xsd:decimal(?o) AS ?dec)
+        |  BIND (xsd:double(?o) AS ?dbl)
+        |  BIND (xsd:string(?o) AS ?str)
+        |  BIND (xsd:boolean(?o) AS ?bool)
+        |  BIND (xsd:dateTime(?o) AS ?dt)
+        |} ORDER BY ?s""".stripMargin
+    val got = Sparql.run(t, text).collect().map(r =>
+      r.getString(0) -> r).toMap
+    // "7": integer everywhere; boolean/dateTime error → unbound
+    assert(got("a").getLong(1) === 7L && got("a").getDouble(2) === 7.0 &&
+      got("a").getDouble(3) === 7.0 && got("a").getString(4) === "7" &&
+      got("a").isNullAt(5) && got("a").isNullAt(6))
+    // "1.5": NOT an integer (XPath cast error, where SQL CAST would
+    // round); decimal and double fine
+    assert(got("b").isNullAt(1) && got("b").getDouble(2) === 1.5 &&
+      got("b").getDouble(3) === 1.5)
+    // "2e3": exponent form — double yes, DECIMAL no (XSD lexical space)
+    assert(got("c").isNullAt(1) && got("c").isNullAt(2) &&
+      got("c").getDouble(3) === 2000.0)
+    // "x9": nothing numeric; xsd:string is the identity on any term
+    assert(got("d").isNullAt(1) && got("d").isNullAt(2) &&
+      got("d").isNullAt(3) && got("d").getString(4) === "x9")
+    // boolean lexical space: true/false/1/0 only
+    assert(got("e").getBoolean(5) && !got("f").getBoolean(5) &&
+      got("f").getLong(1) === 0L)
+    // dateTime: valid shape passes through, month 13 errors
+    assert(got("g").getString(6) === "2024-03-01T12:00:00Z" &&
+      got("h").isNullAt(6))
+    // FILTER position: the cast coerces the comparison numerically
+    // ("x9" is a cast error → eliminated, not lexicographically compared)
+    assert(Sparql.run(t,
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s WHERE { ?s <v> ?o . FILTER (xsd:integer(?o) >= 7) }"""
+        .stripMargin).as[String].collect().toSet === Set("a"))
+    // xsd:boolean as the whole constraint: EBV is the cast itself
+    assert(Sparql.run(t,
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s WHERE { ?s <v> ?o . FILTER (xsd:boolean(?o)) }"""
+        .stripMargin).as[String].collect().toSet === Set("e"))
+    // encoded execution agrees bit-for-bit
+    val dict = Dictionary.build(spark, t)
+    val enc = Dictionary.encode(t, dict)
+    val viaString = Sparql.run(t, text)
+    val viaIds = Sparql.runEncoded(enc, dict, text)
+    assert(viaString.exceptAll(viaIds).count() === 0)
+    assert(viaIds.exceptAll(viaString).count() === 0)
+    // loud gates: unknown constructor, non-XSD IRI call, unknown prefix
+    assert(intercept[IllegalArgumentException](Sparql.run(t,
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s WHERE { ?s <v> ?o . FILTER (xsd:gYear(?o)) }"""
+        .stripMargin)).getMessage.contains("unsupported XSD constructor"))
+    assert(intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?s WHERE { ?s <v> ?o .
+        |  FILTER (<http://example.org/f>(?o)) }""".stripMargin))
+      .getMessage.contains("XSD namespace"))
+    assert(intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?s WHERE { ?s <v> ?o . FILTER (xsd:integer(?o) > 1) }"""))
+      .getMessage.contains("unknown prefix"))
+  }
+
   test("MINUS-only constants resolve on the encoded path (encoded ≡ string)") {
     val dict = Dictionary.build(spark, triples)
     val enc = Dictionary.encode(triples, dict)

@@ -257,6 +257,50 @@ class ViewAnswerSpec extends SparkSpec {
     assert(rowSet(ViewCatalog.answerAgg(spark, store, cat, q)) === fresh)
   }
 
+  test("answerAgg's two routes agree on MIN/MAX values AND types — " +
+      "summary-served and fallback answers are indistinguishable") {
+    val store = java.nio.file.Files
+      .createTempDirectory("vcx_store").toString
+    val cat = java.nio.file.Files.createTempDirectory("vcx_cat").toString
+    val view = java.nio.file.Files.createTempDirectory("vcx_view").toString
+    val agg = java.nio.file.Files.createTempDirectory("vcx_agg").toString
+    // numeric strings of DIFFERING lengths: lexicographic min/max over
+    // {"9", "24", "100"} would answer ("100", "9") — the numeric
+    // contract both routes must share answers (9, 100)
+    QuadStore.init(t3(
+      ("c1", "nat", "de"), ("c1", "bal", "9"),
+      ("c2", "nat", "de"), ("c2", "bal", "24"),
+      ("c3", "nat", "de"), ("c3", "bal", "100"),
+      ("c4", "nat", "fr"), ("c4", "bal", "7"))
+      .withColumn("g", lit("")), store)
+    ViewStore.createAggFromSparql(spark, store, view, agg,
+      """SELECT ?nat (COUNT(*) AS ?cnt) (MIN(?bal) AS ?lo)
+        |  (MAX(?bal) AS ?hi) (AVG(?bal) AS ?mean) WHERE {
+        |  ?c <nat> ?nat . ?c <bal> ?bal . } GROUP BY ?nat""".stripMargin)
+    ViewCatalog.registerAgg(cat, view, agg)
+    val q =
+      """SELECT ?country (COUNT(*) AS ?n) (MIN(?b) AS ?lo)
+        |  (MAX(?b) AS ?hi) (AVG(?b) AS ?mean) WHERE {
+        |  ?cust <nat> ?country . ?cust <bal> ?b . } GROUP BY ?country"""
+        .stripMargin
+    val served = ViewCatalog.answerAgg(spark, store, cat, q)
+    // the summary really served it (plan reads the summary chain only)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(agg).getName), plan)
+    ViewCatalog.deregisterAgg(cat, view, agg)
+    val fallback = ViewCatalog.answerAgg(spark, store, cat, q)
+    assert(!fallback.queryExecution.executedPlan.toString
+      .contains(new java.io.File(agg).getName))
+    // identical VALUES, identical column names and TYPES (numeric long
+    // extremums, one double AVG) — routing changes latency, never the
+    // answer (nullability may differ: sum-served counts are nullable)
+    assert(served.dtypes.toSeq === fallback.dtypes.toSeq)
+    assert(rowSet(served) === rowSet(fallback))
+    assert(rowSet(served) === Set(
+      Seq("de", 100L, 9L, 133.0 / 3.0, 3L),  // hi, lo, mean, n (by name)
+      Seq("fr", 7L, 7L, 7.0, 1L)))
+  }
+
   test("answerAggSparql serves dashboards from the persisted summary") {
     val store = java.nio.file.Files
       .createTempDirectory("vaa_store").toString
