@@ -51,11 +51,25 @@ object Materialize {
     * for non-checkpointed frames (round-0 seeds over source tables) and
     * harmless for reliable checkpoints (the files on the durable store
     * remain authoritative; only cached blocks drop).
+    *
+    * Scope: only the checkpoint the frame OWNS is freed — the one on its
+    * unary plan spine ([[apply]]'s product, possibly under projections a
+    * caller added). The walk stops at joins/unions: a checkpoint reached
+    * through a binary node belongs to some OTHER, possibly-live frame
+    * (e.g. the still-current round of an enclosing loop feeding this
+    * frame's lineage), and deep-collecting leaves there would unpersist
+    * it mid-flight — the CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND failure mode.
     */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.logical.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false): Unit
-      case _ => ()
-    }
+  def release(df: DataFrame): Unit = {
+    @annotation.tailrec
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      p match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false): Unit
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+          walk(u.child)
+        case _ => ()
+      }
+    walk(df.queryExecution.logical)
+  }
 }

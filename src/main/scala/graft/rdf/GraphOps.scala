@@ -373,6 +373,48 @@ object GraphOps extends QueryModule {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // OWL-Horst CLASS rules end-to-end (Owl.entailClass): duplicate
+    // customer records (dup:<s>) carry the segment facts under an
+    // EQUIVALENT property (segment ≡ mktsegment) and their nation under
+    // ALIASED objects (z:n:K); name is INVERSE-FUNCTIONAL (dup subjects
+    // merge onto c:*), nation FUNCTIONAL (the object aliases merge onto
+    // n:* — a merge only derivable AFTER the subject merge landed both
+    // values on one subject: the sameAs feedback loop), hasValue types
+    // BUILDING customers and conversely materializes x:vip's witness
+    // segment from its bare membership, equivalentClass lifts the type,
+    // and someValuesFrom types customers whose nation lies in region
+    // r:1 through a hasValue-derived nation type. Iterated to fixpoint;
+    // the oracle REPLAYS each rule in dependency order (the ontology's
+    // chain is acyclic, so no recursion is needed).
+    "q_owl_class" -> ((s, d) => {
+      val t = Triples.build(s, d)
+      val nat = t.filter(col("p") === "nation")
+      val name = t.filter(col("p") === "name" && col("s").startsWith("c:"))
+      val dup = concat(lit("dup:"), col("s"))
+      val fixture = nat
+        .unionByName(t.filter(col("p") === "region"))
+        .unionByName(name)
+        .unionByName(name.select(dup.as("s"), col("p"), col("o")))
+        .unionByName(t.filter(col("p") === "mktsegment")
+          .select(dup.as("s"), lit("segment").as("p"), col("o")))
+        .unionByName(nat.select(dup.as("s"), col("p"),
+          concat(lit("z:"), col("o")).as("o")))
+        .unionByName(s.sql(
+          "SELECT 'x:vip' AS s, 'type' AS p, 'BuildingCust' AS o"))
+      val cs = Owl.ClassSchema(
+        equivalentClass = Seq("BuildingCust" -> "ConstructionCust"),
+        equivalentProperty = Seq("segment" -> "mktsegment"),
+        functional = Seq("nation"),
+        inverseFunctional = Seq("name"),
+        hasValue = Seq(("BuildingCust", "mktsegment", "BUILDING"),
+          ("NationInR1", "region", "r:1")),
+        someValuesFrom = Seq(("CustNearR1", "nation", "NationInR1")))
+      Owl.entailClass(fixture, cs)
+        .filter(col("p").isin("type", "mktsegment", "nation") &&
+          (col("s").startsWith("c:") || col("s") === "x:vip"))
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // degree statistics per node over the entity graph — one union-side
     // aggregate each, outer-merged so zero-degree sides stay visible
     "q_graph_degree" -> ((s, d) => {
@@ -475,6 +517,78 @@ object GraphOps extends QueryModule {
          |  AND t2.p = 'mktsegment' AND t2.s = t1.s
          |  AND t3.p = 'nation' AND t3.s = t1.s
          |ORDER BY cust""".stripMargin,
+
+    // the class rules REPLAYED in dependency order (the ontology chain
+    // is acyclic, so the fixpoint unrolls): fixture → inverse-functional
+    // subject merge → property equivalence → functional object merge →
+    // hasValue/equivalentClass → someValuesFrom
+    "q_owl_class" ->
+      s"""WITH triples AS (
+         |${Triples.duckCte}
+         |), fx AS (
+         |  SELECT s, p, o FROM triples WHERE p IN ('nation', 'region')
+         |  UNION ALL
+         |  SELECT s, p, o FROM triples WHERE p = 'name' AND s LIKE 'c:%'
+         |  UNION ALL
+         |  SELECT 'dup:' || s, 'name', o FROM triples
+         |  WHERE p = 'name' AND s LIKE 'c:%'
+         |  UNION ALL
+         |  SELECT 'dup:' || s, 'segment', o FROM triples
+         |  WHERE p = 'mktsegment'
+         |  UNION ALL
+         |  SELECT 'dup:' || s, 'nation', 'z:' || o FROM triples
+         |  WHERE p = 'nation'
+         |  UNION ALL
+         |  SELECT 'x:vip', 'type', 'BuildingCust'
+         |),
+         |-- rdfp2: subjects sharing an inverse-functional name merge
+         |-- onto the group MIN
+         |srep AS (
+         |  SELECT DISTINCT s AS node, MIN(s) OVER (PARTITION BY o) AS rep
+         |  FROM fx WHERE p = 'name'
+         |), c1 AS (
+         |  SELECT COALESCE(r.rep, f.s) AS s, f.p, f.o
+         |  FROM fx f LEFT JOIN srep r ON f.s = r.node
+         |),
+         |-- rdfp13: segment ≡ mktsegment, both spellings hold
+         |c2 AS (
+         |  SELECT s, p, o FROM c1
+         |  UNION SELECT s, 'mktsegment', o FROM c1 WHERE p = 'segment'
+         |  UNION SELECT s, 'segment', o FROM c1 WHERE p = 'mktsegment'
+         |),
+         |-- rdfp1: a subject's functional nation values merge onto MIN
+         |orep AS (
+         |  SELECT DISTINCT o AS node, MIN(o) OVER (PARTITION BY s) AS rep
+         |  FROM c2 WHERE p = 'nation'
+         |), c3 AS (
+         |  SELECT c.s, c.p, COALESCE(r.rep, c.o) AS o
+         |  FROM c2 c LEFT JOIN orep r ON c.o = r.node
+         |),
+         |-- rdfp14a/14b + rdfp12: hasValue both directions, then the
+         |-- equivalentClass lift
+         |c4 AS (
+         |  SELECT s, p, o FROM c3
+         |  UNION SELECT s, 'type', t.cls FROM c3,
+         |    (VALUES ('BuildingCust'), ('ConstructionCust')) t(cls)
+         |  WHERE p = 'mktsegment' AND o = 'BUILDING'
+         |  UNION SELECT s, 'type', 'ConstructionCust' FROM c3
+         |  WHERE p = 'type' AND o = 'BuildingCust'
+         |  UNION SELECT s, 'mktsegment', 'BUILDING' FROM c3
+         |  WHERE p = 'type' AND o = 'BuildingCust'
+         |  UNION SELECT s, 'type', 'NationInR1' FROM c3
+         |  WHERE p = 'region' AND o = 'r:1'
+         |),
+         |-- rdfp15: nation into an R1-typed witness
+         |c5 AS (
+         |  SELECT s, p, o FROM c4
+         |  UNION SELECT a.s, 'type', 'CustNearR1' FROM c4 a
+         |  JOIN c4 b ON a.o = b.s
+         |  WHERE a.p = 'nation' AND b.p = 'type' AND b.o = 'NationInR1'
+         |)
+         |SELECT DISTINCT s, p, o FROM c5
+         |WHERE p IN ('type', 'mktsegment', 'nation')
+         |  AND (s LIKE 'c:%' OR s = 'x:vip')
+         |ORDER BY s, p, o""".stripMargin,
 
     "q_owl_infer" ->
       s"""WITH RECURSIVE triples AS (

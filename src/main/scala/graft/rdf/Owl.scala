@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** OWL-Horst-style property semantics beyond the ρdf core ([[Rdfs]]):
   * owl:sameAs identity cliques, owl:TransitiveProperty,
-  * owl:inverseOf and owl:SymmetricProperty — the fragment of OWL that
-  * stays rule-shaped and therefore scales like the RDFS pass (ter
-  * Horst, JWS 2005, public; WebPIE treats the same fragment).
+  * owl:inverseOf and owl:SymmetricProperty — plus the CLASS rules of the
+  * same fragment ([[entailClass]]): owl:equivalentClass /
+  * owl:equivalentProperty, owl:FunctionalProperty /
+  * owl:InverseFunctionalProperty → sameAs derivation feeding the clique
+  * canonicalizer, and owl:hasValue / owl:someValuesFrom restrictions —
+  * the fragment of OWL that stays rule-shaped and therefore scales like
+  * the RDFS pass (ter Horst, JWS 2005, public; WebPIE treats the same
+  * fragment).
   *
   * Scale shapes, per rule family:
   *  - sameAs: equivalence classes by min-label propagation
@@ -23,19 +28,48 @@ import org.apache.spark.sql.functions._
   */
 object Owl {
 
+  /** The class-rule side of the OWL-Horst fragment, as a KB-sized schema
+    * (the [[Rdfs.Schema]] discipline: ontology declarations are tiny
+    * next to TB-sized instance data, so they ride the plan as broadcast
+    * tables / literal maps and no rule ever joins instance data against
+    * instance data except the one genuinely binary rule).
+    *
+    *  - `equivalentClass` / `equivalentProperty` (rdfp12/13): symmetric-
+    *    transitive cliques, closed driver-side, applied map-side.
+    *  - `functional` / `inverseFunctional` (rdfp1/2): two descriptions
+    *    of one individual under a key property are the SAME individual —
+    *    derived sameAs pairs feed [[sameAsCanonical]]'s clique engine.
+    *  - `hasValue` (rdfp14a/b, both directions): `(cls, prop, value)` —
+    *    membership ⇄ the witness triple.
+    *  - `someValuesFrom` (rdfp15): `(cls, prop, valueCls)` — (x p y) ∧
+    *    (y type valueCls) ⊢ (x type cls); the only binary class rule.
+    */
+  final case class ClassSchema(
+      equivalentClass: Seq[(String, String)] = Nil,
+      equivalentProperty: Seq[(String, String)] = Nil,
+      functional: Seq[String] = Nil,
+      inverseFunctional: Seq[String] = Nil,
+      hasValue: Seq[(String, String, String)] = Nil,
+      someValuesFrom: Seq[(String, String, String)] = Nil)
+
   /** Rewrite every subject/object to its owl:sameAs equivalence-class
     * representative (the class MINIMUM — deterministic), consuming the
     * sameAs triples; non-aliased terms pass through. One distinct at
     * the end: distinct aliased triples can collapse onto one canonical
     * triple. */
   def sameAsCanonical(triples: DataFrame,
-      sameAsPred: String = "sameAs"): DataFrame = {
-    val pairs = triples.filter(col("p") === sameAsPred)
-      .select(col("s").as("doc_a"), col("o").as("doc_b"))
+      sameAsPred: String = "sameAs"): DataFrame =
+    canonicalizeBy(
+      triples.filter(col("p") =!= sameAsPred).select("s", "p", "o"),
+      triples.filter(col("p") === sameAsPred)
+        .select(col("s").as("doc_a"), col("o").as("doc_b")))
+
+  /** Canonicalize `data(s, p, o)` by the equivalence classes of
+    * `pairs(doc_a, doc_b)`: min-label propagation picks each class's
+    * MINIMUM as representative, then ONE rewrite join per position. */
+  private def canonicalizeBy(data: DataFrame, pairs: DataFrame): DataFrame = {
     val reps = graft.llm.Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("node"), col("label").as("rep"))
-    val data = triples.filter(col("p") =!= sameAsPred)
-      .select("s", "p", "o")
     data
       .join(reps.select(col("node").as("s"), col("rep").as("__rs")),
         Seq("s"), "left")
@@ -44,6 +78,128 @@ object Owl {
       .select(coalesce(col("__rs"), col("s")).as("s"), col("p"),
         coalesce(col("__ro"), col("o")).as("o"))
       .distinct()
+  }
+
+  /** Driver-side symmetric-transitive closure of equivalence pairs into
+    * member → sorted clique maps (union-find; the declarations are
+    * KB-sized by [[ClassSchema]]'s contract). */
+  private def cliques(pairs: Seq[(String, String)]): Map[String, Seq[String]] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+      .values.flatMap(ms => ms.map(_ -> ms.sorted)).toMap
+  }
+
+  /** One expansion pass of the class rules over a canonical triple set:
+    * every input triple survives (the clique lookups include identity),
+    * plus the rule emissions. Map-side except rdfp15's one equi-join. */
+  private def expandClassRules(t: DataFrame, cs: ClassSchema): DataFrame = {
+    import org.apache.spark.sql.Column
+    val spark = t.sparkSession
+    import spark.implicits._
+    def lookup(m: Map[String, Seq[String]]): Column =
+      if (m.isEmpty) typedLit(Map.empty[String, Seq[String]])
+      else map(m.toSeq.flatMap { case (k, vs) =>
+        Seq(lit(k), array(vs.map(lit): _*)) }: _*)
+    val clsMap = lookup(cliques(cs.equivalentClass))
+    val prpMap = lookup(cliques(cs.equivalentProperty))
+    val types = t.filter(col("p") === "type")
+    val props = t.filter(col("p") =!= "type")
+    // rdfp12a/b+rdfs: a type triple holds for every clique member
+    val viaCls = types.select(col("s"), col("p"), explode(
+      coalesce(element_at(clsMap, col("o")), array(col("o")))).as("o"))
+    // rdfp13a/b: a triple holds under every equivalent predicate
+    val viaPrp = props.select(col("s"), explode(
+      coalesce(element_at(prpMap, col("p")), array(col("p")))).as("p"),
+      col("o"))
+    var out = viaCls.unionByName(viaPrp)
+    if (cs.hasValue.nonEmpty) {
+      val hv = broadcast(cs.hasValue.toDF("__cls", "__prop", "__value"))
+      // rdfp14b: membership ⊢ the witness triple
+      out = out.unionByName(types.join(hv, col("o") === col("__cls"))
+        .select(col("s"), col("__prop").as("p"), col("__value").as("o")))
+      // rdfp14a: the witness triple ⊢ membership
+      out = out.unionByName(props.join(hv,
+          col("p") === col("__prop") && col("o") === col("__value"))
+        .select(col("s"), lit("type").as("p"), col("__cls").as("o")))
+    }
+    if (cs.someValuesFrom.nonEmpty) {
+      val sv = broadcast(cs.someValuesFrom.toDF("__cls", "__prop", "__vcls"))
+      // rdfp15: the one instance×instance rule — an equi-join on the
+      // witness node, schema broadcast, both sides predicate-pruned
+      val typed = types.select(col("s").as("__y"), col("o").as("__yc"))
+      out = out.unionByName(props.join(sv, col("p") === col("__prop"))
+        .join(typed, col("o") === col("__y") && col("__yc") === col("__vcls"))
+        .select(col("s"), lit("type").as("p"), col("__cls").as("o")))
+    }
+    out.distinct()
+  }
+
+  /** sameAs pairs the (inverse-)functional declarations derive from a
+    * triple set (rdfp1/2), emitted as a STAR onto each key group's
+    * minimum — linear in group size where the spec's pairwise form is
+    * quadratic, with identical equivalence classes (the clique engine
+    * closes the star). */
+  private def functionalPairs(t: DataFrame, cs: ClassSchema): DataFrame = {
+    val spark = t.sparkSession
+    import spark.implicits._
+    def star(keyed: DataFrame, keys: Seq[String], v: String): DataFrame =
+      keyed.groupBy(keys.map(col): _*)
+        .agg(min(col(v)).as("__rep"), collect_set(col(v)).as("__all"))
+        .select(explode(col("__all")).as("doc_a"), col("__rep").as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+    val none = Seq.empty[(String, String)].toDF("doc_a", "doc_b")
+    val f =
+      if (cs.functional.isEmpty) none
+      else star(t.filter(col("p").isin(cs.functional: _*)), Seq("s", "p"), "o")
+    val inf =
+      if (cs.inverseFunctional.isEmpty) none
+      else star(t.filter(col("p").isin(cs.inverseFunctional: _*)),
+        Seq("p", "o"), "s")
+    f.unionByName(inf)
+  }
+
+  /** Materialize the class-rule entailment of `triples` under `cs`,
+    * canonicalized by declared AND derived owl:sameAs (the feedback
+    * loop: a functional-property merge rewrites already-derived triples,
+    * which can fire further rules — so the pass iterates to fixpoint).
+    * Round count is bounded by the SCHEMA's dependency depth (a rule
+    * emission only feeds a different rule through the ontology, never
+    * through data), so `maxRounds` is an ontology-shaped constant, not a
+    * data-shaped one; non-convergence inside it fails loudly. Per round:
+    * the map-side expansions + one schema-broadcast equi-join + a
+    * distinct, then a clique canonicalization only in rounds that
+    * actually derived pairs. */
+  def entailClass(triples: DataFrame, cs: ClassSchema,
+      sameAsPred: String = "sameAs", maxRounds: Int = 8): DataFrame = {
+    var cur = graft.Materialize(sameAsCanonical(triples, sameAsPred))
+    var n = cur.count()
+    var round = 0
+    while (true) {
+      require(round < maxRounds,
+        s"OWL class entailment did not converge in $maxRounds rounds — " +
+          "the ontology's rule-dependency depth exceeds the bound")
+      val expanded = expandClassRules(cur, cs)
+      val pairs = functionalPairs(expanded, cs)
+      val merged = pairs.limit(1).count() > 0
+      val next = graft.Materialize(
+        if (merged) canonicalizeBy(expanded, pairs) else expanded)
+      val n2 = next.count()
+      graft.Materialize.release(cur)
+      // expansion includes identity, so without a merge cur ⊆ next and
+      // count equality IS set equality; a merge round is never final
+      if (!merged && n2 == n) return next
+      cur = next; n = n2; round += 1
+    }
+    cur // unreachable
   }
 
   /** Close every predicate in `transitive` over itself (owl rule rdfp4)

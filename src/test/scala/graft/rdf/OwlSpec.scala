@@ -56,4 +56,48 @@ class OwlSpec extends SparkSpec {
       ("b", "adj", "c"), ("a", "adj", "c"), ("c", "adj", "a"),
       ("a", "adj", "a"), ("b", "adj", "b"), ("c", "adj", "c")))
   }
+
+  test("entailClass: the sameAs FEEDBACK loop — an inverse-functional " +
+      "merge lands two values on one subject, the functional rule then " +
+      "derives a second merge that re-canonicalizes DERIVED triples") {
+    val in = t3(
+      ("c1", "name", "alice"), ("c1", "nation", "n1"),
+      // a duplicate record: same inverse-functional name, the segment
+      // fact stated under the EQUIVALENT property, nation under an alias
+      ("d1", "name", "alice"), ("d1", "seg", "B"), ("d1", "nation", "z1"),
+      ("n1", "region", "r1"))
+    val cs = Owl.ClassSchema(
+      equivalentClass = Seq("BC" -> "CC"),
+      equivalentProperty = Seq("seg" -> "mseg"),
+      functional = Seq("nation"),
+      inverseFunctional = Seq("name"),
+      hasValue = Seq(("BC", "mseg", "B"), ("NR1", "region", "r1")),
+      someValuesFrom = Seq(("CNR1", "nation", "NR1")))
+    val got = rows(Owl.entailClass(in, cs))
+    // d1 merged onto c1 (name IFP); the merge put {n1, z1} on c1's
+    // functional nation, deriving sameAs(z1, n1) — which rewrites the
+    // DERIVED (c1 nation z1) away; the segment fact flowed through the
+    // property equivalence into hasValue membership, lifted through the
+    // class clique; the nation typed via hasValue fed someValuesFrom
+    assert(got === Set(
+      ("c1", "name", "alice"),
+      ("c1", "nation", "n1"),                       // z1 gone: 2nd merge
+      ("c1", "seg", "B"), ("c1", "mseg", "B"),      // property clique
+      ("c1", "type", "BC"), ("c1", "type", "CC"),   // hasValue + class clique
+      ("c1", "type", "CNR1"),                       // someValuesFrom
+      ("n1", "region", "r1"), ("n1", "type", "NR1")))
+    // a bare membership materializes its hasValue witness (rdfp14b)
+    val wit = rows(Owl.entailClass(t3(("x", "type", "BC")), cs))
+    assert(wit === Set(("x", "type", "BC"), ("x", "type", "CC"),
+      ("x", "mseg", "B"), ("x", "seg", "B")))
+    // non-convergence inside maxRounds fails loudly, never silently
+    // truncates: hasValue membership arrives in round 1, its clique
+    // lift needs round 2 — cap below the needed depth and it throws
+    val deep = Owl.ClassSchema(
+      equivalentClass = Seq("K1" -> "K2"),
+      hasValue = Seq(("K1", "has", "v")))
+    val e = intercept[IllegalArgumentException](
+      Owl.entailClass(t3(("s", "has", "v")), deep, maxRounds = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
