@@ -482,6 +482,17 @@ object LlmOps extends QueryModule {
     "q_multimodal_decode" -> ((s, d) =>
       Multimodal.describe(s, Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // REAL image decode: deterministic PNGs generated in-plan (geometry
+    // and colors are pure functions of doc_id), decoded by the JDK's
+    // javax.imageio inside the per-partition closure. The oracle states
+    // the decoded features arithmetically — PNG is lossless, so exact
+    // geometry AND exact channel sums (red is an x-gradient: wrong pixel
+    // addressing mismatches even at a correct total) prove the decode.
+    "q_multimodal_image" -> ((s, d) =>
+      Multimodal.decodeImage(
+          Multimodal.encodePng(Tables.documents(s, d)))
+        .toDF().orderBy(col("doc_id"))),
+
     // Video-frame-subsample shape: payload → fixed-size frames → keep every
     // 3rd. Oracled on the frame geometry (number, stride, byte length) —
     // the part an engine owns regardless of codec.
@@ -1291,6 +1302,26 @@ object LlmOps extends QueryModule {
         |  CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) AS n_frames,
         |  'txt' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the decoded features restated arithmetically: width/height from
+    // doc_id, green/blue solid (sum = w*h*color), red an x-gradient
+    // summed per row via a correlated series — lossless PNG must land
+    // exactly here
+    "q_multimodal_image" ->
+      """SELECT d.doc_id,
+        |  CAST(1 + d.doc_id % 8 AS INT) AS width,
+        |  CAST(1 + d.doc_id % 5 AS INT) AS height,
+        |  CAST((1 + d.doc_id % 5) * r.rowsum AS BIGINT) AS sum_r,
+        |  CAST((1 + d.doc_id % 8) * (1 + d.doc_id % 5)
+        |    * ((d.doc_id * 7) % 256) AS BIGINT) AS sum_g,
+        |  CAST((1 + d.doc_id % 8) * (1 + d.doc_id % 5)
+        |    * ((d.doc_id * 13) % 256) AS BIGINT) AS sum_b
+        |FROM documents d JOIN (
+        |  SELECT doc_id, SUM((doc_id + x) % 256) AS rowsum
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 8)) AS x
+        |        FROM documents)
+        |  GROUP BY doc_id) r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_multimodal_framesample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,

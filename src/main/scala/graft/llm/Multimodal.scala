@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * metadata, processed in per-partition batches.
   *
   * The Spark-side shape is real and tested — schema, partitioning,
-  * mapPartitions batching, frame sampling — while the codec itself is a
-  * STUB: image/audio decode libraries are not available in this
-  * environment, so [[decodeFeatures]] derives deterministic fake features
-  * from the bytes. Swapping in a real decoder changes only the body of the
-  * `it.map { ... }` closure (e.g. javacv / a JNI codec), not the plumbing:
+  * mapPartitions batching, frame sampling — and the IMAGE codec is real:
+  * [[decodeImage]] runs the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF)
+  * inside the per-partition closure, emitting exact geometry and
+  * per-channel pixel sums. Audio/video codecs are not available in this
+  * environment, so [[decodeFeatures]] remains the byte-level feature
+  * extractor for opaque formats; a real one slots into the same closure
+  * (e.g. javacv / a JNI codec) without touching the plumbing:
   * partition-sized batches keep codec init cost amortized, exactly like a
   * vectorized-batch UDF would.
   */
@@ -20,6 +22,12 @@ object Multimodal {
   case class Media(doc_id: Long, media: Array[Byte], format: String)
   case class MediaFeatures(doc_id: Long, byte_len: Int, checksum: Long,
       head_hash: Long, n_frames: Int)
+  /** Real decode output: exact geometry + per-channel pixel sums (Long —
+    * combine-order-free, and enough to catch any mis-decode: the red
+    * channel of the test fixture is an x-gradient, so even a correct
+    * total under wrong pixel ADDRESSING mismatches). */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
 
   val FrameBytes = 32
 
@@ -29,8 +37,76 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("media"),
       lit("txt").as("format"))
 
-  /** Per-partition "decode": deterministic features from raw bytes.
-    * STUB — see object scaladoc; a real decoder slots into this closure. */
+  /** Deterministic PNG payloads, one per doc_id, generated IN-PLAN (the
+    * image fixture for [[decodeImage]] — no media files exist in this
+    * offline sandbox, and a distributed generator is what a real ingest
+    * would look like anyway). Geometry and colors are pure functions of
+    * doc_id so an independent oracle can state the decoded features
+    * arithmetically: width = 1 + id%8, height = 1 + id%5, red an
+    * x-gradient (id + x) % 256, green/blue solid id*7 % 256 / id*13 % 256.
+    * PNG is lossless, so [[decodeImage]] must recover them EXACTLY. */
+  def encodePng(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 8).toInt
+        val h = (1 + id % 5).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = ((id * 7) % 256).toInt
+        val b = ((id * 13) % 256).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id + x) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Media(id, out.toByteArray, "png")
+      }
+    }
+  }
+
+  /** REAL image decode — the JDK's `javax.imageio` inside the
+    * per-partition closure (PNG/JPEG/BMP/GIF readers ship with the JDK;
+    * no external dependency). Exact geometry + per-channel sums; an
+    * unreadable payload fails loudly with the doc_id rather than nulling
+    * out (a corrupt-media quarantine belongs in a FILTER before this). */
+  def decodeImage(ds: Dataset[Media]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.media))
+        require(img != null,
+          s"doc ${m.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(m.doc_id, w, h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Per-partition byte-level features for OPAQUE formats (no codec in
+    * this environment for audio/video — see object scaladoc; images have
+    * the real [[decodeImage]] path). */
   def decodeFeatures(ds: Dataset[Media]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>

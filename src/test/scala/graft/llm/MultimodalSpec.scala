@@ -61,4 +61,32 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getAs[Long]("vec_id") === 2L)
     assert(top.head.getAs[Double]("sim") === 1.0)
   }
+
+  test("REAL image decode: PNG round-trips exactly through javax.imageio, " +
+      "and a non-image payload fails loudly with its doc_id") {
+    // ids straddle the 256 channel wrap and every width/height residue
+    val ids = Seq(0L, 7L, 36L, 255L, 256L, 1000L)
+    val docs = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Multimodal.decodeImage(Multimodal.encodePng(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    ids.foreach { id =>
+      val f = got(id)
+      val (w, h) = ((1 + id % 8).toInt, (1 + id % 5).toInt)
+      assert(f.width === w && f.height === h, s"geometry of $id")
+      assert(f.sum_r === h * (0 until w).map(x => (id + x) % 256).sum,
+        s"red gradient of $id")
+      assert(f.sum_g === w.toLong * h * ((id * 7) % 256), s"green of $id")
+      assert(f.sum_b === w.toLong * h * ((id * 13) % 256), s"blue of $id")
+    }
+    // a PNG decoded by a REAL parser, not arithmetic: byte 0 must be the
+    // PNG signature, and corrupting it is a loud decode failure
+    val media = Multimodal.encodePng(docs).collect().head
+    assert((media.media(0) & 0xff) === 0x89 &&
+      new String(media.media.slice(1, 4)) === "PNG")
+    val bad = Seq(Multimodal.Media(42L, "not an image".getBytes, "png"))
+      .toDS()
+    val e = intercept[Exception](Multimodal.decodeImage(bad).collect())
+    assert(e.getMessage.contains("42"),
+      s"wanted the loud doc-id error, got: ${e.getMessage}")
+  }
 }
