@@ -1425,6 +1425,22 @@ object RdfOps extends QueryModule {
           |}
           |ORDER BY ?cust""".stripMargin)),
 
+    // ORDER BY/LIMIT/OFFSET inside a subquery under GRAPH ?var apply PER
+    // GRAPH (eval(GRAPH ?g P) runs P once per named graph, so the
+    // modifiers slice each graph's solution sequence — a row_number
+    // window over the threaded ?g, not a global limit): each named graph
+    // contributes ITS rows 2..4 in total (s,p,o) order. Round 7's last
+    // GRAPH ?var parser rejection, closed.
+    "q_sparql_graphlimit" -> ((s, d) =>
+      Sparql.runQuads(Quads.build(s, d), text =
+        """SELECT ?g ?s ?p ?o WHERE {
+          |  GRAPH ?g {
+          |    { SELECT ?s ?p ?o WHERE { ?s ?p ?o . }
+          |      ORDER BY ?s ?p ?o LIMIT 3 OFFSET 1 }
+          |  }
+          |}
+          |ORDER BY ?g ?s ?p ?o""".stripMargin)),
+
     // Named graphs over the quad dataset: a constant GRAPH prunes to one
     // graph's slice; GRAPH ?g joins all patterns of its block on the same
     // named graph and binds it. Non-GRAPH patterns see only the default
@@ -2281,6 +2297,18 @@ object RdfOps extends QueryModule {
          |      WHERE p = 'nation' GROUP BY g) cnt ON cnt.g = q1.g
          |WHERE q1.g <> '' AND q1.p = 'mktsegment' AND q1.o = 'BUILDING'
          |ORDER BY cust""".stripMargin),
+
+    // the per-graph slice restated as the window it lowers to
+    "q_sparql_graphlimit" -> cte(
+      s""", quads AS (
+         |${Quads.duckCte}
+         |)
+         |SELECT g, s, p, o FROM (
+         |  SELECT g, s, p, o,
+         |    row_number() OVER (PARTITION BY g ORDER BY s, p, o) AS rn
+         |  FROM quads WHERE g <> '')
+         |WHERE rn > 1 AND rn <= 4
+         |ORDER BY g, s, p, o""".stripMargin),
 
     "q_sparql_graph_encoded" -> cte(
       s""", quads AS (

@@ -105,11 +105,13 @@ import org.apache.spark.sql.functions._
   * encoded engines too (the endpoint body solves string-space, joining
   * on the decoded bindings).
   *
+  * Subquery ORDER BY/LIMIT/OFFSET under `GRAPH ?var` apply PER GRAPH
+  * (a row_number window over the threaded ?g — eval(GRAPH ?g P) runs P
+  * once per named graph, so its modifiers slice each graph's sequence).
+  *
   * Out of fragment (rejected, not silently mis-run): SPARQL Update via
-  * this entry point (see [[Update]]), LIMIT/OFFSET inside a subquery
-  * under `GRAPH ?var` (would need per-graph application), and
-  * correlated filters (a block-scoped FILTER referencing variables its
-  * block does not bind).
+  * this entry point (see [[Update]]) and correlated filters (a
+  * block-scoped FILTER referencing variables its block does not bind).
   * The tokenizer verifies every non-whitespace, non-comment character is
   * consumed by a token and errors with the offset of the first unsupported
   * character, so unsupported syntax can never be silently dropped; trailing
@@ -910,13 +912,33 @@ object Sparql {
     // under DISTINCT the hidden keys are functions of projected variables
     // (enforced above), so distinct over projection+keys ≡ over projection
     if (q.distinct) df = df.distinct()
-    if (q.orderKeys.nonEmpty)
-      df = df.orderBy(q.orderKeys.zipWithIndex.map { case (k, i) =>
-        val name = if (k.expr.isDefined) s"__ok$i" else k.v
-        if (k.asc) asc_nulls_first(name) else desc_nulls_last(name)
-      }: _*)
-    q.offset.foreach(n => df = df.offset(n))
-    q.limit.foreach(n => df = df.limit(n))
+    val orderCols = q.orderKeys.zipWithIndex.map { case (k, i) =>
+      val name = if (k.expr.isDefined) s"__ok$i" else k.v
+      if (k.asc) asc_nulls_first(name) else desc_nulls_last(name)
+    }
+    if (orderCols.nonEmpty) df = df.orderBy(orderCols: _*)
+    graphVar.filter(g => df.columns.contains(g) &&
+        (q.limit.nonEmpty || q.offset.nonEmpty)) match {
+      case Some(g) =>
+        // this query is a subquery under GRAPH ?g: eval(GRAPH ?g P)
+        // evaluates P once per named graph, so its OFFSET/LIMIT slice
+        // EACH graph's solution sequence (18.2.5 applied per
+        // evaluation), not the union — a window, not a global limit.
+        // Declared order keys lead; the remaining columns tie-break so
+        // the slice is deterministic where the spec leaves a choice
+        // (the same refinement a re-run must reproduce).
+        val ties = df.columns.toSeq.sorted.map(asc_nulls_first)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(g)).orderBy(orderCols ++ ties: _*)
+        val off = q.offset.getOrElse(0)
+        var keep = col("__rn") > off
+        q.limit.foreach(l => keep = keep && col("__rn") <= off + l)
+        df = df.withColumn("__rn", row_number().over(w))
+          .filter(keep).drop("__rn")
+      case None =>
+        q.offset.foreach(n => df = df.offset(n))
+        q.limit.foreach(n => df = df.limit(n))
+    }
     if (hiddenKeys.nonEmpty) df = df.drop(hiddenKeys.toSeq: _*)
     df
   }
@@ -928,13 +950,11 @@ object Sparql {
     * join key, exactly like property paths do), and this rewrite keeps
     * the column visible: appended to an explicit projection, and, when
     * the subquery aggregates, to GROUP BY (a global aggregate under
-    * GRAPH ?g IS a per-graph aggregate). LIMIT/OFFSET would need
-    * per-graph application (a window, not a global limit) — rejected
-    * loudly; every branch needs a triple/path anchor to bind ?g. */
+    * GRAPH ?g IS a per-graph aggregate). LIMIT/OFFSET likewise apply
+    * PER GRAPH — [[execute]] lowers them to a row_number window
+    * partitioned by ?g instead of a global limit; every branch needs a
+    * triple/path anchor to bind ?g. */
   private def adoptGraphVar(q: Query, g: String): Query = {
-    require(q.limit.isEmpty && q.offset.isEmpty,
-      s"LIMIT/OFFSET in a subquery under GRAPH ?$g would need per-graph " +
-        "application — lift the modifier out of the GRAPH block")
     q.branches.foreach { b =>
       require(b.where.nonEmpty || b.paths.nonEmpty,
         s"every branch of a subquery under GRAPH ?$g needs a triple or " +

@@ -1416,6 +1416,29 @@ class SparqlSpec extends SparkSpec {
     // the ENCODED engine agrees on every shape
     val dict = Dictionary.buildQuads(spark, quads)
     val enc = Dictionary.encodeQuads(quads, dict)
+    // LIMIT/OFFSET inside apply PER GRAPH (eval(GRAPH ?g P) runs P once
+    // per named graph, so the modifiers slice each graph's sequence):
+    // g1's three ordered <p> rows slice to rows 2..3, g2's single row
+    // is exhausted by the offset — a global limit would keep 2 rows
+    // total across graphs instead
+    val slicedText =
+      """SELECT ?g ?s ?o WHERE {
+        |  GRAPH ?g { { SELECT ?s ?o WHERE { ?s <p> ?o . }
+        |               ORDER BY ?s ?o LIMIT 2 OFFSET 1 } }
+        |} ORDER BY ?g ?s ?o""".stripMargin
+    assert(Sparql.runQuads(quads, slicedText)
+      .as[(String, String, String)].collect().toSeq ===
+      Seq(("g1", "a", "c"), ("g1", "x", "y")))
+    // LIMIT-only: each graph contributes ITS first row (a global LIMIT 1
+    // would keep one row total)
+    val limText =
+      """SELECT ?g ?s ?o WHERE {
+        |  GRAPH ?g { { SELECT ?s ?o WHERE { ?s <p> ?o . }
+        |               ORDER BY ?s ?o LIMIT 1 } }
+        |} ORDER BY ?g ?s ?o""".stripMargin
+    assert(Sparql.runQuads(quads, limText)
+      .as[(String, String, String)].collect().toSeq ===
+      Seq(("g1", "a", "b"), ("g2", "a", "b")))
     for (q <- Seq(
       """SELECT ?g ?n WHERE {
         |  GRAPH ?g { { SELECT (COUNT(?s) AS ?n) WHERE { ?s <p> ?o . } } }
@@ -1423,16 +1446,11 @@ class SparqlSpec extends SparkSpec {
       """SELECT ?g ?s ?n WHERE {
         |  GRAPH ?g { ?s <tagged> ?t .
         |             { SELECT (COUNT(?x) AS ?n) WHERE { ?x <p> ?o . } } }
-        |} ORDER BY ?g ?s""".stripMargin)) {
+        |} ORDER BY ?g ?s""".stripMargin,
+      slicedText, limText)) {
       assert(Sparql.runQuadsEncoded(enc, dict, q).collect().toSeq ===
         Sparql.runQuads(quads, q).collect().toSeq, s"encoded diverged: $q")
     }
-    // LIMIT/OFFSET inside would need per-graph application — loud
-    val boom = intercept[IllegalArgumentException](Sparql.runQuads(quads,
-      """SELECT ?g ?s WHERE {
-        |  GRAPH ?g { { SELECT ?s WHERE { ?s <p> ?o . } LIMIT 1 } }
-        |}""".stripMargin))
-    assert(boom.getMessage.contains("per-graph"))
     // a subquery alone anchors ?g (no extra triple needed)
     val alone = Sparql.runQuads(quads,
       """SELECT ?g ?s WHERE {
