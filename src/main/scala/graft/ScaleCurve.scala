@@ -36,7 +36,10 @@ object ScaleCurve {
     // round-7 third wave: extremum summaries, the id-space summary,
     // triangle counting, bounded-round SSSP, and the compatibility join
     "q_bgp_agg_minmax", "q_bgp_agg_encoded", "q_graph_triangles",
-    "q_graph_sssp", "q_sparql_compat")
+    "q_graph_sssp", "q_sparql_compat",
+    // round-8: the entailment layer (sameAs cliques, the class-rule
+    // fixpoint with its two merge rounds) and the distributed codec
+    "q_owl_sameas", "q_owl_class", "q_multimodal_image")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("SCALING.md")

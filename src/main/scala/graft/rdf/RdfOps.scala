@@ -654,13 +654,12 @@ object RdfOps extends QueryModule {
 
     // The network-free protocol loop IN the correctness gate: a SELECT
     // runs through Endpoint (negotiation → store query → W3C CSV
-    // document), the serialized body parses back to a table, and the
-    // oracle checks the round-tripped values — so the serialization
-    // layer itself is oracled, not just spec-tested. The corpus slice
-    // (nations/regions) is comma/quote-free by construction, making the
-    // hand parse exact; hostile-payload quoting is EndpointSpec's job.
+    // document), the serialized body lands as a document and Spark's
+    // distributed CSV reader deserializes it back to a table, and the
+    // oracle checks the round-tripped values — so BOTH sides of the
+    // serialization boundary are oracled end-to-end, no driver-side
+    // string surgery. Hostile-payload quoting is EndpointSpec's job.
     "q_sparql_endpoint" -> ((s, d) => {
-      import s.implicits._
       val root = s"${sys.props("java.io.tmpdir")}/graft_endpoint_" +
         graft.sources.AtomicStore.key(d)
       val quads = Triples.build(s, d)
@@ -672,9 +671,16 @@ object RdfOps extends QueryModule {
           |  ?n <name> ?nname . ?n <region> ?r .
           |}
           |ORDER BY ?n""".stripMargin, accept = Endpoint.Csv)
-      val lines = csv.split("\r\n").toSeq
-      lines.tail.map { l => val a = l.split(",", -1); (a(0), a(1), a(2)) }
-        .toDF(lines.head.split(","): _*)
+      // the response body lands as a document (what an HTTP client does
+      // with it) and Spark's DISTRIBUTED CSV deserializer reads it back
+      // — header, quoting, \r\n records, W3C dialect, end-to-end; no
+      // driver-side string surgery
+      val doc = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/responses"))
+        .resolve("result.csv")
+      java.nio.file.Files.writeString(doc, csv)
+      s.read.option("header", true).option("lineSep", "\r\n")
+        .csv(doc.toString)
     }),
 
     // The full reference user path: SPARQL *text* → parse → BGP algebra →
@@ -1008,6 +1014,22 @@ object RdfOps extends QueryModule {
           |  ?cust <mktsegment> "BUILDING" .
           |  OPTIONAL { ?ord <custkey> ?cust . ?ord <orderstatus> ?st .
           |             FILTER (?st = "F") }
+          |}
+          |ORDER BY ?cust ?ord""".stripMargin)),
+
+    // CORRELATED filter inside OPTIONAL (SPARQL 18.5: LeftJoin(Ω1,Ω2,F)
+    // carries F in the JOIN CONDITION): the urgent-order leg attaches
+    // only for customers whose OUTER nationkey clears the bar — low-key
+    // customers pad even though matching orders exist (a pre-filter
+    // cannot express this; round 7's loud rejection, closed).
+    "q_sparql_correlated" -> ((s, d) =>
+      Sparql.run(Triples.build(s, d), collapseStars = true, text =
+        """SELECT ?cust ?nk ?ord WHERE {
+          |  ?cust <nationkey> ?nk .
+          |  ?cust <mktsegment> "BUILDING" .
+          |  OPTIONAL { ?ord <custkey> ?cust .
+          |             ?ord <orderpriority> "1-URGENT" .
+          |             FILTER (?nk >= 10) }
           |}
           |ORDER BY ?cust ?ord""".stripMargin)),
 
@@ -2171,6 +2193,21 @@ object RdfOps extends QueryModule {
         |           WHERE t1.p = 'custkey' AND t2.p = 'orderstatus'
         |             AND t2.o = 'F') opt
         |  ON req.cust = opt.cust
+        |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
+
+    // the correlated condition restated as the LEFT JOIN ... ON it
+    // lowers to
+    "q_sparql_correlated" -> cte(
+      """SELECT req.cust, req.nk, opt.ord
+        |FROM (SELECT t1.s AS cust, t1.o AS nk
+        |      FROM triples t1 JOIN triples t2 ON t2.s = t1.s
+        |      WHERE t1.p = 'nationkey'
+        |        AND t2.p = 'mktsegment' AND t2.o = 'BUILDING') req
+        |LEFT JOIN (SELECT t3.s AS ord, t3.o AS cust
+        |           FROM triples t3 JOIN triples t4 ON t4.s = t3.s
+        |           WHERE t3.p = 'custkey' AND t4.p = 'orderpriority'
+        |             AND t4.o = '1-URGENT') opt
+        |  ON req.cust = opt.cust AND CAST(req.nk AS BIGINT) >= 10
         |ORDER BY req.cust NULLS FIRST, ord NULLS FIRST""".stripMargin),
 
     "q_sparql_optpath" ->

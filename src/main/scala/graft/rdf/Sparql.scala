@@ -108,10 +108,19 @@ import org.apache.spark.sql.functions._
   * Subquery ORDER BY/LIMIT/OFFSET under `GRAPH ?var` apply PER GRAPH
   * (a row_number window over the threaded ?g — eval(GRAPH ?g P) runs P
   * once per named graph, so its modifiers slice each graph's sequence).
+  * CORRELATED filters — a FILTER inside OPTIONAL or [NOT] EXISTS
+  * referencing outer variables — carry the expression in the join
+  * CONDITION (18.5 LeftJoin(Ω1, Ω2, F) / the errata EXISTS
+  * substitution): a row pads, or fails EXISTS, when no compatible block
+  * row satisfies F, not merely when none exists.
   *
   * Out of fragment (rejected, not silently mis-run): SPARQL Update via
-  * this entry point (see [[Update]]) and correlated filters (a
-  * block-scoped FILTER referencing variables its block does not bind).
+  * this entry point (see [[Update]]), a correlated filter inside MINUS
+  * (the spec evaluates MINUS's group independently, so an
+  * outer-referencing filter there would see its variable UNBOUND and
+  * empty the whole subtrahend — the loud gate protects against that
+  * silent no-op), and correlated filters over possibly-unbound shared
+  * variables.
   * The tokenizer verifies every non-whitespace, non-comment character is
   * consumed by a token and errors with the offset of the first unsupported
   * character, so unsupported syntax can never be silently dropped; trailing
@@ -1254,11 +1263,9 @@ object Sparql {
       }
     }
     applyReadyBinds()
-    // a block-scoped FILTER applies to the block's own solutions before
-    // its join (left/anti/semi); for variables the block itself binds this
-    // IS the spec's semantics in each case — and outer-referencing filters
-    // are rejected loudly (their correlated semantics cannot be expressed
-    // by pre-filtering)
+    // a block-scoped FILTER over variables the block itself binds applies
+    // to the block's own solutions before its join (left/anti/semi) —
+    // equivalent to carrying it in the join condition, and cheaper.
     def solveFiltered(solved: DataFrame, fs: Seq[Expr], what: String): DataFrame = {
       var right = solved
       fs.foreach { f =>
@@ -1271,14 +1278,54 @@ object Sparql {
       }
       right
     }
+    // CORRELATED block filters — referencing OUTER variables — are the
+    // join-condition case: SPARQL 18.5 LeftJoin(Ω1, Ω2, F) / the errata
+    // EXISTS substitution evaluate F over the MERGED solution, so a row
+    // pads (resp. fails EXISTS) when no compatible block row SATISFIES F,
+    // not merely when none exists. Lowered as a left/semi/anti join whose
+    // condition is the shared-variable equality AND F: the block's shared
+    // columns are renamed aside so F's variable references resolve
+    // unambiguously (outer variables to the left frame, block-only
+    // variables to the block — shared ones to the left, whose value
+    // equals the block's under the equi condition). An F-error (null
+    // condition cell) is a non-match, exactly the spec's error→false.
+    // Out of fragment (loud): correlated filters over possibly-unbound
+    // SHARED variables (the mask-group decomposition does not compose
+    // with an in-condition F).
+    def correlatedJoin(solved: DataFrame, correlated: Seq[Expr],
+        joinType: String, what: String): DataFrame = {
+      val missing = correlated.flatMap(exprVars).distinct.filterNot(v =>
+        df.columns.contains(v) || solved.columns.contains(v))
+      require(missing.isEmpty, s"a FILTER inside $what references " +
+        s"variables bound nowhere: ${missing.map("?" + _).mkString(", ")}")
+      val shared = solved.columns.filter(df.columns.contains).toSeq.sorted
+      val unbound = shared.filter(maybeNull)
+      require(unbound.isEmpty, s"a correlated FILTER inside $what with " +
+        s"possibly-unbound shared variables (${
+          unbound.map("?" + _).mkString(", ")}) is out of fragment — " +
+        "restructure the query")
+      val renamed = shared.foldLeft(solved)((d, v) =>
+        d.withColumnRenamed(v, s"__blk_$v"))
+      val cond = (shared.map(v => col(v) === col(s"__blk_$v")) ++
+        correlated.map(boolCol(_, Map.empty))).reduce(_ && _)
+      df.join(renamed, cond, joinType)
+        .drop(shared.map(v => s"__blk_$v"): _*)
+    }
     b.optionals.foreach { case OptBody(pats, paths, fs) =>
       val pieces = (if (pats.nonEmpty) Seq(solveBgp(pats)) else Nil) ++
         paths.map { case (ps, path, po) => solvePath(path, ps, po) }
-      val solved = solveFiltered(pieces.reduce(Bgp.joinSolved), fs, "OPTIONAL")
+      val body = pieces.reduce(Bgp.joinSolved)
+      val (inner, correlated) =
+        fs.partition(f => exprVars(f).forall(body.columns.contains))
+      val solved = solveFiltered(body, inner, "OPTIONAL")
       val before = df.columns.toSet
-      // possibly-unbound shared vars run the compatibility LeftJoin
-      // (mask-group decomposition) — the nested-OPTIONAL idiom
-      df = compatOptional(df, maybeNull.toSet, solved)
+      df =
+        if (correlated.nonEmpty)
+          correlatedJoin(solved, correlated, "left", "OPTIONAL")
+        else
+          // possibly-unbound shared vars run the compatibility LeftJoin
+          // (mask-group decomposition) — the nested-OPTIONAL idiom
+          compatOptional(df, maybeNull.toSet, solved)
       // OPTIONAL-introduced columns are unbound on unmatched rows
       maybeNull ++= df.columns.toSet -- before
     }
@@ -1304,8 +1351,20 @@ object Sparql {
           .map("?" + _).mkString(", ")}"
       }.mkString("; "))
     b.exists.foreach { case (positive, body) =>
-      val blk = solveBody(body, "EXISTS")
-      df = compatSemiAnti(df, maybeNull.toSet, blk, positive)
+      val pieces = (if (body.pats.nonEmpty) Seq(solveBgp(body.pats)) else Nil) ++
+        body.paths.map { case (ps, path, po) => solvePath(path, ps, po) }
+      val raw = pieces.reduce(Bgp.joinSolved)
+      val (inner, correlated) =
+        body.filters.partition(f => exprVars(f).forall(raw.columns.contains))
+      val blk = solveFiltered(raw, inner, "EXISTS")
+      df =
+        if (correlated.nonEmpty)
+          // the errata's substitution semantics: μ1 passes EXISTS iff
+          // some compatible block row satisfies F over the MERGED row —
+          // the semi (anti for NOT) join carries F in its condition
+          correlatedJoin(blk, correlated,
+            if (positive) "left_semi" else "left_anti", "EXISTS")
+        else compatSemiAnti(df, maybeNull.toSet, blk, positive)
     }
     b.filters.foreach(f => df = df.filter(boolCol(f, Map.empty)))
     df

@@ -628,6 +628,65 @@ class SparqlSpec extends SparkSpec {
       .getMessage.contains("unknown prefix"))
   }
 
+  test("correlated block filters: OPTIONAL pads when no compatible row " +
+      "SATISFIES F; EXISTS substitutes outer bindings; MINUS stays loud") {
+    val t = Seq(
+      ("c1", "nk", "5"), ("c2", "nk", "20"), ("c3", "nk", "30"),
+      ("o1", "of", "c1"), ("o2", "of", "c2"))
+      .toDF("s", "p", "o")
+    // c1 has an order but nk=5 fails the bar → PADS (a pre-filter of the
+    // body cannot express this: the body row exists); c2 clears it and
+    // matches; c3 clears it but has no order → pads
+    val opt =
+      """SELECT ?c ?nk ?o WHERE {
+        |  ?c <nk> ?nk .
+        |  OPTIONAL { ?o <of> ?c . FILTER (?nk >= 10) }
+        |} ORDER BY ?c""".stripMargin
+    assert(Sparql.run(t, opt).as[(String, String, Option[String])]
+      .collect().toSeq === Seq(
+      ("c1", "5", None), ("c2", "20", Some("o2")), ("c3", "30", None)))
+    // correlated EXISTS: passes only where a block row satisfies F over
+    // the MERGED row; NOT EXISTS is its complement
+    val ex =
+      """SELECT ?c WHERE {
+        |  ?c <nk> ?nk .
+        |  FILTER EXISTS { ?o <of> ?c . FILTER (?nk >= 10) }
+        |}""".stripMargin
+    assert(Sparql.run(t, ex).as[String].collect().toSeq === Seq("c2"))
+    val nex =
+      """SELECT ?c WHERE {
+        |  ?c <nk> ?nk .
+        |  FILTER NOT EXISTS { ?o <of> ?c . FILTER (?nk >= 10) }
+        |} ORDER BY ?c""".stripMargin
+    assert(Sparql.run(t, nex).as[String].collect().toSeq ===
+      Seq("c1", "c3"))
+    // encoded execution agrees bit-for-bit on all three shapes
+    val dict = Dictionary.build(spark, t)
+    val enc = Dictionary.encode(t, dict)
+    for (q <- Seq(opt, ex, nex)) {
+      val viaString = Sparql.run(t, q)
+      val viaIds = Sparql.runEncoded(enc, dict, q)
+      assert(viaString.exceptAll(viaIds).count() === 0, q)
+      assert(viaIds.exceptAll(viaString).count() === 0, q)
+    }
+    // MINUS keeps the loud gate: per spec its group evaluates
+    // INDEPENDENTLY, so an outer-referencing filter would see the
+    // variable unbound and silently empty the subtrahend
+    val boom = intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?c WHERE {
+        |  ?c <nk> ?nk .
+        |  MINUS { ?o <of> ?c . FILTER (?nk >= 10) }
+        |}""".stripMargin))
+    assert(boom.getMessage.contains("MINUS"))
+    // a filter variable bound NOWHERE is loud, not silently null
+    val boom2 = intercept[IllegalArgumentException](Sparql.run(t,
+      """SELECT ?c WHERE {
+        |  ?c <nk> ?nk .
+        |  OPTIONAL { ?o <of> ?c . FILTER (?ghost >= 10) }
+        |}""".stripMargin))
+    assert(boom2.getMessage.contains("ghost"))
+  }
+
   test("MINUS-only constants resolve on the encoded path (encoded ≡ string)") {
     val dict = Dictionary.build(spark, triples)
     val enc = Dictionary.encode(triples, dict)
