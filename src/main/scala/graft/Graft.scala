@@ -243,6 +243,53 @@ object Graft {
       dels: DataFrame): rdf.ExtVp.Store =
     rdf.ExtVp.maintain(store, adds, dels)
 
+  // ---- entailment (RDFS ρdf + OWL-Horst) ----
+  /** Materialize the RDFS entailment (rdfs2/3/5/7/9/11) of a triple
+    * frame under a KB-sized schema — one map-side scan + distinct. */
+  def rdfsEntail(t: DataFrame, schema: rdf.Rdfs.Schema): DataFrame =
+    rdf.Rdfs.entail(t, schema)
+  /** Rewrite subjects/objects onto their owl:sameAs clique minimum,
+    * consuming the sameAs triples. */
+  def sameAsCanonical(t: DataFrame, sameAsPred: String = "sameAs"): DataFrame =
+    rdf.Owl.sameAsCanonical(t, sameAsPred)
+  /** OWL-Horst property rules: per-predicate transitive closure,
+    * declared inverses, symmetric mirrors. */
+  def owlEntail(t: DataFrame, transitive: Seq[String] = Nil,
+      inverses: Seq[(String, String)] = Nil,
+      symmetric: Seq[String] = Nil): DataFrame =
+    rdf.Owl.entail(t, transitive, inverses, symmetric)
+  /** OWL-Horst CLASS rules to fixpoint: equivalence cliques,
+    * (inverse-)functional→sameAs feedback, hasValue, someValuesFrom. */
+  def owlClassEntail(t: DataFrame, cs: rdf.Owl.ClassSchema): DataFrame =
+    rdf.Owl.entailClass(t, cs)
+
+  // ---- multimodal ----
+  /** REAL image decode (JDK javax.imageio, per-partition): exact
+    * geometry + per-channel pixel sums per payload. */
+  def decodeImages(media: Dataset[llm.Multimodal.Media])
+      : Dataset[llm.Multimodal.ImageFeatures] =
+    llm.Multimodal.decodeImage(media)
+  /** Media → fixed-dim embedding (per-partition encoder batches),
+    * directly joinable to the vector stack. */
+  def embedMedia(media: Dataset[llm.Multimodal.Media], dim: Int = 16): DataFrame =
+    llm.Multimodal.embedMedia(media, dim)
+
+  // ---- persisted MinHash-LSH index (appendable, compacting) ----
+  def lshIndexBuild(docs: DataFrame, root: String): Unit =
+    llm.LshIndex.build(docs, root)
+  /** Index an arriving batch as a new immutable segment (existing
+    * signatures never recompute). */
+  def lshIndexAppend(docs: DataFrame, root: String): Int =
+    llm.LshIndex.append(docs, root)
+  /** Near-dup candidates of a probe batch against the whole index. */
+  def lshIndexProbe(spark: SparkSession, root: String, probes: DataFrame,
+      minEst: Double): DataFrame =
+    llm.LshIndex.probe(spark, root, probes, minEst)
+  /** Fold-to-base retention: probe plans stay bounded across thousands
+    * of ingest batches. */
+  def lshIndexCompact(spark: SparkSession, root: String): Int =
+    llm.LshIndex.compact(spark, root)
+
   // ---- span-level dedup / decontamination ----
   /** Per-document duplicated-span statistics; `hashSpans` shuffles
     * 8-byte xxhash64 keys instead of span text (the 100 TB path). */

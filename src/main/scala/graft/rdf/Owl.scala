@@ -111,34 +111,41 @@ object Owl {
         Seq(lit(k), array(vs.map(lit): _*)) }: _*)
     val clsMap = lookup(cliques(cs.equivalentClass))
     val prpMap = lookup(cliques(cs.equivalentProperty))
-    val types = t.filter(col("p") === "type")
-    val props = t.filter(col("p") =!= "type")
-    // rdfp12a/b+rdfs: a type triple holds for every clique member
-    val viaCls = types.select(col("s"), col("p"), explode(
-      coalesce(element_at(clsMap, col("o")), array(col("o")))).as("o"))
+    // rdfp12a/b: a type triple holds for every clique member — applied
+    // to EVERY emitted membership (not just the input's), so an
+    // equivalence lift never costs an extra fixpoint round
+    def liftCls(typed: DataFrame): DataFrame =
+      typed.select(col("s"), col("p"), explode(
+        coalesce(element_at(clsMap, col("o")), array(col("o")))).as("o"))
+    val viaCls = liftCls(t.filter(col("p") === "type"))
     // rdfp13a/b: a triple holds under every equivalent predicate
-    val viaPrp = props.select(col("s"), explode(
+    val viaPrp = t.filter(col("p") =!= "type").select(col("s"), explode(
       coalesce(element_at(prpMap, col("p")), array(col("p")))).as("p"),
       col("o"))
+    // downstream rules consume the LIFTED frames, so a witness arriving
+    // through property equivalence (or a membership through class
+    // equivalence) fires its dependent rule in the SAME round — the
+    // fixpoint's round count tracks only the sameAs feedback and the
+    // genuinely sequential rule chains, not the clique declarations
     var out = viaCls.unionByName(viaPrp)
     if (cs.hasValue.nonEmpty) {
       val hv = broadcast(cs.hasValue.toDF("__cls", "__prop", "__value"))
       // rdfp14b: membership ⊢ the witness triple
-      out = out.unionByName(types.join(hv, col("o") === col("__cls"))
+      out = out.unionByName(viaCls.join(hv, col("o") === col("__cls"))
         .select(col("s"), col("__prop").as("p"), col("__value").as("o")))
-      // rdfp14a: the witness triple ⊢ membership
-      out = out.unionByName(props.join(hv,
+      // rdfp14a: the witness triple ⊢ membership (clique-lifted)
+      out = out.unionByName(liftCls(viaPrp.join(hv,
           col("p") === col("__prop") && col("o") === col("__value"))
-        .select(col("s"), lit("type").as("p"), col("__cls").as("o")))
+        .select(col("s"), lit("type").as("p"), col("__cls").as("o"))))
     }
     if (cs.someValuesFrom.nonEmpty) {
       val sv = broadcast(cs.someValuesFrom.toDF("__cls", "__prop", "__vcls"))
       // rdfp15: the one instance×instance rule — an equi-join on the
       // witness node, schema broadcast, both sides predicate-pruned
-      val typed = types.select(col("s").as("__y"), col("o").as("__yc"))
-      out = out.unionByName(props.join(sv, col("p") === col("__prop"))
+      val typed = viaCls.select(col("s").as("__y"), col("o").as("__yc"))
+      out = out.unionByName(liftCls(viaPrp.join(sv, col("p") === col("__prop"))
         .join(typed, col("o") === col("__y") && col("__yc") === col("__vcls"))
-        .select(col("s"), lit("type").as("p"), col("__cls").as("o")))
+        .select(col("s"), lit("type").as("p"), col("__cls").as("o"))))
     }
     out.distinct()
   }

@@ -62,4 +62,45 @@ class GraftFacadeSpec extends SparkSpec {
     assert(st.vp("p").count() === 2)
     Seq(store, view, agg).foreach(p => rmTree(new java.io.File(p)))
   }
+
+  test("façade entailment, multimodal and LSH-index delegates stay wired") {
+    // RDFS + OWL property/class rules
+    val schema = rdf.Rdfs.Schema(Seq("C" -> "D"), Nil, Seq("p" -> "C"), Nil)
+    assert(graft.Graft.rdfsEntail(
+      Seq(("a", "p", "b")).toDF("s", "p", "o"), schema)
+      .filter($"p" === "type").as[(String, String, String)]
+      .collect().toSet === Set(("a", "type", "C"), ("a", "type", "D")))
+    assert(graft.Graft.sameAsCanonical(
+      Seq(("b", "sameAs", "a"), ("b", "k", "v")).toDF("s", "p", "o"))
+      .as[(String, String, String)].collect().toSet === Set(("a", "k", "v")))
+    assert(graft.Graft.owlEntail(
+      Seq(("a", "t", "b"), ("b", "t", "c")).toDF("s", "p", "o"),
+      transitive = Seq("t")).count() === 3)
+    assert(graft.Graft.owlClassEntail(
+      Seq(("x", "m", "B")).toDF("s", "p", "o"),
+      rdf.Owl.ClassSchema(hasValue = Seq(("K", "m", "B"))))
+      .as[(String, String, String)].collect().toSet ===
+      Set(("x", "m", "B"), ("x", "type", "K")))
+    // multimodal: real decode + embedding
+    val docs = Seq((3L, "payload")).toDF("doc_id", "text")
+    val feats = graft.Graft.decodeImages(
+      llm.Multimodal.encodePng(docs)).collect()
+    assert(feats.head.width === 4 && feats.head.height === 4) // 1+3%8, 1+3%5
+    assert(graft.Graft.embedMedia(
+      llm.Multimodal.withPayload(docs).as[llm.Multimodal.Media])
+      .count() === 1)
+    // persisted LSH index: build → append → compact → probe
+    val root = java.nio.file.Files.createTempDirectory("gf_lsh").toString
+    val corpus = (1L to 2L).map(i =>
+      (i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    graft.Graft.lshIndexBuild(corpus.filter($"doc_id" === 1), root)
+    assert(graft.Graft.lshIndexAppend(
+      corpus.filter($"doc_id" === 2), root) === 2)
+    assert(graft.Graft.lshIndexCompact(spark, root) === 1)
+    // probe excludes self-pairs: doc 1's only hit is its twin, doc 2
+    assert(graft.Graft.lshIndexProbe(spark, root,
+      corpus.filter($"doc_id" === 1), minEst = 0.9)
+      .select("corpus_id").as[Long].collect().toSeq === Seq(2L))
+    rmTree(new java.io.File(root))
+  }
 }

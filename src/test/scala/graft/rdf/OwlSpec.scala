@@ -91,8 +91,9 @@ class OwlSpec extends SparkSpec {
     assert(wit === Set(("x", "type", "BC"), ("x", "type", "CC"),
       ("x", "mseg", "B"), ("x", "seg", "B")))
     // non-convergence inside maxRounds fails loudly, never silently
-    // truncates: hasValue membership arrives in round 1, its clique
-    // lift needs round 2 — cap below the needed depth and it throws
+    // truncates: round 0 grows the set (hasValue membership + clique
+    // lift), so the confirming fixpoint pass needs round 1 — cap below
+    // that and it throws
     val deep = Owl.ClassSchema(
       equivalentClass = Seq("K1" -> "K2"),
       hasValue = Seq(("K1", "has", "v")))

@@ -1153,16 +1153,18 @@ class SparqlSpec extends SparkSpec {
         |}""".stripMargin)
     assert(got.select("cust", "ord").exceptAll(viaConst).count() === 0)
     assert(viaConst.exceptAll(got.select("cust", "ord")).count() === 0)
-    // a filter on a variable NOT bound in the block is a loud error (its
-    // LeftJoin-condition semantics can't be expressed by pre-filtering)
-    val e = intercept[IllegalArgumentException] {
-      Sparql.run(triples,
-        """SELECT ?cust WHERE {
-          |  ?cust <mktsegment> ?seg .
-          |  OPTIONAL { ?ord <custkey> ?cust . FILTER (?seg = "BUILDING") }
-          |}""".stripMargin).count()
-    }
-    assert(e.getMessage.contains("inside its block"))
+    // a filter on an OUTER variable runs the LeftJoin-condition
+    // semantics (18.5): orders attach only where the outer segment
+    // clears the condition — other customers pad even when orders exist
+    val corr = Sparql.run(triples,
+      """SELECT ?cust ?seg ?ord WHERE {
+        |  ?cust <mktsegment> ?seg .
+        |  OPTIONAL { ?ord <custkey> ?cust . FILTER (?seg = "BUILDING") }
+        |}""".stripMargin)
+    assert(corr.filter($"ord".isNotNull && $"seg" =!= "BUILDING")
+      .count() === 0, "non-BUILDING rows must pad, not match")
+    assert(corr.filter($"ord".isNotNull && $"seg" === "BUILDING").count() > 0)
+    assert(corr.filter($"ord".isNull && $"seg" =!= "BUILDING").count() > 0)
   }
 
   test("CONSTRUCT WHERE shorthand uses the patterns as the template") {
@@ -1761,17 +1763,37 @@ class SparqlSpec extends SparkSpec {
         |}""".stripMargin)
     assert(viaExists.count() === existsConst.count() && viaExists.count() > 0)
     assert(viaExists.exceptAll(existsConst).count() === 0)
-    // outer-variable references stay loud errors in both block kinds
+    // outer-variable references stay loud errors in MINUS (its group
+    // evaluates independently — the filter would see ?seg unbound and
+    // silently empty the subtrahend)
     intercept[IllegalArgumentException](Sparql.run(triples,
       """SELECT ?cust WHERE {
         |  ?cust <mktsegment> ?seg .
         |  MINUS { ?ord <custkey> ?cust . FILTER (?seg = "BUILDING") }
         |}""".stripMargin).count())
-    intercept[IllegalArgumentException](Sparql.run(triples,
-      """SELECT ?cust WHERE {
+    // ...but run the errata substitution semantics in [NOT] EXISTS: only
+    // customers whose OUTER segment fails the condition (or who have no
+    // orders at all) survive the NOT EXISTS
+    val nexCorr = Sparql.run(triples,
+      """SELECT ?cust ?seg WHERE {
         |  ?cust <mktsegment> ?seg .
-        |  FILTER NOT EXISTS { ?ord <custkey> ?cust . FILTER (?seg = "X") }
-        |}""".stripMargin).count())
+        |  FILTER NOT EXISTS { ?ord <custkey> ?cust .
+        |                      FILTER (?seg = "BUILDING") }
+        |}""".stripMargin)
+    assert(nexCorr.count() > 0)
+    val withOrders = Sparql.run(triples,
+      """SELECT ?cust ?seg WHERE {
+        |  ?cust <mktsegment> ?seg .
+        |  FILTER EXISTS { ?ord <custkey> ?cust . }
+        |}""".stripMargin)
+    // no surviving BUILDING customer has any order
+    assert(nexCorr.filter($"seg" === "BUILDING")
+      .join(withOrders, Seq("cust"), "left_semi").count() === 0)
+    // every non-BUILDING customer survives (the condition can't hold)
+    assert(nexCorr.filter($"seg" =!= "BUILDING").count() ===
+      Sparql.run(triples,
+        """SELECT ?cust ?seg WHERE { ?cust <mktsegment> ?seg .
+          |  FILTER (?seg != "BUILDING") }""".stripMargin).count())
   }
 
   test("nested { group } UNION { group } joins the enclosing block on shared vars") {
