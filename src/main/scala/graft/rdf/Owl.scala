@@ -187,7 +187,13 @@ object Owl {
     * actually derived pairs. */
   def entailClass(triples: DataFrame, cs: ClassSchema,
       sameAsPred: String = "sameAs", maxRounds: Int = 8): DataFrame = {
-    var cur = graft.Materialize(sameAsCanonical(triples, sameAsPred))
+    // an input without declared sameAs skips the initial clique pass
+    // entirely (the common case — aliases usually arrive DERIVED, from
+    // the functional rules, not declared)
+    var cur = graft.Materialize(
+      if (triples.filter(col("p") === sameAsPred).isEmpty)
+        triples.select("s", "p", "o").distinct()
+      else sameAsCanonical(triples, sameAsPred))
     var n = cur.count()
     var round = 0
     while (true) {

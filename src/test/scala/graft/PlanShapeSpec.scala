@@ -333,4 +333,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("q_sparql_correlated keeps the equi component of the LeftJoin " +
+      "condition — hash/merge join with F as residual, never a loop") {
+    val p = plan("q_sparql_correlated")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sparql_graphlimit lowers the per-graph slice to ONE window, " +
+      "no loop joins") {
+    val p = plan("q_sparql_graphlimit")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_multimodal_image is join-free: generate → decode → sort only") {
+    val p = plan("q_multimodal_image")
+    assert(!p.contains("Join"), p)
+  }
 }
