@@ -179,6 +179,13 @@ object Graft {
       namedGraphUris: Seq[String] = Nil): (String, String) =
     rdf.Endpoint.query(spark, root, text, accept,
       defaultGraphUris = defaultGraphUris, namedGraphUris = namedGraphUris)
+  /** Serve the store over REAL HTTP on loopback: the SPARQL 1.1
+    * Protocol (query + update) and the Graph Store Protocol, JDK
+    * httpserver transport over [[rdf.Endpoint]]'s protocol logic.
+    * `port = 0` binds an ephemeral port; stop with `.stop()`. */
+  def serveHttp(spark: SparkSession, root: String,
+      port: Int = 0): rdf.HttpEndpoint.Server =
+    rdf.HttpEndpoint.serve(spark, root, port)
 
   // ---- persisted materialized views (binding + summary) ----
   /** Materialize a conjunctive SPARQL view over a store; incremental

@@ -683,6 +683,42 @@ object RdfOps extends QueryModule {
         .csv(doc.toString)
     }),
 
+    // The SPARQL Protocol over REAL HTTP: a live loopback server (JDK
+    // com.sun.net.httpserver wrapping Endpoint) answers GET /sparql with
+    // Accept: text/csv; the W3C CSV document crosses an actual socket,
+    // lands as a file, and Spark's distributed CSV reader deserializes
+    // it. Same query and oracle as q_sparql_endpoint — the transport is
+    // proven value-identical to the network-free protocol path.
+    "q_sparql_http" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_httpep_" +
+        graft.sources.AtomicStore.key(d)
+      val quads = Triples.build(s, d)
+        .filter(col("s").startsWith("n:") || col("s").startsWith("r:"))
+        .withColumn("g", lit(""))
+      QuadStore.init(quads, root)
+      val srv = HttpEndpoint.serve(s, root)
+      try {
+        val q = java.net.URLEncoder.encode(
+          """SELECT ?n ?nname ?r WHERE {
+            |  ?n <name> ?nname . ?n <region> ?r .
+            |}
+            |ORDER BY ?n""".stripMargin,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"${srv.url}/sparql?query=$q"))
+            .header("Accept", "text/csv").build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"HTTP ${resp.statusCode()}: ${resp.body()}")
+        val doc = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/responses")).resolve("http.csv")
+        java.nio.file.Files.writeString(doc, resp.body())
+        s.read.option("header", true).option("lineSep", "\r\n")
+          .csv(doc.toString)
+      } finally srv.stop()
+    }),
+
     // The full reference user path: SPARQL *text* → parse → BGP algebra →
     // star-collapsed execution, with OPTIONAL-free chain + FILTER regex.
     "q_sparql_text" -> ((s, d) => {
@@ -2580,6 +2616,12 @@ object RdfOps extends QueryModule {
 
     // CSV cells are lexical forms — strings on both sides
     "q_sparql_endpoint" -> cte(
+      """SELECT 'n:' || n_nationkey AS n, n_name AS nname,
+        |       'r:' || n_regionkey AS r
+        |FROM nation ORDER BY n""".stripMargin),
+
+    // identical values over the REAL HTTP transport
+    "q_sparql_http" -> cte(
       """SELECT 'n:' || n_nationkey AS n, n_name AS nname,
         |       'r:' || n_regionkey AS r
         |FROM nation ORDER BY n""".stripMargin),

@@ -1,0 +1,143 @@
+package graft.rdf
+
+import graft.SparkSpec
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The SPARQL Protocol over REAL HTTP: every request here crosses an
+  * actual loopback socket through the JDK HttpClient — transport,
+  * negotiation, dataset parameters, updates and the Graph Store
+  * Protocol, end-to-end against a live [[QuadStore]]. */
+class HttpEndpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val client = HttpClient.newHttpClient()
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+
+  private def get(url: String, accept: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    if (accept.nonEmpty) b.header("Accept", accept)
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def post(url: String, body: String, contentType: String,
+      accept: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    if (accept.nonEmpty) b.header("Accept", accept)
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def method(url: String, m: String, body: String = "")
+      : HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .method(m, HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def withServer(f: (HttpEndpoint.Server, String) => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("http_store").toString
+    QuadStore.init(Seq(
+      ("c1", "seg", "B", ""), ("c1", "nat", "de", ""),
+      ("c2", "seg", "M", ""), ("c2", "nat", "fr", ""),
+      ("x1", "p", "one", "g:a"), ("x2", "p", "two", "g:b"))
+      .toDF("s", "p", "o", "g"), root)
+    val srv = HttpEndpoint.serve(spark, root)
+    try f(srv, root)
+    finally { srv.stop(); rmTree(new java.io.File(root)) }
+  }
+
+  test("GET /sparql: query param + Accept negotiation over a real socket") {
+    withServer { (srv, _) =>
+      val q = "SELECT ?s WHERE { ?s <seg> \"B\" . } ORDER BY ?s"
+      val csv = get(s"${srv.url}/sparql?query=${enc(q)}", accept = "text/csv")
+      assert(csv.statusCode() === 200)
+      assert(csv.headers().firstValue("Content-Type").get.startsWith("text/csv"))
+      assert(csv.body() === "s\r\nc1\r\n")
+      // q-values steer: CSV at q=0 must never be chosen — json wins
+      val nego = get(s"${srv.url}/sparql?query=${enc(q)}",
+        accept = "text/csv;q=0, application/sparql-results+json;q=0.5")
+      assert(nego.statusCode() === 200)
+      assert(nego.headers().firstValue("Content-Type").get
+        .startsWith("application/sparql-results+json"))
+      assert(nego.body().contains("\"s\""))
+      // nothing acceptable → client error, names the offered formats
+      val bad = get(s"${srv.url}/sparql?query=${enc(q)}",
+        accept = "application/pdf")
+      assert(bad.statusCode() === 400 && bad.body().contains("text/csv"))
+      // malformed query → 400 with the parser's message, never a 500
+      val boom = get(s"${srv.url}/sparql?query=${enc("SELECT WHERE {")}")
+      assert(boom.statusCode() === 400)
+      // missing query param → 400
+      assert(get(s"${srv.url}/sparql").statusCode() === 400)
+    }
+  }
+
+  test("POST /sparql: urlencoded and direct-body forms; protocol dataset " +
+      "parameters define the dataset") {
+    withServer { (srv, _) =>
+      val q = "SELECT ?s ?o WHERE { ?s <p> ?o . } ORDER BY ?s"
+      // §2.1.2 urlencoded form
+      val form = post(s"${srv.url}/sparql", s"query=${enc(q)}",
+        "application/x-www-form-urlencoded", accept = "text/csv")
+      assert(form.statusCode() === 200)
+      // the default graph holds no <p> triples
+      assert(form.body() === "s,o\r\n")
+      // §2.1.3 direct body + §2.1.4 default-graph-uri on the URL: the
+      // dataset is the merge of the named slices
+      val direct = post(
+        s"${srv.url}/sparql?default-graph-uri=${enc("g:a")}" +
+          s"&default-graph-uri=${enc("g:b")}",
+        q, "application/sparql-query", accept = "text/csv")
+      assert(direct.statusCode() === 200)
+      assert(direct.body() === "s,o\r\nx1,one\r\nx2,two\r\n")
+      // named-graph-uri restricts GRAPH's range
+      val named =
+        "SELECT ?g ?o WHERE { GRAPH ?g { ?s <p> ?o . } } ORDER BY ?g"
+      val ng = get(s"${srv.url}/sparql?query=${enc(named)}" +
+        s"&named-graph-uri=${enc("g:b")}", accept = "text/csv")
+      assert(ng.body() === "g,o\r\ng:b,two\r\n")
+    }
+  }
+
+  test("POST /update mutates the store atomically; GSP round-trips a " +
+      "graph document") {
+    withServer { (srv, _) =>
+      // update: urlencoded ;-request = ONE version
+      val upd = post(s"${srv.url}/update",
+        "update=" + enc(
+          """INSERT DATA { <c3> <seg> "B" . } ;
+            |DELETE DATA { <c1> <seg> "B" . }""".stripMargin),
+        "application/x-www-form-urlencoded")
+      assert(upd.statusCode() === 204)
+      val q = "SELECT ?s WHERE { ?s <seg> \"B\" . } ORDER BY ?s"
+      assert(get(s"${srv.url}/sparql?query=${enc(q)}", "text/csv").body()
+        === "s\r\nc3\r\n")
+      // direct-body update form
+      assert(post(s"${srv.url}/update",
+        """INSERT DATA { <c4> <seg> "B" . }""",
+        "application/sparql-update").statusCode() === 204)
+      assert(get(s"${srv.url}/sparql?query=${enc(q)}", "text/csv").body()
+        === "s\r\nc3\r\nc4\r\n")
+      // GSP: PUT replaces a named graph, GET serves the document back,
+      // POST merges, DELETE drops — all over the wire
+      val doc = "<http://e/s> <http://e/p> \"v\" .\n"
+      assert(method(s"${srv.url}/graph?graph=${enc("g:new")}", "PUT", doc)
+        .statusCode() === 204)
+      val got = get(s"${srv.url}/graph?graph=${enc("g:new")}")
+      assert(got.statusCode() === 200 && got.body() === doc)
+      assert(method(s"${srv.url}/graph?graph=${enc("g:new")}", "POST",
+        "<http://e/s2> <http://e/p> \"w\" .\n").statusCode() === 204)
+      assert(get(s"${srv.url}/graph?graph=${enc("g:new")}")
+        .body().linesIterator.size === 2)
+      assert(method(s"${srv.url}/graph?graph=${enc("g:new")}", "DELETE")
+        .statusCode() === 204)
+      assert(get(s"${srv.url}/graph?graph=${enc("g:new")}").body() === "")
+      // addressing without ?graph or ?default is a client error
+      assert(get(s"${srv.url}/graph").statusCode() === 400)
+    }
+  }
+}
