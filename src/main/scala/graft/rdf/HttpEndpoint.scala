@@ -130,6 +130,84 @@ object HttpEndpoint {
     Server(http)
   }
 
+  /** SERVICE solver against LIVE HTTP endpoints (IRI → base URL): the
+    * body renders back to SPARQL text ([[Sparql.renderService]] — the
+    * pure-BGP remote fragment), POSTs to the remote `/sparql` as
+    * `application/sparql-query` with `Accept: text/csv`, and the W3C
+    * CSV solution document parses into a bindings frame that the
+    * enclosing query joins set-at-a-time — ONE remote round-trip per
+    * SERVICE block, never per-binding chatter. SILENT skips a branch on
+    * an unregistered IRI, a transport failure, or a remote error; a
+    * VARIABLE endpoint ranges over the registry with ?ep bound per
+    * branch (the same rules as the network-free registry solver).
+    *
+    * Scale note: the remote answers a BOUNDED document (its own maxRows
+    * gate) — federation here is for dimension-sized remote slices, the
+    * protocol's use case; corpus-sized remote joins belong on shared
+    * storage, not HTTP. */
+  def serviceSolver(spark: SparkSession,
+      urls: Map[String, String])
+      : (Boolean, Term, Sparql.Block) => Option[org.apache.spark.sql.DataFrame] = {
+    lazy val solve: (Boolean, Term, Sparql.Block) =>
+        Option[org.apache.spark.sql.DataFrame] = {
+      case (silent, V(epVar), body) =>
+        require(urls.nonEmpty,
+          "SERVICE with a variable endpoint needs a non-empty endpoint " +
+            "registry — the variable ranges over registered IRIs")
+        val branches = urls.keys.toSeq.sorted.flatMap { iri =>
+          val solved =
+            if (silent)
+              try solve(silent, C(iri), body)
+              catch { case scala.util.control.NonFatal(_) => None }
+            else solve(silent, C(iri), body)
+          solved.map { df =>
+            import org.apache.spark.sql.functions.{col, lit}
+            if (df.columns.contains(epVar)) df.filter(col(epVar) === lit(iri))
+            else df.withColumn(epVar, lit(iri))
+          }
+        }
+        if (branches.isEmpty) None
+        else Some(branches.reduce(_.unionByName(_,
+          allowMissingColumns = true)))
+      case (silent, C(iri: String), body) =>
+        urls.get(iri) match {
+          case None =>
+            if (silent) None
+            else throw new IllegalArgumentException(
+              s"SERVICE endpoint <$iri> is not registered — known: ${
+                urls.keys.toSeq.sorted.mkString(", ")}")
+          case Some(base) =>
+            val text = Sparql.renderService(body)
+            val fetch = () => {
+              val resp = java.net.http.HttpClient.newHttpClient().send(
+                java.net.http.HttpRequest
+                  .newBuilder(java.net.URI.create(s"$base/sparql"))
+                  .header("Content-Type", "application/sparql-query")
+                  .header("Accept", "text/csv")
+                  .POST(java.net.http.HttpRequest.BodyPublishers
+                    .ofString(text))
+                  .build(),
+                java.net.http.HttpResponse.BodyHandlers.ofString())
+              require(resp.statusCode() == 200,
+                s"remote <$iri> answered HTTP ${resp.statusCode()}: ${
+                  resp.body().take(500)}")
+              val doc = java.nio.file.Files.createTempFile("graft_svc", ".csv")
+              java.nio.file.Files.writeString(doc, resp.body())
+              spark.read.option("header", true).option("lineSep", "\r\n")
+                .csv(doc.toString)
+            }
+            if (silent)
+              try Some(fetch())
+              catch { case scala.util.control.NonFatal(_) => None }
+            else Some(fetch())
+        }
+      case (_, C(other), _) =>
+        throw new IllegalArgumentException(
+          s"SERVICE endpoint must be an IRI or a variable, got $other")
+    }
+    solve
+  }
+
   /** A client-caused failure → 400 (vs 500 for everything else). */
   private final case class Bad(msg: String) extends RuntimeException(msg)
 

@@ -1565,6 +1565,34 @@ object RdfOps extends QueryModule {
           |ORDER BY ?nname""".stripMargin)
     }),
 
+    // TRUE federation: the SERVICE body executes on a LIVE REMOTE
+    // HTTP endpoint (an HttpEndpoint server over its own QuadStore —
+    // a different store than the local triples), its W3C CSV solution
+    // document crosses a real socket, and the enclosing query joins it
+    // set-at-a-time — one round-trip for the whole block, never
+    // per-binding chatter. Same query shape and oracle as
+    // q_sparql_service, so the wire path is proven value-identical to
+    // the network-free registry path.
+    "q_sparql_service_live" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_svclive_" +
+        graft.sources.AtomicStore.key(d)
+      val suppliers = Triples.fromTable(graft.sources.Tables.supplier(s, d),
+        concat(lit("sup:"), col("s_suppkey")), Seq(
+          "nation" -> concat(lit("n:"), col("s_nationkey")),
+          "name" -> col("s_name")))
+      QuadStore.init(suppliers.withColumn("g", lit("")), root)
+      val srv = HttpEndpoint.serve(s, root)
+      try {
+        Sparql.runHttpFederated(Triples.build(s, d),
+          urls = Map("graft://suppliers" -> srv.url), text =
+          """SELECT DISTINCT ?nname WHERE {
+            |  ?n <name> ?nname . ?n <region> ?r .
+            |  SERVICE <graft://suppliers> { ?sup <nation> ?n . }
+            |}
+            |ORDER BY ?nname""".stripMargin)
+      } finally srv.stop()
+    }),
+
     // SERVICE with a VARIABLE endpoint: ?ep ranges over the registered
     // endpoint map (the engine's service description — the spec leaves a
     // variable's domain implementation-defined), the body solves once
@@ -2424,6 +2452,13 @@ object RdfOps extends QueryModule {
          |ORDER BY ord""".stripMargin),
 
     "q_sparql_service" -> cte(
+      """SELECT DISTINCT n.n_name AS nname
+        |FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |ORDER BY nname""".stripMargin),
+
+    // identical values when the suppliers leg executes on the live
+    // remote endpoint
+    "q_sparql_service_live" -> cte(
       """SELECT DISTINCT n.n_name AS nname
         |FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
         |ORDER BY nname""".stripMargin),

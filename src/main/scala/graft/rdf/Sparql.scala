@@ -301,6 +301,64 @@ object Sparql {
       endpointSolver(endpoints))
   }
 
+  /** [[run]] with SERVICE federation against LIVE HTTP endpoints
+    * (IRI → base URL, e.g. an [[HttpEndpoint]] server or any conformant
+    * SPARQL Protocol service): the SERVICE body executes REMOTELY over
+    * the wire and its solution document joins set-at-a-time — true
+    * distributed federation over the real transport. The remote
+    * fragment is pure basic graph patterns (the dominant federation
+    * shape; anything else in a SERVICE body is loud). Everything
+    * outside SERVICE runs the full local grammar. */
+  def runHttpFederated(triples: DataFrame, text: String,
+      urls: Map[String, String],
+      collapseStars: Boolean = false): DataFrame = {
+    val q = parse(text)
+    require(q.fromGraphs.isEmpty && q.fromNamed.isEmpty,
+      "FROM / FROM NAMED dataset clauses require a quads dataset — " +
+        "use Sparql.runQuads")
+    execute(q,
+      bgp =>
+        if (collapseStars) Bgp.solveStarCollapsed(triples, bgp)
+        else Bgp.solve(triples, bgp),
+      (path, s, o) => solvePathOver(triples, path, s, o),
+      (_, _) => throw new IllegalArgumentException(
+        "GRAPH requires a quad dataset — use Sparql.runQuads"),
+      HttpEndpoint.serviceSolver(triples.sparkSession, urls))
+  }
+
+  /** Render a SERVICE body back to SPARQL surface syntax for remote
+    * execution — the pure-BGP fragment (anything else is loud; the
+    * LOCAL grammar stays full). Constants render as `<iri>` in
+    * subject/predicate position and as quoted literals in object
+    * position; both parse back to the same plain lexical terms on a
+    * conformant remote (this engine's own convention). */
+  private[rdf] def renderService(body: Block): String = {
+    require(body.optionals.isEmpty && body.filters.isEmpty &&
+      body.minuses.isEmpty && body.values.isEmpty && body.binds.isEmpty &&
+      body.paths.isEmpty && body.exists.isEmpty &&
+      body.subqueries.isEmpty && body.graphs.isEmpty &&
+      body.unions.isEmpty && body.services.isEmpty,
+      "HTTP SERVICE federation executes pure basic-graph-pattern " +
+        "bodies remotely in this fragment — restructure the SERVICE " +
+        "block (the local grammar outside SERVICE is unrestricted)")
+    require(body.where.nonEmpty, "empty SERVICE body")
+    def term(t: Term, objPos: Boolean): String = t match {
+      case V(n) => s"?$n"
+      case C(v: String) if objPos =>
+        "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case C(v: String) =>
+        require(!v.contains(">") && !v.exists(_.isWhitespace),
+          s"term '$v' is not renderable as an IRI")
+        s"<$v>"
+      case C(other) => throw new IllegalArgumentException(
+        s"non-string constant $other cannot render to surface syntax")
+    }
+    body.where.map(tp =>
+      s"  ${term(tp.s, objPos = false)} ${term(tp.p, objPos = false)} ${
+        term(tp.o, objPos = true)} .")
+      .mkString("SELECT * WHERE {\n", "\n", "\n}")
+  }
+
   /** The SERVICE solver over a registered-endpoint map: each endpoint is
     * a triples DataFrame (another TripleStore, another parquet corpus, a
     * different cluster's exported graph) or — when the frame carries a

@@ -140,4 +140,43 @@ class HttpEndpointSpec extends SparkSpec {
       assert(get(s"${srv.url}/graph").statusCode() === 400)
     }
   }
+
+  test("SERVICE federation over live HTTP: the remote BGP executes over " +
+      "the wire and joins set-at-a-time; SILENT skips dead endpoints") {
+    withServer { (srv, _) =>
+      val local = Seq(("c1", "nat", "de"), ("c2", "nat", "fr"),
+        ("c3", "nat", "jp")).toDF("s", "p", "o")
+      // the remote store (withServer fixture) binds seg for c1/c2 only
+      val got = Sparql.runHttpFederated(local,
+        """SELECT ?c ?nat ?seg WHERE {
+          |  ?c <nat> ?nat .
+          |  SERVICE <graft://remote> { ?c <seg> ?seg . }
+          |} ORDER BY ?c""".stripMargin,
+        urls = Map("graft://remote" -> srv.url))
+      assert(got.as[(String, String, String)].collect().toSeq ===
+        Seq(("c1", "de", "B"), ("c2", "fr", "M")))
+      // SILENT + unregistered endpoint → the branch contributes the
+      // unit solution instead of aborting
+      val silent = Sparql.runHttpFederated(local,
+        """SELECT ?c WHERE { ?c <nat> "de" .
+          |  SERVICE SILENT <graft://nowhere> { ?c <seg> ?x . } }"""
+          .stripMargin,
+        urls = Map("graft://remote" -> srv.url))
+      assert(silent.as[String].collect().toSeq === Seq("c1"))
+      // non-SILENT unregistered endpoints and non-BGP bodies are loud
+      intercept[IllegalArgumentException](Sparql.runHttpFederated(local,
+        "SELECT ?c WHERE { SERVICE <graft://nowhere> { ?c <seg> ?x . } }",
+        urls = Map("graft://remote" -> srv.url)))
+      intercept[IllegalArgumentException](Sparql.runHttpFederated(local,
+        """SELECT ?c WHERE { SERVICE <graft://remote> {
+          |  ?c <seg> ?x . FILTER (?x = "B") } }""".stripMargin,
+        urls = Map("graft://remote" -> srv.url)))
+      // a VARIABLE endpoint ranges over the registry, binding ?ep
+      val varEp = Sparql.runHttpFederated(local,
+        "SELECT ?ep ?c ?seg WHERE { SERVICE ?ep { ?c <seg> ?seg . } }",
+        urls = Map("graft://remote" -> srv.url))
+      assert(varEp.as[(String, String, String)].collect().toSet ===
+        Set(("graft://remote", "c1", "B"), ("graft://remote", "c2", "M")))
+    }
+  }
 }
