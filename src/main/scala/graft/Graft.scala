@@ -186,6 +186,12 @@ object Graft {
   def serveHttp(spark: SparkSession, root: String,
       port: Int = 0): rdf.HttpEndpoint.Server =
     rdf.HttpEndpoint.serve(spark, root, port)
+  /** TRUE live federation: SERVICE bodies execute on remote HTTP
+    * endpoints (IRI → base URL) and their solution documents join
+    * set-at-a-time — one round-trip per SERVICE block. */
+  def sparqlHttpFederated(t: DataFrame, text: String,
+      urls: Map[String, String]): DataFrame =
+    rdf.Sparql.runHttpFederated(t, text, urls)
 
   // ---- persisted materialized views (binding + summary) ----
   /** Materialize a conjunctive SPARQL view over a store; incremental

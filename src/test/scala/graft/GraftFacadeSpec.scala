@@ -89,6 +89,21 @@ class GraftFacadeSpec extends SparkSpec {
     assert(graft.Graft.embedMedia(
       llm.Multimodal.withPayload(docs).as[llm.Multimodal.Media])
       .count() === 1)
+    // HTTP serving + live federation through the facade
+    val hroot = java.nio.file.Files.createTempDirectory("gf_http").toString
+    Graft.storeInit(Seq(("r1", "kind", "remote", ""))
+      .toDF("s", "p", "o", "g"), hroot)
+    val srv = graft.Graft.serveHttp(spark, hroot)
+    try {
+      val fed = graft.Graft.sparqlHttpFederated(
+        Seq(("r1", "tag", "x")).toDF("s", "p", "o"),
+        """SELECT ?s ?k WHERE { ?s <tag> "x" .
+          |  SERVICE <graft://r> { ?s <kind> ?k . } }""".stripMargin,
+        urls = Map("graft://r" -> srv.url))
+      assert(fed.as[(String, String)].collect().toSeq ===
+        Seq(("r1", "remote")))
+    } finally { srv.stop(); rmTree(new java.io.File(hroot)) }
+
     // persisted LSH index: build → append → compact → probe
     val root = java.nio.file.Files.createTempDirectory("gf_lsh").toString
     val corpus = (1L to 2L).map(i =>
