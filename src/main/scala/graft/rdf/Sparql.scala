@@ -526,10 +526,32 @@ object Sparql {
     // the shared GRAPH-block solver ([[solveGraphOverQuads]]): constant
     // graphs slice + recurse for nesting, variable graphs thread ?g
     // through every pattern group and normalize against the named-graph
-    // name set. Subqueries under GRAPH ?var stay parser-rejected: their
-    // projection would have to smuggle ?g.
+    // name set (subqueries under GRAPH ?var correlate via
+    // [[adoptGraphVar]], their LIMIT/OFFSET applying per graph).
     lazy val solveGraph: (Term, Block) => DataFrame =
       solveGraphOverQuads(namedQuads, bgpOver, () => solveGraph, svc)
+    execute(q, bgpOver(dg),
+      (path, s, o) => solvePathOver(dg, path, s, o), solveGraph, svc)
+  }
+
+  /** [[runQuads]] with SERVICE federation against LIVE HTTP endpoints —
+    * the quads twin of [[runHttpFederated]]: GRAPH blocks solve the
+    * local dataset with the full grammar while SERVICE bodies (pure
+    * BGPs) execute on remote SPARQL Protocol endpoints and join
+    * set-at-a-time. */
+  def runQuadsHttpFederated(quads: DataFrame, text: String,
+      urls: Map[String, String],
+      collapseStars: Boolean = false): DataFrame = {
+    val q = parse(text)
+    require(q.fromGraphs.isEmpty && q.fromNamed.isEmpty,
+      "combine FROM / FROM NAMED with live federation via runQuads's " +
+        "protocolDataset parameter — not supported on this entry point")
+    val dg = Quads.defaultGraph(quads)
+    def bgpOver(t: DataFrame)(pats: Seq[TP]): DataFrame =
+      if (collapseStars) Bgp.solveStarCollapsed(t, pats) else Bgp.solve(t, pats)
+    val svc = HttpEndpoint.serviceSolver(quads.sparkSession, urls)
+    lazy val solveGraph: (Term, Block) => DataFrame =
+      solveGraphOverQuads(quads, bgpOver, () => solveGraph, svc)
     execute(q, bgpOver(dg),
       (path, s, o) => solvePathOver(dg, path, s, o), solveGraph, svc)
   }

@@ -177,6 +177,20 @@ class HttpEndpointSpec extends SparkSpec {
         urls = Map("graft://remote" -> srv.url))
       assert(varEp.as[(String, String, String)].collect().toSet ===
         Set(("graft://remote", "c1", "B"), ("graft://remote", "c2", "M")))
+      // the quads twin: a LOCAL GRAPH block joins a REMOTE SERVICE leg
+      // (the remote body sees the REMOTE DEFAULT graph — c1/c2's segs)
+      val localQuads = Seq(
+        ("c1", "tag", "keep", "g:a"), ("c2", "tag", "keep", "g:a"),
+        ("c9", "tag", "keep", "g:a"),
+        ("c1", "kind", "k1", "")).toDF("s", "p", "o", "g")
+      val quadsFed = Sparql.runQuadsHttpFederated(localQuads,
+        """SELECT ?s ?seg WHERE {
+          |  GRAPH <g:a> { ?s <tag> "keep" . }
+          |  SERVICE <graft://remote> { ?s <seg> ?seg . }
+          |} ORDER BY ?s""".stripMargin,
+        urls = Map("graft://remote" -> srv.url))
+      assert(quadsFed.as[(String, String)].collect().toSeq ===
+        Seq(("c1", "B"), ("c2", "M")))
     }
   }
 }
