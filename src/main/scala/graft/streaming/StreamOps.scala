@@ -46,10 +46,47 @@ object StreamOps extends QueryModule {
       .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
         col("n"), col("sum_value"))
 
+  /** Batch dual of [[streamingDedup]]'s first-arrival semantics, widened
+    * to a composite business key: the EARLIEST event per (user,
+    * event_type), ties broken by event_id. One partial-aggregated shuffle
+    * on the key — a struct `min`, not a window sort — so over a stream's
+    * full history the dedup costs one combine-friendly aggregation and
+    * never a per-partition total order. */
+  def firstEventPerKey(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts_us_long"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts_us_long").as("first_us"), col("f.event_id").as("event_id"))
+
+  /** Batch dual of [[streamStreamJoin]]: purchase events matched to the
+    * same user's signup events in the trailing hour (inclusive ends, the
+    * helper's BETWEEN contract). The join key is the user equi-column
+    * only, so the shuffle is hash-partitioned and AQE-splittable; the
+    * interval lands as a post-join filter, never a nested-loop
+    * condition. */
+  def purchaseAttribution(ev: DataFrame,
+      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us_long").as("purchase_us"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts_us_long").as("signup_us"))
+    p.join(sg, Seq("user_id"))
+      .filter(col("signup_us") >= col("purchase_us") - lit(windowUs) &&
+        col("signup_us") <= col("purchase_us"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumbling(Tables.events(s, d))
         .orderBy(col("win_start_us"), col("event_type"))),
+    "q_stream_dedup" -> ((s, d) =>
+      firstEventPerKey(Tables.events(s, d))
+        .orderBy(col("user_id"), col("event_type"))),
+    "q_stream_join" -> ((s, d) =>
+      purchaseAttribution(Tables.events(s, d))
+        .orderBy(col("user_id"), col("purchase_id"), col("signup_id"))),
     "q_stream_sliding" -> ((s, d) =>
       sliding(Tables.events(s, d))
         .orderBy(col("win_start_us"), col("event_type"))),
@@ -68,6 +105,27 @@ object StreamOps extends QueryModule {
   private val sumv = Det.dsumSql("value")
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000) AS us,
+        |                  event_id FROM events),
+        |m AS (SELECT user_id, event_type, min(us) AS first_us
+        |      FROM e GROUP BY 1, 2)
+        |SELECT m.user_id, m.event_type, m.first_us,
+        |  min(e.event_id) AS event_id
+        |FROM m JOIN e ON e.user_id = m.user_id
+        |  AND e.event_type = m.event_type AND e.us = m.first_us
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH e AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000) AS us,
+        |                  event_id FROM events)
+        |SELECT p.user_id, p.event_id AS purchase_id, p.us AS purchase_us,
+        |       s.event_id AS signup_id, s.us AS signup_us
+        |FROM e p JOIN e s ON s.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+        |  AND s.us >= p.us - 3600000000 AND s.us <= p.us
+        |ORDER BY 1, 2, 4""".stripMargin,
+
     "q_stream_tumbling" ->
       s"""WITH e AS (SELECT (epoch_ns(ts) // 1000) AS us, event_type, value FROM events)
          |SELECT (us - (us % 600000000)) AS win_start_us, event_type,

@@ -53,6 +53,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q_stream_join shuffles on the user equi-key only — no nested loop") {
+    val p = plan("q_stream_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_stream_dedup is one combine-friendly aggregate, not a window sort") {
+    val p = plan("q_stream_dedup")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains(" Window"), p)
+  }
+
   test("as-of join plans without any nested-loop join") {
     val p = plan("q_join_asof")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)

@@ -75,6 +75,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstEventPerKey keeps the earliest event per key, event_id tiebreak") {
+    val ev = Seq(
+      (1L, 100L, 7L, "a", 1.0), // later than id 3 → dropped
+      (3L, 50L, 7L, "a", 1.0),
+      (2L, 50L, 7L, "a", 1.0), // same ts as id 3, smaller id → kept
+      (9L, 10L, 7L, "b", 1.0),
+      (8L, 10L, 8L, "a", 1.0))
+      .toDF("event_id", "ts_us_long", "user_id", "event_type", "value")
+    val got = StreamOps.firstEventPerKey(ev)
+      .orderBy("user_id", "event_type")
+      .select("user_id", "event_type", "first_us", "event_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, "a", 50L, 2L), (7L, "b", 10L, 9L),
+      (8L, "a", 10L, 8L)))
+  }
+
+  test("purchaseAttribution agrees with streamStreamJoin on a replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000000
+    // purchase at T0 for user 0; signups in-window, at the window edge,
+    // too old, and for another user
+    val rows = Seq(
+      (3L, T0, "purchase", 1.0),                 // user 3 % 3 = 0
+      (6L, T0 - hour / 2, "signup", 1.0),        // user 0, in window
+      (9L, T0 - hour, "signup", 1.0),            // user 0, inclusive edge
+      (12L, T0 - hour - 1, "signup", 1.0),       // user 0, too old
+      (7L, T0 - hour / 2, "signup", 1.0))        // user 1, other user
+    val batch = StreamOps.purchaseAttribution(
+      rows.toDF("event_id", "ts_us_long", "event_type", "value")
+        .withColumn("user_id", col("event_id") % 3))
+      .select($"purchase_id", $"signup_id").as[(Long, Long)].collect().toSet
+    assert(batch === Set((3L, 6L), (3L, 9L)))
+    // the same pairs from the streaming interval join, signups presented
+    // as the trailing side
+    val evMem = MemoryStream[Raw]
+    val odMem = MemoryStream[Ord]
+    val joined = StreamOps.streamStreamJoin(toEventDF(evMem),
+      odMem.toDF().withColumn("o_ts", timestamp_micros(col("o_us"))))
+      .select(col("event_id"), col("o_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("pa_out").start()
+    try {
+      odMem.addData(Ord(6, T0 - hour / 2, 0), Ord(9, T0 - hour, 0),
+        Ord(12, T0 - hour - 1, 0), Ord(7, T0 - hour / 2, 1))
+      evMem.addData(Raw(3, T0, "purchase", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("pa_out").as[(Long, Long)].collect().toSet
+      assert(streamed === batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Raw]
