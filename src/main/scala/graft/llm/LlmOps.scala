@@ -202,6 +202,22 @@ object LlmOps extends QueryModule {
         size(TextOps.bpeishTokens).cast("long").as("bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    // URL hygiene for web corpora (see UrlOps): parse + canonicalize are
+    // map-only codegen string expressions over an in-plan deterministic
+    // URL (the oracle derives the identical string)
+    "q_text_url" -> ((s, d) =>
+      UrlOps.canonicalized(UrlOps.withUrls(Tables.documents(s, d)))
+        .select(col("doc_id"), col("url"), col("host"), col("domain"),
+          col("path_depth"), col("canonical"))
+        .orderBy(col("doc_id"))),
+
+    // recrawl dedup on the canonical URL key: every consecutive doc-id
+    // pair folds to one canonical, so the groups are real at every SF
+    "q_dedup_url" -> ((s, d) =>
+      UrlOps.dedupByCanonical(
+        UrlOps.canonicalized(UrlOps.withUrls(Tables.documents(s, d))))
+        .orderBy(col("canonical"))),
+
     "q_text_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
@@ -984,6 +1000,17 @@ object LlmOps extends QueryModule {
         |  CAST(len(regexp_extract_all(text,
         |    '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[0-9]+| ?[^\s\p{L}0-9]+', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_url" ->
+      s"""WITH ${UrlOps.duckCanonicalCte}
+         |SELECT doc_id, url, host, domain, path_depth, canonical
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_url" ->
+      s"""WITH ${UrlOps.duckCanonicalCte}
+         |SELECT canonical, CAST(count(*) AS BIGINT) AS n_dups,
+         |  min(doc_id) AS keeper_id
+         |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

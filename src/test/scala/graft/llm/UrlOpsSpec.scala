@@ -1,0 +1,61 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) = (0L until n.toLong).toDF("doc_id")
+
+  test("canonicalization folds every spelling variant of a page to one key") {
+    val c = UrlOps.canonicalized(UrlOps.withUrls(docs(100)))
+      .select($"doc_id", $"canonical").as[(Long, String)].collect().toMap
+    // each consecutive pair (2k, 2k+1) differs in host case, default
+    // port, trailing slash, gclid value and fragment — same canonical
+    (0L until 50L).foreach { k =>
+      assert(c(2 * k) === c(2 * k + 1), s"pair $k: ${c(2 * k)} vs ${c(2 * k + 1)}")
+    }
+    // distinct pages stay distinct: page index differs across pairs
+    assert(c.values.toSet.size === 50)
+  }
+
+  test("parsed host is lowercased and port-free; domain is the last two labels") {
+    val p = UrlOps.parsed(UrlOps.withUrls(docs(12)))
+      .select($"doc_id", $"host", $"domain", $"path_depth")
+      .as[(Long, String, String, Long)].collect()
+    p.foreach { case (id, host, domain, depth) =>
+      assert(host === s"h${(id / 2) % 7}.example.org", s"doc $id")
+      assert(!host.contains(":"), s"port must be stripped: $host")
+      assert(domain === "example.org")
+      assert(depth === 3L, s"doc $id: /docs/<i>/page-<k> has depth 3, got $depth")
+    }
+  }
+
+  test("tracking parameters vanish, the surviving parameter keeps its value") {
+    val c = UrlOps.canonicalized(UrlOps.withUrls(docs(6)))
+      .select($"doc_id", $"canonical").as[(Long, String)].collect()
+    c.foreach { case (id, canon) =>
+      assert(!canon.contains("utm_") && !canon.contains("gclid"), canon)
+      assert(canon.contains(s"?ref=r${(id / 2) % 3}"), canon)
+      assert(!canon.contains("#"), s"fragment must be dropped: $canon")
+    }
+  }
+
+  test("an all-tracking query drops its '?' entirely") {
+    val u = Seq((1L, "https://A.example.org:443/x/?utm_source=a&gclid=b#f"))
+      .toDF("doc_id", "url")
+    val canon = UrlOps.canonicalized(u)
+      .select($"canonical").as[String].head()
+    assert(canon === "https://a.example.org/x")
+  }
+
+  test("dedup keeps the minimum doc_id per canonical group") {
+    val d = UrlOps.dedupByCanonical(
+      UrlOps.canonicalized(UrlOps.withUrls(docs(10))))
+      .select($"n_dups", $"keeper_id").as[(Long, Long)].collect()
+    assert(d.length === 5)
+    assert(d.forall(_._1 === 2L))
+    assert(d.map(_._2).sorted.toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+  }
+}
