@@ -165,6 +165,26 @@ object EmbeddingOps {
   /** Embedding near-dup pairs: narrow LSH-bucket equi-join → distinct id
     * pairs → embeddings re-joined by id → exact cosine filter. Never forms
     * the full cross product, never shuffles arrays for candidate dedup. */
+  /** EXACT cosine radius search: every pair (a < b) with rounded cosine
+    * ≥ `threshold`. Inherently quadratic — this is the correctness
+    * BASELINE the LSH radius path ([[cosineNearDupPairs]]) recalls
+    * against, the same role [[cosineTopK]] plays for the ANN top-k
+    * keys. The right side broadcasts in blocks (Spark's broadcast
+    * nested-loop), so the left streams once per block and nothing
+    * shuffles; at corpus scale you run the LSH path and sample THIS one
+    * on a bounded block to measure its recall — never the full matrix.
+    */
+  def cosineRange(vectors: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val a = vectors.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = vectors.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", graft.Det.roundSafe(cosine("ea", "eb"), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     // persisted across the self-join: the bucket index costs

@@ -159,6 +159,16 @@ object LlmOps extends QueryModule {
     "q_sim_cosine_topk" -> ((s, d) =>
       EmbeddingOps.cosineTopK(Tables.embeddings(s, d), probeId = 0L, k = 10)),
 
+    // exact radius search over a bounded evaluation block (vec_id <
+    // 2000): the oracled baseline whose pair set the LSH radius path
+    // (q_dedup_embcos) recalls against. The block cap keeps the
+    // deliberately-quadratic baseline's bench cost flat across SFs —
+    // production radius queries run the LSH path and sample this one.
+    "q_sim_range" -> ((s, d) =>
+      EmbeddingOps.cosineRange(
+        Tables.embeddings(s, d).filter(col("vec_id") < 2000), 0.4)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // searches the PREBUILT persisted LSH index (built once per dataset by
     // EmbeddingOps.indexForEmbeddings, partitioned by (tbl, bkt)); the
     // corpus hyperplane pass is ingest-time work and never charges a query
@@ -619,6 +629,22 @@ object LlmOps extends QueryModule {
         |  WHERE e.vec_id <> 0)
         |SELECT vec_id, label, sim FROM sims
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_sim_range" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings WHERE vec_id < 2000),
+        |s AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    floor((
+        |      list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |      / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, sim FROM s WHERE sim >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // identical BM25 and cosine derivations to their standalone oracles,
     // ranked with the same (score desc, id) total order, fused with the

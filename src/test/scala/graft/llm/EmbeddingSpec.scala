@@ -56,6 +56,20 @@ class EmbeddingSpec extends SparkSpec {
       "per-query plan recomputes corpus hyperplane dot products")
   }
 
+  test("cosineRange is the exact pair superset of the LSH radius path") {
+    val v = rand64()
+    val dup = v.map(x => x + 0.005f)
+    val rows = (2L to 60L).map(i => (i, rand64(), 0)) :+ (0L, v, 0) :+ (1L, dup, 0)
+    val df = vecs(rows: _*)
+    val exact = EmbeddingOps.cosineRange(df, 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = EmbeddingOps.cosineNearDupPairs(df, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 1L)), s"planted pair missing from exact: $exact")
+    assert(lsh.subsetOf(exact),
+      s"LSH must never report a pair the exact search rejects: ${lsh -- exact}")
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pair via LSH buckets") {
     val v = rand64()
     val dup = v.map(x => x + 0.005f)
