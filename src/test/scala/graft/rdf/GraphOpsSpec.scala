@@ -7,6 +7,32 @@ import org.apache.spark.sql.functions._
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def sym(pairs: (String, String)*) =
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+
+  test("kcore peels a chain node-by-node — the multi-round cascade") {
+    // triangle {a,b,c} with a pendant chain c—d—e—f: the 2-core is the
+    // triangle, and the chain must peel from the END inward (f, then e,
+    // then d — three rounds), proving the fixpoint loop actually iterates
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("d", "e"), ("e", "f"))
+    val core = GraphOps.kcore(edges, k = 2)
+      .as[(String, Long)].collect().toMap
+    assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kcore of a graph already at the fixpoint is the graph itself") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"))
+    val core = GraphOps.kcore(edges, k = 2)
+      .as[(String, Long)].collect().toMap
+    assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kcore above the degeneracy peels to empty") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"))
+    assert(GraphOps.kcore(edges, k = 3).isEmpty)
+  }
+
   test("commonNeighbors counts shared middles and excludes hubs") {
     val edges = Seq(("a", "x"), ("b", "x"), ("a", "y"), ("b", "y"),
       ("a", "h"), ("b", "h"), ("c", "h")).toDF("src", "dst")
