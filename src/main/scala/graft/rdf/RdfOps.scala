@@ -30,6 +30,16 @@ object RdfOps extends QueryModule {
       Dictionary.build(s, Triples.build(s, d)).orderBy(col("id"))
     }),
 
+    // N-Triples render→parse round-trip IN-PLAN (two map-only stages, no
+    // filesystem hop): the gate proof that renderTerms and the line
+    // parser are mutual inverses over the full EAV graph. The Turtle
+    // sibling (q_turtle_scan) proves the FILE round-trip; this one pins
+    // the serializer the protocol endpoints emit (CONSTRUCT/DESCRIBE
+    // wire format) against the reader that ingests it.
+    "q_rdf_roundtrip" -> ((s, d) =>
+      NTriples.parse(NTriples.renderTerms(Triples.build(s, d)))
+        .orderBy(col("s"), col("p"), col("o"))),
+
     // Turtle ingest round-trip: the EAV graph is exported once per dataset
     // as subject-grouped Turtle (prefixless IRIs, `;`/`,` lists,
     // AtomicStore-published), then read back by the stateful per-file
@@ -1711,6 +1721,9 @@ object RdfOps extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q_triples_build" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
+    // the round-trip is the identity on the triple set, so the oracle is
+    // the same relation the builder's oracle reconstructs
+    "q_rdf_roundtrip" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
 
     // Turtle write → parse must be the identity on the EAV triple set
     "q_turtle_scan" -> cte("SELECT s, p, o FROM triples ORDER BY s, p, o"),
