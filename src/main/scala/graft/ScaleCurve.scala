@@ -39,7 +39,11 @@ object ScaleCurve {
     "q_graph_sssp", "q_sparql_compat",
     // round-8: the entailment layer (sameAs cliques, the class-rule
     // fixpoint with its two merge rounds) and the distributed codec
-    "q_owl_sameas", "q_owl_class", "q_multimodal_image")
+    "q_owl_sameas", "q_owl_class", "q_multimodal_image",
+    // round-8 continuation: the k-core peeling fixpoint, the exact
+    // radius baseline (block-capped — its slope should be ~flat), and
+    // the canonical-URL dedup shuffle
+    "q_graph_kcore", "q_sim_range", "q_dedup_url")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("SCALING.md")

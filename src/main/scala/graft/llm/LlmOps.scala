@@ -253,6 +253,22 @@ object LlmOps extends QueryModule {
       Bpe.mergeTable(Tables.documents(s, d), numMerges = 20)
         .orderBy(col("rank"))),
 
+    // Flesch-style readability in integer micro-units: words by space
+    // split, syllables by the vowel-group proxy (one regexp_count), the
+    // score from the classic constants entirely in integer arithmetic so
+    // 1000-executor combine orders and DuckDB agree bit-for-bit. A
+    // map-only codegen scan like every text-quality feature.
+    "q_text_readability" -> ((s, d) => {
+      val words = size(split(col("text"), " ")).cast("long")
+      val syll = regexp_count(col("text"), lit("[aeiouy]+")).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("n_words"), syll.as("n_syll"))
+        .withColumn("fk_micro",
+          expr("206835000L - 1015000L * n_words" +
+            " - (84600L * ((1000000L * n_syll) div n_words)) div 1000L"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_gopher" -> ((s, d) =>
       TextOps.gopherRules(Tables.documents(s, d))
         .select(col("doc_id"), col("n_words"), col("mean_wlen"),
@@ -1026,6 +1042,17 @@ object LlmOps extends QueryModule {
         |  CAST(len(regexp_extract_all(text,
         |    '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[0-9]+| ?[^\s\p{L}0-9]+', 0)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_syll,
+        |  206835000 - 1015000 * n_words
+        |    - (84600 * ((1000000 * n_syll) // n_words)) // 1000 AS fk_micro
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_text_url" ->
       s"""WITH ${UrlOps.duckCanonicalCte}

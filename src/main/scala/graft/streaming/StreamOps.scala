@@ -77,7 +77,28 @@ object StreamOps extends QueryModule {
         col("signup_us") <= col("purchase_us"))
   }
 
+  /** CDC materialization, batch dual: LAST-writer-wins per key with
+    * tombstones. Events replay as a change stream keyed by user —
+    * `error` rows act as deletes (tombstones), everything else upserts
+    * its value — and the materialized state is each key's latest
+    * surviving row: one struct-`max` aggregation (combine-friendly, no
+    * window sort), then tombstoned keys drop. The mirror image of
+    * [[firstEventPerKey]]: ingest dedup keeps the FIRST arrival, CDC
+    * materialization the LAST write. At table-maintenance scale this is
+    * the compaction step of a Delta/Hudi-style merge-on-read sink. */
+  def cdcMaterialize(ev: DataFrame): DataFrame =
+    ev.withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us_long"), col("event_id"), col("op"),
+        col("value"))).as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("user_id"), col("last.ts_us_long").as("last_us"),
+        col("last.event_id").as("event_id"), col("last.value").as("value"))
+
   val queries: Map[String, Q] = Map(
+    "q_stream_cdc" -> ((s, d) =>
+      cdcMaterialize(Tables.events(s, d)).orderBy(col("user_id"))),
     "q_stream_tumbling" -> ((s, d) =>
       tumbling(Tables.events(s, d))
         .orderBy(col("win_start_us"), col("event_type"))),
@@ -105,6 +126,22 @@ object StreamOps extends QueryModule {
   private val sumv = Det.dsumSql("value")
 
   val oracleSql: Map[String, String] = Map(
+    // last row per user by (us, event_id), then tombstones drop; value
+    // passes through unaggregated so the double is exact on both sides
+    "q_stream_cdc" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) AS us, event_id,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+        |  FROM events),
+        |m AS (SELECT user_id, max(us) AS last_us FROM e GROUP BY 1),
+        |l AS (SELECT e.user_id, e.us AS last_us, max(e.event_id) AS event_id
+        |      FROM e JOIN m ON e.user_id = m.user_id AND e.us = m.last_us
+        |      GROUP BY 1, 2)
+        |SELECT l.user_id, l.last_us, l.event_id, e.value
+        |FROM l JOIN e ON e.user_id = l.user_id AND e.us = l.last_us
+        |  AND e.event_id = l.event_id
+        |WHERE e.op <> 'D'
+        |ORDER BY l.user_id""".stripMargin,
+
     "q_stream_dedup" ->
       """WITH e AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000) AS us,
         |                  event_id FROM events),

@@ -91,6 +91,23 @@ class StreamingSpec extends SparkSpec {
       (8L, "a", 10L, 8L)))
   }
 
+  test("cdcMaterialize is last-writer-wins with tombstone deletes") {
+    val ev = Seq(
+      (1L, 10L, 7L, "signup", 1.0),
+      (2L, 20L, 7L, "purchase", 2.5), // latest for user 7 → survives
+      (3L, 5L, 8L, "purchase", 9.0),
+      (4L, 30L, 8L, "error", 0.0),    // tombstone is the last write → gone
+      (5L, 40L, 9L, "error", 0.0),
+      (6L, 50L, 9L, "signup", 3.0),   // resurrected after the delete
+      (7L, 60L, 5L, "signup", 4.0),
+      (8L, 60L, 5L, "signup", 5.0))   // same ts: larger event_id wins
+      .toDF("event_id", "ts_us_long", "user_id", "event_type", "value")
+    val got = StreamOps.cdcMaterialize(ev)
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((5L, 8L, 5.0), (7L, 2L, 2.5), (9L, 6L, 3.0)))
+  }
+
   test("purchaseAttribution agrees with streamStreamJoin on a replay") {
     implicit val sqlCtx = spark.sqlContext
     val hour = 3600L * 1000000
