@@ -107,7 +107,16 @@ object Analytics extends QueryModule {
     "q_sessionize" -> ((s, d) =>
       TimeSeries.sessionize(Tables.events(s, d),
           "user_id", "ts_us_long", gapUnits = 1800000000L)
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // signup→purchase conversion inside an hour: the product-analytics
+    // funnel as pure min-aggregations (no window sort — see
+    // TimeSeries.funnel's scale note)
+    "q_funnel" -> ((s, d) =>
+      TimeSeries.funnel(Tables.events(s, d), "user_id", "ts_us_long",
+          "event_type", fromType = "signup", toType = "purchase",
+          windowUnits = 3600000000L)
+        .orderBy(col("user_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -220,6 +229,22 @@ object Analytics extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  max(ts) - min(ts) AS duration
         |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_ns(ts) // 1000 AS us FROM events),
+        |s AS (SELECT user_id, min(us) AS from_us FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT s.user_id, s.from_us,
+        |        min(CASE WHEN e.us > s.from_us THEN e.us END) AS to_us
+        |      FROM s LEFT JOIN e ON e.user_id = s.user_id
+        |        AND e.event_type = 'purchase'
+        |      GROUP BY 1, 2)
+        |SELECT user_id, from_us, to_us,
+        |  CAST(CASE WHEN to_us IS NOT NULL
+        |              AND to_us <= from_us + 3600000000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS converted
+        |FROM p ORDER BY user_id""".stripMargin
   )
 }

@@ -110,4 +110,27 @@ object TimeSeries {
         (max(col("__ts")) - min(col("__ts"))).as("duration"))
       .select(col(keyCol), col("session_start"), col("n_events"), col("duration"))
   }
+
+  /** Two-step conversion funnel: for each key's FIRST `fromType` event,
+    * the first `toType` event strictly after it, and whether that
+    * conversion landed inside `windowUnits`. Pure min-aggregations — the
+    * entry step is one partial-agg shuffle, the conversion step one
+    * equi-join on the key plus a conditional `min` — so order of arrival
+    * and partitioning cannot perturb the result (no window sort at all).
+    * Output: (key, from_us, to_us nullable, converted 0/1). Keys without
+    * a `fromType` event don't enter the funnel. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      fromType: String, toType: String, windowUnits: Long): DataFrame = {
+    require(windowUnits > 0, s"windowUnits must be positive, got $windowUnits")
+    val entered = df.filter(col(typeCol) === fromType)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("from_us"))
+    val target = df.filter(col(typeCol) === toType)
+      .select(col(keyCol), col(tsCol).as("__to"))
+    entered.join(target, Seq(keyCol), "left")
+      .groupBy(col(keyCol), col("from_us"))
+      .agg(min(when(col("__to") > col("from_us"), col("__to"))).as("to_us"))
+      .withColumn("converted",
+        (col("to_us").isNotNull &&
+          col("to_us") <= col("from_us") + windowUnits).cast("long"))
+  }
 }

@@ -5,6 +5,30 @@ import graft.SparkSpec
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("funnel: conversion windows, pre-entry targets, and non-entrants") {
+    val ev = Seq(
+      // u1: converts inside the window (entry 100, target 150)
+      (1L, 100L, "signup"), (1L, 150L, "purchase"),
+      // u2: target exists but only BEFORE the entry → unconverted, null to
+      (2L, 100L, "signup"), (2L, 50L, "purchase"),
+      // u3: first post-entry target lands OUTSIDE the window
+      (3L, 100L, "signup"), (3L, 5000L, "purchase"),
+      // u4: never entered (purchase only) → absent from the funnel
+      (4L, 10L, "purchase"),
+      // u5: second signup later must not move the entry point
+      (5L, 100L, "signup"), (5L, 400L, "signup"), (5L, 200L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.funnel(ev, "user_id", "ts", "event_type",
+        "signup", "purchase", windowUnits = 1000L)
+      .select("user_id", "from_us", "to_us", "converted")
+      .as[(Long, Long, Option[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 100L, Some(150L), 1L),
+      (2L, 100L, None, 0L),
+      (3L, 100L, Some(5000L), 0L),
+      (5L, 100L, Some(200L), 1L)))
+  }
+
   test("resample fills gaps with zeros over each group's own span") {
     // group a occupies buckets 0 and 3 (step 10) → grid 0..3 with explicit
     // zeros at 1 and 2; group b has a single bucket → single row, no
