@@ -109,6 +109,13 @@ object Analytics extends QueryModule {
           "user_id", "ts_us_long", gapUnits = 1800000000L)
         .orderBy(col("user_id"), col("session_start"))),
 
+    // trailing-window z-score outliers per event type, float-free (see
+    // TimeSeries.rollingAnomaly: milli-quantized, squared test — exact)
+    "q_ts_anomaly" -> ((s, d) =>
+      TimeSeries.rollingAnomaly(Tables.events(s, d), "event_type",
+          "ts_us_long", "event_id", "value", n = 20)
+        .orderBy(col("event_type"), col("ts_us_long"), col("event_id"))),
+
     // signup→purchase conversion inside an hour: the product-analytics
     // funnel as pure min-aggregations (no window sort — see
     // TimeSeries.funnel's scale note)
@@ -230,6 +237,24 @@ object Analytics extends QueryModule {
         |  max(ts) - min(ts) AS duration
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_ts_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS ts_us_long,
+        |  event_id, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x_milli
+        |  FROM events),
+        |w AS (SELECT event_type, ts_us_long, event_id, x_milli,
+        |        sum(x_milli) OVER win AS s1,
+        |        sum(x_milli * x_milli) OVER win AS s2,
+        |        count(x_milli) OVER win AS n_prev
+        |      FROM e WINDOW win AS (
+        |        PARTITION BY event_type ORDER BY ts_us_long, event_id
+        |        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, ts_us_long, event_id, x_milli, n_prev,
+        |  CAST(CASE WHEN n_prev = 20
+        |         AND (20 * x_milli - s1) * (20 * x_milli - s1)
+        |           > 4 * (20 * s2 - s1 * s1) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS anomaly
+        |FROM w ORDER BY event_type, ts_us_long, event_id""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -111,6 +111,43 @@ object TimeSeries {
       .select(col(keyCol), col("session_start"), col("n_events"), col("duration"))
   }
 
+  /** Rolling z-score anomaly detection in EXACT integer milli-units.
+    *
+    * Per `keyCol`, ordered by (`tsCol`, `idCol`) — a total order, so the
+    * frame contents are identical on every engine and run — each row is
+    * tested against the trailing `n`-row window (current row excluded):
+    * anomalous iff the full window is present and |x − μ| > 2σ. The test
+    * is evaluated WITHOUT floats: values quantize to milli-longs (a
+    * float mul + floor both engines compute bit-identically), and
+    * |x − μ| > 2σ is squared and scaled by n² into
+    * `(n·x − S1)² > 4·(n·S2 − S1²)` over integer window sums S1 = Σxᵢ,
+    * S2 = Σxᵢ² — so there is no division, no sqrt, and no
+    * summation-order drift anywhere. (Bounds: |x| ≤ ~10⁶ milli keeps
+    * every term under 2⁶³.)
+    *
+    * Scale: one window sort per key partition — the same shape as every
+    * `q_win_*` operator; the sums are O(1) incremental within the
+    * frame. */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, n: Int): DataFrame = {
+    require(n > 1, s"window must have at least 2 rows, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-n, -1)
+    df.select(col(keyCol), col(tsCol), col(idCol),
+        expr(s"CAST(floor($valCol * 1000.0 + 0.5) AS BIGINT)").as("x_milli"))
+      .withColumn("s1", sum(col("x_milli")).over(w))
+      .withColumn("s2", sum(col("x_milli") * col("x_milli")).over(w))
+      .withColumn("n_prev", count(col("x_milli")).over(w))
+      .withColumn("anomaly", (col("n_prev") === n &&
+        (lit(n) * col("x_milli") - col("s1")) *
+          (lit(n) * col("x_milli") - col("s1")) >
+          lit(4L) * (lit(n) * col("s2") - col("s1") * col("s1")))
+        .cast("long"))
+      .select(col(keyCol), col(tsCol), col(idCol), col("x_milli"),
+        col("n_prev"), col("anomaly"))
+  }
+
   /** Two-step conversion funnel: for each key's FIRST `fromType` event,
     * the first `toType` event strictly after it, and whether that
     * conversion landed inside `windowUnits`. Pure min-aggregations — the

@@ -29,6 +29,21 @@ class TimeSeriesSpec extends SparkSpec {
       (5L, 100L, Some(200L), 1L)))
   }
 
+  test("rollingAnomaly flags a spike after a full constant window only") {
+    val rows = // key a: constant 5.0 then a spike; early rows lack a window
+      Seq(("a", 1L, 1L, 5.0), ("a", 2L, 2L, 5.0), ("a", 3L, 3L, 5.0),
+        ("a", 4L, 4L, 5.0), ("a", 5L, 5L, 50.0), ("a", 6L, 6L, 5.0))
+        .toDF("k", "t", "id", "v")
+    val got = TimeSeries.rollingAnomaly(rows, "k", "t", "id", "v", n = 3)
+      .select("id", "n_prev", "anomaly")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L), // partial windows never flag
+      (4L, 3L, 0L),                             // constant in, constant out
+      (5L, 3L, 1L),                             // spike over zero-variance window
+      (6L, 3L, 0L)))  // 5 vs {5,5,50}: μ=20, σ≈21.2 → |x-μ|=15 < 2σ, no flag
+  }
+
   test("resample fills gaps with zeros over each group's own span") {
     // group a occupies buckets 0 and 3 (step 10) → grid 0..3 with explicit
     // zeros at 1 and 2; group b has a single bucket → single row, no
