@@ -246,6 +246,23 @@ object Corpus {
   def shuffleKeySql(expr: String): String =
     s"((($expr) % 1000003) * 2654435761 + 40503) % 1000003"
 
+  /** Source-fair training order: within each source, rows rank by the
+    * deterministic shuffle key; the global curriculum is the sort order
+    * (rank, source), which cycles sources round-robin — no stretch of
+    * the training stream is single-source, the fairness property a plain
+    * hash shuffle only gives in expectation. One window sort per source
+    * partition; the (rank, source) pair IS the order key, so writing the
+    * stream in curriculum order is a range-partitioned sort, never a
+    * single global window. */
+  def interleaveSources(docs: DataFrame): DataFrame = {
+    val key = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
+      + lit(40503L)) % lit(1000003L)
+    val w = Window.partitionBy(col("source")).orderBy(col("key"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), key.as("key"))
+      .withColumn("rank", row_number().over(w).cast("long") - lit(1L))
+      .select(col("rank"), col("source"), col("doc_id"))
+  }
+
   /** The pretraining corpus pipeline END-TO-END in one declarative plan:
     * quality gate → exact dedup → benchmark decontamination → stratified
     * sampling. Every stage is the already-oracled operator, composed —

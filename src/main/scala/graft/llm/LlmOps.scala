@@ -487,6 +487,13 @@ object LlmOps extends QueryModule {
       Corpus.shuffleIntoShards(Tables.documents(s, d), shards = 16)
         .orderBy(col("doc_id"))),
 
+    // Source-fair round-robin curriculum: training order = (rank within
+    // source, source), so consecutive positions cycle sources — the
+    // fairness a hash shuffle gives only in expectation
+    "q_corpus_interleave" -> ((s, d) =>
+      Corpus.interleaveSources(Tables.documents(s, d))
+        .orderBy(col("rank"), col("source"))),
+
     // The C4/Gopher rule stack as ONE scan: quality + repetition +
     // length + language rules fused into a single projection and filter.
     "q_corpus_filter" -> ((s, d) =>
@@ -1357,6 +1364,15 @@ object LlmOps extends QueryModule {
          |FROM documents d JOIN r USING (lang)
          |WHERE $bucket < rate_pm
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_corpus_interleave" -> {
+      val key = Corpus.shuffleKeySql("doc_id")
+      s"""WITH k AS (SELECT doc_id, source, $key AS key FROM documents)
+         |SELECT CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY key, doc_id) - 1 AS BIGINT) AS rank,
+         |  source, doc_id
+         |FROM k ORDER BY rank, source""".stripMargin
     },
 
     // same multiplicative-hash key and per-shard row_number; ties
