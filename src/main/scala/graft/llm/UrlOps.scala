@@ -85,8 +85,10 @@ object UrlOps {
   def parsed(u: DataFrame): DataFrame =
     u.withColumn("host", lower(parse_url(col("url"), lit("HOST"))))
       .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
-      .withColumn("path", parse_url(col("url"), lit("PATH")))
-      .withColumn("query", parse_url(col("url"), lit("QUERY")))
+      // parse_url yields NULL for an absent component; a bare URL must
+      // canonicalize to its root form, not null-propagate through concat
+      .withColumn("path", coalesce(parse_url(col("url"), lit("PATH")), lit("")))
+      .withColumn("query", coalesce(parse_url(col("url"), lit("QUERY")), lit("")))
       .withColumn("path_depth",
         size(filter(split(col("path"), "/"), x => x =!= "")).cast("long"))
 

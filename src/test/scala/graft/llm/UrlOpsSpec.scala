@@ -42,6 +42,14 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("a bare URL with no path or query canonicalizes to its root form") {
+    val u = Seq((1L, "https://Example.org"), (2L, "https://example.org/"))
+      .toDF("doc_id", "url")
+    val canon = UrlOps.canonicalized(u)
+      .orderBy("doc_id").select($"canonical").as[String].collect().toSeq
+    assert(canon === Seq("https://example.org/", "https://example.org/"))
+  }
+
   test("an all-tracking query drops its '?' entirely") {
     val u = Seq((1L, "https://A.example.org:443/x/?utm_source=a&gclid=b#f"))
       .toDF("doc_id", "url")
