@@ -317,4 +317,46 @@ object Graft {
   def removeBenchmarkSpans(docs: DataFrame, bench: DataFrame, k: Int = 8,
       hashSpans: Boolean = false): DataFrame =
     llm.Dedup.removeBenchmarkSpans(docs, bench, k, hashSpans)
+
+  // ---- round-8 continuation surface ------------------------------------
+
+  /** Serialize term-string triples to N-Triples lines (`value` column) —
+    * the wire form the protocol endpoints emit. */
+  def renderNTriples(t: DataFrame): DataFrame = rdf.NTriples.renderTerms(t)
+  /** Parse N-Triples lines (`value` column) back to (s, p, o). */
+  def parseNTriples(lines: DataFrame): DataFrame = rdf.NTriples.parse(lines)
+
+  /** URL parse + canonical key over a frame with a `url` column. */
+  def canonicalizeUrls(u: DataFrame): DataFrame = llm.UrlOps.canonicalized(u)
+  /** Recrawl dedup on the canonical URL key (keeper = min doc_id). */
+  def deduplicateByUrl(u: DataFrame): DataFrame =
+    llm.UrlOps.dedupByCanonical(llm.UrlOps.canonicalized(u))
+
+  /** EXACT cosine radius pairs — the LSH radius path's recall baseline. */
+  def cosineRange(vectors: DataFrame, threshold: Double): DataFrame =
+    llm.EmbeddingOps.cosineRange(vectors, threshold)
+
+  /** k-core of a SYMMETRIC undirected edge frame, peeled to fixpoint. */
+  def kcore(edges: DataFrame, k: Int): DataFrame = rdf.GraphOps.kcore(edges, k)
+
+  /** Two-step conversion funnel (entry → target within window). */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      fromType: String, toType: String, windowUnits: Long): DataFrame =
+    operators.TimeSeries.funnel(df, keyCol, tsCol, typeCol, fromType,
+      toType, windowUnits)
+  /** Float-free trailing-window z-score outlier flags. */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, n: Int): DataFrame =
+    operators.TimeSeries.rollingAnomaly(df, keyCol, tsCol, idCol, valCol, n)
+
+  /** Source-fair round-robin training order: (rank, source) curriculum. */
+  def interleaveSources(docs: DataFrame): DataFrame =
+    llm.Corpus.interleaveSources(docs)
+
+  /** First-arrival dedup per (user, type) — streaming-ingest batch dual. */
+  def firstEventPerKey(ev: DataFrame): DataFrame =
+    streaming.StreamOps.firstEventPerKey(ev)
+  /** CDC last-writer-wins materialization with tombstone deletes. */
+  def cdcMaterialize(ev: DataFrame): DataFrame =
+    streaming.StreamOps.cdcMaterialize(ev)
 }

@@ -104,6 +104,42 @@ class GraftFacadeSpec extends SparkSpec {
         Seq(("r1", "remote")))
     } finally { srv.stop(); rmTree(new java.io.File(hroot)) }
 
+    // round-8 continuation delegates: wire round-trip, URL hygiene,
+    // radius search, k-core, funnel/anomaly, curriculum, stream duals
+    val spoT = Seq(("s1", "p1", "o1")).toDF("s", "p", "o")
+    assert(graft.Graft.parseNTriples(graft.Graft.renderNTriples(spoT))
+      .as[(String, String, String)].collect().toSeq === Seq(("s1", "p1", "o1")))
+    val urls = Seq((1L, "https://A.example.org/x/?utm_source=z&a=1#f"),
+      (2L, "https://a.example.org/x?a=1")).toDF("doc_id", "url")
+    assert(graft.Graft.canonicalizeUrls(urls)
+      .select("canonical").distinct().count() === 1)
+    assert(graft.Graft.deduplicateByUrl(urls)
+      .select("keeper_id").as[Long].collect().toSeq === Seq(1L))
+    val vecs = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0.01f), 0),
+      (3L, Seq(0f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    assert(graft.Graft.cosineRange(vecs, 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 2L)))
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    assert(graft.Graft.kcore(
+      (tri ++ tri.map(_.swap)).toDF("src", "dst"), 2)
+      .select("node").as[String].collect().sorted.toSeq ===
+      Seq("a", "b", "c"))
+    val evf = Seq((1L, 10L, 1L, "signup", 1.0), (2L, 20L, 1L, "purchase", 2.0))
+      .toDF("event_id", "ts_us_long", "user_id", "event_type", "value")
+    assert(graft.Graft.funnel(evf, "user_id", "ts_us_long", "event_type",
+      "signup", "purchase", 100L).select("converted")
+      .as[Long].collect().toSeq === Seq(1L))
+    assert(graft.Graft.rollingAnomaly(evf, "user_id", "ts_us_long",
+      "event_id", "value", 2).count() === 2)
+    assert(graft.Graft.interleaveSources(
+      Seq((1L, "sA"), (2L, "sB")).toDF("doc_id", "source"))
+      .select("rank").as[Long].collect().toSeq === Seq(0L, 0L))
+    assert(graft.Graft.firstEventPerKey(evf)
+      .select("event_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(graft.Graft.cdcMaterialize(evf) // last writer per user wins
+      .select("event_id").as[Long].collect().toSet === Set(2L))
+
     // persisted LSH index: build → append → compact → probe
     val root = java.nio.file.Files.createTempDirectory("gf_lsh").toString
     val corpus = (1L to 2L).map(i =>
