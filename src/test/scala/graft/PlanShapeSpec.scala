@@ -65,6 +65,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains(" Window"), p)
   }
 
+  test("q_funnel joins on the user equi-key — no nested loop") {
+    val p = plan("q_funnel")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_ts_anomaly is one windowed pass, never a cross product") {
+    val p = plan("q_ts_anomaly")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sim_range is the DELIBERATE broadcast-blocked scan, not a shuffle cartesian") {
+    val p = plan("q_sim_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_url reads only doc_id — the URL derivation never scans text") {
+    val readSchema = plan("q_text_url").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      readSchema)
+  }
+
   test("as-of join plans without any nested-loop join") {
     val p = plan("q_join_asof")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)

@@ -58,6 +58,17 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon === "https://a.example.org/x")
   }
 
+  test("canonicalization is idempotent: a canonical URL maps to itself") {
+    val canon = UrlOps.canonicalized(UrlOps.withUrls(docs(40)))
+      .select($"doc_id", $"canonical")
+    val again = UrlOps.canonicalized(canon.withColumnRenamed("canonical", "url"))
+      .select($"doc_id", $"canonical".as("canonical2"))
+    val joined = canon.join(again, "doc_id")
+      .filter($"canonical" =!= $"canonical2")
+    assert(joined.isEmpty,
+      s"non-fixed points: ${joined.collect().take(3).mkString(", ")}")
+  }
+
   test("dedup keeps the minimum doc_id per canonical group") {
     val d = UrlOps.dedupByCanonical(
       UrlOps.canonicalized(UrlOps.withUrls(docs(10))))
