@@ -487,6 +487,26 @@ object LlmOps extends QueryModule {
       Corpus.shuffleIntoShards(Tables.documents(s, d), shards = 16)
         .orderBy(col("doc_id"))),
 
+    // JSONL ingest round-trip: the corpus exported once per dataset as
+    // JSON Lines (the interchange staple of LLM data pipelines,
+    // AtomicStore-published), then read back by Spark's DISTRIBUTED
+    // JSON reader under an EXPLICIT schema — no inference pass, so
+    // ingest is one scan — proving write→parse is the identity on the
+    // corpus against the plain parquet oracle.
+    "q_ingest_jsonl" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_docs_jsonl_" +
+        graft.sources.AtomicStore.key(d)
+      val path = graft.sources.AtomicStore.materialize(base) { tmp =>
+        Tables.documents(s, d).write.json(tmp)
+      }
+      s.read.schema(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(s"$path/part-*")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Source-fair round-robin curriculum: training order = (rank within
     // source, source), so consecutive positions cycle sources — the
     // fairness a hash shuffle gives only in expectation
@@ -1365,6 +1385,10 @@ object LlmOps extends QueryModule {
          |WHERE $bucket < rate_pm
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_ingest_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_corpus_interleave" -> {
       val key = Corpus.shuffleKeySql("doc_id")
