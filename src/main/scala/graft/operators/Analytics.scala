@@ -109,6 +109,14 @@ object Analytics extends QueryModule {
           "user_id", "ts_us_long", gapUnits = 1800000000L)
         .orderBy(col("user_id"), col("session_start"))),
 
+    // cohort retention matrix over 6-hour periods: first-touch cohorts,
+    // distinct-active counts per (cohort, offset) — two aggs + one
+    // equi-join, the distinct shuffles user triples, never event rows
+    "q_cohort_retention" -> ((s, d) =>
+      TimeSeries.cohortRetention(Tables.events(s, d), "user_id",
+          "ts_us_long", periodUnits = 21600000000L)
+        .orderBy(col("cohort"), col("poffset"))),
+
     // trailing-window z-score outliers per event type, float-free (see
     // TimeSeries.rollingAnomaly: milli-quantized, squared test — exact)
     "q_ts_anomaly" -> ((s, d) =>
@@ -237,6 +245,15 @@ object Analytics extends QueryModule {
         |  max(ts) - min(ts) AS duration
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             (epoch_ns(ts) // 1000) // 21600000000 AS p FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT f.cohort, e.p - f.cohort AS poffset, e.user_id
+        |      FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort, poffset, CAST(count(*) AS BIGINT) AS n_active
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS ts_us_long,

@@ -111,6 +111,29 @@ object TimeSeries {
       .select(col(keyCol), col("session_start"), col("n_events"), col("duration"))
   }
 
+  /** Cohort retention matrix: users bucket into cohorts by their FIRST
+    * event's period, then each (cohort, period-offset) cell counts the
+    * distinct users active that many periods later. Two aggregations and
+    * one equi-join on the user key — the first-touch aggregation is the
+    * same partial-agg shape as [[funnel]]'s entry step, and the distinct
+    * count shuffles (cohort, offset, user) triples, never event rows.
+    * Periods are integer floor-divisions of the epoch timestamp, so
+    * bucketing is exact on every engine. */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
+      periodUnits: Long): DataFrame = {
+    require(periodUnits > 0, s"periodUnits must be positive, got $periodUnits")
+    val first = df.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col(keyCol), expr(s"__first div $periodUnits").as("cohort"))
+    df.select(col(keyCol), expr(s"$tsCol div $periodUnits").as("__p"))
+      .join(first, Seq(keyCol))
+      .select(col("cohort"), (col("__p") - col("cohort")).as("poffset"),
+        col(keyCol))
+      .distinct()
+      .groupBy(col("cohort"), col("poffset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Rolling z-score anomaly detection in EXACT integer milli-units.
     *
     * Per `keyCol`, ordered by (`tsCol`, `idCol`) — a total order, so the

@@ -29,6 +29,25 @@ class TimeSeriesSpec extends SparkSpec {
       (5L, 100L, Some(200L), 1L)))
   }
 
+  test("cohortRetention buckets by first touch and dedups within a cell") {
+    val ev = Seq(
+      // u1: first in period 0, active again in periods 1 (twice) and 2
+      (1L, 5L), (1L, 12L), (1L, 17L), (1L, 25L),
+      // u2: first in period 0, never returns
+      (2L, 9L),
+      // u3: first in period 1, active in period 2
+      (3L, 14L), (3L, 29L))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.cohortRetention(ev, "user_id", "ts", periodUnits = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, 2L),  // u1+u2 in their own cohort period
+      (0L, 1L, 1L),  // u1 back next period (two events, ONE user)
+      (0L, 2L, 1L),  // u1 again
+      (1L, 0L, 1L),  // u3's cohort
+      (1L, 1L, 1L))) // u3 back
+  }
+
   test("rollingAnomaly flags a spike after a full constant window only") {
     val rows = // key a: constant 5.0 then a spike; early rows lack a window
       Seq(("a", 1L, 1L, 5.0), ("a", 2L, 2L, 5.0), ("a", 3L, 3L, 5.0),
