@@ -326,6 +326,11 @@ object Graft {
   /** Parse N-Triples lines (`value` column) back to (s, p, o). */
   def parseNTriples(lines: DataFrame): DataFrame = rdf.NTriples.parse(lines)
 
+  /** REAL WAV/PCM decode: exact sample statistics via the hand-rolled
+    * RIFF chunk walker (no codec library). */
+  def decodeAudio(media: Dataset[llm.Multimodal.Media])
+      : Dataset[llm.Multimodal.AudioFeatures] = llm.Multimodal.decodeWav(media)
+
   /** URL parse + canonical key over a frame with a `url` column. */
   def canonicalizeUrls(u: DataFrame): DataFrame = llm.UrlOps.canonicalized(u)
   /** Recrawl dedup on the canonical URL key (keeper = min doc_id). */

@@ -562,6 +562,15 @@ object LlmOps extends QueryModule {
           Multimodal.encodePng(Tables.documents(s, d)))
         .toDF().orderBy(col("doc_id"))),
 
+    // REAL audio decode: 16-bit PCM mono WAV generated in-plan, parsed
+    // back by a hand-rolled RIFF chunk walker (PCM needs no codec lib).
+    // The oracle restates sample count, duration and exact amplitude
+    // statistics arithmetically — raw PCM must land exactly there.
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeWav(
+          Multimodal.encodeWav(Tables.documents(s, d)))
+        .toDF().orderBy(col("doc_id"))),
+
     // Video-frame-subsample shape: payload → fixed-size frames → keep every
     // 3rd. Oracled on the frame geometry (number, stride, byte length) —
     // the part an engine owns regardless of codec.
@@ -1427,6 +1436,24 @@ object LlmOps extends QueryModule {
     // doc_id, green/blue solid (sum = w*h*color), red an x-gradient
     // summed per row via a correlated series — lossless PNG must land
     // exactly here
+    // n = 16 + id%32 samples at 8 kHz; sample(i) = (id*31 + i*17) % 2003
+    // - 1001 — the sum and max-abs restated via a correlated series
+    "q_multimodal_audio" ->
+      """SELECT d.doc_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(16 + d.doc_id % 32 AS BIGINT) AS n_samples,
+        |  CAST((16 + d.doc_id % 32) * 1000000 // 8000 AS BIGINT) AS duration_us,
+        |  s.sum_amp, s.max_abs
+        |FROM documents d JOIN (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id * 31 + x * 17) % 2003 - 1001) AS BIGINT) AS sum_amp,
+        |    CAST(MAX(abs((doc_id * 31 + x * 17) % 2003 - 1001)) AS BIGINT) AS max_abs
+        |  FROM (SELECT doc_id,
+        |          unnest(generate_series(0, 15 + doc_id % 32)) AS x
+        |        FROM documents)
+        |  GROUP BY doc_id) s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_multimodal_image" ->
       """SELECT d.doc_id,
         |  CAST(1 + d.doc_id % 8 AS INT) AS width,

@@ -104,6 +104,99 @@ object Multimodal {
     }
   }
 
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+    duration_us: Long, sum_amp: Long, max_abs: Long)
+
+  /** Deterministic 16-bit PCM mono WAV payloads, one per doc_id,
+    * generated IN-PLAN (the audio sibling of [[encodePng]]). RIFF/WAVE
+    * with a real fmt chunk at 8 kHz; sample count and amplitudes are
+    * pure functions of doc_id — n = 16 + id%32,
+    * sample(i) = (id·31 + i·17) mod 2003 − 1001 — so an independent
+    * oracle states the decoded features arithmetically, and PCM being
+    * raw (no compression) the decoder must recover them EXACTLY. */
+  def encodeWav(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (16 + id % 32).toInt
+        val rate = 8000
+        val dataLen = n * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(1) // mono
+          .putInt(rate)
+          .putInt(rate * 2)  // byte rate
+          .putShort(2)       // block align
+          .putShort(16)      // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) {
+          buf.putShort((((id * 31 + i * 17) % 2003) - 1001).toShort)
+          i += 1
+        }
+        Media(id, buf.array(), "wav")
+      }
+    }
+  }
+
+  /** REAL audio decode — a hand-rolled RIFF/WAVE walker in the
+    * per-partition closure (PCM needs no codec library: the container is
+    * a length-prefixed chunk list and the samples are raw little-endian
+    * int16). Walks chunks generally (unknown chunks skip by their
+    * declared size, the real-decoder behavior), validates PCM/16-bit,
+    * and emits exact sample statistics; malformed payloads fail loudly
+    * with the doc_id. */
+  def decodeWav(ds: Dataset[Media]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.media)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        require(tag() == "RIFF", s"doc ${m.doc_id}: not a RIFF container")
+        buf.getInt // declared riff size; trust the buffer bound instead
+        require(tag() == "WAVE", s"doc ${m.doc_id}: RIFF is not WAVE")
+        var rate = -1
+        var sr = 0L; var maxAbs = 0L; var n = 0L
+        var sawData = false
+        while (buf.remaining() >= 8) {
+          val id = tag(); val size = buf.getInt
+          id match {
+            case "fmt " =>
+              val fmt = buf.getShort(); val ch = buf.getShort()
+              rate = buf.getInt; buf.getInt; buf.getShort()
+              val bits = buf.getShort()
+              require(fmt == 1 && ch == 1 && bits == 16,
+                s"doc ${m.doc_id}: only 16-bit mono PCM supported " +
+                  s"(fmt=$fmt ch=$ch bits=$bits)")
+              buf.position(buf.position() + (size - 16)) // fmt extensions
+            case "data" =>
+              require(rate > 0, s"doc ${m.doc_id}: data chunk before fmt")
+              sawData = true
+              var i = 0
+              while (i < size / 2) {
+                val s = buf.getShort().toLong
+                sr += s
+                if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+                i += 1
+              }
+              n = size / 2
+            case _ => // skip unknown chunk (word-aligned per RIFF)
+              buf.position(buf.position() + size + (size & 1))
+          }
+        }
+        require(sawData, s"doc ${m.doc_id}: WAVE has no data chunk")
+        AudioFeatures(m.doc_id, rate, n, n * 1000000L / rate, sr, maxAbs)
+      }
+    }
+  }
+
   /** Per-partition byte-level features for OPAQUE formats (no codec in
     * this environment for audio/video — see object scaladoc; images have
     * the real [[decodeImage]] path). */

@@ -140,6 +140,10 @@ class GraftFacadeSpec extends SparkSpec {
     assert(graft.Graft.cdcMaterialize(evf) // last writer per user wins
       .select("event_id").as[Long].collect().toSet === Set(2L))
 
+    assert(graft.Graft.decodeAudio(
+      llm.Multimodal.encodeWav(Seq((5L, "x")).toDF("doc_id", "text")))
+      .head().n_samples === 21L)
+
     // persisted LSH index: build → append → compact → probe
     val root = java.nio.file.Files.createTempDirectory("gf_lsh").toString
     val corpus = (1L to 2L).map(i =>

@@ -19,6 +19,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).n_frames === 1)
   }
 
+  test("WAV round-trip recovers exact PCM statistics; chunk walker skips strangers") {
+    val docs = Seq((5L, "x"), (40L, "y")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeWav(Multimodal.encodeWav(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    // doc 5: n = 16 + 5 = 21 samples, amplitudes (5*31 + i*17) % 2003 - 1001
+    val amps5 = (0 until 21).map(i => (5 * 31 + i * 17) % 2003 - 1001)
+    assert(feats(5L).sample_rate === 8000)
+    assert(feats(5L).n_samples === 21L)
+    assert(feats(5L).duration_us === 21L * 1000000 / 8000)
+    assert(feats(5L).sum_amp === amps5.sum.toLong)
+    assert(feats(5L).max_abs === amps5.map(math.abs).max.toLong)
+    assert(feats(40L).n_samples === (16 + 40 % 32).toLong)
+    // a LIST chunk inserted between fmt and data must be skipped, not choke
+    val raw = Multimodal.encodeWav(docs.filter($"doc_id" === 5)).head().media
+    val stranger = java.nio.ByteBuffer.allocate(raw.length + 14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    stranger.put(raw, 0, 36) // RIFF..fmt chunk end
+      .put("LIST".getBytes("US-ASCII")).putInt(6)
+      .put("INFOab".getBytes("US-ASCII")) // 6 bytes payload (even: no pad)
+      .put(raw, 36, raw.length - 36)
+    val withStranger = Seq(Multimodal.Media(5L, stranger.array(), "wav")).toDS()
+    assert(Multimodal.decodeWav(withStranger).head().sum_amp ===
+      amps5.sum.toLong)
+    // corrupt payloads fail loudly with the doc id
+    val bad = Seq(Multimodal.Media(9L, "nope".getBytes, "wav")).toDS()
+    val err = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeWav(bad).collect())
+    assert(err.getMessage.contains("9") || err.getCause != null)
+  }
+
   test("frame sampling splits payload into fixed-size frames with stride") {
     val text = "x" * 100 // 100 bytes → 4 frames of 32 (last short)
     val docs = Seq((1L, text)).toDF("doc_id", "text")
