@@ -331,6 +331,11 @@ object Graft {
   def decodeAudio(media: Dataset[llm.Multimodal.Media])
       : Dataset[llm.Multimodal.AudioFeatures] = llm.Multimodal.decodeWav(media)
 
+  /** REAL per-frame video decode over the length-prefixed keyframe
+    * container (each frame a PNG, imageio-decoded in the closure). */
+  def decodeVideo(media: Dataset[llm.Multimodal.Media])
+      : Dataset[llm.Multimodal.FrameFeatures] = llm.Multimodal.decodeVideo(media)
+
   /** URL parse + canonical key over a frame with a `url` column. */
   def canonicalizeUrls(u: DataFrame): DataFrame = llm.UrlOps.canonicalized(u)
   /** Recrawl dedup on the canonical URL key (keeper = min doc_id). */

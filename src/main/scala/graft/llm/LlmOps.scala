@@ -571,6 +571,16 @@ object LlmOps extends QueryModule {
           Multimodal.encodeWav(Tables.documents(s, d)))
         .toDF().orderBy(col("doc_id"))),
 
+    // REAL video decode: a length-prefixed container of PNG keyframes
+    // (bounded: doc_id < 100 → 300 frames), each frame imageio-decoded
+    // in the executor closure, one row per frame — the oracle restates
+    // per-frame geometry and channel sums (green/blue step per frame)
+    "q_multimodal_video" -> ((s, d) =>
+      Multimodal.decodeVideo(
+          Multimodal.encodeVideo(
+            Tables.documents(s, d).filter(col("doc_id") < 100)))
+        .toDF().orderBy(col("doc_id"), col("frame_no"))),
+
     // Video-frame-subsample shape: payload → fixed-size frames → keep every
     // 3rd. Oracled on the frame geometry (number, stride, byte length) —
     // the part an engine owns regardless of codec.
@@ -1436,6 +1446,28 @@ object LlmOps extends QueryModule {
     // doc_id, green/blue solid (sum = w*h*color), red an x-gradient
     // summed per row via a correlated series — lossless PNG must land
     // exactly here
+    // per-frame: red the same x-gradient as the image key, green/blue
+    // step 11/29 per frame index
+    "q_multimodal_video" ->
+      """SELECT d.doc_id,
+        |  CAST(f.f AS INT) AS frame_no,
+        |  CAST(1 + d.doc_id % 8 AS INT) AS width,
+        |  CAST(1 + d.doc_id % 5 AS INT) AS height,
+        |  CAST((1 + d.doc_id % 5) * r.rowsum AS BIGINT) AS sum_r,
+        |  CAST((1 + d.doc_id % 8) * (1 + d.doc_id % 5)
+        |    * ((d.doc_id * 7 + 11 * f.f) % 256) AS BIGINT) AS sum_g,
+        |  CAST((1 + d.doc_id % 8) * (1 + d.doc_id % 5)
+        |    * ((d.doc_id * 13 + 29 * f.f) % 256) AS BIGINT) AS sum_b
+        |FROM documents d
+        |JOIN (SELECT unnest(generate_series(0, 2)) AS f) f ON TRUE
+        |JOIN (
+        |  SELECT doc_id, SUM((doc_id + x) % 256) AS rowsum
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 8)) AS x
+        |        FROM documents)
+        |  GROUP BY doc_id) r ON d.doc_id = r.doc_id
+        |WHERE d.doc_id < 100
+        |ORDER BY d.doc_id, frame_no""".stripMargin,
+
     // n = 16 + id%32 samples at 8 kHz; sample(i) = (id*31 + i*17) % 2003
     // - 1001 — the sum and max-abs restated via a correlated series
     "q_multimodal_audio" ->

@@ -107,6 +107,88 @@ object Multimodal {
   case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
     duration_us: Long, sum_amp: Long, max_abs: Long)
 
+  case class FrameFeatures(doc_id: Long, frame_no: Int, width: Int,
+    height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic 3-frame "video" payloads: a length-prefixed container
+    * of REAL PNG frames ([int32 n][int32 len, png]...), per-frame colors
+    * pure functions of (doc_id, frame): geometry as [[encodePng]], red
+    * the same x-gradient every frame, green/blue stepping by 11·f / 29·f
+    * per frame so wrong frame addressing mismatches. The shape of every
+    * keyframe-extractable container: seekable frames without decoding
+    * predecessors. */
+  def encodeVideo(docs: DataFrame, nFrames: Int = 3): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 8).toInt
+        val h = (1 + id % 5).toInt
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = ((id * 7 + 11 * f) % 256).toInt
+          val b = ((id * 13 + 29 * f) % 256).toInt
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((((id + x) % 256).toInt) << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        val buf = java.nio.ByteBuffer.allocate(
+          4 + frames.map(_.length + 4).sum)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(nFrames)
+        frames.foreach { fb => buf.putInt(fb.length); buf.put(fb) }
+        Media(id, buf.array(), "vid")
+      }
+    }
+  }
+
+  /** REAL video decode: walk the frame container, decode each frame with
+    * `javax.imageio`, one output row per frame — the per-partition,
+    * bytes-never-cross-the-driver shape of a frame-feature extractor.
+    * Truncated containers and undecodable frames fail loudly. */
+  def decodeVideo(ds: Dataset[Media]): Dataset[FrameFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      val buf = java.nio.ByteBuffer.wrap(m.media)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = buf.getInt
+      require(n >= 0 && n < (1 << 20), s"doc ${m.doc_id}: bad frame count $n")
+      (0 until n).map { f =>
+        require(buf.remaining() >= 4, s"doc ${m.doc_id}: truncated at frame $f")
+        val len = buf.getInt
+        require(buf.remaining() >= len,
+          s"doc ${m.doc_id}: frame $f declares $len bytes, " +
+            s"${buf.remaining()} remain")
+        val fb = new Array[Byte](len); buf.get(fb)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(fb))
+        require(img != null, s"doc ${m.doc_id}: frame $f not decodable")
+        var (srr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            srr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        FrameFeatures(m.doc_id, f, img.getWidth, img.getHeight, srr, sg, sb)
+      }
+    }
+  }
+
   /** Deterministic 16-bit PCM mono WAV payloads, one per doc_id,
     * generated IN-PLAN (the audio sibling of [[encodePng]]). RIFF/WAVE
     * with a real fmt chunk at 8 kHz; sample count and amplitudes are

@@ -49,6 +49,23 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage.contains("9") || err.getCause != null)
   }
 
+  test("video container round-trip: per-frame decode, loud truncation") {
+    val docs = Seq((3L, "x")).toDF("doc_id", "text")
+    val frames = Multimodal.decodeVideo(Multimodal.encodeVideo(docs))
+      .collect().sortBy(_.frame_no)
+    assert(frames.length === 3)
+    // geometry constant across frames; green steps by 11 per frame
+    assert(frames.forall(f => f.width === 4 && f.height === 4)) // 1+3%8, 1+3%5
+    val greens = frames.map(_.sum_g)
+    assert(greens.toSeq === (0 until 3).map(f =>
+      16L * ((3 * 7 + 11 * f) % 256)))
+    // truncating mid-frame fails loudly with the doc id and frame no
+    val raw = Multimodal.encodeVideo(docs).head().media
+    val cut = Seq(Multimodal.Media(3L, raw.take(raw.length - 10), "vid")).toDS()
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodeVideo(cut).collect())
+  }
+
   test("frame sampling splits payload into fixed-size frames with stride") {
     val text = "x" * 100 // 100 bytes → 4 frames of 32 (last short)
     val docs = Seq((1L, text)).toDF("doc_id", "text")
