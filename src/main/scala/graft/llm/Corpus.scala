@@ -233,8 +233,7 @@ object Corpus {
     require(shards > 0, "shards must be positive")
     // full-range hash (no mod-1000 bucketing): enough spread that ordering
     // by it permutes, with doc_id as the total-order tiebreak
-    val key = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
-      + lit(40503L)) % lit(1000003L)
+    val key = shuffleKeyCol(col("doc_id"))
     val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
     docs.select(col("doc_id"), key.as("key"))
       .withColumn("shard", (col("key") % lit(shards.toLong)).cast("long"))
@@ -242,7 +241,14 @@ object Corpus {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
-  /** [[shuffleIntoShards]]'s hash key for the DuckDB oracle. */
+  /** The deterministic multiplicative shuffle key — ONE definition shared
+    * by [[shuffleIntoShards]] and [[interleaveSources]] so the constants
+    * can never drift between the two (or from [[shuffleKeySql]]'s oracle
+    * rendering). */
+  def shuffleKeyCol(c: Column): Column =
+    ((c % lit(1000003L)) * lit(2654435761L) + lit(40503L)) % lit(1000003L)
+
+  /** [[shuffleKeyCol]] rendered for the DuckDB oracle. */
   def shuffleKeySql(expr: String): String =
     s"((($expr) % 1000003) * 2654435761 + 40503) % 1000003"
 
@@ -255,8 +261,7 @@ object Corpus {
     * stream in curriculum order is a range-partitioned sort, never a
     * single global window. */
   def interleaveSources(docs: DataFrame): DataFrame = {
-    val key = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
-      + lit(40503L)) % lit(1000003L)
+    val key = shuffleKeyCol(col("doc_id"))
     val w = Window.partitionBy(col("source")).orderBy(col("key"), col("doc_id"))
     docs.select(col("doc_id"), col("source"), key.as("key"))
       .withColumn("rank", row_number().over(w).cast("long") - lit(1L))

@@ -162,9 +162,6 @@ object EmbeddingOps {
     annTopKIndexed(graft.sources.Tables.embeddings(spark, sfDir),
       indexForEmbeddings(spark, sfDir), probeId, k)
 
-  /** Embedding near-dup pairs: narrow LSH-bucket equi-join → distinct id
-    * pairs → embeddings re-joined by id → exact cosine filter. Never forms
-    * the full cross product, never shuffles arrays for candidate dedup. */
   /** EXACT cosine radius search: every pair (a < b) with rounded cosine
     * ≥ `threshold`. Inherently quadratic — this is the correctness
     * BASELINE the LSH radius path ([[cosineNearDupPairs]]) recalls
@@ -185,6 +182,9 @@ object EmbeddingOps {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Embedding near-dup pairs: narrow LSH-bucket equi-join → distinct id
+    * pairs → embeddings re-joined by id → exact cosine filter. Never forms
+    * the full cross product, never shuffles arrays for candidate dedup. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     // persisted across the self-join: the bucket index costs

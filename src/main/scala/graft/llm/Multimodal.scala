@@ -158,6 +158,8 @@ object Multimodal {
   def decodeVideo(ds: Dataset[Media]): Dataset[FrameFeatures] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
+      require(m.media.length >= 4,
+        s"doc ${m.doc_id}: container shorter than its frame-count header")
       val buf = java.nio.ByteBuffer.wrap(m.media)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val n = buf.getInt
@@ -165,6 +167,7 @@ object Multimodal {
       (0 until n).map { f =>
         require(buf.remaining() >= 4, s"doc ${m.doc_id}: truncated at frame $f")
         val len = buf.getInt
+        require(len >= 0, s"doc ${m.doc_id}: frame $f declares negative size $len")
         require(buf.remaining() >= len,
           s"doc ${m.doc_id}: frame $f declares $len bytes, " +
             s"${buf.remaining()} remain")
@@ -260,6 +263,12 @@ object Multimodal {
               buf.position(buf.position() + (size - 16)) // fmt extensions
             case "data" =>
               require(rate > 0, s"doc ${m.doc_id}: data chunk before fmt")
+              // 16-bit PCM data must be sample-aligned, and a second data
+              // chunk would silently mix statistics — both are malformed
+              // here, not walkable
+              require(size % 2 == 0,
+                s"doc ${m.doc_id}: odd data chunk size $size for 16-bit PCM")
+              require(!sawData, s"doc ${m.doc_id}: second data chunk")
               sawData = true
               var i = 0
               while (i < size / 2) {

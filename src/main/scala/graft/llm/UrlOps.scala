@@ -83,7 +83,8 @@ object UrlOps {
     * Spark's native `parse_url` (codegen'd, null-safe) does the
     * splitting; the oracle does the same with anchored regexes. */
   def parsed(u: DataFrame): DataFrame =
-    u.withColumn("host", lower(parse_url(col("url"), lit("HOST"))))
+    u.withColumn("scheme", lower(parse_url(col("url"), lit("PROTOCOL"))))
+      .withColumn("host", lower(parse_url(col("url"), lit("HOST"))))
       .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
       // parse_url yields NULL for an absent component; a bare URL must
       // canonicalize to its root form, not null-propagate through concat
@@ -92,15 +93,18 @@ object UrlOps {
       .withColumn("path_depth",
         size(filter(split(col("path"), "/"), x => x =!= "")).cast("long"))
 
-  /** Canonical form: lowercase host, default port and fragment dropped
-    * (both fall out of `parse_url`'s HOST/PATH/QUERY split), trailing
-    * slash stripped (root stays `/`), tracking parameters removed, an
-    * emptied query dropping its `?`. */
+  /** Canonical form: scheme PRESERVED but lowercased (http and https
+    * spell different fetches — folding them would conflate distinct
+    * pages), lowercase host, default port and fragment dropped (both
+    * fall out of `parse_url`'s PROTOCOL/HOST/PATH/QUERY split), ALL
+    * trailing slashes stripped (root stays `/` — stripping just one
+    * would break idempotence on multi-slash spellings), tracking
+    * parameters removed, an emptied query dropping its `?`. */
   def canonicalized(u: DataFrame): DataFrame = {
-    val cpath = regexp_replace(col("path"), "/$", "")
+    val cpath = regexp_replace(col("path"), "/+$", "")
     val cq = stripTracking(col("query"))
     parsed(u).withColumn("canonical",
-      concat(lit("https://"), col("host"),
+      concat(col("scheme"), lit("://"), col("host"),
         when(cpath === "", lit("/")).otherwise(cpath),
         when(cq === "", lit("")).otherwise(concat(lit("?"), cq))))
   }
@@ -117,8 +121,9 @@ object UrlOps {
     s"""u AS (SELECT doc_id, $duckUrlExpr AS url FROM documents),
        |p AS (
        |  SELECT doc_id, url,
-       |    lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS host,
-       |    regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1) AS path,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
        |    regexp_extract(url, '\\?([^#]*)', 1) AS query
        |  FROM u),
        |c AS (
@@ -127,9 +132,9 @@ object UrlOps {
        |    path,
        |    CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
        |      AS BIGINT) AS path_depth,
-       |    'https://' || host ||
-       |      CASE WHEN regexp_replace(path, '/$$', '') = '' THEN '/'
-       |           ELSE regexp_replace(path, '/$$', '') END ||
+       |    scheme || '://' || host ||
+       |      CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+       |           ELSE regexp_replace(path, '/+$$', '') END ||
        |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
        |  FROM (SELECT *, trim(regexp_replace(query,
        |          '(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'), '&') AS cq

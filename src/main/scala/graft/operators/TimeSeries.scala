@@ -162,11 +162,14 @@ object TimeSeries {
       .withColumn("s1", sum(col("x_milli")).over(w))
       .withColumn("s2", sum(col("x_milli") * col("x_milli")).over(w))
       .withColumn("n_prev", count(col("x_milli")).over(w))
-      .withColumn("anomaly", (col("n_prev") === n &&
+      // when(...).otherwise(0), not a boolean cast: a NULL value row makes
+      // the comparison NULL, and the oracle's CASE emits 0 there — the
+      // otherwise branch keeps both engines at 0 instead of diverging
+      .withColumn("anomaly", when(col("n_prev") === n &&
         (lit(n) * col("x_milli") - col("s1")) *
           (lit(n) * col("x_milli") - col("s1")) >
-          lit(4L) * (lit(n) * col("s2") - col("s1") * col("s1")))
-        .cast("long"))
+          lit(4L) * (lit(n) * col("s2") - col("s1") * col("s1")),
+        lit(1L)).otherwise(lit(0L)))
       .select(col(keyCol), col(tsCol), col(idCol), col("x_milli"),
         col("n_prev"), col("anomaly"))
   }

@@ -478,8 +478,13 @@ object GraphOps extends QueryModule {
     // distinct, symmetric): K=20 sits near the median degree, so peeling
     // actually CASCADES (3–5 rounds at every SF) instead of terminating
     // on round one — the multi-round fixpoint is the point of the key
+    // maxRounds = 10 MATCHES the oracle's unroll count: a dataset whose
+    // cascade needs more rounds must fail LOUDLY here (kcore's
+    // non-convergence require) rather than silently under-peel on the
+    // oracle side and report a phantom engine mismatch
     "q_graph_kcore" -> ((s, d) =>
-      kcore(custPartEdges(s, d), k = 20).orderBy(col("node"))),
+      kcore(custPartEdges(s, d), k = 20, maxRounds = 10)
+        .orderBy(col("node"))),
 
     // degree statistics per node over the entity graph — one union-side
     // aggregate each, outer-merged so zero-degree sides stay visible

@@ -47,6 +47,13 @@ class MultimodalSpec extends SparkSpec {
     val err = intercept[org.apache.spark.SparkException](
       Multimodal.decodeWav(bad).collect())
     assert(err.getMessage.contains("9") || err.getCause != null)
+    // an odd-sized data chunk would desync the walker — loud, not walked
+    val odd = java.nio.ByteBuffer.allocate(raw.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put(raw); odd.putInt(40, 17) // data size 17: not sample-aligned
+    val oddDs = Seq(Multimodal.Media(5L, odd.array(), "wav")).toDS()
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodeWav(oddDs).collect())
   }
 
   test("video container round-trip: per-frame decode, loud truncation") {

@@ -42,6 +42,21 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("scheme is preserved: http and https spellings stay distinct pages") {
+    val u = Seq((1L, "http://a.example.org/x"), (2L, "HTTPS://a.example.org/x"))
+      .toDF("doc_id", "url")
+    val canon = UrlOps.canonicalized(u)
+      .orderBy("doc_id").select($"canonical").as[String].collect().toSeq
+    assert(canon === Seq("http://a.example.org/x", "https://a.example.org/x"))
+  }
+
+  test("multi-slash trailing paths strip to one canonical spelling") {
+    val u = Seq((1L, "https://a.example.org/x//"), (2L, "https://a.example.org/x/"),
+      (3L, "https://a.example.org/x")).toDF("doc_id", "url")
+    assert(UrlOps.canonicalized(u)
+      .select($"canonical").distinct().count() === 1)
+  }
+
   test("a bare URL with no path or query canonicalizes to its root form") {
     val u = Seq((1L, "https://Example.org"), (2L, "https://example.org/"))
       .toDF("doc_id", "url")
