@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * metadata, processed in per-partition batches.
   *
   * The Spark-side shape is real and tested — schema, partitioning,
-  * mapPartitions batching, frame sampling — and the IMAGE codec is real:
-  * [[decodeImage]] runs the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF)
-  * inside the per-partition closure, emitting exact geometry and
-  * per-channel pixel sums. Audio/video codecs are not available in this
-  * environment, so [[decodeFeatures]] remains the byte-level feature
-  * extractor for opaque formats; a real one slots into the same closure
-  * (e.g. javacv / a JNI codec) without touching the plumbing:
-  * partition-sized batches keep codec init cost amortized, exactly like a
-  * vectorized-batch UDF would.
+  * mapPartitions batching, frame sampling — and all three codec paths
+  * are real: [[decodeImage]] runs the JDK's `javax.imageio` (PNG/JPEG/
+  * BMP/GIF), [[decodeWav]] walks RIFF/WAVE chunks for 16-bit mono PCM,
+  * and [[decodeVideo]] decodes every keyframe of the length-prefixed
+  * PNG-keyframe container — each inside a per-partition closure,
+  * emitting exact geometry / sample statistics. [[decodeFeatures]]
+  * remains the byte-level extractor for formats with no decoder here
+  * (e.g. proprietary containers); a new codec slots into the same
+  * closure without touching the plumbing: partition-sized batches keep
+  * codec init cost amortized, exactly like a vectorized-batch UDF would.
   */
 object Multimodal {
 
@@ -260,7 +261,12 @@ object Multimodal {
               require(fmt == 1 && ch == 1 && bits == 16,
                 s"doc ${m.doc_id}: only 16-bit mono PCM supported " +
                   s"(fmt=$fmt ch=$ch bits=$bits)")
-              buf.position(buf.position() + (size - 16)) // fmt extensions
+              // the 16 bytes above are the mandatory PCM fmt body; a
+              // smaller declared size would walk the cursor backwards
+              require(size >= 16,
+                s"doc ${m.doc_id}: fmt chunk size $size < 16")
+              // skip extensions, word-aligned per RIFF like any chunk
+              buf.position(buf.position() + (size - 16) + (size & 1))
             case "data" =>
               require(rate > 0, s"doc ${m.doc_id}: data chunk before fmt")
               // 16-bit PCM data must be sample-aligned, and a second data
@@ -288,9 +294,10 @@ object Multimodal {
     }
   }
 
-  /** Per-partition byte-level features for OPAQUE formats (no codec in
-    * this environment for audio/video — see object scaladoc; images have
-    * the real [[decodeImage]] path). */
+  /** Per-partition byte-level features for OPAQUE formats — containers
+    * with no decoder here. PNG/JPEG/BMP/GIF, 16-bit PCM WAV, and the
+    * PNG-keyframe video container all have real decode paths
+    * ([[decodeImage]] / [[decodeWav]] / [[decodeVideo]]). */
   def decodeFeatures(ds: Dataset[Media]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * derive a deterministic URL per document IN-PLAN (the DuckDB oracle
   * derives the identical string with the same arithmetic — both engines
   * parse and canonicalize the same inputs). The derivation deliberately
-  * injects every spelling variant above, and gives each consecutive
-  * doc-id pair (2k, 2k+1) the same canonical URL so the dedup key has
-  * real collisions at every SF.
+  * injects every spelling variant above — including a NON-default
+  * `:8080` port (keyed on the PAIR id, so both spellings carry it) that
+  * must survive canonicalization while the default `:443` folds away —
+  * and gives each consecutive doc-id pair (2k, 2k+1) the same canonical
+  * URL so the dedup key has real collisions at every SF.
   *
   * Scale: parsing and canonicalization are map-only codegen'd string
   * expressions (Spark's native `parse_url` plus `regexp_replace`) — no
@@ -38,7 +40,8 @@ object UrlOps {
       |  CASE WHEN doc_id % 2 = 0
       |       THEN upper(concat('h', cast((doc_id div 2) % 7 as string), '.example.org'))
       |       ELSE concat('h', cast((doc_id div 2) % 7 as string), '.example.org') END,
-      |  CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+      |  CASE WHEN (doc_id div 2) % 7 = 3 THEN ':8080'
+      |       WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
       |  '/docs/', cast((doc_id div 2) % 11 as string),
       |  '/page-', cast(doc_id div 2 as string),
       |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
@@ -54,7 +57,8 @@ object UrlOps {
       |  CASE WHEN doc_id % 2 = 0
       |       THEN upper('h' || ((doc_id // 2) % 7) || '.example.org')
       |       ELSE 'h' || ((doc_id // 2) % 7) || '.example.org' END ||
-      |  CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+      |  CASE WHEN (doc_id // 2) % 7 = 3 THEN ':8080'
+      |       WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
       |  '/docs/' || ((doc_id // 2) % 11) ||
       |  '/page-' || (doc_id // 2) ||
       |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
@@ -88,6 +92,12 @@ object UrlOps {
       .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
       // parse_url yields NULL for an absent component; a bare URL must
       // canonicalize to its root form, not null-propagate through concat
+      // parse_url HOST excludes the port, so extract it separately from
+      // the authority (no-userinfo URLs: host has no ':' of its own) —
+      // a NON-default port spells a different origin and must survive
+      // canonicalization
+      .withColumn("port", regexp_extract(col("url"),
+        "^[A-Za-z]+://[^/:?#]*:([0-9]+)", 1))
       .withColumn("path", coalesce(parse_url(col("url"), lit("PATH")), lit("")))
       .withColumn("query", coalesce(parse_url(col("url"), lit("QUERY")), lit("")))
       .withColumn("path_depth",
@@ -95,16 +105,23 @@ object UrlOps {
 
   /** Canonical form: scheme PRESERVED but lowercased (http and https
     * spell different fetches — folding them would conflate distinct
-    * pages), lowercase host, default port and fragment dropped (both
-    * fall out of `parse_url`'s PROTOCOL/HOST/PATH/QUERY split), ALL
-    * trailing slashes stripped (root stays `/` — stripping just one
-    * would break idempotence on multi-slash spellings), tracking
-    * parameters removed, an emptied query dropping its `?`. */
+    * pages), lowercase host, the scheme's DEFAULT port dropped but a
+    * non-default port preserved (`:8080` is a different origin than the
+    * bare host — conflating them would merge distinct sites), fragment
+    * dropped, ALL trailing slashes stripped (root stays `/` — stripping
+    * just one would break idempotence on multi-slash spellings),
+    * tracking parameters removed, an emptied query dropping its `?`. */
   def canonicalized(u: DataFrame): DataFrame = {
     val cpath = regexp_replace(col("path"), "/+$", "")
     val cq = stripTracking(col("query"))
+    val defPort = when(col("scheme") === "http", "80")
+      .when(col("scheme") === "https", "443")
+      .when(col("scheme") === "ftp", "21")
+      .otherwise("")
+    val portPart = when(col("port") === "" || col("port") === defPort,
+      lit("")).otherwise(concat(lit(":"), col("port")))
     parsed(u).withColumn("canonical",
-      concat(col("scheme"), lit("://"), col("host"),
+      concat(col("scheme"), lit("://"), col("host"), portPart,
         when(cpath === "", lit("/")).otherwise(cpath),
         when(cq === "", lit("")).otherwise(concat(lit("?"), cq))))
   }
@@ -123,6 +140,7 @@ object UrlOps {
        |  SELECT doc_id, url,
        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]*:([0-9]+)', 1) AS port,
        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
        |    regexp_extract(url, '\\?([^#]*)', 1) AS query
        |  FROM u),
@@ -133,6 +151,10 @@ object UrlOps {
        |    CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
        |      AS BIGINT) AS path_depth,
        |    scheme || '://' || host ||
+       |      CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+       |                AND NOT (scheme = 'http' AND port = '80')
+       |                AND NOT (scheme = 'ftp' AND port = '21')
+       |           THEN ':' || port ELSE '' END ||
        |      CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
        |           ELSE regexp_replace(path, '/+$$', '') END ||
        |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical

@@ -111,21 +111,31 @@ object TimeSeries {
       .select(col(keyCol), col("session_start"), col("n_events"), col("duration"))
   }
 
+  /** Integer FLOOR division for a positive divisor: Spark's `div`
+    * truncates toward zero, so for a negative dividend that is one too
+    * high; `a % b` carries the dividend's sign, so `a % b < 0` flags
+    * exactly the rows needing the −1 correction. Matches DuckDB `//`. */
+  private def floorDivExpr(a: String, b: Long): String =
+    s"(($a div $b) - (CASE WHEN $a % $b < 0 THEN 1 ELSE 0 END))"
+
   /** Cohort retention matrix: users bucket into cohorts by their FIRST
     * event's period, then each (cohort, period-offset) cell counts the
     * distinct users active that many periods later. Two aggregations and
     * one equi-join on the user key — the first-touch aggregation is the
     * same partial-agg shape as [[funnel]]'s entry step, and the distinct
     * count shuffles (cohort, offset, user) triples, never event rows.
-    * Periods are integer floor-divisions of the epoch timestamp, so
-    * bucketing is exact on every engine. */
+    * Periods are integer FLOOR-divisions of the epoch timestamp, so
+    * bucketing is exact on every engine — including pre-epoch (negative)
+    * timestamps, where Spark's `div` truncates toward zero but DuckDB's
+    * `//` floors; [[floorDivExpr]] corrects the truncation so the two
+    * agree on all inputs. */
   def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
       periodUnits: Long): DataFrame = {
     require(periodUnits > 0, s"periodUnits must be positive, got $periodUnits")
     val first = df.groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__first"))
-      .select(col(keyCol), expr(s"__first div $periodUnits").as("cohort"))
-    df.select(col(keyCol), expr(s"$tsCol div $periodUnits").as("__p"))
+      .select(col(keyCol), expr(floorDivExpr("__first", periodUnits)).as("cohort"))
+    df.select(col(keyCol), expr(floorDivExpr(tsCol, periodUnits)).as("__p"))
       .join(first, Seq(keyCol))
       .select(col("cohort"), (col("__p") - col("cohort")).as("poffset"),
         col(keyCol))

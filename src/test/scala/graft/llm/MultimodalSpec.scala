@@ -54,6 +54,14 @@ class MultimodalSpec extends SparkSpec {
     val oddDs = Seq(Multimodal.Media(5L, odd.array(), "wav")).toDS()
     intercept[org.apache.spark.SparkException](
       Multimodal.decodeWav(oddDs).collect())
+    // a fmt chunk declaring size < 16 would walk the cursor BACKWARDS —
+    // loud per-doc failure, never a silent re-parse
+    val shortFmt = java.nio.ByteBuffer.allocate(raw.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortFmt.put(raw); shortFmt.putInt(16, 8) // fmt size 8 < mandatory 16
+    val shortDs = Seq(Multimodal.Media(5L, shortFmt.array(), "wav")).toDS()
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodeWav(shortDs).collect())
   }
 
   test("video container round-trip: per-frame decode, loud truncation") {

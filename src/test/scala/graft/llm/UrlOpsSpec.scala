@@ -42,6 +42,28 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("non-default ports survive canonicalization; default ports fold") {
+    val u = Seq(
+      (1L, "https://a.example.org:8080/x"), (2L, "https://a.example.org/x"),
+      (3L, "https://a.example.org:443/x"), (4L, "http://a.example.org:80/x"),
+      (5L, "http://a.example.org:8080/x")).toDF("doc_id", "url")
+    val canon = UrlOps.canonicalized(u)
+      .orderBy("doc_id").select($"canonical").as[String].collect().toSeq
+    assert(canon === Seq(
+      "https://a.example.org:8080/x", // distinct origin, port kept
+      "https://a.example.org/x",
+      "https://a.example.org/x",      // :443 is the https default — folds
+      "http://a.example.org/x",       // :80 is the http default — folds
+      "http://a.example.org:8080/x")) // non-default under http too
+  }
+
+  test("the synthetic gate URLs exercise a preserved :8080 port") {
+    val c = UrlOps.canonicalized(UrlOps.withUrls(docs(100)))
+      .select($"canonical").as[String].collect()
+    assert(c.exists(_.contains(":8080")), "gate must pin port preservation")
+    assert(!c.exists(_.contains(":443")), "default port must fold away")
+  }
+
   test("scheme is preserved: http and https spellings stay distinct pages") {
     val u = Seq((1L, "http://a.example.org/x"), (2L, "HTTPS://a.example.org/x"))
       .toDF("doc_id", "url")

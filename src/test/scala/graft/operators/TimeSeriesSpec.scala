@@ -48,6 +48,15 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, 1L, 1L))) // u3 back
   }
 
+  test("cohortRetention floors pre-epoch timestamps like DuckDB `//`") {
+    // ts=-5 with period 10 must land in period -1 (floor), not period 0
+    // (Spark div truncation) — offsets then stay non-negative
+    val ev = Seq((1L, -5L), (1L, 5L)).toDF("user_id", "ts")
+    val got = TimeSeries.cohortRetention(ev, "user_id", "ts", periodUnits = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((-1L, 0L, 1L), (-1L, 1L, 1L)))
+  }
+
   test("rollingAnomaly flags a spike after a full constant window only") {
     val rows = // key a: constant 5.0 then a spike; early rows lack a window
       Seq(("a", 1L, 1L, 5.0), ("a", 2L, 2L, 5.0), ("a", 3L, 3L, 5.0),
