@@ -689,20 +689,95 @@ object QuadStore {
 
   /** A PINNED version — immutable, repeatable reads: the newest base
     * at-or-below `v` plus the ordered replay of the delta segments up to
-    * `v`. Fails fast when the supporting chain was vacuumed. */
+    * `v`. Fails fast when the supporting chain was vacuumed.
+    *
+    * Small stores are served from a session-scoped SNAPSHOT CACHE
+    * (see [[SnapshotCacheMaxBytesProp]]): the replayed state is
+    * checkpointed once and every subsequent consumer — the next update's
+    * delta computation, a view sync reading (last, cur), the final
+    * query — reuses the materialized blocks instead of re-planning and
+    * re-broadcasting the whole replay chain. Versions are immutable, so
+    * a cached (root, v) can never be stale; a new version extends the
+    * nearest cached ancestor with only its own tiny segments. Stores
+    * above the byte gate bypass the cache entirely — at 100 TB a
+    * snapshot must stay a lazy scan, not a materialized copy. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
-    val vs = versions(root).toMap
-    val base = vs.filter { case (i, isBase) => isBase && i <= v }
-      .keys.maxOption.getOrElse(throw new IllegalArgumentException(
-        s"no base snapshot at or below v$v under $root — vacuumed?"))
-    val segs = (base + 1 to v)
-    segs.foreach(i => require(vs.contains(i),
-      s"version $i missing from the delta chain under $root — vacuumed?"))
-    if (segs.size <= flatReplayThreshold)
-      segs.foldLeft(readBase(spark, root, base)) { (st, i) =>
-        Update.applyDelta(st, readDelta(spark, root, i))
+    val sess = System.identityHashCode(spark)
+    val enabled = cacheMaxBytes(spark) > 0
+    (if (enabled) snapCache.synchronized(Option(snapCache.get((sess, root, v))))
+     else None) match {
+      case Some(df) => df
+      case None =>
+        val vs = versions(root).toMap
+        val base = vs.filter { case (i, isBase) => isBase && i <= v }
+          .keys.maxOption.getOrElse(throw new IllegalArgumentException(
+            s"no base snapshot at or below v$v under $root — vacuumed?"))
+        val segs = (base + 1 to v)
+        segs.foreach(i => require(vs.contains(i),
+          s"version $i missing from the delta chain under $root — vacuumed?"))
+        // extend the NEWEST cached ancestor in (base, v) instead of
+        // replaying from the base: per version, the incremental work is
+        // one tiny-segment fold, however long the session has run
+        val anc = if (!enabled) None else snapCache.synchronized {
+          (v - 1 to base + 1 by -1).iterator
+            .map(b => b -> Option(snapCache.get((sess, root, b))))
+            .collectFirst { case (b, Some(df)) => (b, df) }
+        }
+        val (startV, startDf) = anc.getOrElse(
+          base -> readBase(spark, root, base))
+        val rest = (startV + 1 to v)
+        val df =
+          if (rest.isEmpty) startDf
+          else if (rest.size <= flatReplayThreshold)
+            rest.foldLeft(startDf) { (st, i) =>
+              Update.applyDelta(st, readDelta(spark, root, i))
+            }
+          else readVersionFlat(spark, startDf, root, rest)
+        maybeCacheSnapshot(spark, root, v, base, segs, df)
+    }
+  }
+
+  /** Session conf: byte budget (summed parquet size of the base + delta
+    * chain) under which [[readVersion]] snapshots are checkpointed and
+    * cached per session. `0` disables the cache. */
+  val SnapshotCacheMaxBytesProp = "graft.snapshot.cache.maxBytes"
+  private val SnapshotCacheDefaultMaxBytes = 1L << 30
+  private val SnapshotCacheMaxEntries = 16
+
+  // access-ordered LRU of (sessionIdentity, root, version) → checkpointed
+  // snapshot. Eviction only drops the REFERENCE — Spark's ContextCleaner
+  // unpersists the blocks once no consumer plan reaches them, so a gate
+  // key's returned DataFrame stays executable after its entry ages out.
+  private val snapCache =
+    new java.util.LinkedHashMap[(Int, String, Int), DataFrame](32, 0.75f, true)
+
+  private def cacheMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption(SnapshotCacheMaxBytesProp)
+      .map(_.toLong).getOrElse(SnapshotCacheDefaultMaxBytes)
+
+  private def maybeCacheSnapshot(spark: SparkSession, root: String, v: Int,
+      base: Int, segs: Range, df: DataFrame): DataFrame = {
+    val maxBytes = cacheMaxBytes(spark)
+    if (maxBytes <= 0) return df
+    val bytes = graft.sources.AtomicStore.sizeBytes(path(root, base)) +
+      segs.map(i => graft.sources.AtomicStore.sizeBytes(deltaPath(root, i))).sum
+    if (bytes > maxBytes) return df
+    val mat = graft.Materialize(df)
+    val sess = System.identityHashCode(spark)
+    snapCache.synchronized {
+      snapCache.put((sess, root, v), mat)
+      import scala.jdk.CollectionConverters._
+      // per root keep the two newest versions (a view sync reads both
+      // `last` and `cur`); older ones only waste the LRU budget
+      val sameRoot = snapCache.keySet.asScala
+        .filter(k => k._1 == sess && k._2 == root).toSeq.sortBy(-_._3)
+      sameRoot.drop(2).foreach(snapCache.remove)
+      while (snapCache.size > SnapshotCacheMaxEntries) {
+        val eldest = snapCache.keySet.iterator.next()
+        snapCache.remove(eldest): Unit
       }
-    else readVersionFlat(spark, root, base, segs)
+    }
+    mat
   }
 
   /** Below this replay depth the sequential fold wins: each segment's
@@ -736,11 +811,12 @@ object QuadStore {
     * never shuffled, whatever the chain depth. Oversized chains fall back
     * to one store-wide shuffle (still constant-depth). Either way the
     * read cost no longer grows with how long compaction was deferred. */
-  private def readVersionFlat(spark: SparkSession, root: String, base: Int,
-      segs: Range): DataFrame = {
+  private def readVersionFlat(spark: SparkSession, startDf: DataFrame,
+      root: String, segs: Range): DataFrame = {
     val keys = Seq("s", "p", "o", "g")
+    val base = segs.head - 1
     val rawSegs = segs.map { i =>
-      spark.read.parquet(deltaPath(root, i))
+      readSegment(spark, root, i)
         .select(col("s"), col("p"), col("o"), col("g"), col("op"),
           lit(i).as("__seq"))
     }.reduce(_.unionByName(_))
@@ -749,12 +825,18 @@ object QuadStore {
         when(col("op") === "a", lit(1)).otherwise(lit(0)).as("__rank"))
     // clear selectors are driver-bounded (≤2 per update statement); fold
     // them into one covering-max expression instead of per-clear filters.
-    // ONE collect over the unioned segments — a per-segment readDelta here
-    // would run one driver-blocking job per segment, re-introducing the
-    // O(depth) read latency the flat fold exists to remove
-    val clears: Seq[(Update.Target, Int)] = rawSegs
-      .filter(col("op") === "g").select("g", "__seq").collect()
-      .map(r => targetOf(r.getString(0)) -> r.getInt(1)).toIndexedSeq
+    // The per-segment sidecar ([[clearsSidecar]]) answers without a Spark
+    // job; only pre-sidecar segments pay ONE collect over the union — a
+    // per-segment readDelta here would run one driver-blocking job per
+    // segment, re-introducing the O(depth) latency the flat fold removes
+    val clears: Seq[(Update.Target, Int)] =
+      segs.map(i => i -> clearsSidecarRead(root, i)) match {
+        case all if all.forall(_._2.isDefined) =>
+          all.flatMap { case (i, ts) => ts.get.map(_ -> i) }
+        case _ => rawSegs
+          .filter(col("op") === "g").select("g", "__seq").collect()
+          .map(r => targetOf(r.getString(0)) -> r.getInt(1)).toIndexedSeq
+      }
     val lastClear: Column = clears.foldLeft(lit(-1)) { case (acc, (t, i)) =>
       val covers = t match {
         case Update.AllGraphs => lit(true)
@@ -764,7 +846,7 @@ object QuadStore {
       }
       when(covers && lit(i) > acc, lit(i)).otherwise(acc)
     }
-    val baseDf = readBase(spark, root, base)
+    val baseDf = startDf
     val deltaBytes = segs.map(i =>
       graft.sources.AtomicStore.list(deltaPath(root, i)).map(_.getLen).sum).sum
     if (deltaBytes <= broadcastFoldMaxBytes) {
@@ -788,8 +870,17 @@ object QuadStore {
     }
   }
 
+  // fixed quad schema for base snapshots: skips footer-sampling schema
+  // inference. `g` resolves either as the partition directory column
+  // (the normal partitionBy("g") layout) or as a data column (the
+  // empty-store unpartitioned fallback) — user schemas cover both.
+  private val baseSchema = org.apache.spark.sql.types.StructType(
+    Seq("s", "p", "o", "g").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType)))
+
   private def readBase(spark: SparkSession, root: String, v: Int): DataFrame =
-    spark.read.parquet(path(root, v))
+    spark.read.schema(baseSchema).parquet(path(root, v))
       .withColumn("g",
         when(col("g") === DefaultGraphDir, lit(Quads.DefaultGraph))
           .otherwise(col("g").cast("string")))
@@ -806,11 +897,53 @@ object QuadStore {
     case other => Update.OneGraph(other)
   }
 
+  // delta segments have a FIXED schema; supplying it skips the
+  // footer-sampling inference job every read would otherwise launch
+  private val segmentSchema = org.apache.spark.sql.types.StructType(
+    Seq("s", "p", "o", "g", "op").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType)))
+
+  private def readSegment(spark: SparkSession, root: String,
+      v: Int): DataFrame =
+    spark.read.schema(segmentSchema).parquet(deltaPath(root, v))
+
+  /** The clears sidecar: the segment's graph-clear targets, written
+    * driver-side at publish (they are known there, bounded per update
+    * statement) so readers resolve them with one tiny FS read instead of
+    * a driver-blocking Spark collect per segment. Base64 per line keeps
+    * arbitrary graph IRIs newline-safe. */
+  private val ClearsSidecar = "_GRAFT_CLEARS"
+
+  private def clearsSidecarWrite(dir: String,
+      clears: Seq[Update.Target]): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val body = clears.map {
+      case Update.AllGraphs => ClearAll
+      case Update.AllNamed => ClearNamed
+      case Update.DefaultG => Quads.DefaultGraph
+      case Update.OneGraph(g) => g
+    }.map(s => enc.encodeToString(s.getBytes("UTF-8"))).mkString("\n")
+    graft.sources.AtomicStore.writeString(s"$dir/$ClearsSidecar", body)
+  }
+
+  private def clearsSidecarRead(root: String,
+      v: Int): Option[Seq[Update.Target]] = {
+    val p = s"${deltaPath(root, v)}/$ClearsSidecar"
+    try {
+      val dec = java.util.Base64.getDecoder
+      val body = graft.sources.AtomicStore.readString(p)
+      Some(body.split("\n").toIndexedSeq.filter(_.nonEmpty)
+        .map(l => targetOf(new String(dec.decode(l), "UTF-8"))))
+    } catch { case _: java.io.IOException => None } // pre-sidecar segment
+  }
+
   private def readDelta(spark: SparkSession, root: String,
       v: Int): Update.Delta = {
-    val df = spark.read.parquet(deltaPath(root, v))
-    val clears = df.filter(col("op") === "g").select("g").collect()
-      .map(r => targetOf(r.getString(0))).toIndexedSeq
+    val df = readSegment(spark, root, v)
+    val clears = clearsSidecarRead(root, v).getOrElse(
+      df.filter(col("op") === "g").select("g").collect()
+        .map(r => targetOf(r.getString(0))).toIndexedSeq)
     Update.Delta(
       df.filter(col("op") === "a").select("s", "p", "o", "g"),
       df.filter(col("op") === "d").select("s", "p", "o", "g"),
@@ -832,11 +965,19 @@ object QuadStore {
       case Update.OneGraph(g) => g
     }.map(g => (null: String, null: String, null: String, g, "g"))
       .toDF("s", "p", "o", "g", "op")
-    graft.sources.AtomicStore.materializeExclusive(deltaPath(root, v))(tmp =>
+    graft.sources.AtomicStore.materializeExclusive(deltaPath(root, v)) { tmp =>
+      // segments are O(|update|) by construction: ONE output file keeps
+      // the task count, the segment listing, and every later read flat —
+      // the repartition shuffles only delta-sized bytes while the
+      // upstream store scan keeps its full parallelism (coalesce would
+      // narrow it to the write's single task)
       clearRows
         .unionByName(d.dels.withColumn("op", lit("d")))
         .unionByName(d.adds.withColumn("op", lit("a")))
-        .write.parquet(tmp))
+        .repartition(1)
+        .write.parquet(tmp)
+      clearsSidecarWrite(tmp, d.clears)
+    }
   }
 
   /** Persist a [[Update.Delta]] as the next version's segment; returns
@@ -992,13 +1133,20 @@ object QuadStore {
       return (fromState.limit(0), fromState.limit(0))
     def fallback: (DataFrame, DataFrame) =
       (toState.exceptAll(fromState), fromState.exceptAll(toState))
-    val segsReadable = ((from + 1) to to).forall(i =>
+    val range = (from + 1) to to
+    val segsReadable = range.forall(i =>
       graft.sources.AtomicStore.isComplete(deltaPath(root, i)))
     if (!segsReadable) return fallback
-    val all = ((from + 1) to to).map(i =>
-        spark.read.parquet(deltaPath(root, i)).withColumn("v", lit(i)))
+    val all = range.map(i => readSegment(spark, root, i)
+        .withColumn("v", lit(i)))
       .reduce(_.unionByName(_))
-    if (!all.filter(col("op") === "g").isEmpty) return fallback
+    // sidecars answer "any clears in range?" without a Spark job; only
+    // pre-sidecar segments pay the probe
+    val sidecarClears = range.map(i => clearsSidecarRead(root, i))
+    val anyClears =
+      if (sidecarClears.forall(_.isDefined)) sidecarClears.exists(_.get.nonEmpty)
+      else !all.filter(col("op") === "g").isEmpty
+    if (anyClears) return fallback
     // last operation per quad decides the candidate direction; within one
     // version replay order is dels-then-adds, so 'a' wins a same-version tie
     val w = Window.partitionBy(keys.map(col): _*)

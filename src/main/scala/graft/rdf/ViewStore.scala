@@ -616,9 +616,11 @@ object ViewStore {
     }
     // an empty delta still writes its (tiny) segment: coverage
     // contiguity is what lets a replayed or raced sync be a no-op and
-    // makes gaps loudly detectable at read
+    // makes gaps loudly detectable at read. Segments are O(|churn|), so
+    // ONE output file: the repartition shuffles only delta-sized bytes
+    // while the delta computation keeps its full scan parallelism.
     graft.sources.AtomicStore.materialize(segPath(viewRoot, last, cur)) {
-      tmp => segment.write.parquet(tmp)
+      tmp => segment.repartition(1).write.parquet(tmp)
     }
     cur
   }
@@ -966,7 +968,8 @@ object ViewStore {
       .filter(live)
     graft.sources.AtomicStore.materialize(
       segPath(aggRoot, aggLast, viewLast)) { tmp =>
-      delta.write.parquet(tmp)
+      // summary deltas are O(distinct changed groups): one output file
+      delta.repartition(1).write.parquet(tmp)
     }
     viewLast
   }

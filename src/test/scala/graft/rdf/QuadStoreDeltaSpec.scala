@@ -104,6 +104,9 @@ class QuadStoreDeltaSpec extends SparkSpec {
 
   test("a deep chain replays FLAT: no per-segment join chain in the plan") {
     val root = java.nio.file.Files.createTempDirectory("qsflat").toString
+    // the snapshot cache would serve a checkpointed scan here; this test
+    // pins the plan shape big (cache-bypassed) stores fall back to
+    spark.conf.set(QuadStore.SnapshotCacheMaxBytesProp, "0")
     QuadStore.init(Quads.build(spark, sf0001), root)
     (1 to 5).foreach(i => QuadStore.update(spark, root,
       s"""INSERT DATA { <x:$i> <p> "v$i" . }"""))
@@ -133,6 +136,37 @@ class QuadStoreDeltaSpec extends SparkSpec {
     // dropped files by design); contents unchanged
     assert(QuadStore.read(spark, root)
       .filter(col("s") === "x:3").count() === 1)
+    spark.conf.unset(QuadStore.SnapshotCacheMaxBytesProp)
+  }
+
+  test("snapshot cache: reads agree with the cold path across updates, " +
+    "vacuum, and clears") {
+    val root = java.nio.file.Files.createTempDirectory("qscache").toString
+    QuadStore.init(Quads.build(spark, sf0001), root)
+    def coldCount(): Long = {
+      // a fresh key bypasses the cache map hit but the conf switch is the
+      // honest cold read: disable, read, re-enable
+      spark.conf.set(QuadStore.SnapshotCacheMaxBytesProp, "0")
+      val n = QuadStore.read(spark, root).count()
+      spark.conf.unset(QuadStore.SnapshotCacheMaxBytesProp)
+      n
+    }
+    (1 to 4).foreach { i =>
+      QuadStore.update(spark, root,
+        s"""INSERT DATA { <zc:$i> <p> "v$i" . }""")
+      // cached (warm) read must equal the uncached replay at EVERY version
+      assert(QuadStore.read(spark, root).count() === coldCount(), s"v$i")
+    }
+    // the cached frame survives vacuum (checkpoint blocks are decoupled
+    // from the store files the lazy plan would have re-read)
+    val pinned = QuadStore.read(spark, root)
+    QuadStore.vacuum(root, keep = 1): Unit
+    assert(pinned.filter(col("s") === "zc:2").count() === 1)
+    // a graph-clear lands as a new version; the cache must not leak the
+    // pre-clear state
+    QuadStore.update(spark, root, "CLEAR ALL")
+    assert(QuadStore.read(spark, root).count() === 0L)
+    assert(coldCount() === 0L)
   }
 
   test("an update REQUEST is a ;-sequence, each op seeing the last's state") {
