@@ -73,16 +73,133 @@ object IvfIndex {
     })
 
   /** Train the quantizer and assign every vector to a list (adds
-    * `list_id`). Deterministic for a fixed seed and input. */
+    * `list_id`). Deterministic for a fixed seed and input. The fit is
+    * MLlib's; the ASSIGNMENT is the canonical [[assignWith]] expression,
+    * so a vector appended later ([[append]]) gets bit-identically the
+    * same list as it would in a one-shot build at the same centroids. */
   def build(vectors: DataFrame, k: Int, seed: Long = 42L): Model = {
     val withVec = vectors.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("list_id")
-    val model = km.fit(withVec)
-    val assigned = model.transform(withVec).drop("features")
-    Model(model.clusterCenters.map(_.toArray), assigned)
+      .setPredictionCol("__ignored")
+    val centers = km.fit(withVec).clusterCenters.map(_.toArray)
+    Model(centers, assignWith(centers, vectors))
   }
+
+  /** The canonical list assigner: nearest centroid by squared Euclidean
+    * distance, FIRST minimum on a tie — one deterministic codegen'd
+    * expression (exact double arithmetic in a fixed order), shared by
+    * build and append so "same centroids ⇒ same list" holds exactly.
+    * Centroids inline as a literal (k·dim doubles — fine at gate scale;
+    * at production k=4096 the same argmin runs against a broadcast
+    * centroid table). */
+  private[llm] def assignExpr(centroids: Array[Array[Double]]):
+      org.apache.spark.sql.Column = {
+    val k = centroids.length
+    val dim = centroids(0).length
+    val flat = centroids.flatten.mkString("array(", ", ", ")")
+    val dist = (i: String) =>
+      s"aggregate(sequence(0, ${dim - 1}), 0D, (a, j) -> a + " +
+        s"pow(element_at(__e, j + 1) - " +
+        s"element_at($flat, $i * $dim + j + 1), 2))"
+    val dists = s"transform(sequence(0, ${k - 1}), i -> ${dist("i")})"
+    expr(s"cast(array_position($dists, array_min($dists)) - 1 as int)")
+  }
+
+  /** Assign each vector to its nearest EXISTING centroid (no re-fit). */
+  def assignWith(centroids: Array[Array[Double]],
+      vectors: DataFrame): DataFrame =
+    vectors
+      .withColumn("__e", col("embedding").cast("array<double>"))
+      .withColumn("list_id", assignExpr(centroids))
+      .drop("__e")
+
+  // ---- appendable persisted lifecycle (the LshIndex contract) --------
+
+  import graft.sources.{AtomicStore, SegmentedStore}
+
+  private def writeModel(centroids: Array[Array[Double]], root: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    AtomicStore.materialize(s"$root/model") { tmp =>
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("centroid_id", "centroid")
+        .coalesce(1).write.parquet(tmp)
+    }: Unit
+  }
+
+  /** The persisted model — the IMMUTABLE part of an appendable index:
+    * append assigns against these centroids, never re-fits. */
+  def centroidsOf(spark: org.apache.spark.sql.SparkSession,
+      root: String): Array[Array[Double]] =
+    spark.read.parquet(s"$root/model")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  private def writeSegment(centroids: Array[Array[Double]],
+      vectors: DataFrame, dest: String): Unit =
+    AtomicStore.materialize(dest)(tmp =>
+      assignWith(centroids, vectors)
+        .write.partitionBy("list_id").parquet(tmp)): Unit
+
+  /** Bootstrap an APPENDABLE index: fit the quantizer on the initial
+    * corpus, persist it as the immutable model, and write the corpus as
+    * segment 1. Idempotent per root. */
+  def create(vectors: DataFrame, root: String, k: Int,
+      seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    if (!AtomicStore.isComplete(s"$root/model")) {
+      val withVec = vectors.withColumn("features",
+        array_to_vector(col("embedding").cast("array<double>")))
+      val km = new KMeans().setK(k).setSeed(seed)
+        .setFeaturesCol("features").setPredictionCol("__ignored")
+      writeModel(km.fit(withVec).clusterCenters.map(_.toArray), root, spark)
+    }
+    writeSegment(centroidsOf(spark, root), vectors,
+      SegmentedStore.segPath(root, 1))
+  }
+
+  /** Index an ARRIVING batch as the next segment: assign to the
+    * EXISTING centroids (no k-means re-fit, no touch of prior
+    * segments) — the continuous-ingest path a rebuild-only index
+    * lacks. Returns the segment number. */
+  def append(vectors: DataFrame, root: String): Int = {
+    val spark = vectors.sparkSession
+    val n = SegmentedStore.nextN(root)
+    writeSegment(centroidsOf(spark, root), vectors,
+      SegmentedStore.segPath(root, n))
+    n
+  }
+
+  /** Live fold depth of the appendable index (0 = not created). */
+  def segmentCount(root: String): Int = SegmentedStore.liveCount(root)
+
+  /** The appendable index as a searchable [[Model]]: model centroids +
+    * the union of live entries (each `list_id`-partitioned, so probes
+    * prune inside every entry). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): Model = {
+    val live = SegmentedStore.liveEntries(root)
+    require(live.nonEmpty, s"no IVF index under $root — create() first")
+    Model(centroidsOf(spark, root),
+      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)))
+  }
+
+  /** Fold the live entries into ONE base (probe-identical: a plain
+    * union of immutable rows, re-partitioned by `list_id`), then drop
+    * the superseded entries. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      root: String): Int =
+    SegmentedStore.compactWith(root) { (live, tmp) =>
+      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
+        .write.partitionBy("list_id").parquet(tmp)
+    }
+
+  /** Compact when the fold depth exceeds `maxSegments` — the retention
+    * policy an ingest loop calls after each [[append]]. */
+  def compactIfDeep(spark: org.apache.spark.sql.SparkSession,
+      root: String, maxSegments: Int = 8): Unit =
+    if (segmentCount(root) > maxSegments) compact(spark, root): Unit
 
   /** Exact-cosine top-k over the `nProbe` nearest posting lists. */
   def search(m: Model, probeId: Long, k: Int, nProbe: Int): DataFrame = {

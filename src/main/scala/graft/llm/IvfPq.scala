@@ -80,6 +80,74 @@ object IvfPq {
       load(spark, path)
     })
 
+  // ---- appendable persisted lifecycle (the LshIndex contract) --------
+
+  import graft.sources.{AtomicStore, SegmentedStore}
+
+  /** List-tagged codes for a batch at a FIXED model: the canonical IVF
+    * assigner + the canonical PQ encoder, joined on vec_id — the one
+    * code path create, append, and the identity spec's one-shot rebuild
+    * all share. */
+  private def codesWith(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], vectors: DataFrame): DataFrame =
+    PqIndex.encodeWith(books, vectors)
+      .join(IvfIndex.assignWith(centroids, vectors)
+        .select("vec_id", "list_id"), "vec_id")
+
+  /** Bootstrap an APPENDABLE composed index: both quantizers fit on the
+    * initial corpus and persist as the immutable model (reusing the
+    * component stores' model layouts under `root/ivf` and `root/pq`);
+    * the corpus's list-tagged codes land as segment 1. Idempotent. */
+  def create(vectors: DataFrame, root: String, k: Int,
+      seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    // the component creates publish the models AND their own seg 1 —
+    // cheap, and it keeps each component independently probe-able
+    IvfIndex.create(vectors, s"$root/ivf", k, seed)
+    PqIndex.create(vectors, s"$root/pq", seed)
+    AtomicStore.materialize(SegmentedStore.segPath(root, 1))(tmp =>
+      codesWith(IvfIndex.centroidsOf(spark, s"$root/ivf"),
+        PqIndex.booksOf(spark, s"$root/pq"), vectors)
+        .write.partitionBy("list_id").parquet(tmp)): Unit
+  }
+
+  /** Encode + assign an ARRIVING batch at the existing model as the
+    * next segment (no re-fit anywhere, prior segments untouched). */
+  def append(vectors: DataFrame, root: String): Int = {
+    val spark = vectors.sparkSession
+    val n = SegmentedStore.nextN(root)
+    AtomicStore.materialize(SegmentedStore.segPath(root, n))(tmp =>
+      codesWith(IvfIndex.centroidsOf(spark, s"$root/ivf"),
+        PqIndex.booksOf(spark, s"$root/pq"), vectors)
+        .write.partitionBy("list_id").parquet(tmp)): Unit
+    n
+  }
+
+  /** Live fold depth of the appendable index (0 = not created). */
+  def segmentCount(root: String): Int = SegmentedStore.liveCount(root)
+
+  /** The appendable index as a searchable [[Model]]: each live entry is
+    * `list_id`-partitioned, so probes prune inside every entry. */
+  def readIndex(spark: SparkSession, root: String): Model = {
+    val live = SegmentedStore.liveEntries(root)
+    require(live.nonEmpty, s"no IVF+PQ index under $root — create() first")
+    Model(IvfIndex.centroidsOf(spark, s"$root/ivf"),
+      PqIndex.booksOf(spark, s"$root/pq"),
+      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)))
+  }
+
+  /** Fold live entries into ONE base (probe-identical plain union,
+    * re-partitioned by `list_id`), then drop the superseded entries. */
+  def compact(spark: SparkSession, root: String): Int =
+    SegmentedStore.compactWith(root) { (live, tmp) =>
+      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
+        .write.partitionBy("list_id").parquet(tmp)
+    }
+
+  def compactIfDeep(spark: SparkSession, root: String,
+      maxSegments: Int = 8): Unit =
+    if (segmentCount(root) > maxSegments) compact(spark, root): Unit
+
   /** Search: rank the `k` coarse centroids against the probe driver-side,
     * ADC-scan ONLY the `nProbe` nearest lists' codes (partition-pruned),
     * exact-rerank the top candidates. */

@@ -183,6 +183,31 @@ object LlmOps extends QueryModule {
         probeId = 0L, k = 10, nProbe = 4)
     }),
 
+    // the APPENDABLE IVF lifecycle in the gate: the quantizer fits on
+    // the first half of the corpus only, the other two quarters arrive
+    // as append segments assigned to the EXISTING centroids (no k-means
+    // re-fit — the continuous-ingest path a rebuild-only index lacks),
+    // compaction folds to one base, and the search probes the result.
+    // Approximate (k-means pruning) → declared no-oracle; IvfSpec proves
+    // create+append+append ≡ one-shot encode at the fixed model, row-
+    // and probe-identically, through compaction.
+    "q_sim_ivf_append" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ivfapp_" +
+        graft.sources.AtomicStore.key(d)
+      val vecs = Tables.embeddings(s, d)
+      if (IvfIndex.segmentCount(root) == 0) {
+        IvfIndex.create(vecs.filter(pmod(col("vec_id"), lit(4)) < 2),
+          root, k = 16)
+        IvfIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 2),
+          root): Unit
+        IvfIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
+          root): Unit
+      }
+      IvfIndex.compactIfDeep(s, root, maxSegments = 1)
+      IvfIndex.search(IvfIndex.readIndex(s, root),
+        probeId = 0L, k = 10, nProbe = 4)
+    }),
+
     // product quantization: the ADC scan reads only the 16-codes-per-vector
     // table (~4× narrower here, ~16× with byte codes at production dims),
     // reranks the top-50 candidates by exact cosine; the per-subspace
@@ -199,6 +224,29 @@ object LlmOps extends QueryModule {
     "q_sim_ivfpq_topk" -> ((s, d) =>
       IvfPq.search(IvfPq.forEmbeddings(s, d), Tables.embeddings(s, d),
         probeId = 0L, k = 10, nProbe = 4, rerank = 50)),
+
+    // the APPENDABLE composed IVF+PQ lifecycle (the production vector
+    // store's ingest path): both quantizers fit on the first half, two
+    // append batches encode + assign at the FIXED model, compaction
+    // folds, the search partition-prunes the result. Declared no-oracle;
+    // IvfPqSpec proves row- and probe-identity vs the one-shot encode
+    // through compaction, with pruning asserted on the compacted base.
+    "q_sim_ivfpq_append" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ivfpqapp_" +
+        graft.sources.AtomicStore.key(d)
+      val vecs = Tables.embeddings(s, d)
+      if (IvfPq.segmentCount(root) == 0) {
+        IvfPq.create(vecs.filter(pmod(col("vec_id"), lit(4)) < 2),
+          root, k = 16)
+        IvfPq.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 2),
+          root): Unit
+        IvfPq.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
+          root): Unit
+      }
+      IvfPq.compactIfDeep(s, root, maxSegments = 1)
+      IvfPq.search(IvfPq.readIndex(s, root), vecs,
+        probeId = 0L, k = 10, nProbe = 4, rerank = 50)
+    }),
 
     "q_text_tokens" -> ((s, d) =>
       TextOps.termFrequencies(Tables.documents(s, d))

@@ -42,25 +42,53 @@ object PqIndex {
   /** Fit the per-subspace quantizers and encode every vector.
     * Deterministic for a fixed seed and input. One k-means per subspace is
     * ingest-time work (like [[IvfIndex.build]]'s single fit); encoding is
-    * M narrow transforms over subvector slices. */
+    * the canonical [[encodeWith]] expression, shared with [[append]] so
+    * "same codebooks ⇒ same codes" holds exactly. */
   def build(vectors: DataFrame, seed: Long = 42L): Model = {
+    val books = fitBooks(vectors, seed)
+    Model(books, encodeWith(books, vectors))
+  }
+
+  /** The per-subspace k-means fits alone (no encode). */
+  private def fitBooks(vectors: DataFrame,
+      seed: Long): Array[Array[Array[Double]]] = {
     val books = Array.ofDim[Array[Array[Double]]](M)
-    var coded = vectors
     (0 until M).foreach { m =>
-      val sub = coded.withColumn("__sub",
+      val sub = vectors.withColumn("__sub",
         array_to_vector(slice(col("embedding"), m * SubDim + 1, SubDim)
           .cast("array<double>")))
       val km = new KMeans().setK(K).setSeed(seed + m)
-        .setFeaturesCol("__sub").setPredictionCol(s"__c$m")
-      val model = km.fit(sub)
-      books(m) = model.clusterCenters.map(_.toArray)
-      coded = model.transform(sub).drop("__sub")
+        .setFeaturesCol("__sub").setPredictionCol("__ignored")
+      books(m) = km.fit(sub).clusterCenters.map(_.toArray)
     }
-    val codes = coded.withColumn("code",
-        array((0 until M).map(m => col(s"__c$m")): _*))
-      .select(col("vec_id"), col("label"), col("code"))
-    Model(books, codes)
+    books
   }
+
+  /** The canonical encoder: per subspace, nearest codebook centroid by
+    * squared Euclidean, FIRST minimum on a tie — one deterministic
+    * codegen'd expression (the PQ sibling of [[IvfIndex.assignExpr]]),
+    * so a vector appended later encodes bit-identically to a one-shot
+    * encode at the same codebooks. */
+  private[llm] def encodeExpr(codebooks: Array[Array[Array[Double]]]):
+      org.apache.spark.sql.Column = {
+    val flat = codebooks.flatten.flatten.mkString("array(", ", ", ")")
+    // dist(m, kk) over the m-th SubDim slice of the double-cast embedding
+    val dist =
+      s"aggregate(sequence(0, ${SubDim - 1}), 0D, (a, j) -> a + " +
+        s"pow(element_at(__e, m * $SubDim + j + 1) - " +
+        s"element_at($flat, m * ${K * SubDim} + kk * $SubDim + j + 1), 2))"
+    val dists = s"transform(sequence(0, ${K - 1}), kk -> $dist)"
+    expr(s"transform(sequence(0, ${M - 1}), m -> " +
+      s"cast(array_position($dists, array_min($dists)) - 1 as int))")
+  }
+
+  /** Encode vectors with EXISTING codebooks (no re-fit). */
+  def encodeWith(codebooks: Array[Array[Array[Double]]],
+      vectors: DataFrame): DataFrame =
+    vectors
+      .withColumn("__e", col("embedding").cast("array<double>"))
+      .withColumn("code", encodeExpr(codebooks))
+      .select(col("vec_id"), col("label"), col("code"))
 
   /** Persist codes + codebooks; atomic publication via the caller's
     * AtomicStore.materialize (same lifecycle as [[IvfIndex.save]]). */
@@ -96,6 +124,76 @@ object PqIndex {
         save(build(graft.sources.Tables.embeddings(spark, sfDir)), tmp))
       load(spark, path)
     })
+
+  // ---- appendable persisted lifecycle (the LshIndex contract) --------
+
+  import graft.sources.{AtomicStore, SegmentedStore}
+
+  private def writeBooks(books: Array[Array[Array[Double]]], root: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    AtomicStore.materialize(s"$root/model") { tmp =>
+      books.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (c, k) => (sub, k, c.toSeq) }
+      }.toSeq.toDF("sub", "centroid_id", "centroid")
+        .coalesce(1).write.parquet(tmp)
+    }: Unit
+  }
+
+  /** The persisted codebooks — the IMMUTABLE part of an appendable
+    * index: append encodes against these, never re-fits. */
+  def booksOf(spark: SparkSession,
+      root: String): Array[Array[Array[Double]]] = {
+    val books = Array.fill(M)(Array.ofDim[Array[Double]](K))
+    spark.read.parquet(s"$root/model").collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    books
+  }
+
+  /** Bootstrap an APPENDABLE index: fit the codebooks on the initial
+    * corpus, persist them as the immutable model, write the corpus's
+    * codes as segment 1. Idempotent per root. */
+  def create(vectors: DataFrame, root: String, seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    if (!AtomicStore.isComplete(s"$root/model"))
+      writeBooks(fitBooks(vectors, seed), root, spark)
+    AtomicStore.materialize(SegmentedStore.segPath(root, 1))(tmp =>
+      encodeWith(booksOf(spark, root), vectors).write.parquet(tmp)): Unit
+  }
+
+  /** Encode an ARRIVING batch with the EXISTING codebooks as the next
+    * segment (no k-means re-fit, prior segments untouched). */
+  def append(vectors: DataFrame, root: String): Int = {
+    val spark = vectors.sparkSession
+    val n = SegmentedStore.nextN(root)
+    AtomicStore.materialize(SegmentedStore.segPath(root, n))(tmp =>
+      encodeWith(booksOf(spark, root), vectors).write.parquet(tmp)): Unit
+    n
+  }
+
+  /** Live fold depth of the appendable index (0 = not created). */
+  def segmentCount(root: String): Int = SegmentedStore.liveCount(root)
+
+  /** The appendable index as a searchable [[Model]]. */
+  def readIndex(spark: SparkSession, root: String): Model = {
+    val live = SegmentedStore.liveEntries(root)
+    require(live.nonEmpty, s"no PQ index under $root — create() first")
+    Model(booksOf(spark, root),
+      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)))
+  }
+
+  /** Fold live entries into ONE base (probe-identical plain union),
+    * then drop the superseded entries. */
+  def compact(spark: SparkSession, root: String): Int =
+    SegmentedStore.compactWith(root) { (live, tmp) =>
+      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
+        .write.parquet(tmp)
+    }
+
+  def compactIfDeep(spark: SparkSession, root: String,
+      maxSegments: Int = 8): Unit =
+    if (segmentCount(root) > maxSegments) compact(spark, root): Unit
 
   /** The approximate-cosine ADC scoring column over a `code` array column:
     * per-subspace lookup tables computed once driver-side (`M×K` entries,

@@ -52,4 +52,40 @@ class IvfPqSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
       s"expected list_id partition pruning in:\n$plan")
   }
+
+  test("append lifecycle: create + 2 appends ≡ one-shot at the fixed " +
+    "model, through compaction, with partition pruning intact") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "ivfpq_app_test")
+    rmTree(root)
+    IvfPq.create(vecs.filter(pmod(col("vec_id"), lit(4)) < 2),
+      root.toString, k = 8)
+    IvfPq.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 2),
+      root.toString): Unit
+    IvfPq.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
+      root.toString): Unit
+    assert(IvfPq.segmentCount(root.toString) === 3)
+    val idx = IvfPq.readIndex(spark, root.toString)
+    // one-shot list-tagged codes at the SAME model
+    val oneShot = PqIndex.encodeWith(idx.codebooks, vecs)
+      .join(IvfIndex.assignWith(idx.centroids, vecs)
+        .select("vec_id", "list_id"), "vec_id")
+    assert(idx.codes.exceptAll(oneShot).isEmpty)
+    assert(oneShot.exceptAll(idx.codes).isEmpty)
+    val expected = IvfPq.search(
+      IvfPq.Model(idx.centroids, idx.codebooks, oneShot),
+      vecs, 0L, 10, nProbe = 4).select("vec_id").as[Long].collect().toSeq
+    assert(IvfPq.search(idx, vecs, 0L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq === expected)
+    assert(IvfPq.compact(spark, root.toString) === 1)
+    val compacted = IvfPq.readIndex(spark, root.toString)
+    assert(IvfPq.search(compacted, vecs, 0L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq === expected)
+    // pruning survives append + compaction (base is list_id-partitioned)
+    val plan = IvfPq.search(compacted, vecs, 0L, 10, nProbe = 2)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning in:\n$plan")
+  }
 }

@@ -50,4 +50,42 @@ class IvfSpec extends SparkSpec {
     assert(m.assigned.count() === vecs.count())
     assert(m.assigned.select("list_id").distinct().count() <= 8)
   }
+
+  test("append lifecycle: create + 2 appends ≡ one-shot encode at the " +
+    "fixed model, through compaction") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "ivf_app_test")
+    rmTree(root)
+    // model fits on the FIRST HALF only; later batches assign, never re-fit
+    IvfIndex.create(vecs.filter(pmod(col("vec_id"), lit(4)) < 2),
+      root.toString, k = 8)
+    IvfIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 2),
+      root.toString): Unit
+    IvfIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
+      root.toString): Unit
+    assert(IvfIndex.segmentCount(root.toString) === 3)
+    val idx = IvfIndex.readIndex(spark, root.toString)
+    // ROW-level identity: the appended index's assignments equal a
+    // one-shot assignment of the whole corpus at the same centroids
+    val oneShot = IvfIndex.assignWith(idx.centroids, vecs)
+      .select("vec_id", "list_id")
+    assert(idx.assigned.select("vec_id", "list_id")
+      .exceptAll(oneShot).isEmpty)
+    assert(oneShot.exceptAll(
+      idx.assigned.select("vec_id", "list_id")).isEmpty)
+    // PROBE identity vs the one-shot index at the same model
+    val expected = IvfIndex.search(
+      IvfIndex.Model(idx.centroids, IvfIndex.assignWith(idx.centroids, vecs)),
+      0L, 10, nProbe = 4).select("vec_id").as[Long].collect().toSeq
+    val got = IvfIndex.search(idx, 0L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === expected)
+    // compaction folds to one entry and probes identically
+    assert(IvfIndex.compact(spark, root.toString) === 1)
+    val afterCompact = IvfIndex.search(
+      IvfIndex.readIndex(spark, root.toString), 0L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(afterCompact === expected)
+  }
 }

@@ -71,4 +71,32 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"ADC candidate cut should be a TakeOrderedAndProject:\n$plan")
   }
+
+  test("append lifecycle: create + 2 appends ≡ one-shot encode at the " +
+    "fixed codebooks, through compaction") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "pq_app_test")
+    rmTree(root)
+    PqIndex.create(vecs.filter(pmod(col("vec_id"), lit(4)) < 2),
+      root.toString)
+    PqIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 2),
+      root.toString): Unit
+    PqIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
+      root.toString): Unit
+    assert(PqIndex.segmentCount(root.toString) === 3)
+    val idx = PqIndex.readIndex(spark, root.toString)
+    // ROW-level identity with the one-shot encode at the same codebooks
+    val oneShot = PqIndex.encodeWith(idx.codebooks, vecs)
+    assert(idx.codes.exceptAll(oneShot).isEmpty)
+    assert(oneShot.exceptAll(idx.codes).isEmpty)
+    // PROBE identity, and again after compaction
+    val expected = PqIndex.search(PqIndex.Model(idx.codebooks, oneShot),
+      vecs, 0L, 10).select("vec_id").as[Long].collect().toSeq
+    assert(PqIndex.search(idx, vecs, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq === expected)
+    assert(PqIndex.compact(spark, root.toString) === 1)
+    assert(PqIndex.search(PqIndex.readIndex(spark, root.toString),
+      vecs, 0L, 10).select("vec_id").as[Long].collect().toSeq === expected)
+  }
 }
