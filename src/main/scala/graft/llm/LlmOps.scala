@@ -369,6 +369,36 @@ object LlmOps extends QueryModule {
       Retrieval.bm25TopK(Tables.documents(s, d),
         Seq("hash", "join", "vector", "spark"), k = 20)),
 
+    // BM25 over the PERSISTED incrementally-maintained inverted index
+    // (InvertedIndex): built with real CHURN — two-thirds created, the
+    // last third added, a synthetic junk batch added then RETRACTED
+    // (sign-cancelling segments), compacted to one net base — and the
+    // query reads only the narrow doc-length artifact plus its terms'
+    // postings buckets (partition-pruned), never the corpus text. The
+    // net index state equals the plain corpus, so this lands BITWISE on
+    // q_text_bm25's oracle.
+    "q_text_bm25_indexed" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_invidx_" +
+        graft.sources.AtomicStore.key(d)
+      val docs = Tables.documents(s, d)
+      if (InvertedIndex.segmentCount(root) == 0) {
+        // deterministic junk batch: re-derivable, so the remove segment
+        // cancels the add exactly
+        val junk = docs.filter(col("doc_id") < 32)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("junk spark hash vector "), col("text")).as("text"))
+        InvertedIndex.create(docs.filter(pmod(col("doc_id"), lit(3)) < 2),
+          root)
+        InvertedIndex.add(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+          root): Unit
+        InvertedIndex.add(junk, root): Unit
+        InvertedIndex.remove(junk, root): Unit
+      }
+      InvertedIndex.compactIfDeep(s, root, maxSegments = 1)
+      InvertedIndex.bm25TopK(s, root,
+        Seq("hash", "join", "vector", "spark"), k = 20)
+    }),
+
     // RRF fusion of the BM25 ranking with a query-by-example vector
     // ranking — the production RAG retrieval shape, fully oracled (both
     // rankings and the fusion are deterministic rank arithmetic).
@@ -673,6 +703,39 @@ object LlmOps extends QueryModule {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // the BM25 formula spelled in DuckDB SQL — identical IEEE evaluation
+  // order, Det decimal-exact per-doc sum, same tie-break. Shared by the
+  // recompute key (q_text_bm25) and the persisted-index key
+  // (q_text_bm25_indexed), whose net state is the same corpus.
+  private val bm25OracleSql: String = {
+    val score = graft.Det.roundSafeSql(graft.Det.dsumSql("w", 6), 6)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), lens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), consts AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM lens
+       |), post AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN ('hash', 'join', 'vector', 'spark')
+       |  GROUP BY doc_id, tok
+       |), dfs AS (
+       |  SELECT tok, count(*) AS df FROM post GROUP BY tok
+       |), w AS (
+       |  SELECT p.doc_id,
+       |         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf /
+       |           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)) AS w
+       |  FROM post p JOIN dfs d USING (tok) JOIN lens l USING (doc_id),
+       |       consts c
+       |)
+       |SELECT doc_id, $score AS score FROM w GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -952,34 +1015,11 @@ object LlmOps extends QueryModule {
 
     // the BM25 formula spelled in SQL — identical IEEE evaluation order,
     // Det decimal-exact per-doc sum, same tie-break
-    "q_text_bm25" -> {
-      val score = graft.Det.roundSafeSql(graft.Det.dsumSql("w", 6), 6)
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents
-         |), lens AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |  FROM documents
-         |), consts AS (
-         |  SELECT count(*) AS n_docs,
-         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-         |  FROM lens
-         |), post AS (
-         |  SELECT doc_id, tok, count(*) AS tf FROM toks
-         |  WHERE tok IN ('hash', 'join', 'vector', 'spark')
-         |  GROUP BY doc_id, tok
-         |), dfs AS (
-         |  SELECT tok, count(*) AS df FROM post GROUP BY tok
-         |), w AS (
-         |  SELECT p.doc_id,
-         |         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * p.tf /
-         |           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)) AS w
-         |  FROM post p JOIN dfs d USING (tok) JOIN lens l USING (doc_id),
-         |       consts c
-         |)
-         |SELECT doc_id, $score AS score FROM w GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "q_text_bm25" -> bm25OracleSql,
+
+    // the indexed path nets out to the same corpus state (churn segments
+    // cancel), so it lands on the SAME oracle bitwise
+    "q_text_bm25_indexed" -> bm25OracleSql,
 
     // all-integer bigram LM: per-instance micro-probability is BIGINT
     // floor division, per-doc mean an integer-divided integer sum — the
