@@ -634,6 +634,41 @@ object RdfOps extends QueryModule {
       ViewStore.read(s, view).orderBy(col("x"), col("y"))
     }),
 
+    // The persisted SEQUENCE-path view in the gate: the closure of the
+    // COMPOSED edge set `(<region>/^<region>)+` — same-region nation
+    // pairs (n —region→ r ←region— n'), real base data in the default
+    // graph. Step edges are joins, so their deltas run the conjunctive
+    // rule (seqEdgeCands) before the closure's DRed rule. Two churn
+    // rounds, each SYNCED: round 1 grows two zz cliques ({n1,n2} via
+    // r1, {n3,n4} via r2); round 2 puts n2 in BOTH regions (the closure
+    // must derive n1→n3 through a genuine 2-hop) and retracts n4's only
+    // region (DRed drops every n4 pair, including its self-pair). The
+    // oracle recomputes with a recursive CTE over the final composed
+    // edges.
+    "q_bgp_view_path_seq" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_vq_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_vq_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createPathSeqFromSparql(s, store, view,
+          "SELECT * WHERE { ?x (<region>/^<region>)+ ?y }"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA {
+          |  <zz:n1> <region> "zz:r1" . <zz:n2> <region> "zz:r1" .
+          |  <zz:n3> <region> "zz:r2" . <zz:n4> <region> "zz:r2" . }"""
+          .stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { <zz:n2> <region> "zz:r2" . } ;
+          |DELETE DATA { <zz:n4> <region> "zz:r2" . }""".stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.read(s, view).orderBy(col("x"), col("y"))
+    }),
+
     // Aggregate-IVM in the gate: the grouped summary (BUILDING customers
     // per nation) is maintained by feeding BgpView's view deltas into
     // IncrementalAgg through the same two churn rounds as q_bgp_ivm —
@@ -1953,6 +1988,30 @@ object RdfOps extends QueryModule {
          |    WHERE g = '' AND p IN ('nation', 'region')
          |    UNION ALL SELECT 'zz:c', 'zz:a'
          |    UNION ALL SELECT 'zz:a', 'zz:b')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS x, dst AS y FROM reach ORDER BY x, y""".stripMargin,
+
+    // the final composed edge set: same-region nation pairs over the
+    // default graph's region triples plus the NET zz churn (5 inserted,
+    // 1 deleted → n1,n2@r1, n2,n3@r2 survive; n4 has no region left)
+    "q_bgp_view_path_seq" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |), reg AS (
+         |  SELECT s, o FROM quads WHERE g = '' AND p = 'region'
+         |  UNION ALL SELECT 'zz:n1', 'zz:r1'
+         |  UNION ALL SELECT 'zz:n2', 'zz:r1'
+         |  UNION ALL SELECT 'zz:n2', 'zz:r2'
+         |  UNION ALL SELECT 'zz:n3', 'zz:r2'
+         |), edges AS (
+         |  SELECT DISTINCT a.s AS src, b.s AS dst
+         |  FROM reg a JOIN reg b ON a.o = b.o
          |), reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION

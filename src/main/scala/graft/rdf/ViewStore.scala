@@ -226,6 +226,48 @@ object ViewStore {
     (g, sv, dv, byTag("fwd").map(unb64), byTag("inv").map(unb64))
   }
 
+  private def writeMetaPathSeq(root: String, graph: String, srcVar: String,
+      dstVar: String, steps: Seq[(Seq[String], Seq[String])]): Unit = {
+    val lines = Seq(
+      s"mode\tpathseq\t${b64(graph)}",
+      (Seq("vars", b64(srcVar), b64(dstVar))).mkString("\t")) ++
+      steps.map { case (fwd, inv) =>
+        (Seq("step", fwd.size.toString) ++ fwd.map(b64) ++ inv.map(b64))
+          .mkString("\t")
+      }
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      lines.mkString("\n"))
+  }
+
+  /** The persisted SEQUENCE-path-view definition:
+    * (graph, srcVar, dstVar, steps), each step a (forward, inverse)
+    * predicate alternation. */
+  def definitionPathSeq(root: String)
+      : (String, String, String, Seq[(Seq[String], Seq[String])]) = {
+    val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").toSeq
+    val g = lines.head.split("\t", -1) match {
+      case Array("mode", "pathseq", b) => unb64(b)
+      case _ => throw new IllegalArgumentException(
+        s"not a sequence-path view under $root")
+    }
+    val Seq(sv, dv) = lines(1).split("\t", -1).toSeq match {
+      case Seq("vars", a, b) => Seq(unb64(a), unb64(b))
+      case other => throw new IllegalArgumentException(
+        s"corrupt pathseq meta under $root: $other")
+    }
+    val steps = lines.drop(2).map { l =>
+      l.split("\t", -1).toSeq match {
+        case Seq("step", n, rest @ _*) =>
+          val (f, i) = rest.splitAt(n.toInt)
+          (f.map(unb64), i.map(unb64))
+        case other => throw new IllegalArgumentException(
+          s"corrupt pathseq step under $root: $other")
+      }
+    }
+    (g, sv, dv, steps)
+  }
+
   /** Extract a maintainable pattern set from SPARQL text: a single
     * `SELECT * WHERE { <plain BGP> }` (or a projection naming every
     * pattern variable). Anything beyond the BGP fragment — OPTIONAL,
@@ -431,9 +473,42 @@ object ViewStore {
       (lf ++ rf, li ++ ri)
     case other => throw new IllegalArgumentException(
       s"a maintainable path view closes over a LINEAR predicate " +
-        s"alternation (p|…|^q|…), got $other — sequence edge sets are " +
-        "joins; their deltas need the conjunctive rule, compose them " +
-        "downstream")
+        s"alternation (p|…|^q|…), got $other — for `p/q` SEQUENCES use " +
+        "the pathseq mode (createPathSeqFromSparql), whose edge deltas " +
+        "run the conjunctive rule")
+  }
+
+  /** `?src (s1/s2/…)+ ?dst` where each `s_i` is a linear predicate
+    * alternation — the SEQUENCE generalization of [[pathFromSparql]]
+    * (which is the one-step special case). Nested `+`/`*`/`?` inside a
+    * step stay rejected: their step-edge sets are themselves closures,
+    * not joins. */
+  def pathSeqFromSparql(text: String)
+      : (String, String, Seq[(Seq[String], Seq[String])]) = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view definitions are single-block SELECTs")
+    val b = q.branches.head
+    require(b.where.isEmpty && b.paths.size == 1,
+      "a maintainable path view is exactly one path pattern")
+    bareBody(b, "a maintainable path view is exactly one path pattern",
+      allowPaths = true)
+    noModifiers(q)
+    val (sv, dv, steps) = b.paths.head match {
+      case (V(s), PPlus(inner), V(d)) =>
+        (s, d, flattenSeq(inner).map(linearAlt))
+      case (_, p, _) => throw new IllegalArgumentException(
+        s"a maintainable sequence-path view is `?src (s1/s2/…)+ ?dst`, " +
+          s"got $p")
+    }
+    require(sv != dv, "path view endpoints must be distinct variables")
+    fullBinding(q, Seq(sv, dv).sorted)
+    (sv, dv, steps)
+  }
+
+  private def flattenSeq(p: Path): Seq[Path] = p match {
+    case PSeq(l, r) => flattenSeq(l) ++ flattenSeq(r)
+    case other => Seq(other)
   }
 
   /** [[createPath]] from SPARQL text. */
@@ -532,6 +607,70 @@ object ViewStore {
     cur
   }
 
+  /** The composed edge set of a step SEQUENCE: step edges join head-to-
+    * tail, projected to (src, dst) as a SET — the same domain shape
+    * [[pathEdges]] gives a single alternation. */
+  private def seqEdges(t: DataFrame,
+      steps: Seq[(Seq[String], Seq[String])]): DataFrame =
+    steps.map { case (f, i) => pathEdges(t, f, i) }
+      .reduce { (a, b) =>
+        a.select(col("src"), col("dst").as("__m"))
+          .join(b.select(col("src").as("__m"), col("dst")), "__m")
+          .select("src", "dst")
+      }.distinct()
+
+  /** Candidate composed-edge pairs whose derivation passes through at
+    * least one CHANGED step edge — the conjunctive delta rule: for each
+    * step position, the chain joins the Δ-slice's edges at that step
+    * against the full `state` at every other step. Candidates OVERcount
+    * (a pair may have surviving derivations); the caller's membership
+    * anti-joins net them. Each step edge derives from ONE triple (steps
+    * are linear alternations), so Δ step edges come straight off the
+    * triple change feed. */
+  private def seqEdgeCands(state: DataFrame, deltaT: DataFrame,
+      steps: Seq[(Seq[String], Seq[String])]): DataFrame =
+    steps.indices.map { i =>
+      steps.zipWithIndex.map { case ((f, v), j) =>
+        if (j == i) pathEdges(deltaT, f, v) else pathEdges(state, f, v)
+      }.reduce { (a, b) =>
+        a.select(col("src"), col("dst").as("__m"))
+          .join(b.select(col("src").as("__m"), col("dst")), "__m")
+          .select("src", "dst")
+      }
+    }.reduce(_.unionByName(_)).distinct()
+
+  /** Bootstrap a SEQUENCE-path view — the transitive closure of a step
+    * sequence `(s1/s2/…)+` (each step a linear alternation), columns
+    * (srcVar, dstVar). Maintenance composes the conjunctive rule (step-
+    * edge deltas, [[seqEdgeCands]]) with the closure's DRed rule — the
+    * single-alternation mode's lifecycle, one level of join deeper. */
+  def createPathSeq(spark: SparkSession, storeRoot: String,
+      viewRoot: String, srcVar: String, dstVar: String,
+      steps: Seq[(Seq[String], Seq[String])], graph: String = ""): Int = {
+    require(steps.nonEmpty &&
+      steps.forall(s => s._1.nonEmpty || s._2.nonEmpty),
+      "every sequence step needs at least one predicate")
+    require(srcVar != dstVar, "path view endpoints must be distinct vars")
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before createPathSeq()"))
+    writeMetaPathSeq(viewRoot, graph, srcVar, dstVar, steps)
+    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
+      Paths.transitiveClosure(
+          seqEdges(slice(spark, storeRoot, cur, graph), steps))
+        .select(col("src").as(srcVar), col("dst").as(dstVar))
+        .write.parquet(tmp)
+    }
+    cur
+  }
+
+  /** [[createPathSeq]] from SPARQL text. */
+  def createPathSeqFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, text: String, graph: String = ""): Int = {
+    val (sv, dv, steps) = pathSeqFromSparql(text)
+    createPathSeq(spark, storeRoot, viewRoot, sv, dv, steps, graph)
+  }
+
   /** Bootstrap a PATH view — the transitive closure of a predicate
     * alternation `(p1|…|^q1|…)+`, columns (srcVar, dstVar); segments are
     * net a/d pair rows maintained by [[Paths.maintainClosureDelta]]
@@ -588,6 +727,30 @@ object ViewStore {
         val t = tOf(graph)
         opRows(BgpView.deltaOptional(slice(spark, storeRoot, last, graph),
           t(adds), t(dels), left, right))
+      case "pathseq" =>
+        val (graph, sv, dv, steps) = definitionPathSeq(viewRoot)
+        val t = tOf(graph)
+        val oldT = slice(spark, storeRoot, last, graph)
+        val newT = oldT.join(t(dels).hint("broadcast"),
+            Seq("s", "p", "o"), "left_anti").unionByName(t(adds))
+        val oldE = seqEdges(oldT, steps)
+        // conjunctive delta rule at the composed-edge level: a pair
+        // ENTERS E only via a chain (in the new state) through an added
+        // step edge; it LEAVES only if some old chain broke at a deleted
+        // step edge AND no new-state chain derives it. The membership
+        // anti-joins net the overcounted candidates, exactly as the
+        // single-step mode's anti-joins handle alternation survival.
+        val eAdds = seqEdgeCands(newT, t(adds), steps)
+          .join(oldE, Seq("src", "dst"), "left_anti")
+        val eDels = seqEdgeCands(oldT, t(dels), steps)
+          .join(seqEdges(newT, steps), Seq("src", "dst"), "left_anti")
+        val (_, pa, pd) = Paths.maintainClosureDelta(
+          read(spark, viewRoot)
+            .select(col(sv).as("src"), col(dv).as("dst")),
+          oldE, eAdds, eDels)
+        val named = (df: DataFrame) =>
+          df.select(col("src").as(sv), col("dst").as(dv))
+        opRows((named(pa), named(pd)))
       case "path" =>
         val (graph, sv, dv, fwd, inv) = definitionPath(viewRoot)
         val t = tOf(graph)

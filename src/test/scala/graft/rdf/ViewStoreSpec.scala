@@ -805,6 +805,67 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("sequence-path view: conjunctive edge deltas + DRed through churn") {
+    val (storeRoot, viewRoot) = freshRoots("pathseq")
+    // p/q composed edges over: a-p->m1-q->b, b-p->m2-q->c  ⇒ E = {ab, bc}
+    QuadStore.init(Seq(
+      ("a", "p", "m1", ""), ("m1", "q", "b", ""),
+      ("b", "p", "m2", ""), ("m2", "q", "c", "")).toDF("s", "p", "o", "g"),
+      storeRoot)
+    ViewStore.createPathSeqFromSparql(spark, storeRoot, viewRoot,
+      "SELECT * WHERE { ?x (<p>/<q>)+ ?y }")
+    assert(ViewStore.mode(viewRoot) === "pathseq")
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("a", "b"), Seq("a", "c"), Seq("b", "c")))
+    // churn 1: grow c's chain (composed edge c→d appears, plus derived)
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <c> <p> "m3" . <m3> <q> "d" . }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("a", "b"), Seq("a", "c"), Seq("a", "d"),
+        Seq("b", "c"), Seq("b", "d"), Seq("c", "d")))
+    // churn 2: sever ONE leg of the a→b composed edge — DRed retracts
+    // every pair derived through it, downstream pairs survive
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <m1> <q> "b" . }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("b", "c"), Seq("b", "d"), Seq("c", "d")))
+    // multi-derivation survival: give b→c a SECOND derivation, then
+    // delete the first — the composed edge must hold (the conjunctive
+    // candidates overcount; the membership screen nets them)
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <b> <p> "m4" . <m4> <q> "c" . } ;
+        |DELETE DATA { <b> <p> "m2" . }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("b", "c"), Seq("b", "d"), Seq("c", "d")))
+    // a MID-node swap that rederives the same composed edge is a no-op
+    ViewStore.compact(spark, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("b", "c"), Seq("b", "d"), Seq("c", "d")))
+    // maintained ≡ recompute from the final state
+    val recomputed = Paths.transitiveClosure(
+      QuadStore.read(spark, storeRoot)
+        .filter(col("p") === "p")
+        .select(col("s").as("src"), col("o").as("__m"))
+        .join(QuadStore.read(spark, storeRoot).filter(col("p") === "q")
+          .select(col("s").as("__m"), col("o").as("dst")), "__m")
+        .select("src", "dst").distinct())
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      recomputed.collect().map(r => Seq(r.getString(0), r.getString(1)))
+        .toSet)
+    // alternation INSIDE a step parses; three-step sequences parse
+    assert(ViewStore.pathSeqFromSparql(
+      "SELECT * WHERE { ?x ((<a>|^<b>)/<c>/<d>)+ ?y }") ===
+      (("x", "y", Seq((Seq("a"), Seq("b")), (Seq("c"), Seq.empty),
+        (Seq("d"), Seq.empty)))))
+    // nested closure inside a step stays rejected
+    intercept[IllegalArgumentException](ViewStore.pathSeqFromSparql(
+      "SELECT * WHERE { ?x (<a>+/<b>)+ ?y }"))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("fragment parsers reject what the delta rules cannot maintain") {
     // union: misaligned branch variables
     intercept[IllegalArgumentException](ViewStore.unionBranchesFromSparql(
