@@ -1282,7 +1282,7 @@ object RdfOps extends QueryModule {
           |  BIND (xsd:dateTime("2024-03-01T12:00:00Z") AS ?dt)
           |  FILTER (xsd:integer(?nk) >= 5)
           |}
-          |ORDER BY ?cust""".stripMargin)),
+          |ORDER BY ?n ?cust""".stripMargin)),
 
     // REGEX with an XPath flags argument (17.4.3.14): case-insensitive
     // anchored match against the TPC-H name shape — DuckDB's
@@ -2182,7 +2182,7 @@ object RdfOps extends QueryModule {
         |WHERE t1.p = 'nationkey' AND t2.p = 'name'
         |  AND regexp_matches(t1.o, '^[+-]?[0-9]+$')
         |  AND CAST(t1.o AS BIGINT) >= 5
-        |ORDER BY cust""".stripMargin),
+        |ORDER BY n, cust""".stripMargin),
 
     "q_sparql_regex" -> cte(
       """SELECT s AS cust, o AS cname FROM triples

@@ -1002,8 +1002,14 @@ object Sparql {
     // (enforced above), so distinct over projection+keys ≡ over projection
     if (q.distinct) df = df.distinct()
     val orderCols = q.orderKeys.zipWithIndex.map { case (k, i) =>
-      val name = if (k.expr.isDefined) s"__ok$i" else k.v
-      if (k.asc) asc_nulls_first(name) else desc_nulls_last(name)
+      // expression keys are computed scalars (numbers/strings) and sort
+      // natively; a plain VARIABLE key sorts by the SPARQL 15.1 total
+      // order (unbound < blank < IRI < literal, numerics by value) —
+      // Terms.orderKey, which reduces to raw-string order on bare
+      // plain-lexical stores
+      val key = if (k.expr.isDefined) col(s"__ok$i")
+        else Terms.orderKey(col(k.v))
+      if (k.asc) key.asc_nulls_first else key.desc_nulls_last
     }
     if (orderCols.nonEmpty) df = df.orderBy(orderCols: _*)
     graphVar.filter(g => df.columns.contains(g) &&

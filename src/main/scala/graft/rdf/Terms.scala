@@ -96,6 +96,31 @@ object Terms {
       lit(false))
   }
 
+  /** The SPARQL 15.1 ORDER BY total-order sort key for a term column —
+    * a lexicographically-compared struct implementing the spec's
+    * ordering: unbound < blank nodes < IRIs < literals (normative), and
+    * within literals NUMERIC values compare by VALUE (the `<` operator
+    * extended), with the spec's implementation-defined freedom resolved
+    * deterministically: numerics before non-numerics, non-numerics by
+    * lexical form then full term string (so lang/datatype variants of
+    * one lexical form still have a total, stable order).
+    *
+    * Unbound maps to a NULL key — pair with `asc_nulls_first` /
+    * `desc_nulls_last` so unbound sorts lowest ascending and (per the
+    * spec's DESC = reversed sequence) highest descending. Bare
+    * plain-lexical stores degrade to the previous raw-string order:
+    * every bare cell is a non-numeric literal (xsd:string), so the key
+    * reduces to its own lexical form. Pure codegen'd expression. */
+  def orderKey(c: Column): Column = {
+    val num = isLiteral(c) && isNumeric(c)
+    when(c.isNull, lit(null)).otherwise(struct(
+      when(isBlank(c), 0).when(isIri(c), 1).otherwise(2).as("kind"),
+      when(num, 0).otherwise(1).as("grp"),
+      coalesce(when(num, lexical(c).try_cast("double")), lit(0.0)).as("num"),
+      lexical(c).as("lex"),
+      c.as("term")))
+  }
+
   /** SPARQL `LANGMATCHES(tag, range)`: RFC 4647 basic filtering — `"*"`
     * matches any non-empty tag; otherwise case-insensitive equality or a
     * subtag-boundary prefix (`"en"` matches `en`, `en-US`). */

@@ -536,6 +536,44 @@ class SparqlSpec extends SparkSpec {
         .count())
   }
 
+  test("ORDER BY follows the 15.1 total order: unbound < blank < IRI < " +
+    "literal, numerics by VALUE; string ≡ encoded; DESC reversed") {
+    import spark.implicits._
+    val t = Seq(
+      ("x:1", "p", "_:bn1"),
+      ("x:2", "p", "<http://z.example/a>"),
+      ("x:3", "p", "\"10\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("x:4", "p", "\"2\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("x:5", "p", "\"apple\""),
+      // x:6 matches <p> but has no <q> — its ?o is UNBOUND
+      ("x:6", "p", "lone"),
+      ("x:1", "q", "y"), ("x:2", "q", "y"), ("x:3", "q", "y"),
+      ("x:4", "q", "y"), ("x:5", "q", "y"))
+      .toDF("s", "p", "o")
+    // mixed + unbound: ?o is each subject's <p> object; x:7 has none,
+    // so its ?o stays unbound through the OPTIONAL
+    val q2 =
+      """SELECT ?s ?o WHERE { ?s <q> "y" OPTIONAL { ?s <p> ?o } }""" +
+        "\nORDER BY ?o ?s"
+    val withUnbound = Seq(("x:7", "q", "y")).toDF("s", "p", "o")
+      .unionByName(t)
+    val got = Sparql.run(withUnbound, q2)
+      .select("s").as[String].collect().toSeq
+    // unbound (x:7) < blank (x:1) < IRI (x:2) < numeric 2 (x:4) <
+    // numeric 10 (x:3) — BY VALUE, not lexicographically — < "apple"
+    assert(got === Seq("x:7", "x:1", "x:2", "x:4", "x:3", "x:5"))
+    // DESC is the reversed sequence (unbound last)
+    val gotDesc = Sparql.run(withUnbound,
+      q2.replace("ORDER BY ?o ?s", "ORDER BY DESC(?o) ?s"))
+      .select("s").as[String].collect().toSeq
+    assert(gotDesc === Seq("x:5", "x:3", "x:4", "x:2", "x:1", "x:7"))
+    // encoded execution agrees (ordering happens after decode)
+    val dict2 = Dictionary.build(spark, withUnbound)
+    val enc2 = Dictionary.encode(withUnbound, dict2)
+    assert(Sparql.runEncoded(enc2, dict2, q2)
+      .select("s").as[String].collect().toSeq === got)
+  }
+
   test("SPARQL over the encoded id-store ≡ string-space execution") {
     val dict = Dictionary.build(spark, triples)
     val enc = Dictionary.encode(triples, dict)
