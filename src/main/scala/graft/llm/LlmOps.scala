@@ -640,6 +640,16 @@ object LlmOps extends QueryModule {
           Multimodal.encodePng(Tables.documents(s, d)))
         .toDF().orderBy(col("doc_id"))),
 
+    // the LOSSY real-world format through the same imageio closure:
+    // JPEG round-trip oracled on GEOMETRY only (pixels aren't hashable
+    // across lossy codecs — MultimodalSpec bounds the color error and
+    // pins a corrupt-JPEG loud failure)
+    "q_multimodal_jpeg" -> ((s, d) =>
+      Multimodal.decodeImage(
+          Multimodal.encodeJpeg(Tables.documents(s, d)))
+        .select(col("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id"))),
+
     // REAL audio decode: 16-bit PCM mono WAV generated in-plan, parsed
     // back by a hand-rolled RIFF chunk walker (PCM needs no codec lib).
     // The oracle restates sample count, duration and exact amplitude
@@ -1573,6 +1583,14 @@ object LlmOps extends QueryModule {
         |        FROM documents)
         |  GROUP BY doc_id) s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // geometry-only: JPEG is lossy, so pixel statistics are decoder-
+    // dependent; width/height are exact under any conformant decoder
+    "q_multimodal_jpeg" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 8 AS INT) AS width,
+        |  CAST(1 + doc_id % 5 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_image" ->
       """SELECT d.doc_id,

@@ -73,6 +73,35 @@ object Multimodal {
     }
   }
 
+  /** Deterministic JPEG payloads — the LOSSY real-world format through
+    * the same imageio closure. Geometry matches [[encodePng]]'s
+    * derivation (width = 1 + id%8, height = 1 + id%5) and is recovered
+    * EXACTLY by any conformant decoder; pixel values are solid per-doc
+    * colors, which survive JPEG's DCT approximately — so the oracle
+    * states geometry only, and the spec bounds the color error. */
+  def encodeJpeg(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 8).toInt
+        val h = (1 + id % 5).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = ((((id * 3) % 256).toInt) << 16) |
+          ((((id * 7) % 256).toInt) << 8) | (((id * 13) % 256).toInt)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        Media(id, out.toByteArray, "jpg")
+      }
+    }
+  }
+
   /** REAL image decode — the JDK's `javax.imageio` inside the
     * per-partition closure (PNG/JPEG/BMP/GIF readers ship with the JDK;
     * no external dependency). Exact geometry + per-channel sums; an

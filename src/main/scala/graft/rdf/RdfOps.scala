@@ -1041,6 +1041,8 @@ object RdfOps extends QueryModule {
       Sparql.run(Triples.build(s, d), text =
         """SELECT ?seg (GROUP_CONCAT(DISTINCT ?nat ; SEPARATOR = "|") AS ?nats)
           |       (SAMPLE(?nm) AS ?first_name) (COUNT(?cust) AS ?n)
+          |       (GROUP_CONCAT(DISTINCT SUBSTR(?nat, 1, 4) ; SEPARATOR = ",") AS ?nat4)
+          |       (SAMPLE(DISTINCT UCASE(?seg)) AS ?segu)
           |WHERE {
           |  ?cust <mktsegment> ?seg ;
           |        <nation> ?nat ;
@@ -1897,7 +1899,10 @@ object RdfOps extends QueryModule {
       """SELECT t1.o AS seg,
         |  string_agg(DISTINCT t2.o, '|' ORDER BY t2.o) AS nats,
         |  min(t3.o) AS first_name,
-        |  count(t1.s) AS n
+        |  count(t1.s) AS n,
+        |  string_agg(DISTINCT substr(t2.o, 1, 4), ','
+        |    ORDER BY substr(t2.o, 1, 4)) AS nat4,
+        |  min(upper(t1.o)) AS segu
         |FROM triples t1
         |JOIN triples t2 ON t1.s = t2.s
         |JOIN triples t3 ON t1.s = t3.s

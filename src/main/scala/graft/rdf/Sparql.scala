@@ -2365,8 +2365,10 @@ object Sparql {
       else orExpr(p, prefixes, allowAgg = false) match {
         case EVar(n) => Some(n)
         case e =>
-          require(fn != "GROUP_CONCAT" && fn != "SAMPLE" || !distinct,
-            s"$fn(DISTINCT <expr>) is not supported")
+          // DISTINCT composes with expression arguments for every
+          // aggregate: the hidden pre-aggregation column materializes
+          // the expression, and distinctness applies over that column
+          // (GROUP_CONCAT → collect_set, SAMPLE's min is idempotent)
           argExpr = Some(e)
           Some("*expr*") // placeholder; aggregate() materializes argExpr
       }

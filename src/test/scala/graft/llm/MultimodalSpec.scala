@@ -19,6 +19,30 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).n_frames === 1)
   }
 
+  test("JPEG round-trip: exact geometry, bounded lossy color error, " +
+    "corrupt payload fails loudly") {
+    val docs = Seq((3L, "x"), (12L, "y"), (40L, "z")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeImage(Multimodal.encodeJpeg(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      val f = feats(id)
+      // geometry is EXACT under any conformant decoder
+      assert(f.width === (1 + id % 8).toInt && f.height === (1 + id % 5).toInt)
+      // solid colors survive the DCT within a small per-pixel error
+      val n = f.width.toLong * f.height
+      def err(sum: Long, c: Long) = math.abs(sum - n * c).toDouble / n
+      assert(err(f.sum_r, (id * 3) % 256) < 16, s"doc $id red")
+      assert(err(f.sum_g, (id * 7) % 256) < 16, s"doc $id green")
+      assert(err(f.sum_b, (id * 13) % 256) < 16, s"doc $id blue")
+    }
+    // a truncated JPEG fails loudly with its doc id, never a silent null
+    val raw = Multimodal.encodeJpeg(docs.filter($"doc_id" === 3)).head().media
+    val corrupt = Seq(Multimodal.Media(9L, raw.take(raw.length / 2), "jpg"))
+      .toDS()
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodeImage(corrupt).collect())
+  }
+
   test("WAV round-trip recovers exact PCM statistics; chunk walker skips strangers") {
     val docs = Seq((5L, "x"), (40L, "y")).toDF("doc_id", "text")
     val feats = Multimodal.decodeWav(Multimodal.encodeWav(docs))

@@ -945,6 +945,15 @@ class SparqlSpec extends SparkSpec {
     // SEPARATOR is GROUP_CONCAT-only
     intercept[IllegalArgumentException](Sparql.parse(
       """SELECT (SUM(?v ; SEPARATOR = ",") AS ?x) WHERE { ?s <p> ?v . }"""))
+    // DISTINCT composes with EXPRESSION arguments: the hidden
+    // pre-aggregation column materializes the expression and distinctness
+    // applies over it (s1's "a"/"b"/"b" all upper-case to one A and one B)
+    val exprDistinct = Sparql.run(t,
+      """SELECT ?s (GROUP_CONCAT(DISTINCT UCASE(?v) ; SEPARATOR = ",") AS ?set)
+        |       (SAMPLE(DISTINCT UCASE(?v)) AS ?one)
+        |WHERE { ?s <p> ?v . } GROUP BY ?s ORDER BY ?s""".stripMargin)
+    assert(exprDistinct.as[(String, String, String)].collect().toSeq ===
+      Seq(("s1", "A,B", "A"), ("s2", "Z", "Z")))
   }
 
   test("property paths: + and | from text ≡ the Paths closure") {
