@@ -42,10 +42,20 @@ object Bench {
     // for isolated timing (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq).getOrElse(Nil)
+    // floor discipline: keys in the sub-second band sit at the noise
+    // floor where `runs` samples cannot distinguish a real 2× regression
+    // from host jitter (round 8 recorded four >2× phantoms there). Take
+    // EXTRA samples, but only while the key keeps proving cheap — the
+    // marginal cost is bounded by floorSecs per extra run, so the bench
+    // total stays flat while floor keys gain the statistical depth their
+    // regression gate needs.
+    val floorRuns = math.max(runs,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_RUNS", "4").toInt)
+    val floorSecs = 1.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
       .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      def sample(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -54,6 +64,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to runs).foreach(_ => times += sample())
+      while (times.size < floorRuns && times.forall(_ < floorSecs))
+        times += sample()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -43,7 +43,14 @@ object ScaleCurve {
     // round-8 continuation: the k-core peeling fixpoint, the exact
     // radius baseline (block-capped — its slope should be ~flat), and
     // the canonical-URL dedup shuffle
-    "q_graph_kcore", "q_sim_range", "q_dedup_url")
+    "q_graph_kcore", "q_sim_range", "q_dedup_url",
+    // round-9: the remaining expensive keys (RRF fusion over two rank
+    // pools, EXISTS-over-path, the wire-format round-trip) and the new
+    // lifecycle keys (appendable ANN indexes, the maintained inverted
+    // index, the sequence-path view)
+    "q_retrieval_hybrid", "q_sparql_existspath", "q_rdf_roundtrip",
+    "q_sim_ivf_append", "q_sim_ivfpq_append", "q_text_bm25_indexed",
+    "q_bgp_view_path_seq")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("SCALING.md")
