@@ -179,8 +179,13 @@ object Paths {
     try {
       val cols = Seq("src", "dst")
       val sel = (df: DataFrame) => df.select(cols.map(col): _*)
-      var cur = sel(closure)
-      var edges = sel(oldEdges)
+      // the loop below re-reads BOTH inputs every round (over/kept/
+      // witnessed all join against them): materialize once so a caller's
+      // lazy closure (a segment-fold view read) or derived edge set
+      // (a sequence view's composed-edge join) doesn't re-execute per
+      // round
+      var cur = graft.Materialize(sel(closure))
+      var edges = graft.Materialize(sel(oldEdges))
       var pairDels = cur.limit(0)
       var pairAdds = cur.limit(0)
       if (!dels.isEmpty) {

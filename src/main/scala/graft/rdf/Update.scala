@@ -737,6 +737,69 @@ object QuadStore {
     }
   }
 
+  /** A PINNED version restricted to ONE graph — the graph filter lands
+    * on the `partitionBy("g")` base scan as a partition filter (pruned
+    * at file-listing time) and on each tiny delta segment, never on a
+    * materialized full-store snapshot: a view over one graph of a
+    * 100 TB multi-graph store reads that graph's files only. Bypasses
+    * the snapshot cache on purpose (a checkpoint cannot
+    * partition-prune); replay depth is vacuum-bounded, and each
+    * segment's ops shrink to the graph's sliver before the anti-joins.
+    * Clears apply unchanged — [[Update.applyDelta]] evaluates their
+    * coverage per row over the (already sliced) `g` column.
+    *
+    * Cache interplay: when the store is WITHIN the snapshot-cache
+    * budget, the slice filters the checkpointed snapshot instead — for
+    * a small store, one materialized scan beats re-running the replay
+    * fold's broadcasts per consumer, and the slice inherits every other
+    * consumer's cache hit. The pruned lazy fold below is the BIG-store
+    * path, where a full-snapshot checkpoint is exactly what must not
+    * happen. */
+  def readVersionGraph(spark: SparkSession, root: String, v: Int,
+      graph: String): DataFrame = {
+    val maxBytes = cacheMaxBytes(spark)
+    if (maxBytes > 0) {
+      val sess = System.identityHashCode(spark)
+      val cached = snapCache.synchronized(
+        Option(snapCache.get((sess, root, v))))
+      val served = cached.getOrElse {
+        val vs0 = versions(root).toMap
+        val base0 = vs0.filter { case (i, b) => b && i <= v }
+          .keys.maxOption.getOrElse(-1)
+        val bytes =
+          if (base0 < 0) Long.MaxValue
+          else graft.sources.AtomicStore.sizeBytes(path(root, base0)) +
+            (base0 + 1 to v).map(i =>
+              graft.sources.AtomicStore.sizeBytes(deltaPath(root, i))).sum
+        if (bytes <= maxBytes) readVersion(spark, root, v) else null
+      }
+      if (served != null)
+        return served.filter(col("g") === graph)
+    }
+    val vs = versions(root).toMap
+    val base = vs.filter { case (i, isBase) => isBase && i <= v }
+      .keys.maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no base snapshot at or below v$v under $root — vacuumed?"))
+    val segs = (base + 1 to v)
+    segs.foreach(i => require(vs.contains(i),
+      s"version $i missing from the delta chain under $root — vacuumed?"))
+    // filter on the STORAGE token before the default-graph remap — a
+    // filter through the CASE expression would not partition-prune
+    val storageG = if (graph == Quads.DefaultGraph) DefaultGraphDir else graph
+    val baseDf = spark.read.schema(baseSchema).parquet(path(root, base))
+      .filter(col("g") === storageG)
+      .withColumn("g",
+        when(col("g") === DefaultGraphDir, lit(Quads.DefaultGraph))
+          .otherwise(col("g").cast("string")))
+      .select("s", "p", "o", "g")
+    segs.foldLeft(baseDf) { (st, i) =>
+      val d = readDelta(spark, root, i)
+      Update.applyDelta(st, Update.Delta(
+        d.adds.filter(col("g") === graph),
+        d.dels.filter(col("g") === graph), d.clears))
+    }
+  }
+
   /** Session conf: byte budget (summed parquet size of the base + delta
     * chain) under which [[readVersion]] snapshots are checkpointed and
     * cached per session. `0` disables the cache. */

@@ -520,11 +520,13 @@ object ViewStore {
 
   // ---- lifecycle ------------------------------------------------------
 
-  /** The `graph` slice of a pinned store version, as (s,p,o). */
+  /** The `graph` slice of a pinned store version, as (s,p,o) — the
+    * partition-pruned sliced read: a view over one graph never scans
+    * the other graphs' files (or a full-store snapshot checkpoint). */
   private def slice(spark: SparkSession, storeRoot: String, v: Int,
       graph: String): DataFrame =
-    QuadStore.readVersion(spark, storeRoot, v)
-      .filter(col("g") === graph).select("s", "p", "o")
+    QuadStore.readVersionGraph(spark, storeRoot, v, graph)
+      .select("s", "p", "o")
 
   /** Bootstrap the view at the store's current version: computes the
     * full view once, publishes it as the base, persists the definition.
@@ -712,6 +714,22 @@ object ViewStore {
         .unionByName(d._2.withColumn("__op", lit("d")))
     val tOf = (graph: String) => (df: DataFrame) =>
       df.filter(col("g") === graph).select("s", "p", "o")
+    // no-op fast path: versions advanced but the net quad change is
+    // empty (idempotent replays, set-semantic re-inserts) — coverage
+    // still needs its segment, but the mode's whole delta machinery
+    // (conjunctive chains, DRed, transition rules) has nothing to do.
+    // Two tiny probe jobs buy skipping dozens.
+    if (adds.isEmpty && dels.isEmpty) {
+      val empty =
+        if (mode(viewRoot) == "union")
+          readUnionCountsAt(spark, viewRoot, last).limit(0)
+        else readAt(spark, viewRoot, last).limit(0)
+          .withColumn("__op", lit("a"))
+      graft.sources.AtomicStore.materialize(segPath(viewRoot, last, cur)) {
+        tmp => empty.repartition(1).write.parquet(tmp)
+      }
+      return cur
+    }
     val segment = mode(viewRoot) match {
       case "quads" =>
         opRows(BgpView.deltaQuads(
@@ -730,20 +748,28 @@ object ViewStore {
       case "pathseq" =>
         val (graph, sv, dv, steps) = definitionPathSeq(viewRoot)
         val t = tOf(graph)
-        val oldT = slice(spark, storeRoot, last, graph)
-        val newT = oldT.join(t(dels).hint("broadcast"),
-            Seq("s", "p", "o"), "left_anti").unionByName(t(adds))
-        val oldE = seqEdges(oldT, steps)
+        // both states are consumed once per STEP POSITION by the
+        // conjunctive chains below — materialize the slice so each
+        // consumer reads a slice-sized checkpoint, not the store
+        val oldT = graft.Materialize(slice(spark, storeRoot, last, graph))
+        val newT = graft.Materialize(oldT.join(t(dels).hint("broadcast"),
+            Seq("s", "p", "o"), "left_anti").unionByName(t(adds)))
+        // MATERIALIZED: the closure maintenance below is an iterative
+        // loop that re-reads its edge inputs every round — left lazy,
+        // each round would re-run the composed-edge joins (and their
+        // broadcasts) over the store slice; checkpointed, each is one
+        // edge-set-sized frame computed once
+        val oldE = graft.Materialize(seqEdges(oldT, steps))
         // conjunctive delta rule at the composed-edge level: a pair
         // ENTERS E only via a chain (in the new state) through an added
         // step edge; it LEAVES only if some old chain broke at a deleted
         // step edge AND no new-state chain derives it. The membership
         // anti-joins net the overcounted candidates, exactly as the
         // single-step mode's anti-joins handle alternation survival.
-        val eAdds = seqEdgeCands(newT, t(adds), steps)
-          .join(oldE, Seq("src", "dst"), "left_anti")
-        val eDels = seqEdgeCands(oldT, t(dels), steps)
-          .join(seqEdges(newT, steps), Seq("src", "dst"), "left_anti")
+        val eAdds = graft.Materialize(seqEdgeCands(newT, t(adds), steps)
+          .join(oldE, Seq("src", "dst"), "left_anti"))
+        val eDels = graft.Materialize(seqEdgeCands(oldT, t(dels), steps)
+          .join(seqEdges(newT, steps), Seq("src", "dst"), "left_anti"))
         val (_, pa, pd) = Paths.maintainClosureDelta(
           read(spark, viewRoot)
             .select(col(sv).as("src"), col(dv).as("dst")),

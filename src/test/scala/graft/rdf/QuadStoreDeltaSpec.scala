@@ -102,6 +102,43 @@ class QuadStoreDeltaSpec extends SparkSpec {
     assert(wrote === (1 to 6).map(i => s"w:$i").toSet)
   }
 
+  test("readVersionGraph ≡ filtered readVersion, with partition pruning") {
+    val root = java.nio.file.Files.createTempDirectory("qsslice").toString
+    QuadStore.init(Quads.build(spark, sf0001), root)
+    QuadStore.update(spark, root,
+      """INSERT DATA { GRAPH <g:customer> { <zc:s1> <p> "v" . }
+        |  <zd:s2> <q> "w" . }""".stripMargin)
+    QuadStore.update(spark, root, "CLEAR GRAPH <g:orders>")
+    QuadStore.update(spark, root,
+      """DELETE WHERE { GRAPH <g:customer> { <c:1> <mktsegment> ?x . } }""")
+    val cur = QuadStore.currentVersion(root).get
+    for (g <- Seq("g:customer", "g:orders", Quads.DefaultGraph)) {
+      val sliced = QuadStore.readVersionGraph(spark, root, cur, g)
+      val filtered = QuadStore.readVersion(spark, root, cur)
+        .filter(col("g") === g)
+      assert(sliced.exceptAll(filtered).isEmpty, s"graph $g: extra rows")
+      assert(filtered.exceptAll(sliced).isEmpty, s"graph $g: missing rows")
+    }
+    // on a CACHE-BYPASSED (big) store the graph filter reaches the base
+    // scan as a PARTITION filter — other graphs' files are pruned at
+    // listing time, never scanned (small stores serve the slice off the
+    // checkpointed snapshot instead; equality above covers both paths)
+    spark.conf.set(QuadStore.SnapshotCacheMaxBytesProp, "0")
+    try {
+      for (g <- Seq("g:customer", Quads.DefaultGraph)) {
+        val sliced = QuadStore.readVersionGraph(spark, root, cur, g)
+        val filtered = QuadStore.readVersion(spark, root, cur)
+          .filter(col("g") === g)
+        assert(sliced.exceptAll(filtered).isEmpty, s"uncached $g: extra")
+        assert(filtered.exceptAll(sliced).isEmpty, s"uncached $g: missing")
+      }
+      val plan = QuadStore.readVersionGraph(spark, root, cur, "g:customer")
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters: [isnotnull(g"),
+        s"expected a partition filter on g in:\n$plan")
+    } finally spark.conf.unset(QuadStore.SnapshotCacheMaxBytesProp)
+  }
+
   test("a deep chain replays FLAT: no per-segment join chain in the plan") {
     val root = java.nio.file.Files.createTempDirectory("qsflat").toString
     // the snapshot cache would serve a checkpointed scan here; this test
