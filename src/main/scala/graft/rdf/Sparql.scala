@@ -1001,15 +1001,16 @@ object Sparql {
     // under DISTINCT the hidden keys are functions of projected variables
     // (enforced above), so distinct over projection+keys ≡ over projection
     if (q.distinct) df = df.distinct()
-    val orderCols = q.orderKeys.zipWithIndex.map { case (k, i) =>
+    val orderCols = q.orderKeys.zipWithIndex.flatMap { case (k, i) =>
       // expression keys are computed scalars (numbers/strings) and sort
       // natively; a plain VARIABLE key sorts by the SPARQL 15.1 total
       // order (unbound < blank < IRI < literal, numerics by value) —
-      // Terms.orderKey, which reduces to raw-string order on bare
-      // plain-lexical stores
-      val key = if (k.expr.isDefined) col(s"__ok$i")
-        else Terms.orderKey(col(k.v))
-      if (k.asc) key.asc_nulls_first else key.desc_nulls_last
+      // Terms.orderKeyCols' flat sort orders, which reduce to raw-string
+      // order on bare plain-lexical stores
+      if (k.expr.isDefined) {
+        val key = col(s"__ok$i")
+        Seq(if (k.asc) key.asc_nulls_first else key.desc_nulls_last)
+      } else Terms.orderKeyCols(col(k.v), k.asc)
     }
     if (orderCols.nonEmpty) df = df.orderBy(orderCols: _*)
     graphVar.filter(g => df.columns.contains(g) &&
