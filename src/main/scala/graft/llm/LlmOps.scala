@@ -413,6 +413,31 @@ object LlmOps extends QueryModule {
         Seq("hash", "join", "vector", "spark"))
         .orderBy(col("doc_id"), col("tok"))),
 
+    // the same vectors served from the PERSISTED inverted index (the
+    // q_text_bm25_indexed churned artifact — created/added/retracted/
+    // compacted, net state == the corpus): identical arithmetic, so it
+    // lands on q_text_tfidf's oracle bitwise while reading only the
+    // query vocabulary's postings buckets
+    "q_text_tfidf_indexed" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_invidx_" +
+        graft.sources.AtomicStore.key(d)
+      val docs = Tables.documents(s, d)
+      if (InvertedIndex.segmentCount(root) == 0) {
+        val junk = docs.filter(col("doc_id") < 32)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("junk spark hash vector "), col("text")).as("text"))
+        InvertedIndex.create(docs.filter(pmod(col("doc_id"), lit(3)) < 2),
+          root)
+        InvertedIndex.add(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+          root): Unit
+        InvertedIndex.add(junk, root): Unit
+        InvertedIndex.remove(junk, root): Unit
+      }
+      InvertedIndex.compactIfDeep(s, root, maxSegments = 1)
+      InvertedIndex.tfidf(s, root, Seq("hash", "join", "vector", "spark"))
+        .orderBy(col("doc_id"), col("tok"))
+    }),
+
     // bigram-LM mean conditional probability per doc (integer micro-units,
     // [[TextOps.bigramLmScore]]) — the classic pre-neural perplexity proxy
     "q_text_bigram_lm" -> ((s, d) =>
@@ -744,6 +769,26 @@ object LlmOps extends QueryModule {
        |)
        |SELECT doc_id, $score AS score FROM w GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // TF-IDF spelled in DuckDB SQL — shared by the recompute key and the
+  // persisted-index key (whose churned net state is the same corpus)
+  private val tfidfOracleSql: String = {
+    val wt = graft.Det.roundSafeSql(
+      "p.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)", 6)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), post AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN ('hash', 'join', 'vector', 'spark')
+       |  GROUP BY doc_id, tok
+       |), dfs AS (
+       |  SELECT tok, count(*) AS df FROM post GROUP BY tok
+       |), n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT p.doc_id, p.tok, p.tf, d.df, $wt AS tfidf
+       |FROM post p JOIN dfs d USING (tok), n
+       |ORDER BY doc_id, tok""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1121,23 +1166,10 @@ object LlmOps extends QueryModule {
         |  CAST(sum(micro) // count(*) >= 30000 AS BIGINT) AS kept
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_text_tfidf" -> {
-      val wt = graft.Det.roundSafeSql(
-        "p.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)", 6)
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents
-         |), post AS (
-         |  SELECT doc_id, tok, count(*) AS tf FROM toks
-         |  WHERE tok IN ('hash', 'join', 'vector', 'spark')
-         |  GROUP BY doc_id, tok
-         |), dfs AS (
-         |  SELECT tok, count(*) AS df FROM post GROUP BY tok
-         |), n AS (SELECT count(*) AS n_docs FROM documents)
-         |SELECT p.doc_id, p.tok, p.tf, d.df, $wt AS tfidf
-         |FROM post p JOIN dfs d USING (tok), n
-         |ORDER BY doc_id, tok""".stripMargin
-    },
+    "q_text_tfidf" -> tfidfOracleSql,
+
+    // net index state == the corpus, so the indexed path shares the oracle
+    "q_text_tfidf_indexed" -> tfidfOracleSql,
 
     // the oracle scrubs with the very same pattern list (TextOps
     // .piiPatterns), rendered as a DuckDB regexp_replace(..., 'g') chain
