@@ -18,7 +18,10 @@ object ProfileOne {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // boxed key/value types: a primitive-typed CHM would unbox a missing
+    // key's null remove() to 0L and corrupt the sum with epoch millis
+    val starts =
+      new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
     val bySite = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     val siteOf = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -28,17 +31,15 @@ object ProfileOne {
           .getOrElse("?")
         siteOf.put(j.jobId, site): Unit
       }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        val s = starts.remove(j.jobId)
-        if (s != null) {
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        Option(starts.remove(Integer.valueOf(j.jobId))).foreach { s =>
           jobMs.addAndGet(j.time - s)
-          val site = siteOf.remove(j.jobId)
+          val site = Option(siteOf.remove(j.jobId)).getOrElse("?")
           bySite.compute(site, (_, v) => {
             val a = if (v == null) Array(0L, 0L) else v
             a(0) += 1; a(1) += (j.time - s); a
           }): Unit
         }
-      }
     })
     names.foreach { name =>
       (1 to repeats).foreach { r =>

@@ -59,12 +59,10 @@ object InvertedIndex {
     (post, lens)
   }
 
-  // a zero-row partitioned write leaves no schema-bearing files and the
-  // directory would be unreadable — an empty postings set (empty batch,
-  // all-retracted compaction) writes one unpartitioned schema-only file
+  // empty-batch-safe partitioned write (empty batch, all-retracted
+  // compaction) — see SegmentedStore.writePartitioned
   private def writePostings(post: DataFrame, dest: String): Unit =
-    if (post.isEmpty) post.write.parquet(dest)
-    else post.write.partitionBy("bkt").parquet(dest)
+    SegmentedStore.writePartitioned(post, dest, "bkt")
 
   private def writeSegment(docs: DataFrame, sign: Int,
       dest: String): Unit =
@@ -115,7 +113,11 @@ object InvertedIndex {
         .reduce(_.unionByName(_))
         .groupBy("bkt", "doc_id", "tok")
         .agg(sum(col("sign") * col("tf")).as("tf"))
-        .filter(col("tf") =!= 0L)
+        // `> 0`, matching the READ paths' filters — a negative-net row
+        // (a remove with no matching add: garbage input) is invisible to
+        // every query pre-compaction and must not resurrect with a
+        // negative tf/dl rewritten at sign=1 post-compaction
+        .filter(col("tf") > 0L)
         .withColumn("sign", lit(1))
       writePostings(post, s"$tmp/postings")
       val lens = live.map(p => spark.read.parquet(s"$p/doclens"))
@@ -123,7 +125,7 @@ object InvertedIndex {
         .groupBy("doc_id")
         .agg(sum(col("sign") * col("dl")).as("dl"),
           sum("sign").as("__n"))
-        .filter(col("__n") =!= 0L)
+        .filter(col("__n") > 0L)
         .select(col("doc_id"), col("dl"), lit(1).as("sign"))
       lens.write.parquet(s"$tmp/doclens")
     }

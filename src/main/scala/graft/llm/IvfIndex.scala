@@ -139,8 +139,8 @@ object IvfIndex {
   private def writeSegment(centroids: Array[Array[Double]],
       vectors: DataFrame, dest: String): Unit =
     AtomicStore.materialize(dest)(tmp =>
-      assignWith(centroids, vectors)
-        .write.partitionBy("list_id").parquet(tmp)): Unit
+      SegmentedStore.writePartitioned(
+        assignWith(centroids, vectors), tmp, "list_id")): Unit
 
   /** Bootstrap an APPENDABLE index: fit the quantizer on the initial
     * corpus, persist it as the immutable model, and write the corpus as
@@ -191,8 +191,9 @@ object IvfIndex {
   def compact(spark: org.apache.spark.sql.SparkSession,
       root: String): Int =
     SegmentedStore.compactWith(root) { (live, tmp) =>
-      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
-        .write.partitionBy("list_id").parquet(tmp)
+      SegmentedStore.writePartitioned(
+        live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)),
+        tmp, "list_id")
     }
 
   /** Compact when the fold depth exceeds `maxSegments` — the retention

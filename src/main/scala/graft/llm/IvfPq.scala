@@ -106,9 +106,9 @@ object IvfPq {
     IvfIndex.create(vectors, s"$root/ivf", k, seed)
     PqIndex.create(vectors, s"$root/pq", seed)
     AtomicStore.materialize(SegmentedStore.segPath(root, 1))(tmp =>
-      codesWith(IvfIndex.centroidsOf(spark, s"$root/ivf"),
-        PqIndex.booksOf(spark, s"$root/pq"), vectors)
-        .write.partitionBy("list_id").parquet(tmp)): Unit
+      SegmentedStore.writePartitioned(
+        codesWith(IvfIndex.centroidsOf(spark, s"$root/ivf"),
+          PqIndex.booksOf(spark, s"$root/pq"), vectors), tmp, "list_id")): Unit
   }
 
   /** Encode + assign an ARRIVING batch at the existing model as the
@@ -117,9 +117,9 @@ object IvfPq {
     val spark = vectors.sparkSession
     val n = SegmentedStore.nextN(root)
     AtomicStore.materialize(SegmentedStore.segPath(root, n))(tmp =>
-      codesWith(IvfIndex.centroidsOf(spark, s"$root/ivf"),
-        PqIndex.booksOf(spark, s"$root/pq"), vectors)
-        .write.partitionBy("list_id").parquet(tmp)): Unit
+      SegmentedStore.writePartitioned(
+        codesWith(IvfIndex.centroidsOf(spark, s"$root/ivf"),
+          PqIndex.booksOf(spark, s"$root/pq"), vectors), tmp, "list_id")): Unit
     n
   }
 
@@ -140,8 +140,9 @@ object IvfPq {
     * re-partitioned by `list_id`), then drop the superseded entries. */
   def compact(spark: SparkSession, root: String): Int =
     SegmentedStore.compactWith(root) { (live, tmp) =>
-      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
-        .write.partitionBy("list_id").parquet(tmp)
+      SegmentedStore.writePartitioned(
+        live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)),
+        tmp, "list_id")
     }
 
   def compactIfDeep(spark: SparkSession, root: String,

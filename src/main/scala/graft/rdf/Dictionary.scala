@@ -47,8 +47,14 @@ object Dictionary {
     rankIds(spark, quadTerms(quads))
 
   private def rankIds(spark: SparkSession, termsDf: DataFrame): DataFrame = {
-    val sorted = termsDf.orderBy("term")
-    val rows = sorted.rdd.zipWithIndex.map { case (r, i) => Row(i + 1L, r.getString(0)) }
+    // zipWithIndex runs TWO jobs over its parent (per-partition counts,
+    // then the data pass), and the consumer adds a third — without a
+    // persist the distinct+sort lineage would recompute each time.
+    // MEMORY_AND_DISK (never recompute, spill not drop); the handle is
+    // released by the ContextCleaner once the result plan is unreferenced.
+    val sorted = termsDf.orderBy("term").rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = sorted.zipWithIndex.map { case (r, i) => Row(i + 1L, r.getString(0)) }
     spark.createDataFrame(rows, StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("term", StringType, nullable = false))))

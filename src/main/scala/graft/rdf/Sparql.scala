@@ -327,20 +327,25 @@ object Sparql {
   }
 
   /** Render a SERVICE body back to SPARQL surface syntax for remote
-    * execution — the pure-BGP fragment (anything else is loud; the
-    * LOCAL grammar stays full). Constants render as `<iri>` in
-    * subject/predicate position and as quoted literals in object
-    * position; both parse back to the same plain lexical terms on a
-    * conformant remote (this engine's own convention). */
+    * execution — basic graph patterns plus BIND and FILTER (real
+    * federation pushes the restriction to the remote endpoint instead of
+    * pulling the whole pattern extension; anything beyond that fragment
+    * is loud — the LOCAL grammar stays full). Constants render as
+    * `<iri>` in subject/predicate position and as quoted literals in
+    * object position; both parse back to the same plain lexical terms on
+    * a conformant remote (this engine's own convention). BINDs render
+    * before FILTERs — the order [[Block]] documents and the solver
+    * applies. */
   private[rdf] def renderService(body: Block): String = {
-    require(body.optionals.isEmpty && body.filters.isEmpty &&
-      body.minuses.isEmpty && body.values.isEmpty && body.binds.isEmpty &&
+    require(body.optionals.isEmpty &&
+      body.minuses.isEmpty && body.values.isEmpty &&
       body.paths.isEmpty && body.exists.isEmpty &&
       body.subqueries.isEmpty && body.graphs.isEmpty &&
       body.unions.isEmpty && body.services.isEmpty,
-      "HTTP SERVICE federation executes pure basic-graph-pattern " +
-        "bodies remotely in this fragment — restructure the SERVICE " +
-        "block (the local grammar outside SERVICE is unrestricted)")
+      "HTTP SERVICE federation executes basic graph patterns plus " +
+        "BIND/FILTER remotely in this fragment — restructure the " +
+        "SERVICE block (the local grammar outside SERVICE is " +
+        "unrestricted)")
     require(body.where.nonEmpty, "empty SERVICE body")
     def term(t: Term, objPos: Boolean): String = t match {
       case V(n) => s"?$n"
@@ -353,10 +358,45 @@ object Sparql {
       case C(other) => throw new IllegalArgumentException(
         s"non-string constant $other cannot render to surface syntax")
     }
-    body.where.map(tp =>
+    val pats = body.where.map(tp =>
       s"  ${term(tp.s, objPos = false)} ${term(tp.p, objPos = false)} ${
         term(tp.o, objPos = true)} .")
+    val binds = body.binds.map { case (v, e) =>
+      s"  BIND(${renderExpr(e)} AS ?$v)" }
+    val filters = body.filters.map(e => s"  FILTER (${renderExpr(e)})")
+    (pats ++ binds ++ filters)
       .mkString("SELECT * WHERE {\n", "\n", "\n}")
+  }
+
+  /** Render a FILTER/BIND expression back to surface syntax — the
+    * inverse of the expression grammar for the fragment SERVICE
+    * federation ships remotely. Aggregates can't appear in a group body
+    * (loud). REGEX/REPLACE pattern literals re-quote verbatim; every
+    * composite parenthesizes, so remote re-parsing can't re-associate. */
+  private def renderExpr(e: Expr): String = e match {
+    case EVar(n) => s"?$n"
+    case ENum(v) => v.bigDecimal.toPlainString
+    case EStr(v) =>
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case ECmp(l, op, r) => s"(${renderExpr(l)} $op ${renderExpr(r)})"
+    case EAnd(l, r) => s"(${renderExpr(l)} && ${renderExpr(r)})"
+    case EOr(l, r) => s"(${renderExpr(l)} || ${renderExpr(r)})"
+    case ENot(x) => s"(!${renderExpr(x)})"
+    case EBound(v) => s"BOUND(?$v)"
+    case ERegex(t, p, flags) =>
+      val quotedP = "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val quotedF = "\"" + flags + "\""
+      if (flags.isEmpty) s"REGEX(${renderExpr(t)}, $quotedP)"
+      else s"REGEX(${renderExpr(t)}, $quotedP, $quotedF)"
+    case EArith(l, op, r) => s"(${renderExpr(l)} $op ${renderExpr(r)})"
+    case EConcat(args) => s"CONCAT(${args.map(renderExpr).mkString(", ")})"
+    case EFun(fn, args) if fn.startsWith("XSD:") =>
+      // casts re-render as full-IRI function calls — prefix-free text
+      s"<http://www.w3.org/2001/XMLSchema#${fn.stripPrefix("XSD:")}>(${
+        args.map(renderExpr).mkString(", ")})"
+    case EFun(fn, args) => s"$fn(${args.map(renderExpr).mkString(", ")})"
+    case _: EAgg => throw new IllegalArgumentException(
+      "an aggregate cannot appear in a SERVICE body expression")
   }
 
   /** The SERVICE solver over a registered-endpoint map: each endpoint is
@@ -1010,11 +1050,23 @@ object Sparql {
       if (k.expr.isDefined) {
         val key = col(s"__ok$i")
         Seq(if (k.asc) key.asc_nulls_first else key.desc_nulls_last)
+      } else if (df.schema(k.v).dataType !=
+          org.apache.spark.sql.types.StringType) {
+        // a NATIVE typed column (a BIND's numeric cast, a subquery
+        // aggregate): its value order IS the SPARQL order for its kind —
+        // the term-string key machinery would stringify it
+        val key = col(k.v)
+        Seq(if (k.asc) key.asc_nulls_first else key.desc_nulls_last)
       } else Terms.orderKeyCols(col(k.v), k.asc)
     }
-    if (orderCols.nonEmpty) df = df.orderBy(orderCols: _*)
-    graphVar.filter(g => df.columns.contains(g) &&
-        (q.limit.nonEmpty || q.offset.nonEmpty)) match {
+    // when the per-graph window below will slice, it re-applies the same
+    // keys inside its own per-partition sort — a global orderBy here
+    // would add a redundant full-relation range exchange + sort
+    val graphWindow = graphVar.filter(g => df.columns.contains(g) &&
+      (q.limit.nonEmpty || q.offset.nonEmpty))
+    if (orderCols.nonEmpty && graphWindow.isEmpty)
+      df = df.orderBy(orderCols: _*)
+    graphWindow match {
       case Some(g) =>
         // this query is a subquery under GRAPH ?g: eval(GRAPH ?g P)
         // evaluates P once per named graph, so its OFFSET/LIMIT slice

@@ -108,12 +108,6 @@ object Terms {
     "nonPositiveInteger|unsignedLong|unsignedInt|unsignedShort|" +
     "unsignedByte)>$"
 
-  // one fused bucket rank: blank < IRI < numeric literal < other
-  // literal — the numeric probe only runs for quoted-typed cells
-  private def orderKindCol(c: Column): Column =
-    when(isBlank(c), 0).when(isIri(c), 1)
-      .when(orderNumCol(c).isNotNull, 2).otherwise(3)
-
   private def orderNumCol(c: Column): Column =
     when(c.startsWith("\"") && c.endsWith(">"),
       when(c.rlike(NumericTermRe), lexical(c).try_cast("double")))
@@ -124,18 +118,32 @@ object Terms {
     * extended), the spec's implementation-defined freedom resolved
     * deterministically (numerics before non-numerics, then lexical form,
     * then full term string — so lang/datatype variants of one lexical
-    * form still order totally and stably). One SPARQL key expands to
-    * four SortOrder columns (kind bucket, numeric value, lexical form,
-    * full term) instead of a per-row struct allocation: the sorter
-    * prefix-compares the leading int, and bare-term stores degrade to
-    * (3, 0.0, c, c) — effectively the raw-string sort they had. Unbound
-    * rows null every field; nulls_first/last per direction give the
-    * spec's ASC placement and DESC = reversed sequence. */
+    * form still order totally and stably).
+    *
+    * Key shape: THREE sort columns — `(kindChar ++ lexical, numericValue,
+    * fullTerm)` — not four. Fusing the kind bucket (one fixed-width char:
+    * '0' blank < '1' IRI < '2' numeric < '3' other literal) into the
+    * lexical string is what restores the sorter's 8-byte prefix
+    * comparison: with a leading int column every comparison fell through
+    * to full multi-column row compares, which tripled-to-9×'d real sorted
+    * queries at sf0.1 (round-9 regression). Numeric literals collapse the
+    * fused column to the constant "2" so their value column decides first;
+    * their old lexical-form tie level is dropped because for equal values
+    * it provably agrees with the full-term compare (full = '"'++lexical++
+    * '"…', and at a prefix divergence the '"' byte 0x22 is below every
+    * numeric-lexical byte: digits, '.', '+', '-', 'e'). Bare-term stores
+    * degrade to ("3"++c, 0.0, c) — prefix-resolved like the raw-string
+    * sort they had. Unbound rows null every field so the null block sorts
+    * as one unit; nulls_first/last per direction give the spec's ASC
+    * placement and DESC = reversed sequence. */
   def orderKeyCols(c: Column, asc: Boolean): Seq[Column] = {
-    // every field must null out for an unbound row (lexical/c would not),
+    val num = orderNumCol(c)
+    val kindChar = when(isBlank(c), "0").when(isIri(c), "1").otherwise("3")
+    val fused =
+      when(num.isNotNull, lit("2")).otherwise(concat(kindChar, lexical(c)))
+    // every field must null out for an unbound row (fused/c would not),
     // so the null block sorts as one unit under either direction
-    val fields = Seq(orderKindCol(c),
-      coalesce(orderNumCol(c), lit(0.0)), lexical(c), c)
+    val fields = Seq(fused, coalesce(num, lit(0.0)), c)
       .map(f => when(c.isNull, lit(null)).otherwise(f))
     fields.map(f => if (asc) f.asc_nulls_first else f.desc_nulls_last)
   }

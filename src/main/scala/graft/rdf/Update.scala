@@ -702,9 +702,10 @@ object QuadStore {
     * above the byte gate bypass the cache entirely — at 100 TB a
     * snapshot must stay a lazy scan, not a materialized copy. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
-    val sess = System.identityHashCode(spark)
+    val sess = sessionId(spark)
     val enabled = cacheMaxBytes(spark) > 0
-    (if (enabled) snapCache.synchronized(Option(snapCache.get((sess, root, v))))
+    (if (enabled) snapCache.synchronized(
+       Option(snapCache.get((sess, root, v, vFingerprint(root, v)))))
      else None) match {
       case Some(df) => df
       case None =>
@@ -720,7 +721,8 @@ object QuadStore {
         // one tiny-segment fold, however long the session has run
         val anc = if (!enabled) None else snapCache.synchronized {
           (v - 1 to base + 1 by -1).iterator
-            .map(b => b -> Option(snapCache.get((sess, root, b))))
+            .map(b => b ->
+              Option(snapCache.get((sess, root, b, vFingerprint(root, b)))))
             .collectFirst { case (b, Some(df)) => (b, df) }
         }
         val (startV, startDf) = anc.getOrElse(
@@ -759,9 +761,9 @@ object QuadStore {
       graph: String): DataFrame = {
     val maxBytes = cacheMaxBytes(spark)
     if (maxBytes > 0) {
-      val sess = System.identityHashCode(spark)
+      val sess = sessionId(spark)
       val cached = snapCache.synchronized(
-        Option(snapCache.get((sess, root, v))))
+        Option(snapCache.get((sess, root, v, vFingerprint(root, v)))))
       val served = cached.getOrElse {
         val vs0 = versions(root).toMap
         val base0 = vs0.filter { case (i, b) => b && i <= v }
@@ -807,12 +809,34 @@ object QuadStore {
   private val SnapshotCacheDefaultMaxBytes = 1L << 30
   private val SnapshotCacheMaxEntries = 16
 
-  // access-ordered LRU of (sessionIdentity, root, version) → checkpointed
-  // snapshot. Eviction only drops the REFERENCE — Spark's ContextCleaner
-  // unpersists the blocks once no consumer plan reaches them, so a gate
-  // key's returned DataFrame stays executable after its entry ages out.
+  // access-ordered LRU of (sessionUUID, root, version, fingerprint) →
+  // checkpointed snapshot. sessionUUID is guaranteed-unique (an identity
+  // hash could collide across SparkSessions, or an entry from a stopped
+  // session could survive in the LRU and serve a defunct plan); the
+  // fingerprint is the version's completion-marker mtime, so a root
+  // wiped and re-initialized in the same session misses instead of
+  // serving the stale pre-wipe snapshot. Eviction only drops the
+  // REFERENCE — Spark's ContextCleaner unpersists the blocks once no
+  // consumer plan reaches them, so a gate key's returned DataFrame stays
+  // executable after its entry ages out.
   private val snapCache =
-    new java.util.LinkedHashMap[(Int, String, Int), DataFrame](32, 0.75f, true)
+    new java.util.LinkedHashMap[(String, String, Int, Long), DataFrame](
+      32, 0.75f, true)
+
+  // one random UUID per live SparkSession (weak keys: a stopped
+  // session's mapping vanishes with it, and its UUID is never reused —
+  // unlike System.identityHashCode, which can collide across sessions)
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID.toString)
+
+  /** The fingerprint of version `v` under `root`: its segment dir's
+    * completion-marker mtime (base or delta — whichever exists). */
+  private def vFingerprint(root: String, v: Int): Long =
+    math.max(graft.sources.AtomicStore.markerMtime(path(root, v)),
+      graft.sources.AtomicStore.markerMtime(deltaPath(root, v)))
 
   private def cacheMaxBytes(spark: SparkSession): Long =
     spark.conf.getOption(SnapshotCacheMaxBytesProp)
@@ -826,9 +850,9 @@ object QuadStore {
       segs.map(i => graft.sources.AtomicStore.sizeBytes(deltaPath(root, i))).sum
     if (bytes > maxBytes) return df
     val mat = graft.Materialize(df)
-    val sess = System.identityHashCode(spark)
+    val sess = sessionId(spark)
     snapCache.synchronized {
-      snapCache.put((sess, root, v), mat)
+      snapCache.put((sess, root, v, vFingerprint(root, v)), mat)
       import scala.jdk.CollectionConverters._
       // per root keep the two newest versions (a view sync reads both
       // `last` and `cur`); older ones only waste the LRU budget
@@ -998,7 +1022,12 @@ object QuadStore {
       val body = graft.sources.AtomicStore.readString(p)
       Some(body.split("\n").toIndexedSeq.filter(_.nonEmpty)
         .map(l => targetOf(new String(dec.decode(l), "UTF-8"))))
-    } catch { case _: java.io.IOException => None } // pre-sidecar segment
+    } catch {
+      // absent (pre-sidecar segment) OR damaged (truncated/corrupt
+      // base64 after a partial filesystem write) — both degrade to the
+      // in-segment collect path rather than failing the read
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   private def readDelta(spark: SparkSession, root: String,

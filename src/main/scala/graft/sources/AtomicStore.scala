@@ -135,6 +135,16 @@ object AtomicStore {
     complete(fsFor(p), p)
   }
 
+  /** Modification time of a published directory's completion marker
+    * (0 when absent) — a cheap store FINGERPRINT: a directory wiped and
+    * re-published at the same path gets a fresh marker, so a cache keyed
+    * on (path, markerMtime) can never serve pre-wipe state. */
+  def markerMtime(path: String): Long = {
+    val p = new Path(path, Marker)
+    val fs = fsFor(p)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
+
   /** Child entries of `path` (empty when absent) — the Hadoop-portable
     * replacement for `java.io.File.listFiles`. */
   def list(path: String): Seq[FileStatus] = {

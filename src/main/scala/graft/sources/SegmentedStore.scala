@@ -15,6 +15,77 @@ package graft.sources
   */
 object SegmentedStore {
 
+  /** Partitioned parquet write that survives an EMPTY frame: a zero-row
+    * `partitionBy` write leaves a marker-complete directory with no
+    * schema-bearing files, after which every read of the store fails
+    * with "Unable to infer schema" — plausible for a continuous-ingest
+    * micro-batch that happened to carry no rows. Fall back to an
+    * unpartitioned schema-only write: the partition column stays a
+    * regular column with its original type, so readers' `unionByName`
+    * and partition pruning are unaffected (pruning on an empty entry is
+    * trivially correct). */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, dest: String,
+      cols: String*): Unit =
+    if (df.isEmpty) df.write.parquet(dest)
+    else df.write.partitionBy(cols: _*).parquet(dest)
+
+  // ------------- sign-tombstone deletion (shared plumbing) -------------
+  //
+  // The signed-segment pattern graft.llm.InvertedIndex established,
+  // factored for the vector/LSH indexes: a removal batch writes the SAME
+  // rows an add wrote at sign = −1; reads NET-FOLD (group by every
+  // payload column, keep net-positive rows once). The −1 segment carries
+  // a flag file so a store that never saw a deletion keeps today's plain
+  // union — zero extra shuffles on the no-deletes path — and a
+  // compaction folds the signs away, restoring that fast path.
+
+  /** Tombstone flag a signed (−1) segment carries at its top level.
+    * Parquet readers skip underscore-prefixed files, so it can sit
+    * inside the segment's data directory. */
+  val SignedFlag = "_GRAFT_SIGNED"
+
+  def flagSigned(dir: String): Unit =
+    AtomicStore.writeString(s"$dir/$SignedFlag", "")
+
+  /** Does ANY live entry carry tombstones? (One listing per entry —
+    * metadata-cheap, and the answer gates the fold's shuffle.) */
+  def anySigned(entries: Seq[String]): Boolean =
+    entries.exists(p =>
+      AtomicStore.list(p).exists(_.getPath.getName == SignedFlag))
+
+  /** Default the `sign` column for segments written before deletion
+    * support existed. */
+  def withSign(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    if (df.columns.contains("sign")) df
+    else df.withColumn("sign", org.apache.spark.sql.functions.lit(1))
+
+  /** Net-fold of sign-weighted rows: group by every column but `sign`,
+    * keep net-positive rows, ONE copy each at sign = 1 (ids are keys —
+    * a double-add dedups at the fold). Cancellation is exact-match: a
+    * removal must carry the row as written (same id, same payload), the
+    * same contract as [[graft.llm.InvertedIndex.remove]] re-deriving
+    * postings from the removed docs' text. */
+  def netFold(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val keys = df.columns.filterNot(_ == "sign").map(col)
+    df.groupBy(keys: _*)
+      .agg(sum("sign").as("__net")).filter(col("__net") > 0)
+      .drop("__net").withColumn("sign", lit(1))
+  }
+
+  /** Union live entries (optionally a sub-artifact of each), defaulting
+    * `sign`, net-folding ONLY when some entry carries tombstones. */
+  def readFolded(spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[String], sub: String = ""): org.apache.spark.sql.DataFrame = {
+    val all = entries
+      .map(p => if (sub.isEmpty) p else s"$p/$sub")
+      .map(p => withSign(spark.read.parquet(p)))
+      .reduce(_.unionByName(_))
+    if (anySigned(entries)) netFold(all) else all
+  }
+
   private val SegRe = "seg(\\d{5,})".r
   private val BaseRe = "base(\\d{5,})".r
 
