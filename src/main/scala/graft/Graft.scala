@@ -298,10 +298,26 @@ object Graft {
   def lshIndexProbe(spark: SparkSession, root: String, probes: DataFrame,
       minEst: Double): DataFrame =
     llm.LshIndex.probe(spark, root, probes, minEst)
+  /** Retract documents (takedown/recrawl) as a signed tombstone
+    * segment — the batch carries the docs' text, like
+    * [[llm.InvertedIndex.remove]]; candidates stop at the next probe. */
+  def lshIndexRemove(docs: DataFrame, root: String): Int =
+    llm.LshIndex.remove(docs, root)
   /** Fold-to-base retention: probe plans stay bounded across thousands
     * of ingest batches. */
   def lshIndexCompact(spark: SparkSession, root: String): Int =
     llm.LshIndex.compact(spark, root)
+  /** Retract vectors from a persisted IVF index as a signed tombstone
+    * segment (pass the vectors as indexed — same ids and embeddings). */
+  def ivfIndexRemove(vectors: DataFrame, root: String): Int =
+    llm.IvfIndex.remove(vectors, root)
+  /** Retract vectors from a persisted IVF+PQ index (signed tombstones,
+    * re-encoded at the immutable model). */
+  def ivfPqIndexRemove(vectors: DataFrame, root: String): Int =
+    llm.IvfPq.remove(vectors, root)
+  /** Retract vectors from a persisted PQ index (signed tombstones). */
+  def pqIndexRemove(vectors: DataFrame, root: String): Int =
+    llm.PqIndex.remove(vectors, root)
 
   // ---- span-level dedup / decontamination ----
   /** Per-document duplicated-span statistics; `hashSpans` shuffles

@@ -137,10 +137,13 @@ object IvfIndex {
       .sortBy(_._1).map(_._2)
 
   private def writeSegment(centroids: Array[Array[Double]],
-      vectors: DataFrame, dest: String): Unit =
-    AtomicStore.materialize(dest)(tmp =>
+      vectors: DataFrame, dest: String, sign: Int = 1): Unit =
+    AtomicStore.materialize(dest) { tmp =>
       SegmentedStore.writePartitioned(
-        assignWith(centroids, vectors), tmp, "list_id")): Unit
+        assignWith(centroids, vectors).withColumn("sign", lit(sign)),
+        tmp, "list_id")
+      if (sign < 0) SegmentedStore.flagSigned(tmp)
+    }: Unit
 
   /** Bootstrap an APPENDABLE index: fit the quantizer on the initial
     * corpus, persist it as the immutable model, and write the corpus as
@@ -171,29 +174,45 @@ object IvfIndex {
     n
   }
 
+  /** Retract vectors as a SIGNED (−1) segment — the takedown/recrawl
+    * path a create/append-only index lacks. The batch must carry the
+    * vectors AS INDEXED (same vec_id, same embedding: the assignment
+    * expression re-derives the identical `list_id`, so the −1 row
+    * cancels the earlier +1 exactly at the read fold). Returns the
+    * segment number. */
+  def remove(vectors: DataFrame, root: String): Int = {
+    val spark = vectors.sparkSession
+    val n = SegmentedStore.nextN(root)
+    writeSegment(centroidsOf(spark, root), vectors,
+      SegmentedStore.segPath(root, n), sign = -1)
+    n
+  }
+
   /** Live fold depth of the appendable index (0 = not created). */
   def segmentCount(root: String): Int = SegmentedStore.liveCount(root)
 
   /** The appendable index as a searchable [[Model]]: model centroids +
-    * the union of live entries (each `list_id`-partitioned, so probes
-    * prune inside every entry). */
+    * the live entries (each `list_id`-partitioned, so probes prune
+    * inside every entry) — a plain union until some live entry carries
+    * tombstones, then the sign net-fold (whose `list_id` grouping key
+    * keeps probe pruning pushable below the aggregate). */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): Model = {
     val live = SegmentedStore.liveEntries(root)
     require(live.nonEmpty, s"no IVF index under $root — create() first")
     Model(centroidsOf(spark, root),
-      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)))
+      SegmentedStore.readFolded(spark, live).drop("sign"))
   }
 
-  /** Fold the live entries into ONE base (probe-identical: a plain
-    * union of immutable rows, re-partitioned by `list_id`), then drop
-    * the superseded entries. */
+  /** Fold the live entries into ONE base (probe-identical: the same
+    * net-fold every read applies, re-partitioned by `list_id` — removed
+    * vectors leave the artifact here), then drop the superseded
+    * entries. */
   def compact(spark: org.apache.spark.sql.SparkSession,
       root: String): Int =
     SegmentedStore.compactWith(root) { (live, tmp) =>
       SegmentedStore.writePartitioned(
-        live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)),
-        tmp, "list_id")
+        SegmentedStore.readFolded(spark, live), tmp, "list_id")
     }
 
   /** Compact when the fold depth exceeds `maxSegments` — the retention

@@ -113,13 +113,27 @@ object IvfPq {
 
   /** Encode + assign an ARRIVING batch at the existing model as the
     * next segment (no re-fit anywhere, prior segments untouched). */
-  def append(vectors: DataFrame, root: String): Int = {
+  def append(vectors: DataFrame, root: String): Int =
+    writeSigned(vectors, root, sign = 1)
+
+  /** Retract vectors as a SIGNED (−1) segment: the batch re-encodes at
+    * the immutable model to the identical (list_id, code) rows, which
+    * cancel the earlier +1 rows at the read fold ([[IvfIndex.remove]]'s
+    * contract — pass the vectors as indexed). */
+  def remove(vectors: DataFrame, root: String): Int =
+    writeSigned(vectors, root, sign = -1)
+
+  private def writeSigned(vectors: DataFrame, root: String,
+      sign: Int): Int = {
     val spark = vectors.sparkSession
     val n = SegmentedStore.nextN(root)
-    AtomicStore.materialize(SegmentedStore.segPath(root, n))(tmp =>
+    AtomicStore.materialize(SegmentedStore.segPath(root, n)) { tmp =>
       SegmentedStore.writePartitioned(
         codesWith(IvfIndex.centroidsOf(spark, s"$root/ivf"),
-          PqIndex.booksOf(spark, s"$root/pq"), vectors), tmp, "list_id")): Unit
+          PqIndex.booksOf(spark, s"$root/pq"), vectors)
+          .withColumn("sign", lit(sign)), tmp, "list_id")
+      if (sign < 0) SegmentedStore.flagSigned(tmp)
+    }: Unit
     n
   }
 
@@ -127,22 +141,24 @@ object IvfPq {
   def segmentCount(root: String): Int = SegmentedStore.liveCount(root)
 
   /** The appendable index as a searchable [[Model]]: each live entry is
-    * `list_id`-partitioned, so probes prune inside every entry. */
+    * `list_id`-partitioned, so probes prune inside every entry — plain
+    * union until a live entry carries tombstones, then the sign
+    * net-fold (`list_id` in the grouping key keeps pruning pushable). */
   def readIndex(spark: SparkSession, root: String): Model = {
     val live = SegmentedStore.liveEntries(root)
     require(live.nonEmpty, s"no IVF+PQ index under $root — create() first")
     Model(IvfIndex.centroidsOf(spark, s"$root/ivf"),
       PqIndex.booksOf(spark, s"$root/pq"),
-      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)))
+      SegmentedStore.readFolded(spark, live).drop("sign"))
   }
 
-  /** Fold live entries into ONE base (probe-identical plain union,
-    * re-partitioned by `list_id`), then drop the superseded entries. */
+  /** Fold live entries into ONE base (probe-identical: the read fold's
+    * net rows — removed vectors leave the artifact — re-partitioned by
+    * `list_id`), then drop the superseded entries. */
   def compact(spark: SparkSession, root: String): Int =
     SegmentedStore.compactWith(root) { (live, tmp) =>
       SegmentedStore.writePartitioned(
-        live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)),
-        tmp, "list_id")
+        SegmentedStore.readFolded(spark, live), tmp, "list_id")
     }
 
   def compactIfDeep(spark: SparkSession, root: String,

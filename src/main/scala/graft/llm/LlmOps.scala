@@ -187,13 +187,15 @@ object LlmOps extends QueryModule {
     // the first half of the corpus only, the other two quarters arrive
     // as append segments assigned to the EXISTING centroids (no k-means
     // re-fit — the continuous-ingest path a rebuild-only index lacks),
-    // compaction folds to one base, and the search probes the result.
-    // Approximate (k-means pruning) → declared no-oracle; IvfSpec proves
-    // create+append+append ≡ one-shot encode at the fixed model, row-
-    // and probe-identically, through compaction.
+    // a REMOVAL batch retracts an eighth of the corpus as a signed
+    // tombstone segment (round-10: the takedown path), compaction folds
+    // the signs away, and the search probes the result. Approximate
+    // (k-means pruning) → declared no-oracle; IvfSpec proves
+    // create+append+remove ≡ one-shot encode of the surviving vectors at
+    // the fixed model, row- and probe-identically, through compaction.
     "q_sim_ivf_append" -> ((s, d) => {
       val root = s"${sys.props("java.io.tmpdir")}/graft_ivfapp_" +
-        graft.sources.AtomicStore.key(d)
+        graft.sources.AtomicStore.key(d, "rm")
       val vecs = Tables.embeddings(s, d)
       if (IvfIndex.segmentCount(root) == 0) {
         IvfIndex.create(vecs.filter(pmod(col("vec_id"), lit(4)) < 2),
@@ -201,6 +203,8 @@ object LlmOps extends QueryModule {
         IvfIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 2),
           root): Unit
         IvfIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
+          root): Unit
+        IvfIndex.remove(vecs.filter(pmod(col("vec_id"), lit(8)) === 7),
           root): Unit
       }
       IvfIndex.compactIfDeep(s, root, maxSegments = 1)
@@ -227,13 +231,15 @@ object LlmOps extends QueryModule {
 
     // the APPENDABLE composed IVF+PQ lifecycle (the production vector
     // store's ingest path): both quantizers fit on the first half, two
-    // append batches encode + assign at the FIXED model, compaction
-    // folds, the search partition-prunes the result. Declared no-oracle;
-    // IvfPqSpec proves row- and probe-identity vs the one-shot encode
-    // through compaction, with pruning asserted on the compacted base.
+    // append batches encode + assign at the FIXED model, a removal
+    // batch retracts an eighth as signed tombstones (round-10),
+    // compaction folds, the search partition-prunes the result.
+    // Declared no-oracle; IvfPqSpec proves row- and probe-identity vs
+    // the one-shot encode of the surviving vectors through compaction,
+    // with pruning asserted on the compacted base.
     "q_sim_ivfpq_append" -> ((s, d) => {
       val root = s"${sys.props("java.io.tmpdir")}/graft_ivfpqapp_" +
-        graft.sources.AtomicStore.key(d)
+        graft.sources.AtomicStore.key(d, "rm")
       val vecs = Tables.embeddings(s, d)
       if (IvfPq.segmentCount(root) == 0) {
         IvfPq.create(vecs.filter(pmod(col("vec_id"), lit(4)) < 2),
@@ -241,6 +247,8 @@ object LlmOps extends QueryModule {
         IvfPq.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 2),
           root): Unit
         IvfPq.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
+          root): Unit
+        IvfPq.remove(vecs.filter(pmod(col("vec_id"), lit(8)) === 7),
           root): Unit
       }
       IvfPq.compactIfDeep(s, root, maxSegments = 1)

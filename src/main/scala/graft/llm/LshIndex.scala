@@ -73,15 +73,17 @@ object LshIndex {
       segments(root).filter(n => b.forall(n > _)).map(segPath(root, _))
   }
 
-  private def writeSegment(docs: DataFrame, dest: String): Unit =
+  private def writeSegment(docs: DataFrame, dest: String,
+      sign: Int = 1): Unit =
     graft.sources.AtomicStore.materialize(dest) { tmp =>
       val sigs = Dedup.signatures(Dedup.shingles(docs)).persist()
       val banded = sigs.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${Dedup.Bands - 1}), " +
           s"b -> xxhash64(b, slice(sig, b * ${Dedup.Rows} + 1, " +
           s"${Dedup.Rows})))")).as(Seq("band", "bh")))
-      banded.write.parquet(s"$tmp/bands")
-      sigs.write.parquet(s"$tmp/sigs")
+      banded.withColumn("sign", lit(sign)).write.parquet(s"$tmp/bands")
+      sigs.withColumn("sign", lit(sign)).write.parquet(s"$tmp/sigs")
+      if (sign < 0) graft.sources.SegmentedStore.flagSigned(tmp)
       sigs.unpersist(): Unit
     }
 
@@ -105,12 +107,23 @@ object LshIndex {
     n
   }
 
+  /** Retract documents as a SIGNED (−1) segment: the removal batch
+    * carries the docs' TEXT (the same change-feed contract as
+    * [[InvertedIndex.remove]]); their signatures and banded buckets
+    * re-derive here and cancel the earlier +1 rows at the read fold, so
+    * a retracted doc stops seeding candidates without touching any
+    * existing segment. */
+  def remove(docs: DataFrame, root: String): Int = {
+    val n = (segments(root) ++ bases(root)).maxOption.getOrElse(0) + 1
+    writeSegment(docs, segPath(root, n), sign = -1)
+    n
+  }
+
   private def readAll(spark: SparkSession, root: String,
       name: String): DataFrame = {
     val live = liveEntries(root)
     require(live.nonEmpty, s"no LSH index under $root — build() first")
-    live.map(p => spark.read.parquet(s"$p/$name"))
-      .reduce(_.unionByName(_))
+    graft.sources.SegmentedStore.readFolded(spark, live, name).drop("sign")
   }
 
   /** Fold every live entry into ONE new base, then drop the superseded
@@ -125,9 +138,10 @@ object LshIndex {
     if (live.size <= 1) return live.size
     val top = (segments(root) ++ bases(root)).max
     graft.sources.AtomicStore.materialize(basePath(root, top)) { tmp =>
-      live.map(p => spark.read.parquet(s"$p/bands")).reduce(_.unionByName(_))
+      // the read fold's net rows — removed docs leave the artifact here
+      graft.sources.SegmentedStore.readFolded(spark, live, "bands")
         .write.parquet(s"$tmp/bands")
-      live.map(p => spark.read.parquet(s"$p/sigs")).reduce(_.unionByName(_))
+      graft.sources.SegmentedStore.readFolded(spark, live, "sigs")
         .write.parquet(s"$tmp/sigs")
     }
     // the new base is published — everything at or below its number is

@@ -164,31 +164,46 @@ object PqIndex {
 
   /** Encode an ARRIVING batch with the EXISTING codebooks as the next
     * segment (no k-means re-fit, prior segments untouched). */
-  def append(vectors: DataFrame, root: String): Int = {
+  def append(vectors: DataFrame, root: String): Int =
+    writeSigned(vectors, root, sign = 1)
+
+  /** Retract vectors as a SIGNED (−1) segment: the batch re-encodes at
+    * the immutable codebooks to the identical code rows, which cancel
+    * the earlier +1 rows at the read fold (pass the vectors as
+    * indexed — [[IvfIndex.remove]]'s contract). */
+  def remove(vectors: DataFrame, root: String): Int =
+    writeSigned(vectors, root, sign = -1)
+
+  private def writeSigned(vectors: DataFrame, root: String,
+      sign: Int): Int = {
     val spark = vectors.sparkSession
     val n = SegmentedStore.nextN(root)
-    AtomicStore.materialize(SegmentedStore.segPath(root, n))(tmp =>
-      encodeWith(booksOf(spark, root), vectors).write.parquet(tmp)): Unit
+    AtomicStore.materialize(SegmentedStore.segPath(root, n)) { tmp =>
+      encodeWith(booksOf(spark, root), vectors)
+        .withColumn("sign", lit(sign)).write.parquet(tmp)
+      if (sign < 0) SegmentedStore.flagSigned(tmp)
+    }: Unit
     n
   }
 
   /** Live fold depth of the appendable index (0 = not created). */
   def segmentCount(root: String): Int = SegmentedStore.liveCount(root)
 
-  /** The appendable index as a searchable [[Model]]. */
+  /** The appendable index as a searchable [[Model]] — plain union until
+    * a live entry carries tombstones, then the sign net-fold. */
   def readIndex(spark: SparkSession, root: String): Model = {
     val live = SegmentedStore.liveEntries(root)
     require(live.nonEmpty, s"no PQ index under $root — create() first")
     Model(booksOf(spark, root),
-      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)))
+      SegmentedStore.readFolded(spark, live).drop("sign"))
   }
 
-  /** Fold live entries into ONE base (probe-identical plain union),
-    * then drop the superseded entries. */
+  /** Fold live entries into ONE base (probe-identical: the read fold's
+    * net rows — removed vectors leave the artifact), then drop the
+    * superseded entries. */
   def compact(spark: SparkSession, root: String): Int =
     SegmentedStore.compactWith(root) { (live, tmp) =>
-      live.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
-        .write.parquet(tmp)
+      SegmentedStore.readFolded(spark, live).write.parquet(tmp)
     }
 
   def compactIfDeep(spark: SparkSession, root: String,

@@ -65,11 +65,17 @@ class IvfPqSpec extends SparkSpec {
       root.toString): Unit
     IvfPq.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
       root.toString): Unit
-    assert(IvfPq.segmentCount(root.toString) === 3)
+    // empty micro-batch must not wedge the store; removal retracts an
+    // eighth as a signed tombstone segment
+    IvfPq.append(vecs.filter(lit(false)), root.toString): Unit
+    IvfPq.remove(vecs.filter(pmod(col("vec_id"), lit(8)) === 7),
+      root.toString): Unit
+    assert(IvfPq.segmentCount(root.toString) === 5)
+    val survivors = vecs.filter(pmod(col("vec_id"), lit(8)) =!= 7)
     val idx = IvfPq.readIndex(spark, root.toString)
-    // one-shot list-tagged codes at the SAME model
-    val oneShot = PqIndex.encodeWith(idx.codebooks, vecs)
-      .join(IvfIndex.assignWith(idx.centroids, vecs)
+    // one-shot list-tagged codes of the SURVIVORS at the SAME model
+    val oneShot = PqIndex.encodeWith(idx.codebooks, survivors)
+      .join(IvfIndex.assignWith(idx.centroids, survivors)
         .select("vec_id", "list_id"), "vec_id")
     assert(idx.codes.exceptAll(oneShot).isEmpty)
     assert(oneShot.exceptAll(idx.codes).isEmpty)

@@ -64,11 +64,18 @@ class IvfSpec extends SparkSpec {
       root.toString): Unit
     IvfIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
       root.toString): Unit
-    assert(IvfIndex.segmentCount(root.toString) === 3)
+    // an EMPTY ingest micro-batch must not wedge the store (a zero-row
+    // partitionBy write would leave a schema-less segment)
+    IvfIndex.append(vecs.filter(lit(false)), root.toString): Unit
+    // retract an eighth of the corpus as a signed tombstone segment
+    IvfIndex.remove(vecs.filter(pmod(col("vec_id"), lit(8)) === 7),
+      root.toString): Unit
+    assert(IvfIndex.segmentCount(root.toString) === 5)
+    val survivors = vecs.filter(pmod(col("vec_id"), lit(8)) =!= 7)
     val idx = IvfIndex.readIndex(spark, root.toString)
-    // ROW-level identity: the appended index's assignments equal a
-    // one-shot assignment of the whole corpus at the same centroids
-    val oneShot = IvfIndex.assignWith(idx.centroids, vecs)
+    // ROW-level identity: the maintained index's assignments equal a
+    // one-shot assignment of the SURVIVING corpus at the same centroids
+    val oneShot = IvfIndex.assignWith(idx.centroids, survivors)
       .select("vec_id", "list_id")
     assert(idx.assigned.select("vec_id", "list_id")
       .exceptAll(oneShot).isEmpty)
@@ -76,13 +83,21 @@ class IvfSpec extends SparkSpec {
       idx.assigned.select("vec_id", "list_id")).isEmpty)
     // PROBE identity vs the one-shot index at the same model
     val expected = IvfIndex.search(
-      IvfIndex.Model(idx.centroids, IvfIndex.assignWith(idx.centroids, vecs)),
+      IvfIndex.Model(idx.centroids,
+        IvfIndex.assignWith(idx.centroids, survivors)),
       0L, 10, nProbe = 4).select("vec_id").as[Long].collect().toSeq
     val got = IvfIndex.search(idx, 0L, 10, nProbe = 4)
       .select("vec_id").as[Long].collect().toSeq
     assert(got === expected)
-    // compaction folds to one entry and probes identically
+    // a removed vector can never surface, however deep the probe
+    val deep = IvfIndex.search(idx, 0L, 1000, nProbe = 8)
+      .select("vec_id").as[Long].collect()
+    assert(deep.forall(_ % 8 != 7))
+    // compaction folds the signs away to one entry, probes identically,
+    // and restores the plain-union (no-tombstone) read fast path
     assert(IvfIndex.compact(spark, root.toString) === 1)
+    assert(!graft.sources.SegmentedStore.anySigned(
+      graft.sources.SegmentedStore.liveEntries(root.toString)))
     val afterCompact = IvfIndex.search(
       IvfIndex.readIndex(spark, root.toString), 0L, 10, nProbe = 4)
       .select("vec_id").as[Long].collect().toSeq

@@ -104,4 +104,38 @@ class LshIndexSpec extends SparkSpec {
     assert(LshIndex.compact(spark, root) === 1)
     rmTree(new java.io.File(root))
   }
+
+  test("remove retracts docs as signed tombstones: probes match a " +
+      "rebuild without them, through compaction") {
+    val root = java.nio.file.Files.createTempDirectory("lsh_rm").toString
+    val corpus = (1 to 5).map(i => (i.toLong, variant(i)))
+    LshIndex.build(corpus.toDF("doc_id", "text"), root)
+    // the removal batch carries the docs' TEXT (change-feed contract):
+    // signatures re-derive and cancel the indexed +1 rows exactly
+    LshIndex.remove(
+      corpus.filter(c => c._1 == 2L || c._1 == 4L).toDF("doc_id", "text"),
+      root): Unit
+    val probe = Seq((50L, base)).toDF("doc_id", "text")
+    def hits() = LshIndex.probe(spark, root, probe, minEst = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val after = hits()
+    assert(after.map(_._2) === Set(1L, 3L, 5L),
+      s"retracted docs must stop seeding candidates: $after")
+    // identical to an index that never saw docs 2 and 4
+    val root2 = java.nio.file.Files.createTempDirectory("lsh_rm2").toString
+    LshIndex.build(
+      corpus.filterNot(c => c._1 == 2L || c._1 == 4L).toDF("doc_id", "text"),
+      root2)
+    assert(LshIndex.probe(spark, root2, probe, minEst = 0.5)
+      .as[(Long, Long, Double)].collect().toSet === after)
+    // compaction folds the signs away (no-tombstone fast path restored)
+    // and probes identically
+    assert(LshIndex.compact(spark, root) === 1)
+    assert(!graft.sources.SegmentedStore.anySigned(Seq(
+      graft.sources.AtomicStore.list(root).map(_.getPath.toString)
+        .find(_.contains("base")).get)))
+    assert(hits() === after)
+    rmTree(new java.io.File(root))
+    rmTree(new java.io.File(root2))
+  }
 }

@@ -84,10 +84,14 @@ class PqSpec extends SparkSpec {
       root.toString): Unit
     PqIndex.append(vecs.filter(pmod(col("vec_id"), lit(4)) === 3),
       root.toString): Unit
-    assert(PqIndex.segmentCount(root.toString) === 3)
+    // removal retracts an eighth as a signed tombstone segment
+    PqIndex.remove(vecs.filter(pmod(col("vec_id"), lit(8)) === 7),
+      root.toString): Unit
+    assert(PqIndex.segmentCount(root.toString) === 4)
+    val survivors = vecs.filter(pmod(col("vec_id"), lit(8)) =!= 7)
     val idx = PqIndex.readIndex(spark, root.toString)
-    // ROW-level identity with the one-shot encode at the same codebooks
-    val oneShot = PqIndex.encodeWith(idx.codebooks, vecs)
+    // ROW-level identity with the one-shot encode of the SURVIVORS
+    val oneShot = PqIndex.encodeWith(idx.codebooks, survivors)
     assert(idx.codes.exceptAll(oneShot).isEmpty)
     assert(oneShot.exceptAll(idx.codes).isEmpty)
     // PROBE identity, and again after compaction
