@@ -52,6 +52,26 @@ object Bench {
     val floorRuns = math.max(runs,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_RUNS", "4").toInt)
     val floorSecs = 1.0
+    // keys ABOVE the floor get a third sample (round-9's driver run
+    // inflated untouched >1 s keys up to 25×; two samples of a noisy
+    // slow key cannot separate code from weather, and min-of-3 can)
+    val slowRuns = math.max(runs,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_RUNS", "3").toInt)
+    // NOISE SENTINEL: a fixed, data-independent workload (one small
+    // shuffle + agg) sampled before and after the sweep. Its spread
+    // calibrates the run's noise floor: a quiet host reads ~equal
+    // samples; contended rounds show here first, so a per-key inflation
+    // can be attributed (noise vs code) from the artifact alone.
+    def sentinelSample(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4L << 20)
+        .selectExpr("pmod(id, 97) as k", "id as v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinelRound(): Seq[Double] =
+      (1 to 5).map(_ => math.rint(sentinelSample() * 1000) / 1000)
+    val sentinelHead = sentinelRound()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
       .map { case (name, fn) =>
@@ -68,8 +88,13 @@ object Bench {
       (1 to runs).foreach(_ => times += sample())
       while (times.size < floorRuns && times.forall(_ < floorSecs))
         times += sample()
+      while (times.size < slowRuns && times.min >= floorSecs)
+        times += sample()
       name -> times.min
     }
+    val sentinelTail = sentinelRound()
+    val sentinelJson = s"""{"head":${sentinelHead.mkString("[", ",", "]")}""" +
+      s""","tail":${sentinelTail.mkString("[", ",", "]")}}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -79,14 +104,14 @@ object Bench {
     // (round 3 recorded an unparseable bench because the total led the one
     // giant line and fell outside the captured tail)
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
     // the stdout tail keeps ~64 of 200+ keys — the FULL per-query map must
     // survive as a file or a regression is unattributable from the
     // artifact alone (round 7's 3× total scare). Keyed identically to the
     // stdout JSON.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_perq.json"),
-      s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"total":$total,"failed":$failedJson}""")
+      s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"total":$total,"failed":$failedJson,"sentinel":$sentinelJson}""")
     catch {
       case e: Throwable =>
         System.err.println(s"[bench] bench_perq.json write failed: ${e.getMessage}")

@@ -10,7 +10,7 @@ object GraftSession {
   def local(cpus: String, extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      // StarCollapse optimizer rule (inert until graft.star.collapse=true)
+      // StarCollapse analyzer rule (default ON; graft.star.collapse=false opts out)
       .config("spark.sql.extensions", classOf[plans.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

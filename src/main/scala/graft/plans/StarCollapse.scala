@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Max}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Complete, Count}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -30,19 +30,28 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * absorbs further arms into the same aggregate, so a left-deep k-way
   * star still collapses to one aggregation.
   *
-  * SOUNDNESS GATE: collapse assumes predicates are single-valued per
-  * subject (d-sparq's property-table assumption — a multi-valued
-  * predicate needs the join path's cross product). That is a DATA
-  * property no rule can check statically, so the rule only fires when
-  * the session conf `graft.star.collapse` is `true` — the same opt-in
-  * contract as `collapseStars = true` on the explicit APIs, enforced at
-  * plan level. Arms with repeated object variables, object = subject, or
-  * extra filter conjuncts are left to the join path (the explicit
-  * solver's eligibility rule).
+  * SOUNDNESS (and why the rule can default ON, round-10): unlike the
+  * explicit [[graft.rdf.Bgp.solveStarCollapsed]] — whose `max(case)`
+  * form assumes single-valued predicates and is therefore opt-in — this
+  * rewrite is EXACT for any data. Each var-object arm aggregates
+  * `collect_list(case p=pred → o)` (nulls skipped, so the list holds
+  * exactly the arm's objects) and a Generate/explode above the
+  * aggregation unrolls the per-subject cross product of the lists — the
+  * join path's multi-valued semantics, while an empty list (subject
+  * missing the predicate) drops the subject, the inner-join semantics.
+  * Const-object arms aggregate an EXISTS count (`count(p=pred ∧ o=c) ≥
+  * 1`; a max-of-o compare would drop a multi-valued subject whose
+  * required object isn't the extremum). On single-valued data every
+  * list is length ≤ 1 and the plan degenerates to the property-table
+  * shape. `graft.star.collapse=false` opts back onto the join path.
+  * Arms with repeated object variables, object = subject, or extra
+  * filter conjuncts are left to the join path (the explicit solver's
+  * eligibility rule).
   */
 object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Session conf key gating the rewrite (default off = rule inert). */
+  /** Session conf key gating the rewrite (default ON — `false` opts a
+    * multi-valued corpus back onto the join path). */
   val Flag = "graft.star.collapse"
 
   /** A star in pieces: the shared base relation, every exprId the subject
@@ -52,7 +61,7 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
       objArms: Seq[(Literal, Alias)], constArms: Seq[(Literal, Literal)])
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString(Flag, "false") != "true") plan
+    if (conf.getConfString(Flag, "true") == "false") plan
     else plan.transformDown {
       case j: Join if j.resolved => collapse(j).getOrElse(j)
     }
@@ -105,14 +114,26 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  private val HiddenPrefix = "__starc"
+  private val ExistsPrefix = "__starc"
+  private val ListPrefix = "__starl"
 
   /** Decompose a plan this rule itself emitted — a collapsed star — so a
-    * later join can absorb more arms into the same aggregate. */
+    * later join can absorb more arms into the same aggregate. Emitted
+    * shape: `Project(vis, Generate*(Explode(list), Filter?(Aggregate(s,
+    * subj ++ collect_lists ++ exists_counts, σ[p∈preds] base))))`. */
   private def asCollapsed(p: LogicalPlan): Option[(Parts, Seq[Attribute])] =
     p match {
       case Project(vis, body) if vis.forall(_.isInstanceOf[Attribute]) =>
-        val (inner, conds) = body match {
+        // peel the per-arm explodes: list attr exprId → visible obj attr
+        var cur = body
+        val gens = scala.collection.mutable.Map.empty[ExprId, Attribute]
+        var peeling = true
+        while (peeling) cur match {
+          case Generate(Explode(la: Attribute), _, false, _, Seq(out), child) =>
+            gens += la.exprId -> out; cur = child
+          case _ => peeling = false
+        }
+        val (inner, conds) = cur match {
           case Filter(c, a) => (a, splitConjunctivePredicates(c))
           case a => (a, Nil)
         }
@@ -129,32 +150,42 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
         if (agg.groupingExpressions != Seq(sA)) return None
         val subj = scala.collection.mutable.ArrayBuffer.empty[Alias]
         val objArms = scala.collection.mutable.ArrayBuffer.empty[(Literal, Alias)]
-        val hidden = scala.collection.mutable.ArrayBuffer.empty[(Attribute, Literal)]
+        // exists-count attr exprId → (const pred, const obj)
+        val constPins =
+          scala.collection.mutable.Map.empty[ExprId, (Literal, Literal)]
         agg.aggregateExpressions.foreach {
           case al @ Alias(a: Attribute, _) if a.semanticEquals(sA) =>
             subj += al
           case al @ Alias(AggregateExpression(
-              Max(CaseWhen(Seq((EqualTo(pa: Attribute, l: Literal), oa: Attribute)), None)),
+              CollectList(CaseWhen(Seq((EqualTo(pa: Attribute, l: Literal), oa: Attribute)), None), _, _),
               Complete, false, _, _), _)
-              if pa.semanticEquals(pA) && oa.semanticEquals(oA) =>
-            if (al.name.startsWith(HiddenPrefix)) hidden += al.toAttribute -> l
-            else objArms += l -> al
+              if pa.semanticEquals(pA) && oa.semanticEquals(oA) &&
+                al.name.startsWith(ListPrefix) =>
+            // the arm's downstream identity is the explode's output attr;
+            // rebuild the alias collapse() re-emits from
+            val out = gens.getOrElse(al.exprId, return None)
+            objArms += l -> Alias(oA, out.name)(exprId = out.exprId)
+          case al @ Alias(AggregateExpression(
+              Count(Seq(CaseWhen(Seq((And(EqualTo(pa: Attribute, l: Literal),
+                EqualTo(oa: Attribute, c: Literal)), _)), None))),
+              Complete, false, _, _), _)
+              if pa.semanticEquals(pA) && oa.semanticEquals(oA) &&
+                al.name.startsWith(ExistsPrefix) =>
+            constPins += al.toAttribute.exprId -> (l -> c)
           case _ => return None
         }
-        // filter conds: IsNotNull on obj aliases (reconstructed at emission)
-        // plus one pinned equality per hidden const-object arm
+        // filter conds: one exists pin per hidden const-object arm
         val constArms = scala.collection.mutable.ArrayBuffer.empty[(Literal, Literal)]
         conds.foreach {
-          case IsNotNull(a: Attribute)
-              if objArms.exists(_._2.exprId == a.exprId) =>
-          case EqualTo(a: Attribute, c: Literal) =>
-            hidden.find(_._1.exprId == a.exprId) match {
-              case Some((_, pred)) => constArms += pred -> c
+          case GreaterThanOrEqual(a: Attribute, Literal(_, _)) =>
+            constPins.get(a.exprId) match {
+              case Some(pc) => constArms += pc
               case None => return None
             }
           case _ => return None
         }
-        if (constArms.size != hidden.size) return None
+        if (constArms.size != constPins.size) return None
+        if (gens.size != objArms.size) return None
         Some((Parts(scanBase, subj.toSeq, objArms.toSeq, constArms.toSeq),
           vis.map(_.asInstanceOf[Attribute])))
       case _ => None
@@ -209,35 +240,47 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
     val (sA, pA, oA) = spo(parts.base).getOrElse(return None)
     val preds = (parts.objArms.map(_._1) ++ parts.constArms.map(_._1))
     val scan = Filter(In(pA, preds.distinct), parts.base)
-    def maxWhen(pred: Literal): Expression =
-      AggregateExpression(
-        Max(CaseWhen(Seq((EqualTo(pA, pred), oA)), None)), Complete,
-        isDistinct = false)
     val subjAliases = parts.subj.distinctBy(_.exprId)
       .map(al => Alias(sA, al.name)(exprId = al.exprId))
-    val objAliases = parts.objArms.map { case (pred, al) =>
-      Alias(maxWhen(pred), al.name)(exprId = al.exprId)
+    // var-object arms: collect_list(case p=pred → o). Nulls (other
+    // predicates' rows) are skipped, so the list holds exactly the arm's
+    // objects; the explode below unrolls the per-subject cross product
+    // (multi-valued ⇒ join semantics) and drops empty lists (missing
+    // predicate ⇒ inner-join semantics). Exact for any data — what lets
+    // this rule default on where the explicit max(case) solver is opt-in.
+    val listAliases = parts.objArms.zipWithIndex.map { case ((pred, _), i) =>
+      Alias(AggregateExpression(
+        CollectList(CaseWhen(Seq((EqualTo(pA, pred), oA)), None)),
+        Complete, isDistinct = false), s"$ListPrefix$i")()
     }
-    val hidden = parts.constArms.zipWithIndex.map { case ((pred, _), i) =>
-      Alias(maxWhen(pred), s"$HiddenPrefix$i")()
+    // const-object arms: EXISTS — count(p=pred ∧ o=c) ≥ 1 (a max-of-o
+    // compare would drop a multi-valued subject whose required object
+    // isn't the extremum)
+    val hidden = parts.constArms.zipWithIndex.map { case ((pred, c), i) =>
+      Alias(AggregateExpression(
+        Count(Seq(CaseWhen(Seq(
+          (And(EqualTo(pA, pred), EqualTo(oA, c)), Literal(1))), None))),
+        Complete, isDistinct = false), s"$ExistsPrefix$i")()
     }
-    val agg = Aggregate(Seq(sA), subjAliases ++ objAliases ++ hidden, scan)
-    // a subject missing one of the star's predicates must not match; a
-    // constant-object arm additionally pins the aggregated value
+    val agg = Aggregate(Seq(sA), subjAliases ++ listAliases ++ hidden, scan)
     val conds: Seq[Expression] =
-      objAliases.map(a => IsNotNull(a.toAttribute)) ++
-        parts.constArms.zip(hidden).map { case ((_, c), h) =>
-          EqualTo(h.toAttribute, c)
-        }
+      hidden.map(h => GreaterThanOrEqual(h.toAttribute, Literal(1L)))
     val filtered = if (conds.isEmpty) agg else Filter(conds.reduce(And), agg)
-    Some(Project(visible, filtered))
+    val exploded = parts.objArms.zip(listAliases)
+      .foldLeft(filtered: LogicalPlan) { case (child, ((_, al), la)) =>
+        Generate(Explode(la.toAttribute), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None,
+          generatorOutput = Seq(al.toAttribute), child)
+      }
+    Some(Project(visible, exploded))
   }
 }
 
 /** Spark extensions entry point:
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions`). Installs [[StarCollapse]] as an analyzer rule; it
-  * is inert until `graft.star.collapse=true`. */
+  * fires by default with a runtime single-valued guard;
+  * `graft.star.collapse=false` opts out. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     e.injectResolutionRule(_ => StarCollapse)

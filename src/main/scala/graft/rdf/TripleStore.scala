@@ -28,13 +28,17 @@ object TripleStore {
     * composes both reference techniques — subject co-location (R10) over
     * dictionary ids (R2) — into shuffle-free star joins on 8-byte keys. */
   def saveBucketed(triples: DataFrame, table: String, buckets: Int = 32,
-      subjectCol: String = "s"): Unit =
+      subjectCol: String = "s"): Unit = {
     triples.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, subjectCol)
       .sortBy(subjectCol)
       .format("parquet")
       .saveAsTable(table)
+    // stats are ingest-time state (round-10): ANALYZE here so CBO reorder
+    // works on the store without the caller knowing to ask
+    graft.sources.Tables.analyze(triples.sparkSession, table)
+  }
 
   def load(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
@@ -108,6 +112,9 @@ object TripleStore {
            |USING PARQUET
            |CLUSTERED BY (sid) SORTED BY (sid) INTO $buckets BUCKETS
            |LOCATION '$path/enc'""".stripMargin)
+      // ingest-time ANALYZE: CBO sees the id-store's row count/NDVs
+      // without caller opt-in (skipped when stats already present)
+      graft.sources.Tables.analyze(spark, table)
       (spark.read.parquet(s"$path/dict"), spark.table(table))
     })
 

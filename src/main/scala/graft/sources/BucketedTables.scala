@@ -63,6 +63,9 @@ object BucketedTables {
              |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
              |INTO $buckets BUCKETS
              |LOCATION '$path/$name'""".stripMargin)
+        // ingest-time ANALYZE (round-10): co-located joins also get CBO
+        // row counts/NDVs without caller opt-in
+        Tables.analyze(spark, table)
         spark.table(table)
       }
       (frames(0), frames(1))

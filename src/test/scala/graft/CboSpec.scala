@@ -30,6 +30,27 @@ class CboSpec extends SparkSpec {
       .stats.rowCount.contains(BigInt(1500)))
   }
 
+  test("ingest paths auto-ANALYZE: persisted stores carry CBO stats " +
+      "without caller opt-in") {
+    // the encoded id-triple store (TripleStore.encodedFor registers +
+    // analyzes at build)
+    val (_, enc) = rdf.TripleStore.encodedFor(spark, sf0001)
+    val encStats = enc.queryExecution.optimizedPlan.stats
+    assert(encStats.rowCount.isDefined,
+      s"expected an ingest-time row count on the encoded store: $encStats")
+    // the co-located relational pair
+    val (orders, _) = sources.BucketedTables.ordersLineitem(spark, sf0001)
+    assert(orders.queryExecution.optimizedPlan.stats.rowCount.isDefined,
+      "expected an ingest-time row count on the bucketed orders table")
+    // the subject-bucketed string store
+    spark.sql("DROP TABLE IF EXISTS cbo_auto_store")
+    rdf.TripleStore.saveBucketed(
+      rdf.Triples.build(spark, sf0001).limit(100), "cbo_auto_store")
+    assert(spark.table("cbo_auto_store")
+      .queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(100)))
+    spark.sql("DROP TABLE IF EXISTS cbo_auto_store"): Unit
+  }
+
   test("CBO reorders a BGP chain so the selective pattern joins first") {
     // the analyzeAll test may have switched the current database — this
     // test's managed table lives in default, in a fresh location

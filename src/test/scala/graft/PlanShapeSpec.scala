@@ -155,23 +155,45 @@ class PlanShapeSpec extends SparkSpec {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // baseline: the join path (rule inert by default)
-    val joined = Bgp.solve(triples, star)
-    assert(planOf(joined).contains("Join"), "expected the default join plan")
-    spark.conf.set(graft.plans.StarCollapse.Flag, "true")
-    try {
-      val collapsed = Bgp.solve(triples, star)
-      val p = planOf(collapsed)
-      assert(!p.contains("Join"), s"star not collapsed:\n$p")
-      assert(p.contains("Aggregate"), p)
-      // the rewrite is an equivalence on this single-valued corpus
-      assert(collapsed.count() === joined.count())
-      assert(collapsed.exceptAll(joined).count() === 0)
-      assert(joined.exceptAll(collapsed).count() === 0)
-      // explicit API unchanged and still equivalent
-      val explicitly = Bgp.solveStarCollapsed(triples, star)
-      assert(explicitly.exceptAll(collapsed).count() === 0)
-    } finally spark.conf.unset(graft.plans.StarCollapse.Flag)
+    // baseline: the join path (the rule defaults ON since round 10, so
+    // the join shape needs the explicit opt-out)
+    spark.conf.set(graft.plans.StarCollapse.Flag, "false")
+    val joined =
+      try Bgp.solve(triples, star)
+      finally spark.conf.unset(graft.plans.StarCollapse.Flag)
+    assert(planOf(joined).contains("Join"), "expected the opt-out join plan")
+    // DEFAULT session: the rule fires with no flag set
+    val collapsed = Bgp.solve(triples, star)
+    val p = planOf(collapsed)
+    assert(!p.contains("Join"), s"star not collapsed:\n$p")
+    assert(p.contains("Aggregate"), p)
+    // the rewrite is an equivalence on this single-valued corpus
+    assert(collapsed.count() === joined.count())
+    assert(collapsed.exceptAll(joined).count() === 0)
+    assert(joined.exceptAll(collapsed).count() === 0)
+    // explicit API unchanged and still equivalent
+    val explicitly = Bgp.solveStarCollapsed(triples, star)
+    assert(explicitly.exceptAll(collapsed).count() === 0)
+  }
+
+  test("StarCollapse rule is exact on multi-valued predicates: " +
+      "per-subject cross product, never a dropped binding") {
+    import spark.implicits._
+    val t = Seq(("s1", "p", "a"), ("s1", "p", "b"), ("s1", "q", "z"),
+      ("s2", "p", "c"), ("s1", "r", "BUILDING"), ("s1", "r", "OTHER"))
+      .toDF("s", "p", "o")
+    // var-object arms over a multi-valued predicate + a const-object arm
+    // whose required object is NOT the max under its predicate
+    val pArm = t.filter($"p" === "p").select($"s".as("x"), $"o".as("v1"))
+    val qArm = t.filter($"p" === "q").select($"s".as("x"), $"o".as("v2"))
+    val rArm = t.filter($"p" === "r" && $"o" === "BUILDING").select($"s".as("x"))
+    val j = pArm.join(qArm, "x").join(rArm, "x")
+    val plan = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), s"expected the collapsed plan:\n$plan")
+    // join semantics exactly: s1 × {a,b} × {z}; s2 lacks q and r
+    assert(j.as[(String, String, String)].collect().toSet ===
+      Set(("s1", "a", "z"), ("s1", "b", "z")))
   }
 
   test("a constant GRAPH prunes to an equality filter on g at the source") {

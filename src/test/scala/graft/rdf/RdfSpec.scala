@@ -172,12 +172,18 @@ class RdfSpec extends SparkSpec {
     // see the plan shape a large triples table would get
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the analyzer rule defaults ON since round 10 and would collapse
+    // the join baseline too — opt out to measure the join path itself
+    spark.conf.set(graft.plans.StarCollapse.Flag, "false")
     try {
       val joinPlanShuffles = shuffles(Bgp.solve(triples, pats))
       val starPlanShuffles = shuffles(Bgp.solveStarCollapsed(triples, pats))
       assert(starPlanShuffles < joinPlanShuffles,
         s"star=$starPlanShuffles join=$joinPlanShuffles")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset(graft.plans.StarCollapse.Flag)
+    }
   }
 
   test("encoded BGP (id-space solve + decode) ≡ string-space solve") {
