@@ -673,6 +673,42 @@ object RdfOps extends QueryModule {
       ViewStore.read(s, view).orderBy(col("x"), col("y"))
     }),
 
+    // Maintained GENERAL path-expression view (round-10, closing the
+    // alternation-of-sequences gap): the closure of
+    // ((<region>/^<region>) | <name>)+ — a seq branch (same-region
+    // nation pairs, edges that are JOINS) alternated with a plain edge
+    // branch (name edges). Churn exercises BOTH branch deltas: round 1
+    // adds zz region edges AND a zz name edge (the closure must append
+    // the name hop to every same-region reach); round 2 merges the zz
+    // clusters via n2 and retracts the name edge and n3's only region —
+    // DRed must drop n3's pairs and every reach-to-name derived through
+    // the retracted edge. Oracle recomputes with a recursive CTE over
+    // the final composed edge set.
+    "q_bgp_view_path_expr" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_vx_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_vx_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createPathExprFromSparql(s, store, view,
+          "SELECT * WHERE { ?x ((<region>/^<region>)|<name>)+ ?y }"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA {
+          |  <zz:n1> <region> "zz:r1" . <zz:n2> <region> "zz:r1" .
+          |  <zz:n3> <region> "zz:r2" . <zz:n1> <name> "zz:alpha" . }"""
+          .stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { <zz:n2> <region> "zz:r2" . } ;
+          |DELETE DATA { <zz:n1> <name> "zz:alpha" .
+          |              <zz:n3> <region> "zz:r2" . }""".stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.read(s, view).orderBy(col("x"), col("y"))
+    }),
+
     // Aggregate-IVM in the gate: the grouped summary (BUILDING customers
     // per nation) is maintained by feeding BgpView's view deltas into
     // IncrementalAgg through the same two churn rounds as q_bgp_ivm —
@@ -2029,6 +2065,31 @@ object RdfOps extends QueryModule {
          |), edges AS (
          |  SELECT DISTINCT a.s AS src, b.s AS dst
          |  FROM reg a JOIN reg b ON a.o = b.o
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS x, dst AS y FROM reach ORDER BY x, y""".stripMargin,
+
+    // final composed edges: same-region nation pairs over the default
+    // graph + the NET zz churn (r1:{n1,n2}, r2:{n2}; n3's region and
+    // n1's name retracted), UNIONed with the default graph's name edges
+    "q_bgp_view_path_expr" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |), reg AS (
+         |  SELECT s, o FROM quads WHERE g = '' AND p = 'region'
+         |  UNION ALL SELECT 'zz:n1', 'zz:r1'
+         |  UNION ALL SELECT 'zz:n2', 'zz:r1'
+         |  UNION ALL SELECT 'zz:n2', 'zz:r2'
+         |), edges AS (
+         |  SELECT DISTINCT a.s AS src, b.s AS dst
+         |  FROM reg a JOIN reg b ON a.o = b.o
+         |  UNION
+         |  SELECT s, o FROM quads WHERE g = '' AND p = 'name'
          |), reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION

@@ -268,6 +268,78 @@ object ViewStore {
     (g, sv, dv, steps)
   }
 
+  private def writeMetaPathExpr(root: String, graph: String,
+      srcVar: String, dstVar: String, text: String): Unit = {
+    val lines = Seq(
+      s"mode\tpathexpr\t${b64(graph)}",
+      Seq("vars", b64(srcVar), b64(dstVar)).mkString("\t"),
+      Seq("text", b64(text)).mkString("\t"))
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      lines.mkString("\n"))
+  }
+
+  /** The persisted GENERAL path-view definition: (graph, srcVar, dstVar,
+    * inner path tree). The stored form is the defining SPARQL text — the
+    * parser stays the single source of truth for its meaning. */
+  def definitionPathExpr(root: String): (String, String, String, Path) = {
+    val lines = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").toSeq
+    val g = lines.head.split("\t", -1) match {
+      case Array("mode", "pathexpr", b) => unb64(b)
+      case _ => throw new IllegalArgumentException(
+        s"not a pathexpr view under $root")
+    }
+    val byTag = lines.tail.map { l =>
+      val parts = l.split("\t", -1).toSeq
+      (parts.head, parts.tail)
+    }.toMap
+    val Seq(sv, dv) = byTag("vars").map(unb64)
+    val (psv, pdv, inner) = pathExprFromSparql(unb64(byTag("text").head))
+    require(psv == sv && pdv == dv, s"corrupt pathexpr meta under $root")
+    (g, sv, dv, inner)
+  }
+
+  /** The GENERAL path-view fragment from SPARQL text:
+    * `SELECT … WHERE { ?src (EXPR)+ ?dst }` where EXPR is ANY tree of
+    * sequences, alternations and (inverse) edges — `((p/q)|r)+`, nested
+    * shapes, anything whose edge set is joins-and-unions (the round-10
+    * generalization; [[pathFromSparql]] and [[pathSeqFromSparql]] are its
+    * linear special cases). Closures (`+ * ?`) and negated property sets
+    * INSIDE the expression keep the loud rejection: their edge sets are
+    * themselves closures / complements, not joins. */
+  def pathExprFromSparql(text: String): (String, String, Path) = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view definitions are single-block SELECTs")
+    val b = q.branches.head
+    require(b.where.isEmpty && b.paths.size == 1,
+      "a maintainable path view is exactly one path pattern")
+    bareBody(b, "a maintainable path view is exactly one path pattern",
+      allowPaths = true)
+    noModifiers(q)
+    val (sv, dv, inner) = b.paths.head match {
+      case (V(s), PPlus(in), V(d)) => (s, d, in)
+      case (_, p, _) => throw new IllegalArgumentException(
+        s"a maintainable path view is `?src (expr)+ ?dst`, got $p")
+    }
+    validatePathExpr(inner)
+    require(sv != dv, "path view endpoints must be distinct variables")
+    fullBinding(q, Seq(sv, dv).sorted)
+    (sv, dv, inner)
+  }
+
+  private def validatePathExpr(p: Path): Unit = p match {
+    case PEdge(_: String) =>
+    case PInv(PEdge(_: String)) =>
+    case PSeq(l, r) => validatePathExpr(l); validatePathExpr(r)
+    case PAlt(l, r) => validatePathExpr(l); validatePathExpr(r)
+    case other => throw new IllegalArgumentException(
+      s"a maintainable path expression composes sequences, alternations " +
+        s"and (inverse) edges — got $other; a nested closure's edge set " +
+        "is itself a closure, not a join, and composes downstream of " +
+        "the materialization")
+  }
+
   /** Extract a maintainable pattern set from SPARQL text: a single
     * `SELECT * WHERE { <plain BGP> }` (or a projection naming every
     * pattern variable). Anything beyond the BGP fragment — OPTIONAL,
@@ -474,8 +546,9 @@ object ViewStore {
     case other => throw new IllegalArgumentException(
       s"a maintainable path view closes over a LINEAR predicate " +
         s"alternation (p|…|^q|…), got $other — for `p/q` SEQUENCES use " +
-        "the pathseq mode (createPathSeqFromSparql), whose edge deltas " +
-        "run the conjunctive rule")
+        "the pathseq mode (createPathSeqFromSparql) and for any nested " +
+        "seq/alt tree the pathexpr mode (createPathExprFromSparql); " +
+        "their edge deltas run the conjunctive rule")
   }
 
   /** `?src (s1/s2/…)+ ?dst` where each `s_i` is a linear predicate
@@ -620,6 +693,73 @@ object ViewStore {
           .join(b.select(col("src").as("__m"), col("dst")), "__m")
           .select("src", "dst")
       }.distinct()
+
+  /** The edge set of a GENERAL seq/alt path tree, compositionally:
+    * edges join head-to-tail under `/`, union under `|` — a SET at every
+    * node (the per-node distinct is the same dedup [[pathEdges]] applies
+    * per alternation, one shuffle per composite node). */
+  private def exprEdges(t: DataFrame, p: Path): DataFrame = (p match {
+    case PEdge(v: String) =>
+      t.filter(col("p") === v).select(col("s").as("src"), col("o").as("dst"))
+    case PInv(PEdge(v: String)) =>
+      t.filter(col("p") === v).select(col("o").as("src"), col("s").as("dst"))
+    case PSeq(l, r) =>
+      exprEdges(t, l).select(col("src"), col("dst").as("__m"))
+        .join(exprEdges(t, r).select(col("src").as("__m"), col("dst")), "__m")
+        .select("src", "dst")
+    case PAlt(l, r) => exprEdges(t, l).unionByName(exprEdges(t, r))
+    case other => throw new IllegalArgumentException(
+      s"unmaintainable path node $other")
+  }).distinct()
+
+  /** Candidate composed-edge pairs of a GENERAL tree whose derivation
+    * passes through ≥1 CHANGED triple — the conjunctive delta rule
+    * applied structurally: Δ(A/B) ⊆ (ΔA ⋈ B) ∪ (A ⋈ ΔB) with `state` at
+    * the unchanged operand, Δ(A|B) ⊆ ΔA ∪ ΔB, Δ(edge) = the change
+    * feed's slice. Candidates OVERcount (a pair may keep surviving
+    * derivations); the caller's membership anti-joins net them. */
+  private def exprEdgeCands(state: DataFrame, deltaT: DataFrame,
+      p: Path): DataFrame = (p match {
+    case PEdge(_) | PInv(_) => exprEdges(deltaT, p)
+    case PSeq(l, r) =>
+      val viaL = exprEdgeCands(state, deltaT, l)
+        .select(col("src"), col("dst").as("__m"))
+        .join(exprEdges(state, r)
+          .select(col("src").as("__m"), col("dst")), "__m")
+        .select("src", "dst")
+      val viaR = exprEdges(state, l)
+        .select(col("src"), col("dst").as("__m"))
+        .join(exprEdgeCands(state, deltaT, r)
+          .select(col("src").as("__m"), col("dst")), "__m")
+        .select("src", "dst")
+      viaL.unionByName(viaR)
+    case PAlt(l, r) =>
+      exprEdgeCands(state, deltaT, l)
+        .unionByName(exprEdgeCands(state, deltaT, r))
+    case other => throw new IllegalArgumentException(
+      s"unmaintainable path node $other")
+  }).distinct()
+
+  /** Bootstrap a GENERAL path-expression view — the transitive closure
+    * of any seq/alt tree's edge set, maintained by [[exprEdgeCands]]
+    * composed with the closure's DRed rule (the sequence mode's
+    * lifecycle over an arbitrary tree). Defined from SPARQL text only —
+    * the text IS the persisted definition. */
+  def createPathExprFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, text: String, graph: String = ""): Int = {
+    val (sv, dv, inner) = pathExprFromSparql(text)
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before createPathExpr()"))
+    writeMetaPathExpr(viewRoot, graph, sv, dv, text)
+    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
+      Paths.transitiveClosure(
+          exprEdges(slice(spark, storeRoot, cur, graph), inner))
+        .select(col("src").as(sv), col("dst").as(dv))
+        .write.parquet(tmp)
+    }
+    cur
+  }
 
   /** Candidate composed-edge pairs whose derivation passes through at
     * least one CHANGED step edge — the conjunctive delta rule: for each
@@ -770,6 +910,28 @@ object ViewStore {
           .join(oldE, Seq("src", "dst"), "left_anti"))
         val eDels = graft.Materialize(seqEdgeCands(oldT, t(dels), steps)
           .join(seqEdges(newT, steps), Seq("src", "dst"), "left_anti"))
+        val (_, pa, pd) = Paths.maintainClosureDelta(
+          read(spark, viewRoot)
+            .select(col(sv).as("src"), col(dv).as("dst")),
+          oldE, eAdds, eDels)
+        val named = (df: DataFrame) =>
+          df.select(col("src").as(sv), col("dst").as(dv))
+        opRows((named(pa), named(pd)))
+      case "pathexpr" =>
+        val (graph, sv, dv, inner) = definitionPathExpr(viewRoot)
+        val t = tOf(graph)
+        // same shape as "pathseq": both states are consumed once per
+        // tree node by the conjunctive chains — materialize the slices
+        // and the old edge set so the iterative closure maintenance
+        // reads checkpoints, not the store
+        val oldT = graft.Materialize(slice(spark, storeRoot, last, graph))
+        val newT = graft.Materialize(oldT.join(t(dels).hint("broadcast"),
+            Seq("s", "p", "o"), "left_anti").unionByName(t(adds)))
+        val oldE = graft.Materialize(exprEdges(oldT, inner))
+        val eAdds = graft.Materialize(exprEdgeCands(newT, t(adds), inner)
+          .join(oldE, Seq("src", "dst"), "left_anti"))
+        val eDels = graft.Materialize(exprEdgeCands(oldT, t(dels), inner)
+          .join(exprEdges(newT, inner), Seq("src", "dst"), "left_anti"))
         val (_, pa, pd) = Paths.maintainClosureDelta(
           read(spark, viewRoot)
             .select(col(sv).as("src"), col(dv).as("dst")),

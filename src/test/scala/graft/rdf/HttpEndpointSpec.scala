@@ -204,13 +204,29 @@ class HttpEndpointSpec extends SparkSpec {
           .stripMargin,
         urls = Map("graft://remote" -> srv.url))
       assert(silent.as[String].collect().toSeq === Seq("c1"))
-      // non-SILENT unregistered endpoints and non-BGP bodies are loud
+      // BIND + FILTER ship INSIDE the rendered remote fragment (round-10)
+      // and evaluate on the remote endpoint — the restriction crosses the
+      // wire, not a wider pull filtered locally
+      val pushed = Sparql.runHttpFederated(local,
+        """SELECT ?c ?tag WHERE {
+          |  ?c <nat> ?nat .
+          |  SERVICE <graft://remote> {
+          |    ?c <seg> ?seg .
+          |    BIND(CONCAT(?seg, "!") AS ?tag)
+          |    FILTER (?seg = "B" && STRLEN(?tag) = 2)
+          |  }
+          |} ORDER BY ?c""".stripMargin,
+        urls = Map("graft://remote" -> srv.url))
+      assert(pushed.as[(String, String)].collect().toSeq ===
+        Seq(("c1", "B!")))
+      // non-SILENT unregistered endpoints and beyond-fragment bodies
+      // (OPTIONAL here) stay loud
       intercept[IllegalArgumentException](Sparql.runHttpFederated(local,
         "SELECT ?c WHERE { SERVICE <graft://nowhere> { ?c <seg> ?x . } }",
         urls = Map("graft://remote" -> srv.url)))
       intercept[IllegalArgumentException](Sparql.runHttpFederated(local,
         """SELECT ?c WHERE { SERVICE <graft://remote> {
-          |  ?c <seg> ?x . FILTER (?x = "B") } }""".stripMargin,
+          |  ?c <seg> ?x . OPTIONAL { ?c <nat> ?n . } } }""".stripMargin,
         urls = Map("graft://remote" -> srv.url)))
       // a VARIABLE endpoint ranges over the registry, binding ?ep
       val varEp = Sparql.runHttpFederated(local,

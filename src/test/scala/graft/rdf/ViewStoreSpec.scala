@@ -866,6 +866,62 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("general path-expression view: ((p/q)|r)+ maintained through " +
+      "churn, cross-branch derivation survival, DRed retraction") {
+    val (storeRoot, viewRoot) = freshRoots("pathexpr")
+    // branch A = p/q composed edges, branch B = plain r edges
+    QuadStore.init(Seq(
+      ("a", "p", "m1", ""), ("m1", "q", "b", ""), // A-edge a→b
+      ("b", "r", "c", "")                         // B-edge b→c
+    ).toDF("s", "p", "o", "g"), storeRoot)
+    ViewStore.createPathExprFromSparql(spark, storeRoot, viewRoot,
+      "SELECT * WHERE { ?x ((<p>/<q>)|<r>)+ ?y }")
+    assert(ViewStore.mode(viewRoot) === "pathexpr")
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("a", "b"), Seq("a", "c"), Seq("b", "c")))
+    // churn 1: extend the chain through BOTH branches (r edge c→d,
+    // composed edge d→e) — both branch deltas fire in one sync
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <c> <r> "d" . <d> <p> "m2" . <m2> <q> "e" . }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("a", "b"), Seq("a", "c"), Seq("a", "d"), Seq("a", "e"),
+        Seq("b", "c"), Seq("b", "d"), Seq("b", "e"),
+        Seq("c", "d"), Seq("c", "e"), Seq("d", "e")))
+    // churn 2: sever a→b's only derivation (DRed drops a's pairs);
+    // SWAP b→c's derivation across branches in one batch — the r edge
+    // leaves, a fresh p/q chain arrives — the composed edge must hold
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <m1> <q> "b" . <b> <r> "c" . } ;
+        |INSERT DATA { <b> <p> "m3" . <m3> <q> "c" . }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    val expected = Set(Seq("b", "c"), Seq("b", "d"), Seq("b", "e"),
+      Seq("c", "d"), Seq("c", "e"), Seq("d", "e"))
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === expected)
+    ViewStore.compact(spark, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === expected)
+    // maintained ≡ recompute from the final store state
+    val t = QuadStore.read(spark, storeRoot)
+    val seqE = t.filter(col("p") === "p")
+      .select(col("s").as("src"), col("o").as("__m"))
+      .join(t.filter(col("p") === "q")
+        .select(col("s").as("__m"), col("o").as("dst")), "__m")
+      .select("src", "dst")
+    val altE = t.filter(col("p") === "r")
+      .select(col("s").as("src"), col("o").as("dst"))
+    val recomputed = Paths.transitiveClosure(
+      seqE.unionByName(altE).distinct())
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      recomputed.collect().map(r => Seq(r.getString(0), r.getString(1)))
+        .toSet)
+    // deeply nested trees parse; closures inside the tree stay loud
+    ViewStore.pathExprFromSparql(
+      "SELECT * WHERE { ?x (((<a>|^<b>)/<c>)|(<d>/<e>/<f>))+ ?y }"): Unit
+    intercept[IllegalArgumentException](ViewStore.pathExprFromSparql(
+      "SELECT * WHERE { ?x ((<a>*/<b>)|<c>)+ ?y }"))
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("fragment parsers reject what the delta rules cannot maintain") {
     // union: misaligned branch variables
     intercept[IllegalArgumentException](ViewStore.unionBranchesFromSparql(
