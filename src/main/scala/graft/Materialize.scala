@@ -28,17 +28,26 @@ object Materialize {
     * executor-local checkpointing). */
   val DirProp = "graft.checkpoint.dir"
 
-  def apply(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(DirProp).filter(_.nonEmpty) match {
+  def apply(df: DataFrame): DataFrame = {
+    // tag the eager job with the real caller — every checkpoint
+    // otherwise profiles as "Materialize.scala", hiding which lifecycle
+    // stage pays the fixed cost (the dominant tax on the IVM keys)
+    val sc = df.sparkSession.sparkContext
+    val caller = Thread.currentThread.getStackTrace
+      .find(e => e.getClassName.startsWith("graft.") &&
+        !e.getClassName.contains("Materialize"))
+      .map(e => s"materialize at ${e.getFileName}:${e.getLineNumber}")
+    caller.foreach(sc.setCallSite)
+    try df.sparkSession.conf.getOption(DirProp).filter(_.nonEmpty) match {
       case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
         // setCheckpointDir appends a per-install UUID subdir; only
         // (re)install when the configured root actually changed
         if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
           sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
-    }
+    } finally caller.foreach(_ => sc.clearCallSite())
+  }
 
   /** Free the executor blocks of a frame produced by [[apply]] once it is
     * superseded. Iterative loops (PageRank, BFS, closure, min-label

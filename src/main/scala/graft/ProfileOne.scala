@@ -24,12 +24,29 @@ object ProfileOne {
       new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
     val bySite = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     val siteOf = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    // SQL execution id → the ACTION's call site (async broadcast /
+    // subquery jobs run on a capture pool whose own stage site is a
+    // useless lambda; the enclosing execution's description is the
+    // attribution that matters)
+    val execSite = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execSite.put(s.executionId, s.description.takeWhile(_ != '\n')): Unit
+        case _ =>
+      }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         starts.put(j.jobId, j.time); jobs.incrementAndGet()
-        val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+        val fromExec = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execSite.get(id.toLong)))
+        val fromStages = j.stageInfos.map(_.name.takeWhile(_ != '\n'))
+          .filterNot(_.contains("CompletableFuture")).lastOption
+        val site = fromExec.orElse(fromStages)
+          .orElse(j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
-        siteOf.put(j.jobId, site): Unit
+        siteOf.put(j.jobId, site.take(90)): Unit
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         Option(starts.remove(Integer.valueOf(j.jobId))).foreach { s =>

@@ -194,8 +194,16 @@ object BgpView {
       dels: DataFrame, left: Seq[TP],
       right: Seq[TP]): (DataFrame, DataFrame) = {
     val (lv, _) = optionalVars(left, right)
-    val (mAdds, mDels) = delta(oldTriples, adds, dels, left ++ right)
-    val (aAdds, aDels) = delta(oldTriples, adds, dels, left)
+    // each of the four deltas is consumed TWICE — by `affected` below
+    // and by the returned segment frames — and their plans are the
+    // broadcast-heavy part; materialized once, the second consumer reads
+    // blocks instead of re-running the telescoping joins
+    val (mAdds0, mDels0) = delta(oldTriples, adds, dels, left ++ right)
+    val (aAdds0, aDels0) = delta(oldTriples, adds, dels, left)
+    val mAdds = graft.Materialize(mAdds0)
+    val mDels = graft.Materialize(mDels0)
+    val aAdds = graft.Materialize(aAdds0)
+    val aDels = graft.Materialize(aDels0)
     val keys = Seq("s", "p", "o")
     val newTriples = oldTriples
       .join(dels.select(keys.map(col): _*).hint("broadcast"), keys,

@@ -96,13 +96,12 @@ object GraphOps extends QueryModule {
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
       val f2 = graft.Materialize(next)
-      val d2 = graft.Materialize(dist.unionByName(f2))
-      // both previous-round frames are folded into d2 — release their
-      // blocks (round 1: frontier eq dist, double release is harmless)
-      graft.Materialize.release(frontier)
-      graft.Materialize.release(dist)
+      // `dist` stays a LAZY union of materialized per-round frontiers —
+      // every leaf is checkpointed, so the anti-join above scans blocks
+      // with no recompute, and each round saves one eager job (the
+      // dominant fixed cost at gate scale)
       frontier = f2
-      dist = d2
+      dist = dist.unionByName(f2)
     }
     und.unpersist()
     dist

@@ -89,6 +89,11 @@ object Paths {
     try {
       val cols = keys :+ "src" :+ "dst"
       val e = edges.select(cols.map(col): _*).distinct().persist()
+      // `all` stays a LAZY union of materialized frontiers: every leaf
+      // is checkpointed, so consumers scan ≤maxIter block sets with no
+      // recompute — re-checkpointing the accumulated union each round
+      // (the previous shape) paid one extra eager job per round, the
+      // dominant fixed cost of every lifecycle sync at gate scale
       var all = graft.Materialize(init(e))
       var delta = all
       var i = 0
@@ -102,16 +107,7 @@ object Paths {
           // only genuinely new pairs survive into the next frontier
           .join(all, cols, "left_anti")
           .transform(graft.Materialize.apply)
-        if (!next.isEmpty) {
-          val grown = all.unionByName(next).transform(graft.Materialize.apply)
-          // the previous `all` is folded into `grown`; its blocks are dead
-          graft.Materialize.release(all)
-          all = grown
-        }
-        // `delta` was consumed building `next` — release it UNLESS it is
-        // still the live result frame (round 0 seeds delta = all; if the
-        // closure converges immediately, `all` is what we return)
-        if (!(delta eq all)) graft.Materialize.release(delta)
+        if (!next.isEmpty) all = all.unionByName(next)
         delta = next
         i += 1
       }
@@ -222,18 +218,16 @@ object Paths {
               Seq("m", "dst"), "left_semi").select(cols.map(col): _*))
             .distinct()
         }
+        // `red` accumulates as a LAZY union of materialized frontiers
+        // (each leaf checkpointed — no recompute, and one fewer eager
+        // job per round; see closure())
         var red = graft.Materialize(witnessed(over, kept))
         var frontier = red
         var i = 0
         while (i < maxIter && !frontier.isEmpty) {
           val cand = over.join(red, cols, "left_anti")
           val next = graft.Materialize(witnessed(cand, frontier))
-          if (!next.isEmpty) {
-            val grown = graft.Materialize(red.unionByName(next))
-            graft.Materialize.release(red)
-            red = grown
-          }
-          if (!(frontier eq red)) graft.Materialize.release(frontier)
+          if (!next.isEmpty) red = red.unionByName(next)
           frontier = next
           i += 1
         }
@@ -259,6 +253,8 @@ object Paths {
             .select(col("src"), col("dst").as("m"))
             .join(base.select(col("src").as("m"), col("dst")), Seq("m"))
             .select(cols.map(col): _*)).distinct()
+        // `all` accumulates as a LAZY union of materialized frames (one
+        // fewer eager job per round; see closure())
         var all = cur
         val frontiers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         var frontier = graft.Materialize(
@@ -266,9 +262,7 @@ object Paths {
         var i = 0
         while (i < maxIter && !frontier.isEmpty) {
           frontiers += frontier
-          val grown = graft.Materialize(all.unionByName(frontier))
-          if (!(all eq cur)) graft.Materialize.release(all)
-          all = grown
+          all = all.unionByName(frontier)
           // paths with one MORE added edge: frontier ∘ adds ∘ (C ∪ id)
           val viaAdd = frontier.select(col("src"), col("dst").as("m"))
             .join(a.select(col("src").as("m"), col("dst"))

@@ -1214,6 +1214,25 @@ object QuadStore {
     * store-sized effect no segment enumerates) or a compacted-away
     * segment falls back to the exact two-way `exceptAll` diff of the
     * pinned reads. */
+  /** Cheap NON-EMPTINESS probe of the raw change log in (from, to]: one
+    * plain segment scan — no version replay, no clears resolution, no
+    * broadcast anti-joins (a [[changes]]`.isEmpty` probe executes the
+    * whole net-delta plan, ~7 scheduler round-trips for a verdict the
+    * raw ops already give). `true` GUARANTEES the net change is empty
+    * (no operations recorded at all — clears included, they are rows of
+    * the segment); `false` may still net empty (set-semantic
+    * re-inserts), so callers gate FAST PATHS on it, never correctness. */
+  def changesRawEmpty(spark: SparkSession, root: String, from: Int,
+      to: Int): Boolean = {
+    if (from >= to) return true
+    val range = (from + 1) to to
+    if (!range.forall(i =>
+        graft.sources.AtomicStore.isComplete(deltaPath(root, i))))
+      return false // torn chain: let changes() take its own fallback
+    range.map(i => readSegment(spark, root, i))
+      .reduce(_.unionByName(_)).isEmpty
+  }
+
   def changes(spark: SparkSession, root: String, from: Int,
       to: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window

@@ -854,12 +854,14 @@ object ViewStore {
         .unionByName(d._2.withColumn("__op", lit("d")))
     val tOf = (graph: String) => (df: DataFrame) =>
       df.filter(col("g") === graph).select("s", "p", "o")
-    // no-op fast path: versions advanced but the net quad change is
-    // empty (idempotent replays, set-semantic re-inserts) — coverage
-    // still needs its segment, but the mode's whole delta machinery
-    // (conjunctive chains, DRed, transition rules) has nothing to do.
-    // Two tiny probe jobs buy skipping dozens.
-    if (adds.isEmpty && dels.isEmpty) {
+    // no-op fast path: versions advanced but the raw change log is
+    // empty (idempotent replays) — coverage still needs its segment, but
+    // the mode's whole delta machinery (conjunctive chains, DRed,
+    // transition rules) has nothing to do. The RAW probe is one plain
+    // segment scan; probing `adds`/`dels` directly would execute the
+    // whole net-delta plan (broadcast anti-joins) just for the verdict —
+    // measured ~7 scheduler round-trips per sync on the lifecycle keys.
+    if (QuadStore.changesRawEmpty(spark, storeRoot, last, cur)) {
       val empty =
         if (mode(viewRoot) == "union")
           readUnionCountsAt(spark, viewRoot, last).limit(0)
