@@ -320,6 +320,10 @@ object Graft {
     llm.PqIndex.remove(vectors, root)
 
   // ---- span-level dedup / decontamination ----
+  /** Corpus-wide exact line dedup (C4/Dolma): first occurrence wins,
+    * lines under `minLen` chars exempt, texts rebuilt from survivors. */
+  def dedupLines(docs: DataFrame, minLen: Int = 10): DataFrame =
+    llm.Dedup.dedupLines(docs, minLen)
   /** Per-document duplicated-span statistics; `hashSpans` shuffles
     * 8-byte xxhash64 keys instead of span text (the 100 TB path). */
   def spanDupStats(docs: DataFrame, k: Int = 8,

@@ -52,11 +52,20 @@ object ScaleData {
         bump("l_orderkey", i)(bump("l_partkey", i)(bump("l_suppkey", i)(df))))
       scaled("events", df => i =>
         bump("event_id", i)(bump("user_id", i)(df)))
+      // copies must be DISSIMILAR to their originals, not just distinct:
+      // a per-copy suffix alone would make every doc ~Jaccard-1.0 to its
+      // 9 copies, and the true near-dup pair count — the OUTPUT of the
+      // dedup keys — would grow quadratically with copies, reading as a
+      // superlinear cost law that is really a workload change. Tagging
+      // EVERY word decorrelates the copies' shingle spaces entirely while
+      // replicating the within-copy duplicate-cluster structure — pair
+      // counts scale linearly, "10× more data of the same character".
       scaled("documents", df => i =>
         bump("doc_id", i)(df)
           .withColumn("text",
             if (i == 0) col("text")
-            else concat(col("text"), lit(s" cp$i")))
+            else expr(s"array_join(transform(split(text, ' '), " +
+              s"w -> concat(w, '~$i')), ' ')"))
           .withColumn("n_chars", length(col("text")).cast("long")))
       scaled("embeddings", df => i =>
         bump("vec_id", i)(df)

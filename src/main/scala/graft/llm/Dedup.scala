@@ -706,4 +706,43 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
+
+  /** Corpus-wide exact LINE dedup — the C4/Dolma cleaning step between
+    * per-document filters and span-level ExactSubstr: a line occurring
+    * anywhere else in the corpus survives only at its FIRST occurrence
+    * (minimal (doc_id, line index)), and every document's text rebuilds
+    * from its surviving lines. Lines shorter than `minLen` characters
+    * are exempt (blank lines, headings, list bullets — dedup'ing those
+    * would weld every document's structure together; the same guard the
+    * production pipelines apply).
+    *
+    * Exact and deterministic (oracled): ONE partial-agg'd struct-min
+    * shuffle on the line text elects owners, one join classifies
+    * occurrences, one grouped rebuild — all linear in corpus lines. At
+    * 100 TB the owner shuffle rides `xxhash64(line)` 8-byte keys exactly
+    * like [[spanDupStats]]'s `hashSpans` path; the text key here keeps
+    * the operator verifiable cross-engine. */
+  def dedupLines(docs: DataFrame, minLen: Int = 10): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    // owners exist only for dedup-ELIGIBLE lines, so short lines join
+    // to null and pass through unconditionally
+    val owner = lines.filter(length(col("line")) >= minLen)
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__o"))
+    val kept = lines.join(owner, Seq("line"), "left")
+      .filter(col("__o").isNull ||
+        (col("__o.doc_id") === col("doc_id") && col("__o.idx") === col("idx")))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept_lines"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("line")))),
+        x => x.getField("line")), "\n").as("text"))
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        col("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"))
+  }
 }

@@ -120,22 +120,42 @@ object LlmOps extends QueryModule {
       Dedup.spanDupStats(Tables.documents(s, d), k = 8, hashSpans = true)
         .orderBy(col("doc_id"))),
 
+    // corpus-wide exact LINE dedup (round-10) — the C4/Dolma cleaning
+    // step between per-doc filters and span-level ExactSubstr: a line
+    // survives only at its first (doc_id, idx) occurrence, short lines
+    // exempt, texts rebuilt from survivors. The single-line fixture
+    // gains line structure IN-PLAN (10-word lines, chr(10)-joined),
+    // identically derived in the oracle; the corpus's exact-dup docs
+    // make every one of their lines a real cross-doc duplicate.
+    "q_dedup_lines" -> ((s, d) => {
+      val structured = Tables.documents(s, d).select(col("doc_id"),
+        expr("array_join(transform(" +
+          "sequence(0, (size(split(text, ' ')) - 1) div 10), " +
+          "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' ')" +
+          "), chr(10))").as("text"))
+      Dedup.dedupLines(structured).orderBy(col("doc_id"))
+    }),
+
     // the persisted, APPENDABLE MinHash-LSH index: build on the odd
     // half of the corpus, append the even half as a second immutable
-    // segment (existing signatures never recompute), COMPACT the two
-    // into one base (fold-to-base retention — probe plans stay bounded
-    // across thousands of ingest batches), then probe with a doc slice
-    // — banded-bucket candidates, signature-estimated jaccard.
-    // Approximate (minhash estimator) → declared no-oracle;
+    // segment (existing signatures never recompute), RETRACT a takedown
+    // slice as a signed tombstone segment (round-10: its docs stop
+    // seeding candidates with no rebuild), COMPACT to one base
+    // (fold-to-base retention — probe plans stay bounded across
+    // thousands of ingest batches, and the signs fold away), then probe
+    // with a doc slice — banded-bucket candidates, signature-estimated
+    // jaccard. Approximate (minhash estimator) → declared no-oracle;
     // LshIndexSpec pins recall against brute force, the estimator's
-    // accuracy, and probe-identity across compaction.
+    // accuracy, probe-identity across compaction, and removal ≡ rebuild.
     "q_dedup_lsh_index" -> ((s, d) => {
       val root = s"${sys.props("java.io.tmpdir")}/graft_lshidx_" +
-        graft.sources.AtomicStore.key(d)
+        graft.sources.AtomicStore.key(d, "rm")
       val docs = Tables.documents(s, d)
       if (LshIndex.segmentCount(root) == 0) {
         LshIndex.build(docs.filter(pmod(col("doc_id"), lit(2)) === 1), root)
         LshIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          root): Unit
+        LshIndex.remove(docs.filter(pmod(col("doc_id"), lit(16)) === 3),
           root): Unit
       }
       LshIndex.compactIfDeep(s, root, maxSegments = 1)
@@ -973,6 +993,30 @@ object LlmOps extends QueryModule {
     // the hashed production path lands on the SAME text-keyed oracle:
     // the gate itself proves xxhash64 span keys introduce no divergence
     "q_dedup_span_hashed" -> spanStatsOracle,
+
+    // the same 10-word-line derivation, owner election (min composite
+    // key), short-line exemption and ordered rebuild in DuckDB
+    "q_dedup_lines" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents),
+        |ls AS (SELECT doc_id, i AS lidx,
+        |         array_to_string(w[i*10+1 : i*10+10], ' ') AS line
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(0, (len(w)-1)//10)) AS i
+        |             FROM ws)),
+        |own AS (SELECT line, min(doc_id * 1000000 + lidx) AS k
+        |        FROM ls WHERE length(line) >= 10 GROUP BY line),
+        |kept AS (SELECT ls.doc_id, ls.lidx, ls.line
+        |         FROM ls LEFT JOIN own USING (line)
+        |         WHERE own.k IS NULL OR ls.doc_id * 1000000 + ls.lidx = own.k),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM ls GROUP BY doc_id),
+        |reb AS (SELECT doc_id, count(*) AS n_kept_lines,
+        |          string_agg(line, chr(10) ORDER BY lidx) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text, '') AS text,
+        |  t.n_lines, CAST(coalesce(r.n_kept_lines, 0) AS BIGINT) AS n_kept_lines
+        |FROM tot t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate_report" -> {
       val frac = graft.Det.roundSafeSql(

@@ -1903,8 +1903,18 @@ object Sparql {
       val numeric = numericExpr(l) || numericExpr(r)
       val (lc, rc) = (scalarCol(l, numeric, env), scalarCol(r, numeric, env))
       op match {
-        case "=" => lc === rc
-        case "!=" => lc =!= rc
+        // 17.4.1.1: '=' between two NUMERIC literals compares by VALUE
+        // (`"01"^^xsd:integer = "1"^^xsd:integer` holds) — a typed term
+        // string carries its own datatype, so the probe dispatches at
+        // runtime; every non-numeric-pair case keeps the stored-term
+        // comparison, which on plain-lexical stores (probe always null)
+        // is bitwise the previous behavior. sameTerm stays identity.
+        case "=" | "!=" =>
+          val (na, nb) = (Terms.numericValue(lc.cast("string")),
+            Terms.numericValue(rc.cast("string")))
+          val eq = when(na.isNotNull && nb.isNotNull, na === nb)
+            .otherwise(lc === rc)
+          if (op == "=") eq else !eq
         case "<" => lc < rc
         case ">" => lc > rc
         case "<=" => lc <= rc
@@ -2844,13 +2854,19 @@ object Sparql {
     * (the two shapes SPARQL's `Constraint` production allows). */
   private def constraint(p: P, prefixes: Map[String, String],
       allowAgg: Boolean): Expr =
-    if (p.peekKw("regex") || p.peekKw("BOUND"))
-      builtin(p, prefixes, allowAgg)
-    else {
+    if (p.peek() == "(") {
       p.expect("(")
       val e = orExpr(p, prefixes, allowAgg)
       p.expect(")")
       e
+    } else {
+      // grammar 69: Constraint ::= BrackettedExpression | BuiltInCall |
+      // FunctionCall — a bare call (`FILTER langMatches(...)`) is legal
+      // without parentheses; anything else (`FILTER ?x > 3`) is not
+      require(p.rest.drop(1).headOption.contains("("),
+        s"FILTER needs a bracketted expression or a function call, " +
+          s"got '${p.peek()}'")
+      prim(p, prefixes, allowAgg)
     }
 
   private def builtin(p: P, prefixes: Map[String, String],

@@ -108,9 +108,15 @@ object Terms {
     "nonPositiveInteger|unsignedLong|unsignedInt|unsignedShort|" +
     "unsignedByte)>$"
 
-  private def orderNumCol(c: Column): Column =
+  /** The numeric VALUE of a quoted numeric-typed term string, null for
+    * everything else (bare cells, IRIs, non-numeric literals) — the
+    * probe behind both the 15.1 sort key and 17.4.1.1 value equality.
+    * Guarded so the regex never runs on a bare plain-lexical cell. */
+  private[rdf] def numericValue(c: Column): Column =
     when(c.startsWith("\"") && c.endsWith(">"),
       when(c.rlike(NumericTermRe), lexical(c).try_cast("double")))
+
+  private def orderNumCol(c: Column): Column = numericValue(c)
 
   /** The SPARQL 15.1 ORDER BY total order for a term column, as FLAT
     * sort orders: unbound < blank nodes < IRIs < literals (normative),

@@ -431,4 +431,36 @@ class DedupSpec extends SparkSpec {
       f"(${bT.toDouble / bH}%.1fx)")
     assert(bH * 2 < bT, s"hashed=$bH text=$bT — expected ≥2× drop")
   }
+
+  test("dedupLines: first occurrence wins, short lines exempt, texts " +
+      "rebuild in line order, fully-duplicated docs empty out") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: owns both long lines, plus a short structural line
+      (1L, "the quick brown fox jumps high\n--\nover the lazy sleeping dog"),
+      // doc 2: repeats doc 1's first line (drops), keeps its own
+      (2L, "the quick brown fox jumps high\na completely different line here"),
+      // doc 3: an exact dup of doc 1 — every eligible line drops, the
+      // short line survives
+      (3L, "the quick brown fox jumps high\n--\nover the lazy sleeping dog"),
+      // doc 4: repeats a line WITHIN itself — only its first copy stays
+      (4L, "echo echo echo echo one\necho echo echo echo one"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, minLen = 10)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "the quick brown fox jumps high\n--\nover the lazy sleeping dog",
+        3L, 3L),
+      (2L, "a completely different line here", 2L, 1L),
+      (3L, "--", 3L, 1L),
+      (4L, "echo echo echo echo one", 2L, 1L)))
+    // idempotent: a second pass removes nothing
+    val again = Dedup.dedupLines(
+      docs.limit(0).unionByName(
+        got.toDF("doc_id", "text", "a", "b").select("doc_id", "text")),
+      minLen = 10).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(again.map(r => (r._1, r._2)) === got.map(r => (r._1, r._2)))
+  }
 }
