@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 
 /** Automatic subject-star collapse as a Catalyst rule — the plan-level
   * form of [[graft.rdf.Bgp.solveStarCollapsed]] (SURVEY §4 M5): a k-way
@@ -39,14 +40,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * aggregation unrolls the per-subject cross product of the lists — the
   * join path's multi-valued semantics, while an empty list (subject
   * missing the predicate) drops the subject, the inner-join semantics.
-  * Const-object arms aggregate an EXISTS count (`count(p=pred ∧ o=c) ≥
-  * 1`; a max-of-o compare would drop a multi-valued subject whose
-  * required object isn't the extremum). On single-valued data every
-  * list is length ≤ 1 and the plan degenerates to the property-table
-  * shape. `graft.star.collapse=false` opts back onto the join path.
-  * Arms with repeated object variables, object = subject, or extra
-  * filter conjuncts are left to the join path (the explicit solver's
-  * eligibility rule).
+  * Const-object arms aggregate a MULTIPLICITY count (`count(p=pred ∧
+  * o=c)`) that an `explode(array_repeat(…))` above the aggregation
+  * replays, so a duplicate-bearing base relation keeps the join path's
+  * bag cardinality (a bare EXISTS ≥ 1 would collapse duplicates; a
+  * max-of-o compare would drop a multi-valued subject whose required
+  * object isn't the extremum). On single-valued data every list is
+  * length ≤ 1 and the plan degenerates to the property-table shape.
+  * `graft.star.collapse=false` opts back onto the join path, and a hub
+  * guard (see [[FanoutCap]]) leaves high-fan-out corpora there
+  * automatically. Arms with repeated object variables, object =
+  * subject, or extra filter conjuncts are left to the join path (the
+  * explicit solver's eligibility rule).
   */
 object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -117,6 +122,14 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
   private val ExistsPrefix = "__starc"
   private val ListPrefix = "__starl"
 
+  /** Average per-subject fan-out above which the rule leaves the star on
+    * the join path (hub guard). */
+  val FanoutCap = "graft.star.collapse.maxFanout"
+
+  /** User-declared expected fan-out for stats-less relations — compared
+    * against [[FanoutCap]] when no catalog column stats exist. */
+  val FanoutHint = "graft.star.collapse.fanout"
+
   /** Decompose a plan this rule itself emitted — a collapsed star — so a
     * later join can absorb more arms into the same aggregate. Emitted
     * shape: `Project(vis, Generate*(Explode(list), Filter?(Aggregate(s,
@@ -124,20 +137,23 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
   private def asCollapsed(p: LogicalPlan): Option[(Parts, Seq[Attribute])] =
     p match {
       case Project(vis, body) if vis.forall(_.isInstanceOf[Attribute]) =>
-        // peel the per-arm explodes: list attr exprId → visible obj attr
+        // peel the per-arm explodes — list explodes (list attr exprId →
+        // visible obj attr) and const-arm multiplicity explodes
+        // (array_repeat over the hidden count attr)
         var cur = body
         val gens = scala.collection.mutable.Map.empty[ExprId, Attribute]
+        val multGens = scala.collection.mutable.Set.empty[ExprId]
         var peeling = true
         while (peeling) cur match {
           case Generate(Explode(la: Attribute), _, false, _, Seq(out), child) =>
             gens += la.exprId -> out; cur = child
+          case Generate(Explode(ArrayRepeat(Literal(1, _),
+              Cast(a: Attribute, IntegerType, _, _))), _, false, _, Seq(_),
+              child) =>
+            multGens += a.exprId; cur = child
           case _ => peeling = false
         }
-        val (inner, conds) = cur match {
-          case Filter(c, a) => (a, splitConjunctivePredicates(c))
-          case a => (a, Nil)
-        }
-        val agg = inner match {
+        val agg = cur match {
           case a: Aggregate => a
           case _ => return None
         }
@@ -174,19 +190,13 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
             constPins += al.toAttribute.exprId -> (l -> c)
           case _ => return None
         }
-        // filter conds: one exists pin per hidden const-object arm
-        val constArms = scala.collection.mutable.ArrayBuffer.empty[(Literal, Literal)]
-        conds.foreach {
-          case GreaterThanOrEqual(a: Attribute, Literal(_, _)) =>
-            constPins.get(a.exprId) match {
-              case Some(pc) => constArms += pc
-              case None => return None
-            }
-          case _ => return None
-        }
-        if (constArms.size != constPins.size) return None
+        // every hidden count must be consumed by exactly one multiplicity
+        // explode, and every multiplicity explode must point at a count
+        if (!multGens.forall(constPins.contains) ||
+            !constPins.keySet.forall(multGens.contains)) return None
+        val constArms = constPins.values.toSeq
         if (gens.size != objArms.size) return None
-        Some((Parts(scanBase, subj.toSeq, objArms.toSeq, constArms.toSeq),
+        Some((Parts(scanBase, subj.toSeq, objArms.toSeq, constArms),
           vis.map(_.asInstanceOf[Attribute])))
       case _ => None
     }
@@ -238,6 +248,29 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
     if (oNames.distinct.size != oNames.size || oNames.contains(sNames.head))
       return None
     val (sA, pA, oA) = spo(parts.base).getOrElse(return None)
+    // HUB GUARD (round 11): collect_list buffers one subject's objects in
+    // a single aggregation row — a celebrity hub (10^6 objects under one
+    // predicate) would materialize a 10^6-element array where the join
+    // path streams and spills. Where catalog column stats are present
+    // (CBO + ANALYZE … FOR COLUMNS), estimate the average per-subject
+    // fan-out as rowCount / ndv(s) and fall back to the join path above
+    // the cap; with no stats, a user-declared `graft.star.collapse
+    // .fanout` hint is compared against the same cap. Stats carry no
+    // per-group maximum, so the guard is an average-fan-out heuristic —
+    // `graft.star.collapse=false` remains the hard opt-out.
+    val cap = BigInt(conf.getConfString(FanoutCap, "1000").toLong)
+    val statFanout: Option[BigInt] = {
+      val st = parts.base.stats
+      for {
+        rc <- st.rowCount
+        cs <- st.attributeStats.get(sA)
+        nd <- cs.distinctCount if nd > 0
+      } yield rc / nd
+    }
+    val declared = conf.getConfString(FanoutHint, "")
+    val fanout = statFanout.orElse(
+      if (declared.nonEmpty) Some(BigInt(declared.toLong)) else None)
+    if (fanout.exists(_ > cap)) return None
     val preds = (parts.objArms.map(_._1) ++ parts.constArms.map(_._1))
     val scan = Filter(In(pA, preds.distinct), parts.base)
     val subjAliases = parts.subj.distinctBy(_.exprId)
@@ -253,9 +286,14 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
         CollectList(CaseWhen(Seq((EqualTo(pA, pred), oA)), None)),
         Complete, isDistinct = false), s"$ListPrefix$i")()
     }
-    // const-object arms: EXISTS — count(p=pred ∧ o=c) ≥ 1 (a max-of-o
-    // compare would drop a multi-valued subject whose required object
-    // isn't the extremum)
+    // const-object arms: MULTIPLICITY — count(p=pred ∧ o=c), then an
+    // explode(array_repeat(1, count)) above the aggregation replicates
+    // each subject row count times. A bare EXISTS (count ≥ 1 filter)
+    // would emit one row where a duplicate-bearing base relation's join
+    // path emits count rows — this form is bag-exact for ANY base,
+    // duplicates included, and count = 0 drops the row (empty array ⇒
+    // inner-join semantics). A max-of-o compare would additionally drop
+    // a multi-valued subject whose required object isn't the extremum.
     val hidden = parts.constArms.zipWithIndex.map { case ((pred, c), i) =>
       Alias(AggregateExpression(
         Count(Seq(CaseWhen(Seq(
@@ -263,11 +301,17 @@ object StarCollapse extends Rule[LogicalPlan] with PredicateHelper {
         Complete, isDistinct = false), s"$ExistsPrefix$i")()
     }
     val agg = Aggregate(Seq(sA), subjAliases ++ listAliases ++ hidden, scan)
-    val conds: Seq[Expression] =
-      hidden.map(h => GreaterThanOrEqual(h.toAttribute, Literal(1L)))
-    val filtered = if (conds.isEmpty) agg else Filter(conds.reduce(And), agg)
+    val multiplied = hidden.zipWithIndex
+      .foldLeft(agg: LogicalPlan) { case (child, (cnt, i)) =>
+        Generate(Explode(ArrayRepeat(Literal(1),
+            Cast(cnt.toAttribute, IntegerType))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput =
+            Seq(AttributeReference(s"${ExistsPrefix}x$i", IntegerType)()),
+          child)
+      }
     val exploded = parts.objArms.zip(listAliases)
-      .foldLeft(filtered: LogicalPlan) { case (child, ((_, al), la)) =>
+      .foldLeft(multiplied) { case (child, ((_, al), la)) =>
         Generate(Explode(la.toAttribute), unrequiredChildIndex = Nil,
           outer = false, qualifier = None,
           generatorOutput = Seq(al.toAttribute), child)

@@ -196,6 +196,61 @@ class PlanShapeSpec extends SparkSpec {
       Set(("s1", "a", "z"), ("s1", "b", "z")))
   }
 
+  test("StarCollapse rule is bag-exact on a duplicate-bearing base: " +
+      "const-object arms multiply, never collapse to EXISTS") {
+    import spark.implicits._
+    // the (s,p,o) base is a raw un-deduplicated load: the const-arm row
+    // (s1, r, BUILDING) appears 3×, a var-arm row (s1, p, a) appears 2×
+    val t = Seq(("s1", "p", "a"), ("s1", "p", "a"), ("s1", "q", "z"),
+      ("s1", "r", "BUILDING"), ("s1", "r", "BUILDING"),
+      ("s1", "r", "BUILDING"), ("s2", "p", "c")).toDF("s", "p", "o")
+    def arms(base: org.apache.spark.sql.DataFrame) = {
+      val pArm = base.filter($"p" === "p").select($"s".as("x"), $"o".as("v1"))
+      val qArm = base.filter($"p" === "q").select($"s".as("x"), $"o".as("v2"))
+      val rArm = base.filter($"p" === "r" && $"o" === "BUILDING")
+        .select($"s".as("x"))
+      pArm.join(qArm, "x").join(rArm, "x")
+    }
+    val collapsed = arms(t)
+    val p = collapsed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"expected the collapsed plan:\n$p")
+    spark.conf.set(graft.plans.StarCollapse.Flag, "false")
+    val joined = try arms(t) finally spark.conf.unset(graft.plans.StarCollapse.Flag)
+    // bag cardinality: 2 (p dups) × 1 (q) × 3 (r dups) = 6 rows for s1
+    assert(joined.count() === 6L)
+    assert(collapsed.count() === joined.count())
+    assert(collapsed.exceptAll(joined).count() === 0)
+    assert(joined.exceptAll(collapsed).count() === 0)
+  }
+
+  test("StarCollapse hub guard: a declared fan-out above the cap keeps " +
+      "the star on the join path") {
+    import spark.implicits._
+    val t = Seq(("s1", "p", "a"), ("s1", "q", "z")).toDF("s", "p", "o")
+    def star(base: org.apache.spark.sql.DataFrame) = {
+      val pArm = base.filter($"p" === "p").select($"s".as("x"), $"o".as("v1"))
+      val qArm = base.filter($"p" === "q").select($"s".as("x"), $"o".as("v2"))
+      pArm.join(qArm, "x")
+    }
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // declared hub corpus (avg fan-out 10^6 > default cap 1000): join path
+    spark.conf.set(graft.plans.StarCollapse.FanoutHint, "1000000")
+    val guarded = try star(t)
+      finally spark.conf.unset(graft.plans.StarCollapse.FanoutHint)
+    assert(planOf(guarded).contains("Join"),
+      s"hub guard must fall back to the join path:\n${planOf(guarded)}")
+    // declared modest fan-out: collapse proceeds
+    spark.conf.set(graft.plans.StarCollapse.FanoutHint, "3")
+    val ok = try star(t)
+      finally spark.conf.unset(graft.plans.StarCollapse.FanoutHint)
+    assert(!planOf(ok).contains("Join"), planOf(ok))
+    assert(ok.as[(String, String, String)].collect().toSet ===
+      guarded.as[(String, String, String)].collect().toSet)
+  }
+
   test("a constant GRAPH prunes to an equality filter on g at the source") {
     val p = plan("q_sparql_graph")
     // the g:customer block must filter g before joining, not after
