@@ -994,8 +994,10 @@ object LlmOps extends QueryModule {
     // the gate itself proves xxhash64 span keys introduce no divergence
     "q_dedup_span_hashed" -> spanStatsOracle,
 
-    // the same 10-word-line derivation, owner election (min composite
-    // key), short-line exemption and ordered rebuild in DuckDB
+    // the same 10-word-line derivation, owner election (tuple-min over
+    // (doc_id, lidx) — a struct min, NOT a doc_id*1e6+lidx composite,
+    // which would silently diverge on a document with ≥1e6 lines),
+    // short-line exemption and ordered rebuild in DuckDB
     "q_dedup_lines" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
         |            FROM documents),
@@ -1004,11 +1006,11 @@ object LlmOps extends QueryModule {
         |       FROM (SELECT doc_id, w,
         |               unnest(generate_series(0, (len(w)-1)//10)) AS i
         |             FROM ws)),
-        |own AS (SELECT line, min(doc_id * 1000000 + lidx) AS k
+        |own AS (SELECT line, min(row(doc_id, lidx)) AS k
         |        FROM ls WHERE length(line) >= 10 GROUP BY line),
         |kept AS (SELECT ls.doc_id, ls.lidx, ls.line
         |         FROM ls LEFT JOIN own USING (line)
-        |         WHERE own.k IS NULL OR ls.doc_id * 1000000 + ls.lidx = own.k),
+        |         WHERE own.k IS NULL OR row(ls.doc_id, ls.lidx) = own.k),
         |tot AS (SELECT doc_id, count(*) AS n_lines FROM ls GROUP BY doc_id),
         |reb AS (SELECT doc_id, count(*) AS n_kept_lines,
         |          string_agg(line, chr(10) ORDER BY lidx) AS text

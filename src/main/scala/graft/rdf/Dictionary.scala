@@ -50,14 +50,22 @@ object Dictionary {
     // zipWithIndex runs TWO jobs over its parent (per-partition counts,
     // then the data pass), and the consumer adds a third — without a
     // persist the distinct+sort lineage would recompute each time.
-    // MEMORY_AND_DISK (never recompute, spill not drop); the handle is
-    // released by the ContextCleaner once the result plan is unreferenced.
+    // MEMORY_AND_DISK (never recompute, spill not drop).
     val sorted = termsDf.orderBy("term").rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = sorted.zipWithIndex.map { case (r, i) => Row(i + 1L, r.getString(0)) }
-    spark.createDataFrame(rows, StructType(Seq(
+    val df = spark.createDataFrame(rows, StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("term", StringType, nullable = false))))
+    // materialize the dictionary (checkpoint truncates lineage), then
+    // DROP the sorted intermediate immediately — relying on the
+    // ContextCleaner to GC the handle lets repeated builds in a
+    // long-lived driver accumulate cached partitions and pressure the
+    // block store. Consumers re-read the (smaller) checkpointed
+    // dictionary, never the sorted term RDD.
+    val mat = graft.Materialize(df)
+    sorted.unpersist(blocking = false)
+    mat
   }
 
   /** Hash-based dictionary ids (scale path). */

@@ -1912,8 +1912,15 @@ object Sparql {
         case "=" | "!=" =>
           val (na, nb) = (Terms.numericValue(lc.cast("string")),
             Terms.numericValue(rc.cast("string")))
-          val eq = when(na.isNotNull && nb.isNotNull, na === nb)
-            .otherwise(lc === rc)
+          // integer-family pairs compare as decimal(38,0) first: two
+          // distinct big integers (9007199254740993 vs …992) collapse to
+          // one double but stay distinct decimals; mixed pairs (integer
+          // vs double/decimal) promote to double per XPath op:numeric-eq
+          val (ia, ib) = (Terms.integerValue(lc.cast("string")),
+            Terms.integerValue(rc.cast("string")))
+          val eq = when(ia.isNotNull && ib.isNotNull, ia === ib)
+            .otherwise(when(na.isNotNull && nb.isNotNull, na === nb)
+              .otherwise(lc === rc))
           if (op == "=") eq else !eq
         case "<" => lc < rc
         case ">" => lc > rc

@@ -116,6 +116,24 @@ object Terms {
     when(c.startsWith("\"") && c.endsWith(">"),
       when(c.rlike(NumericTermRe), lexical(c).try_cast("double")))
 
+  private val IntegerTermRe = "^\"[^\"]*\"\\^\\^<http://www\\.w3\\.org/" +
+    "2001/XMLSchema#(integer|int|long|short|byte|" +
+    "nonNegativeInteger|negativeInteger|positiveInteger|" +
+    "nonPositiveInteger|unsignedLong|unsignedInt|unsignedShort|" +
+    "unsignedByte)>$"
+
+  /** Exact integer VALUE of an integer-family typed term, null for
+    * everything else — decimal(38,0) so two distinct integers beyond
+    * double's 2^53 exact range (e.g. 9007199254740993 vs …992) still
+    * compare UNEQUAL under 17.4.1.1 value equality, where the double
+    * probe collapses them. Used only by '='/'!=' dispatch; orderings
+    * keep the double probe (an ORDER BY tie between such twins falls
+    * through to the full-term column, which already breaks it). Same
+    * prefix guard: plain-lexical stores never run the regex. */
+  private[rdf] def integerValue(c: Column): Column =
+    when(c.startsWith("\"") && c.endsWith(">"),
+      when(c.rlike(IntegerTermRe), lexical(c).try_cast("decimal(38,0)")))
+
   private def orderNumCol(c: Column): Column = numericValue(c)
 
   /** The SPARQL 15.1 ORDER BY total order for a term column, as FLAT

@@ -813,14 +813,16 @@ object QuadStore {
   // checkpointed snapshot. sessionUUID is guaranteed-unique (an identity
   // hash could collide across SparkSessions, or an entry from a stopped
   // session could survive in the LRU and serve a defunct plan); the
-  // fingerprint is the version's completion-marker mtime, so a root
-  // wiped and re-initialized in the same session misses instead of
-  // serving the stale pre-wipe snapshot. Eviction only drops the
-  // REFERENCE — Spark's ContextCleaner unpersists the blocks once no
-  // consumer plan reaches them, so a gate key's returned DataFrame stays
-  // executable after its entry ages out.
+  // fingerprint is the version's completion-marker publish TOKEN (a
+  // per-publish UUID — mtime would alias a wipe + re-init landing within
+  // one coarse filesystem timestamp tick), so a root wiped and
+  // re-initialized in the same session misses instead of serving the
+  // stale pre-wipe snapshot. Eviction only drops the REFERENCE —
+  // Spark's ContextCleaner unpersists the blocks once no consumer plan
+  // reaches them, so a gate key's returned DataFrame stays executable
+  // after its entry ages out.
   private val snapCache =
-    new java.util.LinkedHashMap[(String, String, Int, Long), DataFrame](
+    new java.util.LinkedHashMap[(String, String, Int, String), DataFrame](
       32, 0.75f, true)
 
   // one random UUID per live SparkSession (weak keys: a stopped
@@ -833,10 +835,10 @@ object QuadStore {
       _ => java.util.UUID.randomUUID.toString)
 
   /** The fingerprint of version `v` under `root`: its segment dir's
-    * completion-marker mtime (base or delta — whichever exists). */
-  private def vFingerprint(root: String, v: Int): Long =
-    math.max(graft.sources.AtomicStore.markerMtime(path(root, v)),
-      graft.sources.AtomicStore.markerMtime(deltaPath(root, v)))
+    * completion-marker publish token (base or delta — whichever exists). */
+  private def vFingerprint(root: String, v: Int): String =
+    graft.sources.AtomicStore.markerToken(path(root, v)) + "|" +
+      graft.sources.AtomicStore.markerToken(deltaPath(root, v))
 
   private def cacheMaxBytes(spark: SparkSession): Long =
     spark.conf.getOption(SnapshotCacheMaxBytesProp)

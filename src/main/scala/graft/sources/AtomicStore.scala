@@ -61,8 +61,7 @@ object AtomicStore {
       val tmp = new Path(path + ".build." + java.util.UUID.randomUUID().toString.take(8))
       try {
         build(tmp.toString)
-        require(fs.createNewFile(new Path(tmp, Marker)),
-          s"cannot stamp completion marker in $tmp")
+        stampMarker(fs, tmp)
         // rename-if-absent: a racing winner leaves dest in place and our
         // rename either returns false or (HDFS mv-into-dir semantics)
         // lands tmp INSIDE dest — detect the stray and discard it, then
@@ -112,8 +111,7 @@ object AtomicStore {
       build(tmp.toString)
       require(fs.createNewFile(new Path(tmp, nonce)),
         s"cannot stamp writer nonce in $tmp")
-      require(fs.createNewFile(new Path(tmp, Marker)),
-        s"cannot stamp completion marker in $tmp")
+      stampMarker(fs, tmp)
       if (fs.exists(dest) || !fs.rename(tmp, dest)) {
         require(complete(fs, dest), s"failed to materialize store at $path")
       } else {
@@ -123,6 +121,18 @@ object AtomicStore {
       }
       fs.exists(new Path(dest, nonce))
     } finally fs.delete(tmp, true): Unit
+  }
+
+  /** Stamp the completion marker with a random UUID as CONTENT — the
+    * publish token [[markerToken]] fingerprints on. Mtime would be the
+    * cheaper fingerprint, but filesystems with coarse (1 s) granularity
+    * can wipe + re-publish within one tick and hand a cache the same
+    * (path, mtime) key for different bytes. */
+  private def stampMarker(fs: FileSystem, dir: Path): Unit = {
+    val out = fs.create(new Path(dir, Marker), false)
+    try out.write(
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally out.close()
   }
 
   private def complete(fs: FileSystem, dest: Path): Boolean =
@@ -135,14 +145,26 @@ object AtomicStore {
     complete(fsFor(p), p)
   }
 
-  /** Modification time of a published directory's completion marker
-    * (0 when absent) — a cheap store FINGERPRINT: a directory wiped and
-    * re-published at the same path gets a fresh marker, so a cache keyed
-    * on (path, markerMtime) can never serve pre-wipe state. */
-  def markerMtime(path: String): Long = {
+  /** Publish token of a directory's completion marker ("" when absent) —
+    * the store FINGERPRINT: every publish stamps a fresh random UUID into
+    * the marker, so a cache keyed on (path, token) can never serve
+    * pre-wipe state — even on filesystems whose 1 s mtime granularity
+    * lets a wipe + re-publish land within one timestamp tick. Markers
+    * published before the token era are empty; those fall back to the
+    * mtime fingerprint (their coarse-tick exposure ends at their next
+    * re-publish). */
+  def markerToken(path: String): String = {
     val p = new Path(path, Marker)
     val fs = fsFor(p)
-    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+    if (!fs.exists(p)) return ""
+    val st = fs.getFileStatus(p)
+    if (st.getLen == 0) return "mtime:" + st.getModificationTime
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](math.min(st.getLen, 64L).toInt)
+      in.readFully(0, buf)
+      new String(buf, "UTF-8")
+    } finally in.close()
   }
 
   /** Child entries of `path` (empty when absent) — the Hadoop-portable

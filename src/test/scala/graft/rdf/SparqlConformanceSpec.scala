@@ -257,6 +257,25 @@ class SparqlConformanceSpec extends SparkSpec {
       Set(Seq(s""""1"^^<${Xsd}integer>""", s""""01"^^<${Xsd}integer>""")))
   }
 
+  test("equality: distinct xsd:integer values beyond double's 2^53 exact " +
+      "range compare UNEQUAL (decimal value dispatch, not a double probe)") {
+    // 9007199254740993 and …992 collapse to one IEEE double; value
+    // semantics must still distinguish them, while the canonical-vs-
+    // padded forms of ONE value ("…993" vs "0…993") must still be equal
+    val big = Seq(
+      ("y1", "v", s""""9007199254740993"^^<${Xsd}integer>"""),
+      ("y2", "v", s""""9007199254740992"^^<${Xsd}integer>"""),
+      ("y3", "v", s""""09007199254740993"^^<${Xsd}long>"""))
+    assert(solutions(big,
+      """SELECT ?a WHERE { <y1> <v> ?a . <y2> <v> ?b
+        |  FILTER (?a != ?b) }""".stripMargin) ===
+      Set(Seq(s""""9007199254740993"^^<${Xsd}integer>""")))
+    assert(solutions(big,
+      """SELECT ?a WHERE { <y1> <v> ?a . <y3> <v> ?b
+        |  FILTER (?a = ?b && !sameTerm(?a, ?b)) }""".stripMargin) ===
+      Set(Seq(s""""9007199254740993"^^<${Xsd}integer>""")))
+  }
+
   test("distinct: projection-level dedup of the solution multiset " +
       "(spec 15.3)") {
     val dup = Seq(("a", "t", "x"), ("b", "t", "x"), ("c", "t", "y"))
