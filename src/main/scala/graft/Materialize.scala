@@ -49,6 +49,33 @@ object Materialize {
     } finally caller.foreach(_ => sc.clearCallSite())
   }
 
+  /** [[apply]] unless the frame is ALREADY cheap to re-read: a
+    * deterministic project/filter/limit chain over an existing
+    * checkpoint, a local relation, or a bare parquet scan. Re-reading
+    * those per consumer costs a scan of data that is already sitting in
+    * blocks or small files — re-checkpointing them costs a whole
+    * scheduler job, which on delta-sized lifecycle plans IS the cost.
+    *
+    * Use at call sites that never [[release]] the result: the returned
+    * frame may alias its INPUT's checkpoint blocks, so releasing it
+    * would free storage some other consumer still reads. */
+  def reuse(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def cheap(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: LocalRelation => true
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.catalogTable.isEmpty // bare file scan
+      case Project(pl, c) => pl.forall(_.deterministic) && cheap(c)
+      case Filter(cond, c) => cond.deterministic && cheap(c)
+      case GlobalLimit(_, c) => cheap(c)
+      case LocalLimit(_, c) => cheap(c)
+      case SubqueryAlias(_, c) => cheap(c)
+      case _ => false
+    }
+    if (cheap(df.queryExecution.analyzed)) df else apply(df)
+  }
+
   /** Free the executor blocks of a frame produced by [[apply]] once it is
     * superseded. Iterative loops (PageRank, BFS, closure, min-label
     * propagation) otherwise pin EVERY round's checkpoint blocks until

@@ -69,7 +69,7 @@ object ProfileOne {
         println(f"[profile] $name run$r: wall=$wall%.2fs jobs=${jobs.get}" +
           f" jobTime=${jobMs.get / 1000.0}%.2fs rows=$n")
         import scala.jdk.CollectionConverters._
-        bySite.asScala.toSeq.sortBy(-_._2(1)).take(15).foreach {
+        bySite.asScala.toSeq.sortBy(-_._2(1)).take(40).foreach {
           case (site, a) => println(
             f"[profile]   $site%-50s n=${a(0)}%3d t=${a(1) / 1000.0}%.2fs")
         }

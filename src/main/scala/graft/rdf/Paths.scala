@@ -180,8 +180,10 @@ object Paths {
       // lazy closure (a segment-fold view read) or derived edge set
       // (a sequence view's composed-edge join) doesn't re-execute per
       // round
-      var cur = graft.Materialize(sel(closure))
-      var edges = graft.Materialize(sel(oldEdges))
+      // reuse(): a caller handing in frames that are already checkpoint-
+      // or scan-backed (the view store's artifact reads) skips two jobs
+      var cur = graft.Materialize.reuse(sel(closure))
+      var edges = graft.Materialize.reuse(sel(oldEdges))
       var pairDels = cur.limit(0)
       var pairAdds = cur.limit(0)
       if (!dels.isEmpty) {
@@ -238,7 +240,7 @@ object Paths {
         cur = graft.Materialize(kept.unionByName(red))
       }
       if (!adds.isEmpty) {
-        val a = graft.Materialize(sel(adds))
+        val a = graft.Materialize.reuse(sel(adds))
         edges = edges.unionByName(a)
         val base = cur // post-deletion closure: already transitively closed
         // one added edge, old closed segments composed on the left…

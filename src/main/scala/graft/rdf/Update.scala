@@ -1032,6 +1032,40 @@ object QuadStore {
     }
   }
 
+  /** The NET sidecar: present in a segment directory iff the segment's
+    * rows are exactly the net change against its predecessor version —
+    * adds all absent before, dels all present before, no quad on both
+    * sides, no clears. [[changes]] reads net chains straight off the
+    * segments, never re-screening against a store snapshot. */
+  private val NetSidecar = "_GRAFT_NET"
+
+  private def netSidecar(root: String, v: Int): Boolean =
+    graft.sources.AtomicStore.exists(s"${deltaPath(root, v)}/$NetSidecar")
+
+  /** Screen a delta to its NET form against `current`:
+    * netAdds = adds ∖ state, netDels = (dels ∩ state) ∖ adds — replay
+    * equivalence is exact (a del-then-re-add of a present quad nets to
+    * nothing on both sides), and the result satisfies the [[NetSidecar]]
+    * contract. The broadcast-semi screen stays LAZY so it fuses into the
+    * publish's single write job (the store side is the snapshot cache's
+    * checkpoint at gate scale; at worst two scan-only passes — never a
+    * shuffle). Deltas carrying clears pass through unscreened (their
+    * readers use the snapshot-diff fallback anyway). */
+  private def netDelta(current: DataFrame,
+      d: Update.Delta): Update.Delta = {
+    if (d.clears.nonEmpty) return d
+    val keys = Seq("s", "p", "o", "g")
+    val adds = d.adds.select(keys.map(col): _*).distinct()
+    val dels = d.dels.select(keys.map(col): _*).distinct()
+    val cand = adds.unionByName(dels).distinct()
+    val present = current.join(broadcast(cand), keys, "left_semi")
+    Update.Delta(
+      adds.join(present, keys, "left_anti"),
+      dels.join(present, keys, "left_semi")
+        .join(adds, keys, "left_anti"),
+      Nil)
+  }
+
   private def readDelta(spark: SparkSession, root: String,
       v: Int): Update.Delta = {
     val df = readSegment(spark, root, v)
@@ -1050,7 +1084,7 @@ object QuadStore {
     * concurrent writer must recompute its delta against the winner's
     * state and retry at the next version, never drop its operation. */
   def publishDeltaAt(spark: SparkSession, d: Update.Delta,
-      root: String, v: Int): Boolean = {
+      root: String, v: Int, net: Boolean = false): Boolean = {
     import spark.implicits._
     val clearRows = d.clears.map {
       case Update.AllGraphs => ClearAll
@@ -1071,6 +1105,8 @@ object QuadStore {
         .repartition(1)
         .write.parquet(tmp)
       clearsSidecarWrite(tmp, d.clears)
+      if (net && d.clears.isEmpty)
+        graft.sources.AtomicStore.writeString(s"$tmp/$NetSidecar", "")
     }
   }
 
@@ -1101,8 +1137,13 @@ object QuadStore {
       val cur = currentVersion(root).getOrElse(
         throw new IllegalArgumentException(
           s"no store under $root — init() before update()"))
-      val d = mkDelta(readVersion(spark, root, cur))
-      if (publishDeltaAt(spark, d, root, cur + 1)) return cur + 1
+      // screen to NET form before publishing: one extra broadcast-semi
+      // store scan at write time buys every downstream [[changes]] call
+      // a snapshot-free segment read (the sync hot path)
+      val d = netDelta(readVersion(spark, root, cur),
+        mkDelta(readVersion(spark, root, cur)))
+      if (publishDeltaAt(spark, d, root, cur + 1,
+          net = d.clears.isEmpty)) return cur + 1
     }
     throw new IllegalStateException(
       s"update lost the publish race $maxAttempts times under $root — " +
@@ -1239,17 +1280,45 @@ object QuadStore {
       to: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(from <= to, s"changes: from $from > to $to")
-    val fromState = readVersion(spark, root, from)
-    val toState = readVersion(spark, root, to)
     val keys = Seq("s", "p", "o", "g")
-    if (from == to)
-      return (fromState.limit(0), fromState.limit(0))
-    def fallback: (DataFrame, DataFrame) =
+    if (from == to) {
+      val empty = readVersion(spark, root, from).limit(0)
+      return (empty, empty)
+    }
+    def fallback: (DataFrame, DataFrame) = {
+      val fromState = readVersion(spark, root, from)
+      val toState = readVersion(spark, root, to)
       (toState.exceptAll(fromState), fromState.exceptAll(toState))
+    }
     val range = (from + 1) to to
     val segsReadable = range.forall(i =>
       graft.sources.AtomicStore.isComplete(deltaPath(root, i)))
     if (!segsReadable) return fallback
+    // NET chains resolve without touching any store snapshot: every
+    // segment is exact against its predecessor, so a quad's op sequence
+    // across the range strictly alternates — the net verdict is "first
+    // op == last op" (a→…→a: absent at `from`, present at `to`; d→…→d
+    // symmetric; mixed ends cancel). One segment-sized aggregation, the
+    // 100 TB sync path (a snapshot re-screen scans the store per tick).
+    if (range.forall(i => netSidecar(root, i))) {
+      if (range.size == 1) {
+        val seg = readSegment(spark, root, range.head)
+        return (seg.filter(col("op") === "a").select(keys.map(col): _*),
+          seg.filter(col("op") === "d").select(keys.map(col): _*))
+      }
+      val all = range.map(i => readSegment(spark, root, i)
+          .withColumn("v", lit(i)))
+        .reduce(_.unionByName(_))
+      val ends = all.groupBy(keys.map(col): _*)
+        .agg(min_by(col("op"), col("v")).as("__fo"),
+          max_by(col("op"), col("v")).as("__lo"))
+      return (
+        ends.filter(col("__fo") === "a" && col("__lo") === "a")
+          .select(keys.map(col): _*),
+        ends.filter(col("__fo") === "d" && col("__lo") === "d")
+          .select(keys.map(col): _*))
+    }
+    val fromState = readVersion(spark, root, from)
     val all = range.map(i => readSegment(spark, root, i)
         .withColumn("v", lit(i)))
       .reduce(_.unionByName(_))

@@ -682,63 +682,269 @@ object ViewStore {
     cur
   }
 
-  /** The composed edge set of a step SEQUENCE: step edges join head-to-
-    * tail, projected to (src, dst) as a SET — the same domain shape
-    * [[pathEdges]] gives a single alternation. */
-  private def seqEdges(t: DataFrame,
-      steps: Seq[(Seq[String], Seq[String])]): DataFrame =
-    steps.map { case (f, i) => pathEdges(t, f, i) }
-      .reduce { (a, b) =>
-        a.select(col("src"), col("dst").as("__m"))
-          .join(b.select(col("src").as("__m"), col("dst")), "__m")
-          .select("src", "dst")
-      }.distinct()
+  // ---- persisted composed step-edge sets (pathseq / pathexpr)
+  //
+  // Round-11 lifecycle fix: earlier rounds recomputed the UNCHANGED
+  // operand's composed edge set from the store slice at every sync
+  // (predicate-pushdown bounded, plus a distinct + self-join per seq
+  // node) — at 100 TB a per-minute CDC sync would re-join the full
+  // region-predicate partition each tick. The composed sets are now
+  // PERSISTED as part of the view artifact (the VP-table discipline,
+  // [[ExtVp.maintain]]'s precedent) and maintained by delta rules whose
+  // only non-artifact input is the store's NET triple change feed:
+  //
+  //  - `e{v}` — all tree nodes' edge sets at store version v, one frame
+  //    tagged by node id (`__n`; 0 = root, preorder).
+  //  - `es{from}_{to}` — per-node net edge a/d rows between syncs.
+  //
+  // The tree is decomposed to single-(predicate, direction) ATOMS: an
+  // atom's edge set is 1:1 with its predicate's triples, so its delta
+  // IS the change feed's slice — no netting, no store-state reads.
+  // Every composed node then nets exactly from its children's persisted
+  // old sets + deltas. Sync never touches the store slice at all.
 
-  /** The edge set of a GENERAL seq/alt path tree, compositionally:
-    * edges join head-to-tail under `/`, union under `|` — a SET at every
-    * node (the per-node distinct is the same dedup [[pathEdges]] applies
-    * per alternation, one shuffle per composite node). */
-  private def exprEdges(t: DataFrame, p: Path): DataFrame = (p match {
-    case PEdge(v: String) =>
-      t.filter(col("p") === v).select(col("s").as("src"), col("o").as("dst"))
-    case PInv(PEdge(v: String)) =>
-      t.filter(col("p") === v).select(col("o").as("src"), col("s").as("dst"))
-    case PSeq(l, r) =>
-      exprEdges(t, l).select(col("src"), col("dst").as("__m"))
-        .join(exprEdges(t, r).select(col("src").as("__m"), col("dst")), "__m")
-        .select("src", "dst")
-    case PAlt(l, r) => exprEdges(t, l).unionByName(exprEdges(t, r))
-    case other => throw new IllegalArgumentException(
-      s"unmaintainable path node $other")
-  }).distinct()
+  private def edgeBasePath(root: String, v: Int) = f"$root%s/e$v%05d"
+  private def edgeSegPath(root: String, from: Int, to: Int) =
+    f"$root%s/es$from%05d" + f"_$to%05d"
+  private val EdgeBaseRe = "e(\\d{5,})".r
+  private val EdgeSegRe = "es(\\d{5,})_(\\d{5,})".r
 
-  /** Candidate composed-edge pairs of a GENERAL tree whose derivation
-    * passes through ≥1 CHANGED triple — the conjunctive delta rule
-    * applied structurally: Δ(A/B) ⊆ (ΔA ⋈ B) ∪ (A ⋈ ΔB) with `state` at
-    * the unchanged operand, Δ(A|B) ⊆ ΔA ∪ ΔB, Δ(edge) = the change
-    * feed's slice. Candidates OVERcount (a pair may keep surviving
-    * derivations); the caller's membership anti-joins net them. */
-  private def exprEdgeCands(state: DataFrame, deltaT: DataFrame,
-      p: Path): DataFrame = (p match {
-    case PEdge(_) | PInv(_) => exprEdges(deltaT, p)
-    case PSeq(l, r) =>
-      val viaL = exprEdgeCands(state, deltaT, l)
-        .select(col("src"), col("dst").as("__m"))
-        .join(exprEdges(state, r)
-          .select(col("src").as("__m"), col("dst")), "__m")
+  private def edgeEntries(root: String): Seq[(String, Int, Int)] =
+    graft.sources.AtomicStore.list(root).flatMap { f =>
+      val complete =
+        () => graft.sources.AtomicStore.isComplete(f.getPath.toString)
+      f.getPath.getName match {
+        case EdgeBaseRe(v) if complete() => Some(("e", v.toInt, v.toInt))
+        case EdgeSegRe(a, b) if complete() => Some(("es", a.toInt, b.toInt))
+        case _ => None
+      }
+    }
+
+  /** The edge-set chain capped at version `v`: newest base ≤ v plus the
+    * contiguous segments up to exactly v; None when the view predates
+    * the edge artifact (legacy — [[bootstrapEdges]] migrates it). */
+  private def edgeChainAt(root: String,
+      v: Int): Option[(Int, Seq[(Int, Int)])] = {
+    val es = edgeEntries(root)
+    val baseV = es.collect { case ("e", b, _) if b <= v => b }
+      .maxOption.getOrElse(return None)
+    val segs = es.collect {
+      case ("es", f, t) if t > baseV && t <= v => (f, t)
+    }.sortBy(_._2)
+    val reached = segs.foldLeft(baseV) { case (at, (f, t)) =>
+      require(f == at, s"edge-set chain gap under $root: segment " +
+        s"es$f..$t does not extend $at — rebuild with create()")
+      t
+    }
+    require(reached == v, s"edge-set chain under $root reaches " +
+      s"$reached, not the synced version $v — rebuild with create()")
+    Some((baseV, segs))
+  }
+
+  /** All nodes' edge sets as they stood at synced version `v`:
+    * (__n, src, dst), the base plus net segments folded by one
+    * last-op window — [[readAt]]'s fold over the edge chain. */
+  private def readEdgesAt(spark: SparkSession, root: String,
+      v: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (baseV, segs) = edgeChainAt(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"no edge-set artifact under $root at $v"))
+    val base = spark.read.parquet(edgeBasePath(root, baseV))
+    if (segs.isEmpty) return base
+    val cols = Seq("__n", "src", "dst")
+    val all = base.withColumn("__v", lit(baseV)).withColumn("__op", lit("a"))
+      .unionByName(segs.map { case (f, t) =>
+        spark.read.parquet(edgeSegPath(root, f, t)).withColumn("__v", lit(t))
+      }.reduce(_.unionByName(_)))
+    val w = Window.partitionBy(cols.map(col): _*)
+      .orderBy(col("__v").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") === "a")
+      .select(cols.map(col): _*)
+  }
+
+  /** The edge-set tree in flat form, id = index, root = 0, children
+    * after parents (preorder): atoms carry one (predicate, direction);
+    * composites reference child ids. */
+  private sealed trait ENode
+  private final case class EAtom(pred: String, inv: Boolean) extends ENode
+  private final case class EJoin(l: Int, r: Int) extends ENode
+  private final case class EUnion(l: Int, r: Int) extends ENode
+
+  /** A step sequence as a [[Path]] tree (each step's alternation a
+    * PAlt chain, steps joined by PSeq) — one engine serves both view
+    * modes. */
+  private def stepsTree(steps: Seq[(Seq[String], Seq[String])]): Path =
+    steps.map { case (f, i) =>
+      (f.map(PEdge(_): Path) ++ i.map(p => PInv(PEdge(p)): Path))
+        .reduce(PAlt(_, _))
+    }.reduce(PSeq(_, _))
+
+  /** Flatten a maintainable seq/alt tree to [[ENode]]s (preorder). */
+  private def edgeNodes(p: Path): Vector[ENode] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[ENode]
+    def go(p: Path): Int = {
+      val id = buf.length
+      p match {
+        case PEdge(v: String) => buf += EAtom(v, inv = false)
+        case PInv(PEdge(v: String)) => buf += EAtom(v, inv = true)
+        case PSeq(l, r) =>
+          buf += EJoin(-1, -1); buf(id) = EJoin(go(l), go(r))
+        case PAlt(l, r) =>
+          buf += EUnion(-1, -1); buf(id) = EUnion(go(l), go(r))
+        case other => throw new IllegalArgumentException(
+          s"unmaintainable path node $other")
+      }
+      id
+    }
+    go(p): Unit
+    buf.toVector
+  }
+
+  private def atomEdges(t: DataFrame, pred: String,
+      inv: Boolean): DataFrame =
+    if (inv) t.filter(col("p") === pred)
+      .select(col("o").as("src"), col("s").as("dst"))
+    else t.filter(col("p") === pred)
+      .select(col("s").as("src"), col("o").as("dst"))
+
+  /** Every node's full edge set over triple state `t`, tagged by node
+    * id — the e-base frame. Atoms are 1:1 with their predicate's
+    * triples (already a set); composites distinct per node, the same
+    * dedup the old recompute path applied. */
+  private def nodeSetsFrame(t: DataFrame,
+      nodes: Vector[ENode]): DataFrame = {
+    val sets = new Array[DataFrame](nodes.length)
+    for (i <- nodes.indices.reverse) sets(i) = nodes(i) match {
+      case EAtom(p, v) => atomEdges(t, p, v)
+      case EJoin(l, r) =>
+        sets(l).select(col("src"), col("dst").as("__m"))
+          .join(sets(r).select(col("src").as("__m"), col("dst")), "__m")
+          .select("src", "dst").distinct()
+      case EUnion(l, r) =>
+        sets(l).unionByName(sets(r)).distinct()
+    }
+    nodes.indices.map(i => sets(i).withColumn("__n", lit(i)))
+      .reduce(_.unionByName(_)).select("__n", "src", "dst")
+  }
+
+  /** The root node's published edge set at version `v` — what the
+    * closure bootstraps from. */
+  private def rootEdgeSet(spark: SparkSession, root: String,
+      v: Int): DataFrame =
+    readEdgesAt(spark, root, v).filter(col("__n") === 0)
+      .select("src", "dst")
+
+  /** Migrate a legacy view (created before the edge artifact existed):
+    * publish the full per-node sets at the view's current version, ONCE
+    * — every later sync is incremental. */
+  private def bootstrapEdges(spark: SparkSession, storeRoot: String,
+      viewRoot: String, v: Int, graph: String,
+      nodes: Vector[ENode]): Unit =
+    if (edgeChainAt(viewRoot, v).isEmpty)
+      graft.sources.AtomicStore.materialize(edgeBasePath(viewRoot, v)) {
+        tmp => nodeSetsFrame(slice(spark, storeRoot, v, graph), nodes)
+          .write.parquet(tmp)
+      }: Unit
+
+  /** Net per-node edge deltas from the store's net triple deltas, ALL
+    * state read from the persisted artifact — never the store.
+    * Returns (root net adds, root net dels, the tagged segment frame,
+    * the root's old set). Rules, per node kind (sets throughout):
+    *  - atom: Δ = the feed's predicate slice (1:1 with triples, no
+    *    netting needed).
+    *  - union: add cands ΔL⁺ ∪ ΔR⁺ anti old (already derived via the
+    *    other branch); del cands ΔL⁻ ∪ ΔR⁻ anti BOTH new children
+    *    (an edge survives while any branch still derives it).
+    *  - join: add cands ΔL⁺⋈R_new ∪ L_new⋈ΔR⁺ anti old (any new
+    *    derivation passes a changed child edge); del cands ΔL⁻⋈R_old ∪
+    *    L_old⋈ΔR⁻, kept only if NO new-state derivation survives —
+    *    checked by seeding the candidate pairs through L_new then
+    *    semi-joining R_new, so the probe stays candidate-bounded.
+    * Children's new sets are old ∖ Δ⁻ ∪ Δ⁺ over the checkpointed old
+    * frame — lazy, delta-sized extra work. */
+  private def maintainEdgeSets(spark: SparkSession, viewRoot: String,
+      last: Int, nodes: Vector[ENode], tAdds: DataFrame,
+      tDels: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pair = Seq("src", "dst")
+    val oldAll = graft.Materialize(readEdgesAt(spark, viewRoot, last))
+    def old(i: Int): DataFrame =
+      oldAll.filter(col("__n") === i).select("src", "dst")
+    // statically-empty sides (one cheap probe each on the checkpointed
+    // feed) prune whole rule branches: an insert-only sync runs NO
+    // delete machinery at all, and vice versa — the dominant lifecycle
+    // cost here is scheduler round-trips, not data
+    val hasAdds = !tAdds.isEmpty
+    val hasDels = !tDels.isEmpty
+    // None = statically empty. Inner deltas stay LAZY — their consumers
+    // (the parent rules, the segment write, the root checkpoints below)
+    // re-run only delta-bounded joins against checkpointed inputs, and
+    // path trees are expression-sized, so recompute is bounded; eager
+    // per-node checkpoints would cost a scheduler job per node per sync
+    val da = new Array[Option[DataFrame]](nodes.length)
+    val dd = new Array[Option[DataFrame]](nodes.length)
+    val nw = new Array[DataFrame](nodes.length)
+    def chain(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("src"), col("dst").as("__m"))
+        .join(b.select(col("src").as("__m"), col("dst")), "__m")
         .select("src", "dst")
-      val viaR = exprEdges(state, l)
-        .select(col("src"), col("dst").as("__m"))
-        .join(exprEdgeCands(state, deltaT, r)
-          .select(col("src").as("__m"), col("dst")), "__m")
-        .select("src", "dst")
-      viaL.unionByName(viaR)
-    case PAlt(l, r) =>
-      exprEdgeCands(state, deltaT, l)
-        .unionByName(exprEdgeCands(state, deltaT, r))
-    case other => throw new IllegalArgumentException(
-      s"unmaintainable path node $other")
-  }).distinct()
+    def merge(parts: Seq[Option[DataFrame]]): Option[DataFrame] =
+      parts.flatten.reduceOption(_.unionByName(_)).map(_.distinct())
+    for (i <- nodes.indices.reverse) {
+      nodes(i) match {
+        case EAtom(p, v) =>
+          da(i) = if (hasAdds) Some(atomEdges(tAdds, p, v)) else None
+          dd(i) = if (hasDels) Some(atomEdges(tDels, p, v)) else None
+        case EUnion(l, r) =>
+          da(i) = merge(Seq(da(l), da(r)))
+            .map(_.join(old(i), pair, "left_anti"))
+          dd(i) = merge(Seq(dd(l), dd(r)))
+            .map(_.join(nw(l), pair, "left_anti")
+              .join(nw(r), pair, "left_anti"))
+        case EJoin(l, r) =>
+          da(i) = merge(Seq(da(l).map(chain(_, nw(r))),
+              da(r).map(chain(nw(l), _))))
+            .map(_.join(old(i), pair, "left_anti"))
+          dd(i) = merge(Seq(dd(l).map(chain(_, old(r))),
+              dd(r).map(chain(old(l), _))))
+            .map { ddCand =>
+              // candidate-bounded survival probe through the NEW children
+              val surv = ddCand
+                .select(col("src").as("__cs"), col("dst").as("__cd"))
+                .hint("broadcast")
+                .join(nw(l).select(
+                  col("src").as("__cs"), col("dst").as("__m")), Seq("__cs"))
+                .join(nw(r).select(col("src").as("__m"),
+                  col("dst").as("__cd")), Seq("__m", "__cd"), "left_semi")
+                .select(col("__cs").as("src"), col("__cd").as("dst"))
+                .distinct()
+              ddCand.join(surv, pair, "left_anti")
+            }
+      }
+      nw(i) = {
+        val kept = dd(i).fold(old(i))(d =>
+          old(i).join(d.hint("broadcast"), pair, "left_anti"))
+        da(i).fold(kept)(kept.unionByName(_))
+      }
+    }
+    // ONE checkpoint materializes the ENTIRE per-node delta
+    // computation: the segment write re-reads it for pennies, and the
+    // root deltas (which feed the closure's iterative maintenance) are
+    // filters over the same blocks — no per-node or per-side jobs
+    val segM = graft.Materialize(nodes.indices.flatMap { i =>
+      da(i).map(_.withColumn("__op", lit("a")).withColumn("__n", lit(i))) ++
+        dd(i).map(_.withColumn("__op", lit("d")).withColumn("__n", lit(i)))
+    }.reduceOption(_.unionByName(_))
+      .map(_.select("__n", "src", "dst", "__op"))
+      .getOrElse(spark.range(0).select(lit(0).as("__n"),
+        lit("").as("src"), lit("").as("dst"), lit("").as("__op"))))
+    val rootA = segM.filter(col("__n") === 0 && col("__op") === "a")
+      .select("src", "dst")
+    val rootD = segM.filter(col("__n") === 0 && col("__op") === "d")
+      .select("src", "dst")
+    (rootA, rootD, segM, old(0))
+  }
 
   /** Bootstrap a GENERAL path-expression view — the transitive closure
     * of any seq/alt tree's edge set, maintained by [[exprEdgeCands]]
@@ -752,9 +958,14 @@ object ViewStore {
       throw new IllegalArgumentException(
         s"no store under $storeRoot — init() before createPathExpr()"))
     writeMetaPathExpr(viewRoot, graph, sv, dv, text)
+    // per-node composed edge sets first — the closure bootstraps from
+    // the published root set, and sync maintains both incrementally
+    graft.sources.AtomicStore.materialize(edgeBasePath(viewRoot, cur)) {
+      tmp => nodeSetsFrame(slice(spark, storeRoot, cur, graph),
+        edgeNodes(inner)).write.parquet(tmp)
+    }
     graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
-      Paths.transitiveClosure(
-          exprEdges(slice(spark, storeRoot, cur, graph), inner))
+      Paths.transitiveClosure(rootEdgeSet(spark, viewRoot, cur))
         .select(col("src").as(sv), col("dst").as(dv))
         .write.parquet(tmp)
     }
@@ -797,9 +1008,12 @@ object ViewStore {
       throw new IllegalArgumentException(
         s"no store under $storeRoot — init() before createPathSeq()"))
     writeMetaPathSeq(viewRoot, graph, srcVar, dstVar, steps)
+    graft.sources.AtomicStore.materialize(edgeBasePath(viewRoot, cur)) {
+      tmp => nodeSetsFrame(slice(spark, storeRoot, cur, graph),
+        edgeNodes(stepsTree(steps))).write.parquet(tmp)
+    }
     graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
-      Paths.transitiveClosure(
-          seqEdges(slice(spark, storeRoot, cur, graph), steps))
+      Paths.transitiveClosure(rootEdgeSet(spark, viewRoot, cur))
         .select(col("src").as(srcVar), col("dst").as(dstVar))
         .write.parquet(tmp)
     }
@@ -867,6 +1081,16 @@ object ViewStore {
           readUnionCountsAt(spark, viewRoot, last).limit(0)
         else readAt(spark, viewRoot, last).limit(0)
           .withColumn("__op", lit("a"))
+      // the edge-set chain needs its (empty) segment too — contiguity
+      // is checked per chain; legacy views without the artifact skip
+      // (they bootstrap at their next non-empty sync, gap-free)
+      if (Seq("pathseq", "pathexpr").contains(mode(viewRoot)) &&
+          edgeChainAt(viewRoot, last).isDefined)
+        graft.sources.AtomicStore.materialize(
+            edgeSegPath(viewRoot, last, cur)) { tmp =>
+          spark.range(0).select(lit(0).as("__n"), lit("").as("src"),
+            lit("").as("dst"), lit("").as("__op")).write.parquet(tmp)
+        }
       graft.sources.AtomicStore.materialize(segPath(viewRoot, last, cur)) {
         tmp => empty.repartition(1).write.parquet(tmp)
       }
@@ -887,53 +1111,38 @@ object ViewStore {
         val t = tOf(graph)
         opRows(BgpView.deltaOptional(slice(spark, storeRoot, last, graph),
           t(adds), t(dels), left, right))
-      case "pathseq" =>
-        val (graph, sv, dv, steps) = definitionPathSeq(viewRoot)
+      case m @ ("pathseq" | "pathexpr") =>
+        val (graph, sv, dv, nodes) =
+          if (m == "pathseq") {
+            val (g, s, d, steps) = definitionPathSeq(viewRoot)
+            (g, s, d, edgeNodes(stepsTree(steps)))
+          } else {
+            val (g, s, d, inner) = definitionPathExpr(viewRoot)
+            (g, s, d, edgeNodes(inner))
+          }
         val t = tOf(graph)
-        // both states are consumed once per STEP POSITION by the
-        // conjunctive chains below — materialize the slice so each
-        // consumer reads a slice-sized checkpoint, not the store
-        val oldT = graft.Materialize(slice(spark, storeRoot, last, graph))
-        val newT = graft.Materialize(oldT.join(t(dels).hint("broadcast"),
-            Seq("s", "p", "o"), "left_anti").unionByName(t(adds)))
-        // MATERIALIZED: the closure maintenance below is an iterative
-        // loop that re-reads its edge inputs every round — left lazy,
-        // each round would re-run the composed-edge joins (and their
-        // broadcasts) over the store slice; checkpointed, each is one
-        // edge-set-sized frame computed once
-        val oldE = graft.Materialize(seqEdges(oldT, steps))
-        // conjunctive delta rule at the composed-edge level: a pair
-        // ENTERS E only via a chain (in the new state) through an added
-        // step edge; it LEAVES only if some old chain broke at a deleted
-        // step edge AND no new-state chain derives it. The membership
-        // anti-joins net the overcounted candidates, exactly as the
-        // single-step mode's anti-joins handle alternation survival.
-        val eAdds = graft.Materialize(seqEdgeCands(newT, t(adds), steps)
-          .join(oldE, Seq("src", "dst"), "left_anti"))
-        val eDels = graft.Materialize(seqEdgeCands(oldT, t(dels), steps)
-          .join(seqEdges(newT, steps), Seq("src", "dst"), "left_anti"))
-        val (_, pa, pd) = Paths.maintainClosureDelta(
-          read(spark, viewRoot)
-            .select(col(sv).as("src"), col(dv).as("dst")),
-          oldE, eAdds, eDels)
-        val named = (df: DataFrame) =>
-          df.select(col("src").as(sv), col("dst").as(dv))
-        opRows((named(pa), named(pd)))
-      case "pathexpr" =>
-        val (graph, sv, dv, inner) = definitionPathExpr(viewRoot)
-        val t = tOf(graph)
-        // same shape as "pathseq": both states are consumed once per
-        // tree node by the conjunctive chains — materialize the slices
-        // and the old edge set so the iterative closure maintenance
-        // reads checkpoints, not the store
-        val oldT = graft.Materialize(slice(spark, storeRoot, last, graph))
-        val newT = graft.Materialize(oldT.join(t(dels).hint("broadcast"),
-            Seq("s", "p", "o"), "left_anti").unionByName(t(adds)))
-        val oldE = graft.Materialize(exprEdges(oldT, inner))
-        val eAdds = graft.Materialize(exprEdgeCands(newT, t(adds), inner)
-          .join(oldE, Seq("src", "dst"), "left_anti"))
-        val eDels = graft.Materialize(exprEdgeCands(oldT, t(dels), inner)
-          .join(exprEdges(newT, inner), Seq("src", "dst"), "left_anti"))
+        // legacy views (pre-edge-artifact) migrate once, then every
+        // sync below is store-free: composed-set state comes from the
+        // persisted artifact, deltas from the net change feed
+        bootstrapEdges(spark, storeRoot, viewRoot, last, graph, nodes)
+        // the feed frames fan into every atom slice AND the segment
+        // write — checkpoint ONCE (tagged) so each consumer reads
+        // delta-sized blocks instead of re-running the change-netting
+        // plan, and the two sides cost one job, not two
+        val feed = graft.Materialize(
+          t(adds).withColumn("__op", lit("a"))
+            .unionByName(t(dels).withColumn("__op", lit("d"))))
+        val tAdds = feed.filter(col("__op") === "a").select("s", "p", "o")
+        val tDels = feed.filter(col("__op") === "d").select("s", "p", "o")
+        val (eAdds, eDels, edgeSeg, oldE) =
+          maintainEdgeSets(spark, viewRoot, last, nodes, tAdds, tDels)
+        // edge segment FIRST: if a crash lands between the two
+        // publishes, the closure chain (the coverage authority) still
+        // ends at `last` and the replayed sync's edge publish no-ops
+        graft.sources.AtomicStore.materialize(
+            edgeSegPath(viewRoot, last, cur)) {
+          tmp => edgeSeg.repartition(1).write.parquet(tmp)
+        }
         val (_, pa, pd) = Paths.maintainClosureDelta(
           read(spark, viewRoot)
             .select(col(sv).as("src"), col(dv).as("dst")),
@@ -1112,10 +1321,31 @@ object ViewStore {
   /** Fold the chain into a fresh base at the synced head and drop the
     * replaced entries — bounds read-side fold width, exactly the
     * mirror's compaction contract. */
-  def compact(spark: SparkSession, viewRoot: String): Unit =
+  def compact(spark: SparkSession, viewRoot: String): Unit = {
+    val head = lastSynced(viewRoot)
     compactWith(viewRoot)(
       if (mode(viewRoot) == "union") readUnionCounts(spark, viewRoot)
       else read(spark, viewRoot))
+    // the edge-set chain compacts alongside the binding chain — same
+    // fold-to-base-at-head, same entry sweep (legacy views without the
+    // artifact have nothing to fold)
+    if (Seq("pathseq", "pathexpr").contains(mode(viewRoot)) &&
+        edgeChainAt(viewRoot, head).isDefined) {
+      val es = edgeEntries(viewRoot)
+      val baseV = es.collect { case ("e", v, _) => v }.max
+      if (head > baseV)
+        graft.sources.AtomicStore.materialize(
+            edgeBasePath(viewRoot, head)) { tmp =>
+          readEdgesAt(spark, viewRoot, head).write.parquet(tmp)
+        }
+      es.filter { case (k, _, t) => t < head || k == "es" }.foreach {
+        case ("e", v, _) =>
+          graft.sources.AtomicStore.delete(edgeBasePath(viewRoot, v))
+        case (_, f, t) =>
+          graft.sources.AtomicStore.delete(edgeSegPath(viewRoot, f, t))
+      }
+    }
+  }
 
   private def compactWith(root: String)(folded: => DataFrame): Unit = {
     val before = entries(root)

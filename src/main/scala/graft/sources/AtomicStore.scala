@@ -196,6 +196,12 @@ object AtomicStore {
     if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
   }
 
+  /** Does `path` exist (file or directory) on its filesystem? */
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fsFor(p).exists(p)
+  }
+
   /** Write a small metadata string (store manifests, selectivity maps)
     * through the Hadoop filesystem — bare paths, file:// and hdfs:// all
     * take the same code path as the data files next to it. Overwrites. */
