@@ -301,6 +301,46 @@ object RdfOps extends QueryModule {
       ViewStore.read(s, view).orderBy(col("cust"))
     }),
 
+    // The FILTERED maintained view in the gate (round 11): the
+    // definition carries row-local FILTER constraints — a constant
+    // segment equality AND a numeric threshold — which restrict the
+    // bootstrap and every delta feed identically (row-local predicates
+    // commute with the counting rule). Churn 1 inserts one passing and
+    // one below-threshold customer and deletes an existing member's
+    // nationkey; churn 2 moves the round-1 entrant BELOW the threshold
+    // (delete + reinsert), so the maintained view must RETRACT a row
+    // that passed the filter in an earlier round. The oracle recomputes
+    // the filtered join over the churned slice.
+    "q_bgp_view_filtered" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_vf_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_vf_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createFilteredFromSparql(s, store, view,
+          """SELECT * WHERE { ?cust <mktsegment> ?seg .
+            |  ?cust <nationkey> ?k .
+            |  FILTER (?seg = "BUILDING" && ?k > 10) }""".stripMargin,
+          "g:customer"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA { GRAPH <g:customer> {
+          |  <c:zf1> <mktsegment> "BUILDING" . <c:zf1> <nationkey> "19" .
+          |  <c:zf2> <mktsegment> "BUILDING" . <c:zf2> <nationkey> "3" . } } ;
+          |DELETE WHERE { GRAPH <g:customer> { <c:2> <nationkey> ?k . } }"""
+          .stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      QuadStore.update(s, store,
+        """DELETE DATA { GRAPH <g:customer> {
+          |  <c:zf1> <nationkey> "19" . } } ;
+          |INSERT DATA { GRAPH <g:customer> {
+          |  <c:zf1> <nationkey> "4" . } }""".stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.read(s, view).orderBy(col("cust"), col("k"))
+    }),
+
     // The PERSISTED aggregate view in the gate: store → binding view →
     // summary, each with its own segment lifecycle. The summary
     // bootstraps BEFORE the churn, so the updates flow store → view
@@ -1862,6 +1902,27 @@ object RdfOps extends QueryModule {
 
     // the store head after the two updates: the synthetic BUILDING
     // customer joins the view, c:1's membership is purged
+    // the filtered view after both churn rounds: c:2 lost its nationkey
+    // binding, zf1 net-landed on nationkey 4 (below the >10 threshold —
+    // its round-1 membership at 19 must be retracted), zf2 never passed
+    "q_bgp_view_filtered" -> cte(
+      """, cq AS (
+        |  SELECT s, p, o FROM (
+        |    SELECT q.s, q.p, q.o FROM (
+        |${QUADS}
+        |    ) q WHERE q.g = 'g:customer'
+        |      AND NOT (q.s = 'c:2' AND q.p = 'nationkey')
+        |    UNION ALL SELECT 'c:zf1', 'mktsegment', 'BUILDING'
+        |    UNION ALL SELECT 'c:zf1', 'nationkey', '4'
+        |    UNION ALL SELECT 'c:zf2', 'mktsegment', 'BUILDING'
+        |    UNION ALL SELECT 'c:zf2', 'nationkey', '3'))
+        |SELECT t1.s AS cust, t1.o AS seg, t2.o AS k
+        |FROM cq t1, cq t2
+        |WHERE t1.p = 'mktsegment' AND t2.p = 'nationkey' AND t1.s = t2.s
+        |  AND t1.o = 'BUILDING' AND TRY_CAST(t2.o AS DOUBLE) > 10
+        |ORDER BY cust, k""".stripMargin
+        .replace("${QUADS}", Quads.duckCte)),
+
     "q_bgp_view_store" -> cte(
       """, cq AS (
         |  SELECT s, p, o FROM (

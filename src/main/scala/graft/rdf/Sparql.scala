@@ -1805,6 +1805,19 @@ object Sparql {
   }
 
   /** Variables an expression references (for BIND dependency ordering). */
+  /** A FILTER expression as a row-local boolean Column over bound
+    * binding columns — the maintained-view hook ([[ViewStore]]'s
+    * "filtered" mode): a constant row-local predicate commutes with the
+    * counting delta rule, so the same Column filters the bootstrap and
+    * every delta segment identically. Aggregates are rejected by the
+    * caller's fragment parser; unbound-variable references surface as
+    * unresolved columns, loudly. */
+  private[rdf] def filterColumn(e: Expr): Column = boolCol(e, Map.empty)
+
+  /** The variables a FILTER expression references (for the maintainable-
+    * fragment parser's binding check). */
+  private[rdf] def filterVars(e: Expr): Seq[String] = exprVars(e).distinct
+
   private def exprVars(e: Expr): Seq[String] = e match {
     case EVar(n) => Seq(n)
     case EBound(v) => Seq(v)

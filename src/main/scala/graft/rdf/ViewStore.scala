@@ -376,6 +376,86 @@ object ViewStore {
       viewRoot: String, text: String, graph: String = ""): Int =
     create(spark, storeRoot, viewRoot, patternsFromSparql(text), graph)
 
+  /** The FILTERED-view fragment: a plain conjunctive BGP plus constant
+    * row-local FILTER constraints over its own variables — "customers
+    * in BUILDING with acctbal > X" as a maintained view. Row-local
+    * filters COMMUTE with the counting delta rule (a binding passes or
+    * fails independent of every other row), so the same predicate
+    * restricts the bootstrap and every delta feed identically; anything
+    * richer (EXISTS, aggregates, unbound vars) stays a loud rejection. */
+  def filteredPatternsFromSparql(
+      text: String): (Seq[TP], Seq[Sparql.Expr]) = {
+    val q = Sparql.parse(text)
+    require(q.branches.size == 1 && !q.ask && q.construct.isEmpty &&
+      q.describe.isEmpty, "view definitions are single-block SELECTs")
+    val b = q.branches.head
+    require(b.optionals.isEmpty && b.minuses.isEmpty &&
+      b.values.isEmpty && b.binds.isEmpty && b.paths.isEmpty &&
+      b.exists.isEmpty && b.subqueries.isEmpty && b.graphs.isEmpty &&
+      b.unions.isEmpty && b.services.isEmpty && b.where.nonEmpty,
+      "a maintainable filtered view is a plain BGP plus row-local " +
+        "FILTERs — compose OPTIONAL/UNION/paths/aggregation downstream " +
+        "of the materialization")
+    require(b.filters.nonEmpty,
+      "no FILTER in the definition — use createFromSparql for plain " +
+        "conjunctive views")
+    noModifiers(q)
+    val vars = tpVars(b.where)
+    b.filters.foreach { f =>
+      val free = Sparql.filterVars(f).filterNot(vars.contains)
+      require(free.isEmpty,
+        s"FILTER references ${free.map("?" + _).mkString(", ")} which " +
+          "the view's BGP does not bind — constant row-local " +
+          "constraints only")
+    }
+    require(q.projection == Seq("*") || q.projection.toSet == vars.toSet,
+      s"the materialized view holds the FULL binding (${
+        vars.mkString(", ")}) — project or aggregate over the view's " +
+        "reads, or via IncrementalAgg on its delta")
+    (b.where, b.filters)
+  }
+
+  // the filtered view's meta persists the DEFINITION TEXT — the filter
+  // expressions re-parse from it at every sync (the pathexpr precedent)
+  private def writeMetaFiltered(root: String, graph: String,
+      text: String): Unit =
+    graft.sources.AtomicStore.writeString(s"$root/meta.tsv",
+      Seq("mode", "filtered", b64(graph), b64(text)).mkString("\t"))
+
+  /** The persisted FILTERED-view definition:
+    * (graph slice, patterns, filter expressions). */
+  def definitionFiltered(
+      root: String): (String, Seq[TP], Seq[Sparql.Expr]) = {
+    val head = graft.sources.AtomicStore.readString(s"$root/meta.tsv")
+      .split("\n").head.split("\t", -1)
+    head match {
+      case Array("mode", "filtered", g, t) =>
+        val (pats, fs) = filteredPatternsFromSparql(unb64(t))
+        (unb64(g), pats, fs)
+      case _ => throw new IllegalArgumentException(
+        s"not a filtered view under $root")
+    }
+  }
+
+  /** Bootstrap a FILTERED view — [[filteredPatternsFromSparql]]'s
+    * fragment; segments are net a/d binding rows, the conjunctive delta
+    * rule's output restricted by the same row-local predicate that
+    * restricts the bootstrap. */
+  def createFilteredFromSparql(spark: SparkSession, storeRoot: String,
+      viewRoot: String, text: String, graph: String = ""): Int = {
+    val (pats, fs) = filteredPatternsFromSparql(text)
+    val cur = QuadStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store under $storeRoot — init() before createFiltered()"))
+    writeMetaFiltered(viewRoot, graph, text)
+    val cond = fs.map(Sparql.filterColumn).reduce(_ && _)
+    graft.sources.AtomicStore.materialize(basePath(viewRoot, cur)) { tmp =>
+      BgpView.compute(slice(spark, storeRoot, cur, graph), pats)
+        .filter(cond).write.parquet(tmp)
+    }
+    cur
+  }
+
   /** The QUAD-view fragment from SPARQL text: plain patterns address
     * the default graph, `GRAPH term { patterns }` blocks carry their
     * graph term (constant or variable — a variable binds as a view
@@ -1170,6 +1250,15 @@ object ViewStore {
         val named = (df: DataFrame) =>
           df.select(col("src").as(sv), col("dst").as(dv))
         opRows((named(pa), named(pd)))
+      case "filtered" =>
+        val (graph, pats, fs) = definitionFiltered(viewRoot)
+        val t = tOf(graph)
+        // the row-local predicate commutes with the counting rule:
+        // filtering the NET a/d rows is the filtered view's exact delta
+        val cond = fs.map(Sparql.filterColumn).reduce(_ && _)
+        val (ba, bd) = BgpView.delta(slice(spark, storeRoot, last, graph),
+          t(adds), t(dels), pats)
+        opRows((ba.filter(cond), bd.filter(cond)))
       case _ =>
         val (graph, patterns) = definition(viewRoot)
         val t = tOf(graph)

@@ -704,6 +704,64 @@ class ViewStoreSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory(s"vs_${tag}_store").toString,
     java.nio.file.Files.createTempDirectory(s"vs_${tag}_view").toString)
 
+  test("filtered view: row-local FILTER constraints restrict bootstrap " +
+      "and every delta feed; threshold exits retract") {
+    val (storeRoot, viewRoot) = freshRoots("filt")
+    QuadStore.init(Seq(
+      ("c1", "seg", "B", ""), ("c1", "bal", "50", ""),
+      ("c2", "seg", "B", ""), ("c2", "bal", "5", ""),
+      ("c3", "seg", "A", ""), ("c3", "bal", "90", ""))
+      .toDF("s", "p", "o", "g"), storeRoot)
+    val defText =
+      """SELECT * WHERE { ?c <seg> ?s . ?c <bal> ?b .
+        |  FILTER (?s = "B" && ?b > 10) }""".stripMargin
+    ViewStore.createFilteredFromSparql(spark, storeRoot, viewRoot, defText)
+    assert(ViewStore.mode(viewRoot) === "filtered")
+    // bootstrap: only c1 passes both constraints
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("50", "c1", "B")))
+    def filteredRecompute(): Set[Seq[Any]] = {
+      val t = QuadStore.read(spark, storeRoot)
+        .filter(col("g") === "").select("s", "p", "o")
+      rowSet(BgpView.compute(t,
+          Seq(TP(V("c"), C("seg"), V("s")), TP(V("c"), C("bal"), V("b"))))
+        .filter(col("s") === "B" &&
+          expr("try_cast(b AS double)") > 10))
+    }
+    // churn 1: c2 crosses the threshold, c4 arrives passing, c1's seg
+    // flips to A (exits via the CONSTANT constraint)
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c2> <bal> "5" . <c1> <seg> "B" . } ;
+        |INSERT DATA { <c2> <bal> "55" . <c1> <seg> "A" .
+        |  <c4> <seg> "B" . <c4> <bal> "11" . }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === filteredRecompute())
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("55", "c2", "B"), Seq("11", "c4", "B")))
+    // churn 2: c4 drops BELOW the threshold — a row that passed in an
+    // earlier round must retract
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <c4> <bal> "11" . } ;
+        |INSERT DATA { <c4> <bal> "9" . }""".stripMargin)
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === filteredRecompute())
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("55", "c2", "B")))
+    // compaction preserves the filtered answer
+    ViewStore.compact(spark, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("55", "c2", "B")))
+    // beyond the fragment: unbound filter vars and no-filter bodies loud
+    intercept[IllegalArgumentException] {
+      ViewStore.filteredPatternsFromSparql(
+        """SELECT * WHERE { ?c <seg> ?s . FILTER (?zz > 10) }""")
+    }
+    intercept[IllegalArgumentException] {
+      ViewStore.filteredPatternsFromSparql(
+        """SELECT * WHERE { ?c <seg> ?s . }""")
+    }
+  }
+
   test("union view: persisted support counts survive branch exits") {
     val (storeRoot, viewRoot) = freshRoots("union")
     QuadStore.init(Seq(
