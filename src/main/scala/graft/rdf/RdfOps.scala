@@ -1701,30 +1701,43 @@ object RdfOps extends QueryModule {
     // q_sparql_service, so the wire path is proven value-identical to
     // the network-free registry path.
     "q_sparql_service_live" -> ((s, d) => {
-      val root = s"${sys.props("java.io.tmpdir")}/graft_svclive_" +
+      // r11 suffix: the dataset gained the sparse <peer> predicate —
+      // an existing pre-r11 store at the old path must not be reused
+      val root = s"${sys.props("java.io.tmpdir")}/graft_svclive_r11_" +
         graft.sources.AtomicStore.key(d)
-      val suppliers = Triples.fromTable(graft.sources.Tables.supplier(s, d),
+      val supTable = graft.sources.Tables.supplier(s, d)
+      val suppliers = Triples.fromTable(supTable,
         concat(lit("sup:"), col("s_suppkey")), Seq(
           "nation" -> concat(lit("n:"), col("s_nationkey")),
           "name" -> col("s_name")))
+        // a SPARSE predicate (odd supplier keys only) so the remote
+        // OPTIONAL below genuinely half-binds
+        .unionByName(supTable.filter(col("s_suppkey") % 2 === 1)
+          .select(concat(lit("sup:"), col("s_suppkey")).as("s"),
+            lit("peer").as("p"),
+            concat(lit("grp:"), col("s_suppkey") % 3).as("o")))
       QuadStore.init(suppliers.withColumn("g", lit("")), root)
       val srv = HttpEndpoint.serve(s, root)
       try {
         Sparql.runHttpFederated(Triples.build(s, d),
           urls = Map("graft://suppliers" -> srv.url), text =
-          // BIND + FILTER ship to the remote endpoint inside the
-          // rendered SERVICE text (round-10: the remote fragment is no
-          // longer pure-BGP) — the restriction evaluates on the wire
-          // service, not on a wider local pull
-          """SELECT DISTINCT ?nname WHERE {
+          // BIND + FILTER + OPTIONAL ship to the remote endpoint inside
+          // the rendered SERVICE text (round-10 grew BIND/FILTER;
+          // round-11 adds the OPTIONAL left join — its unbound cells
+          // cross the wire as empty CSV fields and join as nulls). The
+          // restriction evaluates on the wire service, not on a wider
+          // local pull; COALESCE pins the unbound rows for the total
+          // ORDER BY.
+          """SELECT DISTINCT ?nname (COALESCE(?grp, "none") AS ?g) WHERE {
             |  ?n <name> ?nname . ?n <region> ?r .
             |  SERVICE <graft://suppliers> {
             |    ?sup <nation> ?n . ?sup <name> ?sname .
             |    BIND(STRLEN(?sname) AS ?slen)
             |    FILTER (CONTAINS(?sname, "00000000") && ?slen >= 10)
+            |    OPTIONAL { ?sup <peer> ?grp . FILTER (?grp != "grp:0") }
             |  }
             |}
-            |ORDER BY ?nname""".stripMargin)
+            |ORDER BY ?nname ?g""".stripMargin)
       } finally srv.stop()
     }),
 
@@ -2670,12 +2683,19 @@ object RdfOps extends QueryModule {
     // identical values when the suppliers leg executes on the live
     // remote endpoint — including the remotely-evaluated BIND/FILTER
     // (supplier keys 1..9 are the only 9-digit-padded names carrying
-    // eight consecutive zeros)
+    // eight consecutive zeros) and the remote OPTIONAL left join over
+    // the sparse peer predicate (odd keys, grp:0 filtered INSIDE the
+    // optional per the spec's LeftJoin condition)
     "q_sparql_service_live" -> cte(
-      """SELECT DISTINCT n.n_name AS nname
+      """SELECT DISTINCT n.n_name AS nname,
+        |  coalesce(t.grp, 'none') AS g
         |FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |LEFT JOIN (SELECT s_suppkey, 'grp:' || (s_suppkey % 3) AS grp
+        |           FROM supplier
+        |           WHERE s_suppkey % 2 = 1 AND s_suppkey % 3 <> 0) t
+        |  ON t.s_suppkey = s.s_suppkey
         |WHERE s.s_name LIKE '%00000000%' AND length(s.s_name) >= 10
-        |ORDER BY nname""".stripMargin),
+        |ORDER BY nname, g""".stripMargin),
 
     // converged post-update state: the mlabel row plus every
     // non-MACHINERY customer segment (the DELETE WHERE's fixpoint)

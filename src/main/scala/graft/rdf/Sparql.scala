@@ -337,14 +337,13 @@ object Sparql {
     * before FILTERs — the order [[Block]] documents and the solver
     * applies. */
   private[rdf] def renderService(body: Block): String = {
-    require(body.optionals.isEmpty &&
-      body.minuses.isEmpty && body.values.isEmpty &&
+    require(body.minuses.isEmpty && body.values.isEmpty &&
       body.paths.isEmpty && body.exists.isEmpty &&
       body.subqueries.isEmpty && body.graphs.isEmpty &&
       body.unions.isEmpty && body.services.isEmpty,
       "HTTP SERVICE federation executes basic graph patterns plus " +
-        "BIND/FILTER remotely in this fragment — restructure the " +
-        "SERVICE block (the local grammar outside SERVICE is " +
+        "BIND/FILTER/OPTIONAL remotely in this fragment — restructure " +
+        "the SERVICE block (the local grammar outside SERVICE is " +
         "unrestricted)")
     require(body.where.nonEmpty, "empty SERVICE body")
     def term(t: Term, objPos: Boolean): String = t match {
@@ -358,13 +357,29 @@ object Sparql {
       case C(other) => throw new IllegalArgumentException(
         s"non-string constant $other cannot render to surface syntax")
     }
-    val pats = body.where.map(tp =>
-      s"  ${term(tp.s, objPos = false)} ${term(tp.p, objPos = false)} ${
-        term(tp.o, objPos = true)} .")
+    def pat(tp: TP, indent: String): String =
+      s"$indent${term(tp.s, objPos = false)} ${term(tp.p, objPos = false)} ${
+        term(tp.o, objPos = true)} ."
+    val pats = body.where.map(pat(_, "  "))
     val binds = body.binds.map { case (v, e) =>
       s"  BIND(${renderExpr(e)} AS ?$v)" }
+    // OPTIONAL groups render with their block-scoped FILTERs inside —
+    // real federation pushes the left join to the remote endpoint
+    // instead of failing the query; the remote's unbound cells come back
+    // as empty CSV fields → nulls, which the enclosing compatJoin
+    // already treats as possibly-unbound (maybeNullVars covers optional
+    // vars). Property paths inside OPTIONAL stay loud.
+    val optionals = body.optionals.map { ob =>
+      require(ob.paths.isEmpty,
+        "property paths inside a remote OPTIONAL are not renderable in " +
+          "this fragment — restructure the SERVICE block")
+      require(ob.pats.nonEmpty, "empty OPTIONAL body in SERVICE block")
+      (ob.pats.map(pat(_, "    ")) ++
+        ob.filters.map(e => s"    FILTER (${renderExpr(e)})"))
+        .mkString("  OPTIONAL {\n", "\n", "\n  }")
+    }
     val filters = body.filters.map(e => s"  FILTER (${renderExpr(e)})")
-    (pats ++ binds ++ filters)
+    (pats ++ binds ++ optionals ++ filters)
       .mkString("SELECT * WHERE {\n", "\n", "\n}")
   }
 

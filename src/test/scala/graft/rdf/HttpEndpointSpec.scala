@@ -219,14 +219,29 @@ class HttpEndpointSpec extends SparkSpec {
         urls = Map("graft://remote" -> srv.url))
       assert(pushed.as[(String, String)].collect().toSeq ===
         Seq(("c1", "B!")))
+      // OPTIONAL ships remotely too (round-11): the left join evaluates
+      // on the endpoint, its block-scoped FILTER inside the optional
+      // (the spec's LeftJoin condition), and the unbound cell crosses
+      // the wire as an empty CSV field → null locally
+      val remoteOpt = Sparql.runHttpFederated(local,
+        """SELECT ?c ?seg ?rnat WHERE {
+          |  ?c <nat> ?nat .
+          |  SERVICE <graft://remote> {
+          |    ?c <seg> ?seg .
+          |    OPTIONAL { ?c <nat> ?rnat . FILTER (?rnat != "fr") }
+          |  }
+          |} ORDER BY ?c""".stripMargin,
+        urls = Map("graft://remote" -> srv.url))
+      assert(remoteOpt.as[(String, String, Option[String])].collect()
+        .toSeq === Seq(("c1", "B", Some("de")), ("c2", "M", None)))
       // non-SILENT unregistered endpoints and beyond-fragment bodies
-      // (OPTIONAL here) stay loud
+      // (a property path inside the OPTIONAL here) stay loud
       intercept[IllegalArgumentException](Sparql.runHttpFederated(local,
         "SELECT ?c WHERE { SERVICE <graft://nowhere> { ?c <seg> ?x . } }",
         urls = Map("graft://remote" -> srv.url)))
       intercept[IllegalArgumentException](Sparql.runHttpFederated(local,
         """SELECT ?c WHERE { SERVICE <graft://remote> {
-          |  ?c <seg> ?x . OPTIONAL { ?c <nat> ?n . } } }""".stripMargin,
+          |  ?c <seg> ?x . OPTIONAL { ?c <nat>+ ?n . } } }""".stripMargin,
         urls = Map("graft://remote" -> srv.url)))
       // a VARIABLE endpoint ranges over the registry, binding ?ep
       val varEp = Sparql.runHttpFederated(local,
