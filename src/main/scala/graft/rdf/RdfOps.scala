@@ -749,6 +749,39 @@ object RdfOps extends QueryModule {
       ViewStore.read(s, view).orderBy(col("x"), col("y"))
     }),
 
+    // NESTED closure inside a maintained path-expression view (round
+    // 11): ((<region>+/<name>)|<nation>)+ — the INNER `region+` is
+    // itself a maintained closure (one more persisted tree node, DRed-
+    // maintained over the region atom's deltas) whose pair set feeds
+    // the seq/alt tree as an edge operand. Churn round 1 builds a
+    // 2-hop zz region chain (the inner closure must derive zz:a→zz:c
+    // transitively) plus names and a nation edge; round 2 severs the
+    // chain's SECOND link — a retraction INSIDE the inner closure that
+    // must cascade through the composition and the outer closure.
+    // Oracle: two stacked recursive CTEs over the churned slice.
+    "q_bgp_view_path_nested" -> ((s, d) => {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_quadstore_vz_" +
+        graft.sources.AtomicStore.key(d)
+      val view = s"${sys.props("java.io.tmpdir")}/graft_view_vz_" +
+        graft.sources.AtomicStore.key(d)
+      QuadStore.init(Quads.build(s, d), store)
+      if (ViewStore.lastSynced(view) == 0)
+        ViewStore.createPathExprFromSparql(s, store, view,
+          "SELECT * WHERE { ?x ((<region>+/<name>)|<nation>)+ ?y }"): Unit
+      QuadStore.update(s, store,
+        """INSERT DATA {
+          |  <zz:a> <region> "zz:b" . <zz:b> <region> "zz:c" .
+          |  <zz:c> <name> "zz-top" . <zz:b> <name> "zz-mid" .
+          |  <zz:q> <nation> "zz:a" . }""".stripMargin)
+      ViewStore.sync(s, store, view): Unit
+      QuadStore.update(s, store,
+        """DELETE DATA { <zz:b> <region> "zz:c" . }""")
+      ViewStore.sync(s, store, view): Unit
+      ViewStore.compactIfDeep(s, view, maxChain = 6): Unit
+      QuadStore.vacuumIfDeep(store, keep = 2): Unit
+      ViewStore.read(s, view).orderBy(col("x"), col("y"))
+    }),
+
     // Aggregate-IVM in the gate: the grouped summary (BUILDING customers
     // per nation) is maintained by feeding BgpView's view deltas into
     // IncrementalAgg through the same two churn rounds as q_bgp_ivm —
@@ -2168,6 +2201,39 @@ object RdfOps extends QueryModule {
          |  SELECT src, dst FROM edges
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS x, dst AS y FROM reach ORDER BY x, y""".stripMargin,
+
+    // final state after both churn rounds: the inner region+ closure
+    // over base nation→region edges plus the zz chain MINUS its severed
+    // second link (so zz:a reaches only zz:b), composed with name
+    // edges, alternated with nation edges, closed over
+    "q_bgp_view_path_nested" ->
+      s"""WITH RECURSIVE triples AS (
+         |${Triples.duckCte}
+         |), quads AS (
+         |${Quads.duckCte}
+         |), ct AS (
+         |  SELECT s, p, o FROM quads WHERE g = ''
+         |  UNION ALL SELECT 'zz:a', 'region', 'zz:b'
+         |  UNION ALL SELECT 'zz:c', 'name', 'zz-top'
+         |  UNION ALL SELECT 'zz:b', 'name', 'zz-mid'
+         |  UNION ALL SELECT 'zz:q', 'nation', 'zz:a'
+         |), redge AS (
+         |  SELECT s AS src, o AS dst FROM ct WHERE p = 'region'
+         |), rplus(src, dst) AS (
+         |  SELECT src, dst FROM redge
+         |  UNION
+         |  SELECT r.src, e.dst FROM rplus r JOIN redge e ON e.src = r.dst
+         |), edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT r.src, nm.o AS dst FROM rplus r
+         |    JOIN ct nm ON nm.s = r.dst AND nm.p = 'name'
+         |    UNION ALL SELECT s, o FROM ct WHERE p = 'nation')
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
          |)
          |SELECT src AS x, dst AS y FROM reach ORDER BY x, y""".stripMargin,
 

@@ -333,11 +333,14 @@ object ViewStore {
     case PInv(PEdge(_: String)) =>
     case PSeq(l, r) => validatePathExpr(l); validatePathExpr(r)
     case PAlt(l, r) => validatePathExpr(l); validatePathExpr(r)
+    // a NESTED one-or-more (round 11): its pair set persists as one
+    // more tree node and maintains by the closure's own DRed/semi-naive
+    // rule over the inner operand's deltas — `(p+/q)|r` and friends
+    case PPlus(in) => validatePathExpr(in)
     case other => throw new IllegalArgumentException(
-      s"a maintainable path expression composes sequences, alternations " +
-        s"and (inverse) edges — got $other; a nested closure's edge set " +
-        "is itself a closure, not a join, and composes downstream of " +
-        "the materialization")
+      s"a maintainable path expression composes sequences, alternations, " +
+        s"(inverse) edges and nested `+` closures — got $other " +
+        "(`*`/`?`/negated sets compose downstream of the materialization)")
   }
 
   /** Extract a maintainable pattern set from SPARQL text: a single
@@ -851,6 +854,10 @@ object ViewStore {
   private final case class EAtom(pred: String, inv: Boolean) extends ENode
   private final case class EJoin(l: Int, r: Int) extends ENode
   private final case class EUnion(l: Int, r: Int) extends ENode
+  /** A NESTED one-or-more closure: this node's set is the transitive
+    * closure of its child's — maintained by the same DRed/semi-naive
+    * rule the root closure uses, over the child's net deltas. */
+  private final case class EClosure(l: Int) extends ENode
 
   /** A step sequence as a [[Path]] tree (each step's alternation a
     * PAlt chain, steps joined by PSeq) — one engine serves both view
@@ -873,6 +880,8 @@ object ViewStore {
           buf += EJoin(-1, -1); buf(id) = EJoin(go(l), go(r))
         case PAlt(l, r) =>
           buf += EUnion(-1, -1); buf(id) = EUnion(go(l), go(r))
+        case PPlus(in) =>
+          buf += EClosure(-1); buf(id) = EClosure(go(in))
         case other => throw new IllegalArgumentException(
           s"unmaintainable path node $other")
       }
@@ -904,6 +913,8 @@ object ViewStore {
           .select("src", "dst").distinct()
       case EUnion(l, r) =>
         sets(l).unionByName(sets(r)).distinct()
+      case EClosure(l) =>
+        Paths.transitiveClosure(sets(l))
     }
     nodes.indices.map(i => sets(i).withColumn("__n", lit(i)))
       .reduce(_.unionByName(_)).select("__n", "src", "dst")
@@ -1001,6 +1012,20 @@ object ViewStore {
                 .distinct()
               ddCand.join(surv, pair, "left_anti")
             }
+        case EClosure(l) =>
+          // the nested closure maintains by the SAME DRed/semi-naive
+          // rule the root uses, seeded by the child's net deltas; when
+          // the subtree is untouched the loop never runs at all. The
+          // returned net pair deltas are already checkpointed frames.
+          if (da(l).isEmpty && dd(l).isEmpty) {
+            da(i) = None; dd(i) = None
+          } else {
+            val empty = old(i).limit(0)
+            val (_, pa, pd) = Paths.maintainClosureDelta(
+              old(i), old(l),
+              da(l).getOrElse(empty), dd(l).getOrElse(empty))
+            da(i) = Some(pa); dd(i) = Some(pd)
+          }
       }
       nw(i) = {
         val kept = dd(i).fold(old(i))(d =>

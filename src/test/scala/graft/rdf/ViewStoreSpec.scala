@@ -980,6 +980,53 @@ class ViewStoreSpec extends SparkSpec {
     rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
   }
 
+  test("nested closure in a path-expression view: (p+/q)|r maintained " +
+      "through churn including a retraction inside the inner closure") {
+    val (storeRoot, viewRoot) = freshRoots("pathnest")
+    QuadStore.init(Seq(
+      ("a", "p", "b", ""), ("b", "q", "nm1", ""),
+      ("x", "r", "a", "")).toDF("s", "p", "o", "g"), storeRoot)
+    ViewStore.createPathExprFromSparql(spark, storeRoot, viewRoot,
+      "SELECT * WHERE { ?s ((<p>+/<q>)|<r>)+ ?t }")
+    // base: p+ = {(a,b)}; composed a→nm1; r: x→a; closure adds x→nm1
+    assert(rowSet(ViewStore.read(spark, viewRoot)) ===
+      Set(Seq("a", "nm1"), Seq("x", "a"), Seq("x", "nm1")))
+    def recompute(): Set[Seq[Any]] = {
+      val t = QuadStore.read(spark, storeRoot)
+      val pPlus = Paths.transitiveClosure(t.filter(col("p") === "p")
+        .select(col("s").as("src"), col("o").as("dst")))
+      val comp = pPlus.select(col("src"), col("dst").as("__m"))
+        .join(t.filter(col("p") === "q")
+          .select(col("s").as("__m"), col("o").as("dst")), "__m")
+        .select("src", "dst")
+      val rE = t.filter(col("p") === "r")
+        .select(col("s").as("src"), col("o").as("dst"))
+      Paths.transitiveClosure(comp.unionByName(rE).distinct())
+        .collect().map(r => Seq(r.getString(0), r.getString(1))).toSet
+    }
+    // churn 1: extend the INNER chain b→c→d with a name at d — the
+    // inner closure must derive (a,c),(a,d),(b,c),(b,d) transitively
+    // and the composition must reach the new name from a, b AND x
+    QuadStore.update(spark, storeRoot,
+      """INSERT DATA { <b> <p> "c" . <c> <p> "d" . <d> <q> "nm2" . }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === recompute())
+    assert(rowSet(ViewStore.read(spark, viewRoot))
+      .contains(Seq("x", "nm2")))
+    // churn 2: sever the inner chain's MIDDLE link — the inner closure
+    // retracts (a,c),(a,d),(b,c),(b,d) by DRed and every composed /
+    // outer-closed pair through them must cascade out
+    QuadStore.update(spark, storeRoot,
+      """DELETE DATA { <b> <p> "c" . }""")
+    ViewStore.sync(spark, storeRoot, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === recompute())
+    assert(!rowSet(ViewStore.read(spark, viewRoot))
+      .contains(Seq("x", "nm2")))
+    ViewStore.compact(spark, viewRoot)
+    assert(rowSet(ViewStore.read(spark, viewRoot)) === recompute())
+    rmTree(new java.io.File(storeRoot)); rmTree(new java.io.File(viewRoot))
+  }
+
   test("fragment parsers reject what the delta rules cannot maintain") {
     // union: misaligned branch variables
     intercept[IllegalArgumentException](ViewStore.unionBranchesFromSparql(
