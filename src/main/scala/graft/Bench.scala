@@ -90,15 +90,22 @@ object Bench {
         times += sample()
       while (times.size < slowRuns && times.min >= floorSecs)
         times += sample()
-      name -> times.min
+      name -> times.toSeq
     }
     val sentinelTail = sentinelRound()
     val sentinelJson = s"""{"head":${sentinelHead.mkString("[", ",", "]")}""" +
       s""","tail":${sentinelTail.mkString("[", ",", "]")}}"""
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
+    // FULL per-key sample arrays: a 14× phantom (one polluted sample in
+    // an otherwise-quiet series) is distinguishable from a regression
+    // (every sample high) straight from the artifact, with no re-run
+    val samplesJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => math.rint(t * 1000) / 1000)
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
     // per-query detail first, compact total LAST: the driver tail-captures
     // a bounded window of output, and truncation must never lose the total
     // (round 3 recorded an unparseable bench because the total led the one
@@ -111,7 +118,7 @@ object Bench {
     // stdout JSON.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_perq.json"),
-      s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"total":$total,"failed":$failedJson,"sentinel":$sentinelJson}""")
+      s"""{"metric":"queries","unit":"sec","queries":$qs,"samples":$samplesJson,"sf":"$sfDir","runs":$runs,"total":$total,"failed":$failedJson,"sentinel":$sentinelJson}""")
     catch {
       case e: Throwable =>
         System.err.println(s"[bench] bench_perq.json write failed: ${e.getMessage}")
