@@ -78,12 +78,27 @@ object IvfIndex {
     * so a vector appended later ([[append]]) gets bit-identically the
     * same list as it would in a one-shot build at the same centroids. */
   def build(vectors: DataFrame, k: Int, seed: Long = 42L): Model = {
-    val withVec = vectors.withColumn("features",
+    val centers = fitCentroids(vectors, k, seed)
+    Model(centers, assignWith(centers, vectors))
+  }
+
+  /** Canonicalize a FIT input: content-deterministic partitioning and
+    * in-partition order, so the seeded k-means yields the SAME model
+    * for the same vector SET regardless of upstream lineage or
+    * partitioning — what makes a refit on an undrifted corpus a no-op
+    * and a refit on a drifted corpus identical to a fresh build. One
+    * shuffle of the training input, paid at ingest/refit cadence only
+    * (at 100 TB the fit input is a sample anyway). */
+  private[llm] def canonicalFit(df: DataFrame): DataFrame =
+    df.repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
+
+  private def fitCentroids(vectors: DataFrame, k: Int,
+      seed: Long): Array[Array[Double]] = {
+    val withVec = canonicalFit(vectors).withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("__ignored")
-    val centers = km.fit(withVec).clusterCenters.map(_.toArray)
-    Model(centers, assignWith(centers, vectors))
+    km.fit(withVec).clusterCenters.map(_.toArray)
   }
 
   /** The canonical list assigner: nearest centroid by squared Euclidean
@@ -128,11 +143,31 @@ object IvfIndex {
     }: Unit
   }
 
+  /** The CURRENT model directory: the highest `modelNNNNN` at or below
+    * the highest live base when a [[refit]] has produced one, else the
+    * era-0 `model`. Keying refitted models to their base number is what
+    * makes refit crash-consistent: a model published ABOVE every live
+    * base (its re-encoded base not yet out) is invisible, so resolution
+    * always lands on the model the live entries were encoded with —
+    * including after later compactions renumber the base upward. */
+  private[llm] def modelPath(root: String): String = {
+    val maxBase = SegmentedStore.bases(root).maxOption.getOrElse(-1)
+    AtomicStore.list(root).flatMap(f => f.getPath.getName match {
+      case RefitModelRe(n) if n.toInt <= maxBase &&
+        AtomicStore.isComplete(f.getPath.toString) => Some(n.toInt)
+      case _ => None
+    }).maxOption
+      .map(n => f"$root%s/model$n%05d")
+      .getOrElse(s"$root/model")
+  }
+  private val RefitModelRe = "model(\\d{5,})".r
+
   /** The persisted model — the IMMUTABLE part of an appendable index:
-    * append assigns against these centroids, never re-fits. */
+    * append assigns against these centroids, never re-fits (a [[refit]]
+    * publishes a NEW model+base pair; it never mutates this one). */
   def centroidsOf(spark: org.apache.spark.sql.SparkSession,
       root: String): Array[Array[Double]] =
-    spark.read.parquet(s"$root/model")
+    spark.read.parquet(modelPath(root))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
 
@@ -151,13 +186,8 @@ object IvfIndex {
   def create(vectors: DataFrame, root: String, k: Int,
       seed: Long = 42L): Unit = {
     val spark = vectors.sparkSession
-    if (!AtomicStore.isComplete(s"$root/model")) {
-      val withVec = vectors.withColumn("features",
-        array_to_vector(col("embedding").cast("array<double>")))
-      val km = new KMeans().setK(k).setSeed(seed)
-        .setFeaturesCol("features").setPredictionCol("__ignored")
-      writeModel(km.fit(withVec).clusterCenters.map(_.toArray), root, spark)
-    }
+    if (!AtomicStore.isComplete(s"$root/model"))
+      writeModel(fitCentroids(vectors, k, seed), root, spark)
     writeSegment(centroidsOf(spark, root), vectors,
       SegmentedStore.segPath(root, 1))
   }
@@ -220,6 +250,51 @@ object IvfIndex {
   def compactIfDeep(spark: org.apache.spark.sql.SparkSession,
       root: String, maxSegments: Int = 8): Unit =
     if (segmentCount(root) > maxSegments) compact(spark, root): Unit
+
+  /** MODEL REFRESH under distribution drift: re-train the coarse
+    * quantizer on the CURRENT live vectors (tombstoned vectors are
+    * already net-folded out — removals survive the refit) and publish a
+    * re-encoded base at the new model. The drift-recovery path
+    * [[create]]/[[append]] lack: a corpus whose embedding distribution
+    * moved keeps its recall without a from-scratch rebuild.
+    *
+    * Publish discipline: compact to one base at the OLD model, fit, then
+    * write `model{n+1}` BEFORE `base{n+1}` — [[centroidsOf]] resolves
+    * the model matched to the highest LIVE base, so every crash window
+    * serves a consistent (model, encoding) pair; the final cleanup
+    * drops the superseded base and stale refit models. Deterministic:
+    * an UNdrifted corpus re-fits to the identical centroids (fixed
+    * seed, same input), so search is probe-identical across a
+    * no-op refit. */
+  def refit(spark: org.apache.spark.sql.SparkSession, root: String,
+      seed: Long = 42L): Unit = {
+    compact(spark, root): Unit
+    val old = SegmentedStore.liveEntries(root)
+    require(old.nonEmpty, s"no IVF index under $root — create() first")
+    val k = centroidsOf(spark, root).length
+    val vectors = SegmentedStore.readFolded(spark, old)
+      .drop("sign").drop("list_id")
+    val centers = fitCentroids(vectors, k, seed)
+    val n = SegmentedStore.nextN(root)
+    AtomicStore.materialize(f"$root%s/model$n%05d") { tmp =>
+      import spark.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("centroid_id", "centroid")
+        .coalesce(1).write.parquet(tmp)
+    }: Unit
+    AtomicStore.materialize(SegmentedStore.basePath(root, n)) { tmp =>
+      SegmentedStore.writePartitioned(
+        assignWith(centers, vectors).withColumn("sign", lit(1)),
+        tmp, "list_id")
+    }: Unit
+    // cleanup: superseded bases/segments and stale refit models below n
+    SegmentedStore.bases(root).filter(_ < n).foreach { b =>
+      AtomicStore.delete(SegmentedStore.basePath(root, b))
+      AtomicStore.delete(f"$root%s/model$b%05d")
+    }
+    SegmentedStore.segments(root).filter(_ < n).foreach(s =>
+      AtomicStore.delete(SegmentedStore.segPath(root, s)))
+  }
 
   /** Exact-cosine top-k over the `nProbe` nearest posting lists. */
   def search(m: Model, probeId: Long, k: Int, nProbe: Int): DataFrame = {

@@ -126,6 +126,17 @@ object IvfPq {
   private def writeSigned(vectors: DataFrame, root: String,
       sign: Int): Int = {
     val spark = vectors.sparkSession
+    // the COMPONENT stores ingest the batch too (round 11): they stay
+    // independently probe-able, and the IVF sub-store's segments keep
+    // carrying the full live vectors — what makes [[refit]] self-
+    // sufficient from the artifact alone
+    if (sign > 0) {
+      IvfIndex.append(vectors, s"$root/ivf"): Unit
+      PqIndex.append(vectors, s"$root/pq"): Unit
+    } else {
+      IvfIndex.remove(vectors, s"$root/ivf"): Unit
+      PqIndex.remove(vectors, s"$root/pq"): Unit
+    }
     val n = SegmentedStore.nextN(root)
     AtomicStore.materialize(SegmentedStore.segPath(root, n)) { tmp =>
       SegmentedStore.writePartitioned(
@@ -164,6 +175,40 @@ object IvfPq {
   def compactIfDeep(spark: SparkSession, root: String,
       maxSegments: Int = 8): Unit =
     if (segmentCount(root) > maxSegments) compact(spark, root): Unit
+
+  /** MODEL REFRESH under drift for the composed index. The live corpus
+    * comes from the IVF sub-store's own artifact (its segments carry
+    * the full embeddings, tombstones already net-folded out — removals
+    * survive the refit), so no external table is needed: both component
+    * quantizers re-fit on it ([[IvfIndex.refit]] / [[PqIndex.refit]],
+    * each crash-consistent via the base-matched model rule), then the
+    * composed list-tagged codes re-encode into a fresh base.
+    *
+    * The three publishes are individually atomic but not jointly: a
+    * crash between them can leave the composed codes one model behind,
+    * which degrades candidate RECALL until refit is re-run — never the
+    * reported similarities (the exact rerank reads true embeddings).
+    * Re-running refit converges (idempotent publishes). */
+  def refit(spark: SparkSession, root: String, seed: Long = 42L): Unit = {
+    require(SegmentedStore.liveEntries(root).nonEmpty,
+      s"no IVF+PQ index under $root — create() first")
+    IvfIndex.refit(spark, s"$root/ivf", seed)
+    val vectors = IvfIndex.readIndex(spark, s"$root/ivf")
+      .assigned.drop("list_id")
+    PqIndex.refit(vectors, s"$root/pq", seed)
+    compact(spark, root): Unit
+    val n = SegmentedStore.nextN(root)
+    AtomicStore.materialize(SegmentedStore.basePath(root, n)) { tmp =>
+      SegmentedStore.writePartitioned(
+        codesWith(IvfIndex.centroidsOf(spark, s"$root/ivf"),
+          PqIndex.booksOf(spark, s"$root/pq"), vectors)
+          .withColumn("sign", lit(1)), tmp, "list_id")
+    }: Unit
+    SegmentedStore.bases(root).filter(_ < n).foreach(b =>
+      AtomicStore.delete(SegmentedStore.basePath(root, b)))
+    SegmentedStore.segments(root).filter(_ < n).foreach(s =>
+      AtomicStore.delete(SegmentedStore.segPath(root, s)))
+  }
 
   /** Search: rank the `k` coarse centroids against the probe driver-side,
     * ADC-scan ONLY the `nProbe` nearest lists' codes (partition-pruned),

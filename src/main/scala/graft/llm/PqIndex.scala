@@ -50,8 +50,10 @@ object PqIndex {
   }
 
   /** The per-subspace k-means fits alone (no encode). */
-  private def fitBooks(vectors: DataFrame,
+  private def fitBooks(vectors0: DataFrame,
       seed: Long): Array[Array[Array[Double]]] = {
+    // content-deterministic fit input — see [[IvfIndex.canonicalFit]]
+    val vectors = IvfIndex.canonicalFit(vectors0)
     val books = Array.ofDim[Array[Array[Double]]](M)
     (0 until M).foreach { m =>
       val sub = vectors.withColumn("__sub",
@@ -141,11 +143,13 @@ object PqIndex {
   }
 
   /** The persisted codebooks — the IMMUTABLE part of an appendable
-    * index: append encodes against these, never re-fits. */
+    * index: append encodes against these, never re-fits (a [[refit]]
+    * publishes a NEW model+base pair; resolution follows
+    * [[IvfIndex.modelPath]]'s base-matched rule). */
   def booksOf(spark: SparkSession,
       root: String): Array[Array[Array[Double]]] = {
     val books = Array.fill(M)(Array.ofDim[Array[Double]](K))
-    spark.read.parquet(s"$root/model").collect().foreach { r =>
+    spark.read.parquet(IvfIndex.modelPath(root)).collect().foreach { r =>
       books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
     books
@@ -209,6 +213,42 @@ object PqIndex {
   def compactIfDeep(spark: SparkSession, root: String,
       maxSegments: Int = 8): Unit =
     if (segmentCount(root) > maxSegments) compact(spark, root): Unit
+
+  /** MODEL REFRESH under drift — the PQ twin of [[IvfIndex.refit]].
+    * PQ segments store CODES, not vectors, so the caller passes the
+    * current live corpus (the same external vectors table [[search]]'s
+    * rerank reads); the new codebooks fit on it and the whole index
+    * re-encodes into a fresh base. Removed vectors must not be in
+    * `vectors` — they were net-folded out of the old index and simply
+    * never re-enter. Same crash-consistent model{n}/base{n} pairing as
+    * the IVF refit; an UNdrifted corpus re-fits to identical codebooks
+    * (fixed seed), so search is probe-identical across a no-op refit. */
+  def refit(vectors: DataFrame, root: String, seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    require(SegmentedStore.liveEntries(root).nonEmpty,
+      s"no PQ index under $root — create() first")
+    compact(spark, root): Unit
+    val books = fitBooks(vectors, seed)
+    val n = SegmentedStore.nextN(root)
+    AtomicStore.materialize(f"$root%s/model$n%05d") { tmp =>
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (c, k) => (sub, k, c.toSeq) }
+      }.toSeq.toDF("sub", "centroid_id", "centroid")
+        .coalesce(1).write.parquet(tmp)
+    }: Unit
+    AtomicStore.materialize(SegmentedStore.basePath(root, n)) { tmp =>
+      encodeWith(books, vectors).withColumn("sign", lit(1))
+        .write.parquet(tmp)
+    }: Unit
+    SegmentedStore.bases(root).filter(_ < n).foreach { b =>
+      AtomicStore.delete(SegmentedStore.basePath(root, b))
+      AtomicStore.delete(f"$root%s/model$b%05d")
+    }
+    // pre-refit segments are superseded by the re-encoded base
+    SegmentedStore.segments(root).filter(_ < n).foreach(s =>
+      AtomicStore.delete(SegmentedStore.segPath(root, s)))
+  }
 
   /** The approximate-cosine ADC scoring column over a `code` array column:
     * per-subspace lookup tables computed once driver-side (`M×K` entries,

@@ -94,4 +94,42 @@ class IvfPqSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
       s"expected list_id partition pruning in:\n$plan")
   }
+
+  test("refit: the composed index re-trains both quantizers on its own " +
+      "live vectors and lands on the fresh-build model") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val half = vecs.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "ivfpq_refit_test")
+    rmTree(root)
+    IvfPq.create(half, root.toString, k = 8)
+    val before = IvfPq.search(IvfPq.readIndex(spark, root.toString),
+      half, 2L, 10, nProbe = 4).select("vec_id").as[Long].collect().toSeq
+    // UNDRIFTED refit is probe-identical (no external table needed —
+    // the IVF sub-store carries the live vectors)
+    IvfPq.refit(spark, root.toString)
+    assert(IvfPq.search(IvfPq.readIndex(spark, root.toString),
+      half, 2L, 10, nProbe = 4).select("vec_id").as[Long].collect()
+      .toSeq === before)
+    // DRIFT arrives through the append path (which now keeps the
+    // component stores in lockstep — refit reads live vectors from
+    // the IVF sub-store's own segments)
+    val drifted = vecs.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("embedding", reverse(col("embedding")))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    IvfPq.append(drifted, root.toString): Unit
+    val live = half.unionByName(drifted)
+    IvfPq.refit(spark, root.toString)
+    val idx = IvfPq.readIndex(spark, root.toString)
+    val fresh = IvfPq.build(live, k = 8)
+    assert(idx.centroids.map(_.toSeq).toSeq ===
+      fresh.centroids.map(_.toSeq).toSeq)
+    assert(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      fresh.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val probeId = drifted.select("vec_id").as[Long].head()
+    assert(IvfPq.search(idx, live, probeId, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq ===
+      IvfPq.search(fresh, live, probeId, 10, nProbe = 4)
+        .select("vec_id").as[Long].collect().toSeq)
+  }
 }

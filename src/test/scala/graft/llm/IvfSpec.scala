@@ -103,4 +103,66 @@ class IvfSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(afterCompact === expected)
   }
+
+  test("refit: an undrifted refit is probe-identical; a drifted refit " +
+      "recovers recall to the fresh-build model, tombstones preserved") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val half = vecs.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "ivf_refit_test")
+    rmTree(root)
+    IvfIndex.create(half, root.toString, k = 8)
+    val before = IvfIndex.search(
+      IvfIndex.readIndex(spark, root.toString), 2L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    // UNDRIFTED refit: same live content ⇒ same (canonicalized, seeded)
+    // fit ⇒ identical centroids ⇒ probe-identical search
+    IvfIndex.refit(spark, root.toString)
+    val after = IvfIndex.search(
+      IvfIndex.readIndex(spark, root.toString), 2L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(after === before)
+    // remove a slice, then refit again — the refit re-trains on the
+    // survivors only and must not resurrect the removed vectors
+    IvfIndex.remove(half.filter(pmod(col("vec_id"), lit(8)) === 0),
+      root.toString): Unit
+    IvfIndex.refit(spark, root.toString)
+    assert(IvfIndex.search(IvfIndex.readIndex(spark, root.toString),
+      2L, 1000, nProbe = 8).select("vec_id").as[Long].collect()
+      .forall(_ % 8 != 0), "refit resurrected a removed vector")
+    // DRIFT: a second population the original centroids never saw
+    // (reversed embeddings, disjoint ids) arrives by append
+    val drifted = vecs.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("embedding", reverse(col("embedding")))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    IvfIndex.append(drifted, root.toString): Unit
+    val live = half.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      .unionByName(drifted)
+    val probeId = drifted.select("vec_id").as[Long].head()
+    val exact = EmbeddingOps.cosineTopK(live, probeId, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recallAt(m: IvfIndex.Model): Double =
+      exact.intersect(IvfIndex.search(m, probeId, 10, nProbe = 4)
+        .select("vec_id").as[Long].collect().toSet).size.toDouble / exact.size
+    val preRecall = recallAt(IvfIndex.readIndex(spark, root.toString))
+    // refit re-trains on the CURRENT live corpus and re-encodes
+    IvfIndex.refit(spark, root.toString)
+    val postIdx = IvfIndex.readIndex(spark, root.toString)
+    val postRecall = recallAt(postIdx)
+    // fresh build on the same live corpus: the bar refit must meet
+    val fresh = IvfIndex.build(live, k = 8)
+    assert(postRecall >= recallAt(fresh) - 1e-9,
+      s"post-refit recall $postRecall < fresh-build ${recallAt(fresh)}")
+    assert(postRecall >= preRecall - 1e-9,
+      s"refit reduced recall: $preRecall -> $postRecall")
+    // strongest form: the refitted model IS the fresh-build model
+    assert(postIdx.centroids.map(_.toSeq).toSeq ===
+      fresh.centroids.map(_.toSeq).toSeq)
+    // appends after the refit encode at the NEW model
+    IvfIndex.append(drifted.limit(0), root.toString): Unit
+    assert(IvfIndex.search(IvfIndex.readIndex(spark, root.toString),
+      probeId, 10, nProbe = 4).select("vec_id").as[Long].collect().toSet
+      === IvfIndex.search(fresh, probeId, 10, nProbe = 4)
+        .select("vec_id").as[Long].collect().toSet)
+  }
 }

@@ -103,4 +103,38 @@ class PqSpec extends SparkSpec {
     assert(PqIndex.search(PqIndex.readIndex(spark, root.toString),
       vecs, 0L, 10).select("vec_id").as[Long].collect().toSeq === expected)
   }
+
+  test("refit: undrifted refit probe-identical; drifted refit lands on " +
+      "the fresh-build codebooks") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val half = vecs.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "pq_refit_test")
+    rmTree(root)
+    PqIndex.create(half, root.toString)
+    val before = PqIndex.search(PqIndex.readIndex(spark, root.toString),
+      half, 2L, 10).select("vec_id").as[Long].collect().toSeq
+    // UNDRIFTED: same corpus ⇒ same canonicalized seeded fit ⇒ identical
+    // codebooks ⇒ probe-identical
+    PqIndex.refit(half, root.toString)
+    assert(PqIndex.search(PqIndex.readIndex(spark, root.toString),
+      half, 2L, 10).select("vec_id").as[Long].collect().toSeq === before)
+    // DRIFT: a reversed-embedding population arrives; refit on the new
+    // live corpus must land on exactly the fresh-build codebooks
+    val drifted = vecs.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("embedding", reverse(col("embedding")))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    PqIndex.append(drifted, root.toString): Unit
+    val live = half.unionByName(drifted)
+    PqIndex.refit(live, root.toString)
+    val idx = PqIndex.readIndex(spark, root.toString)
+    val fresh = PqIndex.build(live)
+    assert(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      fresh.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val probeId = drifted.select("vec_id").as[Long].head()
+    assert(PqIndex.search(idx, live, probeId, 10)
+      .select("vec_id").as[Long].collect().toSeq ===
+      PqIndex.search(fresh, live, probeId, 10)
+        .select("vec_id").as[Long].collect().toSeq)
+  }
 }
