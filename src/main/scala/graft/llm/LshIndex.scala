@@ -126,6 +126,12 @@ object LshIndex {
     graft.sources.SegmentedStore.readFolded(spark, live, name).drop("sign")
   }
 
+  /** The doc_ids currently indexed (live net fold — a removed doc is
+    * absent, so it can re-enter) — the streaming ingest sink's
+    * presence screen ([[graft.streaming.StreamOps.lshIndexSink]]). */
+  def indexedIds(spark: SparkSession, root: String): DataFrame =
+    readAll(spark, root, "sigs").select("doc_id").distinct()
+
   /** Fold every live entry into ONE new base, then drop the superseded
     * entries — the index's vacuum, [[graft.rdf.EncodedMirror.compact]]'s
     * publish-then-drop discipline. Probe results are identical before

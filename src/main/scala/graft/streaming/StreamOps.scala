@@ -455,6 +455,53 @@ object StreamOps extends QueryModule {
         graft.rdf.EncodedMirror.compact(spark, mirrorRoot): Unit
     }
 
+  /** foreachBatch sink for CONTINUOUS EMBEDDING INGEST into a persisted
+    * IVF ANN index ([[graft.llm.IvfIndex.create]] must have run once —
+    * the quantizer is ingest-time state, exactly like the quad sink's
+    * init()). Exactly-once the same way [[quadStoreSink]] is: delivery
+    * is at-least-once, but the batch is presence-screened by `vec_id`
+    * against the live index (ONE scan-only probe of the id column
+    * against the BROADCAST batch — the store never shuffles), so a
+    * replayed or duplicate micro-batch appends nothing and an empty one
+    * writes no segment at all. `compactIfDeep` bounds the read-side
+    * fold on the same cadence. Usage:
+    * `stream.writeStream.foreachBatch(StreamOps.ivfIndexSink(root))`. */
+  def ivfIndexSink(root: String, maxSegments: Int = 8)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => {
+      val spark = batch.sparkSession
+      val block = batch.toDF().distinct()
+      val present = graft.llm.IvfIndex.readIndex(spark, root).assigned
+        .select("vec_id")
+        .join(org.apache.spark.sql.functions.broadcast(
+          block.select("vec_id")), Seq("vec_id"), "left_semi")
+      val fresh = block.join(present, Seq("vec_id"), "left_anti")
+      if (!fresh.isEmpty) {
+        graft.llm.IvfIndex.append(fresh, root): Unit
+        graft.llm.IvfIndex.compactIfDeep(spark, root, maxSegments)
+      }
+    }
+
+  /** The LSH near-dup twin of [[ivfIndexSink]]: a document stream
+    * (doc_id, text) lands in a persisted [[graft.llm.LshIndex]] one
+    * screened segment per micro-batch ([[graft.llm.LshIndex.build]]
+    * must have run once), replays and duplicates append nothing, and
+    * compaction bounds the probe fold. */
+  def lshIndexSink(root: String, maxSegments: Int = 8)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => {
+      val spark = batch.sparkSession
+      val block = batch.toDF().distinct()
+      val present = graft.llm.LshIndex.indexedIds(spark, root)
+        .join(org.apache.spark.sql.functions.broadcast(
+          block.select("doc_id")), Seq("doc_id"), "left_semi")
+      val fresh = block.join(present, Seq("doc_id"), "left_anti")
+      if (!fresh.isEmpty) {
+        graft.llm.LshIndex.append(fresh, root): Unit
+        graft.llm.LshIndex.compactIfDeep(spark, root, maxSegments): Unit
+      }
+    }
+
   /** Publish one micro-batch as an immutable AtomicStore snapshot keyed by
     * batch id. foreachBatch delivery is AT-LEAST-once: on failure replay
     * Structured Streaming re-runs a batch with the SAME id, and

@@ -434,4 +434,94 @@ class StreamingSpec extends SparkSpec {
       assert(batch.exceptAll(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("embedding stream ingests into the persisted IVF index exactly " +
+      "once: replay, duplicate and empty batches append nothing; final " +
+      "index probe-identical to a one-shot build") {
+    import graft.llm.IvfIndex
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "ivf_stream_sink_test")
+    rmTree(root)
+    // the quantizer is ingest-time state: create on the first half
+    IvfIndex.create(vecs.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .limit(1000000), root.toString, k = 8)
+    val segsAfterCreate = IvfIndex.segmentCount(root.toString)
+    val rest = vecs.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val q = mem.toDF().toDF("vec_id", "embedding", "label").writeStream
+      .foreachBatch(StreamOps.ivfIndexSink(root.toString, maxSegments = 8))
+      .start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      // DUPLICATE micro-batch: same rows again — the presence screen
+      // must append nothing
+      val before = IvfIndex.segmentCount(root.toString)
+      mem.addData(b1); q.processAllAvailable()
+      assert(IvfIndex.segmentCount(root.toString) === before,
+        "a duplicate micro-batch appended a segment")
+    } finally q.stop()
+    // EMPTY micro-batch through the same hook: no segment either
+    val before2 = IvfIndex.segmentCount(root.toString)
+    StreamOps.ivfIndexSink(root.toString)(
+      vecs.filter(lit(false)).select("vec_id", "embedding", "label"), 99L)
+    assert(IvfIndex.segmentCount(root.toString) === before2)
+    // stream ingest ≡ one-shot encode of the full corpus at the model
+    val idx = IvfIndex.readIndex(spark, root.toString)
+    val oneShot = IvfIndex.assignWith(idx.centroids, vecs)
+      .select("vec_id", "list_id")
+    assert(idx.assigned.select("vec_id", "list_id")
+      .exceptAll(oneShot).isEmpty)
+    assert(oneShot.exceptAll(
+      idx.assigned.select("vec_id", "list_id")).isEmpty)
+    assert(IvfIndex.search(idx, 0L, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq ===
+      IvfIndex.search(IvfIndex.Model(idx.centroids,
+          IvfIndex.assignWith(idx.centroids, vecs)), 0L, 10, nProbe = 4)
+        .select("vec_id").as[Long].collect().toSeq)
+    assert(segsAfterCreate === 1)
+  }
+
+  test("document stream ingests into the persisted LSH index exactly " +
+      "once and probes like a one-shot build") {
+    import graft.llm.LshIndex
+    implicit val sqlCtx = spark.sqlContext
+    def variant(i: Int): String =
+      (Seq.fill(30)("lorem ipsum dolor sit amet") :+ s"tail $i")
+        .mkString(" ")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "lsh_stream_sink_test").toString
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    LshIndex.build(Seq((1L, variant(1))).toDF("doc_id", "text"), root)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamOps.lshIndexSink(root, maxSegments = 8))
+      .start()
+    try {
+      mem.addData((2L, variant(2))); q.processAllAvailable()
+      mem.addData((3L, variant(3))); q.processAllAvailable()
+      // duplicate delivery of doc 2: screened out, no new segment
+      val before = LshIndex.segmentCount(root)
+      mem.addData((2L, variant(2))); q.processAllAvailable()
+      assert(LshIndex.segmentCount(root) === before)
+    } finally q.stop()
+    // the streamed index probes identically to a one-shot build
+    val probe = Seq((99L, variant(1))).toDF("doc_id", "text")
+    val got = LshIndex.probe(spark, root, probe, minEst = 0.5)
+      .select("corpus_id").as[Long].collect().toSet
+    val oneRoot = new java.io.File(sys.props("java.io.tmpdir"),
+      "lsh_stream_oneshot_test").toString
+    new scala.reflect.io.Directory(new java.io.File(oneRoot))
+      .deleteRecursively()
+    LshIndex.build((1 to 3).map(i => (i.toLong, variant(i)))
+      .toDF("doc_id", "text"), oneRoot)
+    val expected = LshIndex.probe(spark, oneRoot, probe, minEst = 0.5)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(got === expected && got === Set(1L, 2L, 3L))
+  }
 }
