@@ -52,7 +52,10 @@ object ScaleCurve {
     "q_sim_ivf_append", "q_sim_ivfpq_append", "q_text_bm25_indexed",
     "q_bgp_view_path_seq",
     // round-10: the general path-expression view
-    "q_bgp_view_path_expr")
+    "q_bgp_view_path_expr",
+    // round-11: the filtered maintained view and the nested-closure
+    // path view
+    "q_bgp_view_filtered", "q_bgp_view_path_nested")
 
   /** The sf0.1→sf1 decade (round-10): the 0.01→0.1 decade cannot expose
     * superlinearity that only bites past the small-SF noise floor, so
@@ -62,7 +65,12 @@ object ScaleCurve {
   val sf1Keys: Seq[String] = Seq(
     "q_dict_encode", "q_dedup_minhash", "q_dedup_span_hashed",
     "q_dedup_ngram", "q_graph_cc", "q_graph_triangles", "q_graph_kcore",
-    "q_graph_sssp", "q_sparql_path", "q_tpch_q9")
+    "q_graph_sssp", "q_sparql_path", "q_tpch_q9",
+    // round-11: the lifecycle keys — the flat-slope (fixed-overhead)
+    // claim for view syncs and the entailment fixpoint was previously
+    // proven only on 0.01→0.1; grade it on the honest decade too
+    "q_bgp_view_path_seq", "q_bgp_view_path_expr", "q_bgp_agg_minmax",
+    "q_owl_class")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("SCALING.md")
