@@ -370,14 +370,18 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+    // SEMI-NAIVE frontier: only labels that CHANGED last round can lower
+    // a neighbor this round (a y whose label was already L when round
+    // k-1 ran has already pushed L to every neighbor), so the per-round
+    // propagation join shrinks with the frontier instead of rescanning
+    // every label. Round 0's frontier is every node.
+    var frontier = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst")
-          .withColumnRenamed("label", "nlabel"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nlabel")).as("minNeighbor"))
+      val cand = edges
+        .join(frontier.select(col("doc_id").as("dst"), col("label")), "dst")
+        .select(col("src").as("doc_id"), col("label"))
       // EAGER full materialization ([[graft.Materialize]]), not a lazy
       // persist: a convergence probe that early-exits (limit 1) would
       // compute only SOME partitions of a lazily-cached round frame, and
@@ -385,24 +389,35 @@ object Dedup {
       // through the whole chain of earlier rounds — superlinear recompute
       // that turned this loop pathological at 165k nodes. Materialize
       // computes every partition once and truncates lineage, so each
-      // round costs exactly its own two shuffles.
+      // round costs exactly its own shuffles.
+      //
+      // ONE aggregate computes the new label AND the change flag: the
+      // node's own row rides the union (tagged), so the old shape's
+      // third exchange — joining the neighbor minima back against the
+      // old labels — is gone (2 exchanges per round instead of 3).
       // (measured alternatives at sf0.1, both slower: pre-partitioning
       // edges on dst adds a shuffle AQE's exchange reuse already covers;
       // pointer-jump shortcutting halves rounds but the per-round label
       // self-join costs more than the rounds it saves at these diameters
       // — revisit only for high-diameter graphs)
-      val updated = graft.Materialize(
-        labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"),
-            (coalesce(col("minNeighbor"), col("label")) < col("label")).as("__changed")))
-      val changed = updated.filter(col("__changed")).limit(1).count()
+      // [[graft.Materialize.probed]]: the checkpoint job doubles as the
+      // convergence probe — one scheduler job per round instead of two
+      val (updated, changed) = graft.Materialize.probed(
+        labels.select(col("doc_id"), col("label"), lit(true).as("__own"))
+          .unionByName(cand.withColumn("__own", lit(false)))
+          .groupBy("doc_id")
+          .agg(min(col("label")).as("label"),
+            min(when(col("__own"), col("label"))).as("__old"))
+          .select(col("doc_id"), col("label"),
+            (col("label") < col("__old")).as("__changed")),
+        col("__changed"))
       // the superseded round's checkpoint blocks are dead once `updated`
       // is materialized — release them, or a long-converging run holds
       // every round's labels on executors simultaneously (round 0's
       // labels frame isn't checkpointed, so this is a no-op there)
       graft.Materialize.release(labels)
       labels = updated
+      frontier = updated.filter(col("__changed"))
       converged = changed == 0
       i += 1
     }

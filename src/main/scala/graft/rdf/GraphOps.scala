@@ -88,20 +88,22 @@ object GraphOps extends QueryModule {
     var dist = graft.Materialize(
       Seq((source, 0)).toDF("node", "dist"))
     var frontier = dist
+    var frontierEmpty = false
     var d = 0
-    while (d < maxDepth && !frontier.isEmpty) {
+    while (d < maxDepth && !frontierEmpty) {
       d += 1
       val next = frontier.join(und, frontier("node") === und("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
-      val f2 = graft.Materialize(next)
+      // counted(): checkpoint + emptiness probe in ONE scheduler job;
       // `dist` stays a LAZY union of materialized per-round frontiers —
       // every leaf is checkpointed, so the anti-join above scans blocks
-      // with no recompute, and each round saves one eager job (the
-      // dominant fixed cost at gate scale)
+      // with no recompute
+      val (f2, n) = graft.Materialize.counted(next)
       frontier = f2
-      dist = dist.unionByName(f2)
+      frontierEmpty = n == 0L
+      if (n > 0) dist = dist.unionByName(f2)
     }
     und.unpersist()
     dist
@@ -144,18 +146,19 @@ object GraphOps extends QueryModule {
     * Determinism: membership of the k-core is unique (the fixpoint does
     * not depend on peel order), so partitioning can't perturb it. */
   def kcore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
-    var e = graft.Materialize(edges.select(col("src"), col("dst")))
-    var m = e.count()
+    // counted(): each round's checkpoint job doubles as its edge count —
+    // one scheduler job per round instead of two
+    var (e, m) = graft.Materialize.counted(
+      edges.select(col("src"), col("dst")))
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      val next = graft.Materialize(
+      val (next, m2) = graft.Materialize.counted(
         e.join(keep, Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
           .select(col("src"), col("dst")))
-      val m2 = next.count()
       graft.Materialize.release(e)
       e = next
       stable = m2 == m

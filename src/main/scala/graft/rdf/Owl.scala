@@ -190,23 +190,29 @@ object Owl {
     // an input without declared sameAs skips the initial clique pass
     // entirely (the common case — aliases usually arrive DERIVED, from
     // the functional rules, not declared)
-    var cur = graft.Materialize(
+    // counted(): the materialize job doubles as the row count — one
+    // scheduler job, not two (see Materialize.probed)
+    var (cur, n) = graft.Materialize.counted(
       if (triples.filter(col("p") === sameAsPred).isEmpty)
         triples.select("s", "p", "o").distinct()
       else sameAsCanonical(triples, sameAsPred))
-    var n = cur.count()
     var round = 0
     while (true) {
       require(round < maxRounds,
         s"OWL class entailment did not converge in $maxRounds rounds — " +
           "the ontology's rule-dependency depth exceeds the bound")
-      val expanded = expandClassRules(cur, cs)
+      // materialize the expansion ONCE: the merge probe, the
+      // canonicalization's data side AND its pair derivation all read
+      // it — lazily it would be recomputed up to three times per round
+      val (expanded, nExp) = graft.Materialize.counted(
+        expandClassRules(cur, cs))
       val pairs = functionalPairs(expanded, cs)
       val merged = pairs.limit(1).count() > 0
-      val next = graft.Materialize(
-        if (merged) canonicalizeBy(expanded, pairs) else expanded)
-      val n2 = next.count()
+      val (next, n2) =
+        if (merged) graft.Materialize.counted(canonicalizeBy(expanded, pairs))
+        else (expanded, nExp)
       graft.Materialize.release(cur)
+      if (merged) graft.Materialize.release(expanded)
       // expansion includes identity, so without a merge cur ⊆ next and
       // count equality IS set equality; a merge round is never final
       if (!merged && n2 == n) return next

@@ -93,27 +93,31 @@ object Paths {
       // is checkpointed, so consumers scan ≤maxIter block sets with no
       // recompute — re-checkpointing the accumulated union each round
       // (the previous shape) paid one extra eager job per round, the
-      // dominant fixed cost of every lifecycle sync at gate scale
-      var all = graft.Materialize(init(e))
+      // dominant fixed cost of every lifecycle sync at gate scale.
+      // [[graft.Materialize.counted]] fuses each round's checkpoint with
+      // its emptiness probe — one scheduler job per round, not two.
+      var (all, n0) = graft.Materialize.counted(init(e))
       var delta = all
+      var deltaEmpty = n0 == 0L
       var i = 0
-      while (i < maxIter && !delta.isEmpty) {
+      while (i < maxIter && !deltaEmpty) {
         val joinCond = keys.map(k => col(s"d.$k") === col(s"e.$k"))
           .foldLeft(col("d.dst") === col("e.src"))(_ && _)
-        val next = delta.as("d").join(e.as("e"), joinCond)
-          .select(keys.map(k => col(s"d.$k").as(k)) ++
-            Seq(col("d.src").as("src"), col("e.dst").as("dst")): _*)
-          .distinct()
-          // only genuinely new pairs survive into the next frontier
-          .join(all, cols, "left_anti")
-          .transform(graft.Materialize.apply)
-        if (!next.isEmpty) all = all.unionByName(next)
+        val (next, n) = graft.Materialize.counted(
+          delta.as("d").join(e.as("e"), joinCond)
+            .select(keys.map(k => col(s"d.$k").as(k)) ++
+              Seq(col("d.src").as("src"), col("e.dst").as("dst")): _*)
+            .distinct()
+            // only genuinely new pairs survive into the next frontier
+            .join(all, cols, "left_anti"))
+        if (n > 0) all = all.unionByName(next)
         delta = next
+        deltaEmpty = n == 0L
         i += 1
       }
       e.unpersist()
       // silent truncation would return a subset that LOOKS complete
-      require(delta.isEmpty,
+      require(deltaEmpty,
         s"transitive closure did not converge in $maxIter rounds — " +
           "raise maxIter (a path is longer than it)")
       all
@@ -221,19 +225,22 @@ object Paths {
             .distinct()
         }
         // `red` accumulates as a LAZY union of materialized frontiers
-        // (each leaf checkpointed — no recompute, and one fewer eager
-        // job per round; see closure())
-        var red = graft.Materialize(witnessed(over, kept))
+        // (each leaf checkpointed — no recompute); [[graft.Materialize
+        // .counted]] fuses each round's checkpoint with its emptiness
+        // probe — one scheduler job per round, not two
+        var (red, nRed) = graft.Materialize.counted(witnessed(over, kept))
         var frontier = red
+        var frontierEmpty = nRed == 0L
         var i = 0
-        while (i < maxIter && !frontier.isEmpty) {
+        while (i < maxIter && !frontierEmpty) {
           val cand = over.join(red, cols, "left_anti")
-          val next = graft.Materialize(witnessed(cand, frontier))
-          if (!next.isEmpty) red = red.unionByName(next)
+          val (next, n) = graft.Materialize.counted(witnessed(cand, frontier))
+          if (n > 0) red = red.unionByName(next)
           frontier = next
+          frontierEmpty = n == 0L
           i += 1
         }
-        require(frontier.isEmpty,
+        require(frontierEmpty,
           s"closure re-derivation did not converge in $maxIter rounds — " +
             "raise maxIter (the affected region is deeper than it)")
         pairDels = graft.Materialize(over.join(red, cols, "left_anti"))
@@ -255,14 +262,15 @@ object Paths {
             .select(col("src"), col("dst").as("m"))
             .join(base.select(col("src").as("m"), col("dst")), Seq("m"))
             .select(cols.map(col): _*)).distinct()
-        // `all` accumulates as a LAZY union of materialized frames (one
-        // fewer eager job per round; see closure())
+        // `all` accumulates as a LAZY union of materialized frames;
+        // counted() fuses each round's checkpoint + emptiness probe
         var all = cur
         val frontiers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        var frontier = graft.Materialize(
+        var (frontier, nFr) = graft.Materialize.counted(
           rightExt(leftExt).join(all, cols, "left_anti"))
+        var frontierEmpty = nFr == 0L
         var i = 0
-        while (i < maxIter && !frontier.isEmpty) {
+        while (i < maxIter && !frontierEmpty) {
           frontiers += frontier
           all = all.unionByName(frontier)
           // paths with one MORE added edge: frontier ∘ adds ∘ (C ∪ id)
@@ -270,12 +278,13 @@ object Paths {
             .join(a.select(col("src").as("m"), col("dst"))
               .hint("broadcast"), Seq("m"))
             .select(cols.map(col): _*)
-          val next = graft.Materialize(
+          val (next, n) = graft.Materialize.counted(
             rightExt(viaAdd).join(all, cols, "left_anti"))
           frontier = next
+          frontierEmpty = n == 0L
           i += 1
         }
-        require(frontier.isEmpty,
+        require(frontierEmpty,
           s"closure extension did not converge in $maxIter rounds — " +
             "raise maxIter (a path crosses more added edges than it)")
         if (frontiers.nonEmpty)
