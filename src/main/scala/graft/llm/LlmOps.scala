@@ -129,10 +129,13 @@ object LlmOps extends QueryModule {
     // make every one of their lines a real cross-doc duplicate.
     "q_dedup_lines" -> ((s, d) => {
       val structured = Tables.documents(s, d).select(col("doc_id"),
-        expr("array_join(transform(" +
-          "sequence(0, (size(split(text, ' ')) - 1) div 10), " +
-          "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' ')" +
-          "), chr(10))").as("text"))
+        // bind the split ONCE (outer single-element transform) — a
+        // slice(split(text), …) per line index re-splits the whole text
+        // per line (quadratic per doc; see TextOps.wordShingles)
+        expr("array_join(flatten(transform(array(split(text, ' ')), ws -> " +
+          "transform(sequence(0, (size(ws) - 1) div 10), " +
+          "i -> array_join(slice(ws, i * 10 + 1, 10), ' ')" +
+          "))), chr(10))").as("text"))
       Dedup.dedupLines(structured).orderBy(col("doc_id"))
     }),
 

@@ -24,9 +24,13 @@ object TextOps {
 
   /** Word k-shingles (distinct) — the unit for MinHash/Jaccard dedup. */
   def wordShingles(k: Int): Column =
-    expr(s"""array_distinct(transform(
-       |  sequence(0, greatest(size(split(text, ' ')) - $k, 0)),
-       |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k))))""".stripMargin)
+    // the outer single-element transform BINDS the split once per row —
+    // slice(split(text), …) inside the position lambda would re-split
+    // the whole text per position (O(words²) per document; measured as
+    // the dominant per-task cost of the span/ngram dedup keys)
+    expr(s"""array_distinct(flatten(transform(array(split(text, ' ')), ws ->
+       |  transform(sequence(0, greatest(size(ws) - $k, 0)),
+       |    i -> concat_ws(' ', slice(ws, i + 1, $k))))))""".stripMargin)
 
   /** Token frequency over a corpus: one explode + one hash aggregate. */
   def termFrequencies(docs: DataFrame): DataFrame =
