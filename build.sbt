@@ -32,3 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // where early spill-to-(fast-local)-disk plus a small GC footprint wins
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// the TEST JVM runs 769 suites' worth of jobs (~120k tasks) against one
+// shared session — headroom matters more than the bench's small-heap GC
+// sweet spot (round 11's driver test run died with a terminated executor
+// pool near the suite's end, the signature of a JVM-side fatal). The
+// LAST -Xmx on the command line wins, so this overrides the 8g above
+// for tests only.
+Test / javaOptions += "-Xmx16g"

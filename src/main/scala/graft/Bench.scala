@@ -112,6 +112,16 @@ object Bench {
     // giant line and fell outside the captured tail)
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
+    // the full queries line above is larger than a bounded tail-capture
+    // window, so a reader that only keeps the tail loses its head. Repeat
+    // the slowest ~40 keys (ms precision, same min-of-samples values, same
+    // key names) in one compact line AFTER the total so per-query data
+    // survives truncation. Purely additive: no key renames, same total.
+    val topJson = results.map { case (k, ts) => k -> ts.min }
+      .sortBy { case (_, v) => -v }.take(40)
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"top","value":$total,"unit":"sec","queries":$topJson,"sf":"$sfDir"}""")
     // the stdout tail keeps ~64 of 200+ keys — the FULL per-query map must
     // survive as a file or a regression is unattributable from the
     // artifact alone (round 7's 3× total scare). Keyed identically to the

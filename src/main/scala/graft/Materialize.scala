@@ -28,25 +28,61 @@ object Materialize {
     * executor-local checkpointing). */
   val DirProp = "graft.checkpoint.dir"
 
-  def apply(df: DataFrame): DataFrame = {
-    // tag the eager job with the real caller — every checkpoint
-    // otherwise profiles as "Materialize.scala", hiding which lifecycle
-    // stage pays the fixed cost (the dominant tax on the IVM keys)
+  /** Tag the eager job with the real caller — every checkpoint otherwise
+    * profiles as "Materialize.scala", hiding which lifecycle stage pays
+    * the fixed cost (the dominant tax on the IVM keys). Shared by every
+    * entry point so the tagging and dir-install logic cannot drift. */
+  private def tagged[A](df: DataFrame, what: String)(f: => A): A = {
     val sc = df.sparkSession.sparkContext
     val caller = Thread.currentThread.getStackTrace
       .find(e => e.getClassName.startsWith("graft.") &&
         !e.getClassName.contains("Materialize"))
-      .map(e => s"materialize at ${e.getFileName}:${e.getLineNumber}")
+      .map(e => s"$what at ${e.getFileName}:${e.getLineNumber}")
     caller.foreach(sc.setCallSite)
-    try df.sparkSession.conf.getOption(DirProp).filter(_.nonEmpty) match {
+    try f finally caller.foreach(_ => sc.clearCallSite())
+  }
+
+  /** Mark a LAZY checkpoint in the session's configured mode (nothing
+    * runs yet). In reliable-dir mode the marked RDD is additionally
+    * persisted so the caller's probe pass and the checkpoint-file write
+    * job read ONE computation — without it ReliableRDDCheckpointData
+    * recomputes the plan for the file write, and a non-deterministic
+    * plan could checkpoint rows the probe never saw. */
+  private def lazyCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    df.sparkSession.conf.getOption(DirProp).filter(_.nonEmpty) match {
       case Some(dir) =>
         // setCheckpointDir appends a per-install UUID subdir; only
         // (re)install when the configured root actually changed
         if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
           sc.setCheckpointDir(dir)
+        val ck = df.checkpoint(eager = false)
+        rddOf(ck).foreach(_.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        ck
+      case None => df.localCheckpoint(eager = false)
+    }
+  }
+
+  /** The internal RDD a checkpointed Dataset wraps (its logical plan is
+    * a LogicalRDD leaf by construction). */
+  private def rddOf(ck: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]] =
+    ck.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  def apply(df: DataFrame): DataFrame = tagged(df, "materialize") {
+    df.sparkSession.conf.getOption(DirProp).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
-    } finally caller.foreach(_ => sc.clearCallSite())
+    }
   }
 
   /** [[apply]] fused with a row-count probe in ONE scheduler job: the
@@ -61,35 +97,52 @@ object Materialize {
     *
     * The probe aggregate consumes every row of every partition, so the
     * localCheckpoint/checkpoint cache is complete after it — identical
-    * post-state to [[apply]]. */
+    * post-state to [[apply]]. (Reliable-dir mode persists the marked RDD
+    * first, so the deferred checkpoint-file write job re-reads the same
+    * cached computation the probe counted — see [[lazyCheckpoint]].) */
   def probed(df: DataFrame,
       pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
     import org.apache.spark.sql.functions.{sum, when}
-    val sc = df.sparkSession.sparkContext
-    val caller = Thread.currentThread.getStackTrace
-      .find(e => e.getClassName.startsWith("graft.") &&
-        !e.getClassName.contains("Materialize"))
-      .map(e => s"materialize+probe at ${e.getFileName}:${e.getLineNumber}")
-    caller.foreach(sc.setCallSite)
-    try {
-      val ck = df.sparkSession.conf.getOption(DirProp)
-        .filter(_.nonEmpty) match {
-        case Some(dir) =>
-          if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-            sc.setCheckpointDir(dir)
-          df.checkpoint(eager = false)
-        case None => df.localCheckpoint(eager = false)
-      }
+    tagged(df, "materialize+probe") {
+      val ck = lazyCheckpoint(df)
       val row = ck.agg(sum(when(pred, 1L).otherwise(0L))).first()
       (ck, if (row.isNullAt(0)) 0L else row.getLong(0))
-    } finally caller.foreach(_ => sc.clearCallSite())
+    }
+  }
+
+  /** [[probed]] with TWO predicates in the same single pass — one
+    * scheduler job materializes the blocks and returns both counts
+    * (e.g. a change feed's add AND delete counts). */
+  def probed2(df: DataFrame, predA: org.apache.spark.sql.Column,
+      predB: org.apache.spark.sql.Column): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.functions.{sum, when}
+    tagged(df, "materialize+probe2") {
+      val ck = lazyCheckpoint(df)
+      val row = ck.agg(sum(when(predA, 1L).otherwise(0L)),
+        sum(when(predB, 1L).otherwise(0L))).first()
+      (ck, if (row.isNullAt(0)) 0L else row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
   }
 
   /** [[probed]] with the always-true predicate: materialize + total row
-    * count in one job — the fused form of `Materialize(df)` followed by
-    * `df.isEmpty`/`df.count()`. */
+    * count in one job. Counting needs no column evaluation, so this
+    * skips the aggregate entirely and counts the checkpoint RDD itself —
+    * ONE stage (per-partition sizes summed on the driver) where the
+    * aggregate pays a partial/final exchange stage per call; on the DRed
+    * loops' tiny per-round deltas that extra stage was the whole
+    * regression of q_path_ivm in round 11. */
   def counted(df: DataFrame): (DataFrame, Long) =
-    probed(df, org.apache.spark.sql.functions.lit(true))
+    tagged(df, "materialize+count") {
+      val ck = lazyCheckpoint(df)
+      rddOf(ck) match {
+        case Some(rdd) => (ck, rdd.count())
+        case None => // unreachable for checkpoint-backed frames; keep a
+          // working fallback rather than a MatchError
+          import org.apache.spark.sql.functions.{count, lit}
+          (ck, ck.agg(count(lit(1))).first().getLong(0))
+      }
+    }
 
   /** [[apply]] unless the frame is ALREADY cheap to re-read: a
     * deterministic project/filter/limit chain over an existing

@@ -21,6 +21,7 @@ object PlanDump {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -29,10 +30,15 @@ object PlanDump {
         Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
         println(s"[plandump] wrote $name")
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/linkage error must kill the run, not be
+        // swallowed while the tool keeps "succeeding" on later keys
+        case scala.util.control.NonFatal(e) =>
+          failed += 1
           System.err.println(s"[plandump] $name failed: ${e.getMessage}")
       }
     }
     spark.stop()
+    // a plan-evidence run that silently produced no files must not exit 0
+    if (failed > 0) sys.exit(1)
   }
 }

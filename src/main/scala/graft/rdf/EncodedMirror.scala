@@ -135,7 +135,7 @@ object EncodedMirror {
     val segs = graft.sources.AtomicStore.list(dictDir(root)).collect {
       case f if DictRe.matches(f.getPath.getName) &&
         graft.sources.AtomicStore.isComplete(f.getPath.toString) =>
-        spark.read.parquet(f.getPath.toString)
+        graft.sources.AtomicStore.readParquet(spark, f.getPath.toString)
     }
     if (segs.isEmpty)
       spark.range(0).select(col("id").cast("string").as("term"), col("id"))
@@ -194,13 +194,13 @@ object EncodedMirror {
     // last-op-per-quad fold would be a store-wide shuffle computing the
     // identity; skip it
     if (chain.isEmpty)
-      return pre(spark.read.parquet(basePath(encDir(root), base)))
+      return pre(graft.sources.AtomicStore.readParquet(spark, basePath(encDir(root), base)))
         .select(keys.map(col): _*)
     val frames =
-      pre(spark.read.parquet(basePath(encDir(root), base)))
+      pre(graft.sources.AtomicStore.readParquet(spark, basePath(encDir(root), base)))
         .withColumn("__seq", lit(base)) +:
       chain.map { case (_, from, to) =>
-        pre(spark.read.parquet(segPath(encDir(root), from, to)))
+        pre(graft.sources.AtomicStore.readParquet(spark, segPath(encDir(root), from, to)))
           .withColumn("__seq", lit(to))
       }
     frames.reduce(_.unionByName(_))
@@ -245,7 +245,7 @@ object EncodedMirror {
     require(segs.lastOption.exists(_._3 == cur),
       s"mirror segments under $root stop before $cur")
     val folded = segs.map { case (_, f, t) =>
-        pre(spark.read.parquet(segPath(encDir(root), f, t)))
+        pre(graft.sources.AtomicStore.readParquet(spark, segPath(encDir(root), f, t)))
           .withColumn("__seq", lit(t))
       }.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
@@ -315,7 +315,7 @@ object EncodedMirror {
       }
     }
     if (dictSegs.size > 1 && !dictSegs.exists(_._1 == last)) {
-      val folded = dictSegs.map(e => spark.read.parquet(e._2))
+      val folded = dictSegs.map(e => graft.sources.AtomicStore.readParquet(spark, e._2))
         .reduce(_.unionByName(_)).distinct()
       graft.sources.AtomicStore.materialize(
         dictSegPath(dictDir(root), last))(

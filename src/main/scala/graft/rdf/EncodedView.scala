@@ -220,13 +220,13 @@ object EncodedView {
   def readAt(spark: SparkSession, viewRoot: String, v: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (baseV, segs) = chainAt(viewRoot, v)
-    val base = spark.read.parquet(basePath(viewRoot, baseV))
+    val base = graft.sources.AtomicStore.readParquet(spark, basePath(viewRoot, baseV))
     if (segs.isEmpty) return base
     val cols = base.columns.toSeq
     val all = base.withColumn("__v", lit(baseV))
       .withColumn("__op", lit("a"))
       .unionByName(segs.map { case (f, t) =>
-        spark.read.parquet(segPath(viewRoot, f, t)).withColumn("__v", lit(t))
+        graft.sources.AtomicStore.readParquet(spark, segPath(viewRoot, f, t)).withColumn("__v", lit(t))
       }.reduce(_.unionByName(_)))
     val w = Window.partitionBy(cols.map(col): _*)
       .orderBy(col("__v").desc)
@@ -339,7 +339,7 @@ object EncodedView {
         "before compact(view), or rebuild with createAgg()")
     val sgn = when(col("__op") === "a", 1L).otherwise(-1L)
     val delta = vsegs.map { case (f, t) =>
-        spark.read.parquet(segPath(viewRoot, f, t))
+        graft.sources.AtomicStore.readParquet(spark, segPath(viewRoot, f, t))
       }.reduce(_.unionByName(_))
       .select(gv.map(col) :+ sgn.as("__sgn"): _*)
       .groupBy(gv.map(col): _*).agg(sum("__sgn").as(countCol))
@@ -356,8 +356,8 @@ object EncodedView {
   def readAgg(spark: SparkSession, aggRoot: String): DataFrame = {
     val (gv, countCol) = definitionAgg(aggRoot)
     val (baseV, segs) = chainAt(aggRoot, lastSynced(aggRoot))
-    (spark.read.parquet(basePath(aggRoot, baseV)) +:
-      segs.map { case (f, t) => spark.read.parquet(segPath(aggRoot, f, t)) })
+    (graft.sources.AtomicStore.readParquet(spark, basePath(aggRoot, baseV)) +:
+      segs.map { case (f, t) => graft.sources.AtomicStore.readParquet(spark, segPath(aggRoot, f, t)) })
       .reduce(_.unionByName(_))
       .groupBy(gv.map(col): _*).agg(sum(countCol).as(countCol))
       .filter(col(countCol) =!= 0L)

@@ -274,9 +274,9 @@ object ExtVp {
       val sel = selRows.map { case (p, q, k, s) => ((dec(p), dec(q), k), s) }.toMap
       val vp = graft.sources.AtomicStore.list(s"$path/vp").map(f =>
         dec(f.getPath.getName) ->
-          spark.read.parquet(f.getPath.toString)).toMap
+          graft.sources.AtomicStore.readParquet(spark, f.getPath.toString)).toMap
       val red = sel.keys.map { case (p, q, k) =>
-        (p, q, k) -> spark.read.parquet(s"$path/red/${enc(p)}__${enc(q)}__$k")
+        (p, q, k) -> graft.sources.AtomicStore.readParquet(spark, s"$path/red/${enc(p)}__${enc(q)}__$k")
       }.toMap
       (Store(vp, red, sel), path)
     })._1

@@ -206,12 +206,18 @@ object Owl {
       // it — lazily it would be recomputed up to three times per round
       val (expanded, nExp) = graft.Materialize.counted(
         expandClassRules(cur, cs))
-      val pairs = functionalPairs(expanded, cs)
-      val merged = pairs.limit(1).count() > 0
+      // counted(), not a limit(1) probe: the probe had to run the full
+      // group-by anyway, so the same job now MATERIALIZES the pairs —
+      // the merge round's clique engine and rewrite joins read blocks
+      // instead of re-running the aggregate
+      val (pairs, nPairs) = graft.Materialize.counted(
+        functionalPairs(expanded, cs))
+      val merged = nPairs > 0L
       val (next, n2) =
         if (merged) graft.Materialize.counted(canonicalizeBy(expanded, pairs))
         else (expanded, nExp)
       graft.Materialize.release(cur)
+      graft.Materialize.release(pairs)
       if (merged) graft.Materialize.release(expanded)
       // expansion includes identity, so without a merge cur ⊆ next and
       // count equality IS set equality; a merge round is never final

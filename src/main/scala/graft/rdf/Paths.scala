@@ -160,7 +160,11 @@ object Paths {
     */
   def maintainClosure(closure: DataFrame, oldEdges: DataFrame,
       adds: DataFrame, dels: DataFrame, maxIter: Int = 20): DataFrame =
-    maintainClosureDelta(closure, oldEdges, adds, dels, maxIter)._1
+    // needDeltas=false: skips the net-delta anti-joins AND their
+    // materialization job — a caller that only wants the new closure
+    // paid two scheduler jobs for frames it immediately discarded
+    maintainClosureImpl(closure, oldEdges, adds, dels, maxIter,
+      needDeltas = false)._1
 
   /** [[maintainClosure]] also returning the NET closure-level change as
     * `(closure, pairAdds, pairDels)` — disjoint frames, a pair deleted by
@@ -169,7 +173,13 @@ object Paths {
     * segments instead of diffing two closure snapshots. */
   def maintainClosureDelta(closure: DataFrame, oldEdges: DataFrame,
       adds: DataFrame, dels: DataFrame,
-      maxIter: Int = 20): (DataFrame, DataFrame, DataFrame) = {
+      maxIter: Int = 20): (DataFrame, DataFrame, DataFrame) =
+    maintainClosureImpl(closure, oldEdges, adds, dels, maxIter,
+      needDeltas = true)
+
+  private def maintainClosureImpl(closure: DataFrame, oldEdges: DataFrame,
+      adds: DataFrame, dels: DataFrame, maxIter: Int,
+      needDeltas: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val spark = closure.sparkSession
     // same scoped setting as closure(): the loop unions checkpointed
     // frames, where constraint rewriting can throw on pruned origins
@@ -188,12 +198,27 @@ object Paths {
       // or scan-backed (the view store's artifact reads) skips two jobs
       var cur = graft.Materialize.reuse(sel(closure))
       var edges = graft.Materialize.reuse(sel(oldEdges))
+      // ONE fused job materializes BOTH delta sides and answers both
+      // emptiness probes (probed2): the old shape paid an isEmpty job per
+      // side plus a reuse() checkpoint of the add side, and left the
+      // delete side to recompute per consumer (it feeds three joins)
+      val (dFeed, nDel, nAdd) = graft.Materialize.probed2(
+        sel(dels).withColumn("__op", lit("d"))
+          .unionByName(sel(adds).withColumn("__op", lit("a"))),
+        col("__op") === "d", col("__op") === "a")
+      // edge-level no-op churn (the store changed, this view's predicates
+      // didn't): the closure is untouched — skip every loop AND the
+      // net-delta job
+      if (nDel == 0L && nAdd == 0L)
+        return (cur, cur.limit(0), cur.limit(0))
       var pairDels = cur.limit(0)
       var pairAdds = cur.limit(0)
-      if (!dels.isEmpty) {
-        val d = sel(dels).select(col("src").as("u"), col("dst").as("v"))
+      if (nDel > 0L) {
+        val delsM = dFeed.filter(col("__op") === "d")
+          .select(cols.map(col): _*)
+        val d = delsM.select(col("src").as("u"), col("dst").as("v"))
         edges = edges
-          .join(sel(dels).hint("broadcast"), cols, "left_anti")
+          .join(delsM.hint("broadcast"), cols, "left_anti")
         // {(x, u, v)}: x reaches the deleted edge's tail (or IS it)
         val lefts = d.select(col("u").as("x"), col("u"), col("v"))
           .unionByName(cur.select(col("src").as("x"), col("dst").as("u"))
@@ -243,11 +268,14 @@ object Paths {
         require(frontierEmpty,
           s"closure re-derivation did not converge in $maxIter rounds — " +
             "raise maxIter (the affected region is deeper than it)")
-        pairDels = graft.Materialize(over.join(red, cols, "left_anti"))
+        // lazy: over and red are checkpoint-backed, so the anti-join is a
+        // delta-bounded plan; it is consumed only by the final tagged
+        // net-delta materialization (or not at all when needDeltas=false)
+        pairDels = over.join(red, cols, "left_anti")
         cur = graft.Materialize(kept.unionByName(red))
       }
-      if (!adds.isEmpty) {
-        val a = graft.Materialize.reuse(sel(adds))
+      if (nAdd > 0L) {
+        val a = dFeed.filter(col("__op") === "a").select(cols.map(col): _*)
         edges = edges.unionByName(a)
         val base = cur // post-deletion closure: already transitively closed
         // one added edge, old closed segments composed on the left…
@@ -293,9 +321,20 @@ object Paths {
       }
       // a pair the DRed phase dropped and the insertion phase recovered
       // was present before AND after — it nets out of both delta sides
-      (cur,
-        graft.Materialize(pairAdds.join(pairDels, cols, "left_anti")),
-        graft.Materialize(pairDels.join(pairAdds, cols, "left_anti")))
+      if (!needDeltas) (cur, cur.limit(0), cur.limit(0))
+      else {
+        // ONE tagged checkpoint materializes BOTH net sides — two
+        // separate Materialize calls paid two scheduler jobs for frames
+        // every caller consumes exactly once each
+        val net = graft.Materialize(
+          pairAdds.join(pairDels, cols, "left_anti")
+            .withColumn("__op", lit("a"))
+            .unionByName(pairDels.join(pairAdds, cols, "left_anti")
+              .withColumn("__op", lit("d"))))
+        (cur,
+          net.filter(col("__op") === "a").select(cols.map(col): _*),
+          net.filter(col("__op") === "d").select(cols.map(col): _*))
+      }
     } finally spark.conf.set(flag, prev)
   }
 

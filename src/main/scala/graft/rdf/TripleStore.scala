@@ -58,7 +58,7 @@ object TripleStore {
     triples.write.mode(SaveMode.Overwrite).partitionBy("p").parquet(path)
 
   def loadVertical(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.AtomicStore.readParquet(spark, path)
 
   // one encoded store per dataset per JVM; the on-disk copy outlives the
   // JVM so later sessions skip the dictionary build entirely
@@ -100,7 +100,7 @@ object TripleStore {
         // atomic rename that publishes the store
         val stage = s"graft_enc_stage_$key"
         spark.sql(s"DROP TABLE IF EXISTS $stage")
-        Dictionary.encode(t, spark.read.parquet(s"$tmp/dict"))
+        Dictionary.encode(t, graft.sources.AtomicStore.readParquet(spark, s"$tmp/dict"))
           .write.bucketBy(buckets, "sid").sortBy("sid")
           .option("path", s"$tmp/enc").format("parquet")
           .saveAsTable(stage)
@@ -115,7 +115,7 @@ object TripleStore {
       // ingest-time ANALYZE: CBO sees the id-store's row count/NDVs
       // without caller opt-in (skipped when stats already present)
       graft.sources.Tables.analyze(spark, table)
-      (spark.read.parquet(s"$path/dict"), spark.table(table))
+      (graft.sources.AtomicStore.readParquet(spark, s"$path/dict"), spark.table(table))
     })
 
   /** Matches `spark.sql.shuffle.partitions` (32) so bucketed scans line up
@@ -142,10 +142,10 @@ object TripleStore {
         val q = Quads.build(spark, sfDir)
         val dict = Dictionary.buildQuads(spark, q)
         dict.write.parquet(s"$tmp/dict")
-        Dictionary.encodeQuads(q, spark.read.parquet(s"$tmp/dict"))
+        Dictionary.encodeQuads(q, graft.sources.AtomicStore.readParquet(spark, s"$tmp/dict"))
           .write.partitionBy("gid").parquet(s"$tmp/enc")
       }
-      (spark.read.parquet(s"$path/dict"),
-        spark.read.parquet(s"$path/enc").select("sid", "pid", "oid", "gid"))
+      (graft.sources.AtomicStore.readParquet(spark, s"$path/dict"),
+        graft.sources.AtomicStore.readParquet(spark, s"$path/enc").select("sid", "pid", "oid", "gid"))
     })
 }

@@ -833,12 +833,12 @@ object ViewStore {
     val (baseV, segs) = edgeChainAt(root, v).getOrElse(
       throw new IllegalStateException(
         s"no edge-set artifact under $root at $v"))
-    val base = spark.read.parquet(edgeBasePath(root, baseV))
+    val base = graft.sources.AtomicStore.readParquet(spark, edgeBasePath(root, baseV))
     if (segs.isEmpty) return base
     val cols = Seq("__n", "src", "dst")
     val all = base.withColumn("__v", lit(baseV)).withColumn("__op", lit("a"))
       .unionByName(segs.map { case (f, t) =>
-        spark.read.parquet(edgeSegPath(root, f, t)).withColumn("__v", lit(t))
+        graft.sources.AtomicStore.readParquet(spark, edgeSegPath(root, f, t)).withColumn("__v", lit(t))
       }.reduce(_.unionByName(_)))
     val w = Window.partitionBy(cols.map(col): _*)
       .orderBy(col("__v").desc)
@@ -941,8 +941,10 @@ object ViewStore {
 
   /** Net per-node edge deltas from the store's net triple deltas, ALL
     * state read from the persisted artifact — never the store.
-    * Returns (root net adds, root net dels, the tagged segment frame,
-    * the root's old set). Rules, per node kind (sets throughout):
+    * Returns (the LAZY tagged segment frame, the root's old set) — the
+    * caller's segment-publish job is what computes it (write-then-read,
+    * one job, instead of checkpoint-then-write, two). Rules, per node
+    * kind (sets throughout):
     *  - atom: Δ = the feed's predicate slice (1:1 with triples, no
     *    netting needed).
     *  - union: add cands ΔL⁺ ∪ ΔR⁺ anti old (already derived via the
@@ -957,17 +959,16 @@ object ViewStore {
     * frame — lazy, delta-sized extra work. */
   private def maintainEdgeSets(spark: SparkSession, viewRoot: String,
       last: Int, nodes: Vector[ENode], tAdds: DataFrame,
-      tDels: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      tDels: DataFrame, hasAdds: Boolean,
+      hasDels: Boolean): (DataFrame, DataFrame) = {
     val pair = Seq("src", "dst")
     val oldAll = graft.Materialize(readEdgesAt(spark, viewRoot, last))
     def old(i: Int): DataFrame =
       oldAll.filter(col("__n") === i).select("src", "dst")
-    // statically-empty sides (one cheap probe each on the checkpointed
-    // feed) prune whole rule branches: an insert-only sync runs NO
-    // delete machinery at all, and vice versa — the dominant lifecycle
-    // cost here is scheduler round-trips, not data
-    val hasAdds = !tAdds.isEmpty
-    val hasDels = !tDels.isEmpty
+    // statically-empty sides (known from the caller's fused feed probe)
+    // prune whole rule branches: an insert-only sync runs NO delete
+    // machinery at all, and vice versa — the dominant lifecycle cost
+    // here is scheduler round-trips, not data
     // None = statically empty. Inner deltas stay LAZY — their consumers
     // (the parent rules, the segment write, the root checkpoints below)
     // re-run only delta-bounded joins against checkpointed inputs, and
@@ -1033,22 +1034,19 @@ object ViewStore {
         da(i).fold(kept)(kept.unionByName(_))
       }
     }
-    // ONE checkpoint materializes the ENTIRE per-node delta
-    // computation: the segment write re-reads it for pennies, and the
-    // root deltas (which feed the closure's iterative maintenance) are
-    // filters over the same blocks — no per-node or per-side jobs
-    val segM = graft.Materialize(nodes.indices.flatMap { i =>
+    // the ENTIRE per-node delta computation stays LAZY: the caller's
+    // single segment-publish job computes it straight into the parquet
+    // write, and the root deltas (which feed the closure's iterative
+    // maintenance) re-read the published one-file segment — no
+    // checkpoint job, no per-node or per-side jobs
+    val segFrame = nodes.indices.flatMap { i =>
       da(i).map(_.withColumn("__op", lit("a")).withColumn("__n", lit(i))) ++
         dd(i).map(_.withColumn("__op", lit("d")).withColumn("__n", lit(i)))
     }.reduceOption(_.unionByName(_))
       .map(_.select("__n", "src", "dst", "__op"))
       .getOrElse(spark.range(0).select(lit(0).as("__n"),
-        lit("").as("src"), lit("").as("dst"), lit("").as("__op"))))
-    val rootA = segM.filter(col("__n") === 0 && col("__op") === "a")
-      .select("src", "dst")
-    val rootD = segM.filter(col("__n") === 0 && col("__op") === "d")
-      .select("src", "dst")
-    (rootA, rootD, segM, old(0))
+        lit("").as("src"), lit("").as("dst"), lit("").as("__op")))
+    (segFrame, old(0))
   }
 
   /** Bootstrap a GENERAL path-expression view — the transitive closure
@@ -1231,23 +1229,33 @@ object ViewStore {
         // persisted artifact, deltas from the net change feed
         bootstrapEdges(spark, storeRoot, viewRoot, last, graph, nodes)
         // the feed frames fan into every atom slice AND the segment
-        // write — checkpoint ONCE (tagged) so each consumer reads
-        // delta-sized blocks instead of re-running the change-netting
-        // plan, and the two sides cost one job, not two
-        val feed = graft.Materialize(
+        // write — ONE fused job checkpoints the feed and answers both
+        // side-emptiness probes (the old shape paid the checkpoint plus
+        // an isEmpty job per side)
+        val (feed, nA, nD) = graft.Materialize.probed2(
           t(adds).withColumn("__op", lit("a"))
-            .unionByName(t(dels).withColumn("__op", lit("d"))))
+            .unionByName(t(dels).withColumn("__op", lit("d"))),
+          col("__op") === "a", col("__op") === "d")
         val tAdds = feed.filter(col("__op") === "a").select("s", "p", "o")
         val tDels = feed.filter(col("__op") === "d").select("s", "p", "o")
-        val (eAdds, eDels, edgeSeg, oldE) =
-          maintainEdgeSets(spark, viewRoot, last, nodes, tAdds, tDels)
+        val (edgeSeg, oldE) = maintainEdgeSets(spark, viewRoot, last,
+          nodes, tAdds, tDels, nA > 0L, nD > 0L)
         // edge segment FIRST: if a crash lands between the two
         // publishes, the closure chain (the coverage authority) still
-        // ends at `last` and the replayed sync's edge publish no-ops
+        // ends at `last` and the replayed sync's edge publish no-ops.
+        // The write job IS the delta computation's materialization; the
+        // closure maintenance below re-reads the published one-file
+        // segment (write-then-read: one job where checkpoint-then-write
+        // paid two)
         graft.sources.AtomicStore.materialize(
             edgeSegPath(viewRoot, last, cur)) {
           tmp => edgeSeg.repartition(1).write.parquet(tmp)
         }
+        val segM = graft.sources.AtomicStore.readParquet(spark, edgeSegPath(viewRoot, last, cur))
+        val eAdds = segM.filter(col("__n") === 0 && col("__op") === "a")
+          .select("src", "dst")
+        val eDels = segM.filter(col("__n") === 0 && col("__op") === "d")
+          .select("src", "dst")
         val (_, pa, pd) = Paths.maintainClosureDelta(
           read(spark, viewRoot)
             .select(col(sv).as("src"), col(dv).as("dst")),
@@ -1356,12 +1364,12 @@ object ViewStore {
       return readUnionCountsAt(spark, viewRoot, v)
         .drop(BgpView.SupportCol)
     val (baseV, segs) = chainAt(viewRoot, v)
-    val base = spark.read.parquet(basePath(viewRoot, baseV))
+    val base = graft.sources.AtomicStore.readParquet(spark, basePath(viewRoot, baseV))
     if (segs.isEmpty) return base
     val cols = base.columns.toSeq
     val all = base.withColumn("__v", lit(baseV)).withColumn("__op", lit("a"))
       .unionByName(segs.map { case (f, t) =>
-        spark.read.parquet(segPath(viewRoot, f, t)).withColumn("__v", lit(t))
+        graft.sources.AtomicStore.readParquet(spark, segPath(viewRoot, f, t)).withColumn("__v", lit(t))
       }.reduce(_.unionByName(_)))
     val w = Window.partitionBy(cols.map(col): _*)
       .orderBy(col("__v").desc)
@@ -1379,10 +1387,10 @@ object ViewStore {
   private def readUnionCountsAt(spark: SparkSession, viewRoot: String,
       v: Int): DataFrame = {
     val (baseV, segs) = chainAt(viewRoot, v)
-    val base = spark.read.parquet(basePath(viewRoot, baseV))
+    val base = graft.sources.AtomicStore.readParquet(spark, basePath(viewRoot, baseV))
     val bcols = base.columns.filterNot(_ == BgpView.SupportCol).toSeq
     (base +: segs.map { case (f, t) =>
-      spark.read.parquet(segPath(viewRoot, f, t)) })
+      graft.sources.AtomicStore.readParquet(spark, segPath(viewRoot, f, t)) })
       .reduce(_.unionByName(_))
       .groupBy(bcols.map(col): _*)
       .agg(sum(BgpView.SupportCol).as(BgpView.SupportCol))
@@ -1411,10 +1419,10 @@ object ViewStore {
     // otherwise sum ±1 signs over the wrong segment set SILENTLY
     val (baseV, segs) = chain(viewRoot)
     val gcols = groupVars.map(col)
-    val signed = (spark.read.parquet(basePath(viewRoot, baseV))
+    val signed = (graft.sources.AtomicStore.readParquet(spark, basePath(viewRoot, baseV))
       .select(gcols :+ lit(1L).as("__sgn"): _*) +:
       segs.map { case (f, t) =>
-        spark.read.parquet(segPath(viewRoot, f, t))
+        graft.sources.AtomicStore.readParquet(spark, segPath(viewRoot, f, t))
           .select(gcols :+ when(col("__op") === "a", 1L)
             .otherwise(-1L).as("__sgn"): _*)
       }).reduce(_.unionByName(_))
@@ -1656,7 +1664,7 @@ object ViewStore {
     val live = sums.map { case (o, _) => col(o) =!= 0L }
       .foldLeft(col(countCol) =!= 0L)(_ || _)
     val delta = vsegs.map { case (f, t) =>
-        spark.read.parquet(segPath(viewRoot, f, t))
+        graft.sources.AtomicStore.readParquet(spark, segPath(viewRoot, f, t))
       }.reduce(_.unionByName(_))
       .select(gcols ++ (sgn.as("__sgn") +: sums.map { case (o, s) =>
         (sgn * longMeasure(s)).as(o) }): _*)
@@ -1692,8 +1700,8 @@ object ViewStore {
     // still carry a nonzero SUM delta (a binding swapped for one with
     // the same extremum value but a different sum value); dropping it
     // would lose that contribution. Liveness gates only what follows.
-    val fine = (spark.read.parquet(basePath(aggRoot, baseV)) +:
-      segs.map { case (f, t) => spark.read.parquet(segPath(aggRoot, f, t)) })
+    val fine = (graft.sources.AtomicStore.readParquet(spark, basePath(aggRoot, baseV)) +:
+      segs.map { case (f, t) => graft.sources.AtomicStore.readParquet(spark, segPath(aggRoot, f, t)) })
       .reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*).agg(sum(countCol).as(countCol),
         psums.map { case (o, _) => sum(o).as(o) }: _*)
@@ -1822,9 +1830,9 @@ object ViewStore {
       val (baseV, segs) = chainAt(aggRoot, lastSynced(aggRoot))
       val live = psums.map { case (o, _) => col(o) =!= 0L }
         .foldLeft(col(countCol) =!= 0L)(_ || _)
-      (spark.read.parquet(basePath(aggRoot, baseV)) +:
+      (graft.sources.AtomicStore.readParquet(spark, basePath(aggRoot, baseV)) +:
         segs.map { case (f, t) =>
-          spark.read.parquet(segPath(aggRoot, f, t)) })
+          graft.sources.AtomicStore.readParquet(spark, segPath(aggRoot, f, t)) })
         .reduce(_.unionByName(_))
         .groupBy(keys.map(col): _*).agg(sum(countCol).as(countCol),
           psums.map { case (o, _) => sum(o).as(o) }: _*)

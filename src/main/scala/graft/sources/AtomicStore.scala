@@ -167,6 +167,33 @@ object AtomicStore {
     } finally in.close()
   }
 
+  // (path, publish token) → inferred parquet schema. A schema-less
+  // spark.read.parquet launches a footer-sampling inference JOB per call;
+  // the lifecycle reads fold chains of segments and re-open the same
+  // immutable published directories many times per invocation, so the
+  // inference jobs — not the data — dominated their job counts
+  // (ProfileOne r12: 27-37 of ~150 jobs per path-view invocation were
+  // schema inference at the sandbox's ~0.1-0.3 s/job floor). Keyed on the
+  // publish token, so a wiped + re-published path can never serve a stale
+  // schema; entries are a few hundred bytes (schema metadata only, never
+  // data — every read still scans the parquet itself).
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  /** Read a COMPLETE published artifact directory as parquet, with the
+    * inferred schema cached per publish (the first read pays the one
+    * inference job; every later read skips it). Directories without a
+    * completion marker fall back to a plain inferring read. */
+  def readParquet(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val token = markerToken(path)
+    if (token.isEmpty) return spark.read.parquet(path)
+    if (schemaCache.size > 4096) schemaCache.clear() // unbounded-growth guard
+    val sch = schemaCache.computeIfAbsent((path, token),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   /** Child entries of `path` (empty when absent) — the Hadoop-portable
     * replacement for `java.io.File.listFiles`. */
   def list(path: String): Seq[FileStatus] = {

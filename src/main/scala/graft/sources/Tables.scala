@@ -30,8 +30,20 @@ object Tables {
     * session timezone is pinned to UTC, so the cast preserves the instant
     * and time functions (unix_millis, date_trunc, window) apply uniformly.
     */
+  // path → inferred schema. The driver-generated tables are immutable for
+  // a session's lifetime, but a schema-less spark.read.parquet launches a
+  // footer-sampling JOB per call — and lifecycle queries CONSTRUCT these
+  // frames on every invocation even when the store init never executes
+  // them (4 inference jobs per invocation at the ~0.1-0.3 s/job floor).
+  // Metadata only: every read still scans the parquet files themselves.
+  private val tableSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val sch = tableSchemas.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(sch).parquet(path)
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.dataType == TimestampNTZType)
         acc.withColumn(f.name, col(f.name).cast(TimestampType))

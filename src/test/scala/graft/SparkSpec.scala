@@ -32,6 +32,13 @@ object SparkSpec {
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the suite runs ~120k tasks' worth of checkpoint-heavy jobs in one
+      // session; dead localCheckpoint blocks are only unpersisted when
+      // the ContextCleaner notices their RDDs are unreachable, which is
+      // GC-driven. The default 30min periodic GC fires ~once per run —
+      // a 2min cadence keeps executor storage (same JVM heap here) from
+      // accumulating across suites.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
