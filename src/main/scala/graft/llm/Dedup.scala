@@ -408,8 +408,15 @@ object Dedup {
           .groupBy("doc_id")
           .agg(min(col("label")).as("label"),
             min(when(col("__own"), col("label"))).as("__old"))
+          // __old is non-null TODAY because cand doc_ids (edges.src) ⊆
+          // labels doc_ids (distinct edges.src), but a future caller
+          // feeding asymmetric edges would turn a NULL __old into a NULL
+          // __changed and the probe would silently under-converge —
+          // treat a label-less node as changed (type-agnostic: labels
+          // are longs in dedup, strings in the OWL clique engine)
           .select(col("doc_id"), col("label"),
-            (col("label") < col("__old")).as("__changed")),
+            (col("__old").isNull ||
+              col("label") < col("__old")).as("__changed")),
         col("__changed"))
       // the superseded round's checkpoint blocks are dead once `updated`
       // is materialized — release them, or a long-converging run holds
@@ -524,22 +531,21 @@ object Dedup {
     val grams = docs.select(col("doc_id"), explode(gramsCol).as("g"))
       .distinct().persist()
     val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    // Rarest-first prefix per doc via collect_list + sort_array (struct
-    // ordering (df, g) = the rarest-first total order) + slice. One groupBy
-    // shuffle on doc_id, versus the former row_number window (shuffle +
-    // per-partition sort) followed by a separate sizes join. A doc's gram
+    // Rarest-first FULL gram array per doc via collect_list + sort_array
+    // (struct ordering (df, g) = the rarest-first total order). One
+    // groupBy shuffle on doc_id; the array serves BOTH the prefix build
+    // (a slice + explode) and exact verification (below). A doc's gram
     // set is bounded by its length, so the per-group array is small.
-    val prefix = grams.join(freq, "g")
+    val docArr = grams.join(freq, "g")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("gs"))
       .withColumn("sz", size(col("gs")).cast("long"))
+      .persist()
+    val prefix = docArr
       .select(col("doc_id"), col("sz"),
         explode(slice(col("gs"), lit(1),
           (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("dg"))
       .select(col("doc_id"), col("dg.g").as("g"), col("sz"))
-      // self-joined directly below — persist or the collect_list aggregate
-      // runs once per join side
-      .persist()
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
@@ -547,16 +553,30 @@ object Dedup {
           && col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // same exact-verification step as the MinHash path — one implementation.
-    // roundSafe (tie-safe floor formula) rather than round: this operator is
-    // EXACT, so it is oracled against DuckDB computing the same brute-force
-    // jaccard, and the rounding must be bit-identical across engines.
-    val out = withJaccard(cands, grams.withColumnRenamed("g", "sh"))
+    // exact verification in the ARRAY domain: grams here are distinct
+    // (set semantics), so |A∩B| is a row-wise codegen array_intersect
+    // over the two attached arrays — same jaccard value bit-for-bit as
+    // the shared-gram counting join, WITHOUT exploding every candidate
+    // pair into |grams(A)| rows and shuffling that by (doc_b, gram)
+    // (that explosion was this operator's dominant cost). The MinHash
+    // path keeps withJaccard: its shingle relation is a MULTISET and the
+    // counting join's multiplicity semantics must be preserved there.
+    val garr = docArr.select(col("doc_id"), col("gs.g").as("ga"), col("sz"))
+    val out = cands
+      .join(garr.select(col("doc_id").as("doc_a"), col("ga").as("__ga"),
+        col("sz").as("na")), "doc_a")
+      .join(garr.select(col("doc_id").as("doc_b"), col("ga").as("__gb"),
+        col("sz").as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .filter(col("inter") > 0L)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         graft.Det.roundSafe(col("jaccard"), 4).as("jaccard"))
       .transform(graft.Materialize.apply)
-    prefix.unpersist()
+    docArr.unpersist()
     grams.unpersist()
     out
   }

@@ -233,16 +233,29 @@ object GraphOps extends QueryModule {
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(
         when(ka < kb, col("a")).otherwise(col("b")).as("lo"),
-        when(ka < kb, kb).otherwise(ka).as("hik"))
-      .select(col("lo"), col("hik"), col("hik.kn").as("hi"))
+        // carry the head's DEGREE (a long), not the (degree, node)
+        // struct: the struct duplicated the node string into every
+        // wedge-join row — the ordering test rebuilds the struct on the
+        // fly from (degree, node) instead (§2.3: narrower exchanges)
+        when(ka < kb, col("db")).otherwise(col("da")).as("hd"),
+        when(ka < kb, col("b")).otherwise(col("a")).as("hi"))
       .persist()
-    val wedges = oriented.select(col("lo"), col("hik").as("vk"),
+    // shuffle_hash, not sort-merge: both joins are one-shot — sorting
+    // the 14M-wedge stream (and the oriented side) buys nothing a
+    // per-partition hash build doesn't, and the sort was the single
+    // largest stage of this operator (§3.1)
+    val wedges = oriented.select(col("lo"), col("hd").as("vd"),
         col("hi").as("v"))
-      .join(oriented.select(col("lo"), col("hik").as("wk"),
-        col("hi").as("w")), "lo")
-      .filter(col("vk") < col("wk"))
+      .join(oriented.select(col("lo"), col("hd").as("wd"),
+        col("hi").as("w")).hint("shuffle_hash"), "lo")
+      .filter(struct(col("vd"), col("v")) < struct(col("wd"), col("w")))
+    // left_semi: oriented's (lo, hi) pairs are unique (distinct +
+    // orientation), so the closing probe is pure existence — the semi
+    // build stores keys only and emits each closing wedge once, exactly
+    // like the old inner join
     val tri = wedges.join(
-      oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
+      oriented.select(col("lo").as("v"), col("hi").as("w"))
+        .hint("shuffle_hash"), Seq("v", "w"), "left_semi")
       .select(col("lo").as("u"), col("v"), col("w"))
     val out = graft.Materialize(
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
@@ -379,7 +392,10 @@ object GraphOps extends QueryModule {
       val adds = t.filter(col("p") === "orderstatus")
       val phantom = t.filter(col("p") === "nation")
         .withColumn("p", lit("phantomrel"))
-      val old = graft.Materialize(t.exceptAll(adds).unionByName(phantom))
+      // not exceptAll: adds IS t.filter(pred) — the null-safe negated
+      // filter subtracts it exactly, without a two-sided shuffle of t
+      val old = graft.Materialize(t.filter(
+        !(col("p") <=> "orderstatus")).unionByName(phantom))
       var counts = graft.Materialize(Rdfs.supportCounts(old, schema0))
       counts = graft.Materialize(
         Rdfs.maintainCounts(counts, adds, phantom, schema0))

@@ -203,7 +203,12 @@ object RdfOps extends QueryModule {
       val t = Triples.build(s, d)
       val adds = t.filter(col("p") === "mktsegment" && col("o") === "BUILDING")
       val phantom = adds.withColumn("o", lit("PHANTOM"))
-      val old = graft.Materialize(t.exceptAll(adds).unionByName(phantom))
+      // not exceptAll: adds IS t.filter(pred), so bag-subtracting it is
+      // exactly the null-safe negated filter — a map-side scan instead of
+      // a full two-sided shuffle of the triple set
+      val old = graft.Materialize(t.filter(
+        !(col("p") <=> "mktsegment" && col("o") <=> "BUILDING"))
+        .unionByName(phantom))
       val none = t.limit(0)
       val st1 = ExtVp.maintain(ExtVp.build(old), adds, none)
       val st2 = ExtVp.maintain(st1, none, phantom)
@@ -260,7 +265,12 @@ object RdfOps extends QueryModule {
       // each maintenance round reads its pre-state once per telescoping
       // leg — materialize the two states so the exceptAll shuffle runs
       // once, not 2k+1 times
-      val old = graft.Materialize(t.exceptAll(adds).unionByName(phantom))
+      // not exceptAll: adds IS t.filter(pred), so bag-subtracting it is
+      // exactly the null-safe negated filter — a map-side scan instead of
+      // a full two-sided shuffle of the triple set
+      val old = graft.Materialize(t.filter(
+        !(col("p") <=> "mktsegment" && col("o") <=> "BUILDING"))
+        .unionByName(phantom))
       val none = t.limit(0)
       var view = BgpView.compute(old, patterns)
       view = BgpView.maintain(view, old, adds, none, patterns)
@@ -795,7 +805,12 @@ object RdfOps extends QueryModule {
         TP(V("cust"), C("nation"), V("nat")))
       val adds = t.filter(col("p") === "mktsegment" && col("o") === "BUILDING")
       val phantom = adds.withColumn("o", lit("PHANTOM"))
-      val old = graft.Materialize(t.exceptAll(adds).unionByName(phantom))
+      // not exceptAll: adds IS t.filter(pred), so bag-subtracting it is
+      // exactly the null-safe negated filter — a map-side scan instead of
+      // a full two-sided shuffle of the triple set
+      val old = graft.Materialize(t.filter(
+        !(col("p") <=> "mktsegment" && col("o") <=> "BUILDING"))
+        .unionByName(phantom))
       val none = t.limit(0)
       val measures = Map("cnt" -> lit(1L))
       var counts = graft.operators.IncrementalAgg.recompute(
@@ -942,7 +957,10 @@ object RdfOps extends QueryModule {
         concat(lit("ph:"), col("dst")))
       // materialize the two pre-states: each maintenance phase reads its
       // pre-state several times (over-delete joins, kept-set anti-join)
-      val old = graft.Materialize(edges.exceptAll(adds)
+      // not exceptAll: adds IS edges.filter(pred) — the null-safe negated
+      // filter subtracts it exactly, without shuffling the edge set twice
+      val old = graft.Materialize(edges.filter(
+        !(col("src").startsWith("c:") <=> lit(true)))
         .unionByName(phantom))
       val none = edges.limit(0)
       var c = Paths.transitiveClosure(old)
