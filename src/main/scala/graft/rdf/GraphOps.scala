@@ -240,22 +240,18 @@ object GraphOps extends QueryModule {
         when(ka < kb, col("db")).otherwise(col("da")).as("hd"),
         when(ka < kb, col("b")).otherwise(col("a")).as("hi"))
       .persist()
-    // shuffle_hash, not sort-merge: both joins are one-shot — sorting
-    // the 14M-wedge stream (and the oriented side) buys nothing a
-    // per-partition hash build doesn't, and the sort was the single
-    // largest stage of this operator (§3.1)
     val wedges = oriented.select(col("lo"), col("hd").as("vd"),
         col("hi").as("v"))
       .join(oriented.select(col("lo"), col("hd").as("wd"),
-        col("hi").as("w")).hint("shuffle_hash"), "lo")
+        col("hi").as("w")), "lo")
       .filter(struct(col("vd"), col("v")) < struct(col("wd"), col("w")))
     // left_semi: oriented's (lo, hi) pairs are unique (distinct +
     // orientation), so the closing probe is pure existence — the semi
     // build stores keys only and emits each closing wedge once, exactly
     // like the old inner join
     val tri = wedges.join(
-      oriented.select(col("lo").as("v"), col("hi").as("w"))
-        .hint("shuffle_hash"), Seq("v", "w"), "left_semi")
+      oriented.select(col("lo").as("v"), col("hi").as("w")),
+      Seq("v", "w"), "left_semi")
       .select(col("lo").as("u"), col("v"), col("w"))
     val out = graft.Materialize(
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))

@@ -833,18 +833,46 @@ object ViewStore {
     val (baseV, segs) = edgeChainAt(root, v).getOrElse(
       throw new IllegalStateException(
         s"no edge-set artifact under $root at $v"))
-    val base = graft.sources.AtomicStore.readParquet(spark, edgeBasePath(root, baseV))
-    if (segs.isEmpty) return base
-    val cols = Seq("__n", "src", "dst")
-    val all = base.withColumn("__v", lit(baseV)).withColumn("__op", lit("a"))
-      .unionByName(segs.map { case (f, t) =>
-        graft.sources.AtomicStore.readParquet(spark, edgeSegPath(root, f, t)).withColumn("__v", lit(t))
-      }.reduce(_.unionByName(_)))
-    val w = Window.partitionBy(cols.map(col): _*)
-      .orderBy(col("__v").desc)
-    all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("__op") === "a")
-      .select(cols.map(col): _*)
+    // same fold cache as [[readAt]] (separate key space): the edge state
+    // is re-folded by every sync and compaction, and extends by its net
+    // segments exactly like the binding fold
+    val key = (sessionId(spark), root + "#edges")
+    val cached = foldCache.synchronized(Option(foldCache.get(key)))
+      .filter(c => graft.sources.AtomicStore.markerToken(c.endPath) ==
+        c.token && c.token.nonEmpty)
+    def put(df: DataFrame): DataFrame = {
+      val end = segs.lastOption
+        .map { case (f, t) => edgeSegPath(root, f, t) }
+        .getOrElse(edgeBasePath(root, baseV))
+      val tok = graft.sources.AtomicStore.markerToken(end)
+      if (tok.nonEmpty) foldCache.synchronized {
+        foldCache.put(key, CachedFold(v, end, tok, df)): Unit
+      }
+      df
+    }
+    cached match {
+      case Some(c) if c.v == v => c.df
+      case Some(c) if c.v < v && segs.exists(_._1 == c.v) =>
+        put(graft.Materialize(applySegs(spark, c.df, root,
+          segs.filter(_._1 >= c.v), edgeSegPath)))
+      case _ =>
+        val base = graft.sources.AtomicStore.readParquet(spark,
+          edgeBasePath(root, baseV))
+        if (segs.isEmpty) return put(base)
+        val cols = Seq("__n", "src", "dst")
+        val all = base.withColumn("__v", lit(baseV))
+          .withColumn("__op", lit("a"))
+          .unionByName(segs.map { case (f, t) =>
+            graft.sources.AtomicStore.readParquet(spark,
+              edgeSegPath(root, f, t)).withColumn("__v", lit(t))
+          }.reduce(_.unionByName(_)))
+        val w = Window.partitionBy(cols.map(col): _*)
+          .orderBy(col("__v").desc)
+        put(graft.Materialize(
+          all.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1 && col("__op") === "a")
+            .select(cols.map(col): _*)))
+    }
   }
 
   /** The edge-set tree in flat form, id = index, root = 0, children
@@ -962,7 +990,10 @@ object ViewStore {
       tDels: DataFrame, hasAdds: Boolean,
       hasDels: Boolean): (DataFrame, DataFrame) = {
     val pair = Seq("src", "dst")
-    val oldAll = graft.Materialize(readEdgesAt(spark, viewRoot, last))
+    // reuse, not Materialize: readEdgesAt comes back checkpoint- or
+    // scan-backed from the fold cache — re-checkpointing it would pay a
+    // job for blocks that already exist
+    val oldAll = graft.Materialize.reuse(readEdgesAt(spark, viewRoot, last))
     def old(i: Int): DataFrame =
       oldAll.filter(col("__n") === i).select("src", "dst")
     // statically-empty sides (known from the caller's fused feed probe)
@@ -1352,30 +1383,123 @@ object ViewStore {
   def read(spark: SparkSession, viewRoot: String): DataFrame =
     readAt(spark, viewRoot, lastSynced(viewRoot))
 
+  // ---- fold cache: the store-version-fold memo the sync hot path reads
+  //
+  // A lifecycle invocation folds the SAME view state several times — each
+  // sync's closure bootstrap, compaction, the final read — and every fold
+  // re-scanned the whole chain and re-ran the last-op window. Segments
+  // are NET deltas, so fold(v2) = fold(v1) ∖ touched ∪ adds — the cached
+  // MATERIALIZED fold at v1 extends with only the (v1, v2] segments (the
+  // same version-immutability argument as QuadStore's snapshot cache).
+  // Keyed per session; fingerprinted by the publish token of the chain
+  // entry that DEFINES v1, so a wiped + re-created root can never serve
+  // pre-wipe state. Entries are small (checkpointed binding sets); stale
+  // ones drop from the LRU and Spark's ContextCleaner reclaims their
+  // blocks once unreferenced.
+  private final case class CachedFold(v: Int, endPath: String,
+      token: String, df: DataFrame)
+  private val foldCache =
+    new java.util.LinkedHashMap[(String, String), CachedFold](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), CachedFold]): Boolean =
+        size() > 24
+    }
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID.toString)
+
+  /** The chain entry that defines version `v` (newest entry ending at v):
+    * a segment when one ends there, else the base. */
+  private def endPathOf(root: String, baseV: Int,
+      segs: Seq[(Int, Int)]): String =
+    segs.lastOption.map { case (f, t) => segPath(root, f, t) }
+      .getOrElse(basePath(root, baseV))
+
+  /** Apply a batch of NET segments to a folded state: per-binding last
+    * op wins (the window runs over the TINY segment batch only), touched
+    * bindings leave the state, surviving adds re-enter. Null-safe keys:
+    * OPTIONAL views carry null pads, and the window fold groups nulls
+    * together — the anti-join must too. */
+  private def applySegs(spark: SparkSession, state: DataFrame,
+      root: String, segs: Seq[(Int, Int)],
+      pathOf: (String, Int, Int) => String = segPath): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = state.columns.toSeq
+    val ops = segs.map { case (f, t) =>
+      graft.sources.AtomicStore.readParquet(spark, pathOf(root, f, t))
+        .withColumn("__v", lit(t))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy(cols.map(col): _*).orderBy(col("__v").desc)
+    val last = ops.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val touched = last.select(cols.map(col): _*)
+    val adds = last.filter(col("__op") === "a").select(cols.map(col): _*)
+    val cond = cols.map(c => state(c) <=> touched(c)).reduce(_ && _)
+    state.join(touched.hint("broadcast"), cond, "left_anti")
+      .unionByName(adds)
+  }
+
   /** TIME-TRAVEL read: the view exactly as it stood at synced store
     * version `v` — the audit question ("what did this dashboard serve
     * at version 12?") answered from the same segments the live read
     * folds, just capped. Historical depth = the retention window:
     * compaction rewrites the base forward, after which older pins are
-    * loud errors, never approximations. Serves every view mode. */
+    * loud errors, never approximations. Serves every view mode.
+    *
+    * Non-union reads come back MATERIALIZED through the fold cache:
+    * within one maintenance invocation the same state is folded several
+    * times (sync bootstraps, compaction, the final read), and across
+    * versions the cached fold advances by applying only the new net
+    * segments instead of re-folding the whole chain. */
   def readAt(spark: SparkSession, viewRoot: String, v: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (mode(viewRoot) == "union")
       return readUnionCountsAt(spark, viewRoot, v)
         .drop(BgpView.SupportCol)
     val (baseV, segs) = chainAt(viewRoot, v)
-    val base = graft.sources.AtomicStore.readParquet(spark, basePath(viewRoot, baseV))
-    if (segs.isEmpty) return base
-    val cols = base.columns.toSeq
-    val all = base.withColumn("__v", lit(baseV)).withColumn("__op", lit("a"))
-      .unionByName(segs.map { case (f, t) =>
-        graft.sources.AtomicStore.readParquet(spark, segPath(viewRoot, f, t)).withColumn("__v", lit(t))
-      }.reduce(_.unionByName(_)))
-    val w = Window.partitionBy(cols.map(col): _*)
-      .orderBy(col("__v").desc)
-    all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("__op") === "a")
-      .select(cols.map(col): _*)
+    val key = (sessionId(spark), viewRoot)
+    val cached = foldCache.synchronized(Option(foldCache.get(key)))
+      // the fingerprint must still match ITS path — a wiped/recompacted
+      // root reads as a miss, never as pre-wipe state
+      .filter(c => graft.sources.AtomicStore.markerToken(c.endPath) ==
+        c.token && c.token.nonEmpty)
+    def put(vv: Int, df: DataFrame): DataFrame = {
+      val end = endPathOf(viewRoot, baseV, segs.filter(_._2 <= vv))
+      val tok = graft.sources.AtomicStore.markerToken(end)
+      if (tok.nonEmpty) foldCache.synchronized {
+        foldCache.put(key, CachedFold(vv, end, tok, df)): Unit
+      }
+      df
+    }
+    cached match {
+      case Some(c) if c.v == v => c.df
+      case Some(c) if c.v < v && segs.exists(_._1 == c.v) =>
+        // contiguous extension: exactly the (c.v, v] sub-chain
+        val ext = segs.filter(_._1 >= c.v)
+        put(v, graft.Materialize(applySegs(spark, c.df, viewRoot, ext)))
+      case _ =>
+        val base = graft.sources.AtomicStore.readParquet(spark,
+          basePath(viewRoot, baseV))
+        // a bare base is already a cheap one-file scan — cache it lazy
+        // (extensions anti-join against the scan; Materialize.reuse-class
+        // argument), where a checkpoint would cost a job for nothing
+        if (segs.isEmpty) return put(v, base)
+        val cols = base.columns.toSeq
+        val all = base.withColumn("__v", lit(baseV))
+          .withColumn("__op", lit("a"))
+          .unionByName(segs.map { case (f, t) =>
+            graft.sources.AtomicStore.readParquet(spark,
+              segPath(viewRoot, f, t)).withColumn("__v", lit(t))
+          }.reduce(_.unionByName(_)))
+        val w = Window.partitionBy(cols.map(col): _*)
+          .orderBy(col("__v").desc)
+        put(v, graft.Materialize(
+          all.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1 && col("__op") === "a")
+            .select(cols.map(col): _*)))
+    }
   }
 
   /** A union view's maintained support-count frame: base supports plus
