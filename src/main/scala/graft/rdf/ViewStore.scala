@@ -1399,10 +1399,14 @@ object ViewStore {
   private final case class CachedFold(v: Int, endPath: String,
       token: String, df: DataFrame)
   private val foldCache =
-    new java.util.LinkedHashMap[(String, String), CachedFold](32, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), CachedFold](16, 0.75f, true) {
+      // small on purpose: maintenance touches one root at a time, so a
+      // handful of recent roots is all the hit rate needs — a large LRU
+      // would pin every root's checkpoint blocks for the whole session
+      // (executor storage = driver heap in local mode)
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, String), CachedFold]): Boolean =
-        size() > 24
+        size() > 8
     }
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
